@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic/bench headliner queries (TPC-H-ish) over the driver testdata.
+  *
+  * These exercise the classic OLAP shapes the reference's SQL surface covers
+  * (scan+filter+agg, multi-way joins, top-k, windows) re-expressed with the
+  * DataFrame API so Catalyst handles pushdown/broadcast/AQE. All money math
+  * uses exact integer units (see [[graft.Tables.exactSum]]) so the DuckDB
+  * oracle hash-matches deterministically.
+  */
+object Analytics extends QueryModule {
+  import Tables._
+
+  private def q1(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 100L).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 1000000L).as("sum_charge"),
+        exactAvg(col("l_quantity"), 1L).as("avg_qty"),
+        exactAvg(col("l_extendedprice"), 100L).as("avg_price"),
+        exactAvg(col("l_discount"), 100L).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy(col("revenue").desc, col("s_suppkey"))
+    rev
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_suppkey"), col("s_name"), col("revenue"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("n_name", "rnk", "s_suppkey")
+  }
+
+  private def qEvents(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value"), 100L).as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1,
+    "q3_top_orders" -> q3,
+    "q5_region_rev" -> q5,
+    "q_window_topsupp" -> qWindow,
+    "q_events_sessions" -> qEvents)
+
+  private val revenue = sqlExactSum("l_extendedprice * (1 - l_discount)", 10000L)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${sqlExactSum("l_extendedprice", 100L)} AS sum_base_price,
+         |  $revenue AS sum_disc_price,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000L)} AS sum_charge,
+         |  ${sqlExactAvg("l_quantity", 1L)} AS avg_qty,
+         |  ${sqlExactAvg("l_extendedprice", 100L)} AS avg_price,
+         |  ${sqlExactAvg("l_discount", 100L)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+         |  $revenue AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01' AND l_shipdate > TIMESTAMP '1998-07-01'
+         |GROUP BY l_orderkey, orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_rev" ->
+      s"""SELECT n_name, $revenue AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_topsupp" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $revenue AS revenue FROM lineitem GROUP BY l_suppkey)
+         |SELECT n_name, s_suppkey, s_name, revenue,
+         |  rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rnk
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |QUALIFY rnk <= 3 ORDER BY n_name, rnk, s_suppkey""".stripMargin,
+    "q_events_sessions" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |  count(*) AS n, ${sqlExactSum("value", 100L)} AS sum_value
+         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)
+}
