@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash (Rabin-Karp) over a document's bytes — the
+  * document-fingerprint primitive for the LLM-pipeline text operators.
+  * h = (h * 31 + byte) mod 1e9+7, full codegen. ASCII-safe (the oracle
+  * mirrors it with per-char ascii codes).
+  */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"fingerprint needs string, got $dt")
+  }
+
+  private final val Mod = 1000000007L
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xffL)) % Mod; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b"); val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      s"""byte[] $b = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = ($h * 31 + ($b[$i] & 0xffL)) % ${Mod}L;
+         |}
+         |${ev.value} = $h;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private[functions] object HashUtil {
+  /** xxHash64 of a UTF8String — same primitive Spark's xxhash64() uses. */
+  @inline def xx(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** 64-bit SimHash of a token array: each token hashed with xxHash64; each of
+  * the 64 bit-positions accumulates +1/-1; sign gives the output bit.
+  * Near-duplicate docs differ in few bits (hamming distance).
+  */
+case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash needs array<string>, got $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = HashUtil.xx(arr.getUTF8String(i), seed)
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1; j += 1 }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      val xxh = classOf[XXH64].getName
+      s"""int[] $acc = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String s = $arr.getUTF8String($i);
+         |  long $h = $xxh.hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(), s.numBytes(), ${seed}L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($acc[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature: numHashes permutation-minimums over a shingle set.
+  * Permutation i is h_i(x) = (a_i * xx(x) + b_i) mod p (p = 2^61-1), with
+  * a_i/b_i from a splitmix-style generator of `seed` — deterministic across
+  * runs/partitions. Returns array<long> of length numHashes.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash needs array<string>, got $dt")
+  }
+
+  private final val P = (1L << 61) - 1
+
+  // splitmix64 step — stable param derivation
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => (mix(seed + 2L * i) & Long.MaxValue) % (P - 1) + 1)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => (mix(seed + 2L * i + 1) & Long.MaxValue) % P)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = HashUtil.xx(arr.getUTF8String(i), seed) & Long.MaxValue
+      var j = 0
+      while (j < numHashes) {
+        // multiply mod p via Math.multiplyHigh-free 128-bit-safe route:
+        // values < 2^61, use BigInt-free mulmod with Math.multiplyHigh
+        val m = mulMod(as(j), x % P) + bs(j)
+        val hv = if (m >= P) m - P else m
+        if (hv < mins(j)) mins(j) = hv
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** (a*b) mod p for p = 2^61-1 using 128-bit product via multiplyHigh. */
+  @inline private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod p
+    val l61 = lo & P
+    val rest = (hi << 3) | (lo >>> 61)
+    var r = l61 + rest
+    if (r >= P) r -= P
+    r
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

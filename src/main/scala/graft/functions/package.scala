@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Shim.{column => Column, expression}
+
+/** Column-API facade over graft's native Catalyst expressions, mirroring the
+  * reference's function surface (vector metrics: LanceVectorSearch.java;
+  * text primitives are the LLM-pipeline additions).
+  */
+package object functions {
+
+  /** Dot product of two float/double array columns (double result). */
+  def vec_dot(a: Column, b: Column): Column =
+    Column(VectorDistance(expression(a), expression(b), "dot"))
+
+  /** Euclidean (L2) distance. */
+  def vec_l2(a: Column, b: Column): Column =
+    Column(VectorDistance(expression(a), expression(b), "l2"))
+
+  /** Cosine similarity. */
+  def vec_cosine(a: Column, b: Column): Column =
+    Column(VectorDistance(expression(a), expression(b), "cosine"))
+
+  /** distance → similarity, as the reference defines it
+    * (LanceVectorSearch.SearchResult.getSimilarity: 1/(1+d), 1.0 at d=0). */
+  def distance_to_similarity(d: Column): Column = {
+    import org.apache.spark.sql.functions._
+    when(d === 0.0, 1.0).otherwise(lit(1.0) / (lit(1.0) + d))
+  }
+
+  /** Rabin-Karp rolling-hash fingerprint of a string column. */
+  def fingerprint(s: Column): Column = Column(RollingFingerprint(expression(s)))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash(tokens: Column, seed: Long = 42L): Column =
+    Column(SimHash64(expression(tokens), seed))
+
+  /** MinHash signature (array<long> of length numHashes) of a shingle set. */
+  def minhash(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    Column(MinHashSignature(expression(shingles), numHashes, seed))
+
+  /** Register all graft functions for SQL use on this session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VectorDistance(es.head, es(1), "dot"), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2",
+      es => VectorDistance(es.head, es(1), "l2"), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => VectorDistance(es.head, es(1), "cosine"), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => RollingFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "built-in")
+  }
+}
