@@ -6,7 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All query modules; each contributes `queries` + `oracleSql` entries. */
   private def modules: Seq[QueryModule] = Seq(
-    operators.Analytics)
+    operators.Analytics,
+    operators.VectorSearch,
+    operators.TextAnalysis,
+    operators.Dedup,
+    operators.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -84,11 +84,12 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
     nullSafeCodeGen(ctx, ev, arr => {
       val acc = ctx.freshName("acc"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
       val xxh = classOf[XXH64].getName
       s"""int[] $acc = new int[64];
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String s = $arr.getUTF8String($i);
-         |  long $h = $xxh.hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(), s.numBytes(), ${seed}L);
+         |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
          |  }
@@ -151,7 +152,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     new GenericArrayData(mins)
   }
 
-  /** (a*b) mod p for p = 2^61-1 using 128-bit product via multiplyHigh. */
+  /** (a*b) mod p for p = 2^61-1 using 128-bit product via multiplyHigh.
+    * After the fold, `l61 + rest` can reach ~2P+8, so reduce in a loop —
+    * a single conditional subtract can leave a value >= P.
+    */
   @inline private def mulMod(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
@@ -159,7 +163,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     val l61 = lo & P
     val rest = (hi << 3) | (lo >>> 61)
     var r = l61 + rest
-    if (r >= P) r -= P
+    while (r >= P) r -= P
     r
   }
 

@@ -27,6 +27,11 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
 
   override def dataType: DataType = DoubleType
 
+  // Result is null on dimension mismatch or a null array element (the
+  // reference errors on mismatched dims; null is the Spark-idiomatic
+  // equivalent), so the expression is nullable even for non-null children.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -45,7 +50,13 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var k = 0
+    while (k < n) {
+      if (a.isNullAt(k) || b.isNullAt(k)) return null
+      k += 1
+    }
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     @inline def av(i: Int): Double = if (af) a.getFloat(i).toDouble else a.getDouble(i)
     @inline def bv(i: Int): Double = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
@@ -74,7 +85,16 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val header = s"int $n = java.lang.Math.min($a.numElements(), $b.numElements());"
+      val k = ctx.freshName("k")
+      // dim mismatch / null element → null result (mirrors nullSafeEval)
+      val header =
+        s"""int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; $n = 0; }
+           |else {
+           |  for (int $k = 0; $k < $n; $k++) {
+           |    if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; $n = 0; break; }
+           |  }
+           |}""".stripMargin
       metric match {
         case "dot" =>
           s"""$header

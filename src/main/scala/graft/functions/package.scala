@@ -39,9 +39,15 @@ package object functions {
   def minhash(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     Column(MinHashSignature(expression(shingles), numHashes, seed))
 
+  /** Jaccard of two sorted-distinct array<long> columns (merge walk). */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    Column(SortedJaccard(expression(a), expression(b)))
+
   /** Register all graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      e.eval(null).asInstanceOf[Number].longValue()
     reg.createOrReplaceTempFunction("vec_dot",
       es => VectorDistance(es.head, es(1), "dot"), "built-in")
     reg.createOrReplaceTempFunction("vec_l2",
@@ -51,6 +57,11 @@ package object functions {
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(es.head), "built-in")
+      es => if (es.size > 1) SimHash64(es.head, longLit(es(1))) else SimHash64(es.head),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L),
+      "built-in")
   }
 }

@@ -21,7 +21,7 @@ object Analytics extends QueryModule {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
         exactSum(col("l_extendedprice"), 100L).as("sum_base_price"),
         exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("sum_disc_price"),
         exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 1000000L).as("sum_charge"),
@@ -70,7 +70,7 @@ object Analytics extends QueryModule {
       .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("s_suppkey"), col("s_name"), col("revenue"),
-        rank().over(w).as("rnk"))
+        rank().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= 3)
       .orderBy("n_name", "rnk", "s_suppkey")
   }
@@ -94,7 +94,7 @@ object Analytics extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
          |  ${sqlExactSum("l_extendedprice", 100L)} AS sum_base_price,
          |  $revenue AS sum_disc_price,
          |  ${sqlExactSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000L)} AS sum_charge,

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.fingerprint
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text operators over `documents`: token counting, quality
+  * scoring, language-ID heuristic, and rolling-hash fingerprinting.
+  *
+  * All four are pure per-row Column expressions — no shuffle at all except
+  * the final presentation ORDER BY, so they scale linearly with input
+  * splits: at 100 TB these run as a single map stage over the parquet scan
+  * with only the projected columns read.
+  *
+  * Every formula is mirrored exactly (same expression tree, same
+  * left-to-right double ops) in the DuckDB oracle so results hash-match.
+  */
+object TextAnalysis extends QueryModule {
+  import Tables._
+
+  /** Whitespace tokens with empties dropped — `\s+` split semantics agree
+    * between Java regex (Spark) and RE2 (DuckDB) for this charset. */
+  private val toksCol: Column =
+    filter(split(col("text"), "\\s+"), x => x =!= "")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("w", toksCol)
+
+  // ---- text_tokens -------------------------------------------------------
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      // counts cast to long: DuckDB len() is BIGINT and the driver compares
+      // schemas, so int-sized Spark counts would schema-mismatch
+      size(col("w")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_re_tokens"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+      round(aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(col("w")), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  // ---- text_quality ------------------------------------------------------
+  // Heuristic score in [0,1]: length saturation, vocabulary diversity, and
+  // a stopword-presence signal (natural text has stopwords; keyword spam
+  // doesn't). Same shape as classic C4/Gopher-style quality filters.
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("w")).cast("double")
+    val stopCnt = size(filter(col("w"), x => x.isin(StopEn: _*))).cast("double")
+    val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    val stopScore = least(lit(1.0), stopCnt / nTok * lit(5.0))
+    docs(s, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(col("w")).cast("long").as("n_tokens"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round(stopCnt / nTok, 6).as("stop_ratio"),
+      round(lenScore * lit(0.4) + distinctRatio * lit(0.4) + stopScore * lit(0.2), 6)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // ---- text_langid -------------------------------------------------------
+  // Stopword-hit language scores + deterministic argmax (ties resolve in
+  // fixed en>es>de>fr>zh priority). The synthetic corpus is English-vocab
+  // for every `lang` label, so the heuristic (correctly) says "en" — the
+  // operator contract is the scoring machinery, not the labels.
+  private val StopSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn,
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "fr" -> Seq("le", "les", "une", "et", "est", "dans", "pour", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有"))
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scores = StopSets.map { case (l, words) =>
+      l -> size(filter(col("w"), x => x.isin(words: _*)))
+    }
+    val scoreCols = scores.map { case (l, c) => c.cast("long").as(s"score_$l") }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("??"): Column) { case ((l, c), els) =>
+      when(c === best, lit(l)).otherwise(els)
+    }
+    // foldRight gives en-first WHEN chain: ties resolve at the first match.
+    docs(s, dir).select(
+      Seq(col("doc_id")) ++ scoreCols ++ Seq(
+        pred.as("pred_lang"), col("lang"),
+        (pred === col("lang")).as("is_match")): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---- text_fingerprint --------------------------------------------------
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      (fingerprint(col("text")) % 1024).as("fp_bucket"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint)
+
+  private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""WITH d AS (SELECT doc_id, text, $wSql AS w FROM documents)
+         |SELECT doc_id, len(w) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_re_tokens,
+         |  len(list_distinct(w)) AS n_distinct,
+         |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_token_len
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, $wSql AS w FROM documents),
+         |s AS (SELECT doc_id, n_chars,
+         |  CAST(len(w) AS DOUBLE) AS nt, len(w) AS n_tokens,
+         |  CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS DOUBLE) AS sc,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr
+         |  FROM d)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(dr, 6) AS distinct_ratio,
+         |  round(sc / nt, 6) AS stop_ratio,
+         |  round(least(1.0, nt / 100.0) * 0.4 + dr * 0.4 + least(1.0, sc / nt * 5.0) * 0.2, 6) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val scoreExprs = StopSets.map { case (l, words) =>
+        s"len(list_filter(w, x -> x IN ${inList(words)})) AS score_$l"
+      }.mkString(",\n  ")
+      val best = StopSets.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val whens = StopSets.map { case (l, _) =>
+        s"WHEN score_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, $wSql AS w FROM documents),
+         |s AS (SELECT doc_id, lang, $scoreExprs FROM d),
+         |p AS (SELECT *, CASE $whens ELSE '??' END AS pred_lang FROM s)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+         |  pred_lang, lang, pred_lang = lang AS is_match
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i:i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, fp % 1024 AS fp_bucket FROM f ORDER BY doc_id""".stripMargin)
+}

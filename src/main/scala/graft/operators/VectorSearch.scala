@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.{distance_to_similarity, vec_cosine, vec_dot, vec_l2}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Brute-force KNN over the `embeddings` table (reference:
+  * LanceVectorSearch.java:133 filtered KNN, :272-286 L2/COSINE/DOT metrics,
+  * :420-424 distance→similarity).
+  *
+  * Spark-first shape: the query vector is a 1-row broadcast (so the probe
+  * side streams — no shuffle of the base table), the distance is a
+  * codegen'd Catalyst expression ([[graft.functions.VectorDistance]]), and
+  * `orderBy(score).limit(k)` plans `TakeOrderedAndProject` — a per-partition
+  * top-k heap with a k-sized driver merge, which is the scale-safe top-k
+  * (no global sort, no collect). At 100 TB the same plan holds: the scan
+  * parallelizes per file, each task keeps a k-row heap.
+  *
+  * Scores are rounded to 6dp on both the Spark and DuckDB side so the
+  * hash-compare is insensitive to last-bit accumulation differences; ORDER
+  * BY is on the rounded score with vec_id as tiebreak (deterministic).
+  */
+object VectorSearch extends QueryModule {
+  import Tables._
+
+  private val QueryVecId = 0L
+  private val K = 10
+
+  /** Base table with the broadcast query vector attached. */
+  private def withQueryVec(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === QueryVecId).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= QueryVecId).crossJoin(broadcast(qv))
+  }
+
+  private def knn(s: SparkSession, dir: String, scoreCol: Column, asc: Boolean,
+                  pred: Option[Column] = None): DataFrame = {
+    val base = withQueryVec(s, dir)
+    val filtered = pred.map(base.filter).getOrElse(base)
+    val scored = filtered.select(col("vec_id"), col("label"),
+      round(scoreCol, 6).as("score"))
+    val ordered =
+      if (asc) scored.orderBy(col("score").asc, col("vec_id").asc)
+      else scored.orderBy(col("score").desc, col("vec_id").asc)
+    ordered.limit(K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_cosine" -> ((s, dir) =>
+      knn(s, dir, vec_cosine(col("embedding"), col("qv")), asc = false)),
+    "knn_l2" -> ((s, dir) =>
+      knn(s, dir, vec_l2(col("embedding"), col("qv")), asc = true)),
+    "knn_dot" -> ((s, dir) =>
+      knn(s, dir, vec_dot(col("embedding"), col("qv")), asc = false)),
+    "knn_filtered" -> ((s, dir) =>
+      knn(s, dir, vec_cosine(col("embedding"), col("qv")), asc = false,
+        pred = Some(col("label") === 3))),
+    "vector_similarity" -> ((s, dir) =>
+      knn(s, dir, distance_to_similarity(vec_l2(col("embedding"), col("qv"))),
+        asc = false)))
+
+  /** DuckDB oracles: identical math, lists cast to DOUBLE[] so both engines
+    * accumulate in double precision before the shared 6dp rounding. */
+  private def oracle(scoreSql: String, order: String, filter: String = ""): String =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+       |SELECT * FROM (
+       |  SELECT e.vec_id, e.label, round($scoreSql, 6) AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> $QueryVecId $filter)
+       |ORDER BY score $order, vec_id ASC LIMIT $K""".stripMargin
+
+  private val ev = "CAST(e.embedding AS DOUBLE[])"
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_cosine" -> oracle(s"list_cosine_similarity($ev, q.qv)", "DESC"),
+    "knn_l2" -> oracle(s"list_distance($ev, q.qv)", "ASC"),
+    "knn_dot" -> oracle(s"list_inner_product($ev, q.qv)", "DESC"),
+    "knn_filtered" -> oracle(s"list_cosine_similarity($ev, q.qv)", "DESC",
+      "AND e.label = 3"),
+    "vector_similarity" -> oracle(s"1.0/(1.0 + list_distance($ev, q.qv))", "DESC"))
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions.typedLit
+import org.apache.spark.sql.types._
+
+/** Unit tests for the native Catalyst expressions: interpreted eval must
+  * equal the codegen'd DataFrame result, and both must match hand-computed
+  * reference values (a Janino error or eval/codegen divergence fails here
+  * instead of shipping). */
+class ExpressionSpec extends SparkSpec {
+
+  /** Evaluate a Column through the normal (codegen) path. */
+  private def viaDf(c: Column): Any =
+    spark.range(1).select(c.as("v")).collect()(0).get(0)
+
+  private def fLit(xs: Float*): Literal =
+    Literal.create(xs, ArrayType(FloatType))
+
+  test("vector_distance dot/l2/cosine known values, interpreted == codegen") {
+    val a = fLit(1f, 2f); val b = fLit(3f, 4f)
+    val dotI = VectorDistance(a, b, "dot").eval(null).asInstanceOf[Double]
+    assert(dotI === 11.0)
+    val l2I = VectorDistance(a, b, "l2").eval(null).asInstanceOf[Double]
+    assert(math.abs(l2I - math.sqrt(8.0)) < 1e-12)
+    val cosI = VectorDistance(a, b, "cosine").eval(null).asInstanceOf[Double]
+    assert(math.abs(cosI - 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))) < 1e-12)
+
+    val av = typedLit(Seq(1f, 2f)); val bv = typedLit(Seq(3f, 4f))
+    assert(viaDf(vec_dot(av, bv)) === dotI)
+    assert(viaDf(vec_l2(av, bv)) === l2I)
+    assert(viaDf(vec_cosine(av, bv)) === cosI)
+  }
+
+  test("vector_distance returns null on dimension mismatch, both paths") {
+    val a = fLit(1f, 2f); val b = fLit(1f, 2f, 3f)
+    assert(VectorDistance(a, b, "dot").eval(null) == null)
+    assert(viaDf(vec_dot(typedLit(Seq(1f, 2f)), typedLit(Seq(1f, 2f, 3f)))) == null)
+  }
+
+  test("rolling fingerprint known value ('Hi' -> 2337), interpreted == codegen") {
+    // h = ((0*31+72)%p)*31 + 105 = 2337 — mirrored by the DuckDB oracle
+    val i = RollingFingerprint(Literal("Hi")).eval(null)
+    assert(i === 2337L)
+    assert(viaDf(fingerprint(typedLit("Hi"))) === 2337L)
+  }
+
+  test("simhash deterministic, interpreted == codegen, near-dup property") {
+    val toks = Seq("spark", "scan", "row", "agg", "filter", "join", "merge")
+    val lit = Literal.create(toks, ArrayType(StringType))
+    val interp = SimHash64(lit).eval(null).asInstanceOf[Long]
+    assert(viaDf(simhash(typedLit(toks))) === interp)
+    // one replaced token should move few of the 64 bits
+    val toks2 = toks.updated(2, "line")
+    val h2 = SimHash64(Literal.create(toks2, ArrayType(StringType))).eval(null)
+      .asInstanceOf[Long]
+    assert(java.lang.Long.bitCount(interp ^ h2) < 32)
+    // different seed → different hash
+    val seeded = SimHash64(lit, seed = 7L).eval(null).asInstanceOf[Long]
+    assert(seeded !== interp)
+  }
+
+  test("minhash signature: length, determinism, containment property") {
+    val xs = Seq("a b c", "b c d", "c d e", "d e f")
+    val lit = Literal.create(xs, ArrayType(StringType))
+    val sig1 = MinHashSignature(lit, 128).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(sig1.length === 128)
+    val sig1b = MinHashSignature(lit, 128).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(sig1.sameElements(sig1b))
+    assert(viaDf(minhash(typedLit(xs), 128))
+      .asInstanceOf[scala.collection.Seq[Long]].toArray.sameElements(sig1))
+    // identical sets → identical signatures; a superset keeps each min <=
+    val sig2 = MinHashSignature(
+      Literal.create(xs :+ "e f g", ArrayType(StringType)), 128).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(sig1.zip(sig2).forall { case (m1, m2) => m2 <= m1 })
+    // all signature values < 2^61-1 (mulMod reduction is complete)
+    assert(sig1.forall(v => v >= 0 && v < (1L << 61) - 1))
+  }
+
+  test("sorted_jaccard merge walk == set-op jaccard, interpreted == codegen") {
+    val a = Seq(1L, 3L, 5L, 9L); val b = Seq(3L, 5L, 7L)
+    // |∩|=2, |∪|=5
+    val i = SortedJaccard(
+      Literal.create(a, ArrayType(LongType)),
+      Literal.create(b, ArrayType(LongType))).eval(null)
+    assert(i === 0.4)
+    assert(viaDf(sorted_jaccard(typedLit(a), typedLit(b))) === 0.4)
+    assert(viaDf(sorted_jaccard(typedLit(Seq.empty[Long]), typedLit(Seq.empty[Long]))) === 0.0)
+  }
+
+  test("graft functions registered for SQL") {
+    registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "graft_fingerprint('Hi') AS f, " +
+        "graft_simhash(array('a','b'), 7L) AS s, " +
+        "size(graft_minhash(array('a','b'), 16)) AS m").collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 2337L)
+    assert(r.getInt(3) === 16)
+  }
+}

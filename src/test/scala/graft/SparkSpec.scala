@@ -26,14 +26,41 @@ abstract class SparkSpec extends AnyFunSuite {
 }
 
 class EntrySpec extends SparkSpec {
+  /** Exact expected row counts on sf0.001 — a query that silently changes
+    * shape fails here before it reaches the driver's oracle gate. */
+  private val expectedRows: Map[String, Long] = Map(
+    "q1_pricing" -> 6,
+    "q3_top_orders" -> 10,
+    "q5_region_rev" -> 1,
+    "q_window_topsupp" -> 10,
+    "q_events_sessions" -> 150,
+    "knn_cosine" -> 10,
+    "knn_l2" -> 10,
+    "knn_dot" -> 10,
+    "knn_filtered" -> 10,
+    "vector_similarity" -> 10,
+    "text_tokens" -> 500,
+    "text_quality" -> 500,
+    "text_langid" -> 500,
+    "text_fingerprint" -> 500,
+    "dedup_exact" -> 500,
+    "dedup_minhash_lsh" -> 28,
+    "dedup_simhash" -> 27,
+    "dedup_ngram_jaccard" -> 8,
+    "dedup_embedding" -> 5,
+    "mm_features" -> 500)
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
-  test("every query key has distinct name and runs on sf0.001") {
-    val qs = SparkEntry.queries
-    qs.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      assert(n >= 0, s"$name failed")
+  test("every registered query has an expected-rows entry") {
+    val missing = SparkEntry.queries.keySet -- expectedRows.keySet
+    assert(missing.isEmpty, s"add expected sf0.001 row counts for: $missing")
+  }
+  for ((name, expected) <- expectedRows.toSeq.sortBy(_._1)) {
+    test(s"$name returns exactly $expected rows on sf0.001") {
+      val fn = SparkEntry.queries.getOrElse(name, fail(s"query $name not registered"))
+      assert(fn(spark, sf).count() === expected)
     }
   }
   test("oracle keys are a subset of query keys") {
