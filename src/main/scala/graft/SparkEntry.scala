@@ -10,7 +10,8 @@ object SparkEntry {
     operators.VectorSearch,
     operators.TextAnalysis,
     operators.Dedup,
-    operators.Multimodal)
+    operators.Multimodal,
+    operators.LanceOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.sources.lance.LanceCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Driver-contract queries for the lance-style connector (§A of the
+  * inventory): each writes a dataset through the connector, reads it back,
+  * and reduces to a small deterministic result the DuckDB oracle reproduces
+  * from the ORIGINAL parquet — value-equality proves the roundtrip.
+  */
+object LanceOps extends QueryModule {
+  import Tables._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft-$prefix-").toString
+
+  private def read(s: SparkSession, root: String): DataFrame =
+    s.read.format("lance").load(root)
+
+  // ---- basic roundtrip / modes ------------------------------------------
+
+  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("roundtrip")
+    t(s, dir, "customer").write.format("lance").save(root)
+    read(s, root).agg(
+      count(lit(1)).as("n"),
+      min("c_custkey").as("min_key"),
+      max("c_custkey").as("max_key"),
+      exactSum(col("c_acctbal"), 100L).as("sum_bal"))
+  }
+
+  private def overwrite(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("overwrite")
+    t(s, dir, "region").write.format("lance").save(root)
+    // overwrite replaces the dataset contents entirely (new manifest, no
+    // union with v1) — reading back must see only nation
+    t(s, dir, "nation").write.format("lance").mode("overwrite").save(root)
+    read(s, root).agg(
+      count(lit(1)).as("n"),
+      min("n_nationkey").as("min_key"),
+      max("n_nationkey").as("max_key"))
+  }
+
+  private def appendMulti(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("append")
+    val orders = t(s, dir, "orders")
+    orders.write.format("lance").option("maxRowsPerFile", "4000").save(root)
+    // second append: manifest v2 = v1 fragments + the new ones
+    orders.write.format("lance").option("maxRowsPerFile", "4000")
+      .mode("append").save(root)
+    read(s, root).agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("o_orderkey")).as("n_keys"))
+  }
+
+  // ---- pushdowns ---------------------------------------------------------
+
+  private def projection(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("projection")
+    t(s, dir, "part").write.format("lance").save(root)
+    read(s, root)
+      .select("p_partkey", "p_name") // column pruning reaches the scan
+      .orderBy("p_partkey")
+      .limit(20)
+  }
+
+  private def filterPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("filter")
+    t(s, dir, "orders").write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    read(s, root)
+      .filter(col("o_orderpriority").isNotNull &&
+        (col("o_orderstatus") === "F" || col("o_orderstatus") === "O") &&
+        col("o_custkey") < 500 &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+  }
+
+  private def limitPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("limit")
+    t(s, dir, "orders").write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    read(s, root).limit(137).agg(count(lit(1)).as("n"))
+  }
+
+  private def aggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("agg")
+    t(s, dir, "orders").write.format("lance").option("maxRowsPerFile", "3000").save(root)
+    // answered from manifest stats (LanceStatsScan): zero data files read
+    read(s, root).agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_cust"),
+      min("o_custkey").as("min_cust"),
+      max("o_custkey").as("max_cust"),
+      min("o_totalprice").as("min_price"),
+      max("o_totalprice").as("max_price"))
+  }
+
+  // ---- versioning --------------------------------------------------------
+
+  private def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("timetravel")
+    val region = t(s, dir, "region")
+    region.write.format("lance").save(root) // version 1
+    region.write.format("lance").mode("append").save(root) // version 2
+    val v1 = s.read.format("lance").option("versionAsOf", "1").load(root)
+      .agg(count(lit(1))).first().getLong(0)
+    val v2 = read(s, root).agg(count(lit(1))).first().getLong(0)
+    import s.implicits._
+    Seq((v1, v2)).toDF("v1_rows", "v2_rows")
+  }
+
+  // ---- type matrix -------------------------------------------------------
+
+  private def typesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("types")
+    val src = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      col("embedding"), // array<float>
+      col("label"), // int32
+      encode(col("vec_id").cast("string"), "UTF-8").as("bin"), // binary
+      date_add(lit(java.sql.Date.valueOf("2000-01-01")),
+        (col("vec_id") % 1000).cast("int")).as("d"), // date
+      timestamp_millis(col("vec_id") * 1000).as("ts"), // timestamp
+      (col("vec_id").cast(DecimalType(18, 4)) + lit(0.5)).cast(DecimalType(18, 4)).as("dec"),
+      concat(lit("v"), col("vec_id").cast("string")).as("str"))
+    src.write.format("lance").save(root)
+    read(s, root).agg(
+      count(lit(1)).as("n"),
+      sum(size(col("embedding"))).as("emb_cells"),
+      sum(round(element_at(col("embedding"), 1).cast("double") * 1000000.0, 0).cast("long"))
+        .as("emb_checksum"),
+      sum(length(col("bin"))).as("bin_bytes"),
+      min("d").as("d_min"), max("d").as("d_max"),
+      min("ts").as("ts_min"), max("ts").as("ts_max"),
+      sum(col("dec")).cast("double").as("dec_sum"),
+      count_distinct(col("str")).as("n_str"))
+  }
+
+  // ---- SQL catalog -------------------------------------------------------
+
+  /** Stable warehouse so the session-cached catalog instance stays valid;
+    * table names are unique per invocation. */
+  private val warehouse = {
+    val w = "/tmp/graft-lance-warehouse"
+    new java.io.File(w).mkdirs()
+    w
+  }
+
+  private def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"t_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "nation").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM $view") // CTAS → V2 write
+    s.sql(s"INSERT INTO graft_lance.db.$tbl SELECT * FROM $view") // append → V2 write
+    s.sql(
+      s"""SELECT count(*) AS n, count(DISTINCT n_nationkey) AS n_keys,
+         |  min(n_name) AS first_name, max(n_name) AS last_name
+         |FROM graft_lance.db.$tbl""".stripMargin)
+  }
+
+  // ---- streaming sink ----------------------------------------------------
+
+  private def streamingSink(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("streaming")
+    val srcDir = tmp("streaming-src")
+    val ckpt = tmp("streaming-ckpt")
+    s.range(1000).toDF("i").write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream
+      .schema("i BIGINT")
+      .parquet(srcDir)
+      .writeStream
+      .format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    q.awaitTermination(120000)
+    read(s, root).agg(count(lit(1)).as("n"), sum(col("i")).as("s"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lance_roundtrip" -> roundtrip,
+    "lance_overwrite" -> overwrite,
+    "lance_append_multi" -> appendMulti,
+    "lance_projection" -> projection,
+    "lance_filter_pushdown" -> filterPushdown,
+    "lance_limit_pushdown" -> limitPushdown,
+    "lance_agg_pushdown" -> aggPushdown,
+    "lance_time_travel" -> timeTravel,
+    "lance_types_roundtrip" -> typesRoundtrip,
+    "lance_sql_catalog" -> sqlCatalog,
+    "lance_streaming_sink" -> streamingSink)
+
+  val oracleSql: Map[String, String] = Map(
+    "lance_roundtrip" ->
+      s"""SELECT count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+         |  ${sqlExactSum("c_acctbal", 100L)} AS sum_bal
+         |FROM customer""".stripMargin,
+    "lance_overwrite" ->
+      """SELECT count(*) AS n, min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+        |FROM nation""".stripMargin,
+    "lance_append_multi" ->
+      """SELECT 2 * count(*) AS n, count(DISTINCT o_orderkey) AS n_keys FROM orders""",
+    "lance_projection" ->
+      """SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 20""",
+    "lance_filter_pushdown" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM orders
+        |WHERE o_orderpriority IS NOT NULL AND (o_orderstatus = 'F' OR o_orderstatus = 'O')
+        |  AND o_custkey < 500 AND o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+    "lance_limit_pushdown" ->
+      """SELECT least(137, count(*)) AS n FROM orders""",
+    "lance_agg_pushdown" ->
+      """SELECT count(*) AS n, count(o_custkey) AS n_cust,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "lance_time_travel" ->
+      """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",
+    "lance_types_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS emb_cells,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS emb_checksum,
+        |  CAST(sum(octet_length(encode(CAST(vec_id AS VARCHAR)))) AS BIGINT) AS bin_bytes,
+        |  min(DATE '2000-01-01' + CAST(vec_id % 1000 AS INTEGER)) AS d_min,
+        |  max(DATE '2000-01-01' + CAST(vec_id % 1000 AS INTEGER)) AS d_max,
+        |  min(epoch_ms(vec_id * 1000)) AS ts_min,
+        |  max(epoch_ms(vec_id * 1000)) AS ts_max,
+        |  CAST(sum(CAST(CAST(vec_id AS DECIMAL(18,4)) + 0.5 AS DECIMAL(18,4))) AS DOUBLE) AS dec_sum,
+        |  count(DISTINCT 'v' || CAST(vec_id AS VARCHAR)) AS n_str
+        |FROM embeddings""".stripMargin,
+    "lance_sql_catalog" ->
+      """SELECT 2 * count(*) AS n, count(DISTINCT n_nationkey) AS n_keys,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation""".stripMargin,
+    "lance_streaming_sink" ->
+      """SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM range(1000) t(i)""")
+}

@@ -1,0 +1,144 @@
+package graft.sources.lance
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** SQL catalog over a warehouse directory: databases are subdirectories,
+  * tables are lance datasets (reference: LanceCatalog.java:106-138).
+  * Registered via
+  * `spark.sql.catalog.<name> = graft.sources.lance.LanceCatalog` +
+  * `spark.sql.catalog.<name>.warehouse = <dir>`, after which
+  * `CREATE/INSERT/SELECT ... <name>.db.table` and
+  * `VERSION AS OF n` time travel work through plain Spark SQL.
+  */
+class LanceCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def conf = Shim.hadoopConf(SparkSession.active, Map.empty)
+  private def fs = ManifestIO.fs(warehouse, conf)
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && ManifestIO.exists(s.getPath.toString, conf))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ManifestIO.exists(tablePath(ident).toString, conf)
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
+    new LanceTable(p.toString, Map.empty, viaCatalog = true,
+      providedName = Some(fullName(ident)))
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
+    new LanceTable(p.toString, Map("versionAsOf" -> version), viaCatalog = true,
+      providedName = Some(s"${fullName(ident)}@v$version"))
+  }
+
+  override def loadTable(ident: Identifier, version: Long): Table =
+    loadTable(ident, version.toString)
+
+  private def fullName(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace :+ ident.name).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("lance tables are unpartitioned (fragments are the split unit)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = tablePath(ident)
+    fs.mkdirs(p)
+    ManifestIO.commit(p.toString, schema, Seq.empty, conf)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("lance: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!ManifestIO.exists(p.toString, conf)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(nsPath(newIdent.namespace))
+    fs.rename(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  // ---- namespaces (databases = subdirs) ----------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(new Path(warehouse)).toSeq
+      .filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("lance: ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+      fs.delete(p, true)
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** `format("lance")` entry point — a Spark-native dataset source with the
+  * capabilities of the reference connector (fragment-parallel batch read
+  * with projection/filter/limit/aggregate pushdown, append/overwrite
+  * commit-based write, manifest versioning / time travel, streaming sink).
+  *
+  * Reference surface being re-expressed: LanceSource.java (fragment
+  * splits), LanceSink.java (append/overwrite, max-rows-per-file),
+  * LanceDynamicTableSource.java:61-63 (the four pushdown mix-ins).
+  *
+  * Writes to a *new* path go through the V1 `CreatableRelationProvider`
+  * fallback (Spark only routes `df.write.save(path)` to a V2 table that
+  * already has a schema); existing datasets take the V2 BatchWrite path.
+  * Both end in the same manifest commit.
+  */
+/** Option lookup that tolerates the key-lowercasing of
+  * `CaseInsensitiveStringMap` (V2 reader/writer options arrive lowercased). */
+object LanceOptions {
+  def get(m: Map[String, String], key: String): Option[String] =
+    m.get(key).orElse(m.get(key.toLowerCase(java.util.Locale.ROOT)))
+}
+
+class LanceDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
+
+  override def shortName(): String = "lance"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("lance: 'path' option required"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = rootOf(options)
+    val conf = Shim.hadoopConf(SparkSession.active, options.asScala.toMap)
+    ManifestIO.loadLatest(root, conf).map(_.schema).getOrElse(new StructType())
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new LanceTable(rootOf(options), options.asScala.toMap)
+  }
+
+  /** V1 path-write fallback: handles dataset creation (plus append/
+    * overwrite) for `df.write.format("lance").save(path)`. Stages through
+    * Spark's native parquet writer, then commits fragments + manifest. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: Dataset[Row]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("lance: 'path' required"))
+    val spark = sqlContext.sparkSession
+    val conf = Shim.hadoopConf(spark, parameters)
+    val exists = ManifestIO.exists(root, conf)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"lance dataset already exists: $root")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        LanceBatchSave.write(spark, data.toDF(), root, parameters,
+          append = m == SaveMode.Append && exists)
+    }
+    val resultSchema = ManifestIO.loadLatest(root, conf).map(_.schema)
+      .getOrElse(data.schema)
+    new BaseRelation {
+      override def sqlContext: SQLContext = spark.sqlContext
+      override def schema: StructType = resultSchema
+    }
+  }
+}
+
+/** The dataset as a DSv2 table. `viaCatalog` tables always expose write
+  * capabilities; bare-path tables only do once the dataset exists (so path
+  * writes to a fresh location fall back to the creating V1 path). */
+class LanceTable(val root: String, extraOptions: Map[String, String],
+                 viaCatalog: Boolean = false,
+                 providedName: Option[String] = None) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+  private def conf = Shim.hadoopConf(spark, extraOptions)
+
+  /** Manifest pinned at table resolution: versionAsOf option, else latest. */
+  lazy val manifest: Option[LanceManifest] = {
+    val c = conf
+    LanceOptions.get(extraOptions, "versionAsOf") match {
+      case Some(v) => Some(ManifestIO.load(root, v.toLong, c))
+      case None => ManifestIO.loadLatest(root, c)
+    }
+  }
+
+  override def name(): String = providedName.getOrElse(s"lance.`$root`")
+
+  override def schema(): StructType =
+    manifest.map(_.schema).getOrElse(new StructType())
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.STREAMING_WRITE)
+    // Bare-path tables deliberately do NOT claim BATCH_WRITE: path saves
+    // then route to the V1 staging writer (LanceBatchSave), which supports
+    // dataset creation and overwrite-with-new-schema. Catalog tables take
+    // the V2 BatchWrite path (INSERT INTO / CTAS).
+    if (viaCatalog) {
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.OVERWRITE_BY_FILTER)
+    }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = manifest.getOrElse(
+      throw new IllegalStateException(s"lance dataset not found: $root"))
+    new LanceScanBuilder(spark, root, m, extraOptions ++ options.asScala.toMap)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LanceWriteBuilder(spark, root, info, extraOptions)
+}

@@ -1,0 +1,319 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s.{JDouble, JLong, JString, JValue}
+
+import scala.jdk.CollectionConverters._
+
+/** ScanBuilder with the reference's four pushdowns
+  * (LanceDynamicTableSource.java:61-63 — projection :159, filter :174,
+  * limit :379, aggregate :393), re-expressed as the Spark DSv2 mix-ins.
+  *
+  * - Projection: `requiredSchema` flows into the parquet reader (only the
+  *   projected columns are decoded — ReadSchema in explain).
+  * - Filters: used twice — fragment pruning against manifest min/max before
+  *   any IO, and row-group pruning inside the parquet reader. All filters
+  *   are also returned as residual so Spark re-evaluates them (pruning can
+  *   only skip data, never produce wrong rows).
+  * - Limit: truncates the fragment list by manifest row counts (only when
+  *   no filters are pushed) and caps rows per reader.
+  * - Aggregates: COUNT(*)/COUNT(col)/MIN/MAX with no GROUP BY and no
+  *   filters are answered entirely from manifest stats — O(versions), not
+  *   O(data) (reference: AggregateExecutor.java:102-161). Strings are
+  *   excluded from MIN/MAX answers (parquet may truncate binary stats);
+  *   SUM/AVG/COUNT DISTINCT decline and fall back to a normal scan.
+  */
+class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifest,
+                       options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
+
+  private var required: StructType = manifest.schema
+  private var filters: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var aggSchema: Option[StructType] = None
+  private var aggValues: Option[Array[Any]] = None
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all residual: Spark re-evaluates (stats pruning is best-effort)
+  }
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  override def pushLimit(n: Int): Boolean = {
+    if (filters.isEmpty) { limit = Some(n); true } else false
+  }
+
+  // ---- aggregate pushdown ------------------------------------------------
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case fr: NamedReference if fr.fieldNames.length == 1 => Some(fr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def statType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType |
+         DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def colStats(name: String): Option[Seq[ColStats]] = {
+    val per = manifest.fragments.map(_.stats.get(name))
+    if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+  }
+
+  /** Answer one agg func from the manifest, or None if not answerable. */
+  private def answer(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc):
+      Option[(StructField, Any)] = f match {
+    case _: CountStar =>
+      Some((StructField("count_star", LongType, nullable = false), manifest.totalRows))
+    case c: Count if !c.isDistinct =>
+      for {
+        name <- fieldName(c.column)
+        ss <- colStats(name)
+        nulls <- if (ss.forall(_.nullCount.isDefined)) Some(ss.map(_.nullCount.get).sum) else None
+      } yield (StructField(s"count_$name", LongType, nullable = false),
+        manifest.totalRows - nulls)
+    case m: Min =>
+      minMax(m.column, isMin = true)
+    case m: Max =>
+      minMax(m.column, isMin = false)
+    case _ => None // Sum / Avg / distinct → full scan
+  }
+
+  private def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+                     isMin: Boolean): Option[(StructField, Any)] =
+    for {
+      name <- fieldName(col)
+      field <- manifest.schema.fields.find(_.name == name)
+      if statType(field.dataType)
+      ss <- colStats(name)
+      if ss.forall(s => s.min.isDefined && s.max.isDefined)
+    } yield {
+      val vals = if (isMin) ss.map(_.min.get) else ss.map(_.max.get)
+      val combined = vals.reduce((a, b) => if (isMin) ManifestIO.jMin(a, b) else ManifestIO.jMax(a, b))
+      (StructField(s"${if (isMin) "min" else "max"}_$name", field.dataType),
+        toInternal(combined, field.dataType))
+    }
+
+  private def toInternal(v: JValue, dt: DataType): Any = (v, dt) match {
+    case (JLong(x), IntegerType) => x.toInt
+    case (JLong(x), ShortType) => x.toShort
+    case (JLong(x), ByteType) => x.toByte
+    case (JLong(x), LongType) => x
+    case (JLong(x), DateType) => x.toInt
+    case (JLong(x), TimestampType) => x
+    case (JDouble(x), FloatType) => x.toFloat
+    case (JDouble(x), DoubleType) => x
+    case (JString(x), StringType) => UTF8String.fromString(x)
+    case _ => throw new IllegalStateException(s"stat/type mismatch: $v vs $dt")
+  }
+
+  private def tryAnswerAll(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
+    val answers = agg.aggregateExpressions.toSeq.map(answer)
+    if (answers.forall(_.isDefined)) {
+      val fields = answers.map(_.get._1)
+      val values = answers.map(_.get._2).toArray
+      Some((StructType(fields), values))
+    } else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAnswerAll(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    tryAnswerAll(agg) match {
+      case Some((schema, values)) =>
+        aggSchema = Some(schema); aggValues = Some(values); true
+      case None => false
+    }
+
+  // ---- build -------------------------------------------------------------
+
+  override def build(): Scan = (aggSchema, aggValues) match {
+    case (Some(s), Some(v)) => new LanceStatsScan(root, s, v)
+    case _ =>
+      val pruned = LancePruning.prune(manifest.fragments, manifest.schema, filters)
+      new LanceParquetScan(spark, root, manifest, pruned, required, filters.toSeq,
+        limit, options)
+  }
+}
+
+/** Manifest min/max fragment pruning — the fragment-skip step the reference
+  * gets from Lance's own scanner; provably-empty fragments are dropped
+  * before any IO. Conservative: unknown stats / unhandled predicates keep
+  * the fragment. */
+object LancePruning {
+  def prune(fragments: Seq[FragmentMeta], schema: StructType,
+            filters: Array[Filter]): Seq[FragmentMeta] =
+    fragments.filterNot(fr => filters.exists(f => provablyEmpty(fr, schema, f)))
+
+  private def lit(v: Any): Option[JValue] = v match {
+    case i: Int => Some(JLong(i))
+    case l: Long => Some(JLong(l))
+    case s: Short => Some(JLong(s.toLong))
+    case b: Byte => Some(JLong(b.toLong))
+    case f: Float => Some(JDouble(f.toDouble))
+    case d: Double => Some(JDouble(d))
+    case s: String => Some(JString(s))
+    case _ => None // dates/timestamps/decimals: no pruning
+  }
+
+  private def cmpJ(a: JValue, b: JValue): Option[Int] = (a, b) match {
+    case (JLong(x), JLong(y)) => Some(java.lang.Long.compare(x, y))
+    case (JDouble(x), JDouble(y)) => Some(java.lang.Double.compare(x, y))
+    case (JLong(x), JDouble(y)) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (JDouble(x), JLong(y)) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (JString(x), JString(y)) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** True only if no row in the fragment can satisfy `f`. */
+  def provablyEmpty(fr: FragmentMeta, schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => outsideRange(fr, c, v, strictLow = false, strictHigh = false)
+    case GreaterThan(c, v) => aboveMax(fr, c, v, orEqual = false)
+    case GreaterThanOrEqual(c, v) => aboveMax(fr, c, v, orEqual = true)
+    case LessThan(c, v) => belowMin(fr, c, v, orEqual = false)
+    case LessThanOrEqual(c, v) => belowMin(fr, c, v, orEqual = true)
+    case In(c, vs) if vs.nonEmpty =>
+      vs.forall(v => outsideRange(fr, c, v, strictLow = false, strictHigh = false))
+    case IsNull(c) => fr.stats.get(c).flatMap(_.nullCount).contains(0L)
+    case IsNotNull(c) =>
+      fr.stats.get(c).flatMap(_.nullCount).exists(_ == fr.rows)
+    case And(l, r) => provablyEmpty(fr, schema, l) || provablyEmpty(fr, schema, r)
+    case Or(l, r) => provablyEmpty(fr, schema, l) && provablyEmpty(fr, schema, r)
+    case _ => false
+  }
+
+  private def range(fr: FragmentMeta, c: String): Option[(JValue, JValue)] =
+    fr.stats.get(c).flatMap(s => for (mn <- s.min; mx <- s.max) yield (mn, mx))
+
+  private def outsideRange(fr: FragmentMeta, c: String, v: Any,
+                           strictLow: Boolean, strictHigh: Boolean): Boolean =
+    (for ((mn, mx) <- range(fr, c); jv <- lit(v);
+          cLow <- cmpJ(jv, mn); cHigh <- cmpJ(jv, mx))
+      yield cLow < 0 || cHigh > 0).getOrElse(false)
+
+  /** v > max (f can't match): GreaterThan(c,v) empty iff max <= v. */
+  private def aboveMax(fr: FragmentMeta, c: String, v: Any, orEqual: Boolean): Boolean =
+    (for ((_, mx) <- range(fr, c); jv <- lit(v); cm <- cmpJ(mx, jv))
+      yield if (orEqual) cm < 0 else cm <= 0).getOrElse(false)
+
+  private def belowMin(fr: FragmentMeta, c: String, v: Any, orEqual: Boolean): Boolean =
+    (for ((mn, _) <- range(fr, c); jv <- lit(v); cm <- cmpJ(mn, jv))
+      yield if (orEqual) cm > 0 else cm >= 0).getOrElse(false)
+}
+
+/** One input partition = one byte range of one fragment. Fragments larger
+  * than `splitBytes` split into ranges (the parquet reader aligns ranges to
+  * row groups), so a huge fragment still parallelizes across executors. */
+case class LanceInputPartition(path: String, start: Long, length: Long,
+                               fileSize: Long) extends InputPartition
+
+class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
+                       fragments: Seq[FragmentMeta], required: StructType,
+                       filters: Seq[Filter], limit: Option[Int],
+                       options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"LanceScan root=$root version=${manifest.version} " +
+      s"fragments=${fragments.size}/${manifest.fragments.size} " +
+      s"PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
+      s"PushedLimit: ${limit.getOrElse(-1)}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // limit: stop enumerating fragments once manifest row counts cover it
+    val chosen = limit match {
+      case Some(n) =>
+        var acc = 0L
+        fragments.takeWhile { fr => val take = acc < n; acc += fr.rows; take }
+      case None => fragments
+    }
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    chosen.flatMap { fr =>
+      val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
+      if (fr.sizeBytes <= splitBytes || limit.isDefined) {
+        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes))
+      } else {
+        (0L until fr.sizeBytes by splitBytes).map { off =>
+          LanceInputPartition(p, off, math.min(splitBytes, fr.sizeBytes - off), fr.sizeBytes)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // built on the driver; the returned closure is what Spark's own
+    // FileSourceScanExec ships to executors
+    val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options)
+    new LanceReaderFactory(readFn, limit)
+  }
+}
+
+class LanceReaderFactory(
+    readFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    limit: Option[Int]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LanceInputPartition]
+    val raw = readFn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
+    // the closure may yield ColumnarBatch disguised as InternalRow
+    // (vectorized path); flatten back to rows
+    val rows = raw.asInstanceOf[Iterator[AnyRef]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+    val capped = limit.map(n => rows.take(n)).getOrElse(rows)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (capped.hasNext) { current = capped.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Aggregate-pushdown result: a single-row scan materialized from manifest
+  * stats — the scan reads zero data files. */
+class LanceStatsScan(root: String, aggSchema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LanceStatsScan root=$root PushedAggregates: ${aggSchema.fieldNames.mkString("[", ", ", "]")} (answered from manifest stats)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LanceStatsPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val vals = partition.asInstanceOf[LanceStatsPartition].values
+        private var done = false
+        override def next(): Boolean = if (done) false else { done = true; true }
+        override def get(): InternalRow = new GenericInternalRow(vals)
+        override def close(): Unit = ()
+      }
+  }
+}
+
+case class LanceStatsPartition(values: Array[Any]) extends InputPartition

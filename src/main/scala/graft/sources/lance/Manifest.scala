@@ -1,0 +1,254 @@
+package graft.sources.lance
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Per-column fragment statistics. min/max/nullCount are optional — absent
+  * means "unknown" and disables pruning/stats-answers for that column (never
+  * wrong, just less pruning). Values are stored in Spark's *internal*
+  * domain: JLong for integral/date(days)/timestamp(micros), JDouble for
+  * float/double, JString for UTF8 strings.
+  */
+case class ColStats(min: Option[JValue], max: Option[JValue], nullCount: Option[Long])
+
+/** One immutable data fragment (a parquet file under `data/`).
+  * Mirrors the role of reference LanceSplit.java / the fragment list the
+  * Flink source enumerates (LanceSource.java:172-185), re-expressed as a
+  * manifest entry instead of a JNI dataset handle. */
+case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
+                        stats: Map[String, ColStats])
+
+/** A dataset version: the complete fragment list visible at that version,
+  * plus the schema and an optional streaming-epoch marker for exactly-once
+  * sinks (reference: LanceSink.java:27 CheckpointedFunction). */
+case class LanceManifest(version: Long, schema: StructType,
+                         fragments: Seq[FragmentMeta],
+                         txnAppId: Option[String], txnEpoch: Option[Long]) {
+  def totalRows: Long = fragments.map(_.rows).sum
+}
+
+/** Manifest IO for the lance-style dataset layout:
+  *
+  * {{{
+  *   <root>/data/<uuid>.parquet            immutable fragments
+  *   <root>/_versions/<N>.manifest.json    one manifest per version
+  * }}}
+  *
+  * Commit = write manifest N+1 with create-exclusive semantics; readers
+  * resolve the max N. Appends carry the previous fragment list forward;
+  * overwrite starts fresh — giving Lance's append/overwrite/time-travel
+  * semantics (reference: LanceSink.java:122-188) on any Hadoop filesystem.
+  */
+object ManifestIO {
+  private val VersionsDir = "_versions"
+  val DataDir = "data"
+
+  private def versionsPath(root: String) = new Path(root, VersionsDir)
+  private def manifestPath(root: String, v: Long) =
+    new Path(versionsPath(root), f"$v%020d.manifest.json")
+
+  def fs(root: String, conf: Configuration): FileSystem =
+    new Path(root).getFileSystem(conf)
+
+  def listVersions(root: String, conf: Configuration): Seq[Long] = {
+    val f = fs(root, conf)
+    val vp = versionsPath(root)
+    if (!f.exists(vp)) Seq.empty
+    else f.listStatus(vp).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".manifest.json"))
+      .map(_.stripSuffix(".manifest.json").toLong)
+      .sorted
+  }
+
+  def latestVersion(root: String, conf: Configuration): Option[Long] =
+    listVersions(root, conf).lastOption
+
+  def exists(root: String, conf: Configuration): Boolean =
+    latestVersion(root, conf).isDefined
+
+  def load(root: String, version: Long, conf: Configuration): LanceManifest = {
+    val f = fs(root, conf)
+    val p = manifestPath(root, version)
+    val len = f.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    fromJson(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  def loadLatest(root: String, conf: Configuration): Option[LanceManifest] =
+    latestVersion(root, conf).map(load(root, _, conf))
+
+  /** Commit the next version. `base` decides append-vs-overwrite upstream —
+    * this just writes version = latest+1 exclusively, retrying the version
+    * number on a concurrent commit. Returns the committed manifest. */
+  def commit(root: String, schema: StructType, fragments: Seq[FragmentMeta],
+             conf: Configuration, txnAppId: Option[String] = None,
+             txnEpoch: Option[Long] = None): LanceManifest = {
+    val f = fs(root, conf)
+    f.mkdirs(versionsPath(root))
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(root, conf).getOrElse(0L) + 1
+      val m = LanceManifest(v, schema, fragments, txnAppId, txnEpoch)
+      try {
+        // create(overwrite = false) is the create-exclusive primitive
+        val out = f.create(manifestPath(root, v), false)
+        try out.write(toJson(m).getBytes(StandardCharsets.UTF_8)) finally out.close()
+        return m
+      } catch {
+        case NonFatal(_) if attempt < 10 => attempt += 1 // version raced; retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- JSON (json4s, shipped with Spark) ---------------------------------
+
+  private def jv(o: Option[JValue]): JValue = o.getOrElse(JNothing)
+
+  def toJson(m: LanceManifest): String = {
+    val frags = JArray(m.fragments.toList.map { fr =>
+      JObject(
+        "path" -> JString(fr.path),
+        "rows" -> JLong(fr.rows),
+        "sizeBytes" -> JLong(fr.sizeBytes),
+        "stats" -> JObject(fr.stats.toList.map { case (c, s) =>
+          c -> JObject(
+            "min" -> jv(s.min), "max" -> jv(s.max),
+            "nullCount" -> s.nullCount.map(JLong(_)).getOrElse(JNothing))
+        }))
+    })
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JLong(m.version),
+      "schemaJson" -> JString(m.schema.json),
+      "txnAppId" -> m.txnAppId.map(JString).getOrElse(JNothing),
+      "txnEpoch" -> m.txnEpoch.map(JLong(_)).getOrElse(JNothing),
+      "fragments" -> frags)))
+  }
+
+  def fromJson(s: String): LanceManifest = {
+    val j = JsonMethods.parse(s)
+    // json4s parses integers as JInt (BigInt); normalize back to the JLong
+    // domain toJson writes so stats comparisons stay type-stable
+    def opt(v: JValue): Option[JValue] = v match {
+      case JNothing | JNull => None
+      case JInt(n) => Some(JLong(n.toLong))
+      case x => Some(x)
+    }
+    def asLong(v: JValue): Long = v match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case x => throw new IllegalStateException(s"expected integer, got $x")
+    }
+    val schemaJson = (j \ "schemaJson").asInstanceOf[JString].s
+    val frags = (j \ "fragments").asInstanceOf[JArray].arr.map { fr =>
+      val stats = (fr \ "stats") match {
+        case JObject(fields) => fields.map { case (c, sv) =>
+          c -> ColStats(opt(sv \ "min"), opt(sv \ "max"),
+            opt(sv \ "nullCount").map(asLong))
+        }.toMap
+        case _ => Map.empty[String, ColStats]
+      }
+      FragmentMeta(
+        (fr \ "path").asInstanceOf[JString].s,
+        asLong(fr \ "rows"),
+        asLong(fr \ "sizeBytes"),
+        stats)
+    }
+    LanceManifest(
+      asLong(j \ "version"),
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      frags,
+      opt(j \ "txnAppId").map(_.asInstanceOf[JString].s),
+      opt(j \ "txnEpoch").map(asLong))
+  }
+
+  // ---- fragment stats from parquet footers -------------------------------
+
+  /** Read rows + per-column min/max/nullCount from a parquet footer — one
+    * footer read per fragment at commit time, O(metadata) not O(data).
+    * Only top-level primitive columns get stats; parquet may truncate
+    * BINARY stats, which is safe for range pruning (truncated min <= real
+    * min, truncated max >= real max) so strings keep their stats but are
+    * never used to *answer* aggregates (see LanceScanBuilder).
+    */
+  def footerStats(conf: Configuration, file: Path): (Long, Long, Map[String, ColStats]) = {
+    val footer = ParquetFileReader.readFooter(conf, file)
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    val size = blocks.map(_.getCompressedSize).sum
+    val acc = scala.collection.mutable.Map[String, ColStats]()
+    val invalid = scala.collection.mutable.Set[String]()
+    for (b <- blocks; cc <- b.getColumns.asScala) {
+      val pathParts = cc.getPath.toArray
+      if (pathParts.length == 1) {
+        val name = pathParts(0)
+        val st = cc.getStatistics
+        val pt = cc.getPrimitiveType
+        val conv: Option[(JValue, JValue)] =
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else toInternal(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation, st)
+        conv match {
+          case Some((mn, mx)) if !invalid(name) =>
+            val nulls = Option(st).map(_.getNumNulls).filter(_ >= 0)
+            acc.get(name) match {
+              case None => acc(name) = ColStats(Some(mn), Some(mx), nulls)
+              case Some(prev) =>
+                acc(name) = ColStats(
+                  Some(jMin(prev.min.get, mn)), Some(jMax(prev.max.get, mx)),
+                  for (a <- prev.nullCount; b <- nulls) yield a + b)
+            }
+          case _ =>
+            // a block without stats poisons the column (unknown ≠ wrong)
+            invalid += name
+            acc.remove(name)
+        }
+      }
+    }
+    (rows, size, acc.toMap)
+  }
+
+  private def toInternal(pt: PrimitiveTypeName,
+                         lt: LogicalTypeAnnotation,
+                         st: org.apache.parquet.column.statistics.Statistics[_]):
+      Option[(JValue, JValue)] = pt match {
+    case PrimitiveTypeName.INT32 if !lt.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+      val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+      Some((JLong(s.getMin.toLong), JLong(s.getMax.toLong)))
+    case PrimitiveTypeName.INT64 if !lt.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+      val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+      Some((JLong(s.getMin), JLong(s.getMax)))
+    case PrimitiveTypeName.FLOAT =>
+      val s = st.asInstanceOf[org.apache.parquet.column.statistics.FloatStatistics]
+      Some((JDouble(s.getMin.toDouble), JDouble(s.getMax.toDouble)))
+    case PrimitiveTypeName.DOUBLE =>
+      val s = st.asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
+      Some((JDouble(s.getMin), JDouble(s.getMax)))
+    case PrimitiveTypeName.BINARY if lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+      val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+      Some((JString(s.genericGetMin.toStringUsingUTF8),
+        JString(s.genericGetMax.toStringUsingUTF8)))
+    case _ => None // INT96 timestamps, decimals, nested — no stats
+  }
+
+  private def cmp(a: JValue, b: JValue): Int = (a, b) match {
+    case (JLong(x), JLong(y)) => java.lang.Long.compare(x, y)
+    case (JDouble(x), JDouble(y)) => java.lang.Double.compare(x, y)
+    case (JString(x), JString(y)) => x.compareTo(y)
+    case _ => 0
+  }
+  def jMin(a: JValue, b: JValue): JValue = if (cmp(a, b) <= 0) a else b
+  def jMax(a: JValue, b: JValue): JValue = if (cmp(a, b) >= 0) a else b
+}

@@ -1,14 +1,76 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.datasources.{OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
 
-/** Bridge between Catalyst [[Expression]]s and the public [[Column]] API.
-  * Spark 4 made the converters `private[sql]`; extensions conventionally
-  * shim them from inside the `org.apache.spark.sql` namespace.
+/** Bridge between Catalyst/execution internals and graft's public surface.
+  * Spark 4 made several converters `private[sql]`/`private[spark]`;
+  * extensions conventionally shim them from inside the
+  * `org.apache.spark.sql` namespace. Everything here is a thin forwarding
+  * call — no logic.
   */
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Session Hadoop conf with per-scan options merged in. */
+  def hadoopConf(spark: SparkSession, options: Map[String, String]): Configuration =
+    spark.sessionState.newHadoopConfWithOptions(options)
+
+  def serializableConf(conf: Configuration): SerializableConfiguration =
+    new SerializableConfiguration(conf)
+
+  /** Driver-side construction of Spark's battle-tested parquet reader
+    * closure (vectorization, nested schema, row-group filter pushdown,
+    * rebase handling — all of `ParquetFileFormat`). The returned function
+    * is serializable and runs on executors, exactly as Spark's own
+    * FileSourceScanExec ships it.
+    */
+  def parquetReader(
+      spark: SparkSession,
+      dataSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String]): PartitionedFile => Iterator[InternalRow] = {
+    // we consume rows (the vectorized reader still runs underneath; its
+    // batches surface through the row iterator)
+    val opts = options + (org.apache.spark.sql.execution.datasources.FileFormat
+      .OPTION_RETURNING_BATCH -> "false")
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = requiredSchema,
+      filters = filters,
+      options = opts,
+      hadoopConf = hadoopConf(spark, options))
+  }
+
+  def partitionedFile(path: String, start: Long, length: Long, fileSize: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
+      Array.empty[String], 0L, fileSize, Map.empty)
+
+  /** Driver-side construction of Spark's parquet OutputWriterFactory (the
+    * same WriteSupport the native `df.write.parquet` path uses); the
+    * factory and the mutated job conf are both serializable and usable in
+    * executor-side DataWriters.
+    */
+  def parquetWriterFactory(
+      spark: SparkSession,
+      dataSchema: StructType,
+      options: Map[String, String]): (OutputWriterFactory, SerializableConfiguration) = {
+    val job = Job.getInstance(hadoopConf(spark, options))
+    val factory = new ParquetFileFormat().prepareWrite(spark, job, options, dataSchema)
+    (factory, new SerializableConfiguration(job.getConfiguration))
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.lance.{ColStats, FragmentMeta, LancePruning, ManifestIO}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.json4s.{JLong, JString}
+
+import java.nio.file.Files
+
+/** Connector-level tests: pushdowns visible in the plan, fragment layout,
+  * version history, pruning logic, catalog DDL. */
+class LanceSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-lancespec-").toString
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private lazy val orders = Tables.t(spark, sf, "orders")
+
+  test("write respects maxRowsPerFile and append accumulates fragments + versions") {
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    val m1 = ManifestIO.loadLatest(root, conf).get
+    assert(m1.version === 1)
+    assert(m1.fragments.size >= 2, "expected multiple fragments")
+    assert(m1.fragments.forall(_.rows <= 500))
+    assert(m1.totalRows === orders.count())
+
+    orders.write.format("lance").mode("append").save(root)
+    val m2 = ManifestIO.loadLatest(root, conf).get
+    assert(m2.version === 2)
+    assert(m2.totalRows === 2 * orders.count())
+    assert(ManifestIO.listVersions(root, conf) === Seq(1L, 2L))
+    // fragments carry stats for numeric columns
+    val frag = m2.fragments.head
+    assert(frag.stats.contains("o_orderkey"))
+    assert(frag.stats("o_orderkey").min.isDefined)
+  }
+
+  test("explain shows pushed filters, limit, projection and stats-agg scans") {
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    val ds = spark.read.format("lance").load(root)
+
+    val filtered = ds.filter(col("o_custkey") < 10).select("o_orderkey", "o_custkey")
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("LanceScan"), fPlan)
+    assert(fPlan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,10)]"), fPlan)
+    assert(fPlan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), fPlan)
+
+    val lPlan = ds.limit(7).queryExecution.executedPlan.toString
+    assert(lPlan.contains("PushedLimit: 7"), lPlan)
+
+    val aPlan = ds.agg(count(lit(1)), min("o_custkey"), max("o_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(aPlan.contains("LanceStatsScan"), aPlan)
+    assert(aPlan.contains("answered from manifest stats"), aPlan)
+  }
+
+  test("aggregate pushdown falls back to a real scan when not answerable") {
+    val root = tmp()
+    orders.write.format("lance").save(root)
+    val ds = spark.read.format("lance").load(root)
+    // SUM is not answerable from min/max stats → normal scan, same result
+    val sPlan = ds.agg(sum("o_totalprice")).queryExecution.executedPlan.toString
+    assert(!sPlan.contains("LanceStatsScan"), sPlan)
+    // filtered agg must not use the stats path either
+    val fPlan = ds.filter(col("o_custkey") > 3).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!fPlan.contains("LanceStatsScan"), fPlan)
+    // and stats answers equal scan answers
+    val viaStats = ds.agg(count(lit(1)), min("o_custkey")).collect()(0)
+    val viaScan = orders.agg(count(lit(1)), min("o_custkey")).collect()(0)
+    assert(viaStats === viaScan)
+  }
+
+  test("fragment pruning: provably-empty fragments are skipped") {
+    val stats = Map("k" -> ColStats(Some(JLong(100)), Some(JLong(200)), Some(0L)),
+      "s" -> ColStats(Some(JString("ccc")), Some(JString("mmm")), Some(0L)))
+    val fr = FragmentMeta("f.parquet", 10, 1000, stats)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    import org.apache.spark.sql.sources._
+    assert(LancePruning.provablyEmpty(fr, schema, EqualTo("k", 50L)))
+    assert(!LancePruning.provablyEmpty(fr, schema, EqualTo("k", 150L)))
+    assert(LancePruning.provablyEmpty(fr, schema, GreaterThan("k", 200L)))
+    assert(!LancePruning.provablyEmpty(fr, schema, GreaterThanOrEqual("k", 200L)))
+    assert(LancePruning.provablyEmpty(fr, schema, LessThan("k", 100L)))
+    assert(LancePruning.provablyEmpty(fr, schema, In("k", Array(1L, 99L, 201L))))
+    assert(!LancePruning.provablyEmpty(fr, schema, In("k", Array(1L, 150L))))
+    assert(LancePruning.provablyEmpty(fr, schema, IsNull("k")))
+    assert(LancePruning.provablyEmpty(fr, schema, EqualTo("s", "zzz")))
+    assert(!LancePruning.provablyEmpty(fr, schema, EqualTo("s", "def")))
+    assert(LancePruning.provablyEmpty(fr, schema,
+      And(EqualTo("k", 150L), EqualTo("s", "aaa"))))
+    assert(!LancePruning.provablyEmpty(fr, schema,
+      Or(EqualTo("k", 150L), EqualTo("s", "aaa"))))
+    // unknown stats → never pruned
+    assert(!LancePruning.provablyEmpty(fr, schema, EqualTo("unknown_col", 1L)))
+  }
+
+  test("time travel reads pinned versions") {
+    val root = tmp()
+    val region = Tables.t(spark, sf, "region")
+    region.write.format("lance").save(root)
+    region.write.format("lance").mode("append").save(root)
+    val v1 = spark.read.format("lance").option("versionAsOf", "1").load(root).count()
+    val v2 = spark.read.format("lance").load(root).count()
+    assert(v1 === region.count())
+    assert(v2 === 2 * region.count())
+  }
+
+  test("overwrite replaces contents and schema") {
+    val root = tmp()
+    Tables.t(spark, sf, "region").write.format("lance").save(root)
+    Tables.t(spark, sf, "nation").write.format("lance").mode("overwrite").save(root)
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.columns.toSeq.contains("n_nationkey"))
+    assert(ds.count() === Tables.t(spark, sf, "nation").count())
+  }
+
+  test("catalog: create/list/insert/drop + VERSION AS OF") {
+    spark.conf.set("spark.sql.catalog.lance_test",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_test.warehouse", tmp())
+    Tables.t(spark, sf, "region").createOrReplaceTempView("region_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lance_test.db1")
+    spark.sql("CREATE TABLE lance_test.db1.r AS SELECT * FROM region_src")
+    assert(spark.sql("SELECT count(*) FROM lance_test.db1.r").first().getLong(0) === 5)
+    spark.sql("INSERT INTO lance_test.db1.r SELECT * FROM region_src")
+    assert(spark.sql("SELECT count(*) FROM lance_test.db1.r").first().getLong(0) === 10)
+    // time travel through SQL
+    assert(spark.sql("SELECT count(*) FROM lance_test.db1.r VERSION AS OF 2").first().getLong(0) === 5)
+    assert(spark.sql("SHOW TABLES IN lance_test.db1").collect().map(_.getString(1)).contains("r"))
+    spark.sql("DROP TABLE lance_test.db1.r")
+    assert(spark.sql("SHOW TABLES IN lance_test.db1").collect().isEmpty)
+  }
+}

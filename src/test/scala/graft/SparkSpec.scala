@@ -48,7 +48,18 @@ class EntrySpec extends SparkSpec {
     "dedup_simhash" -> 27,
     "dedup_ngram_jaccard" -> 8,
     "dedup_embedding" -> 5,
-    "mm_features" -> 500)
+    "mm_features" -> 500,
+    "lance_roundtrip" -> 1,
+    "lance_overwrite" -> 1,
+    "lance_append_multi" -> 1,
+    "lance_projection" -> 20,
+    "lance_filter_pushdown" -> 1,
+    "lance_limit_pushdown" -> 1,
+    "lance_agg_pushdown" -> 1,
+    "lance_time_travel" -> 1,
+    "lance_types_roundtrip" -> 1,
+    "lance_sql_catalog" -> 1,
+    "lance_streaming_sink" -> 1)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
