@@ -11,6 +11,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Dedup,
     operators.Multimodal,
+    operators.VectorIndex,
     operators.LanceOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

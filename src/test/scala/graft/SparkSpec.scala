@@ -59,7 +59,9 @@ class EntrySpec extends SparkSpec {
     "lance_time_travel" -> 1,
     "lance_types_roundtrip" -> 1,
     "lance_sql_catalog" -> 1,
-    "lance_streaming_sink" -> 1)
+    "lance_streaming_sink" -> 1,
+    "ivf_flat_search" -> 15,
+    "ivf_pq_search" -> 10)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
