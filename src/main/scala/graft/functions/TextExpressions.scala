@@ -104,18 +104,24 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
 }
 
 /** MinHash signature: numHashes permutation-minimums over a shingle set.
-  * Permutation i is h_i(x) = (a_i * xx(x) + b_i) mod p (p = 2^61-1), with
+  * Permutation i is h_i(x) = (a_i * x + b_i) mod p (p = 2^61-1), with
   * a_i/b_i from a splitmix-style generator of `seed` — deterministic across
-  * runs/partitions. Returns array<long> of length numHashes.
+  * runs/partitions. Accepts array<string> (each element xxHash64'd first)
+  * or array<long> (pre-hashed shingles, e.g. [[ShingleHashes]] output).
+  * Returns array<long> of length numHashes.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(s"minhash needs array<string>, got $dt")
+    case ArrayType(StringType | LongType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash needs array<string|long>, got $dt")
   }
+
+  private lazy val preHashed: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   private final val P = (1L << 61) - 1
 
@@ -137,7 +143,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val x = HashUtil.xx(arr.getUTF8String(i), seed) & Long.MaxValue
+      val raw = if (preHashed) arr.getLong(i) else HashUtil.xx(arr.getUTF8String(i), seed)
+      val x = raw & Long.MaxValue
       var j = 0
       while (j < numHashes) {
         // multiply mod p via Math.multiplyHigh-free 128-bit-safe route:

@@ -43,6 +43,14 @@ package object functions {
   def sorted_jaccard(a: Column, b: Column): Column =
     Column(SortedJaccard(expression(a), expression(b)))
 
+  /** Sorted-distinct hashed char-n-gram set of a string (single pass). */
+  def ngram_hashes(s: Column, n: Int, seed: Long = 42L): Column =
+    Column(NgramHashes(expression(s), n, seed))
+
+  /** Sorted-distinct hashed word-k-shingle set of a string (single pass). */
+  def shingle_hashes(s: Column, k: Int, seed: Long = 42L): Column =
+    Column(ShingleHashes(expression(s), k, seed))
+
   /** Register all graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

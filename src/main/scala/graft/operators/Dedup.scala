@@ -24,16 +24,13 @@ object Dedup extends QueryModule {
   private val toksCol: Column =
     filter(split(col("text"), "\\s+"), x => x =!= "")
 
-  /** Distinct 3-word shingles; requires >= 3 tokens (guarded upstream). */
-  private val shingleSql: String =
-    "array_distinct(transform(sequence(1, size(w) - 2), " +
-      "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))"
-
+  /** Sorted-distinct hashed 3-word shingle sets (single-pass expression);
+    * docs with < 3 words have no shingles and are excluded, matching the
+    * oracle's `len(w) >= 3` guard. */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("w", toksCol)
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", expr(shingleSql))
+      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
 
   // ---- dedup_exact -------------------------------------------------------
   // Exact dedup via content-hash groupBy: one shuffle on the 256-bit hash
@@ -81,9 +78,7 @@ object Dedup extends QueryModule {
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))))
+      .withColumn("jaccard", graft.functions.sorted_jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= JaccardTau)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -131,10 +126,9 @@ object Dedup extends QueryModule {
   // ~5× less shuffle payload). Jaccard over hashed sets equals Jaccard over
   // the string sets (the oracle's form) unless a 64-bit collision lands
   // inside one document pair — probability ~1e-9 at this gram count.
-  // Sorted so the pairwise Jaccard is a merge walk ([[SortedJaccard]]).
-  private def charGrams: Column =
-    expr("array_sort(transform(array_distinct(transform(sequence(1, length(text) - 2), " +
-      "i -> substring(text, i, 3))), g -> xxhash64(g)))")
+  // Sorted-distinct hashed gram set in one native pass; pairwise Jaccard is
+  // then a merge walk ([[SortedJaccard]]).
+  private def charGrams: Column = graft.functions.ngram_hashes(col("text"), 3)
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     def g = t(s, dir, "documents")
@@ -144,6 +138,11 @@ object Dedup extends QueryModule {
     val left = g.select(col("doc_id").as("a_id"), col("lang"), col("n_chars").as("na"),
       col("s").as("sa"),
       explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+      // spread blocks across tasks: the pairwise verify is the expensive
+      // stage and the source may be a single file (single partition). The
+      // explicit count keeps AQE from coalescing on byte size — the cost
+      // here is compute per pair, not bytes
+      .repartition(64, col("lang"), col("jb"))
     val right = g.select(col("doc_id").as("b_id"), col("lang"), col("n_chars").as("nb"),
       col("s").as("sb"), col("bkt").as("jb"))
     left.join(right, Seq("lang", "jb"))

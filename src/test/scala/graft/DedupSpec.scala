@@ -12,22 +12,36 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH pairs == brute-force jaccard pairs (sf0.001)") {
     val base = Tables.t(spark, sf, "documents")
-      .withColumn("w", toks)
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(w) - 2), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))"))
+      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
     val a = base.select(col("doc_id").as("a_id"), col("sh").as("sa"))
     val b = base.select(col("doc_id").as("b_id"), col("sh").as("sb"))
     val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") /
-        size(array_union(col("sa"), col("sb"))))
+      .withColumn("j", graft.functions.sorted_jaccard(col("sa"), col("sb")))
       .filter(col("j") >= 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === brute)
+  }
+
+  test("hashed gram/shingle sets match their SQL-chain equivalents") {
+    val docs = Tables.t(spark, sf, "documents").limit(50)
+    val gramChain = expr("array_sort(transform(array_distinct(transform(" +
+      "sequence(1, length(text) - 2), i -> substring(text, i, 3))), g -> xxhash64(g)))")
+    val nDiffG = docs
+      .select(graft.functions.ngram_hashes(col("text"), 3).as("fast"), gramChain.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(nDiffG === 0)
+    val shingleChain = expr("array_sort(array_distinct(transform(" +
+      "sequence(1, size(w) - 2), i -> xxhash64(" +
+      "concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))))")
+    val nDiffS = docs.withColumn("w", toks)
+      .filter(size(col("w")) >= 3)
+      .select(graft.functions.shingle_hashes(col("text"), 3).as("fast"), shingleChain.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(nDiffS === 0)
   }
 
   test("simhash banded pairs == brute-force hamming pairs (sf0.001)") {
