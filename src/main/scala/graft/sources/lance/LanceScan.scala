@@ -262,22 +262,32 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // built on the driver; the returned closure is what Spark's own
-    // FileSourceScanExec ships to executors
-    val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options)
-    new LanceReaderFactory(readFn, limit)
+    // FileSourceScanExec ships to executors. When the schema is atomic and
+    // the vectorized reader is on, read columnar: batches flow straight
+    // into WholeStageCodegen's ColumnarToRow instead of per-row iteration.
+    val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
+    val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
+      returningBatch = columnar)
+    new LanceReaderFactory(readFn, limit, columnar)
   }
 }
 
 class LanceReaderFactory(
     readFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
-    limit: Option[Int]) extends PartitionReaderFactory {
+    limit: Option[Int], columnar: Boolean) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  private def open(partition: InputPartition): Iterator[AnyRef] = {
+    val p = partition.asInstanceOf[LanceInputPartition]
+    readFn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
+      .asInstanceOf[Iterator[AnyRef]]
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LanceInputPartition]
-    val raw = readFn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
-    // the closure may yield ColumnarBatch disguised as InternalRow
-    // (vectorized path); flatten back to rows
-    val rows = raw.asInstanceOf[Iterator[AnyRef]].flatMap {
+    // row path (complex schemas / vectorization off / limit): the closure
+    // may still yield ColumnarBatch disguised as InternalRow — flatten
+    val rows = open(partition).flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r: InternalRow => Iterator.single(r)
     }
@@ -288,6 +298,18 @@ class LanceReaderFactory(
         if (capped.hasNext) { current = capped.next(); true } else false
       }
       override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val batches = open(partition).map(_.asInstanceOf[ColumnarBatch])
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (batches.hasNext) { current = batches.next(); true } else false
+      }
+      override def get(): ColumnarBatch = current
       override def close(): Unit = ()
     }
   }

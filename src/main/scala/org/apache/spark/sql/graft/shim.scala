@@ -41,11 +41,10 @@ object Shim {
       dataSchema: StructType,
       requiredSchema: StructType,
       filters: Seq[Filter],
-      options: Map[String, String]): PartitionedFile => Iterator[InternalRow] = {
-    // we consume rows (the vectorized reader still runs underneath; its
-    // batches surface through the row iterator)
+      options: Map[String, String],
+      returningBatch: Boolean = false): PartitionedFile => Iterator[InternalRow] = {
     val opts = options + (org.apache.spark.sql.execution.datasources.FileFormat
-      .OPTION_RETURNING_BATCH -> "false")
+      .OPTION_RETURNING_BATCH -> returningBatch.toString)
     new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
       dataSchema = dataSchema,
@@ -55,6 +54,12 @@ object Shim {
       options = opts,
       hadoopConf = hadoopConf(spark, options))
   }
+
+  /** Whether the parquet reader can hand back ColumnarBatches for this
+    * schema under the current session conf (mirrors the check
+    * FileSourceScanExec uses to decide columnar output). */
+  def parquetSupportsBatch(spark: SparkSession, requiredSchema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(spark, requiredSchema)
 
   def partitionedFile(path: String, start: Long, length: Long, fileSize: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,

@@ -56,6 +56,20 @@ class LanceSpec extends SparkSpec {
     assert(aPlan.contains("answered from manifest stats"), aPlan)
   }
 
+  test("atomic-schema reads are columnar (batches into ColumnarToRow)") {
+    val root = tmp()
+    orders.write.format("lance").save(root)
+    val plan = spark.read.format("lance").load(root)
+      .select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // and results round-trip identically through the columnar path
+    val viaLance = spark.read.format("lance").load(root)
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val direct = orders.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(viaLance === direct)
+  }
+
   test("aggregate pushdown falls back to a real scan when not answerable") {
     val root = tmp()
     orders.write.format("lance").save(root)
