@@ -111,6 +111,7 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.MICRO_BATCH_READ)
     caps.add(TableCapability.STREAMING_WRITE)
     // Bare-path tables deliberately do NOT claim BATCH_WRITE: path saves
     // then route to the V1 staging writer (LanceBatchSave), which supports

@@ -232,6 +232,10 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LanceMicroBatchStream(spark, root, manifest.schema, required, options)
+
   override def description(): String =
     s"LanceScan root=$root version=${manifest.version} " +
       s"fragments=${fragments.size}/${manifest.fragments.size} " +

@@ -1,0 +1,79 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.StructType
+
+/** Streaming *source* over a lance dataset: each micro-batch reads the
+  * fragments added between two manifest versions (fragment tailing). The
+  * offset is simply the manifest version — fragments are immutable and
+  * append-only under append/streaming writes, so (startVersion,
+  * endVersion] identifies an exact set of new fragments.
+  *
+  * Assumes an append-only dataset: an overwrite (truncate) replaces the
+  * fragment list and the stream fails rather than silently re-reading
+  * (same contract as file-stream sources over rewritten directories).
+  */
+case class LanceOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+class LanceMicroBatchStream(spark: SparkSession, root: String,
+                            dataSchema: StructType, requiredSchema: StructType,
+                            options: Map[String, String])
+    extends MicroBatchStream {
+
+  private def conf = Shim.hadoopConf(spark, options)
+
+  private def parse(o: Offset): Long = o match {
+    case LanceOffset(v) => v
+    case other =>
+      // offsets deserialize from the checkpoint log as JSON
+      val s = other.json()
+      """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"bad lance offset: $s"))
+  }
+
+  override def initialOffset(): Offset = LanceOffset(0L) // read from the beginning
+
+  override def latestOffset(): Offset =
+    LanceOffset(ManifestIO.latestVersion(root, conf).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    LanceOffset("""\d+""".r.findFirstIn(json).map(_.toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad lance offset: $json")))
+
+  /** Fragments present at `end` but not at `start` (by path — fragments
+    * are immutable, so path identity is content identity). */
+  private def newFragments(start: Long, end: Long): Seq[FragmentMeta] = {
+    if (end <= start) return Seq.empty
+    val c = conf
+    val endFrags = ManifestIO.load(root, end, c).fragments
+    if (start == 0) endFrags
+    else {
+      val startPaths = ManifestIO.load(root, start, c).fragments.map(_.path).toSet
+      val dropped = startPaths -- endFrags.map(_.path).toSet
+      if (dropped.nonEmpty) throw new IllegalStateException(
+        s"lance stream: dataset was overwritten/compacted between versions $start and $end " +
+          s"(missing fragments: ${dropped.take(3).mkString(", ")}…); streaming reads require append-only history")
+      endFrags.filterNot(f => startPaths.contains(f.path))
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    newFragments(parse(start), parse(end)).map { fr =>
+      val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
+      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
+    new LanceReaderFactory(readFn, limit = None, columnar = false)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -195,26 +195,80 @@ object LanceBatchSave {
           df.schema.fields.map(f => (f.name, f.dataType))),
         s"lance append schema mismatch: table=${m.schema.simpleString} df=${df.schema.simpleString}")
     }
+    val newFrags = stageFragments(spark, df, root,
+      LanceOptions.get(options, "maxRowsPerFile"))
+    val frags = if (append) prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
+                else newFrags
+    ManifestIO.commit(root, df.schema, frags, conf)
+  }
+
+  /** Stage `df` through the native parquet writer, move the files in as
+    * fragments under `data/`, and return their metadata (no commit). */
+  private[lance] def stageFragments(spark: SparkSession, df: DataFrame, root: String,
+                                    maxRowsPerFile: Option[String]): Seq[FragmentMeta] = {
+    val conf = Shim.hadoopConf(spark, Map.empty)
+    val fs = ManifestIO.fs(root, conf)
     val staging = new Path(root, s".staging-${UUID.randomUUID()}")
     try {
       var w = df.write.mode("overwrite")
-      LanceOptions.get(options, "maxRowsPerFile").foreach(n => w = w.option("maxRecordsPerFile", n))
+      maxRowsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
       w.parquet(staging.toString)
-      val dataDir = new Path(root, ManifestIO.DataDir)
-      fs.mkdirs(dataDir)
-      val staged = fs.listStatus(staging).toSeq
+      fs.mkdirs(new Path(root, ManifestIO.DataDir))
+      fs.listStatus(staging).toSeq
         .filter(s => s.getPath.getName.endsWith(".parquet"))
-      val newFrags = staged.map { st =>
-        val rel = s"${ManifestIO.DataDir}/${UUID.randomUUID()}-${st.getPath.getName}"
-        fs.rename(st.getPath, new Path(root, rel))
-        val (rows, size, stats) = ManifestIO.footerStats(conf, new Path(root, rel))
-        FragmentMeta(rel, rows, size, stats)
-      }
-      val frags = if (append) prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
-                  else newFrags
-      ManifestIO.commit(root, df.schema, frags, conf)
+        .map { st =>
+          val rel = s"${ManifestIO.DataDir}/${UUID.randomUUID()}-${st.getPath.getName}"
+          fs.rename(st.getPath, new Path(root, rel))
+          val (rows, size, stats) = ManifestIO.footerStats(conf, new Path(root, rel))
+          FragmentMeta(rel, rows, size, stats)
+        }
     } finally {
       fs.delete(staging, true)
     }
+  }
+}
+
+/** Dataset maintenance: compaction (merge small fragments) and vacuum
+  * (drop old versions + unreferenced files). Both are ordinary manifest
+  * commits — readers of existing versions are unaffected until vacuum
+  * actually removes their files. */
+object LanceMaintenance {
+  /** Rewrite fragments smaller than `smallerThanRows` into consolidated
+    * fragments of up to `targetRows` rows; commits one new version.
+    * Returns the new manifest (or the current one if nothing to do). */
+  def compact(spark: SparkSession, root: String,
+              smallerThanRows: Long, targetRows: Long): LanceManifest = {
+    val conf = Shim.hadoopConf(spark, Map.empty)
+    val m = ManifestIO.loadLatest(root, conf).getOrElse(
+      throw new IllegalStateException(s"lance dataset not found: $root"))
+    val (small, big) = m.fragments.partition(_.rows < smallerThanRows)
+    if (small.size <= 1) return m
+    val paths = small.map(f => new Path(root, f.path).toString)
+    val df = spark.read.schema(m.schema).parquet(paths: _*)
+    val newFrags = LanceBatchSave.stageFragments(spark, df, root,
+      Some(targetRows.toString))
+    ManifestIO.commit(root, m.schema, big ++ newFrags, conf)
+  }
+
+  /** Keep only the last `retainVersions` manifests and delete data files no
+    * remaining version references. Time travel older than the cutoff stops
+    * working — that is the point. */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val conf = Shim.hadoopConf(spark, Map.empty)
+    val fs = ManifestIO.fs(root, conf)
+    val versions = ManifestIO.listVersions(root, conf)
+    val keep = versions.takeRight(retainVersions)
+    val referenced = keep.flatMap(v =>
+      ManifestIO.load(root, v, conf).fragments.map(_.path)).toSet
+    val dataDir = new Path(root, ManifestIO.DataDir)
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).foreach { st =>
+        val rel = s"${ManifestIO.DataDir}/${st.getPath.getName}"
+        if (!referenced.contains(rel)) fs.delete(st.getPath, false)
+      }
+    }
+    versions.dropRight(retainVersions).foreach(v =>
+      fs.delete(ManifestIO.manifestFile(root, v), false))
   }
 }

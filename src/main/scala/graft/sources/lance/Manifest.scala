@@ -57,6 +57,9 @@ object ManifestIO {
   private def manifestPath(root: String, v: Long) =
     new Path(versionsPath(root), f"$v%020d.manifest.json")
 
+  /** Public path accessor (maintenance ops need to delete old manifests). */
+  def manifestFile(root: String, v: Long): Path = manifestPath(root, v)
+
   def fs(root: String, conf: Configuration): FileSystem =
     new Path(root).getFileSystem(conf)
 
