@@ -15,7 +15,7 @@ object Bench {
     * comparability with r1), then the heaviest new operators. */
   val headliners: Seq[String] = Seq(
     "q1_pricing", "q3_top_orders", "q5_region_rev", "q_window_topsupp",
-    "q_events_sessions",
+    "q_events_sessions", "q_asof_orders",
     "knn_cosine", "knn_filtered", "ivf_flat_search",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "text_quality", "text_langid",

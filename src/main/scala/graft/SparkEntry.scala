@@ -12,6 +12,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Multimodal,
     operators.VectorIndex,
+    operators.Temporal,
     operators.LanceOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

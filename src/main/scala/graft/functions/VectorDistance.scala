@@ -47,15 +47,24 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Per-element null checks only when the array type admits nulls — the
+    * common parquet embedding column doesn't, and 2×dim isNullAt calls per
+    * row would dominate the distance loop. */
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
-    var k = 0
-    while (k < n) {
-      if (a.isNullAt(k) || b.isNullAt(k)) return null
-      k += 1
+    if (mayHaveNullElems) {
+      var k = 0
+      while (k < n) {
+        if (a.isNullAt(k) || b.isNullAt(k)) return null
+        k += 1
+      }
     }
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     @inline def av(i: Int): Double = if (af) a.getFloat(i).toDouble else a.getDouble(i)
@@ -87,14 +96,18 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val k = ctx.freshName("k")
       // dim mismatch / null element → null result (mirrors nullSafeEval)
+      val nullElemCheck =
+        if (mayHaveNullElems)
+          s"""else {
+             |  for (int $k = 0; $k < $n; $k++) {
+             |    if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; $n = 0; break; }
+             |  }
+             |}""".stripMargin
+        else ""
       val header =
         s"""int $n = $a.numElements();
            |if ($n != $b.numElements()) { ${ev.isNull} = true; $n = 0; }
-           |else {
-           |  for (int $k = 0; $k < $n; $k++) {
-           |    if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; $n = 0; break; }
-           |  }
-           |}""".stripMargin
+           |$nullElemCheck""".stripMargin
       metric match {
         case "dot" =>
           s"""$header

@@ -71,5 +71,15 @@ package object functions {
       es => MinHashSignature(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L),
       "built-in")
+    reg.createOrReplaceTempFunction("sorted_jaccard",
+      es => SortedJaccard(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      es => NgramHashes(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L),
+      "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L),
+      "built-in")
   }
 }

@@ -227,9 +227,19 @@ case class LanceInputPartition(path: String, start: Long, length: Long,
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
                        fragments: Seq[FragmentMeta], required: StructType,
                        filters: Seq[Filter], limit: Option[Int],
-                       options: Map[String, String]) extends Scan with Batch {
+                       options: Map[String, String]) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived size estimate (post fragment pruning) — feeds
+    * Spark's join planning so small lance datasets broadcast. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = fragments.map(_.rows).sum
+    private val bytes = fragments.map(_.sizeBytes).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String):
