@@ -88,8 +88,29 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("lance: ALTER TABLE not supported")
+  /** Schema evolution is a metadata-only commit: the manifest carries the
+    * table schema, and the parquet reader fills columns missing from old
+    * fragments with nulls (ADD) or simply stops projecting them (DROP). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    val m = ManifestIO.loadLatest(p.toString, conf).getOrElse(
+      throw new NoSuchTableException(ident))
+    var schema = m.schema
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
+        // added columns are nullable by construction: old fragments have
+        // no values for them
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
+        val name = del.fieldNames()(0)
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        schema = StructType(schema.fields.filterNot(_.name == name))
+      case other => throw new UnsupportedOperationException(
+        s"lance: unsupported table change $other (only top-level ADD/DROP COLUMN)")
+    }
+    ManifestIO.commit(p.toString, schema, m.fragments, conf)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

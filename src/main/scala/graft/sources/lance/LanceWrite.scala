@@ -60,10 +60,14 @@ class LanceWrite(root: String, schema: StructType,
       val newFrags = messages.flatMap {
         case m: LanceFragmentsCommitMessage => m.fragments
       }.toSeq
-      val prev =
-        if (truncateAll) Seq.empty
-        else ManifestIO.loadLatest(root, conf.value).map(_.fragments).getOrElse(Seq.empty)
-      ManifestIO.commit(root, schema, prev ++ newFrags, conf.value)
+      val prev = ManifestIO.loadLatest(root, conf.value)
+      // keep the DECLARED table schema, not the write query's schema — a
+      // query schema can be narrower (non-nullable literals) and would
+      // make columns "required" that old fragments don't even have
+      val tableSchema = prev.map(_.schema).getOrElse(schema)
+      val frags = if (truncateAll) newFrags
+                  else prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
+      ManifestIO.commit(root, tableSchema, frags, conf.value)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -85,8 +89,10 @@ class LanceWrite(root: String, schema: StructType,
         val newFrags = messages.flatMap {
           case m: LanceFragmentsCommitMessage => m.fragments
         }.toSeq
+        // as in batch commit: preserve the declared table schema on appends
+        val tableSchema = latest.map(_.schema).getOrElse(schema)
         val prev = latest.map(_.fragments).getOrElse(Seq.empty)
-        ManifestIO.commit(root, schema, prev ++ newFrags, conf.value,
+        ManifestIO.commit(root, tableSchema, prev ++ newFrags, conf.value,
           txnAppId = Some(queryId), txnEpoch = Some(epochId))
       }
     }

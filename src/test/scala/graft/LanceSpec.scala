@@ -131,6 +131,26 @@ class LanceSpec extends SparkSpec {
     assert(ds.count() === Tables.t(spark, sf, "nation").count())
   }
 
+  test("catalog: ALTER TABLE ADD/DROP COLUMN evolves schema over old fragments") {
+    spark.conf.set("spark.sql.catalog.lance_evo",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_evo.warehouse", tmp())
+    Tables.t(spark, sf, "region").createOrReplaceTempView("region_evo_src")
+    spark.sql("CREATE NAMESPACE lance_evo.db")
+    spark.sql("CREATE TABLE lance_evo.db.r AS SELECT r_regionkey, r_name FROM region_evo_src")
+    spark.sql("ALTER TABLE lance_evo.db.r ADD COLUMN note STRING")
+    // old fragments surface the new column as null
+    val afterAdd = spark.sql("SELECT * FROM lance_evo.db.r")
+    assert(afterAdd.columns.toSeq === Seq("r_regionkey", "r_name", "note"))
+    assert(afterAdd.filter(col("note").isNull).count() === 5)
+    // new inserts carry it; old + new read together
+    spark.sql("INSERT INTO lance_evo.db.r SELECT r_regionkey, r_name, 'x' FROM region_evo_src")
+    assert(spark.sql("SELECT count(*) FROM lance_evo.db.r WHERE note = 'x'").first().getLong(0) === 5)
+    assert(spark.sql("SELECT count(*) FROM lance_evo.db.r").first().getLong(0) === 10)
+    spark.sql("ALTER TABLE lance_evo.db.r DROP COLUMN note")
+    assert(spark.sql("SELECT * FROM lance_evo.db.r").columns.toSeq === Seq("r_regionkey", "r_name"))
+  }
+
   test("catalog: create/list/insert/drop + VERSION AS OF") {
     spark.conf.set("spark.sql.catalog.lance_test",
       classOf[graft.sources.lance.LanceCatalog].getName)
