@@ -52,8 +52,33 @@ object Temporal extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Range join: per (sampled) event, the count/sum of the user's orders
+    * in the trailing 7-day window. The user_id equality makes this an
+    * ordinary shuffle equi-join with the time window as residual — no
+    * range-join machinery needed, and it scales as a hash join on user_id.
+    */
+  private def rangeOrders(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val orders = t(s, dir, "orders").select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("ot"),
+      col("o_orderkey"), col("o_totalprice"))
+    events.join(orders,
+      events("user_id") === orders("user_id") &&
+        col("ot") >= col("ts") - expr("INTERVAL 7 DAYS") && col("ot") <= col("ts"),
+      "left")
+      .groupBy(col("event_id"), col("event_type"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        exactSum(col("o_totalprice"), 100L).as("sum_price"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_orders" -> asofOrders)
+    "q_asof_orders" -> asofOrders,
+    "q_range_orders" -> rangeOrders)
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_orders" ->
@@ -67,5 +92,15 @@ object Temporal extends QueryModule {
         |FROM events e
         |ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.t
         |WHERE e.event_id % 100 = 0
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_orders" ->
+      s"""SELECT e.event_id, e.event_type,
+         |  count(o.o_orderkey) AS n_orders,
+         |  ${sqlExactSum("o.o_totalprice", 100L)} AS sum_price
+         |FROM events e
+         |LEFT JOIN orders o ON e.user_id = o.o_custkey
+         |  AND o.o_orderdate >= e.ts - INTERVAL 7 DAY AND o.o_orderdate <= e.ts
+         |WHERE e.event_id % 100 = 0
+         |GROUP BY e.event_id, e.event_type
+         |ORDER BY e.event_id""".stripMargin)
 }

@@ -62,7 +62,8 @@ class EntrySpec extends SparkSpec {
     "lance_streaming_sink" -> 1,
     "ivf_flat_search" -> 15,
     "ivf_pq_search" -> 10,
-    "q_asof_orders" -> 10)
+    "q_asof_orders" -> 10,
+    "q_range_orders" -> 10)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
