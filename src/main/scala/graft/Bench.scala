@@ -18,7 +18,7 @@ object Bench {
     "q_events_sessions", "q_asof_orders",
     "knn_cosine", "knn_filtered", "ivf_flat_search",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "text_quality", "text_langid",
+    "text_quality", "text_langid", "pipeline_clean",
     "lance_roundtrip", "lance_agg_pushdown")
 
   def main(args: Array[String]): Unit = {

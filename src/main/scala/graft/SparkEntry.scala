@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.VectorIndex,
     operators.Temporal,
+    operators.Pipeline,
     operators.LanceOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

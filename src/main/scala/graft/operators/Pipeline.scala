@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pipeline — the composition the
+  * individual operators exist for:
+  *
+  *   1. exact dedup (content-hash groupBy, keep the lowest doc_id);
+  *   2. near-dup removal via MinHash-LSH: for every verified pair with
+  *      Jaccard >= 0.8, drop the higher doc_id;
+  *   3. quality filter (the TextAnalysis score >= 0.45).
+  *
+  * Output is the per-source survivor count + mean quality. Every stage is
+  * shuffle-bounded (hash groupBy, LSH bucket join, map-only filter), so the
+  * pipeline is a fixed number of shuffles regardless of corpus size. The
+  * DuckDB oracle replays the identical pipeline with all-pairs Jaccard
+  * (equal to the LSH candidates at this threshold — recall ≈ 1-5e-8).
+  */
+object Pipeline extends QueryModule {
+  import Tables._
+
+  private val QualityTau = 0.45
+
+  private def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    // 1. exact dedup
+    val docs = t(s, dir, "documents")
+    val keepExact = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    // 2. near-dup removal (reuses the LSH operator's verified pairs)
+    val nearDupLosers = Dedup.queries("dedup_minhash_lsh")(s, dir)
+      .select(col("b_id").as("doc_id")).distinct()
+    val kept = keepExact
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // 3. quality filter + report
+    docs.join(broadcast(kept), Seq("doc_id"))
+      .withColumn("w", TextAnalysis.tokens)
+      .withColumn("q", TextAnalysis.qualityScore)
+      .filter(col("q") >= QualityTau)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // exact integer-unit average — plain avg(double) is
+        // summation-order-dependent across partitions
+        exactAvg(col("q"), 1000000L).as("avg_quality"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean" -> pipelineClean)
+
+  private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_clean" ->
+      s"""WITH keep_exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |kept AS (
+         |  SELECT doc_id FROM keep_exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |scored AS (
+         |  SELECT doc_id, source, nt, sc, dr FROM (
+         |    SELECT dd.doc_id, dd.source,
+         |      CAST(len(w) AS DOUBLE) AS nt,
+         |      CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE) AS sc,
+         |      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr
+         |    FROM (SELECT doc_id, source, $wSql AS w FROM documents) dd
+         |    JOIN kept USING (doc_id)))
+         |SELECT source, count(*) AS n_kept,
+         |  ${sqlExactAvg(s"($qualitySql)", 1000000L)} AS avg_quality
+         |FROM scored WHERE $qualitySql >= $QualityTau
+         |GROUP BY source ORDER BY source""".stripMargin)
+
+  private def qualitySql: String = TextAnalysis.qualityScoreSql
+}

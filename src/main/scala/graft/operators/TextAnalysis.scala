@@ -45,22 +45,37 @@ object TextAnalysis extends QueryModule {
   // Heuristic score in [0,1]: length saturation, vocabulary diversity, and
   // a stopword-presence signal (natural text has stopwords; keyword spam
   // doesn't). Same shape as classic C4/Gopher-style quality filters.
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[operators] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+  /** The quality score over a tokenized `w` column — shared with the
+    * cleaning pipeline so both stay formula-identical with the oracle. */
+  private[operators] def qualityScore: Column = {
     val nTok = size(col("w")).cast("double")
     val stopCnt = size(filter(col("w"), x => x.isin(StopEn: _*))).cast("double")
     val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok
     val lenScore = least(lit(1.0), nTok / lit(100.0))
     val stopScore = least(lit(1.0), stopCnt / nTok * lit(5.0))
+    lenScore * lit(0.4) + distinctRatio * lit(0.4) + stopScore * lit(0.2)
+  }
+
+  /** SQL mirror of [[qualityScore]] given CTE columns nt/sc/dr. */
+  private[operators] val qualityScoreSql: String =
+    "least(1.0, nt / 100.0) * 0.4 + dr * 0.4 + least(1.0, sc / nt * 5.0) * 0.2"
+
+  /** Tokenizer column shared with the pipeline. */
+  private[operators] def tokens: Column = toksCol
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("w")).cast("double")
+    val stopCnt = size(filter(col("w"), x => x.isin(StopEn: _*))).cast("double")
+    val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok
     docs(s, dir).select(
       col("doc_id"),
       col("n_chars"),
       size(col("w")).cast("long").as("n_tokens"),
       round(distinctRatio, 6).as("distinct_ratio"),
       round(stopCnt / nTok, 6).as("stop_ratio"),
-      round(lenScore * lit(0.4) + distinctRatio * lit(0.4) + stopScore * lit(0.2), 6)
-        .as("quality"))
+      round(qualityScore, 6).as("quality"))
       .orderBy("doc_id")
   }
 

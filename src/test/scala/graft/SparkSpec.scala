@@ -63,7 +63,8 @@ class EntrySpec extends SparkSpec {
     "ivf_flat_search" -> 15,
     "ivf_pq_search" -> 10,
     "q_asof_orders" -> 10,
-    "q_range_orders" -> 10)
+    "q_range_orders" -> 10,
+    "pipeline_clean" -> 20)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
