@@ -95,26 +95,59 @@ object ManifestIO {
 
   /** Commit the next version. `base` decides append-vs-overwrite upstream —
     * this just writes version = latest+1 exclusively, retrying the version
-    * number on a concurrent commit. Returns the committed manifest. */
+    * number on a concurrent commit. Returns the committed manifest.
+    *
+    * Exclusivity primitive: on local filesystems, write a temp file and
+    * hard-link it to the version name — link(2) is atomic and fails if the
+    * target exists, and the linked content is already complete (Hadoop's
+    * local `create(overwrite=false)` is check-then-create and loses one of
+    * two racing commits). On HDFS, `create(overwrite=false)` is itself
+    * atomic-exclusive. Object stores without atomic create-exclusive need
+    * an external commit coordinator, as every manifest-based format does.
+    */
   def commit(root: String, schema: StructType, fragments: Seq[FragmentMeta],
              conf: Configuration, txnAppId: Option[String] = None,
              txnEpoch: Option[Long] = None): LanceManifest = {
     val f = fs(root, conf)
     f.mkdirs(versionsPath(root))
     var attempt = 0
-    while (true) {
+    while (attempt < 50) {
       val v = latestVersion(root, conf).getOrElse(0L) + 1
       val m = LanceManifest(v, schema, fragments, txnAppId, txnEpoch)
-      try {
-        // create(overwrite = false) is the create-exclusive primitive
-        val out = f.create(manifestPath(root, v), false)
-        try out.write(toJson(m).getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8)))
         return m
+      attempt += 1 // version raced; recompute and retry
+    }
+    throw new IllegalStateException(s"lance commit: lost the version race 50 times at $root")
+  }
+
+  /** Atomically create `path` with `bytes`; false if it already exists. */
+  private def writeExclusive(f: FileSystem, path: Path, bytes: Array[Byte]): Boolean = {
+    val isLocal = Option(path.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||
+      f.getScheme == "file"
+    if (isLocal) {
+      val target = java.nio.file.Paths.get(f.makeQualified(path).toUri.getPath)
+      val tmp = target.resolveSibling(s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.createLink(target, tmp) // atomic, fails if exists
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+    } else {
+      try {
+        val out = f.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
       } catch {
-        case NonFatal(_) if attempt < 10 => attempt += 1 // version raced; retry
+        case NonFatal(_) => false
       }
     }
-    throw new IllegalStateException("unreachable")
   }
 
   // ---- JSON (json4s, shipped with Spark) ---------------------------------

@@ -111,6 +111,29 @@ class LanceSpec extends SparkSpec {
     assert(!LancePruning.provablyEmpty(fr, schema, EqualTo("unknown_col", 1L)))
   }
 
+  test("concurrent manifest commits both land (create-exclusive + retry)") {
+    val root = tmp()
+    Tables.t(spark, sf, "region").write.format("lance").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val futures = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          gate.await()
+          ManifestIO.commit(root, m.schema, m.fragments, conf).version
+        }
+      })
+    }
+    gate.countDown()
+    val versions = futures.map(_.get()).sorted
+    pool.shutdown()
+    // all four commits succeeded with distinct consecutive versions
+    assert(versions === Seq(2L, 3L, 4L, 5L))
+    assert(ManifestIO.listVersions(root, conf) === (1L to 5L))
+  }
+
   test("time travel reads pinned versions") {
     val root = tmp()
     val region = Tables.t(spark, sf, "region")
