@@ -28,6 +28,11 @@ object TextAnalysis extends QueryModule {
     t(s, dir, "documents").withColumn("w", toksCol)
 
   // ---- text_tokens -------------------------------------------------------
+  // GPT-2-style pretokenizer shape (no backreferences → identical semantics
+  // in Java regex and DuckDB's RE2): word / number / punctuation runs, each
+  // optionally absorbing one leading space.
+  private[operators] val BpeIsh = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
   private def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
@@ -36,6 +41,8 @@ object TextAnalysis extends QueryModule {
       size(col("w")).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .cast("long").as("n_re_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeIsh), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
       size(array_distinct(col("w"))).cast("long").as("n_distinct"),
       round(aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
         .cast("double") / size(col("w")), 6).as("avg_token_len"))
@@ -132,6 +139,7 @@ object TextAnalysis extends QueryModule {
       s"""WITH d AS (SELECT doc_id, text, $wSql AS w FROM documents)
          |SELECT doc_id, len(w) AS n_ws_tokens,
          |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_re_tokens,
+         |  len(regexp_extract_all(text, '$BpeIsh')) AS n_bpe_tokens,
          |  len(list_distinct(w)) AS n_distinct,
          |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_token_len
          |FROM d ORDER BY doc_id""".stripMargin,
