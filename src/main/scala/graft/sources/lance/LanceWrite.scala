@@ -60,14 +60,18 @@ class LanceWrite(root: String, schema: StructType,
       val newFrags = messages.flatMap {
         case m: LanceFragmentsCommitMessage => m.fragments
       }.toSeq
-      val prev = ManifestIO.loadLatest(root, conf.value)
-      // keep the DECLARED table schema, not the write query's schema — a
-      // query schema can be narrower (non-nullable literals) and would
-      // make columns "required" that old fragments don't even have
-      val tableSchema = prev.map(_.schema).getOrElse(schema)
-      val frags = if (truncateAll) newFrags
-                  else prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
-      ManifestIO.commit(root, tableSchema, frags, conf.value)
+      // delta recomputed from the latest manifest on every retry, so a lost
+      // version race re-applies against the winner's fragment list instead
+      // of committing a stale merge (which would drop the winner's rows)
+      ManifestIO.commit(root, conf.value) { prev =>
+        // keep the DECLARED table schema, not the write query's schema — a
+        // query schema can be narrower (non-nullable literals) and would
+        // make columns "required" that old fragments don't even have
+        val tableSchema = prev.map(_.schema).getOrElse(schema)
+        val frags = if (truncateAll) newFrags
+                    else prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
+        Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty)))
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -79,22 +83,26 @@ class LanceWrite(root: String, schema: StructType,
       new LanceStreamingDataWriterFactory(root, schema, factory, conf, maxRowsPerFile)
 
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-      val latest = ManifestIO.loadLatest(root, conf.value)
-      val alreadyCommitted = latest.exists(m =>
-        m.txnAppId.contains(queryId) && m.txnEpoch.exists(_ >= epochId))
-      if (alreadyCommitted) {
-        // replayed epoch after recovery: fragments are duplicates — drop them
-        LanceWriteUtil.deleteFragments(root, messages, conf)
-      } else {
-        val newFrags = messages.flatMap {
-          case m: LanceFragmentsCommitMessage => m.fragments
-        }.toSeq
-        // as in batch commit: preserve the declared table schema on appends
-        val tableSchema = latest.map(_.schema).getOrElse(schema)
-        val prev = latest.map(_.fragments).getOrElse(Seq.empty)
-        ManifestIO.commit(root, tableSchema, prev ++ newFrags, conf.value,
-          txnAppId = Some(queryId), txnEpoch = Some(epochId))
+      val newFrags = messages.flatMap {
+        case m: LanceFragmentsCommitMessage => m.fragments
+      }.toSeq
+      // Exactly-once via the per-appId high-water map (the Delta txn
+      // pattern): every manifest carries appId -> last committed epoch, so
+      // interleaved batch appends/compactions can't erase the marker, and
+      // the replay check runs against the freshest manifest inside the
+      // commit retry loop (atomic wrt concurrent commits).
+      val committed = ManifestIO.commit(root, conf.value) { latest =>
+        val txns = latest.map(_.txns).getOrElse(Map.empty)
+        if (txns.get(queryId).exists(_ >= epochId)) None // replayed epoch
+        else {
+          // as in batch commit: preserve the declared table schema on appends
+          val tableSchema = latest.map(_.schema).getOrElse(schema)
+          val prev = latest.map(_.fragments).getOrElse(Seq.empty)
+          Some(LanceCommit(tableSchema, prev ++ newFrags, txns + (queryId -> epochId)))
+        }
       }
+      // replayed epoch after recovery: fragments are duplicates — drop them
+      if (committed.isEmpty) LanceWriteUtil.deleteFragments(root, messages, conf)
     }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -132,7 +140,14 @@ class LanceStreamingDataWriterFactory(root: String, schema: StructType,
 
 /** Executor-side fragment writer: rolls to a new parquet file every
   * `maxRowsPerFile` rows (reference: write.max-rows-per-file), then reads
-  * each finished file's footer to build fragment stats for the manifest. */
+  * each finished file's footer to build fragment stats for the manifest —
+  * footer reads and stats happen HERE, executor-side per task, so driver
+  * work per fragment is O(1) (the manifest commit only).
+  *
+  * Integral columns additionally accumulate an exact per-fragment SUM as
+  * rows stream through (one add per value — noise next to parquet
+  * encoding), which the scan folds to answer SUM/AVG pushdown. Overflow
+  * poisons the column's sum (None = unknown, declines pushdown). */
 class LanceDataWriter(root: String, schema: StructType,
                       factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                       conf: SerializableConfiguration, maxRowsPerFile: Long,
@@ -148,21 +163,56 @@ class LanceDataWriter(root: String, schema: StructType,
   private var rowsInFile = 0L
   private var files = List.empty[String] // relative paths under root
 
+  // integral columns tracked for exact SUM stats
+  private val sumFields: Array[(Int, org.apache.spark.sql.types.DataType, String)] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == ByteType || f.dataType == ShortType ||
+        f.dataType == IntegerType || f.dataType == LongType => (i, f.dataType, f.name)
+    }
+  }
+  private var sums: Array[Long] = _
+  private var sumOk: Array[Boolean] = _
+  private var finishedSums = Map.empty[String, Map[String, Long]] // rel -> col -> sum
+
   private def roll(): Unit = {
     closeCurrent()
     val rel = s"${ManifestIO.DataDir}/${UUID.randomUUID()}-p$partitionId$ext"
     files ::= rel
     writer = factory.newInstance(new Path(root, rel).toString, schema, ctx)
     rowsInFile = 0L
+    sums = new Array[Long](sumFields.length)
+    sumOk = Array.fill(sumFields.length)(true)
   }
 
   private def closeCurrent(): Unit = {
-    if (writer != null) { writer.close(); writer = null }
+    if (writer != null) {
+      writer.close(); writer = null
+      finishedSums += files.head -> sumFields.indices.collect {
+        case j if sumOk(j) => sumFields(j)._3 -> sums(j)
+      }.toMap
+    }
   }
 
   override def write(record: InternalRow): Unit = {
     if (writer == null || rowsInFile >= maxRowsPerFile) roll()
     writer.write(record)
+    var j = 0
+    while (j < sumFields.length) {
+      val (i, dt, _) = sumFields(j)
+      if (sumOk(j) && !record.isNullAt(i)) {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+        val v: Long = dt match {
+          case ByteType => record.getByte(i).toLong
+          case ShortType => record.getShort(i).toLong
+          case IntegerType => record.getInt(i).toLong
+          case _ => record.getLong(i)
+        }
+        try sums(j) = Math.addExact(sums(j), v)
+        catch { case _: ArithmeticException => sumOk(j) = false }
+      }
+      j += 1
+    }
     rowsInFile += 1
   }
 
@@ -170,7 +220,9 @@ class LanceDataWriter(root: String, schema: StructType,
     closeCurrent()
     val frags = files.reverse.map { rel =>
       val (rows, size, stats) = ManifestIO.footerStats(conf.value, new Path(root, rel))
-      FragmentMeta(rel, rows, size, stats)
+      val fileSums = finishedSums.getOrElse(rel, Map.empty)
+      val withSums = stats.map { case (c, cs) => c -> cs.copy(sum = fileSums.get(c)) }
+      FragmentMeta(rel, rows, size, withSums)
     }
     LanceFragmentsCommitMessage(frags)
   }
@@ -184,16 +236,18 @@ class LanceDataWriter(root: String, schema: StructType,
   override def close(): Unit = closeCurrent()
 }
 
-/** Driver-side batch save for `df.write.format("lance").save(path)`:
-  * stages through Spark's native (vectorized, codegen'd) parquet writer,
-  * then moves the staged files in as fragments and commits one manifest.
-  * At 100 TB this is the same IO as a plain parquet write plus an
-  * O(files) footer pass and one rename per file. */
+/** Batch save for `df.write.format("lance").save(path)` (the V1
+  * create-on-write fallback): executors write fragments directly through
+  * the rolling [[LanceDataWriter]] — parquet encode, footer-stats read and
+  * SUM accumulation all happen task-side in parallel — and the driver's
+  * only per-fragment work is folding the returned metadata into one
+  * manifest commit. No staging directory, no renames, no driver-side
+  * footer loop (that serial pass was the r2 scale-killer: at 10^5-10^6
+  * fragments it serialized the whole write on the driver). */
 object LanceBatchSave {
   def write(spark: SparkSession, df: DataFrame, root: String,
             options: Map[String, String], append: Boolean): Unit = {
     val conf = Shim.hadoopConf(spark, options)
-    val fs = ManifestIO.fs(root, conf)
     val prev = ManifestIO.loadLatest(root, conf)
     prev.foreach { m =>
       if (append) require(
@@ -203,34 +257,35 @@ object LanceBatchSave {
     }
     val newFrags = stageFragments(spark, df, root,
       LanceOptions.get(options, "maxRowsPerFile"))
-    val frags = if (append) prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
-                else newFrags
-    ManifestIO.commit(root, df.schema, frags, conf)
+    ManifestIO.commit(root, conf) { latest =>
+      val frags = if (append) latest.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
+                  else newFrags
+      Some(LanceCommit(df.schema, frags, latest.map(_.txns).getOrElse(Map.empty)))
+    }
   }
 
-  /** Stage `df` through the native parquet writer, move the files in as
-    * fragments under `data/`, and return their metadata (no commit). */
+  /** Write `df` as fragments under `data/` (executor-parallel, rolling by
+    * maxRowsPerFile) and return their metadata (no commit). A failed task
+    * attempt aborts its own files; any leftovers from lost executors are
+    * unreferenced and reclaimed by vacuum. */
   private[lance] def stageFragments(spark: SparkSession, df: DataFrame, root: String,
                                     maxRowsPerFile: Option[String]): Seq[FragmentMeta] = {
-    val conf = Shim.hadoopConf(spark, Map.empty)
-    val fs = ManifestIO.fs(root, conf)
-    val staging = new Path(root, s".staging-${UUID.randomUUID()}")
-    try {
-      var w = df.write.mode("overwrite")
-      maxRowsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
-      w.parquet(staging.toString)
-      fs.mkdirs(new Path(root, ManifestIO.DataDir))
-      fs.listStatus(staging).toSeq
-        .filter(s => s.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val rel = s"${ManifestIO.DataDir}/${UUID.randomUUID()}-${st.getPath.getName}"
-          fs.rename(st.getPath, new Path(root, rel))
-          val (rows, size, stats) = ManifestIO.footerStats(conf, new Path(root, rel))
-          FragmentMeta(rel, rows, size, stats)
-        }
-    } finally {
-      fs.delete(staging, true)
-    }
+    val schema = df.schema
+    val (factory, conf) = Shim.parquetWriterFactory(spark, schema, Map.empty)
+    val maxRows = maxRowsPerFile.map(_.toLong).getOrElse(Long.MaxValue)
+    ManifestIO.fs(root, conf.value).mkdirs(new Path(root, ManifestIO.DataDir))
+    Shim.toRdd(df).mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val w = new LanceDataWriter(root, schema, factory, conf, maxRows, pid, pid.toLong)
+        try {
+          rows.foreach(w.write)
+          Iterator.single(w.commit().asInstanceOf[LanceFragmentsCommitMessage].fragments)
+        } catch {
+          case t: Throwable => w.abort(); throw t
+        } finally w.close()
+      }
+    }.collect().toSeq.flatten
   }
 }
 
@@ -249,17 +304,47 @@ object LanceMaintenance {
       throw new IllegalStateException(s"lance dataset not found: $root"))
     val (small, big) = m.fragments.partition(_.rows < smallerThanRows)
     if (small.size <= 1) return m
-    val paths = small.map(f => new Path(root, f.path).toString)
-    val df = spark.read.schema(m.schema).parquet(paths: _*)
+    // read per distinct hidden-mask group so dropped-then-readded columns
+    // stay null through the rewrite (never resurrect stale physical values)
+    val dfs = small.groupBy(_.hidden.toSet).map { case (hiddenSet, frs) =>
+      val paths = frs.map(f => new Path(root, f.path).toString)
+      val masked = m.schema.fieldNames.filter(hiddenSet)
+      val readSchema = StructType(m.schema.fields.filterNot(f => hiddenSet(f.name)))
+      masked.foldLeft(spark.read.schema(readSchema).parquet(paths: _*)) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+          .cast(m.schema(c).dataType))
+      }.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    }
+    val df = dfs.reduce(_.unionAll(_))
     val newFrags = LanceBatchSave.stageFragments(spark, df, root,
       Some(targetRows.toString))
-    ManifestIO.commit(root, m.schema, big ++ newFrags, conf)
+    val smallPaths = small.map(_.path).toSet
+    ManifestIO.commit(root, conf) { latest =>
+      val cur = latest.getOrElse(
+        throw new IllegalStateException(s"lance dataset disappeared during compact: $root"))
+      // conflict check: if a concurrent commit removed any of the fragments
+      // we rewrote (another compaction/overwrite), committing would
+      // duplicate or resurrect rows — abandon instead (first writer wins)
+      if (!smallPaths.forall(cur.fragments.map(_.path).toSet)) None
+      else Some(LanceCommit(cur.schema,
+        cur.fragments.filterNot(f => smallPaths(f.path)) ++ newFrags, cur.txns))
+    }.getOrElse {
+      val fs = ManifestIO.fs(root, conf)
+      newFrags.foreach(f => fs.delete(new Path(root, f.path), false))
+      ManifestIO.loadLatest(root, conf).get
+    }
   }
 
   /** Keep only the last `retainVersions` manifests and delete data files no
     * remaining version references. Time travel older than the cutoff stops
-    * working — that is the point. */
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Unit = {
+    * working — that is the point.
+    *
+    * `graceMs`: files younger than this are never deleted (mtime-based,
+    * like Delta's vacuum retention) — an in-flight write stages fragments
+    * into `data/` before its driver commit, and deleting them mid-write
+    * would make the subsequent commit reference missing files. */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1,
+             graceMs: Long = 10 * 60 * 1000L): Unit = {
     require(retainVersions >= 1, "must retain at least the current version")
     val conf = Shim.hadoopConf(spark, Map.empty)
     val fs = ManifestIO.fs(root, conf)
@@ -267,11 +352,13 @@ object LanceMaintenance {
     val keep = versions.takeRight(retainVersions)
     val referenced = keep.flatMap(v =>
       ManifestIO.load(root, v, conf).fragments.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new Path(root, ManifestIO.DataDir)
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { st =>
         val rel = s"${ManifestIO.DataDir}/${st.getPath.getName}"
-        if (!referenced.contains(rel)) fs.delete(st.getPath, false)
+        if (!referenced.contains(rel) && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
       }
     }
     versions.dropRight(retainVersions).foreach(v =>

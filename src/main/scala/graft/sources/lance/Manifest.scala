@@ -13,29 +13,49 @@ import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
-/** Per-column fragment statistics. min/max/nullCount are optional — absent
-  * means "unknown" and disables pruning/stats-answers for that column (never
-  * wrong, just less pruning). Values are stored in Spark's *internal*
+/** Per-column fragment statistics. min/max/nullCount/sum are optional —
+  * absent means "unknown" and disables pruning/stats-answers for that column
+  * (never wrong, just less pruning). Values are stored in Spark's *internal*
   * domain: JLong for integral/date(days)/timestamp(micros), JDouble for
-  * float/double, JString for UTF8 strings.
+  * float/double, JString for UTF8 strings. `sum` is recorded only for
+  * integral columns (exact long arithmetic; float sums are order-dependent
+  * so they are never stats-answered) and enables SUM/AVG aggregate pushdown
+  * (reference: AggregateExecutor.java:125-143,256-260).
   */
-case class ColStats(min: Option[JValue], max: Option[JValue], nullCount: Option[Long])
+case class ColStats(min: Option[JValue], max: Option[JValue], nullCount: Option[Long],
+                    sum: Option[Long] = None)
 
 /** One immutable data fragment (a parquet file under `data/`).
   * Mirrors the role of reference LanceSplit.java / the fragment list the
   * Flink source enumerates (LanceSource.java:172-185), re-expressed as a
-  * manifest entry instead of a JNI dataset handle. */
+  * manifest entry instead of a JNI dataset handle.
+  *
+  * `hidden` carries column *identity* across schema evolution: a column
+  * DROPped and later re-ADDed under the same name must read as NULL from
+  * fragments written before the drop, even though their physical parquet
+  * files still contain the old values (the reader otherwise resolves by
+  * name). DROP adds the name here; readers null-mask it.
+  */
 case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
-                        stats: Map[String, ColStats])
+                        stats: Map[String, ColStats],
+                        hidden: Seq[String] = Nil)
 
 /** A dataset version: the complete fragment list visible at that version,
-  * plus the schema and an optional streaming-epoch marker for exactly-once
-  * sinks (reference: LanceSink.java:27 CheckpointedFunction). */
+  * plus the schema and the streaming-transaction high-water map for
+  * exactly-once sinks (reference: LanceSink.java:27 CheckpointedFunction).
+  * `txns` maps writer appId -> highest committed epoch and is carried
+  * forward by EVERY commit (the Delta txn pattern), so interleaved batch
+  * commits/compactions can never erase a stream's replay marker. */
 case class LanceManifest(version: Long, schema: StructType,
                          fragments: Seq[FragmentMeta],
-                         txnAppId: Option[String], txnEpoch: Option[Long]) {
+                         txns: Map[String, Long] = Map.empty) {
   def totalRows: Long = fragments.map(_.rows).sum
 }
+
+/** The content of one commit, computed from the current latest manifest by
+  * the `make` function passed to [[ManifestIO.commit]]. */
+case class LanceCommit(schema: StructType, fragments: Seq[FragmentMeta],
+                       txns: Map[String, Long] = Map.empty)
 
 /** Manifest IO for the lance-style dataset layout:
   *
@@ -93,9 +113,13 @@ object ManifestIO {
   def loadLatest(root: String, conf: Configuration): Option[LanceManifest] =
     latestVersion(root, conf).map(load(root, _, conf))
 
-  /** Commit the next version. `base` decides append-vs-overwrite upstream —
-    * this just writes version = latest+1 exclusively, retrying the version
-    * number on a concurrent commit. Returns the committed manifest.
+  /** Commit the next version, read-modify-write style: `make` computes the
+    * commit content FROM the current latest manifest and is re-invoked on
+    * every retry — so a commit that loses the version race re-reads the
+    * winner's manifest and re-applies its own delta (append = winner's
+    * fragments + mine) instead of silently dropping the winner's fragments.
+    * `make` returning None abandons the commit (e.g. a replayed streaming
+    * epoch detected against the freshest manifest); the result is then None.
     *
     * Exclusivity primitive: on local filesystems, write a temp file and
     * hard-link it to the version name — link(2) is atomic and fails if the
@@ -105,21 +129,34 @@ object ManifestIO {
     * atomic-exclusive. Object stores without atomic create-exclusive need
     * an external commit coordinator, as every manifest-based format does.
     */
-  def commit(root: String, schema: StructType, fragments: Seq[FragmentMeta],
-             conf: Configuration, txnAppId: Option[String] = None,
-             txnEpoch: Option[Long] = None): LanceManifest = {
+  def commit(root: String, conf: Configuration)
+            (make: Option[LanceManifest] => Option[LanceCommit]): Option[LanceManifest] = {
     val f = fs(root, conf)
     f.mkdirs(versionsPath(root))
     var attempt = 0
     while (attempt < 50) {
-      val v = latestVersion(root, conf).getOrElse(0L) + 1
-      val m = LanceManifest(v, schema, fragments, txnAppId, txnEpoch)
-      if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8)))
-        return m
-      attempt += 1 // version raced; recompute and retry
+      val latest = loadLatest(root, conf)
+      make(latest) match {
+        case None => return None
+        case Some(c) =>
+          val v = latest.map(_.version).getOrElse(0L) + 1
+          val m = LanceManifest(v, c.schema, c.fragments, c.txns)
+          if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8)))
+            return Some(m)
+      }
+      attempt += 1 // version raced; re-read the winner and re-apply the delta
     }
     throw new IllegalStateException(s"lance commit: lost the version race 50 times at $root")
   }
+
+  /** Plain append/overwrite commit: carries the previous txn map forward. */
+  def commitAppend(root: String, schema: StructType, newFragments: Seq[FragmentMeta],
+                   conf: Configuration, truncate: Boolean = false): LanceManifest =
+    commit(root, conf) { latest =>
+      val prev = if (truncate) Seq.empty else latest.map(_.fragments).getOrElse(Seq.empty)
+      Some(LanceCommit(schema, prev ++ newFragments,
+        latest.map(_.txns).getOrElse(Map.empty)))
+    }.get
 
   /** Atomically create `path` with `bytes`; false if it already exists. */
   private def writeExclusive(f: FileSystem, path: Path, bytes: Array[Byte]): Boolean = {
@@ -160,17 +197,20 @@ object ManifestIO {
         "path" -> JString(fr.path),
         "rows" -> JLong(fr.rows),
         "sizeBytes" -> JLong(fr.sizeBytes),
+        "hidden" -> (if (fr.hidden.isEmpty) JNothing
+                     else JArray(fr.hidden.toList.map(JString))),
         "stats" -> JObject(fr.stats.toList.map { case (c, s) =>
           c -> JObject(
             "min" -> jv(s.min), "max" -> jv(s.max),
-            "nullCount" -> s.nullCount.map(JLong(_)).getOrElse(JNothing))
+            "nullCount" -> s.nullCount.map(JLong(_)).getOrElse(JNothing),
+            "sum" -> s.sum.map(JLong(_)).getOrElse(JNothing))
         }))
     })
     JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
       "schemaJson" -> JString(m.schema.json),
-      "txnAppId" -> m.txnAppId.map(JString).getOrElse(JNothing),
-      "txnEpoch" -> m.txnEpoch.map(JLong(_)).getOrElse(JNothing),
+      "txns" -> (if (m.txns.isEmpty) JNothing
+                 else JObject(m.txns.toList.map { case (k, v) => k -> JLong(v) })),
       "fragments" -> frags)))
   }
 
@@ -193,22 +233,34 @@ object ManifestIO {
       val stats = (fr \ "stats") match {
         case JObject(fields) => fields.map { case (c, sv) =>
           c -> ColStats(opt(sv \ "min"), opt(sv \ "max"),
-            opt(sv \ "nullCount").map(asLong))
+            opt(sv \ "nullCount").map(asLong),
+            opt(sv \ "sum").map(asLong))
         }.toMap
         case _ => Map.empty[String, ColStats]
+      }
+      val hidden = (fr \ "hidden") match {
+        case JArray(vs) => vs.map(_.asInstanceOf[JString].s)
+        case _ => Nil
       }
       FragmentMeta(
         (fr \ "path").asInstanceOf[JString].s,
         asLong(fr \ "rows"),
         asLong(fr \ "sizeBytes"),
-        stats)
+        stats,
+        hidden)
+    }
+    // legacy single-marker manifests (pre txn-map) read into a 1-entry map
+    val txns = (j \ "txns") match {
+      case JObject(fields) => fields.map { case (k, v) => k -> asLong(v) }.toMap
+      case _ =>
+        (for (app <- opt(j \ "txnAppId").map(_.asInstanceOf[JString].s);
+              ep <- opt(j \ "txnEpoch").map(asLong)) yield app -> ep).toMap
     }
     LanceManifest(
       asLong(j \ "version"),
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       frags,
-      opt(j \ "txnAppId").map(_.asInstanceOf[JString].s),
-      opt(j \ "txnEpoch").map(asLong))
+      txns)
   }
 
   // ---- fragment stats from parquet footers -------------------------------
