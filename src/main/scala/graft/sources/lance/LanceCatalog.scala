@@ -84,7 +84,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = tablePath(ident)
     fs.mkdirs(p)
-    ManifestIO.commit(p.toString, schema, Seq.empty, conf)
+    ManifestIO.commitAppend(p.toString, schema, Seq.empty, conf)
     loadTable(ident)
   }
 
@@ -93,22 +93,38 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     * fragments with nulls (ADD) or simply stops projecting them (DROP). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
-    val m = ManifestIO.loadLatest(p.toString, conf).getOrElse(
-      throw new NoSuchTableException(ident))
-    var schema = m.schema
-    changes.foreach {
-      case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
-        // added columns are nullable by construction: old fragments have
-        // no values for them
-        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
-      case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
-        val name = del.fieldNames()(0)
-        require(schema.fieldNames.contains(name), s"no such column: $name")
-        schema = StructType(schema.fields.filterNot(_.name == name))
-      case other => throw new UnsupportedOperationException(
-        s"lance: unsupported table change $other (only top-level ADD/DROP COLUMN)")
+    if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
+    // Read-modify-write: apply the changes to the *freshest* manifest inside
+    // the commit closure, so a racing append's fragments are never dropped.
+    ManifestIO.commit(p.toString, conf) { latestOpt =>
+      val latest = latestOpt.getOrElse(throw new NoSuchTableException(ident))
+      var schema = latest.schema
+      var dropped = Set.empty[String]
+      changes.foreach {
+        case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
+          // added columns are nullable by construction: old fragments have
+          // no values for them
+          schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
+          val name = del.fieldNames()(0)
+          require(schema.fieldNames.contains(name), s"no such column: $name")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          dropped += name
+        case other => throw new UnsupportedOperationException(
+          s"lance: unsupported table change $other (only top-level ADD/DROP COLUMN)")
+      }
+      // DROP severs column *identity*: stamp the name into every live
+      // fragment's hidden mask (readers null-mask it; stats answers and
+      // pruning skip it) so a later re-ADD under the same name cannot
+      // resurrect the old physical values.
+      val frags =
+        if (dropped.isEmpty) latest.fragments
+        else latest.fragments.map { f =>
+          f.copy(hidden = (f.hidden ++ dropped).distinct,
+                 stats = f.stats -- dropped)
+        }
+      Some(LanceCommit(schema, frags, latest.txns))
     }
-    ManifestIO.commit(p.toString, schema, m.fragments, conf)
     loadTable(ident)
   }
 

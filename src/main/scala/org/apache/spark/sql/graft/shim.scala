@@ -23,6 +23,14 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The physical plan's output as `RDD[InternalRow]` — the same rows an
+    * executor-side V2 DataWriter would receive, without a row-to-Row
+    * conversion pass. NOTE: rows are reused across `next()` calls; a
+    * consumer must either process each row before advancing (as a parquet
+    * OutputWriter does) or `copy()` it. */
+  def toRdd(df: org.apache.spark.sql.DataFrame): org.apache.spark.rdd.RDD[InternalRow] =
+    df.queryExecution.toRdd
+
   /** Session Hadoop conf with per-scan options merged in. */
   def hadoopConf(spark: SparkSession, options: Map[String, String]): Configuration =
     spark.sessionState.newHadoopConfWithOptions(options)
