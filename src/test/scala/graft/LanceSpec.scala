@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.lance.{ColStats, FragmentMeta, LancePruning, ManifestIO}
+import graft.sources.lance.{ColStats, FragmentMeta, LanceCommit, LancePruning, ManifestIO}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.json4s.{JLong, JString}
@@ -122,7 +122,7 @@ class LanceSpec extends SparkSpec {
       pool.submit(new java.util.concurrent.Callable[Long] {
         override def call(): Long = {
           gate.await()
-          ManifestIO.commit(root, m.schema, m.fragments, conf).version
+          ManifestIO.commit(root, conf)(_ => Some(LanceCommit(m.schema, m.fragments, m.txns))).get.version
         }
       })
     }

@@ -66,7 +66,7 @@ class LanceStreamSpec extends SparkSpec {
     LanceMaintenance.compact(spark, root, smallerThanRows = 100, targetRows = 100)
     assert(ManifestIO.listVersions(root, conf).size === 2)
 
-    LanceMaintenance.vacuum(spark, root, retainVersions = 1)
+    LanceMaintenance.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
     assert(ManifestIO.listVersions(root, conf).size === 1)
     // current version fully readable; its fragment files survived
     assert(spark.read.format("lance").load(root).count() === region.count())
