@@ -98,7 +98,9 @@ object LanceOps extends QueryModule {
       min("o_custkey").as("min_cust"),
       max("o_custkey").as("max_cust"),
       min("o_totalprice").as("min_price"),
-      max("o_totalprice").as("max_price"))
+      max("o_totalprice").as("max_price"),
+      sum("o_custkey").as("sum_cust"),
+      avg("o_custkey").as("avg_cust"))
   }
 
   // ---- versioning --------------------------------------------------------
@@ -221,7 +223,9 @@ object LanceOps extends QueryModule {
     "lance_agg_pushdown" ->
       """SELECT count(*) AS n, count(o_custkey) AS n_cust,
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
-        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  avg(o_custkey) AS avg_cust
         |FROM orders""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",

@@ -3,7 +3,7 @@ package graft.sources.lance
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.graft.Shim
@@ -27,11 +27,12 @@ import scala.jdk.CollectionConverters._
   *   only skip data, never produce wrong rows).
   * - Limit: truncates the fragment list by manifest row counts (only when
   *   no filters are pushed) and caps rows per reader.
-  * - Aggregates: COUNT(*)/COUNT(col)/MIN/MAX with no GROUP BY and no
-  *   filters are answered entirely from manifest stats — O(versions), not
-  *   O(data) (reference: AggregateExecutor.java:102-161). Strings are
+  * - Aggregates: COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG with no GROUP BY and
+  *   no filters are answered entirely from manifest stats — O(versions),
+  *   not O(data) (reference: AggregateExecutor.java:102-161). Strings are
   *   excluded from MIN/MAX answers (parquet may truncate binary stats);
-  *   SUM/AVG/COUNT DISTINCT decline and fall back to a normal scan.
+  *   SUM/AVG answer only integral columns (exact long sums recorded at
+  *   write time); float sums and COUNT DISTINCT decline to a normal scan.
   */
 class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifest,
                        options: Map[String, String]) extends ScanBuilder
@@ -91,8 +92,36 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       minMax(m.column, isMin = true)
     case m: Max =>
       minMax(m.column, isMin = false)
-    case _ => None // Sum / Avg / distinct → full scan
+    case s: Sum if !s.isDistinct =>
+      // exact per-fragment long sums folded with overflow checks; Spark's
+      // Sum over integral inputs yields LongType, matching the stat domain
+      // (reference: AggregateExecutor.java:125-143)
+      sumStat(s.column).map { case (name, total, nonNull) =>
+        (StructField(s"sum_$name", LongType, nullable = true),
+          if (nonNull == 0) null else java.lang.Long.valueOf(total))
+      }
+    case a: Avg if !a.isDistinct =>
+      sumStat(a.column).map { case (name, total, nonNull) =>
+        (StructField(s"avg_$name", DoubleType, nullable = true),
+          if (nonNull == 0) null else java.lang.Double.valueOf(total.toDouble / nonNull))
+      }
+    case _ => None // distinct / float sums → full scan
   }
+
+  /** (name, Σ sums, non-null rows) when every fragment carries an exact sum
+    * for an integral column; fold overflow declines (None → full scan). */
+  private def sumStat(col: org.apache.spark.sql.connector.expressions.Expression):
+      Option[(String, Long, Long)] =
+    for {
+      name <- fieldName(col)
+      field <- manifest.schema.fields.find(_.name == name)
+      if field.dataType == ByteType || field.dataType == ShortType ||
+        field.dataType == IntegerType || field.dataType == LongType
+      ss <- colStats(name)
+      if ss.forall(s => s.sum.isDefined && s.nullCount.isDefined)
+      total <- try Some(ss.map(_.sum.get).foldLeft(0L)(Math.addExact))
+               catch { case _: ArithmeticException => None }
+    } yield (name, total, manifest.totalRows - ss.map(_.nullCount.get).sum)
 
   private def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
                      isMin: Boolean): Option[(StructField, Any)] =

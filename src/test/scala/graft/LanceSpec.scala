@@ -56,6 +56,18 @@ class LanceSpec extends SparkSpec {
     assert(aPlan.contains("answered from manifest stats"), aPlan)
   }
 
+  test("SUM/AVG over integral columns are answered from manifest stats") {
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    val ds = spark.read.format("lance").load(root)
+    val q = ds.agg(sum("o_custkey"), avg("o_custkey"), count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LanceStatsScan"), plan)
+    val viaStats = q.collect()(0)
+    val viaScan = orders.agg(sum("o_custkey"), avg("o_custkey"), count(lit(1))).collect()(0)
+    assert(viaStats === viaScan)
+  }
+
   test("atomic-schema reads are columnar (batches into ColumnarToRow)") {
     val root = tmp()
     orders.write.format("lance").save(root)
