@@ -103,8 +103,12 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
       changes.foreach {
         case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
           // added columns are nullable by construction: old fragments have
-          // no values for them
-          schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+          // no values for them. Spark's analyzer rejects duplicates on the
+          // SQL path only — guard the direct API too (StructType.add would
+          // happily append a second field with the same name).
+          val name = add.fieldNames()(0)
+          require(!schema.fieldNames.contains(name), s"column already exists: $name")
+          schema = schema.add(name, add.dataType(), nullable = true)
         case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
           val name = del.fieldNames()(0)
           require(schema.fieldNames.contains(name), s"no such column: $name")

@@ -249,9 +249,12 @@ object LancePruning {
 
 /** One input partition = one byte range of one fragment. Fragments larger
   * than `splitBytes` split into ranges (the parquet reader aligns ranges to
-  * row groups), so a huge fragment still parallelizes across executors. */
+  * row groups), so a huge fragment still parallelizes across executors.
+  * `hidden` is the fragment's masked-column set restricted to the columns
+  * this scan touches (sorted, so it doubles as a stable group key). */
 case class LanceInputPartition(path: String, start: Long, length: Long,
-                               fileSize: Long) extends InputPartition
+                               fileSize: Long,
+                               hidden: Seq[String] = Nil) extends InputPartition
 
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
                        fragments: Seq[FragmentMeta], required: StructType,
@@ -282,6 +285,15 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
       s"PushedLimit: ${limit.getOrElse(-1)}, " +
       s"ReadSchema: ${required.catalogString}"
 
+  /** Columns whose masking matters for THIS scan: projected or filtered.
+    * (Residual filter references are always in `required` too — Spark keeps
+    * them projected for re-evaluation — but union them for safety.) */
+  private val relevantCols: Set[String] =
+    required.fieldNames.toSet ++ filters.flatMap(_.references)
+
+  private def maskKey(fr: FragmentMeta): Seq[String] =
+    fr.hidden.filter(relevantCols).sorted
+
   override def planInputPartitions(): Array[InputPartition] = {
     // limit: stop enumerating fragments once manifest row counts cover it
     val chosen = limit match {
@@ -294,10 +306,11 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     chosen.flatMap { fr =>
       val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
       if (fr.sizeBytes <= splitBytes || limit.isDefined) {
-        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes))
+        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, maskKey(fr)))
       } else {
         (0L until fr.sizeBytes by splitBytes).map { off =>
-          LanceInputPartition(p, off, math.min(splitBytes, fr.sizeBytes - off), fr.sizeBytes)
+          LanceInputPartition(p, off, math.min(splitBytes, fr.sizeBytes - off),
+            fr.sizeBytes, maskKey(fr))
         }
       }
     }.toArray
@@ -308,10 +321,20 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     // FileSourceScanExec ships to executors. When the schema is atomic and
     // the vectorized reader is on, read columnar: batches flow straight
     // into WholeStageCodegen's ColumnarToRow instead of per-row iteration.
-    val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
-    val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
-      returningBatch = columnar)
-    new LanceReaderFactory(readFn, limit, columnar)
+    val hiddenSets = fragments.map(maskKey).distinct
+    if (hiddenSets.forall(_.isEmpty)) {
+      val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
+      val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
+        returningBatch = columnar)
+      new LanceReaderFactory(readFn, limit, columnar)
+    } else {
+      // at least one planned fragment predates a DROP of a column this scan
+      // touches: per-hidden-group readers with NULL re-injection (row path;
+      // Spark forbids mixing row and columnar partitions in one scan)
+      new LanceMaskedReaderFactory(
+        LanceReadGroup.build(spark, manifest.schema, required, filters, options, hiddenSets),
+        limit)
+    }
   }
 }
 
@@ -353,6 +376,85 @@ class LanceReaderFactory(
         if (batches.hasNext) { current = batches.next(); true } else false
       }
       override def get(): ColumnarBatch = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Per-hidden-set read group: a parquet-reader closure with the masked
+  * fields cut from both schemas, plus the ordinal mapping that re-injects
+  * NULLs at the masked positions of the required schema. Column identity
+  * across DROP/re-ADD: the reference resolves columns by Lance field IDs;
+  * here the manifest's per-fragment `hidden` set plays that role — a
+  * fragment written before a DROP must read the re-ADDed name as NULL,
+  * never the stale physical values (reference: schema evolution in
+  * LanceCatalog.java / Lance field-id semantics). */
+private[lance] case class LanceReadGroup(
+    readFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    mapping: Array[Int], types: Array[DataType]) {
+  def isIdentity: Boolean = mapping.indices.forall(i => mapping(i) == i)
+}
+
+private[lance] object LanceReadGroup {
+  /** One group per distinct hidden-set (keys sorted). Filters referencing a
+    * masked column are NOT pushed into that group's reader: the physical
+    * file still holds the pre-DROP values, and parquet row-group skipping
+    * on stale values would silently drop rows whose masked value correctly
+    * reads as NULL. All filters are residual, so Spark re-evaluates them
+    * against the masked output. */
+  def build(spark: SparkSession, tableSchema: StructType, required: StructType,
+            filters: Seq[Filter], options: Map[String, String],
+            hiddenSets: Seq[Seq[String]]): Map[Seq[String], LanceReadGroup] =
+    hiddenSets.map { hs =>
+      val hsSet = hs.toSet
+      val dataSchema = StructType(tableSchema.fields.filterNot(f => hsSet(f.name)))
+      val readSchema = StructType(required.fields.filterNot(f => hsSet(f.name)))
+      val safeFilters = filters.filterNot(_.references.exists(hsSet))
+      val readFn = Shim.parquetReader(spark, dataSchema, readSchema, safeFilters,
+        options, returningBatch = false)
+      var j = 0
+      val mapping = required.fields.map { f =>
+        if (hsSet(f.name)) -1 else { val r = j; j += 1; r }
+      }
+      (hs: Seq[String]) -> LanceReadGroup(readFn, mapping, required.fields.map(_.dataType))
+    }.toMap
+}
+
+/** Row-based factory used whenever any planned fragment masks a column the
+  * scan touches: each partition reads through its hidden-group's reader and
+  * NULLs are injected at the masked ordinals. Hidden fragments exist only
+  * between a DROP COLUMN and the next compaction, so the columnar fast path
+  * is given up only for those scans. */
+class LanceMaskedReaderFactory(groups: Map[Seq[String], LanceReadGroup],
+                               limit: Option[Int]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LanceInputPartition]
+    val g = groups.getOrElse(p.hidden, throw new IllegalStateException(
+      s"lance: no reader group for hidden-set [${p.hidden.mkString(",")}] " +
+        "(schema evolved between planning and read?)"))
+    val rows = g.readFn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
+      .asInstanceOf[Iterator[AnyRef]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      }
+    val projected =
+      if (g.isIdentity) rows
+      else rows.map { r =>
+        val out = new Array[Any](g.mapping.length)
+        var i = 0
+        while (i < g.mapping.length) {
+          val m = g.mapping(i)
+          out(i) = if (m < 0 || r.isNullAt(m)) null else r.get(m, g.types(i))
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+    val capped = limit.map(n => projected.take(n)).getOrElse(projected)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (capped.hasNext) { current = capped.next(); true } else false
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }

@@ -63,15 +63,29 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
     }
   }
 
+  private val requiredNames = requiredSchema.fieldNames.toSet
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     newFragments(parse(start), parse(end)).map { fr =>
       val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
-      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes): InputPartition
+      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes,
+        fr.hidden.filter(requiredNames).sorted): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
-    new LanceReaderFactory(readFn, limit = None, columnar = false)
+    // masked fragments (pre-DROP leftovers) can appear in the initial
+    // catch-up batches; build one reader group per hidden-set visible in
+    // the latest manifest so those read their re-ADDed columns as NULL
+    val hiddenSets = ManifestIO.loadLatest(root, conf).toSeq
+      .flatMap(_.fragments).map(_.hidden.filter(requiredNames).sorted.toSeq).distinct
+    if (hiddenSets.forall(_.isEmpty)) {
+      val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
+      new LanceReaderFactory(readFn, limit = None, columnar = false)
+    } else {
+      new LanceMaskedReaderFactory(
+        LanceReadGroup.build(spark, dataSchema, requiredSchema, Seq.empty, options, hiddenSets),
+        limit = None)
+    }
   }
 
   override def commit(end: Offset): Unit = ()

@@ -68,8 +68,9 @@ class LanceWrite(root: String, schema: StructType,
         // query schema can be narrower (non-nullable literals) and would
         // make columns "required" that old fragments don't even have
         val tableSchema = prev.map(_.schema).getOrElse(schema)
-        val frags = if (truncateAll) newFrags
-                    else prev.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
+        val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, tableSchema)
+        val frags = if (truncateAll) stamped
+                    else prev.map(_.fragments).getOrElse(Seq.empty) ++ stamped
         Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty)))
       }
     }
@@ -98,7 +99,8 @@ class LanceWrite(root: String, schema: StructType,
           // as in batch commit: preserve the declared table schema on appends
           val tableSchema = latest.map(_.schema).getOrElse(schema)
           val prev = latest.map(_.fragments).getOrElse(Seq.empty)
-          Some(LanceCommit(tableSchema, prev ++ newFrags, txns + (queryId -> epochId)))
+          val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, tableSchema)
+          Some(LanceCommit(tableSchema, prev ++ stamped, txns + (queryId -> epochId)))
         }
       }
       // replayed epoch after recovery: fragments are duplicates — drop them
@@ -111,6 +113,18 @@ class LanceWrite(root: String, schema: StructType,
 }
 
 object LanceWriteUtil {
+  /** An append that loses the commit race to a concurrent DROP COLUMN keeps
+    * the winner's post-drop schema, but its fragments physically contain
+    * the dropped column — stamp those names hidden (and strip their stats)
+    * so a later re-ADD under the same name cannot resurrect the values. */
+  def stampRacedDrops(newFrags: Seq[FragmentMeta], writerSchema: StructType,
+                      tableSchema: StructType): Seq[FragmentMeta] = {
+    val lost = writerSchema.fieldNames.toSet -- tableSchema.fieldNames.toSet
+    if (lost.isEmpty) newFrags
+    else newFrags.map(f => f.copy(hidden = (f.hidden ++ lost).distinct,
+                                  stats = f.stats -- lost))
+  }
+
   def deleteFragments(root: String, messages: Array[WriterCommitMessage],
                       conf: SerializableConfiguration): Unit = {
     val fs = ManifestIO.fs(root, conf.value)
@@ -258,9 +272,13 @@ object LanceBatchSave {
     val newFrags = stageFragments(spark, df, root,
       LanceOptions.get(options, "maxRowsPerFile"))
     ManifestIO.commit(root, conf) { latest =>
-      val frags = if (append) latest.map(_.fragments).getOrElse(Seq.empty) ++ newFrags
-                  else newFrags
-      Some(LanceCommit(df.schema, frags, latest.map(_.txns).getOrElse(Map.empty)))
+      // append keeps the winner's (possibly concurrently-evolved) schema;
+      // overwrite installs the new one
+      val tableSchema = if (append) latest.map(_.schema).getOrElse(df.schema) else df.schema
+      val stamped = LanceWriteUtil.stampRacedDrops(newFrags, df.schema, tableSchema)
+      val frags = if (append) latest.map(_.fragments).getOrElse(Seq.empty) ++ stamped
+                  else stamped
+      Some(LanceCommit(tableSchema, frags, latest.map(_.txns).getOrElse(Map.empty)))
     }
   }
 

@@ -186,6 +186,35 @@ class LanceSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM lance_evo.db.r").columns.toSeq === Seq("r_regionkey", "r_name"))
   }
 
+  test("catalog: DROP then re-ADD same column null-masks pre-drop fragments") {
+    spark.conf.set("spark.sql.catalog.lance_mask",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_mask.warehouse", tmp())
+    spark.sql("CREATE NAMESPACE lance_mask.db")
+    spark.sql("CREATE TABLE lance_mask.db.t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, c)")
+    spark.sql("ALTER TABLE lance_mask.db.t DROP COLUMN c")
+    spark.sql("ALTER TABLE lance_mask.db.t ADD COLUMN c STRING")
+    // pre-drop fragments must NOT resurrect the old physical values
+    val rows = spark.sql("SELECT id, c FROM lance_mask.db.t ORDER BY id").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(rows.forall(_.isNullAt(1)), rows.mkString(", "))
+    // filters on the masked column see NULL, not stale values
+    assert(spark.sql("SELECT count(*) FROM lance_mask.db.t WHERE c IS NULL").first().getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM lance_mask.db.t WHERE c = 'a'").first().getLong(0) === 0)
+    // new inserts carry real values; mixed read stays correct
+    spark.sql("INSERT INTO lance_mask.db.t SELECT 3, 'z'")
+    val mixed = spark.sql("SELECT id, c FROM lance_mask.db.t ORDER BY id").collect()
+    assert(mixed.map(r => Option(r.getString(1))).toSeq === Seq(None, None, Some("z")))
+    // duplicate ADD COLUMN via the direct catalog API is rejected
+    val cat = spark.sessionState.catalogManager.catalog("lance_mask")
+      .asInstanceOf[graft.sources.lance.LanceCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "t")
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident, org.apache.spark.sql.connector.catalog.TableChange
+        .addColumn(Array("c"), org.apache.spark.sql.types.StringType))
+    }
+  }
+
   test("catalog: create/list/insert/drop + VERSION AS OF") {
     spark.conf.set("spark.sql.catalog.lance_test",
       classOf[graft.sources.lance.LanceCatalog].getName)
