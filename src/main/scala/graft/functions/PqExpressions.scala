@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Product-quantization primitives as full-codegen Catalyst expressions, so
+  * both the index build (encode) and the query-time ADC scan stay inside
+  * WholeStageCodegen — no UDF boxing on the hot path (reference:
+  * LanceIndexBuilder.java IVF_PQ num-sub-vectors/num-bits; the ADC scan is
+  * the query path of LanceVectorSearch).
+  *
+  * The codebooks/LUT are driver-computed constants embedded in the plan via
+  * `addReferenceObj` (M×2^bits×subDim doubles ≈ a few KB — plan shipping
+  * cost, not a broadcast).
+  */
+
+/** Encode a float/double vector into M sub-space code ids:
+  * codes[m] = argmin_c ||v[m*subDim..)·· − codebook[m][c]||², first index
+  * winning ties. `codebooks` is flattened [m][code][dim] row-major. */
+case class PqEncode(child: Expression, codebooks: Array[Double],
+                    m: Int, codes: Int, subDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null on dimension mismatch
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<float|double>, got $other")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim) return null
+    val isF = elemIsFloat
+    val out = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codes) {
+        val base = (mm * codes + c) * subDim
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val v = if (isF) a.getFloat(mm * subDim + d).toDouble else a.getDouble(mm * subDim + d)
+          val diff = v - codebooks(base + d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(mm) = best
+      mm += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      def get(i: String): String =
+        if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val out = ctx.freshName("codes")
+      val mm = ctx.freshName("m"); val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""if ($a.numElements() != ${m * subDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$m];
+         |  for (int $mm = 0; $mm < $m; $mm++) {
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $codes; $c++) {
+         |      int $base = ($mm * $codes + $c) * $subDim;
+         |      double $s = 0.0;
+         |      for (int $d = 0; $d < $subDim; $d++) {
+         |        double $diff = ${get(s"$mm * $subDim + $d")} - $cb[$base + $d];
+         |        $s += $diff * $diff;
+         |      }
+         |      if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |    }
+         |    $out[$mm] = $best;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance computation over PQ codes: the per-query lookup
+  * table `lut` (flattened [m][code]) holds ||q_sub − codebook||² per
+  * sub-space; each row's approximate distance is M table lookups + sqrt. */
+case class PqAdc(child: Expression, lut: Array[Double],
+                 m: Int, codes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on unexpected code arity
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc needs array<int> codes, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m) return null
+    var sum = 0.0
+    var mm = 0
+    while (mm < m) {
+      sum += lut(mm * codes + a.getInt(mm))
+      mm += 1
+    }
+    math.sqrt(sum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("pqLut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sum = ctx.freshName("sum"); val mm = ctx.freshName("m")
+      s"""if ($a.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $mm = 0; $mm < $m; $mm++) {
+         |    $sum += $t[$mm * $codes + $a.getInt($mm)];
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($sum);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -28,6 +28,14 @@ package object functions {
     when(d === 0.0, 1.0).otherwise(lit(1.0) / (lit(1.0) + d))
   }
 
+  /** PQ-encode a vector column against flattened [m][code][dim] codebooks. */
+  def pq_encode(v: Column, codebooks: Array[Double], m: Int, codes: Int, subDim: Int): Column =
+    Column(PqEncode(expression(v), codebooks, m, codes, subDim))
+
+  /** ADC distance of a PQ code column against a per-query flattened LUT. */
+  def pq_adc(codesCol: Column, lut: Array[Double], m: Int, codes: Int): Column =
+    Column(PqAdc(expression(codesCol), lut, m, codes))
+
   /** Rabin-Karp rolling-hash fingerprint of a string column. */
   def fingerprint(s: Column): Column = Column(RollingFingerprint(expression(s)))
 

@@ -91,59 +91,87 @@ object VectorIndex extends QueryModule {
     * KMeans a 2^bits codebook per subspace, encode every vector as M code
     * ids, and answer queries with an asymmetric-distance (ADC) scan: a
     * per-query M×codes lookup table makes each row's approximate distance
-    * M table lookups instead of a 64-dim loop. Approximate by construction
-    * → rows-only key + recall covered in VectorIndexSpec.
+    * M table lookups instead of a 64-dim loop. Encode and ADC are native
+    * codegen'd expressions (functions/PqExpressions.scala) so both the
+    * build and the query scan stay inside WholeStageCodegen — no UDF on
+    * either hot path. Approximate by construction → rows-only keys +
+    * recall covered in VectorIndexSpec.
     */
   private val M = 8
   private val CodeBits = 4 // 16 codes per subspace
+  private val Codes = 1 << CodeBits
 
-  def buildPq(s: SparkSession, dir: String): (DataFrame, Array[Array[Vector]]) = {
+  /** Encoded dataset (vec_id, embedding, codes) + flattened [m][code][dim]
+    * codebooks. Codebook training is M small KMeans fits; encoding is the
+    * codegen'd PqEncode over the full dataset. */
+  def buildPq(s: SparkSession, dir: String): (DataFrame, Array[Double], Int) = {
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     val subDim = dim / M
     val codebooks = (0 until M).map { m =>
       val sub = e.select(toVec(expr(
         s"slice(embedding, ${m * subDim + 1}, $subDim)")).as("fv"))
-      new KMeans().setK(1 << CodeBits).setSeed(42L + m).setMaxIter(10)
+      new KMeans().setK(Codes).setSeed(42L + m).setMaxIter(10)
         .setFeaturesCol("fv").fit(sub).clusterCenters
     }.toArray
-    val bc = s.sparkContext.broadcast(codebooks)
-    val encode = udf { a: Seq[Float] =>
-      val cbs = bc.value
-      (0 until M).map { m =>
-        val sub = Vectors.dense(a.slice(m * subDim, (m + 1) * subDim).map(_.toDouble).toArray)
-        cbs(m).zipWithIndex.minBy { case (c, i) => (Vectors.sqdist(c, sub), i) }._2
-      }.toArray
+    val flat = new Array[Double](M * Codes * subDim)
+    for (m <- 0 until M; c <- 0 until Codes; d <- 0 until subDim)
+      flat((m * Codes + c) * subDim + d) = codebooks(m)(c)(d)
+    val encoded = e.select(col("vec_id"), col("embedding"),
+      graft.functions.pq_encode(col("embedding"), flat, M, Codes, subDim).as("codes"))
+    (encoded, flat, subDim)
+  }
+
+  /** Per-query flattened ADC LUT: lut[m*Codes + c] = ||q_sub − codebook||². */
+  def pqLut(qv: Array[Double], flat: Array[Double], subDim: Int): Array[Double] = {
+    val lut = new Array[Double](M * Codes)
+    for (m <- 0 until M; c <- 0 until Codes) {
+      var s = 0.0
+      for (d <- 0 until subDim) {
+        val diff = qv(m * subDim + d) - flat((m * Codes + c) * subDim + d)
+        s += diff * diff
+      }
+      lut(m * Codes + c) = s
     }
-    (e.select(col("vec_id"), encode(col("embedding")).as("codes")), codebooks)
+    lut
   }
 
   private def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val (encoded, codebooks) = buildPq(s, dir)
+    val (encoded, flat, subDim) = buildPq(s, dir)
     val qv = embeddingOf(s, dir, QueryVecId)
-    val subDim = qv.length / M
-    // per-query ADC lookup table: lut(m)(code) = ||q_sub - codebook||^2
-    val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
-      val qSub = Vectors.dense(qv.slice(m * subDim, (m + 1) * subDim))
-      codebooks(m).map(c => Vectors.sqdist(c, qSub))
-    }
-    val bc = s.sparkContext.broadcast(lut)
-    val adc = udf { codes: Seq[Int] =>
-      val t = bc.value
-      var sum = 0.0
-      var m = 0
-      while (m < codes.length) { sum += t(m)(codes(m)); m += 1 }
-      math.sqrt(sum)
-    }
+    val lut = pqLut(qv, flat, subDim)
     encoded.filter(col("vec_id") =!= QueryVecId)
-      .select(col("vec_id"), round(adc(col("codes")), 6).as("adc_dist"))
+      .select(col("vec_id"),
+        round(graft.functions.pq_adc(col("codes"), lut, M, Codes), 6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(10)
   }
 
+  /** PQ search with refine: fetch k×refineFactor ADC candidates, re-rank
+    * them with the exact codegen'd L2, keep k (reference:
+    * LanceVectorSearch.java:159-161 refine-factor). The exact re-rank runs
+    * over k×refine rows only — driver-bounded, never a data scan. */
+  def ivfPqRefine(s: SparkSession, dir: String, k: Int, refineFactor: Int): DataFrame = {
+    val (encoded, flat, subDim) = buildPq(s, dir)
+    val qv = embeddingOf(s, dir, QueryVecId)
+    val lut = pqLut(qv, flat, subDim)
+    import s.implicits._
+    val qvDf = Seq(Tuple1(qv.map(_.toFloat))).toDF("qv")
+    val candidates = encoded.filter(col("vec_id") =!= QueryVecId)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.pq_adc(col("codes"), lut, M, Codes).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k * refineFactor)
+    candidates.crossJoin(broadcast(qvDf))
+      .select(col("vec_id"), round(vec_l2(col("embedding"), col("qv")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_flat_search" -> ivfFlatSearch,
-    "ivf_pq_search" -> ivfPqSearch)
+    "ivf_pq_search" -> ivfPqSearch,
+    "ivf_pq_refine" -> ((s, dir) => ivfPqRefine(s, dir, k = 10, refineFactor = 4)))
 
   /** Full-probe IVF == exact KNN, so the oracle is the brute-force scan.
     * ivf_pq is approximate by construction → rows-only (no SQL oracle). */

@@ -40,6 +40,28 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(vec_dot(typedLit(Seq(1f, 2f)), typedLit(Seq(1f, 2f, 3f)))) == null)
   }
 
+  test("pq_encode/pq_adc known values, interpreted == codegen") {
+    // 2 subspaces × 2 codes × 2 dims: codebooks [m][c][d]
+    // m=0: c0=(0,0) c1=(10,10); m=1: c0=(5,5) c1=(-5,-5)
+    val flat = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, -5.0, -5.0)
+    val v = fLit(9f, 9f, 4f, 4f) // sub0 → c1, sub1 → c0
+    val encI = PqEncode(v, flat, 2, 2, 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(encI.toSeq === Seq(1, 0))
+    val encC = viaDf(pq_encode(typedLit(Seq(9f, 9f, 4f, 4f)), flat, 2, 2, 2))
+      .asInstanceOf[scala.collection.Seq[Int]]
+    assert(encC.toSeq === Seq(1, 0))
+    // ADC with lut[m*codes+c]: query (9,9,4,4) → d((9,9),c1)²=2, d((4,4),c0)²=2
+    val lut = Array(162.0, 2.0, 2.0, 162.0)
+    val codesLit = Literal.create(Seq(1, 0), ArrayType(IntegerType))
+    val adcI = PqAdc(codesLit, lut, 2, 2).eval(null).asInstanceOf[Double]
+    assert(math.abs(adcI - 2.0) < 1e-12)
+    assert(viaDf(pq_adc(typedLit(Seq(1, 0)), lut, 2, 2)) === adcI)
+    // dimension mismatch → null, both paths
+    assert(PqEncode(fLit(1f, 2f), flat, 2, 2, 2).eval(null) == null)
+    assert(viaDf(pq_adc(typedLit(Seq(1, 0, 1)), lut, 2, 2)) == null)
+  }
+
   test("rolling fingerprint known value ('Hi' -> 2337), interpreted == codegen") {
     // h = ((0*31+72)%p)*31 + 105 = 2337 — mirrored by the DuckDB oracle
     val i = RollingFingerprint(Literal("Hi")).eval(null)

@@ -50,4 +50,25 @@ class VectorIndexSpec extends SparkSpec {
       .limit(30).collect().map(_.getLong(0)).toSet
     assert(pq.intersect(exact).nonEmpty, s"pq=$pq exact30=$exact")
   }
+
+  test("pq scan is UDF-free (codegen'd encode + ADC)") {
+    val plan = SparkEntry.queries("ivf_pq_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(!plan.contains("BatchEvalPython"), plan)
+    assert(plan.toLowerCase.contains("pqadc"), plan)
+  }
+
+  test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
+    val truth = SparkEntry.queries("ivf_flat_search")(spark, sf)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val plain = SparkEntry.queries("ivf_pq_search")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val refined = VectorIndex.ivfPqRefine(spark, sf, k = 10, refineFactor = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(refined.size === 10)
+    val rPlain = plain.intersect(truth).size
+    val rRef = refined.intersect(truth).size
+    assert(rRef >= rPlain, s"refine recall $rRef < plain $rPlain")
+  }
 }
