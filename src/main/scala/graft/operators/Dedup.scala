@@ -3,7 +3,6 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.functions.{minhash, simhash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the LLM-training-pipeline
@@ -64,11 +63,15 @@ object Dedup extends QueryModule {
     val bands = base.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
       .toDF("doc_id", "band_idx", "band_key")
-    val bw = Window.partitionBy("band_idx", "band_key")
-    val capped = bands
-      .withColumn("bucket_n", count(lit(1)).over(bw))
-      .filter(col("bucket_n") <= BucketCap)
-      .drop("bucket_n")
+    // skew guard without a window: a window over (band, key) would shuffle
+    // every bucket's rows into ONE task before dropping any — a degenerate
+    // band key becomes a straggler at scale. Instead aggregate bucket
+    // counts (map-side partial agg), keep only the mega-buckets (tiny by
+    // construction), and anti-join them away broadcast-side.
+    val mega = bands.groupBy("band_idx", "band_key").count()
+      .filter(col("count") > BucketCap)
+      .select("band_idx", "band_key")
+    val capped = bands.join(broadcast(mega), Seq("band_idx", "band_key"), "left_anti")
     val cand = capped.select(col("doc_id").as("a_id"), col("band_idx"), col("band_key"))
       .join(capped.select(col("doc_id").as("b_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
@@ -141,8 +144,9 @@ object Dedup extends QueryModule {
       // spread blocks across tasks: the pairwise verify is the expensive
       // stage and the source may be a single file (single partition). The
       // explicit count keeps AQE from coalescing on byte size — the cost
-      // here is compute per pair, not bytes
-      .repartition(64, col("lang"), col("jb"))
+      // here is compute per pair, not bytes; 2× the session's shuffle
+      // parallelism so it scales with the cluster instead of a constant
+      .repartition(2 * s.sessionState.conf.numShufflePartitions, col("lang"), col("jb"))
     val right = g.select(col("doc_id").as("b_id"), col("lang"), col("n_chars").as("nb"),
       col("s").as("sb"), col("bkt").as("jb"))
     left.join(right, Seq("lang", "jb"))
