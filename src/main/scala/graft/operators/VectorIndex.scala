@@ -33,9 +33,9 @@ import java.nio.file.Files
 object VectorIndex extends QueryModule {
   import Tables._
 
-  private val QueryVecId = 1L
-  private val K = 15
-  private val Cells = 16
+  val QueryVecId = 1L
+  val K = 15
+  val Cells = 16
 
   private val toVec = udf { a: Seq[Float] =>
     Vectors.dense(a.map(_.toDouble).toArray)
