@@ -55,22 +55,63 @@ object VectorIndex extends QueryModule {
     (root, model.clusterCenters)
   }
 
-  /** Probe the `nprobes` cells nearest to the query vector. */
-  def ivfSearch(s: SparkSession, indexRoot: String, centroids: Array[Vector],
-                queryVec: Array[Double], nprobes: Int, k: Int,
-                excludeVecId: Long = -1L): DataFrame = {
-    val probed = centroids.zipWithIndex
-      .map { case (c, i) => (i, math.sqrt(Vectors.sqdist(c, Vectors.dense(queryVec)))) }
+  /** Exact probe selection: the `nprobes` nearest centroids, driver-side
+    * O(cells) — fine at thousands of cells; [[CentroidGraph.probe]] is the
+    * sub-linear alternative at 100k+ cells. */
+  def selectProbesExact(centroids: Array[Vector], queryVec: Array[Double],
+                        nprobes: Int): Array[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(c, Vectors.dense(queryVec))) }
       .sortBy { case (i, d) => (d, i) }
       .take(nprobes).map(_._1)
+
+  /** The probed-cell scan shared by every IVF variant: fragment pruning on
+    * the cell range, codegen'd distance, TakeOrderedAndProject top-k. */
+  private def probedScan(s: SparkSession, indexRoot: String,
+                         readOptions: Map[String, String], probed: Array[Int],
+                         queryVec: Array[Double], metric: String, k: Int,
+                         excludeVecId: Long): DataFrame = {
     import s.implicits._
+    val score = metric match {
+      case "l2" => vec_l2 _
+      case "cosine" => graft.functions.vec_cosine _
+      case "dot" => graft.functions.vec_dot _
+    }
+    val asc = metric == "l2"
     val qvDf = Seq(Tuple1(queryVec.map(_.toFloat))).toDF("qv")
-    s.read.format("lance").load(indexRoot)
+    val scored = s.read.format("lance").options(readOptions).load(indexRoot)
       .filter(col("cell").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
       .crossJoin(broadcast(qvDf))
-      .select(col("vec_id"), round(vec_l2(col("embedding"), col("qv")), 6).as("dist"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-      .limit(k)
+      .select(col("vec_id"), round(score(col("embedding"), col("qv")), 6).as("dist"))
+    val ordered = if (asc) scored.orderBy(col("dist").asc, col("vec_id").asc)
+                  else scored.orderBy(col("dist").desc, col("vec_id").asc)
+    ordered.limit(k)
+  }
+
+  /** Probe the `nprobes` cells nearest to the query vector (L2). */
+  def ivfSearch(s: SparkSession, indexRoot: String, centroids: Array[Vector],
+                queryVec: Array[Double], nprobes: Int, k: Int,
+                excludeVecId: Long = -1L): DataFrame =
+    probedScan(s, indexRoot, Map.empty, selectProbesExact(centroids, queryVec, nprobes),
+      queryVec, "l2", k, excludeVecId)
+
+  /** Options-driven index search: one option map carries both the lance
+    * read options (versionAsOf, …) and the reference-named vector knobs
+    * (vector.metric / vector.k / vector.nprobes / vector.ef /
+    * vector.refine-factor — config/LanceOptions.java:197-238). With a
+    * [[CentroidGraph]] the ef knob bounds the graph search; without one,
+    * probe selection is exact and ef is inert (as in the reference's
+    * non-HNSW indexes). */
+  def searchIndex(s: SparkSession, indexRoot: String, centroids: Array[Vector],
+                  queryVec: Array[Double], options: Map[String, String],
+                  excludeVecId: Long = -1L,
+                  graph: Option[CentroidGraph] = None): DataFrame = {
+    val o = graft.sources.lance.LanceVectorOptions.search(options)
+    val probed = graph match {
+      case Some(g) => g.probe(queryVec, o.nprobes, o.ef)
+      case None => selectProbesExact(centroids, queryVec, o.nprobes)
+    }
+    probedScan(s, indexRoot, options, probed, queryVec, o.metric, o.k, excludeVecId)
   }
 
   /** Driver-side fetch of one embedding (k-sized, not a data scan). */
@@ -83,6 +124,22 @@ object VectorIndex extends QueryModule {
     val qv = embeddingOf(s, dir, QueryVecId)
     // nprobes = all cells → exact KNN (the oracle-checkable configuration)
     ivfSearch(s, root, centroids, qv, nprobes = Cells, k = K, excludeVecId = QueryVecId)
+  }
+
+  /** IVF_HNSW-equivalent: probe selection via the centroid graph's greedy
+    * ef-search instead of the exact O(cells) scan. With ef = nprobes =
+    * all cells the graph provably visits every node (ring edge), so the
+    * result equals exact KNN and shares the ivf_flat oracle; sub-full ef
+    * behavior is covered by VectorIndexSpec. */
+  private def ivfHnswSearch(s: SparkSession, dir: String): DataFrame = {
+    val (root, centroids) = buildIvfFlat(s, dir)
+    val io = graft.sources.lance.LanceVectorOptions.index(Map("index.type" -> "IVF_HNSW"))
+    val graph = new CentroidGraph(centroids, io.hnswM, io.efConstruction)
+    val qv = embeddingOf(s, dir, QueryVecId)
+    searchIndex(s, root, centroids, qv,
+      Map("vector.nprobes" -> Cells.toString, "vector.ef" -> Cells.toString,
+          "vector.k" -> K.toString),
+      excludeVecId = QueryVecId, graph = Some(graph))
   }
 
   // ---- IVF_PQ ------------------------------------------------------------
@@ -170,17 +227,22 @@ object VectorIndex extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_flat_search" -> ivfFlatSearch,
+    "ivf_hnsw_search" -> ivfHnswSearch,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_refine" -> ((s, dir) => ivfPqRefine(s, dir, k = 10, refineFactor = 4)))
 
-  /** Full-probe IVF == exact KNN, so the oracle is the brute-force scan.
+  private val exactKnnSql =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+       |SELECT * FROM (
+       |  SELECT e.vec_id, round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> $QueryVecId)
+       |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
+
+  /** Full-probe IVF == exact KNN, so the oracle is the brute-force scan —
+    * and full-ef/full-probe HNSW visits every cell, so it shares it.
     * ivf_pq is approximate by construction → rows-only (no SQL oracle). */
   val oracleSql: Map[String, String] = Map(
-    "ivf_flat_search" ->
-      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId)
-         |SELECT * FROM (
-         |  SELECT e.vec_id, round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
-         |  FROM embeddings e CROSS JOIN q
-         |  WHERE e.vec_id <> $QueryVecId)
-         |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin)
+    "ivf_flat_search" -> exactKnnSql,
+    "ivf_hnsw_search" -> exactKnnSql)
 }

@@ -32,6 +32,11 @@ import scala.jdk.CollectionConverters._
 object LanceOptions {
   def get(m: Map[String, String], key: String): Option[String] =
     m.get(key).orElse(m.get(key.toLowerCase(java.util.Locale.ROOT)))
+
+  /** First present key wins — for reference-name aliases (the reference's
+    * write.max-rows-per-file ≡ this connector's original maxRowsPerFile). */
+  def any(m: Map[String, String], keys: String*): Option[String] =
+    keys.view.flatMap(get(m, _)).headOption
 }
 
 class LanceDataSource extends TableProvider with DataSourceRegister

@@ -40,7 +40,8 @@ class LanceWriteBuilder(spark: SparkSession, root: String, info: LogicalWriteInf
     val schema = info.schema()
     // driver-side: Spark's parquet OutputWriterFactory + configured job conf
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, opts)
-    val maxRows = LanceOptions.get(opts, "maxRowsPerFile").map(_.toLong).getOrElse(Long.MaxValue)
+    val maxRows = LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file")
+      .map(_.toLong).getOrElse(Long.MaxValue)
     new LanceWrite(root, schema, factory, conf, maxRows, truncateAll, info.queryId())
   }
 }
@@ -270,7 +271,7 @@ object LanceBatchSave {
         s"lance append schema mismatch: table=${m.schema.simpleString} df=${df.schema.simpleString}")
     }
     val newFrags = stageFragments(spark, df, root,
-      LanceOptions.get(options, "maxRowsPerFile"))
+      LanceOptions.any(options, "maxRowsPerFile", "write.max-rows-per-file"))
     ManifestIO.commit(root, conf) { latest =>
       // append keeps the winner's (possibly concurrently-evolved) schema;
       // overwrite installs the new one

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.VectorIndex
+import graft.operators.{CentroidGraph, VectorIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximation-quality tests for the IVF indexes (the correctness keys
@@ -57,6 +57,59 @@ class VectorIndexSpec extends SparkSpec {
     assert(!plan.contains("UDF"), plan)
     assert(!plan.contains("BatchEvalPython"), plan)
     assert(plan.toLowerCase.contains("pqadc"), plan)
+  }
+
+  test("vector/index options parse with reference names, defaults, and V2-lowercased keys") {
+    import graft.sources.lance.LanceVectorOptions
+    val d = LanceVectorOptions.search(Map.empty)
+    assert((d.column, d.metric, d.k, d.nprobes, d.ef, d.refineFactor) ===
+      (("embedding", "l2", 10, 20, 100, None)))
+    val s = LanceVectorOptions.search(Map(
+      "vector.column" -> "emb", "vector.metric" -> "COSINE", "vector.k" -> "5",
+      "vector.nprobes" -> "4", "vector.ef" -> "32", "vector.refine-factor" -> "3"))
+    assert((s.column, s.metric, s.k, s.nprobes, s.ef, s.refineFactor) ===
+      (("emb", "cosine", 5, 4, 32, Some(3))))
+    val i = LanceVectorOptions.index(Map(
+      "index.type" -> "ivf_hnsw", "index.num-partitions" -> "64",
+      "index.num-sub-vectors" -> "8", "index.num-bits" -> "4",
+      "index.m" -> "12", "index.ef-construction" -> "50"))
+    assert((i.indexType, i.numPartitions, i.numSubVectors, i.numBits, i.hnswM, i.efConstruction) ===
+      (("IVF_HNSW", 64, Some(8), 4, 12, 50)))
+    intercept[IllegalArgumentException] {
+      LanceVectorOptions.search(Map("vector.metric" -> "hamming"))
+    }
+  }
+
+  test("searchIndex honors vector.* options: metric, k, nprobes pruning") {
+    val (root, centroids) = VectorIndex.buildIvfFlat(spark, sf)
+    val qv = VectorIndex.embeddingOf(spark, sf, vecId = 1L)
+    val res = VectorIndex.searchIndex(spark, root, centroids, qv,
+      Map("vector.metric" -> "cosine", "vector.k" -> "7", "vector.nprobes" -> "16"),
+      excludeVecId = 1L)
+    val rows = res.collect()
+    assert(rows.length === 7)
+    // cosine is a similarity: descending order
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), scores.mkString(","))
+    // small nprobes must prune index fragments in the plan
+    val plan = VectorIndex.searchIndex(spark, root, centroids, qv,
+      Map("vector.nprobes" -> "2"), excludeVecId = 1L)
+      .queryExecution.executedPlan.toString
+    val m = "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
+  }
+
+  test("centroid graph: full-ef probe == exact probe selection; partial ef still sane") {
+    val (_, centroids) = VectorIndex.buildIvfFlat(spark, sf)
+    val qv = VectorIndex.embeddingOf(spark, sf, vecId = 1L)
+    val g = new CentroidGraph(centroids, m = 4, efConstruction = 16)
+    val exact = VectorIndex.selectProbesExact(centroids, qv, 4)
+    val full = g.probe(qv, 4, ef = centroids.length)
+    assert(full.toSeq === exact.toSeq) // connected graph + full ef visits all
+    val partial = g.probe(qv, 4, ef = 6)
+    assert(partial.length === 4)
+    // the single nearest cell is found even with a small ef
+    assert(partial.head === exact.head)
   }
 
   test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
