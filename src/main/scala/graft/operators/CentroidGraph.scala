@@ -23,20 +23,15 @@ import scala.collection.mutable
   * configuration is SQL-oracle-checkable; smaller ef trades recall for
   * navigation cost, covered by VectorIndexSpec).
   */
-final class CentroidGraph(centroids: Array[Vector], m: Int, efConstruction: Int)
+final class CentroidGraph private (centroids: Array[Vector],
+                                   val neighbors: Array[Array[Int]])
     extends Serializable {
+
+  def this(centroids: Array[Vector], m: Int, efConstruction: Int) =
+    this(centroids, CentroidGraph.knnEdges(centroids, m, efConstruction))
 
   private val n = centroids.length
   require(n > 0, "empty centroid set")
-
-  val neighbors: Array[Array[Int]] = Array.tabulate(n) { i =>
-    val pool = (0 until n).iterator.filter(_ != i)
-      .map(j => (Vectors.sqdist(centroids(i), centroids(j)), j))
-      .toSeq.sorted
-      .take(math.max(1, math.min(efConstruction, n - 1)))
-      .map(_._2)
-    (pool.take(m) :+ (i + 1) % n).distinct.toArray
-  }
 
   /** Greedy best-first ef-search from node 0: visit up to the natural
     * HNSW stopping point (nearest open candidate worse than the worst of
@@ -69,4 +64,24 @@ final class CentroidGraph(centroids: Array[Vector], m: Int, efConstruction: Int)
     }
     results.toArray.sortBy { case (dist, i) => (dist, i) }.take(nprobes).map(_._2)
   }
+}
+
+object CentroidGraph {
+  /** Exact m-NN edges (pool capped at efConstruction) + connectivity ring. */
+  private def knnEdges(centroids: Array[Vector], m: Int,
+                       efConstruction: Int): Array[Array[Int]] = {
+    val n = centroids.length
+    Array.tabulate(n) { i =>
+      val pool = (0 until n).iterator.filter(_ != i)
+        .map(j => (Vectors.sqdist(centroids(i), centroids(j)), j))
+        .toSeq.sorted
+        .take(math.max(1, math.min(efConstruction, n - 1)))
+        .map(_._2)
+      (pool.take(m) :+ (i + 1) % n).distinct.toArray
+    }
+  }
+
+  /** Rebuild from persisted adjacency (index sidecar load path). */
+  def fromNeighbors(centroids: Array[Vector], neighbors: Array[Array[Int]]): CentroidGraph =
+    new CentroidGraph(centroids, neighbors)
 }

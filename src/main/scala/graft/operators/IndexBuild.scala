@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.sources.lance.{LanceVectorOptions, VectorIndexOptions}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.charset.StandardCharsets
+
+/** Options-driven vector index build / load / search — the Spark-side
+  * equivalent of the reference's LanceIndexBuilder + LanceVectorSearch pair
+  * (LanceIndexBuilder.java:116-152 index types and params;
+  * LanceVectorSearch.java:341-345 search knobs).
+  *
+  * The index IS a lance dataset: the source rows cell-range-partitioned by
+  * their KMeans assignment (fragment stats → probe pruning), with an extra
+  * PQ `codes` column for the *_PQ types, plus a JSON sidecar
+  * (`<root>/_index/meta.json`) carrying centroids, PQ codebooks and the
+  * HNSW adjacency — so a fresh session `load`s and searches without
+  * rebuilding. All per-row math (encode, ADC, exact re-rank) is codegen'd
+  * expressions; driver-side work is O(cells), never O(rows).
+  */
+object IndexBuild {
+
+  case class PqMeta(flat: Array[Double], m: Int, codes: Int, subDim: Int)
+
+  case class BuiltIndex(root: String, opts: VectorIndexOptions,
+                        centroids: Array[Vector], pq: Option[PqMeta],
+                        graph: Option[CentroidGraph])
+
+  private val toVec = udf { a: Seq[Float] =>
+    Vectors.dense(a.map(_.toDouble).toArray)
+  }
+
+  /** Largest power-of-two sub-vector count ≤ 16 dividing `dim` (the
+    * reference auto-calculates when index.num-sub-vectors is unset). */
+  private def autoSubVectors(dim: Int): Int =
+    Seq(16, 8, 4, 2, 1).find(dim % _ == 0).get
+
+  def build(s: SparkSession, source: DataFrame, root: String,
+            options: Map[String, String]): BuiltIndex = {
+    val io = LanceVectorOptions.index(options)
+    val vecCol = io.column
+    val dim = source.select(size(col(vecCol))).first().getInt(0)
+    val cells = io.numPartitions
+
+    val withFv = source.withColumn("fv", toVec(col(vecCol)))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+    val assigned = model.transform(withFv).drop("fv")
+    val centroids = model.clusterCenters
+
+    val isPq = io.indexType.endsWith("_PQ")
+    val pq = if (!isPq) None else {
+      val m = io.numSubVectors.getOrElse(autoSubVectors(dim))
+      val codes = 1 << io.numBits
+      val subDim = dim / m
+      val flat = new Array[Double](m * codes * subDim)
+      (0 until m).foreach { mm =>
+        val sub = source.select(toVec(expr(
+          s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as("fv"))
+        val cb = new KMeans().setK(codes).setSeed(42L + mm).setMaxIter(10)
+          .setFeaturesCol("fv").fit(sub).clusterCenters
+        for (c <- 0 until codes; d <- 0 until subDim)
+          flat((mm * codes + c) * subDim + d) = cb(c)(d)
+      }
+      Some(PqMeta(flat, m, codes, subDim))
+    }
+    val indexed = pq match {
+      case Some(p) => assigned.withColumn("codes",
+        graft.functions.pq_encode(col(vecCol), p.flat, p.m, p.codes, p.subDim))
+      case None => assigned
+    }
+    indexed
+      .repartitionByRange(cells, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.format("lance").save(root)
+
+    val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
+                else Some(new CentroidGraph(centroids, io.hnswM, io.efConstruction))
+    writeMeta(s, root, io, dim, centroids, pq, graph)
+    BuiltIndex(root, io, centroids, pq, graph)
+  }
+
+  /** Search a built/loaded index with reference-named vector.* knobs:
+    * graph-or-exact probe selection, flat or ADC scoring, optional
+    * refine-factor exact re-rank. */
+  def search(s: SparkSession, idx: BuiltIndex, queryVec: Array[Double],
+             options: Map[String, String], excludeVecId: Long = -1L,
+             idCol: String = "vec_id"): DataFrame = {
+    val so = LanceVectorOptions.search(options)
+    val probed = idx.graph match {
+      case Some(g) => g.probe(queryVec, so.nprobes, so.ef)
+      case None => VectorIndex.selectProbesExact(idx.centroids, queryVec, so.nprobes)
+    }
+    idx.pq match {
+      case None =>
+        VectorIndex.probedScan(s, idx.root, options, probed, queryVec,
+          so.metric, so.k, excludeVecId)
+      case Some(p) =>
+        val lut = new Array[Double](p.m * p.codes)
+        for (mm <- 0 until p.m; c <- 0 until p.codes) {
+          var acc = 0.0
+          for (d <- 0 until p.subDim) {
+            val diff = queryVec(mm * p.subDim + d) - p.flat((mm * p.codes + c) * p.subDim + d)
+            acc += diff * diff
+          }
+          lut(mm * p.codes + c) = acc
+        }
+        val base = s.read.format("lance").options(options).load(idx.root)
+          .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
+          .select(col(idCol), col(idx.opts.column),
+            graft.functions.pq_adc(col("codes"), lut, p.m, p.codes).as("adc_dist"))
+        so.refineFactor match {
+          case None =>
+            base.select(col(idCol), round(col("adc_dist"), 6).as("dist"))
+              .orderBy(col("dist").asc, col(idCol).asc)
+              .limit(so.k)
+          case Some(r) =>
+            import s.implicits._
+            val qvDf = Seq(Tuple1(queryVec.map(_.toFloat))).toDF("qv")
+            base.orderBy(col("adc_dist").asc, col(idCol).asc)
+              .limit(so.k * r)
+              .crossJoin(broadcast(qvDf))
+              .select(col(idCol),
+                round(graft.functions.vec_l2(col(idx.opts.column), col("qv")), 6).as("dist"))
+              .orderBy(col("dist").asc, col(idCol).asc)
+              .limit(so.k)
+        }
+    }
+  }
+
+  // ---- sidecar persistence (json4s, as ManifestIO) -----------------------
+
+  private def metaPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_index/meta.json")
+
+  private def writeMeta(s: SparkSession, root: String, io: VectorIndexOptions,
+                        dim: Int, centroids: Array[Vector], pq: Option[PqMeta],
+                        graph: Option[CentroidGraph]): Unit = {
+    val j = JObject(
+      "indexType" -> JString(io.indexType),
+      "column" -> JString(io.column),
+      "dim" -> JInt(dim),
+      "cells" -> JInt(centroids.length),
+      "centroids" -> JArray(centroids.toList.flatMap(_.toArray.toList).map(JDouble(_))),
+      "pq" -> pq.map(p => JObject(
+        "m" -> JInt(p.m), "codes" -> JInt(p.codes), "subDim" -> JInt(p.subDim),
+        "flat" -> JArray(p.flat.toList.map(JDouble(_))))).getOrElse(JNothing),
+      "hnsw" -> graph.map(g => JObject(
+        "m" -> JInt(io.hnswM), "efConstruction" -> JInt(io.efConstruction),
+        "neighbors" -> JArray(g.neighbors.toList.map(ns =>
+          JArray(ns.toList.map(JInt(_))))))).getOrElse(JNothing))
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+    val fs = metaPath(root).getFileSystem(conf)
+    val out = fs.create(metaPath(root), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(j))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(s: SparkSession, root: String): BuiltIndex = {
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+    val p = metaPath(root)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val j = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+    def num(v: JValue): Double = v match {
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case x => throw new IllegalStateException(s"expected number, got $x")
+    }
+    def int(v: JValue): Int = num(v).toInt
+    val dim = int(j \ "dim")
+    val flatCentroids = (j \ "centroids").asInstanceOf[JArray].arr.map(num).toArray
+    val centroids = flatCentroids.grouped(dim).map(Vectors.dense).toArray
+    val pq = (j \ "pq") match {
+      case JNothing | JNull => None
+      case pj => Some(PqMeta(
+        (pj \ "flat").asInstanceOf[JArray].arr.map(num).toArray,
+        int(pj \ "m"), int(pj \ "codes"), int(pj \ "subDim")))
+    }
+    val indexType = (j \ "indexType").asInstanceOf[JString].s
+    val (graph, hnswM, efc) = (j \ "hnsw") match {
+      case JNothing | JNull => (None, 16, 100)
+      case hj =>
+        val neighbors = (hj \ "neighbors").asInstanceOf[JArray].arr
+          .map(_.asInstanceOf[JArray].arr.map(int).toArray).toArray
+        (Some(CentroidGraph.fromNeighbors(centroids, neighbors)),
+          int(hj \ "m"), int(hj \ "efConstruction"))
+    }
+    val io = VectorIndexOptions(indexType, (j \ "column").asInstanceOf[JString].s,
+      centroids.length, pq.map(_.m), pq.map(p => 31 - Integer.numberOfLeadingZeros(p.codes)).getOrElse(8),
+      hnswM, efc)
+    BuiltIndex(root, io, centroids, pq, graph)
+  }
+}

@@ -67,7 +67,7 @@ object VectorIndex extends QueryModule {
 
   /** The probed-cell scan shared by every IVF variant: fragment pruning on
     * the cell range, codegen'd distance, TakeOrderedAndProject top-k. */
-  private def probedScan(s: SparkSession, indexRoot: String,
+  private[operators] def probedScan(s: SparkSession, indexRoot: String,
                          readOptions: Map[String, String], probed: Array[Int],
                          queryVec: Array[Double], metric: String, k: Int,
                          excludeVecId: Long): DataFrame = {

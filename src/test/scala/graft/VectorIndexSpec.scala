@@ -112,6 +112,43 @@ class VectorIndexSpec extends SparkSpec {
     assert(partial.head === exact.head)
   }
 
+  test("options-driven index build/load/search: full-probe flat == exact; PQ+HNSW reload from disk") {
+    import graft.operators.IndexBuild
+    val base = java.nio.file.Files.createTempDirectory("graft-idxbuild-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val qv = VectorIndex.embeddingOf(spark, sf, vecId = 1L)
+
+    val flat = IndexBuild.build(spark, e, s"$base/flat",
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val viaIdx = IndexBuild.search(spark, flat, qv,
+      Map("vector.nprobes" -> "16", "vector.k" -> "15"), excludeVecId = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = SparkEntry.queries("ivf_flat_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIdx.toSeq === exact.toSeq)
+
+    IndexBuild.build(spark, e, s"$base/pq",
+      Map("index.type" -> "IVF_HNSW_PQ", "index.num-partitions" -> "8",
+          "index.num-bits" -> "4"))
+    val loaded = IndexBuild.load(spark, s"$base/pq") // fresh handle from the sidecar
+    assert(loaded.pq.isDefined && loaded.graph.isDefined)
+    assert(loaded.opts.indexType === "IVF_HNSW_PQ")
+    val r = IndexBuild.search(spark, loaded, qv,
+      Map("vector.nprobes" -> "8", "vector.ef" -> "8", "vector.k" -> "10",
+          "vector.refine-factor" -> "2"), excludeVecId = 1L).collect()
+    assert(r.length === 10)
+    val dists = r.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted), dists.mkString(","))
+    // ADC-only (no refine) also answers and is deterministic
+    val adc1 = IndexBuild.search(spark, loaded, qv,
+      Map("vector.nprobes" -> "8", "vector.k" -> "10"), excludeVecId = 1L)
+      .collect().map(_.getLong(0)).toSeq
+    val adc2 = IndexBuild.search(spark, loaded, qv,
+      Map("vector.nprobes" -> "8", "vector.k" -> "10"), excludeVecId = 1L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(adc1 === adc2)
+  }
+
   test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
     val truth = SparkEntry.queries("ivf_flat_search")(spark, sf)
       .limit(10).collect().map(_.getLong(0)).toSet
