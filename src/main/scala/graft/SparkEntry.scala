@@ -14,7 +14,8 @@ object SparkEntry {
     operators.VectorIndex,
     operators.Temporal,
     operators.Pipeline,
-    operators.LanceOps)
+    operators.LanceOps,
+    operators.StreamingOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

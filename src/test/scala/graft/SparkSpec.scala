@@ -61,7 +61,11 @@ class EntrySpec extends SparkSpec {
     "lance_sql_catalog" -> 1,
     "lance_streaming_sink" -> 1,
     "ivf_flat_search" -> 15,
+    "ivf_hnsw_search" -> 15,
     "ivf_pq_search" -> 10,
+    "ivf_pq_refine" -> 10,
+    "lance_stream_pipeline" -> 1,
+    "q_stream_window" -> 531,
     "q_asof_orders" -> 10,
     "q_range_orders" -> 10,
     "pipeline_clean" -> 20)
