@@ -11,6 +11,14 @@ case class MMRecord(doc_id: Long, data: Array[Byte], mime: String)
 case class MMFeature(doc_id: Long, n_bytes: Long, checksum: Long,
                      head_byte: Long, width_stub: Long)
 
+/** Output of the (stubbed) resize: new payload + before/after metadata. */
+case class MMResized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+                     resized_checksum: Long)
+
+/** One sampled "frame" of a (stubbed) video payload. */
+case class MMFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long,
+                   frame_checksum: Long)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata and run a per-partition batch
   * decode/feature-extract.
@@ -46,8 +54,61 @@ object Multimodal extends QueryModule {
     }.toDF().orderBy("doc_id")
   }
 
+  private def records(s: SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        lit("application/octet-stream").as("mime"))
+      .as[MMRecord]
+  }
+
+  /** Stub "resize to half resolution": keep every 2nd byte. The real part
+    * is the plumbing — a 1:1 binary→binary batch transform whose output is
+    * a new payload column plus typed metadata, the exact shape an image
+    * scaler (JNI/library per-partition init) plugs into. */
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    records(s, dir).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.data
+        val resized = new Array[Byte]((bytes.length + 1) / 2)
+        var i = 0
+        while (i < resized.length) { resized(i) = bytes(2 * i); i += 1 }
+        var sum = 0L
+        var j = 0
+        while (j < resized.length) { sum += resized(j) & 0xff; j += 1 }
+        MMResized(r.doc_id, bytes.length.toLong, resized.length.toLong,
+          sum % 1000000007L)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Stub "frame sampling": treat the payload as fixed-256-byte frames and
+    * keep every 4th — the 1:N explode shape of real video frame extraction
+    * (row per sampled frame, frame index + per-frame features). */
+  private val FrameBytes = 64
+  private val FrameStride = 2
+
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    records(s, dir).flatMap { r =>
+      val bytes = r.data
+      val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+      (0 until nFrames by FrameStride).map { f =>
+        val start = f * FrameBytes
+        val end = math.min(start + FrameBytes, bytes.length)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+        MMFrame(r.doc_id, f.toLong, (end - start).toLong, sum % 1000000007L)
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_resize" -> mmResize,
+    "mm_frame_sample" -> mmFrameSample)
 
   /** The corpus is ASCII, so byte-level features are expressible over char
     * codes in the oracle. */
@@ -59,5 +120,23 @@ object Multimodal extends QueryModule {
         |    i -> ascii(text[i:i]))) AS BIGINT) % 1000000007 AS checksum,
         |  CAST(ascii(text[1:1]) AS BIGINT) AS head_byte,
         |  CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width_stub
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        |  CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS resized_bytes,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 2),
+        |    i -> ascii(text[i:i]))) AS BIGINT) % 1000000007 AS resized_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, text, n,
+         |  unnest(range(0, CAST(ceil(n / $FrameBytes.0) AS BIGINT), $FrameStride)) AS frame_idx
+         |  FROM d)
+         |SELECT doc_id, frame_idx,
+         |  CAST(least(n - frame_idx * $FrameBytes, $FrameBytes) AS BIGINT) AS frame_bytes,
+         |  CAST(list_sum(list_transform(
+         |    range(frame_idx * $FrameBytes + 1, least(frame_idx * $FrameBytes + $FrameBytes, n) + 1),
+         |    i -> ascii(text[i:i]))) AS BIGINT) % 1000000007 AS frame_checksum
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

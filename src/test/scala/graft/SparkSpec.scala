@@ -49,6 +49,8 @@ class EntrySpec extends SparkSpec {
     "dedup_ngram_jaccard" -> 8,
     "dedup_embedding" -> 5,
     "mm_features" -> 500,
+    "mm_resize" -> 500,
+    "mm_frame_sample" -> 1436,
     "lance_roundtrip" -> 1,
     "lance_overwrite" -> 1,
     "lance_append_multi" -> 1,
