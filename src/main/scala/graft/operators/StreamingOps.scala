@@ -3,9 +3,10 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import java.nio.file.Files
+import java.sql.Timestamp
 
 /** Structured-Streaming pipelines over the lance connector (§G additions):
   * the reference is a Flink connector, so stream-in/stream-out parity is
@@ -72,9 +73,97 @@ object StreamingOps extends QueryModule {
       .orderBy("w_start")
   }
 
+  // ---- stateful sessionization (flatMapGroupsWithState) ------------------
+
+  /** Per-user accumulated event times (micros) awaiting session close. */
+  case class SessionAcc(tsMicros: Seq[Long])
+
+  /** One closed session. */
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  private val SessionGapMicros = 6L * 3600 * 1000000 // 6 hours
+
+  private def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based custom state: buffer each key's event times and arm an
+    * event-time timeout at lastTs + gap. When the watermark passes it, no
+    * event below the watermark can extend the last session and anything
+    * later starts a new one — every buffered session is final, so emit
+    * them all and drop the state. This is the
+    * `flatMapGroupsWithState` shape the reference's Flink users get from
+    * keyed process functions + timers. */
+  private def sessionFn(key: Long, rows: Iterator[(Long, Timestamp)],
+                        state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val tss = state.get.tsMicros.sorted
+      state.remove()
+      val sessions = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var start = tss.head
+      var prev = tss.head
+      var n = 0L
+      tss.foreach { ts =>
+        if (ts - prev > SessionGapMicros) {
+          sessions += SessionOut(key, toTimestamp(start), toTimestamp(prev), n)
+          start = ts; n = 0L
+        }
+        prev = ts; n += 1
+      }
+      sessions += SessionOut(key, toTimestamp(start), toTimestamp(prev), n)
+      sessions.iterator
+    } else {
+      val acc = state.getOption.map(_.tsMicros).getOrElse(Seq.empty) ++
+        rows.map(r => toMicros(r._2))
+      state.update(SessionAcc(acc))
+      state.setTimeoutTimestamp(acc.max / 1000L + SessionGapMicros / 1000L)
+      Iterator.empty
+    }
+  }
+
+  /** Sessionization with custom keyed state: 6h-gap sessions per user via
+    * flatMapGroupsWithState + event-time timeouts. The sentinel event (fake
+    * user, one day late) pushes the final watermark past every real
+    * timeout, so the trailing no-data batch closes and emits every
+    * session; the sentinel's own timeout never fires and its state dies
+    * with the drained query. Oracle = the batch lag/running-sum
+    * sessionization in DuckDB. */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("ssess-src"); val dst = tmp("ssess-dst"); val ckpt = tmp("ssess-ckpt")
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    import s.implicits._
+    Seq((-1L, new Timestamp(maxTs.getTime + 86400L * 1000)))
+      .toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = s.readStream.schema(ev.schema).parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    s.read.format("lance").load(dst)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
-    "q_stream_window" -> streamWindow)
+    "q_stream_window" -> streamWindow,
+    "q_stream_sessions" -> streamSessions)
 
   val oracleSql: Map[String, String] = Map(
     "lance_stream_pipeline" ->
@@ -83,5 +172,16 @@ object StreamingOps extends QueryModule {
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
         |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 6 HOUR THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
 }

@@ -68,6 +68,7 @@ class EntrySpec extends SparkSpec {
     "ivf_pq_refine" -> 10,
     "lance_stream_pipeline" -> 1,
     "q_stream_window" -> 531,
+    "q_stream_sessions" -> 585,
     "q_asof_orders" -> 10,
     "q_range_orders" -> 10,
     "pipeline_clean" -> 20)
