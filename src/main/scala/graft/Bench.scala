@@ -16,14 +16,17 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   /** Fixed benchmark order: analytics headliners first (round-over-round
-    * comparability with r1), then the heaviest new operators. */
+    * comparability with r1), then the heaviest new operators. New keys are
+    * only ever APPENDED so earlier entries stay comparable across rounds. */
   val headliners: Seq[String] = Seq(
     "q1_pricing", "q3_top_orders", "q5_region_rev", "q_window_topsupp",
     "q_events_sessions", "q_asof_orders",
     "knn_cosine", "knn_filtered", "ivf_flat_search",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "text_quality", "text_langid", "pipeline_clean",
-    "lance_roundtrip", "lance_agg_pushdown")
+    "lance_roundtrip", "lance_agg_pushdown",
+    // appended r6
+    "ivf_pq_search", "mm_frame_sample", "q_stream_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +65,17 @@ object Bench {
             val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
             () => { operators.VectorIndex.ivfSearch(spark, root, centroids, qv,
               nprobes = operators.VectorIndex.Cells, k = operators.VectorIndex.K,
+              excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
+          case "ivf_pq_search" =>
+            // codebook training + encode is the build; time the ADC query
+            val tb = System.nanoTime()
+            val (encoded, flat, subDim) = operators.VectorIndex.buildPq(spark, sfDir)
+            val cached = encoded.cache()
+            cached.count() // materialize codes — the persisted index artifact
+            times("ivf_pq_build") = (System.nanoTime() - tb) / 1e9
+            val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
+            val lut = operators.VectorIndex.pqLut(qv, flat, subDim)
+            () => { operators.VectorIndex.pqAdcTopK(cached, lut, k = 10,
               excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
           case _ =>
             () => { fn(spark, sfDir).count(); () }

@@ -193,15 +193,19 @@ object VectorIndex extends QueryModule {
     lut
   }
 
-  private def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val (encoded, flat, subDim) = buildPq(s, dir)
-    val qv = embeddingOf(s, dir, QueryVecId)
-    val lut = pqLut(qv, flat, subDim)
-    encoded.filter(col("vec_id") =!= QueryVecId)
+  /** Query-time ADC top-k over an encoded dataset (no build work). */
+  def pqAdcTopK(encoded: DataFrame, lut: Array[Double], k: Int,
+                excludeVecId: Long): DataFrame =
+    encoded.filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id"),
         round(graft.functions.pq_adc(col("codes"), lut, M, Codes), 6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
+
+  private def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, flat, subDim) = buildPq(s, dir)
+    val qv = embeddingOf(s, dir, QueryVecId)
+    pqAdcTopK(encoded, pqLut(qv, flat, subDim), k = 10, excludeVecId = QueryVecId)
   }
 
   /** PQ search with refine: fetch k×refineFactor ADC candidates, re-rank
