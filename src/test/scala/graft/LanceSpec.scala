@@ -215,6 +215,22 @@ class LanceSpec extends SparkSpec {
     }
   }
 
+  test("append racing a concurrent DROP stamps the dropped column hidden") {
+    import graft.sources.lance.LanceWriteUtil
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val frags = Seq(FragmentMeta("data/f.parquet", 10, 100,
+      Map("id" -> ColStats(Some(JLong(1)), Some(JLong(10)), Some(0L)),
+          "c" -> ColStats(Some(JString("a")), Some(JString("z")), Some(0L)))))
+    val writerSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("c", StringType)))
+    val tableSchema = StructType(Seq(StructField("id", IntegerType))) // winner dropped c
+    val out = LanceWriteUtil.stampRacedDrops(frags, writerSchema, tableSchema)
+    assert(out.head.hidden === Seq("c"))
+    assert(!out.head.stats.contains("c") && out.head.stats.contains("id"))
+    // no-op when schemas agree
+    assert(LanceWriteUtil.stampRacedDrops(frags, tableSchema, tableSchema) === frags)
+  }
+
   test("catalog: create/list/insert/drop + VERSION AS OF") {
     spark.conf.set("spark.sql.catalog.lance_test",
       classOf[graft.sources.lance.LanceCatalog].getName)
