@@ -169,6 +169,24 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl""".stripMargin)
   }
 
+  /** DELETE FROM through the catalog: row-level predicate delete, then the
+    * survivors must equal the oracle's complement filter on the source. */
+  private def deleteOp(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"t_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM $view")
+    s.sql(s"DELETE FROM graft_lance.db.$tbl " +
+      "WHERE o_orderstatus = 'F' OR o_custkey < 100")
+    s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+         |  count(DISTINCT o_orderstatus) AS n_status
+         |FROM graft_lance.db.$tbl""".stripMargin)
+  }
+
   // ---- streaming sink ----------------------------------------------------
 
   private def streamingSink(s: SparkSession, dir: String): DataFrame = {
@@ -200,6 +218,7 @@ object LanceOps extends QueryModule {
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
+    "lance_delete" -> deleteOp,
     "lance_streaming_sink" -> streamingSink)
 
   val oracleSql: Map[String, String] = Map(
@@ -245,6 +264,10 @@ object LanceOps extends QueryModule {
       """SELECT 2 * count(*) AS n, count(DISTINCT n_nationkey) AS n_keys,
         |  min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation""".stripMargin,
+    "lance_delete" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  count(DISTINCT o_orderstatus) AS n_status
+        |FROM orders WHERE NOT (o_orderstatus = 'F' OR o_custkey < 100)""".stripMargin,
     "lance_streaming_sink" ->
       """SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM range(1000) t(i)""")
 }

@@ -94,7 +94,8 @@ class LanceDataSource extends TableProvider with DataSourceRegister
 class LanceTable(val root: String, extraOptions: Map[String, String],
                  viaCatalog: Boolean = false,
                  providedName: Option[String] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark = SparkSession.active
   private def conf = Shim.hadoopConf(spark, extraOptions)
@@ -138,4 +139,12 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LanceWriteBuilder(spark, root, info, extraOptions)
+
+  // DELETE FROM: decline predicates we can't faithfully rebuild as Columns
+  // (Spark then reports unsupported instead of us running a wrong rewrite)
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => LanceDelete.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    LanceDelete.deleteWhere(spark, root, filters, extraOptions)
 }

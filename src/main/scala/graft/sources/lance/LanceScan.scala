@@ -231,6 +231,40 @@ object LancePruning {
   private def range(fr: FragmentMeta, c: String): Option[(JValue, JValue)] =
     fr.stats.get(c).flatMap(s => for (mn <- s.min; mx <- s.max) yield (mn, mx))
 
+  private def noNulls(fr: FragmentMeta, c: String): Boolean =
+    fr.stats.get(c).flatMap(_.nullCount).contains(0L)
+
+  /** True only if EVERY row in the fragment satisfies `f` (null values
+    * never satisfy a comparison). Powers DELETE's metadata-only fragment
+    * drops — the write-side mirror of provablyEmpty. */
+  def provablyAllMatch(fr: FragmentMeta, f: Filter): Boolean = f match {
+    case EqualTo(c, v) =>
+      (for ((mn, mx) <- range(fr, c); jv <- lit(v);
+            cl <- cmpJ(mn, jv); ch <- cmpJ(mx, jv))
+        yield cl == 0 && ch == 0 && noNulls(fr, c)).getOrElse(false)
+    case GreaterThan(c, v) =>
+      (for ((mn, _) <- range(fr, c); jv <- lit(v); cm <- cmpJ(mn, jv))
+        yield cm > 0 && noNulls(fr, c)).getOrElse(false)
+    case GreaterThanOrEqual(c, v) =>
+      (for ((mn, _) <- range(fr, c); jv <- lit(v); cm <- cmpJ(mn, jv))
+        yield cm >= 0 && noNulls(fr, c)).getOrElse(false)
+    case LessThan(c, v) =>
+      (for ((_, mx) <- range(fr, c); jv <- lit(v); cm <- cmpJ(mx, jv))
+        yield cm < 0 && noNulls(fr, c)).getOrElse(false)
+    case LessThanOrEqual(c, v) =>
+      (for ((_, mx) <- range(fr, c); jv <- lit(v); cm <- cmpJ(mx, jv))
+        yield cm <= 0 && noNulls(fr, c)).getOrElse(false)
+    case In(c, vs) if vs.nonEmpty =>
+      vs.exists(v => provablyAllMatch(fr, EqualTo(c, v)))
+    case IsNull(c) =>
+      fr.stats.get(c).flatMap(_.nullCount).contains(fr.rows)
+    case IsNotNull(c) => noNulls(fr, c)
+    case And(l, r) => provablyAllMatch(fr, l) && provablyAllMatch(fr, r)
+    case Or(l, r) => provablyAllMatch(fr, l) || provablyAllMatch(fr, r)
+    case AlwaysTrue() => true
+    case _ => false
+  }
+
   private def outsideRange(fr: FragmentMeta, c: String, v: Any,
                            strictLow: Boolean, strictHigh: Boolean): Boolean =
     (for ((mn, mx) <- range(fr, c); jv <- lit(v);

@@ -313,6 +313,24 @@ object LanceBatchSave {
   * commits — readers of existing versions are unaffected until vacuum
   * actually removes their files. */
 object LanceMaintenance {
+  /** Read `frags` as rows of `schema`, reading per distinct hidden-mask
+    * group so dropped-then-readded columns stay NULL through a rewrite
+    * (never resurrect stale physical values). Used by compaction and
+    * DELETE's partial-fragment rewrite. */
+  private[lance] def maskedRead(spark: SparkSession, root: String,
+                                schema: StructType,
+                                frags: Seq[FragmentMeta]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dfs = frags.groupBy(_.hidden.toSet).map { case (hiddenSet, frs) =>
+      val paths = frs.map(f => new Path(root, f.path).toString)
+      val masked = schema.fieldNames.filter(hiddenSet)
+      val readSchema = StructType(schema.fields.filterNot(f => hiddenSet(f.name)))
+      masked.foldLeft(spark.read.schema(readSchema).parquet(paths: _*)) { (d, c) =>
+        d.withColumn(c, lit(null).cast(schema(c).dataType))
+      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    dfs.reduce(_.unionAll(_))
+  }
   /** Rewrite fragments smaller than `smallerThanRows` into consolidated
     * fragments of up to `targetRows` rows; commits one new version.
     * Returns the new manifest (or the current one if nothing to do). */
@@ -323,18 +341,7 @@ object LanceMaintenance {
       throw new IllegalStateException(s"lance dataset not found: $root"))
     val (small, big) = m.fragments.partition(_.rows < smallerThanRows)
     if (small.size <= 1) return m
-    // read per distinct hidden-mask group so dropped-then-readded columns
-    // stay null through the rewrite (never resurrect stale physical values)
-    val dfs = small.groupBy(_.hidden.toSet).map { case (hiddenSet, frs) =>
-      val paths = frs.map(f => new Path(root, f.path).toString)
-      val masked = m.schema.fieldNames.filter(hiddenSet)
-      val readSchema = StructType(m.schema.fields.filterNot(f => hiddenSet(f.name)))
-      masked.foldLeft(spark.read.schema(readSchema).parquet(paths: _*)) { (d, c) =>
-        d.withColumn(c, org.apache.spark.sql.functions.lit(null)
-          .cast(m.schema(c).dataType))
-      }.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    }
-    val df = dfs.reduce(_.unionAll(_))
+    val df = maskedRead(spark, root, m.schema, small)
     val newFrags = LanceBatchSave.stageFragments(spark, df, root,
       Some(targetRows.toString))
     val smallPaths = small.map(_.path).toSet

@@ -215,6 +215,41 @@ class LanceSpec extends SparkSpec {
     }
   }
 
+  test("DELETE: stats-aligned fragments drop metadata-only, partial ones rewrite") {
+    import graft.sources.lance.LanceDelete
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    val root = tmp()
+    // sorted write → fragments cover contiguous o_orderkey ranges
+    orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.format("lance").option("maxRowsPerFile", "400").save(root)
+    val before = ManifestIO.loadLatest(root, conf).get
+    val maxKey = orders.agg(max("o_orderkey")).first().getLong(0)
+    val cut = maxKey / 2
+    // fragments entirely above the cut must survive untouched (same paths)
+    val untouchedBefore = before.fragments.filter(fr =>
+      LancePruning.provablyEmpty(fr, before.schema, GreaterThanOrEqual("o_orderkey", cut)))
+      .map(_.path).toSet
+    assert(untouchedBefore.nonEmpty, "test needs fragments below the cut")
+    LanceDelete.deleteWhere(spark, root,
+      Array(GreaterThanOrEqual("o_orderkey", cut)), Map.empty)
+    val after = ManifestIO.loadLatest(root, conf).get
+    assert(untouchedBefore.subsetOf(after.fragments.map(_.path).toSet))
+    val left = spark.read.format("lance").load(root)
+    assert(left.count() === orders.filter(col("o_orderkey") < cut).count())
+    assert(left.agg(max("o_orderkey")).first().getLong(0) < cut)
+    // second delete: partial rewrite inside one fragment
+    LanceDelete.deleteWhere(spark, root, Array(EqualTo("o_orderstatus", "F")), Map.empty)
+    val left2 = spark.read.format("lance").load(root)
+    assert(left2.filter(col("o_orderstatus") === "F").count() === 0)
+    assert(left2.count() ===
+      orders.filter(col("o_orderkey") < cut && col("o_orderstatus") =!= "F").count())
+    // provably-no-match delete is a no-op commit-wise
+    val v = ManifestIO.loadLatest(root, conf).get.version
+    LanceDelete.deleteWhere(spark, root, Array(LessThan("o_orderkey", -1L)), Map.empty)
+    assert(ManifestIO.loadLatest(root, conf).get.version === v)
+  }
+
   test("append racing a concurrent DROP stamps the dropped column hidden") {
     import graft.sources.lance.LanceWriteUtil
     import org.apache.spark.sql.types.{IntegerType, StringType}

@@ -62,6 +62,7 @@ class EntrySpec extends SparkSpec {
     "lance_types_roundtrip" -> 1,
     "lance_sql_catalog" -> 1,
     "lance_streaming_sink" -> 1,
+    "lance_delete" -> 1,
     "ivf_flat_search" -> 15,
     "ivf_hnsw_search" -> 15,
     "ivf_pq_search" -> 10,
