@@ -70,8 +70,15 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
       providedName = Some(s"${fullName(ident)}@v$version"))
   }
 
-  override def loadTable(ident: Identifier, version: Long): Table =
-    loadTable(ident, version.toString)
+  /** TIMESTAMP AS OF — the TableCatalog contract passes epoch MICROseconds
+    * here (not a version number): resolve to the latest version whose
+    * manifest commit mtime is at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
+    new LanceTable(p.toString, Map("timestampAsOf" -> (timestamp / 1000L).toString),
+      viaCatalog = true, providedName = Some(s"${fullName(ident)}@t$timestamp"))
+  }
 
   private def fullName(ident: Identifier): String =
     (Seq(catalogName) ++ ident.namespace :+ ident.name).mkString(".")

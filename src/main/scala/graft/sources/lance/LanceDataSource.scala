@@ -100,12 +100,20 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   private def spark = SparkSession.active
   private def conf = Shim.hadoopConf(spark, extraOptions)
 
-  /** Manifest pinned at table resolution: versionAsOf option, else latest. */
+  /** Manifest pinned at table resolution: versionAsOf / timestampAsOf
+    * option, else latest. */
   lazy val manifest: Option[LanceManifest] = {
     val c = conf
-    LanceOptions.get(extraOptions, "versionAsOf") match {
-      case Some(v) => Some(ManifestIO.load(root, v.toLong, c))
-      case None => ManifestIO.loadLatest(root, c)
+    (LanceOptions.get(extraOptions, "versionAsOf"),
+      LanceOptions.get(extraOptions, "timestampAsOf")) match {
+      case (Some(v), _) => Some(ManifestIO.load(root, v.toLong, c))
+      case (None, Some(ts)) =>
+        val millis = LanceTable.parseTimestampMillis(ts)
+        val v = ManifestIO.versionAsOfTimestamp(root, c, millis).getOrElse(
+          throw new IllegalArgumentException(
+            s"lance: no version committed at or before timestampAsOf=$ts at $root"))
+        Some(ManifestIO.load(root, v, c))
+      case _ => ManifestIO.loadLatest(root, c)
     }
   }
 
@@ -147,4 +155,15 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     LanceDelete.deleteWhere(spark, root, filters, extraOptions)
+}
+
+object LanceTable {
+  /** timestampAsOf accepts epoch millis, `java.sql.Timestamp` syntax
+    * ("yyyy-mm-dd hh:mm:ss[.f]", session-local), or ISO-8601 instants. */
+  def parseTimestampMillis(s: String): Long = {
+    val trimmed = s.trim
+    if (trimmed.matches("-?\\d+")) trimmed.toLong
+    else scala.util.Try(java.sql.Timestamp.valueOf(trimmed).getTime)
+      .getOrElse(java.time.Instant.parse(trimmed).toEpochMilli)
+  }
 }

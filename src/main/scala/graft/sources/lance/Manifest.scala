@@ -97,6 +97,16 @@ object ManifestIO {
   def latestVersion(root: String, conf: Configuration): Option[Long] =
     listVersions(root, conf).lastOption
 
+  /** Latest version whose manifest was committed at or before `tsMillis`
+    * (mtime-based, like Delta's timestamp time travel). */
+  def versionAsOfTimestamp(root: String, conf: Configuration,
+                           tsMillis: Long): Option[Long] = {
+    val f = fs(root, conf)
+    listVersions(root, conf)
+      .filter(v => f.getFileStatus(manifestPath(root, v)).getModificationTime <= tsMillis)
+      .lastOption
+  }
+
   def exists(root: String, conf: Configuration): Boolean =
     latestVersion(root, conf).isDefined
 

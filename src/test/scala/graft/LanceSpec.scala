@@ -157,6 +157,43 @@ class LanceSpec extends SparkSpec {
     assert(v2 === 2 * region.count())
   }
 
+  test("timestampAsOf resolves versions by manifest commit time") {
+    val root = tmp()
+    val region = Tables.t(spark, sf, "region")
+    region.write.format("lance").save(root) // v1
+    Thread.sleep(60)
+    val between = System.currentTimeMillis()
+    Thread.sleep(60)
+    region.write.format("lance").mode("append").save(root) // v2
+    val atV1 = spark.read.format("lance")
+      .option("timestampAsOf", between.toString).load(root)
+    assert(atV1.count() === region.count())
+    val now = spark.read.format("lance")
+      .option("timestampAsOf", System.currentTimeMillis().toString).load(root)
+    assert(now.count() === 2 * region.count())
+    // before any commit → error
+    intercept[IllegalArgumentException] {
+      spark.read.format("lance").option("timestampAsOf", "1000").load(root).count()
+    }
+    // catalog long overload is TIMESTAMP AS OF in MICROS, not a version
+    spark.conf.set("spark.sql.catalog.lance_tt",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_tt.warehouse", tmp())
+    spark.sql("CREATE NAMESPACE lance_tt.db")
+    region.createOrReplaceTempView("region_tt_src")
+    spark.sql("CREATE TABLE lance_tt.db.r AS SELECT * FROM region_tt_src")
+    Thread.sleep(60)
+    val betweenCat = System.currentTimeMillis()
+    Thread.sleep(60)
+    spark.sql("INSERT INTO lance_tt.db.r SELECT * FROM region_tt_src")
+    val cat = spark.sessionState.catalogManager.catalog("lance_tt")
+      .asInstanceOf[graft.sources.lance.LanceCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "r")
+    val tbl = cat.loadTable(ident, betweenCat * 1000L) // micros
+      .asInstanceOf[graft.sources.lance.LanceTable]
+    assert(tbl.manifest.get.totalRows === region.count())
+  }
+
   test("overwrite replaces contents and schema") {
     val root = tmp()
     Tables.t(spark, sf, "region").write.format("lance").save(root)
