@@ -59,35 +59,35 @@ package object functions {
   def shingle_hashes(s: Column, k: Int, seed: Long = 42L): Column =
     Column(ShingleHashes(expression(s), k, seed))
 
+  /** (name, builder) for every SQL-exposed graft function — shared by
+    * session-level [[registerAll]] and the [[graft.GraftExtensions]]
+    * spark.sql.extensions entry point. */
+  private[graft] val sqlFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      e.eval(null).asInstanceOf[Number].longValue()
+    Seq(
+      "vec_dot" -> (es => VectorDistance(es.head, es(1), "dot")),
+      "vec_l2" -> (es => VectorDistance(es.head, es(1), "l2")),
+      "vec_cosine" -> (es => VectorDistance(es.head, es(1), "cosine")),
+      "graft_fingerprint" -> (es => RollingFingerprint(es.head)),
+      "graft_simhash" -> (es =>
+        if (es.size > 1) SimHash64(es.head, longLit(es(1))) else SimHash64(es.head)),
+      "graft_minhash" -> (es => MinHashSignature(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L)),
+      "sorted_jaccard" -> (es => SortedJaccard(es.head, es(1))),
+      "ngram_hashes" -> (es => NgramHashes(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L)),
+      "shingle_hashes" -> (es => ShingleHashes(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L)))
+  }
+
   /** Register all graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
-      e.eval(null).asInstanceOf[Number].longValue()
-    reg.createOrReplaceTempFunction("vec_dot",
-      es => VectorDistance(es.head, es(1), "dot"), "built-in")
-    reg.createOrReplaceTempFunction("vec_l2",
-      es => VectorDistance(es.head, es(1), "l2"), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine",
-      es => VectorDistance(es.head, es(1), "cosine"), "built-in")
-    reg.createOrReplaceTempFunction("graft_fingerprint",
-      es => RollingFingerprint(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => if (es.size > 1) SimHash64(es.head, longLit(es(1))) else SimHash64(es.head),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSignature(es.head, longLit(es(1)).toInt,
-        if (es.size > 2) longLit(es(2)) else 42L),
-      "built-in")
-    reg.createOrReplaceTempFunction("sorted_jaccard",
-      es => SortedJaccard(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("ngram_hashes",
-      es => NgramHashes(es.head, longLit(es(1)).toInt,
-        if (es.size > 2) longLit(es(2)) else 42L),
-      "built-in")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      es => ShingleHashes(es.head, longLit(es(1)).toInt,
-        if (es.size > 2) longLit(es(2)) else 42L),
-      "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

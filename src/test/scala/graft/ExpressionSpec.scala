@@ -115,6 +115,19 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(sorted_jaccard(typedLit(Seq.empty[Long]), typedLit(Seq.empty[Long]))) === 0.0)
   }
 
+  test("GraftExtensions exposes the same builders as session registration") {
+    val names = graft.functions.sqlFunctions.map(_._1)
+    assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "graft_fingerprint",
+      "graft_simhash", "graft_minhash", "sorted_jaccard", "ngram_hashes",
+      "shingle_hashes"))
+    // builders produce evaluable expressions (the extension injects these)
+    val dot = graft.functions.sqlFunctions.toMap.apply("vec_dot")(
+      Seq(fLit(1f, 2f), fLit(3f, 4f)))
+    assert(dot.eval(null) === 11.0)
+    // applying the extension must not throw and must register every name
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("graft functions registered for SQL") {
     registerAll(spark)
     val r = spark.sql(
