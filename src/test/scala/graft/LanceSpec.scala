@@ -157,6 +157,22 @@ class LanceSpec extends SparkSpec {
     assert(v2 === 2 * region.count())
   }
 
+  test("oversized fragments split into byte-range partitions without loss or duplication") {
+    val root = tmp()
+    orders.coalesce(1).write.format("lance").save(root) // one big fragment
+    val frag = ManifestIO.loadLatest(root, conf).get.fragments
+    assert(frag.size === 1)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val ds = spark.read.format("lance").load(root)
+      assert(ds.rdd.getNumPartitions > 1, "fragment did not split")
+      assert(ds.count() === orders.count())
+      assert(ds.select("o_orderkey").distinct().count() ===
+        orders.select("o_orderkey").distinct().count())
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("timestampAsOf resolves versions by manifest commit time") {
     val root = tmp()
     val region = Tables.t(spark, sf, "region")
