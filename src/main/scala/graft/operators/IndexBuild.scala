@@ -49,7 +49,8 @@ object IndexBuild {
 
     val withFv = source.withColumn("fv", toVec(col(vecCol)))
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(VectorIndex.trainingSample(withFv))
     val assigned = model.transform(withFv).drop("fv")
     val centroids = model.clusterCenters
 
@@ -59,8 +60,9 @@ object IndexBuild {
       val codes = 1 << io.numBits
       val subDim = dim / m
       val flat = new Array[Double](m * codes * subDim)
+      val sampled = VectorIndex.trainingSample(source)
       (0 until m).foreach { mm =>
-        val sub = source.select(toVec(expr(
+        val sub = sampled.select(toVec(expr(
           s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as("fv"))
         val cb = new KMeans().setK(codes).setSeed(42L + mm).setMaxIter(10)
           .setFeaturesCol("fv").fit(sub).clusterCenters

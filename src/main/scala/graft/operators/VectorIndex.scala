@@ -41,12 +41,25 @@ object VectorIndex extends QueryModule {
     Vectors.dense(a.map(_.toDouble).toArray)
   }
 
+  /** Cap KMeans TRAINING input (deterministic seed); assignment/encoding
+    * still runs over the full dataset. Centroid quality saturates long
+    * before millions of training rows, and at 100 TB a full-data fit per
+    * codebook would dominate the build — this bounds it to one cheap
+    * count + a sampled fit. Full-probe searches stay exact no matter what
+    * centroids come out, so oracle keys are unaffected. */
+  private[operators] val TrainCap = 200000L
+  private[operators] def trainingSample(df: DataFrame): DataFrame = {
+    val n = df.count()
+    if (n <= TrainCap) df
+    else df.sample(withReplacement = false, TrainCap.toDouble / n, 42L)
+  }
+
   /** Build the IVF_FLAT index: returns (index dataset root, centroids). */
   def buildIvfFlat(s: SparkSession, dir: String, cells: Int = Cells): (String, Array[Vector]) = {
     val root = Files.createTempDirectory("graft-ivf-").toString
     val e = t(s, dir, "embeddings").withColumn("fv", toVec(col("embedding")))
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(trainingSample(e))
     model.transform(e)
       .select(col("vec_id"), col("embedding"), col("label"), col("cell"))
       .repartitionByRange(cells, col("cell"))
@@ -165,8 +178,9 @@ object VectorIndex extends QueryModule {
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     val subDim = dim / M
+    val sampled = trainingSample(e)
     val codebooks = (0 until M).map { m =>
-      val sub = e.select(toVec(expr(
+      val sub = sampled.select(toVec(expr(
         s"slice(embedding, ${m * subDim + 1}, $subDim)")).as("fv"))
       new KMeans().setK(Codes).setSeed(42L + m).setMaxIter(10)
         .setFeaturesCol("fv").fit(sub).clusterCenters
