@@ -361,6 +361,23 @@ object LanceMaintenance {
     }
   }
 
+  /** Version history of a dataset (the DESCRIBE HISTORY equivalent): one
+    * row per manifest with commit time, fragment/row counts and the
+    * streaming-txn count — O(versions) metadata reads, no data IO. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val conf = Shim.hadoopConf(spark, Map.empty)
+    val fs = ManifestIO.fs(root, conf)
+    val rows = ManifestIO.listVersions(root, conf).map { v =>
+      val m = ManifestIO.load(root, v, conf)
+      val mtime = fs.getFileStatus(ManifestIO.manifestFile(root, v)).getModificationTime
+      (v, new java.sql.Timestamp(mtime), m.fragments.size.toLong, m.totalRows,
+        m.schema.fields.length, m.txns.size)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "n_fragments", "n_rows", "n_columns", "n_txns")
+      .orderBy("version")
+  }
+
   /** Keep only the last `retainVersions` manifests and delete data files no
     * remaining version references. Time travel older than the cutoff stops
     * working — that is the point.

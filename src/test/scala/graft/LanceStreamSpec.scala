@@ -68,6 +68,10 @@ class LanceStreamSpec extends SparkSpec {
 
     LanceMaintenance.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
     assert(ManifestIO.listVersions(root, conf).size === 1)
+    // history reflects the surviving version
+    val h = LanceMaintenance.history(spark, root).collect()
+    assert(h.length === 1)
+    assert(h.head.getLong(3) === region.count())
     // current version fully readable; its fragment files survived
     assert(spark.read.format("lance").load(root).count() === region.count())
     // old fragment files are gone: only the compacted fragment remains
