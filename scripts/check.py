@@ -33,6 +33,12 @@ for t in tables:
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
+# a query that errored inside Verify never dumps a directory — that must
+# fail the gate, not silently vanish from the comparison loop
+dumped = {n for n in os.listdir(out) if os.path.isdir(os.path.join(out, n))}
+for name in sorted(set(oracles) - dumped):
+    print(f"{name:24s} MISSING (query failed during Verify)")
+    fails.append(name + " [missing dump]")
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):

@@ -187,6 +187,24 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl""".stripMargin)
   }
 
+  /** UPDATE through the catalog: copy-on-write row-level rewrite, verified
+    * against the oracle's CASE-expression equivalent on the source. */
+  private def updateOp(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"t_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM $view")
+    s.sql(s"UPDATE graft_lance.db.$tbl SET o_custkey = o_custkey + 1000000 " +
+      "WHERE o_orderstatus = 'F'")
+    s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         |FROM graft_lance.db.$tbl""".stripMargin)
+  }
+
   // ---- streaming sink ----------------------------------------------------
 
   private def streamingSink(s: SparkSession, dir: String): DataFrame = {
@@ -219,6 +237,7 @@ object LanceOps extends QueryModule {
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
     "lance_delete" -> deleteOp,
+    "lance_update" -> updateOp,
     "lance_streaming_sink" -> streamingSink)
 
   val oracleSql: Map[String, String] = Map(
@@ -268,6 +287,12 @@ object LanceOps extends QueryModule {
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  count(DISTINCT o_orderstatus) AS n_status
         |FROM orders WHERE NOT (o_orderstatus = 'F' OR o_custkey < 100)""".stripMargin,
+    "lance_update" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN o_custkey + 1000000
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders""".stripMargin,
     "lance_streaming_sink" ->
       """SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM range(1000) t(i)""")
 }

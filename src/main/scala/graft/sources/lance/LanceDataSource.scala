@@ -95,7 +95,8 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
                  viaCatalog: Boolean = false,
                  providedName: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
   private def conf = Shim.hadoopConf(spark, extraOptions)
@@ -155,6 +156,13 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     LanceDelete.deleteWhere(spark, root, filters, extraOptions)
+
+  // UPDATE / MERGE (and subquery DELETEs) via copy-on-write at fragment
+  // granularity — see LanceRowLevelOperation
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new LanceRowLevelOperation(root, extraOptions, info.command())
 }
 
 object LanceTable {

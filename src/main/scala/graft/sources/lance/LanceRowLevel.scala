@@ -1,0 +1,170 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.sources.{And, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Group-based (copy-on-write) row-level operations — UPDATE / MERGE, and
+  * the DELETE forms `SupportsDelete` declines (e.g. subquery predicates).
+  * The "group" is the fragment: Spark reads every row of the affected
+  * fragments through [[LanceCowScan]], computes the resulting rows, writes
+  * them as new fragments, and the commit atomically swaps the scanned
+  * fragments for the new ones.
+  *
+  * Pruning rule (critical): a fragment may be EXCLUDED from the scan only
+  * if the operation provably leaves it untouched — and what "untouched"
+  * means depends on what Spark pushes per command. UPDATE pushes the
+  * update CONDITION (touched rows), so the safe prune is
+  * `provablyEmpty`; the group-based DELETE rewrite pushes the KEEP
+  * condition `NOT cond`, so the safe prune is `provablyAllMatch`
+  * (omitting a fragment whose rows all fail the keep-condition would
+  * resurrect deleted rows); MERGE's pushed filters come from join
+  * pushthrough and admit no such inference, so MERGE never prunes.
+  * Filters are never forwarded to the parquet reader (row-group skipping
+  * inside a rewritten fragment would silently drop rows from the table).
+  */
+class LanceRowLevelOperation(root: String, extraOptions: Map[String, String],
+                             cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Fragment paths the scan planned — exactly the set commit replaces. */
+  @volatile private[lance] var scanned: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val conf = Shim.hadoopConf(spark, extraOptions)
+    val m = ManifestIO.loadLatest(root, conf).getOrElse(
+      throw new IllegalStateException(s"lance dataset not found: $root"))
+    new LanceCowScanBuilder(spark, root, m,
+      extraOptions ++ options.asScala.toMap, this)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LanceCowWriteBuilder(SparkSession.active, root, info, extraOptions, this)
+
+  override def description(): String = s"LanceRowLevel($cmd, $root)"
+}
+
+class LanceCowScanBuilder(spark: SparkSession, root: String,
+                          manifest: LanceManifest, options: Map[String, String],
+                          op: LanceRowLevelOperation) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = manifest.schema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all residual — used ONLY to skip provably-untouched fragments
+  }
+  override def pushedFilters(): Array[Filter] = filters
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    import RowLevelOperation.Command
+    val conj = filters.reduceOption(And(_, _))
+    val affected = (op.command(), conj) match {
+      case (Command.UPDATE, Some(c)) =>
+        manifest.fragments.filterNot(fr =>
+          LancePruning.provablyEmpty(fr, manifest.schema, c))
+      case (Command.DELETE, Some(c)) =>
+        manifest.fragments.filterNot(fr => LancePruning.provablyAllMatch(fr, c))
+      case _ => manifest.fragments
+    }
+    op.scanned = affected.map(_.path)
+    // a LanceParquetScan with NO reader-level filters and no limit: every
+    // row of every affected fragment flows to the rewrite
+    new LanceParquetScan(spark, root, manifest, affected, required,
+      Seq.empty, None, options)
+  }
+}
+
+class LanceCowWriteBuilder(spark: SparkSession, root: String,
+                           info: LogicalWriteInfo, extraOptions: Map[String, String],
+                           op: LanceRowLevelOperation) extends WriteBuilder {
+  override def build(): Write = {
+    val opts = extraOptions ++ info.options.asScala
+    val schema = info.schema()
+    val (factory, conf) = Shim.parquetWriterFactory(spark, schema, opts)
+    val maxRows = LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+          new LanceCowDataWriterFactory(root, schema, factory, conf, maxRows)
+
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          val newFrags = messages.flatMap {
+            case m: LanceFragmentsCommitMessage => m.fragments
+          }.toSeq
+          val touched = op.scanned.toSet
+          val committed = ManifestIO.commit(root, conf.value) { latest =>
+            val cur = latest.getOrElse(throw new IllegalStateException(
+              s"lance dataset disappeared during ${op.command()}: $root"))
+            // a concurrent rewrite removed a fragment we read — swapping
+            // would lose its changes or duplicate rows
+            if (!touched.forall(cur.fragments.map(_.path).toSet)) None
+            else {
+              val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, cur.schema)
+              Some(LanceCommit(cur.schema,
+                cur.fragments.filterNot(f => touched(f.path)) ++ stamped, cur.txns))
+            }
+          }
+          if (committed.isEmpty) {
+            LanceWriteUtil.deleteFragments(root, messages, conf)
+            throw new IllegalStateException(
+              s"lance ${op.command()} lost a conflict with a concurrent rewrite at $root; retry")
+          }
+        }
+
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          LanceWriteUtil.deleteFragments(root, messages, conf)
+      }
+    }
+  }
+}
+
+/** Copy-on-write writer factory: UPDATE/MERGE rewrite plans prepend a
+  * `__row_operation` int column that Spark only strips when the operation
+  * declares metadata attributes (ReplaceDataExec picks the projecting
+  * task solely on `metadataProjection`); plain group-based connectors
+  * receive it raw. Detect the extra leading column from the first row's
+  * arity and strip it with a ProjectingInternalRow; every row reaching a
+  * group-based ReplaceData is a write (deletes are filtered out of the
+  * query), so the operation value itself needs no dispatch. */
+class LanceCowDataWriterFactory(root: String, schema: StructType,
+                                factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+                                conf: org.apache.spark.util.SerializableConfiguration,
+                                maxRowsPerFile: Long) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile,
+      partitionId, taskId)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private var checked = false
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (!checked) {
+          checked = true
+          if (row.numFields == schema.length + 1)
+            proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+              schema, 1 to schema.length)
+        }
+        if (proj == null) inner.write(row)
+        else { proj.project(row); inner.write(proj) }
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}

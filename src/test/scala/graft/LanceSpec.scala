@@ -303,6 +303,37 @@ class LanceSpec extends SparkSpec {
     assert(ManifestIO.loadLatest(root, conf).get.version === v)
   }
 
+  test("UPDATE / MERGE / subquery DELETE via copy-on-write row-level ops") {
+    spark.conf.set("spark.sql.catalog.lance_rlo",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_rlo.warehouse", tmp())
+    spark.sql("CREATE NAMESPACE lance_rlo.db")
+    spark.sql("CREATE TABLE lance_rlo.db.t AS " +
+      "SELECT * FROM VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40) AS v(id, name, amt)")
+
+    spark.sql("UPDATE lance_rlo.db.t SET amt = amt + 100 WHERE id <= 2")
+    val afterUpdate = spark.sql("SELECT id, amt FROM lance_rlo.db.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(afterUpdate.toSeq === Seq((1, 110), (2, 120), (3, 30), (4, 40)))
+
+    spark.sql("CREATE OR REPLACE TEMP VIEW rlo_src AS " +
+      "SELECT * FROM VALUES (3, 'cc', 333), (5, 'e', 50) AS s(id, name, amt)")
+    spark.sql(
+      """MERGE INTO lance_rlo.db.t t USING rlo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.amt = s.amt, t.name = s.name
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.sql("SELECT id, name, amt FROM lance_rlo.db.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(afterMerge.toSeq === Seq((1, "a", 110), (2, "b", 120),
+      (3, "cc", 333), (4, "d", 40), (5, "e", 50)))
+
+    // subquery DELETE: canDeleteWhere declines → row-level rewrite path
+    spark.sql("DELETE FROM lance_rlo.db.t WHERE id IN (SELECT id FROM rlo_src)")
+    val afterDelete = spark.sql("SELECT id FROM lance_rlo.db.t ORDER BY id")
+      .collect().map(_.getInt(0))
+    assert(afterDelete.toSeq === Seq(1, 2, 4))
+  }
+
   test("append racing a concurrent DROP stamps the dropped column hidden") {
     import graft.sources.lance.LanceWriteUtil
     import org.apache.spark.sql.types.{IntegerType, StringType}
