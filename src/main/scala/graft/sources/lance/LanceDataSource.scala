@@ -96,7 +96,8 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
                  providedName: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark = SparkSession.active
   private def conf = Shim.hadoopConf(spark, extraOptions)
@@ -156,6 +157,11 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     LanceDelete.deleteWhere(spark, root, filters, extraOptions)
+
+  // `_file` metadata column (SELECT _file FROM t): fragment identity for
+  // users and for row-level runtime group filtering
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    LanceMetadata.columns
 
   // UPDATE / MERGE (and subquery DELETEs) via copy-on-write at fragment
   // granularity — see LanceRowLevelOperation

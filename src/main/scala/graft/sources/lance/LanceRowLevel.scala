@@ -50,6 +50,13 @@ class LanceRowLevelOperation(root: String, extraOptions: Map[String, String],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LanceCowWriteBuilder(SparkSession.active, root, info, extraOptions, this)
 
+  /** Request `_file` so Spark builds a metadata projection (which makes
+    * ReplaceDataExec strip the __row_operation column for us) and can run
+    * runtime group filtering over fragment identity. */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(LanceMetadata.FileCol))
+
   override def description(): String = s"LanceRowLevel($cmd, $root)"
 }
 
@@ -81,10 +88,63 @@ class LanceCowScanBuilder(spark: SparkSession, root: String,
       case _ => manifest.fragments
     }
     op.scanned = affected.map(_.path)
-    // a LanceParquetScan with NO reader-level filters and no limit: every
-    // row of every affected fragment flows to the rewrite
-    new LanceParquetScan(spark, root, manifest, affected, required,
+    // a scan with NO reader-level filters and no limit: every row of every
+    // affected fragment flows to the rewrite; runtime group filtering can
+    // narrow the affected set (and op.scanned with it) before execution
+    new LanceCowScan(spark, root, manifest, affected, required, options, op)
+  }
+}
+
+/** The copy-on-write scan: a full-fragment scan that additionally supports
+  * runtime group filtering over `_file` (the Iceberg pattern): Spark runs
+  * the matching-rows subquery first, collects the distinct `_file` values
+  * that contain matches, and pushes `IN(_file, …)` here — fragments with
+  * no matching rows are then neither read nor rewritten, so a MERGE or
+  * subquery-DML touching 1% of fragments rewrites 1% of the table. */
+class LanceCowScan(spark: SparkSession, root: String, manifest: LanceManifest,
+                   affected: Seq[FragmentMeta], required: StructType,
+                   options: Map[String, String], op: LanceRowLevelOperation)
+    extends LanceParquetScan(spark, root, manifest, affected, required,
       Seq.empty, None, options)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(LanceMetadata.FileCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    matchedFiles(predicates).foreach { keep =>
+      val narrowed = fragments.filter(fr =>
+        keep.contains(new org.apache.hadoop.fs.Path(root, fr.path).toString))
+      fragments = narrowed
+      op.scanned = narrowed.map(_.path)
+    }
+  }
+
+  /** Extract the `IN (_file, literals…)` set; None = unrecognized shape
+    * (keep everything — runtime filters are an optimization only). */
+  private def matchedFiles(predicates: Array[Predicate]): Option[Set[String]] = {
+    val sets = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else {
+        val onFile = p.children()(0) match {
+          case r: NamedReference => r.fieldNames().sameElements(Array(LanceMetadata.FileCol))
+          case _ => false
+        }
+        if (!onFile) None
+        else {
+          val vals: Seq[Option[String]] = p.children().drop(1).toSeq.map {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              Option(l.value()).map(_.toString)
+            case _ => None
+          }
+          if (vals.exists(_.isEmpty)) None else Some(vals.flatten.toSet)
+        }
+      }
+    }
+    sets.reduceOption(_ intersect _)
   }
 }
 

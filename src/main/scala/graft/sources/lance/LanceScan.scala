@@ -291,10 +291,13 @@ case class LanceInputPartition(path: String, start: Long, length: Long,
                                hidden: Seq[String] = Nil) extends InputPartition
 
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
-                       fragments: Seq[FragmentMeta], required: StructType,
+                       initialFragments: Seq[FragmentMeta], required: StructType,
                        filters: Seq[Filter], limit: Option[Int],
                        options: Map[String, String]) extends Scan with Batch
     with SupportsReportStatistics {
+
+  /** Narrowable by subclasses (runtime group filtering in the COW scan). */
+  @volatile protected var fragments: Seq[FragmentMeta] = initialFragments
 
   override def readSchema(): StructType = required
 
@@ -324,6 +327,10 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     * them projected for re-evaluation — but union them for safety.) */
   private val relevantCols: Set[String] =
     required.fieldNames.toSet ++ filters.flatMap(_.references)
+
+  /** Is the `_file` metadata column part of the projection? */
+  private val fileRequested: Boolean =
+    required.fieldNames.contains(LanceMetadata.FileCol)
 
   private def maskKey(fr: FragmentMeta): Seq[String] =
     fr.hidden.filter(relevantCols).sorted
@@ -356,20 +363,35 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     // the vectorized reader is on, read columnar: batches flow straight
     // into WholeStageCodegen's ColumnarToRow instead of per-row iteration.
     val hiddenSets = fragments.map(maskKey).distinct
-    if (hiddenSets.forall(_.isEmpty)) {
+    if (hiddenSets.forall(_.isEmpty) && !fileRequested) {
       val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
       val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
         returningBatch = columnar)
       new LanceReaderFactory(readFn, limit, columnar)
     } else {
-      // at least one planned fragment predates a DROP of a column this scan
-      // touches: per-hidden-group readers with NULL re-injection (row path;
-      // Spark forbids mixing row and columnar partitions in one scan)
+      // hidden-column masks and/or the _file metadata column need per-row
+      // value injection (row path; Spark forbids mixing row and columnar
+      // partitions in one scan)
       new LanceMaskedReaderFactory(
         LanceReadGroup.build(spark, manifest.schema, required, filters, options, hiddenSets),
         limit)
     }
   }
+}
+
+/** Metadata columns the connector exposes (SupportsMetadataColumns):
+  * `_file` = the fragment file's full path — the Iceberg-style identity
+  * column row-level operations use for runtime group filtering. */
+object LanceMetadata {
+  val FileCol = "_file"
+
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "full path of the fragment file holding the row"
+    })
 }
 
 class LanceReaderFactory(
@@ -430,25 +452,34 @@ private[lance] case class LanceReadGroup(
 }
 
 private[lance] object LanceReadGroup {
+  /** Mapping sentinel: NULL-inject (masked hidden column). */
+  val NullInject: Int = -1
+  /** Mapping sentinel: inject the partition's file path (`_file`). */
+  val FileInject: Int = -2
+
   /** One group per distinct hidden-set (keys sorted). Filters referencing a
     * masked column are NOT pushed into that group's reader: the physical
     * file still holds the pre-DROP values, and parquet row-group skipping
     * on stale values would silently drop rows whose masked value correctly
-    * reads as NULL. All filters are residual, so Spark re-evaluates them
-    * against the masked output. */
+    * reads as NULL. Filters on `_file` are likewise never forwarded (no
+    * such physical column). All filters are residual, so Spark re-evaluates
+    * them against the final output. */
   def build(spark: SparkSession, tableSchema: StructType, required: StructType,
             filters: Seq[Filter], options: Map[String, String],
             hiddenSets: Seq[Seq[String]]): Map[Seq[String], LanceReadGroup] =
     hiddenSets.map { hs =>
       val hsSet = hs.toSet
+      val skip = hsSet + LanceMetadata.FileCol
       val dataSchema = StructType(tableSchema.fields.filterNot(f => hsSet(f.name)))
-      val readSchema = StructType(required.fields.filterNot(f => hsSet(f.name)))
-      val safeFilters = filters.filterNot(_.references.exists(hsSet))
+      val readSchema = StructType(required.fields.filterNot(f => skip(f.name)))
+      val safeFilters = filters.filterNot(_.references.exists(skip))
       val readFn = Shim.parquetReader(spark, dataSchema, readSchema, safeFilters,
         options, returningBatch = false)
       var j = 0
       val mapping = required.fields.map { f =>
-        if (hsSet(f.name)) -1 else { val r = j; j += 1; r }
+        if (f.name == LanceMetadata.FileCol) FileInject
+        else if (hsSet(f.name)) NullInject
+        else { val r = j; j += 1; r }
       }
       (hs: Seq[String]) -> LanceReadGroup(readFn, mapping, required.fields.map(_.dataType))
     }.toMap
@@ -471,6 +502,7 @@ class LanceMaskedReaderFactory(groups: Map[Seq[String], LanceReadGroup],
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
+    val filePath = UTF8String.fromString(p.path)
     val projected =
       if (g.isIdentity) rows
       else rows.map { r =>
@@ -478,7 +510,10 @@ class LanceMaskedReaderFactory(groups: Map[Seq[String], LanceReadGroup],
         var i = 0
         while (i < g.mapping.length) {
           val m = g.mapping(i)
-          out(i) = if (m < 0 || r.isNullAt(m)) null else r.get(m, g.types(i))
+          out(i) =
+            if (m == LanceReadGroup.FileInject) filePath
+            else if (m < 0 || r.isNullAt(m)) null
+            else r.get(m, g.types(i))
           i += 1
         }
         new GenericInternalRow(out)

@@ -334,6 +334,41 @@ class LanceSpec extends SparkSpec {
     assert(afterDelete.toSeq === Seq(1, 2, 4))
   }
 
+  test("_file metadata column; runtime group filtering narrows subquery-DML rewrites") {
+    spark.conf.set("spark.sql.catalog.lance_rgf",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_rgf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_rgf.db")
+    spark.sql("CREATE TABLE lance_rgf.db.o (o_orderkey BIGINT, o_custkey BIGINT)")
+    // append range-partitioned fragments through the path API
+    val root = s"$wh/db/o"
+    orders.select("o_orderkey", "o_custkey")
+      .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format("lance").mode("append").save(root)
+    val before = ManifestIO.loadLatest(root, conf).get
+
+    // _file is selectable and distinct per fragment
+    val files = spark.sql("SELECT DISTINCT _file FROM lance_rgf.db.o")
+      .collect().map(_.getString(0)).toSet
+    assert(files.size === before.fragments.size)
+    assert(files.forall(_.contains("data/")), files)
+
+    // subquery UPDATE: no static pushdown — runtime group filtering must
+    // keep every fragment that contains no matching row
+    spark.sql("UPDATE lance_rgf.db.o SET o_custkey = -5 " +
+      "WHERE o_orderkey IN (SELECT min(o_orderkey) FROM lance_rgf.db.o)")
+    val after = ManifestIO.loadLatest(root, conf).get
+    val survivors = before.fragments.map(_.path).toSet
+      .intersect(after.fragments.map(_.path).toSet)
+    assert(survivors.size === before.fragments.size - 1,
+      s"expected exactly one fragment rewritten; before=${before.fragments.size} surviving=${survivors.size}")
+    assert(spark.sql("SELECT count(*) FROM lance_rgf.db.o WHERE o_custkey = -5")
+      .first().getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM lance_rgf.db.o").first().getLong(0)
+      === orders.count())
+  }
+
   test("append racing a concurrent DROP stamps the dropped column hidden") {
     import graft.sources.lance.LanceWriteUtil
     import org.apache.spark.sql.types.{IntegerType, StringType}
