@@ -107,6 +107,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
       val latest = latestOpt.getOrElse(throw new NoSuchTableException(ident))
       var schema = latest.schema
       var dropped = Set.empty[String]
+      var renamed = Seq.empty[(String, String)]
       changes.foreach {
         case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
           // added columns are nullable by construction: old fragments have
@@ -121,18 +122,38 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
           require(schema.fieldNames.contains(name), s"no such column: $name")
           schema = StructType(schema.fields.filterNot(_.name == name))
           dropped += name
+        case ren: TableChange.RenameColumn if ren.fieldNames.length == 1 =>
+          val from = ren.fieldNames()(0)
+          val to = ren.newName()
+          require(schema.fieldNames.contains(from), s"no such column: $from")
+          require(!schema.fieldNames.contains(to), s"column already exists: $to")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          renamed :+= (from -> to)
         case other => throw new UnsupportedOperationException(
-          s"lance: unsupported table change $other (only top-level ADD/DROP COLUMN)")
+          s"lance: unsupported table change $other (only top-level ADD/DROP/RENAME COLUMN)")
       }
-      // DROP severs column *identity*: stamp the name into every live
-      // fragment's hidden mask (readers null-mask it; stats answers and
-      // pruning skip it) so a later re-ADD under the same name cannot
-      // resurrect the old physical values.
+      // Identity bookkeeping per live fragment (see FragmentMeta):
+      // RENAME redirects the new logical name to the fragment's physical
+      // name and hides the old logical name (a future re-ADD of it reads
+      // NULL); DROP hides the name, strips its stats, and severs any
+      // redirect so a re-ADD can never reach the dead physical column.
       val frags =
-        if (dropped.isEmpty) latest.fragments
+        if (dropped.isEmpty && renamed.isEmpty) latest.fragments
         else latest.fragments.map { f =>
-          f.copy(hidden = (f.hidden ++ dropped).distinct,
-                 stats = f.stats -- dropped)
+          var nf = f
+          renamed.foreach { case (from, to) =>
+            nf = nf.copy(
+              physicalNames = (nf.physicalNames - from) +
+                (to -> nf.physicalNames.getOrElse(from, from)),
+              hidden = (nf.hidden :+ from).distinct,
+              stats = (nf.stats - from) ++ nf.stats.get(from).map(to -> _))
+          }
+          if (dropped.nonEmpty) nf = nf.copy(
+            hidden = (nf.hidden ++ dropped).distinct,
+            stats = nf.stats -- dropped,
+            physicalNames = nf.physicalNames -- dropped)
+          nf
         }
       Some(LanceCommit(schema, frags, latest.txns))
     }

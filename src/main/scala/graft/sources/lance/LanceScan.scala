@@ -281,14 +281,31 @@ object LancePruning {
       yield if (orEqual) cm > 0 else cm >= 0).getOrElse(false)
 }
 
+/** A fragment's column-identity view restricted to one scan's columns:
+  * `hidden` = logical names that must read NULL; `renames` = logical →
+  * physical name redirects (RENAME COLUMN). Sorted, so it doubles as a
+  * stable reader-group key. A physicalNames entry overrides a same-named
+  * hidden entry (see [[FragmentMeta]]). */
+case class LanceColumnMap(hidden: Seq[String], renames: Seq[(String, String)]) {
+  def isIdentity: Boolean = hidden.isEmpty && renames.isEmpty
+}
+
+object LanceColumnMap {
+  val Identity: LanceColumnMap = LanceColumnMap(Nil, Nil)
+
+  def of(fr: FragmentMeta, relevant: Set[String]): LanceColumnMap =
+    LanceColumnMap(
+      fr.hidden.filter(h => relevant(h) && !fr.physicalNames.contains(h)).sorted,
+      fr.physicalNames.filter { case (k, _) => relevant(k) }.toSeq.sorted)
+}
+
 /** One input partition = one byte range of one fragment. Fragments larger
   * than `splitBytes` split into ranges (the parquet reader aligns ranges to
-  * row groups), so a huge fragment still parallelizes across executors.
-  * `hidden` is the fragment's masked-column set restricted to the columns
-  * this scan touches (sorted, so it doubles as a stable group key). */
+  * row groups), so a huge fragment still parallelizes across executors. */
 case class LanceInputPartition(path: String, start: Long, length: Long,
                                fileSize: Long,
-                               hidden: Seq[String] = Nil) extends InputPartition
+                               colMap: LanceColumnMap = LanceColumnMap.Identity)
+    extends InputPartition
 
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
                        initialFragments: Seq[FragmentMeta], required: StructType,
@@ -332,8 +349,8 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   private val fileRequested: Boolean =
     required.fieldNames.contains(LanceMetadata.FileCol)
 
-  private def maskKey(fr: FragmentMeta): Seq[String] =
-    fr.hidden.filter(relevantCols).sorted
+  private def maskKey(fr: FragmentMeta): LanceColumnMap =
+    LanceColumnMap.of(fr, relevantCols)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // limit: stop enumerating fragments once manifest row counts cover it
@@ -362,18 +379,18 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     // FileSourceScanExec ships to executors. When the schema is atomic and
     // the vectorized reader is on, read columnar: batches flow straight
     // into WholeStageCodegen's ColumnarToRow instead of per-row iteration.
-    val hiddenSets = fragments.map(maskKey).distinct
-    if (hiddenSets.forall(_.isEmpty) && !fileRequested) {
+    val colMaps = fragments.map(maskKey).distinct
+    if (colMaps.forall(_.isIdentity) && !fileRequested) {
       val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
       val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
         returningBatch = columnar)
       new LanceReaderFactory(readFn, limit, columnar)
     } else {
-      // hidden-column masks and/or the _file metadata column need per-row
-      // value injection (row path; Spark forbids mixing row and columnar
-      // partitions in one scan)
+      // hidden-column masks, renames and/or the _file metadata column need
+      // per-row value injection (row path; Spark forbids mixing row and
+      // columnar partitions in one scan)
       new LanceMaskedReaderFactory(
-        LanceReadGroup.build(spark, manifest.schema, required, filters, options, hiddenSets),
+        LanceReadGroup.build(spark, manifest.schema, required, filters, options, colMaps),
         limit)
     }
   }
@@ -457,22 +474,27 @@ private[lance] object LanceReadGroup {
   /** Mapping sentinel: inject the partition's file path (`_file`). */
   val FileInject: Int = -2
 
-  /** One group per distinct hidden-set (keys sorted). Filters referencing a
-    * masked column are NOT pushed into that group's reader: the physical
-    * file still holds the pre-DROP values, and parquet row-group skipping
-    * on stale values would silently drop rows whose masked value correctly
-    * reads as NULL. Filters on `_file` are likewise never forwarded (no
-    * such physical column). All filters are residual, so Spark re-evaluates
+  /** One group per distinct column map. Filters referencing a masked or
+    * renamed column are NOT pushed into that group's reader: for masks, the
+    * physical file still holds the pre-DROP values and parquet row-group
+    * skipping on stale values would silently drop rows that correctly read
+    * as NULL; for renames, the physical file knows a different column
+    * name. Filters on `_file` are likewise never forwarded (no such
+    * physical column). All filters are residual, so Spark re-evaluates
     * them against the final output. */
   def build(spark: SparkSession, tableSchema: StructType, required: StructType,
             filters: Seq[Filter], options: Map[String, String],
-            hiddenSets: Seq[Seq[String]]): Map[Seq[String], LanceReadGroup] =
-    hiddenSets.map { hs =>
-      val hsSet = hs.toSet
+            colMaps: Seq[LanceColumnMap]): Map[LanceColumnMap, LanceReadGroup] =
+    colMaps.map { cm =>
+      val hsSet = cm.hidden.toSet
+      val ren = cm.renames.toMap
       val skip = hsSet + LanceMetadata.FileCol
-      val dataSchema = StructType(tableSchema.fields.filterNot(f => hsSet(f.name)))
-      val readSchema = StructType(required.fields.filterNot(f => skip(f.name)))
-      val safeFilters = filters.filterNot(_.references.exists(skip))
+      val noPush = skip ++ ren.keySet
+      def phys(f: StructField): StructField =
+        ren.get(f.name).map(p => f.copy(name = p)).getOrElse(f)
+      val dataSchema = StructType(tableSchema.fields.filterNot(f => hsSet(f.name)).map(phys))
+      val readSchema = StructType(required.fields.filterNot(f => skip(f.name)).map(phys))
+      val safeFilters = filters.filterNot(_.references.exists(noPush))
       val readFn = Shim.parquetReader(spark, dataSchema, readSchema, safeFilters,
         options, returningBatch = false)
       var j = 0
@@ -481,7 +503,7 @@ private[lance] object LanceReadGroup {
         else if (hsSet(f.name)) NullInject
         else { val r = j; j += 1; r }
       }
-      (hs: Seq[String]) -> LanceReadGroup(readFn, mapping, required.fields.map(_.dataType))
+      cm -> LanceReadGroup(readFn, mapping, required.fields.map(_.dataType))
     }.toMap
 }
 
@@ -490,12 +512,12 @@ private[lance] object LanceReadGroup {
   * NULLs are injected at the masked ordinals. Hidden fragments exist only
   * between a DROP COLUMN and the next compaction, so the columnar fast path
   * is given up only for those scans. */
-class LanceMaskedReaderFactory(groups: Map[Seq[String], LanceReadGroup],
+class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
                                limit: Option[Int]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    val g = groups.getOrElse(p.hidden, throw new IllegalStateException(
-      s"lance: no reader group for hidden-set [${p.hidden.mkString(",")}] " +
+    val g = groups.getOrElse(p.colMap, throw new IllegalStateException(
+      s"lance: no reader group for column map ${p.colMap} " +
         "(schema evolved between planning and read?)"))
     val rows = g.readFn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
       .asInstanceOf[Iterator[AnyRef]].flatMap {

@@ -69,21 +69,21 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
     newFragments(parse(start), parse(end)).map { fr =>
       val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
       LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes,
-        fr.hidden.filter(requiredNames).sorted): InputPartition
+        LanceColumnMap.of(fr, requiredNames)): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // masked fragments (pre-DROP leftovers) can appear in the initial
-    // catch-up batches; build one reader group per hidden-set visible in
-    // the latest manifest so those read their re-ADDed columns as NULL
-    val hiddenSets = ManifestIO.loadLatest(root, conf).toSeq
-      .flatMap(_.fragments).map(_.hidden.filter(requiredNames).sorted.toSeq).distinct
-    if (hiddenSets.forall(_.isEmpty)) {
+    // masked/renamed fragments (pre-evolution leftovers) can appear in the
+    // initial catch-up batches; build one reader group per column map
+    // visible in the latest manifest so those read correctly
+    val colMaps = ManifestIO.loadLatest(root, conf).toSeq
+      .flatMap(_.fragments).map(LanceColumnMap.of(_, requiredNames)).distinct
+    if (colMaps.forall(_.isIdentity)) {
       val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
       new LanceReaderFactory(readFn, limit = None, columnar = false)
     } else {
       new LanceMaskedReaderFactory(
-        LanceReadGroup.build(spark, dataSchema, requiredSchema, Seq.empty, options, hiddenSets),
+        LanceReadGroup.build(spark, dataSchema, requiredSchema, Seq.empty, options, colMaps),
         limit = None)
     }
   }

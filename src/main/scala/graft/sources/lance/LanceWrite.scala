@@ -313,22 +313,28 @@ object LanceBatchSave {
   * commits — readers of existing versions are unaffected until vacuum
   * actually removes their files. */
 object LanceMaintenance {
-  /** Read `frags` as rows of `schema`, reading per distinct hidden-mask
-    * group so dropped-then-readded columns stay NULL through a rewrite
-    * (never resurrect stale physical values). Used by compaction and
-    * DELETE's partial-fragment rewrite. */
+  /** Read `frags` as rows of `schema`, reading per distinct column-map
+    * group so dropped-then-readded columns stay NULL and renamed columns
+    * resolve through their physical names (never resurrect stale values).
+    * Used by compaction and DELETE's partial-fragment rewrite; the
+    * rewritten fragments come out with identity column maps. */
   private[lance] def maskedRead(spark: SparkSession, root: String,
                                 schema: StructType,
                                 frags: Seq[FragmentMeta]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val dfs = frags.groupBy(_.hidden.toSet).map { case (hiddenSet, frs) =>
-      val paths = frs.map(f => new Path(root, f.path).toString)
-      val masked = schema.fieldNames.filter(hiddenSet)
-      val readSchema = StructType(schema.fields.filterNot(f => hiddenSet(f.name)))
-      masked.foldLeft(spark.read.schema(readSchema).parquet(paths: _*)) { (d, c) =>
-        d.withColumn(c, lit(null).cast(schema(c).dataType))
-      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    }
+    val dfs = frags.groupBy(f =>
+      (f.hidden.filterNot(f.physicalNames.keySet).toSet, f.physicalNames))
+      .map { case ((hiddenSet, renames), frs) =>
+        val paths = frs.map(f => new Path(root, f.path).toString)
+        val live = schema.fields.filterNot(f => hiddenSet(f.name))
+        val readSchema = StructType(live.map(f =>
+          f.copy(name = renames.getOrElse(f.name, f.name))))
+        val relabeled = spark.read.schema(readSchema).parquet(paths: _*)
+          .toDF(live.map(_.name).toIndexedSeq: _*)
+        schema.fieldNames.filter(hiddenSet).foldLeft(relabeled) { (d, c) =>
+          d.withColumn(c, lit(null).cast(schema(c).dataType))
+        }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
     dfs.reduce(_.unionAll(_))
   }
   /** Rewrite fragments smaller than `smallerThanRows` into consolidated

@@ -30,15 +30,22 @@ case class ColStats(min: Option[JValue], max: Option[JValue], nullCount: Option[
   * Flink source enumerates (LanceSource.java:172-185), re-expressed as a
   * manifest entry instead of a JNI dataset handle.
   *
-  * `hidden` carries column *identity* across schema evolution: a column
-  * DROPped and later re-ADDed under the same name must read as NULL from
-  * fragments written before the drop, even though their physical parquet
-  * files still contain the old values (the reader otherwise resolves by
-  * name). DROP adds the name here; readers null-mask it.
+  * `hidden` + `physicalNames` together carry column *identity* across
+  * schema evolution (the role Lance field IDs play in the reference):
+  *  - DROP adds the logical name to `hidden`: a later re-ADD under the
+  *    same name reads NULL from pre-drop fragments, never the stale
+  *    physical values (the reader otherwise resolves by name).
+  *  - RENAME maps the NEW logical name to the column's physical name in
+  *    this fragment's file (`physicalNames(new) = old-physical`), and
+  *    adds the old logical name to `hidden` so re-ADDing IT reads NULL.
+  *  - A `physicalNames` entry overrides a same-named `hidden` entry
+  *    (renaming b onto a previously-dropped name c: logical c now reads
+  *    physical b, while the dead physical c stays unreachable).
   */
 case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
                         stats: Map[String, ColStats],
-                        hidden: Seq[String] = Nil)
+                        hidden: Seq[String] = Nil,
+                        physicalNames: Map[String, String] = Map.empty)
 
 /** A dataset version: the complete fragment list visible at that version,
   * plus the schema and the streaming-transaction high-water map for
@@ -209,6 +216,10 @@ object ManifestIO {
         "sizeBytes" -> JLong(fr.sizeBytes),
         "hidden" -> (if (fr.hidden.isEmpty) JNothing
                      else JArray(fr.hidden.toList.map(JString))),
+        "physicalNames" -> (if (fr.physicalNames.isEmpty) JNothing
+                            else JObject(fr.physicalNames.toList.map {
+                              case (k, v) => k -> JString(v)
+                            })),
         "stats" -> JObject(fr.stats.toList.map { case (c, s) =>
           c -> JObject(
             "min" -> jv(s.min), "max" -> jv(s.max),
@@ -252,12 +263,19 @@ object ManifestIO {
         case JArray(vs) => vs.map(_.asInstanceOf[JString].s)
         case _ => Nil
       }
+      val physicalNames = (fr \ "physicalNames") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> v.asInstanceOf[JString].s
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
       FragmentMeta(
         (fr \ "path").asInstanceOf[JString].s,
         asLong(fr \ "rows"),
         asLong(fr \ "sizeBytes"),
         stats,
-        hidden)
+        hidden,
+        physicalNames)
     }
     // legacy single-marker manifests (pre txn-map) read into a 1-entry map
     val txns = (j \ "txns") match {

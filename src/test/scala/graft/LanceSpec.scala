@@ -369,6 +369,43 @@ class LanceSpec extends SparkSpec {
       === orders.count())
   }
 
+  test("RENAME COLUMN: physical-name mapping preserves values and identity") {
+    spark.conf.set("spark.sql.catalog.lance_ren",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_ren.warehouse", tmp())
+    spark.sql("CREATE NAMESPACE lance_ren.db")
+    spark.sql("CREATE TABLE lance_ren.db.t AS " +
+      "SELECT * FROM VALUES (1, 'x', 10), (2, 'y', 20) AS v(id, tag, amt)")
+    // rename: old fragments keep their values under the new name
+    spark.sql("ALTER TABLE lance_ren.db.t RENAME COLUMN tag TO label")
+    val renamed = spark.sql("SELECT id, label FROM lance_ren.db.t ORDER BY id").collect()
+    assert(renamed.map(_.getString(1)).toSeq === Seq("x", "y"))
+    // filtering on the renamed column still works (residual re-evaluation)
+    assert(spark.sql("SELECT count(*) FROM lance_ren.db.t WHERE label = 'x'")
+      .first().getLong(0) === 1)
+    // re-ADD the OLD name: pre-rename fragments must read it as NULL
+    spark.sql("ALTER TABLE lance_ren.db.t ADD COLUMN tag STRING")
+    val readded = spark.sql("SELECT id, label, tag FROM lance_ren.db.t ORDER BY id").collect()
+    assert(readded.map(_.getString(1)).toSeq === Seq("x", "y"))
+    assert(readded.forall(_.isNullAt(2)), readded.mkString(", "))
+    // new inserts under the evolved schema mix correctly with old fragments
+    spark.sql("INSERT INTO lance_ren.db.t SELECT 3, 'z', 30, 'fresh'")
+    val mixed = spark.sql("SELECT id, label, tag FROM lance_ren.db.t ORDER BY id").collect()
+    assert(mixed.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
+    assert(mixed.map(r => Option(r.getString(2))).toSeq === Seq(None, None, Some("fresh")))
+    // rename chain onto a previously-dropped name: values follow the chain
+    spark.sql("ALTER TABLE lance_ren.db.t DROP COLUMN tag")
+    spark.sql("ALTER TABLE lance_ren.db.t RENAME COLUMN label TO tag")
+    val chained = spark.sql("SELECT id, tag FROM lance_ren.db.t ORDER BY id").collect()
+    assert(chained.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
+    // compaction rewrites old fragments to identity column maps
+    graft.sources.lance.LanceMaintenance.compact(spark,
+      spark.conf.get("spark.sql.catalog.lance_ren.warehouse") + "/db/t",
+      smallerThanRows = 100, targetRows = 100)
+    val compacted = spark.sql("SELECT id, tag FROM lance_ren.db.t ORDER BY id").collect()
+    assert(compacted.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
+  }
+
   test("append racing a concurrent DROP stamps the dropped column hidden") {
     import graft.sources.lance.LanceWriteUtil
     import org.apache.spark.sql.types.{IntegerType, StringType}
