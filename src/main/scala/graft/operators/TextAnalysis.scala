@@ -123,11 +123,40 @@ object TextAnalysis extends QueryModule {
       (fingerprint(col("text")) % 1024).as("fp_bucket"))
       .orderBy("doc_id")
 
+  // ---- text_contamination ------------------------------------------------
+  // Benchmark-contamination detection: flag corpus documents sharing >= Tau
+  // 3-word shingles with any document of a held-out "benchmark" set (here a
+  // deterministic 5% of the corpus, doc_id % 20 == 0 — in production, the
+  // eval sets). Spark shape: explode hashed shingles on both sides and
+  // equi-join on the shingle hash — candidate pairs form only inside a
+  // shingle bucket (never all-pairs), and the benchmark side is small by
+  // construction, so Spark broadcasts it: at 100 TB this is one map-side
+  // join over the corpus scan plus a doc-level aggregation.
+  private val ContaminationTau = 3
+
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bid"), explode(col("sh")).as("s"))
+    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bid").count() // shingle sets are distinct → overlap size
+      .filter(col("count") >= ContaminationTau)
+      .groupBy("doc_id")
+      .agg(max(col("count")).as("max_overlap"),
+        count(lit(1)).as("n_matched"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_contamination" -> textContamination)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -170,6 +199,22 @@ object TextAnalysis extends QueryModule {
          |  pred_lang, lang, pred_lang = lang AS is_match
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // oracle builds the same 3-word shingle sets as strings (hashed-set
+    // overlap == string-set overlap modulo 64-bit collisions, ~1e-9 here)
+    "text_contamination" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3),
+         |o AS (SELECT c.doc_id, b.doc_id AS bid,
+         |    len(list_intersect(c.s, b.s)) AS n
+         |  FROM g c JOIN g b
+         |    ON c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS max_overlap,
+         |  count(*) AS n_matched
+         |FROM o WHERE n >= $ContaminationTau
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (SELECT doc_id,
         |  list_reduce(

@@ -43,6 +43,7 @@ class EntrySpec extends SparkSpec {
     "text_quality" -> 500,
     "text_langid" -> 500,
     "text_fingerprint" -> 500,
+    "text_contamination" -> 10,
     "dedup_exact" -> 500,
     "dedup_minhash_lsh" -> 28,
     "dedup_simhash" -> 27,
