@@ -211,15 +211,24 @@ object LancePruning {
     case _ => None
   }
 
+  /** True if `v` is a string provably absent from the fragment's exact
+    * value dictionary (recorded for low-cardinality string columns). */
+  private def dictMiss(fr: FragmentMeta, c: String, v: Any): Boolean = v match {
+    case s: String => fr.stats.get(c).flatMap(_.distinct).exists(!_.contains(s))
+    case _ => false
+  }
+
   /** True only if no row in the fragment can satisfy `f`. */
   def provablyEmpty(fr: FragmentMeta, schema: StructType, f: Filter): Boolean = f match {
-    case EqualTo(c, v) => outsideRange(fr, c, v, strictLow = false, strictHigh = false)
+    case EqualTo(c, v) =>
+      outsideRange(fr, c, v, strictLow = false, strictHigh = false) || dictMiss(fr, c, v)
     case GreaterThan(c, v) => aboveMax(fr, c, v, orEqual = false)
     case GreaterThanOrEqual(c, v) => aboveMax(fr, c, v, orEqual = true)
     case LessThan(c, v) => belowMin(fr, c, v, orEqual = false)
     case LessThanOrEqual(c, v) => belowMin(fr, c, v, orEqual = true)
     case In(c, vs) if vs.nonEmpty =>
-      vs.forall(v => outsideRange(fr, c, v, strictLow = false, strictHigh = false))
+      vs.forall(v => outsideRange(fr, c, v, strictLow = false, strictHigh = false) ||
+        dictMiss(fr, c, v))
     case IsNull(c) => fr.stats.get(c).flatMap(_.nullCount).contains(0L)
     case IsNotNull(c) =>
       fr.stats.get(c).flatMap(_.nullCount).exists(_ == fr.rows)

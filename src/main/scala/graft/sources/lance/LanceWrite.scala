@@ -190,6 +190,14 @@ class LanceDataWriter(root: String, schema: StructType,
   private var sumOk: Array[Boolean] = _
   private var finishedSums = Map.empty[String, Map[String, Long]] // rel -> col -> sum
 
+  // string columns tracked for the exact low-cardinality value dictionary
+  private val strFields: Array[(Int, String)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.StringType => (i, f.name)
+    }
+  private var dicts: Array[scala.collection.mutable.HashSet[String]] = _
+  private var finishedDicts = Map.empty[String, Map[String, Seq[String]]] // rel -> col -> values
+
   private def roll(): Unit = {
     closeCurrent()
     val rel = s"${ManifestIO.DataDir}/${UUID.randomUUID()}-p$partitionId$ext"
@@ -198,6 +206,7 @@ class LanceDataWriter(root: String, schema: StructType,
     rowsInFile = 0L
     sums = new Array[Long](sumFields.length)
     sumOk = Array.fill(sumFields.length)(true)
+    dicts = Array.fill(strFields.length)(scala.collection.mutable.HashSet.empty[String])
   }
 
   private def closeCurrent(): Unit = {
@@ -205,6 +214,9 @@ class LanceDataWriter(root: String, schema: StructType,
       writer.close(); writer = null
       finishedSums += files.head -> sumFields.indices.collect {
         case j if sumOk(j) => sumFields(j)._3 -> sums(j)
+      }.toMap
+      finishedDicts += files.head -> strFields.indices.collect {
+        case j if dicts(j) != null => strFields(j)._2 -> dicts(j).toSeq.sorted
       }.toMap
     }
   }
@@ -228,6 +240,15 @@ class LanceDataWriter(root: String, schema: StructType,
       }
       j += 1
     }
+    var k = 0
+    while (k < strFields.length) {
+      val d = dicts(k)
+      if (d != null && !record.isNullAt(strFields(k)._1)) {
+        d += record.getUTF8String(strFields(k)._1).toString
+        if (d.size > ManifestIO.MaxDistinct) dicts(k) = null // overflow: unknown
+      }
+      k += 1
+    }
     rowsInFile += 1
   }
 
@@ -236,7 +257,10 @@ class LanceDataWriter(root: String, schema: StructType,
     val frags = files.reverse.map { rel =>
       val (rows, size, stats) = ManifestIO.footerStats(conf.value, new Path(root, rel))
       val fileSums = finishedSums.getOrElse(rel, Map.empty)
-      val withSums = stats.map { case (c, cs) => c -> cs.copy(sum = fileSums.get(c)) }
+      val fileDicts = finishedDicts.getOrElse(rel, Map.empty)
+      val withSums = stats.map { case (c, cs) =>
+        c -> cs.copy(sum = fileSums.get(c), distinct = fileDicts.get(c))
+      }
       FragmentMeta(rel, rows, size, withSums)
     }
     LanceFragmentsCommitMessage(frags)

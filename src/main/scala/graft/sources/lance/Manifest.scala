@@ -20,10 +20,15 @@ import scala.util.control.NonFatal
   * float/double, JString for UTF8 strings. `sum` is recorded only for
   * integral columns (exact long arithmetic; float sums are order-dependent
   * so they are never stats-answered) and enables SUM/AVG aggregate pushdown
-  * (reference: AggregateExecutor.java:125-143,256-260).
+  * (reference: AggregateExecutor.java:125-143,256-260). `distinct` is the
+  * EXACT value dictionary of a low-cardinality string column (recorded at
+  * write time while ≤ [[ManifestIO.MaxDistinct]] values; overflow → None):
+  * equality/IN predicates on values outside it prune the whole fragment —
+  * the low-cardinality-string equivalent of a bloom filter, but exact.
   */
 case class ColStats(min: Option[JValue], max: Option[JValue], nullCount: Option[Long],
-                    sum: Option[Long] = None)
+                    sum: Option[Long] = None,
+                    distinct: Option[Seq[String]] = None)
 
 /** One immutable data fragment (a parquet file under `data/`).
   * Mirrors the role of reference LanceSplit.java / the fragment list the
@@ -79,6 +84,9 @@ case class LanceCommit(schema: StructType, fragments: Seq[FragmentMeta],
 object ManifestIO {
   private val VersionsDir = "_versions"
   val DataDir = "data"
+
+  /** Cap on the per-fragment string value dictionary (see ColStats). */
+  val MaxDistinct = 32
 
   private def versionsPath(root: String) = new Path(root, VersionsDir)
   private def manifestPath(root: String, v: Long) =
@@ -224,7 +232,9 @@ object ManifestIO {
           c -> JObject(
             "min" -> jv(s.min), "max" -> jv(s.max),
             "nullCount" -> s.nullCount.map(JLong(_)).getOrElse(JNothing),
-            "sum" -> s.sum.map(JLong(_)).getOrElse(JNothing))
+            "sum" -> s.sum.map(JLong(_)).getOrElse(JNothing),
+            "distinct" -> s.distinct.map(ds =>
+              JArray(ds.toList.map(JString))).getOrElse(JNothing))
         }))
     })
     JsonMethods.compact(JsonMethods.render(JObject(
@@ -255,7 +265,11 @@ object ManifestIO {
         case JObject(fields) => fields.map { case (c, sv) =>
           c -> ColStats(opt(sv \ "min"), opt(sv \ "max"),
             opt(sv \ "nullCount").map(asLong),
-            opt(sv \ "sum").map(asLong))
+            opt(sv \ "sum").map(asLong),
+            (sv \ "distinct") match {
+              case JArray(vs) => Some(vs.map(_.asInstanceOf[JString].s))
+              case _ => None
+            })
         }.toMap
         case _ => Map.empty[String, ColStats]
       }

@@ -369,6 +369,31 @@ class LanceSpec extends SparkSpec {
       === orders.count())
   }
 
+  test("string value dictionaries prune equality filters inside the min/max range") {
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    val dict = m.fragments.head.stats("o_orderstatus").distinct
+    assert(dict.isDefined && dict.get.nonEmpty, m.fragments.head.stats)
+    // 'G' sorts between the real statuses, so min/max range pruning cannot
+    // fire — only the exact dictionary can prove emptiness
+    assert(!dict.get.contains("G"))
+    def prunedCount(pred: org.apache.spark.sql.Column): Int = {
+      val plan = spark.read.format("lance").load(root).filter(pred)
+        .queryExecution.executedPlan.toString
+      "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+    }
+    assert(prunedCount(col("o_orderstatus") === "G") === 0)
+    assert(prunedCount(col("o_orderstatus").isin("G", "H")) === 0)
+    // present values: no spurious pruning, results intact
+    assert(spark.read.format("lance").load(root)
+      .filter(col("o_orderstatus") === "F").count()
+      === orders.filter(col("o_orderstatus") === "F").count())
+    // high-cardinality columns overflow the cap → no dictionary recorded
+    assert(m.fragments.head.stats.get("o_orderpriority").forall(s =>
+      s.distinct.forall(_.size <= graft.sources.lance.ManifestIO.MaxDistinct)))
+  }
+
   test("RENAME COLUMN: physical-name mapping preserves values and identity") {
     spark.conf.set("spark.sql.catalog.lance_ren",
       classOf[graft.sources.lance.LanceCatalog].getName)
