@@ -100,7 +100,10 @@ object LanceOps extends QueryModule {
       min("o_totalprice").as("min_price"),
       max("o_totalprice").as("max_price"),
       sum("o_custkey").as("sum_cust"),
-      avg("o_custkey").as("avg_cust"))
+      avg("o_custkey").as("avg_cust"),
+      min("o_orderstatus").as("min_status"),
+      max("o_orderstatus").as("max_status"),
+      count_distinct(col("o_orderstatus")).as("n_status"))
   }
 
   // ---- versioning --------------------------------------------------------
@@ -263,7 +266,9 @@ object LanceOps extends QueryModule {
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
-        |  avg(o_custkey) AS avg_cust
+        |  avg(o_custkey) AS avg_cust,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  count(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",

@@ -27,12 +27,14 @@ import scala.jdk.CollectionConverters._
   *   only skip data, never produce wrong rows).
   * - Limit: truncates the fragment list by manifest row counts (only when
   *   no filters are pushed) and caps rows per reader.
-  * - Aggregates: COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG with no GROUP BY and
-  *   no filters are answered entirely from manifest stats — O(versions),
-  *   not O(data) (reference: AggregateExecutor.java:102-161). Strings are
-  *   excluded from MIN/MAX answers (parquet may truncate binary stats);
+  * - Aggregates: COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG/COUNT(DISTINCT) with
+  *   no GROUP BY and no filters are answered entirely from manifest stats —
+  *   O(versions), not O(data) (reference: AggregateExecutor.java:102-161).
   *   SUM/AVG answer only integral columns (exact long sums recorded at
-  *   write time); float sums and COUNT DISTINCT decline to a normal scan.
+  *   write time); string MIN/MAX and COUNT(DISTINCT) answer only columns
+  *   whose exact value dictionaries are complete (parquet's own binary
+  *   min/max may be truncated, so they are never used to answer); float
+  *   sums and everything else decline to a normal scan.
   */
 class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifest,
                        options: Map[String, String]) extends ScanBuilder
@@ -88,6 +90,14 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
         nulls <- if (ss.forall(_.nullCount.isDefined)) Some(ss.map(_.nullCount.get).sum) else None
       } yield (StructField(s"count_$name", LongType, nullable = false),
         manifest.totalRows - nulls)
+    case c: Count if c.isDistinct =>
+      // exact COUNT(DISTINCT) from the per-fragment value dictionaries —
+      // answerable only for low-cardinality string columns
+      for {
+        name <- fieldName(c.column)
+        dicts <- allDicts(name)
+      } yield (StructField(s"count_distinct_$name", LongType, nullable = false),
+        dicts.flatten.toSet.size.toLong)
     case m: Min =>
       minMax(m.column, isMin = true)
     case m: Max =>
@@ -123,20 +133,44 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
                catch { case _: ArithmeticException => None }
     } yield (name, total, manifest.totalRows - ss.map(_.nullCount.get).sum)
 
+  /** Every fragment's non-empty value dictionary for a string column, or
+    * None if any fragment lacks one (then dictionary answers decline). */
+  private def allDicts(name: String): Option[Seq[Seq[String]]] = {
+    val isString = manifest.schema.fields.exists(f =>
+      f.name == name && f.dataType == StringType)
+    if (!isString || manifest.fragments.isEmpty) None
+    else {
+      val per = manifest.fragments.map(_.stats.get(name).flatMap(_.distinct))
+      if (per.forall(d => d.isDefined && d.get.nonEmpty)) Some(per.map(_.get)) else None
+    }
+  }
+
   private def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
-                     isMin: Boolean): Option[(StructField, Any)] =
-    for {
+                     isMin: Boolean): Option[(StructField, Any)] = {
+    val numeric = for {
       name <- fieldName(col)
       field <- manifest.schema.fields.find(_.name == name)
       if statType(field.dataType)
       ss <- colStats(name)
-      if ss.forall(s => s.min.isDefined && s.max.isDefined)
+      if ss.nonEmpty && ss.forall(s => s.min.isDefined && s.max.isDefined)
     } yield {
       val vals = if (isMin) ss.map(_.min.get) else ss.map(_.max.get)
       val combined = vals.reduce((a, b) => if (isMin) ManifestIO.jMin(a, b) else ManifestIO.jMax(a, b))
       (StructField(s"${if (isMin) "min" else "max"}_$name", field.dataType),
         toInternal(combined, field.dataType))
     }
+    // strings decline range stats (parquet may truncate binary min/max)
+    // but the exact value dictionary, when complete, answers them
+    def stringViaDict = for {
+      name <- fieldName(col)
+      dicts <- allDicts(name)
+    } yield {
+      val all = dicts.flatten
+      (StructField(s"${if (isMin) "min" else "max"}_$name", StringType),
+        UTF8String.fromString(if (isMin) all.min else all.max))
+    }
+    numeric.orElse(stringViaDict)
+  }
 
   private def toInternal(v: JValue, dt: DataType): Any = (v, dt) match {
     case (JLong(x), IntegerType) => x.toInt

@@ -68,6 +68,26 @@ class LanceSpec extends SparkSpec {
     assert(viaStats === viaScan)
   }
 
+  test("string MIN/MAX and COUNT DISTINCT answer from value dictionaries") {
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    val ds = spark.read.format("lance").load(root)
+    val q = ds.agg(min("o_orderstatus"), max("o_orderstatus"),
+      count_distinct(col("o_orderstatus")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LanceStatsScan"), plan)
+    val viaStats = q.collect()(0)
+    val viaScan = orders.agg(min("o_orderstatus"), max("o_orderstatus"),
+      count_distinct(col("o_orderstatus"))).collect()(0)
+    assert(viaStats === viaScan)
+    // no dictionary (numeric column) → falls back to a real scan
+    val fb = ds.agg(count_distinct(col("o_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(!fb.contains("LanceStatsScan"), fb)
+    assert(ds.agg(count_distinct(col("o_custkey"))).first().getLong(0) ===
+      orders.agg(count_distinct(col("o_custkey"))).first().getLong(0))
+  }
+
   test("atomic-schema reads are columnar (batches into ColumnarToRow)") {
     val root = tmp()
     orders.write.format("lance").save(root)
