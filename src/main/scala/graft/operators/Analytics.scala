@@ -82,12 +82,26 @@ object Analytics extends QueryModule {
       .orderBy("day", "event_type")
   }
 
+  /** Daily event volume + 7-day trailing moving average. The window runs
+    * over the DAILY AGGREGATE (30-ish rows regardless of data scale), so
+    * the single-partition window after the groupBy is O(days), never
+    * O(events) — aggregate-then-window is the scale-safe shape for
+    * time-series smoothing. */
+  private def qEventsMoving(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.withColumn("ma7", round(avg(col("n")).over(w), 6)).orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
     "q3_top_orders" -> q3,
     "q5_region_rev" -> q5,
     "q_window_topsupp" -> qWindow,
-    "q_events_sessions" -> qEvents)
+    "q_events_sessions" -> qEvents,
+    "q_events_moving" -> qEventsMoving)
 
   private val revenue = sqlExactSum("l_extendedprice * (1 - l_discount)", 10000L)
 
@@ -136,5 +150,11 @@ object Analytics extends QueryModule {
     "q_events_sessions" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |  count(*) AS n, ${sqlExactSum("value", 100L)} AS sum_value
-         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)
+         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q_events_moving" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM d ORDER BY day""".stripMargin)
 }

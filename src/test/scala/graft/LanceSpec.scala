@@ -451,6 +451,25 @@ class LanceSpec extends SparkSpec {
     assert(compacted.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
   }
 
+  test("compaction fully replaces small fragments; DELETE composes on the fresh manifest") {
+    import graft.sources.lance.{LanceDelete, LanceMaintenance}
+    import org.apache.spark.sql.sources.EqualTo
+    val root = tmp()
+    orders.limit(1000).write.format("lance").option("maxRowsPerFile", "100").save(root)
+    val before = spark.read.format("lance").load(root).count()
+    val m0 = ManifestIO.loadLatest(root, conf).get
+    LanceMaintenance.compact(spark, root, smallerThanRows = 1000, targetRows = 10000)
+    val m1 = ManifestIO.loadLatest(root, conf).get
+    assert(m1.fragments.map(_.path).toSet.intersect(m0.fragments.map(_.path).toSet).isEmpty)
+    LanceDelete.deleteWhere(spark, root, Array(EqualTo("o_orderstatus", "F")), Map.empty)
+    val after = spark.read.format("lance").load(root)
+    assert(after.filter(col("o_orderstatus") === "F").count() === 0)
+    assert(after.count() ===
+      spark.read.format("lance").option("versionAsOf", "1").load(root)
+        .filter(col("o_orderstatus") =!= "F").count())
+    assert(after.count() < before)
+  }
+
   test("append racing a concurrent DROP stamps the dropped column hidden") {
     import graft.sources.lance.LanceWriteUtil
     import org.apache.spark.sql.types.{IntegerType, StringType}
