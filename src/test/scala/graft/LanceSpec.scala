@@ -68,6 +68,20 @@ class LanceSpec extends SparkSpec {
     assert(viaStats === viaScan)
   }
 
+  test("aggregates over an empty table: COUNT answers 0, MIN/MAX answer NULL") {
+    spark.conf.set("spark.sql.catalog.lance_empty",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_empty.warehouse", tmp())
+    spark.sql("CREATE NAMESPACE lance_empty.db")
+    spark.sql("CREATE TABLE lance_empty.db.t (id BIGINT, s STRING)")
+    val r = spark.sql(
+      "SELECT count(*), count(id), min(id), max(id), sum(id), min(s) FROM lance_empty.db.t")
+      .collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 0L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
   test("string MIN/MAX and COUNT DISTINCT answer from value dictionaries") {
     val root = tmp()
     orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
