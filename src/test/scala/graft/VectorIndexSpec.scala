@@ -149,6 +149,19 @@ class VectorIndexSpec extends SparkSpec {
     assert(adc1 === adc2)
   }
 
+  test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
+    import org.apache.spark.ml.linalg.Vectors
+    val rnd = new scala.util.Random(7) // fixed seed → deterministic
+    val cents = Array.fill(256)(Vectors.dense(Array.fill(16)(rnd.nextDouble())))
+    val g = new CentroidGraph(cents, m = 8, efConstruction = 32)
+    val q = Array.fill(16)(rnd.nextDouble())
+    val exact = VectorIndex.selectProbesExact(cents, q, 8).toSeq
+    assert(g.probe(q, 8, ef = 256).toSeq === exact)
+    val partial = g.probe(q, 8, ef = 32).toSeq
+    assert(partial.intersect(exact).size >= 5,
+      s"recall too low: $partial vs $exact")
+  }
+
   test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
     val truth = SparkEntry.queries("ivf_flat_search")(spark, sf)
       .limit(10).collect().map(_.getLong(0)).toSet
