@@ -59,7 +59,12 @@ object Dedup extends QueryModule {
     val base = docsWithShingles(s, dir)
       .select(col("doc_id"), col("sh"),
         minhash(col("sh"), MinhashHashes, 42L).as("sig"))
+    // base feeds four plan branches (bands ×2 via mega/capped, sets ×2);
+    // cache only for the duration of this computation — the small pair
+    // result is localCheckpoint'd (eager) so we can unpersist before
+    // returning instead of leaking a cached plan per invocation
     base.cache()
+    try {
     val bands = base.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
       .toDF("doc_id", "band_idx", "band_key")
@@ -85,6 +90,8 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= JaccardTau)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+      .localCheckpoint()
+    } finally base.unpersist(false)
   }
 
   // ---- dedup_simhash -----------------------------------------------------

@@ -101,7 +101,7 @@ object IndexBuild {
     idx.pq match {
       case None =>
         VectorIndex.probedScan(s, idx.root, options, probed, queryVec,
-          so.metric, so.k, excludeVecId)
+          so.metric, so.k, excludeVecId, idCol, idx.opts.column)
       case Some(p) =>
         val lut = new Array[Double](p.m * p.codes)
         for (mm <- 0 until p.m; c <- 0 until p.codes) {

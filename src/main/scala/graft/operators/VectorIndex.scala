@@ -83,7 +83,8 @@ object VectorIndex extends QueryModule {
   private[operators] def probedScan(s: SparkSession, indexRoot: String,
                          readOptions: Map[String, String], probed: Array[Int],
                          queryVec: Array[Double], metric: String, k: Int,
-                         excludeVecId: Long): DataFrame = {
+                         excludeVecId: Long, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
     import s.implicits._
     val score = metric match {
       case "l2" => vec_l2 _
@@ -93,11 +94,11 @@ object VectorIndex extends QueryModule {
     val asc = metric == "l2"
     val qvDf = Seq(Tuple1(queryVec.map(_.toFloat))).toDF("qv")
     val scored = s.read.format("lance").options(readOptions).load(indexRoot)
-      .filter(col("cell").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
       .crossJoin(broadcast(qvDf))
-      .select(col("vec_id"), round(score(col("embedding"), col("qv")), 6).as("dist"))
-    val ordered = if (asc) scored.orderBy(col("dist").asc, col("vec_id").asc)
-                  else scored.orderBy(col("dist").desc, col("vec_id").asc)
+      .select(col(idCol), round(score(col(vecCol), col("qv")), 6).as("dist"))
+    val ordered = if (asc) scored.orderBy(col("dist").asc, col(idCol).asc)
+                  else scored.orderBy(col("dist").desc, col(idCol).asc)
     ordered.limit(k)
   }
 

@@ -79,8 +79,14 @@ object LanceDelete {
       // another writer rewrote/removed a fragment we read — committing
       // would resurrect deleted rows or double the rewritten ones
       if (!touched.forall(cur.fragments.map(_.path).toSet)) None
-      else Some(LanceCommit(cur.schema,
-        cur.fragments.filterNot(f => touched(f.path)) ++ staged, cur.txns))
+      else {
+        // a concurrent DROP COLUMN removes no fragments (so the path check
+        // passes) but the staged rewrites physically contain the dropped
+        // column — stamp them so a later re-ADD can't resurrect stale values
+        val stamped = LanceWriteUtil.stampRacedDrops(staged, m.schema, cur.schema)
+        Some(LanceCommit(cur.schema,
+          cur.fragments.filterNot(f => touched(f.path)) ++ stamped, cur.txns))
+      }
     }
     if (committed.isEmpty) {
       val fs = ManifestIO.fs(root, conf)

@@ -18,14 +18,17 @@ import scala.jdk.CollectionConverters._
   * fragments for the new ones.
   *
   * Pruning rule (critical): a fragment may be EXCLUDED from the scan only
-  * if the operation provably leaves it untouched — and what "untouched"
-  * means depends on what Spark pushes per command. UPDATE pushes the
-  * update CONDITION (touched rows), so the safe prune is
-  * `provablyEmpty`; the group-based DELETE rewrite pushes the KEEP
-  * condition `NOT cond`, so the safe prune is `provablyAllMatch`
-  * (omitting a fragment whose rows all fail the keep-condition would
-  * resurrect deleted rows); MERGE's pushed filters come from join
-  * pushthrough and admit no such inference, so MERGE never prunes.
+  * if the operation provably leaves it untouched. For both UPDATE and the
+  * group-based DELETE rewrite, Spark pushes (a conjunct-subset of) the
+  * command's raw CONDITION — `RewriteDeleteFromTable.buildReplaceDataPlan`
+  * hands the un-negated cond to `ReplaceData.condition`, and
+  * `GroupBasedRowLevelOperationScanPlanning` splits/pushes that — so the
+  * only safe prune is `provablyEmpty`: no row of the fragment can match
+  * the pushed conjuncts ⇒ no row matches the full condition ⇒ untouched.
+  * (`provablyAllMatch` is valid only in the `SupportsDelete` metadata
+  * path, where the filters ARE the complete delete condition.) MERGE's
+  * pushed filters come from join pushthrough and admit no such inference,
+  * so MERGE never prunes.
   * Filters are never forwarded to the parquet reader (row-group skipping
   * inside a rewritten fragment would silently drop rows from the table).
   */
@@ -80,11 +83,9 @@ class LanceCowScanBuilder(spark: SparkSession, root: String,
     import RowLevelOperation.Command
     val conj = filters.reduceOption(And(_, _))
     val affected = (op.command(), conj) match {
-      case (Command.UPDATE, Some(c)) =>
+      case (Command.UPDATE | Command.DELETE, Some(c)) =>
         manifest.fragments.filterNot(fr =>
           LancePruning.provablyEmpty(fr, manifest.schema, c))
-      case (Command.DELETE, Some(c)) =>
-        manifest.fragments.filterNot(fr => LancePruning.provablyAllMatch(fr, c))
       case _ => manifest.fragments
     }
     op.scanned = affected.map(_.path)

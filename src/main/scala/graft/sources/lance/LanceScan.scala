@@ -165,9 +165,14 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       name <- fieldName(col)
       dicts <- allDicts(name)
     } yield {
-      val all = dicts.flatten
-      (StructField(s"${if (isMin) "min" else "max"}_$name", StringType),
-        UTF8String.fromString(if (isMin) all.min else all.max))
+      // Spark's Min/Max on StringType order by UTF8String (UTF-8 byte)
+      // comparison, which diverges from java.lang.String (UTF-16 code
+      // units) when supplementary-plane chars mix with U+E000–U+FFFF —
+      // reduce in UTF8String order so the stats answer matches a full scan
+      val all = dicts.flatten.map(UTF8String.fromString)
+      val picked = all.reduce((a, b) =>
+        if ((a.compareTo(b) <= 0) == isMin) a else b)
+      (StructField(s"${if (isMin) "min" else "max"}_$name", StringType), picked)
     }
     numeric.orElse(stringViaDict)
   }

@@ -65,19 +65,35 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
 
   private val requiredNames = requiredSchema.fieldNames.toSet
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    newFragments(parse(start), parse(end)).map { fr =>
+  /** Every column map seen across planned batches. The reader factory must
+    * cover exactly the fragments its partitions carry — an in-flight
+    * catch-up batch can hold masked/renamed fragments that a later
+    * compaction removed from the LATEST manifest, so deriving maps from
+    * `loadLatest` either misses a group (IllegalStateException) or, when
+    * the latest manifest is all-identity, reads a masked fragment through
+    * the identity path and resurrects dropped-column values. Union-only
+    * growth keeps concurrently-executing batches covered. */
+  @volatile private var plannedColMaps: Set[LanceColumnMap] = Set.empty
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val frs = newFragments(parse(start), parse(end))
+    val maps = frs.map(LanceColumnMap.of(_, requiredNames))
+    synchronized { plannedColMaps ++= maps }
+    frs.zip(maps).map { case (fr, cm) =>
       val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
-      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes,
-        LanceColumnMap.of(fr, requiredNames)): InputPartition
+      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, cm): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // masked/renamed fragments (pre-evolution leftovers) can appear in the
-    // initial catch-up batches; build one reader group per column map
-    // visible in the latest manifest so those read correctly
-    val colMaps = ManifestIO.loadLatest(root, conf).toSeq
-      .flatMap(_.fragments).map(LanceColumnMap.of(_, requiredNames)).distinct
+    // one reader group per column map the planned partitions actually carry
+    // (fall back to the latest manifest only if planning hasn't run yet)
+    val colMaps = {
+      val planned = plannedColMaps.toSeq
+      if (planned.nonEmpty) planned
+      else ManifestIO.loadLatest(root, conf).toSeq
+        .flatMap(_.fragments).map(LanceColumnMap.of(_, requiredNames)).distinct
+    }
     if (colMaps.forall(_.isIdentity)) {
       val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
       new LanceReaderFactory(readFn, limit = None, columnar = false)

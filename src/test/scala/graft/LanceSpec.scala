@@ -368,6 +368,35 @@ class LanceSpec extends SparkSpec {
     assert(afterDelete.toSeq === Seq(1, 2, 4))
   }
 
+  test("subquery DELETE with pushed conjunct rewrites provably-all-match fragments") {
+    // Spark pushes the RAW delete condition's translatable conjuncts to the
+    // group-based scan (RewriteDeleteFromTable passes un-negated cond to
+    // ReplaceData). A fragment wholly matching a pushed conjunct is NOT
+    // untouched — its rows may still match the unpushed subquery conjunct.
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.lance_dcj",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_dcj.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_dcj.db")
+    spark.sql("CREATE TABLE lance_dcj.db.t (id BIGINT, status STRING)")
+    val root = s"$wh/db/t"
+    // fragment 1: wholly status='F' (provablyAllMatch(status='F') = true)
+    Seq((1L, "F"), (2L, "F"), (3L, "F")).toDF("id", "status").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    // fragment 2: mixed statuses
+    Seq((4L, "F"), (5L, "O")).toDF("id", "status").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    spark.sql("CREATE OR REPLACE TEMP VIEW dcj_ids AS " +
+      "SELECT * FROM VALUES (2), (4), (5) AS v(id)")
+    // deletes id=2 (all-'F' fragment) and id=4; id=5 is status 'O' → kept
+    spark.sql("DELETE FROM lance_dcj.db.t " +
+      "WHERE status = 'F' AND id IN (SELECT id FROM dcj_ids)")
+    val remaining = spark.sql("SELECT id FROM lance_dcj.db.t ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(remaining.toSeq === Seq(1L, 3L, 5L))
+  }
+
   test("_file metadata column; runtime group filtering narrows subquery-DML rewrites") {
     spark.conf.set("spark.sql.catalog.lance_rgf",
       classOf[graft.sources.lance.LanceCatalog].getName)
