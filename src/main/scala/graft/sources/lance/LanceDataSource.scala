@@ -163,12 +163,25 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     LanceMetadata.columns
 
-  // UPDATE / MERGE (and subquery DELETEs) via copy-on-write at fragment
-  // granularity — see LanceRowLevelOperation
+  // UPDATE / MERGE (and subquery DELETEs): delta (merge-on-read, positional
+  // delete vectors — LanceDeltaRowLevelOperation) by default; copy-on-write
+  // fragment rewrites (LanceRowLevelOperation) when mode = "cow". Mode
+  // resolves table option > session conf, read per command so tests and
+  // sessions can switch without re-resolving the table.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new LanceRowLevelOperation(root, extraOptions, info.command())
+    () => {
+      val mode = LanceOptions.any(extraOptions, "rowLevelMode", "write.row-level-mode")
+        .orElse(spark.conf.getOption("spark.graft.lance.row-level-mode"))
+        .getOrElse("delta")
+      mode match {
+        case "cow" => new LanceRowLevelOperation(root, extraOptions, info.command())
+        case "delta" => new LanceDeltaRowLevelOperation(root, extraOptions, info.command())
+        case other => throw new IllegalArgumentException(
+          s"lance: unknown row-level mode '$other' (expected 'delta' or 'cow')")
+      }
+    }
 }
 
 object LanceTable {

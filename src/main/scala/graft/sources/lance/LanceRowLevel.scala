@@ -36,8 +36,11 @@ class LanceRowLevelOperation(root: String, extraOptions: Map[String, String],
                              cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
-  /** Fragment paths the scan planned — exactly the set commit replaces. */
-  @volatile private[lance] var scanned: Seq[String] = Seq.empty
+  /** Fragments the scan planned (rel path -> DV rel path at scan time) —
+    * exactly the set commit replaces. The DV identity is part of the
+    * conflict check: a concurrent positional delete on a scanned fragment
+    * would be silently dropped by the rewrite otherwise. */
+  @volatile private[lance] var scanned: Map[String, Option[String]] = Map.empty
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -88,7 +91,7 @@ class LanceCowScanBuilder(spark: SparkSession, root: String,
           LancePruning.provablyEmpty(fr, manifest.schema, c))
       case _ => manifest.fragments
     }
-    op.scanned = affected.map(_.path)
+    op.scanned = affected.map(fr => fr.path -> fr.deletes.map(_.path)).toMap
     // a scan with NO reader-level filters and no limit: every row of every
     // affected fragment flows to the rewrite; runtime group filtering can
     // narrow the affected set (and op.scanned with it) before execution
@@ -120,7 +123,7 @@ class LanceCowScan(spark: SparkSession, root: String, manifest: LanceManifest,
       val narrowed = fragments.filter(fr =>
         keep.contains(new org.apache.hadoop.fs.Path(root, fr.path).toString))
       fragments = narrowed
-      op.scanned = narrowed.map(_.path)
+      op.scanned = narrowed.map(fr => fr.path -> fr.deletes.map(_.path)).toMap
     }
   }
 
@@ -167,17 +170,22 @@ class LanceCowWriteBuilder(spark: SparkSession, root: String,
           val newFrags = messages.flatMap {
             case m: LanceFragmentsCommitMessage => m.fragments
           }.toSeq
-          val touched = op.scanned.toSet
+          val touched = op.scanned
           val committed = ManifestIO.commit(root, conf.value) { latest =>
             val cur = latest.getOrElse(throw new IllegalStateException(
               s"lance dataset disappeared during ${op.command()}: $root"))
-            // a concurrent rewrite removed a fragment we read — swapping
-            // would lose its changes or duplicate rows
-            if (!touched.forall(cur.fragments.map(_.path).toSet)) None
+            // a concurrent rewrite removed a fragment we read (or layered a
+            // new delete vector on it) — swapping would lose its changes,
+            // duplicate rows, or resurrect concurrently-deleted positions
+            val curBy = cur.fragments.map(f => f.path -> f).toMap
+            val ok = touched.forall { case (p, dv) =>
+              curBy.get(p).exists(_.deletes.map(_.path) == dv)
+            }
+            if (!ok) None
             else {
               val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, cur.schema)
               Some(LanceCommit(cur.schema,
-                cur.fragments.filterNot(f => touched(f.path)) ++ stamped, cur.txns))
+                cur.fragments.filterNot(f => touched.contains(f.path)) ++ stamped, cur.txns))
             }
           }
           if (committed.isEmpty) {

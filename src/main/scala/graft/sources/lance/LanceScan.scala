@@ -73,7 +73,15 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     case _ => false
   }
 
+  /** Per-fragment stats are recorded over PHYSICAL rows; once any fragment
+    * carries a delete vector they remain sound bounds (pruning) but can no
+    * longer answer aggregates exactly — a deleted row could be the min, a
+    * null, the last holder of a dictionary value. COUNT(*) alone stays
+    * answerable: liveRows is exact. */
+  private val noDeletes: Boolean = manifest.fragments.forall(_.deletes.isEmpty)
+
   private def colStats(name: String): Option[Seq[ColStats]] = {
+    if (!noDeletes) return None
     val per = manifest.fragments.map(_.stats.get(name))
     if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
   }
@@ -138,7 +146,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   private def allDicts(name: String): Option[Seq[Seq[String]]] = {
     val isString = manifest.schema.fields.exists(f =>
       f.name == name && f.dataType == StringType)
-    if (!isString || manifest.fragments.isEmpty) None
+    if (!isString || manifest.fragments.isEmpty || !noDeletes) None
     else {
       val per = manifest.fragments.map(_.stats.get(name).flatMap(_.distinct))
       if (per.forall(d => d.isDefined && d.get.nonEmpty)) Some(per.map(_.get)) else None
@@ -215,7 +223,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   override def build(): Scan = (aggSchema, aggValues) match {
     case (Some(s), Some(v)) => new LanceStatsScan(root, s, v)
     case _ =>
-      val pruned = LancePruning.prune(manifest.fragments, manifest.schema, filters)
+      val pruned = LancePruning.prune(manifest.fragments, manifest.schema, filters, root)
       new LanceParquetScan(spark, root, manifest, pruned, required, filters.toSeq,
         limit, options)
   }
@@ -227,8 +235,12 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   * the fragment. */
 object LancePruning {
   def prune(fragments: Seq[FragmentMeta], schema: StructType,
-            filters: Array[Filter]): Seq[FragmentMeta] =
-    fragments.filterNot(fr => filters.exists(f => provablyEmpty(fr, schema, f)))
+            filters: Array[Filter], root: String = ""): Seq[FragmentMeta] =
+    fragments.filterNot { fr =>
+      val full = if (root.isEmpty) ""
+                 else new org.apache.hadoop.fs.Path(root, fr.path).toString
+      filters.exists(f => provablyEmpty(fr, schema, f, full))
+    }
 
   private def lit(v: Any): Option[JValue] = v match {
     case i: Int => Some(JLong(i))
@@ -257,8 +269,16 @@ object LancePruning {
     case _ => false
   }
 
-  /** True only if no row in the fragment can satisfy `f`. */
-  def provablyEmpty(fr: FragmentMeta, schema: StructType, f: Filter): Boolean = f match {
+  /** True only if no row in the fragment can satisfy `f`. `fullPath`, when
+    * known, enables pruning on the `_file` metadata column — fragment
+    * identity is exact, so `_file IN (...)` restricts the scan to exactly
+    * the named fragments (used by maintenance reads and DV-writing
+    * deletes to touch only candidate fragments). */
+  def provablyEmpty(fr: FragmentMeta, schema: StructType, f: Filter,
+                    fullPath: String = ""): Boolean = f match {
+    case EqualTo(LanceMetadata.FileCol, v) => fullPath.nonEmpty && v != fullPath
+    case In(LanceMetadata.FileCol, vs) =>
+      fullPath.nonEmpty && !vs.contains(fullPath)
     case EqualTo(c, v) =>
       outsideRange(fr, c, v, strictLow = false, strictHigh = false) || dictMiss(fr, c, v)
     case GreaterThan(c, v) => aboveMax(fr, c, v, orEqual = false)
@@ -271,8 +291,10 @@ object LancePruning {
     case IsNull(c) => fr.stats.get(c).flatMap(_.nullCount).contains(0L)
     case IsNotNull(c) =>
       fr.stats.get(c).flatMap(_.nullCount).exists(_ == fr.rows)
-    case And(l, r) => provablyEmpty(fr, schema, l) || provablyEmpty(fr, schema, r)
-    case Or(l, r) => provablyEmpty(fr, schema, l) && provablyEmpty(fr, schema, r)
+    case And(l, r) =>
+      provablyEmpty(fr, schema, l, fullPath) || provablyEmpty(fr, schema, r, fullPath)
+    case Or(l, r) =>
+      provablyEmpty(fr, schema, l, fullPath) && provablyEmpty(fr, schema, r, fullPath)
     case _ => false
   }
 
@@ -352,7 +374,8 @@ object LanceColumnMap {
   * row groups), so a huge fragment still parallelizes across executors. */
 case class LanceInputPartition(path: String, start: Long, length: Long,
                                fileSize: Long,
-                               colMap: LanceColumnMap = LanceColumnMap.Identity)
+                               colMap: LanceColumnMap = LanceColumnMap.Identity,
+                               dv: Option[String] = None)
     extends InputPartition
 
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
@@ -369,7 +392,7 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   /** Manifest-derived size estimate (post fragment pruning) — feeds
     * Spark's join planning so small lance datasets broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = fragments.map(_.rows).sum
+    private val rows = fragments.map(_.liveRows).sum
     private val bytes = fragments.map(_.sizeBytes).sum
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
@@ -397,6 +420,11 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   private val fileRequested: Boolean =
     required.fieldNames.contains(LanceMetadata.FileCol)
 
+  /** `_pos` projection requires position fidelity: no byte-range splits and
+    * no reader-level filter pushdown (row-group skipping shifts indexes). */
+  private val posRequested: Boolean =
+    required.fieldNames.contains(LanceMetadata.PosCol)
+
   private def maskKey(fr: FragmentMeta): LanceColumnMap =
     LanceColumnMap.of(fr, relevantCols)
 
@@ -405,14 +433,18 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     val chosen = limit match {
       case Some(n) =>
         var acc = 0L
-        fragments.takeWhile { fr => val take = acc < n; acc += fr.rows; take }
+        fragments.takeWhile { fr => val take = acc < n; acc += fr.liveRows; take }
       case None => fragments
     }
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
     chosen.flatMap { fr =>
       val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
-      if (fr.sizeBytes <= splitBytes || limit.isDefined) {
-        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, maskKey(fr)))
+      val dv = fr.deletes.map(d => new org.apache.hadoop.fs.Path(root, d.path).toString)
+      // DV filtering and _pos injection count physical rows from the file
+      // start — such fragments read as one partition (they exist only
+      // between a delete and the next compaction)
+      if (fr.sizeBytes <= splitBytes || limit.isDefined || dv.isDefined || posRequested) {
+        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, maskKey(fr), dv))
       } else {
         (0L until fr.sizeBytes by splitBytes).map { off =>
           LanceInputPartition(p, off, math.min(splitBytes, fr.sizeBytes - off),
@@ -428,18 +460,20 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     // the vectorized reader is on, read columnar: batches flow straight
     // into WholeStageCodegen's ColumnarToRow instead of per-row iteration.
     val colMaps = fragments.map(maskKey).distinct
-    if (colMaps.forall(_.isIdentity) && !fileRequested) {
+    val anyDv = fragments.exists(_.deletes.isDefined)
+    if (colMaps.forall(_.isIdentity) && !fileRequested && !posRequested && !anyDv) {
       val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
       val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
         returningBatch = columnar)
       new LanceReaderFactory(readFn, limit, columnar)
     } else {
-      // hidden-column masks, renames and/or the _file metadata column need
-      // per-row value injection (row path; Spark forbids mixing row and
-      // columnar partitions in one scan)
+      // hidden-column masks, renames, delete vectors and/or metadata
+      // columns need per-row handling (row path; Spark forbids mixing row
+      // and columnar partitions in one scan)
       new LanceMaskedReaderFactory(
-        LanceReadGroup.build(spark, manifest.schema, required, filters, options, colMaps),
-        limit)
+        LanceReadGroup.build(spark, manifest.schema, required, filters, options,
+          colMaps, posRequested),
+        limit, Shim.serializableConf(Shim.hadoopConf(spark, options)))
     }
   }
 }
@@ -449,14 +483,23 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   * column row-level operations use for runtime group filtering. */
 object LanceMetadata {
   val FileCol = "_file"
+  val PosCol = "_pos"
 
   val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = FileCol
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "full path of the fragment file holding the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = FileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "full path of the fragment file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = PosCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position within the fragment file (0-based, pre-deletion)"
+      })
 }
 
 class LanceReaderFactory(
@@ -512,6 +555,7 @@ class LanceReaderFactory(
   * LanceCatalog.java / Lance field-id semantics). */
 private[lance] case class LanceReadGroup(
     readFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    unfilteredFn: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
     mapping: Array[Int], types: Array[DataType]) {
   def isIdentity: Boolean = mapping.indices.forall(i => mapping(i) == i)
 }
@@ -521,37 +565,53 @@ private[lance] object LanceReadGroup {
   val NullInject: Int = -1
   /** Mapping sentinel: inject the partition's file path (`_file`). */
   val FileInject: Int = -2
+  /** Mapping sentinel: inject the physical row position (`_pos`). */
+  val PosInject: Int = -3
 
   /** One group per distinct column map. Filters referencing a masked or
     * renamed column are NOT pushed into that group's reader: for masks, the
     * physical file still holds the pre-DROP values and parquet row-group
     * skipping on stale values would silently drop rows that correctly read
     * as NULL; for renames, the physical file knows a different column
-    * name. Filters on `_file` are likewise never forwarded (no such
-    * physical column). All filters are residual, so Spark re-evaluates
-    * them against the final output. */
+    * name. Filters on `_file`/`_pos` are likewise never forwarded (no such
+    * physical columns). All filters are residual, so Spark re-evaluates
+    * them against the final output.
+    *
+    * `unfilteredFn` is the same reader with NO filters at all — used for
+    * partitions that must count physical positions (a delete vector to
+    * apply, or `_pos` projected): parquet row-group skipping would shift
+    * the indexes. When `posRequested`, position fidelity is needed
+    * scan-wide, so both closures are built filter-free. */
   def build(spark: SparkSession, tableSchema: StructType, required: StructType,
             filters: Seq[Filter], options: Map[String, String],
-            colMaps: Seq[LanceColumnMap]): Map[LanceColumnMap, LanceReadGroup] =
+            colMaps: Seq[LanceColumnMap],
+            posRequested: Boolean = false): Map[LanceColumnMap, LanceReadGroup] =
     colMaps.map { cm =>
       val hsSet = cm.hidden.toSet
       val ren = cm.renames.toMap
-      val skip = hsSet + LanceMetadata.FileCol
+      val skip = hsSet + LanceMetadata.FileCol + LanceMetadata.PosCol
       val noPush = skip ++ ren.keySet
       def phys(f: StructField): StructField =
         ren.get(f.name).map(p => f.copy(name = p)).getOrElse(f)
       val dataSchema = StructType(tableSchema.fields.filterNot(f => hsSet(f.name)).map(phys))
       val readSchema = StructType(required.fields.filterNot(f => skip(f.name)).map(phys))
-      val safeFilters = filters.filterNot(_.references.exists(noPush))
+      val safeFilters =
+        if (posRequested) Seq.empty
+        else filters.filterNot(_.references.exists(noPush))
       val readFn = Shim.parquetReader(spark, dataSchema, readSchema, safeFilters,
         options, returningBatch = false)
+      val unfilteredFn =
+        if (safeFilters.isEmpty) readFn
+        else Shim.parquetReader(spark, dataSchema, readSchema, Seq.empty,
+          options, returningBatch = false)
       var j = 0
       val mapping = required.fields.map { f =>
         if (f.name == LanceMetadata.FileCol) FileInject
+        else if (f.name == LanceMetadata.PosCol) PosInject
         else if (hsSet(f.name)) NullInject
         else { val r = j; j += 1; r }
       }
-      cm -> LanceReadGroup(readFn, mapping, required.fields.map(_.dataType))
+      cm -> LanceReadGroup(readFn, unfilteredFn, mapping, required.fields.map(_.dataType))
     }.toMap
 }
 
@@ -561,32 +621,49 @@ private[lance] object LanceReadGroup {
   * between a DROP COLUMN and the next compaction, so the columnar fast path
   * is given up only for those scans. */
 class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
-                               limit: Option[Int]) extends PartitionReaderFactory {
+                               limit: Option[Int],
+                               conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
     val g = groups.getOrElse(p.colMap, throw new IllegalStateException(
       s"lance: no reader group for column map ${p.colMap} " +
         "(schema evolved between planning and read?)"))
-    val rows = g.readFn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
+    val posInjected = g.mapping.contains(LanceReadGroup.PosInject)
+    // position counting (DV filtering / _pos) needs the unfiltered reader:
+    // row-group skipping from pushed filters would shift physical indexes
+    val needPos = p.dv.isDefined || posInjected
+    val fn = if (needPos) g.unfilteredFn else g.readFn
+    val rows = fn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
       .asInstanceOf[Iterator[AnyRef]].flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
     val filePath = UTF8String.fromString(p.path)
-    val projected =
-      if (g.isIdentity) rows
-      else rows.map { r =>
-        val out = new Array[Any](g.mapping.length)
-        var i = 0
-        while (i < g.mapping.length) {
-          val m = g.mapping(i)
-          out(i) =
-            if (m == LanceReadGroup.FileInject) filePath
-            else if (m < 0 || r.isNullAt(m)) null
-            else r.get(m, g.types(i))
-          i += 1
+    def project(r: InternalRow, pos: Long): InternalRow = {
+      val out = new Array[Any](g.mapping.length)
+      var i = 0
+      while (i < g.mapping.length) {
+        val m = g.mapping(i)
+        out(i) =
+          if (m == LanceReadGroup.FileInject) filePath
+          else if (m == LanceReadGroup.PosInject) pos
+          else if (m < 0 || r.isNullAt(m)) null
+          else r.get(m, g.types(i))
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+    val projected: Iterator[InternalRow] =
+      if (!needPos) {
+        if (g.isIdentity) rows else rows.map(project(_, -1L))
+      } else {
+        val deleted = p.dv.map(DeleteVectors.readBitSet(_, conf.value)).orNull
+        val identity = g.isIdentity
+        rows.zipWithIndex.collect {
+          case (r, i) if deleted == null || !deleted.get(i) =>
+            if (identity) r else project(r, i.toLong)
         }
-        new GenericInternalRow(out)
       }
     val capped = limit.map(n => projected.take(n)).getOrElse(projected)
     new PartitionReader[InternalRow] {

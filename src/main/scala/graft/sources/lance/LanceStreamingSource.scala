@@ -74,14 +74,22 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
     * the identity path and resurrects dropped-column values. Union-only
     * growth keeps concurrently-executing batches covered. */
   @volatile private var plannedColMaps: Set[LanceColumnMap] = Set.empty
+  /** True once any planned fragment carried a delete vector (initial
+    * catch-up of a dataset with deletes applies them; later DVs on
+    * already-streamed fragments are never retro-applied — append-only). */
+  @volatile private var plannedAnyDv: Boolean = false
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val frs = newFragments(parse(start), parse(end))
     val maps = frs.map(LanceColumnMap.of(_, requiredNames))
-    synchronized { plannedColMaps ++= maps }
+    synchronized {
+      plannedColMaps ++= maps
+      plannedAnyDv ||= frs.exists(_.deletes.isDefined)
+    }
     frs.zip(maps).map { case (fr, cm) =>
       val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
-      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, cm): InputPartition
+      val dv = fr.deletes.map(d => new org.apache.hadoop.fs.Path(root, d.path).toString)
+      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, cm, dv): InputPartition
     }.toArray
   }
 
@@ -94,13 +102,13 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
       else ManifestIO.loadLatest(root, conf).toSeq
         .flatMap(_.fragments).map(LanceColumnMap.of(_, requiredNames)).distinct
     }
-    if (colMaps.forall(_.isIdentity)) {
+    if (colMaps.forall(_.isIdentity) && !plannedAnyDv) {
       val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
       new LanceReaderFactory(readFn, limit = None, columnar = false)
     } else {
       new LanceMaskedReaderFactory(
         LanceReadGroup.build(spark, dataSchema, requiredSchema, Seq.empty, options, colMaps),
-        limit = None)
+        limit = None, Shim.serializableConf(conf))
     }
   }
 

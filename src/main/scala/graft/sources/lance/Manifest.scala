@@ -50,7 +50,21 @@ case class ColStats(min: Option[JValue], max: Option[JValue], nullCount: Option[
 case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
                         stats: Map[String, ColStats],
                         hidden: Seq[String] = Nil,
-                        physicalNames: Map[String, String] = Map.empty)
+                        physicalNames: Map[String, String] = Map.empty,
+                        deletes: Option[DeleteVectorMeta] = None) {
+  /** Logical rows = physical rows minus positions in the delete vector.
+    * Exact: DV counts are distinct sorted positions. */
+  def liveRows: Long = rows - deletes.map(_.count).getOrElse(0L)
+}
+
+/** Reference to a fragment's positional delete-vector sidecar (see
+  * [[DeleteVectors]]): `path` is relative to the dataset root, `count` is
+  * the number of (distinct) deleted positions. Per-column `stats` of a
+  * fragment with deletes remain valid as BOUNDS (deletion only shrinks the
+  * value set) so pruning stays sound, but they no longer *answer*
+  * aggregates exactly — the scan declines stats-answered aggregates for
+  * datasets with any live DV, except COUNT(*) which `liveRows` keeps exact. */
+case class DeleteVectorMeta(path: String, count: Long)
 
 /** A dataset version: the complete fragment list visible at that version,
   * plus the schema and the streaming-transaction high-water map for
@@ -61,7 +75,8 @@ case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
 case class LanceManifest(version: Long, schema: StructType,
                          fragments: Seq[FragmentMeta],
                          txns: Map[String, Long] = Map.empty) {
-  def totalRows: Long = fragments.map(_.rows).sum
+  /** Logical (live) row count — DV-deleted positions excluded. */
+  def totalRows: Long = fragments.map(_.liveRows).sum
 }
 
 /** The content of one commit, computed from the current latest manifest by
@@ -228,6 +243,8 @@ object ManifestIO {
                             else JObject(fr.physicalNames.toList.map {
                               case (k, v) => k -> JString(v)
                             })),
+        "deletes" -> fr.deletes.map(d => JObject(
+          "path" -> JString(d.path), "count" -> JLong(d.count))).getOrElse(JNothing),
         "stats" -> JObject(fr.stats.toList.map { case (c, s) =>
           c -> JObject(
             "min" -> jv(s.min), "max" -> jv(s.max),
@@ -283,13 +300,20 @@ object ManifestIO {
         }.toMap
         case _ => Map.empty[String, String]
       }
+      val deletes = (fr \ "deletes") match {
+        case JObject(_) => Some(DeleteVectorMeta(
+          (fr \ "deletes" \ "path").asInstanceOf[JString].s,
+          asLong(fr \ "deletes" \ "count")))
+        case _ => None
+      }
       FragmentMeta(
         (fr \ "path").asInstanceOf[JString].s,
         asLong(fr \ "rows"),
         asLong(fr \ "sizeBytes"),
         stats,
         hidden,
-        physicalNames)
+        physicalNames,
+        deletes)
     }
     // legacy single-marker manifests (pre txn-map) read into a 1-entry map
     val txns = (j \ "txns") match {

@@ -368,6 +368,92 @@ class LanceSpec extends SparkSpec {
     assert(afterDelete.toSeq === Seq(1, 2, 4))
   }
 
+  test("delta UPDATE writes a delete vector; every original fragment file stays in place") {
+    import graft.sources.lance.DeleteVectors
+    spark.conf.set("spark.sql.catalog.lance_dv",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_dv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_dv.db")
+    spark.sql("CREATE TABLE lance_dv.db.o (o_orderkey BIGINT, o_custkey BIGINT)")
+    val root = s"$wh/db/o"
+    orders.select("o_orderkey", "o_custkey")
+      .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format("lance").mode("append").save(root)
+    val before = ManifestIO.loadLatest(root, conf).get
+    val preVersion = before.version
+    val total = orders.count()
+
+    val minKey = spark.sql("SELECT min(o_orderkey) FROM lance_dv.db.o").first().getLong(0)
+    spark.sql(s"UPDATE lance_dv.db.o SET o_custkey = -7 WHERE o_orderkey = $minKey")
+
+    val after = ManifestIO.loadLatest(root, conf).get
+    // zero original fragments rewritten: every pre-update path survives
+    assert(before.fragments.map(_.path).toSet.subsetOf(after.fragments.map(_.path).toSet),
+      "delta UPDATE must not rewrite any original fragment")
+    // exactly one fragment gained a 1-position delete vector
+    val dvFrags = after.fragments.filter(_.deletes.isDefined)
+    assert(dvFrags.size === 1 && dvFrags.head.deletes.get.count === 1L, dvFrags)
+    assert(DeleteVectors.read(root, conf, dvFrags.head.deletes.get.path).length === 1)
+    // exactly one new 1-row insert fragment
+    val newFrags = after.fragments.filterNot(f => before.fragments.exists(_.path == f.path))
+    assert(newFrags.size === 1 && newFrags.head.rows === 1L, newFrags)
+    assert(after.totalRows === total)
+
+    // results correct; _pos/_file round through the masked read path
+    assert(spark.sql(s"SELECT o_custkey FROM lance_dv.db.o WHERE o_orderkey = $minKey")
+      .first().getLong(0) === -7L)
+    assert(spark.sql("SELECT count(*) FROM lance_dv.db.o").first().getLong(0) === total)
+    // time travel: the pre-update version still reads the old value
+    assert(spark.sql(
+      s"SELECT o_custkey FROM lance_dv.db.o VERSION AS OF $preVersion WHERE o_orderkey = $minKey")
+      .first().getLong(0) !== -7L)
+    // COUNT(*) stays stats-answered (liveRows is exact under DVs)…
+    val countPlan = spark.sql("SELECT count(*) FROM lance_dv.db.o")
+      .queryExecution.executedPlan.toString
+    assert(countPlan.contains("LanceStatsScan"), countPlan)
+    // …but SUM declines to a full scan and is still correct
+    val sumDf = spark.sql("SELECT sum(o_custkey) AS s FROM lance_dv.db.o")
+    assert(!sumDf.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    val expected = orders.filter(col("o_orderkey") =!= minKey).agg(sum("o_custkey"))
+      .first().getLong(0) - 7L
+    assert(sumDf.first().getLong(0) === expected)
+  }
+
+  test("delta subquery DELETE: partial fragments gain DVs, fully-deleted fragments drop") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.lance_dvd",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_dvd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_dvd.db")
+    spark.sql("CREATE TABLE lance_dvd.db.t (id BIGINT, v STRING)")
+    val root = s"$wh/db/t"
+    // fragment A: ids 1-3; fragment B: ids 4-6
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    spark.sql("CREATE OR REPLACE TEMP VIEW dvd_ids AS " +
+      "SELECT * FROM VALUES (1), (2), (3), (5) AS x(id)")
+    spark.sql("DELETE FROM lance_dvd.db.t WHERE id IN (SELECT id FROM dvd_ids)")
+    val m = ManifestIO.loadLatest(root, conf).get
+    // fragment A (all rows deleted) dropped from the manifest entirely
+    assert(m.fragments.size === 1, m.fragments)
+    assert(m.fragments.head.deletes.map(_.count) === Some(1L))
+    assert(m.totalRows === 2L)
+    assert(spark.sql("SELECT id FROM lance_dvd.db.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L, 6L))
+    // second delete layers onto the existing DV (merge, not overwrite)
+    spark.sql("DELETE FROM lance_dvd.db.t WHERE id IN (SELECT id FROM dvd_ids WHERE id > 90)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW dvd_ids2 AS SELECT * FROM VALUES (6) AS x(id)")
+    spark.sql("DELETE FROM lance_dvd.db.t WHERE id IN (SELECT id FROM dvd_ids2)")
+    val m2 = ManifestIO.loadLatest(root, conf).get
+    assert(m2.fragments.head.deletes.map(_.count) === Some(2L))
+    assert(spark.sql("SELECT id FROM lance_dvd.db.t").collect().map(_.getLong(0)).toSeq
+      === Seq(4L))
+  }
+
   test("subquery DELETE with pushed conjunct rewrites provably-all-match fragments") {
     // Spark pushes the RAW delete condition's translatable conjuncts to the
     // group-based scan (RewriteDeleteFromTable passes un-negated cond to
@@ -417,10 +503,15 @@ class LanceSpec extends SparkSpec {
     assert(files.size === before.fragments.size)
     assert(files.forall(_.contains("data/")), files)
 
-    // subquery UPDATE: no static pushdown — runtime group filtering must
-    // keep every fragment that contains no matching row
-    spark.sql("UPDATE lance_rgf.db.o SET o_custkey = -5 " +
-      "WHERE o_orderkey IN (SELECT min(o_orderkey) FROM lance_rgf.db.o)")
+    // subquery UPDATE under COPY-ON-WRITE mode (this test asserts rewrite
+    // narrowing; the delta default writes a DV instead of rewriting):
+    // no static pushdown — runtime group filtering must keep every
+    // fragment that contains no matching row
+    spark.conf.set("spark.graft.lance.row-level-mode", "cow")
+    try {
+      spark.sql("UPDATE lance_rgf.db.o SET o_custkey = -5 " +
+        "WHERE o_orderkey IN (SELECT min(o_orderkey) FROM lance_rgf.db.o)")
+    } finally spark.conf.unset("spark.graft.lance.row-level-mode")
     val after = ManifestIO.loadLatest(root, conf).get
     val survivors = before.fragments.map(_.path).toSet
       .intersect(after.fragments.map(_.path).toSet)
