@@ -46,9 +46,19 @@ object LanceDelete {
     }
   }
 
+  /** Metadata-first delete:
+    *   - provably ALL rows match  → drop the fragment (metadata-only);
+    *   - provably NO rows match   → keep the fragment untouched;
+    *   - otherwise                → compute the matching row positions with
+    *     one scan of the candidate fragments and append them to each
+    *     fragment's delete-vector sidecar ([[DeleteVectors]]) — O(changed
+    *     positions) written, zero data rewritten.
+    * DV files are written executor-side (one task per touched fragment);
+    * the driver commit only swaps metadata, so a delete touching 10^5
+    * fragments moves 10^5 sidecar references, not rows. */
   def deleteWhere(spark: SparkSession, root: String, filters: Array[Filter],
                   options: Map[String, String]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val conf = Shim.hadoopConf(spark, options)
     val m = ManifestIO.loadLatest(root, conf).getOrElse(
       throw new IllegalStateException(s"lance dataset not found: $root"))
@@ -60,37 +70,65 @@ object LanceDelete {
     val dropped = m.fragments.filter(fr =>
       LancePruning.provablyAllMatch(fr, conjunction))
     val droppedPaths = dropped.map(_.path).toSet
-    val toRewrite = m.fragments.filter(fr => !droppedPaths(fr.path) &&
-      !LancePruning.provablyEmpty(fr, m.schema, conjunction))
-    if (dropped.isEmpty && toRewrite.isEmpty) return // provably no-op
+    val candidates = m.fragments.filter(fr => !droppedPaths(fr.path) &&
+      !LancePruning.provablyEmpty(fr, m.schema, conjunction,
+        new Path(root, fr.path).toString))
+    if (dropped.isEmpty && candidates.isEmpty) return // provably no-op
 
-    // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
-    val staged =
-      if (toRewrite.isEmpty) Seq.empty
-      else LanceBatchSave.stageFragments(spark,
-        LanceMaintenance.maskedRead(spark, root, m.schema, toRewrite)
-          .filter(not(coalesce(pred, lit(false)))),
-        root, LanceOptions.any(options, "maxRowsPerFile", "write.max-rows-per-file"))
+    // positions of matching rows per candidate fragment (SQL DELETE removes
+    // rows where the predicate is TRUE; NULL keeps). The scan is pinned at
+    // the manifest version we classified against; _file pruning restricts
+    // it to the candidates. Each group task merges the fragment's existing
+    // DV with the new positions and writes the sidecar executor-side.
+    val newDvs: Map[String, DeleteVectorMeta] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val fullToRel = candidates.map(fr =>
+          new Path(root, fr.path).toString -> fr.path).toMap
+        val oldDv = candidates.map(fr => fr.path -> fr.deletes.map(_.path)).toMap
+        val ser = Shim.serializableConf(conf)
+        spark.read.format("lance")
+          .options(options + ("versionAsOf" -> m.version.toString)).load(root)
+          .filter(col(LanceMetadata.FileCol).isin(fullToRel.keys.toSeq: _*))
+          .filter(coalesce(pred, lit(false)))
+          .select(col(LanceMetadata.FileCol), col(LanceMetadata.PosCol))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (full, it) =>
+            val rel = fullToRel(full)
+            val merged = DeleteVectors.merge(root, ser.value, oldDv(rel),
+              it.map(_._2).toArray)
+            (rel, merged.path, merged.count)
+          }
+          .collect()
+          .map { case (rel, p, c) => rel -> DeleteVectorMeta(p, c) }
+          .toMap
+      }
 
-    val touched = droppedPaths ++ toRewrite.map(_.path)
+    val touched = dropped ++ candidates
     val committed = ManifestIO.commit(root, conf) { latest =>
       val cur = latest.getOrElse(
         throw new IllegalStateException(s"lance dataset disappeared during delete: $root"))
-      // another writer rewrote/removed a fragment we read — committing
-      // would resurrect deleted rows or double the rewritten ones
-      if (!touched.forall(cur.fragments.map(_.path).toSet)) None
-      else {
-        // a concurrent DROP COLUMN removes no fragments (so the path check
-        // passes) but the staged rewrites physically contain the dropped
-        // column — stamp them so a later re-ADD can't resurrect stale values
-        val stamped = LanceWriteUtil.stampRacedDrops(staged, m.schema, cur.schema)
-        Some(LanceCommit(cur.schema,
-          cur.fragments.filterNot(f => touched(f.path)) ++ stamped, cur.txns))
-      }
+      // another writer rewrote/removed a touched fragment, or layered a new
+      // DV on it — committing would resurrect deleted rows or drop deletes
+      val curBy = cur.fragments.map(f => f.path -> f).toMap
+      val ok = touched.forall(fr =>
+        curBy.get(fr.path).exists(_.deletes.map(_.path) == fr.deletes.map(_.path)))
+      if (!ok) None
+      else Some(LanceCommit(cur.schema,
+        cur.fragments.flatMap { f =>
+          if (droppedPaths(f.path)) None
+          else newDvs.get(f.path) match {
+            case Some(d) if d.count >= f.rows => None // every physical row deleted
+            case Some(d) => Some(f.copy(deletes = Some(d)))
+            case None => Some(f)
+          }
+        }, cur.txns))
     }
     if (committed.isEmpty) {
       val fs = ManifestIO.fs(root, conf)
-      staged.foreach(f => fs.delete(new Path(root, f.path), false))
+      newDvs.values.foreach(d => fs.delete(new Path(root, d.path), false))
       throw new IllegalStateException(
         s"lance DELETE lost a conflict with a concurrent rewrite at $root; retry")
     }

@@ -337,53 +337,56 @@ object LanceBatchSave {
   * commits — readers of existing versions are unaffected until vacuum
   * actually removes their files. */
 object LanceMaintenance {
-  /** Read `frags` as rows of `schema`, reading per distinct column-map
-    * group so dropped-then-readded columns stay NULL and renamed columns
-    * resolve through their physical names (never resurrect stale values).
-    * Used by compaction and DELETE's partial-fragment rewrite; the
-    * rewritten fragments come out with identity column maps. */
-  private[lance] def maskedRead(spark: SparkSession, root: String,
+  /** Read `frags` as rows of `schema` through the connector's own scan
+    * pinned at `version`, restricted to exactly those fragments via `_file`
+    * pruning — hidden/renamed column identity AND delete vectors all apply
+    * (never resurrect stale values or deleted rows). Used by compaction;
+    * the rewritten fragments come out with identity column maps and no DVs. */
+  private[lance] def maskedRead(spark: SparkSession, root: String, version: Long,
                                 schema: StructType,
                                 frags: Seq[FragmentMeta]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val dfs = frags.groupBy(f =>
-      (f.hidden.filterNot(f.physicalNames.keySet).toSet, f.physicalNames))
-      .map { case ((hiddenSet, renames), frs) =>
-        val paths = frs.map(f => new Path(root, f.path).toString)
-        val live = schema.fields.filterNot(f => hiddenSet(f.name))
-        val readSchema = StructType(live.map(f =>
-          f.copy(name = renames.getOrElse(f.name, f.name))))
-        val relabeled = spark.read.schema(readSchema).parquet(paths: _*)
-          .toDF(live.map(_.name).toIndexedSeq: _*)
-        schema.fieldNames.filter(hiddenSet).foldLeft(relabeled) { (d, c) =>
-          d.withColumn(c, lit(null).cast(schema(c).dataType))
-        }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      }
-    dfs.reduce(_.unionAll(_))
+    import org.apache.spark.sql.functions.col
+    val full = frags.map(f => new Path(root, f.path).toString)
+    spark.read.format("lance").option("versionAsOf", version.toString).load(root)
+      .filter(col(LanceMetadata.FileCol).isin(full: _*))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
-  /** Rewrite fragments smaller than `smallerThanRows` into consolidated
-    * fragments of up to `targetRows` rows; commits one new version.
-    * Returns the new manifest (or the current one if nothing to do). */
+
+  /** Rewrite fragments smaller than `smallerThanRows` — plus any fragment
+    * carrying a delete vector (folding the DV into a clean file) — into
+    * consolidated fragments of up to `targetRows` rows; commits one new
+    * version. Returns the new manifest (or the current one if no-op). */
   def compact(spark: SparkSession, root: String,
               smallerThanRows: Long, targetRows: Long): LanceManifest = {
     val conf = Shim.hadoopConf(spark, Map.empty)
     val m = ManifestIO.loadLatest(root, conf).getOrElse(
       throw new IllegalStateException(s"lance dataset not found: $root"))
-    val (small, big) = m.fragments.partition(_.rows < smallerThanRows)
-    if (small.size <= 1) return m
-    val df = maskedRead(spark, root, m.schema, small)
+    val small = m.fragments.filter(fr =>
+      fr.rows < smallerThanRows || fr.deletes.isDefined)
+    if (small.size <= 1 && !small.exists(_.deletes.isDefined)) return m
+    // one scan partition per fragment comes back from the connector read —
+    // coalesce (no shuffle) down to the consolidated fragment count so the
+    // staged write actually merges files
+    val parts = math.max(1,
+      math.ceil(small.map(_.liveRows).sum.toDouble / targetRows).toInt)
+    val df = maskedRead(spark, root, m.version, m.schema, small).coalesce(parts)
     val newFrags = LanceBatchSave.stageFragments(spark, df, root,
       Some(targetRows.toString))
-    val smallPaths = small.map(_.path).toSet
+    val smallBy = small.map(f => f.path -> f).toMap
     ManifestIO.commit(root, conf) { latest =>
       val cur = latest.getOrElse(
         throw new IllegalStateException(s"lance dataset disappeared during compact: $root"))
-      // conflict check: if a concurrent commit removed any of the fragments
-      // we rewrote (another compaction/overwrite), committing would
-      // duplicate or resurrect rows — abandon instead (first writer wins)
-      if (!smallPaths.forall(cur.fragments.map(_.path).toSet)) None
+      // conflict check: a concurrent commit removed one of the fragments we
+      // rewrote (another compaction/overwrite) or layered a new DV on it —
+      // committing would duplicate, resurrect, or un-delete rows. Abandon
+      // instead (first writer wins).
+      val curBy = cur.fragments.map(f => f.path -> f).toMap
+      val ok = smallBy.forall { case (p, fr) =>
+        curBy.get(p).exists(_.deletes.map(_.path) == fr.deletes.map(_.path))
+      }
+      if (!ok) None
       else Some(LanceCommit(cur.schema,
-        cur.fragments.filterNot(f => smallPaths(f.path)) ++ newFrags, cur.txns))
+        cur.fragments.filterNot(f => smallBy.contains(f.path)) ++ newFrags, cur.txns))
     }.getOrElse {
       val fs = ManifestIO.fs(root, conf)
       newFrags.foreach(f => fs.delete(new Path(root, f.path), false))
@@ -423,17 +426,23 @@ object LanceMaintenance {
     val fs = ManifestIO.fs(root, conf)
     val versions = ManifestIO.listVersions(root, conf)
     val keep = versions.takeRight(retainVersions)
-    val referenced = keep.flatMap(v =>
-      ManifestIO.load(root, v, conf).fragments.map(_.path)).toSet
+    val keptManifests = keep.map(ManifestIO.load(root, _, conf))
+    val referenced = keptManifests.flatMap(_.fragments.map(_.path)).toSet
+    val referencedDvs = keptManifests.flatMap(
+      _.fragments.flatMap(_.deletes.map(_.path))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val dataDir = new Path(root, ManifestIO.DataDir)
-    if (fs.exists(dataDir)) {
-      fs.listStatus(dataDir).foreach { st =>
-        val rel = s"${ManifestIO.DataDir}/${st.getPath.getName}"
-        if (!referenced.contains(rel) && st.getModificationTime < cutoff)
-          fs.delete(st.getPath, false)
+    def sweep(dir: String, keepRel: Set[String]): Unit = {
+      val p = new Path(root, dir)
+      if (fs.exists(p)) {
+        fs.listStatus(p).foreach { st =>
+          val rel = s"$dir/${st.getPath.getName}"
+          if (!keepRel.contains(rel) && st.getModificationTime < cutoff)
+            fs.delete(st.getPath, false)
+        }
       }
     }
+    sweep(ManifestIO.DataDir, referenced)
+    sweep(DeleteVectors.Dir, referencedDvs)
     versions.dropRight(retainVersions).foreach(v =>
       fs.delete(ManifestIO.manifestFile(root, v), false))
   }

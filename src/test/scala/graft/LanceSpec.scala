@@ -302,7 +302,7 @@ class LanceSpec extends SparkSpec {
     }
   }
 
-  test("DELETE: stats-aligned fragments drop metadata-only, partial ones rewrite") {
+  test("DELETE: stats-aligned fragments drop metadata-only, partial ones gain delete vectors") {
     import graft.sources.lance.LanceDelete
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
     val root = tmp()
@@ -322,12 +322,16 @@ class LanceSpec extends SparkSpec {
       Array(GreaterThanOrEqual("o_orderkey", cut)), Map.empty)
     val after = ManifestIO.loadLatest(root, conf).get
     assert(untouchedBefore.subsetOf(after.fragments.map(_.path).toSet))
+    // no fragment was rewritten: every surviving path existed before, and
+    // partial overlap shows up as a delete vector, not a new file
+    assert(after.fragments.map(_.path).toSet.subsetOf(before.fragments.map(_.path).toSet))
     val left = spark.read.format("lance").load(root)
     assert(left.count() === orders.filter(col("o_orderkey") < cut).count())
     assert(left.agg(max("o_orderkey")).first().getLong(0) < cut)
-    // second delete: partial rewrite inside one fragment
+    // second delete: positions merge into the partial fragments' DVs
     LanceDelete.deleteWhere(spark, root, Array(EqualTo("o_orderstatus", "F")), Map.empty)
     val left2 = spark.read.format("lance").load(root)
+    assert(ManifestIO.loadLatest(root, conf).get.fragments.exists(_.deletes.isDefined))
     assert(left2.filter(col("o_orderstatus") === "F").count() === 0)
     assert(left2.count() ===
       orders.filter(col("o_orderkey") < cut && col("o_orderstatus") =!= "F").count())
@@ -452,6 +456,38 @@ class LanceSpec extends SparkSpec {
     assert(m2.fragments.head.deletes.map(_.count) === Some(2L))
     assert(spark.sql("SELECT id FROM lance_dvd.db.t").collect().map(_.getLong(0)).toSeq
       === Seq(4L))
+  }
+
+  test("compaction folds delete vectors into clean fragments; vacuum sweeps orphaned DVs") {
+    import graft.sources.lance.{LanceDelete, LanceMaintenance}
+    import org.apache.spark.sql.sources.EqualTo
+    val root = tmp()
+    orders.orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.format("lance").option("maxRowsPerFile", "400").save(root)
+    LanceDelete.deleteWhere(spark, root, Array(EqualTo("o_orderstatus", "F")), Map.empty)
+    val withDv = ManifestIO.loadLatest(root, conf).get
+    assert(withDv.fragments.exists(_.deletes.isDefined), "setup needs DVs")
+    val expect = orders.filter(col("o_orderstatus") =!= "F").count()
+    assert(withDv.totalRows === expect)
+
+    // compaction rewrites every DV-carrying fragment into clean files
+    val compacted = LanceMaintenance.compact(spark, root,
+      smallerThanRows = 1, targetRows = 10000)
+    assert(compacted.fragments.forall(_.deletes.isEmpty), compacted.fragments)
+    val after = spark.read.format("lance").load(root)
+    assert(after.count() === expect)
+    assert(after.filter(col("o_orderstatus") === "F").count() === 0)
+    // fragment physical rows now equal live rows (deletes folded in)
+    assert(compacted.totalRows === expect)
+
+    // vacuum to the latest version sweeps the now-unreferenced DV files
+    LanceMaintenance.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+    val fs = ManifestIO.fs(root, conf)
+    val dvDir = new org.apache.hadoop.fs.Path(root, graft.sources.lance.DeleteVectors.Dir)
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+      "orphaned delete vectors must be vacuumed")
+    assert(spark.read.format("lance").load(root).count() === expect)
   }
 
   test("subquery DELETE with pushed conjunct rewrites provably-all-match fragments") {
