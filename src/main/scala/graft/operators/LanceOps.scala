@@ -90,7 +90,12 @@ object LanceOps extends QueryModule {
 
   private def aggPushdown(s: SparkSession, dir: String): DataFrame = {
     val root = tmp("agg")
-    t(s, dir, "orders").write.format("lance").option("maxRowsPerFile", "3000").save(root)
+    // price_dec: exact decimal column (integral + exact quarter) so the
+    // decimal SUM/AVG stats answers are reproducible in the oracle
+    t(s, dir, "orders")
+      .withColumn("price_dec",
+        expr("CAST(CAST(o_custkey AS DECIMAL(10,2)) + 0.25 AS DECIMAL(12,2))"))
+      .write.format("lance").option("maxRowsPerFile", "3000").save(root)
     // answered from manifest stats (LanceStatsScan): zero data files read
     read(s, root).agg(
       count(lit(1)).as("n"),
@@ -101,6 +106,8 @@ object LanceOps extends QueryModule {
       max("o_totalprice").as("max_price"),
       sum("o_custkey").as("sum_cust"),
       avg("o_custkey").as("avg_cust"),
+      sum(col("price_dec")).cast("double").as("sum_dec"),
+      avg(col("price_dec")).cast("double").as("avg_dec"),
       min("o_orderstatus").as("min_status"),
       max("o_orderstatus").as("max_status"),
       count_distinct(col("o_orderstatus")).as("n_status"))
@@ -262,11 +269,21 @@ object LanceOps extends QueryModule {
     "lance_limit_pushdown" ->
       """SELECT least(137, count(*)) AS n FROM orders""",
     "lance_agg_pushdown" ->
-      """SELECT count(*) AS n, count(o_custkey) AS n_cust,
+      // decimal sum compares exactly through the unscaled-integer domain;
+      // decimal avg replicates Spark's HALF_UP at scale+4 (=6) with exact
+      // integer arithmetic: round(u*10^4 / n) where u = unscaled(sum)
+      """WITH d AS (
+        |  SELECT CAST(sum(CAST(o_custkey AS DECIMAL(10,2)) * 100 + 25) AS BIGINT) AS u,
+        |         count(o_custkey) AS nd
+        |  FROM orders)
+        |SELECT count(*) AS n, count(o_custkey) AS n_cust,
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  avg(o_custkey) AS avg_cust,
+        |  CAST((SELECT u FROM d) AS DOUBLE) / 100.0 AS sum_dec,
+        |  CAST((SELECT u*10000 // nd + (CASE WHEN 2*((u*10000) % nd) >= nd THEN 1 ELSE 0 END) FROM d) AS DOUBLE)
+        |    / 1000000.0 AS avg_dec,
         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
         |  count(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,

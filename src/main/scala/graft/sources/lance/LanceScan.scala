@@ -111,35 +111,67 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     case m: Max =>
       minMax(m.column, isMin = false)
     case s: Sum if !s.isDistinct =>
-      // exact per-fragment long sums folded with overflow checks; Spark's
-      // Sum over integral inputs yields LongType, matching the stat domain
-      // (reference: AggregateExecutor.java:125-143)
-      sumStat(s.column).map { case (name, total, nonNull) =>
-        (StructField(s"sum_$name", LongType, nullable = true),
-          if (nonNull == 0) null else java.lang.Long.valueOf(total))
+      // exact per-fragment long sums folded with overflow checks: integral
+      // columns sum to Spark's LongType Sum result; decimal(<=18) columns
+      // sum in the unscaled-long domain and answer as Spark's
+      // DecimalType.bounded(p+10, s) Sum result
+      // (reference: AggregateExecutor.java:125-161 answers every numeric)
+      sumStat(s.column).map { case (name, dt, total, nonNull) =>
+        dt match {
+          case d: DecimalType =>
+            val rt = DecimalType(math.min(38, d.precision + 10), d.scale)
+            (StructField(s"sum_$name", rt, nullable = true),
+              if (nonNull == 0) null
+              else Decimal(BigDecimal(java.math.BigDecimal.valueOf(total, d.scale)),
+                rt.precision, rt.scale))
+          case _ =>
+            (StructField(s"sum_$name", LongType, nullable = true),
+              if (nonNull == 0) null else java.lang.Long.valueOf(total))
+        }
       }
     case a: Avg if !a.isDistinct =>
-      sumStat(a.column).map { case (name, total, nonNull) =>
-        (StructField(s"avg_$name", DoubleType, nullable = true),
-          if (nonNull == 0) null else java.lang.Double.valueOf(total.toDouble / nonNull))
+      sumStat(a.column).map { case (name, dt, total, nonNull) =>
+        dt match {
+          case d: DecimalType =>
+            // Spark's Average over decimal(p,s) yields bounded(p+4, s+4)
+            // and divides HALF_UP at the result scale — replicate exactly
+            val rp = math.min(38, d.precision + 4)
+            val rs = math.min(38, d.scale + 4)
+            (StructField(s"avg_$name", DecimalType(rp, rs), nullable = true),
+              if (nonNull == 0) null
+              else {
+                val bd = java.math.BigDecimal.valueOf(total, d.scale)
+                  .divide(java.math.BigDecimal.valueOf(nonNull), rs,
+                    java.math.RoundingMode.HALF_UP)
+                Decimal(BigDecimal(bd), rp, rs)
+              })
+          case _ =>
+            (StructField(s"avg_$name", DoubleType, nullable = true),
+              if (nonNull == 0) null
+              else java.lang.Double.valueOf(total.toDouble / nonNull))
+        }
       }
     case _ => None // distinct / float sums → full scan
   }
 
-  /** (name, Σ sums, non-null rows) when every fragment carries an exact sum
-    * for an integral column; fold overflow declines (None → full scan). */
+  /** (name, type, Σ sums, non-null rows) when every fragment carries an
+    * exact sum for the column — integral types in the value domain,
+    * decimal(<=18) in the unscaled-long domain; fold overflow declines
+    * (None → full scan). */
   private def sumStat(col: org.apache.spark.sql.connector.expressions.Expression):
-      Option[(String, Long, Long)] =
+      Option[(String, DataType, Long, Long)] =
     for {
       name <- fieldName(col)
       field <- manifest.schema.fields.find(_.name == name)
       if field.dataType == ByteType || field.dataType == ShortType ||
-        field.dataType == IntegerType || field.dataType == LongType
+        field.dataType == IntegerType || field.dataType == LongType ||
+        (field.dataType.isInstanceOf[DecimalType] &&
+          field.dataType.asInstanceOf[DecimalType].precision <= 18)
       ss <- colStats(name)
       if ss.forall(s => s.sum.isDefined && s.nullCount.isDefined)
       total <- try Some(ss.map(_.sum.get).foldLeft(0L)(Math.addExact))
                catch { case _: ArithmeticException => None }
-    } yield (name, total, manifest.totalRows - ss.map(_.nullCount.get).sum)
+    } yield (name, field.dataType, total, manifest.totalRows - ss.map(_.nullCount.get).sum)
 
   /** Every fragment's non-empty value dictionary for a string column, or
     * None if any fragment lacks one (then dictionary answers decline). */

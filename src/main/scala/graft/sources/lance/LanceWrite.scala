@@ -178,17 +178,25 @@ class LanceDataWriter(root: String, schema: StructType,
   private var rowsInFile = 0L
   private var files = List.empty[String] // relative paths under root
 
-  // integral columns tracked for exact SUM stats
+  // columns tracked for exact SUM stats: integral types directly, decimals
+  // of precision <= 18 via their unscaled long representation (exact long
+  // arithmetic either way; reference answers SUM/AVG over every numeric —
+  // AggregateExecutor.java:125-161 — float/double stay declined because
+  // their sums are order-dependent)
   private val sumFields: Array[(Int, org.apache.spark.sql.types.DataType, String)] = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == ByteType || f.dataType == ShortType ||
         f.dataType == IntegerType || f.dataType == LongType => (i, f.dataType, f.name)
+      case (f, i) if f.dataType.isInstanceOf[DecimalType] &&
+        f.dataType.asInstanceOf[DecimalType].precision <= 18 => (i, f.dataType, f.name)
     }
   }
   private var sums: Array[Long] = _
   private var sumOk: Array[Boolean] = _
+  private var sumNonNulls: Array[Long] = _
   private var finishedSums = Map.empty[String, Map[String, Long]] // rel -> col -> sum
+  private var finishedNonNulls = Map.empty[String, Map[String, Long]] // rel -> col -> non-null rows
 
   // string columns tracked for the exact low-cardinality value dictionary
   private val strFields: Array[(Int, String)] =
@@ -206,6 +214,7 @@ class LanceDataWriter(root: String, schema: StructType,
     rowsInFile = 0L
     sums = new Array[Long](sumFields.length)
     sumOk = Array.fill(sumFields.length)(true)
+    sumNonNulls = new Array[Long](sumFields.length)
     dicts = Array.fill(strFields.length)(scala.collection.mutable.HashSet.empty[String])
   }
 
@@ -214,6 +223,9 @@ class LanceDataWriter(root: String, schema: StructType,
       writer.close(); writer = null
       finishedSums += files.head -> sumFields.indices.collect {
         case j if sumOk(j) => sumFields(j)._3 -> sums(j)
+      }.toMap
+      finishedNonNulls += files.head -> sumFields.indices.map { j =>
+        sumFields(j)._3 -> sumNonNulls(j)
       }.toMap
       finishedDicts += files.head -> strFields.indices.collect {
         case j if dicts(j) != null => strFields(j)._2 -> dicts(j).toSeq.sorted
@@ -227,16 +239,21 @@ class LanceDataWriter(root: String, schema: StructType,
     var j = 0
     while (j < sumFields.length) {
       val (i, dt, _) = sumFields(j)
-      if (sumOk(j) && !record.isNullAt(i)) {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-        val v: Long = dt match {
-          case ByteType => record.getByte(i).toLong
-          case ShortType => record.getShort(i).toLong
-          case IntegerType => record.getInt(i).toLong
-          case _ => record.getLong(i)
+      if (!record.isNullAt(i)) {
+        sumNonNulls(j) += 1
+        if (sumOk(j)) {
+          import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, ShortType}
+          val v: Long = dt match {
+            case ByteType => record.getByte(i).toLong
+            case ShortType => record.getShort(i).toLong
+            case IntegerType => record.getInt(i).toLong
+            case d: DecimalType =>
+              record.getDecimal(i, d.precision, d.scale).toUnscaledLong
+            case _ => record.getLong(i)
+          }
+          try sums(j) = Math.addExact(sums(j), v)
+          catch { case _: ArithmeticException => sumOk(j) = false }
         }
-        try sums(j) = Math.addExact(sums(j), v)
-        catch { case _: ArithmeticException => sumOk(j) = false }
       }
       j += 1
     }
@@ -257,11 +274,21 @@ class LanceDataWriter(root: String, schema: StructType,
     val frags = files.reverse.map { rel =>
       val (rows, size, stats) = ManifestIO.footerStats(conf.value, new Path(root, rel))
       val fileSums = finishedSums.getOrElse(rel, Map.empty)
+      val fileNN = finishedNonNulls.getOrElse(rel, Map.empty)
       val fileDicts = finishedDicts.getOrElse(rel, Map.empty)
       val withSums = stats.map { case (c, cs) =>
         c -> cs.copy(sum = fileSums.get(c), distinct = fileDicts.get(c))
       }
-      FragmentMeta(rel, rows, size, withSums)
+      // decimal columns get no footer entry (parquet decimal stats are not
+      // decoded) — synthesize one from the writer's own sum + null tracking
+      // so SUM/AVG pushdown can answer them
+      val decimalExtra = fileSums.keys
+        .filterNot(withSums.contains)
+        .flatMap { c =>
+          fileNN.get(c).map(nn =>
+            c -> ColStats(None, None, Some(rows - nn), fileSums.get(c), None))
+        }.toMap
+      FragmentMeta(rel, rows, size, withSums ++ decimalExtra)
     }
     LanceFragmentsCommitMessage(frags)
   }

@@ -68,6 +68,45 @@ class LanceSpec extends SparkSpec {
     assert(viaStats === viaScan)
   }
 
+  test("SUM/AVG over decimal columns answer from unscaled-long stats, Spark-exact") {
+    import spark.implicits._
+    val root = tmp()
+    // decimal(12,2) incl. nulls and negative values; multiple fragments
+    val src = orders.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise((col("o_totalprice") - lit(1000)).cast("decimal(12,2)"))
+          .as("price_dec"))
+    src.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    val ds = spark.read.format("lance").load(root)
+    val q = ds.agg(sum("price_dec"), avg("price_dec"), count(col("price_dec")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LanceStatsScan"), plan)
+    val viaStats = q.collect()(0)
+    val viaScan = src.agg(sum("price_dec"), avg("price_dec"), count(col("price_dec"))).collect()(0)
+    assert(viaStats === viaScan)
+    // result types match Spark's aggregate types exactly
+    assert(q.schema.fields.map(_.dataType.simpleString).toSeq ===
+      src.agg(sum("price_dec"), avg("price_dec"), count(col("price_dec")))
+        .schema.fields.map(_.dataType.simpleString).toSeq)
+    // all-null decimal column answers NULL from stats
+    val root2 = tmp()
+    Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("d", lit(null).cast("decimal(10,3)"))
+      .write.format("lance").save(root2)
+    val q2 = spark.read.format("lance").load(root2).agg(sum("d"), avg("d"))
+    assert(q2.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    val r2 = q2.collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    // precision > 18 declines to a full scan (no unscaled-long domain)
+    val root3 = tmp()
+    Seq((1L, "12345678901234567890.12")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(25,2)").as("big"))
+      .write.format("lance").save(root3)
+    val q3 = spark.read.format("lance").load(root3).agg(sum("big"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    assert(q3.first().getDecimal(0).toString === "12345678901234567890.12")
+  }
+
   test("aggregates over an empty table: COUNT answers 0, MIN/MAX answer NULL") {
     spark.conf.set("spark.sql.catalog.lance_empty",
       classOf[graft.sources.lance.LanceCatalog].getName)
