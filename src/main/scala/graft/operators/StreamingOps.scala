@@ -93,37 +93,70 @@ object StreamingOps extends QueryModule {
     t
   }
 
-  /** Gap-based custom state: buffer each key's event times and arm an
-    * event-time timeout at lastTs + gap. When the watermark passes it, no
-    * event below the watermark can extend the last session and anything
-    * later starts a new one — every buffered session is final, so emit
-    * them all and drop the state. This is the
-    * `flatMapGroupsWithState` shape the reference's Flink users get from
-    * keyed process functions + timers. */
+  /** Split sorted event times into gap-based sessions and close every
+    * session the watermark has finalized. A session with last event `end`
+    * is CLOSED once `end + gap <= wm`: any future on-time event has
+    * `ts >= wm > end + gap`, so it cannot extend that session — emit it
+    * now and forget its events. Only the open tail (sessions still within
+    * `gap` of the watermark) stays in state, so a hot key holds at most
+    * one open session's events instead of its full history. Returns
+    * (closed sessions as (start, end, count), retained open-tail events). */
+  private[graft] def closeSessions(sorted: Seq[Long], wmMicros: Long):
+      (Seq[(Long, Long, Long)], Seq[Long]) = {
+    if (sorted.isEmpty) return (Seq.empty, Seq.empty)
+    val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val open = scala.collection.mutable.ListBuffer.empty[Long]
+    var start = sorted.head
+    var prev = sorted.head
+    var n = 0L
+    var sessionEvents = scala.collection.mutable.ListBuffer.empty[Long]
+    def flush(end: Long): Unit = {
+      if (end + SessionGapMicros <= wmMicros) closed += ((start, end, n))
+      else open ++= sessionEvents
+    }
+    sorted.foreach { ts =>
+      if (ts - prev > SessionGapMicros) {
+        flush(prev)
+        start = ts; n = 0L; sessionEvents = scala.collection.mutable.ListBuffer.empty[Long]
+      }
+      prev = ts; n += 1; sessionEvents += ts
+    }
+    flush(prev)
+    (closed.toSeq, open.toSeq)
+  }
+
+  /** Gap-based custom state, incremental emission: each batch merges the
+    * new event times into the retained open tail, emits every session the
+    * current watermark has already closed, and keeps ONLY the open tail in
+    * state (bounded by one session's events — the scale fix for hot keys).
+    * An event-time timeout at lastTs + gap flushes the final session when
+    * the watermark passes it. This is the `flatMapGroupsWithState` shape
+    * the reference's Flink users get from keyed process functions +
+    * timers. */
   private def sessionFn(key: Long, rows: Iterator[(Long, Timestamp)],
                         state: GroupState[SessionAcc]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
+      // watermark passed lastTs + gap: everything buffered is final
       val tss = state.get.tsMicros.sorted
       state.remove()
-      val sessions = scala.collection.mutable.ListBuffer.empty[SessionOut]
-      var start = tss.head
-      var prev = tss.head
-      var n = 0L
-      tss.foreach { ts =>
-        if (ts - prev > SessionGapMicros) {
-          sessions += SessionOut(key, toTimestamp(start), toTimestamp(prev), n)
-          start = ts; n = 0L
-        }
-        prev = ts; n += 1
+      val (sessions, _) = closeSessions(tss, Long.MaxValue)
+      sessions.iterator.map { case (st, en, n) =>
+        SessionOut(key, toTimestamp(st), toTimestamp(en), n)
       }
-      sessions += SessionOut(key, toTimestamp(start), toTimestamp(prev), n)
-      sessions.iterator
     } else {
-      val acc = state.getOption.map(_.tsMicros).getOrElse(Seq.empty) ++
-        rows.map(r => toMicros(r._2))
-      state.update(SessionAcc(acc))
-      state.setTimeoutTimestamp(acc.max / 1000L + SessionGapMicros / 1000L)
-      Iterator.empty
+      val buf = (state.getOption.map(_.tsMicros).getOrElse(Seq.empty) ++
+        rows.map(r => toMicros(r._2))).sorted
+      val wm = state.getCurrentWatermarkMs() * 1000L
+      val (sessions, open) = closeSessions(buf, wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionAcc(open))
+        // open guarantees last + gap > wm, so the timeout is legal
+        state.setTimeoutTimestamp(open.last / 1000L + SessionGapMicros / 1000L)
+      }
+      sessions.iterator.map { case (st, en, n) =>
+        SessionOut(key, toTimestamp(st), toTimestamp(en), n)
+      }
     }
   }
 

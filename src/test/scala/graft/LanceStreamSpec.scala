@@ -38,6 +38,33 @@ class LanceStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === region.count() + 25)
   }
 
+  test("session state retains only the open tail for a hot key") {
+    import graft.operators.StreamingOps
+    val gap = 6L * 3600 * 1000000L
+    val sessionSpacing = gap + 3600L * 1000000L // sessions separated by gap + 1h
+    // hot key: 100 sessions x 100 events — 10k events total
+    val events: Seq[Long] = (0 until 100).flatMap { s =>
+      (0 until 100).map(e => s * sessionSpacing + e * 1000000L)
+    }
+    // watermark just past the last event: every session except the last is
+    // closed (end + gap <= wm); the last is still open
+    val wm = events.max + 1L
+    val (closed, open) = StreamingOps.closeSessions(events, wm)
+    assert(closed.size === 99, "99 of 100 sessions must close incrementally")
+    assert(closed.forall(_._3 === 100L))
+    // state after the batch = the open session's events only: 100 of 10_000
+    assert(open.size === 100,
+      s"hot-key state must hold only the open tail, got ${open.size} events")
+    assert(open === events.takeRight(100))
+    // watermark far past everything closes all, retains nothing
+    val (allClosed, none) = StreamingOps.closeSessions(events, Long.MaxValue)
+    assert(allClosed.size === 100 && none.isEmpty)
+    // no watermark yet: nothing closes, everything retained (correctness
+    // unchanged, just unbounded until the watermark moves)
+    val (noneClosed, all) = StreamingOps.closeSessions(events, 0L)
+    assert(noneClosed.isEmpty && all.size === events.size)
+  }
+
   test("compact merges small fragments, preserving data and history") {
     val root = tmp()
     val orders = Tables.t(spark, sf, "orders")
