@@ -1,55 +1,108 @@
 package graft.operators
 
 import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable
 
-/** One-layer HNSW-equivalent navigation graph over the IVF centroids
+/** Multi-level HNSW-equivalent navigation graph over the IVF centroids
   * (reference: LanceIndexBuilder.java:140-152 — IVF_HNSW_PQ with m /
-  * efConstruction; search-side ef at LanceVectorSearch.java:155-157).
+  * efConstruction; `index.max-level` at config/LanceOptions.java:168,
+  * consumed at LanceIndexBuilder.java:143, default 7; search-side ef at
+  * LanceVectorSearch.java:155-157).
   *
   * Role at scale: IVF probe selection is driver-side O(cells·dim) per
   * query. At 16–4096 cells that is noise; at the ~100k cells a 100 TB
   * dataset wants, it is the per-query bottleneck. Greedy ef-search over an
   * m-NN graph costs O(ef·m·dim) — sub-linear in cells — while the
   * executor-side plan is unchanged (probed cells scan exactly, the
-  * IVF_FLAT semantics). This is the same division of labor as the
-  * reference: HNSW navigates, the cell scan stays exact.
+  * IVF_FLAT semantics). Upper layers hold a 1/4-per-level node subsample
+  * (deterministic hash levels, not RNG, so builds are reproducible): the
+  * search greedily descends them to a near-query entry point before the
+  * L0 ef-search. Measured honestly (VectorIndexSpec): at 4k-32k cells the
+  * descent is recall-neutral with a small (~1-3%) eval overhead, because
+  * the L0 ring edge already provides NSW-style long-range shortcuts and
+  * the ef-budget dominates; the layers are reference parity
+  * (index.max-level) and a hedge for the >100k-cell regime.
   *
-  * Build: exact m-nearest-neighbor edges per centroid (candidate pool
-  * capped at efConstruction) plus a ring edge i→(i+1)%n, so the graph is
-  * connected BY CONSTRUCTION — with ef ≥ cells the search provably visits
-  * every node and probe selection equals the exact top-nprobes (that
-  * configuration is SQL-oracle-checkable; smaller ef trades recall for
-  * navigation cost, covered by VectorIndexSpec).
+  * Build: exact m-nearest-neighbor edges per layer member (candidate pool
+  * capped at efConstruction) plus a ring edge over the layer's members, so
+  * every layer is connected BY CONSTRUCTION — at L0, with ef ≥ cells, the
+  * search provably visits every node and probe selection equals the exact
+  * top-nprobes (the SQL-oracle-checkable configuration). Layers above the
+  * local threshold build DISTRIBUTED: members are assigned to their 2
+  * nearest of ~n/1024 stride-sampled block centers, exact kNN runs inside
+  * each block on executors, and per-node candidate lists merge to the
+  * final m edges — O(n · blockSize) distance evals total instead of the
+  * driver-side O(n²) loop this replaces.
   */
 final class CentroidGraph private (centroids: Array[Vector],
-                                   val neighbors: Array[Array[Int]])
+                                   val layers: Seq[CentroidGraph.Layer])
     extends Serializable {
-
-  def this(centroids: Array[Vector], m: Int, efConstruction: Int) =
-    this(centroids, CentroidGraph.knnEdges(centroids, m, efConstruction))
 
   private val n = centroids.length
   require(n > 0, "empty centroid set")
+  require(layers.nonEmpty && layers.head.members.length == n,
+    "layer 0 must cover every centroid")
 
-  /** Greedy best-first ef-search from node 0: visit up to the natural
-    * HNSW stopping point (nearest open candidate worse than the worst of
-    * the ef best found), return the `nprobes` nearest cells seen. */
-  def probe(queryVec: Array[Double], nprobes: Int, ef: Int): Array[Int] = {
+  /** Layer-0 adjacency (persisted to the index sidecar). */
+  def neighbors: Array[Array[Int]] = layers.head.adj
+
+  def probe(queryVec: Array[Double], nprobes: Int, ef: Int): Array[Int] =
+    probeWithStats(queryVec, nprobes, ef)._1
+
+  /** Probe + the number of distance evaluations spent (spec instrumentation
+    * for the multi-level claim: a warm entry point means fewer evals). */
+  private[graft] def probeWithStats(queryVec: Array[Double], nprobes: Int,
+                                    ef: Int): (Array[Int], Int) = {
     val qv = Vectors.dense(queryVec)
-    def d(i: Int): Double = Vectors.sqdist(centroids(i), qv)
+    var evals = 0
+    val distCache = new java.util.HashMap[Integer, java.lang.Double]()
+    def d(i: Int): Double = {
+      val cached = distCache.get(i)
+      if (cached != null) cached.doubleValue()
+      else {
+        evals += 1
+        val v = Vectors.sqdist(centroids(i), qv)
+        distCache.put(i, v)
+        v
+      }
+    }
+
+    // descend upper layers greedily (ef=1) to a near-query entry point
+    var ep = layers.last.members(0)
+    var li = layers.length - 1
+    while (li >= 1) {
+      val adj = layers(li).adj
+      var improved = true
+      while (improved) {
+        improved = false
+        val de = d(ep)
+        var best = ep
+        var bestD = de
+        adj(ep).foreach { nb =>
+          val dn = d(nb)
+          if (dn < bestD) { best = nb; bestD = dn }
+        }
+        if (best != ep) { ep = best; improved = true }
+      }
+      li -= 1
+    }
+
+    // layer-0 ef-search seeded at the descended entry point: visit up to
+    // the natural HNSW stopping point (nearest open candidate worse than
+    // the worst of the ef best found), return the nprobes nearest seen
+    val adj0 = layers.head.adj
     val budget = math.max(ef, nprobes)
-    val visited = mutable.BitSet(0)
-    // candidates: nearest-first; results: worst-first (bounded at budget)
-    val cand = mutable.PriorityQueue((d(0), 0))(Ordering.by[(Double, Int), Double](_._1).reverse)
-    val results = mutable.PriorityQueue((d(0), 0))(Ordering.by[(Double, Int), Double](_._1))
+    val visited = mutable.BitSet(ep)
+    val cand = mutable.PriorityQueue((d(ep), ep))(Ordering.by[(Double, Int), Double](_._1).reverse)
+    val results = mutable.PriorityQueue((d(ep), ep))(Ordering.by[(Double, Int), Double](_._1))
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
       if (results.size >= budget && dc > results.head._1) {
         cand.clear() // nearest open node is beyond the ef frontier: done
       } else {
-        neighbors(c).foreach { nb =>
+        adj0(c).foreach { nb =>
           if (!visited(nb)) {
             visited += nb
             val dn = d(nb)
@@ -62,26 +115,156 @@ final class CentroidGraph private (centroids: Array[Vector],
         }
       }
     }
-    results.toArray.sortBy { case (dist, i) => (dist, i) }.take(nprobes).map(_._2)
+    (results.toArray.sortBy { case (dist, i) => (dist, i) }.take(nprobes).map(_._2),
+      evals)
   }
 }
 
 object CentroidGraph {
-  /** Exact m-NN edges (pool capped at efConstruction) + connectivity ring. */
-  private def knnEdges(centroids: Array[Vector], m: Int,
-                       efConstruction: Int): Array[Array[Int]] = {
+  /** One navigation layer: the (global-id) members it contains and the
+    * adjacency indexed by global node id (null off-layer). */
+  final case class Layer(members: Array[Int], adj: Array[Array[Int]])
+    extends Serializable
+
+  /** Above this many members the edge build runs as a Spark job. */
+  private[operators] val LocalBuildThreshold = 2048
+  /** Target members per distributed build block. */
+  private val BlockTarget = 1024
+
+  /** Deterministic HNSW level for node `i`: P(level >= k) = 4^-k, from a
+    * hash instead of an RNG so rebuilds are bit-identical. */
+  private[graft] def levelOf(i: Int, maxLevel: Int): Int = {
+    var h = scala.util.hashing.byteswap32(i) & 0x7fffffff
+    var lvl = 0
+    while (lvl < maxLevel - 1 && (h & 3) == 0) { lvl += 1; h >>>= 2 }
+    lvl
+  }
+
+  /** Build the full multi-level graph. `maxLevel` = 1 gives the flat
+    * single-layer graph; higher values add 1/4-subsampled navigation
+    * layers (reference default 7 via index.max-level). */
+  def build(spark: SparkSession, centroids: Array[Vector], m: Int,
+            efConstruction: Int, maxLevel: Int = 1): CentroidGraph = {
     val n = centroids.length
-    Array.tabulate(n) { i =>
-      val pool = (0 until n).iterator.filter(_ != i)
-        .map(j => (Vectors.sqdist(centroids(i), centroids(j)), j))
+    val levels = Array.tabulate(n)(levelOf(_, maxLevel))
+    val layers = mutable.ArrayBuffer.empty[Layer]
+    var lvl = 0
+    var continue = true
+    while (continue && lvl < maxLevel) {
+      val members = (0 until n).filter(levels(_) >= lvl).toArray
+      // a 1-member layer cannot navigate; stop stacking
+      if (members.length < 2 && lvl > 0) continue = false
+      else {
+        layers += Layer(members, knnEdges(spark, centroids, members, m, efConstruction))
+        lvl += 1
+      }
+    }
+    new CentroidGraph(centroids, layers.toSeq)
+  }
+
+  /** m-NN + ring adjacency for `members` (global ids), local or
+    * distributed by size. */
+  private def knnEdges(spark: SparkSession, centroids: Array[Vector],
+                       members: Array[Int], m: Int,
+                       efConstruction: Int): Array[Array[Int]] = {
+    val edgesByMemberIdx =
+      if (members.length <= LocalBuildThreshold)
+        localKnn(centroids, members, m, efConstruction)
+      else distributedKnn(spark, centroids, members, m)
+    // member-index space -> global-id adjacency (+ ring for connectivity)
+    val adj = new Array[Array[Int]](centroids.length)
+    val k = members.length
+    var mi = 0
+    while (mi < k) {
+      val ring = members((mi + 1) % k)
+      adj(members(mi)) = (edgesByMemberIdx(mi).map(members(_)) :+ ring).distinct
+      mi += 1
+    }
+    adj
+  }
+
+  /** Exact m-NN edges in member-index space (pool capped at efc). */
+  private def localKnn(centroids: Array[Vector], members: Array[Int], m: Int,
+                       efConstruction: Int): Array[Array[Int]] = {
+    val k = members.length
+    Array.tabulate(k) { i =>
+      val pool = (0 until k).iterator.filter(_ != i)
+        .map(j => (Vectors.sqdist(centroids(members(i)), centroids(members(j))), j))
         .toSeq.sorted
-        .take(math.max(1, math.min(efConstruction, n - 1)))
+        .take(math.max(1, math.min(efConstruction, k - 1)))
         .map(_._2)
-      (pool.take(m) :+ (i + 1) % n).distinct.toArray
+      pool.take(m).toArray
     }
   }
 
-  /** Rebuild from persisted adjacency (index sidecar load path). */
+  /** Blocked distributed m-NN in member-index space: assign each member to
+    * its 2 nearest stride-sampled block centers, exact kNN inside each
+    * block (executor-side), merge per-node candidates. Deterministic:
+    * stride centers, (dist, id) total order, union-merge. */
+  private def distributedKnn(spark: SparkSession, centroids: Array[Vector],
+                             members: Array[Int], m: Int): Array[Array[Int]] = {
+    import spark.implicits._
+    val k = members.length
+    val numBlocks = math.max(2, k / BlockTarget)
+    val vecs: Array[Array[Double]] = members.map(centroids(_).toArray)
+    val centerIdx = Array.tabulate(numBlocks)(b => (b.toLong * k / numBlocks).toInt)
+    val bcVecs = spark.sparkContext.broadcast(vecs)
+    val bcCenters = spark.sparkContext.broadcast(centerIdx.map(vecs(_)))
+
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val diff = a(i) - b(i); s += diff * diff; i += 1 }
+      s
+    }
+
+    val perNode = spark.range(k.toLong)
+      .as[Long]
+      .flatMap { li =>
+        val i = li.toInt
+        val v = bcVecs.value(i)
+        val cs = bcCenters.value
+        // 2 nearest block centers (spill edge candidates across blocks)
+        var b1 = -1; var d1 = Double.MaxValue
+        var b2 = -1; var d2 = Double.MaxValue
+        var b = 0
+        while (b < cs.length) {
+          val db = sq(v, cs(b))
+          if (db < d1) { b2 = b1; d2 = d1; b1 = b; d1 = db }
+          else if (db < d2) { b2 = b; d2 = db }
+          b += 1
+        }
+        if (b2 >= 0) Seq((b1, i), (b2, i)) else Seq((b1, i))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map(_._2).toArray
+        val vs = bcVecs.value
+        ms.iterator.map { i =>
+          val cand = ms.iterator.filter(_ != i)
+            .map(j => (sq(vs(i), vs(j)), j))
+            .toArray.sorted
+            .take(m)
+          (i, cand)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (i, lists) =>
+        val merged = lists.flatMap(_._2).toArray.distinct.sorted.take(m).map(_._2)
+        (i, merged)
+      }
+      .collect()
+
+    val adj = Array.fill(k)(Array.empty[Int])
+    perNode.foreach { case (i, ns) => adj(i) = ns }
+    adj
+  }
+
+  /** Rebuild from persisted per-layer adjacency (index sidecar load). */
+  def fromLayers(centroids: Array[Vector], layers: Seq[Layer]): CentroidGraph =
+    new CentroidGraph(centroids, layers)
+
+  /** Legacy single-layer sidecars persisted only the L0 adjacency. */
   def fromNeighbors(centroids: Array[Vector], neighbors: Array[Array[Int]]): CentroidGraph =
-    new CentroidGraph(centroids, neighbors)
+    new CentroidGraph(centroids,
+      Seq(Layer(Array.tabulate(centroids.length)(identity), neighbors)))
 }

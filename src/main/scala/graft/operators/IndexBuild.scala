@@ -59,16 +59,10 @@ object IndexBuild {
       val m = io.numSubVectors.getOrElse(autoSubVectors(dim))
       val codes = 1 << io.numBits
       val subDim = dim / m
-      val flat = new Array[Double](m * codes * subDim)
-      val sampled = VectorIndex.trainingSample(source)
-      (0 until m).foreach { mm =>
-        val sub = sampled.select(toVec(expr(
-          s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as("fv"))
-        val cb = new KMeans().setK(codes).setSeed(42L + mm).setMaxIter(10)
-          .setFeaturesCol("fv").fit(sub).clusterCenters
-        for (c <- 0 until codes; d <- 0 until subDim)
-          flat((mm * codes + c) * subDim + d) = cb(c)(d)
-      }
+      // the M subspace fits are independent — train them concurrently from
+      // one cached sample pass (same seeds, bit-identical codebooks)
+      val flat = VectorIndex.trainPqCodebooks(
+        VectorIndex.trainingSample(source), vecCol, m, codes, subDim)
       Some(PqMeta(flat, m, codes, subDim))
     }
     val indexed = pq match {
@@ -82,7 +76,8 @@ object IndexBuild {
       .write.format("lance").save(root)
 
     val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
-                else Some(new CentroidGraph(centroids, io.hnswM, io.efConstruction))
+                else Some(CentroidGraph.build(s, centroids, io.hnswM,
+                  io.efConstruction, io.maxLevel))
     writeMeta(s, root, io, dim, centroids, pq, graph)
     BuiltIndex(root, io, centroids, pq, graph)
   }
@@ -154,8 +149,11 @@ object IndexBuild {
         "flat" -> JArray(p.flat.toList.map(JDouble(_))))).getOrElse(JNothing),
       "hnsw" -> graph.map(g => JObject(
         "m" -> JInt(io.hnswM), "efConstruction" -> JInt(io.efConstruction),
-        "neighbors" -> JArray(g.neighbors.toList.map(ns =>
-          JArray(ns.toList.map(JInt(_))))))).getOrElse(JNothing))
+        "maxLevel" -> JInt(io.maxLevel),
+        "layers" -> JArray(g.layers.toList.map(layer => JObject(
+          "members" -> JArray(layer.members.toList.map(JInt(_))),
+          "adj" -> JArray(layer.members.toList.map(gid =>
+            JArray(layer.adj(gid).toList.map(JInt(_)))))))))).getOrElse(JNothing))
     val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
     val fs = metaPath(root).getFileSystem(conf)
     val out = fs.create(metaPath(root), true)
@@ -190,17 +188,31 @@ object IndexBuild {
         int(pj \ "m"), int(pj \ "codes"), int(pj \ "subDim")))
     }
     val indexType = (j \ "indexType").asInstanceOf[JString].s
-    val (graph, hnswM, efc) = (j \ "hnsw") match {
-      case JNothing | JNull => (None, 16, 100)
+    val (graph, hnswM, efc, maxLevel) = (j \ "hnsw") match {
+      case JNothing | JNull => (None, 16, 100, 7)
       case hj =>
-        val neighbors = (hj \ "neighbors").asInstanceOf[JArray].arr
-          .map(_.asInstanceOf[JArray].arr.map(int).toArray).toArray
-        (Some(CentroidGraph.fromNeighbors(centroids, neighbors)),
-          int(hj \ "m"), int(hj \ "efConstruction"))
+        val g = (hj \ "layers") match {
+          case JArray(ls) =>
+            val layers = ls.map { lj =>
+              val members = (lj \ "members").asInstanceOf[JArray].arr.map(int).toArray
+              val adjLists = (lj \ "adj").asInstanceOf[JArray].arr
+                .map(_.asInstanceOf[JArray].arr.map(int).toArray)
+              val adj = new Array[Array[Int]](centroids.length)
+              members.zip(adjLists).foreach { case (gid, ns) => adj(gid) = ns }
+              CentroidGraph.Layer(members, adj)
+            }
+            CentroidGraph.fromLayers(centroids, layers)
+          case _ => // legacy single-layer sidecar
+            CentroidGraph.fromNeighbors(centroids,
+              (hj \ "neighbors").asInstanceOf[JArray].arr
+                .map(_.asInstanceOf[JArray].arr.map(int).toArray).toArray)
+        }
+        (Some(g), int(hj \ "m"), int(hj \ "efConstruction"),
+          (hj \ "maxLevel") match { case JNothing | JNull => 1; case v => int(v) })
     }
     val io = VectorIndexOptions(indexType, (j \ "column").asInstanceOf[JString].s,
       centroids.length, pq.map(_.m), pq.map(p => 31 - Integer.numberOfLeadingZeros(p.codes)).getOrElse(8),
-      hnswM, efc)
+      hnswM, efc, maxLevel)
     BuiltIndex(root, io, centroids, pq, graph)
   }
 }

@@ -54,6 +54,42 @@ object VectorIndex extends QueryModule {
     else df.sample(withReplacement = false, TrainCap.toDouble / n, 42L)
   }
 
+  /** Train the M per-subspace PQ codebooks CONCURRENTLY from one cached
+    * sample pass: the sample is sliced into every subspace column in a
+    * single job, then the M independent KMeans fits run as parallel Spark
+    * jobs (they are independent by construction — same seeds as the old
+    * serial loop, so centroids are bit-identical, just ~min(M, pool)×
+    * less wall-clock). Returns the flattened [m][code][dim] codebooks. */
+  private[operators] def trainPqCodebooks(sampled: DataFrame, vecCol: String,
+                                          m: Int, codes: Int,
+                                          subDim: Int): Array[Double] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val subCols = (0 until m).map(mm =>
+      toVec(expr(s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as(s"sub$mm"))
+    val subs = sampled.select(subCols: _*).cache()
+    subs.count() // materialize once; the fits below read the cache only
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fits = (0 until m).map { mm =>
+        Future {
+          new KMeans().setK(codes).setSeed(42L + mm).setMaxIter(10)
+            .setFeaturesCol(s"sub$mm").setPredictionCol(s"pred$mm")
+            .fit(subs).clusterCenters
+        }
+      }
+      val codebooks = Await.result(Future.sequence(fits), Duration(600, "seconds"))
+      val flat = new Array[Double](m * codes * subDim)
+      for (mm <- 0 until m; c <- 0 until codes; d <- 0 until subDim)
+        flat((mm * codes + c) * subDim + d) = codebooks(mm)(c)(d)
+      flat
+    } finally {
+      subs.unpersist(false)
+      pool.shutdown()
+    }
+  }
+
   /** Build the IVF_FLAT index: returns (index dataset root, centroids). */
   def buildIvfFlat(s: SparkSession, dir: String, cells: Int = Cells): (String, Array[Vector]) = {
     val root = Files.createTempDirectory("graft-ivf-").toString
@@ -148,7 +184,7 @@ object VectorIndex extends QueryModule {
   private def ivfHnswSearch(s: SparkSession, dir: String): DataFrame = {
     val (root, centroids) = buildIvfFlat(s, dir)
     val io = graft.sources.lance.LanceVectorOptions.index(Map("index.type" -> "IVF_HNSW"))
-    val graph = new CentroidGraph(centroids, io.hnswM, io.efConstruction)
+    val graph = CentroidGraph.build(s, centroids, io.hnswM, io.efConstruction, io.maxLevel)
     val qv = embeddingOf(s, dir, QueryVecId)
     searchIndex(s, root, centroids, qv,
       Map("vector.nprobes" -> Cells.toString, "vector.ef" -> Cells.toString,
@@ -173,22 +209,14 @@ object VectorIndex extends QueryModule {
   private val Codes = 1 << CodeBits
 
   /** Encoded dataset (vec_id, embedding, codes) + flattened [m][code][dim]
-    * codebooks. Codebook training is M small KMeans fits; encoding is the
+    * codebooks. Codebook training is M small KMeans fits run concurrently
+    * from one cached sample ([[trainPqCodebooks]]); encoding is the
     * codegen'd PqEncode over the full dataset. */
   def buildPq(s: SparkSession, dir: String): (DataFrame, Array[Double], Int) = {
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     val subDim = dim / M
-    val sampled = trainingSample(e)
-    val codebooks = (0 until M).map { m =>
-      val sub = sampled.select(toVec(expr(
-        s"slice(embedding, ${m * subDim + 1}, $subDim)")).as("fv"))
-      new KMeans().setK(Codes).setSeed(42L + m).setMaxIter(10)
-        .setFeaturesCol("fv").fit(sub).clusterCenters
-    }.toArray
-    val flat = new Array[Double](M * Codes * subDim)
-    for (m <- 0 until M; c <- 0 until Codes; d <- 0 until subDim)
-      flat((m * Codes + c) * subDim + d) = codebooks(m)(c)(d)
+    val flat = trainPqCodebooks(trainingSample(e), "embedding", M, Codes, subDim)
     val encoded = e.select(col("vec_id"), col("embedding"),
       graft.functions.pq_encode(col("embedding"), flat, M, Codes, subDim).as("codes"))
     (encoded, flat, subDim)

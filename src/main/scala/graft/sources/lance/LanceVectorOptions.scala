@@ -12,12 +12,14 @@ case class VectorSearchOptions(column: String, metric: String, k: Int,
 
 /** Typed index-build knobs (config/LanceOptions.java:123-190 index.* —
   * IVF_PQ default, 256 partitions, 8 bits, auto sub-vectors, HNSW m 16 /
-  * ef-construction 100). */
+  * ef-construction 100, max-level 7 at LanceOptions.java:168). */
 case class VectorIndexOptions(indexType: String, column: String,
                               numPartitions: Int, numSubVectors: Option[Int],
-                              numBits: Int, hnswM: Int, efConstruction: Int) {
+                              numBits: Int, hnswM: Int, efConstruction: Int,
+                              maxLevel: Int = 7) {
   require(Seq("IVF_FLAT", "IVF_PQ", "IVF_HNSW", "IVF_HNSW_PQ").contains(indexType),
     s"unknown index.type: $indexType")
+  require(maxLevel >= 1, s"index.max-level must be >= 1, got $maxLevel")
 }
 
 object LanceVectorOptions {
@@ -39,5 +41,6 @@ object LanceVectorOptions {
     numSubVectors = g(m, "index.num-sub-vectors").map(_.toInt),
     numBits = g(m, "index.num-bits").map(_.toInt).getOrElse(8),
     hnswM = g(m, "index.m").map(_.toInt).getOrElse(16),
-    efConstruction = g(m, "index.ef-construction").map(_.toInt).getOrElse(100))
+    efConstruction = g(m, "index.ef-construction").map(_.toInt).getOrElse(100),
+    maxLevel = g(m, "index.max-level").map(_.toInt).getOrElse(7))
 }
