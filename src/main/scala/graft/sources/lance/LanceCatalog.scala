@@ -24,17 +24,23 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  /** Per-catalog filesystem conf derived from reference-named object-store
+    * options (see [[LanceCatalog.s3FsOptions]]) — threaded into every
+    * Hadoop-conf this catalog builds AND into the tables it loads, so two
+    * catalogs in one session can point at different stores/credentials. */
+  private var fsOptions: Map[String, String] = Map.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    fsOptions = LanceCatalog.s3FsOptions(options.asScala.toMap)
   }
 
   override def name(): String = catalogName
 
-  private def conf = Shim.hadoopConf(SparkSession.active, Map.empty)
+  private def conf = Shim.hadoopConf(SparkSession.active, fsOptions)
   private def fs = ManifestIO.fs(warehouse, conf)
 
   private def nsPath(ns: Array[String]): Path =
@@ -59,14 +65,14 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
-    new LanceTable(p.toString, Map.empty, viaCatalog = true,
+    new LanceTable(p.toString, fsOptions, viaCatalog = true,
       providedName = Some(fullName(ident)))
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
-    new LanceTable(p.toString, Map("versionAsOf" -> version), viaCatalog = true,
+    new LanceTable(p.toString, fsOptions + ("versionAsOf" -> version), viaCatalog = true,
       providedName = Some(s"${fullName(ident)}@v$version"))
   }
 
@@ -76,7 +82,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val p = tablePath(ident)
     if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
-    new LanceTable(p.toString, Map("timestampAsOf" -> (timestamp / 1000L).toString),
+    new LanceTable(p.toString, fsOptions + ("timestampAsOf" -> (timestamp / 1000L).toString),
       viaCatalog = true, providedName = Some(s"${fullName(ident)}@t$timestamp"))
   }
 
@@ -209,5 +215,32 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
       fs.delete(p, true)
     }
+  }
+}
+
+object LanceCatalog {
+  /** Map the reference catalog's object-store options
+    * (table/LanceCatalogFactory.java:77-113 — s3-access-key /
+    * s3-secret-key / s3-region / s3-endpoint / s3-virtual-hosted-style /
+    * s3-allow-http, exercised by LanceCatalogS3Test.java:217-239) onto the
+    * Hadoop S3A keys Spark's filesystems read. Purely a conf passthrough:
+    * multi-store deployments give each catalog its own credentials via
+    * `spark.sql.catalog.<name>.s3-access-key` etc. instead of one global
+    * Hadoop conf. */
+  private[graft] def s3FsOptions(opts: Map[String, String]): Map[String, String] = {
+    val direct = Seq(
+      "s3-access-key" -> "fs.s3a.access.key",
+      "s3-secret-key" -> "fs.s3a.secret.key",
+      "s3-region" -> "fs.s3a.endpoint.region",
+      "s3-endpoint" -> "fs.s3a.endpoint").flatMap { case (ref, hadoop) =>
+      LanceOptions.get(opts, ref).map(hadoop -> _)
+    }
+    // boolean options invert: virtual-hosted-style=false means path-style;
+    // allow-http=true means plain connections (ssl off)
+    val style = LanceOptions.get(opts, "s3-virtual-hosted-style").map(v =>
+      "fs.s3a.path.style.access" -> (!v.toBoolean).toString)
+    val http = LanceOptions.get(opts, "s3-allow-http").map(v =>
+      "fs.s3a.connection.ssl.enabled" -> (!v.toBoolean).toString)
+    (direct ++ style ++ http).toMap
   }
 }

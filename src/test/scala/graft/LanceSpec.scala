@@ -695,6 +695,40 @@ class LanceSpec extends SparkSpec {
     assert(LanceWriteUtil.stampRacedDrops(frags, tableSchema, tableSchema) === frags)
   }
 
+  test("catalog s3-* options pass through to the Hadoop S3A conf (reference names)") {
+    import graft.sources.lance.{LanceCatalog => LC}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    // the reference-named option set (LanceCatalogFactory.java) maps to S3A
+    val mapped = org.apache.spark.sql.graft.Shim.hadoopConf(spark,
+      LC.s3FsOptions(Map(
+        "s3-access-key" -> "AKID", "s3-secret-key" -> "SECRET",
+        "s3-region" -> "eu-west-1", "s3-endpoint" -> "http://minio:9000",
+        "s3-virtual-hosted-style" -> "false", "s3-allow-http" -> "true")))
+    assert(mapped.get("fs.s3a.access.key") === "AKID")
+    assert(mapped.get("fs.s3a.secret.key") === "SECRET")
+    assert(mapped.get("fs.s3a.endpoint.region") === "eu-west-1")
+    assert(mapped.get("fs.s3a.endpoint") === "http://minio:9000")
+    assert(mapped.get("fs.s3a.path.style.access") === "true") // !virtual-hosted
+    assert(mapped.get("fs.s3a.connection.ssl.enabled") === "false") // allow-http
+    // absent options set nothing (no accidental global overrides)
+    assert(LC.s3FsOptions(Map.empty).isEmpty)
+
+    // a catalog initialized with s3 options on a LOCAL warehouse still
+    // works end-to-end (options ride along harmlessly; per-catalog conf)
+    val cat = new LC()
+    cat.initialize("s3opt", new CaseInsensitiveStringMap(Map(
+      "warehouse" -> tmp(), "s3-access-key" -> "AKID",
+      "s3-secret-key" -> "SECRET").asJava))
+    cat.createNamespace(Array("db"), Map.empty[String, String].asJava)
+    cat.createTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "t"),
+      new org.apache.spark.sql.types.StructType().add("id", "long"),
+      Array.empty, Map.empty[String, String].asJava)
+    assert(cat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "t")))
+  }
+
   test("catalog: create/list/insert/drop + VERSION AS OF") {
     spark.conf.set("spark.sql.catalog.lance_test",
       classOf[graft.sources.lance.LanceCatalog].getName)
