@@ -235,7 +235,24 @@ object LanceOps extends QueryModule {
     read(s, root).agg(count(lit(1)).as("n"), sum(col("i")).as("s"))
   }
 
+  /** Approximate COUNT(DISTINCT) from the per-fragment HLL sidecars —
+    * zero data files read (the exact dictionary path declines once a
+    * column's cardinality exceeds the dictionary cap; the sketch is the
+    * scale answer). Deterministic (fixed XXH64 seed) but approximate by
+    * construction → rows-only key; the error bound is asserted in
+    * LanceSpec against exact counts. */
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("hll")
+    t(s, dir, "orders").write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    val est = graft.sources.lance.Hll.approxCountDistinct(s, root,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    import s.implicits._
+    est.toSeq.sortBy(_._1).map { case (c, v) => (c, v.getOrElse(-1L)) }
+      .toDF("column", "approx_distinct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lance_hll_distinct" -> hllDistinct,
     "lance_roundtrip" -> roundtrip,
     "lance_overwrite" -> overwrite,
     "lance_append_multi" -> appendMulti,

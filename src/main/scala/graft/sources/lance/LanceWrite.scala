@@ -206,6 +206,20 @@ class LanceDataWriter(root: String, schema: StructType,
   private var dicts: Array[scala.collection.mutable.HashSet[String]] = _
   private var finishedDicts = Map.empty[String, Map[String, Seq[String]]] // rel -> col -> values
 
+  // string + integral columns additionally sketch an HLL per fragment
+  // (approximate COUNT(DISTINCT) for columns the exact dictionaries can't
+  // cover); sketches land in one small per-fragment sidecar under _stats/
+  private val hllFields: Array[(Int, org.apache.spark.sql.types.DataType, String)] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == StringType || f.dataType == ByteType ||
+        f.dataType == ShortType || f.dataType == IntegerType ||
+        f.dataType == LongType => (i, f.dataType, f.name)
+    }
+  }
+  private var hlls: Array[Hll] = _
+  private var finishedSketches = Map.empty[String, String] // rel -> sidecar rel
+
   private def roll(): Unit = {
     closeCurrent()
     val rel = s"${ManifestIO.DataDir}/${UUID.randomUUID()}-p$partitionId$ext"
@@ -216,6 +230,7 @@ class LanceDataWriter(root: String, schema: StructType,
     sumOk = Array.fill(sumFields.length)(true)
     sumNonNulls = new Array[Long](sumFields.length)
     dicts = Array.fill(strFields.length)(scala.collection.mutable.HashSet.empty[String])
+    hlls = Array.fill(hllFields.length)(new Hll())
   }
 
   private def closeCurrent(): Unit = {
@@ -230,6 +245,10 @@ class LanceDataWriter(root: String, schema: StructType,
       finishedDicts += files.head -> strFields.indices.collect {
         case j if dicts(j) != null => strFields(j)._2 -> dicts(j).toSeq.sorted
       }.toMap
+      if (hllFields.nonEmpty) {
+        finishedSketches += files.head -> Hll.writeSidecar(root, conf.value,
+          hllFields.indices.map(j => hllFields(j)._3 -> hlls(j)))
+      }
     }
   }
 
@@ -266,6 +285,21 @@ class LanceDataWriter(root: String, schema: StructType,
       }
       k += 1
     }
+    var h = 0
+    while (h < hllFields.length) {
+      val (i, dt, _) = hllFields(h)
+      if (!record.isNullAt(i)) {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, StringType}
+        dt match {
+          case StringType => hlls(h).addUTF8String(record.getUTF8String(i))
+          case ByteType => hlls(h).addLong(record.getByte(i).toLong)
+          case ShortType => hlls(h).addLong(record.getShort(i).toLong)
+          case IntegerType => hlls(h).addLong(record.getInt(i).toLong)
+          case _ => hlls(h).addLong(record.getLong(i))
+        }
+      }
+      h += 1
+    }
     rowsInFile += 1
   }
 
@@ -288,7 +322,8 @@ class LanceDataWriter(root: String, schema: StructType,
           fileNN.get(c).map(nn =>
             c -> ColStats(None, None, Some(rows - nn), fileSums.get(c), None))
         }.toMap
-      FragmentMeta(rel, rows, size, withSums ++ decimalExtra)
+      FragmentMeta(rel, rows, size, withSums ++ decimalExtra,
+        sketches = finishedSketches.get(rel))
     }
     LanceFragmentsCommitMessage(frags)
   }
@@ -297,6 +332,7 @@ class LanceDataWriter(root: String, schema: StructType,
     closeCurrent()
     val fs = ManifestIO.fs(root, conf.value)
     files.foreach(rel => fs.delete(new Path(root, rel), false))
+    finishedSketches.values.foreach(rel => fs.delete(new Path(root, rel), false))
   }
 
   override def close(): Unit = closeCurrent()
@@ -470,6 +506,7 @@ object LanceMaintenance {
     }
     sweep(ManifestIO.DataDir, referenced)
     sweep(DeleteVectors.Dir, referencedDvs)
+    sweep(Hll.Dir, keptManifests.flatMap(_.fragments.flatMap(_.sketches)).toSet)
     versions.dropRight(retainVersions).foreach(v =>
       fs.delete(ManifestIO.manifestFile(root, v), false))
   }

@@ -51,7 +51,8 @@ case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
                         stats: Map[String, ColStats],
                         hidden: Seq[String] = Nil,
                         physicalNames: Map[String, String] = Map.empty,
-                        deletes: Option[DeleteVectorMeta] = None) {
+                        deletes: Option[DeleteVectorMeta] = None,
+                        sketches: Option[String] = None) {
   /** Logical rows = physical rows minus positions in the delete vector.
     * Exact: DV counts are distinct sorted positions. */
   def liveRows: Long = rows - deletes.map(_.count).getOrElse(0L)
@@ -245,6 +246,7 @@ object ManifestIO {
                             })),
         "deletes" -> fr.deletes.map(d => JObject(
           "path" -> JString(d.path), "count" -> JLong(d.count))).getOrElse(JNothing),
+        "sketches" -> fr.sketches.map(JString(_)).getOrElse(JNothing),
         "stats" -> JObject(fr.stats.toList.map { case (c, s) =>
           c -> JObject(
             "min" -> jv(s.min), "max" -> jv(s.max),
@@ -306,6 +308,10 @@ object ManifestIO {
           asLong(fr \ "deletes" \ "count")))
         case _ => None
       }
+      val sketches = (fr \ "sketches") match {
+        case JString(p) => Some(p)
+        case _ => None
+      }
       FragmentMeta(
         (fr \ "path").asInstanceOf[JString].s,
         asLong(fr \ "rows"),
@@ -313,7 +319,8 @@ object ManifestIO {
         stats,
         hidden,
         physicalNames,
-        deletes)
+        deletes,
+        sketches)
     }
     // legacy single-marker manifests (pre txn-map) read into a 1-entry map
     val txns = (j \ "txns") match {

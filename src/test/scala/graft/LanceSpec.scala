@@ -695,6 +695,41 @@ class LanceSpec extends SparkSpec {
     assert(LanceWriteUtil.stampRacedDrops(frags, tableSchema, tableSchema) === frags)
   }
 
+  test("HLL sketches answer approx COUNT(DISTINCT) within error bounds, zero data reads") {
+    import graft.sources.lance.Hll
+    import spark.implicits._
+    // low-cardinality regime (linear counting): orders keys at sf0.001
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "400").save(root)
+    val est = Hll.approxCountDistinct(spark, root,
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "missing_col"))
+    val exactKeys = orders.select("o_orderkey").distinct().count()
+    val approxKeys = est("o_orderkey").get
+    assert(math.abs(approxKeys - exactKeys).toDouble / exactKeys <= 0.05,
+      s"approx $approxKeys vs exact $exactKeys")
+    // tiny-cardinality columns are near-exact under linear counting
+    assert(est("o_orderstatus").get === orders.select("o_orderstatus").distinct().count())
+    // unsupported (double) and unknown columns answer None, never wrong
+    assert(est("o_totalprice").isEmpty && est("missing_col").isEmpty)
+
+    // high-cardinality regime (true HLL estimator): 50k distinct longs
+    val root2 = tmp()
+    spark.range(50000).toDF("id")
+      .withColumn("s", concat(lit("user-"), col("id")))
+      .repartition(4)
+      .write.format("lance").option("maxRowsPerFile", "20000").save(root2)
+    val est2 = Hll.approxCountDistinct(spark, root2, Seq("id", "s"))
+    Seq("id", "s").foreach { c =>
+      val a = est2(c).get
+      assert(math.abs(a - 50000.0) / 50000.0 <= 0.05,
+        s"$c: approx $a vs exact 50000 exceeds 5%")
+    }
+    // per-fragment sidecars merged across fragments == one global sketch:
+    // determinism across runs (fixed seed)
+    assert(Hll.approxCountDistinct(spark, root2, Seq("id")) ===
+      Map("id" -> est2.get("id").flatten))
+  }
+
   test("catalog s3-* options pass through to the Hadoop S3A conf (reference names)") {
     import graft.sources.lance.{LanceCatalog => LC}
     import org.apache.spark.sql.util.CaseInsensitiveStringMap

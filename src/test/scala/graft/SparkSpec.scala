@@ -66,6 +66,7 @@ class EntrySpec extends SparkSpec {
     "lance_streaming_sink" -> 1,
     "lance_delete" -> 1,
     "lance_update" -> 1,
+    "lance_hll_distinct" -> 3,
     "ivf_flat_search" -> 15,
     "ivf_hnsw_search" -> 15,
     "ivf_pq_search" -> 10,
