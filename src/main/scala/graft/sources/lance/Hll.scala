@@ -66,6 +66,58 @@ final class Hll(val registers: Array[Byte]) extends Serializable {
   }
 }
 
+/** Per-fragment blocked bloom filter for equality pruning on columns whose
+  * exact value dictionary overflowed (high-cardinality strings / integrals):
+  * 64K bits, 4 probes by double hashing one XXH64 value — the same hash the
+  * HLL consumes, so writers hash each value once. ~1% false-positive rate
+  * up to ~6.8k distinct values per fragment; saturated filters (more than
+  * half the bits set) are dropped at write time — a saturated bloom prunes
+  * nothing and only wastes sidecar bytes. Never wrong: a miss proves the
+  * value absent from the fragment (pruning is sound), a hit proves nothing.
+  */
+final class Bloom(val words: Array[Long]) extends Serializable {
+  def this() = this(new Array[Long](Bloom.Words))
+
+  def addHash(h: Long): Unit = {
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < Bloom.K) {
+      val bit = ((h + i * h2) & Long.MaxValue) % Bloom.Bits
+      words((bit >>> 6).toInt) |= 1L << (bit & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(h: Long): Boolean = {
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < Bloom.K) {
+      val bit = ((h + i * h2) & Long.MaxValue) % Bloom.Bits
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def saturated: Boolean = {
+    var pop = 0L
+    var i = 0
+    while (i < words.length) { pop += java.lang.Long.bitCount(words(i)); i += 1 }
+    pop * 2 > Bloom.Bits
+  }
+}
+
+object Bloom {
+  val Bits = 65536L
+  val Words: Int = (Bits / 64).toInt
+  val K = 4
+
+  def hashLong(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, Hll.Seed)
+  def hashUTF8String(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, Hll.Seed)
+}
+
 object Hll {
   val P = 11
   val M: Int = 1 << P
@@ -77,17 +129,23 @@ object Hll {
   val Dir = "_stats"
 
   def writeSidecar(root: String, conf: Configuration,
-                   sketches: Seq[(String, Hll)]): String = {
+                   sketches: Seq[(String, Hll, Option[Bloom])]): String = {
     val rel = s"$Dir/${java.util.UUID.randomUUID()}.hll"
     val fs = new Path(root).getFileSystem(conf)
     fs.mkdirs(new Path(root, Dir))
     val out = new DataOutputStream(fs.create(new Path(root, rel), false))
     try {
       out.writeInt(sketches.size)
-      sketches.foreach { case (name, h) =>
+      sketches.foreach { case (name, h, bloom) =>
         out.writeUTF(name)
         out.writeInt(h.registers.length)
         out.write(h.registers)
+        bloom match {
+          case Some(b) =>
+            out.writeInt(b.words.length)
+            b.words.foreach(out.writeLong)
+          case None => out.writeInt(0)
+        }
       }
     } finally out.close()
     rel
@@ -115,7 +173,9 @@ object Hll {
     val merged: Map[String, Hll] = spark.sparkContext
       .parallelize(refs.flatten, math.max(1, math.min(refs.size, 64)))
       .map { rel =>
-        readSidecar(root, ser.value, rel).filter { case (c, _) => wanted(c) }
+        readSidecar(root, ser.value, rel).collect {
+          case (c, (h, _)) if wanted(c) => c -> h
+        }.toMap
       }
       .reduce { (a, b) =>
         // a column must be sketched in EVERY fragment to answer
@@ -125,7 +185,7 @@ object Hll {
   }
 
   def readSidecar(root: String, conf: Configuration,
-                  rel: String): Map[String, Hll] = {
+                  rel: String): Map[String, (Hll, Option[Bloom])] = {
     val fs = new Path(root).getFileSystem(conf)
     val in = new DataInputStream(fs.open(new Path(root, rel)))
     try {
@@ -136,8 +196,41 @@ object Hll {
         require(len == M, s"sketch precision mismatch: $len registers")
         val regs = new Array[Byte](len)
         in.readFully(regs)
-        name -> new Hll(regs)
+        val nWords = in.readInt()
+        val bloom = if (nWords == 0) None else {
+          require(nWords == Bloom.Words, s"bloom size mismatch: $nWords words")
+          Some(new Bloom(Array.fill(nWords)(in.readLong())))
+        }
+        name -> (new Hll(regs), bloom)
       }.toMap
     } finally in.close()
   }
+}
+
+/** Process-wide cache of immutable sketch sidecars so fragment-prune
+  * lookups (bloom equality checks) cost one small read per fragment EVER,
+  * not per query. Bounded LRU; entries are (root, rel)-keyed and sidecars
+  * never change, so there is no invalidation. */
+object SidecarCache {
+  private val MaxEntries = 4096
+  private val cache = new java.util.LinkedHashMap[(String, String),
+      Map[String, (Hll, Option[Bloom])]](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String), Map[String, (Hll, Option[Bloom])]]): Boolean =
+      size() > MaxEntries
+  }
+
+  def get(root: String, conf: Configuration, rel: String): Map[String, (Hll, Option[Bloom])] =
+    cache.synchronized {
+      val k = (root, rel)
+      val hit = cache.get(k)
+      if (hit != null) hit
+      else {
+        val loaded = try Hll.readSidecar(root, conf, rel)
+                     catch { case scala.util.control.NonFatal(_) =>
+                       Map.empty[String, (Hll, Option[Bloom])] }
+        cache.put(k, loaded)
+        loaded
+      }
+    }
 }

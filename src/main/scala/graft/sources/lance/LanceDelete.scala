@@ -56,12 +56,50 @@ object LanceDelete {
     * DV files are written executor-side (one task per touched fragment);
     * the driver commit only swaps metadata, so a delete touching 10^5
     * fragments moves 10^5 sidecar references, not rows. */
-  def deleteWhere(spark: SparkSession, root: String, filters: Array[Filter],
-                  options: Map[String, String]): Unit = {
+  /** The classified effect of deleting rows matching `filters` at manifest
+    * `m`: fragments to drop outright, new (merged) DVs for partially
+    * matching fragments, and the fragments touched (for conflict checks).
+    * Shared between DELETE FROM and overwrite-by-filter. */
+  case class DeletePlan(droppedPaths: Set[String],
+                        newDvs: Map[String, DeleteVectorMeta],
+                        touched: Seq[FragmentMeta]) {
+    def isNoop: Boolean = touched.isEmpty
+
+    /** Apply to a commit-time fragment list (conflict checks already done). */
+    def apply(fragments: Seq[FragmentMeta]): Seq[FragmentMeta] =
+      fragments.flatMap { f =>
+        if (droppedPaths(f.path)) None
+        else newDvs.get(f.path) match {
+          case Some(d) if d.count >= f.rows => None // every physical row deleted
+          case Some(d) => Some(f.copy(deletes = Some(d)))
+          case None => Some(f)
+        }
+      }
+
+    /** Commit-time conflict test: every touched fragment must still exist
+      * with the DV it had when the plan was computed. */
+    def conflictsWith(cur: LanceManifest): Boolean = {
+      val curBy = cur.fragments.map(f => f.path -> f).toMap
+      !touched.forall(fr =>
+        curBy.get(fr.path).exists(_.deletes.map(_.path) == fr.deletes.map(_.path)))
+    }
+
+    def abandon(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+      val fs = ManifestIO.fs(root, conf)
+      newDvs.values.foreach(d => fs.delete(new Path(root, d.path), false))
+    }
+  }
+
+  /** Classify fragments against `filters` and write the delete-vector
+    * sidecars for partial matches (one `_file`-pruned position scan; each
+    * group task merges the fragment's existing DV with the new positions
+    * executor-side). No commit happens here — the caller folds the plan
+    * into its own atomic commit. */
+  def planDelete(spark: SparkSession, root: String, m: LanceManifest,
+                 filters: Array[Filter],
+                 options: Map[String, String]): DeletePlan = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val conf = Shim.hadoopConf(spark, options)
-    val m = ManifestIO.loadLatest(root, conf).getOrElse(
-      throw new IllegalStateException(s"lance dataset not found: $root"))
     val conjunction = filters.reduceOption(And(_, _)).getOrElse(AlwaysTrue())
     val pred = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(
       throw new UnsupportedOperationException(
@@ -73,13 +111,7 @@ object LanceDelete {
     val candidates = m.fragments.filter(fr => !droppedPaths(fr.path) &&
       !LancePruning.provablyEmpty(fr, m.schema, conjunction,
         new Path(root, fr.path).toString))
-    if (dropped.isEmpty && candidates.isEmpty) return // provably no-op
 
-    // positions of matching rows per candidate fragment (SQL DELETE removes
-    // rows where the predicate is TRUE; NULL keeps). The scan is pinned at
-    // the manifest version we classified against; _file pruning restricts
-    // it to the candidates. Each group task merges the fragment's existing
-    // DV with the new positions and writes the sidecar executor-side.
     val newDvs: Map[String, DeleteVectorMeta] =
       if (candidates.isEmpty) Map.empty
       else {
@@ -105,30 +137,30 @@ object LanceDelete {
           .map { case (rel, p, c) => rel -> DeleteVectorMeta(p, c) }
           .toMap
       }
+    // candidates with no matching rows are untouched — drop them from the
+    // conflict set so unrelated concurrent deletes don't abort us
+    val reallyTouched = dropped ++ candidates.filter(fr => newDvs.contains(fr.path))
+    DeletePlan(droppedPaths, newDvs, reallyTouched)
+  }
 
-    val touched = dropped ++ candidates
+  def deleteWhere(spark: SparkSession, root: String, filters: Array[Filter],
+                  options: Map[String, String]): Unit = {
+    val conf = Shim.hadoopConf(spark, options)
+    val m = ManifestIO.loadLatest(root, conf).getOrElse(
+      throw new IllegalStateException(s"lance dataset not found: $root"))
+    val plan = planDelete(spark, root, m, filters, options)
+    if (plan.isNoop) return // provably no-op
+
     val committed = ManifestIO.commit(root, conf) { latest =>
       val cur = latest.getOrElse(
         throw new IllegalStateException(s"lance dataset disappeared during delete: $root"))
       // another writer rewrote/removed a touched fragment, or layered a new
       // DV on it — committing would resurrect deleted rows or drop deletes
-      val curBy = cur.fragments.map(f => f.path -> f).toMap
-      val ok = touched.forall(fr =>
-        curBy.get(fr.path).exists(_.deletes.map(_.path) == fr.deletes.map(_.path)))
-      if (!ok) None
-      else Some(LanceCommit(cur.schema,
-        cur.fragments.flatMap { f =>
-          if (droppedPaths(f.path)) None
-          else newDvs.get(f.path) match {
-            case Some(d) if d.count >= f.rows => None // every physical row deleted
-            case Some(d) => Some(f.copy(deletes = Some(d)))
-            case None => Some(f)
-          }
-        }, cur.txns))
+      if (plan.conflictsWith(cur)) None
+      else Some(LanceCommit(cur.schema, plan(cur.fragments), cur.txns))
     }
     if (committed.isEmpty) {
-      val fs = ManifestIO.fs(root, conf)
-      newDvs.values.foreach(d => fs.delete(new Path(root, d.path), false))
+      plan.abandon(root, conf)
       throw new IllegalStateException(
         s"lance DELETE lost a conflict with a concurrent rewrite at $root; retry")
     }

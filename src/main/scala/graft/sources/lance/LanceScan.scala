@@ -255,7 +255,30 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   override def build(): Scan = (aggSchema, aggValues) match {
     case (Some(s), Some(v)) => new LanceStatsScan(root, s, v)
     case _ =>
-      val pruned = LancePruning.prune(manifest.fragments, manifest.schema, filters, root)
+      // equality-bloom probe: consulted only for fragments the range/dict
+      // stats keep and only for equality filters; sidecars load once per
+      // fragment into a process-wide cache. Lookup resolves renames to the
+      // fragment's physical column name; hidden columns never get here
+      // (readsAllNull prunes them first).
+      lazy val bloomConf = Shim.hadoopConf(spark, options)
+      def litHash(v: Any): Option[Long] = v match {
+        case s: String => Some(Bloom.hashUTF8String(UTF8String.fromString(s)))
+        case i: java.lang.Integer => Some(Bloom.hashLong(i.longValue()))
+        case l: java.lang.Long => Some(Bloom.hashLong(l.longValue()))
+        case s: java.lang.Short => Some(Bloom.hashLong(s.longValue()))
+        case b: java.lang.Byte => Some(Bloom.hashLong(b.longValue()))
+        case _ => None
+      }
+      def bloomAbsent(fr: FragmentMeta, c: String, v: Any): Boolean =
+        fr.sketches.exists { rel =>
+          val phys = fr.physicalNames.getOrElse(c, c)
+          (SidecarCache.get(root, bloomConf, rel).get(phys).flatMap(_._2), litHash(v)) match {
+            case (Some(b), Some(h)) => !b.mightContain(h)
+            case _ => false
+          }
+        }
+      val pruned = LancePruning.prune(manifest.fragments, manifest.schema,
+        filters, root, bloomAbsent)
       new LanceParquetScan(spark, root, manifest, pruned, required, filters.toSeq,
         limit, options)
   }
@@ -266,12 +289,17 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   * before any IO. Conservative: unknown stats / unhandled predicates keep
   * the fragment. */
 object LancePruning {
+  /** `bloomAbsent(fr, col, value)` = true when a per-fragment bloom filter
+    * PROVES the value absent (see [[Bloom]]); sound to prune on. */
   def prune(fragments: Seq[FragmentMeta], schema: StructType,
-            filters: Array[Filter], root: String = ""): Seq[FragmentMeta] =
+            filters: Array[Filter], root: String = "",
+            bloomAbsent: (FragmentMeta, String, Any) => Boolean =
+              (_, _, _) => false): Seq[FragmentMeta] =
     fragments.filterNot { fr =>
       val full = if (root.isEmpty) ""
                  else new org.apache.hadoop.fs.Path(root, fr.path).toString
-      filters.exists(f => provablyEmpty(fr, schema, f, full))
+      filters.exists(f => provablyEmpty(fr, schema, f, full,
+        (c, v) => bloomAbsent(fr, c, v)))
     }
 
   private def lit(v: Any): Option[JValue] = v match {
@@ -301,32 +329,46 @@ object LancePruning {
     case _ => false
   }
 
+  /** True when the fragment reads the column as all-NULL: the name is
+    * hidden (post-DROP, pre-compaction) with no rename redirect. Every
+    * comparison/equality on an all-NULL column is provably empty. */
+  private def readsAllNull(fr: FragmentMeta, c: String): Boolean =
+    fr.hidden.contains(c) && !fr.physicalNames.contains(c)
+
   /** True only if no row in the fragment can satisfy `f`. `fullPath`, when
     * known, enables pruning on the `_file` metadata column — fragment
     * identity is exact, so `_file IN (...)` restricts the scan to exactly
     * the named fragments (used by maintenance reads and DV-writing
-    * deletes to touch only candidate fragments). */
+    * deletes to touch only candidate fragments). `bloomAbsent` consults a
+    * per-fragment equality bloom when range/dictionary stats can't prune. */
   def provablyEmpty(fr: FragmentMeta, schema: StructType, f: Filter,
-                    fullPath: String = ""): Boolean = f match {
+                    fullPath: String = "",
+                    bloomAbsent: (String, Any) => Boolean = (_, _) => false): Boolean = f match {
     case EqualTo(LanceMetadata.FileCol, v) => fullPath.nonEmpty && v != fullPath
     case In(LanceMetadata.FileCol, vs) =>
       fullPath.nonEmpty && !vs.contains(fullPath)
     case EqualTo(c, v) =>
-      outsideRange(fr, c, v, strictLow = false, strictHigh = false) || dictMiss(fr, c, v)
-    case GreaterThan(c, v) => aboveMax(fr, c, v, orEqual = false)
-    case GreaterThanOrEqual(c, v) => aboveMax(fr, c, v, orEqual = true)
-    case LessThan(c, v) => belowMin(fr, c, v, orEqual = false)
-    case LessThanOrEqual(c, v) => belowMin(fr, c, v, orEqual = true)
+      readsAllNull(fr, c) ||
+        outsideRange(fr, c, v, strictLow = false, strictHigh = false) ||
+        dictMiss(fr, c, v) || bloomAbsent(c, v)
+    case GreaterThan(c, v) => readsAllNull(fr, c) || aboveMax(fr, c, v, orEqual = false)
+    case GreaterThanOrEqual(c, v) => readsAllNull(fr, c) || aboveMax(fr, c, v, orEqual = true)
+    case LessThan(c, v) => readsAllNull(fr, c) || belowMin(fr, c, v, orEqual = false)
+    case LessThanOrEqual(c, v) => readsAllNull(fr, c) || belowMin(fr, c, v, orEqual = true)
     case In(c, vs) if vs.nonEmpty =>
-      vs.forall(v => outsideRange(fr, c, v, strictLow = false, strictHigh = false) ||
-        dictMiss(fr, c, v))
+      readsAllNull(fr, c) ||
+        vs.forall(v => outsideRange(fr, c, v, strictLow = false, strictHigh = false) ||
+          dictMiss(fr, c, v) || bloomAbsent(c, v))
     case IsNull(c) => fr.stats.get(c).flatMap(_.nullCount).contains(0L)
     case IsNotNull(c) =>
-      fr.stats.get(c).flatMap(_.nullCount).exists(_ == fr.rows)
+      readsAllNull(fr, c) ||
+        fr.stats.get(c).flatMap(_.nullCount).exists(_ == fr.rows)
     case And(l, r) =>
-      provablyEmpty(fr, schema, l, fullPath) || provablyEmpty(fr, schema, r, fullPath)
+      provablyEmpty(fr, schema, l, fullPath, bloomAbsent) ||
+        provablyEmpty(fr, schema, r, fullPath, bloomAbsent)
     case Or(l, r) =>
-      provablyEmpty(fr, schema, l, fullPath) && provablyEmpty(fr, schema, r, fullPath)
+      provablyEmpty(fr, schema, l, fullPath, bloomAbsent) &&
+        provablyEmpty(fr, schema, r, fullPath, bloomAbsent)
     case _ => false
   }
 

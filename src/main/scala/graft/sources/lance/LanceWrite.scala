@@ -25,13 +25,23 @@ class LanceWriteBuilder(spark: SparkSession, root: String, info: LogicalWriteInf
     with SupportsOverwrite {
 
   private var truncateAll = false
+  private var overwriteFilters: Array[Filter] = Array.empty
 
   override def truncate(): WriteBuilder = { truncateAll = true; this }
 
+  /** Overwrite-by-filter (INSERT INTO ... REPLACE WHERE /
+    * df.writeTo(t).overwrite(cond)): delete-matching + append in ONE
+    * atomic commit — all-match fragments drop, partial matches get
+    * delete-vector sidecars, the new data lands as fresh fragments.
+    * Declines (analysis-time error, never a wrong write) predicates that
+    * can't be rebuilt as Columns. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
-    else throw new UnsupportedOperationException(
-      "lance supports only full-overwrite (overwrite-by-filter is not implemented)")
+    else if (filters.forall(f => LanceDelete.toColumn(f).isDefined)) {
+      overwriteFilters = filters
+      this
+    } else throw new UnsupportedOperationException(
+      s"lance overwrite: unsupported replace predicate ${filters.mkString(", ")}")
   }
 
   override def build(): Write = {
@@ -42,7 +52,8 @@ class LanceWriteBuilder(spark: SparkSession, root: String, info: LogicalWriteInf
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, opts)
     val maxRows = LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file")
       .map(_.toLong).getOrElse(Long.MaxValue)
-    new LanceWrite(root, schema, factory, conf, maxRows, truncateAll, info.queryId())
+    new LanceWrite(root, schema, factory, conf, maxRows, truncateAll,
+      info.queryId(), overwriteFilters, opts)
   }
 }
 
@@ -51,7 +62,9 @@ case class LanceFragmentsCommitMessage(fragments: Seq[FragmentMeta]) extends Wri
 class LanceWrite(root: String, schema: StructType,
                  factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                  conf: SerializableConfiguration, maxRowsPerFile: Long,
-                 truncateAll: Boolean, queryId: String) extends Write {
+                 truncateAll: Boolean, queryId: String,
+                 overwriteFilters: Array[Filter] = Array.empty,
+                 options: Map[String, String] = Map.empty) extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -61,18 +74,39 @@ class LanceWrite(root: String, schema: StructType,
       val newFrags = messages.flatMap {
         case m: LanceFragmentsCommitMessage => m.fragments
       }.toSeq
+      // overwrite-by-filter: classify + DV the replaced rows against the
+      // latest manifest, then fold delete + append into ONE commit (readers
+      // never observe deleted-but-not-replaced state)
+      val replacePlan = if (overwriteFilters.isEmpty) None else {
+        val spark = SparkSession.active
+        ManifestIO.loadLatest(root, conf.value).map(m =>
+          LanceDelete.planDelete(spark, root, m, overwriteFilters, options))
+      }
       // delta recomputed from the latest manifest on every retry, so a lost
       // version race re-applies against the winner's fragment list instead
       // of committing a stale merge (which would drop the winner's rows)
-      ManifestIO.commit(root, conf.value) { prev =>
+      val committed = ManifestIO.commit(root, conf.value) { prev =>
         // keep the DECLARED table schema, not the write query's schema — a
         // query schema can be narrower (non-nullable literals) and would
         // make columns "required" that old fragments don't even have
         val tableSchema = prev.map(_.schema).getOrElse(schema)
         val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, tableSchema)
-        val frags = if (truncateAll) stamped
-                    else prev.map(_.fragments).getOrElse(Seq.empty) ++ stamped
-        Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty)))
+        val base = prev.map(_.fragments).getOrElse(Seq.empty)
+        val frags = (truncateAll, replacePlan) match {
+          case (true, _) => stamped
+          case (false, Some(plan)) =>
+            if (prev.exists(plan.conflictsWith)) null // concurrent touch: abort
+            else plan(base) ++ stamped
+          case _ => base ++ stamped
+        }
+        if (frags == null) None
+        else Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty)))
+      }
+      if (committed.isEmpty) {
+        replacePlan.foreach(_.abandon(root, conf.value))
+        LanceWriteUtil.deleteFragments(root, messages, conf)
+        throw new IllegalStateException(
+          s"lance REPLACE WHERE lost a conflict with a concurrent rewrite at $root; retry")
       }
     }
 
@@ -218,6 +252,7 @@ class LanceDataWriter(root: String, schema: StructType,
     }
   }
   private var hlls: Array[Hll] = _
+  private var blooms: Array[Bloom] = _
   private var finishedSketches = Map.empty[String, String] // rel -> sidecar rel
 
   private def roll(): Unit = {
@@ -231,6 +266,7 @@ class LanceDataWriter(root: String, schema: StructType,
     sumNonNulls = new Array[Long](sumFields.length)
     dicts = Array.fill(strFields.length)(scala.collection.mutable.HashSet.empty[String])
     hlls = Array.fill(hllFields.length)(new Hll())
+    blooms = Array.fill(hllFields.length)(new Bloom())
   }
 
   private def closeCurrent(): Unit = {
@@ -247,7 +283,8 @@ class LanceDataWriter(root: String, schema: StructType,
       }.toMap
       if (hllFields.nonEmpty) {
         finishedSketches += files.head -> Hll.writeSidecar(root, conf.value,
-          hllFields.indices.map(j => hllFields(j)._3 -> hlls(j)))
+          hllFields.indices.map(j => (hllFields(j)._3, hlls(j),
+            Some(blooms(j)).filterNot(_.saturated))))
       }
     }
   }
@@ -290,13 +327,16 @@ class LanceDataWriter(root: String, schema: StructType,
       val (i, dt, _) = hllFields(h)
       if (!record.isNullAt(i)) {
         import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, StringType}
-        dt match {
-          case StringType => hlls(h).addUTF8String(record.getUTF8String(i))
-          case ByteType => hlls(h).addLong(record.getByte(i).toLong)
-          case ShortType => hlls(h).addLong(record.getShort(i).toLong)
-          case IntegerType => hlls(h).addLong(record.getInt(i).toLong)
-          case _ => hlls(h).addLong(record.getLong(i))
+        // one XXH64 per value feeds both the HLL and the equality bloom
+        val hsh = dt match {
+          case StringType => Bloom.hashUTF8String(record.getUTF8String(i))
+          case ByteType => Bloom.hashLong(record.getByte(i).toLong)
+          case ShortType => Bloom.hashLong(record.getShort(i).toLong)
+          case IntegerType => Bloom.hashLong(record.getInt(i).toLong)
+          case _ => Bloom.hashLong(record.getLong(i))
         }
+        hlls(h).addHash(hsh)
+        blooms(h).addHash(hsh)
       }
       h += 1
     }

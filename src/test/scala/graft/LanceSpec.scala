@@ -497,6 +497,41 @@ class LanceSpec extends SparkSpec {
       === Seq(4L))
   }
 
+  test("INSERT INTO ... REPLACE WHERE: one atomic commit drops/DVs matches and appends") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.lance_rw",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_rw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_rw.db")
+    spark.sql("CREATE TABLE lance_rw.db.t (id BIGINT, status STRING)")
+    val root = s"$wh/db/t"
+    // fragment A: wholly status='F'; fragment B: mixed
+    Seq((1L, "F"), (2L, "F")).toDF("id", "status").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    Seq((3L, "F"), (4L, "O")).toDF("id", "status").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    val before = ManifestIO.loadLatest(root, conf).get
+
+    spark.sql("INSERT INTO lance_rw.db.t REPLACE WHERE status = 'F' " +
+      "VALUES (10, 'R'), (11, 'R')")
+
+    val after = ManifestIO.loadLatest(root, conf).get
+    // exactly ONE commit for the whole replace (atomic delete + append)
+    assert(after.version === before.version + 1)
+    // all-'F' fragment dropped; mixed fragment kept with a 1-position DV
+    val kept = after.fragments.filter(f => before.fragments.exists(_.path == f.path))
+    assert(kept.size === 1 && kept.head.deletes.map(_.count) === Some(1L), kept)
+    assert(spark.sql("SELECT id, status FROM lance_rw.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((4L, "O"), (10L, "R"), (11L, "R")))
+    // replace matching nothing appends without touching existing fragments
+    spark.sql("INSERT INTO lance_rw.db.t REPLACE WHERE status = 'Z' VALUES (12, 'O')")
+    val after2 = ManifestIO.loadLatest(root, conf).get
+    assert(after.fragments.map(_.path).toSet.subsetOf(after2.fragments.map(_.path).toSet))
+    assert(spark.sql("SELECT count(*) FROM lance_rw.db.t").first().getLong(0) === 4L)
+  }
+
   test("compaction folds delete vectors into clean fragments; vacuum sweeps orphaned DVs") {
     import graft.sources.lance.{LanceDelete, LanceMaintenance}
     import org.apache.spark.sql.sources.EqualTo
@@ -693,6 +728,48 @@ class LanceSpec extends SparkSpec {
     assert(!out.head.stats.contains("c") && out.head.stats.contains("id"))
     // no-op when schemas agree
     assert(LanceWriteUtil.stampRacedDrops(frags, tableSchema, tableSchema) === frags)
+  }
+
+  test("bloom filters prune equality lookups on high-cardinality columns") {
+    import spark.implicits._
+    val root = tmp()
+    // 8 fragments x 2000 rows of unique string ids — far past the value
+    // dictionary cap (32), inside bloom capacity (~6.8k @1% fpp); ids are
+    // RANDOMLY bucketed so every fragment's min/max range overlaps every
+    // lookup (range stats prune nothing — only the bloom can)
+    spark.range(16000)
+      .select(concat(lit("id-"), lpad(col("id").cast("string"), 8, "0")).as("key"),
+        col("id").as("payload"))
+      .repartition(8, col("payload"))
+      .write.format("lance").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    assert(m.fragments.size === 8)
+    assert(m.fragments.forall(_.sketches.isDefined))
+
+    def fragsScanned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+      val mm = "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+      (mm.group(1).toInt, mm.group(2).toInt)
+    }
+    val ds = spark.read.format("lance").load(root)
+    // a present key lives in exactly one fragment: bloom prunes the rest
+    // (fpp may keep the odd extra fragment, never all 8)
+    val hit = ds.filter(col("key") === "id-00012345")
+    val (scanned, total) = fragsScanned(hit)
+    assert(total === 8 && scanned < 8 && scanned >= 1, s"$scanned/$total")
+    assert(hit.collect().map(_.getLong(1)).toSeq === Seq(12345L))
+    // an absent key prunes everything (no false positive for this value)
+    val miss = ds.filter(col("key") === "id-99999999")
+    assert(miss.count() === 0L)
+    val (scannedMiss, _) = fragsScanned(miss)
+    assert(scannedMiss <= 1, s"absent key scanned $scannedMiss fragments")
+    // IN lists prune per-value; results stay exact
+    val in = ds.filter(col("key").isin("id-00000007", "id-00015999"))
+    assert(in.collect().map(_.getLong(1)).sorted.toSeq === Seq(7L, 15999L))
+    assert(fragsScanned(in)._1 < 8)
+    // integral column lookups prune too
+    val (si, _) = fragsScanned(ds.filter(col("payload") === 12345L))
+    assert(si < 8)
   }
 
   test("HLL sketches answer approx COUNT(DISTINCT) within error bounds, zero data reads") {
