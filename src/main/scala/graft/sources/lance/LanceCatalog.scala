@@ -161,7 +161,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
             physicalNames = nf.physicalNames -- dropped)
           nf
         }
-      Some(LanceCommit(schema, frags, latest.txns))
+      Some(LanceCommit(schema, frags, latest.txns, "alter"))
     }
     loadTable(ident)
   }

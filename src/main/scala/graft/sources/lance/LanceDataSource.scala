@@ -121,8 +121,21 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def name(): String = providedName.getOrElse(s"lance.`$root`")
 
-  override def schema(): StructType =
-    manifest.map(_.schema).getOrElse(new StructType())
+  /** read.change-feed=true surfaces `_change_type` as a declared column —
+    * batch scans label every row "insert"; the streaming source emits
+    * "insert"/"delete" change rows per commit (CDC). Declared (not a
+    * metadata column) so streaming relations resolve it too. */
+  private def changeFeed: Boolean =
+    LanceOptions.any(extraOptions, "readChangeFeed", "read.change-feed")
+      .exists(_.toBoolean)
+
+  override def schema(): StructType = {
+    val base = manifest.map(_.schema).getOrElse(new StructType())
+    if (changeFeed)
+      base.add(LanceMetadata.ChangeCol, org.apache.spark.sql.types.StringType,
+        nullable = false)
+    else base
+  }
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability]()
@@ -158,10 +171,14 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     LanceDelete.deleteWhere(spark, root, filters, extraOptions)
 
-  // `_file` metadata column (SELECT _file FROM t): fragment identity for
-  // users and for row-level runtime group filtering
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    LanceMetadata.columns
+  // `_file`/`_pos`/`_change_type` metadata columns: fragment/row identity
+  // for users and for row-level runtime group filtering (names already
+  // declared in the schema — e.g. _change_type under read.change-feed —
+  // are excluded to avoid a duplicate-column conflict)
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val declared = schema().fieldNames.toSet
+    LanceMetadata.columns.filterNot(c => declared(c.name()))
+  }
 
   // UPDATE / MERGE (and subquery DELETEs): delta (merge-on-read, positional
   // delete vectors — LanceDeltaRowLevelOperation) by default; copy-on-write

@@ -157,7 +157,7 @@ object LanceDelete {
       // another writer rewrote/removed a touched fragment, or layered a new
       // DV on it — committing would resurrect deleted rows or drop deletes
       if (plan.conflictsWith(cur)) None
-      else Some(LanceCommit(cur.schema, plan(cur.fragments), cur.txns))
+      else Some(LanceCommit(cur.schema, plan(cur.fragments), cur.txns, "delete"))
     }
     if (committed.isEmpty) {
       plan.abandon(root, conf)

@@ -174,7 +174,7 @@ class LanceDeltaWriteBuilder(spark: SparkSession, root: String,
                   case None => Some(fr)
                 }
               } ++ stamped
-              Some(LanceCommit(cur.schema, frags, cur.txns))
+              Some(LanceCommit(cur.schema, frags, cur.txns, LanceRowLevelOps.opName(op.command())))
             }
           }
           if (committed.isEmpty) {

@@ -32,6 +32,17 @@ import scala.jdk.CollectionConverters._
   * Filters are never forwarded to the parquet reader (row-group skipping
   * inside a rewritten fragment would silently drop rows from the table).
   */
+
+/** Manifest op names for row-level commands (change-feed metadata). */
+object LanceRowLevelOps {
+  def opName(cmd: RowLevelOperation.Command): String = cmd match {
+    case RowLevelOperation.Command.DELETE => "delete"
+    case RowLevelOperation.Command.UPDATE => "update"
+    case RowLevelOperation.Command.MERGE => "merge"
+    case other => other.toString.toLowerCase(java.util.Locale.ROOT)
+  }
+}
+
 class LanceRowLevelOperation(root: String, extraOptions: Map[String, String],
                              cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
@@ -185,7 +196,8 @@ class LanceCowWriteBuilder(spark: SparkSession, root: String,
             else {
               val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, cur.schema)
               Some(LanceCommit(cur.schema,
-                cur.fragments.filterNot(f => touched.contains(f.path)) ++ stamped, cur.txns))
+                cur.fragments.filterNot(f => touched.contains(f.path)) ++ stamped,
+                cur.txns, LanceRowLevelOps.opName(op.command())))
             }
           }
           if (committed.isEmpty) {

@@ -41,7 +41,14 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
-  private var required: StructType = manifest.schema
+  // under read.change-feed the TABLE declares _change_type, so the default
+  // (unpruned) projection must carry it too — streaming scans never get a
+  // pruneColumns call and must produce the declared schema
+  private var required: StructType =
+    if (LanceOptions.any(options, "readChangeFeed", "read.change-feed")
+        .exists(_.toBoolean))
+      manifest.schema.add(LanceMetadata.ChangeCol, StringType, nullable = false)
+    else manifest.schema
   private var filters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggSchema: Option[StructType] = None
@@ -446,10 +453,16 @@ object LanceColumnMap {
 /** One input partition = one byte range of one fragment. Fragments larger
   * than `splitBytes` split into ranges (the parquet reader aligns ranges to
   * row groups), so a huge fragment still parallelizes across executors. */
+/** `changeType` labels every row of the partition for the `_change_type`
+  * metadata column (None reads as "insert"). `deleteDiff = (oldDv, newDv)`
+  * flips the partition into change-feed delete mode: emit ONLY positions
+  * present in newDv but not oldDv — the rows a delete commit removed. */
 case class LanceInputPartition(path: String, start: Long, length: Long,
                                fileSize: Long,
                                colMap: LanceColumnMap = LanceColumnMap.Identity,
-                               dv: Option[String] = None)
+                               dv: Option[String] = None,
+                               changeType: Option[String] = None,
+                               deleteDiff: Option[(Option[String], String)] = None)
     extends InputPartition
 
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
@@ -499,6 +512,10 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   private val posRequested: Boolean =
     required.fieldNames.contains(LanceMetadata.PosCol)
 
+  /** `_change_type` needs per-row injection ("insert" on batch scans). */
+  private val changeRequested: Boolean =
+    required.fieldNames.contains(LanceMetadata.ChangeCol)
+
   private def maskKey(fr: FragmentMeta): LanceColumnMap =
     LanceColumnMap.of(fr, relevantCols)
 
@@ -535,7 +552,8 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     // into WholeStageCodegen's ColumnarToRow instead of per-row iteration.
     val colMaps = fragments.map(maskKey).distinct
     val anyDv = fragments.exists(_.deletes.isDefined)
-    if (colMaps.forall(_.isIdentity) && !fileRequested && !posRequested && !anyDv) {
+    if (colMaps.forall(_.isIdentity) && !fileRequested && !posRequested &&
+        !changeRequested && !anyDv) {
       val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
       val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
         returningBatch = columnar)
@@ -558,6 +576,7 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
 object LanceMetadata {
   val FileCol = "_file"
   val PosCol = "_pos"
+  val ChangeCol = "_change_type"
 
   val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(
@@ -573,6 +592,14 @@ object LanceMetadata {
         override def isNullable: Boolean = false
         override def comment(): String =
           "physical row position within the fragment file (0-based, pre-deletion)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ChangeCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row change kind: 'insert' on batch scans; 'insert'/'delete' in a " +
+            "read.change-feed stream"
       })
 }
 
@@ -641,6 +668,8 @@ private[lance] object LanceReadGroup {
   val FileInject: Int = -2
   /** Mapping sentinel: inject the physical row position (`_pos`). */
   val PosInject: Int = -3
+  /** Mapping sentinel: inject the partition's change type (`_change_type`). */
+  val ChangeInject: Int = -4
 
   /** One group per distinct column map. Filters referencing a masked or
     * renamed column are NOT pushed into that group's reader: for masks, the
@@ -663,7 +692,8 @@ private[lance] object LanceReadGroup {
     colMaps.map { cm =>
       val hsSet = cm.hidden.toSet
       val ren = cm.renames.toMap
-      val skip = hsSet + LanceMetadata.FileCol + LanceMetadata.PosCol
+      val skip = hsSet + LanceMetadata.FileCol + LanceMetadata.PosCol +
+        LanceMetadata.ChangeCol
       val noPush = skip ++ ren.keySet
       def phys(f: StructField): StructField =
         ren.get(f.name).map(p => f.copy(name = p)).getOrElse(f)
@@ -682,6 +712,7 @@ private[lance] object LanceReadGroup {
       val mapping = required.fields.map { f =>
         if (f.name == LanceMetadata.FileCol) FileInject
         else if (f.name == LanceMetadata.PosCol) PosInject
+        else if (f.name == LanceMetadata.ChangeCol) ChangeInject
         else if (hsSet(f.name)) NullInject
         else { val r = j; j += 1; r }
       }
@@ -704,9 +735,10 @@ class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
       s"lance: no reader group for column map ${p.colMap} " +
         "(schema evolved between planning and read?)"))
     val posInjected = g.mapping.contains(LanceReadGroup.PosInject)
-    // position counting (DV filtering / _pos) needs the unfiltered reader:
-    // row-group skipping from pushed filters would shift physical indexes
-    val needPos = p.dv.isDefined || posInjected
+    // position counting (DV filtering / delete-diff / _pos) needs the
+    // unfiltered reader: row-group skipping from pushed filters would
+    // shift physical indexes
+    val needPos = p.dv.isDefined || p.deleteDiff.isDefined || posInjected
     val fn = if (needPos) g.unfilteredFn else g.readFn
     val rows = fn(Shim.partitionedFile(p.path, p.start, p.length, p.fileSize))
       .asInstanceOf[Iterator[AnyRef]].flatMap {
@@ -714,6 +746,7 @@ class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
         case r: InternalRow => Iterator.single(r)
       }
     val filePath = UTF8String.fromString(p.path)
+    val changeVal = UTF8String.fromString(p.changeType.getOrElse("insert"))
     def project(r: InternalRow, pos: Long): InternalRow = {
       val out = new Array[Any](g.mapping.length)
       var i = 0
@@ -722,6 +755,7 @@ class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
         out(i) =
           if (m == LanceReadGroup.FileInject) filePath
           else if (m == LanceReadGroup.PosInject) pos
+          else if (m == LanceReadGroup.ChangeInject) changeVal
           else if (m < 0 || r.isNullAt(m)) null
           else r.get(m, g.types(i))
         i += 1
@@ -732,11 +766,22 @@ class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
       if (!needPos) {
         if (g.isIdentity) rows else rows.map(project(_, -1L))
       } else {
-        val deleted = p.dv.map(DeleteVectors.readBitSet(_, conf.value)).orNull
         val identity = g.isIdentity
-        rows.zipWithIndex.collect {
-          case (r, i) if deleted == null || !deleted.get(i) =>
-            if (identity) r else project(r, i.toLong)
+        p.deleteDiff match {
+          case Some((oldDv, newDv)) =>
+            // change-feed delete rows: positions newly deleted by this step
+            val newBits = DeleteVectors.readBitSet(newDv, conf.value)
+            val oldBits = oldDv.map(DeleteVectors.readBitSet(_, conf.value)).orNull
+            rows.zipWithIndex.collect {
+              case (r, i) if newBits.get(i) && (oldBits == null || !oldBits.get(i)) =>
+                if (identity) r else project(r, i.toLong)
+            }
+          case None =>
+            val deleted = p.dv.map(DeleteVectors.readBitSet(_, conf.value)).orNull
+            rows.zipWithIndex.collect {
+              case (r, i) if deleted == null || !deleted.get(i) =>
+                if (identity) r else project(r, i.toLong)
+            }
         }
       }
     val capped = limit.map(n => projected.take(n)).getOrElse(projected)

@@ -15,6 +15,15 @@ import org.apache.spark.sql.types.StructType
   * Assumes an append-only dataset: an overwrite (truncate) replaces the
   * fragment list and the stream fails rather than silently re-reading
   * (same contract as file-stream sources over rewritten directories).
+  *
+  * With `read.change-feed=true` the source becomes a CDC feed instead:
+  * every commit's effect streams as rows labeled by `_change_type` —
+  * "insert" for rows in newly added fragments, "delete" for rows a commit
+  * removed (delete-vector growth reads just the newly-deleted positions;
+  * a dropped fragment replays its pre-drop live rows). Commits whose
+  * manifest `op` is a pure file reorganization (compact, alter) emit
+  * nothing — same contract as Delta's change data feed. The batch
+  * (start, end] is walked version by version so each step's op is known.
   */
 case class LanceOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
@@ -79,7 +88,15 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
     * already-streamed fragments are never retro-applied — append-only). */
   @volatile private var plannedAnyDv: Boolean = false
 
+  private val changeFeed: Boolean =
+    LanceOptions.any(options, "readChangeFeed", "read.change-feed")
+      .exists(_.toBoolean)
+
+  private def full(rel: String): String =
+    new org.apache.hadoop.fs.Path(root, rel).toString
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    if (changeFeed) return cdcPartitions(parse(start), parse(end))
     val frs = newFragments(parse(start), parse(end))
     val maps = frs.map(LanceColumnMap.of(_, requiredNames))
     synchronized {
@@ -87,10 +104,54 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
       plannedAnyDv ||= frs.exists(_.deletes.isDefined)
     }
     frs.zip(maps).map { case (fr, cm) =>
-      val p = new org.apache.hadoop.fs.Path(root, fr.path).toString
-      val dv = fr.deletes.map(d => new org.apache.hadoop.fs.Path(root, d.path).toString)
-      LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, cm, dv): InputPartition
+      val dv = fr.deletes.map(d => full(d.path))
+      LanceInputPartition(full(fr.path), 0, fr.sizeBytes, fr.sizeBytes, cm, dv): InputPartition
     }.toArray
+  }
+
+  /** One CDC step per version: diff v-1 → v under v's recorded op. */
+  private def cdcPartitions(start: Long, end: Long): Array[InputPartition] = {
+    val c = conf
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var prev: Option[LanceManifest] =
+      if (start == 0) None else Some(ManifestIO.load(root, start, c))
+    var v = start + 1
+    while (v <= end) {
+      val cur = ManifestIO.load(root, v, c)
+      // pure file reorganizations are not data changes
+      if (cur.op != "compact" && cur.op != "alter") {
+        val prevBy = prev.map(_.fragments.map(f => f.path -> f).toMap)
+          .getOrElse(Map.empty[String, FragmentMeta])
+        val curPaths = cur.fragments.map(_.path).toSet
+        def add(fr: FragmentMeta, change: String, dv: Option[String],
+                diff: Option[(Option[String], String)]): Unit = {
+          val cm = LanceColumnMap.of(fr, requiredNames)
+          synchronized { plannedColMaps += cm }
+          parts += LanceInputPartition(full(fr.path), 0, fr.sizeBytes,
+            fr.sizeBytes, cm, dv, Some(change), diff)
+        }
+        cur.fragments.foreach { fr =>
+          prevBy.get(fr.path) match {
+            case None => // new fragment: its live rows are inserts
+              add(fr, "insert", fr.deletes.map(d => full(d.path)), None)
+            case Some(old) if fr.deletes.map(_.path) != old.deletes.map(_.path) =>
+              // DV grew: emit exactly the newly-deleted positions
+              fr.deletes.foreach(nd =>
+                add(old, "delete",
+                  None, Some((old.deletes.map(d => full(d.path)), full(nd.path)))))
+            case _ => () // unchanged
+          }
+        }
+        // dropped fragments: their pre-drop live rows are deletes
+        prevBy.valuesIterator.filterNot(old => curPaths(old.path)).foreach { old =>
+          add(old, "delete", old.deletes.map(d => full(d.path)), None)
+        }
+      }
+      prev = Some(cur)
+      v += 1
+    }
+    synchronized { plannedAnyDv = true } // CDC partitions need the masked path
+    parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -102,7 +163,7 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
       else ManifestIO.loadLatest(root, conf).toSeq
         .flatMap(_.fragments).map(LanceColumnMap.of(_, requiredNames)).distinct
     }
-    if (colMaps.forall(_.isIdentity) && !plannedAnyDv) {
+    if (colMaps.forall(_.isIdentity) && !plannedAnyDv && !changeFeed) {
       val readFn = Shim.parquetReader(spark, dataSchema, requiredSchema, Seq.empty, options)
       new LanceReaderFactory(readFn, limit = None, columnar = false)
     } else {

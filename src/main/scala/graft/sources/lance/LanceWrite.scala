@@ -100,7 +100,9 @@ class LanceWrite(root: String, schema: StructType,
           case _ => base ++ stamped
         }
         if (frags == null) None
-        else Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty)))
+        else Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty),
+          if (truncateAll) "overwrite"
+          else if (replacePlan.isDefined) "replace" else "append"))
       }
       if (committed.isEmpty) {
         replacePlan.foreach(_.abandon(root, conf.value))
@@ -135,7 +137,7 @@ class LanceWrite(root: String, schema: StructType,
           val tableSchema = latest.map(_.schema).getOrElse(schema)
           val prev = latest.map(_.fragments).getOrElse(Seq.empty)
           val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, tableSchema)
-          Some(LanceCommit(tableSchema, prev ++ stamped, txns + (queryId -> epochId)))
+          Some(LanceCommit(tableSchema, prev ++ stamped, txns + (queryId -> epochId), "append"))
         }
       }
       // replayed epoch after recovery: fragments are duplicates — drop them
@@ -406,7 +408,8 @@ object LanceBatchSave {
       val stamped = LanceWriteUtil.stampRacedDrops(newFrags, df.schema, tableSchema)
       val frags = if (append) latest.map(_.fragments).getOrElse(Seq.empty) ++ stamped
                   else stamped
-      Some(LanceCommit(tableSchema, frags, latest.map(_.txns).getOrElse(Map.empty)))
+      Some(LanceCommit(tableSchema, frags, latest.map(_.txns).getOrElse(Map.empty),
+        if (append) "append" else "overwrite"))
     }
   }
 
@@ -489,7 +492,8 @@ object LanceMaintenance {
       }
       if (!ok) None
       else Some(LanceCommit(cur.schema,
-        cur.fragments.filterNot(f => smallBy.contains(f.path)) ++ newFrags, cur.txns))
+        cur.fragments.filterNot(f => smallBy.contains(f.path)) ++ newFrags,
+        cur.txns, "compact"))
     }.getOrElse {
       val fs = ManifestIO.fs(root, conf)
       newFrags.foreach(f => fs.delete(new Path(root, f.path), false))

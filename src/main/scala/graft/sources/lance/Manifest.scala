@@ -75,15 +75,21 @@ case class DeleteVectorMeta(path: String, count: Long)
   * commits/compactions can never erase a stream's replay marker. */
 case class LanceManifest(version: Long, schema: StructType,
                          fragments: Seq[FragmentMeta],
-                         txns: Map[String, Long] = Map.empty) {
+                         txns: Map[String, Long] = Map.empty,
+                         op: String = "append") {
   /** Logical (live) row count — DV-deleted positions excluded. */
   def totalRows: Long = fragments.map(_.liveRows).sum
 }
 
 /** The content of one commit, computed from the current latest manifest by
-  * the `make` function passed to [[ManifestIO.commit]]. */
+  * the `make` function passed to [[ManifestIO.commit]]. `op` records WHAT
+  * the commit logically did ("append", "overwrite", "delete", "update",
+  * "merge", "replace", "compact", "alter") — the change-feed streaming
+  * source uses it to tell data changes (emit CDC rows) from file
+  * reorganizations like compaction (emit nothing). */
 case class LanceCommit(schema: StructType, fragments: Seq[FragmentMeta],
-                       txns: Map[String, Long] = Map.empty)
+                       txns: Map[String, Long] = Map.empty,
+                       op: String = "append")
 
 /** Manifest IO for the lance-style dataset layout:
   *
@@ -181,7 +187,7 @@ object ManifestIO {
         case None => return None
         case Some(c) =>
           val v = latest.map(_.version).getOrElse(0L) + 1
-          val m = LanceManifest(v, c.schema, c.fragments, c.txns)
+          val m = LanceManifest(v, c.schema, c.fragments, c.txns, c.op)
           if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8)))
             return Some(m)
       }
@@ -196,7 +202,8 @@ object ManifestIO {
     commit(root, conf) { latest =>
       val prev = if (truncate) Seq.empty else latest.map(_.fragments).getOrElse(Seq.empty)
       Some(LanceCommit(schema, prev ++ newFragments,
-        latest.map(_.txns).getOrElse(Map.empty)))
+        latest.map(_.txns).getOrElse(Map.empty),
+        if (truncate) "overwrite" else "append"))
     }.get
 
   /** Atomically create `path` with `bytes`; false if it already exists. */
@@ -258,6 +265,7 @@ object ManifestIO {
     })
     JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
+      "op" -> JString(m.op),
       "schemaJson" -> JString(m.schema.json),
       "txns" -> (if (m.txns.isEmpty) JNothing
                  else JObject(m.txns.toList.map { case (k, v) => k -> JLong(v) })),
@@ -333,7 +341,8 @@ object ManifestIO {
       asLong(j \ "version"),
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       frags,
-      txns)
+      txns,
+      (j \ "op") match { case JString(o) => o; case _ => "append" })
   }
 
   // ---- fragment stats from parquet footers -------------------------------

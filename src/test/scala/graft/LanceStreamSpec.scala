@@ -38,6 +38,69 @@ class LanceStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === region.count() + 25)
   }
 
+  test("change feed streams inserts and deletes with _change_type; compaction emits nothing") {
+    import graft.sources.lance.{LanceDelete, LanceMaintenance}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources.EqualTo
+    import spark.implicits._
+    val root = tmp()
+    // v1: fragment with ids 1-3
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.format("lance").save(root)
+    // v2: positional delete of id=2 (DV on the fragment)
+    LanceDelete.deleteWhere(spark, root, Array(EqualTo("id", 2L)), Map.empty)
+    // v3: append ids 4-5
+    Seq((4L, "d"), (5L, "e")).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    // v4: compaction — a file reorganization, not a data change
+    LanceMaintenance.compact(spark, root, smallerThanRows = 100, targetRows = 100)
+    assert(ManifestIO.loadLatest(root, conf).get.op === "compact")
+
+    // batch read with the option labels every row insert
+    val batch = spark.read.format("lance").option("read.change-feed", "true").load(root)
+    assert(batch.schema.fieldNames.contains("_change_type"))
+    assert(batch.select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("insert"))
+
+    val ckpt = tmp()
+    val q = spark.readStream.format("lance").option("read.change-feed", "true")
+      .load(root)
+      .select(col("id"), col("_change_type"))
+      .writeStream.format("memory").queryName("cdc_feed")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("cdc_feed").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // v1 inserts 1,2,3; v2 deletes 2; v3 inserts 4,5; v4 emits nothing
+    assert(rows === Seq((1L, "insert"), (2L, "delete"), (2L, "insert"),
+      (3L, "insert"), (4L, "insert"), (5L, "insert")), rows)
+
+    // a delete that drops a whole fragment replays its live rows as deletes
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW cdc_all AS SELECT * FROM VALUES (4),(5) AS x(id)")
+    LanceDelete.deleteWhere(spark, root, Array(EqualTo("v", "zzz")), Map.empty) // no-op
+    val mBefore = ManifestIO.loadLatest(root, conf).get
+    // compacted table = one fragment with ids 1,3,4,5 — delete 1,3,4,5 via
+    // positions, leaving... instead drop whole fragment via all-match range
+    LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 0L)), Map.empty)
+    assert(ManifestIO.loadLatest(root, conf).get.fragments.isEmpty)
+    val q2 = spark.readStream.format("lance").option("read.change-feed", "true")
+      .load(root)
+      .select(col("id"), col("_change_type"))
+      .writeStream.format("memory").queryName("cdc_feed2")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val rows2 = spark.table("cdc_feed2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // full replay now ends with delete rows for every live id (1,3,4,5)
+    val deletes2 = rows2.filter(_._2 == "delete").map(_._1).sorted
+    assert(deletes2 === Seq(1L, 2L, 3L, 4L, 5L), rows2)
+  }
+
   test("session state retains only the open tail for a hot key") {
     import graft.operators.StreamingOps
     val gap = 6L * 3600 * 1000000L
