@@ -215,6 +215,58 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl""".stripMargin)
   }
 
+  /** INSERT INTO ... REPLACE WHERE through the catalog: one atomic commit
+    * deletes the matching rows (DV sidecars / fragment drops) and appends
+    * the replacement — verified against the oracle's complement + union. */
+  private def replaceOp(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"t_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM $view")
+    // replace the 'F' segment with a recomputed summary slice of itself
+    s.sql(s"INSERT INTO graft_lance.db.$tbl REPLACE WHERE o_orderstatus = 'F' " +
+      s"SELECT o_orderkey, o_custkey + 5000000, o_orderstatus, o_totalprice, " +
+      s"o_orderdate, o_orderpriority FROM $view WHERE o_orderstatus = 'F'")
+    s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         |FROM graft_lance.db.$tbl""".stripMargin)
+  }
+
+  /** CDC change feed: the stream over a scripted append → delete → append
+    * history must emit exactly the per-commit inserts and deletes; the
+    * collected feed aggregates to a SQL-expressible oracle. */
+  private def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("cdc")
+    val ckpt = tmp("cdc-ckpt")
+    val orders = t(s, dir, "orders")
+    // v1: non-'F' orders; v2: positional delete of low keys; v3: append 'F'
+    orders.filter(col("o_orderstatus") =!= "F")
+      .write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    graft.sources.lance.LanceDelete.deleteWhere(s, root,
+      Array(org.apache.spark.sql.sources.LessThan("o_orderkey", 1000L)), Map.empty)
+    orders.filter(col("o_orderstatus") === "F")
+      .write.format("lance").mode("append").option("maxRowsPerFile", "2000").save(root)
+    val outRoot = tmp("cdc-out")
+    val q = s.readStream.format("lance").option("read.change-feed", "true")
+      .load(root)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("_change_type"))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outRoot)
+    q.awaitTermination(120000)
+    // read back the collected feed and aggregate per change type
+    s.read.format("lance").load(outRoot)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("sum_key"))
+      .orderBy("_change_type")
+  }
+
   // ---- streaming sink ----------------------------------------------------
 
   private def streamingSink(s: SparkSession, dir: String): DataFrame = {
@@ -265,6 +317,8 @@ object LanceOps extends QueryModule {
     "lance_sql_catalog" -> sqlCatalog,
     "lance_delete" -> deleteOp,
     "lance_update" -> updateOp,
+    "lance_replace" -> replaceOp,
+    "q_stream_cdc" -> streamCdc,
     "lance_streaming_sink" -> streamingSink)
 
   val oracleSql: Map[String, String] = Map(
@@ -332,6 +386,22 @@ object LanceOps extends QueryModule {
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders""".stripMargin,
+    "lance_replace" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN o_custkey + 5000000
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders""".stripMargin,
+    "q_stream_cdc" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |  FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, count(*) AS n,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |  FROM orders
+        |) ORDER BY _change_type""".stripMargin,
     "lance_streaming_sink" ->
       """SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM range(1000) t(i)""")
 }

@@ -131,7 +131,7 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def schema(): StructType = {
     val base = manifest.map(_.schema).getOrElse(new StructType())
-    if (changeFeed)
+    if (changeFeed && !base.fieldNames.contains(LanceMetadata.ChangeCol))
       base.add(LanceMetadata.ChangeCol, org.apache.spark.sql.types.StringType,
         nullable = false)
     else base

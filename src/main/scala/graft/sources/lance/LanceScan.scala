@@ -43,10 +43,12 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
 
   // under read.change-feed the TABLE declares _change_type, so the default
   // (unpruned) projection must carry it too — streaming scans never get a
-  // pruneColumns call and must produce the declared schema
+  // pruneColumns call and must produce the declared schema (skip when the
+  // dataset already stores a physical _change_type column)
   private var required: StructType =
     if (LanceOptions.any(options, "readChangeFeed", "read.change-feed")
-        .exists(_.toBoolean))
+        .exists(_.toBoolean) &&
+        !manifest.schema.fieldNames.contains(LanceMetadata.ChangeCol))
       manifest.schema.add(LanceMetadata.ChangeCol, StringType, nullable = false)
     else manifest.schema
   private var filters: Array[Filter] = Array.empty
@@ -503,18 +505,21 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   private val relevantCols: Set[String] =
     required.fieldNames.toSet ++ filters.flatMap(_.references)
 
+  /** Injected metadata names — only when no physical column shadows them
+    * (a persisted change feed genuinely stores _change_type as data). */
+  private def injectedCol(name: String): Boolean =
+    required.fieldNames.contains(name) &&
+      !manifest.schema.fieldNames.contains(name)
+
   /** Is the `_file` metadata column part of the projection? */
-  private val fileRequested: Boolean =
-    required.fieldNames.contains(LanceMetadata.FileCol)
+  private val fileRequested: Boolean = injectedCol(LanceMetadata.FileCol)
 
   /** `_pos` projection requires position fidelity: no byte-range splits and
     * no reader-level filter pushdown (row-group skipping shifts indexes). */
-  private val posRequested: Boolean =
-    required.fieldNames.contains(LanceMetadata.PosCol)
+  private val posRequested: Boolean = injectedCol(LanceMetadata.PosCol)
 
   /** `_change_type` needs per-row injection ("insert" on batch scans). */
-  private val changeRequested: Boolean =
-    required.fieldNames.contains(LanceMetadata.ChangeCol)
+  private val changeRequested: Boolean = injectedCol(LanceMetadata.ChangeCol)
 
   private def maskKey(fr: FragmentMeta): LanceColumnMap =
     LanceColumnMap.of(fr, relevantCols)
@@ -692,8 +697,13 @@ private[lance] object LanceReadGroup {
     colMaps.map { cm =>
       val hsSet = cm.hidden.toSet
       val ren = cm.renames.toMap
-      val skip = hsSet + LanceMetadata.FileCol + LanceMetadata.PosCol +
-        LanceMetadata.ChangeCol
+      // metadata names are injected ONLY when the dataset has no physical
+      // column of that name — a table that genuinely stores a _change_type
+      // (e.g. a persisted change feed) reads it as ordinary data
+      val physNames = tableSchema.fieldNames.toSet
+      val injected = Set(LanceMetadata.FileCol, LanceMetadata.PosCol,
+        LanceMetadata.ChangeCol).filterNot(physNames)
+      val skip = hsSet ++ injected
       val noPush = skip ++ ren.keySet
       def phys(f: StructField): StructField =
         ren.get(f.name).map(p => f.copy(name = p)).getOrElse(f)
@@ -710,9 +720,9 @@ private[lance] object LanceReadGroup {
           options, returningBatch = false)
       var j = 0
       val mapping = required.fields.map { f =>
-        if (f.name == LanceMetadata.FileCol) FileInject
-        else if (f.name == LanceMetadata.PosCol) PosInject
-        else if (f.name == LanceMetadata.ChangeCol) ChangeInject
+        if (f.name == LanceMetadata.FileCol && injected(f.name)) FileInject
+        else if (f.name == LanceMetadata.PosCol && injected(f.name)) PosInject
+        else if (f.name == LanceMetadata.ChangeCol && injected(f.name)) ChangeInject
         else if (hsSet(f.name)) NullInject
         else { val r = j; j += 1; r }
       }
