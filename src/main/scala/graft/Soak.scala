@@ -119,6 +119,70 @@ object Soak {
         .select("a_id", "b_id").distinct()
       println(s"[soak]   candidate pairs = ${cand.count()}")
     }
+
+    // ---- lance DML at scale: DV delete / bloom lookup / CDC --------------
+    // orders ×mult as a lance dataset (fragmented), then: a positional
+    // delete touching ~10% of rows must write ONLY sidecars (zero fragment
+    // rewrites); an equality point-lookup must scan ~1 fragment (bloom);
+    // the change feed must stream the delete as exactly the deleted rows.
+    val lanceRoot = s"$out/orders_lance_x$mult"
+    val conf = spark.sessionState.newHadoopConf()
+    if (!sources.lance.ManifestIO.exists(lanceRoot, conf)) {
+      val base = Tables.t(spark, sfDir, "orders")
+      timed(s"lance write orders x$mult") {
+        base.crossJoin(spark.range(mult).toDF("rep"))
+          .withColumn("o_orderkey", col("o_orderkey") * mult + col("rep"))
+          .drop("rep")
+          .repartition(64)
+          .write.format("lance").option("maxRowsPerFile", "500000").save(lanceRoot)
+      }
+    }
+    val m0 = sources.lance.ManifestIO.loadLatest(lanceRoot, conf).get
+    println(s"[soak] lance orders rows = ${m0.totalRows} fragments = ${m0.fragments.size}")
+    val cut = spark.read.format("lance").load(lanceRoot)
+      .stat.approxQuantile("o_orderkey", Array(0.1), 0.001)(0).toLong
+    timed("DV delete ~10% of rows") {
+      sources.lance.LanceDelete.deleteWhere(spark, lanceRoot,
+        Array(org.apache.spark.sql.sources.LessThan("o_orderkey", cut)), Map.empty)
+    }
+    val m1 = sources.lance.ManifestIO.loadLatest(lanceRoot, conf).get
+    val survivors = m1.fragments.map(_.path).toSet
+    require(survivors.subsetOf(m0.fragments.map(_.path).toSet),
+      "DV delete must rewrite zero fragments")
+    println(s"[soak]   rows ${m0.totalRows} -> ${m1.totalRows}; " +
+      s"fragments with DVs = ${m1.fragments.count(_.deletes.isDefined)}; dropped = " +
+      s"${m0.fragments.size - m1.fragments.size}; zero rewrites")
+    timed("post-delete full count") {
+      println(s"[soak]   count = ${spark.read.format("lance").load(lanceRoot).count()}")
+    }
+    val probeKey = m1.totalRows / 2 // a mid-range surviving key
+    timed("bloom point lookup (1 key)") {
+      val hitDf = spark.read.format("lance").load(lanceRoot)
+        .filter(col("o_orderkey") === probeKey)
+      val plan = hitDf.queryExecution.executedPlan.toString
+      val mm = "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+      println(s"[soak]   rows=${hitDf.count()} scanned ${mm.group(1)}/${mm.group(2)} fragments")
+    }
+    timed("CDC feed of the delete step") {
+      val stream = new sources.lance.LanceMicroBatchStream(spark, lanceRoot,
+        m1.schema, m1.schema.add("_change_type", "string"),
+        Map("read.change-feed" -> "true"))
+      val parts = stream.planInputPartitions(
+        sources.lance.LanceOffset(m0.version), sources.lance.LanceOffset(m1.version))
+      val factory = stream.createReaderFactory()
+      val deleted = spark.sparkContext
+        .parallelize(parts.toSeq.map(_.asInstanceOf[sources.lance.LanceInputPartition]),
+          math.max(1, parts.length))
+        .map { p =>
+          val r = factory.createReader(p)
+          var n = 0L
+          while (r.next()) n += 1
+          n
+        }.sum()
+      println(s"[soak]   delete rows streamed = ${deleted.toLong} " +
+        s"(expected ${m0.totalRows - m1.totalRows})")
+      require(deleted.toLong == m0.totalRows - m1.totalRows)
+    }
     spark.stop()
   }
 }

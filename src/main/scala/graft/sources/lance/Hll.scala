@@ -66,23 +66,25 @@ final class Hll(val registers: Array[Byte]) extends Serializable {
   }
 }
 
-/** Per-fragment blocked bloom filter for equality pruning on columns whose
-  * exact value dictionary overflowed (high-cardinality strings / integrals):
-  * 64K bits, 4 probes by double hashing one XXH64 value — the same hash the
-  * HLL consumes, so writers hash each value once. ~1% false-positive rate
-  * up to ~6.8k distinct values per fragment; saturated filters (more than
-  * half the bits set) are dropped at write time — a saturated bloom prunes
-  * nothing and only wastes sidecar bytes. Never wrong: a miss proves the
-  * value absent from the fragment (pruning is sound), a hit proves nothing.
+/** Per-fragment bloom filter for equality pruning on columns whose exact
+  * value dictionary overflowed (high-cardinality strings / integrals).
+  * SIZED TO THE FRAGMENT: writers buffer each value's XXH64 (the same hash
+  * the HLL consumes — one hash per value) and build the filter at file
+  * close with ~10 bits per buffered key (~1% fpp), from 64K bits up to a
+  * [[Bloom.MaxBits]] cap; fragments with more keys than
+  * `write.bloom-max-keys` (default 1M) skip the bloom — an undersized
+  * filter prunes nothing and only wastes sidecar bytes. 4 probes by
+  * double hashing. Never wrong: a miss proves the value absent from the
+  * fragment (pruning is sound), a hit proves nothing.
   */
 final class Bloom(val words: Array[Long]) extends Serializable {
-  def this() = this(new Array[Long](Bloom.Words))
+  private val bits: Long = words.length.toLong * 64L
 
   def addHash(h: Long): Unit = {
     val h2 = (h >>> 32) | 1L
     var i = 0
     while (i < Bloom.K) {
-      val bit = ((h + i * h2) & Long.MaxValue) % Bloom.Bits
+      val bit = ((h + i * h2) & Long.MaxValue) % bits
       words((bit >>> 6).toInt) |= 1L << (bit & 63)
       i += 1
     }
@@ -92,25 +94,30 @@ final class Bloom(val words: Array[Long]) extends Serializable {
     val h2 = (h >>> 32) | 1L
     var i = 0
     while (i < Bloom.K) {
-      val bit = ((h + i * h2) & Long.MaxValue) % Bloom.Bits
+      val bit = ((h + i * h2) & Long.MaxValue) % bits
       if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
       i += 1
     }
     true
   }
-
-  def saturated: Boolean = {
-    var pop = 0L
-    var i = 0
-    while (i < words.length) { pop += java.lang.Long.bitCount(words(i)); i += 1 }
-    pop * 2 > Bloom.Bits
-  }
 }
 
 object Bloom {
-  val Bits = 65536L
-  val Words: Int = (Bits / 64).toInt
+  val MinBits = 65536L
+  val MaxBits = 16L * 1024 * 1024 // 2 MB of words — caps ~1.6M keys at 1% fpp
   val K = 4
+  /** Default per-fragment key cap (write.bloom-max-keys). */
+  val DefaultMaxKeys = 1000000L
+
+  /** Build from buffered hashes, sized ~10 bits/key within [Min, Max]. */
+  def build(hashes: Array[Long], n: Int): Bloom = {
+    var bits = MinBits
+    while (bits < 10L * n && bits < MaxBits) bits <<= 1
+    val b = new Bloom(new Array[Long]((bits / 64).toInt))
+    var i = 0
+    while (i < n) { b.addHash(hashes(i)); i += 1 }
+    b
+  }
 
   def hashLong(v: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, Hll.Seed)
@@ -197,10 +204,8 @@ object Hll {
         val regs = new Array[Byte](len)
         in.readFully(regs)
         val nWords = in.readInt()
-        val bloom = if (nWords == 0) None else {
-          require(nWords == Bloom.Words, s"bloom size mismatch: $nWords words")
-          Some(new Bloom(Array.fill(nWords)(in.readLong())))
-        }
+        val bloom = if (nWords == 0) None
+                    else Some(new Bloom(Array.fill(nWords)(in.readLong())))
         name -> (new Hll(regs), bloom)
       }.toMap
     } finally in.close()

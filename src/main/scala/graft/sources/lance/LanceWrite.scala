@@ -254,7 +254,13 @@ class LanceDataWriter(root: String, schema: StructType,
     }
   }
   private var hlls: Array[Hll] = _
-  private var blooms: Array[Bloom] = _
+  // per-column buffered value hashes: the bloom is SIZED at file close
+  // (~10 bits per key); columns whose fragment exceeds the key cap skip it
+  // (write options ride the job conf, so the knob reaches executors)
+  private val bloomMaxKeys: Int =
+    conf.value.getInt("write.bloom-max-keys", Bloom.DefaultMaxKeys.toInt)
+  private var bloomHashes: Array[Array[Long]] = _
+  private var bloomCounts: Array[Int] = _
   private var finishedSketches = Map.empty[String, String] // rel -> sidecar rel
 
   private def roll(): Unit = {
@@ -268,7 +274,8 @@ class LanceDataWriter(root: String, schema: StructType,
     sumNonNulls = new Array[Long](sumFields.length)
     dicts = Array.fill(strFields.length)(scala.collection.mutable.HashSet.empty[String])
     hlls = Array.fill(hllFields.length)(new Hll())
-    blooms = Array.fill(hllFields.length)(new Bloom())
+    bloomHashes = Array.fill(hllFields.length)(new Array[Long](1024))
+    bloomCounts = new Array[Int](hllFields.length)
   }
 
   private def closeCurrent(): Unit = {
@@ -285,8 +292,11 @@ class LanceDataWriter(root: String, schema: StructType,
       }.toMap
       if (hllFields.nonEmpty) {
         finishedSketches += files.head -> Hll.writeSidecar(root, conf.value,
-          hllFields.indices.map(j => (hllFields(j)._3, hlls(j),
-            Some(blooms(j)).filterNot(_.saturated))))
+          hllFields.indices.map { j =>
+            val bloom = if (bloomCounts(j) < 0) None
+                        else Some(Bloom.build(bloomHashes(j), bloomCounts(j)))
+            (hllFields(j)._3, hlls(j), bloom)
+          })
       }
     }
   }
@@ -338,7 +348,20 @@ class LanceDataWriter(root: String, schema: StructType,
           case _ => Bloom.hashLong(record.getLong(i))
         }
         hlls(h).addHash(hsh)
-        blooms(h).addHash(hsh)
+        // buffer for the close-time sized bloom; -1 count = over cap, skip
+        val n = bloomCounts(h)
+        if (n >= 0) {
+          if (n >= bloomMaxKeys) bloomCounts(h) = -1
+          else {
+            var buf = bloomHashes(h)
+            if (n == buf.length) {
+              buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+              bloomHashes(h) = buf
+            }
+            buf(n) = hsh
+            bloomCounts(h) = n + 1
+          }
+        }
       }
       h += 1
     }
