@@ -32,7 +32,12 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
+    // normalize trailing slashes (reference: LanceCatalog warehouse path
+    // normalization) so table paths never get a double separator
+    warehouse = Option(options.get("warehouse")).map { w =>
+      val trimmed = w.replaceAll("/+$", "")
+      if (trimmed.isEmpty) "/" else trimmed
+    }.getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
     fsOptions = LanceCatalog.s3FsOptions(options.asScala.toMap)

@@ -13,6 +13,7 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s.{JDouble, JLong, JString, JValue}
 
+import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
 /** ScanBuilder with the reference's four pushdowns
@@ -327,7 +328,12 @@ object LancePruning {
     case (JDouble(x), JDouble(y)) => Some(java.lang.Double.compare(x, y))
     case (JLong(x), JDouble(y)) => Some(java.lang.Double.compare(x.toDouble, y))
     case (JDouble(x), JLong(y)) => Some(java.lang.Double.compare(x, y.toDouble))
-    case (JString(x), JString(y)) => Some(x.compareTo(y))
+    // fragment string stats are parquet min/max in unsigned UTF-8 byte
+    // order, and Spark's string comparisons are UTF8String binary — compare
+    // in that order (UTF-16 code-unit order diverges for supplementary-
+    // plane chars vs U+E000–U+FFFF and would prune matching fragments)
+    case (JString(x), JString(y)) => Some(
+      UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y)))
     case _ => None
   }
 
@@ -372,6 +378,30 @@ object LancePruning {
     case IsNotNull(c) =>
       readsAllNull(fr, c) ||
         fr.stats.get(c).flatMap(_.nullCount).exists(_ == fr.rows)
+    // LIKE-family pushdown (reference: LanceDynamicTableSource.java:259-261
+    // translates LIKE): prefix matches admit range pruning — in UTF-8 byte
+    // order (the order parquet records string min/max in, and the order
+    // Spark compares strings in), s startsWith p implies
+    // p <= s < byteSuccessor(p) — plus exact-dictionary checks; suffix/
+    // infix prune only via a complete dictionary. Truncated parquet string
+    // stats only WIDEN [min,max], so the range check stays sound.
+    case StringStartsWith(c, p) if p.nonEmpty =>
+      readsAllNull(fr, c) ||
+        (for ((mn, mx) <- range(fr, c)) yield (mn, mx) match {
+          case (JString(lo), JString(hi)) =>
+            val pu = UTF8String.fromString(p)
+            UTF8String.fromString(hi).binaryCompare(pu) < 0 ||
+              prefixSuccessor(p).exists(succ =>
+                UTF8String.fromString(lo).binaryCompare(succ) >= 0)
+          case _ => false
+        }).getOrElse(false) ||
+        fr.stats.get(c).flatMap(_.distinct).exists(!_.exists(_.startsWith(p)))
+    case StringEndsWith(c, p) =>
+      readsAllNull(fr, c) ||
+        fr.stats.get(c).flatMap(_.distinct).exists(!_.exists(_.endsWith(p)))
+    case StringContains(c, p) =>
+      readsAllNull(fr, c) ||
+        fr.stats.get(c).flatMap(_.distinct).exists(!_.exists(_.contains(p)))
     case And(l, r) =>
       provablyEmpty(fr, schema, l, fullPath, bloomAbsent) ||
         provablyEmpty(fr, schema, r, fullPath, bloomAbsent)
@@ -383,6 +413,21 @@ object LancePruning {
 
   private def range(fr: FragmentMeta, c: String): Option[(JValue, JValue)] =
     fr.stats.get(c).flatMap(s => for (mn <- s.min; mx <- s.max) yield (mn, mx))
+
+  /** Smallest byte string greater than every string with UTF-8 prefix `p`:
+    * drop trailing 0xFF bytes, increment the last remaining byte. None when
+    * `p` is all 0xFF (no finite upper bound). */
+  private def prefixSuccessor(p: String): Option[UTF8String] = {
+    val b = p.getBytes(StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(UTF8String.fromBytes(out))
+    }
+  }
 
   private def noNulls(fr: FragmentMeta, c: String): Boolean =
     fr.stats.get(c).flatMap(_.nullCount).contains(0L)

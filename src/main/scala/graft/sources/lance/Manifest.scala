@@ -416,7 +416,12 @@ object ManifestIO {
   private def cmp(a: JValue, b: JValue): Int = (a, b) match {
     case (JLong(x), JLong(y)) => java.lang.Long.compare(x, y)
     case (JDouble(x), JDouble(y)) => java.lang.Double.compare(x, y)
-    case (JString(x), JString(y)) => x.compareTo(y)
+    // parquet records string min/max in unsigned UTF-8 byte order; merge in
+    // the SAME order (Java String compareTo = UTF-16 code units diverges for
+    // supplementary-plane chars vs U+E000–U+FFFF and would mis-merge)
+    case (JString(x), JString(y)) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case _ => 0
   }
   def jMin(a: JValue, b: JValue): JValue = if (cmp(a, b) <= 0) a else b

@@ -730,6 +730,60 @@ class LanceSpec extends SparkSpec {
     assert(LanceWriteUtil.stampRacedDrops(frags, tableSchema, tableSchema) === frags)
   }
 
+  test("LIKE-family filters prune fragments via string ranges and dictionaries") {
+    import spark.implicits._
+    val root = tmp()
+    // 4 fragments over sorted keys: a-prefixed, b-, c-, d-
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (p, i) =>
+      (0 until 50).map(n => (f"$p$n%03d-suffix$i", i.toLong)).toDF("key", "grp")
+        .coalesce(1).write.format("lance").mode("append").save(root)
+    }
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).get.group(1).toInt
+    val ds = spark.read.format("lance").load(root)
+    // prefix LIKE prunes by string range: only the b-fragment can match
+    val pre = ds.filter(col("key").startsWith("b0"))
+    assert(scanned(pre) === 1, pre.queryExecution.executedPlan.toString)
+    assert(pre.count() === 50)
+    // absent prefix prunes everything
+    assert(scanned(ds.filter(col("key").startsWith("zz"))) === 0)
+    // suffix/contains prune through the exact value dictionary... these
+    // fragments exceed the dict cap (50 > 32), so LIKE '%x' keeps all —
+    // write a small-dict dataset to exercise the dictionary path
+    val root2 = tmp()
+    Seq.fill(20)("alpha").zipWithIndex.map { case (s, i) => (s + (i % 3), i.toLong) }
+      .toDF("key", "n").coalesce(1).write.format("lance").save(root2)
+    Seq.fill(20)("beta").zipWithIndex.map { case (s, i) => (s + (i % 3), i.toLong) }
+      .toDF("key", "n").coalesce(1).write.format("lance").mode("append").save(root2)
+    val ds2 = spark.read.format("lance").load(root2)
+    assert(scanned(ds2.filter(col("key").endsWith("0").and(col("key").startsWith("alpha")))) === 1)
+    assert(scanned(ds2.filter(col("key").contains("bet"))) === 1)
+    assert(ds2.filter(col("key").contains("bet")).count() === 20)
+  }
+
+  test("string pruning compares in UTF-8 binary order, not UTF-16") {
+    import spark.implicits._
+    // U+FFFF sorts ABOVE the emoji in UTF-16 code units but BELOW it in
+    // UTF-8 bytes (EF BF BF < F0 9F 98 80) — parquet stats and Spark's
+    // string comparisons are both UTF-8 binary, so pruning must be too.
+    // A UTF-16-order prune would drop this fragment for `key < '😀'`
+    // even though its row matches.
+    val root = tmp()
+    Seq(("￿", 1L)).toDF("key", "n")
+      .write.format("lance").save(root)
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.filter(col("key") < "😀").count() === 1)
+    assert(ds.filter(col("key").startsWith("￿")).count() === 1)
+    // and the emoji side: startsWith on a supplementary-plane prefix
+    val root2 = tmp()
+    Seq(("😀tail", 1L), ("￿", 2L)).toDF("key", "n")
+      .write.format("lance").save(root2)
+    val ds2 = spark.read.format("lance").load(root2)
+    assert(ds2.filter(col("key").startsWith("😀")).count() === 1)
+    assert(ds2.filter(col("key") > "￿").count() === 1)
+  }
+
   test("bloom filters prune equality lookups on high-cardinality columns") {
     import spark.implicits._
     val root = tmp()
