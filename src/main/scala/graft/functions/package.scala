@@ -59,6 +59,11 @@ package object functions {
   def shingle_hashes(s: Column, k: Int, seed: Long = 42L): Column =
     Column(ShingleHashes(expression(s), k, seed))
 
+  /** Bounded sorted collect (aggregate): up to `cap` longs per group,
+    * NULL for groups that overflow — the LSH mega-bucket skew guard. */
+  def capped_sorted_list(v: Column, cap: Int): Column =
+    Column(CappedSortedList(expression(v), cap).toAggregateExpression())
+
   /** (name, builder) for every SQL-exposed graft function — shared by
     * session-level [[registerAll]] and the [[graft.GraftExtensions]]
     * spark.sql.extensions entry point. */

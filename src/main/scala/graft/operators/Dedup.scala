@@ -56,33 +56,41 @@ object Dedup extends QueryModule {
   private val BucketCap = 100
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = docsWithShingles(s, dir)
-      .select(col("doc_id"), col("sh"),
-        minhash(col("sh"), MinhashHashes, 42L).as("sig"))
-    // base feeds four plan branches (bands ×2 via mega/capped, sets ×2);
-    // cache only for the duration of this computation — the small pair
-    // result is localCheckpoint'd (eager) so we can unpersist before
-    // returning instead of leaking a cached plan per invocation
-    base.cache()
-    try {
-    val bands = base.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
+    // ONE map pass — shingles → 128-hash signature → 32 band keys — then
+    // ONE shuffle that both groups the buckets and guards skew:
+    // capped_sorted_list bounds its own aggregation state at cap+1 and
+    // NULLs out overflowing buckets, so a degenerate band key (every
+    // near-identical doc in one bucket) neither grows executor memory nor
+    // becomes a straggler. Dropping a mega-bucket is recall-safe: a true
+    // near-dup pair collides in ~all 32 bands. The map stage is
+    // repartitioned first because the expensive work (minhash over every
+    // shingle) is compute-bound — a coarse source split (one small parquet
+    // file locally; an unsplittable blob at scale) would serialize it.
+    val cand = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhash(col("sh"), MinhashHashes, 42L).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
       .toDF("doc_id", "band_idx", "band_key")
-    // skew guard without a window: a window over (band, key) would shuffle
-    // every bucket's rows into ONE task before dropping any — a degenerate
-    // band key becomes a straggler at scale. Instead aggregate bucket
-    // counts (map-side partial agg), keep only the mega-buckets (tiny by
-    // construction), and anti-join them away broadcast-side.
-    val mega = bands.groupBy("band_idx", "band_key").count()
-      .filter(col("count") > BucketCap)
-      .select("band_idx", "band_key")
-    val capped = bands.join(broadcast(mega), Seq("band_idx", "band_key"), "left_anti")
-    val cand = capped.select(col("doc_id").as("a_id"), col("band_idx"), col("band_key"))
-      .join(capped.select(col("doc_id").as("b_id"), col("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val sets = base.select(col("doc_id"), col("sh"))
+      .groupBy("band_idx", "band_key")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
+      // NULL = overflowed mega-bucket; pair fan-out is bounded by cap²/2
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    // verify with exact Jaccard: shingle sets are recomputed only for
+    // candidate docs (the semi-join filters BEFORE the shingle projection);
+    // cand is tiny after distinct, so AQE broadcasts it into both joins
+    val sets = t(s, dir, "documents")
+      .join(cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), graft.functions.shingle_hashes(col("text"), 3).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
@@ -90,8 +98,6 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= JaccardTau)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
-      .localCheckpoint()
-    } finally base.unpersist(false)
   }
 
   // ---- dedup_simhash -----------------------------------------------------

@@ -35,8 +35,11 @@ object Pipeline extends QueryModule {
       .select(col("b_id").as("doc_id")).distinct()
     val kept = keepExact
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-    // 3. quality filter + report
-    docs.join(broadcast(kept), Seq("doc_id"))
+    // 3. quality filter + report. The survivor-id side is O(corpus) — a
+    // broadcast hint here would collect billions of ids on the driver at
+    // scale, so the join stays a shuffle on doc_id (AQE may still choose a
+    // broadcast when the survivor set is genuinely small).
+    docs.join(kept, Seq("doc_id"))
       .withColumn("w", TextAnalysis.tokens)
       .withColumn("q", TextAnalysis.qualityScore)
       .filter(col("q") >= QualityTau)
