@@ -140,7 +140,12 @@ object LanceOps extends QueryModule {
         (col("vec_id") % 1000).cast("int")).as("d"), // date
       timestamp_millis(col("vec_id") * 1000).as("ts"), // timestamp
       (col("vec_id").cast(DecimalType(18, 4)) + lit(0.5)).cast(DecimalType(18, 4)).as("dec"),
-      concat(lit("v"), col("vec_id").cast("string")).as("str"))
+      concat(lit("v"), col("vec_id").cast("string")).as("str"),
+      // nested types (reference: LanceTypeConverter.java:383-389 maps ROW/ARRAY)
+      struct(col("vec_id").as("id"),
+        concat(lit("s"), col("vec_id").cast("string")).as("tag")).as("st"),
+      array(struct(col("vec_id").as("v")),
+        struct((col("vec_id") * 2).as("v"))).as("arr_st"))
     src.write.format("lance").save(root)
     read(s, root).agg(
       count(lit(1)).as("n"),
@@ -151,7 +156,11 @@ object LanceOps extends QueryModule {
       min("d").as("d_min"), max("d").as("d_max"),
       min("ts").as("ts_min"), max("ts").as("ts_max"),
       sum(col("dec")).cast("double").as("dec_sum"),
-      count_distinct(col("str")).as("n_str"))
+      count_distinct(col("str")).as("n_str"),
+      sum(col("st").getField("id")).as("st_id_sum"),
+      count_distinct(col("st").getField("tag")).as("n_st_tag"),
+      sum(size(col("arr_st"))).as("arr_cells"),
+      sum(expr("aggregate(arr_st, CAST(0 AS BIGINT), (a, x) -> a + x.v)")).as("arr_v_sum"))
   }
 
   // ---- SQL catalog -------------------------------------------------------
@@ -370,7 +379,11 @@ object LanceOps extends QueryModule {
         |  min(epoch_ms(vec_id * 1000)) AS ts_min,
         |  max(epoch_ms(vec_id * 1000)) AS ts_max,
         |  CAST(sum(CAST(CAST(vec_id AS DECIMAL(18,4)) + 0.5 AS DECIMAL(18,4))) AS DOUBLE) AS dec_sum,
-        |  count(DISTINCT 'v' || CAST(vec_id AS VARCHAR)) AS n_str
+        |  count(DISTINCT 'v' || CAST(vec_id AS VARCHAR)) AS n_str,
+        |  CAST(sum(vec_id) AS BIGINT) AS st_id_sum,
+        |  count(DISTINCT 's' || CAST(vec_id AS VARCHAR)) AS n_st_tag,
+        |  CAST(2 * count(*) AS BIGINT) AS arr_cells,
+        |  CAST(sum(3 * vec_id) AS BIGINT) AS arr_v_sum
         |FROM embeddings""".stripMargin,
     "lance_sql_catalog" ->
       """SELECT 2 * count(*) AS n, count(DISTINCT n_nationkey) AS n_keys,

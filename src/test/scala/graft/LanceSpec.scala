@@ -312,6 +312,32 @@ class LanceSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM lance_evo.db.r").columns.toSeq === Seq("r_regionkey", "r_name"))
   }
 
+  test("catalog: ALTER TABLE ADD COLUMN of struct / array<struct> type evolves") {
+    spark.conf.set("spark.sql.catalog.lance_nst",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lance_nst.warehouse", tmp())
+    spark.sql("CREATE NAMESPACE lance_nst.db")
+    spark.sql("CREATE TABLE lance_nst.db.t AS SELECT * FROM VALUES (1), (2) AS v(id)")
+    spark.sql("ALTER TABLE lance_nst.db.t ADD COLUMN meta STRUCT<a: BIGINT, b: STRING>")
+    // old fragments surface the new struct column as NULL
+    val afterAdd = spark.sql("SELECT id, meta FROM lance_nst.db.t ORDER BY id").collect()
+    assert(afterAdd.forall(_.isNullAt(1)), afterAdd.mkString(", "))
+    // new inserts carry struct values; nested field projection + filter work
+    spark.sql("INSERT INTO lance_nst.db.t " +
+      "SELECT 3, named_struct('a', CAST(30 AS BIGINT), 'b', 'z')")
+    assert(spark.sql("SELECT meta.a FROM lance_nst.db.t WHERE meta.b = 'z'")
+      .first().getLong(0) === 30)
+    assert(spark.sql("SELECT count(*) FROM lance_nst.db.t WHERE meta IS NULL")
+      .first().getLong(0) === 2)
+    spark.sql("ALTER TABLE lance_nst.db.t ADD COLUMN tags ARRAY<STRUCT<k: STRING, v: BIGINT>>")
+    spark.sql("INSERT INTO lance_nst.db.t " +
+      "SELECT 4, named_struct('a', CAST(40 AS BIGINT), 'b', 'w'), " +
+      "array(named_struct('k', 'x', 'v', CAST(7 AS BIGINT)))")
+    assert(spark.sql("SELECT tags[0].v FROM lance_nst.db.t WHERE id = 4")
+      .first().getLong(0) === 7)
+    assert(spark.sql("SELECT count(*) FROM lance_nst.db.t").first().getLong(0) === 4)
+  }
+
   test("catalog: DROP then re-ADD same column null-masks pre-drop fragments") {
     spark.conf.set("spark.sql.catalog.lance_mask",
       classOf[graft.sources.lance.LanceCatalog].getName)
