@@ -113,6 +113,47 @@ object LanceOps extends QueryModule {
       count_distinct(col("o_orderstatus")).as("n_status"))
   }
 
+  /** Aggregates under an exactly-enforced filter: orders land in
+    * status-pure appends, so `o_orderstatus = 'F'` provably decides every
+    * fragment (all-match or empty from manifest stats) — the filter is
+    * consumed by fragment pruning and COUNT/SUM/MIN/MAX/AVG answer from
+    * the manifest with zero data files read (reference filters before
+    * aggregating source-side: AggregateExecutor.java:102-161). */
+  private def filteredAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("filtagg")
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderstatus") === "F")
+      .write.format("lance").option("maxRowsPerFile", "3000").save(root)
+    orders.filter(col("o_orderstatus") =!= "F")
+      .write.format("lance").mode("append").option("maxRowsPerFile", "3000").save(root)
+    read(s, root).filter(col("o_orderstatus") === "F").agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_cust"),
+      sum("o_custkey").as("sum_cust"),
+      min("o_orderkey").as("min_key"),
+      max("o_orderkey").as("max_key"),
+      avg("o_custkey").as("avg_cust"))
+  }
+
+  /** GROUP BY pushdown: one append per status clusters the dataset by the
+    * group key, so every fragment is single-valued in `o_orderstatus` and
+    * grouped COUNT/SUM/MIN/MAX answer from per-fragment stats — zero data
+    * files read (reference: AggregateExecutor.java:81-197 keeps per-group
+    * state source-side). */
+  private def aggGroupBy(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("groupby")
+    val orders = t(s, dir, "orders")
+    for (st <- Seq("F", "O", "P"))
+      orders.filter(col("o_orderstatus") === st)
+        .write.format("lance").mode("append").option("maxRowsPerFile", "3000").save(root)
+    read(s, root).groupBy("o_orderstatus").agg(
+      count(lit(1)).as("n"),
+      sum("o_custkey").as("sum_cust"),
+      min("o_orderkey").as("min_key"),
+      max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- versioning --------------------------------------------------------
 
   private def timeTravel(s: SparkSession, dir: String): DataFrame = {
@@ -321,6 +362,8 @@ object LanceOps extends QueryModule {
     "lance_filter_pushdown" -> filterPushdown,
     "lance_limit_pushdown" -> limitPushdown,
     "lance_agg_pushdown" -> aggPushdown,
+    "lance_filtered_stats" -> filteredAgg,
+    "lance_agg_groupby" -> aggGroupBy,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
@@ -367,6 +410,17 @@ object LanceOps extends QueryModule {
         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
         |  count(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
+    "lance_filtered_stats" ->
+      """SELECT count(*) AS n, count(o_custkey) AS n_cust,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  avg(o_custkey) AS avg_cust
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "lance_agg_groupby" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",
     "lance_types_roundtrip" ->

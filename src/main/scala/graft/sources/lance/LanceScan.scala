@@ -53,20 +53,42 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       manifest.schema.add(LanceMetadata.ChangeCol, StringType, nullable = false)
     else manifest.schema
   private var filters: Array[Filter] = Array.empty
+  private var allFiltersExact: Boolean = true // vacuously, until pushFilters
   private var limit: Option[Int] = None
   private var aggSchema: Option[StructType] = None
-  private var aggValues: Option[Array[Any]] = None
+  private var aggRows: Option[Seq[Array[Any]]] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
-    fs // all residual: Spark re-evaluates (stats pruning is best-effort)
+    // A filter every fragment is DECIDED under — provably all-match or
+    // provably empty from manifest stats — is enforced exactly by fragment
+    // pruning alone: build() drops the empty fragments and every row of
+    // what remains satisfies it. Such filters are consumed (not returned
+    // as residual), which removes the post-scan Filter node and unlocks
+    // aggregate/limit pushdown under them (reference: the source-side
+    // filter-then-aggregate path, LanceVectorSearch.java:170-171 analog).
+    // Undecided filters stay residual: pruning is then best-effort and
+    // Spark re-evaluates. (Filters on `_file`/`_pos` are never all-match,
+    // so the DML position scans keep their residual semantics.)
+    val (exact, residual) = fs.partition { f =>
+      manifest.fragments.forall { fr =>
+        LancePruning.provablyEmpty(fr, manifest.schema, f,
+          new org.apache.hadoop.fs.Path(root, fr.path).toString) ||
+          LancePruning.provablyAllMatch(fr, f)
+      }
+    }
+    allFiltersExact = residual.isEmpty
+    if (exact.isEmpty) fs else residual
   }
   override def pushedFilters(): Array[Filter] = filters
 
   override def pruneColumns(s: StructType): Unit = required = s
 
   override def pushLimit(n: Int): Boolean = {
-    if (filters.isEmpty) { limit = Some(n); true } else false
+    // exactly-enforced filters keep manifest row counts exact (every live
+    // row of every kept fragment matches), so limit can still truncate the
+    // fragment list; undecided filters make counts over-estimates → decline
+    if (filters.isEmpty || allFiltersExact) { limit = Some(n); true } else false
   }
 
   // ---- aggregate pushdown ------------------------------------------------
@@ -83,50 +105,55 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     case _ => false
   }
 
-  /** Per-fragment stats are recorded over PHYSICAL rows; once any fragment
-    * carries a delete vector they remain sound bounds (pruning) but can no
-    * longer answer aggregates exactly — a deleted row could be the min, a
-    * null, the last holder of a dictionary value. COUNT(*) alone stays
-    * answerable: liveRows is exact. */
-  private val noDeletes: Boolean = manifest.fragments.forall(_.deletes.isEmpty)
-
-  private def colStats(name: String): Option[Seq[ColStats]] = {
-    if (!noDeletes) return None
-    val per = manifest.fragments.map(_.stats.get(name))
+  /** Per-fragment stats are recorded over PHYSICAL rows; once a domain
+    * fragment carries a delete vector they remain sound bounds (pruning)
+    * but can no longer answer aggregates exactly — a deleted row could be
+    * the min, a null, the last holder of a dictionary value. COUNT(*) alone
+    * stays answerable: liveRows is exact.
+    *
+    * `domain` = the fragments the answer ranges over: all of them for an
+    * unfiltered aggregate, the provably-all-match subset under exactly-
+    * enforced filters (every live domain row satisfies the filters, so
+    * fragment stats ARE the filtered stats). */
+  private def colStats(name: String, domain: Seq[FragmentMeta]): Option[Seq[ColStats]] = {
+    if (!domain.forall(_.deletes.isEmpty)) return None
+    val per = domain.map(_.stats.get(name))
     if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
   }
 
-  /** Answer one agg func from the manifest, or None if not answerable. */
-  private def answer(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc):
+  /** Answer one agg func from the manifest over `domain` (live row count
+    * `domainRows`), or None if not answerable. */
+  private def answer(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc,
+                     domain: Seq[FragmentMeta], domainRows: Long):
       Option[(StructField, Any)] = f match {
     case _: CountStar =>
-      Some((StructField("count_star", LongType, nullable = false), manifest.totalRows))
+      Some((StructField("count_star", LongType, nullable = false), domainRows))
     case c: Count if !c.isDistinct =>
       for {
         name <- fieldName(c.column)
-        ss <- colStats(name)
+        ss <- colStats(name, domain)
         nulls <- if (ss.forall(_.nullCount.isDefined)) Some(ss.map(_.nullCount.get).sum) else None
       } yield (StructField(s"count_$name", LongType, nullable = false),
-        manifest.totalRows - nulls)
+        domainRows - nulls)
     case c: Count if c.isDistinct =>
       // exact COUNT(DISTINCT) from the per-fragment value dictionaries —
       // answerable only for low-cardinality string columns
       for {
         name <- fieldName(c.column)
-        dicts <- allDicts(name)
+        dicts <- allDicts(name, domain)
       } yield (StructField(s"count_distinct_$name", LongType, nullable = false),
         dicts.flatten.toSet.size.toLong)
     case m: Min =>
-      minMax(m.column, isMin = true)
+      minMax(m.column, isMin = true, domain)
     case m: Max =>
-      minMax(m.column, isMin = false)
+      minMax(m.column, isMin = false, domain)
     case s: Sum if !s.isDistinct =>
       // exact per-fragment long sums folded with overflow checks: integral
       // columns sum to Spark's LongType Sum result; decimal(<=18) columns
       // sum in the unscaled-long domain and answer as Spark's
       // DecimalType.bounded(p+10, s) Sum result
       // (reference: AggregateExecutor.java:125-161 answers every numeric)
-      sumStat(s.column).map { case (name, dt, total, nonNull) =>
+      sumStat(s.column, domain, domainRows).map { case (name, dt, total, nonNull) =>
         dt match {
           case d: DecimalType =>
             val rt = DecimalType(math.min(38, d.precision + 10), d.scale)
@@ -140,7 +167,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
         }
       }
     case a: Avg if !a.isDistinct =>
-      sumStat(a.column).map { case (name, dt, total, nonNull) =>
+      sumStat(a.column, domain, domainRows).map { case (name, dt, total, nonNull) =>
         dt match {
           case d: DecimalType =>
             // Spark's Average over decimal(p,s) yields bounded(p+4, s+4)
@@ -168,7 +195,8 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     * exact sum for the column — integral types in the value domain,
     * decimal(<=18) in the unscaled-long domain; fold overflow declines
     * (None → full scan). */
-  private def sumStat(col: org.apache.spark.sql.connector.expressions.Expression):
+  private def sumStat(col: org.apache.spark.sql.connector.expressions.Expression,
+                      domain: Seq[FragmentMeta], domainRows: Long):
       Option[(String, DataType, Long, Long)] =
     for {
       name <- fieldName(col)
@@ -177,31 +205,39 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
         field.dataType == IntegerType || field.dataType == LongType ||
         (field.dataType.isInstanceOf[DecimalType] &&
           field.dataType.asInstanceOf[DecimalType].precision <= 18)
-      ss <- colStats(name)
+      ss <- colStats(name, domain)
       if ss.forall(s => s.sum.isDefined && s.nullCount.isDefined)
       total <- try Some(ss.map(_.sum.get).foldLeft(0L)(Math.addExact))
                catch { case _: ArithmeticException => None }
-    } yield (name, field.dataType, total, manifest.totalRows - ss.map(_.nullCount.get).sum)
+    } yield (name, field.dataType, total, domainRows - ss.map(_.nullCount.get).sum)
 
-  /** Every fragment's non-empty value dictionary for a string column, or
-    * None if any fragment lacks one (then dictionary answers decline). */
-  private def allDicts(name: String): Option[Seq[Seq[String]]] = {
+  /** Every domain fragment's non-empty value dictionary for a string
+    * column, or None if any lacks one (then dictionary answers decline). */
+  private def allDicts(name: String, domain: Seq[FragmentMeta]): Option[Seq[Seq[String]]] = {
     val isString = manifest.schema.fields.exists(f =>
       f.name == name && f.dataType == StringType)
-    if (!isString || manifest.fragments.isEmpty || !noDeletes) None
+    if (!isString || !domain.forall(_.deletes.isEmpty)) None
     else {
-      val per = manifest.fragments.map(_.stats.get(name).flatMap(_.distinct))
+      val per = domain.map(_.stats.get(name).flatMap(_.distinct))
       if (per.forall(d => d.isDefined && d.get.nonEmpty)) Some(per.map(_.get)) else None
     }
   }
 
   private def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
-                     isMin: Boolean): Option[(StructField, Any)] = {
+                     isMin: Boolean, domain: Seq[FragmentMeta]): Option[(StructField, Any)] = {
+    // empty domain (every fragment provably empty under the filters):
+    // MIN/MAX over zero rows is NULL of the column's type
+    if (domain.isEmpty) {
+      return for {
+        name <- fieldName(col)
+        field <- manifest.schema.fields.find(_.name == name)
+      } yield (StructField(s"${if (isMin) "min" else "max"}_$name", field.dataType), null)
+    }
     val numeric = for {
       name <- fieldName(col)
       field <- manifest.schema.fields.find(_.name == name)
       if statType(field.dataType)
-      ss <- colStats(name)
+      ss <- colStats(name, domain)
       if ss.nonEmpty && ss.forall(s => s.min.isDefined && s.max.isDefined)
     } yield {
       val vals = if (isMin) ss.map(_.min.get) else ss.map(_.max.get)
@@ -213,7 +249,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     // but the exact value dictionary, when complete, answers them
     def stringViaDict = for {
       name <- fieldName(col)
-      dicts <- allDicts(name)
+      dicts <- allDicts(name, domain)
     } yield {
       // Spark's Min/Max on StringType order by UTF8String (UTF-8 byte)
       // comparison, which diverges from java.lang.String (UTF-16 code
@@ -240,14 +276,79 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     case _ => throw new IllegalStateException(s"stat/type mismatch: $v vs $dt")
   }
 
-  private def tryAnswerAll(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
-    val answers = agg.aggregateExpressions.toSeq.map(answer)
+  /** The fragments whose every live row satisfies the pushed filters.
+    * Only meaningful when all filters are exactly enforced — then every
+    * fragment is either all-match (in the domain) or provably empty
+    * (contributes nothing). */
+  private def filterDomain: Seq[FragmentMeta] =
+    if (filters.isEmpty) manifest.fragments
+    else manifest.fragments.filter(fr =>
+      filters.forall(f => LancePruning.provablyAllMatch(fr, f)))
+
+  private def tryAnswerAll(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+    if (filters.nonEmpty && !allFiltersExact) return None
+    val domain = filterDomain
+    if (agg.groupByExpressions.nonEmpty) return tryAnswerGrouped(agg, domain)
+    val domainRows = domain.map(_.liveRows).sum
+    val answers = agg.aggregateExpressions.toSeq.map(answer(_, domain, domainRows))
     if (answers.forall(_.isDefined)) {
       val fields = answers.map(_.get._1)
       val values = answers.map(_.get._2).toArray
-      Some((StructType(fields), values))
+      Some((StructType(fields), Seq(values)))
     } else None
+  }
+
+  /** GROUP BY pushdown from per-fragment stats (reference executes grouped
+    * aggregates source-side: AggregateExecutor.java:81-197). Answerable
+    * when every group key is a plain column and every domain fragment is
+    * SINGLE-VALUED and null-free in all the keys (min == max, or a 1-entry
+    * value dictionary for strings) — data clustered/appended by the key —
+    * so fragment stats are per-group partial stats; groups then combine
+    * across fragments exactly like the global path. One output row per
+    * distinct key tuple, zero data files read. */
+  private def tryAnswerGrouped(agg: Aggregation, domain: Seq[FragmentMeta]):
+      Option[(StructType, Seq[Array[Any]])] = {
+    val keyFields: Seq[StructField] = {
+      val named = agg.groupByExpressions.toSeq.map(fieldName)
+      if (named.exists(_.isEmpty)) return None
+      named.map(_.get).map { n =>
+        manifest.schema.fields.find(_.name == n).getOrElse(return None)
+      }
+    }
+    // the single key value of a fragment, in Spark's internal domain, or
+    // None when the fragment is not provably single-valued in the column
+    def keyOf(fr: FragmentMeta, field: StructField): Option[Any] = {
+      val s = fr.stats.get(field.name).getOrElse(return None)
+      if (!s.nullCount.contains(0L)) return None
+      field.dataType match {
+        case StringType => s.distinct.collect {
+          case Seq(only) => UTF8String.fromString(only): Any
+        }
+        // float/double keys decline: boxed equality distinguishes -0.0 from
+        // 0.0 (and NaN from NaN) where Spark's grouping normalizes them
+        case dt if statType(dt) && dt != FloatType && dt != DoubleType =>
+          for (mn <- s.min; mx <- s.max; if mn == mx) yield toInternal(mn, dt)
+        case _ => None
+      }
+    }
+    val keyed: Seq[(Seq[Any], FragmentMeta)] = domain.map { fr =>
+      val ks = keyFields.map(f => keyOf(fr, f).getOrElse(return None))
+      (ks, fr)
+    }
+    // per group: answer every agg over the group's fragment subset — one
+    // output row per distinct key tuple (complete pushdown: Spark plans no
+    // final aggregate, so same-key fragments MUST merge here)
+    val groups = keyed.groupBy(_._1).toSeq.map { case (ks, frs) => (ks, frs.map(_._2)) }
+    var aggFields: Seq[StructField] = Nil
+    val rows = groups.map { case (ks, frs) =>
+      val rowsIn = frs.map(_.liveRows).sum
+      val answers = agg.aggregateExpressions.toSeq.map(answer(_, frs, rowsIn))
+      if (answers.exists(_.isEmpty)) return None
+      if (aggFields.isEmpty) aggFields = answers.map(_.get._1)
+      (ks ++ answers.map(_.get._2)).toArray[Any]
+    }
+    if (rows.isEmpty) return None // no decided grouping (empty domain): scan
+    Some((StructType(keyFields ++ aggFields), rows))
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -255,14 +356,14 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
 
   override def pushAggregation(agg: Aggregation): Boolean =
     tryAnswerAll(agg) match {
-      case Some((schema, values)) =>
-        aggSchema = Some(schema); aggValues = Some(values); true
+      case Some((schema, rows)) =>
+        aggSchema = Some(schema); aggRows = Some(rows); true
       case None => false
     }
 
   // ---- build -------------------------------------------------------------
 
-  override def build(): Scan = (aggSchema, aggValues) match {
+  override def build(): Scan = (aggSchema, aggRows) match {
     case (Some(s), Some(v)) => new LanceStatsScan(root, s, v)
     case _ =>
       // equality-bloom probe: consulted only for fragments the range/dict
@@ -408,6 +509,9 @@ object LancePruning {
     case Or(l, r) =>
       provablyEmpty(fr, schema, l, fullPath, bloomAbsent) &&
         provablyEmpty(fr, schema, r, fullPath, bloomAbsent)
+    // every row satisfies f0 ⇒ no row satisfies NOT f0 (rows evaluating f0
+    // to NULL satisfy neither, but all-match proves there are none)
+    case Not(f0) => provablyAllMatch(fr, f0)
     case _ => false
   }
 
@@ -459,6 +563,12 @@ object LancePruning {
     case IsNotNull(c) => noNulls(fr, c)
     case And(l, r) => provablyAllMatch(fr, l) && provablyAllMatch(fr, r)
     case Or(l, r) => provablyAllMatch(fr, l) || provablyAllMatch(fr, r)
+    // NOT f0 holds on every row iff f0 is FALSE (not NULL) everywhere: no
+    // row satisfies f0, and no referenced column has nulls (a null makes a
+    // comparison evaluate NULL, and NOT NULL is NULL — row not matched)
+    case Not(f0) =>
+      f0.references.forall(c => noNulls(fr, c)) &&
+        provablyEmpty(fr, StructType(Nil), f0)
     case AlwaysTrue() => true
     case _ => false
   }
@@ -569,6 +679,17 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   private def maskKey(fr: FragmentMeta): LanceColumnMap =
     LanceColumnMap.of(fr, relevantCols)
 
+  /** Filters safe to hand the parquet readers: every referenced column must
+    * be in the read schema — the record-level evaluator treats a filter
+    * column missing from the requested projection as NULL and drops every
+    * row. Exactly-consumed filters may reference unprojected columns
+    * (Spark no longer forces them into the projection); they are enforced
+    * by fragment pruning and need no reader-level help. */
+  private val readerFilters: Seq[Filter] = {
+    val projected = required.fieldNames.toSet
+    filters.filter(_.references.forall(projected))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // limit: stop enumerating fragments once manifest row counts cover it
     val chosen = limit match {
@@ -605,15 +726,15 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     if (colMaps.forall(_.isIdentity) && !fileRequested && !posRequested &&
         !changeRequested && !anyDv) {
       val columnar = limit.isEmpty && Shim.parquetSupportsBatch(spark, required)
-      val readFn = Shim.parquetReader(spark, manifest.schema, required, filters, options,
-        returningBatch = columnar)
+      val readFn = Shim.parquetReader(spark, manifest.schema, required, readerFilters,
+        options, returningBatch = columnar)
       new LanceReaderFactory(readFn, limit, columnar)
     } else {
       // hidden-column masks, renames, delete vectors and/or metadata
       // columns need per-row handling (row path; Spark forbids mixing row
       // and columnar partitions in one scan)
       new LanceMaskedReaderFactory(
-        LanceReadGroup.build(spark, manifest.schema, required, filters, options,
+        LanceReadGroup.build(spark, manifest.schema, required, readerFilters, options,
           colMaps, posRequested),
         limit, Shim.serializableConf(Shim.hadoopConf(spark, options)))
     }
@@ -850,9 +971,11 @@ class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
   }
 }
 
-/** Aggregate-pushdown result: a single-row scan materialized from manifest
-  * stats — the scan reads zero data files. */
-class LanceStatsScan(root: String, aggSchema: StructType, values: Array[Any])
+/** Aggregate-pushdown result materialized from manifest stats — the scan
+  * reads zero data files. One row for a global aggregate; one row per
+  * group for the single-valued-fragment GROUP BY pushdown (row count is
+  * O(groups), bounded by the fragment count — driver-size safe). */
+class LanceStatsScan(root: String, aggSchema: StructType, rows: Seq[Array[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
@@ -860,17 +983,18 @@ class LanceStatsScan(root: String, aggSchema: StructType, values: Array[Any])
     s"LanceStatsScan root=$root PushedAggregates: ${aggSchema.fieldNames.mkString("[", ", ", "]")} (answered from manifest stats)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LanceStatsPartition(values))
+    Array(LanceStatsPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
-        private val vals = partition.asInstanceOf[LanceStatsPartition].values
-        private var done = false
-        override def next(): Boolean = if (done) false else { done = true; true }
-        override def get(): InternalRow = new GenericInternalRow(vals)
+        private val it = partition.asInstanceOf[LanceStatsPartition].rows.iterator
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { current = new GenericInternalRow(it.next()); true } else false
+        override def get(): InternalRow = current
         override def close(): Unit = ()
       }
   }
 }
 
-case class LanceStatsPartition(values: Array[Any]) extends InputPartition
+case class LanceStatsPartition(rows: Seq[Array[Any]]) extends InputPartition

@@ -162,7 +162,8 @@ class LanceSpec extends SparkSpec {
     // SUM is not answerable from min/max stats → normal scan, same result
     val sPlan = ds.agg(sum("o_totalprice")).queryExecution.executedPlan.toString
     assert(!sPlan.contains("LanceStatsScan"), sPlan)
-    // filtered agg must not use the stats path either
+    // a filter some fragment is UNDECIDED under (the one holding custkey<=3
+    // spans the boundary) stays residual → no stats answer
     val fPlan = ds.filter(col("o_custkey") > 3).agg(count(lit(1)))
       .queryExecution.executedPlan.toString
     assert(!fPlan.contains("LanceStatsScan"), fPlan)
@@ -170,6 +171,73 @@ class LanceSpec extends SparkSpec {
     val viaStats = ds.agg(count(lit(1)), min("o_custkey")).collect()(0)
     val viaScan = orders.agg(count(lit(1)), min("o_custkey")).collect()(0)
     assert(viaStats === viaScan)
+  }
+
+  test("exactly-decided filters are consumed: filtered aggregates answer from stats") {
+    val root = tmp()
+    // status-pure appends → `o_orderstatus = 'F'` decides every fragment
+    orders.filter(col("o_orderstatus") === "F")
+      .write.format("lance").option("maxRowsPerFile", "500").save(root)
+    orders.filter(col("o_orderstatus") =!= "F")
+      .write.format("lance").mode("append").option("maxRowsPerFile", "500").save(root)
+    val ds = spark.read.format("lance").load(root)
+
+    def fAgg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_orderstatus") === "F").agg(count(lit(1)), sum("o_custkey"),
+        min("o_orderkey"), max("o_orderkey"), avg("o_custkey"))
+    val q = fAgg(ds)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LanceStatsScan"), plan)
+    assert(q.collect()(0) === fAgg(orders).collect()(0))
+
+    // the consumed filter governs plain row scans too (no Filter node left)
+    val keys = ds.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val expectKeys = orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys === expectKeys)
+
+    // limit pushes under an exactly-enforced filter
+    val lim = ds.filter(col("o_orderstatus") === "F").limit(7)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 7"))
+    assert(lim.count() === 7)
+
+    // a filter matching NOTHING: empty-domain answers (0 / NULL) from stats
+    val zq = ds.filter(col("o_orderstatus") === "Z")
+      .agg(count(lit(1)), min("o_orderkey"), sum("o_custkey"))
+    assert(zq.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    val zr = zq.collect()(0)
+    assert(zr.getLong(0) === 0L && zr.isNullAt(1) && zr.isNullAt(2))
+  }
+
+  test("GROUP BY on a fragment-clustered key answers from per-fragment stats") {
+    val root = tmp()
+    for (st <- Seq("F", "O", "P"))
+      orders.filter(col("o_orderstatus") === st)
+        .write.format("lance").mode("append").option("maxRowsPerFile", "500").save(root)
+    val ds = spark.read.format("lance").load(root)
+    def gAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderstatus").agg(count(lit(1)), sum("o_custkey"),
+        min("o_orderkey"), max("o_orderkey"), avg("o_custkey")).orderBy("o_orderstatus")
+    val q = gAgg(ds)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LanceStatsScan"), plan)
+    assert(q.collect().toSeq === gAgg(orders).collect().toSeq)
+
+    // grouped + exactly-filtered: domain narrows to the matching fragments
+    val fq = ds.filter(col("o_orderstatus") =!= "P").groupBy("o_orderstatus")
+      .agg(count(lit(1))).orderBy("o_orderstatus")
+    assert(fq.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    assert(fq.collect().toSeq ===
+      orders.filter(col("o_orderstatus") =!= "P").groupBy("o_orderstatus")
+        .agg(count(lit(1))).orderBy("o_orderstatus").collect().toSeq)
+
+    // an UNCLUSTERED layout declines (fragments are multi-valued in the key)
+    val root2 = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root2)
+    val q2 = gAgg(spark.read.format("lance").load(root2))
+    assert(!q2.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    assert(q2.collect().toSeq === gAgg(orders).collect().toSeq)
   }
 
   test("fragment pruning: provably-empty fragments are skipped") {
