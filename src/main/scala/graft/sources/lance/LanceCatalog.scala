@@ -153,17 +153,23 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
         if (dropped.isEmpty && renamed.isEmpty) latest.fragments
         else latest.fragments.map { f =>
           var nf = f
+          // the DV's removed-row stats are keyed by logical name like
+          // fragment stats — re-key/strip them in lockstep
+          def mapRemoved(g: Map[String, ColStats] => Map[String, ColStats]) =
+            nf.deletes.map(d => d.copy(removed = g(d.removed)))
           renamed.foreach { case (from, to) =>
             nf = nf.copy(
               physicalNames = (nf.physicalNames - from) +
                 (to -> nf.physicalNames.getOrElse(from, from)),
               hidden = (nf.hidden :+ from).distinct,
-              stats = (nf.stats - from) ++ nf.stats.get(from).map(to -> _))
+              stats = (nf.stats - from) ++ nf.stats.get(from).map(to -> _),
+              deletes = mapRemoved(r => (r - from) ++ r.get(from).map(to -> _)))
           }
           if (dropped.nonEmpty) nf = nf.copy(
             hidden = (nf.hidden ++ dropped).distinct,
             stats = nf.stats -- dropped,
-            physicalNames = nf.physicalNames -- dropped)
+            physicalNames = nf.physicalNames -- dropped,
+            deletes = mapRemoved(_ -- dropped))
           nf
         }
       Some(LanceCommit(schema, frags, latest.txns, "alter"))

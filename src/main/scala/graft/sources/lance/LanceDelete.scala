@@ -1,9 +1,121 @@
 package graft.sources.lance
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.json4s.{JDouble, JLong, JValue}
+
+/** Per-column stats of the rows a delete REMOVES, accumulated in the same
+  * executor pass that computes the delete positions (see
+  * [[DeleteVectorMeta.removed]]). Tracks nullCount for every statted
+  * column, min/max in the manifest's internal JValue domain for
+  * numeric/date/timestamp columns, and the exact long sum for
+  * integral / decimal(<=18) columns (unscaled domain, overflow poisons). */
+private[lance] object RemovedStats {
+  def trackable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | TimestampType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  private def sumTracked(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** One accumulator per tracked column; `add` reads the column at
+    * `offset + j` of an external-typed Row. */
+  final class Acc(fields: Seq[StructField]) extends Serializable {
+    private val n = fields.length
+    private val nulls = new Array[Long](n)
+    private val mins = new Array[JValue](n)
+    private val maxs = new Array[JValue](n)
+    private val sums = new Array[Long](n)
+    private val sumOk = Array.fill(n)(true)
+
+    def add(row: Row, offset: Int): Unit = {
+      var j = 0
+      while (j < n) {
+        val i = offset + j
+        if (row.isNullAt(i)) nulls(j) += 1
+        else {
+          val f = fields(j)
+          f.dataType match {
+            case d: DecimalType =>
+              // unscaled-long sum only (manifests record no decimal bounds)
+              if (sumOk(j)) {
+                try sums(j) = Math.addExact(sums(j),
+                  row.getDecimal(i).setScale(d.scale).unscaledValue().longValueExact())
+                catch { case _: ArithmeticException => sumOk(j) = false }
+              }
+            case dt =>
+              val jv: JValue = dt match {
+                case ByteType => JLong(row.getByte(i).toLong)
+                case ShortType => JLong(row.getShort(i).toLong)
+                case IntegerType => JLong(row.getInt(i).toLong)
+                case LongType => JLong(row.getLong(i))
+                case FloatType => JDouble(row.getFloat(i).toDouble)
+                case DoubleType => JDouble(row.getDouble(i))
+                case DateType => JLong(row.get(i) match {
+                  case d: java.sql.Date =>
+                    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+                  case d: java.time.LocalDate => d.toEpochDay
+                })
+                case TimestampType => JLong(row.get(i) match {
+                  case t: java.sql.Timestamp =>
+                    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+                  case t: java.time.Instant =>
+                    org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+                })
+                case other => throw new IllegalStateException(s"untrackable $other")
+              }
+              mins(j) = if (mins(j) == null) jv else ManifestIO.jMin(mins(j), jv)
+              maxs(j) = if (maxs(j) == null) jv else ManifestIO.jMax(maxs(j), jv)
+              if (sumOk(j) && sumTracked(dt)) {
+                try sums(j) = Math.addExact(sums(j), jv.asInstanceOf[JLong].num)
+                catch { case _: ArithmeticException => sumOk(j) = false }
+              }
+          }
+        }
+        j += 1
+      }
+    }
+
+    def result: Map[String, ColStats] =
+      fields.zipWithIndex.map { case (f, j) =>
+        f.name -> ColStats(Option(mins(j)), Option(maxs(j)), Some(nulls(j)),
+          if (sumTracked(f.dataType) && sumOk(j)) Some(sums(j)) else None,
+          None)
+      }.toMap
+  }
+
+  /** Fold this delete's removed stats onto a fragment's prior DV stats.
+    * Only columns tracked on BOTH sides survive (a column one side never
+    * saw has unknown removed values — poison). A bound absent on one side
+    * with zero non-null removals there is benign, and that is exactly when
+    * bounds are absent, so union-min/max over the defined side is sound. */
+  def merge(prev: Map[String, ColStats], add: Map[String, ColStats]): Map[String, ColStats] =
+    (prev.keySet intersect add.keySet).map { c =>
+      val a = prev(c); val b = add(c)
+      def bound(x: Option[JValue], y: Option[JValue], take: (JValue, JValue) => JValue) =
+        (x, y) match {
+          case (Some(p), Some(q)) => Some(take(p, q))
+          case (p, None) => p
+          case (None, q) => q
+        }
+      c -> ColStats(
+        bound(a.min, b.min, ManifestIO.jMin),
+        bound(a.max, b.max, ManifestIO.jMax),
+        for (p <- a.nullCount; q <- b.nullCount) yield p + q,
+        try for (p <- a.sum; q <- b.sum) yield Math.addExact(p, q)
+        catch { case _: ArithmeticException => None },
+        None)
+    }.toMap
+}
 
 /** `DELETE FROM` over a lance dataset (DSv2 SupportsDelete), the
   * lakehouse delete the reference's Lance backend provides natively.
@@ -119,22 +231,39 @@ object LanceDelete {
         val fullToRel = candidates.map(fr =>
           new Path(root, fr.path).toString -> fr.path).toMap
         val oldDv = candidates.map(fr => fr.path -> fr.deletes.map(_.path)).toMap
+        // stats of the rows being removed are captured in the same pass the
+        // positions come from (the scan already reads these fragments), so
+        // the read path can keep answering aggregates from live stats —
+        // track every statted numeric/date/ts/decimal column
+        val statFields: Seq[StructField] = m.schema.fields.toSeq
+          .filter(f => RemovedStats.trackable(f.dataType))
+          .filter(f => candidates.exists(_.stats.contains(f.name)))
         val ser = Shim.serializableConf(conf)
         spark.read.format("lance")
           .options(options + ("versionAsOf" -> m.version.toString)).load(root)
           .filter(col(LanceMetadata.FileCol).isin(fullToRel.keys.toSeq: _*))
           .filter(coalesce(pred, lit(false)))
-          .select(col(LanceMetadata.FileCol), col(LanceMetadata.PosCol))
-          .as[(String, Long)]
-          .groupByKey(_._1)
+          .select((Seq(col(LanceMetadata.FileCol), col(LanceMetadata.PosCol)) ++
+            statFields.map(f => col(f.name))): _*)
+          .groupByKey((r: Row) => r.getString(0))
           .mapGroups { (full, it) =>
             val rel = fullToRel(full)
+            val acc = new RemovedStats.Acc(statFields)
+            val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
+            it.foreach { r => positions += r.getLong(1); acc.add(r, 2) }
             val merged = DeleteVectors.merge(root, ser.value, oldDv(rel),
-              it.map(_._2).toArray)
-            (rel, merged.path, merged.count)
+              positions.toArray)
+            (rel, merged.path, merged.count, ManifestIO.statsToJson(acc.result))
           }
           .collect()
-          .map { case (rel, p, c) => rel -> DeleteVectorMeta(p, c) }
+          .map { case (rel, p, c, removedJson) =>
+            val thisRemoved = ManifestIO.statsFromJson(removedJson)
+            val removed = candidates.find(_.path == rel).flatMap(_.deletes) match {
+              case None => thisRemoved // first DV on the fragment
+              case Some(d) => RemovedStats.merge(d.removed, thisRemoved)
+            }
+            rel -> DeleteVectorMeta(p, c, removed)
+          }
           .toMap
       }
     // candidates with no matching rows are untouched — drop them from the

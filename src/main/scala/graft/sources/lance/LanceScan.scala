@@ -105,19 +105,54 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     case _ => false
   }
 
-  /** Per-fragment stats are recorded over PHYSICAL rows; once a domain
-    * fragment carries a delete vector they remain sound bounds (pruning)
-    * but can no longer answer aggregates exactly — a deleted row could be
-    * the min, a null, the last holder of a dictionary value. COUNT(*) alone
-    * stays answerable: liveRows is exact.
+  /** Per-fragment stats are recorded over PHYSICAL rows. For a fragment
+    * with a delete vector, LIVE stats are derived when the DV carries
+    * removed-row stats ([[DeleteVectorMeta.removed]]): live nulls/sums are
+    * physical minus removed, and a min/max bound survives when the removed
+    * range stays strictly inside it (no removed row held the bound). DVs
+    * without removed stats (delta-path UPDATE/MERGE) decline — COUNT(*)
+    * alone stays answerable via liveRows. Dictionaries never survive a
+    * delete (a removed row may be a value's last holder).
     *
     * `domain` = the fragments the answer ranges over: all of them for an
     * unfiltered aggregate, the provably-all-match subset under exactly-
     * enforced filters (every live domain row satisfies the filters, so
     * fragment stats ARE the filtered stats). */
+  private def liveColStats(fr: FragmentMeta, name: String): Option[ColStats] =
+    fr.deletes match {
+      case None => fr.stats.get(name)
+      case Some(dv) =>
+        for {
+          s <- fr.stats.get(name)
+          r <- dv.removed.get(name)
+          sNulls <- s.nullCount
+          rNulls <- r.nullCount
+        } yield {
+          val removedValues = dv.count - rNulls // non-null removals
+          def keepBound(b: Option[JValue], rb: Option[JValue], isMin: Boolean): Option[JValue] =
+            b.flatMap { bv =>
+              if (removedValues == 0) Some(bv)
+              else rb.flatMap { rv =>
+                val c = ManifestIO.jCmp(rv, bv)
+                // removed range strictly inside the bound ⇒ some surviving
+                // row still holds it; touching the bound ⇒ unknown
+                if ((isMin && c > 0) || (!isMin && c < 0)) Some(bv) else None
+              }
+            }
+          val liveSum = (s.sum, r.sum) match {
+            case (Some(p), Some(q)) =>
+              try Some(Math.subtractExact(p, q))
+              catch { case _: ArithmeticException => None }
+            case _ => None
+          }
+          ColStats(keepBound(s.min, r.min, isMin = true),
+            keepBound(s.max, r.max, isMin = false),
+            Some(sNulls - rNulls), liveSum, None)
+        }
+    }
+
   private def colStats(name: String, domain: Seq[FragmentMeta]): Option[Seq[ColStats]] = {
-    if (!domain.forall(_.deletes.isEmpty)) return None
-    val per = domain.map(_.stats.get(name))
+    val per = domain.map(liveColStats(_, name))
     if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
   }
 

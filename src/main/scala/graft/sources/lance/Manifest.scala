@@ -62,10 +62,18 @@ case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
   * [[DeleteVectors]]): `path` is relative to the dataset root, `count` is
   * the number of (distinct) deleted positions. Per-column `stats` of a
   * fragment with deletes remain valid as BOUNDS (deletion only shrinks the
-  * value set) so pruning stays sound, but they no longer *answer*
-  * aggregates exactly — the scan declines stats-answered aggregates for
-  * datasets with any live DV, except COUNT(*) which `liveRows` keeps exact. */
-case class DeleteVectorMeta(path: String, count: Long)
+  * value set) so pruning stays sound.
+  *
+  * `removed` records per-column stats of the DELETED rows (captured by the
+  * metadata-path delete's position scan, accumulated across successive
+  * deletes): with them the scan can derive LIVE stats — live nulls =
+  * physical − removed nulls, live sum = physical − removed sum, and a
+  * min/max bound survives when the removed range provably stays strictly
+  * inside it. Columns absent from `removed` (or DVs written by the delta
+  * UPDATE/MERGE path, which never sees the deleted rows' values) decline
+  * stats answers as before; COUNT(*) is always exact via `liveRows`. */
+case class DeleteVectorMeta(path: String, count: Long,
+                            removed: Map[String, ColStats] = Map.empty)
 
 /** A dataset version: the complete fragment list visible at that version,
   * plus the schema and the streaming-transaction high-water map for
@@ -239,6 +247,47 @@ object ManifestIO {
 
   private def jv(o: Option[JValue]): JValue = o.getOrElse(JNothing)
 
+  /** JSON object for a per-column stats map (fragment stats and the DV
+    * sidecar's removed-row stats share the shape). */
+  private[lance] def statsObj(stats: Map[String, ColStats]): JObject =
+    JObject(stats.toList.map { case (c, s) =>
+      c -> JObject(
+        "min" -> jv(s.min), "max" -> jv(s.max),
+        "nullCount" -> s.nullCount.map(JLong(_)).getOrElse(JNothing),
+        "sum" -> s.sum.map(JLong(_)).getOrElse(JNothing),
+        "distinct" -> s.distinct.map(ds =>
+          JArray(ds.toList.map(JString))).getOrElse(JNothing))
+    })
+
+  def statsToJson(stats: Map[String, ColStats]): String =
+    JsonMethods.compact(JsonMethods.render(statsObj(stats)))
+
+  private[lance] def statsFromJValue(v: JValue): Map[String, ColStats] = v match {
+    case JObject(fields) => fields.map { case (c, sv) =>
+      def opt(x: JValue): Option[JValue] = x match {
+        case JNothing | JNull => None
+        case JInt(n) => Some(JLong(n.toLong))
+        case y => Some(y)
+      }
+      def asLong(x: JValue): Long = x match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case y => throw new IllegalStateException(s"expected integer, got $y")
+      }
+      c -> ColStats(opt(sv \ "min"), opt(sv \ "max"),
+        opt(sv \ "nullCount").map(asLong),
+        opt(sv \ "sum").map(asLong),
+        (sv \ "distinct") match {
+          case JArray(vs) => Some(vs.map(_.asInstanceOf[JString].s))
+          case _ => None
+        })
+    }.toMap
+    case _ => Map.empty
+  }
+
+  def statsFromJson(s: String): Map[String, ColStats] =
+    statsFromJValue(JsonMethods.parse(s))
+
   def toJson(m: LanceManifest): String = {
     val frags = JArray(m.fragments.toList.map { fr =>
       JObject(
@@ -252,16 +301,11 @@ object ManifestIO {
                               case (k, v) => k -> JString(v)
                             })),
         "deletes" -> fr.deletes.map(d => JObject(
-          "path" -> JString(d.path), "count" -> JLong(d.count))).getOrElse(JNothing),
+          "path" -> JString(d.path), "count" -> JLong(d.count),
+          "removed" -> (if (d.removed.isEmpty) JNothing
+                        else statsObj(d.removed)))).getOrElse(JNothing),
         "sketches" -> fr.sketches.map(JString(_)).getOrElse(JNothing),
-        "stats" -> JObject(fr.stats.toList.map { case (c, s) =>
-          c -> JObject(
-            "min" -> jv(s.min), "max" -> jv(s.max),
-            "nullCount" -> s.nullCount.map(JLong(_)).getOrElse(JNothing),
-            "sum" -> s.sum.map(JLong(_)).getOrElse(JNothing),
-            "distinct" -> s.distinct.map(ds =>
-              JArray(ds.toList.map(JString))).getOrElse(JNothing))
-        }))
+        "stats" -> statsObj(fr.stats))
     })
     JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
@@ -288,18 +332,7 @@ object ManifestIO {
     }
     val schemaJson = (j \ "schemaJson").asInstanceOf[JString].s
     val frags = (j \ "fragments").asInstanceOf[JArray].arr.map { fr =>
-      val stats = (fr \ "stats") match {
-        case JObject(fields) => fields.map { case (c, sv) =>
-          c -> ColStats(opt(sv \ "min"), opt(sv \ "max"),
-            opt(sv \ "nullCount").map(asLong),
-            opt(sv \ "sum").map(asLong),
-            (sv \ "distinct") match {
-              case JArray(vs) => Some(vs.map(_.asInstanceOf[JString].s))
-              case _ => None
-            })
-        }.toMap
-        case _ => Map.empty[String, ColStats]
-      }
+      val stats = statsFromJValue(fr \ "stats")
       val hidden = (fr \ "hidden") match {
         case JArray(vs) => vs.map(_.asInstanceOf[JString].s)
         case _ => Nil
@@ -313,7 +346,8 @@ object ManifestIO {
       val deletes = (fr \ "deletes") match {
         case JObject(_) => Some(DeleteVectorMeta(
           (fr \ "deletes" \ "path").asInstanceOf[JString].s,
-          asLong(fr \ "deletes" \ "count")))
+          asLong(fr \ "deletes" \ "count"),
+          statsFromJValue(fr \ "deletes" \ "removed")))
         case _ => None
       }
       val sketches = (fr \ "sketches") match {
@@ -426,4 +460,5 @@ object ManifestIO {
   }
   def jMin(a: JValue, b: JValue): JValue = if (cmp(a, b) <= 0) a else b
   def jMax(a: JValue, b: JValue): JValue = if (cmp(a, b) >= 0) a else b
+  def jCmp(a: JValue, b: JValue): Int = cmp(a, b)
 }

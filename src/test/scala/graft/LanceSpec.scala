@@ -658,6 +658,59 @@ class LanceSpec extends SparkSpec {
     assert(spark.read.format("lance").load(root).count() === expect)
   }
 
+  test("aggregates answer from live stats under delete vectors (removed-row stats)") {
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    // partial metadata-path delete strictly inside one fragment's key range
+    // (orders are key-ordered, 500-row fragments): that fragment gets a DV
+    // with removed-row stats, the rest stay untouched — and the removed
+    // o_orderkey range (101..199) stays strictly inside the live bounds,
+    // so min/max remain provable
+    graft.sources.lance.LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThan("o_orderkey", 100L),
+        org.apache.spark.sql.sources.LessThan("o_orderkey", 200L))), Map.empty)
+    val m = ManifestIO.loadLatest(root, conf).get
+    val dvd = m.fragments.filter(_.deletes.isDefined)
+    assert(dvd.nonEmpty, "expected at least one DV'd fragment")
+    assert(dvd.forall(_.deletes.get.removed.contains("o_orderkey")))
+
+    val expected = orders.filter(!(col("o_orderkey") > 100 && col("o_orderkey") < 200))
+    val ds = spark.read.format("lance").load(root)
+    // COUNT(col) / SUM / AVG answer from live stats (phys − removed)
+    val q = ds.agg(count(lit(1)), count(col("o_custkey")), sum("o_custkey"),
+      avg("o_custkey"), min("o_orderkey"), max("o_orderkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LanceStatsScan"), plan)
+    assert(q.collect()(0) === expected.agg(count(lit(1)), count(col("o_custkey")),
+      sum("o_custkey"), avg("o_custkey"), min("o_orderkey"), max("o_orderkey")).collect()(0))
+
+    // MIN/MAX on a column whose removed values may touch the fragment
+    // bounds: answers from stats when provable, scans otherwise — equal
+    // either way
+    val mm = ds.agg(min("o_custkey"), max("o_custkey"))
+    assert(mm.collect()(0) === expected.agg(min("o_custkey"), max("o_custkey")).collect()(0))
+
+    // dictionaries never survive a DV: COUNT(DISTINCT status) scans
+    val cd = ds.agg(count_distinct(col("o_orderstatus")))
+    assert(!cd.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    assert(cd.first().getLong(0) ===
+      expected.agg(count_distinct(col("o_orderstatus"))).first().getLong(0))
+
+    // a second delete on the same fragment accumulates removed stats
+    // (merged DV: removed = [101,199] ∪ [251,349], still strictly inside)
+    graft.sources.lance.LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThan("o_orderkey", 250L),
+        org.apache.spark.sql.sources.LessThan("o_orderkey", 350L))), Map.empty)
+    val expected2 = expected.filter(!(col("o_orderkey") > 250 && col("o_orderkey") < 350))
+    val q2 = spark.read.format("lance").load(root)
+      .agg(count(col("o_custkey")), sum("o_custkey"), min("o_orderkey"), max("o_orderkey"))
+    assert(q2.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    assert(q2.collect()(0) === expected2.agg(count(col("o_custkey")), sum("o_custkey"),
+      min("o_orderkey"), max("o_orderkey")).collect()(0))
+  }
+
   test("subquery DELETE with pushed conjunct rewrites provably-all-match fragments") {
     // Spark pushes the RAW delete condition's translatable conjuncts to the
     // group-based scan (RewriteDeleteFromTable passes un-negated cond to
