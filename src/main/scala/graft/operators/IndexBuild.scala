@@ -31,9 +31,7 @@ object IndexBuild {
                         centroids: Array[Vector], pq: Option[PqMeta],
                         graph: Option[CentroidGraph])
 
-  private val toVec = udf { a: Seq[Float] =>
-    Vectors.dense(a.map(_.toDouble).toArray)
-  }
+  private val toVec = udf { a: Seq[Double] => Vectors.dense(a.toArray) }
 
   /** Largest power-of-two sub-vector count ≤ 16 dividing `dim` (the
     * reference auto-calculates when index.num-sub-vectors is unset). */
@@ -47,7 +45,7 @@ object IndexBuild {
     val dim = source.select(size(col(vecCol))).first().getInt(0)
     val cells = io.numPartitions
 
-    val withFv = source.withColumn("fv", toVec(col(vecCol)))
+    val withFv = source.withColumn("fv", toVec(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(VectorIndex.trainingSample(withFv))

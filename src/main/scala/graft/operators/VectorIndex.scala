@@ -37,9 +37,13 @@ object VectorIndex extends QueryModule {
   val K = 15
   val Cells = 16
 
-  private val toVec = udf { a: Seq[Float] =>
-    Vectors.dense(a.map(_.toDouble).toArray)
-  }
+  /** MLlib KMeans needs its ml.Vector type on the BUILD path only (query
+    * paths are codegen'd expressions). Double-based with a Catalyst cast at
+    * the call sites, so float32 and float64 embedding columns both feed it
+    * (reference maps FixedSizeList<Float64>: LanceTypeConverter.java:69-70). */
+  private val toVec = udf { a: Seq[Double] => Vectors.dense(a.toArray) }
+  private[operators] def asVec(c: org.apache.spark.sql.Column) =
+    toVec(c.cast("array<double>"))
 
   /** Cap KMeans TRAINING input (deterministic seed); assignment/encoding
     * still runs over the full dataset. Centroid quality saturates long
@@ -66,7 +70,7 @@ object VectorIndex extends QueryModule {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val subCols = (0 until m).map(mm =>
-      toVec(expr(s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as(s"sub$mm"))
+      asVec(expr(s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as(s"sub$mm"))
     val subs = sampled.select(subCols: _*).cache()
     subs.count() // materialize once; the fits below read the cache only
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
@@ -93,7 +97,7 @@ object VectorIndex extends QueryModule {
   /** Build the IVF_FLAT index: returns (index dataset root, centroids). */
   def buildIvfFlat(s: SparkSession, dir: String, cells: Int = Cells): (String, Array[Vector]) = {
     val root = Files.createTempDirectory("graft-ivf-").toString
-    val e = t(s, dir, "embeddings").withColumn("fv", toVec(col("embedding")))
+    val e = t(s, dir, "embeddings").withColumn("fv", asVec(col("embedding")))
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(trainingSample(e))
     model.transform(e)

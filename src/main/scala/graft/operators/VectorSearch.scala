@@ -46,7 +46,23 @@ object VectorSearch extends QueryModule {
     ordered.limit(K)
   }
 
+  /** Double-precision variant (reference maps FixedSizeList<Float64>:
+    * LanceTypeConverter.java:69-70): derive a genuine float64 embedding
+    * (x/3 is not float-representable) and run the same codegen'd distance
+    * over array<double> end-to-end. */
+  private def knn64(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v64", transform(col("embedding"), x => x.cast("double") / 3.0))
+    val qv = e.filter(col("vec_id") === QueryVecId).select(col("v64").as("qv"))
+    e.filter(col("vec_id") =!= QueryVecId).crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(vec_cosine(col("v64"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_cosine_f64" -> ((s, dir) => knn64(s, dir)),
     "knn_cosine" -> ((s, dir) =>
       knn(s, dir, vec_cosine(col("embedding"), col("qv")), asc = false)),
     "knn_l2" -> ((s, dir) =>
@@ -73,6 +89,16 @@ object VectorSearch extends QueryModule {
   private val ev = "CAST(e.embedding AS DOUBLE[])"
 
   val oracleSql: Map[String, String] = Map(
+    "knn_cosine_f64" ->
+      s"""WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> x / 3.0) AS qv
+         |           FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT * FROM (
+         |  SELECT e.vec_id, e.label,
+         |    round(list_cosine_similarity(
+         |      list_transform(CAST(e.embedding AS DOUBLE[]), x -> x / 3.0), q.qv), 6) AS score
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> $QueryVecId)
+         |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin,
     "knn_cosine" -> oracle(s"list_cosine_similarity($ev, q.qv)", "DESC"),
     "knn_l2" -> oracle(s"list_distance($ev, q.qv)", "ASC"),
     "knn_dot" -> oracle(s"list_inner_product($ev, q.qv)", "DESC"),

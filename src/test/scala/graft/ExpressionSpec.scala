@@ -34,6 +34,24 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(vec_cosine(av, bv)) === cosI)
   }
 
+  test("vector_distance over array<double> and mixed float/double operands") {
+    val dLit = Literal.create(Seq(1.0 / 3.0, 2.0 / 3.0), ArrayType(DoubleType))
+    val dot = VectorDistance(dLit, dLit, "dot").eval(null).asInstanceOf[Double]
+    assert(math.abs(dot - (1.0 / 9.0 + 4.0 / 9.0)) < 1e-15)
+    // mixed: float side is widened per element, matching an explicit cast
+    val f = fLit(1.5f, 2.5f)
+    val mixed = VectorDistance(f, dLit, "dot").eval(null).asInstanceOf[Double]
+    assert(math.abs(mixed - (1.5 / 3.0 + 2.5 * 2.0 / 3.0)) < 1e-15)
+    val dv = typedLit(Seq(1.0 / 3.0, 2.0 / 3.0))
+    assert(viaDf(vec_dot(dv, dv)) === dot)
+    assert(viaDf(vec_dot(typedLit(Seq(1.5f, 2.5f)), dv)) === mixed)
+    // pq_encode accepts double vectors
+    val codebooks = Array(0.0, 0.0, 3.0, 3.0) // m=1, codes=2, subDim=2
+    val enc = PqEncode(dLit, codebooks, 1, 2, 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(enc.getInt(0) === 0) // (1/3,2/3) is closer to (0,0) than (3,3)
+  }
+
   test("vector_distance returns null on dimension mismatch, both paths") {
     val a = fLit(1f, 2f); val b = fLit(1f, 2f, 3f)
     assert(VectorDistance(a, b, "dot").eval(null) == null)
