@@ -34,14 +34,13 @@ object DeleteVectors {
     val sorted = positions.distinct
     java.util.Arrays.sort(sorted)
     val rel = s"$Dir/${java.util.UUID.randomUUID()}.dv"
-    val f = fs(root, conf)
-    f.mkdirs(new Path(root, Dir))
-    val out = f.create(new Path(root, rel), false)
-    try {
-      out.writeLong(sorted.length.toLong)
-      var i = 0
-      while (i < sorted.length) { out.writeLong(sorted(i)); i += 1 }
-    } finally out.close()
+    // one in-memory serialization + one small-file write (see
+    // ManifestIO.writeSmallFile for why not a Hadoop create per DV)
+    val buf = java.nio.ByteBuffer.allocate(8 * (sorted.length + 1))
+    buf.putLong(sorted.length.toLong)
+    var i = 0
+    while (i < sorted.length) { buf.putLong(sorted(i)); i += 1 }
+    ManifestIO.writeSmallFile(fs(root, conf), new Path(root, rel), buf.array())
     DeleteVectorMeta(rel, sorted.length.toLong)
   }
 

@@ -139,22 +139,27 @@ object Hll {
                    sketches: Seq[(String, Hll, Option[Bloom])]): String = {
     val rel = s"$Dir/${java.util.UUID.randomUUID()}.hll"
     val fs = new Path(root).getFileSystem(conf)
-    fs.mkdirs(new Path(root, Dir))
-    val out = new DataOutputStream(fs.create(new Path(root, rel), false))
-    try {
-      out.writeInt(sketches.size)
-      sketches.foreach { case (name, h, bloom) =>
-        out.writeUTF(name)
-        out.writeInt(h.registers.length)
-        out.write(h.registers)
-        bloom match {
-          case Some(b) =>
-            out.writeInt(b.words.length)
-            b.words.foreach(out.writeLong)
-          case None => out.writeInt(0)
-        }
+    // serialize in memory and write ONCE: the sidecar lands at every
+    // fragment close, and a DataOutputStream straight onto the (checksummed)
+    // FS stream pays per-call overhead for each 8-byte bloom word — ~10ms
+    // per fragment, the dominant write-side sketch tax. Hadoop create()
+    // makes parent dirs, so no per-fragment mkdirs either.
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    val out = new DataOutputStream(bos)
+    out.writeInt(sketches.size)
+    sketches.foreach { case (name, h, bloom) =>
+      out.writeUTF(name)
+      out.writeInt(h.registers.length)
+      out.write(h.registers)
+      bloom match {
+        case Some(b) =>
+          out.writeInt(b.words.length)
+          b.words.foreach(out.writeLong)
+        case None => out.writeInt(0)
       }
-    } finally out.close()
+    }
+    out.flush()
+    ManifestIO.writeSmallFile(fs, new Path(root, rel), bos.toByteArray)
     rel
   }
 

@@ -234,12 +234,15 @@ class LanceDataWriter(root: String, schema: StructType,
   private var finishedSums = Map.empty[String, Map[String, Long]] // rel -> col -> sum
   private var finishedNonNulls = Map.empty[String, Map[String, Long]] // rel -> col -> non-null rows
 
-  // string columns tracked for the exact low-cardinality value dictionary
+  // string columns tracked for the exact low-cardinality value dictionary;
+  // UTF8String keys (content-hashed) so the per-row containment probe
+  // allocates nothing — values are copied out of the row buffer only on
+  // first sighting and stringified once at file close
   private val strFields: Array[(Int, String)] =
     schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == org.apache.spark.sql.types.StringType => (i, f.name)
     }
-  private var dicts: Array[scala.collection.mutable.HashSet[String]] = _
+  private var dicts: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = _
   private var finishedDicts = Map.empty[String, Map[String, Seq[String]]] // rel -> col -> values
 
   // string + integral columns additionally sketch an HLL per fragment
@@ -272,7 +275,8 @@ class LanceDataWriter(root: String, schema: StructType,
     sums = new Array[Long](sumFields.length)
     sumOk = Array.fill(sumFields.length)(true)
     sumNonNulls = new Array[Long](sumFields.length)
-    dicts = Array.fill(strFields.length)(scala.collection.mutable.HashSet.empty[String])
+    dicts = Array.fill(strFields.length)(
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
     hlls = Array.fill(hllFields.length)(new Hll())
     bloomHashes = Array.fill(hllFields.length)(new Array[Long](1024))
     bloomCounts = new Array[Int](hllFields.length)
@@ -288,7 +292,13 @@ class LanceDataWriter(root: String, schema: StructType,
         sumFields(j)._3 -> sumNonNulls(j)
       }.toMap
       finishedDicts += files.head -> strFields.indices.collect {
-        case j if dicts(j) != null => strFields(j)._2 -> dicts(j).toSeq.sorted
+        case j if dicts(j) != null =>
+          strFields(j)._2 -> {
+            val it = dicts(j).iterator()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().toString
+            b.result().sorted
+          }
       }.toMap
       if (hllFields.nonEmpty) {
         finishedSketches += files.head -> Hll.writeSidecar(root, conf.value,
@@ -329,8 +339,11 @@ class LanceDataWriter(root: String, schema: StructType,
     while (k < strFields.length) {
       val d = dicts(k)
       if (d != null && !record.isNullAt(strFields(k)._1)) {
-        d += record.getUTF8String(strFields(k)._1).toString
-        if (d.size > ManifestIO.MaxDistinct) dicts(k) = null // overflow: unknown
+        val u = record.getUTF8String(strFields(k)._1)
+        if (!d.contains(u)) {
+          d.add(u.clone()) // copy out of the (reused) row buffer
+          if (d.size > ManifestIO.MaxDistinct) dicts(k) = null // overflow: unknown
+        }
       }
       k += 1
     }

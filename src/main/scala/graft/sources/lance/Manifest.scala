@@ -214,6 +214,27 @@ object ManifestIO {
         if (truncate) "overwrite" else "append"))
     }.get
 
+  /** Write a small immutable file (sidecars: sketches, delete vectors).
+    * On the local filesystem this bypasses Hadoop's LocalFileSystem —
+    * its create() costs ~10ms per file in permission + checksum overhead
+    * (vs ~0.1ms for NIO), and sidecars land at every fragment close.
+    * Non-local filesystems go through the ordinary create-exclusive. */
+  def writeSmallFile(f: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+    val isLocal = Option(path.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||
+      f.getScheme == "file"
+    if (isLocal) {
+      val target = java.nio.file.Paths.get(f.makeQualified(path).toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(target, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else {
+      f.mkdirs(path.getParent)
+      val out = f.create(path, false)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
   /** Atomically create `path` with `bytes`; false if it already exists. */
   private def writeExclusive(f: FileSystem, path: Path, bytes: Array[Byte]): Boolean = {
     val isLocal = Option(path.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||
