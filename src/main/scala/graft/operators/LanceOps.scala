@@ -286,6 +286,29 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl""".stripMargin)
   }
 
+  /** Clustered SQL writes: TBLPROPERTIES('write.cluster-by') persists in
+    * the manifest and every INSERT requests a global sort on the key via
+    * RequiresDistributionAndOrdering — fragments come out single-valued in
+    * the key, so the grouped aggregate answers from per-fragment stats
+    * (LanceSpec asserts the LanceStatsScan plan; here the values gate). */
+  private def clusteredWrite(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"t_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING) " +
+      "TBLPROPERTIES('write.cluster-by'='o_orderstatus', 'write.sort-by'='o_orderkey')")
+    s.sql(s"INSERT INTO graft_lance.db.$tbl " +
+      s"SELECT o_orderkey, o_custkey, o_orderstatus FROM $view")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM graft_lance.db.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** CDC change feed: the stream over a scripted append → delete → append
     * history must emit exactly the per-commit inserts and deletes; the
     * collected feed aggregates to a SQL-expressible oracle. */
@@ -364,6 +387,7 @@ object LanceOps extends QueryModule {
     "lance_agg_pushdown" -> aggPushdown,
     "lance_filtered_stats" -> filteredAgg,
     "lance_agg_groupby" -> aggGroupBy,
+    "lance_clustered_write" -> clusteredWrite,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
@@ -417,6 +441,11 @@ object LanceOps extends QueryModule {
         |  avg(o_custkey) AS avg_cust
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "lance_agg_groupby" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "lance_clustered_write" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

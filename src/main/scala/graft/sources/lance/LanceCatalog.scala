@@ -102,7 +102,13 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = tablePath(ident)
     fs.mkdirs(p)
-    ManifestIO.commitAppend(p.toString, schema, Seq.empty, conf)
+    // persist TBLPROPERTIES in the manifest (engine-internal keys excluded);
+    // e.g. write.cluster-by / write.sort-by become the table's durable
+    // write defaults (every INSERT/CTAS requests that distribution)
+    val props = properties.asScala.toMap -- Seq("provider", "location",
+      "external", "owner", "option.path", "path")
+    ManifestIO.commitAppend(p.toString, schema, Seq.empty, conf,
+      props = if (props.isEmpty) None else Some(props))
     loadTable(ident)
   }
 
@@ -119,7 +125,12 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
       var schema = latest.schema
       var dropped = Set.empty[String]
       var renamed = Seq.empty[(String, String)]
+      var props = latest.props
       changes.foreach {
+        case set: TableChange.SetProperty =>
+          props += (set.property() -> set.value())
+        case rm: TableChange.RemoveProperty =>
+          props -= rm.property()
         case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
           // added columns are nullable by construction: old fragments have
           // no values for them. Spark's analyzer rejects duplicates on the
@@ -172,7 +183,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
             deletes = mapRemoved(_ -- dropped))
           nf
         }
-      Some(LanceCommit(schema, frags, latest.txns, "alter"))
+      Some(LanceCommit(schema, frags, latest.txns, "alter", Some(props)))
     }
     loadTable(ident)
   }

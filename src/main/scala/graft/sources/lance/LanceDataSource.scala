@@ -121,6 +121,15 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
 
   override def name(): String = providedName.getOrElse(s"lance.`$root`")
 
+  /** Manifest-persisted TBLPROPERTIES (SHOW TBLPROPERTIES reads these). */
+  override def properties(): util.Map[String, String] =
+    manifest.map(_.props).getOrElse(Map.empty).asJava
+
+  /** Table properties act as write defaults; explicit reader/writer options
+    * override them. */
+  private def tableOptions: Map[String, String] =
+    manifest.map(_.props).getOrElse(Map.empty) ++ extraOptions
+
   /** read.change-feed=true surfaces `_change_type` as a declared column —
     * batch scans label every row "insert"; the streaming source emits
     * "insert"/"delete" change rows per commit (CDC). Declared (not a
@@ -161,7 +170,7 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LanceWriteBuilder(spark, root, info, extraOptions)
+    new LanceWriteBuilder(spark, root, info, tableOptions)
 
   // DELETE FROM: decline predicates we can't faithfully rebuild as Columns
   // (Spark then reports unsupported instead of us running a wrong rewrite)
@@ -189,7 +198,7 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
-      val mode = LanceOptions.any(extraOptions, "rowLevelMode", "write.row-level-mode")
+      val mode = LanceOptions.any(tableOptions, "rowLevelMode", "write.row-level-mode")
         .orElse(spark.conf.getOption("spark.graft.lance.row-level-mode"))
         .getOrElse("delta")
       mode match {

@@ -64,11 +64,54 @@ class LanceWrite(root: String, schema: StructType,
                  conf: SerializableConfiguration, maxRowsPerFile: Long,
                  truncateAll: Boolean, queryId: String,
                  overwriteFilters: Array[Filter] = Array.empty,
-                 options: Map[String, String] = Map.empty) extends Write {
+                 options: Map[String, String] = Map.empty) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  // ---- clustered writes --------------------------------------------------
+  // write.cluster-by asks Spark for a GLOBAL sort on the listed columns
+  // (OrderedDistribution): fragments come out key-clustered with tight
+  // min/max ranges, so scan pruning and the single-valued GROUP BY stats
+  // pushdown apply to SQL-written tables. write.sort-by adds (or, alone,
+  // only requests) a within-partition sort — cheap clustering for rollups.
+  // Declared via RequiresDistributionAndOrdering so Catalyst plans the
+  // shuffle/sort (AQE sizes the partitions; requiredNumPartitions=0).
+  private def csv(key: String): Seq[String] =
+    LanceOptions.any(options, key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  private val clusterBy: Seq[String] = csv("write.cluster-by") ++ csv("clusterBy")
+  private val sortBy: Seq[String] = csv("write.sort-by") ++ csv("sortBy")
+  require((clusterBy ++ sortBy).forall(schema.fieldNames.contains),
+    s"lance write.cluster-by/sort-by: unknown column in " +
+      s"${(clusterBy ++ sortBy).filterNot(schema.fieldNames.contains).mkString(", ")}")
+  require(clusterBy.forall { c =>
+    import org.apache.spark.sql.types._
+    schema(c).dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    }
+  }, s"lance write.cluster-by needs atomic-typed columns, got " +
+    schema.filter(f => clusterBy.contains(f.name)).map(_.dataType).mkString(", "))
+  private val clusterIdx: Array[Int] = clusterBy.map(schema.fieldIndex).toArray
+
+  private def sortOrders(cols: Seq[String]) = cols.map(c =>
+    org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (clusterBy.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(sortOrders(clusterBy))
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortOrders((clusterBy ++ sortBy).distinct)
+
+  override def requiredNumPartitions(): Int =
+    LanceOptions.any(options, "write.cluster-partitions").map(_.toInt).getOrElse(0)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new LanceDataWriterFactory(root, schema, factory, conf, maxRowsPerFile)
+      new LanceDataWriterFactory(root, schema, factory, conf, maxRowsPerFile, clusterIdx)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val newFrags = messages.flatMap {
@@ -175,10 +218,12 @@ object LanceWriteUtil {
 
 class LanceDataWriterFactory(root: String, schema: StructType,
                              factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-                             conf: SerializableConfiguration, maxRowsPerFile: Long)
+                             conf: SerializableConfiguration, maxRowsPerFile: Long,
+                             clusterIdx: Array[Int] = Array.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId)
+    new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId,
+      clusterIdx)
 }
 
 class LanceStreamingDataWriterFactory(root: String, schema: StructType,
@@ -202,7 +247,8 @@ class LanceStreamingDataWriterFactory(root: String, schema: StructType,
 class LanceDataWriter(root: String, schema: StructType,
                       factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                       conf: SerializableConfiguration, maxRowsPerFile: Long,
-                      partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+                      partitionId: Int, taskId: Long,
+                      clusterIdx: Array[Int] = Array.empty) extends DataWriter[InternalRow] {
 
   private val ctx = {
     val attempt = new TaskAttemptID(
@@ -311,8 +357,48 @@ class LanceDataWriter(root: String, schema: StructType,
     }
   }
 
+  // cluster-key boundary tracking: rows arrive sorted by the cluster
+  // columns (RequiresDistributionAndOrdering / V1 repartitionByRange), so
+  // rolling whenever the key tuple changes yields fragments SINGLE-VALUED
+  // in the cluster key — one fragment per key run per task, independent of
+  // how AQE coalesced the shuffle — which is what fragment-range pruning
+  // and the grouped stats pushdown key off. Intended for low/moderate-
+  // cardinality keys (fragment count is bounded by key-run count);
+  // high-cardinality layouts use write.sort-by, which never splits.
+  private val clusterTypes = clusterIdx.map(i => schema.fields(i).dataType)
+  private var prevKey: Array[Any] = _
+  private def keyChanged(record: InternalRow): Boolean = {
+    if (prevKey == null) return true
+    var i = 0
+    while (i < clusterIdx.length) {
+      val v = if (record.isNullAt(clusterIdx(i))) null
+              else record.get(clusterIdx(i), clusterTypes(i))
+      val p = prevKey(i)
+      if (if (p == null) v != null else !p.equals(v)) return true
+      i += 1
+    }
+    false
+  }
+  private def captureKey(record: InternalRow): Unit = {
+    if (prevKey == null) prevKey = new Array[Any](clusterIdx.length)
+    var i = 0
+    while (i < clusterIdx.length) {
+      val v = if (record.isNullAt(clusterIdx(i))) null
+              else record.get(clusterIdx(i), clusterTypes(i))
+      prevKey(i) = v match {
+        // copy values that point into the reused row buffer
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case other => other
+      }
+      i += 1
+    }
+  }
+
   override def write(record: InternalRow): Unit = {
-    if (writer == null || rowsInFile >= maxRowsPerFile) roll()
+    val keyChange = clusterIdx.nonEmpty && keyChanged(record)
+    if (writer == null || rowsInFile >= maxRowsPerFile ||
+        (keyChange && rowsInFile > 0)) roll()
+    if (keyChange) captureKey(record)
     writer.write(record)
     var j = 0
     while (j < sumFields.length) {
@@ -435,8 +521,25 @@ object LanceBatchSave {
           df.schema.fields.map(f => (f.name, f.dataType))),
         s"lance append schema mismatch: table=${m.schema.simpleString} df=${df.schema.simpleString}")
     }
-    val newFrags = stageFragments(spark, df, root,
-      LanceOptions.any(options, "maxRowsPerFile", "write.max-rows-per-file"))
+    // V1-path parity with the V2 RequiresDistributionAndOrdering contract:
+    // cluster/sort options (explicit or persisted table props) shape the
+    // frame before staging
+    val opts = prev.map(_.props).getOrElse(Map.empty) ++ options
+    def csv(key: String): Seq[String] = LanceOptions.any(opts, key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val clusterBy = csv("write.cluster-by") ++ csv("clusterBy")
+    val sortBy = (clusterBy ++ csv("write.sort-by") ++ csv("sortBy")).distinct
+    val shaped = {
+      import org.apache.spark.sql.functions.col
+      val parts = LanceOptions.any(opts, "write.cluster-partitions").map(_.toInt)
+      val cl =
+        if (clusterBy.isEmpty) df
+        else parts.map(n => df.repartitionByRange(n, clusterBy.map(col): _*))
+          .getOrElse(df.repartitionByRange(clusterBy.map(col): _*))
+      if (sortBy.isEmpty) cl else cl.sortWithinPartitions(sortBy.map(col): _*)
+    }
+    val newFrags = stageFragments(spark, shaped, root,
+      LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file"), clusterBy)
     ManifestIO.commit(root, conf) { latest =>
       // append keeps the winner's (possibly concurrently-evolved) schema;
       // overwrite installs the new one
@@ -454,15 +557,18 @@ object LanceBatchSave {
     * attempt aborts its own files; any leftovers from lost executors are
     * unreferenced and reclaimed by vacuum. */
   private[lance] def stageFragments(spark: SparkSession, df: DataFrame, root: String,
-                                    maxRowsPerFile: Option[String]): Seq[FragmentMeta] = {
+                                    maxRowsPerFile: Option[String],
+                                    clusterBy: Seq[String] = Nil): Seq[FragmentMeta] = {
     val schema = df.schema
+    val clusterIdx = clusterBy.map(schema.fieldIndex).toArray
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, Map.empty)
     val maxRows = maxRowsPerFile.map(_.toLong).getOrElse(Long.MaxValue)
     ManifestIO.fs(root, conf.value).mkdirs(new Path(root, ManifestIO.DataDir))
     Shim.toRdd(df).mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val w = new LanceDataWriter(root, schema, factory, conf, maxRows, pid, pid.toLong)
+        val w = new LanceDataWriter(root, schema, factory, conf, maxRows, pid, pid.toLong,
+          clusterIdx)
         try {
           rows.foreach(w.write)
           Iterator.single(w.commit().asInstanceOf[LanceFragmentsCommitMessage].fragments)

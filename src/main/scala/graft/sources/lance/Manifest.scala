@@ -80,11 +80,15 @@ case class DeleteVectorMeta(path: String, count: Long,
   * exactly-once sinks (reference: LanceSink.java:27 CheckpointedFunction).
   * `txns` maps writer appId -> highest committed epoch and is carried
   * forward by EVERY commit (the Delta txn pattern), so interleaved batch
-  * commits/compactions can never erase a stream's replay marker. */
+  * commits/compactions can never erase a stream's replay marker.
+  * `props` are the table's persisted properties (TBLPROPERTIES — e.g.
+  * `write.cluster-by` write defaults), likewise carried forward by every
+  * commit and only changed by DDL. */
 case class LanceManifest(version: Long, schema: StructType,
                          fragments: Seq[FragmentMeta],
                          txns: Map[String, Long] = Map.empty,
-                         op: String = "append") {
+                         op: String = "append",
+                         props: Map[String, String] = Map.empty) {
   /** Logical (live) row count — DV-deleted positions excluded. */
   def totalRows: Long = fragments.map(_.liveRows).sum
 }
@@ -95,9 +99,12 @@ case class LanceManifest(version: Long, schema: StructType,
   * "merge", "replace", "compact", "alter") — the change-feed streaming
   * source uses it to tell data changes (emit CDC rows) from file
   * reorganizations like compaction (emit nothing). */
+/** `props = None` inherits the previous manifest's table properties (the
+  * overwhelmingly common case); only DDL sets them explicitly. */
 case class LanceCommit(schema: StructType, fragments: Seq[FragmentMeta],
                        txns: Map[String, Long] = Map.empty,
-                       op: String = "append")
+                       op: String = "append",
+                       props: Option[Map[String, String]] = None)
 
 /** Manifest IO for the lance-style dataset layout:
   *
@@ -195,7 +202,8 @@ object ManifestIO {
         case None => return None
         case Some(c) =>
           val v = latest.map(_.version).getOrElse(0L) + 1
-          val m = LanceManifest(v, c.schema, c.fragments, c.txns, c.op)
+          val m = LanceManifest(v, c.schema, c.fragments, c.txns, c.op,
+            c.props.orElse(latest.map(_.props)).getOrElse(Map.empty))
           if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8)))
             return Some(m)
       }
@@ -206,12 +214,13 @@ object ManifestIO {
 
   /** Plain append/overwrite commit: carries the previous txn map forward. */
   def commitAppend(root: String, schema: StructType, newFragments: Seq[FragmentMeta],
-                   conf: Configuration, truncate: Boolean = false): LanceManifest =
+                   conf: Configuration, truncate: Boolean = false,
+                   props: Option[Map[String, String]] = None): LanceManifest =
     commit(root, conf) { latest =>
       val prev = if (truncate) Seq.empty else latest.map(_.fragments).getOrElse(Seq.empty)
       Some(LanceCommit(schema, prev ++ newFragments,
         latest.map(_.txns).getOrElse(Map.empty),
-        if (truncate) "overwrite" else "append"))
+        if (truncate) "overwrite" else "append", props))
     }.get
 
   /** Write a small immutable file (sidecars: sketches, delete vectors).
@@ -334,6 +343,8 @@ object ManifestIO {
       "schemaJson" -> JString(m.schema.json),
       "txns" -> (if (m.txns.isEmpty) JNothing
                  else JObject(m.txns.toList.map { case (k, v) => k -> JLong(v) })),
+      "props" -> (if (m.props.isEmpty) JNothing
+                  else JObject(m.props.toList.map { case (k, v) => k -> JString(v) })),
       "fragments" -> frags)))
   }
 
@@ -392,12 +403,19 @@ object ManifestIO {
         (for (app <- opt(j \ "txnAppId").map(_.asInstanceOf[JString].s);
               ep <- opt(j \ "txnEpoch").map(asLong)) yield app -> ep).toMap
     }
+    val props = (j \ "props") match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> v.asInstanceOf[JString].s
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
     LanceManifest(
       asLong(j \ "version"),
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
       frags,
       txns,
-      (j \ "op") match { case JString(o) => o; case _ => "append" })
+      (j \ "op") match { case JString(o) => o; case _ => "append" },
+      props)
   }
 
   // ---- fragment stats from parquet footers -------------------------------

@@ -240,6 +240,53 @@ class LanceSpec extends SparkSpec {
     assert(q2.collect().toSeq === gAgg(orders).collect().toSeq)
   }
 
+  test("clustered writes: table property drives fragment clustering and survives commits") {
+    spark.conf.set("spark.sql.catalog.lance_clu",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_clu.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_clu.db")
+    spark.sql("CREATE TABLE lance_clu.db.t " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING) " +
+      "TBLPROPERTIES('write.cluster-by'='o_orderstatus', 'write.sort-by'='o_orderkey')")
+    val view = "clu_src"
+    orders.createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO lance_clu.db.t " +
+      s"SELECT o_orderkey, o_custkey, o_orderstatus FROM $view")
+    val root = s"$wh/db/t"
+    val m = ManifestIO.loadLatest(root, conf).get
+    // every fragment single-valued in the cluster key (dict of size 1)
+    assert(m.fragments.nonEmpty)
+    assert(m.fragments.forall(_.stats.get("o_orderstatus")
+      .flatMap(_.distinct).exists(_.size == 1)), m.fragments.map(_.stats.get("o_orderstatus")))
+    // ... so the grouped aggregate answers from per-fragment stats
+    val q = spark.sql("SELECT o_orderstatus, count(*), sum(o_custkey) " +
+      "FROM lance_clu.db.t GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    assert(q.queryExecution.executedPlan.toString.contains("LanceStatsScan"))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      orders.groupBy("o_orderstatus").agg(count(lit(1)), sum("o_custkey"))
+        .orderBy("o_orderstatus")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // SHOW TBLPROPERTIES reads the manifest props; they survive the INSERT
+    val props = spark.sql("SHOW TBLPROPERTIES lance_clu.db.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.cluster-by").contains("o_orderstatus"))
+    // ALTER TABLE UNSET clears a property; SET updates it
+    spark.sql("ALTER TABLE lance_clu.db.t SET TBLPROPERTIES('write.sort-by'='o_custkey')")
+    spark.sql("ALTER TABLE lance_clu.db.t UNSET TBLPROPERTIES('write.cluster-by')")
+    val m2 = ManifestIO.loadLatest(root, conf).get
+    assert(m2.props.get("write.sort-by").contains("o_custkey"))
+    assert(!m2.props.contains("write.cluster-by"))
+
+    // V1 path saves honor the options (and persisted props) too
+    val root2 = tmp()
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.format("lance").option("write.cluster-by", "o_orderstatus").save(root2)
+    val m3 = ManifestIO.loadLatest(root2, conf).get
+    assert(m3.fragments.forall(_.stats.get("o_orderstatus")
+      .flatMap(_.distinct).exists(_.size == 1)))
+  }
+
   test("fragment pruning: provably-empty fragments are skipped") {
     val stats = Map("k" -> ColStats(Some(JLong(100)), Some(JLong(200)), Some(0L)),
       "s" -> ColStats(Some(JString("ccc")), Some(JString("mmm")), Some(0L)))
