@@ -2,7 +2,7 @@ package graft.sources.lance
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.StructType
 
@@ -32,9 +32,83 @@ case class LanceOffset(version: Long) extends Offset {
 class LanceMicroBatchStream(spark: SparkSession, root: String,
                             dataSchema: StructType, requiredSchema: StructType,
                             options: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def conf = Shim.hadoopConf(spark, options)
+
+  // Trigger.AvailableNow: pin the end version at query start (commits made
+  // while draining wait for the next run) — implemented HERE rather than
+  // through Spark's AvailableNowDataStreamWrapper because the wrapper
+  // discards the source's read limit (batches would un-bound).
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ManifestIO.latestVersion(root, conf).getOrElse(0L))
+
+  private def cappedLatest: Long = {
+    val l = ManifestIO.latestVersion(root, conf).getOrElse(0L)
+    availableNowCap.map(math.min(l, _)).getOrElse(l)
+  }
+
+  // ---- admission control (read.max-rows-per-trigger) ----------------------
+  // Catch-up over a long commit history is bounded at VERSION granularity:
+  // the end offset advances while the accumulated new-row count stays
+  // under the cap, always taking at least one version (a single oversized
+  // commit can't be split — the offset is a manifest version). A stream
+  // started against a huge table then drains in capped micro-batches
+  // instead of one batch reading everything.
+  private val maxRowsPerTrigger: Option[Long] =
+    LanceOptions.any(options, "read.max-rows-per-trigger", "maxRowsPerTrigger")
+      .map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Data rows version v adds over its predecessor: live rows of added
+    * fragments, plus (change-feed) newly-deleted positions and dropped-
+    * fragment replays — the same rows planInputPartitions will emit. */
+  private def rowsAdded(prev: Option[LanceManifest], cur: LanceManifest): Long = {
+    if (changeFeed && (cur.op == "compact" || cur.op == "alter")) return 0L
+    val prevBy = prev.map(_.fragments.map(f => f.path -> f).toMap)
+      .getOrElse(Map.empty[String, FragmentMeta])
+    val curPaths = cur.fragments.map(_.path).toSet
+    val inserts = cur.fragments.filterNot(f => prevBy.contains(f.path))
+      .map(_.liveRows).sum
+    if (!changeFeed) inserts
+    else {
+      val dvGrowth = cur.fragments.flatMap { fr =>
+        prevBy.get(fr.path).map(old =>
+          fr.deletes.map(_.count).getOrElse(0L) - old.deletes.map(_.count).getOrElse(0L))
+      }.sum
+      val drops = prevBy.valuesIterator
+        .filterNot(old => curPaths(old.path)).map(_.liveRows).sum
+      inserts + math.max(0L, dvGrowth) + drops
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startV = parse(start)
+    val latest = cappedLatest
+    limit match {
+      case rl: ReadMaxRows if startV < latest =>
+        val c = conf
+        var prev = if (startV == 0) None else Some(ManifestIO.load(root, startV, c))
+        var v = startV
+        var taken = 0L
+        var continue = true
+        while (continue && v < latest) {
+          val next = ManifestIO.load(root, v + 1, c)
+          val add = rowsAdded(prev, next)
+          if (v > startV && taken + add > rl.maxRows()) continue = false
+          else { taken += add; prev = Some(next); v += 1 }
+        }
+        LanceOffset(v)
+      case _ => LanceOffset(latest)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    LanceOffset(ManifestIO.latestVersion(root, conf).getOrElse(0L))
 
   private def parse(o: Offset): Long = o match {
     case LanceOffset(v) => v

@@ -38,6 +38,33 @@ class LanceStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === region.count() + 25)
   }
 
+  test("read.max-rows-per-trigger bounds catch-up micro-batches at version granularity") {
+    import spark.implicits._
+    val root = tmp(); val ckpt = tmp()
+    // three commits of 4 / 4 / 2 rows
+    (1 to 4).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1)
+      .write.format("lance").save(root)
+    (5 to 8).map(i => (i.toLong, s"b$i")).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+    (9 to 10).map(i => (i.toLong, s"c$i")).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(root)
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("lance")
+      .option("read.max-rows-per-trigger", "4").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.count(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // capped at 4 rows per batch → versions drain one per batch (4, 4, 2),
+    // never all 10 in one
+    assert(batches.sum === 10L, batches)
+    assert(batches.forall(_ <= 4L), batches)
+    assert(batches.count(_ > 0) === 3, batches)
+  }
+
   test("change feed streams inserts and deletes with _change_type; compaction emits nothing") {
     import graft.sources.lance.{LanceDelete, LanceMaintenance}
     import org.apache.spark.sql.functions.col
