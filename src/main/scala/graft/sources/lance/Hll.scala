@@ -169,8 +169,10 @@ object Hll {
     * 2KB register arrays — zero data files read, O(fragments) tiny sidecar
     * reads however large the dataset. None for a column without a sketch
     * in every fragment (e.g. pre-sketch fragments, unsupported type).
-    * Deletion vectors make the estimate an over-approximation (sketches
-    * are immutable per fragment); compaction re-sketches clean fragments. */
+    * Metadata-path deletes re-sketch a fragment's SURVIVING rows in the
+    * same pass that writes its delete vector (LanceDelete), so estimates
+    * track live rows; only delta-path (UPDATE/MERGE) DVs leave the sketch
+    * over-approximating until compaction re-sketches clean fragments. */
   def approxCountDistinct(spark: org.apache.spark.sql.SparkSession, root: String,
                           cols: Seq[String],
                           options: Map[String, String] = Map.empty): Map[String, Option[Long]] = {

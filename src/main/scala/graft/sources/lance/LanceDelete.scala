@@ -27,9 +27,9 @@ private[lance] object RemovedStats {
     case _ => false
   }
 
-  /** One accumulator per tracked column; `add` reads the column at
-    * `offset + j` of an external-typed Row. */
-  final class Acc(fields: Seq[StructField]) extends Serializable {
+  /** One accumulator per tracked column; `indexes(j)` is the Row ordinal
+    * of `fields(j)` in the delete scan's projection. */
+  final class Acc(fields: Seq[StructField], indexes: Array[Int]) extends Serializable {
     private val n = fields.length
     private val nulls = new Array[Long](n)
     private val mins = new Array[JValue](n)
@@ -37,10 +37,10 @@ private[lance] object RemovedStats {
     private val sums = new Array[Long](n)
     private val sumOk = Array.fill(n)(true)
 
-    def add(row: Row, offset: Int): Unit = {
+    def add(row: Row): Unit = {
       var j = 0
       while (j < n) {
-        val i = offset + j
+        val i = indexes(j)
         if (row.isNullAt(i)) nulls(j) += 1
         else {
           val f = fields(j)
@@ -174,7 +174,8 @@ object LanceDelete {
     * Shared between DELETE FROM and overwrite-by-filter. */
   case class DeletePlan(droppedPaths: Set[String],
                         newDvs: Map[String, DeleteVectorMeta],
-                        touched: Seq[FragmentMeta]) {
+                        touched: Seq[FragmentMeta],
+                        newSketches: Map[String, String] = Map.empty) {
     def isNoop: Boolean = touched.isEmpty
 
     /** Apply to a commit-time fragment list (conflict checks already done). */
@@ -183,7 +184,8 @@ object LanceDelete {
         if (droppedPaths(f.path)) None
         else newDvs.get(f.path) match {
           case Some(d) if d.count >= f.rows => None // every physical row deleted
-          case Some(d) => Some(f.copy(deletes = Some(d)))
+          case Some(d) => Some(f.copy(deletes = Some(d),
+            sketches = newSketches.get(f.path).orElse(f.sketches)))
           case None => Some(f)
         }
       }
@@ -199,6 +201,7 @@ object LanceDelete {
     def abandon(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
       val fs = ManifestIO.fs(root, conf)
       newDvs.values.foreach(d => fs.delete(new Path(root, d.path), false))
+      newSketches.values.foreach(s => fs.delete(new Path(root, s), false))
     }
   }
 
@@ -224,52 +227,131 @@ object LanceDelete {
       !LancePruning.provablyEmpty(fr, m.schema, conjunction,
         new Path(root, fr.path).toString))
 
-    val newDvs: Map[String, DeleteVectorMeta] =
-      if (candidates.isEmpty) Map.empty
+    val (newDvs, newSketches): (Map[String, DeleteVectorMeta], Map[String, String]) =
+      if (candidates.isEmpty) (Map.empty, Map.empty)
       else {
         import spark.implicits._
         val fullToRel = candidates.map(fr =>
           new Path(root, fr.path).toString -> fr.path).toMap
         val oldDv = candidates.map(fr => fr.path -> fr.deletes.map(_.path)).toMap
+        val dvStats = LanceOptions.any(options, "write.dv-stats", "dvStats")
+          .forall(_.toBoolean)
         // stats of the rows being removed are captured in the same pass the
         // positions come from (the scan already reads these fragments), so
         // the read path can keep answering aggregates from live stats —
         // track every statted numeric/date/ts/decimal column
-        val statFields: Seq[StructField] = m.schema.fields.toSeq
-          .filter(f => RemovedStats.trackable(f.dataType))
-          .filter(f => candidates.exists(_.stats.contains(f.name)))
+        val statFields: Seq[StructField] = if (!dvStats) Nil
+          else m.schema.fields.toSeq
+            .filter(f => RemovedStats.trackable(f.dataType))
+            .filter(f => candidates.exists(_.stats.contains(f.name)))
+        // ... and the SURVIVING rows of each DV'd fragment re-feed its
+        // HLL/bloom sketch sidecar (same pass, no extra IO beyond the
+        // sketched columns), so approximate COUNT(DISTINCT) and bloom
+        // equality pruning track live rows instead of over-approximating
+        // until the next compaction
+        val sketchFields: Seq[StructField] = if (!dvStats) Nil
+          else m.schema.fields.toSeq.filter { f =>
+            candidates.exists(_.sketches.isDefined) && (f.dataType match {
+              case StringType | ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            })
+          }
+        val bloomMaxKeys = LanceOptions.any(options, "write.bloom-max-keys")
+          .map(_.toInt).getOrElse(Bloom.DefaultMaxKeys.toInt)
+        val extraCols = (statFields ++ sketchFields).map(_.name).distinct
+        val statIndexes = statFields.map(f => 2 + extraCols.indexOf(f.name)).toArray
+        val sketchIdx = sketchFields.map(f =>
+          (2 + extraCols.indexOf(f.name), f.dataType, f.name))
+        val statIdxFields = statFields // captured for the closure
         val ser = Shim.serializableConf(conf)
+        // the scan plans candidate fragments UNSPLIT, one partition each
+        // (`_pos` projection forbids byte-range splits), so a narrow
+        // mapPartitions sees exactly one fragment's LIVE rows — no shuffle
+        // anywhere in the delete
         spark.read.format("lance")
           .options(options + ("versionAsOf" -> m.version.toString)).load(root)
           .filter(col(LanceMetadata.FileCol).isin(fullToRel.keys.toSeq: _*))
-          .filter(coalesce(pred, lit(false)))
           .select((Seq(col(LanceMetadata.FileCol), col(LanceMetadata.PosCol)) ++
-            statFields.map(f => col(f.name))): _*)
-          .groupByKey((r: Row) => r.getString(0))
-          .mapGroups { (full, it) =>
-            val rel = fullToRel(full)
-            val acc = new RemovedStats.Acc(statFields)
-            val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
-            it.foreach { r => positions += r.getLong(1); acc.add(r, 2) }
-            val merged = DeleteVectors.merge(root, ser.value, oldDv(rel),
-              positions.toArray)
-            (rel, merged.path, merged.count, ManifestIO.statsToJson(acc.result))
+            extraCols.map(col) :+
+            coalesce(pred, lit(false)).as("__graft_match")): _*)
+          .mapPartitions { it =>
+            if (!it.hasNext) Iterator.empty
+            else {
+              val first = it.next()
+              val matchIdx = first.length - 1
+              val rel = fullToRel(first.getString(0))
+              val acc = new RemovedStats.Acc(statIdxFields, statIndexes)
+              val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val hlls = sketchIdx.map(_ => new Hll()).toArray
+              val bloomHashes = Array.fill(sketchIdx.length)(
+                scala.collection.mutable.ArrayBuffer.empty[Long])
+              val bloomOver = new Array[Boolean](sketchIdx.length)
+              def consume(r: Row): Unit = {
+                if (r.getBoolean(matchIdx)) {
+                  positions += r.getLong(1)
+                  acc.add(r)
+                } else {
+                  // survivor: re-feed the fragment's sketches
+                  var j = 0
+                  while (j < sketchIdx.length) {
+                    val (i, dt, _) = sketchIdx(j)
+                    if (!r.isNullAt(i)) {
+                      val h = dt match {
+                        case StringType => Bloom.hashUTF8String(
+                          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(i)))
+                        case ByteType => Bloom.hashLong(r.getByte(i).toLong)
+                        case ShortType => Bloom.hashLong(r.getShort(i).toLong)
+                        case IntegerType => Bloom.hashLong(r.getInt(i).toLong)
+                        case _ => Bloom.hashLong(r.getLong(i))
+                      }
+                      hlls(j).addHash(h)
+                      if (!bloomOver(j)) {
+                        if (bloomHashes(j).size >= bloomMaxKeys) bloomOver(j) = true
+                        else bloomHashes(j) += h
+                      }
+                    }
+                    j += 1
+                  }
+                }
+              }
+              consume(first)
+              it.foreach(consume)
+              if (positions.isEmpty) Iterator.empty
+              else {
+                val merged = DeleteVectors.merge(root, ser.value, oldDv(rel),
+                  positions.toArray)
+                val sketchRel =
+                  if (sketchIdx.isEmpty) ""
+                  else Hll.writeSidecar(root, ser.value, sketchIdx.zipWithIndex.map {
+                    case ((_, _, name), j) =>
+                      val bloom = if (bloomOver(j)) None
+                                  else Some(Bloom.build(bloomHashes(j).toArray,
+                                    bloomHashes(j).size))
+                      (name, hlls(j), bloom)
+                  })
+                Iterator.single((rel, merged.path, merged.count,
+                  ManifestIO.statsToJson(acc.result), sketchRel))
+              }
+            }
           }
           .collect()
-          .map { case (rel, p, c, removedJson) =>
+          .map { case (rel, p, c, removedJson, sketchRel) =>
             val thisRemoved = ManifestIO.statsFromJson(removedJson)
             val removed = candidates.find(_.path == rel).flatMap(_.deletes) match {
               case None => thisRemoved // first DV on the fragment
               case Some(d) => RemovedStats.merge(d.removed, thisRemoved)
             }
-            rel -> DeleteVectorMeta(p, c, removed)
+            (rel -> DeleteVectorMeta(p, c, removed), rel -> sketchRel)
           }
-          .toMap
+          .foldLeft((Map.empty[String, DeleteVectorMeta], Map.empty[String, String])) {
+            case ((dvs, sks), (dv, (rel, sk))) =>
+              (dvs + dv, if (sk.isEmpty) sks else sks + (rel -> sk))
+          }
       }
     // candidates with no matching rows are untouched — drop them from the
     // conflict set so unrelated concurrent deletes don't abort us
     val reallyTouched = dropped ++ candidates.filter(fr => newDvs.contains(fr.path))
-    DeletePlan(droppedPaths, newDvs, reallyTouched)
+    DeletePlan(droppedPaths, newDvs, reallyTouched, newSketches)
   }
 
   def deleteWhere(spark: SparkSession, root: String, filters: Array[Filter],

@@ -240,6 +240,31 @@ class LanceSpec extends SparkSpec {
     assert(q2.collect().toSeq === gAgg(orders).collect().toSeq)
   }
 
+  test("metadata delete refreshes sketch sidecars: HLL tracks survivors, bloom prunes deleted values") {
+    import graft.sources.lance.Hll
+    val root = tmp()
+    orders.write.format("lance").option("maxRowsPerFile", "500").save(root)
+    val before = Hll.approxCountDistinct(spark, root, Seq("o_orderkey"))("o_orderkey").get
+    // delete a key range strictly inside one fragment
+    graft.sources.lance.LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.LessThan("o_orderkey", 400L)), Map.empty)
+    val m = ManifestIO.loadLatest(root, conf).get
+    val dvd = m.fragments.filter(_.deletes.isDefined)
+    assert(dvd.nonEmpty)
+    // refreshed sidecars referenced by the DV'd fragments
+    assert(dvd.forall(_.sketches.isDefined))
+    val live = spark.read.format("lance").load(root)
+      .agg(count_distinct(col("o_orderkey"))).first().getLong(0)
+    val after = Hll.approxCountDistinct(spark, root, Seq("o_orderkey"))("o_orderkey").get
+    assert(math.abs(after - live).toDouble / live < 0.05,
+      s"estimate $after vs live $live (before-delete estimate was $before)")
+    assert(after < before, "estimate should drop after deleting a key range")
+    // the refreshed bloom proves deleted keys absent → equality scan on a
+    // deleted key reads zero rows and zero partitions after pruning
+    val gone = spark.read.format("lance").load(root).filter(col("o_orderkey") === 5L)
+    assert(gone.count() === 0L)
+  }
+
   test("clustered writes: table property drives fragment clustering and survives commits") {
     spark.conf.set("spark.sql.catalog.lance_clu",
       classOf[graft.sources.lance.LanceCatalog].getName)
