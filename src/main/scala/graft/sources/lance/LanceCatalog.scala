@@ -168,19 +168,31 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces {
           // fragment stats — re-key/strip them in lockstep
           def mapRemoved(g: Map[String, ColStats] => Map[String, ColStats]) =
             nf.deletes.map(d => d.copy(removed = g(d.removed)))
+          // stats (and removed-stats) keys include struct-nested paths
+          // ("st.id") — re-key / strip them with the top-level name
+          def rekey(m: Map[String, ColStats], from: String, to: String) =
+            m.map { case (k, v) =>
+              (if (k == from) to
+               else if (k.startsWith(from + ".")) to + k.substring(from.length)
+               else k) -> v
+            }
+          def strip(m: Map[String, ColStats], gone: Set[String]) =
+            m.filterNot { case (k, _) =>
+              gone.exists(d => k == d || k.startsWith(d + "."))
+            }
           renamed.foreach { case (from, to) =>
             nf = nf.copy(
               physicalNames = (nf.physicalNames - from) +
                 (to -> nf.physicalNames.getOrElse(from, from)),
               hidden = (nf.hidden :+ from).distinct,
-              stats = (nf.stats - from) ++ nf.stats.get(from).map(to -> _),
-              deletes = mapRemoved(r => (r - from) ++ r.get(from).map(to -> _)))
+              stats = rekey(nf.stats, from, to),
+              deletes = mapRemoved(rekey(_, from, to)))
           }
           if (dropped.nonEmpty) nf = nf.copy(
             hidden = (nf.hidden ++ dropped).distinct,
-            stats = nf.stats -- dropped,
+            stats = strip(nf.stats, dropped),
             physicalNames = nf.physicalNames -- dropped,
-            deletes = mapRemoved(_ -- dropped))
+            deletes = mapRemoved(strip(_, dropped)))
           nf
         }
       Some(LanceCommit(schema, frags, latest.txns, "alter", Some(props)))

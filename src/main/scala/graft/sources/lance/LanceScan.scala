@@ -482,9 +482,13 @@ object LancePruning {
 
   /** True when the fragment reads the column as all-NULL: the name is
     * hidden (post-DROP, pre-compaction) with no rename redirect. Every
-    * comparison/equality on an all-NULL column is provably empty. */
-  private def readsAllNull(fr: FragmentMeta, c: String): Boolean =
-    fr.hidden.contains(c) && !fr.physicalNames.contains(c)
+    * comparison/equality on an all-NULL column is provably empty. A
+    * struct-nested reference (`st.id`) reads all-NULL whenever its
+    * top-level struct does. */
+  private def readsAllNull(fr: FragmentMeta, c: String): Boolean = {
+    val top = c.indexOf('.') match { case -1 => c; case i => c.substring(0, i) }
+    fr.hidden.contains(top) && !fr.physicalNames.contains(top)
+  }
 
   /** True only if no row in the fragment can satisfy `f`. `fullPath`, when
     * known, enables pruning on the `_file` metadata column — fragment

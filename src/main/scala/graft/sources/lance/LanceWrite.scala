@@ -202,7 +202,9 @@ object LanceWriteUtil {
     val lost = writerSchema.fieldNames.toSet -- tableSchema.fieldNames.toSet
     if (lost.isEmpty) newFrags
     else newFrags.map(f => f.copy(hidden = (f.hidden ++ lost).distinct,
-                                  stats = f.stats -- lost))
+      stats = f.stats.filterNot { case (k, _) =>
+        lost.exists(d => k == d || k.startsWith(d + "."))
+      }))
   }
 
   def deleteFragments(root: String, messages: Array[WriterCommitMessage],

@@ -422,22 +422,28 @@ object ManifestIO {
 
   /** Read rows + per-column min/max/nullCount from a parquet footer — one
     * footer read per fragment at commit time, O(metadata) not O(data).
-    * Only top-level primitive columns get stats; parquet may truncate
-    * BINARY stats, which is safe for range pruning (truncated min <= real
-    * min, truncated max >= real max) so strings keep their stats but are
-    * never used to *answer* aggregates (see LanceScanBuilder).
+    * Top-level primitives AND struct-nested primitives get stats (nested
+    * fields key as the dotted path `st.id` — the name shape Spark's nested
+    * predicate pushdown delivers); columns under a repeated group (array /
+    * map elements, max repetition level > 0) don't, since their stats
+    * don't map to a per-row predicate. Parquet may truncate BINARY stats,
+    * which is safe for range pruning (truncated min <= real min, truncated
+    * max >= real max) so strings keep their stats but are never used to
+    * *answer* aggregates (see LanceScanBuilder).
     */
   def footerStats(conf: Configuration, file: Path): (Long, Long, Map[String, ColStats]) = {
     val footer = ParquetFileReader.readFooter(conf, file)
     val blocks = footer.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
     val size = blocks.map(_.getCompressedSize).sum
+    val msgType = footer.getFileMetaData.getSchema
     val acc = scala.collection.mutable.Map[String, ColStats]()
     val invalid = scala.collection.mutable.Set[String]()
     for (b <- blocks; cc <- b.getColumns.asScala) {
       val pathParts = cc.getPath.toArray
-      if (pathParts.length == 1) {
-        val name = pathParts(0)
+      if (pathParts.length == 1 ||
+          msgType.getColumnDescription(pathParts).getMaxRepetitionLevel == 0) {
+        val name = pathParts.mkString(".")
         val st = cc.getStatistics
         val pt = cc.getPrimitiveType
         val conv: Option[(JValue, JValue)] =

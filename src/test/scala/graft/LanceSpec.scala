@@ -240,6 +240,48 @@ class LanceSpec extends SparkSpec {
     assert(q2.collect().toSeq === gAgg(orders).collect().toSeq)
   }
 
+  test("struct-field stats prune fragments; nested stats strip on DROP") {
+    import spark.implicits._
+    val root = tmp()
+    // three fragments clustered by st.id range: [0,99], [100,199], [200,299]
+    for (base <- Seq(0, 100, 200))
+      (base until base + 100).map(i => (i.toLong, (i.toLong, s"tag$i")))
+        .toDF("id", "st")
+        .select(col("id"), col("st").cast("struct<sid: BIGINT, tag: STRING>").as("st"))
+        .coalesce(1).write.format("lance").mode("append").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    assert(m.fragments.size === 3)
+    assert(m.fragments.forall(_.stats.contains("st.sid")), m.fragments.head.stats.keys)
+    assert(m.fragments.forall(_.stats.contains("st.tag")))
+
+    val ds = spark.read.format("lance").load(root)
+    val q = ds.filter(col("st.sid") === 150L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("fragments=1/3"), plan) // two fragments pruned by nested range
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(150L))
+
+    // DROP the struct strips nested stats → a re-ADD never prunes on them
+    spark.conf.set("spark.sql.catalog.lance_ns",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_ns.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_ns.db")
+    spark.sql("CREATE TABLE lance_ns.db.s (id BIGINT, st STRUCT<sid: BIGINT, tag: STRING>)")
+    val sroot = s"$wh/db/s"
+    Seq((1L, (10L, "x"))).toDF("id", "st")
+      .select(col("id"), col("st").cast("struct<sid: BIGINT, tag: STRING>").as("st"))
+      .write.format("lance").mode("append").save(sroot)
+    assert(ManifestIO.loadLatest(sroot, conf).get.fragments.head.stats.contains("st.sid"))
+    spark.sql("ALTER TABLE lance_ns.db.s DROP COLUMN st")
+    val stripped = ManifestIO.loadLatest(sroot, conf).get.fragments.head
+    assert(!stripped.stats.keys.exists(_.startsWith("st")), stripped.stats.keys)
+    spark.sql("ALTER TABLE lance_ns.db.s ADD COLUMN st STRUCT<sid: BIGINT, tag: STRING>")
+    // old fragment reads the re-added struct as NULL; nested equality on it
+    // is provably empty (hidden top-level propagates to nested references)
+    val r = spark.sql("SELECT count(*) FROM lance_ns.db.s WHERE st.sid = 10").first()
+    assert(r.getLong(0) === 0L)
+  }
+
   test("metadata delete refreshes sketch sidecars: HLL tracks survivors, bloom prunes deleted values") {
     import graft.sources.lance.Hll
     val root = tmp()
