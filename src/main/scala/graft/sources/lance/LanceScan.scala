@@ -389,17 +389,86 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     tryAnswerAll(agg).isDefined
 
+  /** Partial pushdown state: (output schema, merged stats partial row,
+    * fragments that must scan, their read columns, reader agg specs). */
+  private var partialPlan: Option[(StructType, Array[Any], Seq[FragmentMeta],
+    StructType, Seq[LanceAggSpec])] = None
+
+  /** Partial pushdown when some — but not most — fragments can't answer
+    * from stats (delta-path DVs without removed stats, post-DROP masks):
+    * the answerable majority contributes ONE pre-merged stats row, the
+    * rest scan and emit per-fragment partials, Spark runs the final merge.
+    * See [[LancePartialAggScan]]. */
+  private def tryPartial(agg: Aggregation): Option[(StructType, Array[Any],
+      Seq[FragmentMeta], StructType, Seq[LanceAggSpec])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (filters.nonEmpty && !allFiltersExact) return None
+    // (kind, column) per agg — decline funcs/types the scanning reader
+    // can't reproduce with Spark-exact semantics
+    def spec(f: AggregateFunc): Option[(String, Option[String])] = f match {
+      case _: CountStar => Some(("count_star", None))
+      case c: Count if !c.isDistinct => fieldName(c.column).map(n => ("count", Some(n)))
+      case m: Min => fieldName(m.column).collect {
+        case n if manifest.schema.fields.exists(fl => fl.name == n &&
+          (statType(fl.dataType) || fl.dataType == StringType)) => ("min", Some(n))
+      }
+      case m: Max => fieldName(m.column).collect {
+        case n if manifest.schema.fields.exists(fl => fl.name == n &&
+          (statType(fl.dataType) || fl.dataType == StringType)) => ("max", Some(n))
+      }
+      case s: Sum if !s.isDistinct => fieldName(s.column).collect {
+        case n if manifest.schema.fields.exists(fl => fl.name == n &&
+          (fl.dataType == ByteType || fl.dataType == ShortType ||
+            fl.dataType == IntegerType || fl.dataType == LongType)) => ("sum", Some(n))
+      }
+      case _ => None
+    }
+    val parsed = agg.aggregateExpressions.toSeq.map(spec)
+    if (parsed.exists(_.isEmpty)) return None
+    val funcs = parsed.map(_.get)
+    val domain = filterDomain
+    // a fragment is stats-answerable when EVERY agg answers over it alone
+    val (statFrags, scanFrags) = domain.partition(fr =>
+      agg.aggregateExpressions.forall(f => answer(f, Seq(fr), fr.liveRows).isDefined))
+    // engage only when the scan side is the minority — otherwise a normal
+    // columnar scan + Spark's own hash aggregate is the better plan
+    if (scanFrags.isEmpty || statFrags.isEmpty || scanFrags.size * 2 > domain.size)
+      return None
+    val statRows = statFrags.map(_.liveRows).sum
+    val answers = agg.aggregateExpressions.toSeq.map(answer(_, statFrags, statRows))
+    val schema = StructType(answers.map(_.get._1))
+    val statRow = answers.map(_.get._2).toArray
+    val colNames = funcs.flatMap(_._2).distinct
+    val readCols = StructType(manifest.schema.fields.filter(f => colNames.contains(f.name)))
+    val specs = funcs.map { case (kind, colOpt) =>
+      colOpt match {
+        case Some(c) => LanceAggSpec(kind, readCols.fieldIndex(c), readCols(c).dataType)
+        case None => LanceAggSpec(kind, -1, NullType)
+      }
+    }
+    Some((schema, statRow, scanFrags, readCols, specs))
+  }
+
   override def pushAggregation(agg: Aggregation): Boolean =
     tryAnswerAll(agg) match {
       case Some((schema, rows)) =>
         aggSchema = Some(schema); aggRows = Some(rows); true
-      case None => false
+      case None =>
+        tryPartial(agg) match {
+          case Some(p) => partialPlan = Some(p); true
+          case None => false
+        }
     }
 
   // ---- build -------------------------------------------------------------
 
   override def build(): Scan = (aggSchema, aggRows) match {
     case (Some(s), Some(v)) => new LanceStatsScan(root, s, v)
+    case _ if partialPlan.isDefined =>
+      val (schema, statRow, scanFrags, readCols, specs) = partialPlan.get
+      new LancePartialAggScan(spark, root, manifest, schema, statRow, scanFrags,
+        readCols, specs, spark.sessionState.conf.ansiEnabled, options)
     case _ =>
       // equality-bloom probe: consulted only for fragments the range/dict
       // stats keep and only for equality filters; sidecars load once per

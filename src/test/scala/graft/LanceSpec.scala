@@ -240,6 +240,40 @@ class LanceSpec extends SparkSpec {
     assert(q2.collect().toSeq === gAgg(orders).collect().toSeq)
   }
 
+  test("partial aggregate pushdown scans only the fragments stats can't answer") {
+    spark.conf.set("spark.sql.catalog.lance_pp",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_pp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_pp.db")
+    spark.sql("CREATE TABLE lance_pp.db.o " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)")
+    val root = s"$wh/db/o"
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+      .repartitionByRange(6, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format("lance").mode("append").save(root)
+    // delta-path UPDATE: one fragment gets a DV with NO removed stats
+    spark.sql("UPDATE lance_pp.db.o SET o_custkey = o_custkey + 7 WHERE o_orderkey < 100")
+    val m = ManifestIO.loadLatest(root, conf).get
+    val dvd = m.fragments.filter(_.deletes.isDefined)
+    assert(dvd.nonEmpty && dvd.forall(_.deletes.get.removed.isEmpty))
+
+    val q = spark.sql("SELECT count(*), count(o_custkey), sum(o_custkey), " +
+      "min(o_orderkey), max(o_orderkey), min(o_orderstatus), avg(o_custkey) " +
+      "FROM lance_pp.db.o")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LancePartialAggScan"), plan)
+    assert(plan.contains(s"${dvd.size}/${m.fragments.size} fragments scanned"), plan)
+    val expected = orders.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") < 100, col("o_custkey") + 7)
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      col("o_orderstatus"))
+    assert(q.collect()(0) === expected.agg(count(lit(1)), count(col("o_custkey")),
+      sum("o_custkey"), min("o_orderkey"), max("o_orderkey"), min("o_orderstatus"),
+      avg("o_custkey")).collect()(0))
+  }
+
   test("struct-field stats prune fragments; nested stats strip on DROP") {
     import spark.implicits._
     val root = tmp()
