@@ -20,7 +20,27 @@ import scala.jdk.CollectionConverters._
   * `CREATE/INSERT/SELECT ... <name>.db.table` and
   * `VERSION AS OF n` time travel work through plain Spark SQL.
   */
-class LanceCatalog extends TableCatalog with SupportsNamespaces {
+class LanceCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  // ---- stored procedures (CALL cat.system.compact/vacuum/history) --------
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LanceProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LanceProcedures.list()
+
+  /** Resolve a procedure's `table => 'db.t'` argument to the dataset root. */
+  private[lance] def tableRootFor(table: String): String = {
+    val parts = table.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty), s"bad table name: $table")
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = tablePath(ident)
+    if (!ManifestIO.exists(p.toString, conf))
+      throw new NoSuchTableException(ident)
+    p.toString
+  }
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -240,6 +240,41 @@ class LanceSpec extends SparkSpec {
     assert(q2.collect().toSeq === gAgg(orders).collect().toSeq)
   }
 
+  test("CALL procedures: compact, vacuum, history through SQL") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.lance_proc",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_proc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_proc.db")
+    spark.sql("CREATE TABLE lance_proc.db.t (id BIGINT, v STRING)")
+    val root = s"$wh/db/t"
+    // three small fragments across three commits
+    for (b <- 0 until 3)
+      (b * 10 until b * 10 + 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.format("lance").mode("append").save(root)
+
+    val hist = spark.sql("CALL lance_proc.system.history(table => 'db.t')").collect()
+    assert(hist.length === 4) // CREATE + 3 appends
+    assert(hist.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(hist.last.getAs[Long]("n_rows") === 30L)
+
+    val c = spark.sql(
+      "CALL lance_proc.system.compact(table => 'db.t', smaller_than_rows => 100, " +
+        "target_rows => 1000)").collect()(0)
+    assert(c.getAs[Int]("fragments_before") === 3)
+    assert(c.getAs[Int]("fragments_after") === 1)
+    assert(spark.sql("SELECT count(*) FROM lance_proc.db.t").first().getLong(0) === 30L)
+
+    val vac = spark.sql(
+      "CALL lance_proc.system.vacuum(table => 'db.t', retain_versions => 1, " +
+        "grace_ms => 0)").collect()(0)
+    assert(vac.getAs[Int]("retained_versions") === 1)
+    // compacted data intact, old versions gone
+    assert(spark.sql("SELECT count(*) FROM lance_proc.db.t").first().getLong(0) === 30L)
+    assert(ManifestIO.listVersions(root, conf).size === 1)
+  }
+
   test("partial aggregate pushdown scans only the fragments stats can't answer") {
     spark.conf.set("spark.sql.catalog.lance_pp",
       classOf[graft.sources.lance.LanceCatalog].getName)
