@@ -340,6 +340,27 @@ object LanceOps extends QueryModule {
       .orderBy("_change_type")
   }
 
+  /** Batch change-feed read over a version range (Delta CDF batch
+    * semantics): same scripted history as q_stream_cdc, read in one batch
+    * DataFrame instead of a stream — per-commit inserts and deletes with
+    * `_change_type`, aggregated per change kind. */
+  private def batchCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("bcdc")
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderstatus") =!= "F")
+      .write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    graft.sources.lance.LanceDelete.deleteWhere(s, root,
+      Array(org.apache.spark.sql.sources.LessThan("o_orderkey", 1000L)), Map.empty)
+    orders.filter(col("o_orderstatus") === "F")
+      .write.format("lance").mode("append").option("maxRowsPerFile", "2000").save(root)
+    s.read.format("lance")
+      .option("read.change-feed", "true").option("read.start-version", "1")
+      .load(root)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("sum_key"))
+      .orderBy("_change_type")
+  }
+
   // ---- streaming sink ----------------------------------------------------
 
   private def streamingSink(s: SparkSession, dir: String): DataFrame = {
@@ -395,6 +416,7 @@ object LanceOps extends QueryModule {
     "lance_update" -> updateOp,
     "lance_replace" -> replaceOp,
     "q_stream_cdc" -> streamCdc,
+    "q_batch_cdc" -> batchCdc,
     "lance_streaming_sink" -> streamingSink)
 
   val oracleSql: Map[String, String] = Map(
@@ -488,6 +510,16 @@ object LanceOps extends QueryModule {
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders""".stripMargin,
+    "q_batch_cdc" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |  FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, count(*) AS n,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |  FROM orders
+        |) ORDER BY _change_type""".stripMargin,
     "q_stream_cdc" ->
       """SELECT * FROM (
         |  SELECT 'delete' AS _change_type, count(*) AS n,

@@ -58,8 +58,26 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   private var aggSchema: Option[StructType] = None
   private var aggRows: Option[Seq[Array[Any]]] = None
 
+  /** Batch change-feed over an explicit version range (Delta CDF batch
+    * semantics: changes of versions [start, end], inclusive). Pushdowns
+    * that reason over the LATEST rows (exact filters, stats aggregates,
+    * limit truncation) are disabled — the scan emits change rows. */
+  private val cdcRange: Option[(Long, Long)] =
+    if (!LanceOptions.any(options, "readChangeFeed", "read.change-feed")
+        .exists(_.toBoolean)) None
+    else LanceOptions.any(options, "read.start-version", "startingVersion").map { s =>
+      val start = s.toLong
+      val end = LanceOptions.any(options, "read.end-version", "endingVersion")
+        .map(_.toLong).getOrElse(manifest.version)
+      require(start >= 1 && start <= end && end <= manifest.version,
+        s"lance change feed: bad version range [$start, $end] " +
+          s"(dataset is at version ${manifest.version})")
+      (start - 1, end) // walked as (startExclusive, endInclusive]
+    }
+
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
+    if (cdcRange.isDefined) return fs // change rows: everything residual
     // A filter every fragment is DECIDED under — provably all-match or
     // provably empty from manifest stats — is enforced exactly by fragment
     // pruning alone: build() drops the empty fragments and every row of
@@ -88,7 +106,9 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     // exactly-enforced filters keep manifest row counts exact (every live
     // row of every kept fragment matches), so limit can still truncate the
     // fragment list; undecided filters make counts over-estimates → decline
-    if (filters.isEmpty || allFiltersExact) { limit = Some(n); true } else false
+    if (cdcRange.isEmpty && (filters.isEmpty || allFiltersExact)) {
+      limit = Some(n); true
+    } else false
   }
 
   // ---- aggregate pushdown ------------------------------------------------
@@ -321,6 +341,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       filters.forall(f => LancePruning.provablyAllMatch(fr, f)))
 
   private def tryAnswerAll(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+    if (cdcRange.isDefined) return None // aggregates run over change rows
     if (filters.nonEmpty && !allFiltersExact) return None
     val domain = filterDomain
     if (agg.groupByExpressions.nonEmpty) return tryAnswerGrouped(agg, domain)
@@ -402,6 +423,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   private def tryPartial(agg: Aggregation): Option[(StructType, Array[Any],
       Seq[FragmentMeta], StructType, Seq[LanceAggSpec])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc
+    if (cdcRange.isDefined) return None
     if (agg.groupByExpressions.nonEmpty) return None
     if (filters.nonEmpty && !allFiltersExact) return None
     // (kind, column) per agg — decline funcs/types the scanning reader
@@ -464,6 +486,9 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   // ---- build -------------------------------------------------------------
 
   override def build(): Scan = (aggSchema, aggRows) match {
+    case _ if cdcRange.isDefined =>
+      val (startEx, endInc) = cdcRange.get
+      new LanceCdcBatchScan(spark, root, manifest, required, startEx, endInc, options)
     case (Some(s), Some(v)) => new LanceStatsScan(root, s, v)
     case _ if partialPlan.isDefined =>
       val (schema, statRow, scanFrags, readCols, specs) = partialPlan.get
@@ -1077,6 +1102,36 @@ class LanceMaskedReaderFactory(groups: Map[LanceColumnMap, LanceReadGroup],
       override def close(): Unit = ()
     }
   }
+}
+
+/** Batch change feed over a pinned version range: emits the change rows
+  * of versions (startExclusive, endInclusive] — Delta CDF batch-read
+  * semantics — through the same masked reader machinery the streaming
+  * change feed uses (DV diffs, dropped-fragment replay, column identity). */
+class LanceCdcBatchScan(spark: SparkSession, root: String, manifest: LanceManifest,
+                        required: StructType, startExclusive: Long,
+                        endInclusive: Long, options: Map[String, String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LanceCdcBatchScan root=$root versions=(${startExclusive}, $endInclusive] " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private lazy val parts: Seq[LanceInputPartition] =
+    LanceChangeFeed.partitions(root, Shim.hadoopConf(spark, options),
+      required.fieldNames.toSet, startExclusive, endInclusive)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.map(p => p: InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LanceMaskedReaderFactory(
+      LanceReadGroup.build(spark, manifest.schema, required, Seq.empty, options,
+        parts.map(_.colMap).distinct),
+      limit = None,
+      Shim.serializableConf(Shim.hadoopConf(spark, options)))
 }
 
 /** Aggregate-pushdown result materialized from manifest stats — the scan

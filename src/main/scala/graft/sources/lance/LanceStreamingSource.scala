@@ -185,47 +185,12 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
 
   /** One CDC step per version: diff v-1 → v under v's recorded op. */
   private def cdcPartitions(start: Long, end: Long): Array[InputPartition] = {
-    val c = conf
-    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    var prev: Option[LanceManifest] =
-      if (start == 0) None else Some(ManifestIO.load(root, start, c))
-    var v = start + 1
-    while (v <= end) {
-      val cur = ManifestIO.load(root, v, c)
-      // pure file reorganizations are not data changes
-      if (cur.op != "compact" && cur.op != "alter") {
-        val prevBy = prev.map(_.fragments.map(f => f.path -> f).toMap)
-          .getOrElse(Map.empty[String, FragmentMeta])
-        val curPaths = cur.fragments.map(_.path).toSet
-        def add(fr: FragmentMeta, change: String, dv: Option[String],
-                diff: Option[(Option[String], String)]): Unit = {
-          val cm = LanceColumnMap.of(fr, requiredNames)
-          synchronized { plannedColMaps += cm }
-          parts += LanceInputPartition(full(fr.path), 0, fr.sizeBytes,
-            fr.sizeBytes, cm, dv, Some(change), diff)
-        }
-        cur.fragments.foreach { fr =>
-          prevBy.get(fr.path) match {
-            case None => // new fragment: its live rows are inserts
-              add(fr, "insert", fr.deletes.map(d => full(d.path)), None)
-            case Some(old) if fr.deletes.map(_.path) != old.deletes.map(_.path) =>
-              // DV grew: emit exactly the newly-deleted positions
-              fr.deletes.foreach(nd =>
-                add(old, "delete",
-                  None, Some((old.deletes.map(d => full(d.path)), full(nd.path)))))
-            case _ => () // unchanged
-          }
-        }
-        // dropped fragments: their pre-drop live rows are deletes
-        prevBy.valuesIterator.filterNot(old => curPaths(old.path)).foreach { old =>
-          add(old, "delete", old.deletes.map(d => full(d.path)), None)
-        }
-      }
-      prev = Some(cur)
-      v += 1
+    val parts = LanceChangeFeed.partitions(root, conf, requiredNames, start, end)
+    synchronized {
+      plannedColMaps ++= parts.map(_.colMap)
+      plannedAnyDv = true // CDC partitions need the masked path
     }
-    synchronized { plannedAnyDv = true } // CDC partitions need the masked path
-    parts.toArray
+    parts.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -249,4 +214,54 @@ class LanceMicroBatchStream(spark: SparkSession, root: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Shared CDC planner: the change rows for versions `(startExclusive,
+  * endInclusive]`, walked commit by commit so each step's recorded op is
+  * known — used by the streaming change feed and the batch version-range
+  * read (`read.start-version` / `read.end-version`). */
+object LanceChangeFeed {
+  def partitions(root: String, conf: org.apache.hadoop.conf.Configuration,
+                 requiredNames: Set[String],
+                 startExclusive: Long, endInclusive: Long): Seq[LanceInputPartition] = {
+    def full(rel: String): String =
+      new org.apache.hadoop.fs.Path(root, rel).toString
+    val parts = scala.collection.mutable.ArrayBuffer.empty[LanceInputPartition]
+    var prev: Option[LanceManifest] =
+      if (startExclusive == 0) None
+      else Some(ManifestIO.load(root, startExclusive, conf))
+    var v = startExclusive + 1
+    while (v <= endInclusive) {
+      val cur = ManifestIO.load(root, v, conf)
+      // pure file reorganizations are not data changes
+      if (cur.op != "compact" && cur.op != "alter") {
+        val prevBy = prev.map(_.fragments.map(f => f.path -> f).toMap)
+          .getOrElse(Map.empty[String, FragmentMeta])
+        val curPaths = cur.fragments.map(_.path).toSet
+        def add(fr: FragmentMeta, change: String, dv: Option[String],
+                diff: Option[(Option[String], String)]): Unit =
+          parts += LanceInputPartition(full(fr.path), 0, fr.sizeBytes,
+            fr.sizeBytes, LanceColumnMap.of(fr, requiredNames), dv, Some(change), diff)
+        cur.fragments.foreach { fr =>
+          prevBy.get(fr.path) match {
+            case None => // new fragment: its live rows are inserts
+              add(fr, "insert", fr.deletes.map(d => full(d.path)), None)
+            case Some(old) if fr.deletes.map(_.path) != old.deletes.map(_.path) =>
+              // DV grew: emit exactly the newly-deleted positions
+              fr.deletes.foreach(nd =>
+                add(old, "delete",
+                  None, Some((old.deletes.map(d => full(d.path)), full(nd.path)))))
+            case _ => () // unchanged
+          }
+        }
+        // dropped fragments: their pre-drop live rows are deletes
+        prevBy.valuesIterator.filterNot(old => curPaths(old.path)).foreach { old =>
+          add(old, "delete", old.deletes.map(d => full(d.path)), None)
+        }
+      }
+      prev = Some(cur)
+      v += 1
+    }
+    parts.toSeq
+  }
 }

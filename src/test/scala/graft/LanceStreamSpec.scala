@@ -128,6 +128,37 @@ class LanceStreamSpec extends SparkSpec {
     assert(deletes2 === Seq(1L, 2L, 3L, 4L, 5L), rows2)
   }
 
+  test("batch change feed reads an explicit version range") {
+    import graft.sources.lance.LanceDelete
+    import spark.implicits._
+    val root = tmp()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.format("lance").save(root) // v1
+    LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 2L)), Map.empty) // v2
+    Seq((4L, "d")).toDF("id", "v").coalesce(1)
+      .write.format("lance").mode("append").save(root) // v3
+
+    def feed(opts: (String, String)*) = {
+      val r = spark.read.format("lance").option("read.change-feed", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(root).select("id", "_change_type")
+        .collect().map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    }
+    // full history: 4 inserts + 1 delete
+    assert(feed("read.start-version" -> "1") ===
+      Seq((1L, "insert"), (2L, "delete"), (2L, "insert"), (3L, "insert"), (4L, "insert")))
+    // just the delete commit
+    assert(feed("read.start-version" -> "2", "read.end-version" -> "2") ===
+      Seq((2L, "delete")))
+    // tail from v3
+    assert(feed("read.start-version" -> "3") === Seq((4L, "insert")))
+    // a bad range errors instead of silently reading the wrong thing
+    intercept[Exception] {
+      feed("read.start-version" -> "4")
+    }
+  }
+
   test("session state retains only the open tail for a hot key") {
     import graft.operators.StreamingOps
     val gap = 6L * 3600 * 1000000L

@@ -73,6 +73,7 @@ class EntrySpec extends SparkSpec {
     "lance_hll_distinct" -> 3,
     "lance_replace" -> 1,
     "q_stream_cdc" -> 2,
+    "q_batch_cdc" -> 2,
     "ivf_flat_search" -> 15,
     "ivf_hnsw_search" -> 15,
     "ivf_pq_search" -> 10,
