@@ -309,6 +309,32 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Runtime (dynamic) fragment pruning: the join keys surviving the dim
+    * side's selective filter reach the key-clustered fact scan at
+    * execution time and prune fragments before any fact IO
+    * (LanceParquetScan.filter — the DSv2 dynamic-partition-pruning path).
+    * At 100 TB this is the fact-table saver: dim filters cut fact reads
+    * by orders of magnitude without touching the query text. */
+  private def runtimePrune(s: SparkSession, dir: String): DataFrame = {
+    val factRoot = tmp("rtfact")
+    val dimRoot = tmp("rtdim")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .repartitionByRange(8, col("l_orderkey"))
+      .write.format("lance").save(factRoot)
+    // dim fragments stay MIXED under the filter (natural order), so the
+    // selective predicate remains residual — the shape Spark's dynamic
+    // pruning rule keys on
+    t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .write.format("lance").option("maxRowsPerFile", "5000").save(dimRoot)
+    read(s, factRoot)
+      .join(read(s, dimRoot).filter(col("o_custkey") < 20),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(col("l_orderkey")).cast("long").as("sum_key"))
+  }
+
   /** CDC change feed: the stream over a scripted append → delete → append
     * history must emit exactly the per-commit inserts and deletes; the
     * collected feed aggregates to a SQL-expressible oracle. */
@@ -409,6 +435,7 @@ object LanceOps extends QueryModule {
     "lance_filtered_stats" -> filteredAgg,
     "lance_agg_groupby" -> aggGroupBy,
     "lance_clustered_write" -> clusteredWrite,
+    "lance_runtime_prune" -> runtimePrune,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
@@ -472,6 +499,11 @@ object LanceOps extends QueryModule {
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "lance_runtime_prune" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey < 20""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",
     "lance_types_roundtrip" ->

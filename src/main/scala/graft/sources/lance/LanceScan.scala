@@ -495,30 +495,8 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       new LancePartialAggScan(spark, root, manifest, schema, statRow, scanFrags,
         readCols, specs, spark.sessionState.conf.ansiEnabled, options)
     case _ =>
-      // equality-bloom probe: consulted only for fragments the range/dict
-      // stats keep and only for equality filters; sidecars load once per
-      // fragment into a process-wide cache. Lookup resolves renames to the
-      // fragment's physical column name; hidden columns never get here
-      // (readsAllNull prunes them first).
-      lazy val bloomConf = Shim.hadoopConf(spark, options)
-      def litHash(v: Any): Option[Long] = v match {
-        case s: String => Some(Bloom.hashUTF8String(UTF8String.fromString(s)))
-        case i: java.lang.Integer => Some(Bloom.hashLong(i.longValue()))
-        case l: java.lang.Long => Some(Bloom.hashLong(l.longValue()))
-        case s: java.lang.Short => Some(Bloom.hashLong(s.longValue()))
-        case b: java.lang.Byte => Some(Bloom.hashLong(b.longValue()))
-        case _ => None
-      }
-      def bloomAbsent(fr: FragmentMeta, c: String, v: Any): Boolean =
-        fr.sketches.exists { rel =>
-          val phys = fr.physicalNames.getOrElse(c, c)
-          (SidecarCache.get(root, bloomConf, rel).get(phys).flatMap(_._2), litHash(v)) match {
-            case (Some(b), Some(h)) => !b.mightContain(h)
-            case _ => false
-          }
-        }
       val pruned = LancePruning.prune(manifest.fragments, manifest.schema,
-        filters, root, bloomAbsent)
+        filters, root, LancePruning.bloomProbe(root, Shim.hadoopConf(spark, options)))
       new LanceParquetScan(spark, root, manifest, pruned, required, filters.toSeq,
         limit, options)
   }
@@ -529,6 +507,31 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
   * before any IO. Conservative: unknown stats / unhandled predicates keep
   * the fragment. */
 object LancePruning {
+  /** Equality-bloom probe over the fragment's sketch sidecar: consulted
+    * only for fragments the range/dict stats keep and only for equality
+    * filters; sidecars load once per fragment into a process-wide cache.
+    * Lookup resolves renames to the fragment's physical column name;
+    * hidden columns never get here (readsAllNull prunes them first). */
+  def bloomProbe(root: String, conf: org.apache.hadoop.conf.Configuration)
+      : (FragmentMeta, String, Any) => Boolean = {
+    def litHash(v: Any): Option[Long] = v match {
+      case s: String => Some(Bloom.hashUTF8String(UTF8String.fromString(s)))
+      case i: java.lang.Integer => Some(Bloom.hashLong(i.longValue()))
+      case l: java.lang.Long => Some(Bloom.hashLong(l.longValue()))
+      case s: java.lang.Short => Some(Bloom.hashLong(s.longValue()))
+      case b: java.lang.Byte => Some(Bloom.hashLong(b.longValue()))
+      case _ => None
+    }
+    (fr, c, v) =>
+      fr.sketches.exists { rel =>
+        val phys = fr.physicalNames.getOrElse(c, c)
+        (SidecarCache.get(root, conf, rel).get(phys).flatMap(_._2), litHash(v)) match {
+          case (Some(b), Some(h)) => !b.mightContain(h)
+          case _ => false
+        }
+      }
+  }
+
   /** `bloomAbsent(fr, col, value)` = true when a per-fragment bloom filter
     * PROVES the value absent (see [[Bloom]]); sound to prune on. */
   def prune(fragments: Seq[FragmentMeta], schema: StructType,
@@ -759,10 +762,38 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
                        initialFragments: Seq[FragmentMeta], required: StructType,
                        filters: Seq[Filter], limit: Option[Int],
                        options: Map[String, String]) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   /** Narrowable by subclasses (runtime group filtering in the COW scan). */
   @volatile protected var fragments: Seq[FragmentMeta] = initialFragments
+
+  // ---- runtime filtering (the dynamic-partition-pruning analog) --------
+  // Join-key predicates arriving at execution time (Spark's PartitionPruning
+  // rule collects the build side's distinct keys into IN-sets) narrow the
+  // fragment list through the same prover + bloom probe as static pushdown.
+  // Purely an optimization — the join still evaluates — so predicates the
+  // prover doesn't recognize are ignored, never wrong. At 100 TB this is
+  // the fact-table saver: a selective dim filter prunes fact fragments by
+  // join key before any fact IO.
+
+  /** Every projected top-level data column is fair game: all have min/max
+    * stats, low-cardinality strings have dictionaries, keyed columns have
+    * bloom sidecars. (The COW scan overrides this to `_file` only — its
+    * group filtering must also sync the rewrite's touched-fragment set.) */
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    manifest.schema.fields.collect {
+      case f if required.fieldNames.contains(f.name) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = Shim.predicatesToV1(predicates)
+    if (v1.nonEmpty)
+      fragments = LancePruning.prune(fragments, manifest.schema, v1, root,
+        LancePruning.bloomProbe(root, Shim.hadoopConf(spark, options)))
+  }
 
   override def readSchema(): StructType = required
 

@@ -35,6 +35,12 @@ object Shim {
   def hadoopConf(spark: SparkSession, options: Map[String, String]): Configuration =
     spark.sessionState.newHadoopConfWithOptions(options)
 
+  /** V2 runtime-filter predicates to V1 `Filter`s (unsupported shapes drop
+    * out — sound for pruning, which is optimization-only). */
+  def predicatesToV1(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Array[Filter] =
+    ps.flatMap(p => org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p))
+
   def serializableConf(conf: Configuration): SerializableConfiguration =
     new SerializableConfiguration(conf)
 

@@ -1156,6 +1156,60 @@ class LanceSpec extends SparkSpec {
     assert(si < 8)
   }
 
+  test("runtime join-key filters prune fact fragments (dynamic pruning analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val factRoot = tmp()
+    spark.range(4000)
+      .select(col("id").as("f_id"), (col("id") % 97).as("payload"))
+      .repartitionByRange(4, col("f_id"))
+      .write.format("lance").save(factRoot)
+    val m = ManifestIO.loadLatest(factRoot, conf).get
+    assert(m.fragments.size === 4)
+    val dimRoot = tmp()
+    // one MIXED fragment: the tag filter stays residual (a consumed-exact
+    // filter would drop the dim-side Filter node, and Spark's DPP rule
+    // requires a selective predicate on the filtering side)
+    Seq((5L, "keep"), (17L, "keep"), (2905L, "drop")).toDF("d_id", "tag")
+      .coalesce(1).write.format("lance").save(dimRoot)
+
+    // direct scan-interface check: an IN predicate narrows the partition plan
+    val ds = spark.read.format("lance").load(factRoot)
+    val direct = ds.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec => b
+    }.get.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+    assert(direct.filterAttributes().map(_.fieldNames().head).toSet === Set("f_id", "payload"))
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    direct.filter(Array(new Predicate("IN", Array[org.apache.spark.sql.connector.expressions.Expression](
+      Expressions.column("f_id"), Expressions.literal(5L), Expressions.literal(17L)))))
+    assert(direct.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().length === 1)
+
+    // end-to-end: a selective dim filter dynamically prunes the fact scan —
+    // only fragments whose f_id range covers a surviving key are read
+    val coveringRows = m.fragments.filter { fr =>
+      val s = fr.stats("f_id")
+      Seq(5L, 17L).exists(k => s.min.exists { case JLong(mn) => mn <= k case _ => false } &&
+        s.max.exists { case JLong(mx) => mx >= k case _ => false })
+    }.map(_.rows).sum
+    assert(coveringRows < 4000, "test setup: keys must not span every fragment")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.read.format("lance").load(factRoot)
+      val dim = spark.read.format("lance").load(dimRoot).filter(col("tag") === "keep")
+      val joined = fact.join(dim, col("f_id") === col("d_id"))
+      assert(joined.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 17L))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"), plan.toString)
+      val factScan = plan.collectLeaves().collectFirst {
+        case b: BatchScanExec if b.output.exists(_.name == "f_id") => b
+      }.get
+      assert(factScan.metrics("numOutputRows").value === coveringRows)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("HLL sketches answer approx COUNT(DISTINCT) within error bounds, zero data reads") {
     import graft.sources.lance.Hll
     import spark.implicits._
