@@ -309,6 +309,36 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Storage-partitioned join: both sides written with the same
+    * write.bucket-by/bucket-count land co-partitioned on disk; the scans
+    * report KeyGroupedPartitioning over bucket(N, key) and the equi-join
+    * between them plans with no shuffle on either side (LanceParquetScan
+    * .outputPartitioning + the catalog's `bucket` function). At 100 TB a
+    * fact-fact join's shuffle is the dominant cost — this deletes it. */
+  private def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (ta, tb) = (s"bjo_$sfx", s"bjl_$sfx")
+    t(s, dir, "orders").createOrReplaceTempView(s"src_$ta")
+    t(s, dir, "lineitem").createOrReplaceTempView(s"src_$tb")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$ta (o_orderkey BIGINT, o_custkey BIGINT) " +
+      "TBLPROPERTIES('write.bucket-by'='o_orderkey','write.bucket-count'='8')")
+    s.sql(s"CREATE TABLE graft_lance.db.$tb (l_orderkey BIGINT, l_quantity DOUBLE) " +
+      "TBLPROPERTIES('write.bucket-by'='l_orderkey','write.bucket-count'='8')")
+    s.sql(s"INSERT INTO graft_lance.db.$ta SELECT o_orderkey, o_custkey FROM src_$ta")
+    s.sql(s"INSERT INTO graft_lance.db.$tb " +
+      s"SELECT l_orderkey, CAST(l_quantity AS DOUBLE) FROM src_$tb")
+    s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+         |FROM graft_lance.db.$ta a JOIN graft_lance.db.$tb b
+         |  ON a.o_orderkey = b.l_orderkey
+         |WHERE a.o_custkey % 10 = 3""".stripMargin)
+  }
+
   /** Runtime (dynamic) fragment pruning: the join keys surviving the dim
     * side's selective filter reach the key-clustered fact scan at
     * execution time and prune fragments before any fact IO
@@ -436,6 +466,7 @@ object LanceOps extends QueryModule {
     "lance_agg_groupby" -> aggGroupBy,
     "lance_clustered_write" -> clusteredWrite,
     "lance_runtime_prune" -> runtimePrune,
+    "lance_bucket_join" -> bucketJoin,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
@@ -504,6 +535,11 @@ object LanceOps extends QueryModule {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey < 20""".stripMargin,
+    "lance_bucket_join" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey % 10 = 3""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",
     "lance_types_roundtrip" ->

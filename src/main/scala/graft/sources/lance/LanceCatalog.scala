@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   * `VERSION AS OF n` time travel work through plain Spark SQL.
   */
 class LanceCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   // ---- stored procedures (CALL cat.system.compact/vacuum/history) --------
   override def loadProcedure(ident: Identifier):
@@ -30,6 +30,19 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     LanceProcedures.list()
+
+  // ---- V2 functions ------------------------------------------------------
+  // `bucket` lives at the empty namespace — that is where Spark's transform
+  // resolution (V2ExpressionUtils.loadV2FunctionOpt) looks when a scan
+  // reports a bucket(N, col) KeyGroupedPartitioning.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") LanceBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** Resolve a procedure's `table => 'db.t'` argument to the dataset root. */
   private[lance] def tableRootFor(table: String): String = {

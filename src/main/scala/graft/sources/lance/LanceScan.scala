@@ -755,14 +755,22 @@ case class LanceInputPartition(path: String, start: Long, length: Long,
                                colMap: LanceColumnMap = LanceColumnMap.Identity,
                                dv: Option[String] = None,
                                changeType: Option[String] = None,
-                               deleteDiff: Option[(Option[String], String)] = None)
-    extends InputPartition
+                               deleteDiff: Option[(Option[String], String)] = None,
+                               bucket: Option[Int] = None)
+    extends InputPartition with HasPartitionKey {
+  /** The fragment's write.bucket-by value — consulted only when the scan
+    * reports KeyGroupedPartitioning (then every partition has a bucket);
+    * byte-range splits of one fragment share a key and Spark groups them. */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket.getOrElse(-1)))
+}
 
 class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifest,
                        initialFragments: Seq[FragmentMeta], required: StructType,
                        filters: Seq[Filter], limit: Option[Int],
                        options: Map[String, String]) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   /** Narrowable by subclasses (runtime group filtering in the COW scan). */
   @volatile protected var fragments: Seq[FragmentMeta] = initialFragments
@@ -793,6 +801,31 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     if (v1.nonEmpty)
       fragments = LancePruning.prune(fragments, manifest.schema, v1, root,
         LancePruning.bloomProbe(root, Shim.hadoopConf(spark, options)))
+  }
+
+  // ---- storage-partitioned joins ---------------------------------------
+  // A table whose live fragments all carry a write.bucket-by tag reports
+  // KeyGroupedPartitioning over bucket(N, col): Spark groups the input
+  // partitions by bucket and an equi-join against another table bucketed
+  // (col, N) the same way runs with NO shuffle on either side (the
+  // catalog's `bucket` function makes the two transforms comparable).
+  // Anything irregular — a mixed append, a dropped bucket column — makes
+  // this report UnknownPartitioning, which is always sound.
+  private val bucketSpec: Option[(String, Int)] = for {
+    col <- LanceOptions.any(manifest.props, "write.bucket-by", "bucketBy")
+    n <- LanceOptions.any(manifest.props, "write.bucket-count", "bucketCount")
+    if manifest.schema.fieldNames.contains(col)
+    if initialFragments.nonEmpty && initialFragments.forall(_.bucket.isDefined)
+  } yield (col, n.toInt)
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = bucketSpec match {
+    case Some((col, n)) =>
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
+        fragments.flatMap(_.bucket).distinct.size)
+    case None =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }
 
   override def readSchema(): StructType = required
@@ -870,11 +903,12 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
       // start — such fragments read as one partition (they exist only
       // between a delete and the next compaction)
       if (fr.sizeBytes <= splitBytes || limit.isDefined || dv.isDefined || posRequested) {
-        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, maskKey(fr), dv))
+        Seq(LanceInputPartition(p, 0, fr.sizeBytes, fr.sizeBytes, maskKey(fr), dv,
+          bucket = fr.bucket))
       } else {
         (0L until fr.sizeBytes by splitBytes).map { off =>
           LanceInputPartition(p, off, math.min(splitBytes, fr.sizeBytes - off),
-            fr.sizeBytes, maskKey(fr))
+            fr.sizeBytes, maskKey(fr), bucket = fr.bucket)
         }
       }
     }.toArray

@@ -93,25 +93,55 @@ class LanceWrite(root: String, schema: StructType,
     schema.filter(f => clusterBy.contains(f.name)).map(_.dataType).mkString(", "))
   private val clusterIdx: Array[Int] = clusterBy.map(schema.fieldIndex).toArray
 
+  // ---- bucketed writes ---------------------------------------------------
+  // write.bucket-by=<col> + write.bucket-count=N hash-cluster rows into N
+  // stable buckets: the required ClusteredDistribution with an explicit
+  // partition count makes Spark shuffle via HashPartitioning(col, N), so a
+  // task's partitionId IS pmod(murmur3(col), N) — each fragment a task
+  // writes carries that bucket tag. Two tables bucketed (col, N) the same
+  // way are co-partitioned on disk; the scan reports KeyGroupedPartitioning
+  // over bucket(N, col) and equi-joins between them skip the shuffle
+  // entirely (storage-partitioned join) — at 100 TB the single biggest
+  // shuffle eliminated. The explicit numPartitions also keeps AQE from
+  // coalescing (which would break the id=bucket equality).
+  private val bucketBy: Option[(String, Int)] = {
+    val col = LanceOptions.any(options, "write.bucket-by", "bucketBy")
+    val n = LanceOptions.any(options, "write.bucket-count", "bucketCount")
+    (col, n) match {
+      case (Some(c), Some(k)) =>
+        require(schema.fieldNames.contains(c), s"lance write.bucket-by: unknown column $c")
+        require(k.toInt > 0, s"lance write.bucket-count must be positive, got $k")
+        require(clusterBy.isEmpty, "lance: write.bucket-by and write.cluster-by are exclusive")
+        Some((c, k.toInt))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "lance: write.bucket-by and write.bucket-count must be set together")
+    }
+  }
+
   private def sortOrders(cols: Seq[String]) = cols.map(c =>
     org.apache.spark.sql.connector.expressions.Expressions.sort(
       org.apache.spark.sql.connector.expressions.Expressions.column(c),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (clusterBy.nonEmpty)
+    if (bucketBy.isDefined)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(bucketBy.get._1)))
+    else if (clusterBy.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.ordered(sortOrders(clusterBy))
     else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    sortOrders((clusterBy ++ sortBy).distinct)
+    sortOrders((clusterBy ++ bucketBy.map(_._1) ++ sortBy).distinct)
 
-  override def requiredNumPartitions(): Int =
-    LanceOptions.any(options, "write.cluster-partitions").map(_.toInt).getOrElse(0)
+  override def requiredNumPartitions(): Int = bucketBy.map(_._2).getOrElse(
+    LanceOptions.any(options, "write.cluster-partitions").map(_.toInt).getOrElse(0))
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new LanceDataWriterFactory(root, schema, factory, conf, maxRowsPerFile, clusterIdx)
+      new LanceDataWriterFactory(root, schema, factory, conf, maxRowsPerFile, clusterIdx,
+        bucketed = bucketBy.isDefined)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val newFrags = messages.flatMap {
@@ -221,11 +251,12 @@ object LanceWriteUtil {
 class LanceDataWriterFactory(root: String, schema: StructType,
                              factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                              conf: SerializableConfiguration, maxRowsPerFile: Long,
-                             clusterIdx: Array[Int] = Array.empty)
+                             clusterIdx: Array[Int] = Array.empty,
+                             bucketed: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId,
-      clusterIdx)
+      clusterIdx, bucketed)
 }
 
 class LanceStreamingDataWriterFactory(root: String, schema: StructType,
@@ -250,7 +281,8 @@ class LanceDataWriter(root: String, schema: StructType,
                       factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                       conf: SerializableConfiguration, maxRowsPerFile: Long,
                       partitionId: Int, taskId: Long,
-                      clusterIdx: Array[Int] = Array.empty) extends DataWriter[InternalRow] {
+                      clusterIdx: Array[Int] = Array.empty,
+                      bucketed: Boolean = false) extends DataWriter[InternalRow] {
 
   private val ctx = {
     val attempt = new TaskAttemptID(
@@ -489,7 +521,10 @@ class LanceDataWriter(root: String, schema: StructType,
             c -> ColStats(None, None, Some(rows - nn), fileSums.get(c), None))
         }.toMap
       FragmentMeta(rel, rows, size, withSums ++ decimalExtra,
-        sketches = finishedSketches.get(rel))
+        sketches = finishedSketches.get(rel),
+        // under write.bucket-by the shuffle's HashPartitioning makes the
+        // task's partitionId the bucket value of every row it receives
+        bucket = if (bucketed) Some(partitionId) else None)
     }
     LanceFragmentsCommitMessage(frags)
   }
@@ -611,17 +646,25 @@ object LanceMaintenance {
     val conf = Shim.hadoopConf(spark, Map.empty)
     val m = ManifestIO.loadLatest(root, conf).getOrElse(
       throw new IllegalStateException(s"lance dataset not found: $root"))
-    val small = m.fragments.filter(fr =>
+    val candidates = m.fragments.filter(fr =>
       fr.rows < smallerThanRows || fr.deletes.isDefined)
-    if (small.size <= 1 && !small.exists(_.deletes.isDefined)) return m
-    // one scan partition per fragment comes back from the connector read —
-    // coalesce (no shuffle) down to the consolidated fragment count so the
-    // staged write actually merges files
-    val parts = math.max(1,
-      math.ceil(small.map(_.liveRows).sum.toDouble / targetRows).toInt)
-    val df = maskedRead(spark, root, m.version, m.schema, small).coalesce(parts)
-    val newFrags = LanceBatchSave.stageFragments(spark, df, root,
-      Some(targetRows.toString))
+    // bucketed tables compact WITHIN a bucket: merging across buckets would
+    // forfeit the co-partitioned (shuffle-free) join layout. Unbucketed
+    // fragments all land in the one None group — the original behavior.
+    val groups = candidates.groupBy(_.bucket).toSeq.filter { case (_, frs) =>
+      frs.size > 1 || frs.exists(_.deletes.isDefined)
+    }
+    if (groups.isEmpty) return m
+    val (small, newFrags) = groups.map { case (b, frs) =>
+      // one scan partition per fragment comes back from the connector
+      // read — coalesce (no shuffle) down to the consolidated fragment
+      // count so the staged write actually merges files
+      val parts = math.max(1,
+        math.ceil(frs.map(_.liveRows).sum.toDouble / targetRows).toInt)
+      val df = maskedRead(spark, root, m.version, m.schema, frs).coalesce(parts)
+      (frs, LanceBatchSave.stageFragments(spark, df, root,
+        Some(targetRows.toString)).map(_.copy(bucket = b)))
+    }.unzip match { case (s, n) => (s.flatten, n.flatten) }
     val smallBy = small.map(f => f.path -> f).toMap
     ManifestIO.commit(root, conf) { latest =>
       val cur = latest.getOrElse(

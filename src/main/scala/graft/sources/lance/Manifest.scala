@@ -52,7 +52,8 @@ case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
                         hidden: Seq[String] = Nil,
                         physicalNames: Map[String, String] = Map.empty,
                         deletes: Option[DeleteVectorMeta] = None,
-                        sketches: Option[String] = None) {
+                        sketches: Option[String] = None,
+                        bucket: Option[Int] = None) {
   /** Logical rows = physical rows minus positions in the delete vector.
     * Exact: DV counts are distinct sorted positions. */
   def liveRows: Long = rows - deletes.map(_.count).getOrElse(0L)
@@ -335,6 +336,7 @@ object ManifestIO {
           "removed" -> (if (d.removed.isEmpty) JNothing
                         else statsObj(d.removed)))).getOrElse(JNothing),
         "sketches" -> fr.sketches.map(JString(_)).getOrElse(JNothing),
+        "bucket" -> fr.bucket.map(b => JLong(b.toLong)).getOrElse(JNothing),
         "stats" -> statsObj(fr.stats))
     })
     JsonMethods.compact(JsonMethods.render(JObject(
@@ -386,6 +388,10 @@ object ManifestIO {
         case JString(p) => Some(p)
         case _ => None
       }
+      val bucket = (fr \ "bucket") match {
+        case JNothing | JNull => None
+        case v => Some(asLong(v).toInt)
+      }
       FragmentMeta(
         (fr \ "path").asInstanceOf[JString].s,
         asLong(fr \ "rows"),
@@ -394,7 +400,8 @@ object ManifestIO {
         hidden,
         physicalNames,
         deletes,
-        sketches)
+        sketches,
+        bucket)
     }
     // legacy single-marker manifests (pre txn-map) read into a 1-entry map
     val txns = (j \ "txns") match {

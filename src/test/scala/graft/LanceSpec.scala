@@ -1210,6 +1210,70 @@ class LanceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
+    spark.conf.set("spark.sql.catalog.lance_spj", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_spj.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_spj.db")
+    for (t <- Seq("a", "b"))
+      spark.sql(s"CREATE TABLE lance_spj.db.$t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    spark.range(1000).selectExpr("id", "id*2 AS v").createOrReplaceTempView("spj_a")
+    spark.range(500).selectExpr("id", "id*3 AS v").createOrReplaceTempView("spj_b")
+    spark.sql("INSERT INTO lance_spj.db.a SELECT * FROM spj_a")
+    spark.sql("INSERT INTO lance_spj.db.b SELECT * FROM spj_b")
+
+    // every fragment is bucket-tagged, and the tag equals the actual
+    // pmod(murmur3(id), 4) of every row in the file (hash() is the same
+    // murmur3/seed-42 the write shuffle partitioned by)
+    val m = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+    assert(m.fragments.nonEmpty && m.fragments.forall(_.bucket.isDefined))
+    assert(m.fragments.flatMap(_.bucket).distinct.sorted === Seq(0, 1, 2, 3))
+    val perFile = spark.sql(
+      "SELECT _file, pmod(hash(id), 4) AS b FROM lance_spj.db.a")
+      .groupBy("_file").agg(countDistinct(col("b")).as("nb"), first(col("b")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(perFile.forall(_._2 === 1L), s"mixed-bucket fragment: $perFile")
+    for (fr <- m.fragments) {
+      val actual = perFile.find(_._1.endsWith(fr.path)).get._3
+      assert(fr.bucket.contains(actual), s"${fr.path}: tag=${fr.bucket} actual=$actual")
+    }
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT a.id AS id, a.v AS va, b.v AS vb " +
+        "FROM lance_spj.db.a a JOIN lance_spj.db.b b ON a.id = b.id")
+      val rows = j.collect()
+      assert(rows.length === 500)
+      assert(rows.forall(r => r.getLong(1) == 2 * r.getLong(0) &&
+        r.getLong(2) == 3 * r.getLong(0)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free SPJ plan:\n$plan")
+
+      // compaction merges WITHIN buckets: a second insert doubles the
+      // fragment count, compact folds back to one per bucket, and the
+      // join stays shuffle-free on the compacted layout
+      spark.sql("INSERT INTO lance_spj.db.a SELECT * FROM spj_a")
+      val mc0 = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+      assert(mc0.fragments.size === 8)
+      graft.sources.lance.LanceMaintenance.compact(spark, s"$wh/db/a",
+        smallerThanRows = 100000L, targetRows = 100000L)
+      val mc = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+      assert(mc.fragments.size === 4, mc.fragments.map(f => f.path -> f.bucket))
+      assert(mc.fragments.flatMap(_.bucket).distinct.sorted === Seq(0, 1, 2, 3))
+      val j2 = spark.sql("SELECT a.id AS id, count(*) AS n " +
+        "FROM lance_spj.db.a a JOIN lance_spj.db.b b ON a.id = b.id GROUP BY a.id")
+      assert(j2.collect().forall(_.getLong(1) === 2L))
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.toLowerCase.contains("exchange hashpartitioning(id"),
+        s"join side re-shuffled after compaction:\n$plan2")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("HLL sketches answer approx COUNT(DISTINCT) within error bounds, zero data reads") {
     import graft.sources.lance.Hll
     import spark.implicits._

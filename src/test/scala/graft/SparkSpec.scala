@@ -65,6 +65,7 @@ class EntrySpec extends SparkSpec {
     "lance_agg_groupby" -> 3,
     "lance_clustered_write" -> 3,
     "lance_runtime_prune" -> 1,
+    "lance_bucket_join" -> 1,
     "lance_time_travel" -> 1,
     "lance_types_roundtrip" -> 1,
     "lance_sql_catalog" -> 1,
