@@ -80,6 +80,53 @@ object IndexBuild {
     BuiltIndex(root, io, centroids, pq, graph)
   }
 
+  /** Incrementally index new rows into an EXISTING index: assign each row
+    * to its nearest stored centroid — O(new rows · cells · dim) map-only
+    * work, no retrain, no touch of the already-indexed corpus — PQ-encode
+    * with the stored codebooks, and append cell-clustered fragments whose
+    * tight cell ranges keep probe pruning exact. The index stays fresh
+    * under batch/streaming growth at any corpus size; centroid drift is
+    * repaired by an occasional full rebuild (the reference's
+    * append-then-reindex story, LanceIndexBuilder.java:116-152). */
+  def append(s: SparkSession, newRows: DataFrame, idx: BuiltIndex,
+             targetRowsPerFragment: Long = 100000L): Unit = {
+    val vecCol = idx.opts.column
+    val cells = idx.centroids.length
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / cells
+    val assignCell = udf { v: Seq[Double] =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cells) {
+        var acc = 0.0
+        var d = 0
+        while (d < dim) {
+          val diff = v(d) - flat(c * dim + d); acc += diff * diff; d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = newRows.withColumn("cell",
+      assignCell(col(vecCol).cast("array<double>")))
+    val encoded = idx.pq match {
+      case Some(p) => assigned.withColumn("codes",
+        graft.functions.pq_encode(col(vecCol), p.flat, p.m, p.codes, p.subDim))
+      case None => assigned
+    }
+    // small appends should not shatter into `cells` tiny fragments: size
+    // the range partitioning to the batch, still cell-ordered so every
+    // appended fragment covers a contiguous (prunable) cell range
+    val parts = math.max(1, math.min(cells,
+      math.ceil(newRows.count().toDouble / targetRowsPerFragment).toInt))
+    encoded
+      .repartitionByRange(parts, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.format("lance").mode("append").save(idx.root)
+  }
+
   /** Search a built/loaded index with reference-named vector.* knobs:
     * graph-or-exact probe selection, flat or ADC scoring, optional
     * refine-factor exact re-rank. */

@@ -309,6 +309,24 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Z-order rewrite (CALL system.zorder analog): re-cluster by the Morton
+    * interleave of two numeric columns so range slices on EITHER dimension
+    * prune fragments; the key re-aggregates after the rewrite, proving the
+    * row set is untouched. */
+  private def zorderOp(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("zorder")
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    graft.sources.lance.LanceMaintenance.zorder(s, root,
+      Seq("o_orderkey", "o_custkey"), targetRows = 2000)
+    read(s, root)
+      .filter(col("o_custkey") < 300)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   /** Storage-partitioned join: both sides written with the same
     * write.bucket-by/bucket-count land co-partitioned on disk; the scans
     * report KeyGroupedPartitioning over bucket(N, key) and the equi-join
@@ -467,6 +485,7 @@ object LanceOps extends QueryModule {
     "lance_clustered_write" -> clusteredWrite,
     "lance_runtime_prune" -> runtimePrune,
     "lance_bucket_join" -> bucketJoin,
+    "lance_zorder" -> zorderOp,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
@@ -540,6 +559,10 @@ object LanceOps extends QueryModule {
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_custkey % 10 = 3""".stripMargin,
+    "lance_zorder" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_custkey < 300""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",
     "lance_types_roundtrip" ->

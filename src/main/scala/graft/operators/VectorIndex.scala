@@ -276,8 +276,26 @@ object VectorIndex extends QueryModule {
       .limit(k)
   }
 
+  /** Incremental maintenance: index 80% of the corpus, IndexBuild.append
+    * the rest against the FROZEN centroids/codebooks (no retrain, no
+    * rewrite of indexed fragments), then full-probe search — which must
+    * equal exact KNN over the whole corpus, proving appended vectors are
+    * first-class index citizens. */
+  private def ivfAppendSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.t(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-append-").toString
+    val idx = IndexBuild.build(s, e.filter(col("vec_id") % 5 =!= 0), root,
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> Cells.toString))
+    IndexBuild.append(s, e.filter(col("vec_id") % 5 === 0), idx)
+    val qv = embeddingOf(s, dir, QueryVecId)
+    IndexBuild.search(s, IndexBuild.load(s, root), qv,
+      Map("vector.nprobes" -> Cells.toString, "vector.k" -> K.toString),
+      excludeVecId = QueryVecId)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_flat_search" -> ivfFlatSearch,
+    "ivf_append_search" -> ivfAppendSearch,
     "ivf_hnsw_search" -> ivfHnswSearch,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_refine" -> ((s, dir) => ivfPqRefine(s, dir, k = 10, refineFactor = 4)))
@@ -295,5 +313,6 @@ object VectorIndex extends QueryModule {
     * ivf_pq is approximate by construction → rows-only (no SQL oracle). */
   val oracleSql: Map[String, String] = Map(
     "ivf_flat_search" -> exactKnnSql,
+    "ivf_append_search" -> exactKnnSql,
     "ivf_hnsw_search" -> exactKnnSql)
 }

@@ -36,13 +36,14 @@ object LanceProcedures {
       case "compact" => compact(catalog)
       case "vacuum" => vacuum(catalog)
       case "history" => history(catalog)
+      case "zorder" => zorder(catalog)
       case other => throw new IllegalArgumentException(
-        s"lance: unknown procedure $other (expected compact / vacuum / history)")
+        s"lance: unknown procedure $other (expected compact / vacuum / history / zorder)")
     }
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history").map(Identifier.of(Array(Namespace), _))
+    Array("compact", "vacuum", "history", "zorder").map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -108,6 +109,21 @@ object LanceProcedures {
         StructField("retained_versions", IntegerType, nullable = false),
         StructField("earliest_version", LongType, nullable = false))),
         Seq(Array[Any](versions.size, versions.headOption.getOrElse(0L))))
+    }
+
+  private def zorder(catalog: LanceCatalog): UnboundProcedure =
+    bound("zorder", catalog, Array(
+      param("table", StringType),
+      param("columns", StringType),
+      param("target_rows", LongType, Some("1000000")))) { (root, in) =>
+      val spark = SparkSession.active
+      val cols = in.getUTF8String(1).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val m = LanceMaintenance.zorder(spark, root, cols, in.getLong(2))
+      (StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_fragments", IntegerType, nullable = false))),
+        Seq(Array[Any](m.version, m.fragments.size)))
     }
 
   private def history(catalog: LanceCatalog): UnboundProcedure =

@@ -705,6 +705,82 @@ object LanceMaintenance {
       .orderBy("version")
   }
 
+  /** Z-order (Morton) rewrite: re-cluster the WHOLE table so that range
+    * predicates on ANY of the 2-3 given numeric columns prune fragments —
+    * the multi-dimensional counterpart of write.cluster-by (which serves
+    * one leading dimension). Each column is min/max-scaled to a
+    * `63/k`-bit rank, the ranks are bit-interleaved into one z-key, and
+    * the rows are range-partitioned + sorted by it; per-fragment min/max
+    * then bound every dimension tightly. The z-key is built ENTIRELY from
+    * builtin bitwise/shift functions, so the rewrite runs inside
+    * whole-stage codegen — no UDF in the O(rows) path; min/max come from
+    * one distributed agg pass. Delete vectors fold in (maskedRead), so
+    * the rewrite doubles as a compaction. Bucket tags do not survive (a
+    * z-ordered layout is the alternative to a bucketed one). */
+  def zorder(spark: SparkSession, root: String, cols: Seq[String],
+             targetRows: Long = 1000000L): LanceManifest = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 3,
+      s"lance zorder takes 2-3 columns, got ${cols.mkString(", ")}")
+    val conf = Shim.hadoopConf(spark, Map.empty)
+    val m = ManifestIO.loadLatest(root, conf).getOrElse(
+      throw new IllegalStateException(s"lance dataset not found: $root"))
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"lance zorder: unknown column $c")).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType,
+        s"lance zorder needs numeric/date/timestamp columns, $c is $dt")
+    }
+    val df = maskedRead(spark, root, m.version, m.schema, m.fragments)
+    val bounds = df.select(cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).first()
+    val bits = 63 / cols.size
+    val maxRank = (1L << bits) - 1
+    // bit i of column j lands at position i*k + j — built from masked
+    // shifts (all codegen'd builtins), exact for any value distribution
+    def spread(c: Column, offset: Int): Column =
+      (0 until bits).map(i =>
+        shiftleft(c.bitwiseAND(lit(1L << i)), i * (cols.size - 1) + offset))
+        .reduce(_.bitwiseOR(_))
+    val zkey = cols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1))
+      val rank =
+        if (!(hi > lo)) lit(0L)
+        else least(lit(maxRank), greatest(lit(0L),
+          ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxRank.toDouble))
+            .cast("long")))
+      spread(rank, j)
+    }.reduce(_.bitwiseOR(_))
+    val parts = math.max(1, math.ceil(m.totalRows.toDouble / targetRows).toInt)
+    val clustered = df.withColumn("__zkey", zkey)
+      .repartitionByRange(parts, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    val newFrags = LanceBatchSave.stageFragments(spark, clustered, root,
+      Some(targetRows.toString))
+    val oldBy = m.fragments.map(f => f.path -> f).toMap
+    ManifestIO.commit(root, conf) { latest =>
+      val cur = latest.getOrElse(
+        throw new IllegalStateException(s"lance dataset disappeared during zorder: $root"))
+      // same first-writer-wins conflict rule as compact: any concurrent
+      // change to a rewritten fragment (drop, new DV) aborts this rewrite
+      val curBy = cur.fragments.map(f => f.path -> f).toMap
+      val ok = oldBy.forall { case (p, fr) =>
+        curBy.get(p).exists(_.deletes.map(_.path) == fr.deletes.map(_.path))
+      }
+      if (!ok) None
+      else Some(LanceCommit(cur.schema,
+        cur.fragments.filterNot(f => oldBy.contains(f.path)) ++ newFrags,
+        cur.txns, "compact"))
+    }.getOrElse {
+      val fs = ManifestIO.fs(root, conf)
+      newFrags.foreach(f => fs.delete(new Path(root, f.path), false))
+      ManifestIO.loadLatest(root, conf).get
+    }
+  }
+
   /** Keep only the last `retainVersions` manifests and delete data files no
     * remaining version references. Time travel older than the cutoff stops
     * working — that is the point.

@@ -1210,6 +1210,59 @@ class LanceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("zorder rewrite: range predicates on BOTH dimensions prune fragments") {
+    val root = tmp()
+    // 256x256 grid written x-clustered: x predicates prune, y predicates
+    // see every fragment (each holds the full y range)
+    spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).as("y"),
+        col("id").as("payload"))
+      .orderBy("y") // y-major: each 1024-row fragment = 4 full-x rows
+      .write.format("lance").option("maxRowsPerFile", "1024").save(root)
+    val m0 = ManifestIO.loadLatest(root, conf).get
+    assert(m0.fragments.size === 64)
+
+    def fragsScanned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val mm = "fragments=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (mm.group(1).toInt, mm.group(2).toInt)
+    }
+    val pre = spark.read.format("lance").load(root)
+    assert(fragsScanned(pre.filter(col("x") < 32))._1 === 64) // x unclustered
+    val expect = pre.filter(col("x") < 32).agg(sum("payload")).first().getLong(0)
+
+    graft.sources.lance.LanceMaintenance.compact(spark, root, 0, 0) // no-op: nothing small
+    graft.sources.lance.LanceMaintenance.zorder(spark, root,
+      Seq("x", "y"), targetRows = 1024)
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.count() === 65536)
+    // both single-dimension slices now prune most fragments (a 1/8 slice
+    // of either dimension should touch ~1/8 of the tiles; allow 2x slack —
+    // range-partition sampling makes tile boundaries approximate)
+    val (sx, tx) = fragsScanned(ds.filter(col("x") < 32))
+    val (sy, ty) = fragsScanned(ds.filter(col("y") < 32))
+    assert(tx >= 64 && 4 * sx <= tx, s"x-slice scanned $sx/$tx")
+    assert(4 * sy <= ty, s"y-slice scanned $sy/$ty")
+    assert(ds.filter(col("x") < 32).agg(sum("payload")).first().getLong(0) === expect)
+
+    // CALL surface: zorder is a stored procedure like compact/vacuum
+    spark.conf.set("spark.sql.catalog.lance_zo", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_zo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_zo.db")
+    spark.sql("CREATE TABLE lance_zo.db.g (x BIGINT, y BIGINT)")
+    spark.range(4096).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+      .createOrReplaceTempView("zo_src")
+    spark.sql("INSERT INTO lance_zo.db.g SELECT * FROM zo_src")
+    val res = spark.sql(
+      "CALL lance_zo.system.zorder(table => 'db.g', columns => 'x,y', target_rows => 512)")
+      .collect()
+    // ~8 partitions of ~512 rows; sampling skew can split several
+    assert(res.length === 1 && res.head.getInt(1) >= 8 && res.head.getInt(1) <= 16,
+      res.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM lance_zo.db.g").first().getLong(0) === 4096L)
+  }
+
   test("storage-partitioned join: co-bucketed tables join with zero shuffle") {
     spark.conf.set("spark.sql.catalog.lance_spj", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()

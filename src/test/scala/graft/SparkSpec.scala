@@ -66,6 +66,7 @@ class EntrySpec extends SparkSpec {
     "lance_clustered_write" -> 3,
     "lance_runtime_prune" -> 1,
     "lance_bucket_join" -> 1,
+    "lance_zorder" -> 1,
     "lance_time_travel" -> 1,
     "lance_types_roundtrip" -> 1,
     "lance_sql_catalog" -> 1,
@@ -77,6 +78,7 @@ class EntrySpec extends SparkSpec {
     "q_stream_cdc" -> 2,
     "q_batch_cdc" -> 2,
     "ivf_flat_search" -> 15,
+    "ivf_append_search" -> 15,
     "ivf_hnsw_search" -> 15,
     "ivf_pq_search" -> 10,
     "ivf_pq_refine" -> 10,

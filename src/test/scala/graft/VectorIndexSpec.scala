@@ -149,6 +149,48 @@ class VectorIndexSpec extends SparkSpec {
     assert(adc1 === adc2)
   }
 
+  test("incremental append indexes new vectors without retraining; search equals full scan") {
+    import graft.operators.IndexBuild
+    val base = java.nio.file.Files.createTempDirectory("graft-idxappend-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val (seed, late) = (e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400))
+    assert(late.count() > 0)
+
+    val idx = IndexBuild.build(spark, seed, s"$base/flat",
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val lateId = late.select(min("vec_id")).first().getLong(0)
+    val qv = VectorIndex.embeddingOf(spark, sf, vecId = lateId)
+    // the late vector is invisible before the append...
+    val before = IndexBuild.search(spark, idx,
+      qv, Map("vector.nprobes" -> "16", "vector.k" -> "1"))
+      .collect()
+    assert(before.head.getLong(0) !== lateId)
+
+    IndexBuild.append(spark, late, idx)
+    // centroids unchanged (no retrain): the sidecar still matches the handle
+    val reloaded = IndexBuild.load(spark, s"$base/flat")
+    assert(reloaded.centroids.map(_.toArray.toSeq).toSeq ===
+      idx.centroids.map(_.toArray.toSeq).toSeq)
+    // ...and is its own nearest neighbor after (distance 0 at full probes)
+    val after = IndexBuild.search(spark, reloaded, qv,
+      Map("vector.nprobes" -> "16", "vector.k" -> "1")).collect()
+    assert(after.head.getLong(0) === lateId)
+    assert(after.head.getDouble(1) === 0.0)
+    // full-probe search over the appended index == brute force on the union
+    val viaIdx = IndexBuild.search(spark, reloaded, qv,
+      Map("vector.nprobes" -> "16", "vector.k" -> "10"), excludeVecId = lateId)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import spark.implicits._
+    val qvDf = Seq(Tuple1(qv.map(_.toFloat))).toDF("qv")
+    val brute = e.crossJoin(qvDf)
+      .filter(col("vec_id") =!= lateId)
+      .select(col("vec_id"),
+        round(graft.functions.vec_l2(col("embedding"), col("qv")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIdx === brute)
+  }
+
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
     import org.apache.spark.ml.linalg.Vectors
     val rnd = new scala.util.Random(7) // fixed seed → deterministic
