@@ -41,8 +41,7 @@ println(s"[soak] fact fragments=${mf.fragments.size} " +
   s"buckets=${mf.fragments.flatMap(_.bucket).distinct.size}")
 check(mf.fragments.forall(_.bucket.isDefined), "unbucketed fact fragment")
 
-val q = "SELECT count(*) AS n, sum(f.v + d.v) AS s FROM spj.db.fact f " +
-  "JOIN spj.db.dim d ON f.k = d.k"
+val q = "SELECT count(*) AS n, sum(f.v + d.v) AS s FROM spj.db.fact f JOIN spj.db.dim d ON f.k = d.k"
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
 spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
@@ -52,9 +51,7 @@ spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
 val plan = spark.sql(q).queryExecution.executedPlan.toString
 check(!plan.contains("Exchange hashpartitioning(k"), s"SPJ plan still shuffles:\n$plan")
 val spjRes = timed("join WITH SPJ (zero shuffle)") { spark.sql(q).collect() }
-check(spjRes.head.getLong(0) == shuffled.head.getLong(0) &&
-  spjRes.head.getLong(1) == shuffled.head.getLong(1),
-  s"result mismatch: ${spjRes.head} vs ${shuffled.head}")
-println(s"[soak] rows joined: ${spjRes.head.getLong(0)}")
+check(spjRes.head.getLong(0) == shuffled.head.getLong(0) && spjRes.head.getLong(1) == shuffled.head.getLong(1), s"result mismatch: ${spjRes.head} vs ${shuffled.head}")
+println(s"[soak] rows joined: " + spjRes.head.getLong(0))
 println("[soak] done")
 System.exit(0)
