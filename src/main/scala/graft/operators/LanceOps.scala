@@ -309,6 +309,34 @@ object LanceOps extends QueryModule {
          |FROM graft_lance.db.$tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** MERGE INTO through the delta (merge-on-read) row-level path: matched
+    * rows update via DV + re-insert, unmatched rows insert — one atomic
+    * commit, no untouched-fragment rewrites. The key re-aggregates the
+    * final table; the oracle reconstructs the same end state
+    * declaratively. */
+  private def mergeOp(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"m_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS " +
+      s"SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice " +
+      s"FROM $view WHERE o_orderkey % 3 <> 0")
+    s.sql(
+      s"""MERGE INTO graft_lance.db.$tbl t
+         |USING (SELECT o_orderkey, o_custkey FROM $view WHERE o_custkey < 500) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET t.o_totalprice = -CAST(s.o_custkey AS DOUBLE) - 1.0
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice)
+         |  VALUES (s.o_orderkey, s.o_custkey, -CAST(s.o_custkey AS DOUBLE) - 1.0)""".stripMargin)
+    s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+         |FROM graft_lance.db.$tbl""".stripMargin)
+  }
+
   /** Z-order rewrite (CALL system.zorder analog): re-cluster by the Morton
     * interleave of two numeric columns so range slices on EITHER dimension
     * prune fragments; the key re-aggregates after the rewrite, proving the
@@ -486,6 +514,7 @@ object LanceOps extends QueryModule {
     "lance_runtime_prune" -> runtimePrune,
     "lance_bucket_join" -> bucketJoin,
     "lance_zorder" -> zorderOp,
+    "lance_merge" -> mergeOp,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
     "lance_sql_catalog" -> sqlCatalog,
@@ -563,6 +592,12 @@ object LanceOps extends QueryModule {
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders WHERE o_custkey < 300""".stripMargin,
+    "lance_merge" ->
+      // final state = target keys ∪ source keys; every source row ends
+      // with a negative price (matched update or unmatched insert)
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CASE WHEN o_custkey < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+        |FROM orders WHERE o_orderkey % 3 <> 0 OR o_custkey < 500""".stripMargin,
     "lance_time_travel" ->
       """SELECT count(*) AS v1_rows, 2 * count(*) AS v2_rows FROM region""",
     "lance_types_roundtrip" ->

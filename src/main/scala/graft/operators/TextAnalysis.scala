@@ -151,11 +151,39 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- text_scrub --------------------------------------------------------
+  // PII redaction: regexp_replace of email / IPv4 shapes with placeholder
+  // tokens — the standard pre-training scrub pass. Pure per-row expressions
+  // (map-only at any scale); patterns avoid backreferences/lookarounds so
+  // Java regex (Spark) and RE2 (DuckDB) agree symbol-for-symbol. The key
+  // injects deterministic PII into every document so the redaction path is
+  // actually exercised, then reports match counts and the cleaned shape.
+  private[operators] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[operators] val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private def textScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com at 10.0."), col("doc_id") % 256, lit(".7 now"))
+        .as("text"))
+    val clean = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    aug.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ip"),
+      length(clean).cast("long").as("len_clean"),
+      substring(clean, -22, 22).as("tail_clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_scrub" -> textScrub,
     "text_contamination" -> textContamination)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
@@ -215,6 +243,21 @@ object TextAnalysis extends QueryModule {
          |  count(*) AS n_matched
          |FROM o WHERE n >= $ContaminationTau
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_scrub" ->
+      s"""WITH a AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS clean
+         |  FROM a)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  CAST(length(clean) AS BIGINT) AS len_clean,
+         |  right(clean, 22) AS tail_clean
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (SELECT doc_id,
         |  list_reduce(

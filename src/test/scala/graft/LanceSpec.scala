@@ -1208,6 +1208,24 @@ class LanceSpec extends SparkSpec {
       }.get
       assert(factScan.metrics("numOutputRows").value === coveringRows)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // under AQE (the production path) the adaptive planner injects the same
+    // runtime filter; the fact scan again reads only the covering fragments
+    val factA = spark.read.format("lance").load(factRoot)
+    val dimA = spark.read.format("lance").load(dimRoot).filter(col("tag") === "keep")
+    val joinedA = factA.join(dimA, col("f_id") === col("d_id"))
+    assert(joinedA.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 17L))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case b: BatchScanExec => Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      }.flatten
+    }
+    val factScanA = scans(joinedA.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "f_id")).get
+    assert(factScanA.metrics("numOutputRows").value === coveringRows)
   }
 
   test("zorder rewrite: range predicates on BOTH dimensions prune fragments") {
@@ -1321,6 +1339,17 @@ class LanceSpec extends SparkSpec {
       val plan2 = j2.queryExecution.executedPlan.toString
       assert(!plan2.toLowerCase.contains("exchange hashpartitioning(id"),
         s"join side re-shuffled after compaction:\n$plan2")
+
+      // a metadata-path DELETE layers DV sidecars on bucketed fragments:
+      // tags survive, the join stays shuffle-free and sees the deletion
+      spark.sql("DELETE FROM lance_spj.db.b WHERE id < 100")
+      val mb = ManifestIO.loadLatest(s"$wh/db/b", conf).get
+      assert(mb.fragments.forall(_.bucket.isDefined))
+      val j3 = spark.sql("SELECT a.id AS id " +
+        "FROM lance_spj.db.a a JOIN lance_spj.db.b b ON a.id = b.id")
+      assert(j3.collect().length === 800) // 400 surviving b-ids x 2 copies in a
+      assert(!j3.queryExecution.executedPlan.toString
+        .toLowerCase.contains("exchange hashpartitioning(id"))
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -45,6 +45,7 @@ class EntrySpec extends SparkSpec {
     "text_quality" -> 500,
     "text_langid" -> 500,
     "text_fingerprint" -> 500,
+    "text_scrub" -> 500,
     "text_contamination" -> 10,
     "dedup_exact" -> 500,
     "dedup_minhash_lsh" -> 28,
@@ -67,6 +68,7 @@ class EntrySpec extends SparkSpec {
     "lance_runtime_prune" -> 1,
     "lance_bucket_join" -> 1,
     "lance_zorder" -> 1,
+    "lance_merge" -> 1,
     "lance_time_travel" -> 1,
     "lance_types_roundtrip" -> 1,
     "lance_sql_catalog" -> 1,
