@@ -100,6 +100,46 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- dedup_clusters ----------------------------------------------------
+  // Near-dup CLUSTERING: the step after pair generation that large-scale
+  // dedup actually needs — A~B and B~C must collapse to ONE kept document
+  // even when A~C was never scored. Connected components over the verified
+  // LSH pairs by iterative min-label propagation: each round every node
+  // takes the min of its own and its neighbors' labels; rounds needed =
+  // graph diameter (near-dup clusters are shallow — a handful). The edge
+  // set is tiny relative to the corpus (only near-dup pairs survive), so
+  // each round is a small join + groupBy; labels are eagerly
+  // localCheckpoint'ed so the loop's lineage stays flat. Canonical doc =
+  // min doc_id per component, the industry-standard tie-break.
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a_id").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b_id"), col("lbl").as("nlbl")), "b_id")
+        .groupBy(col("a_id").as("node")).agg(min("nlbl").as("cand"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
+          (col("cand") < col("lbl")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      iter += 1
+    }
+    labels
+      .groupBy(col("lbl").as("keep_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))
+      .orderBy("keep_id")
+  }
+
   // ---- dedup_simhash -----------------------------------------------------
   // 64-bit SimHash over tokens; near-dup = hamming <= 3. Banding is EXACT
   // here (not probabilistic): 4 bands × 16 bits — hamming <= 3 flips bits in
@@ -191,6 +231,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding)
@@ -215,6 +256,30 @@ object Dedup extends QueryModule {
          |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
          |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= $JaccardTau ORDER BY a_id, b_id""".stripMargin,
+    // same pair set as the LSH oracle, then components via transitive
+    // closure (recursive CTE) and min-label per node
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= $JaccardTau),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT a_id, a_id FROM pairs
+         |  UNION SELECT b_id, b_id FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a)
+         |SELECT lbl AS keep_id, count(*) AS n_docs,
+         |  CAST(sum(node) AS BIGINT) AS sum_ids
+         |FROM comp GROUP BY lbl ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, n_chars,
          |  list_distinct(list_transform(range(1, length(text) - 1),

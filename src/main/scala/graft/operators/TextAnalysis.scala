@@ -178,7 +178,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- text_pack ---------------------------------------------------------
+  // Sequence packing (token-budget sharding): assemble documents into
+  // training shards of ~Budget tokens. Docs are spread over Shards
+  // deterministic shards (doc_id mod — the window state then distributes
+  // instead of serializing on one global sort), ordered by doc_id within
+  // a shard, and a doc joins the pack its token prefix-sum STARTS in (the
+  // streaming-pack convention: a pack may overflow by at most one doc,
+  // never undershoot). One shuffle total; window + groupBy share the
+  // (shard) partitioning.
+  private val PackBudget = 2048L
+  private val PackShards = 8
+
+  private def textPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(toksCol).cast("long").as("n_tokens"),
+      (col("doc_id") % PackShards).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("start") / lit(PackBudget)).cast("long"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("sum_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("shard", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack" -> textPack,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -243,6 +272,15 @@ object TextAnalysis extends QueryModule {
          |  count(*) AS n_matched
          |FROM o WHERE n >= $ContaminationTau
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($wSql) AS BIGINT) AS n_tokens,
+         |  doc_id % $PackShards AS shard FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER
+         |  (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start FROM d)
+         |SELECT shard, CAST(floor(start / $PackBudget.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "text_scrub" ->
       s"""WITH a AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'

@@ -46,9 +46,11 @@ class EntrySpec extends SparkSpec {
     "text_langid" -> 500,
     "text_fingerprint" -> 500,
     "text_scrub" -> 500,
+    "text_pack" -> 16,
     "text_contamination" -> 10,
     "dedup_exact" -> 500,
     "dedup_minhash_lsh" -> 28,
+    "dedup_clusters" -> 21,
     "dedup_simhash" -> 27,
     "dedup_ngram_jaccard" -> 8,
     "dedup_embedding" -> 5,
