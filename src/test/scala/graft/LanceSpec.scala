@@ -1356,6 +1356,49 @@ class LanceSpec extends SparkSpec {
     }
   }
 
+  test("SPJ edge cases: missing buckets and partially-clustered skew handling") {
+    spark.conf.set("spark.sql.catalog.lance_spj2", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_spj2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_spj2.db")
+    for (t <- Seq("a", "b"))
+      spark.sql(s"CREATE TABLE lance_spj2.db.$t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    // side a LACKS every key of bucket 2 — its manifest has 3 bucket groups
+    spark.range(1000).selectExpr("id", "id AS v")
+      .where("pmod(hash(id), 4) <> 2").createOrReplaceTempView("spj2_a")
+    spark.range(1000).selectExpr("id", "id AS v").createOrReplaceTempView("spj2_b")
+    spark.sql("INSERT INTO lance_spj2.db.a SELECT * FROM spj2_a")
+    spark.sql("INSERT INTO lance_spj2.db.b SELECT * FROM spj2_b")
+    val expected = spark.table("spj2_a").count()
+    val ma = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+    assert(ma.fragments.flatMap(_.bucket).distinct.size === 3)
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // pushPartValues (default on) pads the missing bucket: still no
+      // shuffle, and the join sees exactly the surviving keys
+      val j = spark.sql("SELECT a.id FROM lance_spj2.db.a a " +
+        "JOIN lance_spj2.db.b b ON a.id = b.id")
+      assert(j.collect().length === expected)
+      assert(!j.queryExecution.executedPlan.toString
+        .toLowerCase.contains("exchange hashpartitioning(id"))
+      // partially-clustered distribution (the SPJ skew tool) stays correct
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try {
+        val j2 = spark.sql("SELECT a.id FROM lance_spj2.db.a a " +
+          "JOIN lance_spj2.db.b b ON a.id = b.id")
+        assert(j2.collect().length === expected)
+      } finally spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("HLL sketches answer approx COUNT(DISTINCT) within error bounds, zero data reads") {
     import graft.sources.lance.Hll
     import spark.implicits._
