@@ -206,8 +206,40 @@ object TextAnalysis extends QueryModule {
       .orderBy("shard", "pack_id")
   }
 
+  // ---- text_repetition ---------------------------------------------------
+  // Gopher-family repetition signals: the fraction of duplicate word
+  // 3-grams (near-1 for looping/spammy text) and the share of the single
+  // most frequent token. Pure higher-order-function expressions over the
+  // token array — map-only at any scale, no shuffle, no UDF.
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")
+    // max token multiplicity as the longest equal-run of the SORTED array —
+    // O(n log n) per doc (an aggregate over distinct tokens would go
+    // quadratic on diverse documents)
+    val topShare = expr(
+      """aggregate(array_sort(w), named_struct('prev', '', 'run', 0L, 'best', 0L),
+        |  (s, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(x = s.prev, s.run + 1L, 1L),
+        |    'best', GREATEST(s.best, IF(x = s.prev, s.run + 1L, 1L))),
+        |  s -> s.best)""".stripMargin)
+    docs(s, dir)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        grams.as("g"),
+        topShare.as("top_tok"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("g"))).cast("double")
+          / size(col("g")), 6).as("dup_gram_frac"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 6).as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
+    "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -272,6 +304,23 @@ object TextAnalysis extends QueryModule {
          |  count(*) AS n_matched
          |FROM o WHERE n >= $ContaminationTau
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |f AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+         |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS grams
+         |  FROM f),
+         |top AS (SELECT doc_id, max(c) AS top_tok FROM (
+         |  SELECT doc_id, t, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(w) AS t FROM f) GROUP BY doc_id, t)
+         |  GROUP BY doc_id)
+         |SELECT g.doc_id, g.n_tokens,
+         |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         |    AS dup_gram_frac,
+         |  round(CAST(top.top_tok AS DOUBLE) / g.n_tokens, 6) AS top_token_share
+         |FROM g JOIN top ON g.doc_id = top.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
     "text_pack" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($wSql) AS BIGINT) AS n_tokens,
          |  doc_id % $PackShards AS shard FROM documents),

@@ -48,6 +48,7 @@ class EntrySpec extends SparkSpec {
     "text_fingerprint" -> 500,
     "text_scrub" -> 500,
     "text_pack" -> 16,
+    "text_repetition" -> 500,
     "text_contamination" -> 10,
     "dedup_exact" -> 500,
     "dedup_minhash_lsh" -> 28,
