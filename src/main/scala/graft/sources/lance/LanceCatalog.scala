@@ -130,8 +130,25 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException("lance tables are unpartitioned (fragments are the split unit)")
+    // the one partition transform lance supports is bucket(N, col) — the
+    // idiomatic DSv2 spelling of the write.bucket-by layout (identity/
+    // days/etc. partitioning is rejected: fragments are the split unit)
+    val bucketProps: Map[String, String] = partitions match {
+      case Array() => Map.empty
+      case Array(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString
+        }
+        val cols = t.arguments.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames.mkString(".")
+        }
+        require(n.isDefined && cols.length == 1,
+          s"lance: bucket transform needs (numBuckets, one column), got $t")
+        Map("write.bucket-by" -> cols.head, "write.bucket-count" -> n.get)
+      case other => throw new UnsupportedOperationException(
+        s"lance tables support only PARTITIONED BY (bucket(n, col)); got ${other.mkString(", ")}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = tablePath(ident)
     fs.mkdirs(p)
@@ -139,7 +156,7 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     // e.g. write.cluster-by / write.sort-by become the table's durable
     // write defaults (every INSERT/CTAS requests that distribution)
     val props = properties.asScala.toMap -- Seq("provider", "location",
-      "external", "owner", "option.path", "path")
+      "external", "owner", "option.path", "path") ++ bucketProps
     ManifestIO.commitAppend(p.toString, schema, Seq.empty, conf,
       props = if (props.isEmpty) None else Some(props))
     loadTable(ident)

@@ -125,6 +125,19 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   override def properties(): util.Map[String, String] =
     manifest.map(_.props).getOrElse(Map.empty).asJava
 
+  /** A bucketed layout reports its bucket(N, col) transform (DESCRIBE
+    * shows it; writes still enforce it via RequiresDistributionAndOrdering
+    * from the same persisted properties). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val props = manifest.map(_.props).getOrElse(Map.empty)
+    (LanceOptions.any(props, "write.bucket-by", "bucketBy"),
+      LanceOptions.any(props, "write.bucket-count", "bucketCount")) match {
+      case (Some(c), Some(n)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n.toInt, c))
+      case _ => Array.empty
+    }
+  }
+
   /** Table properties act as write defaults; explicit reader/writer options
     * override them. */
   private def tableOptions: Map[String, String] =

@@ -734,8 +734,17 @@ object LanceMaintenance {
         s"lance zorder needs numeric/date/timestamp columns, $c is $dt")
     }
     val df = maskedRead(spark, root, m.version, m.schema, m.fragments)
+    // every listed column as a double: dates via epoch-days (date→double
+    // is not a castable pair), timestamps/numerics via plain cast
+    def asDouble(c: String): Column = {
+      import org.apache.spark.sql.types._
+      m.schema.fields.find(_.name == c).get.dataType match {
+        case DateType => unix_date(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
     val bounds = df.select(cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).first()
+      Seq(min(asDouble(c)), max(asDouble(c)))): _*).first()
     val bits = 63 / cols.size
     val maxRank = (1L << bits) - 1
     // bit i of column j lands at position i*k + j — built from masked
@@ -749,7 +758,7 @@ object LanceMaintenance {
       val rank =
         if (!(hi > lo)) lit(0L)
         else least(lit(maxRank), greatest(lit(0L),
-          ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxRank.toDouble))
+          ((asDouble(c) - lit(lo)) / lit(hi - lo) * lit(maxRank.toDouble))
             .cast("long")))
       spread(rank, j)
     }.reduce(_.bitwiseOR(_))

@@ -1268,12 +1268,13 @@ class LanceSpec extends SparkSpec {
     val wh = tmp()
     spark.conf.set("spark.sql.catalog.lance_zo.warehouse", wh)
     spark.sql("CREATE NAMESPACE lance_zo.db")
-    spark.sql("CREATE TABLE lance_zo.db.g (x BIGINT, y BIGINT)")
-    spark.range(4096).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    spark.sql("CREATE TABLE lance_zo.db.g (x BIGINT, d DATE)")
+    spark.range(4096)
+      .selectExpr("id % 64 AS x", "date_add(DATE '2026-01-01', CAST(id DIV 64 AS INT)) AS d")
       .createOrReplaceTempView("zo_src")
     spark.sql("INSERT INTO lance_zo.db.g SELECT * FROM zo_src")
     val res = spark.sql(
-      "CALL lance_zo.system.zorder(table => 'db.g', columns => 'x,y', target_rows => 512)")
+      "CALL lance_zo.system.zorder(table => 'db.g', columns => 'x,d', target_rows => 512)")
       .collect()
     // ~8 partitions of ~512 rows; sampling skew can split several
     assert(res.length === 1 && res.head.getInt(1) >= 8 && res.head.getInt(1) <= 16,
@@ -1353,6 +1354,48 @@ class LanceSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("PARTITIONED BY (bucket(n, col)) DDL maps onto the bucketed layout") {
+    spark.conf.set("spark.sql.catalog.lance_pb", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_pb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_pb.db")
+    spark.sql("CREATE TABLE lance_pb.db.p (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    // the transform persisted as the bucket-by properties...
+    val m0 = ManifestIO.loadLatest(s"$wh/db/p", conf).get
+    assert(m0.props.get("write.bucket-by").contains("id"))
+    assert(m0.props.get("write.bucket-count").contains("4"))
+    // ...the table reports it back...
+    val tbl = spark.sessionState.catalogManager.catalog("lance_pb")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "p"))
+    assert(tbl.partitioning().map(_.toString).toSeq === Seq("bucket(4, id)"))
+    // ...and inserts come out bucket-tagged, co-partitioned with a
+    // TBLPROPERTIES-declared table of the same spec
+    spark.range(500).selectExpr("id", "id AS v").createOrReplaceTempView("pb_src")
+    spark.sql("INSERT INTO lance_pb.db.p SELECT * FROM pb_src")
+    assert(ManifestIO.loadLatest(s"$wh/db/p", conf).get
+      .fragments.forall(_.bucket.isDefined))
+    spark.sql("CREATE TABLE lance_pb.db.q (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    spark.sql("INSERT INTO lance_pb.db.q SELECT * FROM pb_src")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT p.id FROM lance_pb.db.p p JOIN lance_pb.db.q q ON p.id = q.id")
+      assert(j.collect().length === 500)
+      assert(!j.queryExecution.executedPlan.toString
+        .toLowerCase.contains("exchange hashpartitioning(id"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // non-bucket transforms are rejected outright
+    intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE lance_pb.db.r (id BIGINT, d DATE) PARTITIONED BY (days(d))")
     }
   }
 
