@@ -101,6 +101,21 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     ManifestIO.exists(tablePath(ident).toString, conf)
 
   override def loadTable(ident: Identifier): Table = {
+    // `db.t$files` = read-only metadata table over t's fragment list
+    // (layout introspection: per-fragment rows/bytes/bucket/DV/sketches —
+    // the Delta/Iceberg files-table idiom). Metadata is manifest-sized, so
+    // it plans as a driver-local scan: zero data IO.
+    if (ident.name.contains("$")) {
+      val (base, meta) = ident.name.splitAt(ident.name.indexOf('$'))
+      val baseIdent = Identifier.of(ident.namespace, base)
+      val p = tablePath(baseIdent)
+      if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(baseIdent)
+      meta match {
+        case "$files" => return new LanceFilesTable(p.toString, conf,
+          s"${fullName(baseIdent)}$$files")
+        case other => throw new NoSuchTableException(ident)
+      }
+    }
     val p = tablePath(ident)
     if (!ManifestIO.exists(p.toString, conf)) throw new NoSuchTableException(ident)
     new LanceTable(p.toString, fsOptions, viaCatalog = true,

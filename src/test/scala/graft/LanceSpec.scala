@@ -1397,6 +1397,15 @@ class LanceSpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       spark.sql("CREATE TABLE lance_pb.db.r (id BIGINT, d DATE) PARTITIONED BY (days(d))")
     }
+
+    // the $files metadata table reads the fragment layout driver-locally
+    val files = spark.sql("SELECT path, rows, live_rows, bucket " +
+      "FROM lance_pb.db.`p$files` ORDER BY bucket")
+    val fr = files.collect()
+    assert(fr.length === 4 && fr.map(_.getInt(3)).toSeq === Seq(0, 1, 2, 3))
+    assert(fr.map(_.getLong(1)).sum === 500L)
+    assert(files.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      files.queryExecution.executedPlan.toString)
   }
 
   test("SPJ edge cases: missing buckets and partially-clustered skew handling") {
