@@ -29,7 +29,8 @@ object IndexBuild {
 
   case class BuiltIndex(root: String, opts: VectorIndexOptions,
                         centroids: Array[Vector], pq: Option[PqMeta],
-                        graph: Option[CentroidGraph])
+                        graph: Option[CentroidGraph],
+                        residual: Option[Double] = None)
 
   private val toVec = udf { a: Seq[Double] => Vectors.dense(a.toArray) }
 
@@ -76,8 +77,40 @@ object IndexBuild {
     val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
                 else Some(CentroidGraph.build(s, centroids, io.hnswM,
                   io.efConstruction, io.maxLevel))
-    writeMeta(s, root, io, dim, centroids, pq, graph)
-    BuiltIndex(root, io, centroids, pq, graph)
+    // baseline quantization error, recorded for drift monitoring: the
+    // mean distance of a row to its assigned centroid at build time
+    val residual = meanResidual(s,
+      s.read.format("lance").load(root), vecCol, centroids)
+    writeMeta(s, root, io, dim, centroids, pq, graph, Some(residual))
+    BuiltIndex(root, io, centroids, pq, graph, Some(residual))
+  }
+
+  /** Mean L2 distance of each row to its assigned cell's centroid — the
+    * index's quantization error. One broadcast join + codegen'd distance,
+    * a single distributed pass. */
+  private def meanResidual(s: SparkSession, indexed: DataFrame, vecCol: String,
+                           centroids: Array[Vector]): Double = {
+    import s.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "__centroid")
+    indexed.join(broadcast(cdf), "cell")
+      .agg(avg(graft.functions.vec_l2(col(vecCol), col("__centroid"))))
+      .first().getDouble(0)
+  }
+
+  /** Drift monitor for incrementally-appended indexes: current mean
+    * quantization error over the stored baseline. Appends drawn from the
+    * training distribution keep this ~1; a shifted distribution inflates
+    * it — past `rebuildAt` (e.g. 1.5) the frozen centroids are stale and
+    * a full rebuild is warranted. O(rows) map + one broadcast join, no
+    * driver data. */
+  def driftRatio(s: SparkSession, idx: BuiltIndex): Double = {
+    val base = idx.residual.getOrElse(throw new IllegalStateException(
+      s"index at ${idx.root} has no recorded baseline residual (pre-drift sidecar)"))
+    val cur = meanResidual(s,
+      s.read.format("lance").load(idx.root), idx.opts.column, idx.centroids)
+    if (base == 0.0) 1.0 else cur / base
   }
 
   /** Incrementally index new rows into an EXISTING index: assign each row
@@ -182,11 +215,13 @@ object IndexBuild {
 
   private def writeMeta(s: SparkSession, root: String, io: VectorIndexOptions,
                         dim: Int, centroids: Array[Vector], pq: Option[PqMeta],
-                        graph: Option[CentroidGraph]): Unit = {
+                        graph: Option[CentroidGraph],
+                        residual: Option[Double] = None): Unit = {
     val j = JObject(
       "indexType" -> JString(io.indexType),
       "column" -> JString(io.column),
       "dim" -> JInt(dim),
+      "residual" -> residual.map(JDouble(_)).getOrElse(JNothing),
       "cells" -> JInt(centroids.length),
       "centroids" -> JArray(centroids.toList.flatMap(_.toArray.toList).map(JDouble(_))),
       "pq" -> pq.map(p => JObject(
@@ -258,6 +293,10 @@ object IndexBuild {
     val io = VectorIndexOptions(indexType, (j \ "column").asInstanceOf[JString].s,
       centroids.length, pq.map(_.m), pq.map(p => 31 - Integer.numberOfLeadingZeros(p.codes)).getOrElse(8),
       hnswM, efc, maxLevel)
-    BuiltIndex(root, io, centroids, pq, graph)
+    val residual = (j \ "residual") match {
+      case JNothing | JNull => None
+      case v => Some(num(v))
+    }
+    BuiltIndex(root, io, centroids, pq, graph, residual)
   }
 }

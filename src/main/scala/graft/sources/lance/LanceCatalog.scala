@@ -159,7 +159,8 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
             r.fieldNames.mkString(".")
         }
         require(n.isDefined && cols.length == 1,
-          s"lance: bucket transform needs (numBuckets, one column), got $t")
+          s"lance: bucket transform needs (numBuckets, one column), got $t — " +
+            "Spark plans storage-partitioned joins for single-column buckets")
         Map("write.bucket-by" -> cols.head, "write.bucket-count" -> n.get)
       case other => throw new UnsupportedOperationException(
         s"lance tables support only PARTITIONED BY (bucket(n, col)); got ${other.mkString(", ")}")

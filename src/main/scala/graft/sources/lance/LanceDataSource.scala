@@ -133,7 +133,8 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
     (LanceOptions.any(props, "write.bucket-by", "bucketBy"),
       LanceOptions.any(props, "write.bucket-count", "bucketCount")) match {
       case (Some(c), Some(n)) =>
-        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n.toInt, c))
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          n.toInt, c.split(',').map(_.trim).filter(_.nonEmpty): _*))
       case _ => Array.empty
     }
   }

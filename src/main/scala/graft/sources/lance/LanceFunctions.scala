@@ -25,14 +25,14 @@ object LanceBucketFunction extends UnboundFunction {
     "bucket(numBuckets, col) = pmod(murmur3(col), numBuckets) — the write.bucket-by layout"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket takes (numBuckets, value), got ${inputType.catalogString}")
-    LanceBucketBound(inputType.fields(1).dataType)
+    require(inputType.fields.length >= 2,
+      s"bucket takes (numBuckets, value...), got ${inputType.catalogString}")
+    LanceBucketBound(inputType.fields.drop(1).map(_.dataType).toSeq)
   }
 }
 
-case class LanceBucketBound(valueType: DataType) extends ScalarFunction[Integer] {
-  override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+case class LanceBucketBound(valueTypes: Seq[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = (IntegerType +: valueTypes).toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.lance.bucket"
@@ -40,7 +40,15 @@ case class LanceBucketBound(valueType: DataType) extends ScalarFunction[Integer]
 
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
-    val h = Shim.murmur3Hash(input.get(1, valueType), valueType)
+    // seed-chained murmur3 over the key columns, truncating to Int between
+    // steps (sign-extended back to the next seed) — exactly the fold
+    // HashPartitioning's Murmur3Hash expression performs
+    var h = 42
+    var i = 0
+    while (i < valueTypes.length) {
+      h = Shim.murmur3Hash(input.get(i + 1, valueTypes(i)), valueTypes(i), h.toLong).toInt
+      i += 1
+    }
     Integer.valueOf(((h % n) + n) % n)
   }
 }

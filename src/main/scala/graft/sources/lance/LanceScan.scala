@@ -811,18 +811,19 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   // catalog's `bucket` function makes the two transforms comparable).
   // Anything irregular — a mixed append, a dropped bucket column — makes
   // this report UnknownPartitioning, which is always sound.
-  private val bucketSpec: Option[(String, Int)] = for {
-    col <- LanceOptions.any(manifest.props, "write.bucket-by", "bucketBy")
+  private val bucketSpec: Option[(Seq[String], Int)] = for {
+    cs <- LanceOptions.any(manifest.props, "write.bucket-by", "bucketBy")
     n <- LanceOptions.any(manifest.props, "write.bucket-count", "bucketCount")
-    if manifest.schema.fieldNames.contains(col)
+    cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if cols.nonEmpty && cols.forall(manifest.schema.fieldNames.contains)
     if initialFragments.nonEmpty && initialFragments.forall(_.bucket.isDefined)
-  } yield (col, n.toInt)
+  } yield (cols, n.toInt)
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning = bucketSpec match {
-    case Some((col, n)) =>
+    case Some((cols, n)) =>
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cols: _*)),
         fragments.flatMap(_.bucket).distinct.size)
     case None =>
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)

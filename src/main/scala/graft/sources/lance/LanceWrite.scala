@@ -104,16 +104,24 @@ class LanceWrite(root: String, schema: StructType,
   // entirely (storage-partitioned join) — at 100 TB the single biggest
   // shuffle eliminated. The explicit numPartitions also keeps AQE from
   // coalescing (which would break the id=bucket equality).
-  private val bucketBy: Option[(String, Int)] = {
-    val col = LanceOptions.any(options, "write.bucket-by", "bucketBy")
+  private val bucketBy: Option[(Seq[String], Int)] = {
+    val cs = csv("write.bucket-by") ++ csv("bucketBy")
     val n = LanceOptions.any(options, "write.bucket-count", "bucketCount")
-    (col, n) match {
-      case (Some(c), Some(k)) =>
-        require(schema.fieldNames.contains(c), s"lance write.bucket-by: unknown column $c")
+    (cs, n) match {
+      case (cols, Some(k)) if cols.nonEmpty =>
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"lance write.bucket-by: unknown column $c"))
+        // single-column only: Spark's storage-partitioned-join planner does
+        // not match multi-argument bucket transforms (verified empirically
+        // on 4.1 — both sides re-shuffle), so a multi-column layout would
+        // pay the write clustering without ever earning the join
+        require(cols.size == 1,
+          s"lance write.bucket-by takes ONE column (got ${cols.mkString(", ")}): " +
+            "Spark plans storage-partitioned joins for single-column buckets")
         require(k.toInt > 0, s"lance write.bucket-count must be positive, got $k")
         require(clusterBy.isEmpty, "lance: write.bucket-by and write.cluster-by are exclusive")
-        Some((c, k.toInt))
-      case (None, None) => None
+        Some((cols, k.toInt))
+      case (Nil, None) => None
       case _ => throw new IllegalArgumentException(
         "lance: write.bucket-by and write.bucket-count must be set together")
     }
@@ -127,13 +135,15 @@ class LanceWrite(root: String, schema: StructType,
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     if (bucketBy.isDefined)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.column(bucketBy.get._1)))
+        bucketBy.get._1.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
     else if (clusterBy.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.ordered(sortOrders(clusterBy))
     else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    sortOrders((clusterBy ++ bucketBy.map(_._1) ++ sortBy).distinct)
+    sortOrders((clusterBy ++ bucketBy.toSeq.flatMap(_._1) ++ sortBy).distinct)
 
   override def requiredNumPartitions(): Int = bucketBy.map(_._2).getOrElse(
     LanceOptions.any(options, "write.cluster-partitions").map(_.toInt).getOrElse(0))
@@ -190,8 +200,12 @@ class LanceWrite(root: String, schema: StructType,
   }
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
+    // Spark honors requiredDistribution/numPartitions per micro-batch
+    // (SPARK-34183), so the partitionId-is-the-bucket invariant holds for
+    // streaming appends too — streamed fragments join the SPJ layout
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new LanceStreamingDataWriterFactory(root, schema, factory, conf, maxRowsPerFile)
+      new LanceStreamingDataWriterFactory(root, schema, factory, conf, maxRowsPerFile,
+        bucketed = bucketBy.isDefined)
 
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val newFrags = messages.flatMap {
@@ -261,10 +275,12 @@ class LanceDataWriterFactory(root: String, schema: StructType,
 
 class LanceStreamingDataWriterFactory(root: String, schema: StructType,
                                       factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-                                      conf: SerializableConfiguration, maxRowsPerFile: Long)
+                                      conf: SerializableConfiguration, maxRowsPerFile: Long,
+                                      bucketed: Boolean = false)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId)
+    new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId,
+      bucketed = bucketed)
 }
 
 /** Executor-side fragment writer: rolls to a new parquet file every

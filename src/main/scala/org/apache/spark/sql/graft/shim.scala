@@ -41,11 +41,13 @@ object Shim {
       ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Array[Filter] =
     ps.flatMap(p => org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p))
 
-  /** The exact hash `HashPartitioning` uses (murmur3, seed 42) — the
-    * catalog's `bucket` function must agree with the write-side shuffle's
-    * row→partition mapping for storage-partitioned joins to be sound. */
-  def murmur3Hash(value: Any, dt: org.apache.spark.sql.types.DataType): Int =
-    org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(value, dt, 42L).toInt
+  /** The exact hash `HashPartitioning` uses (murmur3, seed-chained over
+    * the key columns from 42) — the catalog's `bucket` function must agree
+    * with the write-side shuffle's row→partition mapping for
+    * storage-partitioned joins to be sound. */
+  def murmur3Hash(value: Any, dt: org.apache.spark.sql.types.DataType,
+                  seed: Long = 42L): Long =
+    org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(value, dt, seed)
 
   def serializableConf(conf: Configuration): SerializableConfiguration =
     new SerializableConfiguration(conf)

@@ -1408,6 +1408,40 @@ class LanceSpec extends SparkSpec {
       files.queryExecution.executedPlan.toString)
   }
 
+  test("bucket function matches Spark's hash; multi-column buckets are rejected") {
+    spark.conf.set("spark.sql.catalog.lance_mc", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_mc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_mc.db")
+    // the catalog-served bucket function computes the exact write-side
+    // mapping — pmod(murmur3(key), n) — for long and string keys
+    def bound(dt: org.apache.spark.sql.types.DataType) =
+      graft.sources.lance.LanceBucketFunction.bind(
+        StructType(Seq(StructField("n", org.apache.spark.sql.types.IntegerType),
+          StructField("v", dt))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val sample = spark.range(50)
+      .selectExpr("id", "concat('k', id) AS s",
+        "pmod(hash(id), 7) AS bl", "pmod(hash(concat('k', id)), 7) AS bs")
+      .collect()
+    for (r <- sample) {
+      assert(bound(LongType).produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](7, r.getLong(0)))).intValue === r.getInt(2))
+      assert(bound(org.apache.spark.sql.types.StringType).produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](7, org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))))
+        .intValue === r.getInt(3))
+    }
+    // multi-column buckets are rejected up front: Spark's SPJ planner does
+    // not match multi-argument bucket transforms, so the layout would pay
+    // the write clustering without ever earning the shuffle-free join
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE lance_mc.db.m (id BIGINT, grp STRING) " +
+        "PARTITIONED BY (bucket(4, id, grp))")
+    }
+  }
+
   test("SPJ edge cases: missing buckets and partially-clustered skew handling") {
     spark.conf.set("spark.sql.catalog.lance_spj2", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()

@@ -38,6 +38,36 @@ class LanceStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === region.count() + 25)
   }
 
+  test("streaming appends to a bucketed table keep the SPJ layout") {
+    spark.conf.set("spark.sql.catalog.lance_sb", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp(); val ckpt = tmp(); val srcRoot = tmp()
+    spark.conf.set("spark.sql.catalog.lance_sb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lance_sb.db")
+    spark.sql("CREATE TABLE lance_sb.db.t (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    // stream a lance source into the bucketed catalog table
+    spark.range(1000).selectExpr("id", "id * 3 AS v")
+      .write.format("lance").save(srcRoot)
+    val q = spark.readStream.format("lance").load(srcRoot)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("lance_sb.db.t")
+    q.awaitTermination(120000)
+    val m = ManifestIO.loadLatest(s"$wh/db/t", conf).get
+    assert(m.totalRows === 1000)
+    assert(m.fragments.nonEmpty && m.fragments.forall(_.bucket.isDefined))
+    // the tag must equal the actual pmod(murmur3(id), 4) of every row —
+    // i.e. Spark really applied the required distribution per micro-batch
+    val perFile = spark.sql(
+      "SELECT _file, pmod(hash(id), 4) AS b FROM lance_sb.db.t")
+      .groupBy("_file").agg(countDistinct(col("b")).as("nb"), first(col("b")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(perFile.forall(_._2 === 1L), s"mixed-bucket streamed fragment: $perFile")
+    for (fr <- m.fragments) {
+      val actual = perFile.find(_._1.endsWith(fr.path)).get._3
+      assert(fr.bucket.contains(actual), s"${fr.path}: tag=${fr.bucket} actual=$actual")
+    }
+  }
+
   test("read.max-rows-per-trigger bounds catch-up micro-batches at version granularity") {
     import spark.implicits._
     val root = tmp(); val ckpt = tmp()

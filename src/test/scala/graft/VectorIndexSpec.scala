@@ -191,6 +191,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaIdx === brute)
   }
 
+  test("drift ratio stays ~1 for in-distribution appends, inflates on shift") {
+    import graft.operators.IndexBuild
+    val base = java.nio.file.Files.createTempDirectory("graft-idxdrift-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val idx = IndexBuild.build(spark, e.filter(col("vec_id") < 400), base,
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    assert(idx.residual.exists(_ > 0))
+    // appending more of the SAME distribution barely moves the error...
+    IndexBuild.append(spark, e.filter(col("vec_id") >= 400), idx)
+    val reloaded = IndexBuild.load(spark, base)
+    val inDist = IndexBuild.driftRatio(spark, reloaded)
+    assert(inDist > 0.8 && inDist < 1.2, s"in-distribution drift: $inDist")
+    // ...but a shifted distribution (scaled 4x) inflates it past a
+    // rebuild threshold
+    IndexBuild.append(spark,
+      e.filter(col("vec_id") < 200).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(4.0f)).as("embedding"),
+        col("label")),
+      reloaded)
+    val shifted = IndexBuild.driftRatio(spark, IndexBuild.load(spark, base))
+    assert(shifted > 1.3, s"expected shifted drift > 1.3, got $shifted")
+  }
+
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
     import org.apache.spark.ml.linalg.Vectors
     val rnd = new scala.util.Random(7) // fixed seed → deterministic
