@@ -100,6 +100,82 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
     copy(child = newChild)
 }
 
+/** Nearest-centroid cell assignment: argmin_c ||v − centroids[c]||², first
+  * index winning ties — the incremental-append path of index maintenance
+  * (reference: LanceIndexBuilder.java:116-152 append-then-reindex). The
+  * flattened [cell][dim] centroid matrix is a driver constant shipped via
+  * `addReferenceObj`, exactly like [[PqEncode]]'s codebooks, so assignment
+  * stays inside WholeStageCodegen with primitive array access — no per-row
+  * boxed UDF on the append hot path. */
+case class NearestCell(child: Expression, centroids: Array[Double],
+                       cells: Int, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null on dimension mismatch
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell needs array<float|double>, got $other")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val isF = elemIsFloat
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cells) {
+      val base = c * dim
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val v = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+        val diff = v - centroids(base + d)
+        s += diff * diff
+        d += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cellCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      def get(i: String): String =
+        if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cells; $c++) {
+         |    int $base = $c * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      double $diff = ${get(s"$d")} - $cb[$base + $d];
+         |      $s += $diff * $diff;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance computation over PQ codes: the per-query lookup
   * table `lut` (flattened [m][code]) holds ||q_sub − codebook||² per
   * sub-space; each row's approximate distance is M table lookups + sqrt. */

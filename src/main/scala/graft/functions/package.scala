@@ -36,6 +36,11 @@ package object functions {
   def pq_adc(codesCol: Column, lut: Array[Double], m: Int, codes: Int): Column =
     Column(PqAdc(expression(codesCol), lut, m, codes))
 
+  /** Nearest-centroid cell id of a vector column against a flattened
+    * [cell][dim] centroid matrix (codegen'd; the index-append hot path). */
+  def nearest_cell(v: Column, centroids: Array[Double], cells: Int, dim: Int): Column =
+    Column(NearestCell(expression(v), centroids, cells, dim))
+
   /** Rabin-Karp rolling-hash fingerprint of a string column. */
   def fingerprint(s: Column): Column = Column(RollingFingerprint(expression(s)))
 

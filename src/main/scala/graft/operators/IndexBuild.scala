@@ -121,43 +121,42 @@ object IndexBuild {
     * under batch/streaming growth at any corpus size; centroid drift is
     * repaired by an occasional full rebuild (the reference's
     * append-then-reindex story, LanceIndexBuilder.java:116-152). */
-  def append(s: SparkSession, newRows: DataFrame, idx: BuiltIndex,
-             targetRowsPerFragment: Long = 100000L): Unit = {
+  /** The append path's per-row plan: codegen'd nearest-centroid assignment
+    * (NearestCell handles float and double vectors natively — no cast, no
+    * boxed UDF on the hot path) + PQ encode with the stored codebooks.
+    * Exposed so specs can assert the plan stays UDF-free. */
+  private[graft] def assignToCells(newRows: DataFrame, idx: BuiltIndex): DataFrame = {
     val vecCol = idx.opts.column
     val cells = idx.centroids.length
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / cells
-    val assignCell = udf { v: Seq[Double] =>
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cells) {
-        var acc = 0.0
-        var d = 0
-        while (d < dim) {
-          val diff = v(d) - flat(c * dim + d); acc += diff * diff; d += 1
-        }
-        if (acc < bestD) { bestD = acc; best = c }
-        c += 1
-      }
-      best
-    }
     val assigned = newRows.withColumn("cell",
-      assignCell(col(vecCol).cast("array<double>")))
-    val encoded = idx.pq match {
+      graft.functions.nearest_cell(col(vecCol), flat, cells, dim))
+    idx.pq match {
       case Some(p) => assigned.withColumn("codes",
         graft.functions.pq_encode(col(vecCol), p.flat, p.m, p.codes, p.subDim))
       case None => assigned
     }
+  }
+
+  def append(s: SparkSession, newRows: DataFrame, idx: BuiltIndex,
+             targetRowsPerFragment: Long = 100000L): Unit = {
+    val cells = idx.centroids.length
+    val encoded = assignToCells(newRows, idx)
     // small appends should not shatter into `cells` tiny fragments: size
     // the range partitioning to the batch, still cell-ordered so every
-    // appended fragment covers a contiguous (prunable) cell range
-    val parts = math.max(1, math.min(cells,
-      math.ceil(newRows.count().toDouble / targetRowsPerFragment).toInt))
-    encoded
-      .repartitionByRange(parts, col("cell"))
-      .sortWithinPartitions("cell")
-      .write.format("lance").mode("append").save(idx.root)
+    // appended fragment covers a contiguous (prunable) cell range. The
+    // sizing count runs over the CACHED assigned batch so the (possibly
+    // expensive) upstream lineage evaluates once, not twice.
+    encoded.persist()
+    try {
+      val parts = math.max(1, math.min(cells,
+        math.ceil(encoded.count().toDouble / targetRowsPerFragment).toInt))
+      encoded
+        .repartitionByRange(parts, col("cell"))
+        .sortWithinPartitions("cell")
+        .write.format("lance").mode("append").save(idx.root)
+    } finally encoded.unpersist()
   }
 
   /** Search a built/loaded index with reference-named vector.* knobs:

@@ -80,6 +80,24 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(pq_adc(typedLit(Seq(1, 0, 1)), lut, 2, 2)) == null)
   }
 
+  test("nearest_cell known values, float + double, interpreted == codegen") {
+    // 3 cells × 2 dims: c0=(0,0) c1=(10,10) c2=(5,5)
+    val flat = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0)
+    val v = fLit(6f, 6f) // nearest is c2
+    assert(NearestCell(v, flat, 3, 2).eval(null) === 2)
+    assert(viaDf(nearest_cell(typedLit(Seq(6f, 6f)), flat, 3, 2)) === 2)
+    // double vectors pass through without a cast
+    val dv = Literal.create(Seq(9.0, 9.5), ArrayType(DoubleType))
+    assert(NearestCell(dv, flat, 3, 2).eval(null) === 1)
+    assert(viaDf(nearest_cell(typedLit(Seq(9.0, 9.5)), flat, 3, 2)) === 1)
+    // ties break to the first index (equidistant from c0 and c1)
+    assert(NearestCell(fLit(5f, 5f), Array(0.0, 0.0, 10.0, 10.0), 2, 2)
+      .eval(null) === 0)
+    // dimension mismatch → null, both paths
+    assert(NearestCell(fLit(1f), flat, 3, 2).eval(null) == null)
+    assert(viaDf(nearest_cell(typedLit(Seq(1f)), flat, 3, 2)) == null)
+  }
+
   test("rolling fingerprint known value ('Hi' -> 2337), interpreted == codegen") {
     // h = ((0*31+72)%p)*31 + 105 = 2337 — mirrored by the DuckDB oracle
     val i = RollingFingerprint(Literal("Hi")).eval(null)

@@ -191,6 +191,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaIdx === brute)
   }
 
+  test("append assignment plan is UDF-free (codegen'd NearestCell + PqEncode)") {
+    import graft.operators.IndexBuild
+    val base = java.nio.file.Files.createTempDirectory("graft-idxplan-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val idx = IndexBuild.build(spark, e.filter(col("vec_id") < 400), base,
+      Map("index.type" -> "IVF_PQ", "index.num-partitions" -> "8",
+        "index.num-sub-vectors" -> "8"))
+    val plan = IndexBuild.assignToCells(e.filter(col("vec_id") >= 400), idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(!plan.contains("BatchEvalPython"), plan)
+    assert(plan.toLowerCase.contains("nearestcell"), plan)
+    assert(plan.toLowerCase.contains("pqencode"), plan)
+    // and the assignment agrees with the interpreted argmin on every row
+    val cells = idx.centroids.length
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / cells
+    IndexBuild.assignToCells(e, idx)
+      .select(col("embedding"), col("cell")).collect().foreach { r =>
+        val v = r.getSeq[Float](0)
+        val exact = (0 until cells).minBy { c =>
+          var s = 0.0; var d = 0
+          while (d < dim) { val df = v(d) - flat(c * dim + d); s += df * df; d += 1 }
+          s
+        }
+        assert(r.getInt(1) === exact)
+      }
+  }
+
   test("drift ratio stays ~1 for in-distribution appends, inflates on shift") {
     import graft.operators.IndexBuild
     val base = java.nio.file.Files.createTempDirectory("graft-idxdrift-").toString
