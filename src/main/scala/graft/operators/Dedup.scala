@@ -125,15 +125,27 @@ object Dedup extends QueryModule {
       val nbrMin = edges
         .join(labels.select(col("node").as("b_id"), col("lbl").as("nlbl")), "b_id")
         .groupBy(col("a_id").as("node")).agg(min("nlbl").as("cand"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val prop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+      // pointer-doubling shortcut: follow each label to ITS OWN label
+      // (every label is a node id, so it has one), halving label-chain
+      // lengths per round — convergence is O(log diameter), so even an
+      // adversarially long duplicate chain (diameter ≫ 20) can't outrun
+      // the round cap the way plain propagation could
+      val jump = prop.select(col("node").as("lbl"), col("lbl").as("lbl2"))
+      val next = prop.join(jump, Seq("lbl"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
-          (col("cand") < col("lbl")).as("moved"))
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("lbl2"), col("lbl"))) < col("old")).as("moved"))
         .localCheckpoint(true)
       changed = next.filter(col("moved")).count()
       labels = next.drop("moved")
       iter += 1
     }
+    // a silent split would diverge from the transitive closure — refuse
+    require(changed == 0,
+      s"dedup_clusters: min-label propagation did not converge in $iter rounds")
     labels
       .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))

@@ -192,10 +192,38 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       var dropped = Set.empty[String]
       var renamed = Seq.empty[(String, String)]
       var props = latest.props
+      // write.bucket-by/write.bucket-count are LAYOUT, not preferences:
+      // live fragments carry bucket tags computed under them, and a scan
+      // over all-tagged fragments reports KeyGroupedPartitioning from
+      // these props. Changing either on a table with bucketed fragments
+      // would group stale tags under the new transform and a storage-
+      // partitioned join would silently drop matches — reject instead.
+      val hasBucketedFragments = latest.fragments.exists(_.bucket.isDefined)
+      def bucketKind(k: String): Option[String] =
+        k.toLowerCase(java.util.Locale.ROOT) match {
+          case "write.bucket-by" | "bucketby" => Some("by")
+          case "write.bucket-count" | "bucketcount" => Some("count")
+          case _ => None
+        }
+      def currentBucket(kind: String): Option[String] =
+        if (kind == "by") LanceOptions.any(props, "write.bucket-by", "bucketBy")
+        else LanceOptions.any(props, "write.bucket-count", "bucketCount")
       changes.foreach {
         case set: TableChange.SetProperty =>
+          bucketKind(set.property()).foreach { kind =>
+            if (hasBucketedFragments && !currentBucket(kind).contains(set.value()))
+              throw new UnsupportedOperationException(
+                s"lance: cannot change ${set.property()} on a table whose fragments " +
+                  "are already bucket-tagged (stale tags would make storage-" +
+                  "partitioned joins silently drop matches); rewrite the table instead")
+          }
           props += (set.property() -> set.value())
         case rm: TableChange.RemoveProperty =>
+          if (bucketKind(rm.property()).isDefined && hasBucketedFragments)
+            throw new UnsupportedOperationException(
+              s"lance: cannot remove ${rm.property()} on a table whose fragments " +
+                "are already bucket-tagged (a later re-bucketing under a different " +
+                "layout would make storage-partitioned joins silently drop matches)")
           props -= rm.property()
         case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
           // added columns are nullable by construction: old fragments have

@@ -37,6 +37,22 @@ object LanceOptions {
     * write.max-rows-per-file ≡ this connector's original maxRowsPerFile). */
   def any(m: Map[String, String], keys: String*): Option[String] =
     keys.view.flatMap(get(m, _)).headOption
+
+  private def isBucketKey(k: String): Boolean = {
+    val n = k.toLowerCase(java.util.Locale.ROOT)
+    n == "write.bucket-by" || n == "bucketby" ||
+      n == "write.bucket-count" || n == "bucketcount"
+  }
+
+  /** Merge per-write/per-read overrides over table properties — EXCEPT the
+    * bucket layout: once the table declares write.bucket-by/-count, an
+    * override would tag new fragments under a different layout than the
+    * one scans report through KeyGroupedPartitioning, silently corrupting
+    * storage-partitioned joins. The persisted layout always wins. */
+  def mergeWriteOptions(props: Map[String, String],
+                        overrides: Map[String, String]): Map[String, String] =
+    if (any(props, "write.bucket-by", "bucketBy").isEmpty) props ++ overrides
+    else props ++ overrides.filterNot { case (k, _) => isBucketKey(k) }
 }
 
 class LanceDataSource extends TableProvider with DataSourceRegister
@@ -140,9 +156,14 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
   }
 
   /** Table properties act as write defaults; explicit reader/writer options
-    * override them. */
+    * override them — EXCEPT the bucket layout: once the table declares
+    * write.bucket-by/-count, a per-write override would tag new fragments
+    * under a different layout than the one scans report through
+    * KeyGroupedPartitioning, silently corrupting storage-partitioned
+    * joins. The persisted layout always wins. */
   private def tableOptions: Map[String, String] =
-    manifest.map(_.props).getOrElse(Map.empty) ++ extraOptions
+    LanceOptions.mergeWriteOptions(
+      manifest.map(_.props).getOrElse(Map.empty), extraOptions)
 
   /** read.change-feed=true surfaces `_change_type` as a declared column —
     * batch scans label every row "insert"; the streaming source emits

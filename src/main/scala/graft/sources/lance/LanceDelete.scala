@@ -262,6 +262,13 @@ object LanceDelete {
         val statIndexes = statFields.map(f => 2 + extraCols.indexOf(f.name)).toArray
         val sketchIdx = sketchFields.map(f =>
           (2 + extraCols.indexOf(f.name), f.dataType, f.name))
+        // writer sidecars are keyed by the file's PHYSICAL column names and
+        // bloomProbe resolves fr.physicalNames(c) before the lookup — the
+        // re-sketch must key the same way or renamed-column fragments lose
+        // pruning (and a logical name colliding with another column's
+        // physical name could consult the wrong bloom)
+        val relToPhys: Map[String, Map[String, String]] =
+          candidates.map(fr => fr.path -> fr.physicalNames).toMap
         val statIdxFields = statFields // captured for the closure
         val ser = Shim.serializableConf(conf)
         // the scan plans candidate fragments UNSPLIT, one partition each
@@ -327,7 +334,7 @@ object LanceDelete {
                       val bloom = if (bloomOver(j)) None
                                   else Some(Bloom.build(bloomHashes(j).toArray,
                                     bloomHashes(j).size))
-                      (name, hlls(j), bloom)
+                      (relToPhys(rel).getOrElse(name, name), hlls(j), bloom)
                   })
                 Iterator.single((rel, merged.path, merged.count,
                   ManifestIO.statsToJson(acc.result), sketchRel))

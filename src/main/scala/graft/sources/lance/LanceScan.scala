@@ -459,6 +459,10 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       return None
     val statRows = statFrags.map(_.liveRows).sum
     val answers = agg.aggregateExpressions.toSeq.map(answer(_, statFrags, statRows))
+    // per-fragment answerability does not guarantee a COLLECTIVE answer
+    // (e.g. Math.addExact overflow folding the per-fragment sums) — decline
+    // to a full scan instead of throwing at planning time
+    if (answers.exists(_.isEmpty)) return None
     val schema = StructType(answers.map(_.get._1))
     val statRow = answers.map(_.get._2).toArray
     val colNames = funcs.flatMap(_._2).distinct
@@ -798,9 +802,23 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val v1 = Shim.predicatesToV1(predicates)
-    if (v1.nonEmpty)
-      fragments = LancePruning.prune(fragments, manifest.schema, v1, root,
+    if (v1.nonEmpty) {
+      val pruned = LancePruning.prune(fragments, manifest.schema, v1, root,
         LancePruning.bloomProbe(root, Shim.hadoopConf(spark, options)))
+      // When this scan reports KeyGroupedPartitioning, the distinct
+      // partition-key set was fixed at planning; runtime pruning that
+      // empties a whole bucket would shrink it afterwards — a combination
+      // BatchScanExec only tolerates under specific v2-bucketing configs.
+      // Keep the pruning only when every bucket stays populated (the common
+      // win: dropping fragments WITHIN buckets); otherwise keep the
+      // planned fragment list — always sound, the join still evaluates.
+      fragments = bucketSpec match {
+        case Some(_)
+            if pruned.flatMap(_.bucket).distinct.size !=
+              fragments.flatMap(_.bucket).distinct.size => fragments
+        case _ => pruned
+      }
+    }
   }
 
   // ---- storage-partitioned joins ---------------------------------------

@@ -45,8 +45,11 @@ class LanceWriteBuilder(spark: SparkSession, root: String, info: LogicalWriteInf
   }
 
   override def build(): Write = {
-    val opts = extraOptions ++
-      scala.jdk.CollectionConverters.MapHasAsScala(info.options).asScala
+    // extraOptions already hold the table's persisted properties; per-write
+    // options may not override a declared bucket layout (stale tags would
+    // corrupt storage-partitioned joins)
+    val opts = LanceOptions.mergeWriteOptions(extraOptions,
+      scala.jdk.CollectionConverters.MapHasAsScala(info.options).asScala.toMap)
     val schema = info.schema()
     // driver-side: Spark's parquet OutputWriterFactory + configured job conf
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, opts)

@@ -1408,6 +1408,114 @@ class LanceSpec extends SparkSpec {
       files.queryExecution.executedPlan.toString)
   }
 
+  test("bucket layout is immutable once fragments carry tags") {
+    spark.conf.set("spark.sql.catalog.lance_bl", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_bl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_bl.db")
+    spark.sql("CREATE TABLE lance_bl.db.t (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    // before any data lands the layout is still negotiable
+    spark.sql("ALTER TABLE lance_bl.db.t SET TBLPROPERTIES('write.bucket-count'='8')")
+    spark.sql("ALTER TABLE lance_bl.db.t SET TBLPROPERTIES('write.bucket-count'='4')")
+    spark.range(200).selectExpr("id", "id*2 AS v").createOrReplaceTempView("bl_src")
+    spark.sql("INSERT INTO lance_bl.db.t SELECT * FROM bl_src")
+    // fragments now carry tags computed under bucket(4, id): changing or
+    // removing the layout would silently corrupt storage-partitioned joins
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE lance_bl.db.t SET TBLPROPERTIES('write.bucket-count'='8')")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE lance_bl.db.t SET TBLPROPERTIES('write.bucket-by'='v')")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE lance_bl.db.t UNSET TBLPROPERTIES('write.bucket-count')")
+    }
+    // a same-value SET is a no-op and stays allowed
+    spark.sql("ALTER TABLE lance_bl.db.t SET TBLPROPERTIES('write.bucket-count'='4')")
+    // unrelated properties still alter freely
+    spark.sql("ALTER TABLE lance_bl.db.t SET TBLPROPERTIES('comment'='hello')")
+    // write-time overrides of the persisted layout are IGNORED: appended
+    // fragments keep tagging under bucket(4, id)
+    spark.range(200, 400).selectExpr("id", "id*2 AS v")
+      .writeTo("lance_bl.db.t").option("write.bucket-count", "8").append()
+    val m = ManifestIO.loadLatest(s"$wh/db/t", conf).get
+    assert(m.fragments.nonEmpty && m.fragments.forall(_.bucket.isDefined))
+    assert(m.fragments.flatMap(_.bucket).forall(b => b >= 0 && b < 4),
+      m.fragments.flatMap(_.bucket).toSeq.toString)
+    // every row still hashes to its fragment's tag under N=4
+    val perFile = spark.sql(
+      "SELECT _file, pmod(hash(id), 4) AS b FROM lance_bl.db.t")
+      .groupBy("_file").agg(countDistinct(col("b")).as("nb"), first(col("b")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(perFile.forall(_._2 === 1L), s"mixed-bucket fragment: $perFile")
+    for (fr <- m.fragments) {
+      val actual = perFile.find(_._1.endsWith(fr.path)).get._3
+      assert(fr.bucket.contains(actual), s"${fr.path}: tag=${fr.bucket} actual=$actual")
+    }
+  }
+
+  test("runtime filtering composes safely with a bucketed SPJ join") {
+    spark.conf.set("spark.sql.catalog.lance_rfb", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_rfb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_rfb.db")
+    for (tn <- Seq("fact", "dim"))
+      spark.sql(s"CREATE TABLE lance_rfb.db.$tn (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    spark.range(2000).selectExpr("id", "id*2 AS v").createOrReplaceTempView("rfb_f")
+    spark.range(2000).selectExpr("id", "id % 7 AS v").createOrReplaceTempView("rfb_d")
+    spark.sql("INSERT INTO lance_rfb.db.fact SELECT * FROM rfb_f")
+    spark.sql("INSERT INTO lance_rfb.db.dim SELECT * FROM rfb_d")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the dim filter stays residual (v is mixed within fragments), the
+      // exact shape Spark's runtime-filtering rule keys on; the fact scan
+      // must never let that pruning shrink the planned bucket-key set —
+      // this is the regression test for the KeyGroupedPartitioning ×
+      // SupportsRuntimeV2Filtering partition-value-mismatch crash
+      val j = spark.sql("SELECT f.id AS id, f.v AS fv FROM lance_rfb.db.fact f " +
+        "JOIN lance_rfb.db.dim d ON f.id = d.id WHERE d.v = 3")
+      val rows = j.collect()
+      assert(rows.length === (0 until 2000).count(_ % 7 == 3))
+      assert(rows.forall(r => r.getLong(0) % 7 == 3 && r.getLong(1) == 2 * r.getLong(0)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("exchange hashpartitioning(id"),
+        s"SPJ lost to a shuffle:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("metadata-path delete re-sketches under the fragment's physical column names") {
+    spark.conf.set("spark.sql.catalog.lance_rsk", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_rsk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_rsk.db")
+    // one input partition → one fragment, so the delete is partial (DV path)
+    spark.sql("CREATE TABLE lance_rsk.db.t AS " +
+      "SELECT id, concat('k', id) AS tag FROM range(0, 1000, 1, 1)")
+    spark.sql("ALTER TABLE lance_rsk.db.t RENAME COLUMN tag TO label")
+    spark.sql("DELETE FROM lance_rsk.db.t WHERE id < 100")
+    val root = s"$wh/db/t"
+    val m = ManifestIO.loadLatest(root, conf).get
+    val fr = m.fragments.find(_.deletes.isDefined).get
+    assert(fr.physicalNames.get("label").contains("tag"))
+    // the re-sketched sidecar must key by the FILE's physical name — the
+    // same keying as write-side sidecars and bloomProbe's lookup — or
+    // renamed-column fragments silently lose bloom pruning
+    val sk = graft.sources.lance.Hll.readSidecar(root, conf, fr.sketches.get)
+    assert(sk.contains("tag"), s"sidecar keys: ${sk.keys.toSeq}")
+    assert(!sk.contains("label"), s"sidecar keys: ${sk.keys.toSeq}")
+    // and queries through the renamed name behave: survivor found, deleted gone
+    assert(spark.sql("SELECT count(*) FROM lance_rsk.db.t WHERE label = 'k500'")
+      .first().getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM lance_rsk.db.t WHERE label = 'k50'")
+      .first().getLong(0) === 0)
+  }
+
   test("bucket function matches Spark's hash; multi-column buckets are rejected") {
     spark.conf.set("spark.sql.catalog.lance_mc", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()
