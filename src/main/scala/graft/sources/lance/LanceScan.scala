@@ -774,7 +774,8 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
                        filters: Seq[Filter], limit: Option[Int],
                        options: Map[String, String]) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** Narrowable by subclasses (runtime group filtering in the COW scan). */
   @volatile protected var fragments: Seq[FragmentMeta] = initialFragments
@@ -836,6 +837,43 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     if cols.nonEmpty && cols.forall(manifest.schema.fieldNames.contains)
     if initialFragments.nonEmpty && initialFragments.forall(_.bucket.isDefined)
   } yield (cols, n.toInt)
+
+  // ---- persisted-sort report -------------------------------------------
+  // Fragments written through a distribution+ordering-enforced path
+  // (bucketed/clustered/sorted writes, ordering-preserving compaction)
+  // carry the column list every row of the file honors. When each planned
+  // Spark partition is a single such sorted unit, the scan reports the
+  // common prefix back, and a co-bucketed sort-merge join plans with NO
+  // Sort on either side — on a 100 TB SPJ that deletes the last redundant
+  // O(n log n) pass. Sound gating:
+  //  - every live fragment must share the prefix, projected and
+  //    identity-mapped (no rename/hide indirection on the sort columns);
+  //  - under KeyGroupedPartitioning, each bucket must be exactly one
+  //    unsplit fragment (a grouped bucket concatenates its members, which
+  //    is not sorted); without it, every partition is a contiguous slice
+  //    of one sorted file, which is always individually sorted.
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val frs = fragments
+    if (frs.isEmpty || frs.exists(_.sortedBy.isEmpty)) return Array.empty
+    val common = frs.map(_.sortedBy).reduce { (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    }
+    val usable = common.takeWhile(c => required.fieldNames.contains(c) &&
+      frs.forall(fr => !fr.hidden.contains(c) && !fr.physicalNames.contains(c)))
+    if (usable.isEmpty) return Array.empty
+    val grouped = bucketSpec.isDefined
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    def unsplit(fr: FragmentMeta): Boolean =
+      fr.sizeBytes <= splitBytes || limit.isDefined ||
+        fr.deletes.isDefined || posRequested
+    if (grouped &&
+        (frs.flatMap(_.bucket).distinct.size != frs.size || !frs.forall(unsplit)))
+      return Array.empty
+    usable.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning = bucketSpec match {

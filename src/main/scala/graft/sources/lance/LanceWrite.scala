@@ -145,8 +145,14 @@ class LanceWrite(root: String, schema: StructType,
       org.apache.spark.sql.connector.distributions.Distributions.ordered(sortOrders(clusterBy))
     else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
+  /** The within-partition sort Spark enforces for this write — every
+    * produced fragment is stamped with it, so scans can report the order
+    * back (SupportsReportOrdering) and co-bucketed SMJs skip their sorts. */
+  private val orderedCols: Seq[String] =
+    (clusterBy ++ bucketBy.toSeq.flatMap(_._1) ++ sortBy).distinct
+
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    sortOrders((clusterBy ++ bucketBy.toSeq.flatMap(_._1) ++ sortBy).distinct)
+    sortOrders(orderedCols)
 
   override def requiredNumPartitions(): Int = bucketBy.map(_._2).getOrElse(
     LanceOptions.any(options, "write.cluster-partitions").map(_.toInt).getOrElse(0))
@@ -154,7 +160,7 @@ class LanceWrite(root: String, schema: StructType,
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       new LanceDataWriterFactory(root, schema, factory, conf, maxRowsPerFile, clusterIdx,
-        bucketed = bucketBy.isDefined)
+        bucketed = bucketBy.isDefined, sortedBy = orderedCols)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val newFrags = messages.flatMap {
@@ -208,7 +214,7 @@ class LanceWrite(root: String, schema: StructType,
     // streaming appends too — streamed fragments join the SPJ layout
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new LanceStreamingDataWriterFactory(root, schema, factory, conf, maxRowsPerFile,
-        bucketed = bucketBy.isDefined)
+        bucketed = bucketBy.isDefined, sortedBy = orderedCols)
 
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val newFrags = messages.flatMap {
@@ -269,21 +275,23 @@ class LanceDataWriterFactory(root: String, schema: StructType,
                              factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                              conf: SerializableConfiguration, maxRowsPerFile: Long,
                              clusterIdx: Array[Int] = Array.empty,
-                             bucketed: Boolean = false)
+                             bucketed: Boolean = false,
+                             sortedBy: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId,
-      clusterIdx, bucketed)
+      clusterIdx, bucketed, sortedBy)
 }
 
 class LanceStreamingDataWriterFactory(root: String, schema: StructType,
                                       factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                                       conf: SerializableConfiguration, maxRowsPerFile: Long,
-                                      bucketed: Boolean = false)
+                                      bucketed: Boolean = false,
+                                      sortedBy: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId,
-      bucketed = bucketed)
+      bucketed = bucketed, sortedBy = sortedBy)
 }
 
 /** Executor-side fragment writer: rolls to a new parquet file every
@@ -301,7 +309,8 @@ class LanceDataWriter(root: String, schema: StructType,
                       conf: SerializableConfiguration, maxRowsPerFile: Long,
                       partitionId: Int, taskId: Long,
                       clusterIdx: Array[Int] = Array.empty,
-                      bucketed: Boolean = false) extends DataWriter[InternalRow] {
+                      bucketed: Boolean = false,
+                      sortedBy: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
   private val ctx = {
     val attempt = new TaskAttemptID(
@@ -543,7 +552,11 @@ class LanceDataWriter(root: String, schema: StructType,
         sketches = finishedSketches.get(rel),
         // under write.bucket-by the shuffle's HashPartitioning makes the
         // task's partitionId the bucket value of every row it receives
-        bucket = if (bucketed) Some(partitionId) else None)
+        bucket = if (bucketed) Some(partitionId) else None,
+        // the write-enforced sort order every row of this file honors
+        // (rolling files are contiguous slices of the sorted partition);
+        // the scan reports it back via SupportsReportOrdering
+        sortedBy = sortedBy)
     }
     LanceFragmentsCommitMessage(frags)
   }
@@ -595,7 +608,10 @@ object LanceBatchSave {
       if (sortBy.isEmpty) cl else cl.sortWithinPartitions(sortBy.map(col): _*)
     }
     val newFrags = stageFragments(spark, shaped, root,
-      LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file"), clusterBy)
+      LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file"), clusterBy,
+      // the V1 path only sorts within partitions by write.sort-by (range
+      // repartitioning alone does not order rows inside a partition)
+      sortedBy = sortBy)
     ManifestIO.commit(root, conf) { latest =>
       // append keeps the winner's (possibly concurrently-evolved) schema;
       // overwrite installs the new one
@@ -614,7 +630,8 @@ object LanceBatchSave {
     * unreferenced and reclaimed by vacuum. */
   private[lance] def stageFragments(spark: SparkSession, df: DataFrame, root: String,
                                     maxRowsPerFile: Option[String],
-                                    clusterBy: Seq[String] = Nil): Seq[FragmentMeta] = {
+                                    clusterBy: Seq[String] = Nil,
+                                    sortedBy: Seq[String] = Nil): Seq[FragmentMeta] = {
     val schema = df.schema
     val clusterIdx = clusterBy.map(schema.fieldIndex).toArray
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, Map.empty)
@@ -624,7 +641,7 @@ object LanceBatchSave {
       if (rows.isEmpty) Iterator.empty
       else {
         val w = new LanceDataWriter(root, schema, factory, conf, maxRows, pid, pid.toLong,
-          clusterIdx)
+          clusterIdx, sortedBy = sortedBy)
         try {
           rows.foreach(w.write)
           Iterator.single(w.commit().asInstanceOf[LanceFragmentsCommitMessage].fragments)
@@ -674,15 +691,30 @@ object LanceMaintenance {
       frs.size > 1 || frs.exists(_.deletes.isDefined)
     }
     if (groups.isEmpty) return m
+    // a table with a declared write ordering keeps it through compaction:
+    // concatenating sorted inputs is not sorted, so re-sort the merged
+    // partitions (cheap — they are compaction-sized) and stamp the result,
+    // preserving the sort report that lets co-bucketed SMJs skip sorts
+    val orderCols: Seq[String] = {
+      def csv(ks: String*) = LanceOptions.any(m.props, ks: _*).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      (csv("write.cluster-by", "clusterBy") ++
+        csv("write.bucket-by", "bucketBy") ++
+        csv("write.sort-by", "sortBy")).distinct
+        .filter(m.schema.fieldNames.contains)
+    }
     val (small, newFrags) = groups.map { case (b, frs) =>
       // one scan partition per fragment comes back from the connector
       // read — coalesce (no shuffle) down to the consolidated fragment
       // count so the staged write actually merges files
       val parts = math.max(1,
         math.ceil(frs.map(_.liveRows).sum.toDouble / targetRows).toInt)
-      val df = maskedRead(spark, root, m.version, m.schema, frs).coalesce(parts)
+      val merged = maskedRead(spark, root, m.version, m.schema, frs).coalesce(parts)
+      val df = if (orderCols.isEmpty) merged
+               else merged.sortWithinPartitions(
+                 orderCols.map(org.apache.spark.sql.functions.col): _*)
       (frs, LanceBatchSave.stageFragments(spark, df, root,
-        Some(targetRows.toString)).map(_.copy(bucket = b)))
+        Some(targetRows.toString), sortedBy = orderCols).map(_.copy(bucket = b)))
     }.unzip match { case (s, n) => (s.flatten, n.flatten) }
     val smallBy = small.map(f => f.path -> f).toMap
     ManifestIO.commit(root, conf) { latest =>

@@ -53,7 +53,8 @@ case class FragmentMeta(path: String, rows: Long, sizeBytes: Long,
                         physicalNames: Map[String, String] = Map.empty,
                         deletes: Option[DeleteVectorMeta] = None,
                         sketches: Option[String] = None,
-                        bucket: Option[Int] = None) {
+                        bucket: Option[Int] = None,
+                        sortedBy: Seq[String] = Nil) {
   /** Logical rows = physical rows minus positions in the delete vector.
     * Exact: DV counts are distinct sorted positions. */
   def liveRows: Long = rows - deletes.map(_.count).getOrElse(0L)
@@ -337,6 +338,8 @@ object ManifestIO {
                         else statsObj(d.removed)))).getOrElse(JNothing),
         "sketches" -> fr.sketches.map(JString(_)).getOrElse(JNothing),
         "bucket" -> fr.bucket.map(b => JLong(b.toLong)).getOrElse(JNothing),
+        "sortedBy" -> (if (fr.sortedBy.isEmpty) JNothing
+                       else JArray(fr.sortedBy.toList.map(JString))),
         "stats" -> statsObj(fr.stats))
     })
     JsonMethods.compact(JsonMethods.render(JObject(
@@ -392,6 +395,10 @@ object ManifestIO {
         case JNothing | JNull => None
         case v => Some(asLong(v).toInt)
       }
+      val sortedBy = (fr \ "sortedBy") match {
+        case JArray(vs) => vs.map(_.asInstanceOf[JString].s)
+        case _ => Nil
+      }
       FragmentMeta(
         (fr \ "path").asInstanceOf[JString].s,
         asLong(fr \ "rows"),
@@ -401,7 +408,8 @@ object ManifestIO {
         physicalNames,
         deletes,
         sketches,
-        bucket)
+        bucket,
+        sortedBy)
     }
     // legacy single-marker manifests (pre txn-map) read into a 1-entry map
     val txns = (j \ "txns") match {

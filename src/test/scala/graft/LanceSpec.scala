@@ -1408,6 +1408,59 @@ class LanceSpec extends SparkSpec {
       files.queryExecution.executedPlan.toString)
   }
 
+  test("reported persisted sort: co-bucketed SMJ plans with no Sort on either side") {
+    spark.conf.set("spark.sql.catalog.lance_ord", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_ord.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_ord.db")
+    for (t <- Seq("a", "b"))
+      spark.sql(s"CREATE TABLE lance_ord.db.$t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    spark.range(1000).selectExpr("id", "id*2 AS v").createOrReplaceTempView("ord_a")
+    spark.range(500).selectExpr("id", "id*3 AS v").createOrReplaceTempView("ord_b")
+    spark.sql("INSERT INTO lance_ord.db.a SELECT * FROM ord_a")
+    spark.sql("INSERT INTO lance_ord.db.b SELECT * FROM ord_b")
+    // the write stamped its enforced sort on every fragment
+    val m = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+    assert(m.fragments.nonEmpty && m.fragments.forall(_.sortedBy === Seq("id")))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // keep the join an SMJ so the sort-elision is what's under test
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try {
+      val j = spark.sql("SELECT a.id AS id, a.v AS va, b.v AS vb " +
+        "FROM lance_ord.db.a a JOIN lance_ord.db.b b ON a.id = b.id")
+      val rows = j.collect()
+      assert(rows.length === 500)
+      assert(rows.forall(r => r.getLong(1) == 2 * r.getLong(0) &&
+        r.getLong(2) == 3 * r.getLong(0)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free SPJ plan:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Sort "), s"expected sort-free SMJ over reported ordering:\n$plan")
+
+      // ordering-preserving compaction: a second insert breaks the
+      // one-fragment-per-bucket shape (no report, Spark re-sorts), compact
+      // restores it and the sort-free plan comes back
+      spark.sql("INSERT INTO lance_ord.db.a SELECT * FROM ord_a")
+      graft.sources.lance.LanceMaintenance.compact(spark, s"$wh/db/a",
+        smallerThanRows = 100000L, targetRows = 100000L)
+      val mc = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+      assert(mc.fragments.size === 4)
+      assert(mc.fragments.forall(_.sortedBy === Seq("id")))
+      val j2 = spark.sql("SELECT a.id AS id, count(*) AS n " +
+        "FROM lance_ord.db.a a JOIN lance_ord.db.b b ON a.id = b.id GROUP BY a.id")
+      assert(j2.collect().forall(_.getLong(1) === 2L))
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.toLowerCase.contains("exchange hashpartitioning(id"), plan2)
+      assert(!plan2.contains("Sort "), s"compacted layout lost the sort report:\n$plan2")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    }
+  }
+
   test("bucket layout is immutable once fragments carry tags") {
     spark.conf.set("spark.sql.catalog.lance_bl", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()
