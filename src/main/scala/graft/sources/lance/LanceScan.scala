@@ -889,11 +889,128 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
 
   /** Manifest-derived size estimate (post fragment pruning) — feeds
     * Spark's join planning so small lance datasets broadcast. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = fragments.map(_.liveRows).sum
-    private val bytes = fragments.map(_.sizeBytes).sum
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  /** Fragment count above which NDV estimation skips the sidecar merge:
+    * planning-time driver IO must stay bounded however large the table
+    * (reads are SidecarCache-amortized, but the first plan would stall). */
+  private val NdvSidecarCap = 1024
+
+  /** Per-column statistics for Spark's cost-based optimizer, folded
+    * driver-side: min/max/nullCount from the manifest (zero IO), NDV from
+    * the exact string dictionaries or the per-fragment HLL sidecars (tiny
+    * cached reads, [[NdvSidecarCap]]-bounded). With CBO on, reported NDV
+    * drives aggregate output estimates and join-side broadcast/reorder
+    * decisions — at 100 TB the difference between shuffling a "small"
+    * side that is actually 3 distinct keys and broadcasting it. Columns
+    * with rename/hide indirection on any fragment decline (never wrong).
+    * The reference exposes the analogous catalog stats hooks
+    * (LanceCatalog.java:683-701). */
+  private def cboColumnStats(frs: Seq[FragmentMeta], rows: Long):
+      java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    if (frs.isEmpty) return out
+    val conf = Shim.hadoopConf(spark, options)
+    val sidecarsOk = spark.sessionState.conf.cboEnabled &&
+      frs.size <= NdvSidecarCap && frs.forall(_.sketches.isDefined)
+    // physical fragment stats are sound ESTIMATES under delete vectors
+    // (deletion only shrinks the value set; bounds stay valid, nullCount
+    // at most overcounts) — exactness is the aggregate-pushdown path's
+    // concern, not the CBO's
+    def statsOf(name: String): Option[Seq[ColStats]] = {
+      val per = frs.map(_.stats.get(name))
+      if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+    }
+    def internal(v: org.json4s.JValue, dt: DataType): Any = (v, dt) match {
+      case (org.json4s.JLong(x), IntegerType) => x.toInt
+      case (org.json4s.JLong(x), ShortType) => x.toShort
+      case (org.json4s.JLong(x), ByteType) => x.toByte
+      case (org.json4s.JLong(x), LongType) => x
+      case (org.json4s.JLong(x), DateType) => x.toInt
+      case (org.json4s.JLong(x), TimestampType) => x
+      case (org.json4s.JDouble(x), FloatType) => x.toFloat
+      case (org.json4s.JDouble(x), DoubleType) => x
+      case _ => throw new IllegalStateException(s"stat/type mismatch: $v vs $dt")
+    }
+    def rangeType(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType |
+           DateType | TimestampType => true
+      case _ => false
+    }
+    manifest.schema.fields.foreach { f =>
+      val name = f.name
+      val identity = frs.forall(fr =>
+        !fr.hidden.contains(name) && !fr.physicalNames.contains(name))
+      if (required.fieldNames.contains(name) && identity) {
+        val ss = statsOf(name)
+        val nulls: Option[Long] = ss.collect {
+          case s if s.forall(_.nullCount.isDefined) => s.map(_.nullCount.get).sum
+        }
+        val (mn, mx): (Option[Any], Option[Any]) =
+          if (!rangeType(f.dataType)) (None, None)
+          else ss match {
+            case Some(s) if s.nonEmpty &&
+                s.forall(v => v.min.isDefined && v.max.isDefined) =>
+              (Some(internal(s.map(_.min.get).reduce(ManifestIO.jMin), f.dataType)),
+                Some(internal(s.map(_.max.get).reduce(ManifestIO.jMax), f.dataType)))
+            case _ => (None, None)
+          }
+        // exact NDV from complete low-cardinality string dictionaries ...
+        val dictNdv: Option[Long] =
+          if (f.dataType != StringType) None
+          else {
+            val per = frs.map(_.stats.get(name).flatMap(_.distinct))
+            if (per.forall(d => d.isDefined && d.get.nonEmpty))
+              Some(per.flatMap(_.get).toSet.size.toLong)
+            else None
+          }
+        // ... falling back to the ~2.3%-error HLL sidecar merge
+        val ndv: Option[Long] = dictNdv
+          .orElse {
+            if (!sidecarsOk) None
+            else {
+              val per = frs.map { fr =>
+                SidecarCache.get(root, conf, fr.sketches.get)
+                  .get(fr.physicalNames.getOrElse(name, name)).map(_._1)
+              }
+              if (per.exists(_.isEmpty)) None
+              else Some(per.flatten.reduce(_.merge(_)).estimate)
+            }
+          }
+        if (nulls.isDefined || mn.isDefined || ndv.isDefined) {
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new ColumnStatistics {
+              override def nullCount(): java.util.OptionalLong =
+                nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+              override def min(): java.util.Optional[Object] =
+                mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(n => java.util.OptionalLong.of(math.min(n, math.max(rows, 1L))))
+                  .getOrElse(java.util.OptionalLong.empty)
+            })
+        }
+      }
+    }
+    out
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val frs = fragments
+    val rowsNow = frs.map(_.liveRows).sum
+    val bytesNow = frs.map(_.sizeBytes).sum
+    val cstats = cboColumnStats(frs, rowsNow)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytesNow)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rowsNow)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cstats
+    }
   }
   override def toBatch: Batch = this
 

@@ -1461,6 +1461,45 @@ class LanceSpec extends SparkSpec {
     }
   }
 
+  test("reported column stats feed the CBO: NDV flips the join strategy") {
+    val aggRoot = tmp() + "/cbo_agg"
+    val factRoot = tmp() + "/cbo_fact"
+    // 20k rows whose key k has exactly 3 distinct values
+    spark.range(20000).selectExpr("id", "CAST(id % 3 AS LONG) AS k", "id * 2 AS payload")
+      .coalesce(2).write.format("lance").save(aggRoot)
+    spark.range(20000).selectExpr("id AS fid", "CAST(id % 3 AS LONG) AS k")
+      .coalesce(2).write.format("lance").save(factRoot)
+    def planFor(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // isolate the CBO estimate
+      try {
+        val agg = spark.read.format("lance").load(aggRoot)
+          .groupBy("k").agg(count(lit(1)).as("c"))
+        val j = spark.read.format("lance").load(factRoot).join(agg, "k")
+        assert(j.count() === 20000) // correctness unchanged either way
+        if (cbo) {
+          // the scan handed Spark NDV(k) ≈ 3 (HLL sidecar merge)
+          val ks = j.queryExecution.optimizedPlan.stats.attributeStats
+            .find(_._1.name == "k").map(_._2)
+          assert(ks.exists(_.distinctCount.exists(n => n >= BigInt(2) && n <= BigInt(4))),
+            s"attributeStats: ${j.queryExecution.optimizedPlan.stats.attributeStats}")
+        }
+        j.queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    // without CBO the aggregate's size estimate tracks its 20k-row input,
+    // well past the 1KB broadcast threshold → sort-merge join
+    assert(!planFor(cbo = false).contains("BroadcastHashJoin"))
+    // with CBO the reported NDV collapses the aggregate estimate to ~3
+    // rows → Spark flips the same query to a broadcast join
+    assert(planFor(cbo = true).contains("BroadcastHashJoin"))
+  }
+
   test("bucket layout is immutable once fragments carry tags") {
     spark.conf.set("spark.sql.catalog.lance_bl", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()
