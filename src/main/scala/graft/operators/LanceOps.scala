@@ -355,6 +355,30 @@ object LanceOps extends QueryModule {
         max(col("o_totalprice")).as("max_price"))
   }
 
+  /** SQL-callable vector search — CALL system.knn, reference parity with
+    * the Flink table function (table/LanceVectorSearchFunction.java:1-357).
+    * The gate table carries no index sidecar, so the procedure's exact
+    * brute-force path (codegen'd distance + TakeOrderedAndProject) answers
+    * and the DuckDB oracle reproduces it symbol-for-symbol; the indexed
+    * path is spec-covered against IndexBuild.search. */
+  private def knnSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"knn_${UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"src_$tbl"
+    t(s, dir, "embeddings").createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM $view")
+    // the query vector ships as an array literal — Double.toString
+    // round-trips exactly, so the CALL sees bit-identical values
+    val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble)
+    val lits = qv.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+    s.sql(s"CALL graft_lance.system.knn(table => 'db.$tbl', " +
+        s"query => array($lits), k => 10)")
+      .orderBy(col("dist").asc, col("id").asc)
+  }
+
   /** Storage-partitioned join: both sides written with the same
     * write.bucket-by/bucket-count land co-partitioned on disk; the scans
     * report KeyGroupedPartitioning over bucket(N, key) and the equi-join
@@ -513,6 +537,7 @@ object LanceOps extends QueryModule {
     "lance_clustered_write" -> clusteredWrite,
     "lance_runtime_prune" -> runtimePrune,
     "lance_bucket_join" -> bucketJoin,
+    "knn_sql_call" -> knnSqlCall,
     "lance_zorder" -> zorderOp,
     "lance_merge" -> mergeOp,
     "lance_time_travel" -> timeTravel,
@@ -592,6 +617,14 @@ object LanceOps extends QueryModule {
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders WHERE o_custkey < 300""".stripMargin,
+    "knn_sql_call" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT * FROM (
+        |  SELECT e.vec_id AS id,
+        |    round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+        |  FROM embeddings e CROSS JOIN q)
+        |ORDER BY dist ASC, id ASC LIMIT 10""".stripMargin,
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

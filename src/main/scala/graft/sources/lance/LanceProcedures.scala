@@ -37,13 +37,15 @@ object LanceProcedures {
       case "vacuum" => vacuum(catalog)
       case "history" => history(catalog)
       case "zorder" => zorder(catalog)
+      case "knn" => knn(catalog)
       case other => throw new IllegalArgumentException(
-        s"lance: unknown procedure $other (expected compact / vacuum / history / zorder)")
+        s"lance: unknown procedure $other (expected compact / vacuum / history / zorder / knn)")
     }
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history", "zorder").map(Identifier.of(Array(Namespace), _))
+    Array("compact", "vacuum", "history", "zorder", "knn")
+      .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
@@ -124,6 +126,81 @@ object LanceProcedures {
         StructField("version", LongType, nullable = false),
         StructField("n_fragments", IntegerType, nullable = false))),
         Seq(Array[Any](m.version, m.fragments.size)))
+    }
+
+  /** SQL-callable vector search — reference parity with the Flink table
+    * function (table/LanceVectorSearchFunction.java:1-357):
+    *
+    * {{{
+    *   CALL cat.system.knn(table => 'db.t', column => 'embedding',
+    *                       query => array(0.1D, ...), k => 10,
+    *                       metric => 'l2', nprobes => 16,
+    *                       refine_factor => 2, id_column => 'vec_id')
+    * }}}
+    *
+    * A table carrying a persisted index sidecar (`_index/meta.json`)
+    * searches through [[graft.operators.IndexBuild.search]] (probe-pruned
+    * fragment scan, ADC/refine for PQ); a plain table falls back to
+    * brute-force exact KNN (codegen'd distance + TakeOrderedAndProject —
+    * a per-partition k-heap with a k-sized driver merge, never a global
+    * sort). Both return k (id, dist) rows — driver-side result size is k. */
+  private def knn(catalog: LanceCatalog): UnboundProcedure =
+    bound("knn", catalog, Array(
+      param("table", StringType),
+      param("query", ArrayType(DoubleType)),
+      param("column", StringType, Some("'embedding'")),
+      param("k", IntegerType, Some("10")),
+      param("metric", StringType, Some("'l2'")),
+      param("nprobes", IntegerType, Some("20")),
+      param("ef", IntegerType, Some("100")),
+      param("refine_factor", IntegerType, Some("0")),
+      param("id_column", StringType, Some("'vec_id'")))) { (root, in) =>
+      val spark = SparkSession.active
+      val qv = in.getArray(1).toDoubleArray()
+      val column = in.getUTF8String(2).toString
+      val k = in.getInt(3)
+      val metric = in.getUTF8String(4).toString.toLowerCase(java.util.Locale.ROOT)
+      val nprobes = in.getInt(5)
+      val ef = in.getInt(6)
+      val refine = in.getInt(7)
+      val idCol = in.getUTF8String(8).toString
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val hasIndex = ManifestIO.fs(root, conf)
+        .exists(new org.apache.hadoop.fs.Path(root, "_index/meta.json"))
+      import org.apache.spark.sql.functions._
+      val df =
+        if (hasIndex) {
+          val idx = graft.operators.IndexBuild.load(spark, root)
+          require(idx.opts.column == column,
+            s"lance knn: index at $root covers column ${idx.opts.column}, not $column")
+          val opts = Map("vector.k" -> k.toString, "vector.metric" -> metric,
+            "vector.nprobes" -> nprobes.toString, "vector.ef" -> ef.toString) ++
+            (if (refine > 0) Map("vector.refine-factor" -> refine.toString)
+             else Map.empty)
+          graft.operators.IndexBuild.search(spark, idx, qv, opts, idCol = idCol)
+        } else {
+          val (score, asc) = metric match {
+            case "l2" => (graft.functions.vec_l2(col(column), typedLit(qv)), true)
+            case "cosine" => (graft.functions.vec_cosine(col(column), typedLit(qv)), false)
+            case "dot" => (graft.functions.vec_dot(col(column), typedLit(qv)), false)
+            case other => throw new IllegalArgumentException(
+              s"lance knn: unknown metric $other (expected l2 / cosine / dot)")
+          }
+          val scored = spark.read.format("lance").load(root)
+            .select(col(idCol).cast("long").as("id"), round(score, 6).as("dist"))
+          (if (asc) scored.orderBy(col("dist").asc, col("id").asc)
+           else scored.orderBy(col("dist").desc, col("id").asc)).limit(k)
+        }
+      val rows = df.collect().map(r =>
+        Array[Any](r.get(0) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }, r.getDouble(1)))
+      (StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("dist", DoubleType, nullable = false))),
+        rows.toSeq)
     }
 
   private def history(catalog: LanceCatalog): UnboundProcedure =

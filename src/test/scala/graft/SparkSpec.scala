@@ -71,6 +71,7 @@ class EntrySpec extends SparkSpec {
     "lance_clustered_write" -> 3,
     "lance_runtime_prune" -> 1,
     "lance_bucket_join" -> 1,
+    "knn_sql_call" -> 10,
     "lance_zorder" -> 1,
     "lance_merge" -> 1,
     "lance_time_travel" -> 1,

@@ -244,6 +244,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(shifted > 1.3, s"expected shifted drift > 1.3, got $shifted")
   }
 
+  test("CALL system.knn searches through a persisted index, equals the Scala API") {
+    import graft.operators.IndexBuild
+    spark.conf.set("spark.sql.catalog.lance_knn",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-knnproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_knn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_knn.db")
+    val e = Tables.t(spark, sf, "embeddings")
+    // the index IS a lance dataset — building it under the warehouse makes
+    // it a catalog table the procedure can resolve by name
+    val idx = IndexBuild.build(spark, e, s"$wh/db/embidx",
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val qv = graft.operators.VectorIndex.embeddingOf(spark, sf, vecId = 1L)
+    val lits = qv.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+    val viaSql = spark.sql("CALL lance_knn.system.knn(table => 'db.embidx', " +
+        s"query => array($lits), k => 5, nprobes => 16)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaApi = IndexBuild.search(spark, idx, qv,
+      Map("vector.k" -> "5", "vector.nprobes" -> "16"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.head._1 === 1L && viaSql.head._2 === 0.0) // self at distance 0
+  }
+
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
     import org.apache.spark.ml.linalg.Vectors
     val rnd = new scala.util.Random(7) // fixed seed → deterministic
