@@ -183,6 +183,62 @@ object Soak {
         s"(expected ${m0.totalRows - m1.totalRows})")
       require(deleted.toLong == m0.totalRows - m1.totalRows)
     }
+    // ---- LLM-pipeline keys at scale --------------------------------------
+    // dedup_clusters on a synthesized 10M-node near-dup graph: 5M two-node
+    // components + one 100k-node chain. The chain has diameter 100k —
+    // plain min-label propagation would need 100k rounds; the pointer-
+    // doubling shortcut must converge within the 20-round cap.
+    timed("dedup_clusters 10M nodes") {
+      val half = 5000000L
+      val pairDf = spark.range(half)
+        .select((col("id") * 2).as("a_id"), (col("id") * 2 + 1).as("b_id"))
+      val chain = spark.range(100000L)
+        .select((lit(2 * half) + col("id")).as("a_id"),
+          (lit(2 * half) + col("id") + 1).as("b_id"))
+      val (labels, rounds) = operators.Dedup.clusterLabels(spark, pairDf.union(chain))
+      val nComp = labels.select(count_distinct(col("lbl"))).first().getLong(0)
+      println(s"[soak]   components=$nComp (expected ${half + 1}) rounds=$rounds")
+      require(nComp == half + 1, s"component count off: $nComp")
+      require(rounds <= 20, s"did not converge under the cap: $rounds")
+    }
+
+    // text_pack over documents ×mult with the shard count DERIVED from the
+    // cluster (no constant): window state spreads over every core. The
+    // replica carries only (doc_id, n_tokens) — the scale cost under test
+    // is the prefix-sum window + groupBy, not tokenization.
+    val tokCounts = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val docsBig = tokCounts.crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"), col("n_tokens"))
+      .localCheckpoint(true)
+    println(s"[soak] pack inputs = ${docsBig.count()}")
+    timed("text_pack derived shards") {
+      val packed = operators.TextAnalysis.pack(spark, docsBig)
+      val shards = packed.agg(count_distinct(col("shard")),
+        sum("n_docs").cast("long")).first()
+      println(s"[soak]   shards=${shards.getLong(0)} " +
+        s"(defaultParallelism=${spark.sparkContext.defaultParallelism}) " +
+        s"docs=${shards.getLong(1)}")
+    }
+
+    // emb_quantize throughput: pure map-side higher-order functions —
+    // should scale linearly with rows, no shuffle
+    val embBig = emb // the ×mult replica built for the index soak above
+    val nVec = embBig.count()
+    timed(s"emb_quantize $nVec vectors") {
+      val withM = embBig.select(col("vec_id"), col("embedding"),
+        aggregate(col("embedding"), lit(0.0d),
+          (a, x) => greatest(a, abs(x.cast("double")))).as("m"))
+      val q = when(col("m") > 0d,
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("m") * 127.0d).cast("long")))
+        .otherwise(transform(col("embedding"), _ => lit(0L)))
+      val agg = withM.select(q.as("q"))
+        .agg(sum(aggregate(col("q"), lit(0L), (a, x) => a + x)).as("checksum"))
+        .first()
+      println(s"[soak]   checksum=${agg.getLong(0)}")
+    }
+
     spark.stop()
   }
 }

@@ -112,7 +112,18 @@ object Dedup extends QueryModule {
   // localCheckpoint'ed so the loop's lineage stays flat. Canonical doc =
   // min doc_id per component, the industry-standard tie-break.
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir).select("a_id", "b_id")
+    val (labels, _) = clusterLabels(s, dedupMinhashLsh(s, dir).select("a_id", "b_id"))
+    labels
+      .groupBy(col("lbl").as("keep_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))
+      .orderBy("keep_id")
+  }
+
+  /** Connected-component labels over a near-dup pair set (a_id, b_id):
+    * returns ((node, lbl) — lbl = min doc_id of the component) and the
+    * rounds taken to converge. Exposed for the scale soak, which runs it
+    * over synthesized 10M-node edge sets. */
+  def clusterLabels(s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint(true)
@@ -146,10 +157,7 @@ object Dedup extends QueryModule {
     // a silent split would diverge from the transitive closure — refuse
     require(changed == 0,
       s"dedup_clusters: min-label propagation did not converge in $iter rounds")
-    labels
-      .groupBy(col("lbl").as("keep_id"))
-      .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))
-      .orderBy("keep_id")
+    (labels, iter)
   }
 
   // ---- dedup_simhash -----------------------------------------------------

@@ -379,6 +379,25 @@ object LanceOps extends QueryModule {
       .orderBy(col("dist").asc, col("id").asc)
   }
 
+  /** Z-order with a STRING dimension (dictionary keys like country/tenant
+    * are what real users cluster on): the rewrite ranks strings by their
+    * zero-padded 8-byte UTF-8 prefix — monotonic in the byte order the
+    * fragment stats compare in — so equality/range predicates on the
+    * string column prune the clustered layout. */
+  private def zorderString(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("zorder-str")
+    t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    graft.sources.lance.LanceMaintenance.zorder(s, root,
+      Seq("o_orderpriority", "o_orderkey"), targetRows = 2000)
+    read(s, root)
+      .filter(col("o_orderpriority") < "3")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        min(col("o_orderpriority")).as("min_pri"),
+        max(col("o_orderpriority")).as("max_pri"))
+  }
+
   /** Storage-partitioned join: both sides written with the same
     * write.bucket-by/bucket-count land co-partitioned on disk; the scans
     * report KeyGroupedPartitioning over bucket(N, key) and the equi-join
@@ -539,6 +558,7 @@ object LanceOps extends QueryModule {
     "lance_bucket_join" -> bucketJoin,
     "knn_sql_call" -> knnSqlCall,
     "lance_zorder" -> zorderOp,
+    "lance_zorder_string" -> zorderString,
     "lance_merge" -> mergeOp,
     "lance_time_travel" -> timeTravel,
     "lance_types_roundtrip" -> typesRoundtrip,
@@ -617,6 +637,10 @@ object LanceOps extends QueryModule {
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders WHERE o_custkey < 300""".stripMargin,
+    "lance_zorder_string" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri
+        |FROM orders WHERE o_orderpriority < '3'""".stripMargin,
     "knn_sql_call" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 0)

@@ -188,23 +188,35 @@ object TextAnalysis extends QueryModule {
   // never undershoot). One shuffle total; window + groupBy share the
   // (shard) partitioning.
   private val PackBudget = 2048L
+  /** The GATE's pinned shard count (the DuckDB oracle is written against
+    * it). Production callers use [[pack]] with shards <= 0, which derives
+    * the count from the cluster instead of a constant. */
   private val PackShards = 8
 
-  private def textPack(s: SparkSession, dir: String): DataFrame = {
+  /** Sequence-pack `docs` (doc_id, n_tokens) into ~`budget`-token training
+    * shards. `shards <= 0` sizes the shard count to the cluster
+    * (defaultParallelism), so window state distributes over every core at
+    * any scale instead of serializing on a constant. */
+  def pack(s: SparkSession, docs: DataFrame, budget: Long = PackBudget,
+           shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents").select(col("doc_id"),
-      size(toksCol).cast("long").as("n_tokens"),
-      (col("doc_id") % PackShards).as("shard"))
+    val n = if (shards > 0) shards else s.sparkContext.defaultParallelism
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    docs
+    docs.select(col("doc_id"), col("n_tokens"), (col("doc_id") % n).as("shard"))
       .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
-      .withColumn("pack_id", floor(col("start") / lit(PackBudget)).cast("long"))
+      .withColumn("pack_id", floor(col("start") / lit(budget)).cast("long"))
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("sum_tokens"),
         min("doc_id").as("first_doc"))
       .orderBy("shard", "pack_id")
   }
+
+  private def textPack(s: SparkSession, dir: String): DataFrame =
+    pack(s,
+      t(s, dir, "documents").select(col("doc_id"),
+        size(toksCol).cast("long").as("n_tokens")),
+      PackBudget, PackShards)
 
   // ---- text_repetition ---------------------------------------------------
   // Gopher-family repetition signals: the fraction of duplicate word

@@ -781,16 +781,25 @@ object LanceMaintenance {
       import org.apache.spark.sql.types._
       val dt = m.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"lance zorder: unknown column $c")).dataType
-      require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType,
-        s"lance zorder needs numeric/date/timestamp columns, $c is $dt")
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+          dt == TimestampType || dt == StringType,
+        s"lance zorder needs numeric/date/timestamp/string columns, $c is $dt")
     }
     val df = maskedRead(spark, root, m.version, m.schema, m.fragments)
     // every listed column as a double: dates via epoch-days (date→double
-    // is not a castable pair), timestamps/numerics via plain cast
+    // is not a castable pair), strings via their zero-padded 8-byte UTF-8
+    // prefix read as an unsigned integer — monotonic in the same byte
+    // order the fragment min/max stats compare in, so range/equality
+    // predicates on the string dimension prune the clustered layout
+    // (real users cluster on country/tenant-style string keys); all
+    // builtin expressions, still codegen'd. Timestamps/numerics cast.
     def asDouble(c: String): Column = {
       import org.apache.spark.sql.types._
       m.schema.fields.find(_.name == c).get.dataType match {
         case DateType => unix_date(col(c)).cast("double")
+        case StringType =>
+          conv(hex(expr(s"rpad(cast(`$c` as binary), 8, x'00')")), 16, 10)
+            .cast("double")
         case _ => col(c).cast("double")
       }
     }

@@ -10,6 +10,21 @@ class DedupSpec extends SparkSpec {
 
   private def toks = filter(split(col("text"), "\\s+"), x => x =!= "")
 
+  test("pack derives its shard count from the cluster when unpinned") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val derived = graft.operators.TextAnalysis.pack(spark, docs)
+    assert(derived.select(countDistinct(col("shard"))).first().getLong(0)
+      === spark.sparkContext.defaultParallelism.toLong)
+    // a pinned count behaves as before, and no pack undershoots its budget
+    val pinned = graft.operators.TextAnalysis.pack(spark, docs, shards = 8)
+    assert(pinned.select(countDistinct(col("shard"))).first().getLong(0) === 8L)
+    // total docs conserved across shardings
+    val total = docs.count()
+    assert(derived.agg(sum("n_docs")).first().getLong(0) === total)
+    assert(pinned.agg(sum("n_docs")).first().getLong(0) === total)
+  }
+
   test("minhash LSH pairs == brute-force jaccard pairs (sf0.001)") {
     val base = Tables.t(spark, sf, "documents")
       .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))

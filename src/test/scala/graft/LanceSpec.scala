@@ -1228,6 +1228,40 @@ class LanceSpec extends SparkSpec {
     assert(factScanA.metrics("numOutputRows").value === coveringRows)
   }
 
+  test("zorder with a string dimension: equality/range on the string prunes fragments") {
+    val root = tmp()
+    // 64 countries × 1024 ts, written ts-clustered: country predicates see
+    // every fragment until the zorder rewrite folds both dimensions in
+    spark.range(65536)
+      .selectExpr("concat('C', lpad(CAST(id % 64 AS STRING), 2, '0')) AS country",
+        "id DIV 64 AS ts", "id AS payload")
+      .orderBy("ts")
+      .write.format("lance").option("maxRowsPerFile", "1024").save(root)
+    def fragsScanned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val mm = "fragments=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (mm.group(1).toInt, mm.group(2).toInt)
+    }
+    val pre = spark.read.format("lance").load(root)
+    assert(fragsScanned(pre.filter(col("country") === "C07"))._1 === 64)
+    val expect = pre.filter(col("country") < "C08")
+      .agg(sum("payload")).first().getLong(0)
+
+    graft.sources.lance.LanceMaintenance.zorder(spark, root,
+      Seq("country", "ts"), targetRows = 1024)
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.count() === 65536)
+    // a 1/8 slice of the string dimension must prune to ≤1/4 of fragments
+    val (ss, ts) = fragsScanned(ds.filter(col("country") < "C08"))
+    assert(4 * ss <= ts, s"string-slice scanned $ss/$ts")
+    // ... and the time dimension keeps pruning too
+    val (st, tt) = fragsScanned(ds.filter(col("ts") < 128))
+    assert(4 * st <= tt, s"ts-slice scanned $st/$tt")
+    // results unchanged by the rewrite
+    assert(ds.filter(col("country") < "C08").agg(sum("payload"))
+      .first().getLong(0) === expect)
+  }
+
   test("zorder rewrite: range predicates on BOTH dimensions prune fragments") {
     val root = tmp()
     // 256x256 grid written x-clustered: x predicates prune, y predicates

@@ -73,6 +73,7 @@ class EntrySpec extends SparkSpec {
     "lance_bucket_join" -> 1,
     "knn_sql_call" -> 10,
     "lance_zorder" -> 1,
+    "lance_zorder_string" -> 1,
     "lance_merge" -> 1,
     "lance_time_travel" -> 1,
     "lance_types_roundtrip" -> 1,
