@@ -38,13 +38,15 @@ object LanceProcedures {
       case "history" => history(catalog)
       case "zorder" => zorder(catalog)
       case "knn" => knn(catalog)
+      case "stats" => stats(catalog)
       case other => throw new IllegalArgumentException(
-        s"lance: unknown procedure $other (expected compact / vacuum / history / zorder / knn)")
+        s"lance: unknown procedure $other (expected compact / vacuum / history / " +
+          "zorder / knn / stats)")
     }
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history", "zorder", "knn")
+    Array("compact", "vacuum", "history", "zorder", "knn", "stats")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -201,6 +203,79 @@ object LanceProcedures {
         StructField("id", LongType, nullable = false),
         StructField("dist", DoubleType, nullable = false))),
         rows.toSeq)
+    }
+
+  /** Per-column table statistics from metadata alone — the observability
+    * face of the same numbers the scan hands the CBO: one row per column
+    * with folded min/max/null_count (manifest, zero data IO) and NDV
+    * (exact string dictionaries, else the per-fragment HLL sidecar merge).
+    * Columns carrying rename/hide indirection on any fragment report
+    * nulls rather than guesses. O(fragments) sidecar reads, no data IO. */
+  private def stats(catalog: LanceCatalog): UnboundProcedure =
+    bound("stats", catalog, Array(param("table", StringType))) { (root, _) =>
+      val spark = SparkSession.active
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val m = ManifestIO.loadLatest(root, conf).getOrElse(
+        throw new IllegalStateException(s"lance dataset not found: $root"))
+      val frs = m.fragments
+      val rows = frs.map(_.liveRows).sum
+      def jShow(v: org.json4s.JValue): String = v match {
+        case org.json4s.JLong(x) => x.toString
+        case org.json4s.JDouble(x) => x.toString
+        case org.json4s.JString(x) => x
+        case other => other.toString
+      }
+      val out = m.schema.fields.toSeq.map { f =>
+        val name = f.name
+        val identity = frs.forall(fr =>
+          !fr.hidden.contains(name) && !fr.physicalNames.contains(name))
+        val per = frs.map(_.stats.get(name))
+        val ss = if (identity && frs.nonEmpty && per.forall(_.isDefined))
+                 Some(per.map(_.get)) else None
+        val nulls = ss.collect {
+          case s if s.forall(_.nullCount.isDefined) => s.map(_.nullCount.get).sum
+        }
+        val (mn, mx) = ss match {
+          case Some(s) if s.forall(v => v.min.isDefined && v.max.isDefined) =>
+            (Some(jShow(s.map(_.min.get).reduce(ManifestIO.jMin))),
+              Some(jShow(s.map(_.max.get).reduce(ManifestIO.jMax))))
+          case _ => (None, None)
+        }
+        val dictNdv: Option[Long] = ss.flatMap { s =>
+          val dicts = s.map(_.distinct)
+          if (f.dataType == StringType && frs.forall(_.deletes.isEmpty) &&
+              dicts.forall(d => d.isDefined && d.get.nonEmpty))
+            Some(dicts.flatMap(_.get).toSet.size.toLong)
+          else None
+        }
+        val ndv: Option[Long] = dictNdv.orElse {
+          if (!identity || frs.isEmpty || frs.exists(_.sketches.isEmpty)) None
+          else {
+            val hlls = frs.map { fr =>
+              SidecarCache.get(root, conf, fr.sketches.get)
+                .get(fr.physicalNames.getOrElse(name, name)).map(_._1)
+            }
+            if (hlls.exists(_.isEmpty)) None
+            else Some(math.min(hlls.flatten.reduce(_.merge(_)).estimate, math.max(rows, 1L)))
+          }
+        }
+        Array[Any](UTF8String.fromString(name),
+          UTF8String.fromString(f.dataType.simpleString),
+          rows,
+          nulls.map(Long.box).orNull,
+          mn.map(UTF8String.fromString).orNull,
+          mx.map(UTF8String.fromString).orNull,
+          ndv.map(Long.box).orNull)
+      }
+      (StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("data_type", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("null_count", LongType, nullable = true),
+        StructField("min", StringType, nullable = true),
+        StructField("max", StringType, nullable = true),
+        StructField("ndv", LongType, nullable = true))),
+        out)
     }
 
   private def history(catalog: LanceCatalog): UnboundProcedure =

@@ -275,6 +275,32 @@ class LanceSpec extends SparkSpec {
     assert(ManifestIO.listVersions(root, conf).size === 1)
   }
 
+  test("CALL system.stats reports per-column min/max/nulls/NDV from metadata alone") {
+    spark.conf.set("spark.sql.catalog.lance_st",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_st.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_st.db")
+    spark.sql("CREATE TABLE lance_st.db.t AS " +
+      "SELECT id, CAST(id % 5 AS LONG) AS k, " +
+      "  CASE WHEN id % 10 = 0 THEN NULL ELSE concat('g', id % 3) END AS grp " +
+      "FROM range(0, 1000, 1, 2)")
+    val rows = spark.sql("CALL lance_st.system.stats(table => 'db.t')")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("id", "k", "grp"))
+    val id = rows("id")
+    assert(id.getLong(2) === 1000L) // n_rows
+    assert(id.getLong(3) === 0L) // null_count
+    assert((id.getString(4), id.getString(5)) === (("0", "999"))) // min/max
+    assert(id.getLong(6) >= 950 && id.getLong(6) <= 1050) // HLL NDV ~1000
+    val k = rows("k")
+    assert(k.getLong(6) === 5L) // 5 distinct, exact in the linear regime
+    val grp = rows("grp")
+    assert(grp.getLong(3) === 100L) // the id % 10 = 0 nulls
+    assert(grp.getLong(6) === 3L) // exact via the value dictionaries
+    assert((grp.getString(4), grp.getString(5)) === (("g0", "g2")))
+  }
+
   test("partial aggregate pushdown scans only the fragments stats can't answer") {
     spark.conf.set("spark.sql.catalog.lance_pp",
       classOf[graft.sources.lance.LanceCatalog].getName)
