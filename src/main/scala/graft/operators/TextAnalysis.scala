@@ -218,6 +218,48 @@ object TextAnalysis extends QueryModule {
         size(toksCol).cast("long").as("n_tokens")),
       PackBudget, PackShards)
 
+  // ---- text_chunk --------------------------------------------------------
+  // Overlapping token-window chunking — the standard preprocessing step of
+  // an embedding/RAG pipeline (each chunk becomes one embedding): windows
+  // of ChunkTokens tokens advancing by ChunkStride (= ChunkTokens − the
+  // overlap), last chunk truncated. sequence() + posexplode keeps it one
+  // builtin-only map stage — a doc's chunk list never leaves its task —
+  // so chunking scales linearly with input splits at any corpus size.
+  private val ChunkTokens = 64
+  private val ChunkStride = 48 // 16-token overlap
+
+  private def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+    val len = least(lit(ChunkTokens), col("n") - col("start"))
+    d.select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr(s"sequence(0, n - 1, $ChunkStride)")))
+      .toDF("doc_id", "w", "n", "chunk_idx", "start")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        len.cast("long").as("chunk_tokens"),
+        aggregate(slice(col("w"), col("start") + 1, len), lit(0L),
+          (a, x) => a + length(x)).as("chunk_chars"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---- text_source_cap ---------------------------------------------------
+  // Per-source contribution quota: keep at most SourceCap docs per source,
+  // ranked by quality — the per-domain cap every web-scale corpus applies
+  // so no single domain dominates training data. One shuffle on `source`;
+  // ranking uses the ROUNDED score (ties broken by doc_id) so Spark and
+  // the oracle rank identically despite last-bit fp differences.
+  private val SourceCap = 10
+
+  private def textSourceCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir).filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("source"), round(qualityScore, 6).as("q"))
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= SourceCap)
+      .orderBy("source", "rk")
+  }
+
   // ---- text_repetition ---------------------------------------------------
   // Gopher-family repetition signals: the fraction of duplicate word
   // 3-grams (near-1 for looping/spammy text) and the share of the single
@@ -251,6 +293,8 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
+    "text_chunk" -> textChunk,
+    "text_source_cap" -> textSourceCap,
     "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -265,6 +309,28 @@ object TextAnalysis extends QueryModule {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+         |s AS (SELECT doc_id, w, n, unnest(range(0, n, $ChunkStride)) AS start FROM n)
+         |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(least($ChunkTokens, n - start) AS BIGINT) AS chunk_tokens,
+         |  CAST(list_sum(list_transform(
+         |    list_slice(w, start + 1, start + least($ChunkTokens, n - start)),
+         |    x -> length(x))) AS BIGINT) AS chunk_chars
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source, $wSql AS w FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  CAST(len(w) AS DOUBLE) AS nt,
+         |  CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS DOUBLE) AS sc,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr
+         |  FROM d WHERE len(w) >= 1),
+         |q AS (SELECT doc_id, source, round($qualityScoreSql, 6) AS q FROM s),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS BIGINT) AS rk FROM q)
+         |SELECT doc_id, source, q, rk FROM r WHERE rk <= $SourceCap
+         |ORDER BY source, rk""".stripMargin,
     "text_tokens" ->
       s"""WITH d AS (SELECT doc_id, text, $wSql AS w FROM documents)
          |SELECT doc_id, len(w) AS n_ws_tokens,

@@ -48,6 +48,8 @@ class EntrySpec extends SparkSpec {
     "text_fingerprint" -> 500,
     "text_scrub" -> 500,
     "text_pack" -> 16,
+    "text_chunk" -> 806,
+    "text_source_cap" -> 200,
     "text_repetition" -> 500,
     "text_contamination" -> 10,
     "dedup_exact" -> 500,
