@@ -238,7 +238,9 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
         .getOrElse("delta")
       mode match {
         case "cow" => new LanceRowLevelOperation(root, extraOptions, info.command())
-        case "delta" => new LanceDeltaRowLevelOperation(root, extraOptions, info.command())
+        // tableOptions (manifest props included) so the delta writer sees
+        // the declared bucket layout and keeps tagging re-inserted rows
+        case "delta" => new LanceDeltaRowLevelOperation(root, tableOptions, info.command())
         case other => throw new IllegalArgumentException(
           s"lance: unknown row-level mode '$other' (expected 'delta' or 'cow')")
       }

@@ -124,12 +124,24 @@ class LanceDeltaWriteBuilder(spark: SparkSession, root: String,
     val (factory, conf) = Shim.parquetWriterFactory(spark, rowSchema, opts)
     val maxRows = LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file")
       .map(_.toLong).getOrElse(Long.MaxValue)
+    // A bucketed table KEEPS its storage-partitioned-join layout under
+    // row-level DML: re-inserted rows demux executor-side into per-bucket
+    // fragment writers tagged with the same pmod(murmur3(key), N) the
+    // write shuffle would assign. Without this, one UPDATE would strand
+    // an untagged fragment and silently turn off KGP (sound but a silent
+    // loss of the shuffle-free join) until the next compaction.
+    val bucketSpec: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = for {
+      cs <- LanceOptions.any(opts, "write.bucket-by", "bucketBy")
+      nS <- LanceOptions.any(opts, "write.bucket-count", "bucketCount")
+      c = cs.trim
+      if rowSchema.fieldNames.contains(c)
+    } yield (rowSchema.fieldIndex(c), rowSchema(c).dataType, nS.toInt)
 
     new DeltaWrite {
       override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
         override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
           new LanceDeltaWriterFactory(root, rowSchema, factory, conf, maxRows,
-            fileIdx, posIdx)
+            fileIdx, posIdx, bucketSpec)
 
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val msgs = messages.collect { case m: LanceDeltaCommitMessage => m }.toSeq
@@ -202,24 +214,37 @@ class LanceDeltaWriteBuilder(spark: SparkSession, root: String,
 class LanceDeltaWriterFactory(root: String, rowSchema: StructType,
                               factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                               conf: org.apache.spark.util.SerializableConfiguration,
-                              maxRowsPerFile: Long, fileIdx: Int, posIdx: Int)
+                              maxRowsPerFile: Long, fileIdx: Int, posIdx: Int,
+                              bucketSpec: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new LanceDeltaWriter(root, rowSchema, factory, conf, maxRowsPerFile,
-      partitionId, taskId, fileIdx, posIdx)
+      partitionId, taskId, fileIdx, posIdx, bucketSpec)
 }
 
 /** Executor-side delta writer: inserts roll through the ordinary fragment
   * writer; deletes accumulate (file -> positions) and ride the commit
-  * message. `update` is never called (updates are split). */
+  * message. `update` is never called (updates are split).
+  *
+  * On a bucketed table, inserts DEMUX into one fragment writer per bucket
+  * (lazily opened; at most min(buckets, distinct keys seen) open files per
+  * task), each tagged `bucket = pmod(murmur3(key), N)` — the identical
+  * seed-42 fold the write shuffle's HashPartitioning applies — so the
+  * storage-partitioned-join layout survives UPDATE/MERGE. The per-bucket
+  * fragments are compaction-normal small files (merged within buckets
+  * later); null keys hash like the shuffle hashes them (seed stays). */
 class LanceDeltaWriter(root: String, rowSchema: StructType,
                        factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                        conf: org.apache.spark.util.SerializableConfiguration,
                        maxRowsPerFile: Long, partitionId: Int, taskId: Long,
-                       fileIdx: Int, posIdx: Int) extends DeltaWriter[InternalRow] {
+                       fileIdx: Int, posIdx: Int,
+                       bucketSpec: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None)
+    extends DeltaWriter[InternalRow] {
 
-  private val inserts = new LanceDataWriter(root, rowSchema, factory, conf,
+  private lazy val inserts = new LanceDataWriter(root, rowSchema, factory, conf,
     maxRowsPerFile, partitionId, taskId)
+  private val bucketWriters = mutable.HashMap.empty[Int, LanceDataWriter]
+  private var plainUsed = false
   private val dels = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -233,16 +258,29 @@ class LanceDeltaWriter(root: String, rowSchema: StructType,
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
 
-  override def insert(row: InternalRow): Unit = inserts.write(row)
+  override def insert(row: InternalRow): Unit = bucketSpec match {
+    case Some((idx, dt, n)) =>
+      val h = Shim.murmur3Hash(row.get(idx, dt), dt, 42L).toInt
+      val b = ((h % n) + n) % n
+      bucketWriters.getOrElseUpdate(b,
+        new LanceDataWriter(root, rowSchema, factory, conf, maxRowsPerFile,
+          b, taskId, bucketed = true)).write(row)
+    case None =>
+      plainUsed = true
+      inserts.write(row)
+  }
 
   override def commit(): WriterCommitMessage = {
-    val insertFrags = inserts.commit() match {
+    val insertFrags = allWriters.flatMap(_.commit() match {
       case m: LanceFragmentsCommitMessage => m.fragments
-    }
+    })
     LanceDeltaCommitMessage(insertFrags,
       dels.map { case (f, ps) => f -> ps.toArray }.toMap)
   }
 
-  override def abort(): Unit = inserts.abort()
-  override def close(): Unit = inserts.close()
+  private def allWriters: Seq[LanceDataWriter] =
+    (if (plainUsed) Seq(inserts) else Seq.empty) ++ bucketWriters.values.toSeq
+
+  override def abort(): Unit = allWriters.foreach(_.abort())
+  override def close(): Unit = allWriters.foreach(_.close())
 }

@@ -1560,6 +1560,54 @@ class LanceSpec extends SparkSpec {
     assert(planFor(cbo = true).contains("BroadcastHashJoin"))
   }
 
+  test("UPDATE and MERGE keep the bucketed SPJ layout (delta writer demux)") {
+    spark.conf.set("spark.sql.catalog.lance_ub", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_ub.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_ub.db")
+    for (t <- Seq("a", "b"))
+      spark.sql(s"CREATE TABLE lance_ub.db.$t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4')")
+    spark.range(400).selectExpr("id", "id*2 AS v").createOrReplaceTempView("ub_src")
+    spark.sql("INSERT INTO lance_ub.db.a SELECT * FROM ub_src")
+    spark.sql("INSERT INTO lance_ub.db.b SELECT * FROM ub_src")
+    // delta-path UPDATE re-inserts rows; the demux must tag them so the
+    // table stays all-bucketed (KGP keeps reporting)
+    spark.sql("UPDATE lance_ub.db.a SET v = v + 1 WHERE id % 7 = 0")
+    spark.sql("MERGE INTO lance_ub.db.a t USING (SELECT 1000 AS id, 1 AS v) s " +
+      "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *")
+    val m = ManifestIO.loadLatest(s"$wh/db/a", conf).get
+    assert(m.fragments.size > 4) // update/merge appended extra fragments
+    assert(m.fragments.forall(_.bucket.isDefined),
+      m.fragments.map(f => f.path -> f.bucket).mkString(", "))
+    // every row of every fragment (old and demuxed) hashes to its tag
+    val perFile = spark.sql(
+      "SELECT _file, pmod(hash(id), 4) AS b FROM lance_ub.db.a")
+      .groupBy("_file").agg(countDistinct(col("b")).as("nb"), first(col("b")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(perFile.forall(_._2 === 1L), s"mixed-bucket fragment: $perFile")
+    for (fr <- m.fragments) {
+      val actual = perFile.find(_._1.endsWith(fr.path)).get._3
+      assert(fr.bucket.contains(actual), s"${fr.path}: tag=${fr.bucket} actual=$actual")
+    }
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT a.id AS id, a.v AS va FROM lance_ub.db.a a " +
+        "JOIN lance_ub.db.b b ON a.id = b.id")
+      val rows = j.collect()
+      assert(rows.length === 400) // id=1000 has no partner in b
+      assert(rows.filter(_.getLong(0) % 7 == 0)
+        .forall(r => r.getLong(1) == 2 * r.getLong(0) + 1)) // update visible
+      assert(!j.queryExecution.executedPlan.toString
+        .toLowerCase.contains("exchange hashpartitioning(id"),
+        "SPJ lost after UPDATE/MERGE")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucket layout is immutable once fragments carry tags") {
     spark.conf.set("spark.sql.catalog.lance_bl", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()
