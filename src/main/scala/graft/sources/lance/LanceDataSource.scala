@@ -44,6 +44,18 @@ object LanceOptions {
       n == "write.bucket-count" || n == "bucketcount"
   }
 
+  /** The declared bucket layout as (key field index, key type, bucket
+    * count) against `schema` — what a row-level writer needs to demux
+    * re-inserted rows into correctly-tagged per-bucket fragments. */
+  def bucketSpecOf(opts: Map[String, String],
+                   schema: org.apache.spark.sql.types.StructType):
+      Option[(Int, org.apache.spark.sql.types.DataType, Int)] = for {
+    cs <- any(opts, "write.bucket-by", "bucketBy")
+    nS <- any(opts, "write.bucket-count", "bucketCount")
+    c = cs.trim
+    if schema.fieldNames.contains(c)
+  } yield (schema.fieldIndex(c), schema(c).dataType, nS.toInt)
+
   /** Merge per-write/per-read overrides over table properties — EXCEPT the
     * bucket layout: once the table declares write.bucket-by/-count, an
     * override would tag new fragments under a different layout than the
@@ -237,7 +249,7 @@ class LanceTable(val root: String, extraOptions: Map[String, String],
         .orElse(spark.conf.getOption("spark.graft.lance.row-level-mode"))
         .getOrElse("delta")
       mode match {
-        case "cow" => new LanceRowLevelOperation(root, extraOptions, info.command())
+        case "cow" => new LanceRowLevelOperation(root, tableOptions, info.command())
         // tableOptions (manifest props included) so the delta writer sees
         // the declared bucket layout and keeps tagging re-inserted rows
         case "delta" => new LanceDeltaRowLevelOperation(root, tableOptions, info.command())

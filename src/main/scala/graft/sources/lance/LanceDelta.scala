@@ -130,12 +130,7 @@ class LanceDeltaWriteBuilder(spark: SparkSession, root: String,
     // write shuffle would assign. Without this, one UPDATE would strand
     // an untagged fragment and silently turn off KGP (sound but a silent
     // loss of the shuffle-free join) until the next compaction.
-    val bucketSpec: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = for {
-      cs <- LanceOptions.any(opts, "write.bucket-by", "bucketBy")
-      nS <- LanceOptions.any(opts, "write.bucket-count", "bucketCount")
-      c = cs.trim
-      if rowSchema.fieldNames.contains(c)
-    } yield (rowSchema.fieldIndex(c), rowSchema(c).dataType, nS.toInt)
+    val bucketSpec = LanceOptions.bucketSpecOf(opts, rowSchema)
 
     new DeltaWrite {
       override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {

@@ -172,10 +172,14 @@ class LanceCowWriteBuilder(spark: SparkSession, root: String,
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, opts)
     val maxRows = LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file")
       .map(_.toLong).getOrElse(Long.MaxValue)
+    // bucketed tables keep their SPJ layout through COW rewrites too:
+    // the rewritten rows demux into per-bucket tagged fragment writers
+    // (same seed-42 murmur3 fold as the write shuffle)
+    val bucketSpec = LanceOptions.bucketSpecOf(opts, schema)
     new Write {
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
-          new LanceCowDataWriterFactory(root, schema, factory, conf, maxRows)
+          new LanceCowDataWriterFactory(root, schema, factory, conf, maxRows, bucketSpec)
 
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val newFrags = messages.flatMap {
@@ -225,14 +229,31 @@ class LanceCowWriteBuilder(spark: SparkSession, root: String,
 class LanceCowDataWriterFactory(root: String, schema: StructType,
                                 factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                                 conf: org.apache.spark.util.SerializableConfiguration,
-                                maxRowsPerFile: Long) extends DataWriterFactory {
+                                maxRowsPerFile: Long,
+                                bucketSpec: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
-    val inner = new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile,
-      partitionId, taskId)
+    def mk(pid: Int, bucketed: Boolean) = new LanceDataWriter(root, schema,
+      factory, conf, maxRowsPerFile, pid, taskId, bucketed = bucketed)
     new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
       private var checked = false
       private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      private lazy val plain = mk(partitionId, bucketed = false)
+      private var plainUsed = false
+      private val bucketWriters =
+        scala.collection.mutable.HashMap.empty[Int, LanceDataWriter]
+      private def route(r: org.apache.spark.sql.catalyst.InternalRow): LanceDataWriter =
+        bucketSpec match {
+          case Some((idx, dt, n)) =>
+            val h = org.apache.spark.sql.graft.Shim
+              .murmur3Hash(r.get(idx, dt), dt, 42L).toInt
+            bucketWriters.getOrElseUpdate(((h % n) + n) % n,
+              mk(((h % n) + n) % n, bucketed = true))
+          case None => plainUsed = true; plain
+        }
+      private def all: Seq[LanceDataWriter] =
+        (if (plainUsed) Seq(plain) else Seq.empty) ++ bucketWriters.values.toSeq
       override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
         if (!checked) {
           checked = true
@@ -240,12 +261,15 @@ class LanceCowDataWriterFactory(root: String, schema: StructType,
             proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
               schema, 1 to schema.length)
         }
-        if (proj == null) inner.write(row)
-        else { proj.project(row); inner.write(proj) }
+        if (proj == null) route(row).write(row)
+        else { proj.project(row); route(proj).write(proj) }
       }
-      override def commit(): WriterCommitMessage = inner.commit()
-      override def abort(): Unit = inner.abort()
-      override def close(): Unit = inner.close()
+      override def commit(): WriterCommitMessage =
+        LanceFragmentsCommitMessage(all.flatMap(_.commit() match {
+          case m: LanceFragmentsCommitMessage => m.fragments
+        }))
+      override def abort(): Unit = all.foreach(_.abort())
+      override def close(): Unit = all.foreach(_.close())
     }
   }
 }

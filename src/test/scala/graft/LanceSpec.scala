@@ -1606,6 +1606,28 @@ class LanceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+
+    // the copy-on-write path rewrites whole fragments — its replacement
+    // rows must demux the same way
+    spark.sql("CREATE TABLE lance_ub.db.c (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='4'," +
+      "'write.row-level-mode'='cow')")
+    spark.sql("INSERT INTO lance_ub.db.c SELECT * FROM ub_src")
+    spark.sql("UPDATE lance_ub.db.c SET v = v + 1 WHERE id % 7 = 0")
+    val mc = ManifestIO.loadLatest(s"$wh/db/c", conf).get
+    assert(mc.fragments.forall(_.bucket.isDefined),
+      mc.fragments.map(f => f.path -> f.bucket).mkString(", "))
+    val perFileC = spark.sql(
+      "SELECT _file, pmod(hash(id), 4) AS b FROM lance_ub.db.c")
+      .groupBy("_file").agg(countDistinct(col("b")).as("nb"), first(col("b")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(perFileC.forall(_._2 === 1L), s"mixed-bucket COW fragment: $perFileC")
+    for (fr <- mc.fragments) {
+      val actual = perFileC.find(_._1.endsWith(fr.path)).get._3
+      assert(fr.bucket.contains(actual), s"${fr.path}: tag=${fr.bucket} actual=$actual")
+    }
+    assert(spark.sql("SELECT sum(v) FROM lance_ub.db.c").first().getLong(0)
+      === (0L until 400L).map(i => 2 * i + (if (i % 7 == 0) 1 else 0)).sum)
   }
 
   test("bucket layout is immutable once fragments carry tags") {
