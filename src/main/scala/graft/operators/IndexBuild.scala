@@ -161,10 +161,15 @@ object IndexBuild {
 
   /** Search a built/loaded index with reference-named vector.* knobs:
     * graph-or-exact probe selection, flat or ADC scoring, optional
-    * refine-factor exact re-rank. */
+    * refine-factor exact re-rank. `pred` is the reference's optional
+    * search filter (LanceVectorSearch.java:133,170-171 — the filter rides
+    * the scan next to the nearest query): applied to candidate rows
+    * BEFORE ranking, inside the probed-cell scan, so pushdown/pruning
+    * still narrow the read. */
   def search(s: SparkSession, idx: BuiltIndex, queryVec: Array[Double],
              options: Map[String, String], excludeVecId: Long = -1L,
-             idCol: String = "vec_id"): DataFrame = {
+             idCol: String = "vec_id",
+             pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val so = LanceVectorOptions.search(options)
     val probed = idx.graph match {
       case Some(g) => g.probe(queryVec, so.nprobes, so.ef)
@@ -173,7 +178,7 @@ object IndexBuild {
     idx.pq match {
       case None =>
         VectorIndex.probedScan(s, idx.root, options, probed, queryVec,
-          so.metric, so.k, excludeVecId, idCol, idx.opts.column)
+          so.metric, so.k, excludeVecId, idCol, idx.opts.column, pred)
       case Some(p) =>
         val lut = new Array[Double](p.m * p.codes)
         for (mm <- 0 until p.m; c <- 0 until p.codes) {
@@ -184,8 +189,9 @@ object IndexBuild {
           }
           lut(mm * p.codes + c) = acc
         }
-        val base = s.read.format("lance").options(options).load(idx.root)
+        val base0 = s.read.format("lance").options(options).load(idx.root)
           .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
+        val base = pred.map(base0.filter).getOrElse(base0)
           .select(col(idCol), col(idx.opts.column),
             graft.functions.pq_adc(col("codes"), lut, p.m, p.codes).as("adc_dist"))
         so.refineFactor match {

@@ -124,7 +124,8 @@ object VectorIndex extends QueryModule {
                          readOptions: Map[String, String], probed: Array[Int],
                          queryVec: Array[Double], metric: String, k: Int,
                          excludeVecId: Long, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     val score = metric match {
       case "l2" => vec_l2 _
@@ -133,8 +134,9 @@ object VectorIndex extends QueryModule {
     }
     val asc = metric == "l2"
     val qvDf = Seq(Tuple1(queryVec.map(_.toFloat))).toDF("qv")
-    val scored = s.read.format("lance").options(readOptions).load(indexRoot)
+    val base0 = s.read.format("lance").options(readOptions).load(indexRoot)
       .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
+    val scored = pred.map(base0.filter).getOrElse(base0)
       .crossJoin(broadcast(qvDf))
       .select(col(idCol), round(score(col(vecCol), col("qv")), 6).as("dist"))
     val ordered = if (asc) scored.orderBy(col("dist").asc, col(idCol).asc)

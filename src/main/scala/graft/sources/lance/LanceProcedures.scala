@@ -156,7 +156,8 @@ object LanceProcedures {
       param("nprobes", IntegerType, Some("20")),
       param("ef", IntegerType, Some("100")),
       param("refine_factor", IntegerType, Some("0")),
-      param("id_column", StringType, Some("'vec_id'")))) { (root, in) =>
+      param("id_column", StringType, Some("'vec_id'")),
+      param("filter", StringType, Some("''")))) { (root, in) =>
       val spark = SparkSession.active
       val qv = in.getArray(1).toDoubleArray()
       val column = in.getUTF8String(2).toString
@@ -166,6 +167,11 @@ object LanceProcedures {
       val ef = in.getInt(6)
       val refine = in.getInt(7)
       val idCol = in.getUTF8String(8).toString
+      // the reference's optional search filter (SQL WHERE syntax,
+      // LanceVectorSearch.java:130): candidates filter BEFORE ranking
+      val pred: Option[org.apache.spark.sql.Column] =
+        Some(in.getUTF8String(9).toString.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
       val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
       val hasIndex = ManifestIO.fs(root, conf)
         .exists(new org.apache.hadoop.fs.Path(root, "_index/meta.json"))
@@ -179,7 +185,8 @@ object LanceProcedures {
             "vector.nprobes" -> nprobes.toString, "vector.ef" -> ef.toString) ++
             (if (refine > 0) Map("vector.refine-factor" -> refine.toString)
              else Map.empty)
-          graft.operators.IndexBuild.search(spark, idx, qv, opts, idCol = idCol)
+          graft.operators.IndexBuild.search(spark, idx, qv, opts, idCol = idCol,
+            pred = pred)
         } else {
           val (score, asc) = metric match {
             case "l2" => (graft.functions.vec_l2(col(column), typedLit(qv)), true)
@@ -188,7 +195,8 @@ object LanceProcedures {
             case other => throw new IllegalArgumentException(
               s"lance knn: unknown metric $other (expected l2 / cosine / dot)")
           }
-          val scored = spark.read.format("lance").load(root)
+          val base = spark.read.format("lance").load(root)
+          val scored = pred.map(base.filter).getOrElse(base)
             .select(col(idCol).cast("long").as("id"), round(score, 6).as("dist"))
           (if (asc) scored.orderBy(col("dist").asc, col("id").asc)
            else scored.orderBy(col("dist").desc, col("id").asc)).limit(k)

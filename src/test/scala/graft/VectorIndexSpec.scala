@@ -266,6 +266,19 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaSql === viaApi)
     assert(viaSql.head._1 === 1L && viaSql.head._2 === 0.0) // self at distance 0
+    // the reference's optional search filter (LanceVectorSearch.java:133):
+    // candidates restrict BEFORE ranking (full probes -> exact filtered KNN)
+    val filtered = spark.sql("CALL lance_knn.system.knn(table => 'db.embidx', " +
+        s"query => array($lits), k => 5, nprobes => 16, filter => 'label = 3')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val labels3 = e.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(filtered.nonEmpty && filtered.forall(r => labels3.contains(r._1)))
+    val viaApiF = IndexBuild.search(spark, idx, qv,
+      Map("vector.k" -> "5", "vector.nprobes" -> "16"),
+      pred = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(filtered === viaApiF)
   }
 
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
