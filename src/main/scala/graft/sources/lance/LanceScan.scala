@@ -910,9 +910,12 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
-    if (frs.isEmpty) return out
+    // Only the CBO consumes these; with it off, skip even the in-memory
+    // folds — at 100k fragments × wide schemas an O(cols × fragments)
+    // pass per planning is real driver CPU for nothing.
+    if (frs.isEmpty || !spark.sessionState.conf.cboEnabled) return out
     val conf = Shim.hadoopConf(spark, options)
-    val sidecarsOk = spark.sessionState.conf.cboEnabled &&
+    val sidecarsOk =
       frs.size <= NdvSidecarCap && frs.forall(_.sketches.isDefined)
     // physical fragment stats are sound ESTIMATES under delete vectors
     // (deletion only shrinks the value set; bounds stay valid, nullCount
