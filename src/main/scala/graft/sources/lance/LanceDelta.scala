@@ -257,9 +257,19 @@ class LanceDeltaWriter(root: String, rowSchema: StructType,
     case Some((idx, dt, n)) =>
       val h = Shim.murmur3Hash(row.get(idx, dt), dt, 42L).toInt
       val b = ((h % n) + n) % n
-      bucketWriters.getOrElseUpdate(b,
-        new LanceDataWriter(root, rowSchema, factory, conf, maxRowsPerFile,
-          b, taskId, bucketed = true)).write(row)
+      bucketWriters.get(b) match {
+        case Some(w) => w.write(row)
+        case None if bucketWriters.size < LanceDeltaWriter.DemuxMaxOpen =>
+          bucketWriters.getOrElseUpdate(b,
+            new LanceDataWriter(root, rowSchema, factory, conf, maxRowsPerFile,
+              b, taskId, bucketed = true)).write(row)
+        case None =>
+          // open-writer cap hit (each parquet writer buffers MBs): route
+          // the overflow untagged — sound (the scan stops reporting KGP
+          // over a mixed manifest) and compaction re-buckets later
+          plainUsed = true
+          inserts.write(row)
+      }
     case None =>
       plainUsed = true
       inserts.write(row)
@@ -278,4 +288,13 @@ class LanceDeltaWriter(root: String, rowSchema: StructType,
 
   override def abort(): Unit = allWriters.foreach(_.abort())
   override def close(): Unit = allWriters.foreach(_.close())
+}
+
+object LanceDeltaWriter {
+  /** Max concurrently-open per-bucket fragment writers per task. Each
+    * parquet writer buffers row groups in memory, so an unbounded demux
+    * over a high-bucket-count table could hold bucket-count × buffer
+    * bytes per task; beyond the cap, overflow rows write untagged (the
+    * table degrades to the pre-demux behavior until compaction). */
+  val DemuxMaxOpen = 128
 }

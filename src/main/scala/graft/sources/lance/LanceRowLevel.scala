@@ -248,8 +248,13 @@ class LanceCowDataWriterFactory(root: String, schema: StructType,
           case Some((idx, dt, n)) =>
             val h = org.apache.spark.sql.graft.Shim
               .murmur3Hash(r.get(idx, dt), dt, 42L).toInt
-            bucketWriters.getOrElseUpdate(((h % n) + n) % n,
-              mk(((h % n) + n) % n, bucketed = true))
+            val b = ((h % n) + n) % n
+            bucketWriters.get(b) match {
+              case Some(w) => w
+              case None if bucketWriters.size < LanceDeltaWriter.DemuxMaxOpen =>
+                bucketWriters.getOrElseUpdate(b, mk(b, bucketed = true))
+              case None => plainUsed = true; plain // open-writer cap: untagged overflow
+            }
           case None => plainUsed = true; plain
         }
       private def all: Seq[LanceDataWriter] =
