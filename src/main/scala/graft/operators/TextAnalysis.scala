@@ -260,6 +260,32 @@ object TextAnalysis extends QueryModule {
       .orderBy("source", "rk")
   }
 
+  // ---- text_crossdup -----------------------------------------------------
+  // INTER-document repetition (RefinedWeb-family signal, the cross-corpus
+  // sibling of text_repetition's within-doc duplicates): the fraction of a
+  // doc's distinct word-3-grams that also appear in >= CrossdupMinDocs
+  // OTHER documents — near-1 for mirrored/templated content. Shape at
+  // scale: one explode + groupBy on the gram (shuffle bounded by distinct
+  // grams, the gram table is the corpus vocabulary not the corpus) + one
+  // join back; no all-pairs anything.
+  private val CrossdupMinDocs = 6 // the doc itself + 5 others
+
+  private def textCrossdup(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
+        .as("g"))
+    val byGram = grams.groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
+    grams.join(byGram, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= CrossdupMinDocs, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_common").cast("double") / col("n_grams"), 6).as("crossdup_frac"))
+      .orderBy("doc_id")
+  }
+
   // ---- text_repetition ---------------------------------------------------
   // Gopher-family repetition signals: the fraction of duplicate word
   // 3-grams (near-1 for looping/spammy text) and the share of the single
@@ -294,6 +320,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
     "text_chunk" -> textChunk,
+    "text_crossdup" -> textCrossdup,
     "text_source_cap" -> textSourceCap,
     "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
@@ -382,6 +409,17 @@ object TextAnalysis extends QueryModule {
          |  count(*) AS n_matched
          |FROM o WHERE n >= $ContaminationTau
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_crossdup" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, len(w) - 1),
+         |  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+         |  FROM d WHERE len(w) >= 3),
+         |c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  round(CAST(sum(CASE WHEN c.nd >= $CrossdupMinDocs THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS crossdup_frac
+         |FROM g JOIN c ON g.g = c.g GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
          |f AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),

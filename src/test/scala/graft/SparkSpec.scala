@@ -49,6 +49,7 @@ class EntrySpec extends SparkSpec {
     "text_scrub" -> 500,
     "text_pack" -> 16,
     "text_chunk" -> 806,
+    "text_crossdup" -> 500,
     "text_source_cap" -> 200,
     "text_repetition" -> 500,
     "text_contamination" -> 10,
