@@ -66,6 +66,18 @@ class LanceStreamSpec extends SparkSpec {
       val actual = perFile.find(_._1.endsWith(fr.path)).get._3
       assert(fr.bucket.contains(actual), s"${fr.path}: tag=${fr.bucket} actual=$actual")
     }
+    // Spark honors requiredOrdering per micro-batch too (SPARK-34183), so
+    // the streamed fragments carry a TRUTHFUL sortedBy stamp — if this
+    // ever regresses, the sort-elided SMJ over streamed data would be
+    // wrong, so verify the rows really are sorted inside each file
+    assert(m.fragments.forall(_.sortedBy === Seq("id")))
+    val unsorted = spark.read.format("lance").load(s"$wh/db/t")
+      .select(col("_file"), col("id"))
+      .groupBy("_file").agg(expr("collect_list(id)").as("ids"))
+      .collect()
+      .filter { r => val ids = r.getSeq[Long](1); ids != ids.sorted }
+    assert(unsorted.isEmpty,
+      s"streamed fragments not sorted: ${unsorted.map(_.getString(0)).toSeq}")
   }
 
   test("read.max-rows-per-trigger bounds catch-up micro-batches at version granularity") {
