@@ -176,6 +176,102 @@ case class NearestCell(child: Expression, centroids: Array[Double],
     copy(child = newChild)
 }
 
+/** The `p` nearest centroid ids of a vector, ordered by ascending distance
+  * (ties to the lower cell id) — the probe-selection step of a distributed
+  * KNN JOIN, evaluated per QUERY row inside codegen (the single-query
+  * paths pick probes driver-side; a batch of millions of queries cannot).
+  * Insertion sort over the p-slot result arrays: O(cells·dim + cells·p)
+  * per row with p small. Returns min(p, cells) ids; null on dim mismatch. */
+case class NearestCells(child: Expression, centroids: Array[Double],
+                        cells: Int, dim: Int, p: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells needs array<float|double>, got $other")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val isF = elemIsFloat
+    val pp = math.min(p, cells)
+    val ids = new Array[Int](pp)
+    val ds = new Array[Double](pp)
+    var filled = 0
+    var c = 0
+    while (c < cells) {
+      val base = c * dim
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val v = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+        val diff = v - centroids(base + d)
+        s += diff * diff
+        d += 1
+      }
+      if (filled < pp || s < ds(filled - 1)) {
+        var pos = if (filled < pp) filled else pp - 1
+        while (pos > 0 && ds(pos - 1) > s) {
+          ds(pos) = ds(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        ds(pos) = s; ids(pos) = c
+        if (filled < pp) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(ids, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cellCentroids", centroids, "double[]")
+    val pp = math.min(p, cells)
+    nullSafeCodeGen(ctx, ev, a => {
+      def get(i: String): String =
+        if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff"); val pos = ctx.freshName("pos")
+      val ids = ctx.freshName("ids"); val ds = ctx.freshName("ds")
+      val filled = ctx.freshName("filled")
+      s"""if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $ids = new int[$pp];
+         |  double[] $ds = new double[$pp];
+         |  int $filled = 0;
+         |  for (int $c = 0; $c < $cells; $c++) {
+         |    int $base = $c * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      double $diff = ${get(s"$d")} - $cb[$base + $d];
+         |      $s += $diff * $diff;
+         |    }
+         |    if ($filled < $pp || $s < $ds[$filled - 1]) {
+         |      int $pos = ($filled < $pp) ? $filled : $pp - 1;
+         |      while ($pos > 0 && $ds[$pos - 1] > $s) {
+         |        $ds[$pos] = $ds[$pos - 1]; $ids[$pos] = $ids[$pos - 1]; $pos--;
+         |      }
+         |      $ds[$pos] = $s; $ids[$pos] = $c;
+         |      if ($filled < $pp) $filled++;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |    java.util.Arrays.copyOf($ids, $filled));
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance computation over PQ codes: the per-query lookup
   * table `lut` (flattened [m][code]) holds ||q_sub − codebook||² per
   * sub-space; each row's approximate distance is M table lookups + sqrt. */

@@ -41,6 +41,12 @@ package object functions {
   def nearest_cell(v: Column, centroids: Array[Double], cells: Int, dim: Int): Column =
     Column(NearestCell(expression(v), centroids, cells, dim))
 
+  /** The p nearest cell ids, ascending by distance (codegen'd; per-row
+    * probe selection for the batch KNN join). */
+  def nearest_cells(v: Column, centroids: Array[Double], cells: Int, dim: Int,
+                    p: Int): Column =
+    Column(NearestCells(expression(v), centroids, cells, dim, p))
+
   /** Rabin-Karp rolling-hash fingerprint of a string column. */
   def fingerprint(s: Column): Column = Column(RollingFingerprint(expression(s)))
 

@@ -82,7 +82,77 @@ object VectorSearch extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Distributed KNN JOIN — top-k neighbors in `corpus` for EVERY row of
+    * `queries` (the batch form of the reference's lateral vector-search
+    * table function, table/LanceVectorSearchFunction.java:55-66; single-
+    * query CALLs cover the one-vector case). This is the embedding-
+    * retrieval / semantic-dedup workhorse: N queries × M corpus rows must
+    * NOT cross-join at scale, so both sides block by IVF cell — corpus
+    * rows take their nearest cell (codegen'd NearestCell), query rows
+    * explode to their `nprobes` nearest cells (codegen'd NearestCells,
+    * per-row probe selection — driver-side selection can't serve millions
+    * of query rows), the equi-join on the cell bounds candidates, and a
+    * per-query window keeps top-k. nprobes == cells ⇒ every pair is
+    * considered ⇒ EXACT KNN (the oracle configuration); nprobes < cells
+    * is the approximate scale path (recall measured in spec). Ranking
+    * uses the ROUNDED distance with neighbor-id tiebreak so results are
+    * deterministic and oracle-comparable. */
+  def knnJoin(s: SparkSession, queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, cIdCol: String, vecCol: String, k: Int,
+              metric: String = "l2", cells: Int = 0, nprobes: Int = 0,
+              excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (qTagged, cTagged) =
+      if (cells <= 1) {
+        (queries.withColumn("__cell", lit(0)), corpus.withColumn("__cell", lit(0)))
+      } else {
+        import org.apache.spark.ml.clustering.KMeans
+        val withFv = corpus.withColumn("fv", VectorIndex.asVec(col(vecCol)))
+        val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol("cell")
+          .fit(VectorIndex.trainingSample(withFv))
+        val flat = model.clusterCenters.flatMap(_.toArray)
+        val dim = flat.length / cells
+        val p = if (nprobes <= 0) cells else math.min(nprobes, cells)
+        (queries.withColumn("__cell",
+            explode(graft.functions.nearest_cells(col(vecCol), flat, cells, dim, p))),
+          corpus.withColumn("__cell",
+            graft.functions.nearest_cell(col(vecCol), flat, cells, dim)))
+      }
+    val (score, asc) = metric match {
+      case "l2" => ((a: Column, b: Column) => vec_l2(a, b), true)
+      case "cosine" => ((a: Column, b: Column) => vec_cosine(a, b), false)
+      case "dot" => ((a: Column, b: Column) => vec_dot(a, b), false)
+      case other => throw new IllegalArgumentException(
+        s"knnJoin: unknown metric $other (expected l2 / cosine / dot)")
+    }
+    val q = qTagged.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"), col("__cell"))
+    val c = cTagged.select(col(cIdCol).as("n_id"), col(vecCol).as("__cv"), col("__cell"))
+    val joined0 = q.join(c, "__cell")
+    val joined = if (excludeSelf) joined0.filter(col("q_id") =!= col("n_id")) else joined0
+    val distOrder = if (asc) col("dist").asc else col("dist").desc
+    joined
+      .select(col("q_id"), col("n_id"),
+        round(score(col("__cv"), col("__qv")), 6).as("dist"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("q_id").orderBy(distOrder, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
+  /** Gate configuration: 20 query vectors against the whole embeddings
+    * table, 8 cells fully probed ⇒ exact (cell blocking is a pure
+    * optimization at full probes, whatever centroids KMeans picks). */
+  private def knnJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    knnJoin(s, e.filter(col("vec_id") < 20), e,
+      "vec_id", "vec_id", "embedding", k = 5, metric = "l2",
+      cells = 8, nprobes = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_join" -> knnJoinQuery,
     "emb_quantize" -> embQuantize,
     "knn_cosine_f64" -> ((s, dir) => knn64(s, dir)),
     "knn_cosine" -> ((s, dir) =>
@@ -111,6 +181,17 @@ object VectorSearch extends QueryModule {
   private val ev = "CAST(e.embedding AS DOUBLE[])"
 
   val oracleSql: Map[String, String] = Map(
+    "knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |r AS (SELECT q.q_id, c.n_id,
+         |    round(list_distance(c.cv, q.qv), 6) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_distance(c.cv, q.qv), 6) ASC, c.n_id ASC) AS BIGINT) AS rk
+         |  FROM q CROSS JOIN c WHERE c.n_id <> q.q_id)
+         |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id ASC, rk ASC""".stripMargin,
     "emb_quantize" ->
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |m AS (SELECT vec_id, e,

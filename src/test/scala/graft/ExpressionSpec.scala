@@ -98,6 +98,24 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(nearest_cell(typedLit(Seq(1f)), flat, 3, 2)) == null)
   }
 
+  test("nearest_cells top-p ordering, truncation, interpreted == codegen") {
+    // 4 cells on a line: c0=0, c1=10, c2=5, c3=2 (1-D)
+    val flat = Array(0.0, 10.0, 5.0, 2.0)
+    val v = fLit(1f) // distances: c0=1, c1=81, c2=16, c3=1 → order c0, c3, c2, c1
+    def ids(x: Any): Seq[Int] =
+      x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+    assert(ids(NearestCells(v, flat, 4, 1, 3).eval(null)) === Seq(0, 3, 2))
+    assert(viaDf(nearest_cells(typedLit(Seq(1f)), flat, 4, 1, 3))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq === Seq(0, 3, 2))
+    // ties break to the lower cell id (c0 and c3 both at distance 1)
+    assert(ids(NearestCells(v, flat, 4, 1, 2).eval(null)) === Seq(0, 3))
+    // p > cells truncates to cells
+    assert(ids(NearestCells(v, flat, 4, 1, 9).eval(null)) === Seq(0, 3, 2, 1))
+    // dim mismatch → null, both paths
+    assert(NearestCells(fLit(1f, 2f), flat, 4, 1, 2).eval(null) == null)
+    assert(viaDf(nearest_cells(typedLit(Seq(1f, 2f)), flat, 4, 1, 2)) == null)
+  }
+
   test("rolling fingerprint known value ('Hi' -> 2337), interpreted == codegen") {
     // h = ((0*31+72)%p)*31 + 105 = 2337 — mirrored by the DuckDB oracle
     val i = RollingFingerprint(Literal("Hi")).eval(null)

@@ -36,6 +36,7 @@ class EntrySpec extends SparkSpec {
     "q_events_sessions" -> 150,
     "q_events_moving" -> 30,
     "knn_cosine" -> 10,
+    "knn_join" -> 100,
     "emb_quantize" -> 500,
     "knn_cosine_f64" -> 10,
     "knn_l2" -> 10,

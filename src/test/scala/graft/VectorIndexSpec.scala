@@ -281,6 +281,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(filtered === viaApiF)
   }
 
+  test("knn join: partial probes keep high recall vs exact, plan is UDF-free in the row path") {
+    import graft.operators.VectorSearch
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val exact = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
+        k = 10, cells = 16, nprobes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
+        k = 10, cells = 16, nprobes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall at 8/16 probes: $recall") // near-random vecs: worst case
+    // fewer probes → fewer candidate pairs, never more results than exact
+    assert(approx.size <= exact.size)
+    // the per-row path (probe selection, cell assign, distance) is codegen'd
+    val plan = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
+      k = 10, cells = 16, nprobes = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython"), plan)
+    assert(plan.toLowerCase.contains("nearestcells"), plan)
+    assert(plan.toLowerCase.contains("nearestcell"), plan)
+  }
+
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
     import org.apache.spark.ml.linalg.Vectors
     val rnd = new scala.util.Random(7) // fixed seed → deterministic
