@@ -221,6 +221,16 @@ object Soak {
         s"docs=${shards.getLong(1)}")
     }
 
+    // distributed KNN join: ~2k query rows against the ×mult corpus,
+    // cell-blocked (candidates per query ≈ corpus × probes/cells, never
+    // corpus × queries) — the batch retrieval shape
+    timed("knn join ~2k queries x corpus (64 cells, 8 probes)") {
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val out = operators.VectorSearch.knnJoin(spark, qs, emb,
+        "vec_id", "vec_id", "embedding", k = 10, cells = 64, nprobes = 8)
+      println(s"[soak]   result rows = ${out.count()}")
+    }
+
     // emb_quantize throughput: pure map-side higher-order functions —
     // should scale linearly with rows, no shuffle
     val embBig = emb // the ×mult replica built for the index soak above
