@@ -26,7 +26,9 @@ object Bench {
     "text_quality", "text_langid", "pipeline_clean",
     "lance_roundtrip", "lance_agg_pushdown",
     // appended r6
-    "ivf_pq_search", "mm_frame_sample", "q_stream_sessions")
+    "ivf_pq_search", "mm_frame_sample", "q_stream_sessions",
+    // appended r9
+    "knn_join", "text_chunk", "text_crossdup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
