@@ -96,7 +96,13 @@ object VectorSearch extends QueryModule {
     * considered ⇒ EXACT KNN (the oracle configuration); nprobes < cells
     * is the approximate scale path (recall measured in spec). Ranking
     * uses the ROUNDED distance with neighbor-id tiebreak so results are
-    * deterministic and oracle-comparable. */
+    * deterministic and oracle-comparable.
+    *
+    * Sizing at scale: the cell equi-join's parallelism is bounded by
+    * `cells` (only that many join keys) and candidate volume per query is
+    * ~corpus × nprobes / cells — size cells to at least the cluster's
+    * core count (thousands at 100 TB; KMeans training stays bounded by
+    * the sampling cap), and let AQE's skew handling split hot cells. */
   def knnJoin(s: SparkSession, queries: DataFrame, corpus: DataFrame,
               qIdCol: String, cIdCol: String, vecCol: String, k: Int,
               metric: String = "l2", cells: Int = 0, nprobes: Int = 0,
