@@ -147,6 +147,43 @@ object VectorSearch extends QueryModule {
       .orderBy(col("q_id").asc, col("rk").asc)
   }
 
+  /** KNN join against a PERSISTED index: the corpus is the index dataset
+    * itself (cell column already materialized, fragments cell-clustered so
+    * the probed-cell join prunes their scan), probes come from the stored
+    * centroids — no KMeans retrain per call. The repeated-batch-retrieval
+    * path: build the index once, join query batches forever. */
+  def knnJoin(s: SparkSession, queries: DataFrame, idx: IndexBuild.BuiltIndex,
+              qIdCol: String, k: Int, metric: String, nprobes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = idx.centroids.length
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / cells
+    val p = if (nprobes <= 0) cells else math.min(nprobes, cells)
+    val vecCol = idx.opts.column
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
+      explode(graft.functions.nearest_cells(col(vecCol), flat, cells, dim, p))
+        .as("__cell"))
+    val c = s.read.format("lance").load(idx.root)
+      .select(col("vec_id").as("n_id"), col(vecCol).as("__cv"),
+        col("cell").as("__cell"))
+    val (score, asc) = metric match {
+      case "l2" => ((a: Column, b: Column) => vec_l2(a, b), true)
+      case "cosine" => ((a: Column, b: Column) => vec_cosine(a, b), false)
+      case "dot" => ((a: Column, b: Column) => vec_dot(a, b), false)
+      case other => throw new IllegalArgumentException(
+        s"knnJoin: unknown metric $other (expected l2 / cosine / dot)")
+    }
+    val distOrder = if (asc) col("dist").asc else col("dist").desc
+    q.join(c, "__cell")
+      .select(col("q_id"), col("n_id"),
+        round(score(col("__cv"), col("__qv")), 6).as("dist"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("q_id").orderBy(distOrder, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
   /** Gate configuration: 20 query vectors against the whole embeddings
     * table, 8 cells fully probed ⇒ exact (cell blocking is a pure
     * optimization at full probes, whatever centroids KMeans picks). */

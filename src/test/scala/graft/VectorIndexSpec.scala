@@ -303,6 +303,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("nearestcell"), plan)
   }
 
+  test("knn join against a persisted index equals the ad-hoc join at full probes") {
+    import graft.operators.{IndexBuild, VectorSearch}
+    val base = java.nio.file.Files.createTempDirectory("graft-kjidx-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val idx = IndexBuild.build(spark, e, base,
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val q = e.filter(col("vec_id") < 30)
+    val viaIdx = VectorSearch.knnJoin(spark, q, idx, "vec_id",
+        k = 5, metric = "l2", nprobes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exact brute top-k (self included — index join doesn't exclude)
+    val brute = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
+        k = 5, metric = "l2", cells = 0, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIdx === brute)
+    // and the probed-cell scan prunes index fragments at partial probes
+    val plan = VectorSearch.knnJoin(spark, q.limit(1), idx, "vec_id",
+      k = 5, metric = "l2", nprobes = 2).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("nearestcells"), plan)
+  }
+
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
     import org.apache.spark.ml.linalg.Vectors
     val rnd = new scala.util.Random(7) // fixed seed → deterministic
