@@ -809,13 +809,20 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
       // When this scan reports KeyGroupedPartitioning, the distinct
       // partition-key set was fixed at planning; runtime pruning that
       // empties a whole bucket would shrink it afterwards — a combination
-      // BatchScanExec only tolerates under specific v2-bucketing configs.
-      // Keep the pruning only when every bucket stays populated (the common
-      // win: dropping fragments WITHIN buckets); otherwise keep the
-      // planned fragment list — always sound, the join still evaluates.
+      // BatchScanExec only tolerates when the SPJ was planned with pushed
+      // partition values (spark.sql.sources.v2.bucketing.pushPartValues:
+      // grouping then follows the common value list and a pruned-empty
+      // bucket becomes an empty group, exactly like a missing bucket at
+      // planning — spec-verified). Without that conf, keep the pruning
+      // only when every bucket stays populated (the common win: dropping
+      // fragments WITHIN buckets); else keep the planned list — always
+      // sound, the join still evaluates.
+      val shrinkOk = spark.conf
+        .getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        .exists(_.toBoolean)
       fragments = bucketSpec match {
         case Some(_)
-            if pruned.flatMap(_.bucket).distinct.size !=
+            if !shrinkOk && pruned.flatMap(_.bucket).distinct.size !=
               fragments.flatMap(_.bucket).distinct.size => fragments
         case _ => pruned
       }

@@ -1630,6 +1630,38 @@ class LanceSpec extends SparkSpec {
       === (0L until 400L).map(i => 2 * i + (if (i % 7 == 0) 1 else 0)).sum)
   }
 
+  test("runtime pruning may empty whole buckets when SPJ pushes partition values") {
+    spark.conf.set("spark.sql.catalog.lance_rfp", classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_rfp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_rfp.db")
+    for (tn <- Seq("fact", "dim"))
+      spark.sql(s"CREATE TABLE lance_rfp.db.$tn (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='8')")
+    spark.range(4000).selectExpr("id", "id*2 AS v").createOrReplaceTempView("rfp_f")
+    // dim carries only TWO ids — their buckets are a strict subset of 8,
+    // so a runtime IN-set filter can empty most fact buckets
+    spark.range(2).selectExpr("id * 1000 AS id", "id AS v").createOrReplaceTempView("rfp_d")
+    spark.sql("INSERT INTO lance_rfp.db.fact SELECT * FROM rfp_f")
+    spark.sql("INSERT INTO lance_rfp.db.dim SELECT * FROM rfp_d")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT f.id AS id, f.v AS fv FROM lance_rfp.db.fact f " +
+        "JOIN lance_rfp.db.dim d ON f.id = d.id WHERE d.v >= 0")
+      val rows = j.collect() // would throw on a partition-value mismatch
+      assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1000L))
+      assert(rows.forall(r => r.getLong(1) == 2 * r.getLong(0)))
+      assert(!j.queryExecution.executedPlan.toString
+        .toLowerCase.contains("exchange hashpartitioning(id"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucket layout is immutable once fragments carry tags") {
     spark.conf.set("spark.sql.catalog.lance_bl", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()
