@@ -948,6 +948,62 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
            DateType | TimestampType => true
       case _ => false
     }
+    def statDouble(v: org.json4s.JValue): Double = v match {
+      case org.json4s.JLong(x) => x.toDouble
+      case org.json4s.JDouble(x) => x
+      case other => throw new IllegalStateException(s"non-numeric stat: $other")
+    }
+    // Equi-height histogram synthesized from per-fragment [min, max, rows]
+    // under a within-fragment-uniform assumption. On clustered/z-ordered
+    // layouts fragments carry tight disjoint ranges, so the bins encode
+    // the REAL distribution — min/max alone makes the CBO assume global
+    // uniformity, which mis-estimates skewed range predicates by the
+    // skew factor. O(fragments log fragments) driver CPU, zero IO.
+    def histogramOf(name: String, totalRows: Long, ndvOpt: Option[Long]):
+        Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+      import org.apache.spark.sql.connector.read.colstats.{Histogram, HistogramBin}
+      val fr = frs.filter(f => f.liveRows > 0 && f.stats.get(name).exists(s =>
+        s.min.isDefined && s.max.isDefined))
+      if (fr.size < 2 || fr.size != frs.count(_.liveRows > 0)) return None
+      val parts = fr.map { f =>
+        val s = f.stats(name)
+        (statDouble(s.min.get), statDouble(s.max.get), f.liveRows.toDouble)
+      }.sortBy(p => (p._1, p._2))
+      val total = parts.map(_._3).sum
+      val nbins = math.min(32, parts.size)
+      val binHeight = total / nbins
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+      val binNdv = ndvOpt.map(n => math.max(1L, n / nbins))
+        .getOrElse(math.max(1L, binHeight.toLong))
+      var binLo = parts.head._1
+      var acc = 0.0
+      parts.foreach { case (lo, hi, rows0) =>
+        var flo = math.max(lo, binLo)
+        var frows = rows0
+        while (acc + frows >= binHeight && cuts.size < nbins - 1) {
+          val need = binHeight - acc
+          val cut =
+            if (frows <= 0 || hi <= flo) hi
+            else flo + (hi - flo) * (need / frows)
+          cuts += ((binLo, math.max(cut, binLo), binNdv))
+          binLo = math.max(cut, binLo)
+          frows -= need
+          flo = math.max(cut, flo)
+          acc = 0.0
+        }
+        acc += math.max(frows, 0.0)
+      }
+      cuts += ((binLo, math.max(parts.map(_._2).max, binLo), binNdv))
+      val binArr = cuts.map { case (l, h, nd) => new HistogramBin {
+        override def lo(): Double = l
+        override def hi(): Double = h
+        override def ndv(): Long = nd
+      }: HistogramBin }.toArray
+      Some(new Histogram {
+        override def height(): Double = binHeight
+        override def bins(): Array[HistogramBin] = binArr
+      })
+    }
     manifest.schema.fields.foreach { f =>
       val name = f.name
       val identity = frs.forall(fr =>
@@ -989,6 +1045,7 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
             }
           }
         if (nulls.isDefined || mn.isDefined || ndv.isDefined) {
+          val hist = if (mn.isEmpty) None else histogramOf(name, rows, ndv)
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new ColumnStatistics {
               override def nullCount(): java.util.OptionalLong =
@@ -1002,6 +1059,10 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
               override def distinctCount(): java.util.OptionalLong =
                 ndv.map(n => java.util.OptionalLong.of(math.min(n, math.max(rows, 1L))))
                   .getOrElse(java.util.OptionalLong.empty)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.map(java.util.Optional.of(_))
+                  .getOrElse(java.util.Optional.empty())
             })
         }
       }

@@ -1539,11 +1539,14 @@ class LanceSpec extends SparkSpec {
         val j = spark.read.format("lance").load(factRoot).join(agg, "k")
         assert(j.count() === 20000) // correctness unchanged either way
         if (cbo) {
-          // the scan handed Spark NDV(k) ≈ 3 (HLL sidecar merge)
-          val ks = j.queryExecution.optimizedPlan.stats.attributeStats
+          // the scan handed Spark NDV(k) ≈ 3 (HLL sidecar merge) — read it
+          // off the RELATION (join-derived column stats are re-estimated)
+          val ks = spark.read.format("lance").load(aggRoot)
+            .queryExecution.optimizedPlan.stats.attributeStats
             .find(_._1.name == "k").map(_._2)
           assert(ks.exists(_.distinctCount.exists(n => n >= BigInt(2) && n <= BigInt(4))),
-            s"attributeStats: ${j.queryExecution.optimizedPlan.stats.attributeStats}")
+            s"attributeStats: ${spark.read.format("lance").load(aggRoot)
+              .queryExecution.optimizedPlan.stats.attributeStats}")
         }
         j.queryExecution.executedPlan.toString
       } finally {
@@ -1659,6 +1662,34 @@ class LanceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("fragment-range histograms fix skewed selectivity estimates under CBO") {
+    val root = tmp() + "/hist"
+    // 90% of the mass in [0, 1000), 10% spread over [1000, 10000) — a
+    // uniform min/max model estimates id >= 1000 at ~90%; the clustered
+    // fragments know better
+    spark.range(9000).selectExpr("CAST(id % 1000 AS LONG) AS id", "id AS payload")
+      .union(spark.range(1000).selectExpr("1000 + id * 9 AS id", "id AS payload"))
+      .repartitionByRange(10, col("id")).sortWithinPartitions("id")
+      .write.format("lance").save(root)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      val q = spark.read.format("lance").load(root).filter(col("id") >= 1000)
+      val est = q.queryExecution.optimizedPlan.stats.rowCount
+      assert(q.count() === 1000) // truth
+      assert(est.isDefined && est.get <= BigInt(3000),
+        s"histogram should cap the skewed estimate near 1000, got $est")
+      // the histogram really is attached to the column stats
+      val hist = spark.read.format("lance").load(root)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "id").flatMap(_._2.histogram)
+      assert(hist.isDefined)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.statistics.histogram.enabled")
     }
   }
 
