@@ -157,7 +157,8 @@ object LanceProcedures {
       param("ef", IntegerType, Some("100")),
       param("refine_factor", IntegerType, Some("0")),
       param("id_column", StringType, Some("'vec_id'")),
-      param("filter", StringType, Some("''")))) { (root, in) =>
+      param("filter", StringType, Some("''")),
+      param("columns", StringType, Some("''")))) { (root, in) =>
       val spark = SparkSession.active
       val qv = in.getArray(1).toDoubleArray()
       val column = in.getUTF8String(2).toString
@@ -207,10 +208,40 @@ object LanceProcedures {
           case i: java.lang.Integer => i.longValue()
           case other => other.toString.toLong
         }, r.getDouble(1)))
-      (StructType(Seq(
-        StructField("id", LongType, nullable = false),
-        StructField("dist", DoubleType, nullable = false))),
-        rows.toSeq)
+      // the reference's table function returns the matched ROW, not just
+      // (id, distance) (LanceVectorSearchFunction.java:68-70 ROW<id,
+      // content, embedding, _distance>) — `columns` lists table columns
+      // to carry along, fetched by a k-sized IN lookup over the table
+      // (bloom/dictionary pruning applies), merged in rank order
+      val extra = in.getUTF8String(10).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      if (extra.isEmpty) {
+        (StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("dist", DoubleType, nullable = false))),
+          rows.toSeq)
+      } else {
+        val ids = rows.map(_(0).asInstanceOf[Long]).toSeq
+        val lookupDf = spark.read.format("lance").load(root)
+          .filter(col(idCol).cast("long").isin(ids: _*))
+          .select(col(idCol).cast("long").as("__id") +: extra.map(col): _*)
+        val extraSchema = lookupDf.schema.fields.drop(1)
+        val conv = extraSchema.map(f =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(f.dataType))
+        val byId = lookupDf.collect().map(r =>
+          r.getLong(0) -> extraSchema.indices.map(i => conv(i)(r.get(i + 1))).toArray
+        ).toMap
+        val merged = rows.map { r =>
+          val id = r(0).asInstanceOf[Long]
+          r ++ byId.getOrElse(id, Array.fill[Any](extraSchema.length)(null))
+        }
+        (StructType(
+          StructField("id", LongType, nullable = false) +:
+          StructField("dist", DoubleType, nullable = false) +:
+          extraSchema.map(f => f.copy(nullable = true)).toSeq),
+          merged.toSeq)
+      }
     }
 
   /** Per-column table statistics from metadata alone — the observability

@@ -279,6 +279,17 @@ class VectorIndexSpec extends SparkSpec {
       pred = Some(col("label") === 3))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(filtered === viaApiF)
+    // columns => carries matched-row columns along (the reference returns
+    // the full row): label values match the table, vectors come back
+    val withCols = spark.sql("CALL lance_knn.system.knn(table => 'db.embidx', " +
+        s"query => array($lits), k => 5, nprobes => 16, " +
+        "columns => 'label,embedding')").collect()
+    assert(withCols.length === 5)
+    assert(withCols.map(_.getLong(0)).toSeq === viaApi.map(_._1))
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(withCols.forall(r => r.getInt(2) === labelOf(r.getLong(0))))
+    assert(withCols.forall(r => r.getSeq[Float](3).nonEmpty))
   }
 
   test("knn join: partial probes keep high recall vs exact, plan is UDF-free in the row path") {
