@@ -95,12 +95,37 @@ object Analytics extends QueryModule {
     daily.withColumn("ma7", round(avg(col("n")).over(w), 6)).orderBy("day")
   }
 
+  /** Ordered conversion funnel (view → click → purchase, strictly later
+    * stages only): the product-analytics staple. Each stage is a
+    * conditional-min aggregate joined to the previous stage's users —
+    * every shuffle keys on user_id, so the three stages REUSE one
+    * partitioning, and stage outputs shrink monotonically (broadcastable
+    * dims against the big event scan at 100 TB). */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.select(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.select(count(lit(1)).as("n_click_conv")))
+      .crossJoin(p.select(count(lit(1)).as("n_purchase_conv")))
+      .select(col("n_view_users"), col("n_click_conv"), col("n_purchase_conv"),
+        round(col("n_purchase_conv").cast("double") / col("n_view_users"), 6)
+          .as("conv_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
     "q3_top_orders" -> q3,
     "q5_region_rev" -> q5,
     "q_window_topsupp" -> qWindow,
     "q_events_sessions" -> qEvents,
+    "q_events_funnel" -> qEventsFunnel,
     "q_events_moving" -> qEventsMoving)
 
   private val revenue = sqlExactSum("l_extendedprice * (1 - l_discount)", 10000L)
@@ -151,6 +176,24 @@ object Analytics extends QueryModule {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |  count(*) AS n, ${sqlExactSum("value", 100L)} AS sum_value
          |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q_events_funnel" ->
+      // DuckDB reads the raw NANOS timestamps; truncate to micros so
+      // strict-inequality stage ordering matches Spark's micros exactly
+      """WITH e AS (SELECT user_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view_users,
+        |  (SELECT count(*) FROM c) AS n_click_conv,
+        |  (SELECT count(*) FROM p) AS n_purchase_conv,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / (SELECT count(*) FROM v), 6) AS conv_rate""".stripMargin,
     "q_events_moving" ->
       """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1)

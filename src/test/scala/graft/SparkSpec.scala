@@ -34,6 +34,7 @@ class EntrySpec extends SparkSpec {
     "q5_region_rev" -> 1,
     "q_window_topsupp" -> 10,
     "q_events_sessions" -> 150,
+    "q_events_funnel" -> 1,
     "q_events_moving" -> 30,
     "knn_cosine" -> 10,
     "knn_join" -> 100,
