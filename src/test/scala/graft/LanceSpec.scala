@@ -1695,6 +1695,34 @@ class LanceSpec extends SparkSpec {
     }
   }
 
+  test("option-merge helpers: bucket overrides strip, bucket spec resolves aliases") {
+    import graft.sources.lance.LanceOptions
+    import org.apache.spark.sql.types._
+    val props = Map("write.bucket-by" -> "id", "write.bucket-count" -> "8",
+      "write.sort-by" -> "ts")
+    // declared layout wins over every alias spelling of an override
+    val merged = LanceOptions.mergeWriteOptions(props,
+      Map("write.bucket-count" -> "16", "bucketBy" -> "v",
+        "BUCKETCOUNT" -> "32", "maxRowsPerFile" -> "100"))
+    assert(LanceOptions.any(merged, "write.bucket-count", "bucketCount") === Some("8"))
+    assert(LanceOptions.any(merged, "write.bucket-by", "bucketBy") === Some("id"))
+    assert(merged("maxRowsPerFile") === "100") // non-layout overrides pass
+    // no declared layout → overrides flow through
+    val free = LanceOptions.mergeWriteOptions(Map.empty,
+      Map("write.bucket-by" -> "k", "write.bucket-count" -> "4"))
+    assert(LanceOptions.any(free, "write.bucket-by", "bucketBy") === Some("k"))
+    // bucketSpecOf: field index + type + count; unknown column declines
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("id", IntegerType)))
+    assert(LanceOptions.bucketSpecOf(props, schema) === Some((1, IntegerType, 8)))
+    assert(LanceOptions.bucketSpecOf(
+      Map("bucketBy" -> "id", "bucketCount" -> "4"), schema) ===
+      Some((1, IntegerType, 4)))
+    assert(LanceOptions.bucketSpecOf(
+      Map("write.bucket-by" -> "gone", "write.bucket-count" -> "4"), schema).isEmpty)
+    assert(LanceOptions.bucketSpecOf(Map("write.bucket-by" -> "id"), schema).isEmpty)
+  }
+
   test("bucket layout is immutable once fragments carry tags") {
     spark.conf.set("spark.sql.catalog.lance_bl", classOf[graft.sources.lance.LanceCatalog].getName)
     val wh = tmp()
