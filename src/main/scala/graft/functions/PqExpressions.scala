@@ -35,9 +35,20 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // A null ELEMENT nulls the result (as VectorDistance does) — silently
+  // reading it as 0.0 would encode a wrong-but-plausible code. Checked only
+  // when the array type admits nulls, so parquet's containsNull=false
+  // embeddings skip the per-element branch.
+  private def mayHaveNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != m * subDim) return null
+    if (mayHaveNullElems) {
+      var k = 0
+      while (k < m * subDim) { if (a.isNullAt(k)) return null; k += 1 }
+    }
     val isF = elemIsFloat
     val out = new Array[Int](m)
     var mm = 0
@@ -74,7 +85,7 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       val s = ctx.freshName("s"); val base = ctx.freshName("base")
       val diff = ctx.freshName("diff")
-      s"""if ($a.numElements() != ${m * subDim}) {
+      s"""if ($a.numElements() != ${m * subDim}${PqGen.nullElemCheck(a, m * subDim, mayHaveNullElems)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $out = new int[$m];
@@ -100,6 +111,28 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
     copy(child = newChild)
 }
 
+/** Runtime + codegen helpers shared by the PQ expressions. */
+object PqGen {
+  /** True when any of the first `n` elements is null — called from
+    * generated code (one call guarding the main loop, only emitted when
+    * the array type admits null elements). */
+  def hasNullElem(a: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** A `|| hasNullElem(...)` clause for the dim-check condition; empty when
+    * the array type cannot hold null elements (the parquet-embedding fast
+    * path pays nothing). */
+  private[functions] def nullElemCheck(a: String, n: Int, enabled: Boolean): String =
+    if (!enabled) ""
+    else s" || graft.functions.PqGen$$.MODULE$$.hasNullElem($a, $n)"
+}
+
 /** Nearest-centroid cell assignment: argmin_c ||v − centroids[c]||², first
   * index winning ties — the incremental-append path of index maintenance
   * (reference: LanceIndexBuilder.java:116-152 append-then-reindex). The
@@ -122,9 +155,15 @@ case class NearestCell(child: Expression, centroids: Array[Double],
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // null element → null result (not a silent 0.0); checked only when the
+  // array type admits nulls, as in VectorDistance
+  private def mayHaveNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != dim) return null
+    if (mayHaveNullElems && PqGen.hasNullElem(a, dim)) return null
     val isF = elemIsFloat
     var best = 0
     var bestD = Double.MaxValue
@@ -154,7 +193,7 @@ case class NearestCell(child: Expression, centroids: Array[Double],
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       val s = ctx.freshName("s"); val base = ctx.freshName("base")
       val diff = ctx.freshName("diff")
-      s"""if ($a.numElements() != $dim) {
+      s"""if ($a.numElements() != $dim${PqGen.nullElemCheck(a, dim, mayHaveNullElems)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -174,6 +213,94 @@ case class NearestCell(child: Expression, centroids: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** ADC distance between a PQ code array (left) and a RAW query vector
+  * (right) — the batch-retrieval form of [[PqAdc]]: a single-query search
+  * precomputes one driver-side LUT, but a KNN JOIN scores millions of
+  * (query, candidate) pairs with distinct query vectors, so the lookup
+  * table cannot be a plan constant. Instead the codebooks ship once via
+  * `addReferenceObj` and each pair reconstructs its distance directly:
+  * sqrt(Σ_m ||q_sub(m) − codebook[m][code_m]||²) — O(dim) per pair, same
+  * arithmetic cost as an exact distance, but the CORPUS side of the join
+  * carries only the M-int code array instead of the full float vector,
+  * which is the ~(4·dim)/(4·M)× shuffle-byte cut that keeps a 100 TB
+  * cell join from spilling. Null on code/dim arity mismatch or null
+  * elements. */
+case class PqAdcPair(left: Expression, right: Expression,
+                     codebooks: Array[Double], m: Int, codes: Int, subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_pair needs (array<int> codes, array<float|double> query), got $l / $r")
+  }
+
+  private def queryIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def codesMayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private def queryMayHaveNulls: Boolean =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val cd = l.asInstanceOf[ArrayData]
+    val q = r.asInstanceOf[ArrayData]
+    if (cd.numElements() != m || q.numElements() != m * subDim) return null
+    if (codesMayHaveNulls && PqGen.hasNullElem(cd, m)) return null
+    if (queryMayHaveNulls && PqGen.hasNullElem(q, m * subDim)) return null
+    val isF = queryIsFloat
+    var sum = 0.0
+    var mm = 0
+    while (mm < m) {
+      val base = (mm * codes + cd.getInt(mm)) * subDim
+      var d = 0
+      while (d < subDim) {
+        val qi = mm * subDim + d
+        val v = if (isF) q.getFloat(qi).toDouble else q.getDouble(qi)
+        val diff = v - codebooks(base + d)
+        sum += diff * diff
+        d += 1
+      }
+      mm += 1
+    }
+    math.sqrt(sum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, (cd, q) => {
+      def get(i: String): String =
+        if (queryIsFloat) s"(double) $q.getFloat($i)" else s"$q.getDouble($i)"
+      val sum = ctx.freshName("sum"); val mm = ctx.freshName("m")
+      val d = ctx.freshName("d"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""if ($cd.numElements() != $m || $q.numElements() != ${m * subDim}${
+             PqGen.nullElemCheck(cd, m, codesMayHaveNulls)}${
+             PqGen.nullElemCheck(q, m * subDim, queryMayHaveNulls)}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $mm = 0; $mm < $m; $mm++) {
+         |    int $base = ($mm * $codes + $cd.getInt($mm)) * $subDim;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      double $diff = ${get(s"$mm * $subDim + $d")} - $cb[$base + $d];
+         |      $sum += $diff * $diff;
+         |    }
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($sum);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** The `p` nearest centroid ids of a vector, ordered by ascending distance
@@ -197,9 +324,15 @@ case class NearestCells(child: Expression, centroids: Array[Double],
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // null element → null result (not a silent 0.0); checked only when the
+  // array type admits nulls, as in VectorDistance
+  private def mayHaveNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != dim) return null
+    if (mayHaveNullElems && PqGen.hasNullElem(a, dim)) return null
     val isF = elemIsFloat
     val pp = math.min(p, cells)
     val ids = new Array[Int](pp)
@@ -240,7 +373,7 @@ case class NearestCells(child: Expression, centroids: Array[Double],
       val diff = ctx.freshName("diff"); val pos = ctx.freshName("pos")
       val ids = ctx.freshName("ids"); val ds = ctx.freshName("ds")
       val filled = ctx.freshName("filled")
-      s"""if ($a.numElements() != $dim) {
+      s"""if ($a.numElements() != $dim${PqGen.nullElemCheck(a, dim, mayHaveNullElems)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $ids = new int[$pp];
@@ -287,9 +420,14 @@ case class PqAdc(child: Expression, lut: Array[Double],
       s"pq_adc needs array<int> codes, got $other")
   }
 
+  // null code → null result; checked only when the array type admits nulls
+  private def mayHaveNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != m) return null
+    if (mayHaveNullElems && PqGen.hasNullElem(a, m)) return null
     var sum = 0.0
     var mm = 0
     while (mm < m) {
@@ -303,7 +441,7 @@ case class PqAdc(child: Expression, lut: Array[Double],
     val t = ctx.addReferenceObj("pqLut", lut, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val sum = ctx.freshName("sum"); val mm = ctx.freshName("m")
-      s"""if ($a.numElements() != $m) {
+      s"""if ($a.numElements() != $m${PqGen.nullElemCheck(a, m, mayHaveNullElems)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $sum = 0.0;

@@ -36,6 +36,13 @@ package object functions {
   def pq_adc(codesCol: Column, lut: Array[Double], m: Int, codes: Int): Column =
     Column(PqAdc(expression(codesCol), lut, m, codes))
 
+  /** ADC distance of a PQ code column against a RAW query-vector column
+    * (per-pair reconstruction from the shipped codebooks — the batch KNN
+    * join's scorer, where a per-query LUT cannot be a plan constant). */
+  def pq_adc_pair(codesCol: Column, queryVec: Column, codebooks: Array[Double],
+                  m: Int, codes: Int, subDim: Int): Column =
+    Column(PqAdcPair(expression(codesCol), expression(queryVec), codebooks, m, codes, subDim))
+
   /** Nearest-centroid cell id of a vector column against a flattened
     * [cell][dim] centroid matrix (codegen'd; the index-append hot path). */
   def nearest_cell(v: Column, centroids: Array[Double], cells: Int, dim: Int): Column =

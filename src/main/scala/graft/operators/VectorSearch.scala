@@ -184,6 +184,94 @@ object VectorSearch extends QueryModule {
       .orderBy(col("q_id").asc, col("rk").asc)
   }
 
+  /** ADC-scored KNN join against a persisted IVF_PQ index — the
+    * memory-bound-corpus variant of [[knnJoin]]: the cell equi-join
+    * carries the corpus's M-int PQ `codes` instead of its float vectors
+    * (a ~(4·dim)/(4·M)× cut in the join's shuffled bytes — at a 100 TB
+    * corpus the difference between an in-memory shuffle and a spilling
+    * one; reference analog: the ADC + refine path of
+    * LanceVectorSearch.java:159-161 applied at batch scale). Stages:
+    *
+    *  1. query rows explode to their `nprobes` cells (codegen'd
+    *     [[graft.functions.NearestCells]], per-row probe selection);
+    *  2. the cell join scores candidates with the codegen'd per-pair ADC
+    *     ([[graft.functions.PqAdcPair]] — a per-query LUT cannot be a
+    *     plan constant at batch scale) and a window keeps the k×`refine`
+    *     best per query — the only stage that touches corpus×nprobes/cells
+    *     candidates, now at code-array width;
+    *  3. the k×refine survivors join back to the index by id for the
+    *     exact re-rank — when the query batch is modest (the common
+    *     retrieval shape: thousands of queries against a huge corpus)
+    *     that join broadcasts the candidates and the corpus vectors
+    *     stream map-side with NO shuffle at all; a huge batch degrades
+    *     gracefully to an id-hashed shuffle.
+    *
+    * nprobes == cells with `refine` sized so candidates ⊇ the true top-k
+    * reproduces exact KNN (the gate configuration); smaller nprobes /
+    * refine are the approximate scale path (recall measured in spec).
+    * L2 only: ADC reconstructs squared-L2 from the codebooks. */
+  def knnJoinPq(s: SparkSession, queries: DataFrame, idx: IndexBuild.BuiltIndex,
+                qIdCol: String, k: Int, nprobes: Int, refine: Int = 4,
+                excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pq = idx.pq.getOrElse(throw new IllegalArgumentException(
+      s"knnJoinPq: index at ${idx.root} has no PQ codebooks (build with index.type=IVF_PQ)"))
+    require(refine >= 1, s"knnJoinPq: refine must be >= 1, got $refine")
+    val cells = idx.centroids.length
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / cells
+    val p = if (nprobes <= 0) cells else math.min(nprobes, cells)
+    val vecCol = idx.opts.column
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
+      explode(graft.functions.nearest_cells(col(vecCol), flat, cells, dim, p))
+        .as("__cell"))
+    // corpus side of the cell join: id + codes + cell ONLY — the float
+    // vector column stays out of the scan (column pruning) and out of the
+    // shuffle; it is read again below for just the k×refine re-rank rows
+    val c = s.read.format("lance").load(idx.root)
+      .select(col("vec_id").as("n_id"), col("codes").as("__codes"),
+        col("cell").as("__cell"))
+    val joined0 = q.join(c, "__cell")
+    val joined = if (excludeSelf) joined0.filter(col("q_id") =!= col("n_id")) else joined0
+    val candidates = joined
+      .select(col("q_id"), col("n_id"), col("__qv"),
+        round(graft.functions.pq_adc_pair(col("__codes"), col("__qv"),
+          pq.flat, pq.m, pq.codes, pq.subDim), 6).as("__adc"))
+      .withColumn("__ark", row_number()
+        .over(Window.partitionBy("q_id").orderBy(col("__adc").asc, col("n_id").asc)))
+      .filter(col("__ark") <= k * refine)
+      .select("q_id", "n_id", "__qv")
+    val vecs = s.read.format("lance").load(idx.root)
+      .select(col("vec_id").as("n_id"), col(vecCol).as("__cv"))
+    candidates.join(vecs, "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(vec_l2(col("__cv"), col("__qv")), 6).as("dist"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
+  /** Gate configuration for the ADC join: persisted IVF_PQ index over the
+    * whole embeddings table, 8 cells fully probed, refine sized so the
+    * exact re-rank provably recovers exact KNN (verified against the same
+    * DuckDB exact-KNN oracle as knn_join). */
+  private def knnJoinPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-knnjoin-pq-").toString
+    // 8-bit codebooks: near-uniform synthetic embeddings are PQ's worst
+    // case (distances concentrate), so the gate uses full-resolution
+    // codebooks + a generous refine to keep the true top-k inside the
+    // ADC candidate set; coarser codebooks/refine are the measured-recall
+    // spec's territory, not the exactness gate's
+    val idx = IndexBuild.build(s, e, root, Map(
+      "index.type" -> "IVF_PQ", "index.num-partitions" -> "8",
+      "index.num-sub-vectors" -> "8", "index.num-bits" -> "8"))
+    knnJoinPq(s, e.filter(col("vec_id") < 20), idx,
+      "vec_id", k = 5, nprobes = 8, refine = 20)
+  }
+
   /** Gate configuration: 20 query vectors against the whole embeddings
     * table, 8 cells fully probed ⇒ exact (cell blocking is a pure
     * optimization at full probes, whatever centroids KMeans picks). */
@@ -196,6 +284,7 @@ object VectorSearch extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_join" -> knnJoinQuery,
+    "knn_join_pq" -> knnJoinPqQuery,
     "emb_quantize" -> embQuantize,
     "knn_cosine_f64" -> ((s, dir) => knn64(s, dir)),
     "knn_cosine" -> ((s, dir) =>
@@ -223,7 +312,23 @@ object VectorSearch extends QueryModule {
 
   private val ev = "CAST(e.embedding AS DOUBLE[])"
 
+  /** knn_join-family oracle: exact KNN for every query row (DuckDB cross
+    * join + window top-k) — shared by the vector and the ADC-scored gate
+    * (full probes + generous refine ⇒ both are exact). */
+  private def knnJoinOracle(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |r AS (SELECT q.q_id, c.n_id,
+       |    round(list_distance(c.cv, q.qv), 6) AS dist,
+       |    CAST(row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_distance(c.cv, q.qv), 6) ASC, c.n_id ASC) AS BIGINT) AS rk
+       |  FROM q CROSS JOIN c WHERE c.n_id <> q.q_id)
+       |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= $k
+       |ORDER BY q_id ASC, rk ASC""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "knn_join_pq" -> knnJoinOracle(5),
     "knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < 20),

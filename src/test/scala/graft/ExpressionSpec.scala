@@ -116,6 +116,54 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(nearest_cells(typedLit(Seq(1f, 2f)), flat, 4, 1, 2)) == null)
   }
 
+  test("pq_adc_pair reconstructs the ADC distance per pair, interpreted == codegen") {
+    // same codebooks as the pq_encode/pq_adc test: m=2, codes=2, subDim=2
+    val flat = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, -5.0, -5.0)
+    val codes = Literal.create(Seq(1, 0), ArrayType(IntegerType))
+    val q = fLit(9f, 9f, 4f, 4f) // d²((9,9),c1)=2, d²((4,4),c0)=2 → sqrt(4)=2
+    val i = PqAdcPair(codes, q, flat, 2, 2, 2).eval(null).asInstanceOf[Double]
+    assert(math.abs(i - 2.0) < 1e-12)
+    assert(viaDf(pq_adc_pair(typedLit(Seq(1, 0)), typedLit(Seq(9f, 9f, 4f, 4f)),
+      flat, 2, 2, 2)) === i)
+    // double query vectors pass through without a cast
+    val qd = Literal.create(Seq(9.0, 9.0, 4.0, 4.0), ArrayType(DoubleType))
+    assert(math.abs(PqAdcPair(codes, qd, flat, 2, 2, 2).eval(null)
+      .asInstanceOf[Double] - 2.0) < 1e-12)
+    // code/dim arity mismatch → null, both paths
+    assert(PqAdcPair(Literal.create(Seq(1), ArrayType(IntegerType)), q,
+      flat, 2, 2, 2).eval(null) == null)
+    assert(viaDf(pq_adc_pair(typedLit(Seq(1, 0)), typedLit(Seq(9f, 9f)),
+      flat, 2, 2, 2)) == null)
+  }
+
+  test("null array ELEMENTS null the result across the PQ expressions (no silent 0.0)") {
+    def fLitN(xs: Option[Float]*): Literal =
+      Literal.create(xs.map(_.map(Float.box).orNull),
+        ArrayType(FloatType, containsNull = true))
+    val flat3 = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0) // 3 cells × 2 dims
+    val vN = fLitN(Some(6f), None)
+    assert(NearestCell(vN, flat3, 3, 2).eval(null) == null)
+    assert(NearestCells(vN, flat3, 3, 2, 2).eval(null) == null)
+    val cb = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, -5.0, -5.0) // m=2,codes=2,subDim=2
+    assert(PqEncode(fLitN(Some(9f), None, Some(4f), Some(4f)), cb, 2, 2, 2)
+      .eval(null) == null)
+    val codesN = Literal.create(Seq[Any](1, null),
+      ArrayType(IntegerType, containsNull = true))
+    assert(PqAdc(codesN, Array(0.0, 1.0, 2.0, 3.0), 2, 2).eval(null) == null)
+    assert(PqAdcPair(codesN, fLit(9f, 9f, 4f, 4f), cb, 2, 2, 2).eval(null) == null)
+    assert(PqAdcPair(Literal.create(Seq(1, 0), ArrayType(IntegerType)),
+      fLitN(Some(9f), None, Some(4f), Some(4f)), cb, 2, 2, 2).eval(null) == null)
+    // codegen path agrees (typedLit of Option keeps containsNull=true)
+    assert(viaDf(nearest_cell(typedLit(Seq(Some(6f), None)), flat3, 3, 2)) == null)
+    assert(viaDf(nearest_cells(typedLit(Seq(Some(6f), None)), flat3, 3, 2, 2)) == null)
+    assert(viaDf(pq_encode(typedLit(Seq(Some(9f), None, Some(4f), Some(4f))),
+      cb, 2, 2, 2)) == null)
+    assert(viaDf(pq_adc_pair(typedLit(Seq(Some(1), None)),
+      typedLit(Seq(9f, 9f, 4f, 4f)), cb, 2, 2, 2)) == null)
+    // ... while an all-present nullable array still computes normally
+    assert(viaDf(nearest_cell(typedLit(Seq(Some(6f), Some(6f))), flat3, 3, 2)) === 2)
+  }
+
   test("rolling fingerprint known value ('Hi' -> 2337), interpreted == codegen") {
     // h = ((0*31+72)%p)*31 + 105 = 2337 — mirrored by the DuckDB oracle
     val i = RollingFingerprint(Literal("Hi")).eval(null)

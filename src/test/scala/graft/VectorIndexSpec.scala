@@ -335,6 +335,68 @@ class VectorIndexSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("nearestcells"), plan)
   }
 
+  test("ADC knn join: codes (not vectors) ride the cell join; exact at full probes with margin; recall at partial probes") {
+    import graft.operators.{IndexBuild, VectorSearch}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val base = java.nio.file.Files.createTempDirectory("graft-kjpq-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val idx = IndexBuild.build(spark, e, base, Map(
+      "index.type" -> "IVF_PQ", "index.num-partitions" -> "8",
+      "index.num-sub-vectors" -> "8", "index.num-bits" -> "8"))
+    val q = e.filter(col("vec_id") < 30)
+    val adc = VectorSearch.knnJoinPq(spark, q, idx, "vec_id",
+      k = 5, nprobes = 8, refine = 20)
+    // plan: the candidate (cell) join's corpus scan reads the M-int codes
+    // and NOT the float vector column — the shuffle-byte cut the operator
+    // exists for; vectors appear only in the k×refine re-rank scan
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Set[String]] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case other => other.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.scan.readSchema().fieldNames.toSet)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      }.flatten
+    }
+    val scans = allScans(adc.queryExecution.executedPlan)
+    assert(scans.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only scan in: $scans")
+    assert(scans.exists(s => s.contains("embedding") && !s.contains("codes")),
+      s"no vector-only re-rank scan in: $scans")
+    // full probes + generous refine == the exact vector join
+    val exact = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
+      k = 5, metric = "l2", cells = 8, nprobes = 8)
+    val adcRows = adc.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exactRows = exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(adcRows === exactRows)
+    // margin guard for the GATE configuration: the worst ADC rank of any
+    // true top-5 neighbor must sit well inside the k×refine=100 candidate
+    // budget, so the oracle key doesn't ride a knife's edge
+    val pq = idx.pq.get
+    val c = spark.read.format("lance").load(base)
+      .select(col("vec_id").as("n_id"), col("codes"))
+    val ranked = q.select(col("vec_id").as("q_id"), col("embedding").as("__qv"))
+      .crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.pq_adc_pair(col("codes"), col("__qv"),
+          pq.flat, pq.m, pq.codes, pq.subDim).as("__adc"))
+      .withColumn("__ark", row_number()
+        .over(Window.partitionBy("q_id").orderBy(col("__adc").asc, col("n_id").asc)))
+    import spark.implicits._
+    val trueTop = exactRows.map(r => (r._1, r._2)).toDF("q_id", "n_id")
+    val worst = ranked.join(trueTop, Seq("q_id", "n_id"))
+      .agg(org.apache.spark.sql.functions.max("__ark")).first().getInt(0)
+    assert(worst <= 50, s"ADC rank margin too thin: worst true-top-5 rank $worst of 100")
+    // partial probes + tight refine: the approximate scale path keeps recall
+    val approx = VectorSearch.knnJoinPq(spark, q, idx, "vec_id",
+        k = 5, nprobes = 4, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exactRows.map(r => (r._1, r._2)).toSet
+    val recall = approx.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall at 4/8 probes, refine 4: $recall")
+  }
+
   test("centroid graph at 256 nodes: full-ef equals exact; partial ef has high recall") {
     import org.apache.spark.ml.linalg.Vectors
     val rnd = new scala.util.Random(7) // fixed seed → deterministic
