@@ -379,6 +379,26 @@ object LanceOps extends QueryModule {
       .orderBy(col("dist").asc, col("id").asc)
   }
 
+  /** SQL-callable BATCH retrieval — CALL system.knn_join over two catalog
+    * tables (the set-oriented form of the reference's lateral table
+    * function). The gate corpus carries no index, so the procedure trains
+    * ad-hoc cells and full probes make the join exact — the same DuckDB
+    * exact-KNN oracle as the Scala-API knn_join key. */
+  private def knnJoinSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tq, tc) = (s"kjq_$sfx", s"kjc_$sfx")
+    t(s, dir, "embeddings").createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CREATE TABLE graft_lance.db.$tq AS SELECT * FROM src_$tc WHERE vec_id < 20")
+    s.sql(s"CALL graft_lance.system.knn_join(queries => 'db.$tq', " +
+        s"corpus => 'db.$tc', k => 5, cells => 8, nprobes => 8, " +
+        "exclude_self => true)")
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
   /** Z-order with a STRING dimension (dictionary keys like country/tenant
     * are what real users cluster on): the rewrite ranks strings by their
     * zero-padded 8-byte UTF-8 prefix — monotonic in the byte order the
@@ -557,6 +577,7 @@ object LanceOps extends QueryModule {
     "lance_runtime_prune" -> runtimePrune,
     "lance_bucket_join" -> bucketJoin,
     "knn_sql_call" -> knnSqlCall,
+    "knn_join_sql" -> knnJoinSqlCall,
     "lance_zorder" -> zorderOp,
     "lance_zorder_string" -> zorderString,
     "lance_merge" -> mergeOp,
@@ -649,6 +670,7 @@ object LanceOps extends QueryModule {
         |    round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
         |  FROM embeddings e CROSS JOIN q)
         |ORDER BY dist ASC, id ASC LIMIT 10""".stripMargin,
+    "knn_join_sql" -> VectorSearch.knnJoinOracle(5),
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

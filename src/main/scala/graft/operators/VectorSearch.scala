@@ -153,7 +153,8 @@ object VectorSearch extends QueryModule {
     * centroids — no KMeans retrain per call. The repeated-batch-retrieval
     * path: build the index once, join query batches forever. */
   def knnJoin(s: SparkSession, queries: DataFrame, idx: IndexBuild.BuiltIndex,
-              qIdCol: String, k: Int, metric: String, nprobes: Int): DataFrame = {
+              qIdCol: String, k: Int, metric: String, nprobes: Int,
+              excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = idx.centroids.length
     val flat = idx.centroids.flatMap(_.toArray)
@@ -174,7 +175,9 @@ object VectorSearch extends QueryModule {
         s"knnJoin: unknown metric $other (expected l2 / cosine / dot)")
     }
     val distOrder = if (asc) col("dist").asc else col("dist").desc
-    q.join(c, "__cell")
+    val joined0 = q.join(c, "__cell")
+    val joined = if (excludeSelf) joined0.filter(col("q_id") =!= col("n_id")) else joined0
+    joined
       .select(col("q_id"), col("n_id"),
         round(score(col("__cv"), col("__qv")), 6).as("dist"))
       .withColumn("rk", row_number()
@@ -313,9 +316,9 @@ object VectorSearch extends QueryModule {
   private val ev = "CAST(e.embedding AS DOUBLE[])"
 
   /** knn_join-family oracle: exact KNN for every query row (DuckDB cross
-    * join + window top-k) — shared by the vector and the ADC-scored gate
-    * (full probes + generous refine ⇒ both are exact). */
-  private def knnJoinOracle(k: Int): String =
+    * join + window top-k) — shared by the vector gate, the ADC-scored gate
+    * (full probes + generous refine ⇒ both exact) and the SQL CALL gate. */
+  private[operators] def knnJoinOracle(k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
        |           FROM embeddings WHERE vec_id < 20),
        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

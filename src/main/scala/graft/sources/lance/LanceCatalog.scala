@@ -55,6 +55,14 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     p.toString
   }
 
+  /** Same resolution WITHOUT the existence check — for procedure output
+    * tables that are about to be created (e.g. knn_join's output_table). */
+  private[lance] def tableRootForCreate(table: String): String = {
+    val parts = table.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty), s"bad table name: $table")
+    tablePath(Identifier.of(parts.init, parts.last)).toString
+  }
+
   private var catalogName: String = _
   private var warehouse: String = _
   /** Per-catalog filesystem conf derived from reference-named object-store

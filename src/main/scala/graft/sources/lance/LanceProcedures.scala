@@ -38,15 +38,16 @@ object LanceProcedures {
       case "history" => history(catalog)
       case "zorder" => zorder(catalog)
       case "knn" => knn(catalog)
+      case "knn_join" => knnJoin(catalog)
       case "stats" => stats(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
-          "zorder / knn / stats)")
+          "zorder / knn / knn_join / stats)")
     }
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history", "zorder", "knn", "stats")
+    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "stats")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -177,13 +178,20 @@ object LanceProcedures {
       val hasIndex = ManifestIO.fs(root, conf)
         .exists(new org.apache.hadoop.fs.Path(root, "_index/meta.json"))
       import org.apache.spark.sql.functions._
+      // pin EVERY read of this call to one manifest version: the ranked
+      // search and the matched-row lookup below are two separate reads,
+      // and a concurrent commit between them would return columns from a
+      // different snapshot than the distances
+      val pinned: Map[String, String] = ManifestIO.loadLatest(root, conf)
+        .map(m => Map("versionAsOf" -> m.version.toString)).getOrElse(Map.empty)
       val df =
         if (hasIndex) {
           val idx = graft.operators.IndexBuild.load(spark, root)
           require(idx.opts.column == column,
             s"lance knn: index at $root covers column ${idx.opts.column}, not $column")
-          val opts = Map("vector.k" -> k.toString, "vector.metric" -> metric,
-            "vector.nprobes" -> nprobes.toString, "vector.ef" -> ef.toString) ++
+          val opts = pinned ++
+            Map("vector.k" -> k.toString, "vector.metric" -> metric,
+              "vector.nprobes" -> nprobes.toString, "vector.ef" -> ef.toString) ++
             (if (refine > 0) Map("vector.refine-factor" -> refine.toString)
              else Map.empty)
           graft.operators.IndexBuild.search(spark, idx, qv, opts, idCol = idCol,
@@ -196,7 +204,7 @@ object LanceProcedures {
             case other => throw new IllegalArgumentException(
               s"lance knn: unknown metric $other (expected l2 / cosine / dot)")
           }
-          val base = spark.read.format("lance").load(root)
+          val base = spark.read.format("lance").options(pinned).load(root)
           val scored = pred.map(base.filter).getOrElse(base)
             .select(col(idCol).cast("long").as("id"), round(score, 6).as("dist"))
           (if (asc) scored.orderBy(col("dist").asc, col("id").asc)
@@ -222,9 +230,7 @@ object LanceProcedures {
           rows.toSeq)
       } else {
         val ids = rows.map(_(0).asInstanceOf[Long]).toSeq
-        val lookupDf = spark.read.format("lance").load(root)
-          .filter(col(idCol).cast("long").isin(ids: _*))
-          .select(col(idCol).cast("long").as("__id") +: extra.map(col): _*)
+        val lookupDf = knnLookup(spark, root, pinned, idCol, ids, extra)
         val extraSchema = lookupDf.schema.fields.drop(1)
         val conv = extraSchema.map(f =>
           org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -241,6 +247,124 @@ object LanceProcedures {
           StructField("dist", DoubleType, nullable = false) +:
           extraSchema.map(f => f.copy(nullable = true)).toSeq),
           merged.toSeq)
+      }
+    }
+
+  /** The matched-row lookup behind `CALL system.knn(columns => ...)`: a
+    * k-sized IN over the id column, IN-filtering the RAW column with
+    * literals of ITS type — a cast-then-compare would block V1 filter
+    * translation for INT/SHORT id columns and turn the lookup into a full
+    * scan; typed literals keep bloom/dictionary fragment pruning for every
+    * integral id type. Package-visible so specs assert the pruning on the
+    * real code path. */
+  private[graft] def knnLookup(spark: SparkSession, root: String,
+                               pinned: Map[String, String], idCol: String,
+                               ids: Seq[Long], extra: Seq[String]):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lookupBase = spark.read.format("lance").options(pinned).load(root)
+    val typedIds: Seq[Any] = lookupBase.schema(idCol).dataType match {
+      case LongType => ids
+      case IntegerType => ids.map(_.toInt)
+      case ShortType => ids.map(_.toShort)
+      case ByteType => ids.map(_.toByte)
+      case _ => ids // non-integral id column: Catalyst casts as before
+    }
+    lookupBase
+      .filter(col(idCol).isin(typedIds: _*))
+      .select(col(idCol).cast("long").as("__id") +: extra.map(col): _*)
+  }
+
+  /** SQL surface for BATCH vector retrieval — the set-oriented sibling of
+    * [[knn]] (the reference's table function is usable per-row in a
+    * lateral join, table/LanceVectorSearchFunction.java:55-66; this is
+    * that shape over a whole query TABLE):
+    *
+    * {{{
+    *   CALL cat.system.knn_join(queries => 'db.q', corpus => 'db.c',
+    *                            column => 'embedding', k => 10,
+    *                            metric => 'l2', cells => 64, nprobes => 8,
+    *                            output_table => 'db.q_neighbors')
+    * }}}
+    *
+    * Routing: a corpus with a persisted index joins through its stored
+    * centroids (no KMeans retrain) — through the ADC/PQ-code path when the
+    * index carries codebooks and `refine` is set (the shuffle-lean variant
+    * for memory-bound corpora); a plain corpus trains ad-hoc cells. With
+    * `output_table` the result MATERIALIZES to a lance table (one
+    * distributed write — the result never visits the driver) and one
+    * summary row returns; without it the k×|queries| rows return directly
+    * (interactive use only — batch retrieval should materialize). */
+  private def knnJoin(catalog: LanceCatalog): UnboundProcedure =
+    bound("knn_join", catalog, Array(
+      param("queries", StringType),
+      param("corpus", StringType),
+      param("column", StringType, Some("'embedding'")),
+      param("query_id", StringType, Some("'vec_id'")),
+      param("corpus_id", StringType, Some("'vec_id'")),
+      param("k", IntegerType, Some("10")),
+      param("metric", StringType, Some("'l2'")),
+      param("cells", IntegerType, Some("0")),
+      param("nprobes", IntegerType, Some("0")),
+      param("refine", IntegerType, Some("0")),
+      param("exclude_self", BooleanType, Some("false")),
+      param("output_table", StringType, Some("''")))) { (qRoot, in) =>
+      val spark = SparkSession.active
+      val cRoot = catalog.tableRootFor(in.getUTF8String(1).toString)
+      val column = in.getUTF8String(2).toString
+      val qId = in.getUTF8String(3).toString
+      val cId = in.getUTF8String(4).toString
+      val k = in.getInt(5)
+      val metric = in.getUTF8String(6).toString.toLowerCase(java.util.Locale.ROOT)
+      val cells = in.getInt(7)
+      val nprobes = in.getInt(8)
+      val refine = in.getInt(9)
+      val excludeSelf = in.getBoolean(10)
+      val outTable = in.getUTF8String(11).toString.trim
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val queries = spark.read.format("lance").load(qRoot)
+      val hasIndex = ManifestIO.fs(cRoot, conf)
+        .exists(new org.apache.hadoop.fs.Path(cRoot, "_index/meta.json"))
+      val result =
+        if (hasIndex) {
+          val idx = graft.operators.IndexBuild.load(spark, cRoot)
+          require(idx.opts.column == column,
+            s"lance knn_join: index at $cRoot covers column ${idx.opts.column}, not $column")
+          if (idx.pq.isDefined && refine > 0) {
+            require(metric == "l2",
+              "lance knn_join: the ADC/PQ path reconstructs L2 — use metric => 'l2' " +
+                "or refine => 0 for the stored-vector join")
+            graft.operators.VectorSearch.knnJoinPq(spark, queries, idx, qId,
+              k, nprobes, refine, excludeSelf)
+          } else {
+            graft.operators.VectorSearch.knnJoin(spark, queries, idx, qId,
+              k, metric, nprobes, excludeSelf)
+          }
+        } else {
+          val corpus = spark.read.format("lance").load(cRoot)
+          graft.operators.VectorSearch.knnJoin(spark, queries, corpus,
+            qId, cId, column, k, metric, cells, nprobes, excludeSelf)
+        }
+      import org.apache.spark.sql.functions._
+      val normalized = result.select(col("q_id").cast("long").as("q_id"),
+        col("n_id").cast("long").as("n_id"), col("dist"), col("rk"))
+      if (outTable.nonEmpty) {
+        val outRoot = catalog.tableRootForCreate(outTable)
+        normalized.write.format("lance").mode("overwrite").save(outRoot)
+        val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+        (StructType(Seq(
+          StructField("output_table", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+          Seq(Array[Any](UTF8String.fromString(outTable), n)))
+      } else {
+        val rows = normalized.collect().map(r =>
+          Array[Any](r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        (StructType(Seq(
+          StructField("q_id", LongType, nullable = false),
+          StructField("n_id", LongType, nullable = false),
+          StructField("dist", DoubleType, nullable = false),
+          StructField("rk", LongType, nullable = false))),
+          rows.toSeq)
       }
     }
 

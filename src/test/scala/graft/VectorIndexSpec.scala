@@ -292,6 +292,70 @@ class VectorIndexSpec extends SparkSpec {
     assert(withCols.forall(r => r.getSeq[Float](3).nonEmpty))
   }
 
+  test("knn matched-row lookup on an INT id column keeps fragment pruning (typed IN literals)") {
+    // range-clustered INT-keyed table: the k-sized id lookup must scan only
+    // the fragments covering those ids — the old cast("long")-then-IN
+    // blocked V1 filter translation and full-scanned all 8
+    val root = java.nio.file.Files.createTempDirectory("graft-knnlk-").toString
+    spark.range(16000)
+      .select(col("id").cast("int").as("key"), col("id").as("payload"))
+      .repartitionByRange(8, col("id"))
+      .write.format("lance").save(root)
+    val lk = graft.sources.lance.LanceProcedures.knnLookup(
+      spark, root, Map.empty, "key", Seq(5L, 17L), Seq("payload"))
+    val plan = lk.queryExecution.executedPlan.toString
+    val mm = "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    val (scanned, total) = (mm.group(1).toInt, mm.group(2).toInt)
+    assert(total === 8 && scanned <= 1, s"INT id lookup scanned $scanned/$total fragments")
+    assert(lk.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((5L, 5L), (17L, 17L)))
+    // LONG ids keep the same pruning (the previously-working fast path)
+    val lkLong = graft.sources.lance.LanceProcedures.knnLookup(
+      spark, root, Map.empty, "payload", Seq(5L, 17L), Seq("key"))
+    val mm2 = "fragments=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(lkLong.queryExecution.executedPlan.toString).get
+    assert(mm2.group(1).toInt <= 1, s"LONG id lookup scanned ${mm2.group(1)}/8")
+  }
+
+  test("CALL system.knn_join: materializes to a lance table, routes through the PQ index") {
+    import graft.operators.{IndexBuild, VectorSearch}
+    spark.conf.set("spark.sql.catalog.lance_kj",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-kjproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_kj.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_kj.db")
+    val e = Tables.t(spark, sf, "embeddings")
+    // corpus = a PQ-indexed lance dataset under the warehouse (a catalog
+    // table the procedure resolves by name); queries = a plain dataset
+    val idx = IndexBuild.build(spark, e, s"$wh/db/corpus", Map(
+      "index.type" -> "IVF_PQ", "index.num-partitions" -> "8",
+      "index.num-sub-vectors" -> "8", "index.num-bits" -> "8"))
+    val q = e.filter(col("vec_id") < 25)
+    q.write.format("lance").save(s"$wh/db/q")
+    val direct = spark.sql("CALL lance_kj.system.knn_join(queries => 'db.q', " +
+        "corpus => 'db.corpus', k => 5, nprobes => 8, refine => 20, " +
+        "exclude_self => true)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // refine > 0 on a PQ index routes through the ADC join (stored
+    // centroids + codebooks, no retrain) — identical to the Scala API
+    val viaApi = VectorSearch.knnJoinPq(spark, q, idx, "vec_id",
+        k = 5, nprobes = 8, refine = 20, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(direct === viaApi)
+    // output_table materializes the SAME rows to a lance table (one
+    // distributed write, driver sees only the summary row)
+    val summary = spark.sql("CALL lance_kj.system.knn_join(queries => 'db.q', " +
+        "corpus => 'db.corpus', k => 5, nprobes => 8, refine => 20, " +
+        "exclude_self => true, output_table => 'db.q_nn')").collect()
+    assert(summary.length === 1)
+    assert(summary.head.getString(0) === "db.q_nn")
+    assert(summary.head.getLong(1) === direct.length.toLong)
+    val materialized = spark.sql(
+        "SELECT * FROM lance_kj.db.q_nn ORDER BY q_id, rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(materialized === direct)
+  }
+
   test("knn join: partial probes keep high recall vs exact, plan is UDF-free in the row path") {
     import graft.operators.VectorSearch
     val e = Tables.t(spark, sf, "embeddings")
@@ -322,7 +386,7 @@ class VectorIndexSpec extends SparkSpec {
       Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
     val q = e.filter(col("vec_id") < 30)
     val viaIdx = VectorSearch.knnJoin(spark, q, idx, "vec_id",
-        k = 5, metric = "l2", nprobes = 16)
+        k = 5, metric = "l2", nprobes = 16, excludeSelf = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // exact brute top-k (self included — index join doesn't exclude)
     val brute = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
@@ -331,7 +395,8 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaIdx === brute)
     // and the probed-cell scan prunes index fragments at partial probes
     val plan = VectorSearch.knnJoin(spark, q.limit(1), idx, "vec_id",
-      k = 5, metric = "l2", nprobes = 2).queryExecution.executedPlan.toString
+      k = 5, metric = "l2", nprobes = 2, excludeSelf = false)
+      .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("nearestcells"), plan)
   }
 
