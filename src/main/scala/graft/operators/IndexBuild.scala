@@ -40,8 +40,24 @@ object IndexBuild {
     Seq(16, 8, 4, 2, 1).find(dim % _ == 0).get
 
   def build(s: SparkSession, source: DataFrame, root: String,
-            options: Map[String, String]): BuiltIndex = {
-    val io = LanceVectorOptions.index(options)
+            options: Map[String, String]): BuiltIndex =
+    buildWith(s, source, root, LanceVectorOptions.index(options), overwrite = false)
+
+  /** Full rebuild IN PLACE — fresh centroids / codebooks / graph trained
+    * from the dataset's CURRENT rows (the repair step once appended data
+    * has drifted past the frozen centroids): reads the indexed rows, drops
+    * the stale cell/codes columns, retrains with the index's own recorded
+    * options and overwrites atomically — the write's scan plans against
+    * the old manifest version, whose fragments stay on disk until vacuum,
+    * so readers never see a half-built index. */
+  def rebuild(s: SparkSession, idx: BuiltIndex): BuiltIndex = {
+    val data = s.read.format("lance").load(idx.root)
+      .drop("cell", "codes")
+    buildWith(s, data, idx.root, idx.opts, overwrite = true)
+  }
+
+  private def buildWith(s: SparkSession, source: DataFrame, root: String,
+                        io: VectorIndexOptions, overwrite: Boolean): BuiltIndex = {
     val vecCol = io.column
     val dim = source.select(size(col(vecCol))).first().getInt(0)
     val cells = io.numPartitions
@@ -72,7 +88,9 @@ object IndexBuild {
     indexed
       .repartitionByRange(cells, col("cell"))
       .sortWithinPartitions("cell")
-      .write.format("lance").save(root)
+      .write.format("lance")
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .save(root)
 
     val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
                 else Some(CentroidGraph.build(s, centroids, io.hnswM,

@@ -39,15 +39,17 @@ object LanceProcedures {
       case "zorder" => zorder(catalog)
       case "knn" => knn(catalog)
       case "knn_join" => knnJoin(catalog)
+      case "reindex" => reindex(catalog)
       case "stats" => stats(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
-          "zorder / knn / knn_join / stats)")
+          "zorder / knn / knn_join / reindex / stats)")
     }
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "stats")
+    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "reindex",
+        "stats")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -366,6 +368,38 @@ object LanceProcedures {
           StructField("rk", LongType, nullable = false))),
           rows.toSeq)
       }
+    }
+
+  /** Drift-aware index maintenance — composes the drift monitor with the
+    * rebuild path so routine pipelines can call it unconditionally:
+    *
+    * {{{
+    *   CALL cat.system.reindex(table => 'db.corpus', threshold => 1.5)
+    * }}}
+    *
+    * Measures [[graft.operators.IndexBuild.driftRatio]] (current mean
+    * quantization error over the baseline recorded at build — one
+    * broadcast join + codegen'd distance, no driver data); at or below
+    * `threshold` it NO-OPs (in-distribution appends stay cheap), above it
+    * the index rebuilds in place from the current rows (fresh centroids /
+    * codebooks / graph, atomic overwrite commit). Returns the measured
+    * drift and whether a rebuild fired. */
+  private def reindex(catalog: LanceCatalog): UnboundProcedure =
+    bound("reindex", catalog, Array(
+      param("table", StringType),
+      param("threshold", DoubleType, Some("1.5")))) { (root, in) =>
+      val spark = SparkSession.active
+      val threshold = in.getDouble(1)
+      require(threshold > 0, s"lance reindex: threshold must be > 0, got $threshold")
+      val idx = graft.operators.IndexBuild.load(spark, root)
+      val drift = graft.operators.IndexBuild.driftRatio(spark, idx)
+      val rebuilt = drift > threshold
+      if (rebuilt) graft.operators.IndexBuild.rebuild(spark, idx)
+      (StructType(Seq(
+        StructField("drift", DoubleType, nullable = false),
+        StructField("threshold", DoubleType, nullable = false),
+        StructField("rebuilt", BooleanType, nullable = false))),
+        Seq(Array[Any](drift, threshold, rebuilt)))
     }
 
   /** Per-column table statistics from metadata alone — the observability

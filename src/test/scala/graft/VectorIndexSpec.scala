@@ -244,6 +244,56 @@ class VectorIndexSpec extends SparkSpec {
     assert(shifted > 1.3, s"expected shifted drift > 1.3, got $shifted")
   }
 
+  test("CALL system.reindex: no-op in-distribution, rebuild on drift, recall recovers") {
+    import graft.operators.IndexBuild
+    spark.conf.set("spark.sql.catalog.lance_rx",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-rxproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_rx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_rx.db")
+    val e = Tables.t(spark, sf, "embeddings")
+    val root = s"$wh/db/vidx"
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    val idx = IndexBuild.build(spark, e.filter(col("vec_id") < 400), root,
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    // in-distribution append: drift ~1 → the CALL must NO-OP
+    IndexBuild.append(spark, e.filter(col("vec_id") >= 400), idx)
+    val r1 = spark.sql(
+      "CALL lance_rx.system.reindex(table => 'db.vidx', threshold => 1.3)").collect().head
+    assert(!r1.getBoolean(2), s"in-distribution drift ${r1.getDouble(0)} triggered a rebuild")
+    assert(r1.getDouble(0) < 1.3)
+    val versionBefore = graft.sources.lance.ManifestIO.loadLatest(root, conf).get.version
+    // shifted append (4x-scaled copies): stale centroids → drift inflates
+    val shifted = e.filter(col("vec_id") < 200).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"),
+      col("label"))
+    IndexBuild.append(spark, shifted, IndexBuild.load(spark, root))
+    val r2 = spark.sql(
+      "CALL lance_rx.system.reindex(table => 'db.vidx', threshold => 1.3)").collect().head
+    assert(r2.getBoolean(2), s"shifted drift ${r2.getDouble(0)} did not trigger a rebuild")
+    assert(r2.getDouble(0) > 1.3)
+    assert(graft.sources.lance.ManifestIO.loadLatest(root, conf).get.version > versionBefore)
+    // after the rebuild the error baseline is fresh: drift back to ~1...
+    val r3 = spark.sql(
+      "CALL lance_rx.system.reindex(table => 'db.vidx', threshold => 1.3)").collect().head
+    assert(!r3.getBoolean(2) && r3.getDouble(0) < 1.3,
+      s"post-rebuild drift ${r3.getDouble(0)} still above threshold")
+    // ...and partial-probe recall for a SHIFTED query recovers: the fresh
+    // centroids give the shifted region its own cells, so 4 of 16 probes
+    // find what the full-probe (exact) search finds
+    val rebuiltIdx = IndexBuild.load(spark, root)
+    val qv = graft.operators.VectorIndex.embeddingOf(spark, sf, vecId = 1L)
+      .map(_ * 4.0)
+    def ids(nprobes: Int) = IndexBuild.search(spark, rebuiltIdx, qv,
+        Map("vector.k" -> "5", "vector.nprobes" -> nprobes.toString))
+      .collect().map(_.getLong(0)).toSet
+    val exact = ids(16)
+    val partial = ids(4)
+    val recall = partial.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-rebuild partial-probe recall: $recall")
+  }
+
   test("CALL system.knn searches through a persisted index, equals the Scala API") {
     import graft.operators.IndexBuild
     spark.conf.set("spark.sql.catalog.lance_knn",
