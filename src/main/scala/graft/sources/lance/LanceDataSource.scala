@@ -46,13 +46,22 @@ object LanceOptions {
 
   /** The declared bucket layout as (key field index, key type, bucket
     * count) against `schema` — what a row-level writer needs to demux
-    * re-inserted rows into correctly-tagged per-bucket fragments. */
+    * re-inserted rows into correctly-tagged per-bucket fragments. The
+    * layout is SINGLE-column by construction (LanceWrite rejects
+    * multi-column write.bucket-by at write time — Spark's SPJ planner
+    * doesn't match multi-argument bucket transforms); a comma here means
+    * a manifest this writer never produced, so fail loudly rather than
+    * silently skipping the demux and stranding the SPJ layout on the
+    * first UPDATE/MERGE. */
   def bucketSpecOf(opts: Map[String, String],
                    schema: org.apache.spark.sql.types.StructType):
       Option[(Int, org.apache.spark.sql.types.DataType, Int)] = for {
     cs <- any(opts, "write.bucket-by", "bucketBy")
     nS <- any(opts, "write.bucket-count", "bucketCount")
     c = cs.trim
+    _ = require(!c.contains(','),
+      s"lance: write.bucket-by declares multiple columns ($c) — this layout " +
+        "is single-column only and such a manifest should not exist")
     if schema.fieldNames.contains(c)
   } yield (schema.fieldIndex(c), schema(c).dataType, nS.toInt)
 

@@ -959,7 +959,7 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
     // the REAL distribution — min/max alone makes the CBO assume global
     // uniformity, which mis-estimates skewed range predicates by the
     // skew factor. O(fragments log fragments) driver CPU, zero IO.
-    def histogramOf(name: String, totalRows: Long, ndvOpt: Option[Long]):
+    def histogramOf(name: String, ndvOpt: Option[Long]):
         Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
       import org.apache.spark.sql.connector.read.colstats.{Histogram, HistogramBin}
       val fr = frs.filter(f => f.liveRows > 0 && f.stats.get(name).exists(s =>
@@ -969,6 +969,17 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
         val s = f.stats(name)
         (statDouble(s.min.get), statDouble(s.max.get), f.liveRows.toDouble)
       }.sortBy(p => (p._1, p._2))
+      // ...which is only informative when the layout IS clustered on this
+      // column: with heavily overlapping fragment ranges (natural-order
+      // writes) the synthesized bins would assert structure the layout
+      // doesn't have and mislead the CBO worse than no histogram. Gate on
+      // near-disjoint ranges — a small overlap allowance covers compaction
+      // boundaries and duplicate boundary values.
+      val overlapping = parts.sliding(2).count {
+        case scala.collection.Seq((_, hi1, _), (lo2, _, _)) => lo2 < hi1
+        case _ => false
+      }
+      if (overlapping * 5 > parts.size - 1) return None
       val total = parts.map(_._3).sum
       val nbins = math.min(32, parts.size)
       val binHeight = total / nbins
@@ -1045,7 +1056,7 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
             }
           }
         if (nulls.isDefined || mn.isDefined || ndv.isDefined) {
-          val hist = if (mn.isEmpty) None else histogramOf(name, rows, ndv)
+          val hist = if (mn.isEmpty) None else histogramOf(name, ndv)
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new ColumnStatistics {
               override def nullCount(): java.util.OptionalLong =

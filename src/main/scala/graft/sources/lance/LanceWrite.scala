@@ -787,24 +787,45 @@ object LanceMaintenance {
     }
     val df = maskedRead(spark, root, m.version, m.schema, m.fragments)
     // every listed column as a double: dates via epoch-days (date→double
-    // is not a castable pair), strings via their zero-padded 8-byte UTF-8
-    // prefix read as an unsigned integer — monotonic in the same byte
-    // order the fragment min/max stats compare in, so range/equality
-    // predicates on the string dimension prune the clustered layout
-    // (real users cluster on country/tenant-style string keys); all
-    // builtin expressions, still codegen'd. Timestamps/numerics cast.
-    def asDouble(c: String): Column = {
-      import org.apache.spark.sql.types._
+    // is not a castable pair), timestamps/numerics cast; strings rank by
+    // an 8-byte UTF-8 window read as an unsigned integer — monotonic in
+    // the same byte order the fragment min/max stats compare in, so
+    // range/equality predicates on the string dimension prune the
+    // clustered layout (real users cluster on country/tenant/URL-style
+    // string keys). The window SKIPS the corpus-wide common prefix of
+    // [min, max]: every value between min and max provably shares it, so
+    // it carries zero discrimination — without the skip, keys sharing 8+
+    // leading bytes (URLs all starting 'https://') would collapse to ONE
+    // rank value and the string dimension would silently stop clustering.
+    // All builtin expressions, still codegen'd.
+    import org.apache.spark.sql.types.{DateType, StringType}
+    def isString(c: String): Boolean =
+      m.schema.fields.find(_.name == c).get.dataType == StringType
+    def asDoubleNum(c: String): Column =
       m.schema.fields.find(_.name == c).get.dataType match {
         case DateType => unix_date(col(c)).cast("double")
-        case StringType =>
-          conv(hex(expr(s"rpad(cast(`$c` as binary), 8, x'00')")), 16, 10)
-            .cast("double")
         case _ => col(c).cast("double")
       }
-    }
     val bounds = df.select(cols.flatMap(c =>
-      Seq(min(asDouble(c)), max(asDouble(c)))): _*).first()
+      if (isString(c)) Seq(min(col(c)), max(col(c)))
+      else Seq(min(asDoubleNum(c)), max(asDoubleNum(c)))): _*).first()
+    def byteLcp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      i
+    }
+    // driver-side mirror of strRankExpr (conv/hex/rpad and BigInteger both
+    // round the unsigned 64-bit window to the nearest double)
+    def strRankValue(s: String, off: Int): Double = {
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .drop(off).take(8)
+      new java.math.BigInteger(1, bs ++ Array.fill(8 - bs.length)(0.toByte))
+        .doubleValue()
+    }
+    def strRankExpr(c: String, off: Int): Column =
+      conv(hex(expr(
+        s"rpad(substring(cast(`$c` as binary), ${off + 1}, 8), 8, x'00')")), 16, 10)
+        .cast("double")
     val bits = 63 / cols.size
     val maxRank = (1L << bits) - 1
     // bit i of column j lands at position i*k + j — built from masked
@@ -814,11 +835,21 @@ object LanceMaintenance {
         shiftleft(c.bitwiseAND(lit(1L << i)), i * (cols.size - 1) + offset))
         .reduce(_.bitwiseOR(_))
     val zkey = cols.zipWithIndex.map { case (c, j) =>
-      val (lo, hi) = (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1))
+      val (lo, hi, rankCol) =
+        if (isString(c)) {
+          val (mnS, mxS) = (bounds.getString(2 * j), bounds.getString(2 * j + 1))
+          if (mnS == null || mxS == null || mnS == mxS) (0.0, 0.0, lit(0.0))
+          else {
+            val off = byteLcp(
+              mnS.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              mxS.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (strRankValue(mnS, off), strRankValue(mxS, off), strRankExpr(c, off))
+          }
+        } else (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1), asDoubleNum(c))
       val rank =
         if (!(hi > lo)) lit(0L)
         else least(lit(maxRank), greatest(lit(0L),
-          ((asDouble(c) - lit(lo)) / lit(hi - lo) * lit(maxRank.toDouble))
+          ((rankCol - lit(lo)) / lit(hi - lo) * lit(maxRank.toDouble))
             .cast("long")))
       spread(rank, j)
     }.reduce(_.bitwiseOR(_))

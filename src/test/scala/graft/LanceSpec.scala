@@ -1290,6 +1290,39 @@ class LanceSpec extends SparkSpec {
       .first().getLong(0) === expect)
   }
 
+  test("string zorder discriminates past a shared 8+-byte prefix (URL-style keys)") {
+    val root = tmp()
+    // every key shares the 21-byte prefix 'https://example.com/C' — a rank
+    // over the first 8 bytes alone collapses all keys to ONE value (zero
+    // clustering on the string dimension); the rank window skips the
+    // [min, max] common prefix, so the first DIFFERING bytes discriminate
+    spark.range(65536)
+      .selectExpr(
+        "concat('https://example.com/C', lpad(CAST(id % 64 AS STRING), 2, '0')) AS url",
+        "id DIV 64 AS ts", "id AS payload")
+      .orderBy("ts")
+      .write.format("lance").option("maxRowsPerFile", "1024").save(root)
+    def fragsScanned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val mm = "fragments=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (mm.group(1).toInt, mm.group(2).toInt)
+    }
+    val pre = spark.read.format("lance").load(root)
+    assert(fragsScanned(pre.filter(col("url") === "https://example.com/C07"))._1 === 64)
+    val expect = pre.filter(col("url") < "https://example.com/C08")
+      .agg(sum("payload")).first().getLong(0)
+    graft.sources.lance.LanceMaintenance.zorder(spark, root,
+      Seq("url", "ts"), targetRows = 1024)
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.count() === 65536)
+    val (ss, ts2) = fragsScanned(ds.filter(col("url") < "https://example.com/C08"))
+    assert(3 * ss <= ts2, s"shared-prefix string slice scanned $ss/$ts2")
+    val (st, tt) = fragsScanned(ds.filter(col("ts") < 128))
+    assert(3 * st <= tt, s"ts-slice scanned $st/$tt")
+    assert(ds.filter(col("url") < "https://example.com/C08").agg(sum("payload"))
+      .first().getLong(0) === expect)
+  }
+
   test("zorder rewrite: range predicates on BOTH dimensions prune fragments") {
     val root = tmp()
     // 256x256 grid written x-clustered: x predicates prune, y predicates
@@ -1667,6 +1700,105 @@ class LanceSpec extends SparkSpec {
     }
   }
 
+  test("WATCH(Spark upgrade): runtime filters stay dormant under the SPJ join shape") {
+    // Spark 4.1 does not inject runtime (DPP-analog) filters into a
+    // storage-partitioned join: the scan-side guard that ALLOWS
+    // bucket-shrinking pruning under pushPartValues (LanceScan's
+    // KeyGroupedPartitioning relaxation) is therefore dormant upstream.
+    // This spec PINS that dormancy: the moment a Spark upgrade starts
+    // injecting filters into this shape, the all-fragments assertion below
+    // fails — the signal to exercise the relaxation with real IO
+    // assertions instead of the safety-only specs it has today.
+    spark.conf.set("spark.sql.catalog.lance_watch",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_watch.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_watch.db")
+    for (tn <- Seq("fact", "dim"))
+      spark.sql(s"CREATE TABLE lance_watch.db.$tn (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES('write.bucket-by'='id','write.bucket-count'='8')")
+    spark.range(4000).selectExpr("id", "id*2 AS v").createOrReplaceTempView("watch_f")
+    spark.range(2).selectExpr("id * 1000 AS id", "id AS v").createOrReplaceTempView("watch_d")
+    spark.sql("INSERT INTO lance_watch.db.fact SELECT * FROM watch_f")
+    spark.sql("INSERT INTO lance_watch.db.dim SELECT * FROM watch_d")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql("SELECT f.id FROM lance_watch.db.fact f " +
+        "JOIN lance_watch.db.dim d ON f.id = d.id WHERE d.v >= 0")
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1000L))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("exchange hashpartitioning(id"),
+        "join no longer plans as SPJ — watch-spec setup broke")
+      // the fact side (8 bucket fragments) reads ALL fragments: no runtime
+      // filter reached it. scanned < 8 here means Spark started injecting.
+      val factScan = "fragments=(\\d+)/(\\d+)".r.findAllMatchIn(plan)
+        .find(_.group(2).toInt == 8)
+      assert(factScan.isDefined, s"no 8-fragment scan in plan: $plan")
+      assert(factScan.get.group(1).toInt === 8,
+        "Spark now injects runtime filters under SPJ — exercise the " +
+          "bucket-shrinking relaxation (LanceScan pushPartValues guard) with IO specs")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("WATCH(Spark upgrade): string range selectivity — pruning covers clustered, " +
+      "upstream defaults unclustered") {
+    // FilterEstimation.evaluateBinary routes ONLY numeric/date/timestamp
+    // attributes to the histogram-aware path; StringType/BinaryType
+    // comparisons hit a log-and-default branch (verified in the Spark
+    // 4.1.2 bytecode) — so a string histogram would be dead metadata the
+    // planner never reads, and the connector deliberately does not
+    // synthesize one (numeric/date/timestamp histograms: see the
+    // fragment-range histogram spec). Two halves:
+    //  (a) CLUSTERED layout — no upstream help needed: the scan's own
+    //      fragment pruning consumes the string predicate and reports the
+    //      exact surviving row count to the CBO, beating any histogram.
+    //  (b) UNCLUSTERED layout — pruning can't shrink anything, the
+    //      estimate stays at default selectivity, overestimating the 10%
+    //      slice. THIS pin fails the day Spark learns string-range
+    //      estimation — the signal to extend histogramOf with the
+    //      8-byte-prefix rank the string Z-order already uses.
+    def write(root: String, clustered: Boolean): Unit = {
+      val df = spark.range(9000)
+        .selectExpr("concat('a', lpad(CAST(id % 64 AS STRING), 4, '0')) AS k",
+          "id AS payload")
+        .union(spark.range(1000)
+          .selectExpr("concat('x', lpad(CAST(id AS STRING), 4, '0')) AS k",
+            "id AS payload"))
+      val laid = if (clustered)
+        df.repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      else df.repartition(10) // round-robin: every fragment spans 'a'..'x'
+      laid.write.format("lance").save(root)
+    }
+    def estimate(root: String): BigInt = {
+      val q = spark.read.format("lance").load(root).filter(col("k") >= "x")
+      assert(q.count() === 1000) // truth: 10%
+      q.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      val rootC = tmp() + "/strsel-clustered"
+      write(rootC, clustered = true)
+      assert(estimate(rootC) === BigInt(1000),
+        "clustered string slice: fragment pruning should hand the CBO the exact count")
+      val rootU = tmp() + "/strsel-unclustered"
+      write(rootU, clustered = false)
+      val est = estimate(rootU)
+      assert(est * 2 > BigInt(10000),
+        s"Spark now estimates string ranges (got $est for a 10% slice on an " +
+          "unclustered layout) — implement string histograms via the 8-byte-prefix rank")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.statistics.histogram.enabled")
+    }
+  }
+
   test("fragment-range histograms fix skewed selectivity estimates under CBO") {
     val root = tmp() + "/hist"
     // 90% of the mass in [0, 1000), 10% spread over [1000, 10000) — a
@@ -1689,6 +1821,20 @@ class LanceSpec extends SparkSpec {
         .queryExecution.optimizedPlan.stats.attributeStats
         .find(_._1.name == "id").flatMap(_._2.histogram)
       assert(hist.isDefined)
+      // an UNCLUSTERED layout (heavily overlapping fragment ranges) must
+      // emit NO histogram: the within-fragment-uniform synthesis would
+      // assert structure the layout doesn't have and mislead the CBO
+      // worse than plain min/max (r9 advice)
+      val root2 = tmp() + "/hist-unclustered"
+      spark.range(9000).selectExpr("CAST(id % 1000 AS LONG) AS id", "id AS payload")
+        .union(spark.range(1000).selectExpr("1000 + id * 9 AS id", "id AS payload"))
+        .repartition(10)
+        .write.format("lance").save(root2)
+      val hist2 = spark.read.format("lance").load(root2)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "id").flatMap(_._2.histogram)
+      assert(hist2.isEmpty,
+        "overlapping-range layout synthesized a histogram it cannot justify")
     } finally {
       spark.conf.unset("spark.sql.cbo.enabled")
       spark.conf.unset("spark.sql.statistics.histogram.enabled")

@@ -38,6 +38,8 @@ class EntrySpec extends SparkSpec {
     "q_events_moving" -> 30,
     "knn_cosine" -> 10,
     "knn_join" -> 100,
+    "knn_join_pq" -> 100,
+    "knn_join_sql" -> 100,
     "emb_quantize" -> 500,
     "knn_cosine_f64" -> 10,
     "knn_l2" -> 10,
