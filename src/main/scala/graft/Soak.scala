@@ -221,6 +221,62 @@ object Soak {
         s"docs=${shards.getLong(1)}")
     }
 
+    // text_crossdup over documents ×dmult (replica suffixes keep texts
+    // unique but 3-grams shared across replicas, so the common-gram set is
+    // dense — the worst case for the semi-join stage). Staged to expose
+    // where the time goes: (1) the one unavoidable full-stream shuffle
+    // (gram groupBy for the nd counts), (2) the semi-join against the
+    // common grams + per-doc re-aggregation, (3) the final doc-keyed join.
+    timed("text_crossdup: total") {
+      val grams = docs
+        .select(col("doc_id"), graft.operators.TextAnalysis.tokens.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("gs"))
+        .localCheckpoint(true) // isolate tokenization from the stages under test
+      val pairs = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+      timed("  stage 1: gram groupBy (nd)") {
+        val common = pairs.groupBy("g")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 6).select("g")
+          .localCheckpoint(true)
+        println(s"[soak]   common grams = ${common.count()}")
+        timed("  stage 2: semi-join + doc agg") {
+          val nCommon = pairs.join(common, Seq("g"), "left_semi")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+            .localCheckpoint(true)
+          println(s"[soak]   docs with common grams = ${nCommon.count()}")
+          timed("  stage 3: doc-keyed join") {
+            val res = grams.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+              .join(nCommon, Seq("doc_id"), "left")
+              .agg(count(lit(1)), sum(coalesce(col("n_common"), lit(0L))))
+              .first()
+            println(s"[soak]   docs=${res.getLong(0)} common-gram hits=${res.getLong(1)}")
+          }
+        }
+      }
+    }
+
+    // text_chunk over documents ×dmult: one builtin-only map stage —
+    // should scale linearly with input splits, zero shuffle
+    timed("text_chunk map-only") {
+      val d = docs
+        .select(col("doc_id"), graft.operators.TextAnalysis.tokens.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      val len = least(lit(64), col("n") - col("start"))
+      val chunks = d
+        .select(col("doc_id"), col("w"), col("n"),
+          posexplode(expr("sequence(0, n - 1, 48)")))
+        .toDF("doc_id", "w", "n", "chunk_idx", "start")
+        .select(col("doc_id"), col("chunk_idx"), len.as("chunk_tokens"),
+          aggregate(slice(col("w"), col("start") + 1, len), lit(0L),
+            (a, x) => a + length(x)).as("chunk_chars"))
+      val agg = chunks.agg(count(lit(1)), sum("chunk_chars")).first()
+      println(s"[soak]   chunks=${agg.getLong(0)} chars=${agg.getLong(1)}")
+    }
+
     // distributed KNN join: ~2k query rows against the ×mult corpus,
     // cell-blocked (candidates per query ≈ corpus × probes/cells, never
     // corpus × queries) — the batch retrieval shape

@@ -70,7 +70,7 @@ object TextAnalysis extends QueryModule {
     "least(1.0, nt / 100.0) * 0.4 + dr * 0.4 + least(1.0, sc / nt * 5.0) * 0.2"
 
   /** Tokenizer column shared with the pipeline. */
-  private[operators] def tokens: Column = toksCol
+  private[graft] def tokens: Column = toksCol
 
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(col("w")).cast("double")
@@ -265,24 +265,36 @@ object TextAnalysis extends QueryModule {
   // sibling of text_repetition's within-doc duplicates): the fraction of a
   // doc's distinct word-3-grams that also appear in >= CrossdupMinDocs
   // OTHER documents — near-1 for mirrored/templated content. Shape at
-  // scale: one explode + groupBy on the gram (shuffle bounded by distinct
-  // grams, the gram table is the corpus vocabulary not the corpus) + one
-  // join back; no all-pairs anything.
+  // scale: the gram groupBy shuffles the full doc-gram pair stream once
+  // (linear in corpus token volume; the JOIN-KEY cardinality is the
+  // vocabulary, the shuffled volume is the corpus) — unavoidable, the nd
+  // counts need global grouping. Everything after is cut down: n_grams is
+  // computed map-side from the per-doc distinct-gram array (no join), and
+  // n_common semi-joins the gram stream against only the COMMON grams
+  // (nd >= threshold) — on a real corpus a tiny fraction of the
+  // vocabulary (template boilerplate), so the semi-join broadcasts and
+  // the doc_id re-aggregation shuffles only the common-gram hits instead
+  // of the full stream. No all-pairs anything.
   private val CrossdupMinDocs = 6 // the doc itself + 5 others
 
   private def textCrossdup(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    val base = docs(s, dir)
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
-        .as("g"))
-    val byGram = grams.groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
-    grams.join(byGram, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= CrossdupMinDocs, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+        .as("gs"))
+    val grams = base.select(col("doc_id"), explode(col("gs")).as("g"))
+    val commonGrams = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= CrossdupMinDocs)
+      .select("g")
+    val nCommon = grams.join(commonGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    base.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(nCommon, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        round(col("n_common").cast("double") / col("n_grams"), 6).as("crossdup_frac"))
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("crossdup_frac"))
       .orderBy("doc_id")
   }
 
