@@ -10,6 +10,7 @@ object SparkEntry {
     operators.VectorSearch,
     operators.TextAnalysis,
     operators.Dedup,
+    operators.Sampling,
     operators.Multimodal,
     operators.VectorIndex,
     operators.Temporal,

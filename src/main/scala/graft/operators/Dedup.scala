@@ -230,6 +230,39 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- dedup_canonical ---------------------------------------------------
+  // The SELECTION step that closes the dedup pipeline: pairs → components →
+  // ONE surviving document per component, chosen by QUALITY (not min-id —
+  // production recipes keep the best-written copy of a template, not the
+  // lowest-numbered). Composition of dedupMinhashLsh + clusterLabels +
+  // the shared quality score; ties on the rounded score break by doc_id so
+  // the choice is deterministic and oracle-reproducible. Scale shape: the
+  // label set covers only pair-docs (tiny vs the corpus), so docs OUTSIDE
+  // any cluster take the broadcast anti-join fast path (they survive as
+  // their own singleton, no window), and the rank window runs only over
+  // the clustered minority — one broadcast + one small window shuffle, no
+  // corpus-wide sort.
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = clusterLabels(s, dedupMinhashLsh(s, dir).select("a_id", "b_id"))
+    val lbl = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    val scored = t(s, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens)
+      .select(col("doc_id"), round(TextAnalysis.qualityScore, 6).as("quality"))
+    val singletons = scored.join(broadcast(lbl), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("doc_id").as("canonical_id"),
+        lit(1L).as("n_docs"), col("quality"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+    val clustered = scored.join(broadcast(lbl), "doc_id")
+      .withColumn("rk", row_number().over(byQuality))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("n_docs"), col("quality"))
+    singletons.union(clustered).orderBy("cluster_id")
+  }
+
   // ---- dedup_embedding ---------------------------------------------------
   // Embedding-cosine near-dup, blocked by the coarse cluster id (`label` —
   // at scale this is the IVF/KMeans cell id): pairs only form inside a
@@ -252,6 +285,7 @@ object Dedup extends QueryModule {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_clusters" -> dedupClusters,
+    "dedup_canonical" -> dedupCanonical,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding)
@@ -300,6 +334,43 @@ object Dedup extends QueryModule {
          |SELECT lbl AS keep_id, count(*) AS n_docs,
          |  CAST(sum(node) AS BIGINT) AS sum_ids
          |FROM comp GROUP BY lbl ORDER BY keep_id""".stripMargin,
+    // same components as the dedup_clusters oracle, then the best-QUALITY
+    // doc per component survives (ties by doc_id); docs outside every
+    // cluster survive as their own singleton
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= $JaccardTau),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT a_id, a_id FROM pairs
+         |  UNION SELECT b_id, b_id FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a),
+         |st AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS nt,
+         |  CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE) AS sc,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr
+         |  FROM d),
+         |q AS (SELECT doc_id,
+         |  round(least(1.0, nt / 100.0) * 0.4 + dr * 0.4 + least(1.0, sc / nt * 5.0) * 0.2, 6) AS quality
+         |  FROM st),
+         |lab AS (SELECT q.doc_id, COALESCE(comp.lbl, q.doc_id) AS cluster_id, q.quality
+         |  FROM q LEFT JOIN comp ON q.doc_id = comp.node),
+         |r AS (SELECT cluster_id, doc_id, quality,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY cluster_id) AS n_docs
+         |  FROM lab)
+         |SELECT cluster_id, doc_id AS canonical_id, n_docs, quality
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, n_chars,
          |  list_distinct(list_transform(range(1, length(text) - 1),

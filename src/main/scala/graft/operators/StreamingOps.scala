@@ -193,10 +193,41 @@ object StreamingOps extends QueryModule {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming exact dedup — the ingestion-time form of dedup_exact: a
+    * running groupBy on the content hash keeps min(doc_id) + copy count
+    * per distinct text. State is ONE row per distinct hash — the
+    * irreducible floor for streaming dedup (you cannot decide "seen
+    * before?" with less), distributed across executors by the state-store
+    * hash partitioning (RocksDB-backed at production scale). Complete
+    * mode + foreachBatch keeps the result write DISTRIBUTED (no
+    * driver-side memory sink); the batch equivalence with dedup_exact IS
+    * the correctness statement. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("sdedup-src"); val dst = tmp("sdedup-dst"); val ckpt = tmp("sdedup-ckpt")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(d.schema).parquet(srcDir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("lance").mode("overwrite").save(dst)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    s.read.format("lance").load(dst)
+      .select("keep_id", "n_copies", "h")
+      .orderBy("keep_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_window" -> streamWindow,
-    "q_stream_sessions" -> streamSessions)
+    "q_stream_sessions" -> streamSessions,
+    "q_stream_dedup" -> streamDedup)
 
   val oracleSql: Map[String, String] = Map(
     "lance_stream_pipeline" ->
@@ -206,6 +237,9 @@ object StreamingOps extends QueryModule {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

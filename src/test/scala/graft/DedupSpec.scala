@@ -41,6 +41,36 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
+    val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // keep_id -> n_docs
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    // one survivor per cluster + one per unclustered doc
+    val clusteredNodes = clusters.values.sum
+    assert(canonical.length === nDocs - clusteredNodes + clusters.size)
+    val byCluster = canonical.map(r => r.getLong(0) -> r).toMap
+    // every multi-doc cluster appears with its size, and the canonical is
+    // NOT always min-id (quality actually decides) — checked via labels
+    clusters.foreach { case (keepId, n) =>
+      val row = byCluster(keepId)
+      assert(row.getLong(2) === n, s"cluster $keepId size")
+    }
+    // the canonical of each cluster has the max quality among members
+    val (labels, _) = operators.Dedup.clusterLabels(spark,
+      SparkEntry.queries("dedup_minhash_lsh")(spark, sf).select("a_id", "b_id"))
+    val quality = SparkEntry.queries("text_quality")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap // (doc_id, quality)
+    val members = labels.collect().groupBy(_.getLong(1))
+    members.foreach { case (lbl, rows) =>
+      val best = rows.map(r => (quality(r.getLong(0)), -r.getLong(0))).max
+      val chosen = byCluster(lbl).getLong(1)
+      assert((quality(chosen), -chosen) === best,
+        s"cluster $lbl canonical $chosen is not the best-quality member")
+    }
+  }
+
   test("hashed gram/shingle sets match their SQL-chain equivalents") {
     val docs = Tables.t(spark, sf, "documents").limit(50)
     val gramChain = expr("array_sort(transform(array_distinct(transform(" +

@@ -60,6 +60,10 @@ class EntrySpec extends SparkSpec {
     "dedup_exact" -> 500,
     "dedup_minhash_lsh" -> 28,
     "dedup_clusters" -> 21,
+    "dedup_canonical" -> 476,
+    "sample_hash" -> 500,
+    "sample_token_budget" -> 210,
+    "q_stream_dedup" -> 500,
     "dedup_simhash" -> 27,
     "dedup_ngram_jaccard" -> 8,
     "dedup_embedding" -> 5,
