@@ -28,7 +28,9 @@ object Bench {
     // appended r6
     "ivf_pq_search", "mm_frame_sample", "q_stream_sessions",
     // appended r9
-    "knn_join", "text_chunk", "text_crossdup")
+    "knn_join", "text_chunk", "text_crossdup",
+    // appended r10
+    "dedup_canonical", "sample_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -221,14 +221,20 @@ object Soak {
         s"docs=${shards.getLong(1)}")
     }
 
-    // text_crossdup over documents ×dmult (replica suffixes keep texts
-    // unique but 3-grams shared across replicas, so the common-gram set is
-    // dense — the worst case for the semi-join stage). Staged to expose
-    // where the time goes: (1) the one unavoidable full-stream shuffle
-    // (gram groupBy for the nd counts), (2) the semi-join against the
-    // common grams + per-doc re-aggregation, (3) the final doc-keyed join.
+    // text_crossdup over documents ×mult — a FULL ×mult replica (unlike the
+    // near-dup sections' ×dmult): replica suffixes keep texts unique but
+    // 3-grams shared across replicas, so the common-gram set is dense — the
+    // worst case for the semi-join stage. Staged to expose where the time
+    // goes: (1) the one unavoidable full-stream shuffle (gram groupBy for
+    // the nd counts), (2) the semi-join against the common grams + per-doc
+    // re-aggregation, (3) the final doc-keyed join.
+    val docTextPath = soakTable("documents", mult)((df, rep) =>
+      df.withColumn("doc_id", col("doc_id") * mult + rep)
+        .withColumn("text", concat(col("text"), lit(" r"), rep)))
+    val docsText = spark.read.parquet(docTextPath)
+    println(s"[soak] text-soak documents rows = ${docsText.count()}")
     timed("text_crossdup: total") {
-      val grams = docs
+      val grams = docsText
         .select(col("doc_id"), graft.operators.TextAnalysis.tokens.as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), array_distinct(expr(
@@ -261,7 +267,7 @@ object Soak {
     // text_chunk over documents ×dmult: one builtin-only map stage —
     // should scale linearly with input splits, zero shuffle
     timed("text_chunk map-only") {
-      val d = docs
+      val d = docsText
         .select(col("doc_id"), graft.operators.TextAnalysis.tokens.as("w"))
         .filter(size(col("w")) > 0)
         .select(col("doc_id"), col("w"), size(col("w")).as("n"))
@@ -286,6 +292,37 @@ object Soak {
         "vec_id", "vec_id", "embedding", k = 10, cells = 64, nprobes = 8)
       println(s"[soak]   result rows = ${out.count()}")
     }
+
+    // ADC batch retrieval at scale: the same ~2k-query join through a
+    // persisted IVF_PQ index — u8 codes ride the cell join instead of
+    // float vectors (dim floats -> M bytes per candidate), ADC ranks,
+    // k x refine survivors re-rank exact. Times both paths on identical
+    // probes and reports the ADC path's recall vs the float-vector join.
+    val pqRoot = s"$out/ivfpq_x$mult"
+    if (!new java.io.File(pqRoot).exists()) {
+      timed("ivf_pq build (64 cells)") {
+        operators.IndexBuild.build(spark, emb, pqRoot,
+          Map("index.type" -> "IVF_PQ", "index.num-partitions" -> "64"))
+      }
+    }
+    val pqIdx = operators.IndexBuild.load(spark, pqRoot)
+    val qs2 = emb.filter(col("vec_id") % 100 === 0)
+    val floatTop = timed("knn join (float vectors, persisted idx, 8 probes)") {
+      val r = operators.VectorSearch.knnJoin(spark, qs2, pqIdx,
+        "vec_id", k = 10, metric = "l2", nprobes = 8, excludeSelf = true)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      println(s"[soak]   result rows = ${r.length}")
+      r.toSet
+    }
+    val adcTop = timed("knn join (ADC codes, 8 probes, refine 4)") {
+      val r = operators.VectorSearch.knnJoinPq(spark, qs2, pqIdx,
+        "vec_id", k = 10, nprobes = 8, refine = 4)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      println(s"[soak]   result rows = ${r.length}")
+      r.toSet
+    }
+    println(f"[soak]   ADC recall vs float join = ${
+      adcTop.intersect(floatTop).size.toDouble / floatTop.size}%.4f")
 
     // emb_quantize throughput: pure map-side higher-order functions —
     // should scale linearly with rows, no shuffle

@@ -71,6 +71,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_canonical plan: unclustered docs take the broadcast anti-join fast path") {
+    val plan = SparkEntry.queries("dedup_canonical")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in the canonical plan:\n$plan")
+    assert(plan.toLowerCase.contains("leftanti"),
+      s"no anti-join fast path in the canonical plan:\n$plan")
+  }
+
   test("hashed gram/shingle sets match their SQL-chain equivalents") {
     val docs = Tables.t(spark, sf, "documents").limit(50)
     val gramChain = expr("array_sort(transform(array_distinct(transform(" +

@@ -52,4 +52,19 @@ class SamplingSpec extends SparkSpec {
     }.toSet
     assert(res.map(_.getLong(1)).toSet === expected)
   }
+
+  test("plan shapes: sample_hash shuffles nothing; token budget shuffles once on source") {
+    val hashPlan = SparkEntry.queries("sample_hash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the split assignment itself is map-only: the only exchange allowed
+    // is the final presentation orderBy's range partitioning
+    assert(!hashPlan.contains("hashpartitioning"),
+      s"sample_hash plans a hash shuffle:\n$hashPlan")
+    val budgetPlan = SparkEntry.queries("sample_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning\\(source".r
+      .findAllMatchIn(budgetPlan).size
+    assert(hashExchanges === 1,
+      s"expected exactly one source-keyed shuffle, got $hashExchanges:\n$budgetPlan")
+  }
 }
