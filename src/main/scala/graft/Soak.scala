@@ -309,7 +309,7 @@ object Soak {
     val qs2 = emb.filter(col("vec_id") % 100 === 0)
     val floatTop = timed("knn join (float vectors, persisted idx, 8 probes)") {
       val r = operators.VectorSearch.knnJoin(spark, qs2, pqIdx,
-        "vec_id", k = 10, metric = "l2", nprobes = 8, excludeSelf = true)
+        "vec_id", k = 10, metric = "l2", nprobes = 8, excludeSelf = true, cIdCol = "vec_id")
         .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
       println(s"[soak]   result rows = ${r.length}")
       r.toSet

@@ -131,6 +131,25 @@ object PqGen {
   private[functions] def nullElemCheck(a: String, n: Int, enabled: Boolean): String =
     if (!enabled) ""
     else s" || graft.functions.PqGen$$.MODULE$$.hasNullElem($a, $n)"
+
+  /** True when any of the first `m` code values falls outside [0, codes) —
+    * an out-of-range code would index past (or into a neighboring
+    * subspace of) the codebook matrix; malformed input degrades to null
+    * like every other arity/null case, never an AIOOBE or a silently
+    * wrong distance. */
+  def hasBadCode(a: ArrayData, m: Int, codes: Int): Boolean = {
+    var i = 0
+    while (i < m) {
+      val c = a.getInt(i)
+      if (c < 0 || c >= codes) return true
+      i += 1
+    }
+    false
+  }
+
+  /** A `|| hasBadCode(...)` clause for generated guard conditions. */
+  private[functions] def codeRangeCheck(a: String, m: Int, codes: Int): String =
+    s" || graft.functions.PqGen$$.MODULE$$.hasBadCode($a, $m, $codes)"
 }
 
 /** Nearest-centroid cell assignment: argmin_c ||v − centroids[c]||², first
@@ -225,8 +244,8 @@ case class NearestCell(child: Expression, centroids: Array[Double],
   * arithmetic cost as an exact distance, but the CORPUS side of the join
   * carries only the M-int code array instead of the full float vector,
   * which is the ~(4·dim)/(4·M)× shuffle-byte cut that keeps a 100 TB
-  * cell join from spilling. Null on code/dim arity mismatch or null
-  * elements. */
+  * cell join from spilling. Null on code/dim arity mismatch, null
+  * elements, or out-of-range codes. */
 case class PqAdcPair(left: Expression, right: Expression,
                      codebooks: Array[Double], m: Int, codes: Int, subDim: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -255,6 +274,7 @@ case class PqAdcPair(left: Expression, right: Expression,
     if (cd.numElements() != m || q.numElements() != m * subDim) return null
     if (codesMayHaveNulls && PqGen.hasNullElem(cd, m)) return null
     if (queryMayHaveNulls && PqGen.hasNullElem(q, m * subDim)) return null
+    if (PqGen.hasBadCode(cd, m, codes)) return null
     val isF = queryIsFloat
     var sum = 0.0
     var mm = 0
@@ -283,7 +303,8 @@ case class PqAdcPair(left: Expression, right: Expression,
       val diff = ctx.freshName("diff")
       s"""if ($cd.numElements() != $m || $q.numElements() != ${m * subDim}${
              PqGen.nullElemCheck(cd, m, codesMayHaveNulls)}${
-             PqGen.nullElemCheck(q, m * subDim, queryMayHaveNulls)}) {
+             PqGen.nullElemCheck(q, m * subDim, queryMayHaveNulls)}${
+             PqGen.codeRangeCheck(cd, m, codes)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $sum = 0.0;
@@ -428,6 +449,7 @@ case class PqAdc(child: Expression, lut: Array[Double],
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != m) return null
     if (mayHaveNullElems && PqGen.hasNullElem(a, m)) return null
+    if (PqGen.hasBadCode(a, m, codes)) return null
     var sum = 0.0
     var mm = 0
     while (mm < m) {
@@ -441,7 +463,8 @@ case class PqAdc(child: Expression, lut: Array[Double],
     val t = ctx.addReferenceObj("pqLut", lut, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val sum = ctx.freshName("sum"); val mm = ctx.freshName("m")
-      s"""if ($a.numElements() != $m${PqGen.nullElemCheck(a, m, mayHaveNullElems)}) {
+      s"""if ($a.numElements() != $m${PqGen.nullElemCheck(a, m, mayHaveNullElems)}${
+             PqGen.codeRangeCheck(a, m, codes)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $sum = 0.0;

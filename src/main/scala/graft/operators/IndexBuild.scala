@@ -27,10 +27,20 @@ object IndexBuild {
 
   case class PqMeta(flat: Array[Double], m: Int, codes: Int, subDim: Int)
 
+  /** `epoch` is the sidecar file this handle's centroids/codebooks came
+    * from (`meta-<uuid>.json`); reads through the handle verify the
+    * table still points at it, so a handle that outlives a rebuild fails
+    * loudly instead of mixing old codebooks with re-encoded data. */
   case class BuiltIndex(root: String, opts: VectorIndexOptions,
                         centroids: Array[Vector], pq: Option[PqMeta],
                         graph: Option[CentroidGraph],
-                        residual: Option[Double] = None)
+                        residual: Option[Double] = None,
+                        epoch: Option[String] = None)
+
+  /** The manifest property naming the live index sidecar file — stamped in
+    * the SAME commit as the indexed data (see `commit.prop.` in
+    * LanceWrite), which is what makes rebuild atomic. */
+  val MetaProp = "index.meta"
 
   private val toVec = udf { a: Seq[Double] => Vectors.dense(a.toArray) }
 
@@ -45,15 +55,48 @@ object IndexBuild {
 
   /** Full rebuild IN PLACE — fresh centroids / codebooks / graph trained
     * from the dataset's CURRENT rows (the repair step once appended data
-    * has drifted past the frozen centroids): reads the indexed rows, drops
-    * the stale cell/codes columns, retrains with the index's own recorded
-    * options and overwrites atomically — the write's scan plans against
-    * the old manifest version, whose fragments stay on disk until vacuum,
-    * so readers never see a half-built index. */
+    * has drifted past the frozen centroids): reads the indexed rows at
+    * ONE pinned version, drops the stale cell/codes columns, retrains
+    * with the index's own recorded options and overwrites atomically.
+    * Atomicity is the sidecar EPOCH swap: the new sidecar lands at an
+    * invisible `meta-<uuid>.json` path BEFORE the data commit, and the
+    * overwrite commit itself stamps `index.meta` at the new file — so at
+    * every crash point readers resolve a manifest whose data and sidecar
+    * were written together (old pair before the commit, new pair after;
+    * old fragments stay on disk until vacuum for time travel). */
   def rebuild(s: SparkSession, idx: BuiltIndex): BuiltIndex = {
-    val data = s.read.format("lance").load(idx.root)
+    val data = s.read.format("lance").options(pinnedOptions(s, idx)).load(idx.root)
       .drop("cell", "codes")
     buildWith(s, data, idx.root, idx.opts, overwrite = true)
+  }
+
+  /** Resolve ONE manifest version for every read an index operation makes
+    * (multi-read plans like the ADC join's codes-then-vectors pair must
+    * not straddle a concurrent commit), and verify the table still points
+    * at this handle's sidecar — a handle that outlives a rebuild would
+    * otherwise score fresh codes with stale codebooks. */
+  private[graft] def pinnedOptions(s: SparkSession, idx: BuiltIndex): Map[String, String] = {
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+    graft.sources.lance.ManifestIO.loadLatest(idx.root, conf) match {
+      case None => Map.empty
+      case Some(m) =>
+        val cur = m.props.get(MetaProp)
+        if (idx.epoch.isDefined && cur.isDefined && cur != idx.epoch)
+          throw new IllegalStateException(
+            s"index at ${idx.root} was rebuilt since this handle loaded " +
+              s"(sidecar ${idx.epoch.get} -> ${cur.get}); IndexBuild.load a fresh handle")
+        Map("versionAsOf" -> m.version.toString)
+    }
+  }
+
+  /** Does `root` carry a persisted index? Checks the manifest's sidecar
+    * pointer first (the atomic source of truth), then the legacy fixed
+    * `_index/meta.json` path. */
+  def exists(s: SparkSession, root: String): Boolean = {
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+    graft.sources.lance.ManifestIO.loadLatest(root, conf)
+      .exists(_.props.contains(MetaProp)) ||
+      metaPath(root).getFileSystem(conf).exists(metaPath(root))
   }
 
   private def buildWith(s: SparkSession, source: DataFrame, root: String,
@@ -85,22 +128,28 @@ object IndexBuild {
         graft.functions.pq_encode(col(vecCol), p.flat, p.m, p.codes, p.subDim))
       case None => assigned
     }
+    val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
+                else Some(CentroidGraph.build(s, centroids, io.hnswM,
+                  io.efConstruction, io.maxLevel))
+    // baseline quantization error, recorded for drift monitoring: the mean
+    // distance of a row to its assigned centroid — computed from the
+    // pre-write plan (the same rows the write persists) so the sidecar is
+    // COMPLETE before the data commit makes it visible
+    val residual = meanResidual(s, indexed, vecCol, centroids)
+    // sidecar first, at an epoch path no reader resolves yet; THEN the data
+    // commit stamps `index.meta` at it — data and sidecar swap atomically,
+    // so a crash at any point leaves readers on a consistent (old or new)
+    // data+sidecar pair, never new cell/codes under old centroids/codebooks
+    val epochFile = s"meta-${java.util.UUID.randomUUID().toString.take(12)}.json"
+    writeMeta(s, root, io, dim, centroids, pq, graph, Some(residual), epochFile)
     indexed
       .repartitionByRange(cells, col("cell"))
       .sortWithinPartitions("cell")
       .write.format("lance")
+      .option(s"commit.prop.$MetaProp", epochFile)
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .save(root)
-
-    val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
-                else Some(CentroidGraph.build(s, centroids, io.hnswM,
-                  io.efConstruction, io.maxLevel))
-    // baseline quantization error, recorded for drift monitoring: the
-    // mean distance of a row to its assigned centroid at build time
-    val residual = meanResidual(s,
-      s.read.format("lance").load(root), vecCol, centroids)
-    writeMeta(s, root, io, dim, centroids, pq, graph, Some(residual))
-    BuiltIndex(root, io, centroids, pq, graph, Some(residual))
+    BuiltIndex(root, io, centroids, pq, graph, Some(residual), Some(epochFile))
   }
 
   /** Mean L2 distance of each row to its assigned cell's centroid — the
@@ -127,7 +176,8 @@ object IndexBuild {
     val base = idx.residual.getOrElse(throw new IllegalStateException(
       s"index at ${idx.root} has no recorded baseline residual (pre-drift sidecar)"))
     val cur = meanResidual(s,
-      s.read.format("lance").load(idx.root), idx.opts.column, idx.centroids)
+      s.read.format("lance").options(pinnedOptions(s, idx)).load(idx.root),
+      idx.opts.column, idx.centroids)
     if (base == 0.0) 1.0 else cur / base
   }
 
@@ -233,13 +283,14 @@ object IndexBuild {
 
   // ---- sidecar persistence (json4s, as ManifestIO) -----------------------
 
-  private def metaPath(root: String) =
-    new org.apache.hadoop.fs.Path(root, "_index/meta.json")
+  private def metaPath(root: String, file: String = "meta.json") =
+    new org.apache.hadoop.fs.Path(root, s"_index/$file")
 
   private def writeMeta(s: SparkSession, root: String, io: VectorIndexOptions,
                         dim: Int, centroids: Array[Vector], pq: Option[PqMeta],
                         graph: Option[CentroidGraph],
-                        residual: Option[Double] = None): Unit = {
+                        residual: Option[Double] = None,
+                        file: String = "meta.json"): Unit = {
     val j = JObject(
       "indexType" -> JString(io.indexType),
       "column" -> JString(io.column),
@@ -258,8 +309,8 @@ object IndexBuild {
           "adj" -> JArray(layer.members.toList.map(gid =>
             JArray(layer.adj(gid).toList.map(JInt(_)))))))))).getOrElse(JNothing))
     val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
-    val fs = metaPath(root).getFileSystem(conf)
-    val out = fs.create(metaPath(root), true)
+    val fs = metaPath(root, file).getFileSystem(conf)
+    val out = fs.create(metaPath(root, file), true)
     try out.write(JsonMethods.compact(JsonMethods.render(j))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -267,7 +318,12 @@ object IndexBuild {
 
   def load(s: SparkSession, root: String): BuiltIndex = {
     val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
-    val p = metaPath(root)
+    // the manifest's sidecar pointer is the source of truth (stamped in the
+    // same commit as the data); the fixed meta.json path is the pre-pointer
+    // legacy fallback
+    val pointer = graft.sources.lance.ManifestIO.loadLatest(root, conf)
+      .flatMap(_.props.get(MetaProp))
+    val p = pointer.map(metaPath(root, _)).getOrElse(metaPath(root))
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
@@ -320,6 +376,6 @@ object IndexBuild {
       case JNothing | JNull => None
       case v => Some(num(v))
     }
-    BuiltIndex(root, io, centroids, pq, graph, residual)
+    BuiltIndex(root, io, centroids, pq, graph, residual, epoch = pointer)
   }
 }

@@ -23,6 +23,18 @@ object StreamingOps extends QueryModule {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft-$prefix-").toString
 
+  /** Drain an AvailableNow query, failing LOUDLY on timeout:
+    * awaitTermination's boolean is easy to drop, and falling through to
+    * read the sink while the query is still writing turns a slow machine
+    * into a confusing partial-snapshot failure instead of this error. */
+  private[operators] def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                               ms: Long = 120000L): Unit =
+    if (!q.awaitTermination(ms)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query ${q.id} did not drain within ${ms}ms")
+    }
+
   /** lance → filter/project → lance: the full source→sink path. The sink
     * commit is the manifest-txn exactly-once path; the source enumerates
     * fragment deltas per micro-batch (no re-reads, no duplicates). */
@@ -37,7 +49,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    q.awaitTermination(120000)
+    drain(q)
     s.read.format("lance").load(dst)
       .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("sum_key"))
   }
@@ -67,7 +79,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    q.awaitTermination(120000)
+    drain(q)
     s.read.format("lance").load(dst)
       .filter(col("w_start") <= lit(maxTs)) // drop the sentinel's window if emitted
       .orderBy("w_start")
@@ -187,7 +199,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    q.awaitTermination(120000)
+    drain(q)
     s.read.format("lance").load(dst)
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "session_start")
@@ -217,7 +229,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     s.read.format("lance").load(dst)
       .select("keep_id", "n_copies", "h")
       .orderBy("keep_id")

@@ -154,7 +154,7 @@ object VectorSearch extends QueryModule {
     * path: build the index once, join query batches forever. */
   def knnJoin(s: SparkSession, queries: DataFrame, idx: IndexBuild.BuiltIndex,
               qIdCol: String, k: Int, metric: String, nprobes: Int,
-              excludeSelf: Boolean): DataFrame = {
+              excludeSelf: Boolean, cIdCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = idx.centroids.length
     val flat = idx.centroids.flatMap(_.toArray)
@@ -164,8 +164,11 @@ object VectorSearch extends QueryModule {
     val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
       explode(graft.functions.nearest_cells(col(vecCol), flat, cells, dim, p))
         .as("__cell"))
-    val c = s.read.format("lance").load(idx.root)
-      .select(col("vec_id").as("n_id"), col(vecCol).as("__cv"),
+    // pinned: verifies the table still points at this handle's sidecar (a
+    // rebuild between load and join would re-cell the data under us)
+    val c = s.read.format("lance")
+      .options(IndexBuild.pinnedOptions(s, idx)).load(idx.root)
+      .select(col(cIdCol).as("n_id"), col(vecCol).as("__cv"),
         col("cell").as("__cell"))
     val (score, asc) = metric match {
       case "l2" => ((a: Column, b: Column) => vec_l2(a, b), true)
@@ -215,7 +218,7 @@ object VectorSearch extends QueryModule {
     * L2 only: ADC reconstructs squared-L2 from the codebooks. */
   def knnJoinPq(s: SparkSession, queries: DataFrame, idx: IndexBuild.BuiltIndex,
                 qIdCol: String, k: Int, nprobes: Int, refine: Int = 4,
-                excludeSelf: Boolean = true): DataFrame = {
+                excludeSelf: Boolean = true, cIdCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pq = idx.pq.getOrElse(throw new IllegalArgumentException(
       s"knnJoinPq: index at ${idx.root} has no PQ codebooks (build with index.type=IVF_PQ)"))
@@ -225,28 +228,39 @@ object VectorSearch extends QueryModule {
     val dim = flat.length / cells
     val p = if (nprobes <= 0) cells else math.min(nprobes, cells)
     val vecCol = idx.opts.column
+    // ONE pinned version for both index reads below (codes for scoring,
+    // vectors for the re-rank): a commit landing between them would score
+    // against one snapshot and re-rank against another, silently dropping
+    // re-written ids from the inner join
+    val pinned = IndexBuild.pinnedOptions(s, idx)
     val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
       explode(graft.functions.nearest_cells(col(vecCol), flat, cells, dim, p))
         .as("__cell"))
     // corpus side of the cell join: id + codes + cell ONLY — the float
     // vector column stays out of the scan (column pruning) and out of the
     // shuffle; it is read again below for just the k×refine re-rank rows
-    val c = s.read.format("lance").load(idx.root)
-      .select(col("vec_id").as("n_id"), col("codes").as("__codes"),
+    val c = s.read.format("lance").options(pinned).load(idx.root)
+      .select(col(cIdCol).as("n_id"), col("codes").as("__codes"),
         col("cell").as("__cell"))
     val joined0 = q.join(c, "__cell")
     val joined = if (excludeSelf) joined0.filter(col("q_id") =!= col("n_id")) else joined0
+    // the ADC scores while __qv is at hand (it rode the cell join on the
+    // QUERY side — |Q|×nprobes rows, not per-candidate), then the window's
+    // per-query shuffle moves only (q_id, n_id, __adc): hauling the float
+    // query vector per CANDIDATE row through that exchange would give back
+    // most of the bytes the codes-not-vectors join saved
     val candidates = joined
-      .select(col("q_id"), col("n_id"), col("__qv"),
+      .select(col("q_id"), col("n_id"),
         round(graft.functions.pq_adc_pair(col("__codes"), col("__qv"),
           pq.flat, pq.m, pq.codes, pq.subDim), 6).as("__adc"))
       .withColumn("__ark", row_number()
         .over(Window.partitionBy("q_id").orderBy(col("__adc").asc, col("n_id").asc)))
       .filter(col("__ark") <= k * refine)
-      .select("q_id", "n_id", "__qv")
-    val vecs = s.read.format("lance").load(idx.root)
-      .select(col("vec_id").as("n_id"), col(vecCol).as("__cv"))
-    candidates.join(vecs, "n_id")
+      .select("q_id", "n_id")
+    val vecs = s.read.format("lance").options(pinned).load(idx.root)
+      .select(col(cIdCol).as("n_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+    candidates.join(vecs, "n_id").join(qv, "q_id")
       .select(col("q_id"), col("n_id"),
         round(vec_l2(col("__cv"), col("__qv")), 6).as("dist"))
       .withColumn("rk", row_number()

@@ -177,8 +177,7 @@ object LanceProcedures {
         Some(in.getUTF8String(9).toString.trim).filter(_.nonEmpty)
           .map(org.apache.spark.sql.functions.expr)
       val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
-      val hasIndex = ManifestIO.fs(root, conf)
-        .exists(new org.apache.hadoop.fs.Path(root, "_index/meta.json"))
+      val hasIndex = graft.operators.IndexBuild.exists(spark, root)
       import org.apache.spark.sql.functions._
       // pin EVERY read of this call to one manifest version: the ranked
       // search and the matched-row lookup below are two separate reads,
@@ -325,8 +324,7 @@ object LanceProcedures {
       val outTable = in.getUTF8String(11).toString.trim
       val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
       val queries = spark.read.format("lance").load(qRoot)
-      val hasIndex = ManifestIO.fs(cRoot, conf)
-        .exists(new org.apache.hadoop.fs.Path(cRoot, "_index/meta.json"))
+      val hasIndex = graft.operators.IndexBuild.exists(spark, cRoot)
       val result =
         if (hasIndex) {
           val idx = graft.operators.IndexBuild.load(spark, cRoot)
@@ -337,10 +335,10 @@ object LanceProcedures {
               "lance knn_join: the ADC/PQ path reconstructs L2 — use metric => 'l2' " +
                 "or refine => 0 for the stored-vector join")
             graft.operators.VectorSearch.knnJoinPq(spark, queries, idx, qId,
-              k, nprobes, refine, excludeSelf)
+              k, nprobes, refine, excludeSelf, cIdCol = cId)
           } else {
             graft.operators.VectorSearch.knnJoin(spark, queries, idx, qId,
-              k, metric, nprobes, excludeSelf)
+              k, metric, nprobes, excludeSelf, cIdCol = cId)
           }
         } else {
           val corpus = spark.read.format("lance").load(cRoot)

@@ -975,9 +975,14 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
       // doesn't have and mislead the CBO worse than no histogram. Gate on
       // near-disjoint ranges — a small overlap allowance covers compaction
       // boundaries and duplicate boundary values.
-      val overlapping = parts.sliding(2).count {
-        case scala.collection.Seq((_, hi1, _), (lo2, _, _)) => lo2 < hi1
-        case _ => false
+      // overlap vs the running max-hi, not the immediate predecessor: one
+      // wide legacy fragment spanning many tight clustered ones would count
+      // a single adjacent overlap and sneak past a pairwise check
+      var maxHi = Double.NegativeInfinity
+      var overlapping = 0
+      parts.foreach { case (lo, hi, _) =>
+        if (lo < maxHi) overlapping += 1
+        maxHi = math.max(maxHi, hi)
       }
       if (overlapping * 5 > parts.size - 1) return None
       val total = parts.map(_._3).sum

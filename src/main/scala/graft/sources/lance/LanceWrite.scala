@@ -130,6 +130,17 @@ class LanceWrite(root: String, schema: StructType,
     }
   }
 
+  // ---- atomic property stamps --------------------------------------------
+  // write options prefixed `commit.prop.` fold into the manifest's table
+  // properties IN THE SAME COMMIT as the data — the channel that lets a
+  // writer swap data and a metadata pointer (e.g. the vector-index sidecar
+  // `index.meta`) atomically: readers resolve one manifest and see either
+  // the old pair or the new pair, never a mix, whatever the crash point.
+  private val propStamps: Map[String, String] = options.collect {
+    case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("commit.prop.") =>
+      k.substring("commit.prop.".length) -> v
+  }
+
   private def sortOrders(cols: Seq[String]) = cols.map(c =>
     org.apache.spark.sql.connector.expressions.Expressions.sort(
       org.apache.spark.sql.connector.expressions.Expressions.column(c),
@@ -194,7 +205,9 @@ class LanceWrite(root: String, schema: StructType,
         if (frags == null) None
         else Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty),
           if (truncateAll) "overwrite"
-          else if (replacePlan.isDefined) "replace" else "append"))
+          else if (replacePlan.isDefined) "replace" else "append",
+          props = if (propStamps.isEmpty) None
+                  else Some(prev.map(_.props).getOrElse(Map.empty) ++ propStamps)))
       }
       if (committed.isEmpty) {
         replacePlan.foreach(_.abandon(root, conf.value))
@@ -612,6 +625,12 @@ object LanceBatchSave {
       // the V1 path only sorts within partitions by write.sort-by (range
       // repartitioning alone does not order rows inside a partition)
       sortedBy = sortBy)
+    // `commit.prop.` options fold into the manifest props IN this commit —
+    // the same atomic stamp channel as the V2 batch path (see LanceWrite)
+    val propStamps = options.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("commit.prop.") =>
+        k.substring("commit.prop.".length) -> v
+    }
     ManifestIO.commit(root, conf) { latest =>
       // append keeps the winner's (possibly concurrently-evolved) schema;
       // overwrite installs the new one
@@ -620,7 +639,9 @@ object LanceBatchSave {
       val frags = if (append) latest.map(_.fragments).getOrElse(Seq.empty) ++ stamped
                   else stamped
       Some(LanceCommit(tableSchema, frags, latest.map(_.txns).getOrElse(Map.empty),
-        if (append) "append" else "overwrite"))
+        if (append) "append" else "overwrite",
+        props = if (propStamps.isEmpty) None
+                else Some(latest.map(_.props).getOrElse(Map.empty) ++ propStamps)))
     }
   }
 

@@ -164,6 +164,26 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(nearest_cell(typedLit(Seq(Some(6f), Some(6f))), flat3, 3, 2)) === 2)
   }
 
+  test("out-of-range PQ codes null the ADC result, never index past the codebook") {
+    // pq_adc / pq_adc_pair are public over arbitrary array<int> columns: a
+    // code outside [0, codes) must degrade to null like every other
+    // malformed-input case — not AIOOBE, not a neighboring subspace's
+    // codebook entry (r10 review)
+    val cb = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, -5.0, -5.0) // m=2,codes=2,subDim=2
+    val lut = Array(162.0, 2.0, 2.0, 162.0)
+    for (bad <- Seq(Seq(300, 0), Seq(-1, 0), Seq(1, 2))) {
+      val lit = Literal.create(bad, ArrayType(IntegerType))
+      assert(PqAdc(lit, lut, 2, 2).eval(null) == null, s"pq_adc $bad")
+      assert(PqAdcPair(lit, fLit(9f, 9f, 4f, 4f), cb, 2, 2, 2).eval(null) == null,
+        s"pq_adc_pair $bad")
+      assert(viaDf(pq_adc(typedLit(bad), lut, 2, 2)) == null, s"codegen pq_adc $bad")
+      assert(viaDf(pq_adc_pair(typedLit(bad), typedLit(Seq(9f, 9f, 4f, 4f)),
+        cb, 2, 2, 2)) == null, s"codegen pq_adc_pair $bad")
+    }
+    // boundary codes still compute
+    assert(viaDf(pq_adc(typedLit(Seq(1, 0)), lut, 2, 2)) === 2.0)
+  }
+
   test("rolling fingerprint known value ('Hi' -> 2337), interpreted == codegen") {
     // h = ((0*31+72)%p)*31 + 105 = 2337 — mirrored by the DuckDB oracle
     val i = RollingFingerprint(Literal("Hi")).eval(null)

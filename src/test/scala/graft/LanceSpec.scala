@@ -1835,6 +1835,22 @@ class LanceSpec extends SparkSpec {
         .find(_._1.name == "id").flatMap(_._2.histogram)
       assert(hist2.isEmpty,
         "overlapping-range layout synthesized a histogram it cannot justify")
+      // ...and so must a MOSTLY-clustered layout with one wide legacy
+      // fragment spanning all the others: pairwise-adjacent overlap
+      // counting sees a single overlap there and passes; the gate must
+      // compare against the running max-hi instead (r10 review)
+      val root3 = tmp() + "/hist-widefrag"
+      spark.range(9000).selectExpr("CAST(id % 1000 AS LONG) AS id", "id AS payload")
+        .union(spark.range(1000).selectExpr("1000 + id * 9 AS id", "id AS payload"))
+        .repartitionByRange(10, col("id")).sortWithinPartitions("id")
+        .write.format("lance").save(root3)
+      spark.range(10000).selectExpr("id", "id AS payload")
+        .coalesce(1).write.format("lance").mode("append").save(root3)
+      val hist3 = spark.read.format("lance").load(root3)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "id").flatMap(_._2.histogram)
+      assert(hist3.isEmpty,
+        "one wide fragment over a clustered layout snuck past the overlap gate")
     } finally {
       spark.conf.unset("spark.sql.cbo.enabled")
       spark.conf.unset("spark.sql.statistics.histogram.enabled")

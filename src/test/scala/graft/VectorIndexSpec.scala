@@ -294,6 +294,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"post-rebuild partial-probe recall: $recall")
   }
 
+  test("rebuild swaps data and sidecar ATOMICALLY via the epoch pointer; stale handles fail loudly") {
+    import graft.operators.{IndexBuild, VectorSearch}
+    import graft.sources.lance.ManifestIO
+    val root = java.nio.file.Files.createTempDirectory("graft-epoch-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    val idx = IndexBuild.build(spark, e.filter(col("vec_id") < 300), root,
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "8"))
+    // the sidecar pointer rides the DATA commit itself (same manifest):
+    // whatever the crash point, readers resolve a consistent pair
+    val m1 = ManifestIO.loadLatest(root, conf).get
+    assert(idx.epoch.isDefined)
+    assert(m1.props.get(IndexBuild.MetaProp) === idx.epoch)
+    val rebuilt = IndexBuild.rebuild(spark, idx)
+    val m2 = ManifestIO.loadLatest(root, conf).get
+    assert(rebuilt.epoch.isDefined && rebuilt.epoch != idx.epoch)
+    assert(m2.props.get(IndexBuild.MetaProp) === rebuilt.epoch)
+    // load resolves the pointer, not a fixed path
+    assert(IndexBuild.load(spark, root).epoch === rebuilt.epoch)
+    // a handle that outlived the rebuild refuses to read: its centroids/
+    // codebooks no longer match the table's cell/codes columns
+    val ex = intercept[IllegalStateException] {
+      VectorSearch.knnJoin(spark, e.filter(col("vec_id") < 5), idx, "vec_id",
+        k = 3, metric = "l2", nprobes = 8, excludeSelf = true, cIdCol = "vec_id")
+    }
+    assert(ex.getMessage.contains("rebuilt"))
+    // the fresh handle searches fine
+    assert(VectorSearch.knnJoin(spark, e.filter(col("vec_id") < 5), rebuilt,
+      "vec_id", k = 3, metric = "l2", nprobes = 8, excludeSelf = true,
+      cIdCol = "vec_id").count() === 15)
+  }
+
   test("CALL system.knn searches through a persisted index, equals the Scala API") {
     import graft.operators.IndexBuild
     spark.conf.set("spark.sql.catalog.lance_knn",
@@ -404,6 +436,23 @@ class VectorIndexSpec extends SparkSpec {
         "SELECT * FROM lance_kj.db.q_nn ORDER BY q_id, rk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(materialized === direct)
+    // corpus_id reaches the INDEXED paths too (both ADC and stored-vector):
+    // an indexed corpus whose id column is not 'vec_id' must not silently
+    // fall back to a column that may not exist (r10 review)
+    IndexBuild.build(spark,
+      e.withColumnRenamed("vec_id", "id"), s"$wh/db/corpus2", Map(
+        "index.type" -> "IVF_PQ", "index.num-partitions" -> "8",
+        "index.num-sub-vectors" -> "8", "index.num-bits" -> "8"))
+    val renamed = spark.sql("CALL lance_kj.system.knn_join(queries => 'db.q', " +
+        "corpus => 'db.corpus2', corpus_id => 'id', k => 5, nprobes => 8, " +
+        "refine => 20, exclude_self => true)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(renamed === direct)
+    val renamedVec = spark.sql("CALL lance_kj.system.knn_join(queries => 'db.q', " +
+        "corpus => 'db.corpus2', corpus_id => 'id', k => 5, nprobes => 8, " +
+        "exclude_self => true)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(renamedVec === direct)
   }
 
   test("knn join: partial probes keep high recall vs exact, plan is UDF-free in the row path") {
@@ -436,7 +485,7 @@ class VectorIndexSpec extends SparkSpec {
       Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
     val q = e.filter(col("vec_id") < 30)
     val viaIdx = VectorSearch.knnJoin(spark, q, idx, "vec_id",
-        k = 5, metric = "l2", nprobes = 16, excludeSelf = false)
+        k = 5, metric = "l2", nprobes = 16, excludeSelf = false, cIdCol = "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // exact brute top-k (self included — index join doesn't exclude)
     val brute = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
@@ -445,7 +494,7 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaIdx === brute)
     // and the probed-cell scan prunes index fragments at partial probes
     val plan = VectorSearch.knnJoin(spark, q.limit(1), idx, "vec_id",
-      k = 5, metric = "l2", nprobes = 2, excludeSelf = false)
+      k = 5, metric = "l2", nprobes = 2, excludeSelf = false, cIdCol = "vec_id")
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("nearestcells"), plan)
   }
@@ -479,6 +528,15 @@ class VectorIndexSpec extends SparkSpec {
       s"no codes-only scan in: $scans")
     assert(scans.exists(s => s.contains("embedding") && !s.contains("codes")),
       s"no vector-only re-rank scan in: $scans")
+    // and the per-query candidate window shuffles only (q_id, n_id, __adc):
+    // hauling the float query vector per CANDIDATE row through that
+    // exchange would give back the bytes the codes join saved (r10 review)
+    val windows = adc.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(w => !w.child.output.exists(_.name == "__qv")),
+      "query vector rides a window exchange")
     // full probes + generous refine == the exact vector join
     val exact = VectorSearch.knnJoin(spark, q, e, "vec_id", "vec_id", "embedding",
       k = 5, metric = "l2", cells = 8, nprobes = 8)
