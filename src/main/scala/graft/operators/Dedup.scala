@@ -55,6 +55,36 @@ object Dedup extends QueryModule {
   private val JaccardTau = 0.8
   private val BucketCap = 100
 
+  /** (doc_id, band_idx, band_key) LSH band keys — the shared map stage of
+    * the batch and streaming near-dedup paths: shingles → 128-hash MinHash
+    * signature → 32 band keys. Pure projection; callers pick partitioning. */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhash(col("sh"), MinhashHashes, 42L).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
+      .toDF("doc_id", "band_idx", "band_key")
+
+  /** (doc_id, sh) sorted-distinct shingle-hash sets for exact-Jaccard
+    * verification — same definition the oracle reproduces as string sets. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.shingle_hashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact-Jaccard verify of candidate (a_id, b_id) pairs against shingle
+    * sets, keeping pairs at or above tau. `sets` is only consulted for
+    * candidate docs — callers semi-join/shrink it first if it is wide. */
+  private[graft] def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("jaccard", graft.functions.sorted_jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("a_id", "b_id", "jaccard")
+
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // ONE map pass — shingles → 128-hash signature → 32 band keys — then
     // ONE shuffle that both groups the buckets and guards skew:
@@ -66,15 +96,9 @@ object Dedup extends QueryModule {
     // repartitioned first because the expensive work (minhash over every
     // shingle) is compute-bound — a coarse source split (one small parquet
     // file locally; an unsplittable blob at scale) would serialize it.
-    val cand = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
-      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhash(col("sh"), MinhashHashes, 42L).as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
-      .toDF("doc_id", "band_idx", "band_key")
+    val cand = bandKeys(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions))
       .groupBy("band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
       // NULL = overflowed mega-bucket; pair fan-out is bounded by cap²/2
@@ -86,18 +110,11 @@ object Dedup extends QueryModule {
     // verify with exact Jaccard: shingle sets are recomputed only for
     // candidate docs (the semi-join filters BEFORE the shingle projection);
     // cand is tiny after distinct, so AQE broadcasts it into both joins
-    val sets = t(s, dir, "documents")
+    val sets = shingleSets(t(s, dir, "documents")
       .join(cand.select(col("a_id").as("doc_id"))
         .union(cand.select(col("b_id").as("doc_id"))).distinct(),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), graft.functions.shingle_hashes(col("text"), 3).as("sh"))
-    cand
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .withColumn("jaccard", graft.functions.sorted_jaccard(col("sa"), col("sb")))
-      .filter(col("jaccard") >= JaccardTau)
-      .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+        Seq("doc_id"), "left_semi"))
+    verifyJaccard(cand, sets).orderBy("a_id", "b_id")
   }
 
   // ---- dedup_clusters ----------------------------------------------------
@@ -281,6 +298,62 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- dedup_substring ---------------------------------------------------
+  // EXACT-SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training Data
+  // Makes Language Models Better" signal): for each document, the tokens
+  // lying inside some run of >= SubstrN tokens that also appears verbatim
+  // in ANOTHER document. The paper builds a corpus suffix array; the
+  // distributed equivalence used here is stride-1 windows — a run of
+  // L >= n shared tokens shares ALL of its n-token windows, and any shared
+  // n-window is itself a shared run — so the merged window coverage equals
+  // the suffix-array answer EXACTLY (for the cross-document case; within-
+  // doc repetition is text_repetition's signal). Shape at scale: one
+  // shuffle of the windowed token stream for the global window->doc-count
+  // group (same honest bound as text_crossdup — the join-key cardinality
+  // is the distinct-window vocabulary, the shuffled volume is ~n x corpus
+  // tokens; production swaps the join key for a 128-bit window hash to cut
+  // bytes — kept as strings here so the DuckDB oracle computes identical
+  // keys). Duplicated windows are a small vocabulary slice (boilerplate),
+  // so the hit semi-join broadcasts, and the per-doc interval merge is a
+  // lag window over ONLY the hit rows. Coverage needs no island ids: with
+  // equal-length sorted spans, each row past the first adds
+  // min(pos - prev_pos, n) newly covered tokens.
+  private val SubstrN = 8
+
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .withColumn("w", toksCol)
+      .filter(size(col("w")) >= SubstrN)
+      // the IF keeps the expression TOTAL: Catalyst folds the generate-
+      // inferred `size(gs) > 0` conjunct into the same Filter as the
+      // size(w) guard and may evaluate it FIRST, and sequence(1, n) runs
+      // DESCENDING for n < 1 (slice start 0 then throws)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"), expr(
+        s"""IF(size(w) < $SubstrN, array(),
+           |  transform(sequence(1, size(w) - ${SubstrN - 1}),
+           |    i -> concat_ws(' ', slice(w, i, $SubstrN))))""".stripMargin)
+        .as("gs"))
+    val wins = base.select(col("doc_id"), posexplode(col("gs"))).toDF("doc_id", "pos", "g")
+    val dupWins = wins.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val covered = wins.join(dupWins, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("gap", col("pos") - lag("pos", 1).over(byPos))
+      .groupBy("doc_id")
+      .agg(sum(when(col("gap").isNull, lit(SubstrN.toLong))
+        .otherwise(least(col("gap"), lit(SubstrN.toLong)))).as("dup_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -288,7 +361,8 @@ object Dedup extends QueryModule {
     "dedup_canonical" -> dedupCanonical,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_substring" -> dedupSubstring)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -391,7 +465,26 @@ object Dedup extends QueryModule {
          |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE cos >= $CosTau ORDER BY a_id, b_id""".stripMargin)
+         |WHERE cos >= $CosTau ORDER BY a_id, b_id""".stripMargin,
+    // same stride-1 windows as strings; parallel unnest zips (gram, pos)
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  list_transform(range(1, len(w) - ${SubstrN - 2}),
+         |    i -> array_to_string(list_slice(w, i, i + ${SubstrN - 1}), ' ')) AS gs
+         |  FROM d WHERE len(w) >= $SubstrN),
+         |g AS (SELECT doc_id, unnest(gs) AS g, unnest(range(0, len(gs))) AS pos FROM b),
+         |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |h AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+         |sp AS (SELECT doc_id,
+         |  pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap FROM h),
+         |cov AS (SELECT doc_id, CAST(sum(CASE WHEN gap IS NULL THEN $SubstrN
+         |    ELSE least(gap, $SubstrN) END) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+         |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
+         |FROM b LEFT JOIN cov ON b.doc_id = cov.doc_id ORDER BY b.doc_id""".stripMargin)
     // dedup_simhash: intentionally no SQL oracle — the signature depends on
     // xxHash64, which DuckDB lacks; correctness is covered by the
     // brute-force-equivalence unit test (banding is exact, see above).

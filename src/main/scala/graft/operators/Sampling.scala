@@ -80,9 +80,51 @@ object Sampling extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  // ---- sample_mixture ----------------------------------------------------
+  // Mixture-weighted corpus composition — the step that turns "we want
+  // 35% src0 / 25% src1 / ..." into an actual document selection. Given
+  // target weights, the largest corpus achievable WITHOUT upsampling is
+  // N = min_s(T_s / w_s) total tokens (the scarcest source relative to its
+  // share binds); each source then contributes up to floor(w_s * N) tokens,
+  // docs chosen in deterministic-hash order (minstd2 — an unbiased sample,
+  // unlike the quality-ranked token_budget) with doc_id tiebreak. Scale
+  // shape: per-source totals are one partial-agg'd groupBy to ~|sources|
+  // rows; the binding minimum is a 1-row broadcast cross join (never a
+  // driver collect); selection is the same one-shuffle prefix-sum window
+  // as sample_token_budget — sources are the unit of parallelism. All
+  // arithmetic is integer-weight percent + IEEE double division, so DuckDB
+  // computes bit-identical budgets.
+  private val MixturePct: Seq[(String, Int)] =
+    Seq("src0" -> 35, "src1" -> 25, "src2" -> 20, "src3" -> 15, "src4" -> 5)
+
+  private def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    val pctCol = MixturePct.foldLeft(lit(null).cast("int")) { case (acc, (src, p)) =>
+      when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    val d = t(s, dir, "documents")
+      .withColumn("pct", pctCol)
+      .filter(col("pct").isNotNull) // sources outside the mixture contribute nothing
+      .select(col("doc_id"), col("source"), col("pct"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+    val binding = d.groupBy("source", "pct")
+      .agg(sum("n_tokens").as("t_s"))
+      .agg(min(col("t_s").cast("double") * 100.0 / col("pct")).as("n_total"))
+    val bySel = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.crossJoin(broadcast(binding))
+      .withColumn("budget", floor(col("pct") * col("n_total") / 100.0).cast("long"))
+      .withColumn("h", minstd2(col("doc_id")))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(bySel.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("source", "doc_id", "n_tokens", "cum_tokens", "budget")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash,
-    "sample_token_budget" -> sampleTokenBudget)
+    "sample_token_budget" -> sampleTokenBudget,
+    "sample_mixture" -> sampleMixture)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -111,5 +153,26 @@ object Sampling extends QueryModule {
          |  FROM q)
          |SELECT source, doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget
-         |ORDER BY source, cum_tokens, doc_id""".stripMargin)
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    "sample_mixture" -> {
+      val pctCase = MixturePct.map { case (src, p) =>
+        s"WHEN '$src' THEN $p"
+      }.mkString("CASE source ", " ", " END")
+      s"""WITH d AS (SELECT doc_id, source, $pctCase AS pct,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE $pctCase IS NOT NULL),
+         |tot AS (SELECT source, pct, sum(n_tokens) AS t_s FROM d GROUP BY source, pct),
+         |bind AS (SELECT min(CAST(t_s AS DOUBLE) * 100.0 / pct) AS n_total FROM tot),
+         |sel AS (SELECT d.source, d.doc_id, d.n_tokens,
+         |    CAST(floor(d.pct * bind.n_total / 100.0) AS BIGINT) AS budget,
+         |    ((d.doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h
+         |  FROM d, bind),
+         |c AS (SELECT source, doc_id, n_tokens, budget,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sel)
+         |SELECT source, doc_id, n_tokens, cum_tokens, budget
+         |FROM c WHERE cum_tokens <= budget
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin
+    })
 }

@@ -41,6 +41,49 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("dedup_substring: coverage == merged cross-doc duplicated runs (engineered corpus)") {
+    // engineered micro-corpus, n = 8:
+    //  docs 1/2 share a 12-token run  -> 12 covered in each (overlap merge)
+    //  docs 3/4 share TWO disjoint runs (8 + 9 tokens) -> 17 covered in each
+    //  doc 5 repeats a 10-token run only WITHIN itself -> 0 (cross-doc only)
+    //  doc 6 is unique -> 0;  doc 7 has < 8 tokens -> excluded from output
+    def ws(p: String, a: Int, b: Int) = (a to b).map(p + _).mkString(" ")
+    val docs = Seq(
+      1L -> ws("a", 1, 20),
+      2L -> s"b1 b2 ${ws("a", 5, 16)} b3 b4",
+      3L -> s"${ws("c", 1, 8)} ${ws("x", 1, 5)} ${ws("d", 1, 9)}",
+      4L -> s"e1 ${ws("c", 1, 8)} f1 f2 ${ws("d", 1, 9)} e2",
+      5L -> s"${ws("r", 1, 10)} ${ws("s", 1, 4)} ${ws("r", 1, 10)}",
+      6L -> ws("u", 1, 12),
+      7L -> ws("v", 1, 5))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-substr-").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("dedup_substring")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) === ((20L, 12L)))
+    assert(got(2L) === ((16L, 12L)))
+    assert(got(3L) === ((22L, 17L)))
+    assert(got(4L) === ((21L, 17L)))
+    assert(got(5L) === ((24L, 0L))) // within-doc repeat is NOT substring dup
+    assert(got(6L) === ((12L, 0L)))
+  }
+
+  test("dedup_substring plan: hit semi-join broadcasts; merge window only over hits") {
+    val plan = SparkEntry.queries("dedup_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("leftsemi"),
+      s"no semi-join against the duplicated-window set:\n$plan")
+    // the windowed-token stream is shuffled ONCE for the global window
+    // group; the per-doc interval merge adds one doc_id shuffle of only
+    // the hit rows — nothing else may shuffle the stream
+    val gramShuffles = "hashpartitioning\\(g#".r.findAllMatchIn(plan).size
+    assert(gramShuffles <= 2, // groupBy(g) + semi-join key exchange
+      s"window stream shuffled $gramShuffles times:\n$plan")
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)

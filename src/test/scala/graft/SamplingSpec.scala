@@ -53,6 +53,51 @@ class SamplingSpec extends SparkSpec {
     assert(res.map(_.getLong(1)).toSet === expected)
   }
 
+  test("sample_mixture: budgets honored and maximal; binding source saturates exactly") {
+    val res = SparkEntry.queries("sample_mixture")(spark, sf).collect()
+    val res2 = SparkEntry.queries("sample_mixture")(spark, sf).collect()
+    assert(res.toSeq === res2.toSeq) // deterministic
+    // budget never exceeded
+    assert(res.forall(r => r.getLong(3) <= r.getLong(4)))
+    val bySource = res.groupBy(_.getString(0))
+    assert(bySource.keySet === Set("src0", "src1", "src2", "src3", "src4"))
+    // the binding source (min T_s/w_s) fills its budget EXACTLY — its
+    // full token count defines N, so its own prefix is the whole source
+    assert(bySource.values.exists { rows =>
+      rows.map(_.getLong(3)).max === rows.head.getLong(4)
+    })
+    // maximality: the next doc in (hash, doc_id) order would blow the
+    // budget — recompute the selection order from the raw table
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n"),
+        (((col("doc_id") * 48271L) % 2147483647L) * 48271L % 2147483647L).as("h"))
+      .collect().groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      val budget = rows.head.getLong(4)
+      val kept = rows.map(_.getLong(1)).toSet
+      val ordered = raw(src).sortBy(r => (r.getLong(3), r.getLong(1)))
+      var cum = 0L
+      val expected = ordered.takeWhile { r => cum += r.getLong(2); cum <= budget }
+        .map(_.getLong(1)).toSet
+      assert(kept === expected, s"source $src prefix mismatch")
+    }
+  }
+
+  test("plan shape: sample_mixture broadcasts the binding minimum, windows on source") {
+    val plan = SparkEntry.queries("sample_mixture")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 1-row binding minimum must reach every row as a broadcast, not
+    // a driver collect and not a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"binding minimum not broadcast:\n$plan")
+    // source-keyed exchanges: the ~|sources|-row totals agg + the
+    // selection window — the corpus itself shuffles once
+    val srcShuffles = "hashpartitioning\\(source".r.findAllMatchIn(plan).size
+    assert(srcShuffles <= 2,
+      s"expected at most two source-keyed shuffles, got $srcShuffles:\n$plan")
+  }
+
   test("plan shapes: sample_hash shuffles nothing; token budget shuffles once on source") {
     val hashPlan = SparkEntry.queries("sample_hash")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -63,6 +63,8 @@ class EntrySpec extends SparkSpec {
     "dedup_canonical" -> 476,
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
+    "sample_mixture" -> 74,
+    "dedup_substring" -> 500,
     "q_stream_dedup" -> 500,
     "dedup_simhash" -> 27,
     "dedup_ngram_jaccard" -> 8,
