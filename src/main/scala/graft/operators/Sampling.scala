@@ -121,10 +121,46 @@ object Sampling extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  // ---- sample_temperature ------------------------------------------------
+  // Temperature-flattened source weighting (the mT5/XLM-R multilingual
+  // recipe): source s gets budget ∝ T_s^α with α = 1/2, boosting scarce
+  // sources relative to proportional sampling without letting any giant
+  // source dominate. Cross-engine determinism is the trap here — α≠1 needs
+  // a real power, and pow/exp differ in the last ulp across libms, which a
+  // floor() then amplifies into a row flip. α = 1/2 dodges it exactly:
+  // IEEE-754 sqrt is CORRECTLY rounded everywhere, and rounding the root
+  // to BIGINT makes the denominator an integer sum (order-independent,
+  // unlike a float sum reduced in shuffle order) — budgets come out of
+  // pure integer multiply/divide, bit-identical in any engine.
+  // Scale shape = sample_mixture's: per-source totals partial-agg to
+  // |sources| rows, the 1-row denominator broadcasts (never a driver
+  // collect), selection is one prefix-sum window per source partition.
+  private val TempBudget = 6000L
+
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+    val roots = d.groupBy("source")
+      .agg(round(sqrt(sum("n_tokens").cast("double"))).cast("long").as("r_s"))
+    val denom = roots.agg(sum("r_s").as("r_sum"))
+    val bySel = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.join(roots, "source").crossJoin(broadcast(denom))
+      .withColumn("budget", expr(s"r_s * $TempBudget div r_sum"))
+      .withColumn("h", minstd2(col("doc_id")))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(bySel.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("source", "doc_id", "n_tokens", "cum_tokens", "budget")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
-    "sample_mixture" -> sampleMixture)
+    "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -174,5 +210,25 @@ object Sampling extends QueryModule {
          |SELECT source, doc_id, n_tokens, cum_tokens, budget
          |FROM c WHERE cum_tokens <= budget
          |ORDER BY source, cum_tokens, doc_id""".stripMargin
-    })
+    },
+    // sqrt is correctly rounded in IEEE-754, round-to-BIGINT makes the
+    // denominator an order-independent integer sum, and `//` / `div`
+    // integer division agree — so budgets match Spark's bit-for-bit
+    "sample_temperature" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT source, CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)))
+         |    AS BIGINT) AS r_s FROM d GROUP BY source),
+         |dn AS (SELECT CAST(sum(r_s) AS BIGINT) AS r_sum FROM r),
+         |sel AS (SELECT d.source, d.doc_id, d.n_tokens,
+         |    CAST(r.r_s * $TempBudget // dn.r_sum AS BIGINT) AS budget,
+         |    ((d.doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h
+         |  FROM d JOIN r USING (source), dn),
+         |c AS (SELECT source, doc_id, n_tokens, budget,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sel)
+         |SELECT source, doc_id, n_tokens, cum_tokens, budget
+         |FROM c WHERE cum_tokens <= budget
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin)
 }

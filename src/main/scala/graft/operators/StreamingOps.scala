@@ -235,13 +235,120 @@ object StreamingOps extends QueryModule {
       .orderBy("keep_id")
   }
 
+  /** Streaming NEAR-dedup — incremental MinHash-LSH of arriving documents
+    * against everything seen so far, the ingestion-time form of
+    * dedup_minhash_lsh (a new crawl snapshot deduped against the standing
+    * corpus without rescoring it). Per micro-batch: the batch's 32 LSH
+    * band keys equi-join the batch itself plus the ACCUMULATED band-key
+    * index (pairs only form inside a band bucket — never all-pairs, never
+    * a rescan of history text), survivors verify with exact Jaccard
+    * against the accumulated shingle-set store, and the batch's own
+    * keys/sets append to the two state tables. A pair is discovered
+    * exactly once — in the micro-batch where its LATER member arrives —
+    * so streamed pairs == the batch LSH pairs == the all-pairs oracle.
+    * State is lance tables, not executor memory: at production scale both
+    * appends bucket by band_key/doc_id so the per-batch probe is a
+    * storage-partitioned join against only the buckets the batch touches,
+    * and the per-bucket skew cap applies the same recall argument as the
+    * batch path (a true pair collides in ~all 32 bands). */
+  private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
+    // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
+    // picks overwrite-vs-append), but createTempDirectory creates its dir
+    val dst = tmp("sndd-out") + "/t"
+    val keysT = tmp("sndd-keys") + "/t"; val setsT = tmp("sndd-sets") + "/t"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // several source files + maxFilesPerTrigger=1 => AvailableNow really
+    // runs MULTIPLE micro-batches, so batch-vs-history is exercised
+    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bk = Dedup.bandKeys(batch).localCheckpoint()
+        val bs = Dedup.shingleSets(batch).localCheckpoint()
+        val histExists = new java.io.File(keysT).exists()
+        val allKeys =
+          if (histExists) bk.unionByName(s.read.format("lance").load(keysT))
+          else bk
+        val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+          .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
+            Seq("band_idx", "band_key"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a_id"),
+            greatest(col("x"), col("y")).as("b_id"))
+          .distinct()
+        val allSets =
+          if (histExists) bs.unionByName(s.read.format("lance").load(setsT))
+          else bs
+        val verified = Dedup.verifyJaccard(cand, allSets)
+        verified.write.format("lance")
+          .mode(if (new java.io.File(dst).exists()) "append" else "overwrite").save(dst)
+        bk.write.format("lance")
+          .mode(if (histExists) "append" else "overwrite").save(keysT)
+        bs.write.format("lance")
+          .mode(if (histExists) "append" else "overwrite").save(setsT)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    // batch-vs-batch finds each same-batch pair from both sides' band
+    // keys; cross-batch pairs are found once (later member's batch)
+    s.read.format("lance").load(dst).distinct().orderBy("a_id", "b_id")
+  }
+
+  /** Streaming VECTOR-INDEX maintenance — ingestion-time IVF indexing of
+    * an arriving embedding stream, the composition every online retrieval
+    * corpus needs: vectors land AND stay searchable without a nightly
+    * rebuild. First micro-batch trains the index (IndexBuild.build);
+    * every later batch routes through IndexBuild.append against a
+    * freshly-loaded handle — assign-to-frozen-centroids (codegen'd
+    * NearestCell, no retrain on the hot path) + a cell-ordered fragment
+    * append, so each batch's fragments stay prunable by cell range and
+    * the sidecar/manifest pairing stays atomic per commit. Drift repair is
+    * CALL system.reindex's job, off the ingest path. Correctness statement
+    * mirrors ivf_append_search: a FULL-probe search over the streamed
+    * table is exact KNN, so streamed-index == brute-force oracle. */
+  private def streamIndex(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("sidx-src"); val ckpt = tmp("sidx-ckpt")
+    val root = tmp("sidx-idx") + "/t"
+    val e = t(s, dir, "embeddings")
+    // several source files + maxFilesPerTrigger=1 => build-then-append is
+    // really exercised across MULTIPLE micro-batches
+    e.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!IndexBuild.exists(s, root))
+          IndexBuild.build(s, batch, root, Map(
+            "index.type" -> "IVF_FLAT",
+            "index.num-partitions" -> VectorIndex.Cells.toString))
+        else IndexBuild.append(s, batch, IndexBuild.load(s, root))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
+    IndexBuild.search(s, IndexBuild.load(s, root), qv,
+      Map("vector.nprobes" -> VectorIndex.Cells.toString,
+          "vector.k" -> VectorIndex.K.toString),
+      excludeVecId = VectorIndex.QueryVecId)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
-    "q_stream_dedup" -> streamDedup)
+    "q_stream_dedup" -> streamDedup,
+    "q_stream_neardedup" -> streamNearDedup,
+    "q_stream_index" -> streamIndex)
 
   val oracleSql: Map[String, String] = Map(
+    // full-probe search over the streamed-in index == exact KNN (the same
+    // statement that gates ivf_flat/ivf_append)
+    "q_stream_index" -> VectorIndex.exactKnnSql,
     "lance_stream_pipeline" ->
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
@@ -252,6 +359,22 @@ object StreamingOps extends QueryModule {
     "q_stream_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    // streamed incremental LSH == the batch all-pairs exact-Jaccard oracle
+    // (same statement dedup_minhash_lsh is gated on)
+    "q_stream_neardedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -329,7 +329,50 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- text_commonness ---------------------------------------------------
+  // CCNet-family corpus-frequency signal: how "ordinary" a document's
+  // vocabulary is relative to the WHOLE corpus — the cheap stand-in for an
+  // LM-perplexity filter (rare-word-heavy docs are gibberish or
+  // high-information; both deserve a look before training). Per doc:
+  // mean corpus occurrence count over token OCCURRENCES (mean_tf), the
+  // rarest token's count (min_tf), and the share of occurrences whose
+  // corpus count <= RareTf. All-integer until one final division, so
+  // DuckDB computes bit-identical values.
+  //
+  // Scale shape — the frequency join is the textbook skew case: the join
+  // key IS the Zipf distribution, so "the" would route a billion probe
+  // rows to one reducer. Split the dictionary at HeadTf: the head (each
+  // word >= HeadTf occurrences) has at most corpusTokens/HeadTf entries —
+  // set HeadTf ~ tokens/1e6 in production and the head is a <=1e6-row
+  // broadcast that absorbs ALL skewed keys map-side; the tail join's key
+  // multiplicity is < HeadTf by construction, so the residual shuffle is
+  // skew-free and touches only the occurrence minority the broadcast
+  // missed. The corpus shuffles once for the dictionary groupBy (partial
+  // agg collapses each split to its distinct words first) and once more
+  // for the per-doc re-aggregation of tail hits + doc-level partials.
+  private val HeadTf = 500L
+  private val RareTf = 100L
+
+  private def textCommonness(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+    val counts = words.groupBy("tok").agg(count(lit(1)).as("c"))
+    val withHead = words.join(
+      broadcast(counts.filter(col("c") >= HeadTf)), Seq("tok"), "left")
+    val cold = withHead.filter(col("c").isNull).drop("c")
+      .join(counts.filter(col("c") < HeadTf), Seq("tok"))
+    withHead.filter(col("c").isNotNull).unionByName(cold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("c").cast("double") / count(lit(1)), 6).as("mean_tf"),
+        min("c").as("min_tf"),
+        round(sum(when(col("c") <= RareTf, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_commonness" -> textCommonness,
     "text_pack" -> textPack,
     "text_chunk" -> textChunk,
     "text_crossdup" -> textCrossdup,
@@ -348,6 +391,19 @@ object TextAnalysis extends QueryModule {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // head/tail dictionary split is a PLAN detail — the oracle states the
+    // semantics directly: count every word, join, aggregate per doc
+    "text_commonness" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS tok FROM d WHERE len(w) > 0),
+         |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(c.c) AS DOUBLE) / count(*), 6) AS mean_tf,
+         |  min(c.c) AS min_tf,
+         |  round(CAST(sum(CASE WHEN c.c <= $RareTf THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS rare_frac
+         |FROM t JOIN c USING (tok)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
          |n AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),

@@ -302,7 +302,7 @@ object VectorIndex extends QueryModule {
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_refine" -> ((s, dir) => ivfPqRefine(s, dir, k = 10, refineFactor = 4)))
 
-  private val exactKnnSql =
+  private[operators] val exactKnnSql =
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId)
        |SELECT * FROM (
        |  SELECT e.vec_id, round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist

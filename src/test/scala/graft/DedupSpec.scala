@@ -84,6 +84,18 @@ class DedupSpec extends SparkSpec {
       s"window stream shuffled $gramShuffles times:\n$plan")
   }
 
+  test("q_stream_neardedup: incremental LSH over micro-batches == batch LSH pairs") {
+    val streamed = SparkEntry.queries("q_stream_neardedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the arriving corpus is split over 4 micro-batches, so cross-batch
+    // pairs can only come from the accumulated band-key index — equality
+    // with the single-shot batch result proves the incremental path
+    assert(streamed.toSet === batch.toSet)
+    assert(streamed.nonEmpty)
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)

@@ -84,6 +84,45 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sample_temperature: integer budgets ∝ round(sqrt(T_s)); flattening vs proportional") {
+    val res = SparkEntry.queries("sample_temperature")(spark, sf).collect()
+    assert(res.forall(r => r.getLong(3) <= r.getLong(4))) // budget honored
+    // recompute T_s and the budget arithmetic from the raw table
+    val tokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n"))
+      .collect().groupBy(_.getString(0)).map { case (s, rows) =>
+        s -> rows.map(_.getLong(1)).sum
+      }
+    val roots = tokens.map { case (s, t) => s -> math.round(math.sqrt(t.toDouble)) }
+    val rSum = roots.values.sum
+    val budgets = res.groupBy(_.getString(0)).map { case (s, rows) =>
+      s -> rows.head.getLong(4)
+    }
+    budgets.foreach { case (s, b) =>
+      assert(b === roots(s) * 6000L / rSum, s"budget arithmetic mismatch for $s")
+    }
+    // α = 1/2 flattening: each budget tracks the UNROUNDED sqrt-
+    // proportional target within the round-to-integer slop (the ±0.5 on a
+    // ~40-valued root dominates; 1% of the total budget bounds it safely)
+    val sqrtSum = tokens.values.map(t => math.sqrt(t.toDouble)).sum
+    tokens.foreach { case (s, t) =>
+      val ideal = 6000.0 * math.sqrt(t.toDouble) / sqrtSum
+      assert(math.abs(budgets(s) - ideal) <= 60.0,
+        s"$s budget ${budgets(s)} drifted from sqrt-proportional $ideal")
+    }
+  }
+
+  test("plan shape: sample_temperature never collects — denominator broadcasts") {
+    val plan = SparkEntry.queries("sample_temperature")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row denominator not broadcast:\n$plan")
+    val srcShuffles = "hashpartitioning\\(source".r.findAllMatchIn(plan).size
+    assert(srcShuffles <= 3, // totals agg + roots join + selection window
+      s"expected at most three source-keyed shuffles, got $srcShuffles:\n$plan")
+  }
+
   test("plan shape: sample_mixture broadcasts the binding minimum, windows on source") {
     val plan = SparkEntry.queries("sample_mixture")(spark, sf)
       .queryExecution.executedPlan.toString

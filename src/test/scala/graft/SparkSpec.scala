@@ -64,8 +64,12 @@ class EntrySpec extends SparkSpec {
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
     "sample_mixture" -> 74,
+    "sample_temperature" -> 98,
+    "text_commonness" -> 500,
     "dedup_substring" -> 500,
+    "q_stream_index" -> 15,
     "q_stream_dedup" -> 500,
+    "q_stream_neardedup" -> 28,
     "dedup_simhash" -> 27,
     "dedup_ngram_jaccard" -> 8,
     "dedup_embedding" -> 5,

@@ -644,6 +644,19 @@ class VectorIndexSpec extends SparkSpec {
     assert(graft.sources.lance.LanceVectorOptions.index(Map.empty).maxLevel === 7)
   }
 
+  test("q_stream_index: build-then-append across micro-batches == exact KNN") {
+    // the embedding stream arrives as 4 files at maxFilesPerTrigger=1, so
+    // the first batch TRAINS and the other three APPEND against frozen
+    // centroids — equality with the single-shot full-probe result proves
+    // the incremental path assigns/commits correctly
+    val streamed = SparkEntry.queries("q_stream_index")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = SparkEntry.queries("ivf_flat_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
     val truth = SparkEntry.queries("ivf_flat_search")(spark, sf)
       .limit(10).collect().map(_.getLong(0)).toSet
