@@ -30,7 +30,9 @@ object Bench {
     // appended r9
     "knn_join", "text_chunk", "text_crossdup",
     // appended r10
-    "dedup_canonical", "sample_token_budget")
+    "dedup_canonical", "sample_token_budget",
+    // appended r11
+    "dedup_substring", "text_commonness", "sample_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,11 +156,52 @@ object Sampling extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  // ---- sample_epochs -----------------------------------------------------
+  // Mixture composition WITH upsampling — what sample_mixture forbids: when
+  // a scarce source can't fill its share from one pass, repeat it for up to
+  // MaxEpochs passes (the LLaMA/DoReMi recipe detail: low-resource sources
+  // run multiple epochs, never unboundedly). Selection cycles the source in
+  // deterministic hash order — epoch-major, so every doc appears once
+  // before any doc appears twice — and stops at the token budget or the
+  // epoch cap, whichever binds. All-integer budget/epoch arithmetic.
+  // Scale shape: the epoch fan-out is a map-side explode bounded by
+  // MaxEpochs; per-source budgets/epoch counts are a |sources|-row
+  // broadcast; selection is the one source-keyed prefix-sum window.
+  private val EpochTotal = 12000L
+  private val MaxEpochs = 4L
+
+  private def sampleEpochs(s: SparkSession, dir: String): DataFrame = {
+    val pctCol = MixturePct.foldLeft(lit(null).cast("int")) { case (acc, (src, p)) =>
+      when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    val d = t(s, dir, "documents")
+      .withColumn("pct", pctCol)
+      .filter(col("pct").isNotNull)
+      .select(col("doc_id"), col("source"), col("pct"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+    val tot = d.groupBy("source", "pct").agg(sum("n_tokens").as("t_s"))
+      .withColumn("budget", expr(s"pct * ${EpochTotal}L div 100L"))
+      .withColumn("n_epochs",
+        least(lit(MaxEpochs), expr("(budget + t_s - 1L) div t_s")))
+      .select("source", "budget", "n_epochs")
+    val byS = Window.partitionBy("source")
+      .orderBy(col("epoch").asc, col("h").asc, col("doc_id").asc)
+    d.join(broadcast(tot), "source")
+      .withColumn("epoch", explode(expr("sequence(1L, n_epochs)")))
+      .withColumn("h", minstd2(col("doc_id")))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(byS.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("source", "epoch", "doc_id", "n_tokens", "cum_tokens", "budget")
+      .orderBy("source", "epoch", "cum_tokens", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_mixture" -> sampleMixture,
-    "sample_temperature" -> sampleTemperature)
+    "sample_temperature" -> sampleTemperature,
+    "sample_epochs" -> sampleEpochs)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -230,5 +271,29 @@ object Sampling extends QueryModule {
          |  FROM sel)
          |SELECT source, doc_id, n_tokens, cum_tokens, budget
          |FROM c WHERE cum_tokens <= budget
-         |ORDER BY source, cum_tokens, doc_id""".stripMargin)
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    "sample_epochs" -> {
+      val pctCase = MixturePct.map { case (src, p) =>
+        s"WHEN '$src' THEN $p"
+      }.mkString("CASE source ", " ", " END")
+      s"""WITH d AS (SELECT doc_id, source, $pctCase AS pct,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE $pctCase IS NOT NULL),
+         |tot AS (SELECT source, pct, CAST(sum(n_tokens) AS BIGINT) AS t_s
+         |  FROM d GROUP BY source, pct),
+         |e AS (SELECT source, CAST(pct * $EpochTotal // 100 AS BIGINT) AS budget,
+         |    least($MaxEpochs, (pct * $EpochTotal // 100 + t_s - 1) // t_s) AS n_epochs
+         |  FROM tot),
+         |x AS (SELECT d.source, d.doc_id, d.n_tokens, e.budget,
+         |    unnest(range(1, e.n_epochs + 1)) AS epoch,
+         |    ((d.doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h
+         |  FROM d JOIN e USING (source)),
+         |c AS (SELECT source, epoch, doc_id, n_tokens, budget,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY epoch, h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM x)
+         |SELECT source, epoch, doc_id, n_tokens, cum_tokens, budget
+         |FROM c WHERE cum_tokens <= budget
+         |ORDER BY source, epoch, cum_tokens, doc_id""".stripMargin
+    })
 }

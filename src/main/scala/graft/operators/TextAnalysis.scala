@@ -371,7 +371,51 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- corpus_stats ------------------------------------------------------
+  // Per-source corpus report — the numbers a pipeline operator reads before
+  // setting filter cutoffs and mixture weights: doc/token volume, EXACT
+  // rank-based token-count percentiles (p50/p90 as "value at row ceil(p·n)"
+  // — pure integer rank selection, no interpolation, so any engine computes
+  // the identical answer), mean quality, and how many docs are exact-dup
+  // copies corpus-wide. Mean quality dodges float-sum order-dependence by
+  // summing INTEGER micro-units of the rounded score (the rounded score is
+  // already proven bit-identical cross-engine by the text_quality gate) —
+  // one division at the end. Scale: one shuffle on source (rank window +
+  // totals share it), one uniform shuffle on the content hash for the dup
+  // flags; every post-agg join is |sources|-sized.
+  private def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(round(qualityScore, 6) * 1e6).cast("long").as("q_micro"))
+    val totals = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+      sum("q_micro").as("q_sum"))
+    val byLen = Window.partitionBy("source")
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val pcts = d.withColumn("rn", row_number().over(byLen))
+      .join(totals.select("source", "n_docs"), "source")
+      .groupBy("source").agg(
+        max(when(col("rn") === expr("(n_docs * 50 + 99) div 100"),
+          col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(n_docs * 90 + 99) div 100"),
+          col("n_tokens"))).as("p90_tokens"))
+    val dups = d.select(col("source"), sha2(col("text"), 256).as("h"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("source")
+      .agg(sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+    totals.join(pcts, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("sum_tokens").as("n_tokens"),
+        col("p50_tokens"), col("p90_tokens"),
+        round(col("q_sum").cast("double") / col("n_docs") / 1e6, 6)
+          .as("mean_quality"),
+        col("n_dup_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stats" -> corpusStats,
     "text_commonness" -> textCommonness,
     "text_pack" -> textPack,
     "text_chunk" -> textChunk,
@@ -391,6 +435,40 @@ object TextAnalysis extends QueryModule {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // integer rank selection + integer micro-unit quality sum keep every
+    // aggregate order-independent — the only doubles are single divisions
+    "corpus_stats" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $wSql AS w FROM documents),
+         |s AS (SELECT doc_id, source, text,
+         |    CAST(len(w) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS DOUBLE) AS sc,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr,
+         |    CAST(len(w) AS BIGINT) AS n_tokens
+         |  FROM d WHERE len(w) > 0),
+         |b AS (SELECT doc_id, source, text, n_tokens,
+         |    CAST(round(round($qualityScoreSql, 6) * 1000000.0) AS BIGINT) AS q_micro
+         |  FROM s),
+         |t AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(q_micro) AS BIGINT) AS q_sum
+         |  FROM b GROUP BY source),
+         |r AS (SELECT source, n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn
+         |  FROM b),
+         |p AS (SELECT r.source,
+         |    max(CASE WHEN r.rn = (t.n_docs * 50 + 99) // 100 THEN r.n_tokens END) AS p50_tokens,
+         |    max(CASE WHEN r.rn = (t.n_docs * 90 + 99) // 100 THEN r.n_tokens END) AS p90_tokens
+         |  FROM r JOIN t USING (source) GROUP BY r.source),
+         |h AS (SELECT source, count(*) OVER (PARTITION BY sha256(text)) AS cnt FROM b),
+         |dup AS (SELECT source,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM h GROUP BY source)
+         |SELECT t.source, t.n_docs, t.sum_tokens AS n_tokens,
+         |  p.p50_tokens, p.p90_tokens,
+         |  round(CAST(t.q_sum AS DOUBLE) / t.n_docs / 1000000.0, 6) AS mean_quality,
+         |  dup.n_dup_docs
+         |FROM t JOIN p USING (source) JOIN dup USING (source)
+         |ORDER BY source""".stripMargin,
     // head/tail dictionary split is a PLAN detail — the oracle states the
     // semantics directly: count every word, join, aggregate per doc
     "text_commonness" ->

@@ -113,6 +113,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sample_epochs: epoch-major cycling — every doc once before any doc twice; cap binds") {
+    val res = SparkEntry.queries("sample_epochs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(res.forall(r => r._5 <= r._6)) // cum <= budget
+    assert(res.forall(r => r._2 >= 1L && r._2 <= 4L)) // epoch cap
+    val bySource = res.groupBy(_._1)
+    // upsampling actually happened somewhere (an epoch >= 2 selection)
+    assert(res.exists(_._2 >= 2L), "no source was upsampled — EpochTotal too low to exercise epochs")
+    bySource.foreach { case (src, rows) =>
+      val byEpoch = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      val maxEpoch = byEpoch.keys.max
+      // every non-final epoch is the COMPLETE source (epoch-major order
+      // means a doc can only repeat after all docs appeared)
+      for (e <- 1L until maxEpoch)
+        assert(byEpoch(e).size >= byEpoch(maxEpoch).size &&
+          byEpoch(maxEpoch).subsetOf(byEpoch(e)),
+          s"$src epoch $e is not a superset of the final partial epoch")
+      // within a source all epochs share one budget
+      assert(rows.map(_._6).distinct.size === 1)
+    }
+  }
+
   test("plan shape: sample_temperature never collects — denominator broadcasts") {
     val plan = SparkEntry.queries("sample_temperature")(spark, sf)
       .queryExecution.executedPlan.toString

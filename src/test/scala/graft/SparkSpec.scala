@@ -65,6 +65,8 @@ class EntrySpec extends SparkSpec {
     "sample_token_budget" -> 210,
     "sample_mixture" -> 74,
     "sample_temperature" -> 98,
+    "sample_epochs" -> 205,
+    "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,
     "q_stream_index" -> 15,

@@ -19,6 +19,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === ((1L, 1.0, 1L, 1.0)))
   }
 
+  test("corpus_stats: exact rank percentiles + corpus-wide dup flags (engineered corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstats-").toString
+    import spark.implicits._
+    Seq(
+      (1L, "A", "w1"),
+      (2L, "A", "w1 w2"),
+      (3L, "A", "w1 w2 w3"),
+      (4L, "A", "w1 w2 w3 w4"),
+      (5L, "A", "dup dup dup dup dup"),
+      (6L, "B", "dup dup dup dup dup"), // exact copy of doc 5, other source
+      (7L, "B", "z z z"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("corpus_stats")(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    val (aDocs, aToks, aP50, aP90, aQ, aDup) = got("A")
+    assert((aDocs, aToks) === ((5L, 15L)))
+    assert(aP50 === 3L) // rank ceil(0.5*5)=3 over sorted lengths 1,2,3,4,5
+    assert(aP90 === 5L) // rank ceil(0.9*5)=5
+    assert(aDup === 1L) // doc 5's text recurs (in B) — corpus-wide flag
+    assert(aQ > 0.0 && aQ < 1.0)
+    val (bDocs, bToks, bP50, bP90, _, bDup) = got("B")
+    assert((bDocs, bToks) === ((2L, 8L)))
+    assert(bP50 === 3L) // rank 1 of lengths 3,5
+    assert(bP90 === 5L) // rank 2
+    assert(bDup === 1L)
+  }
+
   test("text_commonness plan: Zipf head joins broadcast; tok shuffles bounded") {
     val plan = SparkEntry.queries("text_commonness")(spark, sf)
       .queryExecution.executedPlan.toString
