@@ -283,6 +283,61 @@ object Soak {
       println(s"[soak]   chunks=${agg.getLong(0)} chars=${agg.getLong(1)}")
     }
 
+    // dedup_substring over documents ×mult — the ADVERSARIAL case: every
+    // window is shared across ~mult replicas, so the duplicated-window
+    // set is the ENTIRE window vocabulary and the "tiny broadcastable hit
+    // slice" assumption inverts (hits == the whole stream, coverage window
+    // runs over every row). A real corpus sits far below this bound.
+    timed("dedup_substring: total (worst case, all windows shared)") {
+      val n = 8
+      val base = docsText
+        .select(col("doc_id"), graft.operators.TextAnalysis.tokens.as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"), expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")
+          .as("gs"))
+        .localCheckpoint(true) // isolate tokenization from the stages under test
+      val wins = base.select(col("doc_id"), posexplode(col("gs"))).toDF("doc_id", "pos", "g")
+      timed("  stage 1: window groupBy (nd)") {
+        val dup = wins.groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("g").localCheckpoint(true)
+        println(s"[soak]   duplicated windows = ${dup.count()}")
+        timed("  stage 2: hit semi-join + interval-merge window") {
+          val byPos = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")
+          val covered = wins.join(dup, Seq("g"), "left_semi")
+            .select(col("doc_id"), col("pos"))
+            .withColumn("gap", col("pos") - lag("pos", 1).over(byPos))
+            .groupBy("doc_id")
+            .agg(sum(when(col("gap").isNull, lit(n.toLong))
+              .otherwise(least(col("gap"), lit(n.toLong)))).as("dup_tokens"))
+          val res = base.select("doc_id", "n_tokens")
+            .join(covered, Seq("doc_id"), "left")
+            .agg(count(lit(1)), sum(coalesce(col("dup_tokens"), lit(0L)))).first()
+          println(s"[soak]   docs=${res.getLong(0)} covered-tokens=${res.getLong(1)}")
+        }
+      }
+    }
+
+    // text_commonness over documents ×mult — replication multiplies every
+    // corpus count by ~mult, so the WHOLE dictionary crosses the head
+    // threshold and the tail join goes empty: the broadcast absorbs 100%
+    // of the stream (the design's skew-free fast path at its extreme).
+    timed("text_commonness: dictionary + head/tail join") {
+      val words = docsText
+        .select(col("doc_id"), explode(graft.operators.TextAnalysis.tokens).as("tok"))
+      val counts = words.groupBy("tok").agg(count(lit(1)).as("c"))
+      val withHead = words.join(
+        broadcast(counts.filter(col("c") >= 500L)), Seq("tok"), "left")
+      val cold = withHead.filter(col("c").isNull).drop("c")
+        .join(counts.filter(col("c") < 500L), Seq("tok"))
+      val res = withHead.filter(col("c").isNotNull).unionByName(cold)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        .agg(count(lit(1)), sum("sc")).first()
+      println(s"[soak]   docs=${res.getLong(0)} freq-mass=${res.getLong(1)}")
+    }
+
     // distributed KNN join: ~2k query rows against the ×mult corpus,
     // cell-blocked (candidates per query ≈ corpus × probes/cells, never
     // corpus × queries) — the batch retrieval shape

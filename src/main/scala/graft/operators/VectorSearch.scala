@@ -299,7 +299,37 @@ object VectorSearch extends QueryModule {
       cells = 8, nprobes = 8)
   }
 
+  // ---- knn_negatives -----------------------------------------------------
+  // Hard-negative mining for retrieval/embedding training: for each query
+  // vector, the k NEAREST corpus vectors with a DIFFERENT label — the
+  // examples a contrastive loss learns the most from. Exact gated form:
+  // the query subset broadcasts (the corpus never shuffles to meet it),
+  // the label-mismatch filter rides the scan, and the per-query top-k is
+  // a rank window over (q_id) that Spark's InferWindowGroupLimit rewrites
+  // into a per-partition k-heap BEFORE the shuffle — shuffled volume is
+  // k·partitions per query, not the corpus. A full-matrix mining run
+  // (millions of queries) routes through knnJoin/knnJoinPq with k·over
+  // oversampling and this same label filter applied post-join.
+  private val NegK = 5
+
+  private def knnNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+    e.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(vec_l2(col("embedding"), col("qv")), 6).as("dist"))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .filter(col("rk") <= NegK)
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,
     "knn_join_pq" -> knnJoinPqQuery,
     "emb_quantize" -> embQuantize,
@@ -345,6 +375,19 @@ object VectorSearch extends QueryModule {
        |ORDER BY q_id ASC, rk ASC""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "knn_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |             label AS q_label
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS n_id, label AS n_label,
+         |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |r AS (SELECT q.q_id, c.n_id, c.n_label,
+         |    round(list_distance(c.cv, q.qv), 6) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_distance(c.cv, q.qv), 6) ASC, c.n_id ASC) AS BIGINT) AS rk
+         |  FROM q CROSS JOIN c WHERE c.n_label <> q.q_label)
+         |SELECT q_id, n_id, n_label, dist, rk FROM r WHERE rk <= $NegK
+         |ORDER BY q_id ASC, rk ASC""".stripMargin,
     "knn_join_pq" -> knnJoinOracle(5),
     "knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

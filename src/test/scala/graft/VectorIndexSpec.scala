@@ -644,6 +644,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(graft.sources.lance.LanceVectorOptions.index(Map.empty).maxLevel === 7)
   }
 
+  test("knn_negatives: every neighbor differs in label; plan keeps top-k partial + broadcast") {
+    val df = SparkEntry.queries("knn_negatives")(spark, sf)
+    val rows = df.collect()
+    // per query: exactly NegK negatives, ranked 1..k, labels all differ
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qId, g) =>
+      assert(g.map(_.getLong(4)).sorted.toSeq === (1L to 5L))
+      g.foreach { r =>
+        assert(r.getInt(2) !== labels(qId), s"query $qId mined a same-label 'negative'")
+        assert(r.getInt(2) === labels(r.getLong(1)))
+      }
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not rewritten to a partial top-k before the shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query subset not broadcast:\n$plan")
+  }
+
   test("q_stream_index: build-then-append across micro-batches == exact KNN") {
     // the embedding stream arrives as 4 files at maxFilesPerTrigger=1, so
     // the first batch TRAINS and the other three APPEND against frozen
