@@ -53,7 +53,7 @@ object Dedup extends QueryModule {
   private val Bands = 32
   private val RowsPerBand = 4
   private val JaccardTau = 0.8
-  private val BucketCap = 100
+  private[operators] val BucketCap = 100
 
   /** (doc_id, band_idx, band_key) LSH band keys — the shared map stage of
     * the batch and streaming near-dedup paths: shingles → 128-hash MinHash
@@ -320,7 +320,20 @@ object Dedup extends QueryModule {
   // min(pos - prev_pos, n) newly covered tokens.
   private val SubstrN = 8
 
-  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringCoverage(s, dir, identity)
+
+  /** The hashed-key variant for the shuffle-bound regime: the window
+    * string never leaves its map task — xxhash64 collapses the shuffled
+    * key to 8 bytes (~10× fewer bytes through BOTH window-keyed stages on
+    * natural text). A 64-bit collision could only mark one extra window
+    * duplicated (P ≈ |windows|²/2⁶⁵ — negligible at any realistic
+    * vocabulary), so it shares dedup_substring's SQL oracle. */
+  private def dedupSubstringHashed(s: SparkSession, dir: String): DataFrame =
+    substringCoverage(s, dir, g => xxhash64(g))
+
+  private def substringCoverage(s: SparkSession, dir: String,
+                                key: Column => Column): DataFrame = {
     val base = t(s, dir, "documents")
       .withColumn("w", toksCol)
       .filter(size(col("w")) >= SubstrN)
@@ -333,7 +346,9 @@ object Dedup extends QueryModule {
            |  transform(sequence(1, size(w) - ${SubstrN - 1}),
            |    i -> concat_ws(' ', slice(w, i, $SubstrN))))""".stripMargin)
         .as("gs"))
-    val wins = base.select(col("doc_id"), posexplode(col("gs"))).toDF("doc_id", "pos", "g")
+    val wins = base.select(col("doc_id"), posexplode(col("gs")))
+      .toDF("doc_id", "pos", "g0")
+      .select(col("doc_id"), col("pos"), key(col("g0")).as("g"))
     val dupWins = wins.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("g")
@@ -362,7 +377,8 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_substring" -> dedupSubstring)
+    "dedup_substring" -> dedupSubstring,
+    "dedup_substring_hashed" -> dedupSubstringHashed)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -466,8 +482,14 @@ object Dedup extends QueryModule {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos >= $CosTau ORDER BY a_id, b_id""".stripMargin,
-    // same stride-1 windows as strings; parallel unnest zips (gram, pos)
-    "dedup_substring" ->
+    // same stride-1 windows as strings; parallel unnest zips (gram, pos).
+    // The hashed variant shares this statement: its OUTPUT carries no hash
+    // values (coverage counts only), and a 64-bit window-key collision —
+    // the only way the two variants could diverge — has P ≈ |windows|²/2⁶⁵
+    "dedup_substring" -> substrOracle,
+    "dedup_substring_hashed" -> substrOracle)
+
+  private lazy val substrOracle =
       s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
          |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
          |  list_transform(range(1, len(w) - ${SubstrN - 2}),
@@ -484,7 +506,7 @@ object Dedup extends QueryModule {
          |SELECT b.doc_id, b.n_tokens,
          |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
          |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
-         |FROM b LEFT JOIN cov ON b.doc_id = cov.doc_id ORDER BY b.doc_id""".stripMargin)
+         |FROM b LEFT JOIN cov ON b.doc_id = cov.doc_id ORDER BY b.doc_id""".stripMargin
     // dedup_simhash: intentionally no SQL oracle — the signature depends on
     // xxHash64, which DuckDB lacks; correctness is covered by the
     // brute-force-equivalence unit test (banding is exact, see above).

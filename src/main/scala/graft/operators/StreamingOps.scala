@@ -248,9 +248,11 @@ object StreamingOps extends QueryModule {
     * so streamed pairs == the batch LSH pairs == the all-pairs oracle.
     * State is lance tables, not executor memory: at production scale both
     * appends bucket by band_key/doc_id so the per-batch probe is a
-    * storage-partitioned join against only the buckets the batch touches,
-    * and the per-bucket skew cap applies the same recall argument as the
-    * batch path (a true pair collides in ~all 32 bands). */
+    * storage-partitioned join against only the buckets the batch touches;
+    * a production deployment would ALSO cap hot band buckets on the
+    * accumulated index (not done here — the gated corpus has none), and
+    * the batch path's recall argument carries over (a true pair collides
+    * in ~all 32 bands, so dropping one mega-bucket keeps recall). */
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
@@ -271,7 +273,19 @@ object StreamingOps extends QueryModule {
         val allKeys =
           if (histExists) bk.unionByName(s.read.format("lance").load(keysT))
           else bk
+        // batch-path parity for the skew bound: a band bucket exceeding
+        // BucketCap docs (history + batch) is dropped from THIS probe, so
+        // one micro-batch's pair fan-out is bounded by cap²/2 per bucket
+        // (a boilerplate bucket can't go quadratic). When the cap binds,
+        // pairs discovered before the bucket overflowed are kept — a
+        // recall-safe superset of the batch path's drop-whole-bucket
+        // answer (a true near-dup pair collides in ~all 32 bands).
+        val okBuckets = allKeys.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= Dedup.BucketCap)
+          .select("band_idx", "band_key")
         val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+          .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
           .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
             Seq("band_idx", "band_key"))
           .filter(col("x") =!= col("y"))
@@ -306,9 +320,13 @@ object StreamingOps extends QueryModule {
     * NearestCell, no retrain on the hot path) + a cell-ordered fragment
     * append, so each batch's fragments stay prunable by cell range and
     * the sidecar/manifest pairing stays atomic per commit. Drift repair is
-    * CALL system.reindex's job, off the ingest path. Correctness statement
-    * mirrors ivf_append_search: a FULL-probe search over the streamed
-    * table is exact KNN, so streamed-index == brute-force oracle. */
+    * CALL system.reindex's job, off the ingest path. foreachBatch is
+    * at-least-once under batch RETRIES — a production deployment routes
+    * the append through the exactly-once lance StreamingWrite (epoch-
+    * tagged manifest commits, as lance_streaming_sink does); the drain
+    * here is single-shot. Correctness statement mirrors ivf_append_search:
+    * a FULL-probe search over the streamed table is exact KNN, so
+    * streamed-index == brute-force oracle. */
   private def streamIndex(s: SparkSession, dir: String): DataFrame = {
     val srcDir = tmp("sidx-src"); val ckpt = tmp("sidx-ckpt")
     val root = tmp("sidx-idx") + "/t"

@@ -84,6 +84,19 @@ class DedupSpec extends SparkSpec {
       s"window stream shuffled $gramShuffles times:\n$plan")
   }
 
+  test("dedup_substring_hashed == string-keyed form; hashed key rides the shuffle") {
+    val hashed = SparkEntry.queries("dedup_substring_hashed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val strings = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hashed === strings)
+    // the window-keyed exchanges must carry the LONG hash, not the string
+    val plan = SparkEntry.queries("dedup_substring_hashed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(g#\\d+L".r.findFirstIn(plan).isDefined,
+      s"shuffle key is not the 8-byte hash:\n$plan")
+  }
+
   test("q_stream_neardedup: incremental LSH over micro-batches == batch LSH pairs") {
     val streamed = SparkEntry.queries("q_stream_neardedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

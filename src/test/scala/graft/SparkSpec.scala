@@ -70,6 +70,7 @@ class EntrySpec extends SparkSpec {
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,
+    "dedup_substring_hashed" -> 500,
     "q_stream_index" -> 15,
     "q_stream_dedup" -> 500,
     "q_stream_neardedup" -> 28,
