@@ -355,18 +355,61 @@ object StreamingOps extends QueryModule {
       excludeVecId = VectorIndex.QueryVecId)
   }
 
+  /** EXACTLY-ONCE streaming index appends — the production form of
+    * q_stream_index's maintenance loop: instead of foreachBatch (at-least-
+    * once under batch retries), the cell assignment becomes a plain
+    * streaming PROJECTION — the frozen centroids fold into the codegen'd
+    * NearestCell as literals — and the stream writes through the lance
+    * StreamingWrite, whose epoch-tagged manifest commits make a replayed
+    * micro-batch a no-op (the same machinery lance_stream_pipeline gates).
+    * write.cluster-by=cell keeps every appended fragment cell-ordered via
+    * the sink's RequiresDistributionAndOrdering (planned per micro-batch),
+    * so probe pruning holds for streamed fragments exactly as for built
+    * ones. Seed corpus trains; the stream never retrains — drift repair
+    * stays CALL system.reindex's job. Full-probe search == exact KNN. */
+  private def streamIndexOnce(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("sidxo-src"); val ckpt = tmp("sidxo-ckpt")
+    val root = tmp("sidxo-idx") + "/t"
+    val e = t(s, dir, "embeddings")
+    val idx = IndexBuild.build(s, e.filter(col("vec_id") % 4 === 0), root, Map(
+      "index.type" -> "IVF_FLAT",
+      "index.num-partitions" -> VectorIndex.Cells.toString))
+    val rest = e.filter(col("vec_id") % 4 =!= 0)
+    rest.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / idx.centroids.length
+    val q = s.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), flat, idx.centroids.length, dim))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .option("write.cluster-by", "cell")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    drain(q)
+    val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
+    IndexBuild.search(s, IndexBuild.load(s, root), qv,
+      Map("vector.nprobes" -> VectorIndex.Cells.toString,
+          "vector.k" -> VectorIndex.K.toString),
+      excludeVecId = VectorIndex.QueryVecId)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
     "q_stream_neardedup" -> streamNearDedup,
-    "q_stream_index" -> streamIndex)
+    "q_stream_index" -> streamIndex,
+    "q_stream_index_once" -> streamIndexOnce)
 
   val oracleSql: Map[String, String] = Map(
     // full-probe search over the streamed-in index == exact KNN (the same
     // statement that gates ivf_flat/ivf_append)
     "q_stream_index" -> VectorIndex.exactKnnSql,
+    "q_stream_index_once" -> VectorIndex.exactKnnSql,
     "lance_stream_pipeline" ->
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,

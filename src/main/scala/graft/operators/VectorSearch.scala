@@ -328,6 +328,34 @@ object VectorSearch extends QueryModule {
       .orderBy(col("q_id").asc, col("rk").asc)
   }
 
+  /** Hard-negative mining AT SCALE: route the full query set through the
+    * cell-blocked ANN join with k·over oversampling, then label-filter and
+    * re-rank to k — the shape for millions of queries, where the exact
+    * window form's corpus-wide scoring is off the table. Oversampling
+    * covers label-dominant neighborhoods (a query whose top k·over is
+    * mostly same-label still yields ≥ k negatives with high probability);
+    * recall vs the exact form is measured in the spec, not assumed.
+    * The label joins are |corpus(id,label)|-slim and AQE-broadcast at
+    * gate scale; at 100 TB the n_id join rides the same shuffle key as
+    * the candidate stream and the re-rank window is k·over-bounded. */
+  def knnNegativesMined(s: SparkSession, queries: DataFrame, corpus: DataFrame,
+                        k: Int, over: Int, cells: Int, nprobes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val cand = knnJoin(s, queries, corpus, "vec_id", "vec_id", "embedding",
+      k = k * over, metric = "l2", cells = cells, nprobes = nprobes)
+    cand
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("neg_rk", row_number()
+        .over(Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc))
+        .cast("long"))
+      .filter(col("neg_rk") <= k)
+      .select("q_id", "n_id", "n_label", "dist", "neg_rk")
+      .orderBy(col("q_id").asc, col("neg_rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,

@@ -97,6 +97,26 @@ class DedupSpec extends SparkSpec {
       s"shuffle key is not the 8-byte hash:\n$plan")
   }
 
+  test("q_stream_neardedup: hot band bucket caps per probe — overflow batch dropped, earlier pairs kept") {
+    // 101 IDENTICAL docs: every band bucket holds all of them, one over
+    // BucketCap=100. The batch path drops the whole bucket (zero pairs);
+    // the streaming path accumulates across 4 micro-batches, so probes
+    // BEFORE the bucket overflows still pair up — and the batch that tips
+    // the count past the cap is dropped, bounding its fan-out
+    val tmp = java.nio.file.Files.createTempDirectory("graft-capstream-").toString
+    import spark.implicits._
+    val text = (1 to 20).map("x" + _).mkString(" ")
+    (1L to 101L).map(i => (i, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batch = SparkEntry.queries("dedup_minhash_lsh")(spark, tmp).collect()
+    assert(batch.isEmpty, "batch path must drop the over-cap bucket whole")
+    val streamed = SparkEntry.queries("q_stream_neardedup")(spark, tmp).collect()
+    assert(streamed.nonEmpty, "pairs discovered before overflow must be kept")
+    assert(streamed.length < 101 * 100 / 2,
+      "the capped probe must drop the overflowing micro-batch")
+    assert(streamed.forall(_.getDouble(2) === 1.0)) // identical docs
+  }
+
   test("q_stream_neardedup: incremental LSH over micro-batches == batch LSH pairs") {
     val streamed = SparkEntry.queries("q_stream_neardedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -72,6 +72,7 @@ class EntrySpec extends SparkSpec {
     "dedup_substring" -> 500,
     "dedup_substring_hashed" -> 500,
     "q_stream_index" -> 15,
+    "q_stream_index_once" -> 15,
     "q_stream_dedup" -> 500,
     "q_stream_neardedup" -> 28,
     "dedup_simhash" -> 27,

@@ -678,6 +678,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("knnNegativesMined: ANN-routed mining matches exact at full probes, recall at partial") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") % 50 === 0)
+    val exact = SparkEntry.queries("knn_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full probes + 4x oversampling: every query's 5 nearest negatives sit
+    // inside its top-20 overall here, so the mined set is EXACTLY the
+    // window form's answer
+    val full = operators.VectorSearch.knnNegativesMined(spark, qs, e,
+      k = 5, over = 4, cells = 8, nprobes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // partial probes keep high recall (cell-blocked candidates only)
+    val partial = operators.VectorSearch.knnNegativesMined(spark, qs, e,
+      k = 5, over = 4, cells = 8, nprobes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = partial.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"partial-probe mining recall $recall < 0.8")
+  }
+
+  test("q_stream_index_once: exactly-once sink appends == exact KNN") {
+    // cell assignment is a streaming projection over frozen centroids and
+    // the append rides the lance StreamingWrite (epoch-tagged commits +
+    // per-micro-batch cluster-by ordering) — no foreachBatch anywhere
+    val streamed = SparkEntry.queries("q_stream_index_once")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = SparkEntry.queries("ivf_flat_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
     val truth = SparkEntry.queries("ivf_flat_search")(spark, sf)
       .limit(10).collect().map(_.getLong(0)).toSet
