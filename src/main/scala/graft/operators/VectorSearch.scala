@@ -339,11 +339,31 @@ object VectorSearch extends QueryModule {
     * gate scale; at 100 TB the n_id join rides the same shuffle key as
     * the candidate stream and the re-rank window is k·over-bounded. */
   def knnNegativesMined(s: SparkSession, queries: DataFrame, corpus: DataFrame,
-                        k: Int, over: Int, cells: Int, nprobes: Int): DataFrame = {
+                        k: Int, over: Int, cells: Int, nprobes: Int): DataFrame =
+    negativeFilter(
+      knnJoin(s, queries, corpus, "vec_id", "vec_id", "embedding",
+        k = k * over, metric = "l2", cells = cells, nprobes = nprobes),
+      corpus.select(col("vec_id"), col("label")), k)
+
+  /** The memory-bound variant: mine through a persisted IVF_PQ index —
+    * u8 codes ride the cell join and ADC ranks the oversampled pool
+    * before the exact re-rank, so the corpus's float vectors never
+    * shuffle. Same label post-filter + bounded re-rank as the float
+    * path; recall vs the exact window form is measured in the spec. */
+  def knnNegativesMinedPq(s: SparkSession, queries: DataFrame,
+                          idx: IndexBuild.BuiltIndex, labels: DataFrame,
+                          k: Int, over: Int, nprobes: Int,
+                          refine: Int = 4): DataFrame =
+    negativeFilter(
+      knnJoinPq(s, queries, idx, "vec_id", k = k * over, nprobes = nprobes,
+        refine = refine),
+      labels, k)
+
+  /** Label-mismatch filter + per-query re-rank to k over an oversampled
+    * candidate set (q_id, n_id, dist). The label joins carry only
+    * (id, label); the re-rank window is k·over-bounded per query. */
+  private def negativeFilter(cand: DataFrame, labels: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = corpus.select(col("vec_id"), col("label"))
-    val cand = knnJoin(s, queries, corpus, "vec_id", "vec_id", "embedding",
-      k = k * over, metric = "l2", cells = cells, nprobes = nprobes)
     cand
       .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
       .join(labels.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")

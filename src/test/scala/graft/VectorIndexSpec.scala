@@ -698,6 +698,44 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"partial-probe mining recall $recall < 0.8")
   }
 
+  test("knnNegativesMinedPq: ADC-routed mining recall vs the exact window form") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.filter(col("vec_id") % 50 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-negpq-").toString
+    val idx = operators.IndexBuild.build(spark, e, root, Map(
+      "index.type" -> "IVF_PQ", "index.num-partitions" -> "8"))
+    val exact = SparkEntry.queries("knn_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mined = operators.VectorSearch.knnNegativesMinedPq(spark, qs,
+      operators.IndexBuild.load(spark, root), e.select("vec_id", "label"),
+      k = 5, over = 4, nprobes = 8, refine = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mined.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ADC mining recall $recall < 0.8")
+  }
+
+  test("index search survives compaction: sidecar persists, partial-probe results unchanged") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-compact-").toString
+    val idx = operators.IndexBuild.build(spark,
+      e.filter(col("vec_id") % 5 =!= 0), root, Map(
+        "index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    operators.IndexBuild.append(spark, e.filter(col("vec_id") % 5 === 0), idx)
+    val qv = operators.VectorIndex.embeddingOf(spark, sf, 1L)
+    def searchAt(np: Int) = operators.IndexBuild.search(spark,
+      operators.IndexBuild.load(spark, root), qv,
+      Map("vector.nprobes" -> np.toString, "vector.k" -> "15"),
+      excludeVecId = 1L).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val beforePartial = searchAt(4); val beforeFull = searchAt(16)
+    // force-merge every fragment: the cell filter's semantics must not
+    // depend on the fragment layout, and the sidecar pointer must ride
+    // the compaction commit (IndexBuild.load re-resolves it)
+    graft.sources.lance.LanceMaintenance.compact(spark, root,
+      smallerThanRows = Long.MaxValue, targetRows = Long.MaxValue)
+    assert(searchAt(4) === beforePartial)
+    assert(searchAt(16) === beforeFull)
+  }
+
   test("q_stream_index_once: exactly-once sink appends == exact KNN") {
     // cell assignment is a streaming projection over frozen centroids and
     // the append rides the lance StreamingWrite (epoch-tagged commits +
