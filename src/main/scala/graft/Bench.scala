@@ -32,7 +32,8 @@ object Bench {
     // appended r10
     "dedup_canonical", "sample_token_budget",
     // appended r11
-    "dedup_substring", "text_commonness", "sample_temperature")
+    "dedup_substring", "text_commonness", "sample_temperature",
+    "corpus_stats", "knn_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -196,12 +196,39 @@ object Sampling extends QueryModule {
       .orderBy("source", "epoch", "cum_tokens", "doc_id")
   }
 
+  // ---- sample_split_leakfree ---------------------------------------------
+  // CLUSTER-CONSISTENT train/validation/test split — the leak sample_hash
+  // cannot prevent: two near-duplicate documents hashed independently can
+  // land on opposite sides of the fence, quietly moving test content into
+  // training. Here the whole near-dup cluster rides ONE side: every doc
+  // maps to its component's min-id representative (unclustered docs are
+  // their own rep) and the rep's hash decides the split. Scale shape =
+  // dedup_canonical's: the component labels cover only pair-docs — a tiny
+  // slice of the corpus — so the rep lookup is a broadcast left join over
+  // an otherwise map-only projection; the split stays reproducible,
+  // growth-stable, and engine-portable like sample_hash.
+  private def sampleSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.queries("dedup_minhash_lsh")(s, dir).select("a_id", "b_id")
+    val (labels, _) = Dedup.clusterLabels(s, pairs)
+    val pct = minstd2(col("rep_id")) % 100
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(broadcast(labels.select(col("node").as("doc_id"), col("lbl"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+      .select(col("doc_id"), col("rep_id"), pct.as("pct"),
+        when(pct < TrainPct, "train")
+          .when(pct < ValPct, "validation")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
-    "sample_epochs" -> sampleEpochs)
+    "sample_epochs" -> sampleEpochs,
+    "sample_split_leakfree" -> sampleSplitLeakfree)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -295,5 +322,36 @@ object Sampling extends QueryModule {
          |SELECT source, epoch, doc_id, n_tokens, cum_tokens, budget
          |FROM c WHERE cum_tokens <= budget
          |ORDER BY source, epoch, cum_tokens, doc_id""".stripMargin
-    })
+    },
+    // components via the same recursive-CTE closure that gates
+    // dedup_clusters; the rep's MINSTD hash then decides the whole cluster
+    "sample_split_leakfree" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT a_id, a_id FROM pairs
+         |  UNION SELECT b_id, b_id FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a),
+         |r AS (SELECT dd.doc_id, coalesce(comp.lbl, dd.doc_id) AS rep_id
+         |  FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.node),
+         |p AS (SELECT doc_id, rep_id,
+         |    ((rep_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM % 100 AS pct
+         |  FROM r)
+         |SELECT doc_id, rep_id, pct,
+         |  CASE WHEN pct < $TrainPct THEN 'train'
+         |       WHEN pct < $ValPct THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM p ORDER BY doc_id""".stripMargin)
 }

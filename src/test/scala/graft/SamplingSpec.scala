@@ -135,6 +135,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sample_split_leakfree: near-dup pairs never straddle the split fence") {
+    val split = SparkEntry.queries("sample_split_leakfree")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"near-dups $a (${split(a)}) and $b (${split(b)}) landed in different splits")
+    }
+    // unclustered docs keep sample_hash's assignment exactly (rep == self)
+    val plain = SparkEntry.queries("sample_hash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.keys.filterNot(clustered).foreach { id =>
+      assert(split(id) === plain(id))
+    }
+  }
+
   test("plan shape: sample_temperature never collects — denominator broadcasts") {
     val plan = SparkEntry.queries("sample_temperature")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -67,6 +67,7 @@ class EntrySpec extends SparkSpec {
     "sample_mixture" -> 74,
     "sample_temperature" -> 98,
     "sample_epochs" -> 205,
+    "sample_split_leakfree" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,
