@@ -62,7 +62,14 @@ object StreamingOps extends QueryModule {
     * filtered out. Result = exactly the batch per-hour counts. */
   private def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val srcDir = tmp("swin-src"); val dst = tmp("swin-dst"); val ckpt = tmp("swin-ckpt")
-    val ev = t(s, dir, "events").select(col("ts"), col("value"))
+    // Normalize ts to TimestampType at ingest: a pandas/pyarrow/DuckDB
+    // parquet writer emits timestamp[us] with isAdjustedToUTC=false, which
+    // Spark 4.x reads as TIMESTAMP_NTZ — the typed accessors/encoders below
+    // would then see LocalDateTime, not java.sql.Timestamp. The session TZ
+    // is UTC, so the cast is value-preserving vs the oracle's naive
+    // timestamps. (Same dual-flavor acceptance as the reference source's
+    // ArrowType.Timestamp mapping, LanceTypeConverter.java:157-161.)
+    val ev = t(s, dir, "events").select(col("ts").cast("timestamp").as("ts"), col("value"))
     val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
     ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
     import s.implicits._
@@ -181,7 +188,9 @@ object StreamingOps extends QueryModule {
     * sessionization in DuckDB. */
   private def streamSessions(s: SparkSession, dir: String): DataFrame = {
     val srcDir = tmp("ssess-src"); val dst = tmp("ssess-dst"); val ckpt = tmp("ssess-ckpt")
-    val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+    // ts normalized to TimestampType (see streamWindow): the .as[(Long,
+    // Timestamp)] encoder below requires it, and NTZ parquet would break it.
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts").cast("timestamp").as("ts"))
     val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
     ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
     import s.implicits._
