@@ -180,6 +180,8 @@ object LanceOps extends QueryModule {
       date_add(lit(java.sql.Date.valueOf("2000-01-01")),
         (col("vec_id") % 1000).cast("int")).as("d"), // date
       timestamp_millis(col("vec_id") * 1000).as("ts"), // timestamp
+      // timestamp_ntz (UTC session ⇒ same wall-clock as ts)
+      timestamp_millis(col("vec_id") * 1000).cast("timestamp_ntz").as("tsn"),
       (col("vec_id").cast(DecimalType(18, 4)) + lit(0.5)).cast(DecimalType(18, 4)).as("dec"),
       concat(lit("v"), col("vec_id").cast("string")).as("str"),
       // nested types (reference: LanceTypeConverter.java:383-389 maps ROW/ARRAY)
@@ -196,6 +198,7 @@ object LanceOps extends QueryModule {
       sum(length(col("bin"))).as("bin_bytes"),
       min("d").as("d_min"), max("d").as("d_max"),
       min("ts").as("ts_min"), max("ts").as("ts_max"),
+      min("tsn").as("tsn_min"), max("tsn").as("tsn_max"),
       sum(col("dec")).cast("double").as("dec_sum"),
       count_distinct(col("str")).as("n_str"),
       sum(col("st").getField("id")).as("st_id_sum"),
@@ -688,6 +691,8 @@ object LanceOps extends QueryModule {
         |  max(DATE '2000-01-01' + CAST(vec_id % 1000 AS INTEGER)) AS d_max,
         |  min(epoch_ms(vec_id * 1000)) AS ts_min,
         |  max(epoch_ms(vec_id * 1000)) AS ts_max,
+        |  min(epoch_ms(vec_id * 1000)) AS tsn_min,
+        |  max(epoch_ms(vec_id * 1000)) AS tsn_max,
         |  CAST(sum(CAST(CAST(vec_id AS DECIMAL(18,4)) + 0.5 AS DECIMAL(18,4))) AS DOUBLE) AS dec_sum,
         |  count(DISTINCT 'v' || CAST(vec_id AS VARCHAR)) AS n_str,
         |  CAST(sum(vec_id) AS BIGINT) AS st_id_sum,

@@ -16,7 +16,7 @@ import org.json4s.{JDouble, JLong, JValue}
 private[lance] object RemovedStats {
   def trackable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-         DateType | TimestampType => true
+         DateType | TimestampType | TimestampNTZType => true
     case d: DecimalType => d.precision <= 18
     case _ => false
   }
@@ -70,6 +70,10 @@ private[lance] object RemovedStats {
                     org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
                   case t: java.time.Instant =>
                     org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+                })
+                case TimestampNTZType => JLong(row.get(i) match {
+                  case t: java.time.LocalDateTime =>
+                    org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)
                 })
                 case other => throw new IllegalStateException(s"untrackable $other")
               }

@@ -76,7 +76,7 @@ class LancePartialAggReaderFactory(inner: LanceMaskedReaderFactory,
     }
 
   private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case LongType | TimestampType =>
+    case LongType | TimestampType | TimestampNTZType =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case IntegerType | DateType =>
       java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])

@@ -121,7 +121,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
 
   private def statType(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType |
-         DateType | TimestampType => true
+         DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -324,7 +324,9 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     case (JLong(x), ByteType) => x.toByte
     case (JLong(x), LongType) => x
     case (JLong(x), DateType) => x.toInt
-    case (JLong(x), TimestampType) => x
+    // NTZ shares TimestampType's micros-long internal form (the parquet
+    // footer records INT64 micros for both flavors)
+    case (JLong(x), TimestampType | TimestampNTZType) => x
     case (JDouble(x), FloatType) => x.toFloat
     case (JDouble(x), DoubleType) => x
     case (JString(x), StringType) => UTF8String.fromString(x)
@@ -524,6 +526,17 @@ object LancePruning {
       case l: java.lang.Long => Some(Bloom.hashLong(l.longValue()))
       case s: java.lang.Short => Some(Bloom.hashLong(s.longValue()))
       case b: java.lang.Byte => Some(Bloom.hashLong(b.longValue()))
+      // temporals hash in the write side's internal domain (days/micros,
+      // see LanceDataWriter's sketch feed)
+      case d: java.sql.Date => Some(Bloom.hashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+      case d: java.time.LocalDate => Some(Bloom.hashLong(d.toEpochDay))
+      case t: java.sql.Timestamp => Some(Bloom.hashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+      case t: java.time.Instant => Some(Bloom.hashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)))
+      case t: java.time.LocalDateTime => Some(Bloom.hashLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
       case _ => None
     }
     (fr, c, v) =>
@@ -549,6 +562,10 @@ object LancePruning {
         (c, v) => bloomAbsent(fr, c, v)))
     }
 
+  /** External filter value → the manifest's internal stat domain (epoch
+    * days / epoch micros as JLong for temporals — the same domain parquet
+    * INT32/INT64 footer stats land in, for either java.sql or java.time
+    * external form and for both timestamp flavors). */
   private def lit(v: Any): Option[JValue] = v match {
     case i: Int => Some(JLong(i))
     case l: Long => Some(JLong(l))
@@ -557,7 +574,16 @@ object LancePruning {
     case f: Float => Some(JDouble(f.toDouble))
     case d: Double => Some(JDouble(d))
     case s: String => Some(JString(s))
-    case _ => None // dates/timestamps/decimals: no pruning
+    case d: java.sql.Date =>
+      Some(JLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+    case d: java.time.LocalDate => Some(JLong(d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      Some(JLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case t: java.time.Instant =>
+      Some(JLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)))
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ literals
+      Some(JLong(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
+    case _ => None // decimals/binary: no pruning
   }
 
   private def cmpJ(a: JValue, b: JValue): Option[Int] = (a, b) match {
@@ -938,14 +964,14 @@ class LanceParquetScan(spark: SparkSession, root: String, manifest: LanceManifes
       case (org.json4s.JLong(x), ByteType) => x.toByte
       case (org.json4s.JLong(x), LongType) => x
       case (org.json4s.JLong(x), DateType) => x.toInt
-      case (org.json4s.JLong(x), TimestampType) => x
+      case (org.json4s.JLong(x), TimestampType | TimestampNTZType) => x
       case (org.json4s.JDouble(x), FloatType) => x.toFloat
       case (org.json4s.JDouble(x), DoubleType) => x
       case _ => throw new IllegalStateException(s"stat/type mismatch: $v vs $dt")
     }
     def rangeType(dt: DataType): Boolean = dt match {
       case IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType |
-           DateType | TimestampType => true
+           DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
     def statDouble(v: org.json4s.JValue): Double = v match {

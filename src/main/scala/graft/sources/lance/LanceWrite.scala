@@ -370,11 +370,16 @@ class LanceDataWriter(root: String, schema: StructType,
   // (approximate COUNT(DISTINCT) for columns the exact dictionaries can't
   // cover); sketches land in one small per-fragment sidecar under _stats/
   private val hllFields: Array[(Int, org.apache.spark.sql.types.DataType, String)] = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType,
+      ShortType, StringType, TimestampNTZType, TimestampType}
+    // temporals sketch in their internal int-days / long-micros domain —
+    // the same domain the probe side (LancePruning.litHash) hashes in
     schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == StringType || f.dataType == ByteType ||
         f.dataType == ShortType || f.dataType == IntegerType ||
-        f.dataType == LongType => (i, f.dataType, f.name)
+        f.dataType == LongType || f.dataType == DateType ||
+        f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        (i, f.dataType, f.name)
     }
   }
   private var hlls: Array[Hll] = _
@@ -512,14 +517,14 @@ class LanceDataWriter(root: String, schema: StructType,
     while (h < hllFields.length) {
       val (i, dt, _) = hllFields(h)
       if (!record.isNullAt(i)) {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, StringType}
+        import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, ShortType, StringType}
         // one XXH64 per value feeds both the HLL and the equality bloom
         val hsh = dt match {
           case StringType => Bloom.hashUTF8String(record.getUTF8String(i))
           case ByteType => Bloom.hashLong(record.getByte(i).toLong)
           case ShortType => Bloom.hashLong(record.getShort(i).toLong)
-          case IntegerType => Bloom.hashLong(record.getInt(i).toLong)
-          case _ => Bloom.hashLong(record.getLong(i))
+          case IntegerType | DateType => Bloom.hashLong(record.getInt(i).toLong)
+          case _ => Bloom.hashLong(record.getLong(i)) // long / timestamp(_ntz) micros
         }
         hlls(h).addHash(hsh)
         // buffer for the close-time sized bloom; -1 count = over cap, skip
@@ -803,7 +808,7 @@ object LanceMaintenance {
       val dt = m.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"lance zorder: unknown column $c")).dataType
       require(dt.isInstanceOf[NumericType] || dt == DateType ||
-          dt == TimestampType || dt == StringType,
+          dt == TimestampType || dt == TimestampNTZType || dt == StringType,
         s"lance zorder needs numeric/date/timestamp/string columns, $c is $dt")
     }
     val df = maskedRead(spark, root, m.version, m.schema, m.fragments)
@@ -819,12 +824,14 @@ object LanceMaintenance {
     // leading bytes (URLs all starting 'https://') would collapse to ONE
     // rank value and the string dimension would silently stop clustering.
     // All builtin expressions, still codegen'd.
-    import org.apache.spark.sql.types.{DateType, StringType}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType}
     def isString(c: String): Boolean =
       m.schema.fields.find(_.name == c).get.dataType == StringType
     def asDoubleNum(c: String): Column =
       m.schema.fields.find(_.name == c).get.dataType match {
         case DateType => unix_date(col(c)).cast("double")
+        // NTZ→double is not a castable pair; micros are exact and monotonic
+        case TimestampNTZType => expr(s"unix_micros(cast(`$c` as timestamp))").cast("double")
         case _ => col(c).cast("double")
       }
     val bounds = df.select(cols.flatMap(c =>

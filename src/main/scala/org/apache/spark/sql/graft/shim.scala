@@ -98,6 +98,12 @@ object Shim {
       options: Map[String, String]): (OutputWriterFactory, SerializableConfiguration) = {
     val job = Job.getInstance(hadoopConf(spark, options))
     val factory = new ParquetFileFormat().prepareWrite(spark, job, options, dataSchema)
+    // Fragments always store TimestampType as INT64 micros, never the
+    // session default INT96: INT96 is deprecated, records no usable footer
+    // statistics (so timestamp columns would silently lose min/max stats,
+    // pruning and stats-answered aggregates), and micros is the manifest's
+    // internal stat domain.
+    job.getConfiguration.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     (factory, new SerializableConfiguration(job.getConfiguration))
   }
 }

@@ -2155,4 +2155,79 @@ class LanceSpec extends SparkSpec {
     spark.sql("DROP TABLE lance_test.db1.r")
     assert(spark.sql("SHOW TABLES IN lance_test.db1").collect().isEmpty)
   }
+
+  test("TIMESTAMP_NTZ + TIMESTAMP: stats, fragment pruning, stats-agg answers, zorder") {
+    import spark.implicits._
+    val root = tmp()
+    // three fragments with disjoint minute ranges on both timestamp flavors
+    for (base <- Seq(0, 100, 200))
+      (base until base + 100).map(_.toLong).toDF("id")
+        .select(col("id"),
+          timestamp_millis(col("id") * 60000L).as("tst"),
+          timestamp_millis(col("id") * 60000L).cast("timestamp_ntz").as("tsn"))
+        .coalesce(1).write.format("lance").mode("append").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    assert(m.fragments.size === 3)
+    // both flavors record INT64-micros footer stats in every fragment
+    assert(m.fragments.forall(f => f.stats.contains("tsn") && f.stats.contains("tst")),
+      m.fragments.head.stats.keys)
+    assert(m.fragments.head.stats("tsn").min.exists(_.isInstanceOf[JLong]))
+
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.schema("tsn").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    assert(ds.count() === 300)
+
+    // equality on the NTZ column prunes to the one covering fragment
+    // (the pushed literal arrives as java.time.LocalDateTime)
+    val ntzLit = java.time.LocalDateTime.of(1970, 1, 1, 2, 30) // minute 150 → frag 2
+    val qn = ds.filter(col("tsn") === lit(ntzLit))
+    assert(qn.queryExecution.executedPlan.toString.contains("fragments=1/3"),
+      qn.queryExecution.executedPlan.toString)
+    assert(qn.collect().map(_.getLong(0)).toSeq === Seq(150L))
+    // range on the TZ flavor prunes too (same JLong-micros stat domain)
+    val tsLit = new java.sql.Timestamp(250L * 60000L)
+    val qt = ds.filter(col("tst") >= tsLit)
+    assert(qt.queryExecution.executedPlan.toString.contains("fragments=1/3"),
+      qt.queryExecution.executedPlan.toString)
+    assert(qt.count() === 50)
+
+    // min/max over either flavor answers from manifest stats, no scan
+    val aPlan = ds.agg(min("tsn"), max("tsn"), min("tst"), max("tst"))
+      .queryExecution.executedPlan.toString
+    assert(aPlan.contains("LanceStatsScan") &&
+      aPlan.contains("answered from manifest stats"), aPlan)
+    val r = ds.agg(min("tsn"), max("tsn")).first()
+    assert(r.getAs[java.time.LocalDateTime](0) ===
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+    assert(r.getAs[java.time.LocalDateTime](1) ===
+      java.time.LocalDateTime.of(1970, 1, 1, 4, 59))
+
+    // pruning unit checks in the manifest's micros domain
+    val stats = Map("ts" -> ColStats(
+      Some(JLong(100L * 60000000L)), Some(JLong(200L * 60000000L)), Some(0L)))
+    val fr = FragmentMeta("f.parquet", 10, 1000, stats)
+    val schema = StructType(Seq(StructField("ts", LongType)))
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    assert(LancePruning.provablyEmpty(fr, schema,
+      EqualTo("ts", java.time.LocalDateTime.of(1970, 1, 1, 0, 30))))
+    assert(!LancePruning.provablyEmpty(fr, schema,
+      EqualTo("ts", java.time.LocalDateTime.of(1970, 1, 1, 2, 30))))
+    assert(LancePruning.provablyEmpty(fr, schema,
+      GreaterThan("ts", new java.sql.Timestamp(200L * 60000L))))
+    assert(LancePruning.provablyEmpty(fr, schema,
+      EqualTo("ts", java.time.Instant.ofEpochMilli(30L * 60000L))))
+
+    // zorder accepts an NTZ dimension: rewrite preserves rows, then a
+    // range slice on the NTZ column prunes the re-clustered layout
+    graft.sources.lance.LanceMaintenance.zorder(spark, root,
+      Seq("tsn", "id"), targetRows = 100)
+    val ds2 = spark.read.format("lance").load(root)
+    assert(ds2.count() === 300)
+    val m2 = ManifestIO.loadLatest(root, conf).get
+    val pruned = ds2.filter(col("tsn") < lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 50)))
+    val pPlan = pruned.queryExecution.executedPlan.toString
+    val frTouched = "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(pPlan).get
+    assert(frTouched.group(1).toInt < m2.fragments.size, pPlan)
+    assert(pruned.count() === 50)
+  }
 }
