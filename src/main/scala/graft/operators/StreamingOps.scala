@@ -255,13 +255,22 @@ object StreamingOps extends QueryModule {
     * keys/sets append to the two state tables. A pair is discovered
     * exactly once — in the micro-batch where its LATER member arrives —
     * so streamed pairs == the batch LSH pairs == the all-pairs oracle.
-    * State is lance tables, not executor memory: at production scale both
-    * appends bucket by band_key/doc_id so the per-batch probe is a
-    * storage-partitioned join against only the buckets the batch touches;
-    * a production deployment would ALSO cap hot band buckets on the
-    * accumulated index (not done here — the gated corpus has none), and
-    * the batch path's recall argument carries over (a true pair collides
-    * in ~all 32 bands, so dropping one mega-bucket keeps recall). */
+    * State is lance tables, not executor memory — and BUCKETED ones: both
+    * appends hash-cluster by their probe key (band_key / doc_id) via
+    * write.bucket-by, and every probe reads back through `read.buckets`
+    * restricted to the buckets the BATCH's keys hash into, so per-batch
+    * state IO is proportional to the batch's bucket cover, never the
+    * accumulated history. The history side is further semi-joined to the
+    * batch's distinct band keys (broadcast — a micro-batch is small)
+    * before the hot-bucket count, so the skew guard too costs O(touched
+    * buckets): a band bucket exceeding BucketCap docs (history + batch)
+    * is dropped from the probe, bounding one batch's pair fan-out at
+    * cap²/2 per bucket. When the cap binds, pairs discovered before a
+    * bucket overflowed are kept — a recall-safe superset of the batch
+    * path's drop-whole-bucket answer (a true near-dup pair collides in
+    * ~all 32 bands). */
+  private[operators] val StateBuckets = 8
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
@@ -279,16 +288,23 @@ object StreamingOps extends QueryModule {
         val bk = Dedup.bandKeys(batch).localCheckpoint()
         val bs = Dedup.shingleSets(batch).localCheckpoint()
         val histExists = new java.io.File(keysT).exists()
-        val allKeys =
-          if (histExists) bk.unionByName(s.read.format("lance").load(keysT))
-          else bk
-        // batch-path parity for the skew bound: a band bucket exceeding
-        // BucketCap docs (history + batch) is dropped from THIS probe, so
-        // one micro-batch's pair fan-out is bounded by cap²/2 per bucket
-        // (a boilerplate bucket can't go quadratic). When the cap binds,
-        // pairs discovered before the bucket overflowed are kept — a
-        // recall-safe superset of the batch path's drop-whole-bucket
-        // answer (a true near-dup pair collides in ~all 32 bands).
+        // the batch's bucket cover — ≤ StateBuckets ints, same hash the
+        // bucketed write used (partitionId = pmod(murmur3(key), N))
+        val keyBuckets = bk
+          .select(pmod(hash(col("band_key")), lit(StateBuckets)).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val batchKeys = bk.select("band_idx", "band_key").distinct()
+        val histKeys =
+          if (histExists && keyBuckets.nonEmpty)
+            s.read.format("lance")
+              .option("read.buckets", keyBuckets.mkString(","))
+              .load(keysT)
+              .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "left_semi")
+          else bk.limit(0)
+        val allKeys = bk.unionByName(histKeys.select("doc_id", "band_idx", "band_key"))
+        // skew guard over batch-relevant buckets only (history rows for
+        // non-batch band keys can't form candidates, and their absence
+        // leaves these counts unchanged)
         val okBuckets = allKeys.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= Dedup.BucketCap)
@@ -301,15 +317,28 @@ object StreamingOps extends QueryModule {
           .select(least(col("x"), col("y")).as("a_id"),
             greatest(col("x"), col("y")).as("b_id"))
           .distinct()
-        val allSets =
-          if (histExists) bs.unionByName(s.read.format("lance").load(setsT))
-          else bs
-        val verified = Dedup.verifyJaccard(cand, allSets)
+          .localCheckpoint()
+        // shingle-set store probe, same bucket discipline on doc_id
+        val setBuckets = cand.select(pmod(hash(col("a_id")), lit(StateBuckets)).as("b"))
+          .union(cand.select(pmod(hash(col("b_id")), lit(StateBuckets)).as("b")))
+          .distinct().collect().map(_.getInt(0))
+        val histSets =
+          if (histExists && setBuckets.nonEmpty)
+            s.read.format("lance")
+              .option("read.buckets", setBuckets.mkString(","))
+              .load(setsT)
+          else bs.limit(0)
+        val verified = Dedup.verifyJaccard(cand,
+          bs.unionByName(histSets.select("doc_id", "sh")))
         verified.write.format("lance")
           .mode(if (new java.io.File(dst).exists()) "append" else "overwrite").save(dst)
         bk.write.format("lance")
+          .option("write.bucket-by", "band_key")
+          .option("write.bucket-count", StateBuckets.toString)
           .mode(if (histExists) "append" else "overwrite").save(keysT)
         bs.write.format("lance")
+          .option("write.bucket-by", "doc_id")
+          .option("write.bucket-count", StateBuckets.toString)
           .mode(if (histExists) "append" else "overwrite").save(setsT)
       }
       .trigger(Trigger.AvailableNow())

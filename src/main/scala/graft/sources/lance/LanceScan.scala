@@ -106,7 +106,8 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     // exactly-enforced filters keep manifest row counts exact (every live
     // row of every kept fragment matches), so limit can still truncate the
     // fragment list; undecided filters make counts over-estimates → decline
-    if (cdcRange.isEmpty && (filters.isEmpty || allFiltersExact)) {
+    if (cdcRange.isEmpty && bucketRestrict.isEmpty &&
+        (filters.isEmpty || allFiltersExact)) {
       limit = Some(n); true
     } else false
   }
@@ -478,8 +479,26 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     Some((schema, statRow, scanFrags, readCols, specs))
   }
 
+  /** `read.buckets=0,3,7` restricts the scan to fragments whose
+    * write.bucket-by tag is in the set — the reader-side handle for
+    * bucket-pruned state probes (a streaming-ingest loop reads ONLY the
+    * buckets the batch's keys hash into, so per-batch IO is proportional
+    * to the batch's bucket cover, not accumulated history). Untagged
+    * fragments are always kept: their keys are unknown, so excluding them
+    * could drop matching rows. Aggregate/limit pushdowns decline under a
+    * restriction (their stats range over the whole table). */
+  private val bucketRestrict: Option[Set[Int]] =
+    LanceOptions.any(options, "read.buckets").map(
+      _.split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+
+  private def restrictedFragments: Seq[FragmentMeta] = bucketRestrict match {
+    case Some(bs) => manifest.fragments.filter(_.bucket.forall(bs.contains))
+    case None => manifest.fragments
+  }
+
   override def pushAggregation(agg: Aggregation): Boolean =
-    tryAnswerAll(agg) match {
+    if (bucketRestrict.isDefined) false
+    else tryAnswerAll(agg) match {
       case Some((schema, rows)) =>
         aggSchema = Some(schema); aggRows = Some(rows); true
       case None =>
@@ -501,7 +520,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
       new LancePartialAggScan(spark, root, manifest, schema, statRow, scanFrags,
         readCols, specs, spark.sessionState.conf.ansiEnabled, options)
     case _ =>
-      val pruned = LancePruning.prune(manifest.fragments, manifest.schema,
+      val pruned = LancePruning.prune(restrictedFragments, manifest.schema,
         filters, root, LancePruning.bloomProbe(root, Shim.hadoopConf(spark, options)))
       new LanceParquetScan(spark, root, manifest, pruned, required, filters.toSeq,
         limit, options)

@@ -609,27 +609,50 @@ object LanceBatchSave {
         s"lance append schema mismatch: table=${m.schema.simpleString} df=${df.schema.simpleString}")
     }
     // V1-path parity with the V2 RequiresDistributionAndOrdering contract:
-    // cluster/sort options (explicit or persisted table props) shape the
-    // frame before staging
-    val opts = prev.map(_.props).getOrElse(Map.empty) ++ options
+    // cluster/sort/bucket options (explicit or persisted table props) shape
+    // the frame before staging. Like the V2 path, a persisted bucket
+    // layout always beats per-write overrides (stale tags would corrupt
+    // storage-partitioned joins).
+    val opts = LanceOptions.mergeWriteOptions(
+      prev.map(_.props).getOrElse(Map.empty), options)
     def csv(key: String): Seq[String] = LanceOptions.any(opts, key).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val clusterBy = csv("write.cluster-by") ++ csv("clusterBy")
-    val sortBy = (clusterBy ++ csv("write.sort-by") ++ csv("sortBy")).distinct
+    val bucketCols = csv("write.bucket-by") ++ csv("bucketBy")
+    val bucketN = LanceOptions.any(opts, "write.bucket-count", "bucketCount").map(_.toInt)
+    val bucketBy: Option[(String, Int)] = (bucketCols, bucketN) match {
+      case (Seq(c), Some(n)) =>
+        require(n > 0, s"lance write.bucket-count must be positive, got $n")
+        require(clusterBy.isEmpty, "lance: write.bucket-by and write.cluster-by are exclusive")
+        require(df.schema.fieldNames.contains(c), s"lance write.bucket-by: unknown column $c")
+        Some((c, n))
+      case (Nil, None) => None
+      case (cs, _) if cs.size > 1 => throw new IllegalArgumentException(
+        s"lance write.bucket-by takes ONE column (got ${cs.mkString(", ")})")
+      case _ => throw new IllegalArgumentException(
+        "lance: write.bucket-by and write.bucket-count must be set together")
+    }
+    val sortBy = (clusterBy ++ bucketCols ++ csv("write.sort-by") ++ csv("sortBy")).distinct
     val shaped = {
       import org.apache.spark.sql.functions.col
       val parts = LanceOptions.any(opts, "write.cluster-partitions").map(_.toInt)
-      val cl =
-        if (clusterBy.isEmpty) df
-        else parts.map(n => df.repartitionByRange(n, clusterBy.map(col): _*))
-          .getOrElse(df.repartitionByRange(clusterBy.map(col): _*))
+      val cl = bucketBy match {
+        // repartition(n, col) = HashPartitioning: partitionId is
+        // pmod(murmur3(col), n), the same bucket function the V2 path's
+        // ClusteredDistribution + requiredNumPartitions yields
+        case Some((c, n)) => df.repartition(n, col(c))
+        case None =>
+          if (clusterBy.isEmpty) df
+          else parts.map(n => df.repartitionByRange(n, clusterBy.map(col): _*))
+            .getOrElse(df.repartitionByRange(clusterBy.map(col): _*))
+      }
       if (sortBy.isEmpty) cl else cl.sortWithinPartitions(sortBy.map(col): _*)
     }
     val newFrags = stageFragments(spark, shaped, root,
       LanceOptions.any(opts, "maxRowsPerFile", "write.max-rows-per-file"), clusterBy,
       // the V1 path only sorts within partitions by write.sort-by (range
       // repartitioning alone does not order rows inside a partition)
-      sortedBy = sortBy)
+      sortedBy = sortBy, bucketed = bucketBy.isDefined)
     // `commit.prop.` options fold into the manifest props IN this commit —
     // the same atomic stamp channel as the V2 batch path (see LanceWrite)
     val propStamps = options.collect {
@@ -657,7 +680,8 @@ object LanceBatchSave {
   private[lance] def stageFragments(spark: SparkSession, df: DataFrame, root: String,
                                     maxRowsPerFile: Option[String],
                                     clusterBy: Seq[String] = Nil,
-                                    sortedBy: Seq[String] = Nil): Seq[FragmentMeta] = {
+                                    sortedBy: Seq[String] = Nil,
+                                    bucketed: Boolean = false): Seq[FragmentMeta] = {
     val schema = df.schema
     val clusterIdx = clusterBy.map(schema.fieldIndex).toArray
     val (factory, conf) = Shim.parquetWriterFactory(spark, schema, Map.empty)
@@ -667,7 +691,7 @@ object LanceBatchSave {
       if (rows.isEmpty) Iterator.empty
       else {
         val w = new LanceDataWriter(root, schema, factory, conf, maxRows, pid, pid.toLong,
-          clusterIdx, sortedBy = sortedBy)
+          clusterIdx, bucketed = bucketed, sortedBy = sortedBy)
         try {
           rows.foreach(w.write)
           Iterator.single(w.commit().asInstanceOf[LanceFragmentsCommitMessage].fragments)

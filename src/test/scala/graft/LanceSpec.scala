@@ -2156,6 +2156,42 @@ class LanceSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN lance_test.db1").collect().isEmpty)
   }
 
+  test("read.buckets restricts scans to the requested bucket cover") {
+    val root = tmp()
+    // two bucketed appends = two epochs of streaming state
+    for (epoch <- 0 until 2)
+      spark.range(epoch * 500, epoch * 500 + 500).selectExpr("id", "id * 7 AS v")
+        .write.format("lance")
+        .option("write.bucket-by", "id").option("write.bucket-count", "4")
+        .mode(if (epoch == 0) "overwrite" else "append").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    assert(m.fragments.size === 8 && m.fragments.forall(_.bucket.isDefined))
+
+    val ds = spark.read.format("lance").option("read.buckets", "1,3").load(root)
+    // the scan enumerates ONLY matching-bucket fragments — per-epoch cost
+    // is the bucket cover, not accumulated history
+    val expectFrags = m.fragments.count(_.bucket.exists(Set(1, 3).contains))
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains(s"fragments=$expectFrags/${m.fragments.size}"), plan)
+    // and returns exactly the rows hashing into those buckets (same
+    // pmod(murmur3, N) the bucketed write shuffled by)
+    val all = spark.read.format("lance").load(root)
+    val expected = all.filter(pmod(hash(col("id")), lit(4)).isin(1, 3)).count()
+    assert(expected > 0 && ds.count() === expected)
+
+    // aggregate pushdown declines under a restriction (manifest stats
+    // range over the whole table, not the restricted cover)
+    val aPlan = ds.agg(min("id"), max("id")).queryExecution.executedPlan.toString
+    assert(!aPlan.contains("LanceStatsScan"), aPlan)
+
+    // an untagged fragment (plain append) is always kept: unknown keys
+    // must not be excluded
+    spark.range(10000, 10010).selectExpr("id", "id AS v")
+      .coalesce(1).write.format("lance").mode("append").save(root)
+    val ds2 = spark.read.format("lance").option("read.buckets", "1,3").load(root)
+    assert(ds2.count() === expected + 10)
+  }
+
   test("TIMESTAMP_NTZ + TIMESTAMP: stats, fragment pruning, stats-agg answers, zorder") {
     import spark.implicits._
     val root = tmp()
