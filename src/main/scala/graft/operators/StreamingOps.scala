@@ -434,6 +434,54 @@ object StreamingOps extends QueryModule {
       excludeVecId = VectorIndex.QueryVecId)
   }
 
+  /** EXACTLY-ONCE streaming appends for an IVF_PQ index — the PQ
+    * completion of q_stream_index_once (reference: the IVF_PQ builder,
+    * LanceIndexBuilder.java:116-138): the streaming projection folds BOTH
+    * frozen-literal expressions — codegen'd NearestCell over the seed
+    * centroids AND PqEncode over the seed codebooks — so every streamed
+    * row lands cell-clustered WITH its PQ codes, and ADC search works
+    * over streamed fragments exactly as over built ones. The write rides
+    * the lance StreamingWrite (epoch-tagged commits: a replayed
+    * micro-batch is a no-op). Codes are deterministic given the frozen
+    * codebooks, so streamed == batch-append bit-for-bit; ADC ranking is
+    * approximate by construction → rows-only key, with the equality and
+    * replay statements spec-gated against a batch-append twin index. */
+  private def streamIndexOncePq(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("sidxp-src"); val ckpt = tmp("sidxp-ckpt")
+    val root = tmp("sidxp-idx") + "/t"
+    val e = t(s, dir, "embeddings")
+    val idx = IndexBuild.build(s, e.filter(col("vec_id") % 4 === 0), root, Map(
+      "index.type" -> "IVF_PQ",
+      // 4-bit codes: the seed subset is smaller than the default 256-code
+      // books (KMeans caps centers at the sample size)
+      "index.num-bits" -> "4",
+      "index.num-partitions" -> VectorIndex.Cells.toString))
+    val rest = e.filter(col("vec_id") % 4 =!= 0)
+    rest.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / idx.centroids.length
+    val p = idx.pq.get
+    val q = s.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), flat, idx.centroids.length, dim))
+      .withColumn("codes", graft.functions.pq_encode(
+        col("embedding"), p.flat, p.m, p.codes, p.subDim))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .option("write.cluster-by", "cell")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    drain(q)
+    val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
+    IndexBuild.search(s, IndexBuild.load(s, root), qv,
+      Map("vector.nprobes" -> VectorIndex.Cells.toString,
+          "vector.k" -> VectorIndex.K.toString,
+          "vector.refine-factor" -> "4"),
+      excludeVecId = VectorIndex.QueryVecId)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_window" -> streamWindow,
@@ -441,7 +489,8 @@ object StreamingOps extends QueryModule {
     "q_stream_dedup" -> streamDedup,
     "q_stream_neardedup" -> streamNearDedup,
     "q_stream_index" -> streamIndex,
-    "q_stream_index_once" -> streamIndexOnce)
+    "q_stream_index_once" -> streamIndexOnce,
+    "q_stream_index_pq" -> streamIndexOncePq)
 
   val oracleSql: Map[String, String] = Map(
     // full-probe search over the streamed-in index == exact KNN (the same

@@ -74,6 +74,7 @@ class EntrySpec extends SparkSpec {
     "dedup_substring_hashed" -> 500,
     "q_stream_index" -> 15,
     "q_stream_index_once" -> 15,
+    "q_stream_index_pq" -> 15,
     "q_stream_dedup" -> 500,
     "q_stream_neardedup" -> 28,
     "dedup_simhash" -> 27,

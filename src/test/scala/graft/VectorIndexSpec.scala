@@ -748,6 +748,89 @@ class VectorIndexSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("q_stream_index_pq: streamed PQ appends == batch-append twin; crash-replayed epoch is a no-op") {
+    import graft.operators.IndexBuild
+    import org.apache.spark.sql.streaming.Trigger
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(s"graft-$p-").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val seed = e.filter(col("vec_id") % 4 === 0)
+    val rest = e.filter(col("vec_id") % 4 =!= 0)
+    val opts = Map("index.type" -> "IVF_PQ",
+      // 4-bit codes: the seed subset is smaller than 256 (KMeans caps
+      // centers at the sample size)
+      "index.num-bits" -> "4",
+      "index.num-partitions" -> VectorIndex.Cells.toString)
+
+    // twin seed builds: KMeans/PQ training is seeded (42) over the same
+    // sample, so both indexes carry bit-identical centroids + codebooks
+    val rootS = tmp("spq-stream") + "/t"; val rootB = tmp("spq-batch") + "/t"
+    val idxS = IndexBuild.build(spark, seed, rootS, opts)
+    val idxB = IndexBuild.build(spark, seed, rootB, opts)
+    assert(idxS.pq.get.flat.toSeq === idxB.pq.get.flat.toSeq)
+
+    // stream `rest` into rootS: frozen-literal NearestCell + PqEncode
+    // projection, exactly-once lance StreamingWrite, cell-clustered
+    val srcDir = tmp("spq-src"); val ckpt = tmp("spq-ckpt")
+    rest.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val flat = idxS.centroids.flatMap(_.toArray)
+    val dim = flat.length / idxS.centroids.length
+    val p = idxS.pq.get
+    def startStream() = spark.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), flat, idxS.centroids.length, dim))
+      .withColumn("codes", graft.functions.pq_encode(
+        col("embedding"), p.flat, p.m, p.codes, p.subDim))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .option("write.cluster-by", "cell")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(rootS)
+    val q = startStream()
+    assert(q.awaitTermination(120000))
+
+    // batch-append the same rows into rootB with the stored codebooks
+    IndexBuild.append(spark, rest, idxB)
+
+    // identical codes → identical ADC search, spec'd at partial probes
+    // (pruning exercised) and with refine re-rank
+    val qv = VectorIndex.embeddingOf(spark, sf, VectorIndex.QueryVecId)
+    val searchOpts = Map("vector.nprobes" -> "8",
+      "vector.k" -> "10", "vector.refine-factor" -> "4")
+    def run(root: String) =
+      IndexBuild.search(spark, IndexBuild.load(spark, root), qv, searchOpts,
+        excludeVecId = VectorIndex.QueryVecId)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(rootS).nonEmpty)
+    assert(run(rootS) === run(rootB))
+
+    // crash replay: drop the LAST epoch's checkpoint commit marker (crash
+    // after sink commit, before checkpoint commit) and restart — Spark
+    // re-runs that micro-batch, the sink's appId high-water map makes the
+    // replay a no-op, and the table is unchanged
+    val conf = spark.sessionState.newHadoopConf()
+    val mBefore = graft.sources.lance.ManifestIO.loadLatest(rootS, conf).get
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete()) // local-fs checksum shadow
+    // the terminated query deregisters from the manager asynchronously;
+    // restarting on the same checkpoint before that trips the
+    // concurrent-use guard
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.exists(_.id == q.id) && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val q2 = startStream()
+    assert(q2.awaitTermination(120000))
+    val mAfter = graft.sources.lance.ManifestIO.loadLatest(rootS, conf).get
+    assert(mAfter.totalRows === mBefore.totalRows,
+      s"replayed epoch duplicated rows: ${mBefore.totalRows} -> ${mAfter.totalRows}")
+    assert(run(rootS) === run(rootB))
+  }
+
   test("refine-factor re-rank: recall >= plain PQ against the true top-10") {
     val truth = SparkEntry.queries("ivf_flat_search")(spark, sf)
       .limit(10).collect().map(_.getLong(0)).toSet
