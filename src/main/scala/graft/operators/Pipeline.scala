@@ -31,7 +31,7 @@ object Pipeline extends QueryModule {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     // 2. near-dup removal (reuses the LSH operator's verified pairs)
-    val nearDupLosers = Dedup.queries("dedup_minhash_lsh")(s, dir)
+    val nearDupLosers = Dedup.lshPairs(s, dir)
       .select(col("b_id").as("doc_id")).distinct()
     val kept = keepExact
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -208,7 +208,7 @@ object Sampling extends QueryModule {
   // an otherwise map-only projection; the split stays reproducible,
   // growth-stable, and engine-portable like sample_hash.
   private def sampleSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.queries("dedup_minhash_lsh")(s, dir).select("a_id", "b_id")
+    val pairs = Dedup.lshPairs(s, dir).select("a_id", "b_id")
     val (labels, _) = Dedup.clusterLabels(s, pairs)
     val pct = minstd2(col("rep_id")) % 100
     t(s, dir, "documents").select(col("doc_id"))
