@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{MMRecord, Multimodal}
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+/** Real-decoder multimodal tests: synthesized PNG/BMP images with exactly
+  * known pixels through the Dataset[MMRecord] → mapPartitions plumbing.
+  * Expected values are computed by independent arithmetic in the test,
+  * never by calling the codec under test. */
+class MultimodalSpec extends SparkSpec {
+
+  /** w×h image with pixel (x, y) = rgb(x * 10 % 256, y * 10 % 256, (x + y) % 256). */
+  private def synth(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 10 % 256) << 16) | ((y * 10 % 256) << 8) | ((x + y) % 256))
+    img
+  }
+
+  private def bytes(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  /** Independent expected channel sums for synth(w, h). */
+  private def expectedSums(w: Int, h: Int): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += x * 10 % 256; sg += y * 10 % 256; sb += (x + y) % 256
+    }
+    (sr, sg, sb)
+  }
+
+  test("imageFeatures: exact dimensions + channel sums for PNG and BMP; garbage dropped") {
+    import spark.implicits._
+    val recs = Seq(
+      MMRecord(1L, bytes(synth(8, 4), "png"), "image/png"),
+      MMRecord(2L, bytes(synth(5, 7), "bmp"), "image/bmp"),
+      MMRecord(3L, "not an image".getBytes("UTF-8"), "application/octet-stream"))
+      .toDS()
+    val rows = Multimodal.imageFeatures(recs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (r1r, r1g, r1b) = expectedSums(8, 4)
+    val (r2r, r2g, r2b) = expectedSums(5, 7)
+    assert(rows.toSeq === Seq(
+      (1L, 8, 4, r1r, r1g, r1b),
+      (2L, 5, 7, r2r, r2g, r2b))) // doc 3 undecodable → dropped
+  }
+
+  test("imageResize: half-resolution nearest-neighbor, exact resampled pixels roundtrip") {
+    import spark.implicits._
+    val recs = Seq(MMRecord(7L, bytes(synth(8, 6), "png"), "image/png")).toDS()
+    val row = Multimodal.imageResize(recs).collect().head
+    assert((row.getLong(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) ===
+      ((7L, 8, 6, 4, 3)))
+    // decode the emitted PNG payload independently: output pixel (x, y)
+    // must equal input pixel (2x, 2y) — PNG is lossless, so exact
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](5)))
+    assert(out.getWidth === 4 && out.getHeight === 3)
+    val src = synth(8, 6)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((out.getRGB(x, y) & 0xffffff) === (src.getRGB(2 * x, 2 * y) & 0xffffff),
+        s"pixel ($x, $y)")
+  }
+
+  test("decode plumbing stays a single distributed map stage (no shuffle before features)") {
+    import spark.implicits._
+    val recs = Seq(MMRecord(1L, bytes(synth(4, 4), "png"), "image/png")).toDS()
+    val plan = Multimodal.imageFeatures(recs).queryExecution.executedPlan.toString
+    // one SerializeFromObject/MapPartitions pipeline; the only exchange is
+    // the final presentation orderBy
+    assert(plan.contains("MapPartitions"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"unexpected shuffles in decode plan:\n$plan")
+  }
+}
