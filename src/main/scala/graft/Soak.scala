@@ -60,8 +60,13 @@ object Soak {
     }
 
     // ---- embeddings ×mult: brute KNN + IVF probe search ------------------
+    // labels rotate per replica: a pure ×mult copy would give every query
+    // ~mult zero-distance SAME-label clones as its nearest neighbors, and
+    // the label-mismatch filter of the negative-mining soak below would
+    // (correctly) reject the whole oversample pool — vacuous, not real
     val embPath = soakTable("embeddings", mult)((df, rep) =>
-      df.withColumn("vec_id", col("vec_id") * mult + rep))
+      df.withColumn("vec_id", col("vec_id") * mult + rep)
+        .withColumn("label", pmod(col("label") + rep, lit(10)).cast("int")))
     val emb = spark.read.parquet(embPath)
     println(s"[soak] embeddings rows = ${emb.count()}")
     val qv = emb.filter(col("vec_id") === 1L).select("embedding")
@@ -88,6 +93,96 @@ object Soak {
     timed("ivf search nprobes=64 (exact)") {
       operators.IndexBuild.search(spark, idx, qv,
         Map("vector.nprobes" -> "64", "vector.k" -> "10"), excludeVecId = 1L).collect()
+    }
+
+    // ---- hard-negative mining at soak scale ------------------------------
+    // The full-matrix mining path (knnNegativesMined/Pq) over the ×mult
+    // corpus with realistic partial probes: ~1/100 of vectors as queries,
+    // k=5 with 4× oversampling, nprobes=8 of 64. Measured: wall time per
+    // route, task skew (max/median per stage — the straggler bound), and
+    // recall vs the exact window form on a query subsample.
+    {
+      val conf0 = spark.sessionState.newHadoopConf()
+      val negQ = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val labels = emb.select(col("vec_id"), col("label"))
+      println(s"[soak] mining queries = ${negQ.count()}")
+      val stageTasks =
+        new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          stageTasks.computeIfAbsent(t.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(t.taskInfo.duration)
+      }
+      def skewReport(route: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val ratios = stageTasks.asScala.toSeq.flatMap { case (sid, q) =>
+          val ds = q.asScala.toSeq.sorted
+          // only stages with real parallelism and non-trivial per-task work
+          // have meaningful straggler ratios: sub-half-second medians put
+          // scheduler/GC jitter at the same magnitude as the "skew"
+          if (ds.size >= 8 && ds(ds.size / 2) >= 500)
+            Some((sid, ds.last.toDouble / ds(ds.size / 2), ds.size))
+          else None
+        }
+        val worst = ratios.sortBy(-_._2).take(3)
+        println(s"[soak]   $route task skew (max/median, stages with >=0.5s median): " +
+          (if (worst.isEmpty) "none heavy enough to measure"
+           else worst.map { case (sid, r, n) => f"stage$sid=$r%.2f($n tasks)" }.mkString(", ")))
+        worst.headOption.foreach { case (_, r, _) =>
+          require(r <= 2.0, f"$route straggler: max/median task time $r%.2f > 2x")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val mined = timed("negatives mined float nprobes=8/64") {
+        operators.VectorSearch.knnNegativesMined(spark, negQ, emb,
+          k = 5, over = 4, cells = 64, nprobes = 8).localCheckpoint(true)
+      }
+      println(s"[soak]   mined rows = ${mined.count()}")
+      spark.sparkContext.removeSparkListener(listener)
+      skewReport("float-route")
+
+      // recall vs the exact window form on a ~1/20 query subsample
+      val subQ = negQ.filter(col("vec_id") % 2000 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+      val exact = emb.crossJoin(broadcast(subQ))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(graft.functions.vec_l2(col("embedding"), col("qv")), 6).as("dist"))
+        .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 5)
+        .select("q_id", "n_id").localCheckpoint(true)
+      val nExact = exact.count()
+      val hit = exact.join(mined.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi").count()
+      val recall = hit.toDouble / nExact
+      println(f"[soak]   float-route recall@5 vs exact = $recall%.3f ($hit/$nExact)")
+      require(recall >= 0.8, f"mined-negatives recall $recall%.3f < 0.8")
+
+      // the memory-bound PQ route: u8 codes in the cell join, ADC + refine
+      val pqRoot = s"$out/ivfpq_x$mult"
+      if (!sources.lance.ManifestIO.exists(pqRoot, conf0)) {
+        timed("ivf_pq build (64 cells)") {
+          operators.IndexBuild.build(spark, emb, pqRoot,
+            Map("index.type" -> "IVF_PQ", "index.num-partitions" -> "64"))
+        }
+      }
+      val pqIdx = operators.IndexBuild.load(spark, pqRoot)
+      stageTasks.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val minedPq = timed("negatives mined PQ-ADC nprobes=8/64") {
+        operators.VectorSearch.knnNegativesMinedPq(spark, negQ, pqIdx, labels,
+          k = 5, over = 4, nprobes = 8).localCheckpoint(true)
+      }
+      println(s"[soak]   PQ mined rows = ${minedPq.count()}")
+      spark.sparkContext.removeSparkListener(listener)
+      skewReport("pq-route")
+      val hitPq = exact.join(minedPq.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi").count()
+      val recallPq = hitPq.toDouble / nExact
+      println(f"[soak]   pq-route recall@5 vs exact = $recallPq%.3f ($hitPq/$nExact)")
+      require(recallPq >= 0.8, f"PQ mined-negatives recall $recallPq%.3f < 0.8")
     }
 
     // ---- documents ×mult/8: bucket-bounded near-dup ----------------------

@@ -357,6 +357,16 @@ object LanceProcedures {
           StructField("n_rows", LongType, nullable = false))),
           Seq(Array[Any](UTF8String.fromString(outTable), n)))
       } else {
+        // no output_table ⇒ the k·|queries| result comes back through the
+        // driver (a CALL's rows always do). Interactive k-sized use is the
+        // intent; a mining-sized query table must write distributed — fail
+        // fast with the fix rather than OOM the driver
+        val maxRows = 1000000L
+        val resultCap = queries.count() * k
+        require(resultCap <= maxRows,
+          s"lance knn_join: ~$resultCap result rows would collect to the driver; " +
+            s"pass output_table => 'db.t' to write the join distributed " +
+            s"(driver-return cap: $maxRows rows)")
         val rows = normalized.collect().map(r =>
           Array[Any](r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         (StructType(Seq(
