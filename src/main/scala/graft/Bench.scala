@@ -33,7 +33,9 @@ object Bench {
     "dedup_canonical", "sample_token_budget",
     // appended r11
     "dedup_substring", "text_commonness", "sample_temperature",
-    "corpus_stats", "knn_negatives")
+    "corpus_stats", "knn_negatives",
+    // appended r13
+    "q_events_retention", "sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

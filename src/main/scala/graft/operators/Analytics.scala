@@ -119,6 +119,28 @@ object Analytics extends QueryModule {
           .as("conv_rate"))
   }
 
+  /** Cohort retention — the other product-analytics staple next to the
+    * funnel: cohort = each user's first active day; for day offsets
+    * 0..14, how many of that cohort were active again exactly k days
+    * later. Scale shape: distinct to (user, day) is the only
+    * event-volume shuffle; the cohort day comes from a min-over-window
+    * on user_id (no self-join, no second pass over events), and the
+    * final groupBy lands on (cohort_day, offset) — O(days²) rows
+    * regardless of corpus size. All stages whole-stage codegen. `ts`
+    * casts to TimestampType first so the op accepts either parquet
+    * timestamp flavor (see StreamingOps on NTZ). */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").cast("date").as("d"))
+      .distinct()
+      .withColumn("cohort_day", min("d").over(Window.partitionBy("user_id")))
+      .withColumn("offset_days", datediff(col("d"), col("cohort_day")).cast("long"))
+      .filter(col("offset_days") <= 14)
+      .groupBy("cohort_day", "offset_days")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
     "q3_top_orders" -> q3,
@@ -126,7 +148,8 @@ object Analytics extends QueryModule {
     "q_window_topsupp" -> qWindow,
     "q_events_sessions" -> qEvents,
     "q_events_funnel" -> qEventsFunnel,
-    "q_events_moving" -> qEventsMoving)
+    "q_events_moving" -> qEventsMoving,
+    "q_events_retention" -> qEventsRetention)
 
   private val revenue = sqlExactSum("l_extendedprice * (1 - l_discount)", 10000L)
 
@@ -194,6 +217,15 @@ object Analytics extends QueryModule {
         |  (SELECT count(*) FROM p) AS n_purchase_conv,
         |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
         |    / (SELECT count(*) FROM v), 6) AS conv_rate""".stripMargin,
+    "q_events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, CAST(e.d - c.cohort_day AS BIGINT) AS offset_days,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE e.d - c.cohort_day <= 14
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_moving" ->
       """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1)

@@ -222,7 +222,31 @@ object Sampling extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- sample_stratified -------------------------------------------------
+  // Exact-allocation stratified sampling: floor(1/5) of every language
+  // stratum, members chosen in deterministic minstd2-hash order (unbiased,
+  // reproducible, growth-stable — a doc keeps or loses its slot only when
+  // its stratum's size crosses a multiple of 5). All-integer admission
+  // (rk * 5 <= n_lang) so DuckDB reproduces bit-identically — no
+  // float-fraction ceil to disagree on. Scale shape: one shuffle on the
+  // stratum key for the rank window + a count window over the same
+  // partitioning; strata are the unit of parallelism.
+  private val StratDen = 5L // sample 1/5 of each stratum
+
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val byRank = byLang.orderBy(col("h").asc, col("doc_id").asc)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("h", minstd2(col("doc_id")))
+      .withColumn("rk", row_number().over(byRank).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .filter(col("rk") * StratDen <= col("n_lang"))
+      .select("lang", "doc_id", "rk", "n_lang")
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> sampleStratified,
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_mixture" -> sampleMixture,
@@ -233,6 +257,16 @@ object Sampling extends QueryModule {
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    ((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, h,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM d)
+         |SELECT lang, doc_id, rk, n_lang FROM r
+         |WHERE rk * $StratDen <= n_lang ORDER BY lang, rk""".stripMargin,
     "sample_hash" ->
       s"""WITH h AS (SELECT doc_id,
          |    ((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM % 100 AS pct

@@ -68,6 +68,8 @@ class EntrySpec extends SparkSpec {
     "sample_temperature" -> 98,
     "sample_epochs" -> 205,
     "sample_split_leakfree" -> 500,
+    "sample_stratified" -> 98,
+    "q_events_retention" -> 15,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,
