@@ -531,6 +531,23 @@ object LanceOps extends QueryModule {
 
   // ---- streaming sink ----------------------------------------------------
 
+  /** TIMESTAMP_NTZ end-to-end through the connector, oracle-gated: the
+    * events table's `ts` arrives as parquet timestamp[us] with
+    * isAdjustedToUTC=false (what pandas/pyarrow/DuckDB writers emit),
+    * reads as NTZ, round-trips through a lance write (INT64 micros,
+    * footer stats recorded), and aggregates back out — DuckDB's naive
+    * timestamps ARE the NTZ semantics, so min/max hash-match exactly. */
+  private def eventsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("events-ntz")
+    t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.format("lance").option("maxRowsPerFile", "20000").save(root)
+    read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("ts").as("ts_min"), max("ts").as("ts_max"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   private def streamingSink(s: SparkSession, dir: String): DataFrame = {
     val root = tmp("streaming")
     val srcDir = tmp("streaming-src")
@@ -592,7 +609,8 @@ object LanceOps extends QueryModule {
     "lance_replace" -> replaceOp,
     "q_stream_cdc" -> streamCdc,
     "q_batch_cdc" -> batchCdc,
-    "lance_streaming_sink" -> streamingSink)
+    "lance_streaming_sink" -> streamingSink,
+    "lance_events_roundtrip" -> eventsRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
     "lance_roundtrip" ->
@@ -741,5 +759,10 @@ object LanceOps extends QueryModule {
         |  FROM orders
         |) ORDER BY _change_type""".stripMargin,
     "lance_streaming_sink" ->
-      """SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM range(1000) t(i)""")
+      """SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM range(1000) t(i)""",
+    "lance_events_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(ts AS TIMESTAMP)) AS ts_min, max(CAST(ts AS TIMESTAMP)) AS ts_max,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -86,6 +86,7 @@ class EntrySpec extends SparkSpec {
     "mm_resize" -> 500,
     "mm_frame_sample" -> 1436,
     "lance_roundtrip" -> 1,
+    "lance_events_roundtrip" -> 5,
     "lance_overwrite" -> 1,
     "lance_append_multi" -> 1,
     "lance_projection" -> 20,
