@@ -272,11 +272,19 @@ object StreamingOps extends QueryModule {
   private[operators] val StateBuckets = 8
 
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
     // picks overwrite-vs-append), but createTempDirectory creates its dir
+    streamNearDedupAt(s, dir,
+      keysT = tmp("sndd-keys") + "/t", setsT = tmp("sndd-sets") + "/t")
+  }
+
+  /** The near-dedup pipeline with externally-visible state-table paths, so
+    * specs can verify the state layout (every fragment bucket-tagged) that
+    * the bucket-restricted probes depend on. */
+  private[graft] def streamNearDedupAt(s: SparkSession, dir: String,
+                                       keysT: String, setsT: String): DataFrame = {
+    val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
     val dst = tmp("sndd-out") + "/t"
-    val keysT = tmp("sndd-keys") + "/t"; val setsT = tmp("sndd-sets") + "/t"
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // several source files + maxFilesPerTrigger=1 => AvailableNow really
     // runs MULTIPLE micro-batches, so batch-vs-history is exercised

@@ -117,6 +117,34 @@ class DedupSpec extends SparkSpec {
     assert(streamed.forall(_.getDouble(2) === 1.0)) // identical docs
   }
 
+  test("q_stream_neardedup: state tables are bucketed and probes scan only the batch's bucket cover") {
+    import graft.sources.lance.ManifestIO
+    val keysT = java.nio.file.Files.createTempDirectory("graft-sndd-k-").toString + "/t"
+    val setsT = java.nio.file.Files.createTempDirectory("graft-sndd-s-").toString + "/t"
+    val streamed = graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT).collect()
+    assert(streamed.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    // every state fragment from every micro-batch epoch carries its
+    // bucket tag — the invariant the read.buckets probe restriction
+    // depends on (one untagged fragment would be re-read every batch)
+    val mk = ManifestIO.loadLatest(keysT, conf).get
+    val ms = ManifestIO.loadLatest(setsT, conf).get
+    assert(mk.fragments.nonEmpty && mk.fragments.forall(_.bucket.isDefined),
+      mk.fragments.map(f => f.path -> f.bucket))
+    assert(ms.fragments.nonEmpty && ms.fragments.forall(_.bucket.isDefined),
+      ms.fragments.map(f => f.path -> f.bucket))
+    // a probe restricted to a strict subset of buckets enumerates ONLY
+    // that cover's fragments — per-batch state IO ∝ the cover, not history
+    val someBuckets = mk.fragments.flatMap(_.bucket).distinct.sorted.take(2)
+    val restricted = spark.read.format("lance")
+      .option("read.buckets", someBuckets.mkString(",")).load(keysT)
+    val plan = restricted.queryExecution.executedPlan.toString
+    val cover = mk.fragments.count(_.bucket.exists(someBuckets.toSet))
+    assert(cover < mk.fragments.size, "need a strict subset to prove pruning")
+    assert(plan.contains(s"fragments=$cover/${mk.fragments.size}"), plan)
+  }
+
   test("q_stream_neardedup: incremental LSH over micro-batches == batch LSH pairs") {
     val streamed = SparkEntry.queries("q_stream_neardedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
