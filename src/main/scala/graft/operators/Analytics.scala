@@ -141,6 +141,29 @@ object Analytics extends QueryModule {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day. WAU needs DISTINCT
+    * users across a 7-day window — not derivable from daily aggregates —
+    * so each (user, day) row fans out to the 7 window-ending days it
+    * belongs to (a bounded ×7 of the distinct user-day set, NOT of raw
+    * events) and a distinct-count lands per day. Both aggregates reuse
+    * the (user, day) distinct — the only event-volume shuffle; the final
+    * join is O(days). Early days report clipped-lookback WAU, standard
+    * for the metric. */
+  private def qEventsDau(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").cast("date").as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
     "q3_top_orders" -> q3,
@@ -149,7 +172,8 @@ object Analytics extends QueryModule {
     "q_events_sessions" -> qEvents,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_moving" -> qEventsMoving,
-    "q_events_retention" -> qEventsRetention)
+    "q_events_retention" -> qEventsRetention,
+    "q_events_dau" -> qEventsDau)
 
   private val revenue = sqlExactSum("l_extendedprice * (1 - l_discount)", 10000L)
 
@@ -217,6 +241,17 @@ object Analytics extends QueryModule {
         |  (SELECT count(*) FROM p) AS n_purchase_conv,
         |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
         |    / (SELECT count(*) FROM v), 6) AS conv_rate""".stripMargin,
+    "q_events_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM
+        |  (SELECT user_id, d + CAST(x AS INTEGER) AS day
+        |   FROM ud, generate_series(0, 6) AS t(x))
+        |  GROUP BY 1)
+        |SELECT dau.day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "q_events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),

@@ -70,6 +70,7 @@ class EntrySpec extends SparkSpec {
     "sample_split_leakfree" -> 500,
     "sample_stratified" -> 98,
     "q_events_retention" -> 15,
+    "q_events_dau" -> 30,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,
