@@ -215,6 +215,59 @@ object Soak {
       println(s"[soak]   candidate pairs = ${cand.count()}")
     }
 
+    // ---- streaming near-dedup: per-batch cost vs growing history ---------
+    // 8 micro-batches over the ×dmult corpus; the bucketed state + batch-
+    // keyed semi-join should keep per-batch PROBE cost ~flat while
+    // accumulated history grows 0 → 7/8 of the corpus. Two honest caveats
+    // on what "flat" can mean here: (a) every batch's band keys cover all
+    // StateBuckets at this corpus shape, so the history scan is unpruned —
+    // with production-scale bucket counts and trigger-sized batches the
+    // scan prunes too; (b) the replica corpus gives EVERY doc ~dmult-1
+    // true near-dups, so later batches legitimately discover and verify
+    // more cross-batch pairs (output grows ∝ history) — measured growth
+    // includes that real work, which a rare-dup production corpus lacks.
+    timed("streaming near-dedup 8 micro-batches") {
+      val corpusDir = s"$out/sndd-corpus"
+      new java.io.File(corpusDir).mkdirs()
+      val link = java.nio.file.Paths.get(corpusDir, "documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(docPath))
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          batches.synchronized {
+            batches += ((e.progress.batchId, e.progress.numInputRows,
+              e.progress.batchDuration / 1000.0))
+          }
+      }
+      spark.streams.addListener(listener)
+      try {
+        val keysT = s"$out/sndd-keys-${System.nanoTime()}/t"
+        val setsT = s"$out/sndd-sets-${System.nanoTime()}/t"
+        val pairs = operators.StreamingOps
+          .streamNearDedupAt(spark, corpusDir, keysT, setsT, srcParts = 8)
+          .count()
+        val bs = batches.synchronized(batches.sortBy(_._1).toList)
+          .filter(_._2 > 0) // drop the trailing no-data batch
+        bs.foreach { case (id, rows, sec) =>
+          println(f"[soak]   batch $id: $rows rows in $sec%.2f s") }
+        println(s"[soak]   verified pairs = $pairs")
+        // flatness: the last data batch probes ~7/8 of the corpus as
+        // history; it must not cost materially more than the second
+        // (the first carries codegen/startup warmup)
+        if (bs.size >= 4) {
+          val ratio = bs.last._3 / bs(1)._3
+          println(f"[soak]   last/second batch time = $ratio%.2f")
+          require(ratio <= 2.5,
+            f"per-batch cost grew with history: last/second = $ratio%.2f")
+        }
+      } finally spark.streams.removeListener(listener)
+    }
+
     // ---- lance DML at scale: DV delete / bloom lookup / CDC --------------
     // orders ×mult as a lance dataset (fragmented), then: a positional
     // delete touching ~10% of rows must write ONLY sidecars (zero fragment

@@ -278,17 +278,19 @@ object StreamingOps extends QueryModule {
       keysT = tmp("sndd-keys") + "/t", setsT = tmp("sndd-sets") + "/t")
   }
 
-  /** The near-dedup pipeline with externally-visible state-table paths, so
-    * specs can verify the state layout (every fragment bucket-tagged) that
-    * the bucket-restricted probes depend on. */
+  /** The near-dedup pipeline with externally-visible state-table paths
+    * (so specs can verify the bucket-tagged state layout the restricted
+    * probes depend on) and a configurable micro-batch count (so soaks can
+    * watch per-batch cost against growing history). */
   private[graft] def streamNearDedupAt(s: SparkSession, dir: String,
-                                       keysT: String, setsT: String): DataFrame = {
+                                       keysT: String, setsT: String,
+                                       srcParts: Int = 4): DataFrame = {
     val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
     val dst = tmp("sndd-out") + "/t"
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // several source files + maxFilesPerTrigger=1 => AvailableNow really
     // runs MULTIPLE micro-batches, so batch-vs-history is exercised
-    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    d.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
