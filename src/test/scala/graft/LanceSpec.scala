@@ -2192,6 +2192,43 @@ class LanceSpec extends SparkSpec {
     assert(ds2.count() === expected + 10)
   }
 
+  test("temporal equality pruning falls through to bloom sketches when ranges overlap") {
+    import spark.implicits._
+    val root = tmp()
+    // two fragments with IDENTICAL [min, max] minute ranges (interleaved
+    // parities) — range stats prove nothing; only the per-fragment bloom
+    // can prune an equality probe. Fragment 0 holds even minutes,
+    // fragment 1 odd, both spanning [0, 998] / [1, 999].
+    for (parity <- Seq(0, 1))
+      (0 until 500).map(i => (2 * i + parity).toLong).toDF("m")
+        .select(col("m"),
+          timestamp_millis(col("m") * 60000L).as("tst"),
+          timestamp_millis(col("m") * 60000L).cast("timestamp_ntz").as("tsn"))
+        .coalesce(1).write.format("lance").mode("append").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    assert(m.fragments.size === 2)
+    assert(m.fragments.forall(_.sketches.isDefined), "temporal blooms not recorded")
+
+    val ds = spark.read.format("lance").load(root)
+    // minute 400 (even) lives only in fragment 0: the TZ equality probe
+    // must scan 1/2 fragments — provable ONLY via the bloom
+    val qTs = ds.filter(col("tst") === new java.sql.Timestamp(400L * 60000L))
+    assert(qTs.queryExecution.executedPlan.toString.contains("fragments=1/2"),
+      qTs.queryExecution.executedPlan.toString)
+    assert(qTs.count() === 1)
+    // same for the NTZ flavor (LocalDateTime literal)
+    val qN = ds.filter(col("tsn") === lit(java.time.LocalDateTime.of(1970, 1, 1, 6, 41)))
+    assert(qN.queryExecution.executedPlan.toString.contains("fragments=1/2"),
+      qN.queryExecution.executedPlan.toString) // minute 401, odd → fragment 1
+    assert(qN.count() === 1)
+    // an IN-RANGE value present in NEITHER fragment (minute 400 + 1s):
+    // range stats say "maybe" for both — only the blooms prove absence
+    val qNone = ds.filter(col("tst") === new java.sql.Timestamp(400L * 60000L + 1000L))
+    assert(qNone.count() === 0)
+    assert(qNone.queryExecution.executedPlan.toString.contains("fragments=0/2"),
+      qNone.queryExecution.executedPlan.toString)
+  }
+
   test("TIMESTAMP_NTZ + TIMESTAMP: stats, fragment pruning, stats-agg answers, zorder") {
     import spark.implicits._
     val root = tmp()
