@@ -110,8 +110,12 @@ object Bench {
     val qJson = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = times.values.filter(_ >= 0).sum
+    // comparability flags travel IN the artifact (not just SURVEY) so a
+    // cross-round diff of the bench JSON alone can't misread a split metric
+    val notes =
+      """{"dedup_minhash_lsh":"since r13 the one-time minhash+verify build is charged to lsh_pairs_build; per-query time here is the memoized-pair consumer cost and is not comparable to r12 and earlier"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)
     println(line)
     spark.stop()

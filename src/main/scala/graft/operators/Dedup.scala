@@ -92,13 +92,20 @@ object Dedup extends QueryModule {
     * most expensive stage of the pipeline. The pair set is tiny (near-dup
     * pairs only), so one eager localCheckpoint pins it in block-manager
     * memory and every later consumer starts from materialized blocks. The
-    * testdata dirs are immutable per run, so (session, dir) is a sound key. */
+    * testdata dirs are immutable per run, so (session, dir) is a sound key.
+    * Keyed by sessionUUID (collision-free — an identity hash can be reused
+    * after a stopped session is GC'd and would serve a DataFrame bound to a
+    * dead session); entries whose owning context has stopped are purged on
+    * every access, so a long-lived multi-session JVM doesn't accumulate
+    * dead entries (their checkpoint blocks died with the context). */
   private val lshPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.computeIfAbsent((System.identityHashCode(s).toString, dir),
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    lshPairsCache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+    lshPairsCache.computeIfAbsent((org.apache.spark.sql.graft.Shim.sessionUUID(s), dir),
       _ => computeMinhashLshPairs(s, dir).localCheckpoint())
+  }
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir).orderBy("a_id", "b_id")

@@ -360,14 +360,16 @@ object LanceProcedures {
         // no output_table ⇒ the k·|queries| result comes back through the
         // driver (a CALL's rows always do). Interactive k-sized use is the
         // intent; a mining-sized query table must write distributed — fail
-        // fast with the fix rather than OOM the driver
-        val maxRows = 1000000L
-        val resultCap = queries.count() * k
-        require(resultCap <= maxRows,
-          s"lance knn_join: ~$resultCap result rows would collect to the driver; " +
-            s"pass output_table => 'db.t' to write the join distributed " +
-            s"(driver-return cap: $maxRows rows)")
-        val rows = normalized.collect().map(r =>
+        // fast with the fix rather than OOM the driver. take(cap+1) guards
+        // and fetches in ONE execution (a count() pre-pass would run the
+        // possibly-expensive query plan twice), and bounds driver memory at
+        // the cap either way.
+        val maxRows = 1000000
+        val fetched = normalized.take(maxRows + 1)
+        require(fetched.length <= maxRows,
+          s"lance knn_join: result exceeds the driver-return cap ($maxRows rows); " +
+            s"pass output_table => 'db.t' to write the join distributed")
+        val rows = fetched.map(r =>
           Array[Any](r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         (StructType(Seq(
           StructField("q_id", LongType, nullable = false),

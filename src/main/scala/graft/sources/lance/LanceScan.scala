@@ -488,8 +488,27 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     * could drop matching rows. Aggregate/limit pushdowns decline under a
     * restriction (their stats range over the whole table). */
   private val bucketRestrict: Option[Set[Int]] =
-    LanceOptions.any(options, "read.buckets").map(
-      _.split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+    LanceOptions.any(options, "read.buckets").map { raw =>
+      val ids = raw.split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+      // a probe computed against the wrong layout silently drops matching
+      // rows (its ids never equal the fragments' tags) — fail loudly
+      // instead: the ids must be sane, the table must actually carry a
+      // bucketed layout, and when the table persists its write.bucket-count
+      // (bucketed writes stamp it) the ids must fall under that modulus
+      require(ids.nonEmpty, "lance read.buckets: empty bucket set")
+      require(ids.forall(_ >= 0), s"lance read.buckets: negative bucket id in '$raw'")
+      require(manifest.fragments.isEmpty || manifest.fragments.exists(_.bucket.isDefined),
+        "lance read.buckets: table has no bucketed fragments — write it with " +
+          "write.bucket-by/write.bucket-count before restricted probes")
+      LanceOptions.any(manifest.props, "write.bucket-count", "bucketCount")
+        .foreach { n =>
+          val bad = ids.filter(_ >= n.toInt)
+          require(bad.isEmpty, s"lance read.buckets: ids " +
+            s"${bad.toSeq.sorted.mkString(",")} out of range for the table's " +
+            s"persisted write.bucket-count=$n")
+        }
+      ids
+    }
 
   private def restrictedFragments: Seq[FragmentMeta] = bucketRestrict match {
     case Some(bs) => manifest.fragments.filter(_.bucket.forall(bs.contains))

@@ -141,6 +141,17 @@ class LanceWrite(root: String, schema: StructType,
       k.substring("commit.prop.".length) -> v
   }
 
+  // bucketed writes persist their (col, N) layout as table properties in
+  // the same commit: readers then validate `read.buckets` ids against the
+  // persisted count (a mismatched modulus would silently drop matching
+  // rows) and path-written tables gain the SPJ bucket report without a
+  // separate ALTER. Appends whose layout disagrees with the persisted one
+  // are rejected in the commit closure (their fragment tags would come
+  // from a different modulus than the standing fragments').
+  private val bucketStamps: Map[String, String] = bucketBy.map { case (cols, n) =>
+    Map("write.bucket-by" -> cols.head, "write.bucket-count" -> n.toString)
+  }.getOrElse(Map.empty)
+
   private def sortOrders(cols: Seq[String]) = cols.map(c =>
     org.apache.spark.sql.connector.expressions.Expressions.sort(
       org.apache.spark.sql.connector.expressions.Expressions.column(c),
@@ -203,11 +214,17 @@ class LanceWrite(root: String, schema: StructType,
           case _ => base ++ stamped
         }
         if (frags == null) None
-        else Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty),
-          if (truncateAll) "overwrite"
-          else if (replacePlan.isDefined) "replace" else "append",
-          props = if (propStamps.isEmpty) None
-                  else Some(prev.map(_.props).getOrElse(Map.empty) ++ propStamps)))
+        else {
+          if (!truncateAll)
+            LanceWriteUtil.requireBucketCompat(
+              prev.map(_.props).getOrElse(Map.empty), bucketStamps)
+          val stamps = propStamps ++ bucketStamps
+          Some(LanceCommit(tableSchema, frags, prev.map(_.txns).getOrElse(Map.empty),
+            if (truncateAll) "overwrite"
+            else if (replacePlan.isDefined) "replace" else "append",
+            props = if (stamps.isEmpty) None
+                    else Some(prev.map(_.props).getOrElse(Map.empty) ++ stamps)))
+        }
       }
       if (committed.isEmpty) {
         replacePlan.foreach(_.abandon(root, conf.value))
@@ -259,6 +276,22 @@ class LanceWrite(root: String, schema: StructType,
 }
 
 object LanceWriteUtil {
+  /** A bucketed APPEND must agree with the table's persisted bucket layout:
+    * fragments tagged under a different (col, modulus) would poison every
+    * later `read.buckets` probe (ids computed with one N, tags written with
+    * another ⇒ silently dropped rows). Overwrites may install any layout —
+    * the old fragments are gone. No-op when the append is unbucketed or the
+    * table has no persisted layout yet (legacy tables gain the stamp on
+    * their next bucketed write). */
+  def requireBucketCompat(prevProps: Map[String, String],
+                          stamps: Map[String, String]): Unit =
+    if (stamps.nonEmpty) Seq("write.bucket-by", "write.bucket-count").foreach { k =>
+      prevProps.get(k).foreach(prev => require(prev == stamps(k),
+        s"lance bucketed append: $k=${stamps(k)} conflicts with the table's " +
+          s"persisted $k=$prev — rewrite the table (overwrite) to change its " +
+          "bucket layout"))
+    }
+
   /** An append that loses the commit race to a concurrent DROP COLUMN keeps
     * the winner's post-drop schema, but its fragments physically contain
     * the dropped column — stamp those names hidden (and strip their stats)
@@ -659,6 +692,11 @@ object LanceBatchSave {
       case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("commit.prop.") =>
         k.substring("commit.prop.".length) -> v
     }
+    // persist the bucket layout exactly as the V2 path does (stamp +
+    // append-compat check) so read.buckets validation covers V1 writes too
+    val bucketStamps = bucketBy.map { case (c, n) =>
+      Map("write.bucket-by" -> c, "write.bucket-count" -> n.toString)
+    }.getOrElse(Map.empty)
     ManifestIO.commit(root, conf) { latest =>
       // append keeps the winner's (possibly concurrently-evolved) schema;
       // overwrite installs the new one
@@ -666,10 +704,14 @@ object LanceBatchSave {
       val stamped = LanceWriteUtil.stampRacedDrops(newFrags, df.schema, tableSchema)
       val frags = if (append) latest.map(_.fragments).getOrElse(Seq.empty) ++ stamped
                   else stamped
+      if (append)
+        LanceWriteUtil.requireBucketCompat(
+          latest.map(_.props).getOrElse(Map.empty), bucketStamps)
+      val stamps = propStamps ++ bucketStamps
       Some(LanceCommit(tableSchema, frags, latest.map(_.txns).getOrElse(Map.empty),
         if (append) "append" else "overwrite",
-        props = if (propStamps.isEmpty) None
-                else Some(latest.map(_.props).getOrElse(Map.empty) ++ propStamps)))
+        props = if (stamps.isEmpty) None
+                else Some(latest.map(_.props).getOrElse(Map.empty) ++ stamps)))
     }
   }
 

@@ -23,6 +23,13 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Collision-free per-session id (public only on the `classic`
+    * implementation class in Spark 4) — a sound cache key where an
+    * identity hash is not (identity hashes can be reused after a stopped
+    * session is GC'd). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** The physical plan's output as `RDD[InternalRow]` — the same rows an
     * executor-side V2 DataWriter would receive, without a row-to-Row
     * conversion pass. NOTE: rows are reused across `next()` calls; a
