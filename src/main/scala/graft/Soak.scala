@@ -220,9 +220,10 @@ object Soak {
     // keyed semi-join should keep per-batch PROBE cost ~flat while
     // accumulated history grows 0 → 7/8 of the corpus. Two honest caveats
     // on what "flat" can mean here: (a) every batch's band keys cover all
-    // StateBuckets at this corpus shape, so the history scan is unpruned —
-    // with production-scale bucket counts and trigger-sized batches the
-    // scan prunes too; (b) the replica corpus gives EVERY doc ~dmult-1
+    // state buckets at this corpus shape (buckets default to cluster
+    // parallelism), so the history scan is unpruned — with production
+    // bucket counts and trigger-sized batches the scan prunes too;
+    // (b) the replica corpus gives EVERY doc ~dmult-1
     // true near-dups, so later batches legitimately discover and verify
     // more cross-batch pairs (output grows ∝ history) — measured growth
     // includes that real work, which a rare-dup production corpus lacks.

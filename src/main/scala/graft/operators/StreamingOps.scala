@@ -219,27 +219,65 @@ object StreamingOps extends QueryModule {
     * per distinct text. State is ONE row per distinct hash — the
     * irreducible floor for streaming dedup (you cannot decide "seen
     * before?" with less), distributed across executors by the state-store
-    * hash partitioning (RocksDB-backed at production scale). Complete
-    * mode + foreachBatch keeps the result write DISTRIBUTED (no
-    * driver-side memory sink); the batch equivalence with dedup_exact IS
-    * the correctness statement. */
-  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = tmp("sdedup-src"); val dst = tmp("sdedup-dst"); val ckpt = tmp("sdedup-ckpt")
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.coalesce(1).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(d.schema).parquet(srcDir)
+    * hash partitioning (RocksDB-backed at production scale).
+    *
+    * INCREMENTAL sink contract (the 100-TB property): update mode emits
+    * only the hash groups the batch actually touched, and each batch
+    * APPENDS those groups — tagged with the batch id as a generation —
+    * into an h-bucketed lance state table. Per-batch sink IO is therefore
+    * ∝ the batch's distinct hashes, never the accumulated corpus (the
+    * complete-mode + full-overwrite alternative rewrites O(history) per
+    * batch and degrades linearly with ingest age). Reads resolve
+    * merge-on-read: the max-generation row per hash is current; stale
+    * generations are bounded by compaction (LanceMaintenance folds a
+    * bucket's fragments without breaking the bucketed layout). The batch
+    * equivalence with dedup_exact IS the correctness statement. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    streamDedupAt(s, t(s, dir, "documents").select(col("doc_id"), col("text")),
+      tmp("sdedup-state") + "/t")
+
+  /** The incremental-dedup pipeline over an arbitrary (doc_id, text) frame
+    * with an externally-visible state path, source split count, and
+    * per-batch observer — so specs and soaks can assert the incremental
+    * contract directly: rows appended per batch ∝ that batch, constant as
+    * history grows. */
+  private[graft] def streamDedupAt(s: SparkSession, docs: DataFrame, state: String,
+                                   srcParts: Int = 4,
+                                   onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val srcDir = tmp("sdedup-src"); val ckpt = tmp("sdedup-ckpt")
+    val buckets = defaultStateBuckets(s)
+    // several source files + maxFilesPerTrigger=1 => AvailableNow really
+    // runs MULTIPLE micro-batches, so the delta-append path is exercised
+    docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .writeStream
       .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.format("lance").mode("overwrite").save(dst)
+      .outputMode("update")
+      .foreachBatch { (changed: DataFrame, bid: Long) =>
+        // localCheckpoint: `changed` is consumed twice (observer + write);
+        // without it each consumer would recompute the micro-batch plan
+        val delta = changed.withColumn("gen", lit(bid)).localCheckpoint()
+        onBatch(bid, delta.count())
+        delta.write.format("lance")
+          .option("write.bucket-by", "h")
+          .option("write.bucket-count", buckets.toString)
+          .mode(if (new java.io.File(state).exists()) "append" else "overwrite")
+          .save(state)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
-    s.read.format("lance").load(dst)
+    // merge-on-read: the latest generation of each touched hash group is
+    // current. The window shuffles on h — the same uniform key the state
+    // layout buckets by, so at scale this is bucket-local work
+    val byGen = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("gen").desc)
+    s.read.format("lance").load(state)
+      .withColumn("rk", row_number().over(byGen))
+      .filter(col("rk") === 1)
       .select("keep_id", "n_copies", "h")
       .orderBy("keep_id")
   }
@@ -269,7 +307,15 @@ object StreamingOps extends QueryModule {
     * bucket overflowed are kept — a recall-safe superset of the batch
     * path's drop-whole-bucket answer (a true near-dup pair collides in
     * ~all 32 bands). */
-  private[operators] val StateBuckets = 8
+  /** Streaming state tables are hash-bucketed for restricted probes; the
+    * bucket count scales with the cluster (defaultParallelism — more
+    * buckets = finer per-batch probe pruning and more parallel state IO)
+    * with a floor of 8 so single-core test runs still exercise a real
+    * multi-bucket layout. A constant here would cap probe pruning at 1/8
+    * of state on a 1000-executor cluster; deployments needing a specific
+    * layout pass `buckets` explicitly. */
+  private[graft] def defaultStateBuckets(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism)
 
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
@@ -280,13 +326,16 @@ object StreamingOps extends QueryModule {
 
   /** The near-dedup pipeline with externally-visible state-table paths
     * (so specs can verify the bucket-tagged state layout the restricted
-    * probes depend on) and a configurable micro-batch count (so soaks can
-    * watch per-batch cost against growing history). */
+    * probes depend on), a configurable micro-batch count (so soaks can
+    * watch per-batch cost against growing history), and an overridable
+    * state bucket count (`buckets <= 0` derives it from the cluster). */
   private[graft] def streamNearDedupAt(s: SparkSession, dir: String,
                                        keysT: String, setsT: String,
-                                       srcParts: Int = 4): DataFrame = {
+                                       srcParts: Int = 4,
+                                       buckets: Int = 0): DataFrame = {
     val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
     val dst = tmp("sndd-out") + "/t"
+    val stateBuckets = if (buckets > 0) buckets else defaultStateBuckets(s)
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // several source files + maxFilesPerTrigger=1 => AvailableNow really
     // runs MULTIPLE micro-batches, so batch-vs-history is exercised
@@ -298,10 +347,10 @@ object StreamingOps extends QueryModule {
         val bk = Dedup.bandKeys(batch).localCheckpoint()
         val bs = Dedup.shingleSets(batch).localCheckpoint()
         val histExists = new java.io.File(keysT).exists()
-        // the batch's bucket cover — ≤ StateBuckets ints, same hash the
+        // the batch's bucket cover — ≤ stateBuckets ints, same hash the
         // bucketed write used (partitionId = pmod(murmur3(key), N))
         val keyBuckets = bk
-          .select(pmod(hash(col("band_key")), lit(StateBuckets)).as("b"))
+          .select(pmod(hash(col("band_key")), lit(stateBuckets)).as("b"))
           .distinct().collect().map(_.getInt(0))
         val batchKeys = bk.select("band_idx", "band_key").distinct()
         val histKeys =
@@ -329,8 +378,8 @@ object StreamingOps extends QueryModule {
           .distinct()
           .localCheckpoint()
         // shingle-set store probe, same bucket discipline on doc_id
-        val setBuckets = cand.select(pmod(hash(col("a_id")), lit(StateBuckets)).as("b"))
-          .union(cand.select(pmod(hash(col("b_id")), lit(StateBuckets)).as("b")))
+        val setBuckets = cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))
+          .union(cand.select(pmod(hash(col("b_id")), lit(stateBuckets)).as("b")))
           .distinct().collect().map(_.getInt(0))
         val histSets =
           if (histExists && setBuckets.nonEmpty)
@@ -344,11 +393,11 @@ object StreamingOps extends QueryModule {
           .mode(if (new java.io.File(dst).exists()) "append" else "overwrite").save(dst)
         bk.write.format("lance")
           .option("write.bucket-by", "band_key")
-          .option("write.bucket-count", StateBuckets.toString)
+          .option("write.bucket-count", stateBuckets.toString)
           .mode(if (histExists) "append" else "overwrite").save(keysT)
         bs.write.format("lance")
           .option("write.bucket-by", "doc_id")
-          .option("write.bucket-count", StateBuckets.toString)
+          .option("write.bucket-count", stateBuckets.toString)
           .mode(if (histExists) "append" else "overwrite").save(setsT)
       }
       .trigger(Trigger.AvailableNow())

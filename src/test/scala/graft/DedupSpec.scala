@@ -145,6 +145,57 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains(s"fragments=$cover/${mk.fragments.size}"), plan)
   }
 
+  test("q_stream_dedup: per-batch sink rows ∝ the batch, not accumulated history") {
+    // sf0.001's 500 documents are all distinct texts: split over 8
+    // micro-batches, update mode must append only each batch's ~62 new
+    // hash groups. The complete-mode + full-overwrite shape this replaces
+    // would write the cumulative state every batch (62, 125, ... 500 —
+    // 2250 rows total, with the LAST batch alone rewriting all 500)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-sdedup-st-").toString + "/t"
+    val appended = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val result = graft.operators.StreamingOps
+      .streamDedupAt(spark, docs, state, srcParts = 8,
+        onBatch = (bid, n) => appended.synchronized { appended += ((bid, n)) })
+      .collect()
+    val perBatch = appended.synchronized(appended.sortBy(_._1).map(_._2).toList)
+    assert(perBatch.sum === 500L, s"total delta rows must equal distinct hashes: $perBatch")
+    assert(perBatch.count(_ > 0) >= 4, s"need several real micro-batches: $perBatch")
+    assert(perBatch.forall(_ < 150L),
+      s"a batch appended history-sized output (complete-mode regression): $perBatch")
+    // and the merged read still equals the batch dedup_exact answer
+    val batch = SparkEntry.queries("dedup_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(result.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      === batch.toSeq)
+  }
+
+  test("q_stream_dedup: re-touched hash groups resolve to their latest generation") {
+    // 60 docs over 12 distinct texts, spread across 4 micro-batches: most
+    // hash groups are touched by SEVERAL batches, so the state table holds
+    // multiple generations per hash and the merge-on-read (latest gen
+    // wins) is what produces the correct totals
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"text number ${i % 12} body")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-sdedup-mg-").toString + "/t"
+    val appended = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val result = graft.operators.StreamingOps
+      .streamDedupAt(spark, docs, state, srcParts = 4,
+        onBatch = (_, n) => appended.synchronized { appended += n })
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(result.toSeq === expected.toSeq)
+    // re-emission across batches is what this test exercises: more delta
+    // rows than final groups proves stale generations existed and lost
+    assert(appended.synchronized(appended.sum) > 12L,
+      s"expected re-touched groups across batches: ${appended.toList}")
+    // raw state (no merge) holds every generation — strictly more rows
+    assert(spark.read.format("lance").load(state).count() > 12L)
+  }
+
   test("q_stream_neardedup: incremental LSH over micro-batches == batch LSH pairs") {
     val streamed = SparkEntry.queries("q_stream_neardedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
