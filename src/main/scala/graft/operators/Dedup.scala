@@ -307,21 +307,57 @@ object Dedup extends QueryModule {
 
   // ---- dedup_embedding ---------------------------------------------------
   // Embedding-cosine near-dup, blocked by the coarse cluster id (`label` —
-  // at scale this is the IVF/KMeans cell id): pairs only form inside a
-  // block, so the join shuffles on label instead of going all-pairs.
+  // at scale the IVF/KMeans cell id). EXACT all-pairs semantics inside a
+  // block is the operator's contract (the oracle's answer) — note random-
+  // hyperplane LSH cannot sub-bucket here without changing it: at τ=0.4
+  // the per-bit collision probability is only 1−acos(0.4)/π ≈ 0.63, so
+  // any band width selective enough to prune (r ≥ 8) collapses recall
+  // (0.63⁸ ≈ 2.5% per band). The scale design therefore bounds WHERE the
+  // quadratic work runs instead of silently changing the answer:
+  //  - block size is the deployment knob: cells are sized ∝ corpus
+  //    (fixed target vectors/cell, cells grow with data), so per-block
+  //    work is constant and total work stays linear at fixed cell size;
+  //  - inside a block the self-join is CHUNKED (triangle salting): rows
+  //    hash into ceil(n/EmbChunkCap) chunks and each unordered chunk pair
+  //    (i ≤ j) is one equi-join key, so a skewed/mega cell spreads over
+  //    (n/cap)²/2 tasks of ~cap² candidate pairs each instead of
+  //    serializing one reducer on n²/2 — per-task memory and latency stay
+  //    bounded while the answer is provably unchanged (a cross-chunk pair
+  //    meets at exactly one key; same-chunk pairs dedupe on a_id < b_id);
+  //  - the approximate sub-quadratic path for embeddings is the IVF/ANN
+  //    machinery (knn_join); this operator is the exact in-cell verify.
   private val CosTau = 0.4
+  private[graft] val EmbChunkCap = 64
 
-  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    def e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("vb"))
-    a.join(b, "label")
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(graft.functions.vec_cosine(col("va"), col("vb")), 6))
+  /** All within-label cosine pairs via the chunked triangle self-join —
+    * exact at every scale; `cap` bounds per-task candidate fan-out. */
+  private[graft] def embeddingPairs(e: DataFrame, cap: Int): DataFrame = {
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_lbl"))
+    val chunked = e.join(broadcast(counts), "label")
+      .withColumn("nc", ceil(col("n_lbl").cast("double") / cap).cast("int"))
+      .withColumn("c", pmod(xxhash64(col("vec_id")), col("nc")).cast("int"))
+    // a row joins every chunk-pair key its chunk participates in: its own
+    // chunk as the LEFT of (c, j ≥ c) and as the RIGHT of (i ≤ c, c) —
+    // replication per row is nc/2+1 per side (1 for unchunked blocks,
+    // where this degenerates to the plain label self-join)
+    val left = chunked.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("va"), col("c").as("ci"),
+      explode(expr("sequence(c, nc - 1)")).as("cj"))
+    val right = chunked.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("vb"), col("c").as("cj"),
+      explode(expr("sequence(0, c)")).as("ci"))
+    left.join(right, Seq("label", "ci", "cj"))
+      .filter(col("ci") < col("cj") || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("label"),
+        round(graft.functions.vec_cosine(col("va"), col("vb")), 6).as("cos"))
+  }
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    embeddingPairs(t(s, dir, "embeddings"), EmbChunkCap)
       .filter(col("cos") >= CosTau)
       .select("a_id", "b_id", "label", "cos")
       .orderBy("a_id", "b_id")
-  }
 
   // ---- dedup_substring ---------------------------------------------------
   // EXACT-SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training Data

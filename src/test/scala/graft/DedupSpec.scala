@@ -145,6 +145,43 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains(s"fragments=$cover/${mk.fragments.size}"), plan)
   }
 
+  test("dedup_embedding: chunked triangle join == plain all-pairs; hot block fans out bounded") {
+    import spark.implicits._
+    // engineered hot block: 300 vectors in ONE label (≈ 5 chunks at
+    // cap=64) plus a small second label that stays unchunked
+    val rnd = new scala.util.Random(7)
+    val e = ((1L to 300L).map(i => (i, Array.fill(8)(rnd.nextFloat()), 1)) ++
+        (1000L to 1020L).map(i => (i, Array.fill(8)(rnd.nextFloat()), 2)))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label"))
+      .localCheckpoint()
+    val chunkedPairs = graft.operators.Dedup
+      .embeddingPairs(e, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val brute = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("vb")), "label")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.vec_cosine(col("va"), col("vb")), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chunkedPairs === brute) // 300*299/2 + 21*20/2 pairs, each exactly once
+    // the hot label really split into multiple chunk-pair keys, and no
+    // single key's candidate fan-out exceeds ~cap² (the per-task bound —
+    // hash chunking makes chunk sizes ~cap in expectation, 4× is slack)
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_lbl"))
+    val chunked = e.join(counts, "label")
+      .withColumn("nc", ceil(col("n_lbl").cast("double") / 64).cast("int"))
+      .withColumn("c", pmod(xxhash64(col("vec_id")), col("nc")).cast("int"))
+    val perKey = chunked.select(col("label"), col("c").as("ci"),
+        explode(expr("sequence(c, nc - 1)")).as("cj"))
+      .join(chunked.select(col("label"), col("c").as("cj"),
+        explode(expr("sequence(0, c)")).as("ci")), Seq("label", "ci", "cj"))
+      .groupBy("label", "ci", "cj").count().collect()
+    assert(perKey.count(_.getInt(0) == 1) > 1, "hot label must split into several keys")
+    assert(perKey.map(_.getLong(3)).max <= 64L * 64 * 4,
+      s"per-key fan-out unbounded: ${perKey.map(_.getLong(3)).max}")
+  }
+
   test("q_stream_dedup: per-batch sink rows ∝ the batch, not accumulated history") {
     // sf0.001's 500 documents are all distinct texts: split over 8
     // micro-batches, update mode must append only each batch's ~62 new
