@@ -215,16 +215,28 @@ object Dedup extends QueryModule {
       .withColumn("w", toksCol)
       .filter(size(col("w")) >= 1)
       .select(col("doc_id"), simhash(col("w"), 42L).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
-      s"transform(sequence(0, ${SimhashBands - 1}), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
-      .toDF("doc_id", "sig", "band_idx", "band_key")
-    val cand = bands
-      .select(col("doc_id").as("a_id"), col("sig").as("sig_a"), col("band_idx"), col("band_key"))
-      .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sig_b"),
-        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sig_a", "sig_b").distinct()
+    // band buckets collect through the same self-bounding capped list as
+    // the LSH paths: 65,536 buckets/band bound the AVERAGE, but an
+    // adversarial corpus (millions of near-empty docs sharing one
+    // signature) would still pile one bucket — the cap NULLs it out
+    // instead of exploding n², bounding fan-out at cap²/2 per bucket.
+    // Recall posture: a bucket that big is a mass-duplicate cluster,
+    // which the exact/minhash passes upstream already collapse.
+    val cand = sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${SimhashBands - 1}), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
+      .toDF("doc_id", "band_idx", "band_key")
+      .groupBy("band_idx", "band_key")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    // signatures rejoin only for candidate pairs (tiny after distinct →
+    // AQE broadcasts); exact hamming decides
     cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= HammingMax)
       .select("a_id", "b_id", "hamming")

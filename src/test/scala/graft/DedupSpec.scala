@@ -356,4 +356,21 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded === brute)
   }
+
+  test("dedup_simhash: an adversarial mega-bucket is dropped whole (bounded fan-out)") {
+    // 150 identical docs share one signature — all 4 band buckets overflow
+    // BucketCap=100 and NULL out, so the adversarial corpus produces zero
+    // pairs instead of n²/2; at 80 docs the buckets stay under the cap and
+    // every pair (hamming 0) comes through
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simhashcap-").toString
+    import spark.implicits._
+    def mk(n: Int) = (1L to n.toLong)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    mk(150).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(SparkEntry.queries("dedup_simhash")(spark, tmp).collect().isEmpty)
+    mk(80).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_simhash")(spark, tmp).collect()
+    assert(pairs.length === 80 * 79 / 2)
+    assert(pairs.forall(_.getLong(2) === 0L))
+  }
 }
