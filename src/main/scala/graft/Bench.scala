@@ -35,7 +35,9 @@ object Bench {
     "dedup_substring", "text_commonness", "sample_temperature",
     "corpus_stats", "knn_negatives",
     // appended r13
-    "q_events_retention", "sample_stratified", "q_events_dau")
+    "q_events_retention", "sample_stratified", "q_events_dau",
+    // appended r14
+    "text_tokens_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

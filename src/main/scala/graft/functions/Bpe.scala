@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic byte-level BPE with a FIXED vocabulary shipped as a
+  * resource (`/graft/bpe_merges.txt`, derivation documented in
+  * scripts/gen_bpe_vocab.py) — the real subword tokenizer behind
+  * `text_tokens_bpe`: corpus token budgets, packing and chunking are
+  * defined in BPE/unigram subword tokens in production recipes, and
+  * whitespace counts skew them 1.3-1.7× with language-dependent bias.
+  *
+  * Algorithm (GPT-2 byte-level BPE, merges over raw bytes):
+  *  1. pretokenize with the leftmost-first pattern
+  *     {{{ " ?[a-zA-Z]+ | ?[0-9]+ | ?[^\sa-zA-Z0-9]+ | \s+" }}}
+  *     realized as a byte scanner (every input byte lands in exactly one
+  *     pretoken, so tokenization is LOSSLESS — decode ∘ encode = id);
+  *  2. per pretoken: start from the byte-value token ids (0..255) and
+  *     repeatedly merge the adjacent pair with the lowest merge rank;
+  *     merge r produces token id 256+r whose byte string is the
+  *     concatenation of its parts.
+  *
+  * Everything is integer arithmetic over a frozen table — bit-identical
+  * across JVMs, partitions and rounds, which is what lets the gated key
+  * pin the tokenization with a polynomial id-hash column.
+  */
+object Bpe {
+  /** (left, right) token-id pairs in rank order; merge r defines id 256+r. */
+  private val merges: Array[(Int, Int)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "resource /graft/bpe_merges.txt missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val p = l.trim.split(' ')
+      (p(0).toInt, p(1).toInt)
+    }.toArray
+    finally src.close()
+  }
+
+  // ids stay < 2^21 (256 + |merges|), so a pair packs into one long key
+  @inline private def pairKey(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
+
+  private val ranks: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](merges.length * 2)
+    var r = 0
+    while (r < merges.length) {
+      m.put(pairKey(merges(r)._1, merges(r)._2), r)
+      r += 1
+    }
+    m
+  }
+
+  /** Token id → byte string (0..255 are the raw bytes) — the decode table
+    * that proves losslessness. */
+  val vocab: Array[Array[Byte]] = {
+    val v = new Array[Array[Byte]](256 + merges.length)
+    var i = 0
+    while (i < 256) { v(i) = Array(i.toByte); i += 1 }
+    var r = 0
+    while (r < merges.length) {
+      v(256 + r) = v(merges(r)._1) ++ v(merges(r)._2)
+      r += 1
+    }
+    v
+  }
+
+  def vocabSize: Int = vocab.length
+
+  // regex \s byte classes (the corpus is UTF-8; non-ASCII bytes class as
+  // "other", which only ever groups them with adjacent non-ASCII bytes —
+  // still lossless)
+  @inline private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+  @inline private def isLetter(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
+  @inline private def cls(c: Int): Int =
+    if (isLetter(c)) 0 else if (isDigit(c)) 1 else 2 // 2 = other non-ws
+
+  /** End (exclusive) of the pretoken starting at `start` — the scanner
+    * form of the leftmost-first alternation above: a single ' ' directly
+    * before a non-ws byte attaches to that run (GPT-2's " ?"); any other
+    * whitespace starts a maximal `\s+` run. */
+  private[graft] def tokenEnd(b: Array[Byte], start: Int): Int = {
+    val n = b.length
+    var j = start
+    var c = b(j) & 0xff
+    if (c == ' ' && j + 1 < n && !isWs(b(j + 1) & 0xff)) { j += 1; c = b(j) & 0xff }
+    if (isWs(c)) {
+      while (j < n && isWs(b(j) & 0xff)) j += 1
+      j
+    } else {
+      val k = cls(c)
+      while (j < n && !isWs(b(j) & 0xff) && cls(b(j) & 0xff) == k) j += 1
+      j
+    }
+  }
+
+  /** Greedy BPE of one pretoken `bytes[from, until)` → token ids. */
+  private def encodeWord(bytes: Array[Byte], from: Int, until: Int): Array[Int] = {
+    var len = until - from
+    val ids = new Array[Int](len)
+    var i = 0
+    while (i < len) { ids(i) = bytes(from + i) & 0xff; i += 1 }
+    var merged = true
+    while (merged && len >= 2) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < len - 1) {
+        val r = ranks.get(pairKey(ids(j), ids(j + 1)))
+        if (r != null && r < bestRank) { bestRank = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) merged = false
+      else {
+        ids(bestPos) = 256 + bestRank
+        var k = bestPos + 1
+        while (k < len - 1) { ids(k) = ids(k + 1); k += 1 }
+        len -= 1
+      }
+    }
+    java.util.Arrays.copyOf(ids, len)
+  }
+
+  private final val Mod = 1000000007L
+
+  /** (token count, polynomial hash of the id sequence) for a document —
+    * the hash pins the exact tokenization (not just its length) through
+    * the rows-only gate. Called from both eval and generated code. */
+  def stats(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    var count = 0L
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val end = tokenEnd(bytes, i)
+      val ids = encodeWord(bytes, i, end)
+      var k = 0
+      while (k < ids.length) { h = (h * 31 + ids(k)) % Mod; k += 1 }
+      count += ids.length
+      i = end
+    }
+    Array(count, h)
+  }
+
+  /** Full-document encode (spec helper — the gated path uses [[stats]]). */
+  def encode(text: String): Array[Int] = {
+    val bytes = text.getBytes("UTF-8")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < bytes.length) {
+      val end = tokenEnd(bytes, i)
+      out ++= encodeWord(bytes, i, end)
+      i = end
+    }
+    out.toArray
+  }
+
+  /** Inverse of [[encode]] — byte-exact by construction. */
+  def decode(ids: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    ids.foreach(id => out.write(vocab(id)))
+    out.toByteArray
+  }
+}
+
+/** `bpe_stats(text)` → array<bigint> [token_count, id_poly_hash]: the
+  * codegen'd expression form of [[Bpe.stats]] — one static call on the
+  * hot path, so it stays inside whole-stage codegen and the operator is a
+  * pure map stage at any scale.
+  */
+case class BpeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"bpe_stats needs string, got $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Bpe.stats(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Bpe.stats($s));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -82,6 +82,10 @@ package object functions {
   def capped_sorted_list(v: Column, cap: Int): Column =
     Column(CappedSortedList(expression(v), cap).toAggregateExpression())
 
+  /** Fixed-vocab byte-level BPE stats of a string column:
+    * array<bigint> [token_count, id_poly_hash] (see [[Bpe]]). */
+  def bpe_stats(s: Column): Column = Column(BpeStats(expression(s)))
+
   /** (name, builder) for every SQL-exposed graft function — shared by
     * session-level [[registerAll]] and the [[graft.GraftExtensions]]
     * spark.sql.extensions entry point. */
@@ -103,7 +107,8 @@ package object functions {
       "ngram_hashes" -> (es => NgramHashes(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L)),
       "shingle_hashes" -> (es => ShingleHashes(es.head, longLit(es(1)).toInt,
-        if (es.size > 2) longLit(es(2)) else 42L)))
+        if (es.size > 2) longLit(es(2)) else 42L)),
+      "bpe_stats" -> (es => BpeStats(es.head)))
   }
 
   /** Register all graft functions for SQL use on this session. */

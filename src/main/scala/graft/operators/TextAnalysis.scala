@@ -48,6 +48,30 @@ object TextAnalysis extends QueryModule {
         .cast("double") / size(col("w")), 6).as("avg_token_len"))
       .orderBy("doc_id")
 
+  // ---- text_tokens_bpe ---------------------------------------------------
+  // REAL subword token counting — fixed-vocab byte-level BPE (merge table
+  // shipped as a resource; scripts/gen_bpe_vocab.py documents its
+  // deterministic derivation) run as a codegen'd expression
+  // ([[graft.functions.BpeStats]]). Production corpus budgets, packing
+  // and chunking are defined in subword tokens; whitespace counts skew
+  // them 1.3-1.7× with language-dependent bias, so text_tokens'
+  // n_bpe_tokens column (a token-SHAPED regex count) is only a proxy —
+  // this key counts actual greedy-merge BPE tokens. Map-only at any
+  // scale (the single shuffle below is the presentation ORDER BY). No
+  // SQL engine runs BPE → rows-only gated key, with the tokenization
+  // itself pinned bit-exactly by the polynomial id-hash column and
+  // spec-gated: lossless roundtrip over the corpus, scanner ==
+  // pretokenizer regex, codegen == interpreted eval, exchange-free plan.
+  private def textTokensBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("st", graft.functions.bpe_stats(col("text")))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_bpe_tokens"),
+        col("st").getItem(1).as("bpe_id_hash"),
+        round(length(col("text")).cast("double") / col("st").getItem(0), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
   // ---- text_quality ------------------------------------------------------
   // Heuristic score in [0,1]: length saturation, vocabulary diversity, and
   // a stopword-presence signal (natural text has stopwords; keyword spam
@@ -423,6 +447,7 @@ object TextAnalysis extends QueryModule {
     "text_source_cap" -> textSourceCap,
     "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
+    "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,

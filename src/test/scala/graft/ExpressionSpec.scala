@@ -241,7 +241,7 @@ class ExpressionSpec extends SparkSpec {
     val names = graft.functions.sqlFunctions.map(_._1)
     assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "graft_fingerprint",
       "graft_simhash", "graft_minhash", "sorted_jaccard", "ngram_hashes",
-      "shingle_hashes"))
+      "shingle_hashes", "bpe_stats"))
     // builders produce evaluable expressions (the extension injects these)
     val dot = graft.functions.sqlFunctions.toMap.apply("vec_dot")(
       Seq(fLit(1f, 2f), fLit(3f, 4f)))

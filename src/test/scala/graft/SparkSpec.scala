@@ -48,6 +48,7 @@ class EntrySpec extends SparkSpec {
     "knn_filtered" -> 10,
     "vector_similarity" -> 10,
     "text_tokens" -> 500,
+    "text_tokens_bpe" -> 500,
     "text_quality" -> 500,
     "text_langid" -> 500,
     "text_fingerprint" -> 500,

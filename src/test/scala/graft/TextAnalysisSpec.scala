@@ -49,6 +49,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bDup === 1L)
   }
 
+  test("text_tokens_bpe: lossless roundtrip over the corpus; scanner == pretokenizer regex") {
+    import graft.functions.Bpe
+    val texts = Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val pretok = (" ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\x0B\\f\\ra-zA-Z0-9]+" +
+      "|[ \\t\\n\\x0B\\f\\r]+").r
+    texts.foreach { t =>
+      // decode ∘ encode = identity, byte-exact — BPE only regroups bytes
+      assert(java.util.Arrays.equals(Bpe.decode(Bpe.encode(t)), t.getBytes("UTF-8")),
+        s"roundtrip failed for: ${t.take(60)}")
+      // the byte scanner is exactly the documented leftmost-first regex
+      val bytes = t.getBytes("UTF-8")
+      val scanned = Iterator.unfold(0)(i =>
+        if (i >= bytes.length) None
+        else { val end = Bpe.tokenEnd(bytes, i)
+               Some((new String(bytes, i, end - i, "UTF-8"), end)) }).toList
+      assert(scanned === pretok.findAllIn(t).toList, s"scanner != regex for: ${t.take(60)}")
+    }
+    // merges actually compress: strictly fewer tokens than bytes overall
+    val enc = texts.map(Bpe.encode(_).length.toLong)
+    assert(enc.sum < texts.map(_.getBytes("UTF-8").length.toLong).sum / 2,
+      "merge table produced no real compression")
+  }
+
+  test("text_tokens_bpe: codegen'd expression == driver-side reference; plan is exchange-free") {
+    import graft.functions.Bpe
+    val viaExpr = SparkEntry.queries("text_tokens_bpe")(spark, sf)
+      .select("doc_id", "n_bpe_tokens", "bpe_id_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaDriver = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ids = Bpe.encode(r.getString(1))
+        val h = ids.foldLeft(0L)((a, id) => (a * 31 + id) % 1000000007L)
+        (r.getLong(0), ids.length.toLong, h)
+      }.sortBy(_._1)
+    assert(viaExpr.toSeq === viaDriver.toSeq)
+    // the operator is a pure map stage: no Exchange before the
+    // presentation sort (drop the orderBy to see the compute plan)
+    val plan = Tables.t(spark, sf, "documents")
+      .withColumn("st", graft.functions.bpe_stats(col("text")))
+      .select(col("doc_id"), col("st").getItem(0).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"BPE counting plan shuffles:\n$plan")
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in treeString
+    assert(plan.contains("*(1) Project"), s"BPE projection fell out of codegen:\n$plan")
+  }
+
   test("text_commonness plan: Zipf head joins broadcast; tok shuffles bounded") {
     val plan = SparkEntry.queries("text_commonness")(spark, sf)
       .queryExecution.executedPlan.toString
