@@ -105,12 +105,15 @@ object Multimodal extends QueryModule {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
-  // ---- real image decode (PNG/BMP via javax.imageio) ---------------------
+  // ---- real image decode (PNG/BMP/JPEG via javax.imageio) ----------------
   // The gated mm_* keys stay byte-stubbed (a DuckDB oracle cannot decode
   // PNG); these paths are the REAL decoder plugged into the same
   // Dataset[MMRecord] → mapPartitions shape, spec-gated against
-  // synthesized images with exactly known pixels. ImageIO ships with the
-  // JDK, needs no native init, and decodes PNG/BMP deterministically.
+  // synthesized images. ImageIO ships with the JDK, needs no native init,
+  // and decodes PNG/BMP deterministically (exact-pixel specs) plus JPEG —
+  // the dominant crawled format — whose decode is lossy and not
+  // bit-specified, so its specs are tolerance-based. Undecodable payloads
+  // drop (flatMap), which also covers codec gaps.
 
   /** Real per-image features: dimensions + per-channel pixel sums in a
     * fixed raster order (exact integers — spec-checkable bit-for-bit). */

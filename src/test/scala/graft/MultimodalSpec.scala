@@ -68,6 +68,52 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x, $y)")
   }
 
+  test("imageFeatures: JPEG decodes with tolerance-bounded channel sums; mixed-codec batch") {
+    // crawled image corpora are overwhelmingly JPEG; ImageIO decodes it in
+    // the same path. JPEG is LOSSY and its decode is not bit-specified, so
+    // expectations are tolerance-based: dimensions exact, per-channel MEAN
+    // within ±4 of the source (a flat-gradient image keeps DCT error low)
+    import spark.implicits._
+    val recs = Seq(
+      MMRecord(1L, bytes(synth(16, 12), "jpg"), "image/jpeg"),
+      MMRecord(2L, bytes(synth(8, 4), "png"), "image/png"),
+      MMRecord(3L, "still not an image".getBytes("UTF-8"), "application/octet-stream"))
+      .toDS()
+    val rows = Multimodal.imageFeatures(recs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // garbage still dropped
+    val jpeg = rows.head
+    assert((jpeg.getInt(1), jpeg.getInt(2)) === ((16, 12)))
+    val (er, eg, eb) = expectedSums(16, 12)
+    val n = 16 * 12
+    for (((got, exp), ch) <- Seq(jpeg.getLong(3) -> er, jpeg.getLong(4) -> eg,
+        jpeg.getLong(5) -> eb).zip(Seq("r", "g", "b"))) {
+      val meanErr = math.abs(got - exp).toDouble / n
+      assert(meanErr <= 4.0, s"channel $ch mean decode error $meanErr > 4")
+    }
+    // the PNG row in the same batch stays bit-exact
+    val (pr, pg, pb) = expectedSums(8, 4)
+    assert((rows(1).getLong(3), rows(1).getLong(4), rows(1).getLong(5)) === ((pr, pg, pb)))
+  }
+
+  test("imageResize: JPEG in, PNG out — resampled pixels within decode tolerance") {
+    import spark.implicits._
+    val recs = Seq(MMRecord(9L, bytes(synth(16, 12), "jpg"), "image/jpeg")).toDS()
+    val row = Multimodal.imageResize(recs).collect().head
+    assert((row.getLong(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) ===
+      ((9L, 16, 12, 8, 6)))
+    // output payload is PNG (lossless re-encode), so the only error source
+    // is the JPEG DECODE of the input: each resampled pixel must be within
+    // a per-channel tolerance of the source pixel it samples
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](5)))
+    val src = synth(16, 12)
+    for (y <- 0 until 6; x <- 0 until 8; shift <- Seq(16, 8, 0)) {
+      val got = (out.getRGB(x, y) >> shift) & 0xff
+      val exp = (src.getRGB(2 * x, 2 * y) >> shift) & 0xff
+      assert(math.abs(got - exp) <= 24, s"pixel ($x, $y) channel>>$shift: $got vs $exp")
+    }
+  }
+
   test("decode plumbing stays a single distributed map stage (no shuffle before features)") {
     import spark.implicits._
     val recs = Seq(MMRecord(1L, bytes(synth(4, 4), "png"), "image/png")).toDS()
