@@ -269,6 +269,26 @@ object Soak {
       } finally spark.streams.removeListener(listener)
     }
 
+    // ---- streaming exact dedup: per-batch sink delta ∝ batch -------------
+    // 8 micro-batches over the ×dmult corpus through the incremental
+    // (update-mode, delta-append) path: every batch must append only the
+    // hash groups it touched — the complete-mode rewrite this replaced
+    // would write the full accumulated distinct-hash state every batch
+    // (history-sized on the last one).
+    timed("streaming exact dedup 8 micro-batches") {
+      val sdocs = spark.read.parquet(docPath).select("doc_id", "text")
+      val state = s"$out/sdedup-state-${System.nanoTime()}/t"
+      val appended = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val merged = operators.StreamingOps.streamDedupAt(spark, sdocs, state,
+        srcParts = 8,
+        onBatch = (bid, n) => appended.synchronized { appended += ((bid, n)) })
+      val total = merged.count()
+      val per = appended.synchronized(appended.sortBy(_._1).map(_._2).toList)
+      println(s"[soak]   distinct hashes = $total; delta rows/batch = $per")
+      require(per.max < total / 2,
+        s"a sink delta grew history-sized: max=${per.max} of $total")
+    }
+
     // ---- lance DML at scale: DV delete / bloom lookup / CDC --------------
     // orders ×mult as a lance dataset (fragmented), then: a positional
     // delete touching ~10% of rows must write ONLY sidecars (zero fragment
