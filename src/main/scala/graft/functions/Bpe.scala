@@ -148,9 +148,39 @@ object Bpe {
     Array(count, h)
   }
 
-  /** Full-document encode (spec helper — the gated path uses [[stats]]). */
-  def encode(text: String): Array[Int] = {
-    val bytes = text.getBytes("UTF-8")
+  /** Per-chunk stats for BPE-token-window chunking: window w covers tokens
+    * [w*stride, w*stride + chunkTokens) of the document's token stream
+    * (pretokens concatenated in order — the same stream [[stats]] counts),
+    * last chunk truncated. Returns one [n_tokens, n_bytes, id_poly_hash]
+    * triple per chunk: n_bytes is the summed byte length of the chunk's
+    * tokens (chunks tile the document when stride == chunkTokens, overlap
+    * when stride < chunkTokens), the hash pins the chunk's exact token
+    * ids. Single pass, O(doc) memory — stays a pure map stage. */
+  def chunkStats(s: UTF8String, chunkTokens: Int, stride: Int): Array[Array[Long]] = {
+    val ids = encodeBytes(s.getBytes)
+    val n = ids.length
+    if (n == 0) return Array.empty
+    val nChunks = if (n <= chunkTokens) 1 else (n - chunkTokens + stride - 1) / stride + 1
+    val out = new Array[Array[Long]](nChunks)
+    var w = 0
+    while (w < nChunks) {
+      val from = w * stride
+      val until = math.min(from + chunkTokens, n)
+      var bytes = 0L
+      var h = 0L
+      var k = from
+      while (k < until) {
+        bytes += vocab(ids(k)).length
+        h = (h * 31 + ids(k)) % Mod
+        k += 1
+      }
+      out(w) = Array((until - from).toLong, bytes, h)
+      w += 1
+    }
+    out
+  }
+
+  private def encodeBytes(bytes: Array[Byte]): Array[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < bytes.length) {
@@ -160,6 +190,9 @@ object Bpe {
     }
     out.toArray
   }
+
+  /** Full-document encode (spec helper — the gated path uses [[stats]]). */
+  def encode(text: String): Array[Int] = encodeBytes(text.getBytes("UTF-8"))
 
   /** Inverse of [[encode]] — byte-exact by construction. */
   def decode(ids: Array[Int]): Array[Byte] = {
@@ -192,4 +225,42 @@ case class BpeStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `bpe_chunks(text, chunkTokens, stride)` → array<array<bigint>>: one
+  * [n_tokens, n_bytes, id_poly_hash] triple per BPE-token window (see
+  * [[Bpe.chunkStats]]) — the subword-token form of overlapping-window
+  * chunking. Codegen'd single static call; a doc's chunk list never
+  * leaves its task, so chunking over real tokenizer windows is still one
+  * map stage at any corpus size. */
+case class BpeChunks(child: Expression, chunkTokens: Int, stride: Int)
+    extends UnaryExpression {
+  require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+    s"need 0 < stride <= chunkTokens, got ($chunkTokens, $stride)")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"bpe_chunks needs string, got $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeChunks.toArrayData(
+      Bpe.chunkStats(v.asInstanceOf[UTF8String], chunkTokens, stride))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.BpeChunks.toArrayData(
+         |  graft.functions.Bpe.chunkStats($s, $chunkTokens, $stride));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeChunks {
+  /** Shared by interpreted eval + generated code. */
+  def toArrayData(chunks: Array[Array[Long]]): GenericArrayData =
+    new GenericArrayData(chunks.map(c => new GenericArrayData(c): Any))
 }

@@ -86,6 +86,13 @@ package object functions {
     * array<bigint> [token_count, id_poly_hash] (see [[Bpe]]). */
   def bpe_stats(s: Column): Column = Column(BpeStats(expression(s)))
 
+  /** Per-BPE-token-window chunk stats of a string column:
+    * array<array<bigint>> of [n_tokens, n_bytes, id_poly_hash] per
+    * window of `chunkTokens` tokens advancing by `stride` (see
+    * [[BpeChunks]]). */
+  def bpe_chunks(s: Column, chunkTokens: Int, stride: Int): Column =
+    Column(BpeChunks(expression(s), chunkTokens, stride))
+
   /** (name, builder) for every SQL-exposed graft function — shared by
     * session-level [[registerAll]] and the [[graft.GraftExtensions]]
     * spark.sql.extensions entry point. */
@@ -108,7 +115,9 @@ package object functions {
         if (es.size > 2) longLit(es(2)) else 42L)),
       "shingle_hashes" -> (es => ShingleHashes(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L)),
-      "bpe_stats" -> (es => BpeStats(es.head)))
+      "bpe_stats" -> (es => BpeStats(es.head)),
+      "bpe_chunks" -> (es =>
+        BpeChunks(es.head, longLit(es(1)).toInt, longLit(es(2)).toInt)))
   }
 
   /** Register all graft functions for SQL use on this session. */

@@ -80,6 +80,35 @@ object Sampling extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  // ---- sample_token_budget_bpe -------------------------------------------
+  // The REAL-tokenizer form of the per-source token budget: identical
+  // recipe, but the budget counts actual byte-level-BPE subword tokens
+  // (graft.functions.Bpe) — what production corpus budgets are defined
+  // in; whitespace counts skew them 1.3-1.7× with language bias. The
+  // budget is the SAME 800 tokens as the whitespace key — measured in
+  // real subword tokens it selects a visibly different (smaller-text)
+  // prefix, exactly the skew the whitespace proxy hides. No SQL engine
+  // runs BPE → rows-only gated key,
+  // pinned by an equivalence spec vs the driver-side Bpe.encode
+  // reference. Same scale shape: one (source) shuffle, prefix-sum window.
+  private val TokenBudgetBpe = 800L
+
+  private def sampleTokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("w", TextAnalysis.tokens)
+    val scored = d.select(
+      col("doc_id"), col("source"),
+      graft.functions.bpe_stats(col("text")).getItem(0).as("n_tokens"),
+      round(TextAnalysis.qualityScore, 6).as("quality"))
+    val byQuality = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(byQuality.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= TokenBudgetBpe)
+      .select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   // ---- sample_mixture ----------------------------------------------------
   // Mixture-weighted corpus composition — the step that turns "we want
   // 35% src0 / 25% src1 / ..." into an actual document selection. Given
@@ -249,6 +278,7 @@ object Sampling extends QueryModule {
     "sample_stratified" -> sampleStratified,
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
+    "sample_token_budget_bpe" -> sampleTokenBudgetBpe,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,

@@ -266,6 +266,33 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- text_pack_bpe / text_chunk_bpe ------------------------------------
+  // The REAL-tokenizer forms of packing and chunking: identical recipes to
+  // text_pack / text_chunk but budgeted in actual byte-level-BPE subword
+  // tokens (graft.functions.Bpe) instead of whitespace tokens — what a
+  // production training-shard or RAG pipeline actually budgets in. No SQL
+  // engine runs BPE → rows-only gated keys; each is pinned by an
+  // equivalence spec against the driver-side Bpe.encode reference. Scale
+  // shapes are inherited unchanged: pack is the same single (shard)
+  // shuffle; chunk is a pure map stage (bpe_chunks is codegen'd, a doc's
+  // chunk list never leaves its task).
+
+  private def textPackBpe(s: SparkSession, dir: String): DataFrame =
+    pack(s,
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.bpe_stats(col("text")).getItem(0).as("n_tokens")),
+      PackBudget, PackShards)
+
+  private def textChunkBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.bpe_chunks(col("text"), ChunkTokens, ChunkStride)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").getItem(0).as("chunk_tokens"),
+        col("col").getItem(1).as("chunk_bytes"),
+        col("col").getItem(2).as("chunk_id_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   // ---- text_source_cap ---------------------------------------------------
   // Per-source contribution quota: keep at most SourceCap docs per source,
   // ranked by quality — the per-domain cap every web-scale corpus applies
@@ -442,7 +469,9 @@ object TextAnalysis extends QueryModule {
     "corpus_stats" -> corpusStats,
     "text_commonness" -> textCommonness,
     "text_pack" -> textPack,
+    "text_pack_bpe" -> textPackBpe,
     "text_chunk" -> textChunk,
+    "text_chunk_bpe" -> textChunkBpe,
     "text_crossdup" -> textCrossdup,
     "text_source_cap" -> textSourceCap,
     "text_repetition" -> textRepetition,

@@ -2158,38 +2158,54 @@ class LanceSpec extends SparkSpec {
 
   test("read.buckets restricts scans to the requested bucket cover") {
     val root = tmp()
-    // two bucketed appends = two epochs of streaming state
+    // a LEGACY fragment written before the table gained its bucket layout
+    // (the only way untagged fragments arise: once the layout is persisted,
+    // every append inherits it)
+    spark.range(10000, 10010).selectExpr("id", "id AS v")
+      .coalesce(1).write.format("lance").mode("overwrite").save(root)
+    // two bucketed appends = two epochs of streaming state; the first one
+    // installs the layout on the legacy table
     for (epoch <- 0 until 2)
       spark.range(epoch * 500, epoch * 500 + 500).selectExpr("id", "id * 7 AS v")
         .write.format("lance")
         .option("write.bucket-by", "id").option("write.bucket-count", "4")
-        .mode(if (epoch == 0) "overwrite" else "append").save(root)
+        .mode("append").save(root)
     val m = ManifestIO.loadLatest(root, conf).get
-    assert(m.fragments.size === 8 && m.fragments.forall(_.bucket.isDefined))
+    assert(m.fragments.size === 9 && m.fragments.count(_.bucket.isDefined) === 8)
 
     val ds = spark.read.format("lance").option("read.buckets", "1,3").load(root)
-    // the scan enumerates ONLY matching-bucket fragments — per-epoch cost
+    // the scan enumerates only matching-bucket fragments plus the legacy
+    // untagged one (unknown keys must not be excluded) — per-epoch cost
     // is the bucket cover, not accumulated history
-    val expectFrags = m.fragments.count(_.bucket.exists(Set(1, 3).contains))
+    val expectFrags = m.fragments.count(_.bucket.forall(Set(1, 3).contains))
     val plan = ds.queryExecution.executedPlan.toString
     assert(plan.contains(s"fragments=$expectFrags/${m.fragments.size}"), plan)
-    // and returns exactly the rows hashing into those buckets (same
-    // pmod(murmur3, N) the bucketed write shuffled by)
-    val all = spark.read.format("lance").load(root)
-    val expected = all.filter(pmod(hash(col("id")), lit(4)).isin(1, 3)).count()
-    assert(expected > 0 && ds.count() === expected)
+    // bucketed rows filter by the same pmod(murmur3, N) the write shuffled
+    // by; the legacy fragment's 10 rows are always kept
+    val bucketed = spark.read.format("lance").load(root).filter(col("id") < 10000)
+    val expected =
+      bucketed.filter(pmod(hash(col("id")), lit(4)).isin(1, 3)).count() + 10
+    assert(expected > 10 && ds.count() === expected)
 
     // aggregate pushdown declines under a restriction (manifest stats
     // range over the whole table, not the restricted cover)
     val aPlan = ds.agg(min("id"), max("id")).queryExecution.executedPlan.toString
     assert(!aPlan.contains("LanceStatsScan"), aPlan)
 
-    // an untagged fragment (plain append) is always kept: unknown keys
-    // must not be excluded
-    spark.range(10000, 10010).selectExpr("id", "id AS v")
+    // once the layout is persisted, a plain append INHERITS it (an
+    // untagged fragment on a bucketed table would force every restricted
+    // probe to read it forever): new fragments come out tagged and
+    // restricted counts stay exact
+    spark.range(20000, 20010).selectExpr("id", "id AS v")
       .coalesce(1).write.format("lance").mode("append").save(root)
+    val m2 = ManifestIO.loadLatest(root, conf).get
+    val newFrags = m2.fragments.filterNot(m.fragments.toSet)
+    assert(newFrags.nonEmpty && newFrags.forall(_.bucket.isDefined),
+      s"plain append did not inherit the persisted bucket layout: $newFrags")
+    val inherited = spark.range(20000, 20010)
+      .filter(pmod(hash(col("id")), lit(4)).isin(1, 3)).count()
     val ds2 = spark.read.format("lance").option("read.buckets", "1,3").load(root)
-    assert(ds2.count() === expected + 10)
+    assert(ds2.count() === expected + inherited)
   }
 
   test("temporal equality pruning falls through to bloom sketches when ranges overlap") {

@@ -53,6 +53,36 @@ class SamplingSpec extends SparkSpec {
     assert(res.map(_.getLong(1)).toSet === expected)
   }
 
+  test("sample_token_budget_bpe: BPE budget holds; kept = quality-ranked prefix over Bpe.encode counts") {
+    import graft.functions.Bpe
+    val res = SparkEntry.queries("sample_token_budget_bpe")(spark, sf).collect()
+    assert(res.forall(_.getLong(4) <= 800L))
+    // full equivalence vs a driver-side reference: real BPE counts from
+    // Bpe.encode, the oracle-shared quality formula, same ranking + prefix
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("w", filter(split(col("text"), "\\s+"), x => x =!= ""))
+    val nTok = size(col("w")).cast("double")
+    val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val stopCnt = size(filter(col("w"), x => x.isin(stopEn: _*))).cast("double")
+    val dr = size(array_distinct(col("w"))).cast("double") / nTok
+    val q = least(lit(1.0), nTok / 100.0) * 0.4 + dr * 0.4 +
+      least(lit(1.0), stopCnt / nTok * 5.0) * 0.2
+    val scored = d.select(col("source"), col("doc_id"), col("text"),
+        round(q, 6).as("quality"))
+      .collect()
+      .groupBy(_.getString(0))
+    val expected = scored.toSeq.flatMap { case (src, rows) =>
+      val ranked = rows.toSeq.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+      var cum = 0L
+      ranked.flatMap { r =>
+        cum += Bpe.encode(r.getString(2)).length
+        if (cum <= 800L) Some((src, r.getLong(1), cum)) else None
+      }
+    }
+    assert(res.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSet
+      === expected.toSet)
+  }
+
   test("sample_mixture: budgets honored and maximal; binding source saturates exactly") {
     val res = SparkEntry.queries("sample_mixture")(spark, sf).collect()
     val res2 = SparkEntry.queries("sample_mixture")(spark, sf).collect()

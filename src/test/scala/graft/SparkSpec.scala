@@ -54,7 +54,9 @@ class EntrySpec extends SparkSpec {
     "text_fingerprint" -> 500,
     "text_scrub" -> 500,
     "text_pack" -> 16,
+    "text_pack_bpe" -> 16,
     "text_chunk" -> 806,
+    "text_chunk_bpe" -> 705,
     "text_crossdup" -> 500,
     "text_source_cap" -> 200,
     "text_repetition" -> 500,
@@ -65,6 +67,7 @@ class EntrySpec extends SparkSpec {
     "dedup_canonical" -> 476,
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
+    "sample_token_budget_bpe" -> 210,
     "sample_mixture" -> 74,
     "sample_temperature" -> 98,
     "sample_epochs" -> 205,

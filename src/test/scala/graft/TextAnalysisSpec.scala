@@ -97,6 +97,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"BPE projection fell out of codegen:\n$plan")
   }
 
+  test("text_chunk_bpe: chunk windows == driver-side Bpe.encode reference; map-only plan") {
+    import graft.functions.Bpe
+    val got = SparkEntry.queries("text_chunk_bpe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val expected = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().flatMap { r =>
+      val ids = Bpe.encode(r.getString(1))
+      val starts = if (ids.isEmpty) Seq.empty
+        else 0 to (if (ids.length <= 64) 0 else (ids.length - 64 + 47) / 48 * 48) by 48
+      starts.zipWithIndex.map { case (from, w) =>
+        val chunk = ids.slice(from, from + 64)
+        val bytes = chunk.map(Bpe.vocab(_).length.toLong).sum
+        val h = chunk.foldLeft(0L)((a, id) => (a * 31 + id) % 1000000007L)
+        (r.getLong(0), w.toLong) -> ((chunk.length.toLong, bytes, h))
+      }
+    }.toMap
+    assert(got === expected)
+    // chunking is one map stage: no Exchange before the presentation sort
+    val plan = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        posexplode(graft.functions.bpe_chunks(col("text"), 64, 48)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"BPE chunking plan shuffles:\n$plan")
+  }
+
+  test("text_pack_bpe: packs == driver-side reference over BPE counts") {
+    import graft.functions.Bpe
+    val counts = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Bpe.encode(r.getString(1)).length.toLong)
+    // mirror pack(): shard = doc_id % 8, order by doc_id, prefix-sum start,
+    // pack = floor(start / 2048)
+    val expected = counts.groupBy(_._1 % 8).flatMap { case (shard, docs) =>
+      val sorted = docs.sortBy(_._1)
+      val starts = sorted.map(_._2).scanLeft(0L)(_ + _).init
+      sorted.zip(starts).map { case ((id, n), st) => (shard, st / 2048, id, n) }
+        .groupBy { case (_, p, _, _) => p }
+        .map { case (p, rows) =>
+          (shard, p) -> ((rows.length.toLong, rows.map(_._4).sum,
+            rows.map(_._3).min))
+        }
+    }
+    val got = SparkEntry.queries("text_pack_bpe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected)
+  }
+
   test("text_commonness plan: Zipf head joins broadcast; tok shuffles bounded") {
     val plan = SparkEntry.queries("text_commonness")(spark, sf)
       .queryExecution.executedPlan.toString
