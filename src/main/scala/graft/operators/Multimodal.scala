@@ -195,10 +195,157 @@ object Multimodal extends QueryModule {
     }.toDF().orderBy("doc_id")
   }
 
+  // ---- real audio decode (PCM WAV via javax.sound.sampled) ---------------
+  // The audio sibling of the ImageIO path: javax.sound ships with the JDK
+  // and decodes PCM WAV deterministically (16-bit samples are exact
+  // integers — bit-exact specs, unlike lossy JPEG). Same posture: the real
+  // codec behind the Dataset[MMRecord] → mapPartitions plumbing,
+  // undecodable payloads dropped. Production swaps the codec call for
+  // FFmpeg/JNI behind the same per-partition seam.
+
+  /** Real per-clip features: format + exact integer sample statistics in
+    * frame order — duration_ms floored, peak = max |sample|, sum_abs the
+    * exact absolute-amplitude integral, zero_crossings sign flips on
+    * channel 0 (zero counts as non-negative). */
+  case class MMAudioFeature(doc_id: Long, channels: Int, sample_rate: Int,
+                            n_frames: Long, duration_ms: Long, peak: Long,
+                            sum_abs: Long, zero_crossings: Long)
+
+  /** Real 1:1 audio transform output: 2× time-decimated WAV payload. */
+  case class MMAudioResampled(doc_id: Long, orig_frames: Long, frames: Long,
+                              sample_rate: Int, data: Array[Byte])
+
+  private[graft] object AudioCodec {
+    import javax.sound.sampled._
+
+    /** Decode a WAV/AIFF/AU payload to 16-bit PCM: (sampleRate, channels,
+      * interleaved samples). None for undecodable/non-PCM-convertible
+      * payloads (the crawled-corpus drop posture). */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+            src.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(target, in)
+          try {
+            val raw = pcm.readAllBytes()
+            val samples = new Array[Short]((raw.length / 2))
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            Some((src.getSampleRate.toInt, src.getChannels, samples))
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Encode interleaved 16-bit PCM as a little-endian WAV payload. */
+    def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat, false)
+      val stream = new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+        fmt, samples.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** Decode each record's audio payload and emit exact integer sample
+    * stats — the audio form of imageFeatures. Undecodable payloads drop. */
+  private[graft] def audioFeatures(records: org.apache.spark.sql.Dataset[MMRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioCodec.decode(r.data).map { case (rate, ch, samples) =>
+          val nFrames = samples.length / ch
+          var peak = 0L
+          var sumAbs = 0L
+          var zc = 0L
+          var i = 0
+          var prevNonNeg = true
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumAbs += a
+            if (i % ch == 0) { // channel 0 only for crossings
+              val nonNeg = v >= 0
+              if (i > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+            }
+            i += 1
+          }
+          MMAudioFeature(r.doc_id, ch, rate, nFrames.toLong,
+            nFrames.toLong * 1000L / rate, peak, sumAbs, zc)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Real binary→binary audio transform: decode, 2× time-decimate (keep
+    * every other frame — deterministic integer selection, the temporal
+    * analog of the nearest-neighbor image half-resize), re-encode WAV. */
+  private[graft] def audioResample(records: org.apache.spark.sql.Dataset[MMRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioCodec.decode(r.data).map { case (rate, ch, samples) =>
+          val frames = samples.length / ch
+          val outFrames = (frames + 1) / 2
+          val out = new Array[Short](outFrames * ch)
+          var f = 0
+          while (f < outFrames) {
+            var c = 0
+            while (c < ch) { out(f * ch + c) = samples(2 * f * ch + c); c += 1 }
+            f += 1
+          }
+          MMAudioResampled(r.doc_id, frames.toLong, outFrames.toLong, rate / 2,
+            AudioCodec.encodeWav(rate / 2, ch, out))
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  // ---- mm_audio_features (gated) -----------------------------------------
+  // End-to-end distributed audio path for the gate: synthesize a
+  // deterministic PCM16 WAV per document (pure integer sample formula —
+  // no float DSP for engines to disagree on), then run the REAL decode +
+  // feature pass over it. Encode and decode both execute on executors
+  // inside one mapPartitions batch; rows-only gated (a DuckDB oracle
+  // cannot parse WAV), pinned by a driver-side equivalence spec.
+  private[graft] def synthSamples(docId: Long): Array[Short] = {
+    val n = 200 + (docId % 256).toInt
+    Array.tabulate(n)(i => (((docId * 31 + i.toLong * i * 7) % 20001L) - 10000L).toShort)
+  }
+
+  private def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MMRecord(id, AudioCodec.encodeWav(8000, 1, synthSamples(id)), "audio/wav")
+        }
+      }
+    audioFeatures(recs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_features" -> mmAudioFeatures)
 
   /** The corpus is ASCII, so byte-level features are expressible over char
     * codes in the oracle. */

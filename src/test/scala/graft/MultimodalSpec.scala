@@ -114,6 +114,78 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- real audio decode -------------------------------------------------
+  // PCM16 is exact integer data, so unlike JPEG every audio expectation is
+  // bit-exact. Expected values computed by independent arithmetic; WAV
+  // payloads synthesized through javax.sound's WRITER only (the decoder
+  // under test never produces its own expectations).
+
+  /** Hand-computed features of an interleaved PCM16 sample array. */
+  private def expectedAudio(ch: Int, rate: Int, samples: Array[Short])
+      : (Int, Int, Long, Long, Long, Long, Long) = {
+    val frames = samples.length / ch
+    val peak = samples.map(s => math.abs(s.toLong)).max
+    val sumAbs = samples.map(s => math.abs(s.toLong)).sum
+    val ch0 = (0 until frames).map(f => samples(f * ch))
+    val zc = ch0.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    (ch, rate, frames.toLong, frames.toLong * 1000L / rate, peak, sumAbs, zc.toLong)
+  }
+
+  test("audioFeatures: exact PCM16 stats for mono + stereo WAV; garbage dropped") {
+    import spark.implicits._
+    val mono = Array.tabulate(300)(i => ((i % 7) * 1000 - 3000).toShort)
+    val stereo = Array.tabulate(400)(i =>
+      (if (i % 2 == 0) (i / 2 % 5) * 2000 - 4000 else -8000 + i).toShort)
+    val recs = Seq(
+      MMRecord(1L, Multimodal.AudioCodec.encodeWav(8000, 1, mono), "audio/wav"),
+      MMRecord(2L, Multimodal.AudioCodec.encodeWav(16000, 2, stereo), "audio/wav"),
+      MMRecord(3L, "definitely not audio".getBytes("UTF-8"), "application/octet-stream"))
+      .toDS()
+    val rows = Multimodal.audioFeatures(recs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rows.keySet === Set(1L, 2L)) // garbage dropped
+    assert(rows(1L) === expectedAudio(1, 8000, mono))
+    assert(rows(2L) === expectedAudio(2, 16000, stereo))
+  }
+
+  test("audioResample: 2x time decimation — decoded output frames == every other input frame") {
+    import spark.implicits._
+    val ch = 2
+    val samples = Array.tabulate(500)(i => ((i * 13) % 9001 - 4500).toShort)
+    val recs = Seq(
+      MMRecord(5L, Multimodal.AudioCodec.encodeWav(8000, ch, samples), "audio/wav"))
+      .toDS()
+    val row = Multimodal.audioResample(recs).collect().head
+    val frames = samples.length / ch
+    val outFrames = (frames + 1) / 2
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getInt(3)) ===
+      ((5L, frames.toLong, outFrames.toLong, 4000)))
+    // decode the emitted WAV independently: PCM is lossless, so output
+    // frame f must equal input frame 2f sample-for-sample on every channel
+    val (rate, ch2, out) = Multimodal.AudioCodec.decode(row.getAs[Array[Byte]](4)).get
+    assert(rate === 4000 && ch2 === ch && out.length === outFrames * ch)
+    for (f <- 0 until outFrames; c <- 0 until ch)
+      assert(out(f * ch + c) === samples(2 * f * ch + c), s"frame $f ch $c")
+  }
+
+  test("mm_audio_features: distributed encode+decode == driver-side reference; map-only plan") {
+    val got = SparkEntry.queries("mm_audio_features")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val ids = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.size === ids.length)
+    ids.foreach { id =>
+      assert(got(id) === expectedAudio(1, 8000, Multimodal.synthSamples(id)), s"doc $id")
+    }
+    val plan = SparkEntry.queries("mm_audio_features")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert("Exchange".r.findAllIn(plan).length <= 2,
+      s"audio gate plan has unexpected shuffles:\n$plan")
+  }
+
   test("decode plumbing stays a single distributed map stage (no shuffle before features)") {
     import spark.implicits._
     val recs = Seq(MMRecord(1L, bytes(synth(4, 4), "png"), "image/png")).toDS()

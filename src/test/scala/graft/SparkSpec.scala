@@ -90,6 +90,7 @@ class EntrySpec extends SparkSpec {
     "mm_features" -> 500,
     "mm_resize" -> 500,
     "mm_frame_sample" -> 1436,
+    "mm_audio_features" -> 500,
     "lance_roundtrip" -> 1,
     "lance_events_roundtrip" -> 5,
     "lance_overwrite" -> 1,
