@@ -37,7 +37,8 @@ object Bench {
     // appended r13
     "q_events_retention", "sample_stratified", "q_events_dau",
     // appended r14
-    "text_tokens_bpe")
+    "text_tokens_bpe", "knn_hamming", "text_keywords", "text_lm_score",
+    "q_events_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -566,6 +566,67 @@ object Soak {
       println(s"[soak]   checksum=${agg.getLong(0)}")
     }
 
+    // ---- knn_hamming over the ×mult embeddings: the 1-bit first-pass
+    // sweep. The packed form is materialized ONCE (8 bytes/vector vs 256
+    // for 64-dim float32) — the steady-state candidate sweep then scans
+    // packed words with one XOR+popcount per 64 dims, and should run well
+    // under the float cosine sweep timed above on the same corpus.
+    val packedPath = s"$out/packed_x$mult.parquet"
+    if (!new java.io.File(packedPath).exists()) {
+      timed("bit_pack_sign materialize") {
+        emb.select(col("vec_id"),
+            graft.functions.bit_pack_sign(col("embedding")).as("bv"))
+          .write.mode("overwrite").parquet(packedPath)
+      }
+    }
+    val packedEmb = spark.read.parquet(packedPath)
+    val qbv = packedEmb.filter(col("vec_id") === 1L).select(col("bv").as("qbv"))
+    timed("knn hamming top-10 (1-bit sweep)") {
+      packedEmb.crossJoin(broadcast(qbv))
+        .select(col("vec_id"),
+          graft.functions.hamming_dist(col("bv"), col("qbv")).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10).collect()
+    }
+
+    // ---- text_lm_score over the full-text ×mult documents: LM training
+    // is charset²-bounded (one tiny shuffle) and the model broadcasts to
+    // the per-bigram scoring join — cost should be ∝ total characters.
+    timed("text_lm_score: bigram LM train + score") {
+      val d = docsText.filter(length(col("text")) >= 2)
+      val big = d.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2)))).as("g"))
+      val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(substring(col("g"), 1, 1).as("p")).agg(sum("c2").as("c1"))
+      val probs = c2.join(c1, substring(col("g"), 1, 1) === col("p"))
+        .select(col("g"),
+          round(col("c2").cast("double") / col("c1") * 1e9, 0).cast("long").as("p_nano"))
+      val r = big.join(broadcast(probs), "g").groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), sum("p_nano").as("s"))
+        .agg(count(lit(1)).as("n_docs"), sum("s").as("checksum")).first()
+      println(s"[soak]   docs scored=${r.getLong(0)} checksum=${r.getLong(1)}")
+    }
+
+    // ---- text_keywords over the ×mult documents: one (doc,term) shuffle,
+    // vocabulary-sized df join, pre-shuffle top-k heap
+    timed("text_keywords tf-idf top-3") {
+      import org.apache.spark.sql.expressions.Window
+      val terms = docsText.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docsText.count()
+      val byDoc = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      val cnt = tf.join(dfq, "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * (lit(nDocs) + 1.0d) / (col("df") + 1.0d), 6).as("score"))
+        .withColumn("rk", row_number().over(byDoc)).filter(col("rk") <= 3)
+        .count()
+      println(s"[soak]   keyword rows=$cnt")
+    }
+
     spark.stop()
   }
 }

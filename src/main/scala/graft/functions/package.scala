@@ -54,6 +54,14 @@ package object functions {
                     p: Int): Column =
     Column(NearestCells(expression(v), centroids, cells, dim, p))
 
+  /** Pack a float/double vector's sign bits into array<long> words (the
+    * 1-bit/32× storage form — see [[BitPackSign]]). */
+  def bit_pack_sign(v: Column): Column = Column(BitPackSign(expression(v)))
+
+  /** Hamming distance between two packed-bit array<long> columns. */
+  def hamming_dist(a: Column, b: Column): Column =
+    Column(HammingDistance(expression(a), expression(b)))
+
   /** Rabin-Karp rolling-hash fingerprint of a string column. */
   def fingerprint(s: Column): Column = Column(RollingFingerprint(expression(s)))
 
@@ -105,6 +113,8 @@ package object functions {
       "vec_dot" -> (es => VectorDistance(es.head, es(1), "dot")),
       "vec_l2" -> (es => VectorDistance(es.head, es(1), "l2")),
       "vec_cosine" -> (es => VectorDistance(es.head, es(1), "cosine")),
+      "bit_pack_sign" -> (es => BitPackSign(es.head)),
+      "hamming_dist" -> (es => HammingDistance(es.head, es(1))),
       "graft_fingerprint" -> (es => RollingFingerprint(es.head)),
       "graft_simhash" -> (es =>
         if (es.size > 1) SimHash64(es.head, longLit(es(1))) else SimHash64(es.head)),

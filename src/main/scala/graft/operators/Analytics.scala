@@ -95,6 +95,38 @@ object Analytics extends QueryModule {
     daily.withColumn("ma7", round(avg(col("n")).over(w), 6)).orderBy("day")
   }
 
+  /** Daily-volume anomaly detection — trailing z-score: each day's event
+    * count against the mean/stddev of the PRIOR 7 days (the monitoring
+    * primitive behind ingest alarms and data-quality gates). Variance
+    * comes from integer window sums (Σn, Σn²) so every aggregate is
+    * exact and order-independent; the only doubles are the final
+    * divisions and one sqrt — both IEEE-bit-specified, so the z-score
+    * hash-matches the oracle with no tolerance. Same scale shape as the
+    * moving average: the window runs over the daily AGGREGATE (O(days)
+    * rows), never over events. Days without a full 7-day history are
+    * dropped rather than scored against a partial baseline. */
+  private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    val base = daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum("n").over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt") === 7)
+    val mean = col("s1").cast("double") / lit(7.0d)
+    val variance = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / lit(7.0d)) / lit(7.0d)
+    base.select(col("day"), col("n"),
+        round(mean, 6).as("mean7"),
+        round(when(variance > 0.0d,
+          (col("n").cast("double") - mean) / sqrt(variance))
+          .otherwise(lit(0.0d)), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0d)
+      .orderBy("day")
+  }
+
   /** Ordered conversion funnel (view → click → purchase, strictly later
     * stages only): the product-analytics staple. Each stage is a
     * conditional-min aggregate joined to the previous stage's users —
@@ -172,6 +204,7 @@ object Analytics extends QueryModule {
     "q_events_sessions" -> qEvents,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_moving" -> qEventsMoving,
+    "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_dau" -> qEventsDau)
 
@@ -266,5 +299,24 @@ object Analytics extends QueryModule {
         |  FROM events GROUP BY 1)
         |SELECT day, n,
         |  round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
-        |FROM d ORDER BY day""".stripMargin)
+        |FROM d ORDER BY day""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, n,
+        |    count(*) OVER win AS cnt,
+        |    CAST(sum(n) OVER win AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER win AS BIGINT) AS s2
+        |  FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT day, n,
+        |    round(CAST(s1 AS DOUBLE) / 7.0, 6) AS mean7,
+        |    round(CASE WHEN (CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 7.0 > 0.0
+        |      THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |        / sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 7.0)
+        |      ELSE 0.0 END, 6) AS z
+        |  FROM w WHERE cnt = 7)
+        |SELECT day, n, mean7, z, (abs(z) > 2.0) AS is_anomaly
+        |FROM z ORDER BY day""".stripMargin)
 }

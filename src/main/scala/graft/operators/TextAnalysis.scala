@@ -422,6 +422,76 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- text_keywords -----------------------------------------------------
+  // TF-IDF keyword extraction — the classic per-doc salient-term signal
+  // (search indexing, topic tagging, near-dup explanation). The IDF factor
+  // is the RATIONAL form (n_docs+1)/(df+1) rather than its logarithm:
+  // log() is not IEEE-bit-specified so Spark's and DuckDB's libm could
+  // disagree in the last ulp right at a rounding boundary, while +,*,/ are
+  // exactly specified — same monotone ranking, bit-identical score. Scale
+  // shape: one (doc_id, term) shuffle for TF (map-side partials), a
+  // term-keyed aggregate for DF whose join back is vocabulary-sized (AQE
+  // broadcasts it at gate scale; Zipf keeps it tiny relative to the corpus
+  // at any scale), a 1-row broadcast for the corpus count, and the per-doc
+  // top-k rank window rewrites to a pre-shuffle k-heap
+  // (InferWindowGroupLimit) — shuffled volume ∝ k·docs, not term pairs.
+  private val KeywordK = 3
+
+  private def textKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val terms = d.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (col("n_docs") + 1.0d) / (col("df") + 1.0d), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .filter(col("rk") <= KeywordK)
+      .orderBy(col("doc_id").asc, col("rk").asc)
+  }
+
+  // ---- text_lm_score -----------------------------------------------------
+  // CCNet-style LM fluency scoring: train a character-bigram language model
+  // on the corpus itself, score each document by its mean bigram
+  // probability — fluent text in the corpus's dominant style scores high,
+  // character noise / boilerplate scores low (the same train-on-reference,
+  // score-everything shape as CCNet's KenLM perplexity filter; the mean
+  // probability replaces mean log-prob because log() is not bit-specified
+  // across engines while the pure-rational form is). Per-doc sums
+  // accumulate INTEGER nano-units of each bigram's probability (the
+  // exactSum pattern — float sums are order-dependent across engines, and
+  // Spark's partial aggs don't fix an order). Scale shape: the "LM" is a
+  // bigram→count table bounded by the charset² vocabulary, so training is
+  // one map + one tiny shuffle and the model BROADCASTS to the scoring
+  // join; scoring is explode → broadcast-join → one (doc_id) shuffle with
+  // map-side partials. At 100 TB train on a sampled/reference slice and
+  // broadcast the same way.
+  private def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
+    val big = d.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("g"))
+    val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring(col("g"), 1, 1).as("p")).agg(sum("c2").as("c1"))
+    val probs = c2.join(c1, substring(col("g"), 1, 1) === col("p"))
+      .select(col("g"),
+        round(col("c2").cast("double") / col("c1") * 1e9, 0).cast("long")
+          .as("p_nano"))
+    big.join(broadcast(probs), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_nano").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams") / 1e9, 6).as("fluency"))
+      .orderBy("doc_id")
+  }
+
   // ---- corpus_stats ------------------------------------------------------
   // Per-source corpus report — the numbers a pipeline operator reads before
   // setting filter cutoffs and mixture weights: doc/token volume, EXACT
@@ -477,6 +547,8 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
+    "text_keywords" -> textKeywords,
+    "text_lm_score" -> textLmScore,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -523,6 +595,35 @@ object TextAnalysis extends QueryModule {
          |  dup.n_dup_docs
          |FROM t JOIN p USING (source) JOIN dup USING (source)
          |ORDER BY source""".stripMargin,
+    "text_keywords" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |k AS (SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term ASC) AS BIGINT) AS rk FROM r)
+         |SELECT doc_id, term, score, rk FROM k WHERE rk <= $KeywordK
+         |ORDER BY doc_id ASC, rk ASC""".stripMargin,
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |big AS (SELECT doc_id, unnest(list_transform(range(1, length(text)),
+        |    i -> substring(text, CAST(i AS INTEGER), 2))) AS g FROM d),
+        |c2 AS (SELECT g, count(*) AS c2 FROM big GROUP BY g),
+        |c1 AS (SELECT substring(g, 1, 1) AS p, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1),
+        |probs AS (SELECT g,
+        |    CAST(round(CAST(c2 AS DOUBLE) / c1 * 1000000000.0, 0) AS BIGINT) AS p_nano
+        |  FROM c2 JOIN c1 ON substring(g, 1, 1) = c1.p)
+        |SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(p_nano) AS DOUBLE) / count(*) / 1000000000.0, 6) AS fluency
+        |FROM big JOIN probs USING (g)
+        |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
     // head/tail dictionary split is a PLAN detail — the oracle states the
     // semantics directly: count every word, join, aggregate per doc
     "text_commonness" ->

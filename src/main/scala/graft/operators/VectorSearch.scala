@@ -82,6 +82,48 @@ object VectorSearch extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** 1-bit sign binarization — the extreme end of the quantization ladder
+    * (float32 → int8 `emb_quantize` → PQ codes → sign bits): bit_i =
+    * (x_i > 0), packed MSB-first into 32-bit halves (two BIGINT words for
+    * the 64-dim column — 32-bit halves because the SQL oracle's BIGINT
+    * fold would overflow packing 64 bits). The gated key uses pure builtin
+    * higher-order functions so DuckDB can mirror the fold exactly; the
+    * scale path is the codegen'd [[graft.functions.BitPackSign]] (full
+    * 64-bit words, one popcount per word) — equivalence between the two
+    * packings is spec-gated. Map-only at any scale. */
+  private def embBinarize(s: SparkSession, dir: String): DataFrame = {
+    val bits = transform(col("embedding"),
+      x => when(x.cast("double") > 0.0d, 1L).otherwise(0L))
+    t(s, dir, "embeddings").select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"),
+        aggregate(slice(col("bits"), 1, 32), lit(0L), (a, b) => a * 2 + b)
+          .as("word_hi"),
+        aggregate(slice(col("bits"), 33, 32), lit(0L), (a, b) => a * 2 + b)
+          .as("word_lo"),
+        aggregate(col("bits"), lit(0L), (a, b) => a + b).as("popcnt"))
+      .orderBy("vec_id")
+  }
+
+  /** KNN under Hamming distance over sign-binarized vectors — the
+    * first-pass candidate sweep for memory-bound corpora: the scan reads
+    * 8 bytes/vector instead of 256 (vectors never leave the parquet scan;
+    * only the packed words flow), the distance is one XOR+popcount per
+    * word inside WholeStageCodegen, and orderBy+limit plans the usual
+    * per-partition k-heap TakeOrderedAndProject. Integer distances ⇒ the
+    * oracle compare is exact with no rounding at all. At 100 TB this is
+    * the sweep that shortlists candidates for an exact (float) re-rank —
+    * the same two-phase shape as knnJoinPq's ADC→refine. */
+  private def knnHamming(s: SparkSession, dir: String): DataFrame = {
+    val packed = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      graft.functions.bit_pack_sign(col("embedding")).as("bv"))
+    val qv = packed.filter(col("vec_id") === QueryVecId).select(col("bv").as("qbv"))
+    packed.filter(col("vec_id") =!= QueryVecId).crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        graft.functions.hamming_dist(col("bv"), col("qbv")).as("score"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .limit(K)
+  }
+
   /** Distributed KNN JOIN — top-k neighbors in `corpus` for EVERY row of
     * `queries` (the batch form of the reference's lateral vector-search
     * table function, table/LanceVectorSearchFunction.java:55-66; single-
@@ -381,6 +423,8 @@ object VectorSearch extends QueryModule {
     "knn_join" -> knnJoinQuery,
     "knn_join_pq" -> knnJoinPqQuery,
     "emb_quantize" -> embQuantize,
+    "emb_binarize" -> embBinarize,
+    "knn_hamming" -> knnHamming,
     "knn_cosine_f64" -> ((s, dir) => knn64(s, dir)),
     "knn_cosine" -> ((s, dir) =>
       knn(s, dir, vec_cosine(col("embedding"), col("qv")), asc = false)),
@@ -468,6 +512,28 @@ object VectorSearch extends QueryModule {
          |  FROM embeddings e CROSS JOIN q
          |  WHERE e.vec_id <> $QueryVecId)
          |ORDER BY score DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "emb_binarize" ->
+      """WITH d AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(CASE WHEN x > 0.0 THEN 1 ELSE 0 END AS BIGINT)) AS bits
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bits[1:32]),
+        |    (acc, b) -> acc * 2 + b) AS BIGINT) AS word_hi,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bits[33:64]),
+        |    (acc, b) -> acc * 2 + b) AS BIGINT) AS word_lo,
+        |  CAST(list_sum(bits) AS BIGINT) AS popcnt
+        |FROM d ORDER BY vec_id""".stripMargin,
+    "knn_hamming" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT * FROM (
+         |  SELECT e.vec_id, e.label,
+         |    CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+         |      p -> CASE WHEN (CAST(p[1] AS DOUBLE) > 0.0) <> (CAST(p[2] AS DOUBLE) > 0.0)
+         |           THEN 1 ELSE 0 END)) AS BIGINT) AS score
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> $QueryVecId)
+         |ORDER BY score ASC, vec_id ASC LIMIT $K""".stripMargin,
     "knn_cosine" -> oracle(s"list_cosine_similarity($ev, q.qv)", "DESC"),
     "knn_l2" -> oracle(s"list_distance($ev, q.qv)", "ASC"),
     "knn_dot" -> oracle(s"list_inner_product($ev, q.qv)", "DESC"),

@@ -191,6 +191,53 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(fingerprint(typedLit("Hi"))) === 2337L)
   }
 
+  test("bit_pack_sign packs MSB-first words; hamming_dist == sign-mismatch count") {
+    // 3 elements: +,-,+ → bits 101 in the low bits of one word
+    val v = fLit(1.5f, -2f, 0.25f)
+    val packed = BitPackSign(v).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(packed.numElements() === 1)
+    assert(packed.getLong(0) === 5L) // 0b101
+    // 64-element vector fills exactly one word; alternating signs
+    val alt = (0 until 64).map(i => if (i % 2 == 0) 1f else -1f)
+    val w = BitPackSign(Literal.create(alt, ArrayType(FloatType))).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(w.numElements() === 1)
+    assert(w.getLong(0) === java.lang.Long.parseUnsignedLong(
+      "1010101010101010101010101010101010101010101010101010101010101010", 2))
+    // 65 elements spill into a second word with the tail in the low bit
+    val w65 = BitPackSign(Literal.create(alt :+ 1f, ArrayType(FloatType))).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(w65.numElements() === 2)
+    assert(w65.getLong(1) === 1L)
+    // codegen == interpreted
+    assert(viaDf(bit_pack_sign(typedLit(Seq(1.5f, -2f, 0.25f))))
+      .asInstanceOf[scala.collection.Seq[Long]] === Seq(5L))
+
+    // hamming over packed words == direct sign-mismatch count, and the
+    // native path agrees with the builtin zip_with formulation
+    val rnd = new scala.util.Random(42)
+    val a = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val b = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val expected = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    val hI = HammingDistance(
+      BitPackSign(Literal.create(a, ArrayType(FloatType))),
+      BitPackSign(Literal.create(b, ArrayType(FloatType)))).eval(null)
+    assert(hI === expected.toLong)
+    assert(viaDf(hamming_dist(bit_pack_sign(typedLit(a)), bit_pack_sign(typedLit(b))))
+      === expected.toLong)
+    import org.apache.spark.sql.functions._
+    val builtin = viaDf(aggregate(
+      zip_with(typedLit(a), typedLit(b),
+        (x, y) => when((x > 0f) =!= (y > 0f), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x))
+    assert(builtin === expected.toLong)
+    // word-count mismatch → null (never a truncated distance)
+    assert(HammingDistance(
+      BitPackSign(fLit(1f)), BitPackSign(Literal.create(alt :+ 1f, ArrayType(FloatType))))
+      .eval(null) == null)
+  }
+
   test("simhash deterministic, interpreted == codegen, near-dup property") {
     val toks = Seq("spark", "scan", "row", "agg", "filter", "join", "merge")
     val lit = Literal.create(toks, ArrayType(StringType))
@@ -239,9 +286,10 @@ class ExpressionSpec extends SparkSpec {
 
   test("GraftExtensions exposes the same builders as session registration") {
     val names = graft.functions.sqlFunctions.map(_._1)
-    assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "graft_fingerprint",
-      "graft_simhash", "graft_minhash", "sorted_jaccard", "ngram_hashes",
-      "shingle_hashes", "bpe_stats"))
+    assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "bit_pack_sign",
+      "hamming_dist", "graft_fingerprint", "graft_simhash", "graft_minhash",
+      "sorted_jaccard", "ngram_hashes", "shingle_hashes", "bpe_stats",
+      "bpe_chunks"))
     // builders produce evaluable expressions (the extension injects these)
     val dot = graft.functions.sqlFunctions.toMap.apply("vec_dot")(
       Seq(fLit(1f, 2f), fLit(3f, 4f)))

@@ -42,6 +42,8 @@ class EntrySpec extends SparkSpec {
     "knn_join_pq" -> 100,
     "knn_join_sql" -> 100,
     "emb_quantize" -> 500,
+    "emb_binarize" -> 500,
+    "knn_hamming" -> 10,
     "knn_cosine_f64" -> 10,
     "knn_l2" -> 10,
     "knn_dot" -> 10,
@@ -49,6 +51,8 @@ class EntrySpec extends SparkSpec {
     "vector_similarity" -> 10,
     "text_tokens" -> 500,
     "text_tokens_bpe" -> 500,
+    "text_keywords" -> 1500,
+    "text_lm_score" -> 500,
     "text_quality" -> 500,
     "text_langid" -> 500,
     "text_fingerprint" -> 500,
@@ -75,6 +79,7 @@ class EntrySpec extends SparkSpec {
     "sample_stratified" -> 98,
     "q_events_retention" -> 15,
     "q_events_dau" -> 30,
+    "q_events_anomaly" -> 23,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,

@@ -148,6 +148,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("text_keywords: exact tf-idf on an engineered micro-corpus; pre-shuffle top-k plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kw-").toString
+    import spark.implicits._
+    // 3 docs: "rare" appears only in d1 (df=1), "common" in all (df=3)
+    Seq(1L -> "rare common common", 2L -> "common word", 3L -> "common word")
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("text_keywords")(spark, tmp)
+    val byDoc = got.collect().groupBy(_.getLong(0))
+    // d1: rare tf=1 df=1 → 1*(4)/(2)=2.0 ; common tf=2 df=3 → 2*4/4=2.0
+    // tie at 2.0 → term ASC puts "common" first
+    val d1 = byDoc(1L).map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(d1.toSeq === Seq(("common", 2.0, 1L), ("rare", 2.0, 2L)))
+    // d2: common 1*4/4=1.0, word 1*4/3≈1.333333 → word ranks first
+    val d2 = byDoc(2L).map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(d2.toSeq === Seq(("word", 1.333333, 1L), ("common", 1.0, 2L)))
+    // the per-doc rank filter must be rewritten to a pre-shuffle k-heap
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k not rewritten to a partial heap:\n$plan")
+  }
+
+  test("text_lm_score: engineered corpus hand-computed exactly; probs broadcast") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-").toString
+    import spark.implicits._
+    // d1 repeats the corpus-dominant transition a→b; d2 spends the same
+    // 'a' prefix on six DIFFERENT rare continuations (so its transitions
+    // are improbable under the corpus LM); d3 is a shorter copy of d1.
+    // Corpus counts: C(ab)=6+3=9, C(ba)=5+2=7; d2 contributes aq,aw,az,
+    // ae,ay,aj (1 each, all 'a'-prefixed) and qa,wa,za,ea,ya (1 each,
+    // own prefixes). C1('a') = 9+6 = 15, C1('b') = 7.
+    //  p(ab)=9/15=0.6, p(ba)=1.0, p(a?)=1/15, p(?a)=1.0
+    //  d1 = (6·0.6 + 5·1.0)/11      = 0.781818…
+    //  d2 = (6·(1/15) + 5·1.0)/11   = 0.490909…  (nano-rounded)
+    //  d3 = (3·0.6 + 2·1.0)/5       = 0.76
+    Seq(1L -> "abababababab", 2L -> "aqawazaeayaj", 3L -> "ababab")
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val df = SparkEntry.queries("text_lm_score")(spark, tmp)
+    val rows = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1L)._1 === 11L && rows(2L)._1 === 11L && rows(3L)._1 === 5L)
+    assert(rows(1L)._2 === 0.781818)
+    assert(rows(2L)._2 === 0.490909)
+    assert(rows(3L)._2 === 0.76)
+    // the LM (probs) side must broadcast — scoring never shuffles the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bigram LM join did not broadcast:\n$plan")
+  }
+
   test("text_commonness plan: Zipf head joins broadcast; tok shuffles bounded") {
     val plan = SparkEntry.queries("text_commonness")(spark, sf)
       .queryExecution.executedPlan.toString

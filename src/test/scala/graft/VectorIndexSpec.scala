@@ -644,6 +644,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(graft.sources.lance.LanceVectorOptions.index(Map.empty).maxLevel === 7)
   }
 
+  test("emb_binarize halves reassemble to the native packed word; knn_hamming == builtin formulation") {
+    import org.apache.spark.sql.functions._
+    // the gated key's two 32-bit halves (SQL-oracle-safe) must reassemble
+    // bit-for-bit into the scale path's single 64-bit packed word
+    val gated = SparkEntry.queries("emb_binarize")(spark, sf)
+      .select(col("vec_id"),
+        (shiftleft(col("word_hi"), 32).bitwiseOR(col("word_lo"))).as("word"))
+    val native = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.bit_pack_sign(col("embedding")).getItem(0).as("word"))
+    assert(gated.exceptAll(native).isEmpty && native.exceptAll(gated).isEmpty,
+      "two-half packing diverged from the native 64-bit packing")
+
+    // knn_hamming (native popcount path) == the same query expressed with
+    // builtin zip_with/aggregate sign-mismatch counting
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qv = e.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val builtin = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("embedding"), col("qv"),
+          (x, y) => when((x.cast("double") > 0.0d) =!= (y.cast("double") > 0.0d), 1L)
+            .otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+    val nativeKnn = SparkEntry.queries("knn_hamming")(spark, sf)
+    assert(nativeKnn.collect().toSeq === builtin.collect().toSeq)
+    // the scan stays codegen'd — the hamming probe is not a UDF
+    val plan = nativeKnn.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"hamming path fell out of codegen:\n$plan")
+  }
+
   test("knn_negatives: every neighbor differs in label; plan keeps top-k partial + broadcast") {
     val df = SparkEntry.queries("knn_negatives")(spark, sf)
     val rows = df.collect()
