@@ -90,6 +90,10 @@ package object functions {
   def capped_sorted_list(v: Column, cap: Int): Column =
     Column(CappedSortedList(expression(v), cap).toAggregateExpression())
 
+  /** Raw-deflate compressed byte length of a string/binary column (the
+    * compression-ratio quality-signal primitive — see [[DeflateLen]]). */
+  def deflate_len(s: Column): Column = Column(DeflateLen(expression(s)))
+
   /** Fixed-vocab byte-level BPE stats of a string column:
     * array<bigint> [token_count, id_poly_hash] (see [[Bpe]]). */
   def bpe_stats(s: Column): Column = Column(BpeStats(expression(s)))
@@ -125,6 +129,7 @@ package object functions {
         if (es.size > 2) longLit(es(2)) else 42L)),
       "shingle_hashes" -> (es => ShingleHashes(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L)),
+      "deflate_len" -> (es => DeflateLen(es.head)),
       "bpe_stats" -> (es => BpeStats(es.head)),
       "bpe_chunks" -> (es =>
         BpeChunks(es.head, longLit(es(1)).toInt, longLit(es(2)).toInt)))

@@ -196,8 +196,50 @@ object Analytics extends QueryModule {
       .orderBy("day")
   }
 
+  /** Exact per-event-type value percentiles as ORDER STATISTICS — rank
+    * ceil(p·n) under (value, event_id) total order, the engine-independent
+    * definition (no interpolation arithmetic → selected elements
+    * hash-match bit-exactly; ties broken by event_id so the rank is
+    * well-defined). Shape: ONE shuffle on event_type shared by both
+    * window frames (row_number needs the sort; count rides the same
+    * partitioning), then the group-by collapses on the same key — so the
+    * exact form costs one sort-shuffle, viable per-group into the
+    * billions. Past that, the mergeable-sketch companion
+    * `q_events_percentiles_approx` is the 100-TB path. */
+  private def qEventsPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("event_id"), col("value"))
+    val byVal = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    ev.withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("value"))).as("p50_value"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("value"))).as("p90_value"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  /** The sketch form of the percentiles — approx_percentile's mergeable
+    * quantile summary (map-side partial summaries merge associatively, no
+    * global sort, bounded memory per group), i.e. the shape that replaces
+    * the exact sort at 100 TB. rows-only gated key (the sketch's picks are
+    * algorithm-specific, no SQL twin); the spec pins each reported value
+    * inside the exact ±1%-rank envelope computed independently. */
+  private def qEventsPercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        percentile_approx(col("value"), lit(0.50), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.90), lit(10000)).as("p90_value"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
+    "q_events_percentiles" -> qEventsPercentiles,
+    "q_events_percentiles_approx" -> qEventsPercentilesApprox,
     "q3_top_orders" -> q3,
     "q5_region_rev" -> q5,
     "q_window_topsupp" -> qWindow,
@@ -294,6 +336,18 @@ object Analytics extends QueryModule {
         |FROM e JOIN c ON e.user_id = c.user_id
         |WHERE e.d - c.cohort_day <= 14
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, max(n) AS n_events,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50_value,
+        |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90_value,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99_value,
+        |  max(value) AS max_value
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_moving" ->
       """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1)

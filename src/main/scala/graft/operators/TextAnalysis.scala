@@ -457,6 +457,62 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
 
+  // ---- text_search_bm25 --------------------------------------------------
+  // Ranked keyword search — the retrieval-side counterpart of the
+  // text_keywords extraction: BM25 scoring of a fixed query workload over
+  // the corpus, top-k docs per query. Like text_keywords the IDF factor is
+  // RATIONAL (BM25's (N-df+0.5)/(df+0.5) WITHOUT the log wrapper — log is
+  // not IEEE-bit-specified, +,*,/ are; the ranking stays monotone) and the
+  // per-(query,doc) term-score sum accumulates integer micro-units so the
+  // aggregate is order-independent (exactSum pattern). Scale shape: terms
+  // are pruned to the query vocabulary BEFORE the (doc,term) TF shuffle —
+  // the only event-volume exchange; DF and the query table join broadcast
+  // (both vocabulary-sized); corpus stats are a 1-row broadcast; the
+  // per-query top-k rank window rewrites to a pre-shuffle k-heap. At
+  // 100 TB the same plan serves ad-hoc keyword search over a corpus
+  // directly, no offline index required (posting lists materialize as the
+  // pruned TF shuffle); a standing query workload would persist `dt` as
+  // the inverted index and skip the scan.
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "vector",
+    2L -> "merge", 2L -> "stream", 2L -> "hash",
+    3L -> "customer", 3L -> "query")
+  private val Bm25TopK = 5
+
+  private def textSearchBm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = docs(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val vocab = Bm25Queries.map(_._2).distinct
+    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(vocab: _*)) // prune BEFORE the TF shuffle
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = Bm25Queries.toDF("query_id", "term")
+    // k1 = 1.2, b = 0.75 — the conventional constants, written as plain
+    // literals on both engines so the parsed doubles are identical
+    val idf = (col("n_docs").cast("double") - col("df") + lit(0.5d)) /
+      (col("df") + lit(0.5d))
+    val tfn = (col("tf").cast("double") * lit(2.2d)) /
+      (col("tf").cast("double") + lit(1.2d) *
+        (lit(0.25d) + lit(0.75d) * col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("n_docs"))))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    dt.join(broadcast(dfreq), "term").join(broadcast(q), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(round(idf * tfn, 6) * 1e6).cast("long").as("s_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum("s_micro").cast("double") / 1e6, 6).as("score"))
+      .withColumn("rk", row_number().over(byQuery).cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
   // ---- text_lm_score -----------------------------------------------------
   // CCNet-style LM fluency scoring: train a character-bigram language model
   // on the corpus itself, score each document by its mean bigram
@@ -535,8 +591,32 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
+  // ---- text_compress_ratio ----------------------------------------------
+  // Compression-ratio quality signal (Gopher/Dolma posture): templated or
+  // repetitive spam deflates far below natural prose, (near-)random bytes
+  // barely deflate, so deflate_len/octet_length separates both junk tails
+  // with one cheap pass. The banding thresholds are the conventional
+  // web-filtering ones (repetitive < 0.30 ≤ natural ≤ 0.95 <
+  // incompressible). Pure map stage inside whole-stage codegen (native
+  // deflate via a codegen'd static call, [[graft.functions.DeflateLen]]);
+  // the only exchange is the presentation ORDER BY. rows-only gated key —
+  // no SQL engine exposes deflate — with the exact lengths pinned by a
+  // driver-side-Deflater equivalence spec.
+  private def textCompressRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_deflate", graft.functions.deflate_len(col("text")))
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / col("n_bytes"), 6)
+          .as("compress_ratio"),
+        when(col("n_deflate").cast("double") / col("n_bytes") < 0.30, "repetitive")
+          .when(col("n_deflate").cast("double") / col("n_bytes") > 0.95, "incompressible")
+          .otherwise("natural").as("band"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_stats" -> corpusStats,
+    "text_compress_ratio" -> textCompressRatio,
     "text_commonness" -> textCommonness,
     "text_pack" -> textPack,
     "text_pack_bpe" -> textPackBpe,
@@ -548,6 +628,7 @@ object TextAnalysis extends QueryModule {
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "text_keywords" -> textKeywords,
+    "text_search_bm25" -> textSearchBm25,
     "text_lm_score" -> textLmScore,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -610,6 +691,41 @@ object TextAnalysis extends QueryModule {
          |      ORDER BY score DESC, term ASC) AS BIGINT) AS rk FROM r)
          |SELECT doc_id, term, score, rk FROM k WHERE rk <= $KeywordK
          |ORDER BY doc_id ASC, rk ASC""".stripMargin,
+    // BM25 with rational idf; micro-unit integer term-score sums keep the
+    // per-(query,doc) aggregate order-independent; every double op is
+    // mirrored with identical parenthesization
+    "text_search_bm25" -> {
+      val queryValues = Bm25Queries
+        .map { case (id, term) => s"(CAST($id AS BIGINT), '$term')" }
+        .mkString(", ")
+      val vocabList = inList(Bm25Queries.map(_._2).distinct)
+      s"""WITH dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w
+         |    FROM (SELECT doc_id, $wSql AS w FROM documents) WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+         |dt AS (SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+         |  WHERE term IN $vocabList
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |q(query_id, term) AS (VALUES $queryValues),
+         |sc AS (SELECT q.query_id, dt.doc_id,
+         |    CAST(round(round(
+         |      (((CAST(n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf AS DOUBLE) + (1.2 * (0.25
+         |          + ((0.75 * CAST(dl AS DOUBLE))
+         |            / (CAST(sum_dl AS DOUBLE) / n_docs)))))),
+         |      6) * 1000000.0) AS BIGINT) AS s_micro
+         |  FROM dt JOIN dfreq USING (term) JOIN q USING (term), stats),
+         |g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0, 6) AS score
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_terms, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM g)
+         |SELECT query_id, doc_id, n_terms, score, rk FROM r WHERE rk <= $Bm25TopK
+         |ORDER BY query_id ASC, rk ASC""".stripMargin
+    },
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
         |big AS (SELECT doc_id, unnest(list_transform(range(1, length(text)),

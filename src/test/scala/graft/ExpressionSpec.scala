@@ -288,14 +288,49 @@ class ExpressionSpec extends SparkSpec {
     val names = graft.functions.sqlFunctions.map(_._1)
     assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "bit_pack_sign",
       "hamming_dist", "graft_fingerprint", "graft_simhash", "graft_minhash",
-      "sorted_jaccard", "ngram_hashes", "shingle_hashes", "bpe_stats",
-      "bpe_chunks"))
+      "sorted_jaccard", "ngram_hashes", "shingle_hashes", "deflate_len",
+      "bpe_stats", "bpe_chunks"))
     // builders produce evaluable expressions (the extension injects these)
     val dot = graft.functions.sqlFunctions.toMap.apply("vec_dot")(
       Seq(fLit(1f, 2f), fLit(3f, 4f)))
     assert(dot.eval(null) === 11.0)
     // applying the extension must not throw and must register every name
     new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("deflate_len: matches an independent Deflater, interpreted == codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // independent reference: a FRESH Deflater per call (the expression uses
+    // a thread-local reused stream — reset() must make them agree)
+    def ref(bytes: Array[Byte]): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val repetitive = "spam " * 400                       // deflates hard
+    val natural = "The quick brown fox jumps over the lazy dog. " * 40
+    val unicode = "汉字テキスト αβγ émojis 🚀 mixed in " * 30
+    for (s <- Seq("", "x", repetitive, natural, unicode)) {
+      val expect = ref(s.getBytes("UTF-8"))
+      assert(DeflateLen(Literal(s)).eval(null) === expect, s"interpreted '$s'")
+      assert(viaDf(deflate_len(typedLit(s))) === expect, s"codegen '$s'")
+    }
+    // ratio sanity: repetition compresses far below natural prose
+    val rRep = ref(repetitive.getBytes("UTF-8")).toDouble / repetitive.getBytes("UTF-8").length
+    val rNat = ref(natural.getBytes("UTF-8")).toDouble / natural.getBytes("UTF-8").length
+    assert(rRep < rNat)
+    assert(rRep < 0.05)
+    // binary input: random bytes are incompressible (ratio ~1, stored blocks)
+    val rnd = new java.util.Random(42)
+    val noise = new Array[Byte](4096); rnd.nextBytes(noise)
+    val nLen = ref(noise)
+    assert(viaDf(deflate_len(typedLit(noise))) === nLen)
+    assert(nLen.toDouble / noise.length > 0.95)
+    // null in, null out
+    assert(viaDf(deflate_len(org.apache.spark.sql.functions.lit(null).cast("string"))) == null)
   }
 
   test("graft functions registered for SQL") {

@@ -19,6 +19,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === ((1L, 1.0, 1L, 1.0)))
   }
 
+  test("text_compress_ratio: lengths == fresh-Deflater reference; bands; map-only plan") {
+    // corpus equivalence: the codegen'd thread-local-Deflater expression
+    // must equal a FRESH Deflater per doc computed driver-side
+    def ref(bytes: Array[Byte]): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val got = SparkEntry.queries("text_compress_ratio")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val (nb, nd, ratio) = got(r.getLong(0))
+      assert(nb === bytes.length.toLong)
+      assert(nd === ref(bytes), s"doc ${r.getLong(0)}")
+      assert(ratio === math.rint(nd.toDouble / nb * 1e6) / 1e6)
+    }
+
+    // engineered bands: pure repetition lands "repetitive", prose "natural"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-deflate-").toString
+    import spark.implicits._
+    val prose = "Deduplication pipelines for large language model corpora " +
+      "typically begin with exact hashing, then move to locality sensitive " +
+      "sketches that group near duplicates into buckets. Careful engineers " +
+      "cap every bucket, because adversarial or boilerplate content can " +
+      "otherwise inflate a single key until one straggler task owns the " +
+      "whole join. Finally the surviving documents are scored for quality, " +
+      "packed into fixed token budgets, and shuffled into shards so that " +
+      "training order stays deterministic across reruns of the same seed."
+    Seq(1L -> ("spam " * 400), 2L -> prose) // prose deflates to ~0.60
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val bands = SparkEntry.queries("text_compress_ratio")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(bands(1L) === "repetitive")
+    assert(bands(2L) === "natural")
+
+    // one map stage: no Exchange before the presentation sort
+    val plan = Tables.t(spark, sf, "documents")
+      .withColumn("n", graft.functions.deflate_len(col("text")))
+      .select("doc_id", "n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"deflate plan shuffles:\n$plan")
+    assert(plan.contains("*(1) Project"), s"deflate fell out of codegen:\n$plan")
+  }
+
   test("corpus_stats: exact rank percentiles + corpus-wide dup flags (engineered corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cstats-").toString
     import spark.implicits._
@@ -168,6 +221,46 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"per-doc top-k not rewritten to a partial heap:\n$plan")
+  }
+
+  test("text_search_bm25: hand-computed scores on a micro-corpus; broadcast + k-heap plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-").toString
+    import spark.implicits._
+    // query-vocab terms only: q1 = (spark, vector); N=3, sum_dl=7
+    Seq(1L -> "spark spark data", 2L -> "spark table", 3L -> "vector table")
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // independent recomputation of the rational-BM25 formula in plain Scala
+    def score(terms: Seq[(Long, Long)], dl: Long): Double = { // (tf, df) per matched term
+      val n = 3L; val avg = 7.0 / n
+      val micro = terms.map { case (tf, df) =>
+        val idf = ((n.toDouble - df) + 0.5) / (df + 0.5)
+        val tfn = (tf.toDouble * 2.2) / (tf.toDouble + (1.2 * (0.25 + ((0.75 * dl.toDouble) / avg))))
+        val s = BigDecimal(idf * tfn).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.rint(s * 1e6).toLong
+      }.sum
+      BigDecimal(micro.toDouble / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SparkEntry.queries("text_search_bm25")(spark, tmp).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // df(spark)=2, df(vector)=1; d3's lone vector hit out-idfs the spark docs
+    val exp = Seq(
+      3L -> score(Seq((1L, 1L)), 2),  // vector tf=1
+      1L -> score(Seq((2L, 2L)), 3),  // spark tf=2
+      2L -> score(Seq((1L, 2L)), 2))  // spark tf=1
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, 1L, s, (i + 1).toLong) }
+    assert(got.toSeq === exp)
+
+    // plan: DF + query-table joins broadcast; per-query top-k is a
+    // pre-shuffle k-heap
+    val plan = SparkEntry.queries("text_search_bm25")(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"DF/query joins not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k not rewritten to a partial heap:\n$plan")
   }
 
   test("text_lm_score: engineered corpus hand-computed exactly; probs broadcast") {
