@@ -100,6 +100,25 @@ object Bpe {
     }
   }
 
+  /** The pretoken cover of `text` (lossless: concatenation restores the
+    * input). Slices always align to UTF-8 char boundaries — a multi-byte
+    * char's bytes are all class-"other" non-ws bytes, so one char never
+    * splits across pretokens. Used by the distributed trainer
+    * ([[graft.operators.BpeTrainer]]). */
+  def pretokens(text: String): Iterator[String] = {
+    val b = text.getBytes("UTF-8")
+    new Iterator[String] {
+      private var i = 0
+      def hasNext: Boolean = i < b.length
+      def next(): String = {
+        val e = tokenEnd(b, i)
+        val w = new String(b, i, e - i, "UTF-8")
+        i = e
+        w
+      }
+    }
+  }
+
   /** Greedy BPE of one pretoken `bytes[from, until)` → token ids. */
   private def encodeWord(bytes: Array[Byte], from: Int, until: Int): Array[Int] = {
     var len = until - from

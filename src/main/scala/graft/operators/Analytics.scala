@@ -236,8 +236,66 @@ object Analytics extends QueryModule {
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
       .orderBy("event_type")
 
+  /** TPC-H Q4-shaped priority check (the EXISTS / left-semi shape): orders
+    * placed in 1996Q1 that had at least one LATE line — shipped more than
+    * 60 days after the order date — counted by priority. The EXISTS is a
+    * LEFT SEMI join, so the probe side dedups inside the join (no
+    * post-join distinct over the fact table) and each order carries at
+    * most one output row no matter how many late lines it has. The
+    * quarter filter cuts orders BEFORE the join; the lineitem side ships
+    * only (l_orderkey, l_shipdate). One equi-key shuffle; the interval
+    * predicate rides the join as a residual condition. */
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: the pure scan-filter-aggregate
+    * shape — at 100 TB this is the query where pushdown does ALL the
+    * work: the shipdate range prunes row groups/fragments via min-max
+    * stats, the scan reads only the 4 referenced columns, and the
+    * aggregate reduces map-side to one row per task before a single
+    * 1-row exchange. The spec asserts the filters actually reach the
+    * parquet scan (PushedFilters) and the scan schema is pruned. */
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(exactSum(col("l_extendedprice") * col("l_discount"), 1000000L).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Hierarchical totals via ROLLUP — (flag, status), per-flag subtotals
+    * and the grand total in ONE pass: Spark expands the grouping sets
+    * map-side and aggregates all three levels through a single shuffle
+    * (vs three separate scans+shuffles for the UNION ALL phrasing). The
+    * data has no NULL flag/status, so COALESCE to 'ALL' is an unambiguous
+    * subtotal label both engines compute identically. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L).as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("revenue"))
+      .orderBy("returnflag", "linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
+    "q4_priority" -> q4,
+    "q6_forecast" -> q6,
+    "q_rollup_pricing" -> qRollup,
     "q_events_percentiles" -> qEventsPercentiles,
     "q_events_percentiles_approx" -> qEventsPercentilesApprox,
     "q3_top_orders" -> q3,
@@ -354,6 +412,30 @@ object Analytics extends QueryModule {
         |SELECT day, n,
         |  round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
         |FROM d ORDER BY day""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT ${sqlExactSum("l_extendedprice * l_discount", 1000000L)} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q_rollup_pricing" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  count(*) AS n, $revenue AS revenue
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_events_anomaly" ->
       """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1),

@@ -541,8 +541,68 @@ object StreamingOps extends QueryModule {
       excludeVecId = VectorIndex.QueryVecId)
   }
 
+  /** Stream-stream event-time interval join — the Flink-parity two-stream
+    * join shape, run with Spark's SYMMETRIC HASH JOIN state on both sides:
+    * each user's `view` events match that user's `purchase` events landing
+    * within the following hour. Both inputs carry event-time watermarks
+    * and the join predicate time-bounds the match window, so the state
+    * store retains only rows whose match window the watermark has not yet
+    * closed — at production ingest rates state is bounded by
+    * (watermark delay + 1h) of per-key traffic, never by stream history,
+    * and it shards across executors by the join key like any keyed state.
+    *
+    * The gated key uses a corpus-spanning watermark delay, so the drained
+    * result is the COMPLETE inner join — equal to the batch self-join
+    * oracle regardless of file arrival order (watermark eviction never
+    * fires inside the gate window; determinism first). The spec pins the
+    * PRODUCTION semantics with a tight delay over ordered two-batch
+    * input: an in-window purchase arriving after the watermark passed its
+    * view is dropped (state evicted), while an above-watermark cross-batch
+    * pair still matches — and the same files under the corpus-spanning
+    * delay recover the late pair, proving eviction (not a join bug) did
+    * the dropping. Integer micro-second lags keep the oracle compare
+    * arithmetic-exact. */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val vDir = tmp("sjoin-v"); val pDir = tmp("sjoin-p")
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("timestamp").as("ts"))
+    ev.filter(col("event_type") === "view")
+      .repartition(3).write.mode("overwrite").parquet(vDir)
+    ev.filter(col("event_type") === "purchase")
+      .repartition(3).write.mode("overwrite").parquet(pDir)
+    streamJoinFrom(s, vDir, pDir, ev.schema, "3650 days")
+  }
+
+  /** The join pipeline over two prepared source directories — one per
+    * stream, as two genuinely independent streams would land (specs write
+    * ordered files with controlled modification times to pin per-batch
+    * watermark behavior). */
+  private[graft] def streamJoinFrom(s: SparkSession, vDir: String, pDir: String,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    delay: String): DataFrame = {
+    val dst = tmp("sjoin-dst"); val ckpt = tmp("sjoin-ckpt")
+    def side(prefix: String, srcDir: String): DataFrame =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", delay)
+    val q = side("v", vDir).join(side("p", pDir),
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+        col("p_id").as("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    drain(q)
+    s.read.format("lance").load(dst).orderBy("user_id", "view_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
+    "q_stream_join" -> streamJoin,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -566,6 +626,18 @@ object StreamingOps extends QueryModule {
     "q_stream_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    // streamed interval join (complete under the gate's corpus-spanning
+    // watermark) == the batch self-join
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS view_id,
+        |  b.event_id AS purchase_id,
+        |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
     // streamed incremental LSH == the batch all-pairs exact-Jaccard oracle
     // (same statement dedup_minhash_lsh is gated on)
     "q_stream_neardedup" ->

@@ -21,10 +21,10 @@ object TextAnalysis extends QueryModule {
 
   /** Whitespace tokens with empties dropped — `\s+` split semantics agree
     * between Java regex (Spark) and RE2 (DuckDB) for this charset. */
-  private val toksCol: Column =
+  private[operators] val toksCol: Column =
     filter(split(col("text"), "\\s+"), x => x =!= "")
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").withColumn("w", toksCol)
 
   // ---- text_tokens -------------------------------------------------------
@@ -76,7 +76,7 @@ object TextAnalysis extends QueryModule {
   // Heuristic score in [0,1]: length saturation, vocabulary diversity, and
   // a stopword-presence signal (natural text has stopwords; keyword spam
   // doesn't). Same shape as classic C4/Gopher-style quality filters.
-  private[operators] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[graft] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** The quality score over a tokenized `w` column — shared with the
     * cleaning pipeline so both stay formula-identical with the oracle. */
@@ -627,6 +627,8 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
+    "bpe_train" -> ((s, dir) => BpeTrainer.train(s, t(s, dir, "documents"), 48)),
+    "text_quality_classifier" -> ((s, dir) => QualityClassifier.run(s, dir)),
     "text_keywords" -> textKeywords,
     "text_search_bm25" -> textSearchBm25,
     "text_lm_score" -> textLmScore,

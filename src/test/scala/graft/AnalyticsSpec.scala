@@ -83,4 +83,61 @@ class AnalyticsSpec extends SparkSpec {
     assert("(?s)Window.*HashAggregate.*Scan".r.findFirstIn(plan).isDefined,
       s"window does not sit above the daily aggregate:\n$plan")
   }
+
+  test("q4_priority: EXISTS is a semi-join — multi-late-line orders count once") {
+    // engineered fixture: order 1 has THREE late lines (would triple-count
+    // under an inner join), order 2 has one on-time line, order 3 has one
+    // late line but sits outside the quarter
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q4-").toString
+    import spark.implicits._
+    Seq((1L, 10L, "O", 1.0, java.sql.Timestamp.valueOf("1996-02-01 00:00:00"), "1-URGENT"),
+        (2L, 11L, "O", 1.0, java.sql.Timestamp.valueOf("1996-02-01 00:00:00"), "1-URGENT"),
+        (3L, 12L, "O", 1.0, java.sql.Timestamp.valueOf("1995-02-01 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val lateTs = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val okTs = java.sql.Timestamp.valueOf("1996-02-15 00:00:00")
+    Seq((1L, lateTs), (1L, lateTs), (1L, lateTs), (2L, okTs), (3L, lateTs))
+      .map { case (k, ts) => (k, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val df = SparkEntry.queries("q4_priority")(spark, tmp)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("1-URGENT", 1L))) // order 1 once; order 2 on time; order 3 out of range
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi-join:\n$plan")
+  }
+
+  test("q6_forecast: filters reach the parquet scan; read schema is pruned") {
+    val df = SparkEntry.queries("q6_forecast")(spark, sf)
+    val r = df.collect().head
+    assert(r.getLong(1) > 0)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+    // discount/quantity/shipdate predicates must be pushed to the reader
+    assert(scan.contains("PushedFilters") && scan.contains("l_discount"),
+      s"filters not pushed:\n$scan")
+    // only the 4 referenced columns in the read schema — no full-row reads
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").foreach(c =>
+      assert(scan.contains(c), s"$c missing from scan:\n$scan"))
+    assert(!scan.contains("l_partkey") && !scan.contains("l_comment"),
+      s"scan reads unreferenced columns:\n$scan")
+  }
+
+  test("q_rollup_pricing: one-pass rollup — levels reconcile and plan has one shuffle pass") {
+    val rows = SparkEntry.queries("q_rollup_pricing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val subtotals = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length === 1)
+    // levels reconcile exactly (integer counts; revenue exact via integer units)
+    assert(leaves.map(_._3).sum === grand.head._3)
+    assert(subtotals.map(_._3).sum === grand.head._3)
+    subtotals.foreach { st =>
+      assert(leaves.filter(_._1 == st._1).map(_._3).sum === st._3)
+    }
+    assert(grand.head._3 === Tables.t(spark, sf, "lineitem").count())
+  }
 }

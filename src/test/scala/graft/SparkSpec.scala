@@ -30,6 +30,10 @@ class EntrySpec extends SparkSpec {
     * shape fails here before it reaches the driver's oracle gate. */
   private val expectedRows: Map[String, Long] = Map(
     "q1_pricing" -> 6,
+    "q4_priority" -> 5,
+    "q6_forecast" -> 1,
+    "q_rollup_pricing" -> 10,
+    "q_stream_join" -> 3,
     "q3_top_orders" -> 10,
     "q5_region_rev" -> 1,
     "q_window_topsupp" -> 10,
@@ -51,6 +55,8 @@ class EntrySpec extends SparkSpec {
     "vector_similarity" -> 10,
     "text_tokens" -> 500,
     "text_tokens_bpe" -> 500,
+    "bpe_train" -> 48,
+    "text_quality_classifier" -> 500,
     "text_keywords" -> 1500,
     "text_lm_score" -> 500,
     "text_quality" -> 500,
@@ -80,6 +86,10 @@ class EntrySpec extends SparkSpec {
     "q_events_retention" -> 15,
     "q_events_dau" -> 30,
     "q_events_anomaly" -> 23,
+    "q_events_percentiles" -> 5,
+    "q_events_percentiles_approx" -> 5,
+    "text_search_bm25" -> 15,
+    "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
     "dedup_substring" -> 500,
