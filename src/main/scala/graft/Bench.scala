@@ -38,7 +38,10 @@ object Bench {
     "q_events_retention", "sample_stratified", "q_events_dau",
     // appended r14
     "text_tokens_bpe", "knn_hamming", "text_keywords", "text_lm_score",
-    "q_events_anomaly")
+    "q_events_anomaly",
+    // appended r14 second half
+    "q6_forecast", "q_rollup_pricing", "q_stream_join",
+    "text_quality_classifier", "bpe_train", "pipeline_pretrain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

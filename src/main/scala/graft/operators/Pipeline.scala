@@ -52,8 +52,50 @@ object Pipeline extends QueryModule {
       .orderBy("source")
   }
 
+  // ---- pipeline_pretrain -------------------------------------------------
+  private val SourceBudget = 1500L
+  private val PackBudget = 2048L
+  private val PackShards = 8
+
+  /** The FULL pretraining-data pipeline in one declarative plan — what a
+    * user of this library actually ships to produce training shards:
+    * exact dedup → near-dup removal → quality filter → per-source token
+    * budget (highest-quality documents first) → sequence packing into
+    * ~2048-token shards. Five stages and still a FIXED number of shuffles
+    * (content-hash groupBy, LSH bucket join, survivor join, one
+    * source-window, one shard-window) no matter the corpus size; every
+    * selection runs on rounded/integer arithmetic, so the DuckDB oracle
+    * replays the identical pipeline end to end and the final shard report
+    * hash-matches. */
+  private def pipelinePretrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val keepExact = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupLosers = Dedup.lshPairs(s, dir)
+      .select(col("b_id").as("doc_id")).distinct()
+    val kept = keepExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val scored = docs.join(kept, Seq("doc_id"))
+      .withColumn("w", TextAnalysis.tokens)
+      .withColumn("q", TextAnalysis.qualityScore)
+      .filter(col("q") >= QualityTau)
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(col("q"), 6).as("quality"))
+    val byQuality = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val budgeted = scored
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(byQuality.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= SourceBudget)
+    TextAnalysis.pack(s, budgeted.select("doc_id", "n_tokens"), PackBudget, PackShards)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean" -> pipelineClean)
+    "pipeline_clean" -> pipelineClean,
+    "pipeline_pretrain" -> pipelinePretrain)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -83,7 +125,44 @@ object Pipeline extends QueryModule {
          |SELECT source, count(*) AS n_kept,
          |  ${sqlExactAvg(s"($qualitySql)", 1000000L)} AS avg_quality
          |FROM scored WHERE $qualitySql >= $QualityTau
-         |GROUP BY source ORDER BY source""".stripMargin)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_pretrain" ->
+      s"""WITH keep_exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |d0 AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d0 WHERE len(w) >= 3),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |kept AS (
+         |  SELECT doc_id FROM keep_exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |sc0 AS (
+         |  SELECT dd.doc_id, dd.source, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(w) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE) AS sc,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr
+         |  FROM (SELECT doc_id, source, $wSql AS w FROM documents) dd
+         |  JOIN kept USING (doc_id)),
+         |scored AS (
+         |  SELECT doc_id, source, n_tokens, round($qualitySql, 6) AS quality
+         |  FROM sc0 WHERE $qualitySql >= $QualityTau),
+         |budgeted AS (
+         |  SELECT doc_id, n_tokens FROM (
+         |    SELECT doc_id, n_tokens,
+         |      CAST(sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |    FROM scored) WHERE cum <= $SourceBudget),
+         |p AS (SELECT doc_id, n_tokens, doc_id % $PackShards AS shard FROM budgeted),
+         |c AS (SELECT *, sum(n_tokens) OVER
+         |  (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start FROM p)
+         |SELECT shard, CAST(floor(start / $PackBudget.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
 
   private def qualitySql: String = TextAnalysis.qualityScoreSql
 }

@@ -143,7 +143,8 @@ class EntrySpec extends SparkSpec {
     "q_stream_sessions" -> 585,
     "q_asof_orders" -> 10,
     "q_range_orders" -> 10,
-    "pipeline_clean" -> 20)
+    "pipeline_clean" -> 20,
+    "pipeline_pretrain" -> 16)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
