@@ -573,13 +573,43 @@ object StreamingOps extends QueryModule {
     streamJoinFrom(s, vDir, pDir, ev.schema, "3650 days")
   }
 
+  /** LEFT OUTER stream-stream join — the semantically distinct variant:
+    * an inner join can emit a match the moment both rows arrive, but an
+    * outer NULL row is only provably unmatched once the watermark has
+    * CLOSED the view's whole match window, so outer results are
+    * watermark-driven by construction. Drain recipe: all real events load
+    * in one micro-batch per side (watermark still at epoch — nothing is
+    * late), then far-future sentinel rows on BOTH sides push the final
+    * watermark past every real window and the trailing drain batch evicts
+    * state, emitting each unmatched view exactly once with NULL purchase
+    * columns. Result = the batch LEFT JOIN (minus sentinels), which is
+    * exactly what the oracle runs. Same bounded-state story as the inner
+    * form. */
+  private def streamJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val vDir = tmp("sjoinl-v"); val pDir = tmp("sjoinl-p")
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val farFuture = new Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+    import s.implicits._
+    val sentinel = Seq((-1L, -1L, "sentinel", farFuture))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    ev.filter(col("event_type") === "view").unionAll(sentinel)
+      .coalesce(1).write.mode("overwrite").parquet(vDir)
+    ev.filter(col("event_type") === "purchase").unionAll(sentinel)
+      .coalesce(1).write.mode("overwrite").parquet(pDir)
+    streamJoinFrom(s, vDir, pDir, ev.schema, "0 seconds", joinType = "left_outer")
+      .filter(col("user_id") =!= -1L)
+  }
+
   /** The join pipeline over two prepared source directories — one per
     * stream, as two genuinely independent streams would land (specs write
     * ordered files with controlled modification times to pin per-batch
     * watermark behavior). */
   private[graft] def streamJoinFrom(s: SparkSession, vDir: String, pDir: String,
                                     schema: org.apache.spark.sql.types.StructType,
-                                    delay: String): DataFrame = {
+                                    delay: String,
+                                    joinType: String = "inner"): DataFrame = {
     val dst = tmp("sjoin-dst"); val ckpt = tmp("sjoin-ckpt")
     def side(prefix: String, srcDir: String): DataFrame =
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -587,7 +617,8 @@ object StreamingOps extends QueryModule {
           col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", delay)
     val q = side("v", vDir).join(side("p", pDir),
-        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+        joinType)
       .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
         col("p_id").as("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
@@ -603,6 +634,7 @@ object StreamingOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_left" -> streamJoinLeft,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -636,6 +668,18 @@ object StreamingOps extends QueryModule {
         |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+    // watermark-closed outer join == the batch LEFT JOIN
+    "q_stream_join_left" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS view_id,
+        |  b.event_id AS purchase_id,
+        |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+        |FROM (SELECT * FROM e WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
     // streamed incremental LSH == the batch all-pairs exact-Jaccard oracle

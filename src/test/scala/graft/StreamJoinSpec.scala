@@ -88,6 +88,34 @@ class StreamJoinSpec extends SparkSpec {
       (2L, 3L, 5L, 600L * 1000000)), s"loose-delay pairs: $loose")
   }
 
+  test("left-outer join: NULL rows emit exactly once, after the watermark closes the window") {
+    val vSrc = Files.createTempDirectory("graft-sjoinl-v-")
+    val pSrc = Files.createTempDirectory("graft-sjoinl-p-")
+    // one batch per side; the +10h rows are the sentinels that close every
+    // real window on drain (delay 0s → final watermark T0+10h)
+    writeFile(events(Seq(
+      (1L, 1L, "view", at(0)),
+      (3L, 2L, "view", at(0)),
+      (90L, 98L, "view", at(10 * 60)))), vSrc, "b1.parquet", T0)
+    writeFile(events(Seq(
+      (2L, 2L, "purchase", at(10)),
+      (91L, 99L, "purchase", at(10 * 60)))), pSrc, "b1.parquet", T0)
+    val schema = events(Seq((1L, 1L, "x", at(0)))).schema
+    val rows = operators.StreamingOps
+      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "0 seconds", "left_outer")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows === Seq(
+      (1L, 1L, None),        // unmatched view → exactly one NULL row
+      (2L, 3L, Some(2L))))   // matched inner pair
+    // view 90 does NOT emit: the final watermark (T0+10h) equals its
+    // window START — a NULL row is only provably unmatched once the
+    // watermark passes the window END, so it stays pending (this is why
+    // the gated key's sentinels sit a full 30 days past max(ts)).
+    // The right side never emits: unmatched purchase 91 is absent.
+  }
+
   test("q_stream_join equals the batch interval self-join on the corpus") {
     val streamed = SparkEntry.queries("q_stream_join")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
