@@ -627,6 +627,49 @@ object Soak {
       println(s"[soak]   keyword rows=$cnt")
     }
 
+    // ---- bpe_train over the ×mult documents: the histogram is the only
+    // O(corpus) stage; replication multiplies counts but NOT distinct
+    // pretokens, so the collected table (and the merge-learning loop) stay
+    // constant-size — exactly the design claim for 100 TB.
+    timed("bpe_train: pretoken histogram + 48 merges") {
+      val merges = operators.BpeTrainer.train(spark, docsText, 48)
+      val n = merges.count()
+      val distinctWords = operators.BpeTrainer
+        .pretokenHistogram(spark, docsText).count()
+      println(s"[soak]   merges=$n distinct-pretokens=$distinctWords")
+    }
+
+    // ---- text_quality_classifier over the ×mult documents: threshold
+    // histogram and (label, bucket) model table are bounded regardless of
+    // corpus size; scoring is the map-only literal-weights fold.
+    timed("text_quality_classifier: NB train + score") {
+      val scored = operators.QualityClassifier.runOn(spark,
+        docsText.withColumn("w", operators.TextAnalysis.tokens))
+      val r = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("nb_label"), 1L).otherwise(0L)).as("n_pos")).first()
+      println(s"[soak]   docs=${r.getLong(0)} predicted-pos=${r.getLong(1)}")
+    }
+
+    // ---- interval self-join on events ×mult with REMAPPED users (the
+    // per-batch plan shape of q_stream_join): fresh user ids per replica
+    // keep per-key density constant, so matched pairs grow ∝ corpus — a
+    // shared-id replication would grow them ∝ corpus² and time the blowup,
+    // not the operator.
+    val evPath = soakTable("events", mult)((df, rep) =>
+      df.withColumn("user_id", col("user_id") * mult + rep)
+        .withColumn("event_id", col("event_id") * mult + rep))
+    timed("interval join views->purchases (1h window)") {
+      val ev = spark.read.parquet(evPath)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      val n = ev.as("a").join(ev.as("b"),
+          expr("a.user_id = b.user_id AND a.event_type = 'view'" +
+            " AND b.event_type = 'purchase'" +
+            " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"))
+        .count()
+      println(s"[soak]   matched pairs=$n")
+    }
+
     spark.stop()
   }
 }

@@ -112,8 +112,12 @@ object QualityClassifier {
   }
 
   /** Train on `dir`'s documents, then score ALL of them. */
-  def run(s: SparkSession, dir: String): DataFrame = {
-    val d = TextAnalysis.docs(s, dir)
+  def run(s: SparkSession, dir: String): DataFrame =
+    runOn(s, TextAnalysis.docs(s, dir))
+
+  /** Train + score over an arbitrary tokenized frame (`w` column present)
+    * — the seam soaks and own-corpus callers use. */
+  def runOn(s: SparkSession, d: DataFrame): DataFrame = {
     val m = trainModel(s, d)
     // scoring: builtin-function fold over the token array against the
     // literal weight array — whole-stage-codegen map stage, zero shuffle
