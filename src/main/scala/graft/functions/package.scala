@@ -90,6 +90,11 @@ package object functions {
   def capped_sorted_list(v: Column, cap: Int): Column =
     Column(CappedSortedList(expression(v), cap).toAggregateExpression())
 
+  /** Mergeable Misra-Gries top-k heavy hitters over bigint items: bounded
+    * state per group, per-group error bound surfaced in the result. */
+  def heavy_hitters(item: Column, k: Int, capacity: Int): Column =
+    Column(HeavyHitters(expression(item), k, capacity).toAggregateExpression())
+
   /** Raw-deflate compressed byte length of a string/binary column (the
     * compression-ratio quality-signal primitive — see [[DeflateLen]]). */
   def deflate_len(s: Column): Column = Column(DeflateLen(expression(s)))

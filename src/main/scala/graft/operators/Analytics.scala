@@ -291,8 +291,47 @@ object Analytics extends QueryModule {
         col("n"), col("revenue"))
       .orderBy("returnflag", "linestatus")
 
+  private val TopkK = 5
+  private val TopkCapacity = 64
+
+  /** Exact top-5 users by event count per type: one (type, user) count
+    * shuffle, then the rank filter rewrites to a pre-shuffle k-heap
+    * (InferWindowGroupLimit) so only k rows per group reach the window
+    * sort — the exact form, viable while the (type, user) count table is
+    * shuffle-able. Past that, the sketch companion below is the path. */
+  private def qEventsTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopkK)
+      .orderBy("event_type", "rk")
+  }
+
+  /** The mergeable-sketch form: Misra-Gries heavy hitters as a custom
+    * TypedImperativeAggregate — aggregation state is bounded at
+    * `TopkCapacity` counters per group regardless of user cardinality
+    * (map-side partials merge associatively via guarantee-preserving
+    * subtract-and-evict), replacing the exact form's
+    * distinct-(type, user)-sized shuffle at 100 TB. Each reported item
+    * carries its own [count_lo, count_hi] bound — the MG error surfaced,
+    * not assumed. rows-only key (sketch contents are algorithm-specific);
+    * the spec checks the bounds against exact counts and that
+    * capacity >= cardinality collapses the sketch to exact. */
+  private def qEventsTopkSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.heavy_hitters(col("user_id"), TopkK, TopkCapacity).as("hh"))
+      .select(col("event_type"), posexplode(col("hh")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("user_id"),
+        col("col.count_lo").as("count_lo"), col("col.count_hi").as("count_hi"))
+      .orderBy("event_type", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1,
+    "q_events_topk" -> qEventsTopk,
+    "q_events_topk_sketch" -> qEventsTopkSketch,
     "q4_priority" -> q4,
     "q6_forecast" -> q6,
     "q_rollup_pricing" -> qRollup,
@@ -412,6 +451,13 @@ object Analytics extends QueryModule {
         |SELECT day, n,
         |  round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
         |FROM d ORDER BY day""".stripMargin,
+    "q_events_topk" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, user_id ASC) AS BIGINT) AS rk FROM c)
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

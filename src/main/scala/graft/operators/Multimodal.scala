@@ -341,11 +341,144 @@ object Multimodal extends QueryModule {
     audioFeatures(recs)
   }
 
+  // ---- mm_image_dedup (perceptual-hash near-dup) -------------------------
+  // The image-side dedup every multimodal corpus needs: re-encoded /
+  // brightness-shifted copies of one image are NOT byte-duplicates, so
+  // content-hash dedup misses them — a perceptual hash (dHash: gradient
+  // signs over a coarse grid) is invariant to exactly those edits.
+  // Pipeline: real ImageIO decode → 64-bit dHash (one map stage) → the
+  // SAME 4×16-bit pigeonhole banding as dedup_simhash (capped buckets,
+  // never all-pairs) → exact hamming verify on candidates. At 100 TB the
+  // decode+hash is a linear map over payload splits and the join is
+  // bucket-bounded, identical scale posture to the text near-dup family.
+
+  /** 64-bit difference hash: integer block-average grayscale on a 9×8
+    * grid, bit = cell brighter than its right neighbor. Averages compare
+    * by cross-multiplication (sumL·nR > sumR·nL) — exact integers, no
+    * division, deterministic everywhere. Uniform brightness shifts leave
+    * every gradient sign unchanged (the invariance that catches
+    * re-graded copies). */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](9, 8)
+    val ns = Array.ofDim[Long](9, 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        sums(cx)(cy) = sum; ns(cx)(cy) = n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cx)(cy) * ns(cx + 1)(cy) > sums(cx + 1)(cy) * ns(cx)(cy))
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Deterministic 32×32 PNG per doc: 50 base patterns; variants 0-7 add
+    * a uniform brightness shift (dHash-invariant — the near-dup signal
+    * under test), variants 8-9 also stamp a small bright blob (a LOCAL
+    * edit: flips a couple of gradient bits — near-dup, not identical). */
+  private[graft] def synthImage(docId: Long): Array[Byte] = {
+    val pattern = (docId % 50).toInt
+    val variant = ((docId / 50) % 10).toInt
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        // splitmix64 finalizer: full avalanche so distinct patterns get
+        // uncorrelated gradient fields (a weak linear mix left adjacent
+        // pattern ids with near-identical dHashes)
+        var z = pattern.toLong * 0x9E3779B97F4A7C15L +
+          x.toLong * 0xBF58476D1CE4E5B9L + y.toLong * 0x94D049BB133111EBL
+        z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+        z ^= z >>> 27; z *= 0x94D049BB133111EBL
+        z ^= z >>> 31
+        val v = ((z >>> 16) & 0xff).toInt
+        val b = v / 2 + variant * 3 // <= 154: no clipping, gradients intact
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    if (variant >= 8) {
+      // black out exactly dHash cell (2,2) — x in [7,10), y in [8,12) —
+      // so the cell becomes the strict minimum of its row neighborhood
+      // and its two adjacent-column comparisons deterministically flip
+      // toward "darker": a local edit with hamming 1-2, the re-encoded
+      // copy posture
+      var yy = 8
+      while (yy < 12) {
+        var xx = 7
+        while (xx < 10) { img.setRGB(xx, yy, 0); xx += 1 }
+        yy += 1
+      }
+    }
+    ImageCodec.encodePng(img)
+  }
+
+  private val ImgHammingMax = 6L
+  private val ImgBucketCap = 256
+
+  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        ImageCodec.decode(synthImage(id)).map(img => (id, dHash(img)))
+      })
+      .toDF("doc_id", "sig")
+    val cand = sigs.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
+      .toDF("doc_id", "band_idx", "band_key")
+      .groupBy("band_idx", "band_key")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= ImgHammingMax)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_audio_features" -> mmAudioFeatures)
+    "mm_audio_features" -> mmAudioFeatures,
+    "mm_image_dedup" -> mmImageDedup)
 
   /** The corpus is ASCII, so byte-level features are expressible over char
     * codes in the oracle. */

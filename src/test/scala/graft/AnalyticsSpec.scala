@@ -84,6 +84,48 @@ class AnalyticsSpec extends SparkSpec {
       s"window does not sit above the daily aggregate:\n$plan")
   }
 
+  test("q_events_topk: rank filter becomes a pre-shuffle k-heap") {
+    val df = SparkEntry.queries("q_events_topk")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must run as a pre-shuffle heap, not a full window sort:\n$plan")
+  }
+
+  test("heavy_hitters: MG bounds hold vs exact counts; exact when capacity >= cardinality") {
+    import spark.implicits._
+    // corpus check: every reported item's true count sits inside [lo, hi]
+    val sketch = SparkEntry.queries("q_events_topk_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sketch.nonEmpty)
+    val exact = Tables.t(spark, sf, "events")
+      .groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sketch.foreach { case (tpe, user, lo, hi) =>
+      val truth = exact((tpe, user))
+      assert(lo <= truth && truth <= hi, s"($tpe, $user): [$lo, $hi] excludes $truth")
+    }
+
+    // capacity >= distinct items ==> the sketch IS exact (d stays 0)
+    val small = Seq.fill(30)(1L) ++ Seq.fill(20)(2L) ++ Seq.fill(10)(3L) ++ Seq(4L, 5L)
+    val exactTop = small.toDF("item").repartition(7)
+      .agg(graft.functions.heavy_hitters(col("item"), 3, 16).as("hh"))
+      .select(explode(col("hh"))).select("col.*").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exactTop.toSeq === Seq((1L, 30L, 30L), (2L, 20L, 20L), (3L, 10L, 10L)))
+
+    // engineered skew through a TINY sketch: the majority item must
+    // survive merges across 7 partitions with truth inside its bounds
+    val skewed = (Seq.fill(500)(42L) ++ (1L to 400L)).toDF("item").repartition(7)
+      .agg(graft.functions.heavy_hitters(col("item"), 1, 4).as("hh"))
+      .select(explode(col("hh"))).select("col.*").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(skewed.length === 1)
+    val (item, lo, hi) = skewed.head
+    assert(item === 42L, s"majority item lost: $item")
+    assert(lo <= 500L && 500L <= hi, s"bounds [$lo, $hi] exclude 500")
+  }
+
   test("q4_priority: EXISTS is a semi-join — multi-late-line orders count once") {
     // engineered fixture: order 1 has THREE late lines (would triple-count
     // under an inner join), order 2 has one on-time line, order 3 has one

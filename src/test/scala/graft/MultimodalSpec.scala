@@ -196,4 +196,29 @@ class MultimodalSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"unexpected shuffles in decode plan:\n$plan")
   }
+
+  test("mm_image_dedup: dHash brightness invariance, local-edit near-dup, pattern-pure pairs") {
+    def hashOf(id: Long): Long =
+      Multimodal.ImageCodec.decode(Multimodal.synthImage(id))
+        .map(Multimodal.dHash).getOrElse(fail(s"decode failed for $id"))
+    // uniform brightness shifts leave every gradient sign unchanged
+    assert(hashOf(3L) === hashOf(53L))   // pattern 3, variants 0 vs 1
+    assert(hashOf(3L) === hashOf(353L))  // variant 7
+    // the local blob edit lands NEAR (re-encoded copy posture), not equal
+    val blobDist = java.lang.Long.bitCount(hashOf(3L) ^ hashOf(403L))
+    assert(blobDist >= 1 && blobDist <= 6, s"blob hamming $blobDist")
+    // both blob variants carry the identical edit
+    assert(hashOf(403L) === hashOf(453L))
+
+    val pairs = SparkEntry.queries("mm_image_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, hm) =>
+      assert(a % 50 === b % 50, s"cross-pattern pair ($a, $b)")
+      assert(hm >= 0 && hm <= 6)
+    }
+    // the 8 shift-variants of each pattern all pair at hamming 0
+    val p0zero = pairs.filter(p => p._3 == 0L && p._1 % 50 == 0)
+    assert(p0zero.length >= 28, s"pattern-0 zero-distance pairs: ${p0zero.length}")
+  }
 }

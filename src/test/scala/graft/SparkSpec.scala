@@ -87,6 +87,8 @@ class EntrySpec extends SparkSpec {
     "q_events_retention" -> 15,
     "q_events_dau" -> 30,
     "q_events_anomaly" -> 23,
+    "q_events_topk" -> 25,
+    "q_events_topk_sketch" -> 25,
     "q_events_percentiles" -> 5,
     "q_events_percentiles_approx" -> 5,
     "text_search_bm25" -> 15,
@@ -107,6 +109,7 @@ class EntrySpec extends SparkSpec {
     "mm_resize" -> 500,
     "mm_frame_sample" -> 1436,
     "mm_audio_features" -> 500,
+    "mm_image_dedup" -> 2250,
     "lance_roundtrip" -> 1,
     "lance_events_roundtrip" -> 5,
     "lance_overwrite" -> 1,
