@@ -609,13 +609,21 @@ object StreamingOps extends QueryModule {
   private[graft] def streamJoinFrom(s: SparkSession, vDir: String, pDir: String,
                                     schema: org.apache.spark.sql.types.StructType,
                                     delay: String,
-                                    joinType: String = "inner"): DataFrame = {
+                                    joinType: String = "inner",
+                                    filesPerTrigger: Int = 0): DataFrame = {
     val dst = tmp("sjoin-dst"); val ckpt = tmp("sjoin-ckpt")
-    def side(prefix: String, srcDir: String): DataFrame =
-      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir)
+    // filesPerTrigger > 0 splits micro-batches for the watermark specs;
+    // the gate path drains in one batch per side (each state-store commit
+    // costs more than the join itself at gate scale)
+    def side(prefix: String, srcDir: String): DataFrame = {
+      val rd = s.readStream.schema(schema)
+      val rd2 = if (filesPerTrigger > 0)
+        rd.option("maxFilesPerTrigger", filesPerTrigger.toString) else rd
+      rd2.parquet(srcDir)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", delay)
+    }
     val q = side("v", vDir).join(side("p", pDir),
         expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
         joinType)

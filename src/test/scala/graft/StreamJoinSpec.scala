@@ -71,7 +71,7 @@ class StreamJoinSpec extends SparkSpec {
     // T0+9h, so view 1's window [T0, T0+1h] is evicted from state and
     // the late purchase finds nothing.
     val tight = operators.StreamingOps
-      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "1 hour")
+      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "1 hour", filesPerTrigger = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(tight === Seq(
       (1L, 1L, 2L, 600L * 1000000),
@@ -80,7 +80,7 @@ class StreamJoinSpec extends SparkSpec {
     // the gate's corpus-spanning delay over the SAME files recovers the
     // late pair — eviction, not a join bug, dropped it above
     val loose = operators.StreamingOps
-      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "3650 days")
+      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "3650 days", filesPerTrigger = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(loose === Seq(
       (1L, 1L, 2L, 600L * 1000000),
@@ -102,7 +102,7 @@ class StreamJoinSpec extends SparkSpec {
       (91L, 99L, "purchase", at(10 * 60)))), pSrc, "b1.parquet", T0)
     val schema = events(Seq((1L, 1L, "x", at(0)))).schema
     val rows = operators.StreamingOps
-      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "0 seconds", "left_outer")
+      .streamJoinFrom(spark, vSrc.toString, pSrc.toString, schema, "0 seconds", "left_outer", filesPerTrigger = 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
