@@ -95,6 +95,14 @@ package object functions {
   def heavy_hitters(item: Column, k: Int, capacity: Int): Column =
     Column(HeavyHitters(expression(item), k, capacity).toAggregateExpression())
 
+  /** Score a document against a frozen bigram LM table: one map pass,
+    * [n_bigrams, p_nano_sum]. */
+  def lm_doc_score(text: Column, grams: Array[String], pNanos: Array[Long]): Column =
+    Column(LmDocScore(expression(text), grams, pNanos))
+
+  /** All adjacent code-point bigrams in one O(n) pass. */
+  def char_bigrams(text: Column): Column = Column(CharBigrams(expression(text)))
+
   /** Raw-deflate compressed byte length of a string/binary column (the
     * compression-ratio quality-signal primitive — see [[DeflateLen]]). */
   def deflate_len(s: Column): Column = Column(DeflateLen(expression(s)))

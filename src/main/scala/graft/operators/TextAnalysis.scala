@@ -531,20 +531,31 @@ object TextAnalysis extends QueryModule {
   // broadcast the same way.
   private def textLmScore(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
+    // one-pass bigram expression: the transform+substr phrasing is O(n²)
+    // per document (substr seeks from the string start each call)
     val big = d.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("g"))
+      explode(graft.functions.char_bigrams(col("text"))).as("g"))
     val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring(col("g"), 1, 1).as("p")).agg(sum("c2").as("c1"))
     val probs = c2.join(c1, substring(col("g"), 1, 1) === col("p"))
       .select(col("g"),
         round(col("c2").cast("double") / col("c1") * 1e9, 0).cast("long")
           .as("p_nano"))
-    big.join(broadcast(probs), "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("p_nano").as("s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("s").cast("double") / col("n_bigrams") / 1e9, 6).as("fluency"))
+    // scoring: the trained LM is charset²-bounded, so it collects to a
+    // (gram → p_nano) table and scores as ONE codegen'd map expression —
+    // same integer nano-unit sums over the same code-point bigrams as the
+    // explode → broadcast-join → (doc_id)-shuffle pipeline it replaced
+    // (LmScoreSpec pins the equivalence; the gate hash still matches the
+    // unchanged SQL oracle), but with zero scoring shuffles.
+    val tbl = probs.collect()
+    val grams = tbl.map(_.getString(0))
+    val nanos = tbl.map(_.getLong(1))
+    d.select(col("doc_id"),
+        graft.functions.lm_doc_score(col("text"), grams, nanos).as("st"))
+      .select(col("doc_id"), col("st").getItem(0).as("n_bigrams"),
+        round(col("st").getItem(1).cast("double") / col("st").getItem(0) / 1e9, 6)
+          .as("fluency"))
+      .filter(col("n_bigrams") > 0) // inner-join semantics: unscored docs drop
       .orderBy("doc_id")
   }
 
