@@ -639,10 +639,57 @@ object StreamingOps extends QueryModule {
     s.read.format("lance").load(dst).orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** Watermark-windowed streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the BOUNDED-STATE form of streaming dedup: where `q_stream_dedup`
+    * keeps one state row per distinct key FOREVER (exact, state ∝ distinct
+    * keys), this keeps a key only while the watermark can still see
+    * duplicates of it (state ∝ keys per watermark window) — the trade the
+    * API makes explicit is that a duplicate arriving AFTER its key's
+    * window expired is emitted again. The right tool when duplicates
+    * cluster in time (at-least-once sources, retried producers), which is
+    * exactly the production case. Gate: the corpus doubled (every event
+    * twice) drains under a corpus-spanning delay → exactly one row per
+    * event survives == the plain batch aggregate over the ORIGINAL
+    * events; the spec pins the expiry semantics with a tight delay. */
+  private def streamDedupWindow(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("sddw-src")
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("timestamp").as("ts"))
+    ev.unionAll(ev).repartition(3).write.mode("overwrite").parquet(srcDir)
+    val deduped = streamDedupWindowFrom(s, srcDir, ev.schema, "3650 days")
+    deduped.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").cast("long").as("sum_id"))
+      .orderBy("event_type")
+  }
+
+  /** The windowed-dedup pipeline over a prepared source directory,
+    * returning the raw surviving rows (specs assert expiry/re-emission
+    * row by row). */
+  private[graft] def streamDedupWindowFrom(s: SparkSession, srcDir: String,
+                                           schema: org.apache.spark.sql.types.StructType,
+                                           delay: String,
+                                           filesPerTrigger: Int = 0): DataFrame = {
+    val dst = tmp("sddw-dst"); val ckpt = tmp("sddw-ckpt")
+    val rd = s.readStream.schema(schema)
+    val rd2 = if (filesPerTrigger > 0)
+      rd.option("maxFilesPerTrigger", filesPerTrigger.toString) else rd
+    val q = rd2.parquet(srcDir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    drain(q)
+    s.read.format("lance").load(dst)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_join" -> streamJoin,
     "q_stream_join_left" -> streamJoinLeft,
+    "q_stream_dedup_window" -> streamDedupWindow,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -678,6 +725,12 @@ object StreamingOps extends QueryModule {
         |  AND a.event_type = 'view' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+    // doubled corpus streamed through the windowed dedup == the plain
+    // batch aggregate over the ORIGINAL events
+    "q_stream_dedup_window" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // watermark-closed outer join == the batch LEFT JOIN
     "q_stream_join_left" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

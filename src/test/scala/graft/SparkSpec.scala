@@ -35,6 +35,7 @@ class EntrySpec extends SparkSpec {
     "q_rollup_pricing" -> 10,
     "q_stream_join" -> 3,
     "q_stream_join_left" -> 188,
+    "q_stream_dedup_window" -> 5,
     "q3_top_orders" -> 10,
     "q5_region_rev" -> 1,
     "q_window_topsupp" -> 10,

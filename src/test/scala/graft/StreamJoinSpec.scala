@@ -116,6 +116,31 @@ class StreamJoinSpec extends SparkSpec {
     // The right side never emits: unmatched purchase 91 is absent.
   }
 
+  test("dropDuplicatesWithinWatermark: in-window dups collapse, expired keys re-emit") {
+    val src = Files.createTempDirectory("graft-sddw-")
+    // batch 1: keys 1 (at T0) and 2 (at T0+8h30m), plus the watermark
+    // pusher; after the batch the watermark is T0+9h, so key 1's dedup
+    // window (ts + 1h) has EXPIRED while key 2's (T0+9h30m) is still open
+    writeFile(events(Seq(
+      (1L, 7L, "view", at(0)),
+      (2L, 7L, "view", at(8 * 60 + 30)),
+      (99L, 8L, "view", at(10 * 60)))), src, "b1.parquet", T0)
+    // batch 2: a duplicate of key 2 inside its window → collapsed. (State
+    // cleanup is lazy — it runs at the END of this first batch under the
+    // advanced watermark, evicting key 1.)
+    writeFile(events(Seq(
+      (2L, 7L, "view", at(8 * 60 + 45)))), src, "b2.parquet", T0 + 60000L)
+    // batch 3: a duplicate of key 1 after its window expired → emitted
+    // AGAIN (the bounded-state trade this API makes explicit)
+    writeFile(events(Seq(
+      (1L, 7L, "view", at(9 * 60 + 30)))), src, "b3.parquet", T0 + 120000L)
+    val schema = events(Seq((1L, 1L, "x", at(0)))).schema
+    val ids = operators.StreamingOps
+      .streamDedupWindowFrom(spark, src.toString, schema, "1 hour", filesPerTrigger = 1)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 1L, 2L, 99L), s"got $ids")
+  }
+
   test("q_stream_join equals the batch interval self-join on the corpus") {
     val streamed = SparkEntry.queries("q_stream_join")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
