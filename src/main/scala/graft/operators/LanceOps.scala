@@ -529,6 +529,56 @@ object LanceOps extends QueryModule {
       .orderBy("_change_type")
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance from the CDC feed —
+    * the capability change feeds exist for: a persisted aggregate stays
+    * fresh at O(delta) maintenance cost, never an O(base) recompute.
+    * Recipe: snapshot v1 → materialize the per-priority aggregate (counts
+    * + integer-cent sums: ADDITIVE state, so deltas merge exactly); the
+    * base then takes a DELETE and an append; maintenance reads ONLY the
+    * change feed since the snapshot (deletes stream just the removed
+    * rows, appends just the new fragments), folds signed per-group deltas
+    * (insert +1/+cents, delete −1/−cents), merges them into the MV with a
+    * full-outer join on the group key (|MV|-sized), drops emptied groups,
+    * and writes the refreshed MV back (O(MV) overwrite — the MV is
+    * group-cardinality-sized). The oracle recomputes the final aggregate
+    * from scratch; equality IS the maintenance-correctness statement. */
+  private def cdcMaterialized(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("cdcmv"); val mvTable = tmp("cdcmv-mv")
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderstatus") =!= "F")
+      .write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    read(s, root).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .write.format("lance").save(mvTable)
+    // base mutations after the snapshot
+    graft.sources.lance.LanceDelete.deleteWhere(s, root,
+      Array(org.apache.spark.sql.sources.LessThan("o_orderkey", 1000L)), Map.empty)
+    orders.filter(col("o_orderstatus") === "F")
+      .write.format("lance").mode("append").option("maxRowsPerFile", "2000").save(root)
+    // O(delta): signed per-group deltas from the feed since the snapshot
+    val deltas = s.read.format("lance")
+      .option("read.change-feed", "true").option("read.start-version", "2")
+      .load(root)
+      .select(col("o_orderpriority"),
+        when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+        cents.as("c"))
+      .groupBy("o_orderpriority")
+      .agg(sum("sgn").as("dn"), sum(col("sgn") * col("c")).as("dsum"))
+    val refreshed = s.read.format("lance").load(mvTable)
+      .join(deltas, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+          .as("sum_cents"))
+      .filter(col("n") > 0)
+    refreshed.write.format("lance").mode("overwrite").save(mvTable)
+    read(s, mvTable)
+      .select(col("o_orderpriority"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- streaming sink ----------------------------------------------------
 
   /** TIMESTAMP_NTZ end-to-end through the connector, oracle-gated: the
@@ -609,6 +659,7 @@ object LanceOps extends QueryModule {
     "lance_replace" -> replaceOp,
     "q_stream_cdc" -> streamCdc,
     "q_batch_cdc" -> batchCdc,
+    "q_cdc_materialized" -> cdcMaterialized,
     "lance_streaming_sink" -> streamingSink,
     "lance_events_roundtrip" -> eventsRoundtrip)
 
@@ -748,6 +799,16 @@ object LanceOps extends QueryModule {
         |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |  FROM orders
         |) ORDER BY _change_type""".stripMargin,
+    // the incrementally maintained MV == a from-scratch aggregate over the
+    // final logical table (non-F survivors of the delete, plus appended F)
+    "q_cdc_materialized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_price
+        |FROM orders
+        |WHERE (o_orderstatus <> 'F' AND o_orderkey >= 1000)
+        |   OR o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stream_cdc" ->
       """SELECT * FROM (
         |  SELECT 'delete' AS _change_type, count(*) AS n,

@@ -170,6 +170,43 @@ class LanceStreamSpec extends SparkSpec {
     assert(deletes2 === Seq(1L, 2L, 3L, 4L, 5L), rows2)
   }
 
+  test("CDC-maintained aggregate: maintenance reads deltas, not the base") {
+    import graft.sources.lance.LanceDelete
+    import spark.implicits._
+    val root = tmp()
+    // base: 100 rows in one group column
+    (1L to 100L).map(i => (i, s"g${i % 3}", i * 10L)).toDF("id", "g", "v")
+      .coalesce(1).write.format("lance").save(root) // v1
+    // snapshot the additive aggregate
+    val mv0 = spark.read.format("lance").load(root)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.LessThan("id", 11L)), Map.empty) // v2
+    (101L to 120L).map(i => (i, s"g${i % 3}", i * 10L)).toDF("id", "g", "v")
+      .coalesce(1).write.format("lance").mode("append").save(root) // v3
+    val feed = spark.read.format("lance")
+      .option("read.change-feed", "true").option("read.start-version", "2")
+      .load(root)
+    // the maintenance read is DELTA-sized: 10 deletes + 20 inserts,
+    // never the 110-row base
+    assert(feed.count() === 30)
+    // signed-delta merge == recompute
+    val deltas = feed.select(col("g"),
+        when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"), col("v"))
+      .groupBy("g").agg(sum("sgn").as("dn"), sum(col("sgn") * col("v")).as("ds"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val merged = (mv0.keySet ++ deltas.keySet).map { g =>
+      val (n0, s0) = mv0.getOrElse(g, (0L, 0L))
+      val (dn, ds) = deltas.getOrElse(g, (0L, 0L))
+      g -> ((n0 + dn, s0 + ds))
+    }.toMap
+    val recomputed = spark.read.format("lance").load(root)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged === recomputed)
+  }
+
   test("batch change feed reads an explicit version range") {
     import graft.sources.lance.LanceDelete
     import spark.implicits._
