@@ -352,6 +352,43 @@ object Soak {
         s"(expected ${m0.totalRows - m1.totalRows})")
       require(deleted.toLong == m0.totalRows - m1.totalRows)
     }
+
+    // ---- incremental MV maintenance over the delete: fold the delta feed
+    // into the snapshot aggregate and compare against a full recompute —
+    // the maintenance read is ~10% of the base (the deleted rows), the
+    // merge is |groups|-sized.
+    timed("CDC-maintained aggregate (O(delta) refresh)") {
+      val base = spark.read.format("lance")
+        .option("versionAsOf", m0.version.toString).load(lanceRoot)
+      val mv0 = base.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s"))
+      val deltas = spark.read.format("lance")
+        .option("read.change-feed", "true")
+        .option("read.start-version", (m0.version + 1).toString)
+        .option("read.end-version", m1.version.toString)
+        .load(lanceRoot)
+        .select(col("o_orderpriority"),
+          when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+        .groupBy("o_orderpriority")
+        .agg(sum("sgn").as("dn"), sum(col("sgn") * col("c")).as("ds"))
+      val merged = mv0.join(deltas, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+        .filter(col("n") > 0)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val recomputed = spark.read.format("lance")
+        .option("versionAsOf", m1.version.toString).load(lanceRoot)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      require(merged == recomputed, "MV merge != recompute")
+      println(s"[soak]   groups=${merged.size} merged == recomputed over " +
+        s"${m1.totalRows} live rows")
+    }
     // ---- LLM-pipeline keys at scale --------------------------------------
     // dedup_clusters on a synthesized 10M-node near-dup graph: 5M two-node
     // components + one 100k-node chain. The chain has diameter 100k —

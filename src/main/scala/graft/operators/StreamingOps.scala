@@ -685,11 +685,84 @@ object StreamingOps extends QueryModule {
     s.read.format("lance").load(dst)
   }
 
+  /** CONTINUOUS materialized-aggregate maintenance — the streaming twin of
+    * q_cdc_materialized: the CDC stream drives a per-micro-batch MV
+    * refresh. The MV starts EMPTY and the whole base history (initial
+    * inserts, a positional delete, an append) arrives through the feed as
+    * signed deltas; each batch folds its |groups|-sized delta table into
+    * the persisted MV with a full-outer merge and an O(|MV|) transactional
+    * overwrite. foreachBatch is at-least-once under retries, so the
+    * refresh is made IDEMPOTENT the transactional way: every MV version
+    * carries the batch id that produced it, and a replayed batch
+    * (bid <= the MV's recorded bid) is a no-op — the replay spec deletes
+    * the checkpoint commit marker, restarts the query, and proves the MV
+    * unchanged. Final MV == the from-scratch aggregate oracle. */
+  private def streamMv(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("smv") + "/base"
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderstatus") =!= "F")
+      .write.format("lance").option("maxRowsPerFile", "2000").save(root)
+    graft.sources.lance.LanceDelete.deleteWhere(s, root,
+      Array(org.apache.spark.sql.sources.LessThan("o_orderkey", 1000L)), Map.empty)
+    orders.filter(col("o_orderstatus") === "F")
+      .write.format("lance").mode("append").option("maxRowsPerFile", "2000").save(root)
+    val mvTable = streamMvRefresh(s, root, tmp("smv-mv") + "/t", tmp("smv-ckpt"))
+    s.read.format("lance").load(mvTable)
+      .select(col("o_orderpriority"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Run (or re-run, for the replay spec) the CDC→MV refresh stream over
+    * `root`, maintaining the lance MV at `mvTable`. Returns mvTable. */
+  private[graft] def streamMvRefresh(s: SparkSession, root: String,
+                                     mvTable: String, ckpt: String): String = {
+    import s.implicits._
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    if (!new java.io.File(mvTable).exists())
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("o_orderpriority", "n", "sum_cents", "bid")
+        .write.format("lance").save(mvTable)
+    val q = s.readStream.format("lance").option("read.change-feed", "true")
+      .load(root)
+      .select(col("o_orderpriority"),
+        when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+        cents.as("c"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val cur = s.read.format("lance").load(mvTable)
+        val lastBid = cur.agg(max("bid")).first() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        if (bid > lastBid) { // replayed micro-batch = no-op
+          val deltas = batch.groupBy("o_orderpriority")
+            .agg(sum("sgn").as("dn"), sum(col("sgn") * col("c")).as("dsum"))
+          cur.drop("bid")
+            .join(deltas, Seq("o_orderpriority"), "full_outer")
+            .select(col("o_orderpriority"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+              (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+                .as("sum_cents"))
+            .filter(col("n") > 0)
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("overwrite").save(mvTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    mvTable
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_join" -> streamJoin,
     "q_stream_join_left" -> streamJoinLeft,
     "q_stream_dedup_window" -> streamDedupWindow,
+    "q_stream_mv" -> streamMv,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -725,6 +798,16 @@ object StreamingOps extends QueryModule {
         |  AND a.event_type = 'view' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+    // the continuously maintained MV == a from-scratch aggregate over the
+    // final logical table (same statement as the batch q_cdc_materialized)
+    "q_stream_mv" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_price
+        |FROM orders
+        |WHERE (o_orderstatus <> 'F' AND o_orderkey >= 1000)
+        |   OR o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // doubled corpus streamed through the windowed dedup == the plain
     // batch aggregate over the ORIGINAL events
     "q_stream_dedup_window" ->

@@ -207,6 +207,47 @@ class LanceStreamSpec extends SparkSpec {
     assert(merged === recomputed)
   }
 
+  test("streaming MV refresh: final MV == recompute; replayed micro-batch is a no-op") {
+    import graft.sources.lance.LanceDelete
+    import spark.implicits._
+    val base = tmp() + "/base"; val mv = tmp() + "/mv"; val ckpt = tmp() + "/ckpt"
+    (1L to 60L).map(i => (i, s"p${i % 4}", i * 1.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.format("lance").save(base)
+    LanceDelete.deleteWhere(spark, base,
+      Array(org.apache.spark.sql.sources.LessThan("o_orderkey", 11L)), Map.empty)
+    (61L to 80L).map(i => (i, s"p${i % 4}", i * 1.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.format("lance").mode("append").save(base)
+
+    val mvT = graft.operators.StreamingOps.streamMvRefresh(spark, base, mv, ckpt)
+    def readMv = spark.read.format("lance").load(mvT)
+      .select("o_orderpriority", "n", "sum_cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = spark.read.format("lance").load(base)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(readMv === expected)
+
+    // crash replay: drop the last checkpoint commit marker (crash after
+    // the MV overwrite, before the checkpoint commit) and restart — the
+    // replayed batch's bid <= the MV's recorded bid, so the refresh is a
+    // no-op and the MV is unchanged (no double-applied deltas)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    graft.operators.StreamingOps.streamMvRefresh(spark, base, mv, ckpt)
+    assert(readMv === expected, "replayed micro-batch double-applied deltas")
+  }
+
   test("batch change feed reads an explicit version range") {
     import graft.sources.lance.LanceDelete
     import spark.implicits._

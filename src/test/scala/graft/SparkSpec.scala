@@ -139,6 +139,7 @@ class EntrySpec extends SparkSpec {
     "q_stream_cdc" -> 2,
     "q_batch_cdc" -> 2,
     "q_cdc_materialized" -> 5,
+    "q_stream_mv" -> 5,
     "ivf_flat_search" -> 15,
     "ivf_append_search" -> 15,
     "ivf_hnsw_search" -> 15,
