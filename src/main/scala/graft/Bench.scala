@@ -42,7 +42,7 @@ object Bench {
     // appended r14 second half
     "q6_forecast", "q_rollup_pricing", "q_stream_join",
     "text_quality_classifier", "bpe_train", "pipeline_pretrain",
-    "q_events_topk", "mm_image_dedup")
+    "q_events_topk", "mm_image_dedup", "q_cdc_materialized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

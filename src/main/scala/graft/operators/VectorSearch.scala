@@ -124,6 +124,38 @@ object VectorSearch extends QueryModule {
       .limit(K)
   }
 
+  /** Two-phase memory-bound retrieval — the scale path the 1-bit sweep
+    * exists for: phase 1 scans ONLY the packed sign words (8 B/vector at
+    * 64 dims instead of 256 — XOR+popcount inside codegen) and shortlists
+    * the `shortlist` hamming-nearest candidates via the usual pre-shuffle
+    * k-heap; phase 2 re-ranks JUST the shortlist with exact float cosine
+    * (the shortlist id set broadcasts into a semi-join against the float
+    * table). Scan IO drops 32× and exact math touches `shortlist` rows,
+    * not the corpus. shortlist >= corpus provably equals the exact KNN
+    * (spec); the gate's shortlist=100 measures recall vs exact in the
+    * spec. rows-only key — recall is corpus-dependent by construction. */
+  private def knnHammingRerank(s: SparkSession, dir: String): DataFrame =
+    knnHammingRerankAt(s, dir, 100)
+
+  private[graft] def knnHammingRerankAt(s: SparkSession, dir: String,
+                                        shortlist: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val packed = e.select(col("vec_id"),
+      graft.functions.bit_pack_sign(col("embedding")).as("bv"))
+    val qb = packed.filter(col("vec_id") === QueryVecId).select(col("bv").as("qbv"))
+    val short = packed.filter(col("vec_id") =!= QueryVecId).crossJoin(broadcast(qb))
+      .select(col("vec_id"), graft.functions.hamming_dist(col("bv"), col("qbv")).as("hd"))
+      .orderBy(col("hd").asc, col("vec_id").asc)
+      .limit(shortlist)
+    val qv = e.filter(col("vec_id") === QueryVecId).select(col("embedding").as("qv"))
+    e.join(broadcast(short.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(vec_cosine(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   /** Distributed KNN JOIN — top-k neighbors in `corpus` for EVERY row of
     * `queries` (the batch form of the reference's lateral vector-search
     * table function, table/LanceVectorSearchFunction.java:55-66; single-
@@ -425,6 +457,7 @@ object VectorSearch extends QueryModule {
     "emb_quantize" -> embQuantize,
     "emb_binarize" -> embBinarize,
     "knn_hamming" -> knnHamming,
+    "knn_hamming_rerank" -> knnHammingRerank,
     "knn_cosine_f64" -> ((s, dir) => knn64(s, dir)),
     "knn_cosine" -> ((s, dir) =>
       knn(s, dir, vec_cosine(col("embedding"), col("qv")), asc = false)),

@@ -50,6 +50,7 @@ class EntrySpec extends SparkSpec {
     "emb_quantize" -> 500,
     "emb_binarize" -> 500,
     "knn_hamming" -> 10,
+    "knn_hamming_rerank" -> 10,
     "knn_cosine_f64" -> 10,
     "knn_l2" -> 10,
     "knn_dot" -> 10,

@@ -263,7 +263,7 @@ class TextAnalysisSpec extends SparkSpec {
       s"per-query top-k not rewritten to a partial heap:\n$plan")
   }
 
-  test("text_lm_score: engineered corpus hand-computed exactly; probs broadcast") {
+  test("text_lm_score: engineered corpus hand-computed exactly; map-only scoring") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-").toString
     import spark.implicits._
     // d1 repeats the corpus-dominant transition a→b; d2 spends the same
@@ -285,10 +285,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1L)._2 === 0.781818)
     assert(rows(2L)._2 === 0.490909)
     assert(rows(3L)._2 === 0.76)
-    // the LM (probs) side must broadcast — scoring never shuffles the corpus
+    // since r14 second half the scoring is a codegen'd expression over the
+    // collected LM table — no join at all: the only exchange in the plan
+    // is the presentation ORDER BY (rangepartitioning), never a
+    // corpus-shuffling hashpartitioning
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"bigram LM join did not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"LM scoring shuffled the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"LM scoring should not join:\n$plan")
   }
 
   test("text_commonness plan: Zipf head joins broadcast; tok shuffles bounded") {

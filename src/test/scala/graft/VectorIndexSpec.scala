@@ -676,6 +676,21 @@ class VectorIndexSpec extends SparkSpec {
       s"hamming path fell out of codegen:\n$plan")
   }
 
+  test("knn_hamming_rerank: full shortlist == exact KNN; gate shortlist recall >= 0.8") {
+    val exact = SparkEntry.queries("knn_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // shortlist >= corpus ⇒ phase 2 sees every vector ⇒ provably exact
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count().toInt
+    val full = graft.operators.VectorSearch.knnHammingRerankAt(spark, sf, corpus)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(full === exact)
+    // the gate's 100-candidate shortlist keeps most of the exact top-10
+    val short = SparkEntry.queries("knn_hamming_rerank")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = short.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"1-bit shortlist recall $recall")
+  }
+
   test("knn_negatives: every neighbor differs in label; plan keeps top-k partial + broadcast") {
     val df = SparkEntry.queries("knn_negatives")(spark, sf)
     val rows = df.collect()
