@@ -103,6 +103,10 @@ package object functions {
   /** All adjacent code-point bigrams in one O(n) pass. */
   def char_bigrams(text: Column): Column = Column(CharBigrams(expression(text)))
 
+  /** Cavnar-Trenkle n-gram-profile language ID:
+    * [dist_en, dist_es, dist_de, dist_fr, langIdx]. */
+  def langid_ngram(text: Column): Column = Column(LangIdNgram(expression(text)))
+
   /** Raw-deflate compressed byte length of a string/binary column (the
     * compression-ratio quality-signal primitive — see [[DeflateLen]]). */
   def deflate_len(s: Column): Column = Column(DeflateLen(expression(s)))

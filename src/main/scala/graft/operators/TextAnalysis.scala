@@ -139,6 +139,27 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- text_langid_ngram -------------------------------------------------
+  // Cavnar-Trenkle rank-order profiles — the model-based sibling of the
+  // stopword langid (and the classic production method): the codegen'd
+  // langid_ngram expression ranks each doc's top char-1-3-grams in-row and
+  // scores the out-of-place distance against frozen per-language profiles
+  // built by the same code from seed texts. Pure map stage, integer
+  // distances; rows-only key (no SQL engine ranks n-gram profiles), with
+  // per-language snippet classification + plan specs.
+  private def textLangidNgram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("st", graft.functions.langid_ngram(lower(col("text"))))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("dist_en"),
+        col("st").getItem(1).as("dist_es"),
+        col("st").getItem(2).as("dist_de"),
+        col("st").getItem(3).as("dist_fr"),
+        element_at(
+          lit(graft.functions.LangIdNgram.Languages.toArray),
+          (col("st").getItem(4) + 1).cast("int")).as("pred_lang"))
+      .orderBy("doc_id")
+
   // ---- text_fingerprint --------------------------------------------------
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -645,6 +666,7 @@ object TextAnalysis extends QueryModule {
     "text_lm_score" -> textLmScore,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
     "text_scrub" -> textScrub,
     "text_contamination" -> textContamination)

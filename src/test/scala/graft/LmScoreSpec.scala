@@ -74,3 +74,50 @@ class LmScoreSpec extends SparkSpec {
     assert(sparkGrams === grams.toSeq)
   }
 }
+
+/** Cavnar-Trenkle n-gram language ID (`text_langid_ngram`). */
+class LangIdNgramSpec extends SparkSpec {
+  import graft.functions.LangIdNgram
+
+  test("profile: ranks by count desc then gram asc") {
+    val p = LangIdNgram.profile("aaab")
+    // counts: a=3, aa=2, then {aaa, aab, ab, b} all 1 → lexicographic
+    assert(p.get("a") === 0)
+    assert(p.get("aa") === 1)
+    assert(p.get("aaa") === 2)
+    assert(p.get("aab") === 3)
+    assert(p.get("ab") === 4)
+    assert(p.get("b") === 5)
+  }
+
+  test("snippets in each language classify correctly; map-only plan") {
+    import spark.implicits._
+    // everyday sentences DISTINCT from the seed texts
+    val docs = Seq(
+      (1L, "en", "she walked into the old library and found a small book about the history of these mountains"),
+      (2L, "es", "ella entro en la vieja biblioteca y encontro un pequeno libro sobre la historia de estas montanas"),
+      (3L, "de", "sie ging in die alte bibliothek und fand ein kleines buch ueber die geschichte dieser berge"),
+      (4L, "fr", "elle est entree dans la vieille bibliotheque et elle a trouve un petit livre sur l histoire de ces montagnes"))
+      .toDF("doc_id", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lid-").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("text_langid_ngram")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr"), s"got $got")
+
+    // the corpus key is a pure map stage: only the presentation sort
+    val df = SparkEntry.queries("text_langid_ngram")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"langid scoring shuffled:\n$plan")
+    // the synthetic corpus is PSEUDO-RANDOM vocabulary, so character-gram
+    // profiles legitimately scatter across languages (unlike the stopword
+    // heuristic, which keys on the literal stopwords the generator
+    // sprinkles in) — the corpus contract is determinism, not a label
+    val a = df.collect().map(r => (r.getLong(0), r.getString(5))).toSeq
+    val b = SparkEntry.queries("text_langid_ngram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(5))).toSeq
+    assert(a === b)
+    assert(a.length === 500)
+  }
+}

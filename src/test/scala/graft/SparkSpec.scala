@@ -64,6 +64,7 @@ class EntrySpec extends SparkSpec {
     "text_lm_score" -> 500,
     "text_quality" -> 500,
     "text_langid" -> 500,
+    "text_langid_ngram" -> 500,
     "text_fingerprint" -> 500,
     "text_scrub" -> 500,
     "text_pack" -> 16,
