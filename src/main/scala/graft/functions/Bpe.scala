@@ -120,7 +120,15 @@ object Bpe {
   }
 
   /** Greedy BPE of one pretoken `bytes[from, until)` → token ids. */
-  private def encodeWord(bytes: Array[Byte], from: Int, until: Int): Array[Int] = {
+  private def encodeWord(bytes: Array[Byte], from: Int, until: Int): Array[Int] =
+    encodeWordWith(ranks, bytes, from, until)
+
+  /** The same greedy merge loop against an ARBITRARY rank table — the seam
+    * that lets a LEARNED merge table (BpeTrainer's output) drive encoding
+    * exactly like the frozen resource vocabulary does. */
+  private[functions] def encodeWordWith(
+      rk: java.util.HashMap[java.lang.Long, java.lang.Integer],
+      bytes: Array[Byte], from: Int, until: Int): Array[Int] = {
     var len = until - from
     val ids = new Array[Int](len)
     var i = 0
@@ -131,7 +139,7 @@ object Bpe {
       var bestPos = -1
       var j = 0
       while (j < len - 1) {
-        val r = ranks.get(pairKey(ids(j), ids(j + 1)))
+        val r = rk.get(pairKey(ids(j), ids(j + 1)))
         if (r != null && r < bestRank) { bestRank = r; bestPos = j }
         j += 1
       }
@@ -146,7 +154,38 @@ object Bpe {
     java.util.Arrays.copyOf(ids, len)
   }
 
-  private final val Mod = 1000000007L
+  /** Build a rank table from (left, right) merge pairs in rank order. */
+  def rankTable(pairs: Array[Int]): java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    require(pairs.length % 2 == 0, "flattened (left, right) pairs expected")
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](pairs.length)
+    var r = 0
+    while (r * 2 < pairs.length) {
+      m.put(pairKey(pairs(r * 2), pairs(r * 2 + 1)), r)
+      r += 1
+    }
+    m
+  }
+
+  /** [[stats]] against an arbitrary rank table (static: shared by
+    * interpreted eval and generated code). */
+  def statsWith(rk: java.util.HashMap[java.lang.Long, java.lang.Integer],
+                s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    var count = 0L
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val end = tokenEnd(bytes, i)
+      val ids = encodeWordWith(rk, bytes, i, end)
+      var k = 0
+      while (k < ids.length) { h = (h * 31 + ids(k)) % Mod; k += 1 }
+      count += ids.length
+      i = end
+    }
+    Array(count, h)
+  }
+
+  private[functions] final val Mod = 1000000007L
 
   /** (token count, polynomial hash of the id sequence) for a document —
     * the hash pins the exact tokenization (not just its length) through
@@ -282,4 +321,36 @@ object BpeChunks {
   /** Shared by interpreted eval + generated code. */
   def toArrayData(chunks: Array[Array[Long]]): GenericArrayData =
     new GenericArrayData(chunks.map(c => new GenericArrayData(c): Any))
+}
+
+/** `bpe_stats_with(text, merges)` — [[BpeStats]] over a RUNTIME merge
+  * table: the train→encode loop closed. The learned (left, right) pairs
+  * (flattened, rank order — BpeTrainer's output) build the rank table
+  * once per executor and ride the plan as a reference object; the
+  * tokenize pass is the same codegen'd single static call as the frozen
+  * vocabulary's. */
+case class BpeStatsWith(child: Expression, pairs: Array[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"bpe_stats_with needs string, got $dt")
+  }
+
+  @transient private lazy val table = Bpe.rankTable(pairs)
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Bpe.statsWith(table, v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", table,
+      "java.util.HashMap<Long, Integer>")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Bpe.statsWith($ref, $s));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

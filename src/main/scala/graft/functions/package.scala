@@ -103,6 +103,11 @@ package object functions {
   /** All adjacent code-point bigrams in one O(n) pass. */
   def char_bigrams(text: Column): Column = Column(CharBigrams(expression(text)))
 
+  /** BPE token stats against a LEARNED merge table (flattened rank-order
+    * (left, right) pairs — BpeTrainer output). */
+  def bpe_stats_with(text: Column, pairs: Array[Int]): Column =
+    Column(BpeStatsWith(expression(text), pairs))
+
   /** Cavnar-Trenkle n-gram-profile language ID:
     * [dist_en, dist_es, dist_de, dist_fr, langIdx]. */
   def langid_ngram(text: Column): Column = Column(LangIdNgram(expression(text)))

@@ -139,6 +139,28 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- bpe_train_tokenize ------------------------------------------------
+  // The train→encode loop CLOSED: learn a merge table from the corpus
+  // (BpeTrainer — histogram shuffle + driver merge learning) and tokenize
+  // the same corpus with the LEARNED vocabulary via the runtime-table
+  // bpe_stats_with expression — the same codegen'd map stage as the
+  // frozen-vocab key, the rank table riding the plan as a reference
+  // object. What a production pipeline does when it trains a tokenizer on
+  // its own corpus before budgeting/packing with it. rows-only key; the
+  // spec re-derives the tokenization with an independent driver encoder.
+  private def bpeTrainTokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = BpeTrainer.train(s, d, 256).orderBy("rank").collect()
+    val flat = merges.flatMap(r => Array(r.getLong(1).toInt, r.getLong(2).toInt))
+    d.withColumn("st", graft.functions.bpe_stats_with(col("text"), flat))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_tokens"),
+        col("st").getItem(1).as("id_hash"),
+        round(length(col("text")).cast("double") / col("st").getItem(0), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   // ---- text_langid_ngram -------------------------------------------------
   // Cavnar-Trenkle rank-order profiles — the model-based sibling of the
   // stopword langid (and the classic production method): the codegen'd
@@ -660,6 +682,7 @@ object TextAnalysis extends QueryModule {
     "text_tokens" -> textTokens,
     "text_tokens_bpe" -> textTokensBpe,
     "bpe_train" -> ((s, dir) => BpeTrainer.train(s, t(s, dir, "documents"), 48)),
+    "bpe_train_tokenize" -> bpeTrainTokenize,
     "text_quality_classifier" -> ((s, dir) => QualityClassifier.run(s, dir)),
     "text_keywords" -> textKeywords,
     "text_search_bm25" -> textSearchBm25,

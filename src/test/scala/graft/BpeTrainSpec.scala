@@ -68,6 +68,65 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("bpe_train_tokenize: learned-vocab tokenization == an independent driver encoder") {
+    // learn the same table the key learns
+    val d = Tables.t(spark, sf, "documents")
+    val merges = BpeTrainer.train(spark, d, 256).orderBy("rank").collect()
+      .map(r => (r.getLong(1).toInt, r.getLong(2).toInt))
+    // INDEPENDENT reference encoder: repeated lowest-rank merge over a
+    // Scala list, rank map keyed by the raw (left, right) tuple
+    val rank = merges.zipWithIndex.toMap
+    def encodeWord(word: Array[Byte]): List[Int] = {
+      var ids = word.map(_ & 0xff).toList
+      var done = false
+      while (!done && ids.length >= 2) {
+        val best = ids.zip(ids.tail).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+          .sortBy(_._1).headOption
+        best match {
+          case None => done = true
+          case Some((r, i)) =>
+            ids = ids.take(i) ::: (256 + r) :: ids.drop(i + 2)
+        }
+      }
+      ids
+    }
+    val expected = d.orderBy("doc_id").limit(40).select("doc_id", "text").collect()
+      .map { row =>
+        val ids = Bpe.pretokens(row.getString(1))
+          .flatMap(w => encodeWord(w.getBytes("UTF-8"))).toSeq
+        val h = ids.foldLeft(0L)((acc, id) => (acc * 31 + id) % 1000000007L)
+        row.getLong(0) -> ((ids.length.toLong, h))
+      }.toMap
+    val got = SparkEntry.queries("bpe_train_tokenize")(spark, sf)
+      .limit(40).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+
+    // the frozen resource vocabulary was derived OFFLINE by
+    // scripts/gen_bpe_vocab.py from this same sf0.001 corpus with the
+    // same tie rules — so the distributed in-engine trainer must
+    // REPRODUCE it bit-for-bit: merge list == the shipped resource
+    // (training exhausts at the same point regardless of the larger
+    // requested budget), and therefore the learned-vocab tokenization ==
+    // the frozen-vocab key exactly. The strongest trainer validation
+    // available: two independent implementations, one answer.
+    val resource = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/bpe_merges.txt"), "UTF-8")
+      .getLines().filter(_.nonEmpty)
+      .map { l => val p = l.trim.split(' '); (p(0).toInt, p(1).toInt) }.toSeq
+    assert(merges.toSeq === resource,
+      "in-engine training diverged from the offline derivation")
+    val frozen = SparkEntry.queries("text_tokens_bpe")(spark, sf)
+      .select("doc_id", "bpe_id_hash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val learned = SparkEntry.queries("bpe_train_tokenize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(learned.forall { case (id, h, _) => frozen(id) == h })
+    val meanCpt = learned.map(_._3).sum / learned.length
+    assert(meanCpt > 1.3, s"no compression from the learned merges: $meanCpt")
+  }
+
   test("word cap keeps the top-(count desc, word asc) prefix deterministically") {
     import spark.implicits._
     val docs = Seq("xx xx xx yy yy zz").toDF("text")

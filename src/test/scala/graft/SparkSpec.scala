@@ -59,6 +59,7 @@ class EntrySpec extends SparkSpec {
     "text_tokens" -> 500,
     "text_tokens_bpe" -> 500,
     "bpe_train" -> 48,
+    "bpe_train_tokenize" -> 500,
     "text_quality_classifier" -> 500,
     "text_keywords" -> 1500,
     "text_lm_score" -> 500,
