@@ -221,6 +221,62 @@ object VectorSearch extends QueryModule {
       .orderBy(col("q_id").asc, col("rk").asc)
   }
 
+  /** Hamming-shortlist KNN JOIN — the two-phase batch-retrieval form for
+    * the memory-bound NO-INDEX regime: phase 1 cross-joins the corpus's
+    * packed sign words against the broadcast packed queries (8 B move per
+    * corpus row, one XOR+popcount per candidate) and keeps each query's
+    * `shortlist` hamming-nearest ids through the pre-shuffle k-heap;
+    * phase 2 re-ranks ONLY the queries × shortlist pairs with the exact
+    * float metric (the pair set broadcasts back onto the float table).
+    * Compute stays O(N·M) bit ops — the brute-force regime, right when
+    * no index exists or the corpus is mid-sized; for huge corpora the
+    * cell-blocked [[knnJoin]] is the path. shortlist >= corpus provably
+    * equals the exact join (spec). */
+  def knnJoinHamming(s: SparkSession, queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, cIdCol: String, vecCol: String, k: Int,
+                     shortlist: Int, metric: String = "l2",
+                     excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qp = queries.select(col(qIdCol).as("q_id"),
+      graft.functions.bit_pack_sign(col(vecCol)).as("qbv"))
+    val cp = corpus.select(col(cIdCol).as("n_id"),
+      graft.functions.bit_pack_sign(col(vecCol)).as("nbv"))
+    val cand0 = cp.crossJoin(broadcast(qp))
+    val cand = if (excludeSelf) cand0.filter(col("q_id") =!= col("n_id")) else cand0
+    val short = cand
+      .select(col("q_id"), col("n_id"),
+        graft.functions.hamming_dist(col("nbv"), col("qbv")).as("hd"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("q_id").orderBy(col("hd").asc, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= shortlist)
+      .select("q_id", "n_id")
+    val (score, asc) = metric match {
+      case "l2" => ((a: Column, b: Column) => vec_l2(a, b), true)
+      case "cosine" => ((a: Column, b: Column) => vec_cosine(a, b), false)
+      case "dot" => ((a: Column, b: Column) => vec_dot(a, b), false)
+      case other => throw new IllegalArgumentException(
+        s"knnJoinHamming: unknown metric $other")
+    }
+    val distOrder = if (asc) col("dist").asc else col("dist").desc
+    val qv = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(cIdCol).as("n_id"), col(vecCol).as("__cv"))
+    cv.join(broadcast(short), "n_id").join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(score(col("__cv"), col("__qv")), 6).as("dist"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("q_id").orderBy(distOrder, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
+  private def knnJoinHammingQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    knnJoinHamming(s, e.filter(col("vec_id") < 20), e,
+      "vec_id", "vec_id", "embedding", k = 5, shortlist = 100)
+  }
+
   /** KNN join against a PERSISTED index: the corpus is the index dataset
     * itself (cell column already materialized, fragments cell-clustered so
     * the probed-cell join prunes their scan), probes come from the stored
@@ -453,6 +509,7 @@ object VectorSearch extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,
+    "knn_join_hamming" -> knnJoinHammingQuery,
     "knn_join_pq" -> knnJoinPqQuery,
     "emb_quantize" -> embQuantize,
     "emb_binarize" -> embBinarize,

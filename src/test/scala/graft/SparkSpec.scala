@@ -44,6 +44,7 @@ class EntrySpec extends SparkSpec {
     "q_events_moving" -> 30,
     "knn_cosine" -> 10,
     "knn_join" -> 100,
+    "knn_join_hamming" -> 100,
     "knn_negatives" -> 50,
     "knn_join_pq" -> 100,
     "knn_join_sql" -> 100,

@@ -691,6 +691,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"1-bit shortlist recall $recall")
   }
 
+  test("knn_join_hamming: full shortlist == the exact knn join; gate shortlist recall >= 0.8") {
+    import graft.operators.VectorSearch
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = VectorSearch.knnJoin(spark, queries, e,
+        "vec_id", "vec_id", "embedding", k = 5, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // shortlist >= corpus ⇒ phase 2 re-ranks every candidate ⇒ exact
+    val corpus = e.count().toInt
+    val full = VectorSearch.knnJoinHamming(spark, queries, e,
+        "vec_id", "vec_id", "embedding", k = 5, shortlist = corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(full === exact)
+    // gate form: per-query recall of the 50-candidate 1-bit shortlist
+    val shortRows = SparkEntry.queries("knn_join_hamming")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactByQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = shortRows.groupBy(_._1).map { case (q, g) =>
+      g.map(_._2).toSet.intersect(exactByQ(q)).size / 5.0
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"mean shortlist recall $meanRecall")
+  }
+
   test("knn_negatives: every neighbor differs in label; plan keeps top-k partial + broadcast") {
     val df = SparkEntry.queries("knn_negatives")(spark, sf)
     val rows = df.collect()
