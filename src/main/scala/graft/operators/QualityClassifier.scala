@@ -77,21 +77,25 @@ object QualityClassifier {
     (valueAtRank((n + 2) / 3), valueAtRank((2 * n + 2) / 3))
   }
 
-  private[graft] def trainModel(s: SparkSession, docs: DataFrame): Model = {
-    val scored = docs.select(col("doc_id"), col("w"),
-      round(TextAnalysis.qualityScore, 6).as("quality"))
-    val (qLo, qHi) = tertiles(scored)
-    val labeled = scored
-      .withColumn("label",
-        when(col("quality") <= qLo, 0).when(col("quality") >= qHi, 1))
-      .filter(col("label").isNotNull)
-    // one (label, bucket) shuffle; result bounded at 2 * Buckets rows
-    val counts = labeled
+  /** Weak-label column for a tokenized frame under frozen thresholds. */
+  private[graft] def labelCol(qLo: Double, qHi: Double): org.apache.spark.sql.Column = {
+    val q = round(TextAnalysis.qualityScore, 6)
+    when(q <= qLo, 0).when(q >= qHi, 1)
+  }
+
+  /** The (label, bucket) feature-count frame — bounded at 2 × Buckets
+    * rows no matter the input; ADDITIVE, so per-batch deltas from a
+    * stream sum to the batch-trained counts (q_stream_classifier). */
+  private[graft] def featureCounts(labeled: DataFrame): DataFrame =
+    labeled
       .select(col("label"), explode(featureTokens).as("tok"))
       .groupBy(col("label"), bucketCol(col("tok")).as("b"))
       .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+  /** Assemble the model from collected counts + per-label doc totals. */
+  private[graft] def modelFrom(counts: Array[(Int, Int, Long)],
+                               nPos: Long, nNeg: Long,
+                               qLo: Double, qHi: Double): Model = {
     val pos = new Array[Long](Buckets); val neg = new Array[Long](Buckets)
     counts.foreach { case (l, b, n) => if (l == 1) pos(b) = n else neg(b) = n }
     val posTotal = pos.sum; val negTotal = neg.sum
@@ -103,12 +107,25 @@ object QualityClassifier {
       math.log((pos(b) + 1).toDouble / (posTotal + vocabSeen)) -
         math.log((neg(b) + 1).toDouble / (negTotal + vocabSeen))
     }
+    Model(weights, math.log((nPos + 1).toDouble / (nNeg + 1)), qLo, qHi)
+  }
+
+  private[graft] def trainModel(s: SparkSession, docs: DataFrame): Model = {
+    val scored = docs.select(col("doc_id"), col("w"),
+      round(TextAnalysis.qualityScore, 6).as("quality"))
+    val (qLo, qHi) = tertiles(scored)
+    val labeled = docs.withColumn("label", labelCol(qLo, qHi))
+      .filter(col("label").isNotNull)
+    // one (label, bucket) shuffle; result bounded at 2 * Buckets rows
+    val counts = featureCounts(labeled)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     val Array(nPos, nNeg) = {
       val byLabel = labeled.groupBy("label").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       Array(byLabel.getOrElse(1, 0L), byLabel.getOrElse(0, 0L))
     }
-    Model(weights, math.log((nPos + 1).toDouble / (nNeg + 1)), qLo, qHi)
+    modelFrom(counts, nPos, nNeg, qLo, qHi)
   }
 
   /** Train on `dir`'s documents, then score ALL of them. */
@@ -117,8 +134,11 @@ object QualityClassifier {
 
   /** Train + score over an arbitrary tokenized frame (`w` column present)
     * — the seam soaks and own-corpus callers use. */
-  def runOn(s: SparkSession, d: DataFrame): DataFrame = {
-    val m = trainModel(s, d)
+  def runOn(s: SparkSession, d: DataFrame): DataFrame =
+    scoreWith(s, d, trainModel(s, d))
+
+  /** Score a tokenized frame with an already-trained model. */
+  private[graft] def scoreWith(s: SparkSession, d: DataFrame, m: Model): DataFrame = {
     // scoring: builtin-function fold over the token array against the
     // literal weight array — whole-stage-codegen map stage, zero shuffle
     val wLit = lit(m.weights)

@@ -757,12 +757,74 @@ object StreamingOps extends QueryModule {
     mvTable
   }
 
+  /** Streaming NB-classifier maintenance — the model's state is an
+    * ADDITIVE (label, bucket) frequency table, so it refreshes from a
+    * document stream by per-batch count DELTAS appended generation-tagged
+    * into a lance model table: per-batch sink IO is bounded by
+    * 2×2^16 + 2 rows regardless of history, and additive state needs no
+    * read-modify-write at all (APPEND-only — even cheaper than the MV's
+    * full-outer merge). Weak-label thresholds freeze up front from the
+    * reference corpus (the train-on-reference posture the LM scorer
+    * documents). Replayed batches are no-ops via the same batch-id
+    * high-water guard as q_stream_mv. Because counts are associative the
+    * final summed model provably equals the batch-trained model — the
+    * spec asserts the gated key's output row-for-row equals
+    * text_quality_classifier's. */
+  private def streamClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = TextAnalysis.docs(s, dir)
+    val scored = d.select(col("doc_id"), col("w"),
+      round(TextAnalysis.qualityScore, 6).as("quality"))
+    val (qLo, qHi) = QualityClassifier.tertiles(scored)
+    val srcDir = tmp("sclf-src"); val modelTable = tmp("sclf-model") + "/t"
+    val ckpt = tmp("sclf-ckpt")
+    val raw = t(s, dir, "documents")
+    raw.repartition(4).write.mode("overwrite").parquet(srcDir)
+    Seq.empty[(Int, Int, Long, Long)].toDF("label", "b", "n", "bid")
+      .write.format("lance").save(modelTable)
+    val q = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val cur = s.read.format("lance").load(modelTable)
+        val lastBid = cur.agg(max("bid")).first() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        if (bid > lastBid) { // replayed micro-batch = no-op
+          val labeled = batch.withColumn("w", TextAnalysis.tokens)
+            .withColumn("label", QualityClassifier.labelCol(qLo, qHi))
+            .filter(col("label").isNotNull)
+          QualityClassifier.featureCounts(labeled)
+            .unionByName(labeled.groupBy("label")
+              .agg(count(lit(1)).as("n"))
+              .select(col("label"), lit(-1).as("b"), col("n")))
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("append").save(modelTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    // final model = the additive sum across every batch's delta rows
+    val agg = s.read.format("lance").load(modelTable)
+      .groupBy("label", "b").agg(sum("n").cast("long").as("n")).collect()
+    val counts = agg.filter(_.getInt(1) >= 0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byLabel = agg.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val m = QualityClassifier.modelFrom(counts,
+      byLabel.getOrElse(1, 0L), byLabel.getOrElse(0, 0L), qLo, qHi)
+    QualityClassifier.scoreWith(s, d, m)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_join" -> streamJoin,
     "q_stream_join_left" -> streamJoinLeft,
     "q_stream_dedup_window" -> streamDedupWindow,
     "q_stream_mv" -> streamMv,
+    "q_stream_classifier" -> streamClassifier,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,

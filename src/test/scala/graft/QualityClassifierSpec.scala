@@ -51,6 +51,17 @@ class QualityClassifierSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("q_stream_classifier: streamed count deltas sum to the batch-trained model") {
+    // additive counts + frozen thresholds ==> the streamed model IS the
+    // batch model; outputs must match row for row
+    val streamed = SparkEntry.queries("q_stream_classifier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4))).toSeq
+    val batch = SparkEntry.queries("text_quality_classifier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 500)
+  }
+
   test("tertile thresholds are exact order statistics of the score histogram") {
     import spark.implicits._
     // 9 docs with scores 1..9 (as rounded quality values): ranks ceil(11/3)=3

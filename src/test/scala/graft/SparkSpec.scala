@@ -144,6 +144,7 @@ class EntrySpec extends SparkSpec {
     "q_batch_cdc" -> 2,
     "q_cdc_materialized" -> 5,
     "q_stream_mv" -> 5,
+    "q_stream_classifier" -> 500,
     "ivf_flat_search" -> 15,
     "ivf_append_search" -> 15,
     "ivf_hnsw_search" -> 15,
