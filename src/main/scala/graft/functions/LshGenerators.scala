@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native LSH band-key generator: one row per (band, blocking-bucket)
+  * emission. Replaces the `explode(flatten(transform(sequence(...),
+  * named_struct(hash(slice(sig, ...)), ...))))` SQL-lambda chain, whose
+  * interpreted evaluation allocates a sliced copy of the signature per
+  * band and a struct per emission — the chain, not the hashing, dominated
+  * dedup_ngram_jaccard's candidate pass.
+  *
+  * For each band b in [0, bands): the band digest folds the band's
+  * `rowsPerBand` signature slots through splitmix; the row key mixes in
+  * the blocking attributes (`lang` hashed, `bkt` as-is). Two rows per
+  * band are emitted — (b, key(bkt)) and (b, key(bkt+1)) — the standard
+  * neighbor-bucket blocking emission: any pair within one length bucket
+  * of each other shares at least one key in every agreeing band.
+  *
+  * Key values are internal to the groupBy that consumes them (they never
+  * meet SQL `hash()` output), so the digest only needs determinism and
+  * dispersion, not compatibility.
+  */
+case class LshBandKeys(sig: Expression, lang: Expression, bkt: Expression,
+                       bands: Int, rowsPerBand: Int)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(sig, lang, bkt)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("band_idx", IntegerType, nullable = false),
+    StructField("band_key", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sig.dataType, lang.dataType, bkt.dataType) match {
+      case (ArrayType(LongType, _), StringType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lsh_band_keys needs (array<long>, string, bigint), got $other")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val sigV = sig.eval(input)
+    val langV = lang.eval(input)
+    val bktV = bkt.eval(input)
+    if (sigV == null || langV == null || bktV == null) return Nil
+    val arr = sigV.asInstanceOf[ArrayData]
+    val ls = langV.asInstanceOf[UTF8String]
+    val langH = XXH64.hashUnsafeBytes(ls.getBaseObject, ls.getBaseOffset, ls.numBytes, 42L)
+    val b0 = bktV.asInstanceOf[Long]
+    val out = new Array[InternalRow](bands * 2)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = LshBandKeys.mix(h ^ arr.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      h = LshBandKeys.mix(h ^ langH)
+      out(2 * b) = InternalRow(b, LshBandKeys.mix(h ^ b0))
+      out(2 * b + 1) = InternalRow(b, LshBandKeys.mix(h ^ (b0 + 1L)))
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sig = newChildren(0), lang = newChildren(1), bkt = newChildren(2))
+}
+
+object LshBandKeys {
+  @inline private[functions] def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Native unordered-pair generator over a sorted id list: emits
+  * (ids(i), ids(j)) for every i < j. Replaces the
+  * `explode(flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,
+  * size(ids)), ...))))` chain, whose interpreted `slice` copies the tail
+  * of the array once PER ELEMENT — O(k²) array copies per bucket on top
+  * of the O(k²) pairs themselves. Lazy: a capped 2000-id bucket yields
+  * its ~2M pairs without materializing them. */
+case class SortedListPairs(ids: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(ids)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = ids.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"sorted_list_pairs needs array<long>, got $dt")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = ids.eval(input)
+    if (v == null) return Nil
+    val arr = v.asInstanceOf[ArrayData].toLongArray()
+    val n = arr.length
+    if (n < 2) return Nil
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): InternalRow = {
+        val out = InternalRow(arr(i), arr(j))
+        j += 1
+        if (j == n) { i += 1; j = i + 1 }
+        out
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ids = newChildren(0))
+}

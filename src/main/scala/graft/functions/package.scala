@@ -73,6 +73,41 @@ package object functions {
   def minhash(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     Column(MinHashSignature(expression(shingles), numHashes, seed))
 
+  /** One-permutation MinHash signature (array<long> of numSlots slot
+    * minima, rotation-densified) — one hash per element instead of
+    * numSlots (see [[OnePermMinHash]]). */
+  def one_perm_minhash(shingles: Column, numSlots: Int, seed: Long = 42L): Column =
+    Column(OnePermMinHash(expression(shingles), numSlots, seed))
+
+  /** Fused char-n-gram OPH signature of a raw string — equals
+    * `one_perm_minhash(ngram_hashes(text, n), numSlots)` with zero
+    * intermediate array/sort work. */
+  def ngram_oph(text: Column, n: Int, numSlots: Int, seed: Long = 42L): Column =
+    Column(OnePermMinHash(expression(text), numSlots, seed, gramLen = n))
+
+  /** Bounded (id, flag, n_chars, grams) struct-collect for block-local
+    * dedup verification; NULL on groups exceeding `cap`
+    * (see [[CappedBlockList]]). */
+  def capped_block_list(id: Column, flag: Column, nChars: Column, grams: Column,
+                        cap: Int): Column =
+    Column(CappedBlockList(expression(id), expression(flag), expression(nChars),
+      expression(grams), cap).toAggregateExpression())
+
+  /** Verified (a_id, b_id, jaccard) pairs of a capped block — exact
+    * merge-walk Jaccard, no join (see [[VerifiedBlockPairs]]). */
+  def verified_block_pairs(items: Column, lenBand: Long, tau: Double): Column =
+    Column(VerifiedBlockPairs(expression(items), lenBand, tau))
+
+  /** LSH band-key rows (band_idx, band_key) with neighbor-bucket blocking
+    * folded in — a native generator (see [[LshBandKeys]]). */
+  def lsh_band_keys(sig: Column, lang: Column, bkt: Column,
+                    bands: Int, rowsPerBand: Int): Column =
+    Column(LshBandKeys(expression(sig), expression(lang), expression(bkt), bands, rowsPerBand))
+
+  /** All unordered (a_id, b_id) pairs of a sorted id list — a native lazy
+    * generator (see [[SortedListPairs]]). */
+  def sorted_list_pairs(ids: Column): Column = Column(SortedListPairs(expression(ids)))
+
   /** Jaccard of two sorted-distinct array<long> columns (merge walk). */
   def sorted_jaccard(a: Column, b: Column): Column =
     Column(SortedJaccard(expression(a), expression(b)))
@@ -145,6 +180,8 @@ package object functions {
       "graft_simhash" -> (es =>
         if (es.size > 1) SimHash64(es.head, longLit(es(1))) else SimHash64(es.head)),
       "graft_minhash" -> (es => MinHashSignature(es.head, longLit(es(1)).toInt,
+        if (es.size > 2) longLit(es(2)) else 42L)),
+      "one_perm_minhash" -> (es => OnePermMinHash(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L)),
       "sorted_jaccard" -> (es => SortedJaccard(es.head, es(1))),
       "ngram_hashes" -> (es => NgramHashes(es.head, longLit(es(1)).toInt,

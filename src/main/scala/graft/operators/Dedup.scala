@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import graft.functions.{minhash, simhash}
+import graft.functions.{minhash, one_perm_minhash, simhash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,11 @@ object Dedup extends QueryModule {
   private val RowsPerBand = 4
   private val JaccardTau = 0.8
   private[operators] val BucketCap = 100
+  /** Tier-1 block cap for the two-tier n-gram dedup: an efficiency
+    * crossover, not a correctness guard — a block over this size escalates
+    * to the LSH tier (which is itself [[BucketCap]]-bounded) instead of
+    * paying the cap²/2 in-block quadratic budget. */
+  private[operators] val BlockCap = 512
 
   /** (doc_id, band_idx, band_key) LSH band keys — the shared map stage of
     * the batch and streaming near-dedup paths: shingles → 128-hash MinHash
@@ -271,38 +276,94 @@ object Dedup extends QueryModule {
   private def charGrams: Column = graft.functions.ngram_hashes(col("text"), 3)
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    def g = t(s, dir, "documents")
+    // TWO-TIER architecture (r15). The declared semantics (same lang,
+    // |n_chars diff| <= LenBand, exact gram-Jaccard >= tau) partition the
+    // corpus into (lang, length-bucket) blocks: every qualifying pair lies
+    // within one block or two adjacent ones. Each doc is therefore emitted
+    // into its own bucket (flag 0) and the next one (flag 1).
+    //
+    // TIER 1 - blocks at or under BlockCap members collect their
+    // (id, flag, n_chars, grams) structs and a native generator emits
+    // VERIFIED pairs directly: the flag rule makes emission exactly-once,
+    // the merge walk is bit-identical to sorted_jaccard, and there is no
+    // join, no candidate materialization, and no distinct. The quadratic
+    // term is bounded by cap^2/2 per block; the shuffle is one linear pass
+    // of the gram sets (x2 bucket variants).
+    //
+    // TIER 2 - blocks OVER the cap escalate to MinHash-LSH instead of
+    // either quadratic explosion (the r13 flaw) or wholesale drop: their
+    // member docs re-enter the banded path (42 bands x 3 rows over a
+    // fused one-permutation signature - recall 1-1e-10 at tau, one hash
+    // per gram), band keys still folding in (lang, bucket) so candidates
+    // stay inside the semantic blocks, band buckets bounded by the same
+    // cap (a band bucket that STILL overflows - a mass-duplicate cluster -
+    // is dropped whole, the declared skew guard; exact dedup upstream owns
+    // that regime). Tier-2 candidates verify through a doc_id join and
+    // cross-band duplicates collapse in the final distinct - at bench
+    // scale tier 2 holds only the few blocks the cap rejects, at 100 TB
+    // (where every block overflows) it IS the near-linear LSH path.
+    //
+    // On a corpus whose background gram-Jaccard crowds the threshold
+    // (this synthetic one: 377-gram trigram universe, median pairwise
+    // J~0.47 vs tau=0.75), r=3 banding alone passes nearly every pair -
+    // folding the semantic blocks into BOTH tiers is what keeps candidate
+    // volume proportional to true-block mass instead of N^2.
+    val docs = t(s, dir, "documents")
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), col("n_chars"), charGrams.as("s"))
-    // candidate pass: ONE compute-bound map stage (grams → 126-hash
-    // signature → 42 band keys; repartitioned so a coarse source split
-    // can't serialize it) + ONE capped-bucket shuffle — same shape as
-    // computeMinhashLshPairs
-    val cand = g.repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"),
-        minhash(col("s"), NgramBands * NgramRowsPerBand, 42L).as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${NgramBands - 1}), b -> hash(slice(sig, b * $NgramRowsPerBand + 1, $NgramRowsPerBand)))")))
-      .toDF("doc_id", "band_idx", "band_key")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        floor(col("n_chars") / LenBand).as("bkt"), col("text"))
+    // each doc under both bucket variants, with its gram set
+    val emitted = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        explode(array(
+          struct(col("bkt").as("vbkt"), lit(0).as("flag")),
+          struct((col("bkt") + 1).as("vbkt"), lit(1).as("flag")))).as("v"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("v.vbkt").as("vbkt"), col("v.flag").as("flag"))
+    val blocks = emitted
+      .select(col("lang"), col("vbkt"), col("doc_id"), col("flag"), col("n_chars"),
+        charGrams.as("s"))
+      .groupBy("lang", "vbkt")
+      .agg(graft.functions.capped_block_list(
+        col("doc_id"), col("flag"), col("n_chars"), col("s"), BlockCap).as("members"))
+    val tier1 = blocks
+      .filter(col("members").isNotNull)
+      .select(graft.functions.verified_block_pairs(col("members"), LenBand, NgramTau))
+    // tier 2: docs belonging to any overflowed block (the overflow key set
+    // is bounded by the number of populated (lang, bucket) blocks - tiny -
+    // so it broadcasts at any corpus scale)
+    val overKeys = blocks.filter(col("members").isNull).select("lang", "vbkt")
+    val t2docs = emitted
+      .join(broadcast(overKeys), Seq("lang", "vbkt"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        floor(col("n_chars") / LenBand).as("bkt"), col("text"))
+      .dropDuplicates("doc_id")
+    val t2cand = t2docs
+      .select(col("doc_id"), col("lang"), col("bkt"),
+        graft.functions.ngram_oph(col("text"), 3, NgramBands * NgramRowsPerBand, 42L).as("sig"))
+      .select(col("doc_id"), graft.functions.lsh_band_keys(
+        col("sig"), col("lang"), col("bkt"), NgramBands, NgramRowsPerBand))
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
       .groupBy("band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
-    // verify: gram sets join back only for candidate docs (cand is tiny
-    // after distinct → AQE broadcasts it into both joins), the declared
-    // lang/±LenBand constraints filter, exact sorted_jaccard decides
-    cand
-      .join(g.select(col("doc_id").as("a_id"), col("lang"),
+    val t2g = t2docs.select(col("doc_id"), col("lang"), col("n_chars"), charGrams.as("s"))
+    val tier2 = t2cand
+      .join(t2g.select(col("doc_id").as("a_id"), col("lang").as("lang_a"),
         col("n_chars").as("na"), col("s").as("sa")), "a_id")
-      .join(g.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      .join(t2g.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
         col("n_chars").as("nb"), col("s").as("sb")), "b_id")
-      .filter(col("lang") === col("lang_b") && abs(col("na") - col("nb")) <= LenBand)
+      .filter(col("lang_a") === col("lang_b") && abs(col("na") - col("nb")) <= LenBand)
       .withColumn("jaccard", graft.functions.sorted_jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= NgramTau)
       .select("a_id", "b_id", "jaccard")
+    // tier-1 pairs are exactly-once; tier-2 pairs can duplicate tier-1
+    // output for pairs straddling a healthy and an overflowed block - the
+    // final distinct (over the small verified set) collapses them
+    tier1.union(tier2)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

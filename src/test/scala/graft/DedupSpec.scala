@@ -166,20 +166,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
-  test("dedup_ngram_jaccard: an over-cap band bucket is dropped whole (bounded fan-out)") {
-    // 150 IDENTICAL docs (same lang/length): every band bucket holds all
-    // of them, 50 over BucketCap=100 — the capped collect NULLs the
-    // buckets, bounding candidate fan-out at cap²/2 per bucket instead of
-    // exploding n² on a mass-duplicate corpus (which exact dedup already
-    // handles upstream); 80 identical docs stay under the cap and pair up
+  test("dedup_ngram_jaccard: over-cap blocks escalate to LSH; mass-dup band buckets drop (bounded fan-out)") {
+    // 600 IDENTICAL docs (same lang/length): the (lang, bucket) block
+    // overflows BlockCap=512, so tier 1 refuses the 600²/2 quadratic
+    // budget and escalates the members to the LSH tier — where every band
+    // bucket holds all 600, over BucketCap=100, and the capped collect
+    // NULLs them whole. Net: a mass-duplicate cluster produces NO near-dup
+    // pairs (bounded fan-out; exact dedup owns that regime upstream).
+    // 80 identical docs stay under BlockCap and pair up exactly in tier 1.
     val tmp = java.nio.file.Files.createTempDirectory("graft-ngramcap-").toString
     import spark.implicits._
     def mk(n: Int) = (1L to n.toLong)
       .map(i => (i, "the quick brown fox jumps over the lazy dog repeatedly", "en", 54L))
       .toDF("doc_id", "text", "lang", "n_chars")
-    mk(150).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    mk(600).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, tmp).collect().isEmpty,
-      "over-cap bucket must be dropped whole")
+      "over-cap block must escalate to LSH, whose mass-dup band buckets drop whole")
     mk(80).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, tmp).count() === 80L * 79 / 2)
   }

@@ -284,12 +284,43 @@ class ExpressionSpec extends SparkSpec {
     assert(viaDf(sorted_jaccard(typedLit(Seq.empty[Long]), typedLit(Seq.empty[Long]))) === 0.0)
   }
 
+  test("one_perm_minhash: fused string kernel == array kernel; dup/order-insensitive; densified") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val text = "the quick brown fox jumps over the lazy dog"
+    // fused text->signature equals OPH over the (sorted-distinct) ngram_hashes set
+    val row = spark.range(1)
+      .select(ngram_oph(lit(text), 3, 64).as("fused"),
+        one_perm_minhash(ngram_hashes(lit(text), 3), 64).as("fromSet"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+    // duplicate & order insensitivity of the set kernel (slot minima)
+    val a = Seq(7L, 3L, 11L, 3L, 7L)
+    val b = Seq(3L, 7L, 11L)
+    val r2 = spark.range(1)
+      .select(one_perm_minhash(typedLit(a), 32).as("x"),
+        one_perm_minhash(typedLit(b), 32).as("y")).collect()(0)
+    assert(r2.getSeq[Long](0) === r2.getSeq[Long](1))
+    // densification: 3 elements into 32 slots still yields a fully-filled,
+    // deterministic signature (no Long.MaxValue leftovers)
+    assert(r2.getSeq[Long](0).length === 32)
+    assert(!r2.getSeq[Long](0).contains(Long.MaxValue))
+    // slot-match fraction approximates Jaccard: identical sets match all
+    // slots; disjoint-ish sets match almost none
+    val c1 = Seq.tabulate(200)(i => i * 2654435761L)
+    val c2 = Seq.tabulate(200)(i => (i + 500) * 2654435761L)
+    val r3 = spark.range(1)
+      .select(one_perm_minhash(typedLit(c1), 64).as("x"),
+        one_perm_minhash(typedLit(c2), 64).as("y")).collect()(0)
+    val matches = r3.getSeq[Long](0).zip(r3.getSeq[Long](1)).count { case (x, y) => x == y }
+    assert(matches <= 8, s"disjoint sets should rarely share slot minima, got $matches/64")
+  }
+
   test("GraftExtensions exposes the same builders as session registration") {
     val names = graft.functions.sqlFunctions.map(_._1)
     assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "bit_pack_sign",
       "hamming_dist", "graft_fingerprint", "graft_simhash", "graft_minhash",
-      "sorted_jaccard", "ngram_hashes", "shingle_hashes", "deflate_len",
-      "bpe_stats", "bpe_chunks"))
+      "one_perm_minhash", "sorted_jaccard", "ngram_hashes", "shingle_hashes",
+      "deflate_len", "bpe_stats", "bpe_chunks"))
     // builders produce evaluable expressions (the extension injects these)
     val dot = graft.functions.sqlFunctions.toMap.apply("vec_dot")(
       Seq(fLit(1f, 2f), fLit(3f, 4f)))
