@@ -329,7 +329,7 @@ object BpeChunks {
   * once per executor and ride the plan as a reference object; the
   * tokenize pass is the same codegen'd single static call as the frozen
   * vocabulary's. */
-case class BpeStatsWith(child: Expression, pairs: Array[Int])
+case class BpeStatsWith(child: Expression, pairs: IndexedSeq[Int])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -338,7 +338,10 @@ case class BpeStatsWith(child: Expression, pairs: Array[Int])
     case dt => TypeCheckResult.TypeCheckFailure(s"bpe_stats_with needs string, got $dt")
   }
 
-  @transient private lazy val table = Bpe.rankTable(pairs)
+  // pairs is an immutable IndexedSeq (not Array) so case-class equality
+  // is value-based and semanticEquals / subexpression elimination can
+  // recognize two identical bpe_stats_with expressions in one plan
+  @transient private lazy val table = Bpe.rankTable(pairs.toArray)
 
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Bpe.statsWith(table, v.asInstanceOf[UTF8String]))

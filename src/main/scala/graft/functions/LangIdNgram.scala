@@ -69,15 +69,27 @@ object LangIdNgram {
       "du pain et de l eau fraiche"))
 
   /** Ranked profile of a text: gram → rank (0-based), top `ProfileSize`
-    * character 1-3-grams by (count DESC, gram ASC). */
+    * character 1-3-grams by (count DESC, gram ASC). Grams are CODE-POINT
+    * windows (matching CharBigrams/LmDocScore's iteration), so non-BMP
+    * characters stay whole instead of splitting into lone surrogates. */
   def profile(text: String): java.util.HashMap[String, Integer] = {
     val counts = new java.util.HashMap[String, Array[Long]]()
+    // code-point start offsets (UTF-16 indices), one sentinel at the end
     val len = text.length
+    val starts = new Array[Int](text.codePointCount(0, len) + 1)
+    var off = 0
+    var np = 0
+    while (off < len) {
+      starts(np) = off
+      off += Character.charCount(text.codePointAt(off))
+      np += 1
+    }
+    starts(np) = len
     var i = 0
-    while (i < len) {
+    while (i < np) {
       var n = 1
-      while (n <= 3 && i + n <= len) {
-        val g = text.substring(i, i + n)
+      while (n <= 3 && i + n <= np) {
+        val g = text.substring(starts(i), starts(i + n))
         val cell = counts.get(g)
         if (cell == null) counts.put(g, Array(1L)) else cell(0) += 1
         n += 1

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * from the table are skipped from count and sum — inner-join
   * semantics). Evaluates to [n_bigrams, p_nano_sum].
   */
-case class LmDocScore(child: Expression, grams: Array[String], pNanos: Array[Long])
+case class LmDocScore(child: Expression, grams: IndexedSeq[String], pNanos: IndexedSeq[Long])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -28,6 +28,9 @@ case class LmDocScore(child: Expression, grams: Array[String], pNanos: Array[Lon
     case t => TypeCheckResult.TypeCheckFailure(s"lm_doc_score needs string, got $t")
   }
 
+  // grams/pNanos are immutable IndexedSeqs (not Arrays) so case-class
+  // equality is value-based and plan canonicalization can unify
+  // identical lm_doc_score expressions
   @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long](grams.length * 2)
     var i = 0

@@ -133,7 +133,7 @@ package object functions {
   /** Score a document against a frozen bigram LM table: one map pass,
     * [n_bigrams, p_nano_sum]. */
   def lm_doc_score(text: Column, grams: Array[String], pNanos: Array[Long]): Column =
-    Column(LmDocScore(expression(text), grams, pNanos))
+    Column(LmDocScore(expression(text), grams.toIndexedSeq, pNanos.toIndexedSeq))
 
   /** All adjacent code-point bigrams in one O(n) pass. */
   def char_bigrams(text: Column): Column = Column(CharBigrams(expression(text)))
@@ -141,7 +141,7 @@ package object functions {
   /** BPE token stats against a LEARNED merge table (flattened rank-order
     * (left, right) pairs — BpeTrainer output). */
   def bpe_stats_with(text: Column, pairs: Array[Int]): Column =
-    Column(BpeStatsWith(expression(text), pairs))
+    Column(BpeStatsWith(expression(text), pairs.toIndexedSeq))
 
   /** Cavnar-Trenkle n-gram-profile language ID:
     * [dist_en, dist_es, dist_de, dist_fr, langIdx]. */

@@ -131,18 +131,20 @@ object BpeTrainer {
     import s.implicits._
     val hist = pretokenHistogram(s, docs)
     // deterministic cap: a TOTAL order (count desc, word asc), so the
-    // trained table is reproducible regardless of partitioning
-    val top = hist.orderBy(col("n").desc, col("word").asc)
-      .limit(maxWords)
+    // trained table is reproducible regardless of partitioning. Fetch
+    // maxWords+1 rows in ONE job: the presence of the sentinel extra row
+    // is the "cap bound" signal, so no second full histogram pass (and no
+    // spurious message when distinct pretokens == maxWords exactly).
+    val topPlus = hist.orderBy(col("n").desc, col("word").asc)
+      .limit(maxWords + 1)
       .collect()
+    val top = topPlus.take(maxWords)
       .map(row => (row.getString(0).getBytes("UTF-8"), row.getLong(1)))
       .toSeq
-    // no silent caps: when the word cap binds, say what was dropped
-    if (top.length == maxWords) {
-      val distinct = hist.count()
+    // no silent caps: when the word cap binds, say so
+    if (topPlus.length > maxWords)
       System.err.println(
-        s"[bpe_train] word cap bound: training on $maxWords of $distinct distinct pretokens")
-    }
+        s"[bpe_train] word cap bound: training on the top $maxWords distinct pretokens; rest dropped")
     learn(top, numMerges)
       .map(m => (m.rank.toLong, m.leftId.toLong, m.rightId.toLong,
         m.newId.toLong, m.pairCount, m.tokenHex))

@@ -346,11 +346,15 @@ object Multimodal extends QueryModule {
   // brightness-shifted copies of one image are NOT byte-duplicates, so
   // content-hash dedup misses them — a perceptual hash (dHash: gradient
   // signs over a coarse grid) is invariant to exactly those edits.
-  // Pipeline: real ImageIO decode → 64-bit dHash (one map stage) → the
-  // SAME 4×16-bit pigeonhole banding as dedup_simhash (capped buckets,
-  // never all-pairs) → exact hamming verify on candidates. At 100 TB the
-  // decode+hash is a linear map over payload splits and the join is
-  // bucket-bounded, identical scale posture to the text near-dup family.
+  // Pipeline: real ImageIO decode → 64-bit dHash (one map stage) →
+  // 8×8-bit pigeonhole banding (capped buckets, never all-pairs) → exact
+  // hamming verify on candidates. Pigeonhole: a pair within hamming d
+  // shares at least one untouched band when d < #bands, so 8 bands
+  // GUARANTEE recall at hamming ≤ 7 ≥ ImgHammingMax = 6 (the r14 4×16
+  // layout only guaranteed ≤ 3 and silently best-efforted 4-6). At
+  // 100 TB the decode+hash is a linear map over payload splits and the
+  // join is bucket-bounded, identical scale posture to the text near-dup
+  // family.
 
   /** 64-bit difference hash: integer block-average grayscale on a 9×8
     * grid, bit = cell brighter than its right neighbor. Averages compare
@@ -447,22 +451,18 @@ object Multimodal extends QueryModule {
   private val ImgHammingMax = 6L
   private val ImgBucketCap = 256
 
-  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(it => it.flatMap { id =>
-        ImageCodec.decode(synthImage(id)).map(img => (id, dHash(img)))
-      })
-      .toDF("doc_id", "sig")
+  /** Banded near-dup pairs of a (doc_id, sig) 64-bit perceptual-hash
+    * table: 8×8-bit pigeonhole bands → capped buckets → exact hamming
+    * verify at [[ImgHammingMax]]. Split out so the banding's recall
+    * guarantee is testable on adversarial signatures directly. */
+  private[graft] def hashPairs(sigs: DataFrame): DataFrame = {
     val cand = sigs.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
+        "transform(sequence(0, 7), b -> shiftrightunsigned(sig, b * 8) & 255)")))
       .toDF("doc_id", "band_idx", "band_key")
       .groupBy("band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
@@ -470,7 +470,16 @@ object Multimodal extends QueryModule {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= ImgHammingMax)
       .select("a_id", "b_id", "hamming")
-      .orderBy("a_id", "b_id")
+  }
+
+  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        ImageCodec.decode(synthImage(id)).map(img => (id, dHash(img)))
+      })
+      .toDF("doc_id", "sig")
+    hashPairs(sigs).orderBy("a_id", "b_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -221,4 +221,24 @@ class MultimodalSpec extends SparkSpec {
     val p0zero = pairs.filter(p => p._3 == 0L && p._1 % 50 == 0)
     assert(p0zero.length >= 28, s"pattern-0 zero-distance pairs: ${p0zero.length}")
   }
+
+  test("mm_image_dedup banding: adversarial hamming-4..6 spreads are still paired (8-band pigeonhole)") {
+    import spark.implicits._
+    // base sig plus copies whose differing bits are SPREAD across
+    // different 16-bit quarters — exactly the pairs the r14 4×16 banding
+    // silently dropped (no untouched quarter at hamming >= 4). With 8
+    // 8-bit bands, hamming <= 7 always leaves an untouched band.
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val sigs = Seq(
+      1L -> base,
+      2L -> (base ^ 0x0001000100010001L),                    // h=4, one bit per quarter
+      3L -> (base ^ 0x0001000100010301L),                    // h=6, all quarters touched
+      4L -> (base ^ 0x8080808080808080L)                     // h=8: beyond max, must NOT pair
+    ).toDF("doc_id", "sig")
+    val got = operators.Multimodal.hashPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"hamming-4 spread pair missing: $got")
+    assert(got.contains((1L, 3L)), s"hamming-6 spread pair missing: $got")
+    assert(!got.contains((1L, 4L)), s"hamming-8 pair must be filtered: $got")
+  }
 }
