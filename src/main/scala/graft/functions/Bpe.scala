@@ -29,10 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * pin the tokenization with a polynomial id-hash column.
   */
 object Bpe {
-  /** (left, right) token-id pairs in rank order; merge r defines id 256+r. */
-  private val merges: Array[(Int, Int)] = {
-    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
-    require(in != null, "resource /graft/bpe_merges.txt missing")
+  private def loadMerges(res: String): Array[(Int, Int)] = {
+    val in = getClass.getResourceAsStream(res)
+    require(in != null, s"resource $res missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { l =>
       val p = l.trim.split(' ')
@@ -40,6 +39,19 @@ object Bpe {
     }.toArray
     finally src.close()
   }
+
+  /** (left, right) token-id pairs in rank order; merge r defines id 256+r.
+    * The production-posture vocabulary (8192 merges — r15): the corpus-
+    * statistics-driven expansion documented in scripts/gen_bpe_vocab.py
+    * (--expand), sized like a real subword tokenizer so the `_bpe` keys
+    * exercise realistic rank-table depth and merge counts. */
+  private val merges: Array[(Int, Int)] = loadMerges("/graft/bpe_merges_8k.txt")
+
+  /** The small CORPUS-TRAINED table (saturates at 127 merges on the
+    * synthetic corpus — 61 distinct pretokens at sf0.1): kept as the
+    * bit-for-bit reproduction target for the distributed trainer
+    * (BpeTrainSpec) — two independent implementations, one answer. */
+  val corpusTrainedMerges: Array[(Int, Int)] = loadMerges("/graft/bpe_merges.txt")
 
   // ids stay < 2^21 (256 + |merges|), so a pair packs into one long key
   @inline private def pairKey(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong

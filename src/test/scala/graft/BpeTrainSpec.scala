@@ -103,23 +103,24 @@ class BpeTrainSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === expected)
 
-    // the frozen resource vocabulary was derived OFFLINE by
+    // the corpus-trained resource table was derived OFFLINE by
     // scripts/gen_bpe_vocab.py from this same sf0.001 corpus with the
     // same tie rules — so the distributed in-engine trainer must
     // REPRODUCE it bit-for-bit: merge list == the shipped resource
     // (training exhausts at the same point regardless of the larger
-    // requested budget), and therefore the learned-vocab tokenization ==
-    // the frozen-vocab key exactly. The strongest trainer validation
-    // available: two independent implementations, one answer.
-    val resource = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/graft/bpe_merges.txt"), "UTF-8")
-      .getLines().filter(_.nonEmpty)
-      .map { l => val p = l.trim.split(' '); (p(0).toInt, p(1).toInt) }.toSeq
-    assert(merges.toSeq === resource,
+    // requested budget). The strongest trainer validation available:
+    // two independent implementations, one answer. (Since r15 the
+    // DEFAULT vocab behind text_tokens_bpe is the 8192-merge production
+    // table, so the learned-vocab hashes are checked against a driver
+    // encode with the SAME corpus-trained table instead of the key.)
+    assert(merges.toSeq === Bpe.corpusTrainedMerges.toSeq,
       "in-engine training diverged from the offline derivation")
-    val frozen = SparkEntry.queries("text_tokens_bpe")(spark, sf)
-      .select("doc_id", "bpe_id_hash").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = merges.flatMap { case (l, r) => Array(l, r) }
+    val table = Bpe.rankTable(flat)
+    val frozen = d.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> Bpe.statsWith(table,
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))(1)
+    }.toMap
     val learned = SparkEntry.queries("bpe_train_tokenize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(learned.forall { case (id, h, _) => frozen(id) == h })

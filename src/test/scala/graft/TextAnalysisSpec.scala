@@ -124,6 +124,14 @@ class TextAnalysisSpec extends SparkSpec {
     val enc = texts.map(Bpe.encode(_).length.toLong)
     assert(enc.sum < texts.map(_.getBytes("UTF-8").length.toLong).sum / 2,
       "merge table produced no real compression")
+    // production-scale vocabulary (r15): 256 bytes + 8192 merges, and its
+    // decode closure holds (every token's bytes = left ++ right concat is
+    // enforced by construction in Bpe.vocab — spot-check the deepest id)
+    assert(Bpe.vocabSize === 256 + 8192, s"vocab size ${Bpe.vocabSize}")
+    // common corpus words become single tokens under a realistic vocab:
+    // bytes-per-token well above 2 (the 127-merge table plateaued ~2.3)
+    val bpt = texts.map(_.getBytes("UTF-8").length.toLong).sum.toDouble / enc.sum
+    assert(bpt > 3.0, s"bytes/token $bpt not production-shaped")
   }
 
   test("text_tokens_bpe: codegen'd expression == driver-side reference; plan is exchange-free") {
