@@ -42,7 +42,9 @@ object Bench {
     // appended r14 second half
     "q6_forecast", "q_rollup_pricing", "q_stream_join",
     "text_quality_classifier", "bpe_train", "pipeline_pretrain",
-    "q_events_topk", "mm_image_dedup", "q_cdc_materialized")
+    "q_events_topk", "mm_image_dedup", "q_cdc_materialized",
+    // appended r15
+    "text_search_bm25", "text_search_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -522,20 +522,17 @@ object TextAnalysis extends QueryModule {
     3L -> "customer", 3L -> "query")
   private val Bm25TopK = 5
 
-  private def textSearchBm25(s: SparkSession, dir: String): DataFrame = {
+  /** The BM25 scoring stage shared by the scan-side key and the
+    * persisted-index path ([[TextIndex]]): identical expression tree on
+    * both, so index-served results hash-match the direct scan. Inputs:
+    * dt (doc_id, dl, term, tf) — postings for (at least) the query
+    * vocabulary; dfreq (term, df); stats (n_docs, sum_dl) one row;
+    * q (query_id, term). k1 = 1.2, b = 0.75 — the conventional
+    * constants, written as plain literals on both engines so the parsed
+    * doubles are identical. */
+  private[operators] def bm25Rank(dt: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, q: DataFrame, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val d = docs(s, dir).filter(size(col("w")) > 0)
-      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
-    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val vocab = Bm25Queries.map(_._2).distinct
-    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .filter(col("term").isin(vocab: _*)) // prune BEFORE the TF shuffle
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
-    val q = Bm25Queries.toDF("query_id", "term")
-    // k1 = 1.2, b = 0.75 — the conventional constants, written as plain
-    // literals on both engines so the parsed doubles are identical
     val idf = (col("n_docs").cast("double") - col("df") + lit(0.5d)) /
       (col("df") + lit(0.5d))
     val tfn = (col("tf").cast("double") * lit(2.2d)) /
@@ -552,8 +549,35 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).cast("long").as("n_terms"),
         round(sum("s_micro").cast("double") / 1e6, 6).as("score"))
       .withColumn("rk", row_number().over(byQuery).cast("long"))
-      .filter(col("rk") <= Bm25TopK)
+      .filter(col("rk") <= topK)
       .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  private def textSearchBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val vocab = Bm25Queries.map(_._2).distinct
+    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(vocab: _*)) // prune BEFORE the TF shuffle
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Rank(dt, dfreq, stats, Bm25Queries.toDF("query_id", "term"), Bm25TopK)
+  }
+
+  // ---- text_search_indexed -----------------------------------------------
+  // The same query workload served from a PERSISTED inverted index
+  // ([[TextIndex]]): postings bucketed by term in a lance table, df and
+  // corpus stats persisted beside them. Search reads ONLY the buckets the
+  // query vocabulary hashes into (read.buckets restricted scan) — no
+  // corpus scan, no tokenization, no TF shuffle at query time. Output is
+  // gated against the SAME oracle as text_search_bm25: the index path
+  // must reproduce the scan path bit-for-bit.
+  private def textSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = TextIndex.indexFor(s, dir)
+    TextIndex.search(s, root, Bm25Queries.toDF("query_id", "term"), Bm25TopK)
   }
 
   // ---- text_lm_score -----------------------------------------------------
@@ -686,6 +710,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_classifier" -> ((s, dir) => QualityClassifier.run(s, dir)),
     "text_keywords" -> textKeywords,
     "text_search_bm25" -> textSearchBm25,
+    "text_search_indexed" -> textSearchIndexed,
     "text_lm_score" -> textLmScore,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -698,6 +723,39 @@ object TextAnalysis extends QueryModule {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private lazy val bm25OracleSql: String = {
+      val queryValues = Bm25Queries
+        .map { case (id, term) => s"(CAST($id AS BIGINT), '$term')" }
+        .mkString(", ")
+      val vocabList = inList(Bm25Queries.map(_._2).distinct)
+      s"""WITH dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w
+         |    FROM (SELECT doc_id, $wSql AS w FROM documents) WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+         |dt AS (SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+         |  WHERE term IN $vocabList
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |q(query_id, term) AS (VALUES $queryValues),
+         |sc AS (SELECT q.query_id, dt.doc_id,
+         |    CAST(round(round(
+         |      (((CAST(n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf AS DOUBLE) + (1.2 * (0.25
+         |          + ((0.75 * CAST(dl AS DOUBLE))
+         |            / (CAST(sum_dl AS DOUBLE) / n_docs)))))),
+         |      6) * 1000000.0) AS BIGINT) AS s_micro
+         |  FROM dt JOIN dfreq USING (term) JOIN q USING (term), stats),
+         |g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0, 6) AS score
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_terms, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM g)
+         |SELECT query_id, doc_id, n_terms, score, rk FROM r WHERE rk <= $Bm25TopK
+         |ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // integer rank selection + integer micro-unit quality sum keep every
@@ -752,38 +810,9 @@ object TextAnalysis extends QueryModule {
     // BM25 with rational idf; micro-unit integer term-score sums keep the
     // per-(query,doc) aggregate order-independent; every double op is
     // mirrored with identical parenthesization
-    "text_search_bm25" -> {
-      val queryValues = Bm25Queries
-        .map { case (id, term) => s"(CAST($id AS BIGINT), '$term')" }
-        .mkString(", ")
-      val vocabList = inList(Bm25Queries.map(_._2).distinct)
-      s"""WITH dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w
-         |    FROM (SELECT doc_id, $wSql AS w FROM documents) WHERE len(w) > 0),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
-         |dt AS (SELECT doc_id, dl, term, count(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
-         |  WHERE term IN $vocabList
-         |  GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
-         |q(query_id, term) AS (VALUES $queryValues),
-         |sc AS (SELECT q.query_id, dt.doc_id,
-         |    CAST(round(round(
-         |      (((CAST(n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5))
-         |      * ((CAST(tf AS DOUBLE) * 2.2)
-         |        / (CAST(tf AS DOUBLE) + (1.2 * (0.25
-         |          + ((0.75 * CAST(dl AS DOUBLE))
-         |            / (CAST(sum_dl AS DOUBLE) / n_docs)))))),
-         |      6) * 1000000.0) AS BIGINT) AS s_micro
-         |  FROM dt JOIN dfreq USING (term) JOIN q USING (term), stats),
-         |g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |    round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0, 6) AS score
-         |  FROM sc GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, n_terms, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM g)
-         |SELECT query_id, doc_id, n_terms, score, rk FROM r WHERE rk <= $Bm25TopK
-         |ORDER BY query_id ASC, rk ASC""".stripMargin
-    },
+    "text_search_bm25" -> bm25OracleSql,
+    // the index path must reproduce the scan path exactly — same oracle
+    "text_search_indexed" -> bm25OracleSql,
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
         |big AS (SELECT doc_id, unnest(list_transform(range(1, length(text)),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index for BM25 keyword search — the text twin of the
+  * vector index family (reference analog: the lateral search function,
+  * table/LanceVectorSearchFunction.java:55-66). A standing query workload
+  * should not re-tokenize the corpus per query batch (the posture
+  * text_search_bm25 documents); this materializes the posting lists once:
+  *
+  *   - `postings` (term, doc_id, tf, dl): lance table BUCKETED by term —
+  *     a query's vocabulary hashes to a handful of buckets, and search
+  *     reads ONLY those through `read.buckets` (fragment-pruned scan; at
+  *     100 TB the posting store is the only per-query IO and it is
+  *     vocabulary-selective, never corpus-sized).
+  *   - `terms` (term, df): document frequencies, vocabulary-sized.
+  *   - `stats` (n_docs, sum_dl): one row of corpus aggregates.
+  *
+  * Search = bucket-restricted postings read → [[TextAnalysis.bm25Rank]]
+  * (the IDENTICAL scoring expression tree as the scan-side key, so
+  * index-served results hash-match it). Build is one tokenize+TF pass —
+  * the same work ONE ad-hoc query pays, amortized over every query after.
+  */
+object TextIndex {
+  /** Bucket count for the postings table. At 100 TB this scales with the
+    * posting volume (buckets ≈ store size / target fragment size); the
+    * bucket cover of a query's vocabulary stays ≤ |vocabulary| regardless. */
+  val Buckets = 8
+
+  /** Sidecar root naming for a corpus table root. */
+  def indexRootFor(corpusRoot: String): String = corpusRoot + "_textidx"
+
+  /** Build the standing index from a (doc_id, text) corpus. */
+  def build(s: SparkSession, corpus: DataFrame, root: String): Unit = {
+    val d = corpus
+      .withColumn("w", TextAnalysis.toksCol)
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    dt.select("term", "doc_id", "tf", "dl")
+      .write.format("lance")
+      .option("write.bucket-by", "term")
+      .option("write.bucket-count", Buckets.toString)
+      .mode("overwrite").save(root + "/postings")
+    dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.format("lance").mode("overwrite").save(root + "/terms")
+    d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.format("lance").mode("overwrite").save(root + "/stats")
+  }
+
+  /** Whether a standing index exists at `root`. */
+  def exists(root: String): Boolean =
+    new java.io.File(root + "/postings").exists()
+
+  /** Serve a (query_id, term) workload from the standing index at `root`.
+    * The postings scan is restricted to the buckets the query vocabulary
+    * hashes into — the driver computes the ≤|vocab| bucket cover with the
+    * same pmod(murmur3(term), N) the bucketed write used. */
+  def search(s: SparkSession, root: String, queries: DataFrame, topK: Int): DataFrame = {
+    val qTerms = queries.select("term").distinct()
+    val buckets = qTerms
+      .select(pmod(hash(col("term")), lit(Buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val postings = s.read.format("lance")
+      .option("read.buckets", buckets.mkString(","))
+      .load(root + "/postings")
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val dfreq = s.read.format("lance").load(root + "/terms")
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
+    val stats = s.read.format("lance").load(root + "/stats")
+    TextAnalysis.bm25Rank(postings, dfreq, stats, queries, topK)
+  }
+
+  // per-(session, dir) memo of the built index root: the standing index
+  // is built ONCE and every query batch after reads it — the posture the
+  // operator exists to prove. Keyed like Dedup.lshPairsCache (sessionUUID
+  // + immutable corpus dir), stopped-session entries purged on access.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The standing index for a testdata corpus dir (built on first use). */
+  def indexFor(s: SparkSession, dir: String): String = {
+    indexCache.entrySet().removeIf { e =>
+      !new java.io.File(e.getValue + "/postings").exists()
+    }
+    indexCache.computeIfAbsent(
+      (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft-textidx-").toString
+        build(s, Tables.t(s, dir, "documents").select("doc_id", "text"), root)
+        root
+      })
+  }
+}

@@ -39,17 +39,18 @@ object LanceProcedures {
       case "zorder" => zorder(catalog)
       case "knn" => knn(catalog)
       case "knn_join" => knnJoin(catalog)
+      case "search" => search(catalog)
       case "reindex" => reindex(catalog)
       case "stats" => stats(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
-          "zorder / knn / knn_join / reindex / stats)")
+          "zorder / knn / knn_join / search / reindex / stats)")
     }
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "reindex",
-        "stats")
+    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
+        "reindex", "stats")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -377,6 +378,72 @@ object LanceProcedures {
           StructField("dist", DoubleType, nullable = false),
           StructField("rk", LongType, nullable = false))),
           rows.toSeq)
+      }
+    }
+
+  /** BM25 keyword retrieval over a STANDING inverted index — the text
+    * twin of [[knnJoin]] (reference analog: the lateral search function,
+    * table/LanceVectorSearchFunction.java:55-66, with terms instead of
+    * vectors):
+    *
+    * {{{
+    *   CALL cat.system.search(queries => 'db.q', corpus => 'db.c',
+    *                          k => 5, id_column => 'doc_id',
+    *                          text_column => 'text',
+    *                          output_table => 'db.hits')
+    * }}}
+    *
+    * `queries` rows are (query_id, term). The corpus's index sidecar
+    * (term-bucketed postings + df + corpus stats,
+    * [[graft.operators.TextIndex]]) is BUILT ON FIRST CALL and reused by
+    * every call after — query-time IO is the bucket-restricted postings
+    * read, never a corpus scan. Scoring is TextAnalysis.bm25Rank, the
+    * identical expression tree as text_search_bm25. With `output_table`
+    * the k·|queries| result materializes to a lance table; without it the
+    * rows return directly. */
+  private def search(catalog: LanceCatalog): UnboundProcedure =
+    bound("search", catalog, Array(
+      param("queries", StringType),
+      param("corpus", StringType),
+      param("k", IntegerType, Some("5")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("output_table", StringType, Some("''")))) { (qRoot, in) =>
+      val spark = SparkSession.active
+      val cRoot = catalog.tableRootFor(in.getUTF8String(1).toString)
+      val k = in.getInt(2)
+      val idCol = in.getUTF8String(3).toString
+      val textCol = in.getUTF8String(4).toString
+      val outTable = in.getUTF8String(5).toString.trim
+      import org.apache.spark.sql.functions._
+      val idxRoot = graft.operators.TextIndex.indexRootFor(cRoot)
+      if (!graft.operators.TextIndex.exists(idxRoot))
+        graft.operators.TextIndex.build(spark,
+          spark.read.format("lance").load(cRoot)
+            .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+          idxRoot)
+      val queries = spark.read.format("lance").load(qRoot)
+        .select(col("query_id").cast("long").as("query_id"), col("term"))
+      val result = graft.operators.TextIndex.search(spark, idxRoot, queries, k)
+      val schema = StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_terms", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false),
+        StructField("rk", LongType, nullable = false)))
+      if (outTable.nonEmpty) {
+        val outRoot = catalog.tableRootForCreate(outTable)
+        result.write.format("lance").mode("overwrite").save(outRoot)
+        val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+        val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+        (StructType(Seq(
+          StructField("output_table", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+          Seq(Array[Any](UTF8String.fromString(outTable), n)))
+      } else {
+        val rows = result.collect().map(r => Array[Any](
+          r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        (schema, rows.toSeq)
       }
     }
 

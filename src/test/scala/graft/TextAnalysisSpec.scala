@@ -316,4 +316,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tokShuffles <= 3,
       s"token stream shuffled $tokShuffles times on tok:\n$plan")
   }
+
+  test("text_search_indexed: index-served results == scan-side BM25 exactly; standing index, no re-tokenize") {
+    val scan = SparkEntry.queries("text_search_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val fromIdx = SparkEntry.queries("text_search_indexed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(fromIdx.toSeq === scan.toSeq)
+    assert(fromIdx.nonEmpty)
+
+    // the SEARCH plan must read the standing postings table, not rebuild
+    // it: no Generate (the tokenizing explode lives only in build) and no
+    // parquet corpus scan — every scan in the plan is a lance index read
+    val df = SparkEntry.queries("text_search_indexed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"index search re-tokenized:\n$plan")
+    assert(!plan.contains("documents.parquet"), s"index search scanned the corpus:\n$plan")
+
+    // standing: a second serving leaves the index untouched (same
+    // manifest version — nothing was rebuilt or appended)
+    val root = graft.operators.TextIndex.indexFor(spark, sf)
+    def version: Long = {
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      graft.sources.lance.ManifestIO.loadLatest(root + "/postings", conf).get.version
+    }
+    val v1 = version
+    SparkEntry.queries("text_search_indexed")(spark, sf).collect()
+    assert(version === v1, "second serving modified the standing index")
+  }
+
+  test("CALL system.search: builds the sidecar once, serves the workload, materializes") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.lance_ts",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-ts-wh-").toString
+    spark.conf.set("spark.sql.catalog.lance_ts.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_ts.db")
+    // corpus + query workload as catalog lance tables
+    spark.sql("CREATE TABLE lance_ts.db.c (doc_id BIGINT, text STRING)")
+    Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .write.format("lance").mode("append").save(s"$wh/db/c")
+    spark.sql("CREATE TABLE lance_ts.db.qq (query_id BIGINT, term STRING)")
+    Seq((1L, "spark"), (1L, "vector"), (2L, "merge"), (2L, "stream"), (2L, "hash"))
+      .toDF("query_id", "term")
+      .write.format("lance").mode("append").save(s"$wh/db/qq")
+
+    val got = spark.sql(
+      "CALL lance_ts.system.search(queries => 'db.qq', corpus => 'db.c', k => 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 <= 3))
+    // per query: ranks are 1..n contiguous
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // the sidecar exists and a second CALL reuses it (same version)
+    val idxRoot = graft.operators.TextIndex.indexRootFor(s"$wh/db/c")
+    assert(graft.operators.TextIndex.exists(idxRoot))
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    val v1 = graft.sources.lance.ManifestIO.loadLatest(idxRoot + "/postings", conf).get.version
+    val again = spark.sql(
+      "CALL lance_ts.system.search(queries => 'db.qq', corpus => 'db.c', k => 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(again.toSeq === got.toSeq)
+    assert(graft.sources.lance.ManifestIO.loadLatest(idxRoot + "/postings", conf).get.version === v1)
+    // materialized form
+    val mat = spark.sql(
+      "CALL lance_ts.system.search(queries => 'db.qq', corpus => 'db.c', k => 3, " +
+        "output_table => 'db.hits')").collect()(0)
+    assert(mat.getString(0) === "db.hits")
+    assert(spark.sql("SELECT count(*) FROM lance_ts.db.hits").first().getLong(0) === mat.getLong(1))
+  }
 }
