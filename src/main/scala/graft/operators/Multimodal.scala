@@ -19,6 +19,10 @@ case class MMResized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
 case class MMFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long,
                    frame_checksum: Long)
 
+/** One REAL decoded frame of a GVID video container. */
+case class MMVideoFrame(doc_id: Long, frame_idx: Long, width: Long, height: Long,
+                        pix_checksum: Long, dhash: Long)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata and run a per-partition batch
   * decode/feature-extract.
@@ -105,6 +109,127 @@ object Multimodal extends QueryModule {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  // ---- mm_video_frames (REAL video decode: image-sequence container) -----
+  // The JDK ships no inter-frame video codec, but the dominant archival
+  // form for training corpora is intra-coded anyway (MJPEG, PNG/frame
+  // sequences): a container of independently-decodable frames. GVID is
+  // that container — "GVID" magic, u32 frame count, then length-prefixed
+  // PNG frames — and this key runs the REAL end-to-end path: parse
+  // container → decode every sampled frame through ImageCodec (actual
+  // javax.imageio work, not byte arithmetic) → per-frame features (pixel
+  // checksum + perceptual dHash). 1:N explode, one map stage over payload
+  // splits — the scale shape of real frame extraction. Undecodable-drop
+  // posture: a corrupt FRAME drops that frame (the container keeps
+  // framing via the length prefix), a corrupt CONTAINER drops the doc.
+  private val VideoFrames = 6
+  private val VideoStride = 2
+
+  /** One deterministic 32×32 frame of doc `docId`: the synthImage gradient
+    * field with a per-frame brightness ramp — temporal continuity like a
+    * real clip, exactly reproducible from (docId, frameIdx) so specs can
+    * compute expected PIXELS without touching the decode path. */
+  private[graft] def synthFrame(docId: Long, frameIdx: Int): java.awt.image.BufferedImage = {
+    val pattern = (docId % 50).toInt
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val b = synthFramePixel(pattern, frameIdx, x, y)
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** The gray value of pixel (x, y) in frame `frameIdx` of pattern
+    * `pattern` — the single source of truth the generator AND the spec's
+    * independent expectation share. */
+  private[graft] def synthFramePixel(pattern: Int, frameIdx: Int, x: Int, y: Int): Int = {
+    var z = pattern.toLong * 0x9E3779B97F4A7C15L +
+      x.toLong * 0xBF58476D1CE4E5B9L + y.toLong * 0x94D049BB133111EBL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    ((z >>> 16) & 0xff).toInt / 2 + frameIdx * 8 // ramp stays <= 167
+  }
+
+  /** Deterministic GVID container for a doc: VideoFrames PNG frames.
+    * Fault injection for the drop postures: every 97th doc truncates
+    * frame 2's payload (undecodable FRAME), every 101st corrupts the
+    * magic (undecodable CONTAINER). */
+  private[graft] def synthVideo(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes(if (docId % 101 == 0) "XVID" else "GVID")
+    dos.writeInt(VideoFrames)
+    var f = 0
+    while (f < VideoFrames) {
+      val png = ImageCodec.encodePng(synthFrame(docId, f))
+      val payload =
+        if (docId % 97 == 0 && f == 2) java.util.Arrays.copyOf(png, 11)
+        else png
+      dos.writeInt(payload.length)
+      dos.write(payload)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Parse a GVID container into its (frameIdx, frameBytes) payloads;
+    * None for a corrupt container. */
+  private[graft] def parseGvid(bytes: Array[Byte]): Option[Seq[(Int, Array[Byte])]] = {
+    if (bytes.length < 8 || new String(bytes, 0, 4, "US-ASCII") != "GVID") return None
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+    try {
+      val n = in.readInt()
+      if (n < 0 || n > 100000) return None
+      val frames = Seq.newBuilder[(Int, Array[Byte])]
+      var f = 0
+      while (f < n) {
+        val len = in.readInt()
+        if (len < 0 || len > bytes.length) return None
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        frames += ((f, payload))
+        f += 1
+      }
+      Some(frames.result())
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
+  private def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        parseGvid(synthVideo(id)).toSeq.flatten
+          .filter { case (f, _) => f % VideoStride == 0 } // sample BEFORE decode
+          .flatMap { case (f, payload) =>
+            ImageCodec.tryDecode(payload).map { img => // corrupt frame -> dropped
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += img.getRGB(x, y) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              MMVideoFrame(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+                sum % 1000000007L, dHash(img))
+            }
+          }
+      })
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
   // ---- real image decode (PNG/BMP/JPEG via javax.imageio) ----------------
   // The gated mm_* keys stay byte-stubbed (a DuckDB oracle cannot decode
   // PNG); these paths are the REAL decoder plugged into the same
@@ -127,6 +252,12 @@ object Multimodal extends QueryModule {
   private[graft] object ImageCodec {
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+    /** Decode with the undecodable-drop posture: truncated/corrupt
+      * payloads (ImageIO throws, e.g. a cut-off PNG header) become None
+      * instead of failing the task. */
+    def tryDecode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try decode(bytes) catch { case _: java.io.IOException | _: RuntimeException => None }
 
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
@@ -486,6 +617,7 @@ object Multimodal extends QueryModule {
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_video_frames" -> mmVideoFrames,
     "mm_audio_features" -> mmAudioFeatures,
     "mm_image_dedup" -> mmImageDedup)
 

@@ -241,4 +241,53 @@ class MultimodalSpec extends SparkSpec {
     assert(got.contains((1L, 3L)), s"hamming-6 spread pair missing: $got")
     assert(!got.contains((1L, 4L)), s"hamming-8 pair must be filtered: $got")
   }
+
+  test("mm_video_frames: decoded pixels == generator math exactly; frame/container drop postures") {
+    val M = 1000000007L
+    val rows = SparkEntry.queries("mm_video_frames")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val ids = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // per-frame EXACT expectation, computed from the generator formula
+    // alone (PNG is lossless, so the decode path must reproduce it)
+    def expectedChecksum(id: Long, f: Int): Long = {
+      val pattern = (id % 50).toInt
+      var sum = 0L
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          sum += operators.Multimodal.synthFramePixel(pattern, f, x, y)
+          x += 1
+        }
+        y += 1
+      }
+      sum % M
+    }
+    ids.foreach { id =>
+      val sampled = Seq(0, 2, 4)
+      if (id % 101 == 0) {
+        // corrupt container -> whole doc dropped
+        sampled.foreach(f => assert(!rows.contains((id, f.toLong)), s"doc $id should be dropped"))
+      } else {
+        val expectFrames = if (id % 97 == 0) Seq(0, 4) else sampled // frame 2 corrupt -> dropped
+        sampled.foreach { f =>
+          if (expectFrames.contains(f)) {
+            val (w, h, sum, _) = rows((id, f.toLong))
+            assert((w, h) === ((32L, 32L)))
+            assert(sum === expectedChecksum(id, f), s"doc $id frame $f pixel checksum")
+          } else assert(!rows.contains((id, f.toLong)), s"doc $id frame $f should be dropped")
+        }
+      }
+    }
+    // temporal coherence: the per-frame brightness ramp is uniform, so the
+    // perceptual dHash is IDENTICAL across a doc's frames (the property a
+    // video near-dup stage keys on)
+    rows.keys.map(_._1).toSeq.distinct.foreach { id =>
+      val hashes = rows.collect { case ((d, _), (_, _, _, dh)) if d == id => dh }.toSet
+      assert(hashes.size === 1, s"doc $id frames diverge in dHash")
+    }
+  }
 }
