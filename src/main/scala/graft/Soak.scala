@@ -47,6 +47,116 @@ object Soak {
       path
     }
 
+    // ---- q_stream_mv: per-epoch refresh cost over an ACCUMULATING base ---
+    // The refresh's work per epoch must be |batch delta| + O(|MV|), never
+    // O(accumulated base): the changefeed reads only commits since the
+    // checkpoint, the delta table is |groups|-sized, and the full-outer
+    // merge touches the 5-row MV. A per-epoch time that grows with the
+    // base would falsify the incremental claim.
+    timed("q_stream_mv: 8-epoch refresh over accumulating base") {
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$out/smv-$sfx/base"
+      val mvT = s"$out/smv-$sfx/mv/t"
+      val ckpt = s"$out/smv-$sfx/ckpt"
+      val orders = Tables.t(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      for (epoch <- 1 to 8) {
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(epoch * 100000000L))
+          .write.format("lance")
+          .mode(if (epoch == 1) "overwrite" else "append")
+          .option("maxRowsPerFile", "20000").save(root)
+        val t0 = System.nanoTime()
+        operators.StreamingOps.streamMvRefresh(spark, root, mvT, ckpt)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val mvRows = spark.read.format("lance").load(mvT).count()
+        println(f"[soak]   mv epoch $epoch%2d: refresh $dt%6.2f s, mv rows = $mvRows (base = ${epoch}x)")
+      }
+    }
+
+    // ---- q_stream_classifier: per-epoch delta-append cost ----------------
+    // Additive state: each epoch appends a (label, bucket)-bounded delta
+    // (<= 2*2^16 + 2 rows) regardless of history; per-epoch refresh time
+    // must stay flat while the source and the generation-tagged model
+    // table accumulate.
+    timed("q_stream_classifier: 8-epoch delta-append") {
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val srcDir = s"$out/sclf-$sfx/src"
+      val modelT = s"$out/sclf-$sfx/model/t"
+      val ckpt = s"$out/sclf-$sfx/ckpt"
+      val (qLo, qHi) = operators.StreamingOps.classifierThresholds(spark, sfDir)
+      val raw = Tables.t(spark, sfDir, "documents")
+      for (epoch <- 1 to 8) {
+        raw.withColumn("doc_id", col("doc_id") + lit(epoch * 100000000L))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val t0 = System.nanoTime()
+        operators.StreamingOps.classifierRefresh(spark, srcDir, modelT, ckpt,
+          raw.schema, qLo, qHi)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val gens = spark.read.format("lance").load(modelT).count()
+        println(f"[soak]   clf epoch $epoch%2d: refresh $dt%6.2f s, model delta rows = $gens")
+      }
+    }
+
+    // ---- q_stream_join: state plateau under SUSTAINED per-key traffic ----
+    // The same users send a view+purchase pair every simulated hour for 16
+    // micro-batches under a 10-minute watermark delay: join state must
+    // plateau at ~(delay + 1h window) of rows per key and EVICT the rest —
+    // linear growth here would mean unbounded state at 100 TB.
+    timed("q_stream_join: 16-batch sustained-traffic state plateau") {
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val vDir = s"$out/sjoin-$sfx/v"; val pDir = s"$out/sjoin-$sfx/p"
+      new java.io.File(vDir).mkdirs(); new java.io.File(pDir).mkdirs()
+      import spark.implicits._
+      val users = 500
+      val baseTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val schema = Seq((0L, 0L, "view", new java.sql.Timestamp(0L)))
+        .toDF("event_id", "user_id", "event_type", "ts").schema
+      for (b <- 0 until 16) {
+        val t = baseTs + b.toLong * 3600 * 1000
+        val views = (0 until users).map(u =>
+          (b.toLong * users + u, u.toLong, "view", new java.sql.Timestamp(t)))
+          .toDF("event_id", "user_id", "event_type", "ts")
+        val purchases = (0 until users).map(u =>
+          (1000000L + b.toLong * users + u, u.toLong, "purchase",
+            new java.sql.Timestamp(t + 5 * 60 * 1000)))
+          .toDF("event_id", "user_id", "event_type", "ts")
+        views.coalesce(1).write.mode("append").parquet(vDir)
+        purchases.coalesce(1).write.mode("append").parquet(pDir)
+        // controlled modification order so maxFilesPerTrigger=1 replays
+        // the epochs in time order on both sides
+        def stamp(dir: String): Unit =
+          new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+            .foreach { f => if (f.lastModified() > baseTs + b) f.setLastModified(baseTs + b) }
+        stamp(vDir); stamp(pDir)
+      }
+      val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val ops = e.progress.stateOperators
+          if (ops.nonEmpty) stateRows += ops.map(_.numRowsTotal).sum
+        }
+      }
+      spark.streams.addListener(listener)
+      try {
+        val n = operators.StreamingOps.streamJoinFrom(spark, vDir, pDir,
+          schema, "10 minutes", filesPerTrigger = 1).count()
+        println(s"[soak]   joined rows = $n; per-batch state rows = ${stateRows.mkString(",")}")
+        if (stateRows.length >= 8) {
+          val early = stateRows(stateRows.length / 2)
+          val late = stateRows.last
+          println(f"[soak]   state mid-run = $early, end = $late (flat == eviction works)")
+        }
+      } finally spark.streams.removeListener(listener)
+    }
+
+    // SPARK_GRAFT_SOAK_NEW_ONLY: stop after the streaming-state soaks (the
+    // round-over-round standing suite below is unchanged and long)
+    if (sys.env.contains("SPARK_GRAFT_SOAK_NEW_ONLY")) { spark.stop(); return }
+
     // ---- lineitem ×mult: TPC-H Q1 shape ----------------------------------
     val liPath = soakTable("lineitem", mult)((df, _) => df)
     val li = spark.read.parquet(liPath)

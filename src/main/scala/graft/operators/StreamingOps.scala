@@ -770,19 +770,48 @@ object StreamingOps extends QueryModule {
     * final summed model provably equals the batch-trained model — the
     * spec asserts the gated key's output row-for-row equals
     * text_quality_classifier's. */
+  /** The frozen weak-label thresholds for a reference corpus — shared by
+    * the gated key and the soak. */
+  private[graft] def classifierThresholds(s: SparkSession, dir: String): (Double, Double) = {
+    val d = TextAnalysis.docs(s, dir)
+    QualityClassifier.tertiles(d.select(col("doc_id"), col("w"),
+      round(TextAnalysis.qualityScore, 6).as("quality")))
+  }
+
   private def streamClassifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = TextAnalysis.docs(s, dir)
-    val scored = d.select(col("doc_id"), col("w"),
-      round(TextAnalysis.qualityScore, 6).as("quality"))
-    val (qLo, qHi) = QualityClassifier.tertiles(scored)
+    val (qLo, qHi) = classifierThresholds(s, dir)
     val srcDir = tmp("sclf-src"); val modelTable = tmp("sclf-model") + "/t"
     val ckpt = tmp("sclf-ckpt")
     val raw = t(s, dir, "documents")
     raw.repartition(4).write.mode("overwrite").parquet(srcDir)
-    Seq.empty[(Int, Int, Long, Long)].toDF("label", "b", "n", "bid")
-      .write.format("lance").save(modelTable)
-    val q = s.readStream.schema(raw.schema)
+    classifierRefresh(s, srcDir, modelTable, ckpt, raw.schema, qLo, qHi)
+    // final model = the additive sum across every batch's delta rows
+    val agg = s.read.format("lance").load(modelTable)
+      .groupBy("label", "b").agg(sum("n").cast("long").as("n")).collect()
+    val counts = agg.filter(_.getInt(1) >= 0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byLabel = agg.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val m = QualityClassifier.modelFrom(counts,
+      byLabel.getOrElse(1, 0L), byLabel.getOrElse(0, 0L), qLo, qHi)
+    QualityClassifier.scoreWith(s, d, m)
+  }
+
+  /** The classifier's per-batch delta-append refresh over a document
+    * source dir — resumable (same checkpoint drains only NEW files), so
+    * the soak can run it epoch after epoch against an accumulating
+    * source. Extracted from [[streamClassifier]]. */
+  private[graft] def classifierRefresh(s: SparkSession, srcDir: String,
+      modelTable: String, ckpt: String,
+      schema: org.apache.spark.sql.types.StructType,
+      qLo: Double, qHi: Double): Unit = {
+    import s.implicits._
+    if (!new java.io.File(modelTable).exists())
+      Seq.empty[(Int, Int, Long, Long)].toDF("label", "b", "n", "bid")
+        .write.format("lance").save(modelTable)
+    val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -806,16 +835,6 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow()).start()
     drain(q)
-    // final model = the additive sum across every batch's delta rows
-    val agg = s.read.format("lance").load(modelTable)
-      .groupBy("label", "b").agg(sum("n").cast("long").as("n")).collect()
-    val counts = agg.filter(_.getInt(1) >= 0)
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val byLabel = agg.filter(_.getInt(1) == -1)
-      .map(r => r.getInt(0) -> r.getLong(2)).toMap
-    val m = QualityClassifier.modelFrom(counts,
-      byLabel.getOrElse(1, 0L), byLabel.getOrElse(0, 0L), qLo, qHi)
-    QualityClassifier.scoreWith(s, d, m)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

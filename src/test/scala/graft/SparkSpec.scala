@@ -97,6 +97,7 @@ class EntrySpec extends SparkSpec {
     "q_events_percentiles" -> 5,
     "q_events_percentiles_approx" -> 5,
     "text_search_bm25" -> 15,
+    "text_search_indexed" -> 15,
     "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
@@ -113,6 +114,7 @@ class EntrySpec extends SparkSpec {
     "mm_features" -> 500,
     "mm_resize" -> 500,
     "mm_frame_sample" -> 1436,
+    "mm_video_frames" -> 1480,
     "mm_audio_features" -> 500,
     "mm_image_dedup" -> 2250,
     "lance_roundtrip" -> 1,
