@@ -84,6 +84,47 @@ object LshBandKeys {
   }
 }
 
+/** Unblocked variant of [[LshBandKeys]]: one (band_idx, band_key) row per
+  * band, no blocking attributes — the word-shingle MinHash-LSH path's
+  * emission (its buckets are pure signature agreement). */
+case class LshBands(sig: Expression, bands: Int, rowsPerBand: Int)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(sig)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("band_idx", IntegerType, nullable = false),
+    StructField("band_key", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = sig.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"lsh_bands needs array<long>, got $dt")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val sigV = sig.eval(input)
+    if (sigV == null) return Nil
+    val arr = sigV.asInstanceOf[ArrayData]
+    val out = new Array[InternalRow](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = LshBandKeys.mix(h ^ arr.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = InternalRow(b, h)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sig = newChildren(0))
+}
+
 /** Native unordered-pair generator over a sorted id list: emits
   * (ids(i), ids(j)) for every i < j. Replaces the
   * `explode(flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,

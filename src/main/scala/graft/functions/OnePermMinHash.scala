@@ -90,21 +90,41 @@ object OnePermMinHash {
     filled(slot) = true
   }
 
-  /** Rotation densification: empty slot j borrows from the next filled
-    * slot k (circularly, distance d) as mins(k) + d*C. An all-empty
-    * input (empty set) keeps Long.MaxValue everywhere — callers filter
+  /** OPTIMAL densification (Shrivastava 2017): each empty slot j probes a
+    * pseudorandom donor sequence h(j, 1), h(j, 2), … until a filled slot
+    * is found and borrows ITS minimum. Probe sequences are per-slot
+    * independent, so adjacent empty slots borrow from different donors —
+    * unlike rotation densification, where a run of empty slots copies ONE
+    * donor and an r-row LSH band degenerates to a single-slot test
+    * (measured: 27,154 candidate pairs vs the k-hash signature's 256 on
+    * the sparse word-shingle corpus — shingle sets of ~52 elements leave
+    * most of 128 slots empty). With hashed borrowing, slot-match
+    * probability stays ≈ J per slot AND ≈ independent across a band's
+    * rows. Deterministic: the probe sequence depends only on (j, attempt).
+    * An all-empty input keeps Long.MaxValue everywhere — callers filter
     * empty sets upstream. */
   private def densify(mins: Array[Long], filled: Array[Boolean], numSlots: Int): ArrayData = {
     var j = 0
     while (j < numSlots) {
       if (!filled(j)) {
-        var d = 1
-        var k = j + 1; if (k == numSlots) k = 0
-        while (d < numSlots && !filled(k)) {
-          d += 1
-          k += 1; if (k == numSlots) k = 0
+        var attempt = 1
+        var done = false
+        // expected probes = numSlots/|filled|; the cap only guards the
+        // near-empty pathological case before the deterministic fallback
+        while (!done && attempt <= 4 * numSlots) {
+          val d = java.lang.Long.remainderUnsigned(
+            mix(j.toLong * 0x100000001b3L + attempt.toLong * C), numSlots.toLong).toInt
+          if (filled(d)) { mins(j) = mins(d); done = true }
+          attempt += 1
         }
-        if (filled(k)) mins(j) = mins(k) + d.toLong * C
+        if (!done) {
+          // fallback: first filled slot by index (still deterministic)
+          var k = 0
+          while (k < numSlots && !done) {
+            if (filled(k)) { mins(j) = mins(k); done = true }
+            k += 1
+          }
+        }
       }
       j += 1
     }

@@ -104,6 +104,10 @@ package object functions {
                     bands: Int, rowsPerBand: Int): Column =
     Column(LshBandKeys(expression(sig), expression(lang), expression(bkt), bands, rowsPerBand))
 
+  /** Unblocked LSH band-key rows (see [[LshBands]]). */
+  def lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    Column(LshBands(expression(sig), bands, rowsPerBand))
+
   /** All unordered (a_id, b_id) pairs of a sorted id list — a native lazy
     * generator (see [[SortedListPairs]]). */
   def sorted_list_pairs(ids: Column): Column = Column(SortedListPairs(expression(ids)))

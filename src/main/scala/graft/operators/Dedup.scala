@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import graft.functions.{minhash, one_perm_minhash, simhash}
+import graft.functions.{one_perm_minhash, simhash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,16 +61,21 @@ object Dedup extends QueryModule {
   private[operators] val BlockCap = 512
 
   /** (doc_id, band_idx, band_key) LSH band keys — the shared map stage of
-    * the batch and streaming near-dedup paths: shingles → 128-hash MinHash
-    * signature → 32 band keys. Pure projection; callers pick partitioning. */
+    * the batch and streaming near-dedup paths: shingles → 128-slot
+    * one-permutation MinHash signature → 32 band keys. r15: the k-hash
+    * signature (128 modular multiplies per shingle) and the interpreted
+    * hash(slice(...)) band chain are replaced by [[graft.functions.OnePermMinHash]]
+    * (one mix per shingle, rotation-densified — same banding recall
+    * guarantees) and the native [[graft.functions.LshBands]] generator;
+    * the exact-Jaccard verify still decides, so the pair set is
+    * unchanged. Pure projection; callers pick partitioning. */
   private[graft] def bandKeys(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhash(col("sh"), MinhashHashes, 42L).as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
-      .toDF("doc_id", "band_idx", "band_key")
+      .select(col("doc_id"), one_perm_minhash(col("sh"), MinhashHashes, 42L).as("sig"))
+      .select(col("doc_id"), graft.functions.lsh_bands(col("sig"), Bands, RowsPerBand))
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
 
   /** (doc_id, sh) sorted-distinct shingle-hash sets for exact-Jaccard
     * verification — same definition the oracle reproduces as string sets. */
@@ -133,9 +138,7 @@ object Dedup extends QueryModule {
       .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
       // NULL = overflowed mega-bucket; pair fan-out is bounded by cap²/2
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
     // verify with exact Jaccard: shingle sets are recomputed only for
     // candidate docs (the semi-join filters BEFORE the shingle projection);
@@ -233,9 +236,7 @@ object Dedup extends QueryModule {
       .groupBy("band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), BucketCap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a_id', x, 'b_id', y))))")).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
     // signatures rejoin only for candidate pairs (tiny after distinct →
     // AQE broadcasts); exact hamming decides
