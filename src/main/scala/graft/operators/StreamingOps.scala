@@ -837,12 +837,40 @@ object StreamingOps extends QueryModule {
     drain(q)
   }
 
+  /** Streaming inverted-index maintenance — the text twin of
+    * q_stream_index: each document micro-batch appends its posting lists
+    * into the term-bucketed postings table and its ADDITIVE df / corpus
+    * stat deltas beside them ([[TextIndex.appendDelta]] — per-table
+    * batch-id high-water guards make at-least-once retries per-table
+    * no-ops). Per-batch sink IO ∝ the batch's postings, never the
+    * accumulated index; search folds df/stat generations back with sums.
+    * Gate: serving the standing streamed index must reproduce the
+    * scan-side BM25 key exactly — the same oracle as text_search_bm25. */
+  private def streamTextIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = tmp("stidx-src"); val root = tmp("stidx-idx"); val ckpt = tmp("stidx-ckpt")
+    val raw = t(s, dir, "documents").select("doc_id", "text")
+    raw.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        TextIndex.appendDelta(s, batch, root, bid)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    TextIndex.search(s, root,
+      TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_join" -> streamJoin,
     "q_stream_join_left" -> streamJoinLeft,
     "q_stream_dedup_window" -> streamDedupWindow,
     "q_stream_mv" -> streamMv,
+    "q_stream_text_index" -> streamTextIndex,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
@@ -881,6 +909,7 @@ object StreamingOps extends QueryModule {
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
     // the continuously maintained MV == a from-scratch aggregate over the
     // final logical table (same statement as the batch q_cdc_materialized)
+    "q_stream_text_index" -> TextAnalysis.bm25OracleSql,
     "q_stream_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)

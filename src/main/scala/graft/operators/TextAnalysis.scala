@@ -516,11 +516,11 @@ object TextAnalysis extends QueryModule {
   // directly, no offline index required (posting lists materialize as the
   // pruned TF shuffle); a standing query workload would persist `dt` as
   // the inverted index and skip the scan.
-  private val Bm25Queries: Seq[(Long, String)] = Seq(
+  private[operators] val Bm25Queries: Seq[(Long, String)] = Seq(
     1L -> "spark", 1L -> "vector",
     2L -> "merge", 2L -> "stream", 2L -> "hash",
     3L -> "customer", 3L -> "query")
-  private val Bm25TopK = 5
+  private[operators] val Bm25TopK = 5
 
   /** The BM25 scoring stage shared by the scan-side key and the
     * persisted-index path ([[TextIndex]]): identical expression tree on
@@ -724,7 +724,7 @@ object TextAnalysis extends QueryModule {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private lazy val bm25OracleSql: String = {
+  private[operators] lazy val bm25OracleSql: String = {
       val queryValues = Bm25Queries
         .map { case (id, term) => s"(CAST($id AS BIGINT), '$term')" }
         .mkString(", ")

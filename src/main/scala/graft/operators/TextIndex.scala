@@ -51,6 +51,50 @@ object TextIndex {
       .write.format("lance").mode("overwrite").save(root + "/stats")
   }
 
+  /** The per-batch INCREMENTAL index append — the streaming maintenance
+    * path (see StreamingOps.streamTextIndex): a document batch's postings
+    * append into the term-bucketed postings table, and df / corpus stats
+    * append as ADDITIVE deltas (a doc lands in exactly one batch, so
+    * per-term df and the corpus aggregates sum across generations —
+    * [[search]] folds them back). Each table is guarded by its own
+    * batch-id high-water mark, so an at-least-once foreachBatch retry
+    * re-appends only the tables the crashed attempt missed — per-table
+    * exactly-once. */
+  def appendDelta(s: SparkSession, corpusBatch: DataFrame, root: String, bid: Long): Unit = {
+    val d = corpusBatch
+      .withColumn("w", TextAnalysis.toksCol)
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // three consumers below; one compute
+    def lastBid(path: String): Long =
+      if (!new java.io.File(path).exists()) -1L
+      else s.read.format("lance").load(path).agg(max("bid")).first() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+    if (bid > lastBid(root + "/postings"))
+      dt.select(col("term"), col("doc_id"), col("tf"), col("dl"), lit(bid).as("bid"))
+        .write.format("lance")
+        .option("write.bucket-by", "term")
+        .option("write.bucket-count", Buckets.toString)
+        .mode(if (new java.io.File(root + "/postings").exists()) "append" else "overwrite")
+        .save(root + "/postings")
+    if (bid > lastBid(root + "/terms"))
+      dt.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("bid", lit(bid))
+        .write.format("lance")
+        .mode(if (new java.io.File(root + "/terms").exists()) "append" else "overwrite")
+        .save(root + "/terms")
+    if (bid > lastBid(root + "/stats"))
+      d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .withColumn("bid", lit(bid))
+        .write.format("lance")
+        .mode(if (new java.io.File(root + "/stats").exists()) "append" else "overwrite")
+        .save(root + "/stats")
+  }
+
   /** Whether a standing index exists at `root`. */
   def exists(root: String): Boolean =
     new java.io.File(root + "/postings").exists()
@@ -69,9 +113,15 @@ object TextIndex {
       .load(root + "/postings")
       .join(broadcast(qTerms), Seq("term"), "left_semi")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // df and corpus stats aggregate across GENERATIONS (the streamed
+    // index appends per-batch additive deltas; a batch-built index has
+    // one generation and the sums are identities)
     val dfreq = s.read.format("lance").load(root + "/terms")
       .join(broadcast(qTerms), Seq("term"), "left_semi")
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
     val stats = s.read.format("lance").load(root + "/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_dl").cast("long").as("sum_dl"))
     TextAnalysis.bm25Rank(postings, dfreq, stats, queries, topK)
   }
 

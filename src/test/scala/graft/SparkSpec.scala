@@ -98,6 +98,7 @@ class EntrySpec extends SparkSpec {
     "q_events_percentiles_approx" -> 5,
     "text_search_bm25" -> 15,
     "text_search_indexed" -> 15,
+    "q_stream_text_index" -> 15,
     "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,

@@ -387,4 +387,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mat.getString(0) === "db.hits")
     assert(spark.sql("SELECT count(*) FROM lance_ts.db.hits").first().getLong(0) === mat.getLong(1))
   }
+
+  test("q_stream_text_index: streamed index == batch index; per-table bid guard makes replays no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stream_text_index")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val scan = SparkEntry.queries("text_search_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === scan.toSeq)
+
+    // replay guard: re-appending the same batch id changes nothing; a new
+    // batch id appends exactly its delta
+    val root = java.nio.file.Files.createTempDirectory("graft-stidx-spec-").toString
+    val b1 = Seq((1L, "alpha beta beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha alpha")).toDF("doc_id", "text")
+    operators.TextIndex.appendDelta(spark, b1, root, 0L)
+    def counts = (
+      spark.read.format("lance").load(root + "/postings").count(),
+      spark.read.format("lance").load(root + "/terms").count(),
+      spark.read.format("lance").load(root + "/stats").count())
+    val c1 = counts
+    operators.TextIndex.appendDelta(spark, b1, root, 0L) // at-least-once replay
+    assert(counts === c1, "replayed batch must be a per-table no-op")
+    operators.TextIndex.appendDelta(spark, b2, root, 1L)
+    val c2 = counts
+    assert(c2._1 === c1._1 + 1) // one new (alpha, doc 3) posting
+    assert(c2._3 === c1._3 + 1) // one stats generation per batch
+    // generation-folded search: df(alpha)=2 across generations, n_docs=3
+    val hits = operators.TextIndex.search(spark, root,
+      Seq((7L, "alpha")).toDF("query_id", "term"), 5).collect()
+    assert(hits.map(_.getLong(1)).toSet === Set(1L, 3L))
+  }
 }
