@@ -44,7 +44,8 @@ object Bench {
     "text_quality_classifier", "bpe_train", "pipeline_pretrain",
     "q_events_topk", "mm_image_dedup", "q_cdc_materialized",
     // appended r15
-    "text_search_bm25", "text_search_indexed", "mm_video_frames")
+    "text_search_bm25", "text_search_indexed", "mm_video_frames",
+    "q_stream_text_index", "emb_project")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

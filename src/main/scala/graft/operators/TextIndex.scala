@@ -95,6 +95,35 @@ object TextIndex {
         .save(root + "/stats")
   }
 
+  /** Fold a streamed index's accumulated generations: per-term df rows
+    * collapse to one summed row, the per-batch stats rows to one row, and
+    * the postings rewrite re-bucketed (their ROWS are already unique —
+    * a doc's postings land in exactly one generation — so this is
+    * fragment compaction, not dedup). Search results are provably
+    * unchanged (search already folds with sums); what compaction buys is
+    * bounded df/stats read cost after long streaming runs. */
+  def compact(s: SparkSession, root: String): Unit = {
+    val maxBid = s.read.format("lance").load(root + "/stats")
+      .agg(max("bid")).first().getLong(0)
+    val terms = s.read.format("lance").load(root + "/terms")
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+      .withColumn("bid", lit(maxBid))
+      .localCheckpoint()
+    terms.write.format("lance").mode("overwrite").save(root + "/terms")
+    val stats = s.read.format("lance").load(root + "/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_dl").cast("long").as("sum_dl"))
+      .withColumn("bid", lit(maxBid))
+      .localCheckpoint()
+    stats.write.format("lance").mode("overwrite").save(root + "/stats")
+    val postings = s.read.format("lance").load(root + "/postings")
+      .localCheckpoint()
+    postings.write.format("lance")
+      .option("write.bucket-by", "term")
+      .option("write.bucket-count", Buckets.toString)
+      .mode("overwrite").save(root + "/postings")
+  }
+
   /** Whether a standing index exists at `root`. */
   def exists(root: String): Boolean =
     new java.io.File(root + "/postings").exists()

@@ -506,12 +506,53 @@ object VectorSearch extends QueryModule {
       .orderBy(col("q_id").asc, col("neg_rk").asc)
   }
 
+  // ---- emb_project (random-projection dimensionality reduction) ----------
+  // Johnson-Lindenstrauss sign random projection — the standard pre-ANN /
+  // pre-clustering shrink for embedding corpora at 100 TB (64 → 16 dims =
+  // 4× less vector IO for every downstream join): y_j = Σ_i s_ji·x_i / √k
+  // with a FROZEN deterministic ±1 matrix (splitmix64 of (j, i)). The
+  // matrix rides both plans as literals and each output coordinate is an
+  // explicit left-fold addition chain, so Spark and DuckDB sum the same
+  // doubles in the same order — bit-identical, full-oracle gate. Long-form
+  // output (vec_id, dim, value); pure map stage at any scale.
+  private[operators] val ProjK = 16
+  private[operators] val ProjD = 64
+
+  /** ±1 sign matrix [k][d], deterministic (splitmix64). */
+  private[operators] lazy val projSigns: Array[Array[Int]] =
+    Array.tabulate(ProjK, ProjD) { (j, i) =>
+      var z = (j.toLong * ProjD + i) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      if ((z & 1L) == 0L) 1 else -1
+    }
+
+  /** The j-th projected coordinate as an explicit addition chain (Spark
+    * SQL, 0-based array indexing). */
+  private def projExprSpark(j: Int): String = {
+    val terms = (0 until ProjD).map { i =>
+      s"(CAST(embedding[$i] AS DOUBLE) * ${projSigns(j)(i)}.0D)"
+    }
+    s"round((${terms.mkString(" + ")}) / 4.0D, 6)"
+  }
+
+  private def embProject(s: SparkSession, dir: String): DataFrame = {
+    val dims = (0 until ProjK).map(j =>
+      struct(lit(j.toLong).as("dim"), expr(projExprSpark(j)).as("value")))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), explode(array(dims: _*)).as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"), col("p.value").as("value"))
+      .orderBy("vec_id", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,
     "knn_join_hamming" -> knnJoinHammingQuery,
     "knn_join_pq" -> knnJoinPqQuery,
     "emb_quantize" -> embQuantize,
+    "emb_project" -> embProject,
     "emb_binarize" -> embBinarize,
     "knn_hamming" -> knnHamming,
     "knn_hamming_rerank" -> knnHammingRerank,
@@ -582,6 +623,19 @@ object VectorSearch extends QueryModule {
          |  FROM q CROSS JOIN c WHERE c.n_id <> q.q_id)
          |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5
          |ORDER BY q_id ASC, rk ASC""".stripMargin,
+    // emb_project: the same ±1 matrix and the same left-fold addition
+    // chain, 1-based list indexing on the DuckDB side
+    "emb_project" -> {
+      val selects = (0 until ProjK).map { j =>
+        val terms = (0 until ProjD).map { i =>
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) * ${projSigns(j)(i)}.0)"
+        }
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS dim,
+           |  round((${terms.mkString(" + ")}) / 4.0, 6) AS value
+           |FROM embeddings""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, dim")
+    },
     "emb_quantize" ->
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |m AS (SELECT vec_id, e,

@@ -415,8 +415,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2._1 === c1._1 + 1) // one new (alpha, doc 3) posting
     assert(c2._3 === c1._3 + 1) // one stats generation per batch
     // generation-folded search: df(alpha)=2 across generations, n_docs=3
-    val hits = operators.TextIndex.search(spark, root,
-      Seq((7L, "alpha")).toDF("query_id", "term"), 5).collect()
+    val q = Seq((7L, "alpha")).toDF("query_id", "term")
+    val hits = operators.TextIndex.search(spark, root, q, 5).collect()
     assert(hits.map(_.getLong(1)).toSet === Set(1L, 3L))
+    // compaction folds generations without moving the answer
+    operators.TextIndex.compact(spark, root)
+    val c3 = counts
+    assert(c3._3 === 1L, "stats generations must fold to one row")
+    assert(c3._1 === c2._1, "postings row count unchanged by compaction")
+    val hits2 = operators.TextIndex.search(spark, root, q, 5).collect()
+    assert(hits2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq ===
+      hits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq)
   }
 }

@@ -914,4 +914,35 @@ class VectorIndexSpec extends SparkSpec {
     val rRef = refined.intersect(truth).size
     assert(rRef >= rPlain, s"refine recall $rRef < plain $rPlain")
   }
+
+  test("emb_project: JL sign projection preserves pairwise geometry; map-only plan") {
+    import org.apache.spark.sql.functions._
+    // reshape long form back to vectors
+    val proj = SparkEntry.queries("emb_project")(spark, sf)
+      .groupBy("vec_id").agg(map_from_arrays(collect_list("dim"), collect_list("value")).as("m"))
+      .select(col("vec_id"), expr("transform(sequence(0, 15), j -> m[CAST(j AS BIGINT)])").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orig = Tables.t(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(proj.size === orig.size)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL with k=16: E[|y_a - y_b|²] = |x_a - x_b|² (the 1/√k scale makes
+    // the estimator unbiased); check the MEAN ratio over sampled pairs is
+    // near 1 and individual ratios are within the coarse k=16 envelope
+    val ids = orig.keys.toArray.sorted.take(60)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      da = d2(orig(ids(i)), orig(ids(j))) if da > 1e-12
+    } yield d2(proj(ids(i)), proj(ids(j))) / da
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean distance ratio $mean")
+    assert(ratios.count(r => r > 0.2 && r < 3.0).toDouble / ratios.length > 0.95,
+      "too many pairs outside the k=16 JL envelope")
+    // pure map stage: no Exchange before the presentation sort
+    val plan = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), explode(array(lit(1))).as("x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
