@@ -129,6 +129,17 @@ package object functions {
   def capped_sorted_list(v: Column, cap: Int): Column =
     Column(CappedSortedList(expression(v), cap).toAggregateExpression())
 
+  /** HyperLogLog sketch aggregate (binary registers; ~2.3% std error). */
+  def hll_sketch(v: Column): Column =
+    Column(HllSketchAgg(expression(v)).toAggregateExpression())
+
+  /** Merge aggregate over sketch register arrays. */
+  def hll_merge(v: Column): Column =
+    Column(HllMergeAgg(expression(v)).toAggregateExpression())
+
+  /** Cardinality estimate of a sketch. */
+  def hll_estimate(v: Column): Column = Column(HllEstimate(expression(v)))
+
   /** Mergeable Misra-Gries top-k heavy hitters over bigint items: bounded
     * state per group, per-group error bound surfaced in the result. */
   def heavy_hitters(item: Column, k: Int, capacity: Int): Column =

@@ -196,6 +196,31 @@ object Analytics extends QueryModule {
       .orderBy("day")
   }
 
+  /** The sketch twin of q_events_dau — DAU/WAU from MERGEABLE HLL
+    * summaries: each day's users sketch ONCE (one shuffle), and WAU(day)
+    * is the register-wise merge of that day's trailing 7 daily sketches —
+    * 7 × 2 KB register arrays per output row instead of re-exploding the
+    * event stream 7× the way the exact form must (the same
+    * exact-vs-sketch scale trade q_events_percentiles documents). At
+    * 100 TB daily sketches are a few MB total and every windowed unique
+    * (WAU/MAU/rolling-28d) re-aggregates them for free. ~2.3% standard
+    * error (p=11); rows-only key, exact-envelope spec'd. */
+  private def qEventsDauHll(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").cast("date").as("d"))
+      .groupBy("d")
+      .agg(graft.functions.hll_sketch(col("user_id")).as("sk"))
+    val wau = daily
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"), col("sk"))
+      .groupBy("day")
+      .agg(graft.functions.hll_merge(col("sk")).as("wsk"))
+    daily.select(col("d").as("day"), graft.functions.hll_estimate(col("sk")).as("dau_approx"))
+      .join(wau.select(col("day"), graft.functions.hll_estimate(col("wsk")).as("wau_approx")), "day")
+      .select(col("day"), col("dau_approx"), col("wau_approx"),
+        round(col("dau_approx").cast("double") / col("wau_approx"), 6).as("stickiness_approx"))
+      .orderBy("day")
+  }
+
   /** Exact per-event-type value percentiles as ORDER STATISTICS — rank
     * ceil(p·n) under (value, event_id) total order, the engine-independent
     * definition (no interpolation arithmetic → selected elements
@@ -345,7 +370,8 @@ object Analytics extends QueryModule {
     "q_events_moving" -> qEventsMoving,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
-    "q_events_dau" -> qEventsDau)
+    "q_events_dau" -> qEventsDau,
+    "q_events_dau_hll" -> qEventsDauHll)
 
   private val revenue = sqlExactSum("l_extendedprice * (1 - l_discount)", 10000L)
 

@@ -182,4 +182,32 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(grand.head._3 === Tables.t(spark, sf, "lineitem").count())
   }
+
+  test("q_events_dau_hll: sketch DAU/WAU inside the HLL error envelope; sketch-merge == union sketch") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("q_events_dau")(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = SparkEntry.queries("q_events_dau_hll")(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    // p=11 -> 2.3% std error; allow 4 sigma (~9.2%) plus small-count slack
+    exact.foreach { case (day, (dau, wau)) =>
+      val (da, wa) = approx(day)
+      assert(math.abs(da - dau).toDouble <= math.max(4, 0.1 * dau),
+        s"$day dau exact=$dau approx=$da")
+      assert(math.abs(wa - wau).toDouble <= math.max(4, 0.1 * wau),
+        s"$day wau exact=$wau approx=$wa")
+    }
+    // merge soundness: merging per-day sketches == sketching the union
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("v").agg(graft.functions.hll_sketch(col("v")).as("s"))
+    val b = Seq(3L, 4L).toDF("v").agg(graft.functions.hll_sketch(col("v")).as("s"))
+    val merged = a.unionAll(b).agg(graft.functions.hll_merge(col("s")).as("m"))
+      .select(graft.functions.hll_estimate(col("m"))).first().getLong(0)
+    val direct = Seq(1L, 2L, 3L, 3L, 4L).toDF("v")
+      .agg(graft.functions.hll_sketch(col("v")).as("s"))
+      .select(graft.functions.hll_estimate(col("s"))).first().getLong(0)
+    assert(merged === direct)
+    assert(merged === 4L) // tiny cardinalities are exact under linear counting
+  }
 }

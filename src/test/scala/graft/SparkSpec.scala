@@ -100,6 +100,7 @@ class EntrySpec extends SparkSpec {
     "text_search_indexed" -> 15,
     "q_stream_text_index" -> 15,
     "emb_project" -> 8000,
+    "q_events_dau_hll" -> 30,
     "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
