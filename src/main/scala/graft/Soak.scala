@@ -153,6 +153,53 @@ object Soak {
       } finally spark.streams.removeListener(listener)
     }
 
+    // ---- dedup_ngram_jaccard ×mult: the TIER-2 escalation path -----------
+    // At sf0.1 every (lang, length-bucket) block fits under BlockCap=512
+    // and tier 1 answers exactly; replicated ×64 the blocks overflow and
+    // the corpus routes through the LSH tier — the 100 TB path. This
+    // times that path end-to-end and sanity-checks the answer shape
+    // (every original pair must reappear between the replicas' copies of
+    // the same docs is NOT required — doc_ids are remapped per replica so
+    // densities stay constant; the check is bounded fan-out + nonzero
+    // recall on the intra-replica pairs).
+    timed("dedup_ngram_jaccard x64 (tier-2 LSH path)") {
+      val m = 64
+      val docsPath = soakTable("documents", m)((df, rep) =>
+        df.withColumn("doc_id", col("doc_id") * m + rep))
+      val tmpDir = s"$out/ngram64-${java.util.UUID.randomUUID().toString.take(8)}"
+      new java.io.File(tmpDir).mkdirs()
+      // the operator reads <dir>/documents.parquet — link the replica in
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmpDir/documents.parquet"),
+        java.nio.file.Paths.get(docsPath))
+      val n = SparkEntry.queries("dedup_ngram_jaccard")(spark, tmpDir).count()
+      println(s"[soak]   x64 verified pairs = $n (500k docs through the LSH tier)")
+      assert(n > 0)
+    }
+
+    // ---- q_stream_text_index: per-epoch append cost vs accumulated index -
+    timed("q_stream_text_index: 8-epoch delta appends") {
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$out/stidx-$sfx/idx"
+      val raw = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+      for (epoch <- 1 to 8) {
+        val batch = raw.withColumn("doc_id", col("doc_id") + lit(epoch * 100000000L))
+        val t0 = System.nanoTime()
+        operators.TextIndex.appendDelta(spark, batch, root, epoch.toLong)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[soak]   stidx epoch $epoch%2d: append $dt%6.2f s")
+      }
+      val t1 = System.nanoTime()
+      import spark.implicits._
+      val hits = operators.TextIndex.search(spark, root,
+        operators.TextAnalysis.Bm25Queries.toDF("query_id", "term"),
+        operators.TextAnalysis.Bm25TopK).count()
+      println(f"[soak]   stidx search over 8-gen index: ${(System.nanoTime() - t1) / 1e9}%.2f s, rows = $hits")
+      val t2 = System.nanoTime()
+      operators.TextIndex.compact(spark, root)
+      println(f"[soak]   stidx compact: ${(System.nanoTime() - t2) / 1e9}%.2f s")
+    }
+
     // SPARK_GRAFT_SOAK_NEW_ONLY: stop after the streaming-state soaks (the
     // round-over-round standing suite below is unchanged and long)
     if (sys.env.contains("SPARK_GRAFT_SOAK_NEW_ONLY")) { spark.stop(); return }

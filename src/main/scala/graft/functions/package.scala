@@ -198,6 +198,11 @@ package object functions {
         if (es.size > 2) longLit(es(2)) else 42L)),
       "one_perm_minhash" -> (es => OnePermMinHash(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L)),
+      "ngram_oph" -> (es => OnePermMinHash(es.head, longLit(es(2)).toInt,
+        if (es.size > 3) longLit(es(3)) else 42L, gramLen = longLit(es(1)).toInt)),
+      "hll_sketch" -> (es => HllSketchAgg(es.head)),
+      "hll_merge" -> (es => HllMergeAgg(es.head)),
+      "hll_estimate" -> (es => HllEstimate(es.head)),
       "sorted_jaccard" -> (es => SortedJaccard(es.head, es(1))),
       "ngram_hashes" -> (es => NgramHashes(es.head, longLit(es(1)).toInt,
         if (es.size > 2) longLit(es(2)) else 42L)),

@@ -516,11 +516,11 @@ object TextAnalysis extends QueryModule {
   // directly, no offline index required (posting lists materialize as the
   // pruned TF shuffle); a standing query workload would persist `dt` as
   // the inverted index and skip the scan.
-  private[operators] val Bm25Queries: Seq[(Long, String)] = Seq(
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
     1L -> "spark", 1L -> "vector",
     2L -> "merge", 2L -> "stream", 2L -> "hash",
     3L -> "customer", 3L -> "query")
-  private[operators] val Bm25TopK = 5
+  private[graft] val Bm25TopK = 5
 
   /** The BM25 scoring stage shared by the scan-side key and the
     * persisted-index path ([[TextIndex]]): identical expression tree on

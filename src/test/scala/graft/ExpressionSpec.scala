@@ -319,7 +319,8 @@ class ExpressionSpec extends SparkSpec {
     val names = graft.functions.sqlFunctions.map(_._1)
     assert(names === Seq("vec_dot", "vec_l2", "vec_cosine", "bit_pack_sign",
       "hamming_dist", "graft_fingerprint", "graft_simhash", "graft_minhash",
-      "one_perm_minhash", "sorted_jaccard", "ngram_hashes", "shingle_hashes",
+      "one_perm_minhash", "ngram_oph", "hll_sketch", "hll_merge",
+      "hll_estimate", "sorted_jaccard", "ngram_hashes", "shingle_hashes",
       "deflate_len", "bpe_stats", "bpe_chunks"))
     // builders produce evaluable expressions (the extension injects these)
     val dot = graft.functions.sqlFunctions.toMap.apply("vec_dot")(
