@@ -274,6 +274,41 @@ object Sampling extends QueryModule {
       .orderBy("lang", "rk")
   }
 
+  // ---- sample_cluster_balanced -------------------------------------------
+  // Cluster-balanced curation sampling over the EMBEDDING space (the
+  // SSL-curation / SemDeDup-family selection): KMeans the corpus into
+  // ClusterCells cells, keep the ClusterQuota most PROTOTYPICAL vectors
+  // per cell (ascending distance to the cell centroid, vec_id tiebreak).
+  // A web-scale corpus is dominated by its head clusters; per-cluster
+  // quotas keep tail concepts represented while bounding the head — the
+  // diversity lever token budgets and source caps can't express. Scale
+  // shape: KMeans trains on a capped sample (same recipe as the IVF
+  // builds), assignment + centroid distance are one codegen'd map stage
+  // over literal centroids, and the per-cell top-k rank rewrites to a
+  // pre-shuffle k-heap (InferWindowGroupLimit) on the one (cell) shuffle.
+  private val ClusterCells = 16
+  private val ClusterQuota = 40
+
+  private def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val e = t(s, dir, "embeddings")
+      .withColumn("fv", VectorIndex.asVec(col("embedding")))
+    val model = new KMeans().setK(ClusterCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(VectorIndex.trainingSample(e))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    val byCell = Window.partitionBy("cell")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    model.transform(e)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(graft.functions.vec_l2(col("embedding"),
+          element_at(typedLit(centroids), col("cell") + 1)), 6).as("dist"))
+      .withColumn("rk", row_number().over(byCell).cast("long"))
+      .filter(col("rk") <= ClusterQuota)
+      .select("cell", "rk", "vec_id", "dist")
+      .orderBy("cell", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
     "sample_hash" -> sampleHash,
@@ -282,7 +317,8 @@ object Sampling extends QueryModule {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_epochs" -> sampleEpochs,
-    "sample_split_leakfree" -> sampleSplitLeakfree)
+    "sample_split_leakfree" -> sampleSplitLeakfree,
+    "sample_cluster_balanced" -> sampleClusterBalanced)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 

@@ -864,6 +864,59 @@ object StreamingOps extends QueryModule {
       TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
   }
 
+  /** Streaming sketch maintenance — the mergeable-summaries form of
+    * streaming uniques: each micro-batch appends ONE (day, 2 KB HLL
+    * register array) row per touched day (bounded by days-per-batch,
+    * never by users), and reads merge generations register-wise. Because
+    * register-wise max is associative and commutative, the streamed
+    * merged sketch is BIT-IDENTICAL to the batch-built sketch of the
+    * same corpus — the spec pins streamed == q_events_dau_hll
+    * row-for-row, a stronger statement than an error envelope. The same
+    * bid high-water guard as the MV/classifier makes replays no-ops. */
+  private def streamDauHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = tmp("sdau-src"); val sketchTable = tmp("sdau-sk") + "/t"
+    val ckpt = tmp("sdau-ckpt")
+    val raw = t(s, dir, "events").select(col("user_id"), col("ts"))
+    raw.repartition(4).write.mode("overwrite").parquet(srcDir)
+    Seq.empty[(java.sql.Date, Array[Byte], Long)].toDF("d", "sk", "bid")
+      .write.format("lance").save(sketchTable)
+    val q = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val cur = s.read.format("lance").load(sketchTable)
+        val lastBid = cur.agg(max("bid")).first() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        if (bid > lastBid) { // replayed micro-batch = no-op
+          batch
+            .select(col("user_id"), col("ts").cast("timestamp").cast("date").as("d"))
+            .groupBy("d")
+            .agg(graft.functions.hll_sketch(col("user_id")).as("sk"))
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("append").save(sketchTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    // serve DAU/WAU from the streamed sketch store: merge generations per
+    // day, then the trailing-7-day window by a second register-wise merge
+    val daily = s.read.format("lance").load(sketchTable)
+      .groupBy("d").agg(graft.functions.hll_merge(col("sk")).as("sk"))
+    val wau = daily
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"), col("sk"))
+      .groupBy("day")
+      .agg(graft.functions.hll_merge(col("sk")).as("wsk"))
+    daily.select(col("d").as("day"), graft.functions.hll_estimate(col("sk")).as("dau_approx"))
+      .join(wau.select(col("day"), graft.functions.hll_estimate(col("wsk")).as("wau_approx")), "day")
+      .select(col("day"), col("dau_approx"), col("wau_approx"),
+        round(col("dau_approx").cast("double") / col("wau_approx"), 6).as("stickiness_approx"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lance_stream_pipeline" -> streamPipeline,
     "q_stream_join" -> streamJoin,
@@ -871,6 +924,7 @@ object StreamingOps extends QueryModule {
     "q_stream_dedup_window" -> streamDedupWindow,
     "q_stream_mv" -> streamMv,
     "q_stream_text_index" -> streamTextIndex,
+    "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,

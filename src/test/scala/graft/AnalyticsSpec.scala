@@ -210,4 +210,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(merged === direct)
     assert(merged === 4L) // tiny cardinalities are exact under linear counting
   }
+
+  test("q_stream_dau_hll: streamed sketch maintenance == the batch sketch key exactly") {
+    // register-wise max is associative+commutative, so merging per-batch
+    // sketches must reproduce the batch-built sketches BIT-identically -
+    // not just within an error envelope
+    val streamed = SparkEntry.queries("q_stream_dau_hll")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = SparkEntry.queries("q_events_dau_hll")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
 }

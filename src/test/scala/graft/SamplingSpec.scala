@@ -222,4 +222,29 @@ class SamplingSpec extends SparkSpec {
     assert(hashExchanges === 1,
       s"expected exactly one source-keyed shuffle, got $hashExchanges:\n$budgetPlan")
   }
+
+  test("sample_cluster_balanced: per-cell quota, prototypical ordering, deterministic, k-heap plan") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sample_cluster_balanced")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // quota respected and ranks contiguous from 1 per cell
+    rows.groupBy(_._1).foreach { case (cell, rs) =>
+      assert(rs.length <= 40, s"cell $cell over quota")
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq)
+      // prototypical ordering: distance non-decreasing with rank
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b }, s"cell $cell order")
+    }
+    // every vector selected at most once
+    assert(rows.map(_._3).distinct.length === rows.length)
+    // deterministic across runs (fixed seed, fixed corpus)
+    val again = SparkEntry.queries("sample_cluster_balanced")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === rows.toSeq)
+    // the rank filter becomes a pre-shuffle k-heap (WindowGroupLimit)
+    val plan = SparkEntry.queries("sample_cluster_balanced")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no k-heap:\n$plan")
+  }
 }

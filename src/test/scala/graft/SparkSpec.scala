@@ -101,6 +101,8 @@ class EntrySpec extends SparkSpec {
     "q_stream_text_index" -> 15,
     "emb_project" -> 8000,
     "q_events_dau_hll" -> 30,
+    "q_stream_dau_hll" -> 30,
+    "sample_cluster_balanced" -> 446,
     "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
