@@ -240,15 +240,32 @@ object StreamingOps extends QueryModule {
     * with an externally-visible state path, source split count, and
     * per-batch observer — so specs and soaks can assert the incremental
     * contract directly: rows appended per batch ∝ that batch, constant as
-    * history grows. */
+    * history grows. Pass `srcDir0`/`ckpt0` to make the run RESUMABLE (the
+    * crash-replay spec re-runs the same checkpoint after deleting its last
+    * commit marker).
+    *
+    * foreachBatch is at-least-once: a crash BETWEEN the state append and
+    * the checkpoint commit replays the batch, which would re-append the
+    * same generation. The generation itself is the high-water guard — a
+    * replayed batch's bid <= max(gen) already in the state table, so the
+    * append is skipped and the replay is a per-table no-op (same posture
+    * as the MV/classifier refreshes). The guard costs one max(gen) read
+    * per micro-batch, which the lance scan answers from manifest stats. */
   private[graft] def streamDedupAt(s: SparkSession, docs: DataFrame, state: String,
                                    srcParts: Int = 4,
-                                   onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
-    val srcDir = tmp("sdedup-src"); val ckpt = tmp("sdedup-ckpt")
+                                   onBatch: (Long, Long) => Unit = (_, _) => (),
+                                   srcDir0: String = null, ckpt0: String = null): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp("sdedup-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("sdedup-ckpt"))
     val buckets = defaultStateBuckets(s)
     // several source files + maxFilesPerTrigger=1 => AvailableNow really
-    // runs MULTIPLE micro-batches, so the delta-append path is exercised
-    docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    // runs MULTIPLE micro-batches, so the delta-append path is exercised.
+    // A re-run (crash replay) must NOT rewrite the source: overwrite
+    // produces fresh part-file names the file source would treat as new
+    // data, turning the replay into a second ingest.
+    val srcFiles = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+    if (!srcFiles.exists(_.getName.startsWith("part-")))
+      docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .groupBy(sha2(col("text"), 256).as("h"))
@@ -257,15 +274,31 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, bid: Long) =>
-        // localCheckpoint: `changed` is consumed twice (observer + write);
-        // without it each consumer would recompute the micro-batch plan
-        val delta = changed.withColumn("gen", lit(bid)).localCheckpoint()
-        onBatch(bid, delta.count())
-        delta.write.format("lance")
-          .option("write.bucket-by", "h")
-          .option("write.bucket-count", buckets.toString)
-          .mode(if (new java.io.File(state).exists()) "append" else "overwrite")
-          .save(state)
+        val stateExists = new java.io.File(state).exists()
+        val lastGen =
+          if (!stateExists) -1L
+          else s.read.format("lance").load(state).agg(max("gen")).first() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
+        if (bid > lastGen) {
+          // localCheckpoint: `changed` is consumed twice (observer + write);
+          // without it each consumer would recompute the micro-batch plan
+          val delta = changed.withColumn("gen", lit(bid)).localCheckpoint()
+          onBatch(bid, delta.count())
+          delta.write.format("lance")
+            .option("write.bucket-by", "h")
+            .option("write.bucket-count", buckets.toString)
+            .mode(if (stateExists) "append" else "overwrite")
+            .save(state)
+        } else {
+          // replayed micro-batch = state-table no-op. The batch must still
+          // be DRAINED: a stateful query's state-store partitions only
+          // commit when foreachBatch consumes every partition (Spark
+          // validates this), so "skip" means "count, don't write".
+          changed.count()
+        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

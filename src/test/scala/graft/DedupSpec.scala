@@ -274,6 +274,46 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.format("lance").load(state).count() > 12L)
   }
 
+  test("q_stream_dedup: crash between state append and checkpoint commit — replay is a no-op") {
+    // The at-least-once hole in a generation-tagged state table: the batch
+    // APPENDS its delta, then crashes BEFORE the checkpoint commit. On
+    // restart the same batch replays with the same bid. Without a guard it
+    // would re-append the generation (duplicate rows per (h, gen)); the
+    // bid-vs-max(gen) high-water guard makes the replay a no-op instead.
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"crash text ${i % 12} body")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft-sdedup-cr-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sdedup-cr-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-cr-ck-").toString
+    def run() = graft.operators.StreamingOps
+      .streamDedupAt(spark, docs, state, srcParts = 4, srcDir0 = srcDir, ckpt0 = ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val first = run()
+    val stateRows = spark.read.format("lance").load(state).count()
+    assert(stateRows > 0)
+    // simulate the crash point: the state append is durable, the
+    // checkpoint's last commit marker is not
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val replayed = run()
+    assert(spark.read.format("lance").load(state).count() === stateRows,
+      "replayed batch re-appended its generation — the bid guard is broken")
+    assert(replayed === first, "merge-on-read answer moved under replay")
+    // and the answer is the batch dedup answer
+    val expected = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(0))).toSeq
+    assert(replayed === expected)
+  }
+
   test("q_stream_neardedup: incremental LSH over micro-batches == batch LSH pairs") {
     val streamed = SparkEntry.queries("q_stream_neardedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
