@@ -248,6 +248,52 @@ class LanceStreamSpec extends SparkSpec {
     assert(readMv === expected, "replayed micro-batch double-applied deltas")
   }
 
+  test("windowed MV: watermark closes windows (late input dropped); replay is a no-op") {
+    import spark.implicits._
+    def ts(h: Int, m: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-10 $h%02d:$m%02d:00")
+    val schema = Seq((ts(0), "view", 0L)).toDF("ts", "event_type", "event_id").schema
+    val srcDir = tmp() + "/src"; val mv = tmp() + "/mv"; val ckpt = tmp() + "/ckpt"
+    def refresh() = graft.operators.StreamingOps
+      .streamMvWindowRefresh(spark, srcDir, schema, mv, ckpt, delay = "1 hour")
+    def readMv = spark.read.format("lance").load(mv)
+      .select("w_start", "event_type", "n", "sum_id").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch 1: hours 00-03; final watermark = 03:30 - 1h = 02:30
+    Seq((ts(0), "view", 1L), (ts(0, 30), "view", 2L), (ts(1), "view", 3L),
+        (ts(2), "buy", 4L), (ts(3, 30), "view", 5L))
+      .toDF("ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    refresh()
+    val afterB1 = readMv
+    assert(afterB1((ts(0), "view", 2L, 3L)), s"hour-00 totals wrong: $afterB1")
+
+    // batch 2: a LATE hour-00 event (window end 01:00 <= watermark 02:30 —
+    // the window is FINAL, the row must be dropped) + a fresh hour-04 one
+    Seq((ts(0, 45), "view", 99L), (ts(4), "buy", 6L))
+      .toDF("ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    refresh()
+    val afterB2 = readMv
+    assert(afterB2((ts(0), "view", 2L, 3L)),
+      s"closed hour-00 window moved — late input leaked past the watermark: $afterB2")
+    assert(afterB2((ts(4), "buy", 1L, 6L)), s"fresh hour-04 row missing: $afterB2")
+
+    // crash replay: state overwrite landed, checkpoint commit did not —
+    // the replayed batch's bid <= the MV's recorded bid, so it's a no-op
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    refresh()
+    assert(readMv === afterB2, "replayed micro-batch double-applied the upsert")
+  }
+
   test("batch change feed reads an explicit version range") {
     import graft.sources.lance.LanceDelete
     import spark.implicits._

@@ -99,6 +99,7 @@ class EntrySpec extends SparkSpec {
     "text_search_bm25" -> 15,
     "text_search_indexed" -> 15,
     "q_stream_text_index" -> 15,
+    "q_stream_mv_window" -> 868,
     "emb_project" -> 8000,
     "q_events_dau_hll" -> 30,
     "q_stream_dau_hll" -> 30,
