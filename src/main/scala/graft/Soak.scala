@@ -73,6 +73,37 @@ object Soak {
       }
     }
 
+    // ---- q_stream_mv_window: per-epoch refresh over advancing event time -
+    // Each epoch streams a NEW month of events (the whole sf events table,
+    // time-shifted) through the windowed MV. The epoch's cost must be
+    // |batch| + O(|MV|): the watermark advances past the previous month, so
+    // the state store only ever holds the CURRENT month's open windows
+    // (bounded, ∝ horizon × groups) while the MV accumulates every closed
+    // window. Per-epoch time growing with the accumulated SOURCE would
+    // falsify the claim; growing gently with |MV| is the documented
+    // overwrite cost (partition-by-day rewrites bound it at scale).
+    timed("q_stream_mv_window: 8-epoch refresh, advancing event time") {
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val srcDir = s"$out/smvw-$sfx/src"
+      val mvT = s"$out/smvw-$sfx/mv/t"
+      val ckpt = s"$out/smvw-$sfx/ckpt"
+      val ev = Tables.t(spark, sfDir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
+      val evC = ev.localCheckpoint(true)
+      for (epoch <- 1 to 8) {
+        evC.withColumn("ts", col("ts") + expr(s"INTERVAL ${(epoch - 1) * 31} DAYS"))
+          .withColumn("event_id", col("event_id") + lit(epoch * 100000000L))
+          .repartition(2)
+          .write.mode("append").parquet(srcDir)
+        val t0 = System.nanoTime()
+        operators.StreamingOps.streamMvWindowRefresh(spark, srcDir,
+          evC.schema, mvT, ckpt, delay = "90 days")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val mvRows = spark.read.format("lance").load(mvT).count()
+        println(f"[soak]   mvw epoch $epoch%2d: refresh $dt%6.2f s, mv rows = $mvRows")
+      }
+    }
+
     // ---- q_stream_classifier: per-epoch delta-append cost ----------------
     // Additive state: each epoch appends a (label, bucket)-bounded delta
     // (<= 2*2^16 + 2 rows) regardless of history; per-epoch refresh time
