@@ -804,10 +804,15 @@ object StreamingOps extends QueryModule {
     * aggregation, so a closed window's MV row is immutable no matter what
     * arrives later, and the state store evicts closed windows (state is
     * bounded by the watermark horizon × group cardinality, not by
-    * retention). foreachBatch replays are no-ops via the same batch-id
-    * high-water guard as q_stream_mv. The O(|MV|) overwrite is the local
-    * simplification; at 100 TB the MV partitions by window day and a
-    * batch rewrites only the partitions its touched windows land in. */
+    * retention). The upsert is NOT an O(|MV|) rewrite: the touched keys
+    * delete-where out of the MV (a DV-sidecar commit — no data files
+    * move) and the fresh totals append, so per-batch write IO is
+    * ∝ |touched|, with LanceMaintenance compaction bounding the
+    * accumulated small fragments. foreachBatch replays are no-ops via the
+    * same batch-id high-water guard as q_stream_mv; a crash BETWEEN the
+    * delete and the append leaves max(bid) at the previous batch, so the
+    * replay re-applies both halves (the re-delete matches nothing) and
+    * repairs the MV. */
   private def streamMvWindow(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
@@ -830,8 +835,8 @@ object StreamingOps extends QueryModule {
       ckpt: String, delay: String): String = {
     import s.implicits._
     if (!new java.io.File(mvTable).exists())
-      Seq.empty[(Timestamp, String, Long, Long, Long)]
-        .toDF("w_start", "event_type", "n", "sum_id", "bid")
+      Seq.empty[(Timestamp, String, Long, Long, String, Long)]
+        .toDF("w_start", "event_type", "n", "sum_id", "k", "bid")
         .write.format("lance").save(mvTable)
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -843,19 +848,25 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (touched: DataFrame, bid: Long) =>
-        val cur = s.read.format("lance").load(mvTable)
-        val lastBid = cur.agg(max("bid")).first() match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
+        val lastBid = s.read.format("lance").load(mvTable)
+          .agg(max("bid")).first() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
         if (bid > lastBid) {
-          val up = touched.localCheckpoint() // consumed twice below
-          cur.drop("bid")
-            .join(up.select("w_start", "event_type"),
-              Seq("w_start", "event_type"), "left_anti")
-            .unionByName(up)
-            .withColumn("bid", lit(bid))
-            .write.format("lance").mode("overwrite").save(mvTable)
+          // the upsert key rides the MV as a single column so the touched
+          // keys are one In() delete predicate (bounded: ∝ the batch)
+          val up = touched.withColumn("k",
+            concat_ws("\u0001", col("w_start").cast("string"), col("event_type")))
+            .localCheckpoint() // materializes every partition (state commit)
+          val keys = up.select("k").collect().map(_.getString(0))
+          if (keys.nonEmpty) {
+            graft.sources.lance.LanceDelete.deleteWhere(s, mvTable,
+              Array(org.apache.spark.sql.sources.In("k", keys.toArray[Any])),
+              Map.empty)
+            up.withColumn("bid", lit(bid))
+              .write.format("lance").mode("append").save(mvTable)
+          }
         } else {
           // replayed micro-batch = MV no-op; still drain so the stateful
           // query's state-store partitions commit (Spark validates this)
