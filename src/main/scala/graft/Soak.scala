@@ -102,6 +102,21 @@ object Soak {
         val mvRows = spark.read.format("lance").load(mvT).count()
         println(f"[soak]   mvw epoch $epoch%2d: refresh $dt%6.2f s, mv rows = $mvRows")
       }
+      // 8 epochs of delete+append leave per-batch fragments + DV sidecars;
+      // compaction folds them without moving the answer
+      def mvSum = spark.read.format("lance").load(mvT)
+        .agg(count(lit(1)), sum("n"), sum("sum_id")).first()
+      val before = mvSum
+      val fragsBefore = spark.read.format("lance").load(mvT)
+        .select(col("_file")).distinct().count()
+      val tC = System.nanoTime()
+      sources.lance.LanceMaintenance.compact(spark, mvT,
+        smallerThanRows = 100000, targetRows = 1 << 20)
+      val fragsAfter = spark.read.format("lance").load(mvT)
+        .select(col("_file")).distinct().count()
+      println(f"[soak]   mvw compact: ${(System.nanoTime() - tC) / 1e9}%.2f s, " +
+        s"fragments $fragsBefore -> $fragsAfter, answer unchanged = ${mvSum == before}")
+      require(mvSum == before, "compaction moved the windowed-MV answer")
     }
 
     // ---- q_stream_classifier: per-epoch delta-append cost ----------------

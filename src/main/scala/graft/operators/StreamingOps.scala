@@ -864,7 +864,10 @@ object StreamingOps extends QueryModule {
             graft.sources.lance.LanceDelete.deleteWhere(s, mvTable,
               Array(org.apache.spark.sql.sources.In("k", keys.toArray[Any])),
               Map.empty)
-            up.withColumn("bid", lit(bid))
+            // one fragment per batch: the delta is |touched|-sized, and 32
+            // shuffle-partition-shaped slivers per append would hand
+            // compaction avoidable work
+            up.withColumn("bid", lit(bid)).coalesce(1)
               .write.format("lance").mode("append").save(mvTable)
           }
         } else {
