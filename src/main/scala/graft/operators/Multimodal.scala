@@ -501,15 +501,19 @@ object Multimodal extends QueryModule {
   // brightness-shifted copies of one image are NOT byte-duplicates, so
   // content-hash dedup misses them — a perceptual hash (dHash: gradient
   // signs over a coarse grid) is invariant to exactly those edits.
-  // Pipeline: real ImageIO decode → 64-bit dHash (one map stage) →
-  // 8×8-bit pigeonhole banding (capped buckets, never all-pairs) → exact
-  // hamming verify on candidates. Pigeonhole: a pair within hamming d
-  // shares at least one untouched band when d < #bands, so 8 bands
-  // GUARANTEE recall at hamming ≤ 7 ≥ ImgHammingMax = 6 (the r14 4×16
-  // layout only guaranteed ≤ 3 and silently best-efforted 4-6). At
-  // 100 TB the decode+hash is a linear map over payload splits and the
-  // join is bucket-bounded, identical scale posture to the text near-dup
-  // family.
+  // Pipeline: real ImageIO decode → 128-bit dHash (horizontal + vertical
+  // gradient signs, one map stage) → 8×16-bit pigeonhole banding (capped
+  // buckets, never all-pairs) → exact hamming verify on candidates.
+  // Pigeonhole: a pair within hamming d shares at least one untouched
+  // band when d < #bands, so 8 bands GUARANTEE recall at hamming ≤ 7 ≥
+  // ImgHammingMax = 6. The 128-bit signature is what makes the layout
+  // hold at corpus scale: 8 bands of a 64-bit hash have only 256 keys
+  // each, so past ~65k images (ImgBucketCap × 256) EVERY bucket
+  // overflows and drops — silent zero recall; 16-bit bands carry 65536
+  // keys each (overflow ≈ 16.7M uniform images), and the second gradient
+  // direction also halves random collisions at the verify. At 100 TB the
+  // decode+hash is a linear map over payload splits and the join is
+  // bucket-bounded, identical scale posture to the text near-dup family.
 
   /** 64-bit difference hash: integer block-average grayscale on a 9×8
     * grid, bit = cell brighter than its right neighbor. Averages compare
@@ -551,6 +555,55 @@ object Multimodal extends QueryModule {
       var cx = 0
       while (cx < 8) {
         if (sums(cx)(cy) * ns(cx + 1)(cy) > sums(cx + 1)(cy) * ns(cx)(cy))
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** The VERTICAL twin of [[dHash]]: block averages on an 8×9 grid, bit =
+    * cell brighter than the cell BELOW it. Same cross-multiplied integer
+    * comparison, same brightness-shift invariance. Together the two
+    * directions give the 128-bit signature mm_image_dedup bands — an
+    * independent gradient field (horizontal signs say nothing about
+    * vertical ones), so the combined hash doubles the band key entropy
+    * rather than duplicating it. */
+  private[graft] def dHashVertical(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](8, 9)
+    val ns = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 9) {
+      val y0 = cy * h / 9; val y1 = math.max(y0 + 1, (cy + 1) * h / 9)
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        sums(cx)(cy) = sum; ns(cx)(cy) = n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cx)(cy) * ns(cx)(cy + 1) > sums(cx)(cy + 1) * ns(cx)(cy))
           bits |= 1L << (cy * 8 + cx)
         cx += 1
       }
@@ -606,13 +659,18 @@ object Multimodal extends QueryModule {
   private val ImgHammingMax = 6L
   private val ImgBucketCap = 256
 
-  /** Banded near-dup pairs of a (doc_id, sig) 64-bit perceptual-hash
-    * table: 8×8-bit pigeonhole bands → capped buckets → exact hamming
-    * verify at [[ImgHammingMax]]. Split out so the banding's recall
-    * guarantee is testable on adversarial signatures directly. */
+  /** Banded near-dup pairs of a (doc_id, sig_h, sig_v) 128-bit
+    * perceptual-hash table: 8×16-bit pigeonhole bands (band b = byte b of
+    * the horizontal hash ‖ byte b of the vertical one — a disjoint
+    * partition of the 128 bits, so a pair within hamming 7 leaves ≥ 1
+    * band untouched) → capped buckets → exact hamming verify at
+    * [[ImgHammingMax]] over both halves. Split out so the banding's
+    * recall guarantee is testable on adversarial signatures directly. */
   private[graft] def hashPairs(sigs: DataFrame): DataFrame = {
     val cand = sigs.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> shiftrightunsigned(sig, b * 8) & 255)")))
+        "transform(sequence(0, 7), b -> " +
+          "(shiftrightunsigned(sig_h, b * 8) & 255) * 256 + " +
+          "(shiftrightunsigned(sig_v, b * 8) & 255))")))
       .toDF("doc_id", "band_idx", "band_key")
       .groupBy("band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
@@ -620,9 +678,13 @@ object Multimodal extends QueryModule {
       .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
     cand
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .join(sigs.select(col("doc_id").as("a_id"),
+        col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"),
+        col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
       .filter(col("hamming") <= ImgHammingMax)
       .select("a_id", "b_id", "hamming")
   }
@@ -653,9 +715,9 @@ object Multimodal extends QueryModule {
     val sigs = s.read.parquet(imageFixture(s, dir))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, png) =>
-        ImageCodec.decode(png).map(img => (id, dHash(img)))
+        ImageCodec.decode(png).map(img => (id, dHash(img), dHashVertical(img)))
       })
-      .toDF("doc_id", "sig")
+      .toDF("doc_id", "sig_h", "sig_v")
     hashPairs(sigs).orderBy("a_id", "b_id")
   }
 

@@ -242,7 +242,10 @@ object StreamingOps extends QueryModule {
     * contract directly: rows appended per batch ∝ that batch, constant as
     * history grows. Pass `srcDir0`/`ckpt0` to make the run RESUMABLE (the
     * crash-replay spec re-runs the same checkpoint after deleting its last
-    * commit marker).
+    * commit marker). NOTE: a srcDir0 that already holds part- files is a
+    * RESUME — `docs` is deliberately NOT re-written there (fresh part-file
+    * names would read as new data and double-ingest); callers streaming
+    * new documents must append them to srcDir0 as new files themselves.
     *
     * foreachBatch is at-least-once: a crash BETWEEN the state append and
     * the checkpoint commit replays the batch, which would re-append the

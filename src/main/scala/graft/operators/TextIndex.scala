@@ -65,9 +65,10 @@ object TextIndex {
       .withColumn("w", TextAnalysis.toksCol)
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .localCheckpoint() // dt AND the stats agg consume d: one tokenize pass
     val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // three consumers below; one compute
+      .localCheckpoint() // postings + terms consume dt: one TF compute
     def lastBid(path: String): Long =
       if (!new java.io.File(path).exists()) -1L
       else s.read.format("lance").load(path).agg(max("bid")).first() match {
@@ -127,6 +128,25 @@ object TextIndex {
   /** Whether a standing index exists at `root`. */
   def exists(root: String): Boolean =
     new java.io.File(root + "/postings").exists()
+
+  /** The corpus manifest version a procedure-built index was derived from
+    * (None for indexes that never recorded one, e.g. streaming-maintained
+    * roots — those track the corpus through their own delta appends).
+    * CALL system.search compares this against the corpus's current version
+    * and rebuilds on mismatch, so a corpus that moved after the first CALL
+    * is never served from the stale sidecar. */
+  def recordedCorpusVersion(root: String): Option[Long] = {
+    val f = new java.io.File(root, "corpus_version")
+    if (!f.exists()) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+  }
+
+  /** Record the corpus manifest version the index at `root` was built from. */
+  def recordCorpusVersion(root: String, version: Long): Unit =
+    java.nio.file.Files.write(new java.io.File(root, "corpus_version").toPath,
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Serve a (query_id, term) workload from the standing index at `root`.
     * The postings scan is restricted to the buckets the query vocabulary

@@ -17,6 +17,11 @@ import java.io.{DataInputStream, DataOutputStream}
   * correction needed with 64-bit hashes.
   */
 final class Hll(val registers: Array[Byte]) extends Serializable {
+  // every consumer (merge/estimate, the SQL-registered hll_merge /
+  // hll_estimate included) indexes 0 until M — validate at the boundary so
+  // arbitrary user binary fails with a diagnosis, not an AIOOBE mid-loop
+  require(registers.length == Hll.M,
+    s"not an HLL sketch: expected ${Hll.M} registers, got ${registers.length} bytes")
   def this() = this(new Array[Byte](Hll.M))
 
   def addHash(h: Long): Unit = {

@@ -417,11 +417,21 @@ object LanceProcedures {
       val outTable = in.getUTF8String(5).toString.trim
       import org.apache.spark.sql.functions._
       val idxRoot = graft.operators.TextIndex.indexRootFor(cRoot)
-      if (!graft.operators.TextIndex.exists(idxRoot))
+      // build once, then serve every later CALL from the standing index —
+      // but never a STALE one: the sidecar records the corpus manifest
+      // version it was built from, and a corpus that moved (appends,
+      // deletes, overwrites) triggers a rebuild before serving
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val corpusVersion = ManifestIO.loadLatest(cRoot, conf).map(_.version).getOrElse(
+        throw new IllegalArgumentException(s"lance search: corpus not found at $cRoot"))
+      if (!graft.operators.TextIndex.exists(idxRoot) ||
+          !graft.operators.TextIndex.recordedCorpusVersion(idxRoot).contains(corpusVersion)) {
         graft.operators.TextIndex.build(spark,
           spark.read.format("lance").load(cRoot)
             .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
           idxRoot)
+        graft.operators.TextIndex.recordCorpusVersion(idxRoot, corpusVersion)
+      }
       val queries = spark.read.format("lance").load(qRoot)
         .select(col("query_id").cast("long").as("query_id"), col("term"))
       val result = graft.operators.TextIndex.search(spark, idxRoot, queries, k)
@@ -434,14 +444,21 @@ object LanceProcedures {
       if (outTable.nonEmpty) {
         val outRoot = catalog.tableRootForCreate(outTable)
         result.write.format("lance").mode("overwrite").save(outRoot)
-        val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
         val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
         (StructType(Seq(
           StructField("output_table", StringType, nullable = false),
           StructField("n_rows", LongType, nullable = false))),
           Seq(Array[Any](UTF8String.fromString(outTable), n)))
       } else {
-        val rows = result.collect().map(r => Array[Any](
+        // driver-return path: k·|queries|-shaped — cap it the same way
+        // knn_join does so a mining-sized workload fails fast with the
+        // actionable fix (output_table) instead of OOMing the driver
+        val maxRows = 1000000
+        val fetched = result.take(maxRows + 1)
+        require(fetched.length <= maxRows,
+          s"lance search: result exceeds the driver-return cap ($maxRows rows); " +
+            "pass output_table to materialize to a lance table instead")
+        val rows = fetched.map(r => Array[Any](
           r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
         (schema, rows.toSeq)
       }

@@ -198,14 +198,17 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("mm_image_dedup: dHash brightness invariance, local-edit near-dup, pattern-pure pairs") {
-    def hashOf(id: Long): Long =
+    def hashOf(id: Long): (Long, Long) =
       Multimodal.ImageCodec.decode(Multimodal.synthImage(id))
-        .map(Multimodal.dHash).getOrElse(fail(s"decode failed for $id"))
-    // uniform brightness shifts leave every gradient sign unchanged
+        .map(img => (Multimodal.dHash(img), Multimodal.dHashVertical(img)))
+        .getOrElse(fail(s"decode failed for $id"))
+    // uniform brightness shifts leave every gradient sign unchanged — in
+    // BOTH directions of the 128-bit signature
     assert(hashOf(3L) === hashOf(53L))   // pattern 3, variants 0 vs 1
     assert(hashOf(3L) === hashOf(353L))  // variant 7
     // the local blob edit lands NEAR (re-encoded copy posture), not equal
-    val blobDist = java.lang.Long.bitCount(hashOf(3L) ^ hashOf(403L))
+    val (h3, v3) = hashOf(3L); val (h403, v403) = hashOf(403L)
+    val blobDist = java.lang.Long.bitCount(h3 ^ h403) + java.lang.Long.bitCount(v3 ^ v403)
     assert(blobDist >= 1 && blobDist <= 6, s"blob hamming $blobDist")
     // both blob variants carry the identical edit
     assert(hashOf(403L) === hashOf(453L))
@@ -224,17 +227,21 @@ class MultimodalSpec extends SparkSpec {
 
   test("mm_image_dedup banding: adversarial hamming-4..6 spreads are still paired (8-band pigeonhole)") {
     import spark.implicits._
-    // base sig plus copies whose differing bits are SPREAD across
-    // different 16-bit quarters — exactly the pairs the r14 4×16 banding
-    // silently dropped (no untouched quarter at hamming >= 4). With 8
-    // 8-bit bands, hamming <= 7 always leaves an untouched band.
-    val base = 0x5A5A5A5A5A5A5A5AL
+    // base sig plus copies whose differing bits are SPREAD across as many
+    // of the 8 bands as the budget allows, split over BOTH halves of the
+    // 128-bit signature — exactly the pairs the r14 4×16 banding silently
+    // dropped (no untouched quarter at hamming >= 4). With 8 16-bit bands
+    // (byte b of each half), hamming <= 7 always leaves an untouched band.
+    val baseH = 0x5A5A5A5A5A5A5A5AL
+    val baseV = 0xA5A5A5A5A5A5A5A5L
     val sigs = Seq(
-      1L -> base,
-      2L -> (base ^ 0x0001000100010001L),                    // h=4, one bit per quarter
-      3L -> (base ^ 0x0001000100010301L),                    // h=6, all quarters touched
-      4L -> (base ^ 0x8080808080808080L)                     // h=8: beyond max, must NOT pair
-    ).toDF("doc_id", "sig")
+      // (doc_id, sig_h, sig_v)
+      (1L, baseH, baseV),
+      (2L, baseH ^ 0x0000000001010101L, baseV),              // h=4: bands 0-3 touched via H
+      (3L, baseH ^ 0x0000000001010101L,                      // h=6: bands 0-3 via H,
+        baseV ^ 0x0101000000000000L),                        //      bands 6-7 via V
+      (4L, baseH ^ 0x0101010101010101L, baseV)               // h=8: beyond max, must NOT pair
+    ).toDF("doc_id", "sig_h", "sig_v")
     val got = operators.Multimodal.hashPairs(sigs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)), s"hamming-4 spread pair missing: $got")

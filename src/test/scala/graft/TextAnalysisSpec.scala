@@ -386,6 +386,21 @@ class TextAnalysisSpec extends SparkSpec {
         "output_table => 'db.hits')").collect()(0)
     assert(mat.getString(0) === "db.hits")
     assert(spark.sql("SELECT count(*) FROM lance_ts.db.hits").first().getLong(0) === mat.getLong(1))
+
+    // STALENESS: the corpus moves (append a doc made entirely of one query
+    // term) — the next CALL must rebuild the sidecar and surface the new
+    // doc, not serve the stale index
+    Seq((999999L, "zzzquery zzzquery zzzquery")).toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(s"$wh/db/c")
+    Seq((7L, "zzzquery")).toDF("query_id", "term")
+      .write.format("lance").mode("append").save(s"$wh/db/qq")
+    val fresh = spark.sql(
+      "CALL lance_ts.system.search(queries => 'db.qq', corpus => 'db.c', k => 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fresh.contains((7L, 999999L)),
+      s"appended doc invisible — stale sidecar served after the corpus moved: ${fresh.toSeq}")
+    assert(graft.sources.lance.ManifestIO.loadLatest(idxRoot + "/postings", conf).get.version > v1,
+      "sidecar was not rebuilt after the corpus version advanced")
   }
 
   test("q_stream_text_index: streamed index == batch index; per-table bid guard makes replays no-ops") {

@@ -939,10 +939,14 @@ class VectorIndexSpec extends SparkSpec {
     assert(mean > 0.8 && mean < 1.2, s"mean distance ratio $mean")
     assert(ratios.count(r => r > 0.2 && r < 3.0).toDouble / ratios.length > 0.95,
       "too many pairs outside the k=16 JL envelope")
-    // pure map stage: no Exchange before the presentation sort
-    val plan = Tables.t(spark, sf, "embeddings")
-      .select(col("vec_id"), explode(array(lit(1))).as("x"))
+    // pure map stage: the REAL query's plan holds no Exchange other than
+    // the presentation orderBy's range partitioning — projection + explode
+    // never shuffle the vectors
+    val plan = SparkEntry.queries("emb_project")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort Exchange in emb_project's plan: $exchanges\n$plan")
+    assert(exchanges.size <= 1, s"multiple Exchanges: $exchanges\n$plan")
   }
 }
