@@ -126,17 +126,22 @@ object Multimodal extends QueryModule {
 
   /** One deterministic 32×32 frame of doc `docId`: the synthImage gradient
     * field with a per-frame brightness ramp — temporal continuity like a
-    * real clip, exactly reproducible from (docId, frameIdx) so specs can
-    * compute expected PIXELS without touching the decode path. */
+    * real clip — plus a per-VIDEO uniform brightness shift (variant =
+    * (docId/50) % 10, the synthImage scheme), so videos sharing a pattern
+    * are re-graded COPIES: byte-different PNGs with identical gradient
+    * signs — the video near-dup signal mm_video_dedup keys on. Exactly
+    * reproducible from (docId, frameIdx) so specs can compute expected
+    * PIXELS without touching the decode path. */
   private[graft] def synthFrame(docId: Long, frameIdx: Int): java.awt.image.BufferedImage = {
     val pattern = (docId % 50).toInt
+    val variant = ((docId / 50) % 10).toInt
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < 32) {
       var x = 0
       while (x < 32) {
-        val b = synthFramePixel(pattern, frameIdx, x, y)
+        val b = synthFramePixel(pattern, variant, frameIdx, x, y)
         img.setRGB(x, y, (b << 16) | (b << 8) | b)
         x += 1
       }
@@ -146,15 +151,18 @@ object Multimodal extends QueryModule {
   }
 
   /** The gray value of pixel (x, y) in frame `frameIdx` of pattern
-    * `pattern` — the single source of truth the generator AND the spec's
-    * independent expectation share. */
-  private[graft] def synthFramePixel(pattern: Int, frameIdx: Int, x: Int, y: Int): Int = {
+    * `pattern`, video variant `variant` — the single source of truth the
+    * generator AND the spec's independent expectation share. */
+  private[graft] def synthFramePixel(pattern: Int, variant: Int, frameIdx: Int,
+                                     x: Int, y: Int): Int = {
     var z = pattern.toLong * 0x9E3779B97F4A7C15L +
       x.toLong * 0xBF58476D1CE4E5B9L + y.toLong * 0x94D049BB133111EBL
     z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
     z ^= z >>> 27; z *= 0x94D049BB133111EBL
     z ^= z >>> 31
-    ((z >>> 16) & 0xff).toInt / 2 + frameIdx * 8 // ramp stays <= 167
+    // base <= 127, ramp <= 40, shift <= 27: max 194, no clipping — every
+    // gradient sign survives both the ramp and the per-video shift
+    ((z >>> 16) & 0xff).toInt / 2 + frameIdx * 8 + variant * 3
   }
 
   /** Deterministic GVID container for a doc: VideoFrames PNG frames.
@@ -721,11 +729,84 @@ object Multimodal extends QueryModule {
     hashPairs(sigs).orderBy("a_id", "b_id")
   }
 
+  // ---- mm_video_dedup (video-level near-dup via frame signatures) --------
+  // Re-encoded / re-graded copies of a clip are not byte-duplicates and
+  // not even frame-byte-duplicates — but their per-frame perceptual
+  // hashes are near. Video dedup therefore lifts the image near-dup
+  // machinery to the frame axis: decode the SAMPLED frames (the
+  // mm_video_frames path), 128-bit dHash each, band candidates per
+  // ALIGNED frame position ((frame_idx, band_idx, band_key) buckets —
+  // positional alignment is the re-encode/re-grade posture; clipped or
+  // trimmed videos would shingle frame signatures instead, the substring
+  // dedup posture), then verify exactly: per-pair count of aligned frames
+  // within [[ImgHammingMax]], kept when the matched fraction of the
+  // SHORTER video's decodable frames ≥ [[VideoMatchRatio]] (ratio-of-min
+  // so a video with dropped corrupt frames still matches its copies). At
+  // 100 TB: one decode map stage, bucket-bounded banding (never
+  // all-pairs), and a |candidate × frames-per-video| verify join — the
+  // identical scale posture as mm_image_dedup with an extra bounded
+  // (≤ frames-per-video) fan-in per pair.
+  private val VideoMatchRatio = 0.5
+
+  /** (doc_id, frame_idx, sig_h, sig_v) for every decodable sampled frame. */
+  private[graft] def videoFrameSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(videoFixture(s, dir))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, video) =>
+        parseGvid(video).toSeq.flatten
+          .filter { case (f, _) => f % VideoStride == 0 }
+          .flatMap { case (f, payload) =>
+            ImageCodec.tryDecode(payload).map(img =>
+              (id, f.toLong, dHash(img), dHashVertical(img)))
+          }
+      })
+      .toDF("doc_id", "frame_idx", "sig_h", "sig_v")
+  }
+
+  /** Video near-dup pairs of a (doc_id, frame_idx, sig_h, sig_v) frame
+    * table: per-aligned-frame 8×16-bit banding → capped buckets → exact
+    * per-frame hamming + per-pair coverage ratio. Split out so the
+    * frame-alignment semantics are testable on synthetic signatures. */
+  private[graft] def videoPairs(frames: DataFrame): DataFrame = {
+    val cand = frames.select(col("doc_id"), col("frame_idx"), posexplode(expr(
+        "transform(sequence(0, 7), b -> " +
+          "(shiftrightunsigned(sig_h, b * 8) & 255) * 256 + " +
+          "(shiftrightunsigned(sig_v, b * 8) & 255))")))
+      .toDF("doc_id", "frame_idx", "band_idx", "band_key")
+      .groupBy("frame_idx", "band_idx", "band_key")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(graft.functions.sorted_list_pairs(col("ids")))
+      .distinct()
+    val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    cand
+      .join(frames.select(col("doc_id").as("a_id"), col("frame_idx"),
+        col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+      .join(frames.select(col("doc_id").as("b_id"), col("frame_idx"),
+        col("sig_h").as("hb"), col("sig_v").as("vb")), Seq("b_id", "frame_idx"))
+      .withColumn("fham",
+        bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("va").bitwiseXOR(col("vb"))))
+      .groupBy("a_id", "b_id")
+      .agg(sum(when(col("fham") <= ImgHammingMax, 1L).otherwise(0L)).as("n_matched"))
+      .join(nf.select(col("doc_id").as("a_id"), col("nf").as("nf_a")), "a_id")
+      .join(nf.select(col("doc_id").as("b_id"), col("nf").as("nf_b")), "b_id")
+      .withColumn("match_ratio",
+        round(col("n_matched").cast("double") / least(col("nf_a"), col("nf_b")), 6))
+      .filter(col("match_ratio") >= VideoMatchRatio)
+      .select("a_id", "b_id", "n_matched", "match_ratio")
+  }
+
+  private def mmVideoDedup(s: SparkSession, dir: String): DataFrame =
+    videoPairs(videoFrameSigs(s, dir)).orderBy("a_id", "b_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_video_frames" -> mmVideoFrames,
+    "mm_video_dedup" -> mmVideoDedup,
     "mm_audio_features" -> mmAudioFeatures,
     "mm_image_dedup" -> mmImageDedup)
 

@@ -261,12 +261,13 @@ class MultimodalSpec extends SparkSpec {
     // alone (PNG is lossless, so the decode path must reproduce it)
     def expectedChecksum(id: Long, f: Int): Long = {
       val pattern = (id % 50).toInt
+      val variant = ((id / 50) % 10).toInt
       var sum = 0L
       var y = 0
       while (y < 32) {
         var x = 0
         while (x < 32) {
-          sum += operators.Multimodal.synthFramePixel(pattern, f, x, y)
+          sum += operators.Multimodal.synthFramePixel(pattern, variant, f, x, y)
           x += 1
         }
         y += 1
@@ -296,5 +297,55 @@ class MultimodalSpec extends SparkSpec {
       val hashes = rows.collect { case ((d, _), (_, _, _, dh)) if d == id => dh }.toSet
       assert(hashes.size === 1, s"doc $id frames diverge in dHash")
     }
+  }
+
+  test("mm_video_dedup: re-graded copies pair at full coverage; corrupt-frame docs still pair; patterns stay pure") {
+    val pairs = SparkEntry.queries("mm_video_dedup")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(pairs.nonEmpty)
+    // same pattern only (the per-video shift is uniform, so every aligned
+    // frame pair of two same-pattern videos is at hamming 0)
+    pairs.keys.foreach { case (a, b) =>
+      assert(a % 50 === b % 50, s"cross-pattern video pair ($a, $b)")
+      assert(a < b)
+    }
+    val ids = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // corrupt CONTAINERS never appear on either side
+    pairs.keys.foreach { case (a, b) =>
+      assert(a % 101 != 0L && b % 101 != 0L, s"corrupt container in pair ($a, $b)")
+    }
+    // every clean same-pattern pair IS found, at full coverage of the
+    // shorter side — including pairs where one side lost a corrupt frame
+    // (2 decodable sampled frames instead of 3: ratio-of-min still 1.0)
+    val clean = ids.filter(_ % 101 != 0L)
+    for (a <- clean; b <- clean if a < b && a % 50 == b % 50) {
+      val p = pairs.get((a, b))
+      assert(p.isDefined, s"missing same-pattern pair ($a, $b)")
+      val (nMatched, ratio) = p.get
+      assert(ratio === 1.0, s"pair ($a, $b) ratio $ratio")
+      val expectFrames = math.min(if (a % 97 == 0) 2 else 3, if (b % 97 == 0) 2 else 3)
+      assert(nMatched === expectFrames.toLong, s"pair ($a, $b) matched $nMatched")
+    }
+  }
+
+  test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
+    import spark.implicits._
+    // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same
+    // positions (full match); doc 3: same sigs but SHIFTED one position
+    // (trimmed-clip posture — positional alignment must NOT pair it);
+    // doc 4: only frames 0,2 matching doc 1 (shorter side ratio = 1.0)
+    val s0 = 0x1111111111111111L; val s2 = 0x2222222222222222L; val s4 = 0x4444444444444444L
+    val frames = Seq(
+      (1L, 0L, s0, s0), (1L, 2L, s2, s2), (1L, 4L, s4, s4),
+      (2L, 0L, s0, s0), (2L, 2L, s2, s2), (2L, 4L, s4, s4),
+      (3L, 0L, s2, s2), (3L, 2L, s4, s4), (3L, 4L, s0, s0),
+      (4L, 0L, s0, s0), (4L, 2L, s2, s2)
+    ).toDF("doc_id", "frame_idx", "sig_h", "sig_v")
+    val got = operators.Multimodal.videoPairs(frames).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.get((1L, 2L)).contains((3L, 1.0)), s"full aligned match missing: $got")
+    assert(!got.contains((1L, 3L)), s"shifted clip must not pair positionally: $got")
+    assert(got.get((1L, 4L)).contains((2L, 1.0)), s"shorter-side ratio pair missing: $got")
   }
 }
