@@ -726,6 +726,9 @@ object Multimodal extends QueryModule {
         ImageCodec.decode(png).map(img => (id, dHash(img), dHashVertical(img)))
       })
       .toDF("doc_id", "sig_h", "sig_v")
+      // localCheckpoint: hashPairs consumes sigs three times (banding +
+      // both verify joins) — one decode pass, not three
+      .localCheckpoint()
     hashPairs(sigs).orderBy("a_id", "b_id")
   }
 
@@ -799,7 +802,10 @@ object Multimodal extends QueryModule {
   }
 
   private def mmVideoDedup(s: SparkSession, dir: String): DataFrame =
-    videoPairs(videoFrameSigs(s, dir)).orderBy("a_id", "b_id")
+    // localCheckpoint: videoPairs consumes the frame table four times
+    // (banding, both verify joins, per-video counts) — without it every
+    // consumer re-runs the decode map stage
+    videoPairs(videoFrameSigs(s, dir).localCheckpoint()).orderBy("a_id", "b_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
