@@ -368,18 +368,42 @@ object StreamingOps extends QueryModule {
   private[graft] def streamNearDedupAt(s: SparkSession, dir: String,
                                        keysT: String, setsT: String,
                                        srcParts: Int = 4,
-                                       buckets: Int = 0): DataFrame = {
-    val srcDir = tmp("sndd-src"); val ckpt = tmp("sndd-ckpt")
-    val dst = tmp("sndd-out") + "/t"
+                                       buckets: Int = 0,
+                                       srcDir0: String = null, ckpt0: String = null,
+                                       dst0: String = null): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp("sndd-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("sndd-ckpt"))
+    val dst = Option(dst0).getOrElse(tmp("sndd-out") + "/t")
     val stateBuckets = if (buckets > 0) buckets else defaultStateBuckets(s)
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // several source files + maxFilesPerTrigger=1 => AvailableNow really
-    // runs MULTIPLE micro-batches, so batch-vs-history is exercised
-    d.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    // runs MULTIPLE micro-batches, so batch-vs-history is exercised.
+    // A pre-populated srcDir is a RESUME (crash-replay spec) — rewriting
+    // it would read as new data (see streamDedupAt)
+    val srcFiles = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+    if (!srcFiles.exists(_.getName.startsWith("part-")))
+      d.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // per-TABLE batch-id high-water guards (the TextIndex posture):
+        // foreachBatch is at-least-once, and this batch appends to THREE
+        // tables — a crash between any append and the checkpoint commit
+        // replays the batch, and each table must skip what it already
+        // holds (re-appended band keys / shingle sets would inflate state
+        // and double-feed later batches' probes)
+        def lastBid(path: String): Long =
+          if (!new java.io.File(path).exists()) -1L
+          else s.read.format("lance").load(path).agg(max("bid")).first() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
+        // fully-applied replay: skip the whole batch (stateless query —
+        // no state-store commit needs draining)
+        val fullyApplied =
+          bid <= lastBid(dst) && bid <= lastBid(keysT) && bid <= lastBid(setsT)
+        if (!fullyApplied) {
         val bk = Dedup.bandKeys(batch).localCheckpoint()
         val bs = Dedup.shingleSets(batch).localCheckpoint()
         val histExists = new java.io.File(keysT).exists()
@@ -425,23 +449,29 @@ object StreamingOps extends QueryModule {
           else bs.limit(0)
         val verified = Dedup.verifyJaccard(cand,
           bs.unionByName(histSets.select("doc_id", "sh")))
-        verified.write.format("lance")
-          .mode(if (new java.io.File(dst).exists()) "append" else "overwrite").save(dst)
-        bk.write.format("lance")
-          .option("write.bucket-by", "band_key")
-          .option("write.bucket-count", stateBuckets.toString)
-          .mode(if (histExists) "append" else "overwrite").save(keysT)
-        bs.write.format("lance")
-          .option("write.bucket-by", "doc_id")
-          .option("write.bucket-count", stateBuckets.toString)
-          .mode(if (histExists) "append" else "overwrite").save(setsT)
+        if (bid > lastBid(dst))
+          verified.withColumn("bid", lit(bid)).write.format("lance")
+            .mode(if (new java.io.File(dst).exists()) "append" else "overwrite").save(dst)
+        if (bid > lastBid(keysT))
+          bk.withColumn("bid", lit(bid)).write.format("lance")
+            .option("write.bucket-by", "band_key")
+            .option("write.bucket-count", stateBuckets.toString)
+            .mode(if (histExists) "append" else "overwrite").save(keysT)
+        if (bid > lastBid(setsT))
+          bs.withColumn("bid", lit(bid)).write.format("lance")
+            .option("write.bucket-by", "doc_id")
+            .option("write.bucket-count", stateBuckets.toString)
+            .mode(if (histExists) "append" else "overwrite").save(setsT)
+        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
     // batch-vs-batch finds each same-batch pair from both sides' band
     // keys; cross-batch pairs are found once (later member's batch)
-    s.read.format("lance").load(dst).distinct().orderBy("a_id", "b_id")
+    s.read.format("lance").load(dst)
+      .select("a_id", "b_id", "jaccard").distinct().orderBy("a_id", "b_id")
   }
 
   /** Streaming VECTOR-INDEX maintenance — ingestion-time IVF indexing of

@@ -326,6 +326,42 @@ class DedupSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_neardedup: crash before the checkpoint commit — per-table replay no-ops") {
+    // the near-dedup batch appends to THREE tables (verified pairs, band
+    // keys, shingle sets); a crash between the appends and the checkpoint
+    // commit replays the batch, and each table's bid high-water guard must
+    // skip what it already holds — otherwise state doubles per replay and
+    // later batches double-probe it
+    val keysT = java.nio.file.Files.createTempDirectory("graft-sndd-cr-k-").toString + "/t"
+    val setsT = java.nio.file.Files.createTempDirectory("graft-sndd-cr-s-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sndd-cr-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sndd-cr-ck-").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-sndd-cr-d-").toString + "/t"
+    def run() = graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    def stateRows = (spark.read.format("lance").load(keysT).count(),
+      spark.read.format("lance").load(setsT).count(),
+      spark.read.format("lance").load(dst).count())
+    val before = stateRows
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val replayed = run()
+    assert(stateRows === before,
+      s"replay re-appended state: $before -> $stateRows")
+    assert(replayed === first, "answer moved under replay")
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
