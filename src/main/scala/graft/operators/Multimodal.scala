@@ -664,8 +664,8 @@ object Multimodal extends QueryModule {
     ImageCodec.encodePng(img)
   }
 
-  private val ImgHammingMax = 6L
-  private val ImgBucketCap = 256
+  private[graft] val ImgHammingMax = 6L
+  private[graft] val ImgBucketCap = 256
 
   /** Banded near-dup pairs of a (doc_id, sig_h, sig_v) 128-bit
     * perceptual-hash table: 8×16-bit pigeonhole bands (band b = byte b of
@@ -674,12 +674,19 @@ object Multimodal extends QueryModule {
     * band untouched) → capped buckets → exact hamming verify at
     * [[ImgHammingMax]] over both halves. Split out so the banding's
     * recall guarantee is testable on adversarial signatures directly. */
-  private[graft] def hashPairs(sigs: DataFrame): DataFrame = {
-    val cand = sigs.select(col("doc_id"), posexplode(expr(
+  /** The 8×16-bit band keys of a (doc_id, sig_h, sig_v) table — band b =
+    * byte b of the horizontal hash ‖ byte b of the vertical one, a
+    * disjoint partition of the 128 bits. Shared by the batch banding and
+    * the streaming state maintenance. */
+  private[graft] def imgBandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 7), b -> " +
           "(shiftrightunsigned(sig_h, b * 8) & 255) * 256 + " +
           "(shiftrightunsigned(sig_v, b * 8) & 255))")))
       .toDF("doc_id", "band_idx", "band_key")
+
+  private[graft] def hashPairs(sigs: DataFrame): DataFrame = {
+    val cand = imgBandKeys(sigs)
       .groupBy("band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
@@ -718,17 +725,22 @@ object Multimodal extends QueryModule {
       })
   }
 
-  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Decode a (doc_id, image-bytes) frame into the 128-bit signature
+    * table (doc_id, sig_h, sig_v); undecodable payloads drop. Shared by
+    * the batch key and the streaming maintenance's per-batch map. */
+  private[graft] def decodeSigs(s: SparkSession, payloads: DataFrame): DataFrame = {
     import s.implicits._
-    val sigs = s.read.parquet(imageFixture(s, dir))
-      .as[(Long, Array[Byte])]
+    payloads.as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, png) =>
         ImageCodec.decode(png).map(img => (id, dHash(img), dHashVertical(img)))
       })
       .toDF("doc_id", "sig_h", "sig_v")
-      // localCheckpoint: hashPairs consumes sigs three times (banding +
-      // both verify joins) — one decode pass, not three
-      .localCheckpoint()
+  }
+
+  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: hashPairs consumes sigs three times (banding +
+    // both verify joins) — one decode pass, not three
+    val sigs = decodeSigs(s, s.read.parquet(imageFixture(s, dir))).localCheckpoint()
     hashPairs(sigs).orderBy("a_id", "b_id")
   }
 

@@ -474,6 +474,124 @@ object StreamingOps extends QueryModule {
       .select("a_id", "b_id", "jaccard").distinct().orderBy("a_id", "b_id")
   }
 
+  /** Streaming IMAGE near-dedup — the image twin of q_stream_neardedup:
+    * arriving image payloads dedup against everything seen so far without
+    * re-decoding or re-banding history. Per micro-batch: decode the
+    * batch's images to 128-bit dHash signatures (the mm_image_dedup map),
+    * probe the ACCUMULATED band-key state table through `read.buckets`
+    * restricted to the batch's bucket cover, form candidates only inside
+    * shared (band_idx, band_key) buckets (capped — never all-pairs, never
+    * a rescan of history pixels), verify with exact hamming against the
+    * accumulated 16-byte signature store (probed by doc_id buckets), and
+    * append the batch's keys/signatures/verified pairs — each table
+    * guarded by its own bid high-water mark (per-table idempotent under
+    * at-least-once replay). A pair is discovered exactly once, in the
+    * later member's batch, so streamed pairs == mm_image_dedup's batch
+    * answer row-for-row (the spec's correctness statement). */
+  private def streamImageDedup(s: SparkSession, dir: String): DataFrame =
+    streamImageDedupAt(s, dir,
+      keysT = tmp("simg-keys") + "/t", sigsT = tmp("simg-sigs") + "/t")
+
+  private[graft] def streamImageDedupAt(s: SparkSession, dir: String,
+                                        keysT: String, sigsT: String,
+                                        srcParts: Int = 4,
+                                        srcDir0: String = null, ckpt0: String = null,
+                                        dst0: String = null): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp("simg-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("simg-ckpt"))
+    val dst = Option(dst0).getOrElse(tmp("simg-out") + "/t")
+    val stateBuckets = defaultStateBuckets(s)
+    val payloads = s.read.parquet(Multimodal.imageFixture(s, dir))
+      .toDF("doc_id", "image")
+    val srcFiles = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+    if (!srcFiles.exists(_.getName.startsWith("part-")))
+      payloads.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(payloads.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        def lastBid(path: String): Long =
+          if (!new java.io.File(path).exists()) -1L
+          else s.read.format("lance").load(path).agg(max("bid")).first() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
+        val fullyApplied =
+          bid <= lastBid(dst) && bid <= lastBid(keysT) && bid <= lastBid(sigsT)
+        if (!fullyApplied) {
+          val sigs = Multimodal.decodeSigs(s, batch).localCheckpoint()
+          val bk = Multimodal.imgBandKeys(sigs).localCheckpoint()
+          val histExists = new java.io.File(keysT).exists()
+          val keyBuckets = bk
+            .select(pmod(hash(col("band_key")), lit(stateBuckets)).as("b"))
+            .distinct().collect().map(_.getInt(0))
+          val batchKeys = bk.select("band_idx", "band_key").distinct()
+          val histKeys =
+            if (histExists && keyBuckets.nonEmpty)
+              s.read.format("lance")
+                .option("read.buckets", keyBuckets.mkString(","))
+                .load(keysT)
+                .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "left_semi")
+            else bk.limit(0)
+          val allKeys = bk.unionByName(
+            histKeys.select("doc_id", "band_idx", "band_key"))
+          val okBuckets = allKeys.groupBy("band_idx", "band_key")
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= Multimodal.ImgBucketCap)
+            .select("band_idx", "band_key")
+          val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+            .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
+            .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
+              Seq("band_idx", "band_key"))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("a_id"),
+              greatest(col("x"), col("y")).as("b_id"))
+            .distinct()
+            .localCheckpoint()
+          val sigBuckets = cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))
+            .union(cand.select(pmod(hash(col("b_id")), lit(stateBuckets)).as("b")))
+            .distinct().collect().map(_.getInt(0))
+          val histSigs =
+            if (histExists && sigBuckets.nonEmpty)
+              s.read.format("lance")
+                .option("read.buckets", sigBuckets.mkString(","))
+                .load(sigsT)
+            else sigs.limit(0)
+          val allSigs = sigs.unionByName(histSigs.select("doc_id", "sig_h", "sig_v"))
+          val verified = cand
+            .join(allSigs.select(col("doc_id").as("a_id"),
+              col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+            .join(allSigs.select(col("doc_id").as("b_id"),
+              col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+            .withColumn("hamming",
+              (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+                bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
+            .filter(col("hamming") <= Multimodal.ImgHammingMax)
+            .select("a_id", "b_id", "hamming")
+          if (bid > lastBid(dst))
+            verified.withColumn("bid", lit(bid)).write.format("lance")
+              .mode(if (new java.io.File(dst).exists()) "append" else "overwrite")
+              .save(dst)
+          if (bid > lastBid(keysT))
+            bk.withColumn("bid", lit(bid)).write.format("lance")
+              .option("write.bucket-by", "band_key")
+              .option("write.bucket-count", stateBuckets.toString)
+              .mode(if (histExists) "append" else "overwrite").save(keysT)
+          if (bid > lastBid(sigsT))
+            sigs.withColumn("bid", lit(bid)).write.format("lance")
+              .option("write.bucket-by", "doc_id")
+              .option("write.bucket-count", stateBuckets.toString)
+              .mode(if (histExists) "append" else "overwrite").save(sigsT)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.format("lance").load(dst)
+      .select("a_id", "b_id", "hamming").distinct().orderBy("a_id", "b_id")
+  }
+
   /** Streaming VECTOR-INDEX maintenance — ingestion-time IVF indexing of
     * an arriving embedding stream, the composition every online retrieval
     * corpus needs: vectors land AND stay searchable without a nightly
@@ -1090,6 +1208,7 @@ object StreamingOps extends QueryModule {
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
     "q_stream_neardedup" -> streamNearDedup,
+    "q_stream_image_dedup" -> streamImageDedup,
     "q_stream_index" -> streamIndex,
     "q_stream_index_once" -> streamIndexOnce,
     "q_stream_index_pq" -> streamIndexOncePq)

@@ -329,6 +329,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_image_dedup: incremental over micro-batches == batch pairs; crash replay is a per-table no-op") {
+    val keysT = java.nio.file.Files.createTempDirectory("graft-simg-k-").toString + "/t"
+    val sigsT = java.nio.file.Files.createTempDirectory("graft-simg-s-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-simg-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-simg-ck-").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-simg-d-").toString + "/t"
+    def run() = graft.operators.StreamingOps
+      .streamImageDedupAt(spark, sf, keysT, sigsT,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = run()
+    // the corpus arrives over 4 micro-batches, so cross-batch pairs can
+    // only come from the accumulated band-key + signature stores —
+    // equality with the single-shot batch key proves the incremental path
+    val batch = SparkEntry.queries("mm_image_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // crash replay: drop the last checkpoint commit marker — all three
+    // bid guards must make the replayed batch a no-op
+    def stateRows = (spark.read.format("lance").load(keysT).count(),
+      spark.read.format("lance").load(sigsT).count(),
+      spark.read.format("lance").load(dst).count())
+    val before = stateRows
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val replayed = run()
+    assert(stateRows === before, s"replay re-appended state: $before -> $stateRows")
+    assert(replayed === streamed, "answer moved under replay")
+  }
+
   test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
     import spark.implicits._
     // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same

@@ -124,6 +124,7 @@ class EntrySpec extends SparkSpec {
     "mm_video_dedup" -> 2205,
     "mm_audio_features" -> 500,
     "mm_image_dedup" -> 2250,
+    "q_stream_image_dedup" -> 2250,
     "lance_roundtrip" -> 1,
     "lance_events_roundtrip" -> 5,
     "lance_overwrite" -> 1,
