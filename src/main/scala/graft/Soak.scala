@@ -250,6 +250,57 @@ object Soak {
       println(f"[soak]   stidx compact: ${(System.nanoTime() - t2) / 1e9}%.2f s")
     }
 
+    // ---- streaming image near-dedup: per-batch cost vs history -----------
+    // A ×16 image corpus (8,000 synthesized PNGs, re-derived per replica
+    // doc_id so patterns/variants spread naturally) over 8 micro-batches:
+    // each batch decodes ONLY its own images and probes the accumulated
+    // band-key/signature stores via their bucket covers — per-batch cost
+    // must not grow with decoded history. Like the text soak, same-pattern
+    // replicas are legitimate near-dups, so verified pairs grow ∝ history
+    // (real work, not a flaw).
+    timed("streaming image dedup x16, 8 micro-batches") {
+      import spark.implicits._
+      val imgMult = 16
+      val srcDir = s"$out/simg-src-${System.nanoTime()}"
+      spark.range(0, 500L * imgMult).select(col("id").as("doc_id"))
+        .as[Long]
+        .mapPartitions(it => it.map(id => (id, operators.Multimodal.synthImage(id))))
+        .toDF("doc_id", "image")
+        .repartition(8)
+        .write.parquet(srcDir)
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          batches.synchronized {
+            batches += ((e.progress.batchId, e.progress.numInputRows,
+              e.progress.batchDuration / 1000.0))
+          }
+      }
+      spark.streams.addListener(listener)
+      try {
+        val keysT = s"$out/simg-keys-${System.nanoTime()}/t"
+        val sigsT = s"$out/simg-sigs-${System.nanoTime()}/t"
+        val pairs = operators.StreamingOps
+          .streamImageDedupAt(spark, sfDir, keysT, sigsT, srcParts = 8,
+            srcDir0 = srcDir)
+          .count()
+        val bs = batches.synchronized(batches.sortBy(_._1).toList)
+          .filter(_._2 > 0)
+        bs.foreach { case (id, rows, sec) =>
+          println(f"[soak]   batch $id: $rows imgs in $sec%.2f s") }
+        println(s"[soak]   verified pairs = $pairs")
+        if (bs.size >= 4) {
+          val ratio = bs.last._3 / bs(1)._3
+          println(f"[soak]   last/second batch time = $ratio%.2f")
+          require(ratio <= 2.5,
+            f"per-batch cost grew with history: last/second = $ratio%.2f")
+        }
+      } finally spark.streams.removeListener(listener)
+    }
+
     // SPARK_GRAFT_SOAK_NEW_ONLY: stop after the streaming-state soaks (the
     // round-over-round standing suite below is unchanged and long)
     if (sys.env.contains("SPARK_GRAFT_SOAK_NEW_ONLY")) { spark.stop(); return }
