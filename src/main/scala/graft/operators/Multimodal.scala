@@ -667,24 +667,25 @@ object Multimodal extends QueryModule {
   private[graft] val ImgHammingMax = 6L
   private[graft] val ImgBucketCap = 256
 
-  /** Banded near-dup pairs of a (doc_id, sig_h, sig_v) 128-bit
-    * perceptual-hash table: 8×16-bit pigeonhole bands (band b = byte b of
-    * the horizontal hash ‖ byte b of the vertical one — a disjoint
-    * partition of the 128 bits, so a pair within hamming 7 leaves ≥ 1
-    * band untouched) → capped buckets → exact hamming verify at
-    * [[ImgHammingMax]] over both halves. Split out so the banding's
-    * recall guarantee is testable on adversarial signatures directly. */
-  /** The 8×16-bit band keys of a (doc_id, sig_h, sig_v) table — band b =
-    * byte b of the horizontal hash ‖ byte b of the vertical one, a
-    * disjoint partition of the 128 bits. Shared by the batch banding and
-    * the streaming state maintenance. */
-  private[graft] def imgBandKeys(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), posexplode(expr(
+  /** The 8×16-bit band keys of a (sig_h, sig_v) table — band b = byte b
+    * of the horizontal hash ‖ byte b of the vertical one, a disjoint
+    * partition of the 128 bits (so a pair within hamming 7 leaves ≥ 1
+    * band untouched). `carry` columns ride along (doc_id always; the
+    * video form adds frame_idx). The ONE definition of the banding
+    * scheme — batch image pairs, video pairs, and the streaming state
+    * maintenance all band through here. */
+  private[graft] def imgBandKeys(sigs: DataFrame, carry: Seq[String] = Seq("doc_id")): DataFrame =
+    sigs.select(carry.map(col) :+ posexplode(expr(
         "transform(sequence(0, 7), b -> " +
           "(shiftrightunsigned(sig_h, b * 8) & 255) * 256 + " +
-          "(shiftrightunsigned(sig_v, b * 8) & 255))")))
-      .toDF("doc_id", "band_idx", "band_key")
+          "(shiftrightunsigned(sig_v, b * 8) & 255))")): _*)
+      .toDF(carry ++ Seq("band_idx", "band_key"): _*)
 
+  /** Banded near-dup pairs of a (doc_id, sig_h, sig_v) 128-bit
+    * perceptual-hash table: [[imgBandKeys]] pigeonhole bands → capped
+    * buckets → exact hamming verify at [[ImgHammingMax]] over both
+    * halves. Split out so the banding's recall guarantee is testable on
+    * adversarial signatures directly. */
   private[graft] def hashPairs(sigs: DataFrame): DataFrame = {
     val cand = imgBandKeys(sigs)
       .groupBy("band_idx", "band_key")
@@ -784,11 +785,7 @@ object Multimodal extends QueryModule {
     * per-frame hamming + per-pair coverage ratio. Split out so the
     * frame-alignment semantics are testable on synthetic signatures. */
   private[graft] def videoPairs(frames: DataFrame): DataFrame = {
-    val cand = frames.select(col("doc_id"), col("frame_idx"), posexplode(expr(
-        "transform(sequence(0, 7), b -> " +
-          "(shiftrightunsigned(sig_h, b * 8) & 255) * 256 + " +
-          "(shiftrightunsigned(sig_v, b * 8) & 255))")))
-      .toDF("doc_id", "frame_idx", "band_idx", "band_key")
+    val cand = imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
       .groupBy("frame_idx", "band_idx", "band_key")
       .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)

@@ -35,6 +35,35 @@ object StreamingOps extends QueryModule {
         s"streaming query ${q.id} did not drain within ${ms}ms")
     }
 
+  /** The max batch id recorded in a lance state table under `col` —
+    * -1 when the table is absent or empty. A metadata-cheap read: the
+    * lance scan answers the MAX from manifest stats (the agg pushdown),
+    * so replay guards cost O(fragments) metadata per batch, not a data
+    * scan over accumulated history. */
+  private def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long =
+    if (!new java.io.File(path).exists()) -1L
+    else s.read.format("lance").load(path).agg(max(colName)).first() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+
+  /** Append `df` tagged with `bid` into the (optionally bucketed) lance
+    * state table at `path`, skipped when the table's recorded high-water
+    * mark already covers the bid — the per-table half of the replay
+    * guard; compute the mark once per batch with [[lastBidOf]]. */
+  private def guardedAppend(s: SparkSession, df: DataFrame, path: String,
+                            bid: Long, lastBid: Long,
+                            bucketBy: String = null, buckets: Int = 0): Unit =
+    if (bid > lastBid) {
+      val w0 = df.withColumn("bid", lit(bid)).write.format("lance")
+      val w = if (bucketBy != null)
+        w0.option("write.bucket-by", bucketBy)
+          .option("write.bucket-count", buckets.toString)
+      else w0
+      w.mode(if (new java.io.File(path).exists()) "append" else "overwrite")
+        .save(path)
+    }
+
   /** lance → filter/project → lance: the full source→sink path. The sink
     * commit is the manifest-txn exactly-once path; the source enumerates
     * fragment deltas per micro-batch (no re-reads, no duplicates). */
@@ -392,17 +421,14 @@ object StreamingOps extends QueryModule {
         // tables — a crash between any append and the checkpoint commit
         // replays the batch, and each table must skip what it already
         // holds (re-appended band keys / shingle sets would inflate state
-        // and double-feed later batches' probes)
-        def lastBid(path: String): Long =
-          if (!new java.io.File(path).exists()) -1L
-          else s.read.format("lance").load(path).agg(max("bid")).first() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
+        // and double-feed later batches' probes). Marks are read ONCE per
+        // batch (metadata-only — see lastBidOf).
+        val dstBid = lastBidOf(s, dst)
+        val keysBid = lastBidOf(s, keysT)
+        val setsBid = lastBidOf(s, setsT)
         // fully-applied replay: skip the whole batch (stateless query —
         // no state-store commit needs draining)
-        val fullyApplied =
-          bid <= lastBid(dst) && bid <= lastBid(keysT) && bid <= lastBid(setsT)
+        val fullyApplied = bid <= dstBid && bid <= keysBid && bid <= setsBid
         if (!fullyApplied) {
         val bk = Dedup.bandKeys(batch).localCheckpoint()
         val bs = Dedup.shingleSets(batch).localCheckpoint()
@@ -449,19 +475,9 @@ object StreamingOps extends QueryModule {
           else bs.limit(0)
         val verified = Dedup.verifyJaccard(cand,
           bs.unionByName(histSets.select("doc_id", "sh")))
-        if (bid > lastBid(dst))
-          verified.withColumn("bid", lit(bid)).write.format("lance")
-            .mode(if (new java.io.File(dst).exists()) "append" else "overwrite").save(dst)
-        if (bid > lastBid(keysT))
-          bk.withColumn("bid", lit(bid)).write.format("lance")
-            .option("write.bucket-by", "band_key")
-            .option("write.bucket-count", stateBuckets.toString)
-            .mode(if (histExists) "append" else "overwrite").save(keysT)
-        if (bid > lastBid(setsT))
-          bs.withColumn("bid", lit(bid)).write.format("lance")
-            .option("write.bucket-by", "doc_id")
-            .option("write.bucket-count", stateBuckets.toString)
-            .mode(if (histExists) "append" else "overwrite").save(setsT)
+        guardedAppend(s, verified, dst, bid, dstBid)
+        guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
+        guardedAppend(s, bs, setsT, bid, setsBid, "doc_id", stateBuckets)
         }
         ()
       }
@@ -486,8 +502,14 @@ object StreamingOps extends QueryModule {
     * append the batch's keys/signatures/verified pairs — each table
     * guarded by its own bid high-water mark (per-table idempotent under
     * at-least-once replay). A pair is discovered exactly once, in the
-    * later member's batch, so streamed pairs == mm_image_dedup's batch
-    * answer row-for-row (the spec's correctness statement). */
+    * later member's batch, so while no band bucket crosses ImgBucketCap
+    * the streamed pairs == mm_image_dedup's batch answer row-for-row
+    * (the spec's correctness statement). When a bucket DOES tip over the
+    * cap mid-stream, the capped posture is the text twin's: the batch
+    * that overflows is dropped from that bucket, pairs discovered in
+    * earlier batches are KEPT — a recall-safe superset of the single-shot
+    * batch answer, which drops the whole overflowing bucket (spec'd with
+    * a 300-identical-image corpus). */
   private def streamImageDedup(s: SparkSession, dir: String): DataFrame =
     streamImageDedupAt(s, dir,
       keysT = tmp("simg-keys") + "/t", sigsT = tmp("simg-sigs") + "/t")
@@ -510,14 +532,12 @@ object StreamingOps extends QueryModule {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        def lastBid(path: String): Long =
-          if (!new java.io.File(path).exists()) -1L
-          else s.read.format("lance").load(path).agg(max("bid")).first() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
-        val fullyApplied =
-          bid <= lastBid(dst) && bid <= lastBid(keysT) && bid <= lastBid(sigsT)
+        // per-table replay guards, marks read once per batch (see the
+        // text twin above for the crash analysis)
+        val dstBid = lastBidOf(s, dst)
+        val keysBid = lastBidOf(s, keysT)
+        val sigsBid = lastBidOf(s, sigsT)
+        val fullyApplied = bid <= dstBid && bid <= keysBid && bid <= sigsBid
         if (!fullyApplied) {
           val sigs = Multimodal.decodeSigs(s, batch).localCheckpoint()
           val bk = Multimodal.imgBandKeys(sigs).localCheckpoint()
@@ -568,20 +588,9 @@ object StreamingOps extends QueryModule {
                 bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
             .filter(col("hamming") <= Multimodal.ImgHammingMax)
             .select("a_id", "b_id", "hamming")
-          if (bid > lastBid(dst))
-            verified.withColumn("bid", lit(bid)).write.format("lance")
-              .mode(if (new java.io.File(dst).exists()) "append" else "overwrite")
-              .save(dst)
-          if (bid > lastBid(keysT))
-            bk.withColumn("bid", lit(bid)).write.format("lance")
-              .option("write.bucket-by", "band_key")
-              .option("write.bucket-count", stateBuckets.toString)
-              .mode(if (histExists) "append" else "overwrite").save(keysT)
-          if (bid > lastBid(sigsT))
-            sigs.withColumn("bid", lit(bid)).write.format("lance")
-              .option("write.bucket-by", "doc_id")
-              .option("write.bucket-count", stateBuckets.toString)
-              .mode(if (histExists) "append" else "overwrite").save(sigsT)
+          guardedAppend(s, verified, dst, bid, dstBid)
+          guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
+          guardedAppend(s, sigs, sigsT, bid, sigsBid, "doc_id", stateBuckets)
         }
         ()
       }

@@ -367,6 +367,32 @@ class MultimodalSpec extends SparkSpec {
     assert(replayed === streamed, "answer moved under replay")
   }
 
+  test("q_stream_image_dedup: over-cap bucket — overflow batch dropped, earlier pairs kept") {
+    import spark.implicits._
+    // 300 byte-identical images (> ImgBucketCap = 256) over 4 micro-batches:
+    // while the accumulated bucket stays under cap, cross-batch pairs emit;
+    // the batch that tips it over is dropped from that bucket. The
+    // single-shot BATCH path drops the whole bucket (zero pairs) — the
+    // streamed answer is its recall-safe superset, never its subset.
+    val png = operators.Multimodal.synthImage(7L)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-simg-cap-src-").toString
+    (1L to 300L).map(id => (id, png)).toDF("doc_id", "image")
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val keysT = java.nio.file.Files.createTempDirectory("graft-simg-cap-k-").toString + "/t"
+    val sigsT = java.nio.file.Files.createTempDirectory("graft-simg-cap-s-").toString + "/t"
+    val streamed = graft.operators.StreamingOps
+      .streamImageDedupAt(spark, sf, keysT, sigsT, srcDir0 = srcDir)
+      .collect()
+    assert(streamed.nonEmpty, "pairs from under-cap batches must be kept")
+    assert(streamed.length < 300 * 299 / 2,
+      s"the over-cap batch must be dropped from the bucket: ${streamed.length}")
+    // the batch path's capped_sorted_list NULLs the whole 300-wide bucket
+    val sigs = operators.Multimodal.decodeSigs(spark,
+      (1L to 300L).map(id => (id, png)).toDF("doc_id", "image")).localCheckpoint()
+    assert(operators.Multimodal.hashPairs(sigs).count() === 0L,
+      "single-shot batch must drop the whole over-cap bucket")
+  }
+
   test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
     import spark.implicits._
     // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same
