@@ -309,8 +309,31 @@ object Sampling extends QueryModule {
       .orderBy("cell", "rk")
   }
 
+  // ---- sample_topk_uniform -----------------------------------------------
+  // Exactly-K deterministic uniform sample — the distributed replacement
+  // for reservoir sampling: rank every row by the decorrelated MINSTD hash
+  // of its id and keep the K smallest. Same selection on any engine (pure
+  // integer arithmetic, no RNG), per-doc stable (a doc's hash never
+  // changes — corpus growth or shrinkage only swaps boundary members, it
+  // never reshuffles the rest), and ONE pass at any scale: Spark plans
+  // TakeOrderedAndProject — per-partition K-heaps merged on the driver
+  // (#partitions × K rows), no global sort, no COUNT(*) pre-pass, no
+  // second scan — where classic reservoir sampling serializes on a single
+  // reader. The minstd2 map is a bijection on [1, 2^31-2], so hashes are
+  // collision-free over the id domain and the selection needs no
+  // tiebreak beyond doc_id.
+  private val SampleK = 120
+
+  private def sampleTopkUniform(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), minstd2(col("doc_id")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(SampleK)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
+    "sample_topk_uniform" -> sampleTopkUniform,
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_token_budget_bpe" -> sampleTokenBudgetBpe,
@@ -333,6 +356,12 @@ object Sampling extends QueryModule {
          |  FROM d)
          |SELECT lang, doc_id, rk, n_lang FROM r
          |WHERE rk * $StratDen <= n_lang ORDER BY lang, rk""".stripMargin,
+    "sample_topk_uniform" ->
+      s"""SELECT doc_id, source, h FROM (
+         |  SELECT doc_id, source,
+         |    ((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h
+         |  FROM documents ORDER BY h ASC, doc_id ASC LIMIT $SampleK)
+         |ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       s"""WITH h AS (SELECT doc_id,
          |    ((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM % 100 AS pct

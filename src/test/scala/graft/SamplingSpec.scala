@@ -247,4 +247,38 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no k-heap:\n$plan")
   }
+  test("sample_topk_uniform: exactly K, one-pass TakeOrdered plan, boundary-swap stability") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sample_topk_uniform")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 120)
+    assert(rows.map(_._1).distinct.length === 120)
+    // deterministic across runs
+    val again = SparkEntry.queries("sample_topk_uniform")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+    // the selection IS the K smallest hashes of the whole corpus
+    val allH = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), (col("doc_id") * 48271L % 2147483647L * 48271L % 2147483647L).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = allH.sortBy(t => (t._2, t._1)).take(120).map(_._1).sorted.toSeq
+    assert(rows.map(_._1).sorted.toSeq === expect)
+    // boundary-swap stability: removing one selected member pulls in ONLY
+    // the next-in-line doc — the rest of the selection is untouched (the
+    // per-doc-stable property reservoir sampling with an RNG lacks)
+    val removed = rows.head._1
+    val expect2 = allH.filter(_._1 != removed)
+      .sortBy(t => (t._2, t._1)).take(120).map(_._1).toSet
+    assert((rows.map(_._1).toSet - removed).subsetOf(expect2))
+    assert((expect2 -- rows.map(_._1).toSet).size === 1)
+    // one pass at scale: per-partition K-heaps + driver merge — a
+    // TakeOrderedAndProject, not a global Sort exchange over the corpus
+    val plan = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") * 48271L % 2147483647L * 48271L % 2147483647L).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc).limit(120)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no one-pass top-K:\n$plan")
+  }
+
 }
