@@ -47,7 +47,8 @@ object Bench {
     "text_search_bm25", "text_search_indexed", "mm_video_frames",
     "q_stream_text_index", "emb_project", "q_events_dau_hll",
     "q_stream_dau_hll", "sample_cluster_balanced", "q_stream_mv_window",
-    "mm_video_dedup", "q_stream_image_dedup", "sample_topk_uniform")
+    "mm_video_dedup", "q_stream_image_dedup", "sample_topk_uniform",
+    "sample_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

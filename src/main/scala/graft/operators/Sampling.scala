@@ -331,9 +331,36 @@ object Sampling extends QueryModule {
       .limit(SampleK)
       .orderBy("doc_id")
 
+  // ---- sample_weighted ---------------------------------------------------
+  // Weight-proportional sampling WITHOUT replacement (Efraimidis–Spirakis
+  // priority sampling, exponential-clock form): each doc draws its fixed
+  // uniform u from the MINSTD hash and competes with key = -ln(u)/w; the
+  // K smallest keys are a sample where inclusion odds scale with the
+  // weight (here n_tokens — token-mass-proportional selection, the
+  // weighting mixture recipes actually want). Same one-pass
+  // TakeOrderedAndProject shape as sample_topk_uniform; the rounded key
+  // (6 dp) + doc_id tiebreak keeps the selection cross-engine exact (the
+  // sample_temperature posture for IEEE arithmetic).
+  private val WeightedK = 100
+
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = (minstd2(col("doc_id")) + lit(1.0)) / MinstdM
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"),
+        u.as("u"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(-log(col("u")) / col("n_tokens"), 6).as("k"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+      .limit(WeightedK)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
     "sample_topk_uniform" -> sampleTopkUniform,
+    "sample_weighted" -> sampleWeighted,
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_token_budget_bpe" -> sampleTokenBudgetBpe,
@@ -356,6 +383,17 @@ object Sampling extends QueryModule {
          |  FROM d)
          |SELECT lang, doc_id, rk, n_lang FROM r
          |WHERE rk * $StratDen <= n_lang ORDER BY lang, rk""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens,
+         |    (((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM + 1.0)
+         |      / $MinstdM AS u
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens, k FROM (
+         |  SELECT doc_id, source, n_tokens, round(-ln(u) / n_tokens, 6) AS k
+         |  FROM d WHERE n_tokens > 0
+         |  ORDER BY k ASC, doc_id ASC LIMIT $WeightedK)
+         |ORDER BY doc_id""".stripMargin,
     "sample_topk_uniform" ->
       s"""SELECT doc_id, source, h FROM (
          |  SELECT doc_id, source,

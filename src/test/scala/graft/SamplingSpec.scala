@@ -281,4 +281,36 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"no one-pass top-K:\n$plan")
   }
 
+  test("sample_weighted: exactly K, selection == K smallest exponential clocks, token-mass bias") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 100)
+    assert(rows.map(_._1).distinct.length === 100)
+    // the selection IS the 100 smallest -ln(u)/w keys, recomputed
+    // independently on the driver
+    val all = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0)
+    val keys = all.map { case (id, w) =>
+      val h = id * 48271L % 2147483647L * 48271L % 2147483647L
+      val u = (h + 1.0) / 2147483647L
+      val k = BigDecimal(-math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, w, k)
+    }
+    val expect = keys.sortBy(t => (t._3, t._1)).take(100).map(_._1).sorted.toSeq
+    assert(rows.map(_._1).sorted.toSeq === expect)
+    // weight-proportional inclusion: the sample overrepresents token mass
+    val sampleMean = rows.map(_._3).sum.toDouble / rows.length
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+    // deterministic across runs
+    val again = SparkEntry.queries("sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
 }

@@ -105,6 +105,7 @@ class EntrySpec extends SparkSpec {
     "q_stream_dau_hll" -> 30,
     "sample_cluster_balanced" -> 446,
     "sample_topk_uniform" -> 120,
+    "sample_weighted" -> 100,
     "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
