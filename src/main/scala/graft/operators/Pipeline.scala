@@ -93,13 +93,74 @@ object Pipeline extends QueryModule {
     TextAnalysis.pack(s, budgeted.select("doc_id", "n_tokens"), PackBudget, PackShards)
   }
 
+  // ---- pipeline_curate ---------------------------------------------------
+  private val CurateK = 150
+
+  /** The CURATION recipe the r15 sampling additions compose into — how a
+    * corpus-curation pass actually chains: exact dedup → quality filter →
+    * token-mass-proportional subsample WITHOUT replacement
+    * (Efraimidis–Spirakis exponential clocks over the survivors, the
+    * sample_weighted primitive) → per-source mixture report. Four stages,
+    * each shuffle-bounded: a content-hash groupBy, a map-only filter, one
+    * TakeOrderedAndProject pass for the weighted draw, one |sources|-row
+    * groupBy. The DuckDB oracle replays all four end to end and the
+    * report hash-matches — the composition is verified, not just the
+    * parts. */
+  private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepExact = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = docs.join(keepExact, Seq("doc_id"))
+      .withColumn("w", TextAnalysis.tokens)
+      .withColumn("q", TextAnalysis.qualityScore)
+      .filter(col("q") >= QualityTau)
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val u = (Sampling.minstd2(col("doc_id")) + lit(1.0)) / Sampling.MinstdM
+    survivors
+      .withColumn("k", round(-log(u) / col("n_tokens"), 6))
+      .orderBy(col("k").asc, col("doc_id").asc)
+      .limit(CurateK)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean" -> pipelineClean,
+    "pipeline_curate" -> pipelineCurate,
     "pipeline_pretrain" -> pipelinePretrain)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH keep_exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |sc0 AS (
+         |  SELECT dd.doc_id, dd.source, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(w) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE) AS sc,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dr
+         |  FROM (SELECT doc_id, source, $wSql AS w FROM documents) dd
+         |  JOIN keep_exact USING (doc_id)),
+         |survivors AS (
+         |  SELECT doc_id, source, n_tokens FROM sc0
+         |  WHERE $qualitySql >= $QualityTau AND n_tokens > 0),
+         |picked AS (
+         |  SELECT doc_id, source, n_tokens FROM (
+         |    SELECT doc_id, source, n_tokens,
+         |      round(-ln((((doc_id * ${Sampling.MinstdA}) % ${Sampling.MinstdM}
+         |        * ${Sampling.MinstdA}) % ${Sampling.MinstdM} + 1.0)
+         |        / ${Sampling.MinstdM}) / n_tokens, 6) AS k
+         |    FROM survivors ORDER BY k ASC, doc_id ASC LIMIT $CurateK))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM picked GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_clean" ->
       s"""WITH keep_exact AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),

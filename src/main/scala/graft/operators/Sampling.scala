@@ -38,12 +38,12 @@ object Sampling extends QueryModule {
   // bucket uniformity good enough for split assignment; every intermediate
   // stays far below 2^63 for any doc_id < 1.9e14, so the arithmetic is
   // portable to engines that refuse to wrap on overflow.
-  private val MinstdA = 48271L
-  private val MinstdM = 2147483647L // 2^31 - 1
+  private[graft] val MinstdA = 48271L
+  private[graft] val MinstdM = 2147483647L // 2^31 - 1
   private val TrainPct = 90
   private val ValPct = 95 // [90, 95) validation, [95, 100) test
 
-  private def minstd2(c: Column): Column = {
+  private[graft] def minstd2(c: Column): Column = {
     val h1 = (c * MinstdA) % MinstdM
     (h1 * MinstdA) % MinstdM
   }

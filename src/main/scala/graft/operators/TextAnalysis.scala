@@ -80,7 +80,7 @@ object TextAnalysis extends QueryModule {
 
   /** The quality score over a tokenized `w` column — shared with the
     * cleaning pipeline so both stay formula-identical with the oracle. */
-  private[operators] def qualityScore: Column = {
+  private[graft] def qualityScore: Column = {
     val nTok = size(col("w")).cast("double")
     val stopCnt = size(filter(col("w"), x => x.isin(StopEn: _*))).cast("double")
     val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok

@@ -313,4 +313,35 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("pipeline_curate: report covers exactly K curated docs; composition == stagewise result") {
+    import org.apache.spark.sql.functions._
+    val report = SparkEntry.queries("pipeline_curate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(report.map(_._2).sum === 150L, s"curated docs != K: $report")
+    assert(report.map(_._1).distinct.length === report.length)
+    // stagewise replay: exact-dedup survivors passing the quality bar,
+    // then the 150 smallest exponential clocks — the per-source counts
+    // must match the one-plan composition
+    val docs = Tables.t(spark, sf, "documents")
+    val keep = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val surv = docs.join(keep, Seq("doc_id"))
+      .withColumn("w", graft.operators.TextAnalysis.tokens)
+      .withColumn("q", graft.operators.TextAnalysis.qualityScore)
+      .filter(col("q") >= 0.45)
+      .select(col("doc_id"), col("source"), size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val picked = surv.map { case (id, src, w) =>
+      val h = id * 48271L % 2147483647L * 48271L % 2147483647L
+      val k = BigDecimal(-math.log((h + 1.0) / 2147483647L) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k, id, src, w)
+    }.sortBy(t => (t._1, t._2)).take(150)
+    val expect = picked.groupBy(_._3).map { case (src, rs) =>
+      (src, rs.length.toLong, rs.map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+    assert(report.toSeq.sortBy(_._1) === expect)
+  }
+
 }

@@ -168,6 +168,7 @@ class EntrySpec extends SparkSpec {
     "q_asof_orders" -> 10,
     "q_range_orders" -> 10,
     "pipeline_clean" -> 20,
+    "pipeline_curate" -> 20,
     "pipeline_pretrain" -> 16)
 
   test("entry returns rows") {
