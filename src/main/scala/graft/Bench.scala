@@ -48,7 +48,7 @@ object Bench {
     "q_stream_text_index", "emb_project", "q_events_dau_hll",
     "q_stream_dau_hll", "sample_cluster_balanced", "q_stream_mv_window",
     "mm_video_dedup", "q_stream_image_dedup", "sample_topk_uniform",
-    "sample_weighted", "pipeline_curate")
+    "sample_weighted", "sample_weighted_budget", "pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

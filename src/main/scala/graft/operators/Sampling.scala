@@ -357,10 +357,37 @@ object Sampling extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- sample_weighted_budget --------------------------------------------
+  // The full mixture-construction primitive: sample_weighted's
+  // exponential clocks COMPOSED with sample_token_budget's per-source
+  // windows — each source admits docs in clock order (an unbiased
+  // token-mass-weighted draw, unlike token_budget's quality-greedy
+  // ranking) until its token budget fills. Same scale shape as every
+  // budget key: one (source) shuffle + a prefix-sum window; sources are
+  // the unit of parallelism.
+  private val WeightedBudget = 700L
+
+  private def sampleWeightedBudget(s: SparkSession, dir: String): DataFrame = {
+    val u = (minstd2(col("doc_id")) + lit(1.0)) / MinstdM
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("k", round(-log(u) / col("n_tokens"), 6))
+    val byClock = Window.partitionBy("source")
+      .orderBy(col("k").asc, col("doc_id").asc)
+    d.withColumn("cum_tokens",
+        sum("n_tokens").over(byClock.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= WeightedBudget)
+      .select("source", "doc_id", "n_tokens", "k", "cum_tokens")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
     "sample_topk_uniform" -> sampleTopkUniform,
     "sample_weighted" -> sampleWeighted,
+    "sample_weighted_budget" -> sampleWeightedBudget,
     "sample_hash" -> sampleHash,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_token_budget_bpe" -> sampleTokenBudgetBpe,
@@ -383,6 +410,23 @@ object Sampling extends QueryModule {
          |  FROM d)
          |SELECT lang, doc_id, rk, n_lang FROM r
          |WHERE rk * $StratDen <= n_lang ORDER BY lang, rk""".stripMargin,
+    "sample_weighted_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens,
+         |    (((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM + 1.0)
+         |      / $MinstdM AS u
+         |  FROM documents),
+         |k AS (SELECT doc_id, source, n_tokens,
+         |    round(-ln(u) / n_tokens, 6) AS k
+         |  FROM d WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, source, n_tokens, k,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY k ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM k)
+         |SELECT source, doc_id, n_tokens, k, cum_tokens FROM c
+         |WHERE cum_tokens <= $WeightedBudget
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CAST(len($wSql) AS BIGINT) AS n_tokens,

@@ -344,4 +344,24 @@ class SamplingSpec extends SparkSpec {
     assert(report.toSeq.sortBy(_._1) === expect)
   }
 
+  test("sample_weighted_budget: per-source budgets filled in clock order; unbiased vs quality-greedy") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sample_weighted_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      // budget respected; cum is the running sum in clock order
+      assert(rs.map(_._5).max <= 700L, s"$src over budget")
+      val ordered = rs.sortBy(t => (t._4, t._2))
+      assert(ordered.map(_._3).scanLeft(0L)(_ + _).tail.toSeq === ordered.map(_._5).toSeq,
+        s"$src cum_tokens not the clock-order prefix sum")
+    }
+    // the draw is clock-ordered, NOT quality-ordered: it must differ from
+    // the quality-greedy token_budget selection on at least one source
+    val greedy = SparkEntry.queries("sample_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val weighted = rows.map(t => (t._1, t._2)).toSet
+    assert((weighted -- greedy).nonEmpty, "weighted draw degenerated to the quality ranking")
+  }
+
 }
