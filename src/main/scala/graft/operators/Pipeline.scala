@@ -119,10 +119,9 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("source"),
         size(col("w")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    val u = (Sampling.minstd2(col("doc_id")) + lit(1.0)) / Sampling.MinstdM
     survivors
-      .withColumn("k", round(-log(u) / col("n_tokens"), 6))
-      .orderBy(col("k").asc, col("doc_id").asc)
+      .withColumn("k", Sampling.weightedKey(col("doc_id"), col("n_tokens")))
+      .orderBy(col("k").desc, col("doc_id").asc)
       .limit(CurateK)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -154,10 +153,8 @@ object Pipeline extends QueryModule {
          |picked AS (
          |  SELECT doc_id, source, n_tokens FROM (
          |    SELECT doc_id, source, n_tokens,
-         |      round(-ln((((doc_id * ${Sampling.MinstdA}) % ${Sampling.MinstdM}
-         |        * ${Sampling.MinstdA}) % ${Sampling.MinstdM} + 1.0)
-         |        / ${Sampling.MinstdM}) / n_tokens, 6) AS k
-         |    FROM survivors ORDER BY k ASC, doc_id ASC LIMIT $CurateK))
+         |      ${Sampling.weightedKeySql("doc_id", "n_tokens")} AS k
+         |    FROM survivors ORDER BY k DESC, doc_id ASC LIMIT $CurateK))
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM picked GROUP BY source ORDER BY source""".stripMargin,

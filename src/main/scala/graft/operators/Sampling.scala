@@ -333,29 +333,41 @@ object Sampling extends QueryModule {
 
   // ---- sample_weighted ---------------------------------------------------
   // Weight-proportional sampling WITHOUT replacement (Efraimidis–Spirakis
-  // priority sampling, exponential-clock form): each doc draws its fixed
-  // uniform u from the MINSTD hash and competes with key = -ln(u)/w; the
-  // K smallest keys are a sample where inclusion odds scale with the
-  // weight (here n_tokens — token-mass-proportional selection, the
-  // weighting mixture recipes actually want). Same one-pass
-  // TakeOrderedAndProject shape as sample_topk_uniform; the rounded key
-  // (6 dp) + doc_id tiebreak keeps the selection cross-engine exact (the
-  // sample_temperature posture for IEEE arithmetic).
+  // priority sampling): E-S ranks docs by u^(1/w) descending, and
+  // u^(1/w) is distributed EXACTLY as the maximum of w independent
+  // uniforms — so the key here IS that maximum, computed as w integer
+  // MINSTD draws g(doc_id, j), j = 1..w. All-integer arithmetic: no
+  // ln/pow (libm functions are not IEEE-bit-specified across engines —
+  // the hazard every other selection key in this module engineers out),
+  // no u = 1.0 edge, no float rounding at the selection boundary. Cost
+  // is O(w) per doc — the same O(text) the n_tokens computation itself
+  // pays, so the scale posture is unchanged (one map pass +
+  // TakeOrderedAndProject). The K LARGEST keys win; doc_id breaks the
+  // (rare, 31-bit-space) ties deterministically.
   private val WeightedK = 100
 
-  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
-    val u = (minstd2(col("doc_id")) + lit(1.0)) / MinstdM
+  /** The integer Efraimidis–Spirakis key: max of `w` MINSTD draws seeded
+    * by (minstd2(id) + j) % M — the ONE definition all three weighted
+    * selections and their DuckDB oracles share (see [[weightedKeySql]]). */
+  private[graft] def weightedKey(id: Column, w: Column): Column =
+    array_max(transform(sequence(lit(1L), w),
+      j => minstd2((minstd2(id) + j) % MinstdM)))
+
+  /** The DuckDB twin of [[weightedKey]] over SQL fragments `id` / `w`. */
+  private[graft] def weightedKeySql(id: String, w: String): String =
+    s"list_max(list_transform(range(1, $w + 1), j -> " +
+      s"((((($id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM + j) % $MinstdM" +
+      s" * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM))"
+
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens).cast("long").as("n_tokens"),
-        u.as("u"))
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        round(-log(col("u")) / col("n_tokens"), 6).as("k"))
-      .orderBy(col("k").asc, col("doc_id").asc)
+      .withColumn("k", weightedKey(col("doc_id"), col("n_tokens")))
+      .orderBy(col("k").desc, col("doc_id").asc)
       .limit(WeightedK)
       .orderBy("doc_id")
-  }
 
   // ---- sample_weighted_budget --------------------------------------------
   // The full mixture-construction primitive: sample_weighted's
@@ -368,14 +380,13 @@ object Sampling extends QueryModule {
   private val WeightedBudget = 700L
 
   private def sampleWeightedBudget(s: SparkSession, dir: String): DataFrame = {
-    val u = (minstd2(col("doc_id")) + lit(1.0)) / MinstdM
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("k", round(-log(u) / col("n_tokens"), 6))
+      .withColumn("k", weightedKey(col("doc_id"), col("n_tokens")))
     val byClock = Window.partitionBy("source")
-      .orderBy(col("k").asc, col("doc_id").asc)
+      .orderBy(col("k").desc, col("doc_id").asc)
     d.withColumn("cum_tokens",
         sum("n_tokens").over(byClock.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("cum_tokens") <= WeightedBudget)
@@ -412,16 +423,14 @@ object Sampling extends QueryModule {
          |WHERE rk * $StratDen <= n_lang ORDER BY lang, rk""".stripMargin,
     "sample_weighted_budget" ->
       s"""WITH d AS (SELECT doc_id, source,
-         |    CAST(len($wSql) AS BIGINT) AS n_tokens,
-         |    (((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM + 1.0)
-         |      / $MinstdM AS u
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens
          |  FROM documents),
          |k AS (SELECT doc_id, source, n_tokens,
-         |    round(-ln(u) / n_tokens, 6) AS k
+         |    ${weightedKeySql("doc_id", "n_tokens")} AS k
          |  FROM d WHERE n_tokens > 0),
          |c AS (SELECT doc_id, source, n_tokens, k,
          |    CAST(sum(n_tokens) OVER (PARTITION BY source
-         |      ORDER BY k ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      ORDER BY k DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
          |      AS cum_tokens
          |  FROM k)
          |SELECT source, doc_id, n_tokens, k, cum_tokens FROM c
@@ -429,14 +438,13 @@ object Sampling extends QueryModule {
          |ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, source,
-         |    CAST(len($wSql) AS BIGINT) AS n_tokens,
-         |    (((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM + 1.0)
-         |      / $MinstdM AS u
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens
          |  FROM documents)
          |SELECT doc_id, source, n_tokens, k FROM (
-         |  SELECT doc_id, source, n_tokens, round(-ln(u) / n_tokens, 6) AS k
+         |  SELECT doc_id, source, n_tokens,
+         |    ${weightedKeySql("doc_id", "n_tokens")} AS k
          |  FROM d WHERE n_tokens > 0
-         |  ORDER BY k ASC, doc_id ASC LIMIT $WeightedK)
+         |  ORDER BY k DESC, doc_id ASC LIMIT $WeightedK)
          |ORDER BY doc_id""".stripMargin,
     "sample_topk_uniform" ->
       s"""SELECT doc_id, source, h FROM (

@@ -271,36 +271,35 @@ class SamplingSpec extends SparkSpec {
       .sortBy(t => (t._2, t._1)).take(120).map(_._1).toSet
     assert((rows.map(_._1).toSet - removed).subsetOf(expect2))
     assert((expect2 -- rows.map(_._1).toSet).size === 1)
-    // one pass at scale: per-partition K-heaps + driver merge — a
-    // TakeOrderedAndProject, not a global Sort exchange over the corpus
-    val plan = Tables.t(spark, sf, "documents")
-      .select(col("doc_id"), col("source"),
-        (col("doc_id") * 48271L % 2147483647L * 48271L % 2147483647L).as("h"))
-      .orderBy(col("h").asc, col("doc_id").asc).limit(120)
+    // one pass at scale: per-partition K-heaps + driver merge — the
+    // REGISTERED query's plan contains TakeOrderedAndProject (the
+    // trailing presentation orderBy sits above it), never a global Sort
+    // exchange over the corpus
+    val plan = SparkEntry.queries("sample_topk_uniform")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no one-pass top-K:\n$plan")
   }
 
-  test("sample_weighted: exactly K, selection == K smallest exponential clocks, token-mass bias") {
+  test("sample_weighted: exactly K, selection == K largest integer clocks, token-mass bias") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("sample_weighted")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.length === 100)
     assert(rows.map(_._1).distinct.length === 100)
-    // the selection IS the 100 smallest -ln(u)/w keys, recomputed
-    // independently on the driver
+    // the selection IS the 100 largest max-of-w-draws keys (the integer
+    // Efraimidis-Spirakis form), recomputed independently on the driver
     val all = Tables.t(spark, sf, "documents")
       .select(col("doc_id"),
         size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("w"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .filter(_._2 > 0)
-    val keys = all.map { case (id, w) =>
-      val h = id * 48271L % 2147483647L * 48271L % 2147483647L
-      val u = (h + 1.0) / 2147483647L
-      val k = BigDecimal(-math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (id, w, k)
+    def m2(x: Long) = x * 48271L % 2147483647L * 48271L % 2147483647L
+    def wkey(id: Long, w: Long): Long = {
+      val base = m2(id)
+      (1L to w).map(j => m2((base + j) % 2147483647L)).max
     }
-    val expect = keys.sortBy(t => (t._3, t._1)).take(100).map(_._1).sorted.toSeq
+    val keys = all.map { case (id, w) => (id, w, wkey(id, w)) }
+    val expect = keys.sortBy(t => (-t._3, t._1)).take(100).map(_._1).sorted.toSeq
     assert(rows.map(_._1).sorted.toSeq === expect)
     // weight-proportional inclusion: the sample overrepresents token mass
     val sampleMean = rows.map(_._3).sum.toDouble / rows.length
@@ -309,7 +308,7 @@ class SamplingSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
     // deterministic across runs
     val again = SparkEntry.queries("sample_weighted")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq === rows.toSeq)
   }
 
@@ -332,12 +331,12 @@ class SamplingSpec extends SparkSpec {
       .select(col("doc_id"), col("source"), size(col("w")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def m2c(x: Long) = x * 48271L % 2147483647L * 48271L % 2147483647L
     val picked = surv.map { case (id, src, w) =>
-      val h = id * 48271L % 2147483647L * 48271L % 2147483647L
-      val k = BigDecimal(-math.log((h + 1.0) / 2147483647L) / w)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val base = m2c(id)
+      val k = (1L to w).map(j => m2c((base + j) % 2147483647L)).max
       (k, id, src, w)
-    }.sortBy(t => (t._1, t._2)).take(150)
+    }.sortBy(t => (-t._1, t._2)).take(150)
     val expect = picked.groupBy(_._3).map { case (src, rs) =>
       (src, rs.length.toLong, rs.map(_._4).sum)
     }.toSeq.sortBy(_._1)
@@ -347,12 +346,12 @@ class SamplingSpec extends SparkSpec {
   test("sample_weighted_budget: per-source budgets filled in clock order; unbiased vs quality-greedy") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("sample_weighted_budget")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (src, rs) =>
       // budget respected; cum is the running sum in clock order
       assert(rs.map(_._5).max <= 700L, s"$src over budget")
-      val ordered = rs.sortBy(t => (t._4, t._2))
+      val ordered = rs.sortBy(t => (-t._4, t._2))
       assert(ordered.map(_._3).scanLeft(0L)(_ + _).tail.toSeq === ordered.map(_._5).toSeq,
         s"$src cum_tokens not the clock-order prefix sum")
     }

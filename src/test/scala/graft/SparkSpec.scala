@@ -106,7 +106,7 @@ class EntrySpec extends SparkSpec {
     "sample_cluster_balanced" -> 446,
     "sample_topk_uniform" -> 120,
     "sample_weighted" -> 100,
-    "sample_weighted_budget" -> 205,
+    "sample_weighted_budget" -> 209,
     "text_compress_ratio" -> 500,
     "corpus_stats" -> 20,
     "text_commonness" -> 500,
