@@ -341,6 +341,11 @@ class SamplingSpec extends SparkSpec {
       (src, rs.length.toLong, rs.map(_._4).sum)
     }.toSeq.sortBy(_._1)
     assert(report.toSeq.sortBy(_._1) === expect)
+    // the weighted draw inside the composition is still the one-pass
+    // K-heap, not a global sort over the survivors
+    val plan = SparkEntry.queries("pipeline_curate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no one-pass draw:\n$plan")
   }
 
   test("sample_weighted_budget: per-source budgets filled in clock order; unbiased vs quality-greedy") {
