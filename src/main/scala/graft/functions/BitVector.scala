@@ -37,9 +37,10 @@ case class BitPackSign(child: Expression) extends UnaryExpression {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     val words = new Array[Long]((n + 63) / 64)
+    val isF = elemIsFloat // loop-invariant: one cast, not one per element
     var i = 0
     while (i < n) {
-      val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
       words(i / 64) = (words(i / 64) << 1) | (if (x > 0.0) 1L else 0L)
       i += 1
     }

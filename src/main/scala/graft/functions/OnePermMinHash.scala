@@ -76,14 +76,10 @@ object OnePermMinHash {
   private final val C = 0x9e3779b97f4a7c15L
 
   /** splitmix64 finalizer — decorrelates the slot/value split from the
-    * element hash (NgramHashes feeds raw xxhash64 values whose low bits
-    * we must not reuse directly for both routing and ranking). */
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + C
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+    * element hash. Delegates to the package's ONE definition
+    * ([[LshBandKeys.mix]]): band keys and OPH slots share the same
+    * dispersion primitive by construction. */
+  @inline private def mix(z0: Long): Long = LshBandKeys.mix(z0)
 
   @inline private def update(mins: Array[Long], filled: Array[Boolean],
                              numSlots: Int, seed: Long, raw: Long): Unit = {
@@ -146,13 +142,18 @@ object OnePermMinHash {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val raw =
-        if (preHashed) arr.getLong(i)
-        else {
-          val s = arr.getUTF8String(i)
-          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-        }
-      update(mins, filled, numSlots, seed, raw)
+      // null elements are SKIPPED, not hashed: getUTF8String would NPE
+      // and getLong silently reads 0 — a user-supplied array<...> with a
+      // null member means "element absent", same as an empty slot
+      if (!arr.isNullAt(i)) {
+        val raw =
+          if (preHashed) arr.getLong(i)
+          else {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+          }
+        update(mins, filled, numSlots, seed, raw)
+      }
       i += 1
     }
     densify(mins, filled, numSlots)

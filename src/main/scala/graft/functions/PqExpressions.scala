@@ -332,6 +332,10 @@ case class PqAdcPair(left: Expression, right: Expression,
   * per row with p small. Returns min(p, cells) ids; null on dim mismatch. */
 case class NearestCells(child: Expression, centroids: Array[Double],
                         cells: Int, dim: Int, p: Int) extends UnaryExpression {
+  // fail fast at construction: p <= 0 would AIOOBE mid-query on every row
+  // (zero-length heap arrays indexed at filled - 1)
+  require(p > 0 && cells > 0 && dim > 0,
+    s"nearest_cells needs p > 0, cells > 0, dim > 0 (got p=$p, cells=$cells, dim=$dim)")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true

@@ -69,9 +69,11 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val h = HashUtil.xx(arr.getUTF8String(i), seed)
-      var j = 0
-      while (j < 64) { if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1; j += 1 }
+      if (!arr.isNullAt(i)) { // null element = absent (getUTF8String NPEs)
+        val h = HashUtil.xx(arr.getUTF8String(i), seed)
+        var j = 0
+        while (j < 64) { if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1; j += 1 }
+      }
       i += 1
     }
     var out = 0L
@@ -88,6 +90,7 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
       val xxh = classOf[XXH64].getName
       s"""int[] $acc = new int[64];
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($arr.isNullAt($i)) continue;
          |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
          |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
          |  for (int $j = 0; $j < 64; $j++) {
@@ -126,12 +129,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
   private final val P = (1L << 61) - 1
 
   // splitmix64 step — stable param derivation
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = LshBandKeys.mix(z0)
 
   @transient private lazy val as: Array[Long] =
     Array.tabulate(numHashes)(i => (mix(seed + 2L * i) & Long.MaxValue) % (P - 1) + 1)
@@ -143,6 +141,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) { i += 1 } else { // null element = absent
       val raw = if (preHashed) arr.getLong(i) else HashUtil.xx(arr.getUTF8String(i), seed)
       val x = raw & Long.MaxValue
       var j = 0
@@ -155,6 +154,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }

@@ -74,7 +74,7 @@ package object functions {
     Column(MinHashSignature(expression(shingles), numHashes, seed))
 
   /** One-permutation MinHash signature (array<long> of numSlots slot
-    * minima, rotation-densified) — one hash per element instead of
+    * minima, optimal-densified) — one hash per element instead of
     * numSlots (see [[OnePermMinHash]]). */
   def one_perm_minhash(shingles: Column, numSlots: Int, seed: Long = 42L): Column =
     Column(OnePermMinHash(expression(shingles), numSlots, seed))

@@ -313,6 +313,17 @@ class ExpressionSpec extends SparkSpec {
         one_perm_minhash(typedLit(c2), 64).as("y")).collect()(0)
     val matches = r3.getSeq[Long](0).zip(r3.getSeq[Long](1)).count { case (x, y) => x == y }
     assert(matches <= 8, s"disjoint sets should rarely share slot minima, got $matches/64")
+    // null array elements mean "absent", not NPE (string) or silent 0
+    // (long): the signature of [x, NULL, y] equals the signature of [x, y]
+    val withNull = spark.range(1)
+      .select(
+        one_perm_minhash(typedLit(Seq("a", null, "b")), 16).as("g"),
+        one_perm_minhash(typedLit(Seq("a", "b")), 16).as("h"),
+        simhash(typedLit(Seq("a", null, "b"))).as("s1"),
+        simhash(typedLit(Seq("a", "b"))).as("s2"))
+      .collect()(0)
+    assert(withNull.getSeq[Long](0) === withNull.getSeq[Long](1))
+    assert(withNull.getLong(2) === withNull.getLong(3))
   }
 
   test("GraftExtensions exposes the same builders as session registration") {
