@@ -500,7 +500,7 @@ object LanceOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(outRoot)
-    q.awaitTermination(120000)
+    StreamingOps.drain(q)
     // read back the collected feed and aggregate per change type
     s.read.format("lance").load(outRoot)
       .groupBy("_change_type")
@@ -612,7 +612,7 @@ object LanceOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(root)
-    q.awaitTermination(120000)
+    StreamingOps.drain(q)
     read(s, root).agg(count(lit(1)).as("n"), sum(col("i")).as("s"))
   }
 

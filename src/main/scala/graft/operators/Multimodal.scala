@@ -87,9 +87,10 @@ object Multimodal extends QueryModule {
     }.toDF().orderBy("doc_id")
   }
 
-  /** Stub "frame sampling": treat the payload as fixed-256-byte frames and
-    * keep every 4th — the 1:N explode shape of real video frame extraction
-    * (row per sampled frame, frame index + per-frame features). */
+  /** Stub "frame sampling": treat the payload as fixed-[[FrameBytes]]-byte
+    * frames and keep every [[FrameStride]]th — the 1:N explode shape of
+    * real video frame extraction (row per sampled frame, frame index +
+    * per-frame features). */
   private val FrameBytes = 64
   private val FrameStride = 2
 
@@ -523,22 +524,26 @@ object Multimodal extends QueryModule {
   // decode+hash is a linear map over payload splits and the join is
   // bucket-bounded, identical scale posture to the text near-dup family.
 
-  /** 64-bit difference hash: integer block-average grayscale on a 9×8
-    * grid, bit = cell brighter than its right neighbor. Averages compare
-    * by cross-multiplication (sumL·nR > sumR·nL) — exact integers, no
-    * division, deterministic everywhere. Uniform brightness shifts leave
-    * every gradient sign unchanged (the invariance that catches
-    * re-graded copies). */
-  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+  /** Shared kernel for the two dHash directions: integer block-average
+    * grayscale on the axis's grid, gradient sign vs the axis neighbor.
+    * Averages compare by cross-multiplication (sumL·nR > sumR·nL) —
+    * exact integers, no division, deterministic everywhere. Uniform
+    * brightness shifts leave every gradient sign unchanged (the
+    * invariance that catches re-graded copies). ONE implementation for
+    * both halves of the 128-bit signature, so the luma weights and
+    * cell-boundary rules can never desynchronize between directions. */
+  private def dHashAxis(img: java.awt.image.BufferedImage, vertical: Boolean): Long = {
     val w = img.getWidth; val h = img.getHeight
-    val sums = Array.ofDim[Long](9, 8)
-    val ns = Array.ofDim[Long](9, 8)
+    val gx = if (vertical) 8 else 9
+    val gy = if (vertical) 9 else 8
+    val sums = Array.ofDim[Long](gx, gy)
+    val ns = Array.ofDim[Long](gx, gy)
     var cy = 0
-    while (cy < 8) {
-      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+    while (cy < gy) {
+      val y0 = cy * h / gy; val y1 = math.max(y0 + 1, (cy + 1) * h / gy)
       var cx = 0
-      while (cx < 9) {
-        val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+      while (cx < gx) {
+        val x0 = cx * w / gx; val x1 = math.max(x0 + 1, (cx + 1) * w / gx)
         var sum = 0L; var n = 0L
         var y = y0
         while (y < y1) {
@@ -562,7 +567,9 @@ object Multimodal extends QueryModule {
     while (cy < 8) {
       var cx = 0
       while (cx < 8) {
-        if (sums(cx)(cy) * ns(cx + 1)(cy) > sums(cx + 1)(cy) * ns(cx)(cy))
+        val nx = if (vertical) cx else cx + 1
+        val ny = if (vertical) cy + 1 else cy
+        if (sums(cx)(cy) * ns(nx)(ny) > sums(nx)(ny) * ns(cx)(cy))
           bits |= 1L << (cy * 8 + cx)
         cx += 1
       }
@@ -571,54 +578,17 @@ object Multimodal extends QueryModule {
     bits
   }
 
-  /** The VERTICAL twin of [[dHash]]: block averages on an 8×9 grid, bit =
-    * cell brighter than the cell BELOW it. Same cross-multiplied integer
-    * comparison, same brightness-shift invariance. Together the two
-    * directions give the 128-bit signature mm_image_dedup bands — an
-    * independent gradient field (horizontal signs say nothing about
-    * vertical ones), so the combined hash doubles the band key entropy
-    * rather than duplicating it. */
-  private[graft] def dHashVertical(img: java.awt.image.BufferedImage): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    val sums = Array.ofDim[Long](8, 9)
-    val ns = Array.ofDim[Long](8, 9)
-    var cy = 0
-    while (cy < 9) {
-      val y0 = cy * h / 9; val y1 = math.max(y0 + 1, (cy + 1) * h / 9)
-      var cx = 0
-      while (cx < 8) {
-        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
-        var sum = 0L; var n = 0L
-        var y = y0
-        while (y < y1) {
-          var x = x0
-          while (x < x1) {
-            val rgb = img.getRGB(x, y)
-            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-              114L * (rgb & 0xff)
-            n += 1
-            x += 1
-          }
-          y += 1
-        }
-        sums(cx)(cy) = sum; ns(cx)(cy) = n
-        cx += 1
-      }
-      cy += 1
-    }
-    var bits = 0L
-    cy = 0
-    while (cy < 8) {
-      var cx = 0
-      while (cx < 8) {
-        if (sums(cx)(cy) * ns(cx)(cy + 1) > sums(cx)(cy + 1) * ns(cx)(cy))
-          bits |= 1L << (cy * 8 + cx)
-        cx += 1
-      }
-      cy += 1
-    }
-    bits
-  }
+  /** 64-bit difference hash, horizontal gradients: 9×8 grid, bit = cell
+    * brighter than its RIGHT neighbor (see [[dHashAxis]]). */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long =
+    dHashAxis(img, vertical = false)
+
+  /** The VERTICAL twin of [[dHash]]: 8×9 grid, bit = cell brighter than
+    * the cell BELOW it. An independent gradient field (horizontal signs
+    * say nothing about vertical ones), so the combined 128-bit signature
+    * doubles the band key entropy rather than duplicating it. */
+  private[graft] def dHashVertical(img: java.awt.image.BufferedImage): Long =
+    dHashAxis(img, vertical = true)
 
   /** Deterministic 32×32 PNG per doc: 50 base patterns; variants 0-7 add
     * a uniform brightness shift (dHash-invariant — the near-dup signal

@@ -40,7 +40,7 @@ object StreamingOps extends QueryModule {
     * lance scan answers the MAX from manifest stats (the agg pushdown),
     * so replay guards cost O(fragments) metadata per batch, not a data
     * scan over accumulated history. */
-  private def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long =
+  private[operators] def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long =
     if (!new java.io.File(path).exists()) -1L
     else s.read.format("lance").load(path).agg(max(colName)).first() match {
       case r if r.isNullAt(0) => -1L
@@ -307,12 +307,7 @@ object StreamingOps extends QueryModule {
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, bid: Long) =>
         val stateExists = new java.io.File(state).exists()
-        val lastGen =
-          if (!stateExists) -1L
-          else s.read.format("lance").load(state).agg(max("gen")).first() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
+        val lastGen = lastBidOf(s, state, colName = "gen")
         if (bid > lastGen) {
           // localCheckpoint: `changed` is consumed twice (observer + write);
           // without it each consumer would recompute the micro-batch plan
@@ -475,6 +470,12 @@ object StreamingOps extends QueryModule {
           else bs.limit(0)
         val verified = Dedup.verifyJaccard(cand,
           bs.unionByName(histSets.select("doc_id", "sh")))
+        // ORDERING INVARIANT: the dst (verified pairs) append MUST precede
+        // the keysT append. A crash between them replays with the batch's
+        // own band keys already in history; because dst committed first,
+        // the replay skips the pair write — reversed, the replay would
+        // recompute pairs against a history that now contains the batch
+        // itself (double-fed skew counts, possible missed/extra pairs).
         guardedAppend(s, verified, dst, bid, dstBid)
         guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
         guardedAppend(s, bs, setsT, bid, setsBid, "doc_id", stateBuckets)
@@ -588,6 +589,7 @@ object StreamingOps extends QueryModule {
                 bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
             .filter(col("hamming") <= Multimodal.ImgHammingMax)
             .select("a_id", "b_id", "hamming")
+          // same ORDERING INVARIANT as the text twin above: dst before keysT
           guardedAppend(s, verified, dst, bid, dstBid)
           guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
           guardedAppend(s, sigs, sigsT, bid, sigsBid, "doc_id", stateBuckets)
@@ -925,10 +927,7 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val cur = s.read.format("lance").load(mvTable)
-        val lastBid = cur.agg(max("bid")).first() match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
+        val lastBid = lastBidOf(s, mvTable)
         if (bid > lastBid) { // replayed micro-batch = no-op
           val deltas = batch.groupBy("o_orderpriority")
             .agg(sum("sgn").as("dn"), sum(col("sgn") * col("c")).as("dsum"))
@@ -1008,11 +1007,7 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (touched: DataFrame, bid: Long) =>
-        val lastBid = s.read.format("lance").load(mvTable)
-          .agg(max("bid")).first() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
+        val lastBid = lastBidOf(s, mvTable)
         if (bid > lastBid) {
           // the upsert key rides the MV as a single column so the touched
           // keys are one In() delete predicate (bounded: ∝ the batch)
@@ -1101,11 +1096,7 @@ object StreamingOps extends QueryModule {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val cur = s.read.format("lance").load(modelTable)
-        val lastBid = cur.agg(max("bid")).first() match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
+        val lastBid = lastBidOf(s, modelTable)
         if (bid > lastBid) { // replayed micro-batch = no-op
           val labeled = batch.withColumn("w", TextAnalysis.tokens)
             .withColumn("label", QualityClassifier.labelCol(qLo, qHi))
@@ -1171,11 +1162,7 @@ object StreamingOps extends QueryModule {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val cur = s.read.format("lance").load(sketchTable)
-        val lastBid = cur.agg(max("bid")).first() match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
+        val lastBid = lastBidOf(s, sketchTable)
         if (bid > lastBid) { // replayed micro-batch = no-op
           batch
             .select(col("user_id"), col("ts").cast("timestamp").cast("date").as("d"))

@@ -69,12 +69,7 @@ object TextIndex {
     val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint() // postings + terms consume dt: one TF compute
-    def lastBid(path: String): Long =
-      if (!new java.io.File(path).exists()) -1L
-      else s.read.format("lance").load(path).agg(max("bid")).first() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    def lastBid(path: String): Long = StreamingOps.lastBidOf(s, path)
     if (bid > lastBid(root + "/postings"))
       dt.select(col("term"), col("doc_id"), col("tf"), col("dl"), lit(bid).as("bid"))
         .write.format("lance")
