@@ -237,17 +237,37 @@ object SidecarCache {
       size() > MaxEntries
   }
 
-  def get(root: String, conf: Configuration, rel: String): Map[String, (Hll, Option[Bloom])] =
+  def get(root: String, conf: Configuration, rel: String): Map[String, (Hll, Option[Bloom])] = {
+    val k = (root, rel)
+    // fast path under the lock; the IO happens OUTSIDE it — a slow
+    // object-store read must not serialize every other thread's cache
+    // hits behind it (planning latency would become sum-of-loads)
     cache.synchronized {
-      val k = (root, rel)
       val hit = cache.get(k)
-      if (hit != null) hit
-      else {
-        val loaded = try Hll.readSidecar(root, conf, rel)
-                     catch { case scala.util.control.NonFatal(_) =>
-                       Map.empty[String, (Hll, Option[Bloom])] }
-        cache.put(k, loaded)
-        loaded
-      }
+      if (hit != null) return hit
     }
+    val loaded =
+      try Some(Hll.readSidecar(root, conf, rel))
+      catch {
+        // TRANSIENT failure: log and do NOT cache — caching an empty map
+        // would silently disable bloom pruning + NDV for this fragment
+        // for the process lifetime after one throttled read
+        case scala.util.control.NonFatal(_) => None
+      }
+    loaded match {
+      case Some(m) =>
+        cache.synchronized { cache.put(k, m) } // double-load is idempotent
+        m
+      case None =>
+        logWarningOnce(root, rel)
+        Map.empty
+    }
+  }
+
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private def logWarningOnce(root: String, rel: String): Unit =
+    if (warned.add((root, rel)))
+      System.err.println(
+        s"[lance] sidecar read failed for $rel under $root — bloom pruning/NDV " +
+          "disabled for this fragment THIS QUERY; will retry on next access")
 }

@@ -179,7 +179,8 @@ object LanceDelete {
   case class DeletePlan(droppedPaths: Set[String],
                         newDvs: Map[String, DeleteVectorMeta],
                         touched: Seq[FragmentMeta],
-                        newSketches: Map[String, String] = Map.empty) {
+                        newSketches: Map[String, String] = Map.empty,
+                        seenPaths: Set[String] = Set.empty) {
     def isNoop: Boolean = touched.isEmpty
 
     /** Apply to a commit-time fragment list (conflict checks already done). */
@@ -195,11 +196,19 @@ object LanceDelete {
       }
 
     /** Commit-time conflict test: every touched fragment must still exist
-      * with the DV it had when the plan was computed. */
+      * with the DV it had when the plan was computed, AND the current
+      * fragment list must contain nothing the plan never classified — a
+      * concurrent append that wins the version race could hold rows
+      * matching the replace predicate, and silently keeping them beside
+      * the replacement data breaks REPLACE WHERE's invariant ("all rows
+      * matching P are exactly the new data"). Aborting on ANY unseen
+      * fragment is stricter than necessary (a provably-disjoint append
+      * also aborts) but always safe; the caller's error says retry. */
     def conflictsWith(cur: LanceManifest): Boolean = {
       val curBy = cur.fragments.map(f => f.path -> f).toMap
       !touched.forall(fr =>
-        curBy.get(fr.path).exists(_.deletes.map(_.path) == fr.deletes.map(_.path)))
+        curBy.get(fr.path).exists(_.deletes.map(_.path) == fr.deletes.map(_.path))) ||
+        (seenPaths.nonEmpty && cur.fragments.exists(f => !seenPaths(f.path)))
     }
 
     def abandon(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
@@ -362,7 +371,8 @@ object LanceDelete {
     // candidates with no matching rows are untouched — drop them from the
     // conflict set so unrelated concurrent deletes don't abort us
     val reallyTouched = dropped ++ candidates.filter(fr => newDvs.contains(fr.path))
-    DeletePlan(droppedPaths, newDvs, reallyTouched, newSketches)
+    DeletePlan(droppedPaths, newDvs, reallyTouched, newSketches,
+      seenPaths = m.fragments.map(_.path).toSet)
   }
 
   def deleteWhere(spark: SparkSession, root: String, filters: Array[Filter],

@@ -540,7 +540,12 @@ object LanceProcedures {
           else None
         }
         val ndv: Option[Long] = dictNdv.orElse {
-          if (!identity || frs.isEmpty || frs.exists(_.sketches.isEmpty)) None
+          // same sidecar-read cap as the CBO path (LanceScan.NdvSidecarCap):
+          // CALL system.stats on a 100k-fragment table must not do 100k
+          // driver sidecar reads — past the cap NDV reports unknown, like
+          // the scan's estimateStatistics does
+          if (!identity || frs.isEmpty || frs.size > 1024 ||
+              frs.exists(_.sketches.isEmpty)) None
           else {
             val hlls = frs.map { fr =>
               SidecarCache.get(root, conf, fr.sketches.get)

@@ -410,8 +410,21 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
     Some((StructType(keyFields ++ aggFields), rows))
   }
 
+  // Spark calls supportCompletePushDown(agg) and then pushAggregation(agg)
+  // with the same aggregation; memoize the answer so the O(aggregates ×
+  // fragments) stats fold runs once per planning, not twice
+  private var lastAnswerAll: Option[(Aggregation, Option[(StructType, Seq[Array[Any]])])] = None
+  private def answerAllCached(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] =
+    lastAnswerAll match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = tryAnswerAll(agg)
+        lastAnswerAll = Some((agg, r))
+        r
+    }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    tryAnswerAll(agg).isDefined
+    answerAllCached(agg).isDefined
 
   /** Partial pushdown state: (output schema, merged stats partial row,
     * fragments that must scan, their read columns, reader agg specs). */
@@ -517,7 +530,7 @@ class LanceScanBuilder(spark: SparkSession, root: String, manifest: LanceManifes
 
   override def pushAggregation(agg: Aggregation): Boolean =
     if (bucketRestrict.isDefined) false
-    else tryAnswerAll(agg) match {
+    else answerAllCached(agg) match {
       case Some((schema, rows)) =>
         aggSchema = Some(schema); aggRows = Some(rows); true
       case None =>
@@ -661,12 +674,31 @@ object LancePruning {
     * the named fragments (used by maintenance reads and DV-writing
     * deletes to touch only candidate fragments). `bloomAbsent` consults a
     * per-fragment equality bloom when range/dictionary stats can't prune. */
+  /** Per-pushed-array memo of `_file IN (...)` value sets: the same Array
+    * instance is probed once per fragment during planning, so the Set is
+    * built once (weak keys — dropped with the filter array). */
+  private val fileSets =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Any], java.util.HashSet[Any]]())
+  private def fileSet(vs: Array[Any]): java.util.HashSet[Any] = {
+    var set = fileSets.get(vs)
+    if (set == null) {
+      set = new java.util.HashSet[Any](vs.length * 2)
+      vs.foreach(set.add)
+      fileSets.put(vs, set)
+    }
+    set
+  }
+
   def provablyEmpty(fr: FragmentMeta, schema: StructType, f: Filter,
                     fullPath: String = "",
                     bloomAbsent: (String, Any) => Boolean = (_, _) => false): Boolean = f match {
     case EqualTo(LanceMetadata.FileCol, v) => fullPath.nonEmpty && v != fullPath
     case In(LanceMetadata.FileCol, vs) =>
-      fullPath.nonEmpty && !vs.contains(fullPath)
+      // hashed, not Array.contains: DELETE/compact/zorder planning calls
+      // this once per fragment with the SAME pushed array — a linear walk
+      // makes broad maintenance O(fragments × paths) on the driver
+      fullPath.nonEmpty && !fileSet(vs).contains(fullPath)
     case EqualTo(c, v) =>
       readsAllNull(fr, c) ||
         outsideRange(fr, c, v, strictLow = false, strictHigh = false) ||

@@ -227,6 +227,19 @@ object LanceChangeFeed {
     def full(rel: String): String =
       new org.apache.hadoop.fs.Path(root, rel).toString
     val parts = scala.collection.mutable.ArrayBuffer.empty[LanceInputPartition]
+    // COLUMN IDENTITY under schema evolution: the feed presents every
+    // change in the LATEST schema, so a fragment must be read through the
+    // latest manifest's copy of its meta — that copy accumulated every
+    // later RENAME (physicalNames) and DROP+re-ADD (hidden mask). The
+    // version-local meta predates those alters: a renamed column would
+    // read back NULL and a re-added name would resurrect stale pre-drop
+    // values. Fragments that no longer exist at latest fall back to their
+    // version-local meta (sound unless an alter landed after the
+    // fragment's drop — the alter then has no per-fragment record to
+    // replay, a documented edge).
+    val latestBy = ManifestIO.loadLatest(root, conf)
+      .map(_.fragments.map(f => f.path -> f).toMap)
+      .getOrElse(Map.empty[String, FragmentMeta])
     var prev: Option[LanceManifest] =
       if (startExclusive == 0) None
       else Some(ManifestIO.load(root, startExclusive, conf))
@@ -239,9 +252,11 @@ object LanceChangeFeed {
           .getOrElse(Map.empty[String, FragmentMeta])
         val curPaths = cur.fragments.map(_.path).toSet
         def add(fr: FragmentMeta, change: String, dv: Option[String],
-                diff: Option[(Option[String], String)]): Unit =
+                diff: Option[(Option[String], String)]): Unit = {
+          val idMeta = latestBy.getOrElse(fr.path, fr)
           parts += LanceInputPartition(full(fr.path), 0, fr.sizeBytes,
-            fr.sizeBytes, LanceColumnMap.of(fr, requiredNames), dv, Some(change), diff)
+            fr.sizeBytes, LanceColumnMap.of(idMeta, requiredNames), dv, Some(change), diff)
+        }
         cur.fragments.foreach { fr =>
           prevBy.get(fr.path) match {
             case None => // new fragment: its live rows are inserts

@@ -243,8 +243,12 @@ class LanceWrite(root: String, schema: StructType,
     // (SPARK-34183), so the partitionId-is-the-bucket invariant holds for
     // streaming appends too — streamed fragments join the SPJ layout
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      // clusterIdx rides along: streamed fragments roll at cluster-key
+      // boundaries exactly like batch ones, so the single-valued-fragment
+      // property (grouped stats pushdown, tight range pruning) holds for
+      // streaming appends to a write.cluster-by table too
       new LanceStreamingDataWriterFactory(root, schema, factory, conf, maxRowsPerFile,
-        bucketed = bucketBy.isDefined, sortedBy = orderedCols)
+        clusterIdx, bucketed = bucketBy.isDefined, sortedBy = orderedCols)
 
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val newFrags = messages.flatMap {
@@ -332,12 +336,13 @@ class LanceDataWriterFactory(root: String, schema: StructType,
 class LanceStreamingDataWriterFactory(root: String, schema: StructType,
                                       factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
                                       conf: SerializableConfiguration, maxRowsPerFile: Long,
+                                      clusterIdx: Array[Int] = Array.empty,
                                       bucketed: Boolean = false,
                                       sortedBy: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new LanceDataWriter(root, schema, factory, conf, maxRowsPerFile, partitionId, taskId,
-      bucketed = bucketed, sortedBy = sortedBy)
+      clusterIdx, bucketed, sortedBy)
 }
 
 /** Executor-side fragment writer: rolls to a new parquet file every

@@ -207,6 +207,31 @@ class LanceStreamSpec extends SparkSpec {
     assert(merged === recomputed)
   }
 
+  test("change feed reads pre-alter fragments through the LATEST column identity") {
+    // a RENAME (and a DROP + re-ADD) after the replayed versions must not
+    // corrupt the feed: renamed columns carry their real values under the
+    // new name, re-added names stay NULL for pre-drop fragments
+    spark.conf.set("spark.sql.catalog.lance_cdcid",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.lance_cdcid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_cdcid.db")
+    spark.sql("CREATE TABLE lance_cdcid.db.t AS " +
+      "SELECT * FROM VALUES (1, 'x'), (2, 'y') AS v(id, tag)")
+    spark.sql("ALTER TABLE lance_cdcid.db.t RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE lance_cdcid.db.t ADD COLUMN tag STRING")
+    val root = s"$wh/db/t"
+    val feed = spark.read.format("lance").option("read.change-feed", "true")
+      .load(root)
+      .select("id", "label", "tag", "_change_type")
+      .orderBy("id").collect()
+    assert(feed.map(_.getString(3)).toSeq === Seq("insert", "insert"))
+    // the renamed column reads its REAL values (version-local identity
+    // would return NULL here), and the re-added old name stays masked
+    assert(feed.map(_.getString(1)).toSeq === Seq("x", "y"), feed.mkString(", "))
+    assert(feed.forall(_.isNullAt(2)), feed.mkString(", "))
+  }
+
   test("streaming MV refresh: final MV == recompute; replayed micro-batch is a no-op") {
     import graft.sources.lance.LanceDelete
     import spark.implicits._
