@@ -23,6 +23,19 @@ object StreamingOps extends QueryModule {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft-$prefix-").toString
 
+  /** Whether the lance table at `path` exists (has a committed manifest),
+    * routed through the path's FileSystem — NOT `java.io.File`, which is
+    * always false on an object-store warehouse and would silently disarm
+    * every replay guard below (each replayed batch would re-append).
+    * Metadata-cheap: one directory listing. */
+  private[graft] def tableExists(s: SparkSession, path: String): Boolean =
+    graft.sources.lance.ManifestIO.exists(path, s.sparkContext.hadoopConfiguration)
+
+  /** FS-routed `listFiles().map(_.getName)` for the parquet staging dirs
+    * the streaming file source tails (empty when the dir is absent). */
+  private def fileNames(s: SparkSession, dir: String): Seq[String] =
+    graft.sources.lance.ManifestIO.listFileNames(dir, s.sparkContext.hadoopConfiguration)
+
   /** Drain an AvailableNow query, failing LOUDLY on timeout:
     * awaitTermination's boolean is easy to drop, and falling through to
     * read the sink while the query is still writing turns a slow machine
@@ -40,8 +53,8 @@ object StreamingOps extends QueryModule {
     * lance scan answers the MAX from manifest stats (the agg pushdown),
     * so replay guards cost O(fragments) metadata per batch, not a data
     * scan over accumulated history. */
-  private[operators] def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long =
-    if (!new java.io.File(path).exists()) -1L
+  private[graft] def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long =
+    if (!tableExists(s, path)) -1L
     else s.read.format("lance").load(path).agg(max(colName)).first() match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
@@ -60,7 +73,7 @@ object StreamingOps extends QueryModule {
         w0.option("write.bucket-by", bucketBy)
           .option("write.bucket-count", buckets.toString)
       else w0
-      w.mode(if (new java.io.File(path).exists()) "append" else "overwrite")
+      w.mode(if (tableExists(s, path)) "append" else "overwrite")
         .save(path)
     }
 
@@ -295,8 +308,7 @@ object StreamingOps extends QueryModule {
     // A re-run (crash replay) must NOT rewrite the source: overwrite
     // produces fresh part-file names the file source would treat as new
     // data, turning the replay into a second ingest.
-    val srcFiles = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
-    if (!srcFiles.exists(_.getName.startsWith("part-")))
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -306,7 +318,7 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, bid: Long) =>
-        val stateExists = new java.io.File(state).exists()
+        val stateExists = tableExists(s, state)
         val lastGen = lastBidOf(s, state, colName = "gen")
         if (bid > lastGen) {
           // localCheckpoint: `changed` is consumed twice (observer + write);
@@ -404,8 +416,7 @@ object StreamingOps extends QueryModule {
     // runs MULTIPLE micro-batches, so batch-vs-history is exercised.
     // A pre-populated srcDir is a RESUME (crash-replay spec) — rewriting
     // it would read as new data (see streamDedupAt)
-    val srcFiles = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
-    if (!srcFiles.exists(_.getName.startsWith("part-")))
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       d.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -427,7 +438,7 @@ object StreamingOps extends QueryModule {
         if (!fullyApplied) {
         val bk = Dedup.bandKeys(batch).localCheckpoint()
         val bs = Dedup.shingleSets(batch).localCheckpoint()
-        val histExists = new java.io.File(keysT).exists()
+        val histExists = tableExists(s, keysT)
         // the batch's bucket cover — ≤ stateBuckets ints, same hash the
         // bucketed write used (partitionId = pmod(murmur3(key), N))
         val keyBuckets = bk
@@ -526,8 +537,7 @@ object StreamingOps extends QueryModule {
     val stateBuckets = defaultStateBuckets(s)
     val payloads = s.read.parquet(Multimodal.imageFixture(s, dir))
       .toDF("doc_id", "image")
-    val srcFiles = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
-    if (!srcFiles.exists(_.getName.startsWith("part-")))
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       payloads.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(payloads.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -542,7 +552,7 @@ object StreamingOps extends QueryModule {
         if (!fullyApplied) {
           val sigs = Multimodal.decodeSigs(s, batch).localCheckpoint()
           val bk = Multimodal.imgBandKeys(sigs).localCheckpoint()
-          val histExists = new java.io.File(keysT).exists()
+          val histExists = tableExists(s, keysT)
           val keyBuckets = bk
             .select(pmod(hash(col("band_key")), lit(stateBuckets)).as("b"))
             .distinct().collect().map(_.getInt(0))
@@ -914,7 +924,7 @@ object StreamingOps extends QueryModule {
                                      mvTable: String, ckpt: String): String = {
     import s.implicits._
     val cents = round(col("o_totalprice") * 100, 0).cast("long")
-    if (!new java.io.File(mvTable).exists())
+    if (!tableExists(s, mvTable))
       Seq.empty[(String, Long, Long, Long)]
         .toDF("o_orderpriority", "n", "sum_cents", "bid")
         .write.format("lance").save(mvTable)
@@ -993,7 +1003,7 @@ object StreamingOps extends QueryModule {
       schema: org.apache.spark.sql.types.StructType, mvTable: String,
       ckpt: String, delay: String): String = {
     import s.implicits._
-    if (!new java.io.File(mvTable).exists())
+    if (!tableExists(s, mvTable))
       Seq.empty[(Timestamp, String, Long, Long, String, Long)]
         .toDF("w_start", "event_type", "n", "sum_id", "k", "bid")
         .write.format("lance").save(mvTable)
@@ -1089,7 +1099,7 @@ object StreamingOps extends QueryModule {
       schema: org.apache.spark.sql.types.StructType,
       qLo: Double, qHi: Double): Unit = {
     import s.implicits._
-    if (!new java.io.File(modelTable).exists())
+    if (!tableExists(s, modelTable))
       Seq.empty[(Int, Int, Long, Long)].toDF("label", "b", "n", "bid")
         .write.format("lance").save(modelTable)
     val q = s.readStream.schema(schema)

@@ -1,6 +1,9 @@
 package graft.operators
 
 import graft.Tables
+import graft.sources.lance.ManifestIO
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,19 +78,19 @@ object TextIndex {
         .write.format("lance")
         .option("write.bucket-by", "term")
         .option("write.bucket-count", Buckets.toString)
-        .mode(if (new java.io.File(root + "/postings").exists()) "append" else "overwrite")
+        .mode(if (StreamingOps.tableExists(s, root + "/postings")) "append" else "overwrite")
         .save(root + "/postings")
     if (bid > lastBid(root + "/terms"))
       dt.groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("bid", lit(bid))
         .write.format("lance")
-        .mode(if (new java.io.File(root + "/terms").exists()) "append" else "overwrite")
+        .mode(if (StreamingOps.tableExists(s, root + "/terms")) "append" else "overwrite")
         .save(root + "/terms")
     if (bid > lastBid(root + "/stats"))
       d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
         .withColumn("bid", lit(bid))
         .write.format("lance")
-        .mode(if (new java.io.File(root + "/stats").exists()) "append" else "overwrite")
+        .mode(if (StreamingOps.tableExists(s, root + "/stats")) "append" else "overwrite")
         .save(root + "/stats")
   }
 
@@ -120,9 +123,12 @@ object TextIndex {
       .mode("overwrite").save(root + "/postings")
   }
 
-  /** Whether a standing index exists at `root`. */
-  def exists(root: String): Boolean =
-    new java.io.File(root + "/postings").exists()
+  /** Whether a standing index exists at `root` — FS-routed: on an
+    * object-store warehouse a `java.io.File` check is always false, which
+    * would make every CALL rebuild the index (correct answers, standing
+    * amortization silently gone). */
+  def exists(root: String, conf: Configuration): Boolean =
+    ManifestIO.exists(root + "/postings", conf)
 
   /** The corpus manifest version a procedure-built index was derived from
     * (None for indexes that never recorded one, e.g. streaming-maintained
@@ -130,18 +136,20 @@ object TextIndex {
     * CALL system.search compares this against the corpus's current version
     * and rebuilds on mismatch, so a corpus that moved after the first CALL
     * is never served from the stale sidecar. */
-  def recordedCorpusVersion(root: String): Option[Long] = {
-    val f = new java.io.File(root, "corpus_version")
-    if (!f.exists()) None
-    else scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+  def recordedCorpusVersion(root: String, conf: Configuration): Option[Long] = {
+    val p = new Path(root, "corpus_version")
+    ManifestIO.readSmallFile(p.getFileSystem(conf), p).flatMap(b =>
+      scala.util.Try(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption)
   }
 
-  /** Record the corpus manifest version the index at `root` was built from. */
-  def recordCorpusVersion(root: String, version: Long): Unit =
-    java.nio.file.Files.write(new java.io.File(root, "corpus_version").toPath,
+  /** Record the corpus manifest version the index at `root` was built from
+    * (overwrite: a rebuild re-stamps the pin). */
+  def recordCorpusVersion(root: String, version: Long, conf: Configuration): Unit = {
+    val p = new Path(root, "corpus_version")
+    ManifestIO.writeSmallFileOverwrite(p.getFileSystem(conf), p,
       version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Serve a (query_id, term) workload from the standing index at `root`.
     * The postings scan is restricted to the buckets the query vocabulary
@@ -178,9 +186,8 @@ object TextIndex {
 
   /** The standing index for a testdata corpus dir (built on first use). */
   def indexFor(s: SparkSession, dir: String): String = {
-    indexCache.entrySet().removeIf { e =>
-      !new java.io.File(e.getValue + "/postings").exists()
-    }
+    val conf = s.sparkContext.hadoopConfiguration
+    indexCache.entrySet().removeIf(e => !exists(e.getValue, conf))
     indexCache.computeIfAbsent(
       (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
         val root = java.nio.file.Files.createTempDirectory("graft-textidx-").toString

@@ -424,13 +424,13 @@ object LanceProcedures {
       val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
       val corpusVersion = ManifestIO.loadLatest(cRoot, conf).map(_.version).getOrElse(
         throw new IllegalArgumentException(s"lance search: corpus not found at $cRoot"))
-      if (!graft.operators.TextIndex.exists(idxRoot) ||
-          !graft.operators.TextIndex.recordedCorpusVersion(idxRoot).contains(corpusVersion)) {
+      if (!graft.operators.TextIndex.exists(idxRoot, conf) ||
+          !graft.operators.TextIndex.recordedCorpusVersion(idxRoot, conf).contains(corpusVersion)) {
         graft.operators.TextIndex.build(spark,
           spark.read.format("lance").load(cRoot)
             .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
           idxRoot)
-        graft.operators.TextIndex.recordCorpusVersion(idxRoot, corpusVersion)
+        graft.operators.TextIndex.recordCorpusVersion(idxRoot, corpusVersion, conf)
       }
       val queries = spark.read.format("lance").load(qRoot)
         .select(col("query_id").cast("long").as("query_id"), col("term"))

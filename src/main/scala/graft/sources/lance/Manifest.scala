@@ -246,6 +246,73 @@ object ManifestIO {
     }
   }
 
+  /** Read a small immutable/overwritable file written by [[writeSmallFile]]
+    * or [[writeSmallFileOverwrite]]; None when absent. Same local-NIO fast
+    * path as the writers (a Hadoop LocalFileSystem open costs ~10ms in
+    * checksum overhead for files read per-query, e.g. index version pins). */
+  def readSmallFile(f: FileSystem, path: Path): Option[Array[Byte]] = {
+    val isLocal = Option(path.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||
+      f.getScheme == "file"
+    if (isLocal) {
+      val target = java.nio.file.Paths.get(f.makeQualified(path).toUri.getPath)
+      if (!java.nio.file.Files.exists(target)) None
+      else Some(java.nio.file.Files.readAllBytes(target))
+    } else {
+      if (!f.exists(path)) None
+      else {
+        val len = f.getFileStatus(path).getLen.toInt
+        val in = f.open(path)
+        try {
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          Some(buf)
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Write a small mutable sidecar file, REPLACING any existing content
+    * (e.g. an index's corpus-version pin, re-stamped on rebuild). Readers
+    * racing a rewrite see old-or-new bytes, never an error — acceptable
+    * for advisory metadata whose staleness only costs a rebuild. */
+  def writeSmallFileOverwrite(f: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+    val isLocal = Option(path.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||
+      f.getScheme == "file"
+    if (isLocal) {
+      val target = java.nio.file.Paths.get(f.makeQualified(path).toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(target, bytes)
+    } else {
+      f.mkdirs(path.getParent)
+      val out = f.create(path, true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Whether `path` exists, routed through the path's own FileSystem (with
+    * the local-NIO fast path) — the check raw `java.io.File.exists()` gets
+    * WRONG on an object-store warehouse (always false → replay guards and
+    * standing-index reuse silently disarm). */
+  def pathExists(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val f = p.getFileSystem(conf)
+    val isLocal = Option(p.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||
+      f.getScheme == "file"
+    if (isLocal)
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath))
+    else f.exists(p)
+  }
+
+  /** File names directly under `dir` (empty when absent) — the FS-routed
+    * replacement for `java.io.File.listFiles()`. */
+  def listFileNames(dir: String, conf: Configuration): Seq[String] = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(conf)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
   /** Atomically create `path` with `bytes`; false if it already exists. */
   private def writeExclusive(f: FileSystem, path: Path, bytes: Array[Byte]): Boolean = {
     val isLocal = Option(path.toUri.getScheme).forall(s => s == "file" || s.isEmpty) ||

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** A local filesystem masquerading under a non-`file` scheme. Every byte
+  * still lands on local disk, but NOTHING about the path is visible to
+  * `java.io.File` — exactly the property of an object-store warehouse
+  * (s3a://, gs://, abfs://). Any state/metadata check that bypasses the
+  * Hadoop FileSystem API silently reads "absent" for these paths, which
+  * is the failure mode the FS-routing specs below pin down. */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
+/** The streaming replay guards and the text index's standing-index
+  * metadata must route ALL existence/high-water/version-pin IO through
+  * the path's Hadoop FileSystem — a raw `java.io.File` check is always
+  * false on an object-store warehouse, so the per-table idempotence
+  * guards would silently disarm (every replayed batch re-appends) and
+  * `CALL system.search` would rebuild its index on every call. These
+  * specs run a streaming state root and a text-index root through a
+  * non-`file` scheme and prove the guards still hold. */
+class FsRoutingSpec extends SparkSpec {
+  private def registerMockFs(): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+
+  private def mockRoot(prefix: String): String =
+    "mockfs://" + java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streaming dedup state on a non-file scheme: guards armed, crash replay is a no-op") {
+    registerMockFs()
+    import spark.implicits._
+    val state = mockRoot("graft-mockfs-sded-") + "/t"
+    val docs = (1L to 60L).map(i => (i, s"mockfs text ${i % 12} body")).toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mockfs-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mockfs-ck-").toString
+    def run() = graft.operators.StreamingOps
+      .streamDedupAt(spark, docs, state, srcParts = 4, srcDir0 = srcDir, ckpt0 = ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    // negative control — the check the guards USED to make: java.io.File
+    // cannot see this root at all, while the FS-routed probes can
+    assert(!new java.io.File(state).exists(),
+      "mock scheme unexpectedly visible to java.io.File — control invalid")
+    assert(graft.operators.StreamingOps.tableExists(spark, state))
+    assert(graft.operators.StreamingOps.lastBidOf(spark, state, colName = "gen") >= 0L)
+    val stateRows = spark.read.format("lance").load(state).count()
+    assert(stateRows > 0L)
+    // crash between the state append and the checkpoint commit: drop the
+    // last commit marker and re-run — the replayed batch's bid <= max(gen)
+    // already in the (mockfs) state table, so the append must no-op
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val replayed = run()
+    assert(replayed === first)
+    assert(spark.read.format("lance").load(state).count() === stateRows,
+      "replayed micro-batch re-appended its generation — guard disarmed off local FS")
+  }
+
+  test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {
+    registerMockFs()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").limit(120)
+    val root = mockRoot("graft-mockfs-tidx-") + "/idx"
+    graft.operators.TextIndex.build(spark, docs, root)
+    // CALL system.search's reuse gate: exists + version pin — both must
+    // see the mockfs index (File-based checks would force a rebuild and
+    // re-stamp on EVERY call)
+    assert(!new java.io.File(root + "/postings").exists())
+    assert(graft.operators.TextIndex.exists(root, conf))
+    graft.operators.TextIndex.recordCorpusVersion(root, 7L, conf)
+    assert(graft.operators.TextIndex.recordedCorpusVersion(root, conf) === Some(7L))
+    graft.operators.TextIndex.recordCorpusVersion(root, 9L, conf) // rebuild re-stamps
+    assert(graft.operators.TextIndex.recordedCorpusVersion(root, conf) === Some(9L))
+    // index served from the mock scheme == index served from local disk
+    val queries = docs.limit(5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(lower(col("text")), "\\W+"), 1, 3)).as("term"))
+      .filter(length(col("term")) > 2)
+    val localRoot = java.nio.file.Files.createTempDirectory("graft-local-tidx-").toString + "/idx"
+    graft.operators.TextIndex.build(spark, docs, localRoot)
+    val fromMock = graft.operators.TextIndex.search(spark, root, queries, 5)
+      .collect().map(_.toSeq).toSet
+    val fromLocal = graft.operators.TextIndex.search(spark, localRoot, queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(fromMock.nonEmpty && fromMock === fromLocal)
+    // streaming maintenance twin: a replayed appendDelta batch must no-op
+    // per table (its guard reads the high-water mark THROUGH the FS)
+    val root2 = mockRoot("graft-mockfs-tidx2-") + "/idx"
+    graft.operators.TextIndex.appendDelta(spark, docs, root2, bid = 0L)
+    val postings = spark.read.format("lance").load(root2 + "/postings").count()
+    val terms = spark.read.format("lance").load(root2 + "/terms").count()
+    assert(postings > 0L)
+    graft.operators.TextIndex.appendDelta(spark, docs, root2, bid = 0L) // at-least-once replay
+    assert(spark.read.format("lance").load(root2 + "/postings").count() === postings,
+      "replayed appendDelta re-appended postings — guard disarmed off local FS")
+    assert(spark.read.format("lance").load(root2 + "/terms").count() === terms)
+  }
+}

@@ -372,8 +372,8 @@ class TextAnalysisSpec extends SparkSpec {
     }
     // the sidecar exists and a second CALL reuses it (same version)
     val idxRoot = graft.operators.TextIndex.indexRootFor(s"$wh/db/c")
-    assert(graft.operators.TextIndex.exists(idxRoot))
     val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    assert(graft.operators.TextIndex.exists(idxRoot, conf))
     val v1 = graft.sources.lance.ManifestIO.loadLatest(idxRoot + "/postings", conf).get.version
     val again = spark.sql(
       "CALL lance_ts.system.search(queries => 'db.qq', corpus => 'db.c', k => 3)")
