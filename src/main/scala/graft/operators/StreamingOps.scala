@@ -396,6 +396,95 @@ object StreamingOps extends QueryModule {
       keysT = tmp("sndd-keys") + "/t", setsT = tmp("sndd-sets") + "/t")
   }
 
+  /** The shared streaming near-dedup micro-batch body — ONE implementation
+    * of the guard → bucket-cover probe → capped candidates → verify →
+    * ordered guarded appends skeleton the text and image twins both run
+    * (they differ only in how a batch becomes (band keys, exact-verify
+    * state) and in the exact verification itself).
+    *
+    * Contract, maintained here so no copy can drift:
+    *  - per-TABLE batch-id high-water guards: foreachBatch is
+    *    at-least-once and this body appends to THREE tables — a crash
+    *    between any append and the checkpoint commit replays the batch,
+    *    and each table must skip what it already holds (re-appended band
+    *    keys / verify state would inflate state and double-feed later
+    *    batches' probes). Marks are read ONCE per batch (metadata-only —
+    *    see [[lastBidOf]]); a fully-applied replay skips the whole batch.
+    *  - history probes are `read.buckets`-restricted to the BATCH's
+    *    bucket cover (IO ∝ batch, not accumulated history), candidates
+    *    form only inside shared (band_idx, band_key) buckets, and the
+    *    skew cap runs over batch-relevant buckets only (history rows for
+    *    non-batch band keys can't form candidates).
+    *  - ORDERING INVARIANT: the dst (verified pairs) append MUST precede
+    *    the keysT append. A crash between them replays with the batch's
+    *    own band keys already in history; because dst committed first,
+    *    the replay skips the pair write — reversed, the replay would
+    *    recompute pairs against a history that now contains the batch
+    *    itself (double-fed skew counts, possible missed/extra pairs).
+    *
+    * `bandAndState` maps a micro-batch to its (band keys (doc_id,
+    * band_idx, band_key), exact-verify state keyed by doc_id) — both
+    * already localCheckpoint'd (each is consumed several times below).
+    * `verify(cand, allState)` turns capped candidate pairs + the
+    * batch∪history state into verified pair rows. */
+  private def nearDedupBatch(s: SparkSession,
+      dst: String, keysT: String, stateT: String,
+      stateBuckets: Int, bucketCap: Int,
+      bandAndState: DataFrame => (DataFrame, DataFrame),
+      verify: (DataFrame, DataFrame) => DataFrame)(batch: DataFrame, bid: Long): Unit = {
+    val dstBid = lastBidOf(s, dst)
+    val keysBid = lastBidOf(s, keysT)
+    val stateBid = lastBidOf(s, stateT)
+    val fullyApplied = bid <= dstBid && bid <= keysBid && bid <= stateBid
+    if (!fullyApplied) {
+      val (bk, st) = bandAndState(batch)
+      val histExists = tableExists(s, keysT)
+      // the batch's bucket cover — ≤ stateBuckets ints, same hash the
+      // bucketed write used (partitionId = pmod(murmur3(key), N))
+      val keyBuckets = bk
+        .select(pmod(hash(col("band_key")), lit(stateBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val batchKeys = bk.select("band_idx", "band_key").distinct()
+      val histKeys =
+        if (histExists && keyBuckets.nonEmpty)
+          s.read.format("lance")
+            .option("read.buckets", keyBuckets.mkString(","))
+            .load(keysT)
+            .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "left_semi")
+        else bk.limit(0)
+      val allKeys = bk.unionByName(histKeys.select("doc_id", "band_idx", "band_key"))
+      val okBuckets = allKeys.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= bucketCap)
+        .select("band_idx", "band_key")
+      val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+        .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
+        .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
+          Seq("band_idx", "band_key"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"))
+        .distinct()
+        .localCheckpoint()
+      // exact-verify state probe, same bucket discipline on doc_id
+      val stBuckets = cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))
+        .union(cand.select(pmod(hash(col("b_id")), lit(stateBuckets)).as("b")))
+        .distinct().collect().map(_.getInt(0))
+      val histState =
+        if (histExists && stBuckets.nonEmpty)
+          s.read.format("lance")
+            .option("read.buckets", stBuckets.mkString(","))
+            .load(stateT)
+        else st.limit(0)
+      val verified = verify(cand,
+        st.unionByName(histState.select(st.columns.map(col).toSeq: _*)))
+      guardedAppend(s, verified, dst, bid, dstBid)
+      guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
+      guardedAppend(s, st, stateT, bid, stateBid, "doc_id", stateBuckets)
+    }
+    ()
+  }
+
   /** The near-dedup pipeline with externally-visible state-table paths
     * (so specs can verify the bucket-tagged state layout the restricted
     * probes depend on), a configurable micro-batch count (so soaks can
@@ -421,78 +510,11 @@ object StreamingOps extends QueryModule {
     val q = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        // per-TABLE batch-id high-water guards (the TextIndex posture):
-        // foreachBatch is at-least-once, and this batch appends to THREE
-        // tables — a crash between any append and the checkpoint commit
-        // replays the batch, and each table must skip what it already
-        // holds (re-appended band keys / shingle sets would inflate state
-        // and double-feed later batches' probes). Marks are read ONCE per
-        // batch (metadata-only — see lastBidOf).
-        val dstBid = lastBidOf(s, dst)
-        val keysBid = lastBidOf(s, keysT)
-        val setsBid = lastBidOf(s, setsT)
-        // fully-applied replay: skip the whole batch (stateless query —
-        // no state-store commit needs draining)
-        val fullyApplied = bid <= dstBid && bid <= keysBid && bid <= setsBid
-        if (!fullyApplied) {
-        val bk = Dedup.bandKeys(batch).localCheckpoint()
-        val bs = Dedup.shingleSets(batch).localCheckpoint()
-        val histExists = tableExists(s, keysT)
-        // the batch's bucket cover — ≤ stateBuckets ints, same hash the
-        // bucketed write used (partitionId = pmod(murmur3(key), N))
-        val keyBuckets = bk
-          .select(pmod(hash(col("band_key")), lit(stateBuckets)).as("b"))
-          .distinct().collect().map(_.getInt(0))
-        val batchKeys = bk.select("band_idx", "band_key").distinct()
-        val histKeys =
-          if (histExists && keyBuckets.nonEmpty)
-            s.read.format("lance")
-              .option("read.buckets", keyBuckets.mkString(","))
-              .load(keysT)
-              .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "left_semi")
-          else bk.limit(0)
-        val allKeys = bk.unionByName(histKeys.select("doc_id", "band_idx", "band_key"))
-        // skew guard over batch-relevant buckets only (history rows for
-        // non-batch band keys can't form candidates, and their absence
-        // leaves these counts unchanged)
-        val okBuckets = allKeys.groupBy("band_idx", "band_key")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= Dedup.BucketCap)
-          .select("band_idx", "band_key")
-        val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-          .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
-          .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
-            Seq("band_idx", "band_key"))
-          .filter(col("x") =!= col("y"))
-          .select(least(col("x"), col("y")).as("a_id"),
-            greatest(col("x"), col("y")).as("b_id"))
-          .distinct()
-          .localCheckpoint()
-        // shingle-set store probe, same bucket discipline on doc_id
-        val setBuckets = cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))
-          .union(cand.select(pmod(hash(col("b_id")), lit(stateBuckets)).as("b")))
-          .distinct().collect().map(_.getInt(0))
-        val histSets =
-          if (histExists && setBuckets.nonEmpty)
-            s.read.format("lance")
-              .option("read.buckets", setBuckets.mkString(","))
-              .load(setsT)
-          else bs.limit(0)
-        val verified = Dedup.verifyJaccard(cand,
-          bs.unionByName(histSets.select("doc_id", "sh")))
-        // ORDERING INVARIANT: the dst (verified pairs) append MUST precede
-        // the keysT append. A crash between them replays with the batch's
-        // own band keys already in history; because dst committed first,
-        // the replay skips the pair write — reversed, the replay would
-        // recompute pairs against a history that now contains the batch
-        // itself (double-fed skew counts, possible missed/extra pairs).
-        guardedAppend(s, verified, dst, bid, dstBid)
-        guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
-        guardedAppend(s, bs, setsT, bid, setsBid, "doc_id", stateBuckets)
-        }
-        ()
-      }
+      .foreachBatch(nearDedupBatch(s, dst, keysT, setsT, stateBuckets,
+        Dedup.BucketCap,
+        bandAndState = b => (Dedup.bandKeys(b).localCheckpoint(),
+          Dedup.shingleSets(b).localCheckpoint()),
+        verify = (cand, allSets) => Dedup.verifyJaccard(cand, allSets)) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
@@ -542,70 +564,23 @@ object StreamingOps extends QueryModule {
     val q = s.readStream.schema(payloads.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        // per-table replay guards, marks read once per batch (see the
-        // text twin above for the crash analysis)
-        val dstBid = lastBidOf(s, dst)
-        val keysBid = lastBidOf(s, keysT)
-        val sigsBid = lastBidOf(s, sigsT)
-        val fullyApplied = bid <= dstBid && bid <= keysBid && bid <= sigsBid
-        if (!fullyApplied) {
-          val sigs = Multimodal.decodeSigs(s, batch).localCheckpoint()
-          val bk = Multimodal.imgBandKeys(sigs).localCheckpoint()
-          val histExists = tableExists(s, keysT)
-          val keyBuckets = bk
-            .select(pmod(hash(col("band_key")), lit(stateBuckets)).as("b"))
-            .distinct().collect().map(_.getInt(0))
-          val batchKeys = bk.select("band_idx", "band_key").distinct()
-          val histKeys =
-            if (histExists && keyBuckets.nonEmpty)
-              s.read.format("lance")
-                .option("read.buckets", keyBuckets.mkString(","))
-                .load(keysT)
-                .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "left_semi")
-            else bk.limit(0)
-          val allKeys = bk.unionByName(
-            histKeys.select("doc_id", "band_idx", "band_key"))
-          val okBuckets = allKeys.groupBy("band_idx", "band_key")
-            .agg(count(lit(1)).as("bsz"))
-            .filter(col("bsz") <= Multimodal.ImgBucketCap)
-            .select("band_idx", "band_key")
-          val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-            .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
-            .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
-              Seq("band_idx", "band_key"))
-            .filter(col("x") =!= col("y"))
-            .select(least(col("x"), col("y")).as("a_id"),
-              greatest(col("x"), col("y")).as("b_id"))
-            .distinct()
-            .localCheckpoint()
-          val sigBuckets = cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))
-            .union(cand.select(pmod(hash(col("b_id")), lit(stateBuckets)).as("b")))
-            .distinct().collect().map(_.getInt(0))
-          val histSigs =
-            if (histExists && sigBuckets.nonEmpty)
-              s.read.format("lance")
-                .option("read.buckets", sigBuckets.mkString(","))
-                .load(sigsT)
-            else sigs.limit(0)
-          val allSigs = sigs.unionByName(histSigs.select("doc_id", "sig_h", "sig_v"))
-          val verified = cand
-            .join(allSigs.select(col("doc_id").as("a_id"),
-              col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
-            .join(allSigs.select(col("doc_id").as("b_id"),
-              col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
-            .withColumn("hamming",
-              (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-                bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
-            .filter(col("hamming") <= Multimodal.ImgHammingMax)
-            .select("a_id", "b_id", "hamming")
-          // same ORDERING INVARIANT as the text twin above: dst before keysT
-          guardedAppend(s, verified, dst, bid, dstBid)
-          guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
-          guardedAppend(s, sigs, sigsT, bid, sigsBid, "doc_id", stateBuckets)
-        }
-        ()
-      }
+      .foreachBatch(nearDedupBatch(s, dst, keysT, sigsT, stateBuckets,
+        Multimodal.ImgBucketCap,
+        bandAndState = b => {
+          // ONE decode pass: band keys derive from the checkpointed sigs
+          val sigs = Multimodal.decodeSigs(s, b).localCheckpoint()
+          (Multimodal.imgBandKeys(sigs).localCheckpoint(), sigs)
+        },
+        verify = (cand, allSigs) => cand
+          .join(allSigs.select(col("doc_id").as("a_id"),
+            col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+          .join(allSigs.select(col("doc_id").as("b_id"),
+            col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+          .withColumn("hamming",
+            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+              bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
+          .filter(col("hamming") <= Multimodal.ImgHammingMax)
+          .select("a_id", "b_id", "hamming")) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
