@@ -16,21 +16,40 @@ import scala.collection.mutable.ArrayBuffer
 private[functions] final case class BlockDoc(id: Long, flag: Int, nChars: Long,
                                              grams: Array[Long])
 
-/** Bounded struct-collect for block-local dedup verification: gathers up
-  * to `cap` (id, flag, n_chars, grams) members per group; a group that
-  * exceeds `cap` evaluates to NULL — the caller routes those blocks to
-  * the LSH tier instead (see Dedup.dedupNgramJaccard). Like
-  * [[CappedSortedList]], the aggregation state itself is bounded: an
-  * over-cap block stops accumulating (and stops buffering gram payloads)
-  * the moment it overflows. Members evaluate sorted by id so downstream
-  * pair emission is deterministic regardless of arrival order.
+/** Aggregation state of [[CappedBlockList]]: collected members plus the
+  * running gram-slot total and an explicit overflow marker. The marker
+  * (not buffer size) carries the escalation decision, so an overflowed
+  * group can DROP its buffered payloads immediately — state for an
+  * over-cap/over-budget block is ~16 bytes resident and on the wire, not
+  * cap+1 full gram sets. */
+private[functions] final class BlockBuf {
+  val docs = new ArrayBuffer[BlockDoc](8)
+  var gramSum: Long = 0L
+  var overflow: Boolean = false
+  def markOverflow(): Unit = { overflow = true; docs.clear(); gramSum = 0L }
+}
+
+/** Bounded struct-collect for block-local dedup verification: gathers
+  * (id, flag, n_chars, grams) members per group; a group that exceeds
+  * `cap` MEMBERS or `gramBudget` total gram slots evaluates to NULL — the
+  * caller routes those blocks to the LSH tier instead (see
+  * Dedup.dedupNgramJaccard). The member cap bounds the quadratic verify;
+  * the gram budget bounds the state in BYTES (~8·gramBudget), which a
+  * member count alone cannot: cap=512 with one 100k-gram document per
+  * member would otherwise hold ~400 MB of aggregation state resident and
+  * serialize it whole on exchange/spill. Overflow clears the buffer, so
+  * an escalated block's state costs ~16 bytes from that point on.
+  * Members evaluate sorted by id so downstream pair emission is
+  * deterministic regardless of arrival order.
   */
 case class CappedBlockList(id: Expression, flag: Expression, nChars: Expression,
     grams: Expression, cap: Int,
+    gramBudget: Long = CappedBlockList.DefaultGramBudget,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[BlockDoc]] {
+    extends TypedImperativeAggregate[BlockBuf] {
 
-  private val limit = cap + 1 // size == cap+1 marks overflow
+  require(cap > 0 && gramBudget > 0,
+    s"capped_block_list: cap=$cap and gramBudget=$gramBudget must be positive")
 
   override def children: Seq[Expression] = Seq(id, flag, nChars, grams)
 
@@ -45,50 +64,61 @@ case class CappedBlockList(id: Expression, flag: Expression, nChars: Expression,
         s"capped_block_list needs (bigint, int, bigint, array<long>), got $other")
     }
 
-  override def createAggregationBuffer(): ArrayBuffer[BlockDoc] =
-    new ArrayBuffer[BlockDoc](8)
+  override def createAggregationBuffer(): BlockBuf = new BlockBuf
 
-  override def update(buf: ArrayBuffer[BlockDoc], input: InternalRow): ArrayBuffer[BlockDoc] = {
-    if (buf.length < limit) {
+  override def update(buf: BlockBuf, input: InternalRow): BlockBuf = {
+    if (!buf.overflow) {
       val i = id.eval(input); val f = flag.eval(input)
       val n = nChars.eval(input); val g = grams.eval(input)
-      if (i != null && f != null && n != null && g != null)
-        buf += BlockDoc(i.asInstanceOf[Long], f.asInstanceOf[Int],
-          n.asInstanceOf[Long], g.asInstanceOf[ArrayData].toLongArray())
+      if (i != null && f != null && n != null && g != null) {
+        val ga = g.asInstanceOf[ArrayData].toLongArray()
+        buf.docs += BlockDoc(i.asInstanceOf[Long], f.asInstanceOf[Int],
+          n.asInstanceOf[Long], ga)
+        buf.gramSum += ga.length
+        if (buf.docs.length > cap || buf.gramSum > gramBudget) buf.markOverflow()
+      }
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[BlockDoc], other: ArrayBuffer[BlockDoc]): ArrayBuffer[BlockDoc] = {
-    var i = 0
-    while (buf.length < limit && i < other.length) { buf += other(i); i += 1 }
+  override def merge(buf: BlockBuf, other: BlockBuf): BlockBuf = {
+    if (buf.overflow || other.overflow) buf.markOverflow()
+    else {
+      buf.docs ++= other.docs
+      buf.gramSum += other.gramSum
+      if (buf.docs.length > cap || buf.gramSum > gramBudget) buf.markOverflow()
+    }
     buf
   }
 
-  override def eval(buf: ArrayBuffer[BlockDoc]): Any =
-    if (buf.length > cap) null
+  override def eval(buf: BlockBuf): Any =
+    if (buf.overflow) null
     else {
-      val sorted = buf.sortBy(d => (d.id, d.flag))
+      val sorted = buf.docs.sortBy(d => (d.id, d.flag))
       new GenericArrayData(sorted.map(d => InternalRow(
         d.id, d.flag, d.nChars, new GenericArrayData(d.grams))).toArray[Any])
     }
 
-  override def serialize(buf: ArrayBuffer[BlockDoc]): Array[Byte] = {
-    var bytes = 4
-    buf.foreach(d => bytes += 8 + 4 + 8 + 4 + d.grams.length * 8)
+  override def serialize(buf: BlockBuf): Array[Byte] = {
+    var bytes = 1 + 8 + 4
+    buf.docs.foreach(d => bytes += 8 + 4 + 8 + 4 + d.grams.length * 8)
     val bb = java.nio.ByteBuffer.allocate(bytes)
-    bb.putInt(buf.length)
-    buf.foreach { d =>
+    bb.put(if (buf.overflow) 1.toByte else 0.toByte)
+    bb.putLong(buf.gramSum)
+    bb.putInt(buf.docs.length)
+    buf.docs.foreach { d =>
       bb.putLong(d.id); bb.putInt(d.flag); bb.putLong(d.nChars)
       bb.putInt(d.grams.length); d.grams.foreach(bb.putLong)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[BlockDoc] = {
+  override def deserialize(bytes: Array[Byte]): BlockBuf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new BlockBuf
+    buf.overflow = bb.get() == 1.toByte
+    buf.gramSum = bb.getLong
     val n = bb.getInt
-    val buf = new ArrayBuffer[BlockDoc](n)
     var i = 0
     while (i < n) {
       val id = bb.getLong; val flag = bb.getInt; val nc = bb.getLong
@@ -96,7 +126,7 @@ case class CappedBlockList(id: Expression, flag: Expression, nChars: Expression,
       val g = new Array[Long](gl)
       var j = 0
       while (j < gl) { g(j) = bb.getLong; j += 1 }
-      buf += BlockDoc(id, flag, nc, g)
+      buf.docs += BlockDoc(id, flag, nc, g)
       i += 1
     }
     buf
@@ -113,6 +143,12 @@ case class CappedBlockList(id: Expression, flag: Expression, nChars: Expression,
 }
 
 object CappedBlockList {
+  /** Default gram-slot budget per block: 2^21 slots = 16 MB of gram
+    * payload resident/serialized per aggregation group at most — far
+    * above any healthy block (512 members × ~1k grams ≈ 2^19), so only
+    * pathological long-document blocks escalate on bytes. */
+  val DefaultGramBudget: Long = 1L << 21
+
   private[functions] val ListType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("flag", IntegerType, nullable = false),

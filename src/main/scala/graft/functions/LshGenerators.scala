@@ -30,6 +30,9 @@ case class LshBandKeys(sig: Expression, lang: Expression, bkt: Expression,
                        bands: Int, rowsPerBand: Int)
     extends Generator with CodegenFallback {
 
+  require(bands > 0 && rowsPerBand > 0,
+    s"lsh_band_keys: bands=$bands and rowsPerBand=$rowsPerBand must be positive")
+
   override def children: Seq[Expression] = Seq(sig, lang, bkt)
 
   override def elementSchema: StructType = StructType(Seq(
@@ -50,6 +53,7 @@ case class LshBandKeys(sig: Expression, lang: Expression, bkt: Expression,
     val bktV = bkt.eval(input)
     if (sigV == null || langV == null || bktV == null) return Nil
     val arr = sigV.asInstanceOf[ArrayData]
+    LshBandKeys.checkSig(arr, bands, rowsPerBand, "lsh_band_keys")
     val ls = langV.asInstanceOf[UTF8String]
     val langH = XXH64.hashUnsafeBytes(ls.getBaseObject, ls.getBaseOffset, ls.numBytes, 42L)
     val b0 = bktV.asInstanceOf[Long]
@@ -59,7 +63,7 @@ case class LshBandKeys(sig: Expression, lang: Expression, bkt: Expression,
       var h = 0x9e3779b97f4a7c15L
       var r = 0
       while (r < rowsPerBand) {
-        h = LshBandKeys.mix(h ^ arr.getLong(b * rowsPerBand + r))
+        h = LshBandKeys.mix(h ^ LshBandKeys.slot(arr, b * rowsPerBand + r, "lsh_band_keys"))
         r += 1
       }
       h = LshBandKeys.mix(h ^ langH)
@@ -82,6 +86,27 @@ object LshBandKeys {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Fail fast on a mis-sized signature: reading past it would otherwise
+    * surface as an opaque AIOOBE (or, worse, silently wrong band keys for
+    * a signature that is long enough physically but padded). */
+  @inline private[functions] def checkSig(arr: ArrayData, bands: Int,
+                                          rowsPerBand: Int, who: String): Unit = {
+    val need = bands * rowsPerBand
+    if (arr.numElements() < need)
+      throw new IllegalArgumentException(
+        s"$who: signature has ${arr.numElements()} slots, needs >= $need " +
+          s"(bands=$bands x rowsPerBand=$rowsPerBand)")
+  }
+
+  /** A signature slot, rejecting NULL elements (ArrayType(containsNull)
+    * is accepted by the type check; a null slot would silently read as 0
+    * and band-key garbage). */
+  @inline private[functions] def slot(arr: ArrayData, i: Int, who: String): Long = {
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(s"$who: null signature slot at index $i")
+    arr.getLong(i)
+  }
 }
 
 /** Unblocked variant of [[LshBandKeys]]: one (band_idx, band_key) row per
@@ -89,6 +114,9 @@ object LshBandKeys {
   * emission (its buckets are pure signature agreement). */
 case class LshBands(sig: Expression, bands: Int, rowsPerBand: Int)
     extends Generator with CodegenFallback {
+
+  require(bands > 0 && rowsPerBand > 0,
+    s"lsh_bands: bands=$bands and rowsPerBand=$rowsPerBand must be positive")
 
   override def children: Seq[Expression] = Seq(sig)
 
@@ -105,13 +133,14 @@ case class LshBands(sig: Expression, bands: Int, rowsPerBand: Int)
     val sigV = sig.eval(input)
     if (sigV == null) return Nil
     val arr = sigV.asInstanceOf[ArrayData]
+    LshBandKeys.checkSig(arr, bands, rowsPerBand, "lsh_bands")
     val out = new Array[InternalRow](bands)
     var b = 0
     while (b < bands) {
       var h = 0x9e3779b97f4a7c15L
       var r = 0
       while (r < rowsPerBand) {
-        h = LshBandKeys.mix(h ^ arr.getLong(b * rowsPerBand + r))
+        h = LshBandKeys.mix(h ^ LshBandKeys.slot(arr, b * rowsPerBand + r, "lsh_bands"))
         r += 1
       }
       out(b) = InternalRow(b, h)

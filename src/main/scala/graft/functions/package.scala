@@ -85,13 +85,21 @@ package object functions {
   def ngram_oph(text: Column, n: Int, numSlots: Int, seed: Long = 42L): Column =
     Column(OnePermMinHash(expression(text), numSlots, seed, gramLen = n))
 
+  /** Integer Efraimidis–Spirakis priority key: max of `w` MINSTD draws
+    * seeded by id — a native loop, no per-row w-element array (see
+    * [[MaxMinstdDraws]]; bit-identical to Sampling.weightedKeySql). */
+  def max_minstd_draws(id: Column, w: Column): Column =
+    Column(MaxMinstdDraws(expression(id), expression(w)))
+
   /** Bounded (id, flag, n_chars, grams) struct-collect for block-local
-    * dedup verification; NULL on groups exceeding `cap`
-    * (see [[CappedBlockList]]). */
+    * dedup verification; NULL on groups exceeding `cap` members or
+    * `gramBudget` total gram slots — the latter bounds aggregation state
+    * in BYTES, not rows (see [[CappedBlockList]]). */
   def capped_block_list(id: Column, flag: Column, nChars: Column, grams: Column,
-                        cap: Int): Column =
+                        cap: Int,
+                        gramBudget: Long = CappedBlockList.DefaultGramBudget): Column =
     Column(CappedBlockList(expression(id), expression(flag), expression(nChars),
-      expression(grams), cap).toAggregateExpression())
+      expression(grams), cap, gramBudget).toAggregateExpression())
 
   /** Verified (a_id, b_id, jaccard) pairs of a capped block — exact
     * merge-walk Jaccard, no join (see [[VerifiedBlockPairs]]). */

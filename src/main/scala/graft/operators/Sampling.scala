@@ -348,10 +348,13 @@ object Sampling extends QueryModule {
 
   /** The integer Efraimidis–Spirakis key: max of `w` MINSTD draws seeded
     * by (minstd2(id) + j) % M — the ONE definition all three weighted
-    * selections and their DuckDB oracles share (see [[weightedKeySql]]). */
+    * selections and their DuckDB oracles share (see [[weightedKeySql]]).
+    * Computed by the native loop [[graft.functions.MaxMinstdDraws]]
+    * (bit-identical draws; the former `transform(sequence(1, w))` form
+    * allocated a w-element array per row — ~800 KB transient for a
+    * 100k-token document — where the loop keeps 8 bytes of state). */
   private[graft] def weightedKey(id: Column, w: Column): Column =
-    array_max(transform(sequence(lit(1L), w),
-      j => minstd2((minstd2(id) + j) % MinstdM)))
+    graft.functions.max_minstd_draws(id, w)
 
   /** The DuckDB twin of [[weightedKey]] over SQL fragments `id` / `w`. */
   private[graft] def weightedKeySql(id: String, w: String): String =

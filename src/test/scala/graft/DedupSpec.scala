@@ -186,6 +186,27 @@ class DedupSpec extends SparkSpec {
     assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, tmp).count() === 80L * 79 / 2)
   }
 
+  test("capped_block_list: gram budget bounds aggregation state in bytes, not members") {
+    // 3 members x 100 gram slots with budget 250: the member cap (512)
+    // never trips, the BYTE bound does — the block escalates (NULL) just
+    // like an over-cap one, so one group of huge documents can never pin
+    // ~cap x largest-doc gram payload in executor memory or on the wire
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 3L).map(i => (i, "g1")).toDF("doc_id", "grp")
+      .withColumn("flag", lit(0))
+      .withColumn("n_chars", lit(10L))
+      .withColumn("s", sequence(lit(1L), lit(100L)))
+    def agg(budget: Long) = df.repartition(3).groupBy("grp")
+      .agg(graft.functions.capped_block_list(
+        col("doc_id"), col("flag"), col("n_chars"), col("s"), 512,
+        gramBudget = budget).as("m"))
+      .select("m").collect()(0)
+    assert(agg(250L).isNullAt(0), "300 gram slots > 250 budget must escalate")
+    val ok = agg(1000L)
+    assert(!ok.isNullAt(0) && ok.getSeq(0).length === 3)
+  }
+
   test("dedup_embedding: chunked triangle join == plain all-pairs; hot block fans out bounded") {
     import spark.implicits._
     // engineered hot block: 300 vectors in ONE label (≈ 5 chunks at

@@ -387,4 +387,34 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getLong(1) === 2337L)
     assert(r.getInt(3) === 16)
   }
+
+  test("lsh band generators fail fast on mis-sized signatures and null slots") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{lsh_bands, lsh_band_keys}
+    // well-sized: 4 bands x 2 rows over 8 slots works
+    val ok = spark.range(1)
+      .select(lsh_bands(sequence(lit(1L), lit(8L)), 4, 2))
+      .collect()
+    assert(ok.length === 4)
+    // mis-sized: 8 slots cannot serve 5 bands x 2 rows — a diagnosis, not
+    // an opaque ArrayIndexOutOfBounds (or a silent 0-read on some layouts)
+    val eShort = intercept[org.apache.spark.SparkException] {
+      spark.range(1)
+        .select(lsh_bands(sequence(lit(1L), lit(8L)), 5, 2)).collect()
+    }
+    assert(eShort.getCause.getMessage.contains("needs >= 10"), eShort.getCause.getMessage)
+    // null slot: containsNull arrays are type-accepted, so the read must
+    // reject the null rather than band-key a silent 0
+    val eNull = intercept[org.apache.spark.SparkException] {
+      spark.range(1)
+        .select(lsh_band_keys(array(lit(1L), lit(null).cast("long")),
+          lit("en"), lit(0L), 1, 2)).collect()
+    }
+    assert(eNull.getCause.getMessage.contains("null signature slot"),
+      eNull.getCause.getMessage)
+    // degenerate construction rejected outright
+    intercept[IllegalArgumentException] {
+      lsh_bands(sequence(lit(1L), lit(8L)), 0, 2)
+    }
+  }
 }

@@ -312,6 +312,26 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("weightedKey native loop == SQL transform(sequence) form, including a 100k-token doc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids spanning small/large and w spanning 1 .. 120k (the long-doc
+    // regime where the former per-row w-element array was ~1 MB transient;
+    // the loop must stay bit-identical while allocating nothing)
+    val rows = Seq((1L, 1L), (2L, 7L), (123456789L, 50L), (987654321L, 997L),
+      (42L, 10000L), (2147480000L, 120000L))
+    val df = rows.toDF("id", "w")
+    val a = 48271L; val m = 2147483647L
+    val sqlForm = array_max(transform(sequence(lit(1L), col("w")),
+      j => (col("id") * a % m * a % m + j) % m * a % m * a % m))
+    val got = df.select(col("id"),
+        graft.functions.max_minstd_draws(col("id"), col("w")).as("native"),
+        sqlForm.as("sql_form"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"id=${r.getLong(0)}: native ${r.getLong(1)} != sql ${r.getLong(2)}"))
+  }
+
   test("pipeline_curate: report covers exactly K curated docs; composition == stagewise result") {
     import org.apache.spark.sql.functions._
     val report = SparkEntry.queries("pipeline_curate")(spark, sf).collect()
