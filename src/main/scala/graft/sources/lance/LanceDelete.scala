@@ -180,7 +180,9 @@ object LanceDelete {
                         newDvs: Map[String, DeleteVectorMeta],
                         touched: Seq[FragmentMeta],
                         newSketches: Map[String, String] = Map.empty,
-                        seenPaths: Set[String] = Set.empty) {
+                        seenPaths: Set[String] = Set.empty,
+                        replaceWhere: Boolean = false,
+                        conjunction: Filter = AlwaysTrue()) {
     def isNoop: Boolean = touched.isEmpty
 
     /** Apply to a commit-time fragment list (conflict checks already done). */
@@ -196,19 +198,23 @@ object LanceDelete {
       }
 
     /** Commit-time conflict test: every touched fragment must still exist
-      * with the DV it had when the plan was computed, AND the current
-      * fragment list must contain nothing the plan never classified — a
-      * concurrent append that wins the version race could hold rows
-      * matching the replace predicate, and silently keeping them beside
-      * the replacement data breaks REPLACE WHERE's invariant ("all rows
-      * matching P are exactly the new data"). Aborting on ANY unseen
-      * fragment is stricter than necessary (a provably-disjoint append
-      * also aborts) but always safe; the caller's error says retry. */
+      * with the DV it had when the plan was computed. Fragments the plan
+      * never classified (concurrent appends that won the version race)
+      * conflict ONLY for REPLACE WHERE — its invariant ("all rows
+      * matching P are exactly the new data") covers rows that appear
+      * mid-flight — and even then only when the unseen fragment cannot be
+      * PROVEN free of matching rows from its stats. A plain DELETE
+      * applies to the snapshot it planned against (snapshot-isolation
+      * semantics: rows appended concurrently are not "rows at delete
+      * time"), so concurrent appends never abort it — without this scope
+      * a sustained append workload could livelock every DELETE on
+      * retries. */
     def conflictsWith(cur: LanceManifest): Boolean = {
       val curBy = cur.fragments.map(f => f.path -> f).toMap
       !touched.forall(fr =>
         curBy.get(fr.path).exists(_.deletes.map(_.path) == fr.deletes.map(_.path))) ||
-        (seenPaths.nonEmpty && cur.fragments.exists(f => !seenPaths(f.path)))
+        (replaceWhere && cur.fragments.exists(f => !seenPaths(f.path) &&
+          !LancePruning.provablyEmpty(f, cur.schema, conjunction)))
     }
 
     def abandon(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
@@ -225,7 +231,8 @@ object LanceDelete {
     * into its own atomic commit. */
   def planDelete(spark: SparkSession, root: String, m: LanceManifest,
                  filters: Array[Filter],
-                 options: Map[String, String]): DeletePlan = {
+                 options: Map[String, String],
+                 replaceWhere: Boolean = false): DeletePlan = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val conf = Shim.hadoopConf(spark, options)
     val conjunction = filters.reduceOption(And(_, _)).getOrElse(AlwaysTrue())
@@ -372,7 +379,8 @@ object LanceDelete {
     // conflict set so unrelated concurrent deletes don't abort us
     val reallyTouched = dropped ++ candidates.filter(fr => newDvs.contains(fr.path))
     DeletePlan(droppedPaths, newDvs, reallyTouched, newSketches,
-      seenPaths = m.fragments.map(_.path).toSet)
+      seenPaths = m.fragments.map(_.path).toSet,
+      replaceWhere = replaceWhere, conjunction = conjunction)
   }
 
   def deleteWhere(spark: SparkSession, root: String, filters: Array[Filter],

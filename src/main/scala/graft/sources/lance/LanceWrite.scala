@@ -194,7 +194,8 @@ class LanceWrite(root: String, schema: StructType,
       val replacePlan = if (overwriteFilters.isEmpty) None else {
         val spark = SparkSession.active
         ManifestIO.loadLatest(root, conf.value).map(m =>
-          LanceDelete.planDelete(spark, root, m, overwriteFilters, options))
+          LanceDelete.planDelete(spark, root, m, overwriteFilters, options,
+            replaceWhere = true))
       }
       // delta recomputed from the latest manifest on every retry, so a lost
       // version race re-applies against the winner's fragment list instead

@@ -2319,4 +2319,32 @@ class LanceSpec extends SparkSpec {
     assert(frTouched.group(1).toInt < m2.fragments.size, pPlan)
     assert(pruned.count() === 50)
   }
+
+  test("delete conflict scope: concurrent appends never abort plain DELETE; REPLACE WHERE aborts only when not provably disjoint") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .write.format("lance").save(root)
+    val m = ManifestIO.loadLatest(root, conf).get
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.GreaterThan("v", 15L))
+    val del = graft.sources.lance.LanceDelete
+      .planDelete(spark, root, m, filters, Map.empty)
+    val rep = del.copy(replaceWhere = true)
+    // a concurrent append the plans never saw, provably DISJOINT from
+    // v > 15 (fragment stats: max(v) = 5)
+    Seq((9L, 5L)).toDF("id", "v").write.format("lance").mode("append").save(root)
+    val cur1 = ManifestIO.loadLatest(root, conf).get
+    assert(!del.conflictsWith(cur1),
+      "plain DELETE aborted by a concurrent append — livelock regression")
+    assert(!rep.conflictsWith(cur1),
+      "REPLACE WHERE aborted by an append its stats prove disjoint")
+    // a concurrent append that MAY hold matching rows (v = 100): the
+    // replace invariant is at risk, the snapshot delete is not
+    Seq((10L, 100L)).toDF("id", "v").write.format("lance").mode("append").save(root)
+    val cur2 = ManifestIO.loadLatest(root, conf).get
+    assert(!del.conflictsWith(cur2))
+    assert(rep.conflictsWith(cur2),
+      "REPLACE WHERE must abort when an unseen fragment can match the predicate")
+  }
 }
