@@ -35,7 +35,14 @@ object TextIndex {
   /** Sidecar root naming for a corpus table root. */
   def indexRootFor(corpusRoot: String): String = corpusRoot + "_textidx"
 
-  /** Build the standing index from a (doc_id, text) corpus. */
+  /** Build the standing index from a (doc_id, text) corpus. Stamps every
+    * table with generation `bid = 0` — identical layout to a one-batch
+    * [[appendDelta]] stream, so the two builders are interchangeable on
+    * one root: a procedure-built index can later take streaming deltas
+    * (appendDelta's high-water read sees 0) and [[compact]]'s max("bid")
+    * resolves instead of failing on an unresolved column. [[search]]
+    * already sums across generations, so the stamp is an identity for
+    * query results. */
   def build(s: SparkSession, corpus: DataFrame, root: String): Unit = {
     val d = corpus
       .withColumn("w", TextAnalysis.toksCol)
@@ -43,14 +50,16 @@ object TextIndex {
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
     val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    dt.select("term", "doc_id", "tf", "dl")
+    dt.select(col("term"), col("doc_id"), col("tf"), col("dl"), lit(0L).as("bid"))
       .write.format("lance")
       .option("write.bucket-by", "term")
       .option("write.bucket-count", Buckets.toString)
       .mode("overwrite").save(root + "/postings")
     dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bid", lit(0L))
       .write.format("lance").mode("overwrite").save(root + "/terms")
     d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("bid", lit(0L))
       .write.format("lance").mode("overwrite").save(root + "/stats")
   }
 

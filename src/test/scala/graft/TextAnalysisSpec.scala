@@ -442,4 +442,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq ===
       hits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq)
   }
+
+  test("TextIndex.build stamps bid=0: a procedure-built root takes streaming deltas and compacts") {
+    import spark.implicits._
+    // build() and appendDelta() share one root naming (indexRootFor); a
+    // built index later fed deltas/compaction must not die on an
+    // unresolved `bid` column, and build's generation stamp must read as
+    // high-water 0 (a delta with bid=0 is a replay no-op, bid=1 appends)
+    val root = java.nio.file.Files.createTempDirectory("graft-bidx-spec-").toString
+    val b1 = Seq((1L, "alpha beta beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha alpha")).toDF("doc_id", "text")
+    operators.TextIndex.build(spark, b1, root)
+    def counts = (
+      spark.read.format("lance").load(root + "/postings").count(),
+      spark.read.format("lance").load(root + "/terms").count(),
+      spark.read.format("lance").load(root + "/stats").count())
+    val c1 = counts
+    operators.TextIndex.appendDelta(spark, b1, root, 0L) // replays against build's stamp
+    assert(counts === c1, "bid=0 delta on a built root must be a no-op")
+    operators.TextIndex.appendDelta(spark, b2, root, 1L)
+    assert(counts._1 === c1._1 + 1)
+    // the mixed-provenance index answers identically to a fresh build
+    val q = Seq((7L, "alpha")).toDF("query_id", "term")
+    val mixed = operators.TextIndex.search(spark, root, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val root2 = java.nio.file.Files.createTempDirectory("graft-bidx2-spec-").toString
+    operators.TextIndex.build(spark, b1.unionByName(b2), root2)
+    val fresh = operators.TextIndex.search(spark, root2, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(mixed === fresh)
+    operators.TextIndex.compact(spark, root) // max("bid") resolves on built roots
+    val folded = operators.TextIndex.search(spark, root, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(folded === fresh)
+  }
 }
