@@ -189,6 +189,39 @@ object Multimodal extends QueryModule {
     out.toByteArray
   }
 
+  /** The pluggable container→frames decode seam. mm_video_frames /
+    * mm_video_dedup(_shingle) are decoder-agnostic from here down: they
+    * consume (frameIdx, BufferedImage) pairs and never see container
+    * bytes. [[GvidDecoder]] (length-prefixed PNG frames — an
+    * archival/MJPEG-family form the JDK can decode) is the in-repo
+    * reference implementation; a production deployment drops in an
+    * ffmpeg/javacv-backed implementation for H.264/VP9 MP4 here — same
+    * `mapPartitions` shape, same drop postures — without touching any
+    * operator. Implementations must be Serializable (the instance ships
+    * in the task closure) and must DROP undecodable frames and return
+    * empty for an unreadable container (the crawled-corpus posture)
+    * rather than throw. */
+  private[graft] trait VideoDecoder extends Serializable {
+    /** Decoded (frameIdx, image) pairs of every sampled frame (stride
+      * applied BEFORE decode — never pay for frames the sampler drops);
+      * empty for a corrupt/foreign container. */
+    def decodeSampled(container: Array[Byte],
+                      stride: Int): Iterator[(Int, java.awt.image.BufferedImage)]
+  }
+
+  private[graft] object GvidDecoder extends VideoDecoder {
+    override def decodeSampled(container: Array[Byte],
+                               stride: Int): Iterator[(Int, java.awt.image.BufferedImage)] =
+      parseGvid(container).iterator.flatten
+        .filter { case (f, _) => f % stride == 0 }
+        .flatMap { case (f, payload) =>
+          ImageCodec.tryDecode(payload).map(img => (f, img)).iterator
+        }
+  }
+
+  /** The decoder the video operators run with (GVID in this sandbox). */
+  private[graft] val videoDecoder: VideoDecoder = GvidDecoder
+
   /** Parse a GVID container into its (frameIdx, frameBytes) payloads;
     * None for a corrupt container. */
   private[graft] def parseGvid(bytes: Array[Byte]): Option[Seq[(Int, Array[Byte])]] = {
@@ -238,27 +271,24 @@ object Multimodal extends QueryModule {
 
   private def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val decoder = videoDecoder
     s.read.parquet(videoFixture(s, dir))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, video) =>
-        parseGvid(video).toSeq.flatten
-          .filter { case (f, _) => f % VideoStride == 0 } // sample BEFORE decode
-          .flatMap { case (f, payload) =>
-            ImageCodec.tryDecode(payload).map { img => // corrupt frame -> dropped
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  sum += img.getRGB(x, y) & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              MMVideoFrame(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
-                sum % 1000000007L, dHash(img))
+        decoder.decodeSampled(video, VideoStride).map { case (f, img) =>
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += img.getRGB(x, y) & 0xff
+              x += 1
             }
+            y += 1
           }
+          MMVideoFrame(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+            sum % 1000000007L, dHash(img))
+        }
       })
       .toDF().orderBy("doc_id", "frame_idx")
   }
@@ -734,18 +764,17 @@ object Multimodal extends QueryModule {
   // (≤ frames-per-video) fan-in per pair.
   private val VideoMatchRatio = 0.5
 
-  /** (doc_id, frame_idx, sig_h, sig_v) for every decodable sampled frame. */
+  /** (doc_id, frame_idx, sig_h, sig_v) for every decodable sampled frame
+    * (decoded through the [[VideoDecoder]] seam). */
   private[graft] def videoFrameSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val decoder = videoDecoder
     s.read.parquet(videoFixture(s, dir))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, video) =>
-        parseGvid(video).toSeq.flatten
-          .filter { case (f, _) => f % VideoStride == 0 }
-          .flatMap { case (f, payload) =>
-            ImageCodec.tryDecode(payload).map(img =>
-              (id, f.toLong, dHash(img), dHashVertical(img)))
-          }
+        decoder.decodeSampled(video, VideoStride).map { case (f, img) =>
+          (id, f.toLong, dHash(img), dHashVertical(img))
+        }
       })
       .toDF("doc_id", "frame_idx", "sig_h", "sig_v")
   }
@@ -786,12 +815,79 @@ object Multimodal extends QueryModule {
     // consumer re-runs the decode map stage
     videoPairs(videoFrameSigs(s, dir).localCheckpoint()).orderBy("a_id", "b_id")
 
+  /** Shingle run length for the trim-tolerant candidacy: 2 consecutive
+    * sampled frames per shingle — one fully-shared run of 2 frames is
+    * enough to surface a candidate, and a trimmed clip of m sampled
+    * frames shares m−1 such runs with its source. */
+  private[graft] val VideoShingleK = 2
+
+  /** TRIM-TOLERANT video near-dup: shingled frame-signature banding.
+    * [[videoPairs]]' positional alignment pairs re-encodes/re-grades but
+    * structurally misses clips trimmed or offset by n frames — their
+    * matching frames sit at different frame_idx, so no (frame_idx, band)
+    * bucket is ever shared. The shingle posture (dedup_substring's idea
+    * lifted to the frame axis): per band b, each video's ordered run of
+    * [[VideoShingleK]] CONSECUTIVE sampled frames folds its k band keys
+    * into one position-free shingle key — a clip sharing any k-frame run
+    * with its source (frame-wise agreement on band b) shares that
+    * shingle at ANY offset. Candidates form inside the same capped
+    * (band_idx, shingle) buckets; verification aligns each pair at its
+    * BEST OFFSET: exact hamming over the frame cross product (bounded —
+    * both factors ≤ sampled frames per video), matched counts grouped by
+    * (pair, fa−fb), the best offset's count ratioed against the shorter
+    * side. Offset 0 reproduces the positional verify exactly.
+    * Candidacy is deliberately stricter than positional (a k-frame
+    * agreeing RUN on one band vs any single agreeing frame) — the trade
+    * that buys offset freedom without inflating bucket fan-out; at
+    * 100 TB the shapes are identical to videoPairs plus one window pass
+    * over each video's ≤ frames-per-video band keys. */
+  private[graft] def videoPairsShingled(frames: DataFrame,
+                                        k: Int = VideoShingleK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "band_idx").orderBy("frame_idx")
+    val sh = imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
+      .withColumn("keys", collect_list(col("band_key")).over(w.rowsBetween(0, k - 1)))
+      .filter(size(col("keys")) === k)
+      .select(col("doc_id"), col("band_idx"), xxhash64(col("keys")).as("shingle"))
+      .distinct()
+    val cand = sh
+      .groupBy("band_idx", "shingle")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(graft.functions.sorted_list_pairs(col("ids")))
+      .distinct()
+    val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    cand
+      .join(frames.select(col("doc_id").as("a_id"), col("frame_idx").as("fa"),
+        col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+      .join(frames.select(col("doc_id").as("b_id"), col("frame_idx").as("fb"),
+        col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+      .withColumn("fham",
+        bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("va").bitwiseXOR(col("vb"))))
+      .filter(col("fham") <= ImgHammingMax)
+      .groupBy(col("a_id"), col("b_id"), (col("fa") - col("fb")).as("off"))
+      .agg(count(lit(1)).as("n_at_off"))
+      .groupBy("a_id", "b_id")
+      .agg(max("n_at_off").as("n_matched"))
+      .join(nf.select(col("doc_id").as("a_id"), col("nf").as("nf_a")), "a_id")
+      .join(nf.select(col("doc_id").as("b_id"), col("nf").as("nf_b")), "b_id")
+      .withColumn("match_ratio",
+        round(col("n_matched").cast("double") / least(col("nf_a"), col("nf_b")), 6))
+      .filter(col("match_ratio") >= VideoMatchRatio)
+      .select("a_id", "b_id", "n_matched", "match_ratio")
+  }
+
+  private def mmVideoDedupShingle(s: SparkSession, dir: String): DataFrame =
+    videoPairsShingled(videoFrameSigs(s, dir).localCheckpoint()).orderBy("a_id", "b_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_video_frames" -> mmVideoFrames,
     "mm_video_dedup" -> mmVideoDedup,
+    "mm_video_dedup_shingle" -> mmVideoDedupShingle,
     "mm_audio_features" -> mmAudioFeatures,
     "mm_image_dedup" -> mmImageDedup)
 

@@ -411,5 +411,17 @@ class MultimodalSpec extends SparkSpec {
     assert(got.get((1L, 2L)).contains((3L, 1.0)), s"full aligned match missing: $got")
     assert(!got.contains((1L, 3L)), s"shifted clip must not pair positionally: $got")
     assert(got.get((1L, 4L)).contains((2L, 1.0)), s"shorter-side ratio pair missing: $got")
+
+    // the SHINGLED path recovers exactly the pair positional alignment
+    // cannot: doc 3 is doc 1 shifted one sampled position (a trim), its
+    // s2→s4 run shares a 2-frame shingle with doc 1's, and the best-offset
+    // verify (off = +2) matches 2 of 3 frames — ratio 2/3 ≥ 0.5
+    val sh = operators.Multimodal.videoPairsShingled(frames).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(sh.get((1L, 3L)).contains((2L, 0.666667)),
+      s"shingle path must recover the trimmed clip: $sh")
+    // offset 0 reproduces the positional answers for aligned pairs
+    assert(sh.get((1L, 2L)).contains((3L, 1.0)), s"aligned pair lost by shingling: $sh")
+    assert(sh.get((1L, 4L)).contains((2L, 1.0)), s"shorter-side pair lost by shingling: $sh")
   }
 }

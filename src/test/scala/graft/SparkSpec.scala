@@ -125,6 +125,7 @@ class EntrySpec extends SparkSpec {
     "mm_frame_sample" -> 1436,
     "mm_video_frames" -> 1480,
     "mm_video_dedup" -> 2205,
+    "mm_video_dedup_shingle" -> 2205,
     "mm_audio_features" -> 500,
     "mm_image_dedup" -> 2250,
     "q_stream_image_dedup" -> 2250,
