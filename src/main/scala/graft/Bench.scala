@@ -48,7 +48,9 @@ object Bench {
     "q_stream_text_index", "emb_project", "q_events_dau_hll",
     "q_stream_dau_hll", "sample_cluster_balanced", "q_stream_mv_window",
     "mm_video_dedup", "q_stream_image_dedup", "sample_topk_uniform",
-    "sample_weighted", "sample_weighted_budget", "pipeline_curate")
+    "sample_weighted", "sample_weighted_budget", "pipeline_curate",
+    // appended r16
+    "mm_video_dedup_shingle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,6 +149,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)
+    // also persist into the repo itself (sbt runs from the project root):
+    // the driver's BENCH_r{N} capture is a truncated stdout tail — r15's
+    // artifact lost the first ~25 keys and parsed as null — so the full
+    // per-key record must live in a file the driver can snapshot whole
+    try Files.writeString(Paths.get("BENCH.json"), line)
+    catch { case scala.util.control.NonFatal(_) => () } // read-only cwd: stdout+tmp still carry it
     println(line)
     spark.stop()
   }
