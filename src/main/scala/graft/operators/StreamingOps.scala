@@ -948,15 +948,17 @@ object StreamingOps extends QueryModule {
     * aggregation, so a closed window's MV row is immutable no matter what
     * arrives later, and the state store evicts closed windows (state is
     * bounded by the watermark horizon × group cardinality, not by
-    * retention). The upsert is NOT an O(|MV|) rewrite: the touched keys
-    * delete-where out of the MV (a DV-sidecar commit — no data files
-    * move) and the fresh totals append, so per-batch write IO is
-    * ∝ |touched|, with LanceMaintenance compaction bounding the
-    * accumulated small fragments. foreachBatch replays are no-ops via the
-    * same batch-id high-water guard as q_stream_mv; a crash BETWEEN the
-    * delete and the append leaves max(bid) at the previous batch, so the
-    * replay re-applies both halves (the re-delete matches nothing) and
-    * repairs the MV. */
+    * retention). The upsert is NOT an O(|MV|) rewrite: the touched keys'
+    * delete (a DV sidecar — no data files move) and the fresh totals'
+    * append fold into ONE atomic REPLACE WHERE commit
+    * (LanceDelete.replaceWhere, r16 — previously two commits with a
+    * self-repairing replay window), so per-batch write IO is ∝ |touched|
+    * and readers of any version see the whole upsert or none of it;
+    * LanceMaintenance compaction bounds the accumulated small fragments.
+    * foreachBatch replays are no-ops via the same batch-id high-water
+    * guard as q_stream_mv — and because the upsert is atomic, a crash
+    * either committed the batch whole (replay skips) or not at all
+    * (replay redoes it whole). */
   private def streamMvWindow(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
@@ -1001,14 +1003,17 @@ object StreamingOps extends QueryModule {
             .localCheckpoint() // materializes every partition (state commit)
           val keys = up.select("k").collect().map(_.getString(0))
           if (keys.nonEmpty) {
-            graft.sources.lance.LanceDelete.deleteWhere(s, mvTable,
-              Array(org.apache.spark.sql.sources.In("k", keys.toArray[Any])),
-              Map.empty)
-            // one fragment per batch: the delta is |touched|-sized, and 32
-            // shuffle-partition-shaped slivers per append would hand
-            // compaction avoidable work
-            up.withColumn("bid", lit(bid)).coalesce(1)
-              .write.format("lance").mode("append").save(mvTable)
+            // ONE atomic commit (REPLACE WHERE): the keyed delete and the
+            // |touched|-row append land together, so no reader can observe
+            // deleted-but-not-replaced state and a crash needs no replay
+            // repair — either the whole upsert committed (replay skips via
+            // the bid guard) or none of it did (replay redoes it whole).
+            // coalesce(1): one fragment per batch — the delta is
+            // |touched|-sized, and 32 shuffle-partition-shaped slivers
+            // per upsert would hand compaction avoidable work
+            graft.sources.lance.LanceDelete.replaceWhere(s, mvTable,
+              up.withColumn("bid", lit(bid)).coalesce(1),
+              Array(org.apache.spark.sql.sources.In("k", keys.toArray[Any])))
           }
         } else {
           // replayed micro-batch = MV no-op; still drain so the stateful

@@ -405,4 +405,44 @@ object LanceDelete {
         s"lance DELETE lost a conflict with a concurrent rewrite at $root; retry")
     }
   }
+
+  /** Path-based REPLACE WHERE — the atomic keyed upsert: stage `df`'s
+    * fragments (no commit), then ONE manifest commit that both applies
+    * the delete plan for `filters` and appends the staged fragments. The
+    * SQL catalog's `INSERT ... REPLACE WHERE` gets this via
+    * LanceWrite.overwriteFilters; this is the same semantics for direct
+    * table roots — the streaming MV maintenance upsert, whose previous
+    * deleteWhere-then-append left a (self-repairing but real) window
+    * where a reader could observe deleted-but-not-replaced state and a
+    * crash had to be repaired on replay. Readers of any version see
+    * either the full old state or the full new state; a crash before the
+    * commit leaves only unreferenced staged files (vacuum reclaims). */
+  def replaceWhere(spark: SparkSession, root: String, df: org.apache.spark.sql.DataFrame,
+                   filters: Array[Filter],
+                   options: Map[String, String] = Map.empty): Unit = {
+    val conf = Shim.hadoopConf(spark, options)
+    val newFrags = LanceBatchSave.stageFragments(spark, df, root,
+      LanceOptions.any(options, "maxRowsPerFile"))
+    val plan = ManifestIO.loadLatest(root, conf).map(m =>
+      planDelete(spark, root, m, filters, options, replaceWhere = true))
+    val committed = ManifestIO.commit(root, conf) { prev =>
+      (prev, plan) match {
+        case (Some(cur), Some(p)) =>
+          if (p.conflictsWith(cur)) None // concurrent touch: abort + clean
+          else Some(LanceCommit(cur.schema, p(cur.fragments) ++ newFrags,
+            cur.txns, "replace"))
+        case (Some(cur), None) => // table appeared after planning: append
+          Some(LanceCommit(cur.schema, cur.fragments ++ newFrags, cur.txns, "append"))
+        case (None, _) =>
+          Some(LanceCommit(df.schema, newFrags, Map.empty, "overwrite"))
+      }
+    }
+    if (committed.isEmpty) {
+      plan.foreach(_.abandon(root, conf))
+      val fs = ManifestIO.fs(root, conf)
+      newFrags.foreach(f => fs.delete(new Path(root, f.path), false))
+      throw new IllegalStateException(
+        s"lance REPLACE WHERE lost a conflict with a concurrent rewrite at $root; retry")
+    }
+  }
 }

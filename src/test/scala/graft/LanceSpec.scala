@@ -2320,6 +2320,26 @@ class LanceSpec extends SparkSpec {
     assert(pruned.count() === 50)
   }
 
+  test("path-based replaceWhere: keyed delete + append land in ONE commit (atomic upsert)") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "k", "v")
+      .write.format("lance").save(root)
+    val v0 = ManifestIO.latestVersion(root, conf).get
+    // upsert keys a and b: their old rows vanish, the new rows land, and
+    // the whole thing is ONE manifest version (no deleted-but-not-replaced
+    // intermediate state for any reader/crash to observe)
+    graft.sources.lance.LanceDelete.replaceWhere(spark, root,
+      Seq((1L, "a", 11L), (4L, "b", 21L)).toDF("id", "k", "v"),
+      Array(org.apache.spark.sql.sources.In("k", Array[Any]("a", "b"))))
+    val v1 = ManifestIO.latestVersion(root, conf).get
+    assert(v1 === v0 + 1, s"upsert must be one commit: $v0 -> $v1")
+    val got = spark.read.format("lance").load(root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a", 11L), (4L, "b", 21L), (3L, "c", 30L)))
+    assert(ManifestIO.load(root, v1, conf).op === "replace")
+  }
+
   test("delete conflict scope: concurrent appends never abort plain DELETE; REPLACE WHERE aborts only when not provably disjoint") {
     import spark.implicits._
     val root = tmp() + "/t"
