@@ -73,12 +73,31 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def medianOf(runs: Int)(body: () => Unit): Double = {
-      val ts = Seq.fill(runs) {
+    // Host-noise guard: medians start from `runs` samples and keep
+    // sampling (up to MaxRuns) while the relative spread (max−min)/median
+    // exceeds SpreadBound — a noisy neighbor or GC burst can no longer
+    // swing a key's recorded time by the 1.6× r14 saw on unchanged code
+    // without the artifact showing it. The residual spread is RECORDED
+    // per key ("noise" in the JSON): a cross-round comparison should
+    // trust a delta only when it clears both keys' noise bands.
+    val SpreadBound = 0.30
+    val MaxRuns = 6
+    val noise = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def spreadOf(ts: Seq[Double]): Double = {
+      val m = ts.sorted.apply(ts.length / 2)
+      if (m <= 0) 0.0 else (ts.max - ts.min) / m
+    }
+    def medianMeasured(runs: Int)(body: () => Unit): (Double, Double) = {
+      var ts = List.fill(runs) {
         val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
       }
-      ts.sorted.apply(runs / 2)
+      while (spreadOf(ts) > SpreadBound && ts.length < MaxRuns) {
+        val t0 = System.nanoTime(); body()
+        ts = ((System.nanoTime() - t0) / 1e9) :: ts
+      }
+      (ts.sorted.apply(ts.length / 2), spreadOf(ts))
     }
+    def medianOf(runs: Int)(body: () => Unit): Double = medianMeasured(runs)(body)._1
 
     keys.foreach { name =>
       val fn = qs(name)
@@ -117,7 +136,9 @@ object Bench {
             () => { fn(spark, sfDir).count(); () }
         }
         body() // warmup: JIT + codegen cache + FS cache
-        times(name) = medianOf(3)(body)
+        val (med, spread) = medianMeasured(3)(body)
+        times(name) = med
+        noise(name) = math.rint(spread * 1000) / 1000
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -137,6 +158,7 @@ object Bench {
     }
     val qJson = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val nJson = noise.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     // __spaced rechecks are diagnostics, not workload — keep the total
     // series comparable across rounds by excluding them
     val total = times.collect { case (k, v) if v >= 0 && !k.endsWith("__spaced") => v }.sum
@@ -147,7 +169,7 @@ object Bench {
       """"dedup_ngram_jaccard":"PLAN CHANGED r15: candidate signature moved from 126-hash MinHash to one-permutation hashing (1 hash/gram + densification); output identical (exact verify decides), expect large speedup vs r14's 6.7 s",""" +
       """"__spaced":"keys suffixed __spaced are the same query re-measured at the end of the run; a first-slot/spaced disagreement marks bench-order noise, not a plan change"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"notes":$notes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"noise":$nJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)
     // also persist into the repo itself (sbt runs from the project root):
     // the driver's BENCH_r{N} capture is a truncated stdout tail — r15's
