@@ -49,16 +49,40 @@ object StreamingOps extends QueryModule {
     }
 
   /** The max batch id recorded in a lance state table under `col` —
-    * -1 when the table is absent or empty. A metadata-cheap read: the
-    * lance scan answers the MAX from manifest stats (the agg pushdown),
-    * so replay guards cost O(fragments) metadata per batch, not a data
-    * scan over accumulated history. */
-  private[graft] def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long =
-    if (!tableExists(s, path)) -1L
-    else s.read.format("lance").load(path).agg(max(colName)).first() match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
+    * -1 when the table is absent or empty. Answered on the DRIVER from
+    * the manifest's per-fragment stats (one metadata read, ZERO Spark
+    * jobs — the guards run several times per micro-batch, and even a
+    * stats-answered agg query pays per-job scheduling): the max over
+    * fragment maxes is exact here because state/MV fragments are
+    * bid-stamped at write (stats always recorded for the lit long) and a
+    * partially-deleted fragment's max stays a valid bound with its
+    * single-valued bid still live. Any fragment MISSING the stat falls
+    * back to the scan-side aggregate (which still answers from stats via
+    * the agg pushdown when possible). */
+  private[graft] def lastBidOf(s: SparkSession, path: String, colName: String = "bid"): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.sources.lance.ManifestIO.loadLatest(path, conf) match {
+      case None => -1L
+      case Some(m) =>
+        val live = m.fragments.filter(_.liveRows > 0)
+        if (live.isEmpty) -1L
+        else {
+          val maxes = live.map(_.stats.get(colName).flatMap(_.max))
+          if (maxes.forall(_.isDefined))
+            maxes.flatten.map {
+              case org.json4s.JLong(v) => v
+              case org.json4s.JInt(v) => v.toLong
+              case other => throw new IllegalStateException(
+                s"lastBidOf: non-integral $colName stat $other at $path")
+            }.max
+          else // a stats-less fragment: only the data knows its max
+            s.read.format("lance").load(path).agg(max(colName)).first() match {
+              case r if r.isNullAt(0) => -1L
+              case r => r.getLong(0)
+            }
+        }
     }
+  }
 
   /** Append `df` tagged with `bid` into the (optionally bucketed) lance
     * state table at `path`, skipped when the table's recorded high-water
