@@ -535,6 +535,82 @@ object Multimodal extends QueryModule {
     audioFeatures(recs)
   }
 
+  // ---- mm_audio_dedup (audio-side near-dup) ------------------------------
+  // Completes the multimodal near-dup family (text / image / video /
+  // AUDIO): a re-mastered or re-gained copy of a clip is not a
+  // byte-duplicate, but its energy ENVELOPE shape survives. Fingerprint =
+  // the dHash idea on the time axis: 129 equal time windows, exact
+  // integer energy (sum |sample|) per window, bit i = "energy rises from
+  // window i to i+1" compared cross-multiplied by window lengths (no
+  // division, no floats). Scaling every sample by a gain scales every
+  // window energy by the same factor, so ALL 128 comparisons are
+  // preserved — exact gain invariance, the audio analog of dHash's
+  // brightness invariance. The 128 bits pack as (sig_h, sig_v) and ride
+  // the IDENTICAL banded pipeline as the image signatures (hashPairs:
+  // 8×16-bit pigeonhole bands, capped buckets, exact hamming verify) —
+  // one fingerprint map stage + the bucket-bounded join at any scale.
+
+  /** 128-bit gain-invariant energy-delta fingerprint of interleaved
+    * PCM16 samples; (0, 0) for clips too short to window. */
+  private[graft] def audioFingerprint(samples: Array[Short]): (Long, Long) = {
+    val W = 129
+    val n = samples.length
+    if (n < W) return (0L, 0L)
+    val sums = new Array[Long](W)
+    val cnts = new Array[Long](W)
+    var i = 0
+    while (i < n) {
+      val w = ((i.toLong * W) / n).toInt
+      sums(w) += math.abs(samples(i).toLong)
+      cnts(w) += 1
+      i += 1
+    }
+    var h = 0L; var v = 0L
+    var b = 0
+    while (b < 128) {
+      if (sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)) {
+        if (b < 64) h |= 1L << b else v |= 1L << (b - 64)
+      }
+      b += 1
+    }
+    (h, v)
+  }
+
+  /** Deterministic PCM16 fixture for the audio dedup gate: docs sharing
+    * a pattern (docId % 50) are re-GAINED copies — identical envelope
+    * shape, amplitudes scaled by gain 1..8 ((docId/50) % 8 + 1; base
+    * samples within ±1000 so gain 8 stays far from Short overflow) —
+    * the same pattern/variant scheme as synthImage/synthFrame. */
+  private[graft] def synthAudioDedup(docId: Long): Array[Short] = {
+    val pattern = (docId % 50).toInt
+    val gain = ((docId / 50) % 8).toInt + 1
+    val n = 2000 + (pattern % 7) * 129
+    Array.tabulate(n) { i =>
+      val base = ((pattern.toLong * 31 + i.toLong * i * 7) % 2001L) - 1000L
+      (base * gain).toShort
+    }
+  }
+
+  private def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          // encode AND real-decode on the executor (the mm_audio_features
+          // posture): the fingerprint sees what javax.sound hands back,
+          // not the synth array
+          val wav = AudioCodec.encodeWav(8000, 1, synthAudioDedup(id))
+          AudioCodec.decode(wav).map { case (_, _, samples) =>
+            val (h, v) = audioFingerprint(samples)
+            (id, h, v)
+          }
+        }
+      }
+      .toDF("doc_id", "sig_h", "sig_v")
+      .localCheckpoint() // hashPairs consumes the sig table three times
+    hashPairs(sigs).orderBy("a_id", "b_id")
+  }
+
   // ---- mm_image_dedup (perceptual-hash near-dup) -------------------------
   // The image-side dedup every multimodal corpus needs: re-encoded /
   // brightness-shifted copies of one image are NOT byte-duplicates, so
@@ -889,6 +965,7 @@ object Multimodal extends QueryModule {
     "mm_video_dedup" -> mmVideoDedup,
     "mm_video_dedup_shingle" -> mmVideoDedupShingle,
     "mm_audio_features" -> mmAudioFeatures,
+    "mm_audio_dedup" -> mmAudioDedup,
     "mm_image_dedup" -> mmImageDedup)
 
   /** The corpus is ASCII, so byte-level features are expressible over char

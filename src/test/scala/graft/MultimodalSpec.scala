@@ -393,6 +393,36 @@ class MultimodalSpec extends SparkSpec {
       "single-shot batch must drop the whole over-cap bucket")
   }
 
+  test("mm_audio_dedup: gain-invariant fingerprint — re-gained copies pair, patterns stay pure, local edit lands near") {
+    // kernel invariance: scaling every sample preserves every window
+    // comparison EXACTLY (integer cross-multiplication, no rounding)
+    val base = operators.Multimodal.synthAudioDedup(3L) // pattern 3, gain 1
+    val gained = base.map(s => (s * 5).toShort)
+    assert(operators.Multimodal.audioFingerprint(base) ===
+      operators.Multimodal.audioFingerprint(gained))
+    // a small local edit (drop 30 samples to silence) flips at most the
+    // few windows it touches — near, not identical-or-far
+    val edited = base.clone()
+    var i = 500; while (i < 530) { edited(i) = 0; i += 1 }
+    val (h1, v1) = operators.Multimodal.audioFingerprint(base)
+    val (h2, v2) = operators.Multimodal.audioFingerprint(edited)
+    val ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(v1 ^ v2)
+    assert(ham <= 6, s"local edit moved $ham bits — fingerprint too brittle")
+    // distinct patterns are far apart (no spurious cross-pattern pairing)
+    val other = operators.Multimodal.synthAudioDedup(4L)
+    val (h3, v3) = operators.Multimodal.audioFingerprint(other)
+    assert(java.lang.Long.bitCount(h1 ^ h3) + java.lang.Long.bitCount(v1 ^ v3) > 6)
+
+    // gated key on sf0.001: 50 patterns × 10 gain variants — every
+    // within-pattern pair at hamming 0, zero cross-pattern pairs
+    val rows = SparkEntry.queries("mm_audio_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 50 * (10 * 9) / 2, s"expected 2250 pairs, got ${rows.length}")
+    assert(rows.forall { case (a, b, _) => a % 50 == b % 50 },
+      "cross-pattern pair — fingerprint collision across envelopes")
+    assert(rows.forall(_._3 === 0L), "re-gained copies must match exactly")
+  }
+
   test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
     import spark.implicits._
     // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same
