@@ -421,9 +421,17 @@ object LanceDelete {
                    filters: Array[Filter],
                    options: Map[String, String] = Map.empty): Unit = {
     val conf = Shim.hadoopConf(spark, options)
+    val planning = ManifestIO.loadLatest(root, conf)
+    // staged fragments carry no bucket tags: on a bucketed table they
+    // would silently break the partitionId-is-the-bucket invariant every
+    // SPJ/read.buckets consumer relies on — that path must go through
+    // the catalog REPLACE WHERE (whose V2 writer buckets the data)
+    planning.map(_.props).foreach(p =>
+      require(!p.keys.exists(_.startsWith("write.bucket")),
+        s"lance replaceWhere: $root is bucketed; use the catalog INSERT ... REPLACE WHERE path"))
     val newFrags = LanceBatchSave.stageFragments(spark, df, root,
       LanceOptions.any(options, "maxRowsPerFile"))
-    val plan = ManifestIO.loadLatest(root, conf).map(m =>
+    val plan = planning.map(m =>
       planDelete(spark, root, m, filters, options, replaceWhere = true))
     val committed = ManifestIO.commit(root, conf) { prev =>
       (prev, plan) match {
