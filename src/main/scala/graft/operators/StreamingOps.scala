@@ -576,13 +576,40 @@ object StreamingOps extends QueryModule {
                                         keysT: String, sigsT: String,
                                         srcParts: Int = 4,
                                         srcDir0: String = null, ckpt0: String = null,
-                                        dst0: String = null): DataFrame = {
-    val srcDir = Option(srcDir0).getOrElse(tmp("simg-src"))
-    val ckpt = Option(ckpt0).getOrElse(tmp("simg-ckpt"))
-    val dst = Option(dst0).getOrElse(tmp("simg-out") + "/t")
+                                        dst0: String = null): DataFrame =
+    streamSigDedupAt(s,
+      s.read.parquet(Multimodal.imageFixture(s, dir)).toDF("doc_id", "image"),
+      keysT, sigsT, Multimodal.decodeSigs,
+      srcParts, srcDir0, ckpt0, dst0, prefix = "simg")
+
+  /** Streaming AUDIO near-dedup — the audio member of the family:
+    * arriving WAV payloads fingerprint (gain-invariant energy deltas,
+    * Multimodal.audioFingerprint) and dedup against everything seen so
+    * far through the identical banded/guarded pipeline. Only the decode
+    * differs from the image twin; streamed == mm_audio_dedup row-for-row
+    * is the correctness statement (spec'd). */
+  private def streamAudioDedup(s: SparkSession, dir: String): DataFrame =
+    streamSigDedupAt(s,
+      s.read.parquet(Multimodal.audioFixture(s, dir)).toDF("doc_id", "audio"),
+      keysT = tmp("saud-keys") + "/t", sigsT = tmp("saud-sigs") + "/t",
+      decode = Multimodal.decodeAudioSigs, prefix = "saud")
+
+  /** The shared streaming perceptual-signature near-dedup: a parquet
+    * payload source drained in micro-batches, each batch decoded to
+    * 128-bit (doc_id, sig_h, sig_v) signatures by `decode` (real image
+    * decode, real audio decode — the ONLY thing the modality twins
+    * change), run through [[nearDedupBatch]] with the shared 8×16-bit
+    * banding and the exact hamming verify. */
+  private[graft] def streamSigDedupAt(s: SparkSession, payloads: DataFrame,
+      keysT: String, sigsT: String,
+      decode: (SparkSession, DataFrame) => DataFrame,
+      srcParts: Int = 4,
+      srcDir0: String = null, ckpt0: String = null,
+      dst0: String = null, prefix: String = "ssig"): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp(s"$prefix-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp(s"$prefix-ckpt"))
+    val dst = Option(dst0).getOrElse(tmp(s"$prefix-out") + "/t")
     val stateBuckets = defaultStateBuckets(s)
-    val payloads = s.read.parquet(Multimodal.imageFixture(s, dir))
-      .toDF("doc_id", "image")
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       payloads.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(payloads.schema)
@@ -592,25 +619,30 @@ object StreamingOps extends QueryModule {
         Multimodal.ImgBucketCap,
         bandAndState = b => {
           // ONE decode pass: band keys derive from the checkpointed sigs
-          val sigs = Multimodal.decodeSigs(s, b).localCheckpoint()
+          val sigs = decode(s, b).localCheckpoint()
           (Multimodal.imgBandKeys(sigs).localCheckpoint(), sigs)
         },
-        verify = (cand, allSigs) => cand
-          .join(allSigs.select(col("doc_id").as("a_id"),
-            col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
-          .join(allSigs.select(col("doc_id").as("b_id"),
-            col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
-          .withColumn("hamming",
-            (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-              bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
-          .filter(col("hamming") <= Multimodal.ImgHammingMax)
-          .select("a_id", "b_id", "hamming")) _)
+        verify = sigHammingVerify) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
     s.read.format("lance").load(dst)
       .select("a_id", "b_id", "hamming").distinct().orderBy("a_id", "b_id")
   }
+
+  /** Exact 128-bit hamming verify over candidate pairs — one definition
+    * for every signature modality, matching Multimodal.hashPairs' batch
+    * verify bit-for-bit. */
+  private def sigHammingVerify(cand: DataFrame, allSigs: DataFrame): DataFrame = cand
+    .join(allSigs.select(col("doc_id").as("a_id"),
+      col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+    .join(allSigs.select(col("doc_id").as("b_id"),
+      col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+    .withColumn("hamming",
+      (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("va").bitwiseXOR(col("vb")))).cast("long"))
+    .filter(col("hamming") <= Multimodal.ImgHammingMax)
+    .select("a_id", "b_id", "hamming")
 
   /** Streaming VECTOR-INDEX maintenance — ingestion-time IVF indexing of
     * an arriving embedding stream, the composition every online retrieval
@@ -1219,6 +1251,7 @@ object StreamingOps extends QueryModule {
     "q_stream_dedup" -> streamDedup,
     "q_stream_neardedup" -> streamNearDedup,
     "q_stream_image_dedup" -> streamImageDedup,
+    "q_stream_audio_dedup" -> streamAudioDedup,
     "q_stream_index" -> streamIndex,
     "q_stream_index_once" -> streamIndexOnce,
     "q_stream_index_pq" -> streamIndexOncePq)

@@ -423,6 +423,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_._3 === 0L), "re-gained copies must match exactly")
   }
 
+  test("mm_video_dedup_shingle == mm_video_dedup row-for-row on the aligned fixture") {
+    // every near-dup in the gated fixture is offset-0 (re-grades, no
+    // trims), where the shingle path's best-offset verify must reproduce
+    // the positional answer exactly — same pairs, same matched counts,
+    // same ratios. The trim recovery the key exists for is spec'd on the
+    // synthetic shifted-clip fixture in the alignment test below.
+    val pos = SparkEntry.queries("mm_video_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val sh = SparkEntry.queries("mm_video_dedup_shingle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(sh === pos)
+  }
+
+  test("q_stream_audio_dedup: streamed pairs == batch mm_audio_dedup row-for-row") {
+    // the audio twin rides the SAME nearDedupBatch body as the image and
+    // text twins (guards, bucket-cover probes, ordered appends all
+    // shared) — only the decode differs, so streamed==batch is the whole
+    // correctness statement
+    val streamed = SparkEntry.queries("q_stream_audio_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("mm_audio_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+  }
+
   test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
     import spark.implicits._
     // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same

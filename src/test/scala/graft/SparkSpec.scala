@@ -130,6 +130,7 @@ class EntrySpec extends SparkSpec {
     "mm_audio_dedup" -> 2250,
     "mm_image_dedup" -> 2250,
     "q_stream_image_dedup" -> 2250,
+    "q_stream_audio_dedup" -> 2250,
     "lance_roundtrip" -> 1,
     "lance_events_roundtrip" -> 5,
     "lance_overwrite" -> 1,
