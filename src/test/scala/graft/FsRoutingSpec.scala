@@ -66,6 +66,40 @@ class FsRoutingSpec extends SparkSpec {
       "replayed micro-batch re-appended its generation — guard disarmed off local FS")
   }
 
+  test("full connector lifecycle on a non-file scheme: write, scan, DML, time travel, compaction") {
+    registerMockFs()
+    import spark.implicits._
+    val root = mockRoot("graft-mockfs-life-") + "/t"
+    // write (two versions), scan with pushdown
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "k", "v")
+      .write.format("lance").save(root)
+    Seq((4L, "b", 40L)).toDF("id", "k", "v")
+      .write.format("lance").mode("append").save(root)
+    val ds = spark.read.format("lance").load(root)
+    assert(ds.count() === 4)
+    assert(ds.filter($"v" > 25L).select("id").collect().map(_.getLong(0)).toSet
+      === Set(3L, 4L))
+    // row-level DELETE (DV sidecars land on the mock scheme)
+    graft.sources.lance.LanceDelete.deleteWhere(spark, root,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 2L)), Map.empty)
+    assert(spark.read.format("lance").load(root).count() === 3)
+    // atomic keyed upsert
+    graft.sources.lance.LanceDelete.replaceWhere(spark, root,
+      Seq((5L, "a", 50L)).toDF("id", "k", "v"),
+      Array(org.apache.spark.sql.sources.EqualTo("k", "a")))
+    assert(spark.read.format("lance").load(root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((5L, "a", 50L), (4L, "b", 40L)))
+    // time travel back across all of it
+    assert(spark.read.format("lance").option("versionAsOf", "1").load(root).count() === 3)
+    assert(spark.read.format("lance").option("versionAsOf", "2").load(root).count() === 4)
+    // compaction rewrites fragments through the mock FS and keeps the answer
+    graft.sources.lance.LanceMaintenance.compact(spark, root,
+      smallerThanRows = 1000000L, targetRows = 1000000L)
+    assert(spark.read.format("lance").load(root)
+      .collect().map(_.getLong(0)).toSet === Set(5L, 4L))
+  }
+
   test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {
     registerMockFs()
     val conf = spark.sparkContext.hadoopConfiguration
