@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (ScalaCheck, 200 cases each) for the pure
+  * kernels whose invariants the example-based specs can only spot-check:
+  * randomized inputs hunt the edge the fixture missed. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop, cases: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("audioFingerprint: exact gain invariance for every sample array and gain") {
+    // the claimed invariant, over random envelopes — not just the fixture:
+    // scaling every sample by any gain (no Short overflow) preserves all
+    // 128 window-energy comparisons bit-for-bit
+    val gen = for {
+      n <- Gen.choose(200, 3000)
+      samples <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+      gain <- Gen.choose(1, 30)
+    } yield (samples.map(_.toShort).toArray, gain)
+    check("gain invariance", Prop.forAll(gen) { case (s, g) =>
+      val scaled = s.map(x => (x * g).toShort)
+      operators.Multimodal.audioFingerprint(s) ==
+        operators.Multimodal.audioFingerprint(scaled)
+    })
+  }
+
+  test("MaxMinstdDraws.compute == brute-force max of w MINSTD draws") {
+    val A = 48271L; val M = 2147483647L
+    def m2(c: Long) = c * A % M * A % M
+    val gen = for {
+      id <- Gen.choose(0L, Int.MaxValue.toLong)
+      w <- Gen.choose(1L, 3000L)
+    } yield (id, w)
+    check("weighted key", Prop.forAll(gen) { case (id, w) =>
+      val base = m2(id)
+      val brute = (1L to w).map(j => m2((base + j) % M)).max
+      functions.MaxMinstdDraws.compute(id, w) == brute
+    })
+  }
+
+  test("fragment stats JSON round-trips exactly for every stat shape") {
+    import graft.sources.lance.{ColStats, ManifestIO}
+    import org.json4s.{JDouble, JLong, JString, JValue}
+    val jv: Gen[JValue] = Gen.oneOf(
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(JLong(_)),
+      Gen.choose(-1e12, 1e12).map(JDouble(_)),
+      Gen.alphaNumStr.map(JString(_)))
+    val colStats: Gen[ColStats] = for {
+      mn <- Gen.option(jv)
+      mx <- Gen.option(jv)
+      nulls <- Gen.option(Gen.choose(0L, 1000000L))
+      sum <- Gen.option(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+      distinct <- Gen.option(Gen.listOfN(3, Gen.alphaNumStr))
+    } yield ColStats(mn, mx, nulls, sum, distinct.map(_.toSeq))
+    val statsMap: Gen[Map[String, ColStats]] = for {
+      n <- Gen.choose(0, 5)
+      ks <- Gen.listOfN(n, Gen.identifier)
+      vs <- Gen.listOfN(n, colStats)
+    } yield ks.zip(vs).toMap
+    check("stats json", Prop.forAll(statsMap) { m =>
+      ManifestIO.statsFromJson(ManifestIO.statsToJson(m)) == m
+    }, cases = 300)
+  }
+}
