@@ -44,6 +44,59 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("decode paths never throw on arbitrary bytes (crawled-corpus fuzz)") {
+    // the drop-don't-fail posture every crawled-corpus operator claims:
+    // garbage payloads must come back as None/empty, never as a task
+    // failure. Random bytes plus mutated valid prefixes (the nastier
+    // case: plausible headers with corrupt bodies).
+    val someImg = operators.Multimodal.ImageCodec.encodePng(
+      operators.Multimodal.synthFrame(1L, 0))
+    val someWav = operators.Multimodal.AudioCodec.encodeWav(
+      8000, 1, operators.Multimodal.synthAudioDedup(1L))
+    val someVid = operators.Multimodal.synthVideo(1L)
+    val garbage: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 400)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    val mutated: Gen[Array[Byte]] = for {
+      base <- Gen.oneOf(someImg, someWav, someVid)
+      cut <- Gen.choose(0, base.length)
+      flip <- Gen.choose(0, math.max(0, cut - 1))
+    } yield {
+      val b = java.util.Arrays.copyOf(base, cut)
+      if (b.nonEmpty) b(flip) = (b(flip) ^ 0x5a).toByte
+      b
+    }
+    val payload = Gen.oneOf(garbage, mutated)
+    check("decode fuzz", Prop.forAll(payload) { bytes =>
+      operators.Multimodal.ImageCodec.tryDecode(bytes) // Option or bust
+      operators.Multimodal.AudioCodec.decode(bytes)
+      operators.Multimodal.parseGvid(bytes)
+      operators.Multimodal.GvidDecoder.decodeSampled(bytes, 2).length >= 0
+    }, cases = 300)
+  }
+
+  test("text kernels never throw on arbitrary UTF-16 (including lone surrogates)") {
+    // a crawled corpus contains malformed encodings; the gram kernels
+    // slice by CODE POINT (the r15 langid fix) and must survive any
+    // char sequence -- including unpaired surrogates -- without throwing
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen: Gen[Char] = Gen.frequency(
+      4 -> Gen.choose(32.toChar, 126.toChar),            // ascii
+      3 -> Gen.choose(128.toChar, 65535.toChar),         // BMP incl. surrogates
+      1 -> Gen.const(0xd800.toChar),                     // lone high surrogate
+      1 -> Gen.const(0xdfff.toChar))                     // lone low surrogate
+    val anyChars: Gen[String] = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, charGen)
+    } yield new String(cs.toArray)
+    check("unicode fuzz", Prop.forAll(anyChars) { s =>
+      val u = UTF8String.fromString(s)
+      functions.OnePermMinHash.computeGrams(u, 3, 126, 42L).numElements() == 126 &&
+        functions.LangIdNgram.scores(u).numElements() >= 0
+    }, cases = 300)
+  }
+
   test("fragment stats JSON round-trips exactly for every stat shape") {
     import graft.sources.lance.{ColStats, ManifestIO}
     import org.json4s.{JDouble, JLong, JString, JValue}
