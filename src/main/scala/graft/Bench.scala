@@ -50,7 +50,8 @@ object Bench {
     "mm_video_dedup", "q_stream_image_dedup", "sample_topk_uniform",
     "sample_weighted", "sample_weighted_budget", "pipeline_curate",
     // appended r16
-    "mm_video_dedup_shingle", "mm_audio_dedup", "q_stream_audio_dedup")
+    "mm_video_dedup_shingle", "mm_audio_dedup", "q_stream_audio_dedup",
+    "mm_audio_dedup_trim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,7 +80,7 @@ case class LshBandKeys(sig: Expression, lang: Expression, bkt: Expression,
 }
 
 object LshBandKeys {
-  @inline private[functions] def mix(z0: Long): Long = {
+  @inline private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

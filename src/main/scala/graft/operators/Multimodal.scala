@@ -576,6 +576,112 @@ object Multimodal extends QueryModule {
     (h, v)
   }
 
+  // ---- mm_audio_dedup_trim (trim-tolerant audio near-dup) ----------------
+  // audioFingerprint's length-relative windows survive re-gaining and
+  // uniform time-scaling but NOT trims: a cut shifts every window
+  // boundary. The trim posture fixes the window size (256 samples) so a
+  // WINDOW-ALIGNED cut shifts the sign sequence by whole positions, then
+  // goes position-free the way the video shingle key does — k=16
+  // consecutive window-energy signs hash into one shingle, a clip's
+  // sorted-distinct shingle set is its identity, and near-dup = exact
+  // set Jaccard >= tau, candidates via the TEXT pipeline's own machinery
+  // (one-permutation MinHash over the shingle sets → LSH bands → capped
+  // buckets → sorted_jaccard verify). Gain invariance carries over
+  // (signs of scaled energies); a clip trimmed by t windows keeps all
+  // but t shingles, so Jaccard degrades linearly, not catastrophically.
+  // 16-sign shingles (65536-point space) keep cross-pattern collisions
+  // negligible at ~30 shingles per clip.
+  private[graft] val AudioWin = 256
+  private[graft] val AudioShingleK = 16
+  private[graft] val AudioTrimTau = 0.6
+
+  /** Sorted-distinct shingle hashes of a clip's fixed-window sign
+    * sequence; empty for clips shorter than k+1 windows. */
+  private[graft] def audioSignShingles(samples: Array[Short]): Array[Long] = {
+    val m = samples.length / AudioWin
+    if (m < AudioShingleK + 2) return Array.empty
+    val e = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var i = w * AudioWin; val end = i + AudioWin
+      var s = 0L
+      while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
+      e(w) = s; w += 1
+    }
+    val nsh = m - 1 - AudioShingleK + 1 // m-1 sign bits, k per shingle
+    val out = new Array[Long](nsh)
+    var j = 0
+    while (j < nsh) {
+      var h = 0x9e3779b97f4a7c15L
+      var b = 0
+      while (b < AudioShingleK) {
+        h = graft.functions.LshBandKeys.mix(h ^ (if (e(j + b + 1) > e(j + b)) 1L else 0L))
+        b += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var n = 0; var k = 0
+    while (k < out.length) { // in-place distinct on the sorted array
+      if (n == 0 || out(k) != out(n - 1)) { out(n) = out(k); n += 1 }
+      k += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Trim fixture: docs sharing a pattern are re-gained AND/OR
+    * window-aligned-trimmed copies — variant t = (docId/50) % 10 scales
+    * by gain (t % 4 + 1) and cuts (t / 4) * 2 windows off the front.
+    * Base clips are 40 + pattern%8 windows long. */
+  private[graft] def synthAudioTrim(docId: Long): Array[Short] = {
+    val pattern = (docId % 50).toInt
+    val t = ((docId / 50) % 10).toInt
+    val gain = t % 4 + 1
+    val trimWin = (t / 4) * 2
+    val baseWin = 40 + pattern % 8
+    val n = (baseWin - trimWin) * AudioWin
+    val off = trimWin * AudioWin
+    Array.tabulate(n) { i =>
+      val j = (i + off).toLong
+      // splitmix per (pattern, j): window energies become pattern-SPECIFIC
+      // random walks (a merely additive pattern term would wash out of
+      // the 256-sample window sums and correlate all sign sequences)
+      val z = graft.functions.LshBandKeys.mix(
+        pattern.toLong * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L)
+      ((z % 1001L) * gain).toShort
+    }
+  }
+
+  private def mmAudioDedupTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Slots = 48; val Bands = 16; val Rows = 3
+    val sh = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        val wav = AudioCodec.encodeWav(8000, 1, synthAudioTrim(id))
+        AudioCodec.decode(wav).map { case (_, _, samples) =>
+          (id, audioSignShingles(samples))
+        }.filter(_._2.length > 0)
+      })
+      .toDF("doc_id", "sh")
+      .localCheckpoint() // banding + both verify joins consume it
+    val cand = sh
+      .select(col("doc_id"), graft.functions.lsh_bands(
+        graft.functions.one_perm_minhash(col("sh"), Slots), Bands, Rows))
+      .groupBy("band_idx", "band_key")
+      .agg(graft.functions.capped_sorted_list(col("doc_id"), ImgBucketCap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(graft.functions.sorted_list_pairs(col("ids")))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("jaccard", round(graft.functions.sorted_jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= AudioTrimTau)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Deterministic PCM16 fixture for the audio dedup gate: docs sharing
     * a pattern (docId % 50) are re-GAINED copies — identical envelope
     * shape, amplitudes scaled by gain 1..8 ((docId/50) % 8 + 1; base
@@ -990,6 +1096,7 @@ object Multimodal extends QueryModule {
     "mm_video_dedup_shingle" -> mmVideoDedupShingle,
     "mm_audio_features" -> mmAudioFeatures,
     "mm_audio_dedup" -> mmAudioDedup,
+    "mm_audio_dedup_trim" -> mmAudioDedupTrim,
     "mm_image_dedup" -> mmImageDedup)
 
   /** The corpus is ASCII, so byte-level features are expressible over char

@@ -436,6 +436,32 @@ class MultimodalSpec extends SparkSpec {
     assert(sh === pos)
   }
 
+  test("mm_audio_dedup_trim: window-aligned trims pair via shingles; the length-relative fingerprint provably misses them") {
+    val base = operators.Multimodal.synthAudioTrim(3L)    // pattern 3: gain 1, trim 0
+    val trimmed = operators.Multimodal.synthAudioTrim(403L) // pattern 3: gain 1, trim 4 windows
+    // kernel: the trimmed clip's shingle set is a SUBSET of the base's
+    // (exact window alignment), so Jaccard degrades linearly with trim
+    val sb = operators.Multimodal.audioSignShingles(base).toSet
+    val st = operators.Multimodal.audioSignShingles(trimmed).toSet
+    assert(st.subsetOf(sb), "trimmed shingles must be a subset of the base's")
+    val jac = (sb & st).size.toDouble / (sb | st).size
+    assert(jac >= operators.Multimodal.AudioTrimTau, s"trim-4 jaccard $jac below tau")
+    // negative control — WHY this key exists: the length-relative
+    // fingerprint re-windows each clip over its own length, so a trim
+    // shifts every boundary and the signatures land far apart
+    val (h1, v1) = operators.Multimodal.audioFingerprint(base)
+    val (h2, v2) = operators.Multimodal.audioFingerprint(trimmed)
+    val ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(v1 ^ v2)
+    assert(ham > operators.Multimodal.ImgHammingMax,
+      s"length-relative fingerprint unexpectedly survives the trim (hamming $ham)")
+    // gated key: every within-pattern (gain x trim) pair, nothing else
+    val rows = SparkEntry.queries("mm_audio_dedup_trim")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 50 * (10 * 9) / 2, s"expected 2250 pairs, got ${rows.length}")
+    assert(rows.forall { case (a, b, _) => a % 50 == b % 50 }, "cross-pattern pair")
+    assert(rows.forall(_._3 >= operators.Multimodal.AudioTrimTau))
+  }
+
   test("q_stream_audio_dedup: streamed pairs == batch mm_audio_dedup row-for-row") {
     // the audio twin rides the SAME nearDedupBatch body as the image and
     // text twins (guards, bucket-cover probes, ordered appends all

@@ -128,6 +128,7 @@ class EntrySpec extends SparkSpec {
     "mm_video_dedup_shingle" -> 2205,
     "mm_audio_features" -> 500,
     "mm_audio_dedup" -> 2250,
+    "mm_audio_dedup_trim" -> 2250,
     "mm_image_dedup" -> 2250,
     "q_stream_image_dedup" -> 2250,
     "q_stream_audio_dedup" -> 2250,
