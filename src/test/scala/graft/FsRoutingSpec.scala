@@ -100,6 +100,41 @@ class FsRoutingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(5L, 4L))
   }
 
+  test("streaming pipeline with source, sink AND checkpoint on a non-file scheme") {
+    registerMockFs()
+    import spark.implicits._
+    // the production object-store footgun is the CHECKPOINT: Spark's
+    // CheckpointFileManager prefers FileContext (which needs a separate
+    // fs.AbstractFileSystem binding) and must fall back to the
+    // FileSystem-based manager for schemes like this one — if any layer
+    // secretly assumes java.io paths, this drain fails or loses commits
+    val base = mockRoot("graft-mockfs-pipe-")
+    val src = base + "/src"; val dst = base + "/dst"; val ckpt = base + "/ckpt"
+    (1L to 40L).map(i => (i, i % 5)).toDF("id", "grp")
+      .write.format("lance").option("maxRowsPerFile", "10").save(src)
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("lance").load(src)
+        .filter($"grp" =!= 0L)
+        .writeStream.format("lance")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      assert(q.awaitTermination(120000), "mockfs streaming drain timed out")
+    }
+    drainOnce()
+    assert(spark.read.format("lance").load(dst).count() === 32)
+    // append more source rows; the SAME checkpoint (on mockfs) must
+    // resume from the recorded offset and ingest only the delta
+    (41L to 50L).map(i => (i, i % 5)).toDF("id", "grp")
+      .write.format("lance").mode("append").save(src)
+    drainOnce()
+    val out = spark.read.format("lance").load(dst)
+    assert(out.count() === 40, "checkpoint resume double- or under-ingested")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      (1L to 50L).filter(_ % 5 != 0).toSet)
+  }
+
   test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {
     registerMockFs()
     val conf = spark.sparkContext.hadoopConfiguration

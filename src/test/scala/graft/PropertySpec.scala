@@ -97,6 +97,61 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 300)
   }
 
+  test("sorted_jaccard merge walk == set-op jaccard on random sorted-distinct arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val arr: Gen[Array[Long]] = for {
+      n <- Gen.choose(0, 60)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L)) // tight range forces overlap
+    } yield xs.distinct.sorted.toArray
+    check("sorted jaccard", Prop.forAll(Gen.zip(arr, arr)) { case (a, b) =>
+      val lit = (x: Array[Long]) => Literal.create(x.toSeq, ArrayType(LongType))
+      val got = functions.SortedJaccard(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expect = if ((sa | sb).isEmpty) 0.0 else (sa & sb).size.toDouble / (sa | sb).size
+      math.abs(got - expect) < 1e-12
+    })
+  }
+
+  test("bit_pack_sign + hamming_dist == sign-mismatch count for random float vectors") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vec: Gen[Array[Float]] = for {
+      n <- Gen.choose(1, 200)
+      xs <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+    } yield xs.toArray
+    val pair = for { a <- vec; b <- Gen.listOfN(a.length, Gen.choose(-100f, 100f)) }
+      yield (a, b.toArray)
+    check("bit pack + hamming", Prop.forAll(pair) { case (a, b) =>
+      def pack(v: Array[Float]) = functions.BitPackSign(
+        Literal.create(v.toSeq, ArrayType(FloatType))).eval(null)
+      val pa = pack(a).asInstanceOf[ArrayData]; val pb = pack(b).asInstanceOf[ArrayData]
+      def lit(x: ArrayData) = Literal.create(x.toLongArray().toSeq,
+        ArrayType(org.apache.spark.sql.types.LongType))
+      val ham = functions.HammingDistance(lit(pa), lit(pb)).eval(null).asInstanceOf[Long]
+      val expect = a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }
+      ham == expect.toLong
+    })
+  }
+
+  test("BPE encode/decode is lossless for arbitrary unicode text") {
+    // strings from mixed ascii/BMP (well-formed; byte-level BPE is
+    // defined over UTF-8 bytes, so any well-formed string must roundtrip)
+    val wellFormed: Gen[String] = for {
+      n <- Gen.choose(0, 200)
+      gens = Gen.frequency[Char](
+        6 -> Gen.choose(32.toChar, 126.toChar),
+        2 -> Gen.choose(160.toChar, 0x2fff.toChar),
+        1 -> Gen.oneOf(' ', '\n', '\t'))
+      cs <- Gen.listOfN(n, gens)
+    } yield new String(cs.toArray)
+    check("bpe roundtrip", Prop.forAll(wellFormed) { s =>
+      val ids = functions.Bpe.encode(s)
+      new String(functions.Bpe.decode(ids), "UTF-8") == s
+    })
+  }
+
   test("fragment stats JSON round-trips exactly for every stat shape") {
     import graft.sources.lance.{ColStats, ManifestIO}
     import org.json4s.{JDouble, JLong, JString, JValue}
