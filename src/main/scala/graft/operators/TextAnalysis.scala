@@ -522,6 +522,20 @@ object TextAnalysis extends QueryModule {
     3L -> "customer", 3L -> "query")
   private[graft] val Bm25TopK = 5
 
+  /** K successive DISTINCT query workloads for the standing-index
+    * amortization key (text_search_indexed_multi): a standing index's
+    * value is reuse across query batches, so the multi key serves three
+    * disjoint vocabularies from ONE build — per-batch marginal cost is
+    * the key's bench time / 3, with zero corpus scans after the first. */
+  private[graft] val Bm25Batches: Seq[(Long, Seq[(Long, String)])] = Seq(
+    0L -> Bm25Queries,
+    1L -> Seq(1L -> "join", 1L -> "row",
+      2L -> "scan", 2L -> "filter",
+      3L -> "window", 3L -> "sort"),
+    2L -> Seq(1L -> "table", 1L -> "column",
+      2L -> "group", 2L -> "key",
+      3L -> "batch", 3L -> "data"))
+
   /** The BM25 scoring stage shared by the scan-side key and the
     * persisted-index path ([[TextIndex]]): identical expression tree on
     * both, so index-served results hash-match the direct scan. Inputs:
@@ -578,6 +592,27 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     val root = TextIndex.indexFor(s, dir)
     TextIndex.search(s, root, Bm25Queries.toDF("query_id", "term"), Bm25TopK)
+  }
+
+  // ---- text_search_indexed_multi -----------------------------------------
+  // The amortization the standing index exists for, made measurable: K=3
+  // successive query batches with DISJOINT vocabularies served from ONE
+  // index build. Each batch pays only its own bucket-restricted postings
+  // read (the bucket cover tracks the batch's vocabulary, never the
+  // corpus); the tokenize+TF build cost is paid zero times here (the
+  // standing index is memoized) and once ever per corpus. The oracle is
+  // the scan-side BM25 SQL instantiated per workload and unioned — the
+  // index must reproduce all three scans bit-for-bit.
+  private def textSearchIndexedMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = TextIndex.indexFor(s, dir)
+    Bm25Batches.map { case (b, qs) =>
+      TextIndex.search(s, root, qs.toDF("query_id", "term"), Bm25TopK)
+        .withColumn("batch", lit(b))
+    }.reduce(_.unionAll(_))
+      .select(col("batch"), col("query_id"), col("doc_id"),
+        col("n_terms"), col("score"), col("rk"))
+      .orderBy(col("batch").asc, col("query_id").asc, col("rk").asc)
   }
 
   // ---- text_lm_score -----------------------------------------------------
@@ -711,6 +746,7 @@ object TextAnalysis extends QueryModule {
     "text_keywords" -> textKeywords,
     "text_search_bm25" -> textSearchBm25,
     "text_search_indexed" -> textSearchIndexed,
+    "text_search_indexed_multi" -> textSearchIndexedMulti,
     "text_lm_score" -> textLmScore,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -724,11 +760,15 @@ object TextAnalysis extends QueryModule {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private[operators] lazy val bm25OracleSql: String = {
-      val queryValues = Bm25Queries
+  /** The scan-side BM25 oracle instantiated for one query workload —
+    * shared by the single-batch keys (Bm25Queries) and the K-batch
+    * standing-index key (each batch's workload in turn). No ORDER BY:
+    * callers append their own so the body can sit inside a UNION ALL. */
+  private[operators] def bm25OracleBody(queries: Seq[(Long, String)]): String = {
+      val queryValues = queries
         .map { case (id, term) => s"(CAST($id AS BIGINT), '$term')" }
         .mkString(", ")
-      val vocabList = inList(Bm25Queries.map(_._2).distinct)
+      val vocabList = inList(queries.map(_._2).distinct)
       s"""WITH dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w
          |    FROM (SELECT doc_id, $wSql AS w FROM documents) WHERE len(w) > 0),
          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
@@ -753,9 +793,17 @@ object TextAnalysis extends QueryModule {
          |r AS (SELECT query_id, doc_id, n_terms, score,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM g)
-         |SELECT query_id, doc_id, n_terms, score, rk FROM r WHERE rk <= $Bm25TopK
-         |ORDER BY query_id ASC, rk ASC""".stripMargin
+         |SELECT query_id, doc_id, n_terms, score, rk FROM r WHERE rk <= $Bm25TopK""".stripMargin
   }
+
+  private[operators] lazy val bm25OracleSql: String =
+    bm25OracleBody(Bm25Queries) + "\nORDER BY query_id ASC, rk ASC"
+
+  private[operators] lazy val bm25MultiOracleSql: String =
+    Bm25Batches.map { case (b, qs) =>
+      s"SELECT CAST($b AS BIGINT) AS batch, * FROM (${bm25OracleBody(qs)})"
+    }.mkString("", "\nUNION ALL\n",
+      "\nORDER BY batch ASC, query_id ASC, rk ASC")
 
   val oracleSql: Map[String, String] = Map(
     // integer rank selection + integer micro-unit quality sum keep every
@@ -813,6 +861,8 @@ object TextAnalysis extends QueryModule {
     "text_search_bm25" -> bm25OracleSql,
     // the index path must reproduce the scan path exactly — same oracle
     "text_search_indexed" -> bm25OracleSql,
+    // three disjoint workloads from one build — union of three scan oracles
+    "text_search_indexed_multi" -> bm25MultiOracleSql,
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
         |big AS (SELECT doc_id, unnest(list_transform(range(1, length(text)),

@@ -439,8 +439,9 @@ object LanceDelete {
           if (p.conflictsWith(cur)) None // concurrent touch: abort + clean
           else Some(LanceCommit(cur.schema, p(cur.fragments) ++ newFrags,
             cur.txns, "replace"))
-        case (Some(cur), None) => // table appeared after planning: append
-          Some(LanceCommit(cur.schema, cur.fragments ++ newFrags, cur.txns, "append"))
+        case (Some(cur), None) => None // table appeared after planning: a
+          // plain append could keep the winner's rows matching P beside
+          // the replacement data — abort; the retry replans against it
         case (None, _) =>
           Some(LanceCommit(df.schema, newFrags, Map.empty, "overwrite"))
       }

@@ -383,6 +383,59 @@ class DedupSpec extends SparkSpec {
     assert(replayed === first, "answer moved under replay")
   }
 
+  test("q_stream_neardedup: state tables compact mid-stream — probes, replay guards, and answers survive") {
+    // a long-running ingestion stream appends one state generation per
+    // micro-batch; at 100 TB that fragments the state tables without
+    // bound. The GENERIC maintenance compaction must be able to fold them
+    // mid-stream: fragments merge WITHIN buckets (the restricted-probe
+    // layout survives), the bid high-water answered from fragment stats
+    // survives the rewrite (replay guards stay armed), and a stream
+    // resumed AFTER the compaction probes the folded state to the same
+    // answer as the never-compacted single-shot batch run
+    import graft.sources.lance.{LanceMaintenance, ManifestIO}
+    val keysT = java.nio.file.Files.createTempDirectory("graft-sndd-cp-k-").toString + "/t"
+    val setsT = java.nio.file.Files.createTempDirectory("graft-sndd-cp-s-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sndd-cp-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sndd-cp-ck-").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-sndd-cp-d-").toString + "/t"
+    def run() = graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // half the corpus arrives first (2 micro-batches -> 2 state generations)
+    d.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.mode("overwrite").parquet(srcDir)
+    run()
+    val conf = spark.sessionState.newHadoopConf()
+    val bidBefore = (operators.StreamingOps.lastBidOf(spark, keysT),
+      operators.StreamingOps.lastBidOf(spark, setsT))
+    val fragsBefore = (ManifestIO.loadLatest(keysT, conf).get.fragments.size,
+      ManifestIO.loadLatest(setsT, conf).get.fragments.size)
+    LanceMaintenance.compact(spark, keysT, 1000000000L, 10000000L)
+    LanceMaintenance.compact(spark, setsT, 1000000000L, 10000000L)
+    val (mk, ms) = (ManifestIO.loadLatest(keysT, conf).get,
+      ManifestIO.loadLatest(setsT, conf).get)
+    assert(mk.fragments.size < fragsBefore._1 && ms.fragments.size < fragsBefore._2,
+      s"compaction folded nothing: $fragsBefore -> (${mk.fragments.size}, ${ms.fragments.size})")
+    // the folded fragments keep their bucket tags — read.buckets probes
+    // stay restricted — and the bid high-water answered from stats holds
+    assert(mk.fragments.forall(_.bucket.isDefined), mk.fragments.map(_.bucket))
+    assert(ms.fragments.forall(_.bucket.isDefined), ms.fragments.map(_.bucket))
+    assert((operators.StreamingOps.lastBidOf(spark, keysT),
+      operators.StreamingOps.lastBidOf(spark, setsT)) === bidBefore,
+      "compaction moved the replay-guard high-water mark")
+    // the other half arrives AFTER the fold; cross-half pairs can only
+    // come from probing the compacted state
+    d.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(srcDir)
+    val all = run()
+    val batch = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.toSet === batch.toSet)
+    assert(all.nonEmpty)
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)

@@ -152,6 +152,96 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DeletePlan.apply is idempotent and accounts for every fragment") {
+    // the commit-time fold (drop / attach-DV / keep) must be a projection:
+    // applying the same plan to its own output changes nothing (a retried
+    // commit that re-folds an already-folded fragment list is a no-op),
+    // dropped paths never survive, fully-deleted fragments leave, and
+    // everything else keeps its identity
+    import graft.sources.lance.{DeleteVectorMeta, FragmentMeta, LanceDelete}
+    val frag: Gen[FragmentMeta] = for {
+      id <- Gen.identifier
+      rows <- Gen.choose(1L, 1000L)
+    } yield FragmentMeta(s"data/$id.parquet", rows, rows * 100, Map.empty)
+    val gen = for {
+      n <- Gen.choose(0, 20)
+      frags0 <- Gen.listOfN(n, frag)
+      frags = frags0.distinctBy(_.path)
+      dropMask <- Gen.listOfN(frags.length, Gen.prob(0.3))
+      dvMask <- Gen.listOfN(frags.length, Gen.prob(0.4))
+      dvCounts <- Gen.listOfN(frags.length, Gen.choose(0.0, 1.2)) // >1 ⇒ full
+    } yield {
+      val dropped = frags.zip(dropMask).collect { case (f, true) => f.path }.toSet
+      val dvs = frags.zip(dvMask).zip(dvCounts).collect {
+        case ((f, true), frac) if !dropped(f.path) =>
+          f.path -> DeleteVectorMeta(s"dv/${f.path}",
+            math.min(f.rows, math.ceil(f.rows * frac).toLong))
+      }.toMap
+      val touched = frags.filter(f => dropped(f.path) || dvs.contains(f.path))
+      (LanceDelete.DeletePlan(dropped, dvs, touched), frags)
+    }
+    check("delete plan fold", Prop.forAll(gen) { case (plan, frags) =>
+      val once = plan(frags)
+      val twice = plan(once)
+      val expectGone = frags.count(f => plan.droppedPaths(f.path) ||
+        plan.newDvs.get(f.path).exists(_.count >= f.rows))
+      twice == once &&
+        once.forall(f => !plan.droppedPaths(f.path)) &&
+        once.length == frags.length - expectGone &&
+        once.forall(f => plan.newDvs.get(f.path).forall(d =>
+          f.deletes.contains(d) && d.count < f.rows)) &&
+        // untouched fragments pass through identical
+        frags.filter(f => !plan.droppedPaths(f.path) && !plan.newDvs.contains(f.path))
+          .forall(f => once.contains(f))
+    }, cases = 300)
+  }
+
+  test("Bloom never false-negatives; Hll merge == union register-wise") {
+    // the two sketch laws every pruning/approx consumer depends on: a
+    // bloom built from N hashes answers true for EVERY inserted hash (a
+    // false negative would silently prune live fragments), and merging
+    // two HLLs equals feeding the union into one (streamed DAU-HLL ==
+    // batch is gated on exactly this)
+    import graft.sources.lance.{Bloom, Hll}
+    val keys: Gen[Array[Long]] = for {
+      n <- Gen.choose(1, 500)
+      xs <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+    } yield xs.toArray
+    check("bloom no-false-negative", Prop.forAll(keys) { ks =>
+      val hs = ks.map(Bloom.hashLong)
+      val b = Bloom.build(hs, hs.length)
+      hs.forall(b.mightContain)
+    }, cases = 300)
+    check("hll merge == union", Prop.forAll(Gen.zip(keys, keys)) { case (a, b) =>
+      val ha = new Hll(); a.foreach(ha.addLong)
+      val hb = new Hll(); b.foreach(hb.addLong)
+      val hu = new Hll(); (a ++ b).foreach(hu.addLong)
+      ha.merge(hb).registers.sameElements(hu.registers)
+    })
+  }
+
+  test("audioSignShingles: a window-aligned trim loses at most t+k shingles and invents none") {
+    // the law mm_audio_dedup_trim's linear-Jaccard-degradation claim
+    // rests on: cutting t whole windows off the front removes only the
+    // shingles overlapping the cut (the sign sequence past it is
+    // untouched), so trim-shingles ⊆ original and the set difference is
+    // bounded — never a wholesale re-keying (the failure mode of the
+    // length-relative fingerprint this key exists to fix)
+    val gen = for {
+      m <- Gen.choose(20, 60)                       // windows in the base clip
+      t <- Gen.choose(1, 4)                         // windows trimmed
+      samples <- Gen.listOfN(m * operators.Multimodal.AudioWin,
+        Gen.choose(-1000, 1000))
+    } yield (samples.map(_.toShort).toArray, t)
+    check("trim shingle subset", Prop.forAll(gen) { case (s, t) =>
+      val orig = operators.Multimodal.audioSignShingles(s).toSet
+      val trimmed = operators.Multimodal
+        .audioSignShingles(s.drop(t * operators.Multimodal.AudioWin)).toSet
+      trimmed.subsetOf(orig) &&
+        (orig.size - trimmed.size) <= t + operators.Multimodal.AudioShingleK
+    })
+  }
+
   test("fragment stats JSON round-trips exactly for every stat shape") {
     import graft.sources.lance.{ColStats, ManifestIO}
     import org.json4s.{JDouble, JLong, JString, JValue}

@@ -98,6 +98,8 @@ class EntrySpec extends SparkSpec {
     "q_events_percentiles_approx" -> 5,
     "text_search_bm25" -> 15,
     "text_search_indexed" -> 15,
+    "text_search_indexed_multi" -> 45, // 3 batches x 3 queries x top-5
+
     "q_stream_text_index" -> 15,
     "q_stream_mv_window" -> 868,
     "emb_project" -> 8000,

@@ -345,6 +345,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(version === v1, "second serving modified the standing index")
   }
 
+  test("text_search_indexed_multi: K disjoint batches from ONE build — batch 0 == single-batch key, index untouched") {
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    val root = graft.operators.TextIndex.indexFor(spark, sf)
+    def version: Long =
+      graft.sources.lance.ManifestIO.loadLatest(root + "/postings", conf).get.version
+    val v1 = version
+    val multi = SparkEntry.queries("text_search_indexed_multi")(spark, sf).collect()
+    // serving three workloads neither rebuilt nor appended to the index
+    assert(version === v1, "multi-batch serving modified the standing index")
+    // batch 0 is the Bm25Queries workload — it must reproduce the
+    // single-batch key row-for-row (same index, same scoring tree)
+    val single = SparkEntry.queries("text_search_indexed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val batch0 = multi.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(batch0.toSeq === single.toSeq)
+    // each batch answered its own workload (disjoint vocabularies → every
+    // batch finds hits in this corpus)
+    val batches = multi.map(_.getLong(0)).distinct.sorted
+    assert(batches.toSeq === Seq(0L, 1L, 2L))
+    // serving stays index-only for every batch: no tokenize, no corpus scan
+    val plan = SparkEntry.queries("text_search_indexed_multi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"multi search re-tokenized:\n$plan")
+    assert(!plan.contains("documents.parquet"), s"multi search scanned the corpus:\n$plan")
+  }
+
   test("CALL system.search: builds the sidecar once, serves the workload, materializes") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.lance_ts",
