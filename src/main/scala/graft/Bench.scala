@@ -56,7 +56,9 @@ object Bench {
     // recorded time / 3 is the per-batch marginal serving cost the
     // standing index amortizes to (build is charged to the memoized
     // first use under text_search_indexed, never here)
-    "text_search_indexed_multi")
+    "text_search_indexed_multi",
+    // appended late r16: the decontamination pair
+    "text_contamination_ratio", "contamination_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -218,6 +218,40 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- text_contamination_ratio -------------------------------------------
+  // CONTAINMENT decontamination — the asymmetric complement of
+  // text_contamination's absolute-overlap rule: a short benchmark item
+  // (an eval question) pasted inside a long web page shares only a few
+  // shingles in absolute terms but nearly ALL of ITS OWN shingles, so the
+  // production rule (cf. GPT-3/PaLM decontamination reports) thresholds
+  // |S_corpus ∩ S_bench| / |S_bench| — the fraction of the BENCHMARK
+  // document contained in the corpus document. Same Spark shape as
+  // text_contamination (shingle-bucket equi-join against the broadcast
+  // benchmark side; never all-pairs), with the benchmark's set size
+  // riding the broadcast so the ratio is a pure post-agg expression.
+  // The threshold compares the UNROUNDED ratio in both engines (rounding
+  // only the reported column) so boundary rows cannot flip between them.
+  private val ContainRatio = 0.5
+
+  private def textContaminationRatio(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bid"),
+        size(col("sh")).cast("long").as("b_size"), explode(col("sh")).as("s"))
+    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bid", "b_size")
+      .agg(count(lit(1)).as("overlap")) // shingle sets are distinct → overlap size
+      .withColumn("r", col("overlap").cast("double") / col("b_size"))
+      .filter(col("r") >= ContainRatio)
+      .select(col("doc_id"), col("bid"), col("overlap"), col("b_size"),
+        round(col("r"), 6).as("containment"))
+      .orderBy("doc_id", "bid")
+  }
+
   // ---- text_scrub --------------------------------------------------------
   // PII redaction: regexp_replace of email / IPv4 shapes with placeholder
   // tokens — the standard pre-training scrub pass. Pure per-row expressions
@@ -753,7 +787,8 @@ object TextAnalysis extends QueryModule {
     "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
     "text_scrub" -> textScrub,
-    "text_contamination" -> textContamination)
+    "text_contamination" -> textContamination,
+    "text_contamination_ratio" -> textContaminationRatio)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
@@ -963,6 +998,23 @@ object TextAnalysis extends QueryModule {
          |  count(*) AS n_matched
          |FROM o WHERE n >= $ContaminationTau
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // containment variant: ratio thresholds the UNROUNDED division in both
+    // engines; only the reported column is rounded
+    "text_contamination_ratio" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+         |  FROM d WHERE len(w) >= 3),
+         |o AS (SELECT c.doc_id, b.doc_id AS bid,
+         |    CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS overlap,
+         |    CAST(len(b.s) AS BIGINT) AS b_size
+         |  FROM g c JOIN g b
+         |    ON c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0)
+         |SELECT doc_id, bid, overlap, b_size,
+         |  round(CAST(overlap AS DOUBLE) / b_size, 6) AS containment
+         |FROM o WHERE CAST(overlap AS DOUBLE) / b_size >= $ContainRatio
+         |ORDER BY doc_id, bid""".stripMargin,
     "text_crossdup" ->
       s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -546,7 +546,43 @@ object VectorSearch extends QueryModule {
       .orderBy("vec_id", "dim")
   }
 
+  // ---- contamination_semantic ---------------------------------------------
+  // EMBEDDING-SPACE decontamination — the semantic complement of the n-gram
+  // rules (text_contamination / text_contamination_ratio): a paraphrased
+  // eval item shares no shingles with its source but lands next to it in
+  // embedding space, so the modern rule flags corpus vectors with cosine
+  // >= SemTau to ANY benchmark vector. Scale shape: the benchmark side is
+  // small BY CONSTRUCTION (eval sets are thousands of rows against a 100 TB
+  // corpus; the % 20 split is the gate's stand-in), so the exact form is ONE
+  // map-side broadcast nested-loop pass over the corpus scan — per-row cost
+  // |bench| codegen'd dot products, zero shuffle of the corpus, one tiny
+  // per-vector aggregate after the tau filter. A centroid-bound cell prune
+  // (skip bench cells whose angular lower bound angle(x,c) - maxAngle_c
+  // clears acos(tau)) was MEASURED OUT on this geometry: label cells are
+  // ~60 deg wide against the acos(0.4) = 66.4 deg threshold, leaving 88% of
+  // pairs candidates — the bound buys nothing while the broadcast pass is
+  // already exact and linear in the corpus. The tau comparison uses
+  // UNROUNDED cosines (bit-identical doubles in both engines — the knn keys
+  // prove pairwise parity); only the reported max is rounded.
+  private val SemTau = 0.4
+
+  private def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val bench = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("vb"))
+    e.filter(col("vec_id") % 20 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("label"),
+        vec_cosine(col("embedding"), col("vb")).as("cos"))
+      .filter(col("cos") >= SemTau)
+      .groupBy("vec_id", "label")
+      .agg(round(max(col("cos")), 6).as("max_cos"),
+        count(lit(1)).as("n_matched"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_semantic" -> contaminationSemantic,
     "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,
     "knn_join_hamming" -> knnJoinHammingQuery,
@@ -598,6 +634,20 @@ object VectorSearch extends QueryModule {
        |ORDER BY q_id ASC, rk ASC""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // contamination_semantic: identical pairwise cosine math (lists cast to
+    // DOUBLE[]); the tau filter runs on the unrounded value in both engines
+    "contamination_semantic" ->
+      s"""WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS vb
+         |           FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vc
+         |      FROM embeddings WHERE vec_id % 20 <> 0),
+         |p AS (SELECT c.vec_id, c.label,
+         |    list_cosine_similarity(vc, vb) AS cos
+         |  FROM c CROSS JOIN b)
+         |SELECT vec_id, label, round(max(cos), 6) AS max_cos,
+         |  count(*) AS n_matched
+         |FROM p WHERE cos >= $SemTau
+         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
     "knn_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
          |             label AS q_label

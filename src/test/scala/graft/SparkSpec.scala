@@ -176,7 +176,9 @@ class EntrySpec extends SparkSpec {
     "q_range_orders" -> 10,
     "pipeline_clean" -> 20,
     "pipeline_curate" -> 20,
-    "pipeline_pretrain" -> 16)
+    "pipeline_pretrain" -> 16,
+    "text_contamination_ratio" -> 7,
+    "contamination_semantic" -> 3)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

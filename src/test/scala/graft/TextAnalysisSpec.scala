@@ -503,4 +503,27 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
     assert(folded === fresh)
   }
+
+  test("text_contamination_ratio: containment is benchmark-relative, not absolute") {
+    // The asymmetric rule: a benchmark item pasted inside a LONG corpus doc
+    // keeps containment 1.0 even though the absolute/Jaccard overlap is
+    // small relative to the corpus doc's own shingle set.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain-").toString
+    import spark.implicits._
+    Seq(
+      20L -> "q1 q2 q3 q4 q5",                      // bench: 3 shingles
+      40L -> "z1 z2 z3",                            // bench: 1 shingle
+      1L  -> "f1 f2 q1 q2 q3 q4 q5 f3 f4 f5 f6",    // contains ALL 3 -> 1.0
+      2L  -> "q1 q2 q3 x y",                        // 1 of 3 -> 0.333 excluded
+      3L  -> "z1 z2 z3 extra words here",           // 1 of 1 vs bench 40 -> 1.0
+      4L  -> "nothing shared at all")
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("text_contamination_ratio")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 20L, 3L, 3L, 1.0),
+      (3L, 40L, 1L, 1L, 1.0)))
+  }
 }

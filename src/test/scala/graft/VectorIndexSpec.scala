@@ -949,4 +949,36 @@ class VectorIndexSpec extends SparkSpec {
       s"non-sort Exchange in emb_project's plan: $exchanges\n$plan")
     assert(exchanges.size <= 1, s"multiple Exchanges: $exchanges\n$plan")
   }
+
+  test("contamination_semantic: scale-invariant cosine flags, per-vector match counts") {
+    // bench = vec_id % 20 == 0: b1=(1,0,0,0), b2=(0,1,0,0)
+    // corpus: exact copy (cos 1), SCALED copy (cos 1 — cosine is gain-
+    // invariant), orthogonal (excluded), near-b1 (matches b1 only), and a
+    // diagonal matching BOTH benches at cos 1/sqrt(2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semcon-").toString
+    import spark.implicits._
+    Seq(
+      (20L, Array(1f, 0f, 0f, 0f), 0),
+      (40L, Array(0f, 1f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 1),
+      (2L, Array(2f, 0f, 0f, 0f), 1),
+      (3L, Array(0f, 0f, 1f, 0f), 1),
+      (4L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (5L, Array(1f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val df = SparkEntry.queries("contamination_semantic")(spark, tmp)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq
+    val c4 = BigDecimal(0.9 / math.sqrt(0.81 + 0.01))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c5 = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 1.0, 1L), (2L, 1.0, 1L), (4L, c4, 1L), (5L, c5, 2L)))
+    // corpus side never shuffles before the tau filter: the bench side rides
+    // a broadcast nested-loop join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
