@@ -201,15 +201,26 @@ object TextAnalysis extends QueryModule {
   // join over the corpus scan plus a doc-level aggregation.
   private val ContaminationTau = 3
 
-  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+  /** Shared decontamination scaffolding — the ONE definition of the n-gram
+    * contamination contract (3-word distinct shingle hash sets; benchmark =
+    * doc_id % 20 == 0, in production the eval sets), exploded to
+    * (doc, shingle) rows on both sides. The bench side carries its own set
+    * size so ratio rules are a post-agg expression. */
+  private def contaminationSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = t(s, dir, "documents")
       .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
       .filter(size(col("sh")) > 0)
     val bench = sh.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("bid"), explode(col("sh")).as("s"))
+      .select(col("doc_id").as("bid"),
+        size(col("sh")).cast("long").as("b_size"), explode(col("sh")).as("s"))
     val corpus = sh.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    corpus.join(broadcast(bench), "s")
+    (bench, corpus)
+  }
+
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val (bench, corpus) = contaminationSides(s, dir)
+    corpus.join(broadcast(bench.drop("b_size")), "s")
       .groupBy("doc_id", "bid").count() // shingle sets are distinct → overlap size
       .filter(col("count") >= ContaminationTau)
       .groupBy("doc_id")
@@ -234,14 +245,7 @@ object TextAnalysis extends QueryModule {
   private val ContainRatio = 0.5
 
   private def textContaminationRatio(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
-      .filter(size(col("sh")) > 0)
-    val bench = sh.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("bid"),
-        size(col("sh")).cast("long").as("b_size"), explode(col("sh")).as("s"))
-    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val (bench, corpus) = contaminationSides(s, dir)
     corpus.join(broadcast(bench), "s")
       .groupBy("doc_id", "bid", "b_size")
       .agg(count(lit(1)).as("overlap")) // shingle sets are distinct → overlap size

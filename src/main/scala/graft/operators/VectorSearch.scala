@@ -574,7 +574,10 @@ object VectorSearch extends QueryModule {
       .crossJoin(broadcast(bench))
       .select(col("vec_id"), col("label"),
         vec_cosine(col("embedding"), col("vb")).as("cos"))
-      .filter(col("cos") >= SemTau)
+      // a zero-norm vector has no direction: its cosine is NaN, which both
+      // engines order ABOVE every real value (NaN >= tau admits it) — drop
+      // it explicitly on both sides so the gate can't hinge on NaN hashing
+      .filter(col("cos") >= SemTau && !isnan(col("cos")))
       .groupBy("vec_id", "label")
       .agg(round(max(col("cos")), 6).as("max_cos"),
         count(lit(1)).as("n_matched"))
@@ -646,7 +649,7 @@ object VectorSearch extends QueryModule {
          |  FROM c CROSS JOIN b)
          |SELECT vec_id, label, round(max(cos), 6) AS max_cos,
          |  count(*) AS n_matched
-         |FROM p WHERE cos >= $SemTau
+         |FROM p WHERE cos >= $SemTau AND NOT isnan(cos)
          |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
     "knn_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,

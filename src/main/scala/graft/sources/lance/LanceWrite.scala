@@ -206,14 +206,8 @@ class LanceWrite(root: String, schema: StructType,
         // make columns "required" that old fragments don't even have
         val tableSchema = prev.map(_.schema).getOrElse(schema)
         val stamped = LanceWriteUtil.stampRacedDrops(newFrags, schema, tableSchema)
-        val base = prev.map(_.fragments).getOrElse(Seq.empty)
-        val frags = (truncateAll, replacePlan) match {
-          case (true, _) => stamped
-          case (false, Some(plan)) =>
-            if (prev.exists(plan.conflictsWith)) null // concurrent touch: abort
-            else plan(base) ++ stamped
-          case _ => base ++ stamped
-        }
+        val frags = LanceWriteUtil.foldReplaceCommit(prev, truncateAll,
+          replacePlan, overwriteFilters.nonEmpty, stamped)
         if (frags == null) None
         else {
           if (!truncateAll)
@@ -296,6 +290,32 @@ object LanceWriteUtil {
           s"persisted $k=$prev — rewrite the table (overwrite) to change its " +
           "bucket layout"))
     }
+
+  /** Commit-time fragment fold for the V2 writer, recomputed against the
+    * LATEST manifest on every retry. Returns null to signal abort (the
+    * caller cleans staged files and throws the retryable conflict error):
+    *  - a planned REPLACE WHERE whose plan conflicts with the current
+    *    manifest (unseen fragments not provably disjoint from the filter);
+    *  - a REPLACE WHERE planned against an ABSENT table when a concurrent
+    *    CREATE won the race — the plain-append arm would keep the winner's
+    *    rows matching the filter beside the replacement data, silently
+    *    breaking the REPLACE WHERE invariant (mirrors
+    *    LanceDelete.replaceWhere's (Some(cur), None) arm). */
+  def foldReplaceCommit(prev: Option[LanceManifest], truncateAll: Boolean,
+                        replacePlan: Option[LanceDelete.DeletePlan],
+                        replaceWhere: Boolean,
+                        stamped: Seq[FragmentMeta]): Seq[FragmentMeta] = {
+    val base = prev.map(_.fragments).getOrElse(Seq.empty)
+    (truncateAll, replacePlan) match {
+      case (true, _) => stamped
+      case (false, Some(plan)) =>
+        if (prev.exists(plan.conflictsWith)) null // concurrent touch: abort
+        else plan(base) ++ stamped
+      case _ =>
+        if (replaceWhere && prev.isDefined) null // table appeared: abort
+        else base ++ stamped
+    }
+  }
 
   /** An append that loses the commit race to a concurrent DROP COLUMN keeps
     * the winner's post-drop schema, but its fragments physically contain

@@ -2367,4 +2367,33 @@ class LanceSpec extends SparkSpec {
     assert(rep.conflictsWith(cur2),
       "REPLACE WHERE must abort when an unseen fragment can match the predicate")
   }
+
+  test("V2 writer commit fold: REPLACE WHERE vs a table that appeared after planning aborts, never plain-appends") {
+    import graft.sources.lance.{FragmentMeta, LanceManifest, LanceWriteUtil}
+    val fm = (p: String) => FragmentMeta(p, 10L, 1000L, Map.empty)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val winner = LanceManifest(1L, schema, Seq(fm("data/w.parquet")))
+    val staged = Seq(fm("data/new.parquet"))
+    // plain append onto an existing table: base ++ staged
+    assert(LanceWriteUtil.foldReplaceCommit(Some(winner), truncateAll = false,
+      None, replaceWhere = false, staged) === winner.fragments ++ staged)
+    // plain first write: staged only
+    assert(LanceWriteUtil.foldReplaceCommit(None, truncateAll = false,
+      None, replaceWhere = false, staged) === staged)
+    // truncating overwrite replaces everything
+    assert(LanceWriteUtil.foldReplaceCommit(Some(winner), truncateAll = true,
+      None, replaceWhere = true, staged) === staged)
+    // REPLACE WHERE planned against an ABSENT table, still absent at commit:
+    // degenerates to the plain first write
+    assert(LanceWriteUtil.foldReplaceCommit(None, truncateAll = false,
+      None, replaceWhere = true, staged) === staged)
+    // ...but if a concurrent CREATE won the race, the fold must ABORT — a
+    // plain append would keep the winner's filter-matching rows beside the
+    // replacement data (the LanceDelete.replaceWhere race, catalog path)
+    assert(LanceWriteUtil.foldReplaceCommit(Some(winner), truncateAll = false,
+      None, replaceWhere = true, staged) == null,
+      "catalog REPLACE WHERE plain-appended over a concurrently created table")
+  }
 }

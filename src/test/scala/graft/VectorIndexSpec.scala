@@ -964,7 +964,8 @@ class VectorIndexSpec extends SparkSpec {
       (2L, Array(2f, 0f, 0f, 0f), 1),
       (3L, Array(0f, 0f, 1f, 0f), 1),
       (4L, Array(0.9f, 0.1f, 0f, 0f), 1),
-      (5L, Array(1f, 1f, 0f, 0f), 1))
+      (5L, Array(1f, 1f, 0f, 0f), 1),
+      (6L, Array(0f, 0f, 0f, 0f), 1)) // zero norm: NaN cosine, must drop
       .toDF("vec_id", "embedding", "label").write.mode("overwrite")
       .parquet(s"$tmp/embeddings.parquet")
     val df = SparkEntry.queries("contamination_semantic")(spark, tmp)
