@@ -57,8 +57,9 @@ object Bench {
     // standing index amortizes to (build is charged to the memoized
     // first use under text_search_indexed, never here)
     "text_search_indexed_multi",
-    // appended late r16: the decontamination pair
-    "text_contamination_ratio", "contamination_semantic")
+    // appended late r16: the decontamination family
+    "text_contamination_ratio", "contamination_semantic",
+    "q_stream_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

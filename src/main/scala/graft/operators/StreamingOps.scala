@@ -1160,6 +1160,46 @@ object StreamingOps extends QueryModule {
     drain(q)
   }
 
+  /** Streaming DECONTAMINATION gate — the ingest-time form of
+    * text_contamination: the benchmark shingle side is STANDING (eval sets
+    * are static, so it is built once and broadcast to every micro-batch),
+    * each arriving document batch is screened map-side (per-document output
+    * is complete because a document rides exactly one batch), and flagged
+    * documents append to a quarantine table under the shared bid high-water
+    * guard (at-least-once replays are per-table no-ops). Per-batch cost ∝
+    * batch size — state/sink IO never touches accumulated history — which
+    * is the shape a crawl-ingest decontamination filter runs as at
+    * 100 TB/day. Gate: the quarantine table == batch text_contamination
+    * row-for-row (the same DuckDB oracle verbatim). */
+  private def streamContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = tmp("scont-src"); val outTable = tmp("scont-out") + "/t"
+    val ckpt = tmp("scont-ckpt")
+    val raw = t(s, dir, "documents").select("doc_id", "text")
+    raw.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val bench = TextAnalysis.contaminationBench(raw) // standing benchmark
+    if (!tableExists(s, outTable))
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc_id", "max_overlap", "n_matched", "bid")
+        .write.format("lance").save(outTable)
+    val q = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastBidOf(s, outTable)) {
+          TextAnalysis.contaminationScreen(batch, bench)
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("append").save(outTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    s.read.format("lance").load(outTable)
+      .select("doc_id", "max_overlap", "n_matched")
+      .orderBy("doc_id")
+  }
+
   /** Streaming inverted-index maintenance — the text twin of
     * q_stream_index: each document micro-batch appends its posting lists
     * into the term-bucketed postings table and its ADDITIVE df / corpus
@@ -1246,6 +1286,7 @@ object StreamingOps extends QueryModule {
     "q_stream_text_index" -> streamTextIndex,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
+    "q_stream_contamination" -> streamContamination,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -1257,6 +1298,9 @@ object StreamingOps extends QueryModule {
     "q_stream_index_pq" -> streamIndexOncePq)
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed quarantine table must equal batch text_contamination —
+    // its oracle verbatim
+    "q_stream_contamination" -> TextAnalysis.oracleSql("text_contamination"),
     // full-probe search over the streamed-in index == exact KNN (the same
     // statement that gates ivf_flat/ivf_append)
     "q_stream_index" -> VectorIndex.exactKnnSql,

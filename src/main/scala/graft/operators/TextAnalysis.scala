@@ -204,29 +204,36 @@ object TextAnalysis extends QueryModule {
   /** Shared decontamination scaffolding — the ONE definition of the n-gram
     * contamination contract (3-word distinct shingle hash sets; benchmark =
     * doc_id % 20 == 0, in production the eval sets), exploded to
-    * (doc, shingle) rows on both sides. The bench side carries its own set
-    * size so ratio rules are a post-agg expression. */
-  private def contaminationSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sh = t(s, dir, "documents")
-      .withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
+    * (doc, shingle) rows. The bench side carries its own set size so ratio
+    * rules are a post-agg expression; it is standing + broadcastable, so
+    * the streaming twin builds it ONCE and screens each arriving batch. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.withColumn("sh", graft.functions.shingle_hashes(col("text"), 3))
       .filter(size(col("sh")) > 0)
-    val bench = sh.filter(col("doc_id") % 20 === 0)
+
+  private[operators] def contaminationBench(docs: DataFrame): DataFrame =
+    shingled(docs).filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("bid"),
         size(col("sh")).cast("long").as("b_size"), explode(col("sh")).as("s"))
-    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    (bench, corpus)
-  }
 
-  private def textContamination(s: SparkSession, dir: String): DataFrame = {
-    val (bench, corpus) = contaminationSides(s, dir)
-    corpus.join(broadcast(bench.drop("b_size")), "s")
+  private def contaminationCorpus(docs: DataFrame): DataFrame =
+    shingled(docs).filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** The batch text_contamination body over any corpus slice: per-document
+    * output is complete whenever the slice holds whole documents, so the
+    * streaming twin can screen micro-batches independently. */
+  private[operators] def contaminationScreen(docs: DataFrame, bench: DataFrame): DataFrame =
+    contaminationCorpus(docs).join(broadcast(bench.drop("b_size")), "s")
       .groupBy("doc_id", "bid").count() // shingle sets are distinct → overlap size
       .filter(col("count") >= ContaminationTau)
       .groupBy("doc_id")
       .agg(max(col("count")).as("max_overlap"),
         count(lit(1)).as("n_matched"))
-      .orderBy("doc_id")
+
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    contaminationScreen(d, contaminationBench(d)).orderBy("doc_id")
   }
 
   // ---- text_contamination_ratio -------------------------------------------
@@ -245,7 +252,8 @@ object TextAnalysis extends QueryModule {
   private val ContainRatio = 0.5
 
   private def textContaminationRatio(s: SparkSession, dir: String): DataFrame = {
-    val (bench, corpus) = contaminationSides(s, dir)
+    val d = t(s, dir, "documents")
+    val (bench, corpus) = (contaminationBench(d), contaminationCorpus(d))
     corpus.join(broadcast(bench), "s")
       .groupBy("doc_id", "bid", "b_size")
       .agg(count(lit(1)).as("overlap")) // shingle sets are distinct → overlap size

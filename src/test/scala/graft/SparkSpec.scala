@@ -178,7 +178,8 @@ class EntrySpec extends SparkSpec {
     "pipeline_curate" -> 20,
     "pipeline_pretrain" -> 16,
     "text_contamination_ratio" -> 7,
-    "contamination_semantic" -> 3)
+    "contamination_semantic" -> 3,
+    "q_stream_contamination" -> 10)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -526,4 +526,10 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 20L, 3L, 3L, 1.0),
       (3L, 40L, 1L, 1L, 1.0)))
   }
+
+  test("q_stream_contamination: streamed quarantine == batch text_contamination row-for-row") {
+    def rows(key: String) = SparkEntry.queries(key)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows("q_stream_contamination") === rows("text_contamination"))
+  }
 }
