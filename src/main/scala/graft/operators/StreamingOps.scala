@@ -1171,18 +1171,27 @@ object StreamingOps extends QueryModule {
     * is the shape a crawl-ingest decontamination filter runs as at
     * 100 TB/day. Gate: the quarantine table == batch text_contamination
     * row-for-row (the same DuckDB oracle verbatim). */
-  private def streamContamination(s: SparkSession, dir: String): DataFrame = {
+  private def streamContamination(s: SparkSession, dir: String): DataFrame =
+    streamContaminationAt(s, t(s, dir, "documents").select("doc_id", "text"),
+      tmp("scont-out") + "/t", srcParts = 4)
+
+  /** The twin's body, parameterized for the crash-replay spec. Re-runs
+    * against the same srcDir/ckpt must not rewrite the source (fresh part
+    * names would read as new data — same posture as [[streamDedupAt]]). */
+  private[graft] def streamContaminationAt(s: SparkSession, docs: DataFrame,
+      outTable: String, srcParts: Int,
+      srcDir0: String = null, ckpt0: String = null): DataFrame = {
     import s.implicits._
-    val srcDir = tmp("scont-src"); val outTable = tmp("scont-out") + "/t"
-    val ckpt = tmp("scont-ckpt")
-    val raw = t(s, dir, "documents").select("doc_id", "text")
-    raw.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val bench = TextAnalysis.contaminationBench(raw) // standing benchmark
+    val srcDir = Option(srcDir0).getOrElse(tmp("scont-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("scont-ckpt"))
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
+      docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    val bench = TextAnalysis.contaminationBench(docs) // standing benchmark
     if (!tableExists(s, outTable))
       Seq.empty[(Long, Long, Long, Long)]
         .toDF("doc_id", "max_overlap", "n_matched", "bid")
         .write.format("lance").save(outTable)
-    val q = s.readStream.schema(raw.schema)
+    val q = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>

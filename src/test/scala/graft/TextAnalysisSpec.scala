@@ -532,4 +532,29 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows("q_stream_contamination") === rows("text_contamination"))
   }
+
+  test("q_stream_contamination: crash between quarantine append and checkpoint commit — replay no-ops") {
+    // at-least-once hole: the quarantine append is durable, the checkpoint
+    // commit marker is not; the replayed bid must not re-append its rows
+    val out = java.nio.file.Files.createTempDirectory("graft-scont-cr-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-scont-cr-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scont-cr-ck-").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    def run() = graft.operators.StreamingOps
+      .streamContaminationAt(spark, docs, out, srcParts = 4, srcDir, ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    val stateRows = spark.read.format("lance").load(out).count()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val replayed = run()
+    assert(spark.read.format("lance").load(out).count() === stateRows,
+      "replayed batch re-appended quarantine rows — the bid guard is broken")
+    assert(replayed === first)
+  }
 }
