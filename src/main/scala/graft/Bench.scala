@@ -59,7 +59,9 @@ object Bench {
     "text_search_indexed_multi",
     // appended late r16: the decontamination family
     "text_contamination_ratio", "contamination_semantic",
-    "q_stream_contamination")
+    "q_stream_contamination",
+    // appended late r16: the quantization ladder's middle rung
+    "ivf_sq_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,6 +142,17 @@ object Bench {
             val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
             val lut = operators.VectorIndex.pqLut(qv, flat, subDim)
             () => { operators.VectorIndex.pqAdcTopK(cached, lut, k = 10,
+              excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
+          case "ivf_sq_search" =>
+            // stats pass + encode is the build; time the ADC+refine query
+            val tb = System.nanoTime()
+            val (encoded, mins, scales) = operators.VectorIndex.buildSq(spark, sfDir)
+            val cached = encoded.cache()
+            cached.count() // materialize codes — the persisted index artifact
+            times("ivf_sq_build") = (System.nanoTime() - tb) / 1e9
+            val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
+            () => { operators.VectorIndex.sqTopKRefined(spark, cached, mins, scales,
+              qv, k = operators.VectorIndex.K, refineFactor = 4,
               excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
           case _ =>
             () => { fn(spark, sfDir).count(); () }

@@ -43,6 +43,16 @@ package object functions {
                   m: Int, codes: Int, subDim: Int): Column =
     Column(PqAdcPair(expression(codesCol), expression(queryVec), codebooks, m, codes, subDim))
 
+  /** SQ8-encode a vector column: one byte per dimension via per-dimension
+    * affine [min, max] → [0, 255] quantization (4× storage cut). */
+  def sq_encode(v: Column, mins: Array[Double], scales: Array[Double]): Column =
+    Column(SqEncode(expression(v), mins, scales))
+
+  /** ADC L2² of an SQ8 code column against a query, with qm_d = q_d − min_d
+    * precomputed driver-side. */
+  def sq_adc(codesCol: Column, qm: Array[Double], scales: Array[Double]): Column =
+    Column(SqAdc(expression(codesCol), qm, scales))
+
   /** Nearest-centroid cell id of a vector column against a flattened
     * [cell][dim] centroid matrix (codegen'd; the index-append hot path). */
   def nearest_cell(v: Column, centroids: Array[Double], cells: Int, dim: Int): Column =

@@ -179,7 +179,8 @@ class EntrySpec extends SparkSpec {
     "pipeline_pretrain" -> 16,
     "text_contamination_ratio" -> 7,
     "contamination_semantic" -> 3,
-    "q_stream_contamination" -> 10)
+    "q_stream_contamination" -> 10,
+    "ivf_sq_search" -> 15)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

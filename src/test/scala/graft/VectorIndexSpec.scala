@@ -950,6 +950,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"multiple Exchanges: $exchanges\n$plan")
   }
 
+  test("SQ8: roundtrip error bounded by half a step; ADC == driver-recomputed distance; refine == exact") {
+    val (encoded, mins, scales) = operators.VectorIndex.buildSq(spark, sf)
+    val rows = encoded.limit(50).collect()
+    // per-coordinate dequantization error <= scale/2 (+ double eps): the
+    // affine code covers the trained envelope, rint picks the nearer step
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val codes = r.getAs[Array[Byte]](2)
+      v.indices.foreach { d =>
+        val deq = mins(d) + (codes(d) & 0xFF).toDouble * scales(d)
+        if (scales(d) > 0)
+          assert(math.abs(deq - v(d)) <= scales(d) / 2 + 1e-9,
+            s"dim $d: |$deq - ${v(d)}| > ${scales(d) / 2}")
+        else assert(deq === mins(d))
+      }
+    }
+    // the codegen'd ADC equals the driver-side dequantized L2^2
+    val qv = operators.VectorIndex.embeddingOf(spark, sf, 1L)
+    val qm = Array.tabulate(qv.length)(d => qv(d) - mins(d))
+    val adc = encoded.limit(50)
+      .select(col("vec_id"), col("scodes"),
+        graft.functions.sq_adc(col("scodes"), qm, scales).as("adc"))
+      .collect()
+    adc.foreach { r =>
+      val codes = r.getAs[Array[Byte]](1)
+      val expect = codes.indices.map { d =>
+        val diff = qm(d) - (codes(d) & 0xFF).toDouble * scales(d)
+        diff * diff
+      }.sum
+      assert(math.abs(r.getDouble(2) - expect) <= 1e-9 * math.max(1.0, expect))
+    }
+    // generous refine reproduces exact KNN (the full-oracle claim, locally)
+    val sq = SparkEntry.queries("ivf_sq_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") =!= 1L)
+      .crossJoin(broadcast(spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") === 1L).select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        round(graft.functions.vec_l2(col("embedding"), col("qv")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sq === exact)
+  }
+
   test("contamination_semantic: scale-invariant cosine flags, per-vector match counts") {
     // bench = vec_id % 20 == 0: b1=(1,0,0,0), b2=(0,1,0,0)
     // corpus: exact copy (cos 1), SCALED copy (cos 1 — cosine is gain-
