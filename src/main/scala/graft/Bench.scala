@@ -196,9 +196,12 @@ object Bench {
     // also persist into the repo itself (sbt runs from the project root):
     // the driver's BENCH_r{N} capture is a truncated stdout tail — r15's
     // artifact lost the first ~25 keys and parsed as null — so the full
-    // per-key record must live in a file the driver can snapshot whole
-    try Files.writeString(Paths.get("BENCH.json"), line)
-    catch { case scala.util.control.NonFatal(_) => () } // read-only cwd: stdout+tmp still carry it
+    // per-key record must live in a file the driver can snapshot whole.
+    // FULL runs only: a key-filtered local iteration must not clobber the
+    // repo's full snapshot with a partial one (/tmp still carries it)
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("BENCH.json"), line)
+      catch { case scala.util.control.NonFatal(_) => () } // read-only cwd: stdout+tmp still carry it
     println(line)
     spark.stop()
   }
