@@ -60,8 +60,9 @@ object Bench {
     // appended late r16: the decontamination family
     "text_contamination_ratio", "contamination_semantic",
     "q_stream_contamination",
-    // appended late r16: the quantization ladder's middle rung
-    "ivf_sq_search")
+    // appended late r16: the quantization ladder's middle rung + the
+    // decontamination family's SQL entry point
+    "ivf_sq_search", "lance_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -402,6 +402,32 @@ object LanceOps extends QueryModule {
       .orderBy(col("q_id").asc, col("rk").asc)
   }
 
+  /** SQL-callable DECONTAMINATION — CALL system.decontaminate over two
+    * catalog tables (corpus + the standing benchmark), survivors (every
+    * corpus column) materialized to a lance output table the key reads
+    * back. Both n-gram rules active (overlap >= 3 OR containment >= 0.5);
+    * the oracle reproduces them with string shingles — the inverse of
+    * text_contamination's flag set union'd with the ratio rule's. */
+  private def decontaminateSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, tb, to) = (s"decc_$sfx", s"decb_$sfx", s"deco_$sfx")
+    t(s, dir, "documents").filter(col("doc_id") % 20 =!= 0)
+      .createOrReplaceTempView(s"src_$tc")
+    t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+      .createOrReplaceTempView(s"src_$tb")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CREATE TABLE graft_lance.db.$tb AS SELECT * FROM src_$tb")
+    s.sql(s"CALL graft_lance.system.decontaminate(corpus => 'db.$tc', " +
+      s"bench => 'db.$tb', min_overlap => 3, min_containment => 0.5, " +
+      s"output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Z-order with a STRING dimension (dictionary keys like country/tenant
     * are what real users cluster on): the rewrite ranks strings by their
     * zero-padded 8-byte UTF-8 prefix — monotonic in the byte order the
@@ -661,9 +687,26 @@ object LanceOps extends QueryModule {
     "q_batch_cdc" -> batchCdc,
     "q_cdc_materialized" -> cdcMaterialized,
     "lance_streaming_sink" -> streamingSink,
+    "lance_decontaminate" -> decontaminateSqlCall,
     "lance_events_roundtrip" -> eventsRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    // survivors = corpus minus docs flagged by overlap >= 3 OR containment
+    // >= 0.5 (string shingles mirror the hashed sets, collisions ~1e-9)
+    "lance_decontaminate" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM d WHERE len(w) >= 3),
+        |f AS (SELECT DISTINCT c.doc_id
+        |  FROM g c JOIN g b ON c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+        |  WHERE len(list_intersect(c.s, b.s)) >= 3
+        |     OR CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(b.s) >= 0.5)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM f)
+        |ORDER BY doc_id""".stripMargin,
     "lance_roundtrip" ->
       s"""SELECT count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key,
          |  ${sqlExactSum("c_acctbal", 100L)} AS sum_bal

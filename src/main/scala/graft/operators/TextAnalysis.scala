@@ -236,6 +236,31 @@ object TextAnalysis extends QueryModule {
     contaminationScreen(d, contaminationBench(d)).orderBy("doc_id")
   }
 
+  /** Procedure-facing n-gram decontamination flags over ARBITRARY corpus /
+    * benchmark tables (the CALL system.decontaminate body): a corpus doc is
+    * flagged when it shares >= minOverlap 3-word shingles with any bench
+    * doc, OR (when minContainment > 0) contains >= minContainment of some
+    * bench doc's own shingle set. Returns the distinct flagged ids (one
+    * column named idCol). Same shape as the gated keys: shingle-bucket
+    * equi-join against the broadcast bench side, never all-pairs; both
+    * thresholds compare unrounded values. */
+  private[graft] def decontaminationFlags(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minOverlap: Int,
+      minContainment: Double): DataFrame = {
+    def sides(df: DataFrame, out: String) = df
+      .withColumn("sh", graft.functions.shingle_hashes(col(textCol), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol).as(out),
+        size(col("sh")).cast("long").as(s"${out}_size"), explode(col("sh")).as("s"))
+    sides(corpus, "cid").drop("cid_size")
+      .join(broadcast(sides(bench, "bid")), "s")
+      .groupBy("cid", "bid", "bid_size").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap ||
+        (lit(minContainment) > 0.0 &&
+          col("overlap").cast("double") / col("bid_size") >= minContainment))
+      .select(col("cid").as(idCol)).distinct()
+  }
+
   // ---- text_contamination_ratio -------------------------------------------
   // CONTAINMENT decontamination — the asymmetric complement of
   // text_contamination's absolute-overlap rule: a short benchmark item

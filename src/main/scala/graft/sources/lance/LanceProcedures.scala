@@ -42,15 +42,16 @@ object LanceProcedures {
       case "search" => search(catalog)
       case "reindex" => reindex(catalog)
       case "stats" => stats(catalog)
+      case "decontaminate" => decontaminate(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
-          "zorder / knn / knn_join / search / reindex / stats)")
+          "zorder / knn / knn_join / search / reindex / stats / decontaminate)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
-        "reindex", "stats")
+        "reindex", "stats", "decontaminate")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -502,6 +503,61 @@ object LanceProcedures {
     * (exact string dictionaries, else the per-fragment HLL sidecar merge).
     * Columns carrying rename/hide indirection on any fragment report
     * nulls rather than guesses. O(fragments) sidecar reads, no data IO. */
+  /** SQL entry point for the n-gram DECONTAMINATION family — materializes
+    * the cleaned corpus (every column of the corpus table, survivors only)
+    * to a lance table and returns one summary row:
+    *
+    * {{{
+    *   CALL cat.system.decontaminate(corpus => 'db.docs', bench => 'db.eval',
+    *     id_column => 'doc_id', text_column => 'text',
+    *     min_overlap => 3, min_containment => 0.5,
+    *     output_table => 'db.docs_clean')
+    * }}}
+    *
+    * A corpus doc is dropped when it shares >= min_overlap 3-word shingles
+    * with any bench doc OR contains >= min_containment of a bench doc's own
+    * shingle set (0.0 disables the containment rule). output_table is
+    * REQUIRED — the survivor set is corpus-sized, so it always writes
+    * distributed (one anti-join + one lance write; the driver only carries
+    * the summary). The screen itself is the gated keys' shape:
+    * [[graft.operators.TextAnalysis.decontaminationFlags]]. */
+  private def decontaminate(catalog: LanceCatalog): UnboundProcedure =
+    bound("decontaminate", catalog, Array(
+      param("corpus", StringType),
+      param("bench", StringType),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("min_overlap", IntegerType, Some("3")),
+      param("min_containment", DoubleType, Some("0.0")),
+      // required in effect (the runtime require below) — declared with a
+      // default only because optional params may not precede required ones
+      param("output_table", StringType, Some("''")))) { (cRoot, in) =>
+      val spark = SparkSession.active
+      val bRoot = catalog.tableRootFor(in.getUTF8String(1).toString)
+      val idCol = in.getUTF8String(2).toString
+      val textCol = in.getUTF8String(3).toString
+      val minOverlap = in.getInt(4)
+      val minContainment = in.getDouble(5)
+      val outTable = in.getUTF8String(6).toString.trim
+      require(outTable.nonEmpty, "lance decontaminate: output_table is required " +
+        "(the survivor set is corpus-sized — it must write distributed)")
+      val corpus = spark.read.format("lance").load(cRoot)
+      val bench = spark.read.format("lance").load(bRoot)
+      val flags = graft.operators.TextAnalysis.decontaminationFlags(
+        corpus, bench, idCol, textCol, minOverlap, minContainment)
+      val nFlagged = flags.count()
+      val survivors = corpus.join(flags, Seq(idCol), "left_anti")
+      val outRoot = catalog.tableRootForCreate(outTable)
+      survivors.write.format("lance").mode("overwrite").save(outRoot)
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val nOut = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+      (StructType(Seq(
+        StructField("output_table", StringType, nullable = false),
+        StructField("n_flagged", LongType, nullable = false),
+        StructField("n_out", LongType, nullable = false))),
+        Seq(Array[Any](UTF8String.fromString(outTable), nFlagged, nOut)))
+    }
+
   private def stats(catalog: LanceCatalog): UnboundProcedure =
     bound("stats", catalog, Array(param("table", StringType))) { (root, _) =>
       val spark = SparkSession.active

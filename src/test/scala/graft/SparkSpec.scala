@@ -180,7 +180,8 @@ class EntrySpec extends SparkSpec {
     "text_contamination_ratio" -> 7,
     "contamination_semantic" -> 3,
     "q_stream_contamination" -> 10,
-    "ivf_sq_search" -> 15)
+    "ivf_sq_search" -> 15,
+    "lance_decontaminate" -> 465)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -533,6 +533,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("q_stream_contamination") === rows("text_contamination"))
   }
 
+  test("CALL system.decontaminate: both rules flag, survivors materialize whole-row, summary counts") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dec",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dec.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-dec-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dec.db")
+    // bench: one long item (absolute-overlap rule), one short (containment)
+    Seq(
+      (100L, "q1 q2 q3 q4 q5 q6", "b"),   // 4 shingles
+      (101L, "z1 z2 z3", "b"))            // 1 shingle
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("dec_bench_src")
+    Seq(
+      (1L, "q1 q2 q3 q4 q5 q6 tail words here", "a"), // overlap 4 >= 3 → flagged
+      (2L, "f1 z1 z2 z3 f2 f3 f4 f5 f6 f7 f8", "a"),  // overlap 1, containment 1/1 → flagged
+      (3L, "q1 q2 q3 x y", "a"),                      // overlap 1, containment 0.25 → survives
+      (4L, "nothing shared at all", "a"))             // survives
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("dec_corpus_src")
+    spark.sql("CREATE TABLE graft_dec.db.dec_bench AS SELECT * FROM dec_bench_src")
+    spark.sql("CREATE TABLE graft_dec.db.dec_corpus AS SELECT * FROM dec_corpus_src")
+    val summary = spark.sql(
+      "CALL graft_dec.system.decontaminate(corpus => 'db.dec_corpus', " +
+        "bench => 'db.dec_bench', min_overlap => 3, min_containment => 0.5, " +
+        "output_table => 'db.dec_clean')").collect()
+    assert(summary.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("db.dec_clean", 2L, 2L)))
+    val out = spark.table("graft_dec.db.dec_clean")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (3L, "q1 q2 q3 x y", "a"),
+      (4L, "nothing shared at all", "a")))
+    // output_table is required — the survivor set must write distributed
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dec.system.decontaminate(corpus => 'db.dec_corpus', " +
+        "bench => 'db.dec_bench', output_table => '')").collect())
+    assert(e.getMessage.contains("output_table"))
+  }
+
   test("q_stream_contamination: crash between quarantine append and checkpoint commit — replay no-ops") {
     // at-least-once hole: the quarantine append is durable, the checkpoint
     // commit marker is not; the replayed bid must not re-append its rows
