@@ -1186,7 +1186,10 @@ object StreamingOps extends QueryModule {
     val ckpt = Option(ckpt0).getOrElse(tmp("scont-ckpt"))
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val bench = TextAnalysis.contaminationBench(docs) // standing benchmark
+    // standing benchmark, MATERIALIZED once: without the localCheckpoint
+    // the lazy plan (full corpus scan + shingling) would re-execute inside
+    // every micro-batch, making per-batch cost ∝ corpus instead of ∝ batch
+    val bench = TextAnalysis.contaminationBench(docs).localCheckpoint()
     if (!tableExists(s, outTable))
       Seq.empty[(Long, Long, Long, Long)]
         .toDF("doc_id", "max_overlap", "n_matched", "bid")

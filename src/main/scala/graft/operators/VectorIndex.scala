@@ -257,25 +257,38 @@ object VectorIndex extends QueryModule {
     pqAdcTopK(encoded, pqLut(qv, flat, subDim), k = 10, excludeVecId = QueryVecId)
   }
 
+  /** Shared candidate→exact-refine tail for the quantized searches: keep
+    * the k×refine best APPROXIMATE scores, re-rank them with the exact
+    * codegen'd L2, keep k. Null approximate scores (a malformed row —
+    * ragged dims or a null element nulls the encode, and the ADC of null
+    * codes) are FILTERED, not sorted: Spark ASC places NULLS FIRST, so an
+    * unfiltered null would evict true neighbors from the candidate set and
+    * surface in the answer. The exact re-rank runs over k×refine rows
+    * only — driver-bounded, never a data scan. */
+  private def refineExact(s: SparkSession, scored: DataFrame, qv: Array[Double],
+                          k: Int, refineFactor: Int): DataFrame = {
+    import s.implicits._
+    val qvDf = Seq(Tuple1(qv.map(_.toFloat))).toDF("qv")
+    scored.filter(col("adc_dist").isNotNull)
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k * refineFactor)
+      .crossJoin(broadcast(qvDf))
+      .select(col("vec_id"), round(vec_l2(col("embedding"), col("qv")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** PQ search with refine: fetch k×refineFactor ADC candidates, re-rank
     * them with the exact codegen'd L2, keep k (reference:
-    * LanceVectorSearch.java:159-161 refine-factor). The exact re-rank runs
-    * over k×refine rows only — driver-bounded, never a data scan. */
+    * LanceVectorSearch.java:159-161 refine-factor). */
   def ivfPqRefine(s: SparkSession, dir: String, k: Int, refineFactor: Int): DataFrame = {
     val (encoded, flat, subDim) = buildPq(s, dir)
     val qv = embeddingOf(s, dir, QueryVecId)
     val lut = pqLut(qv, flat, subDim)
-    import s.implicits._
-    val qvDf = Seq(Tuple1(qv.map(_.toFloat))).toDF("qv")
-    val candidates = encoded.filter(col("vec_id") =!= QueryVecId)
+    refineExact(s, encoded.filter(col("vec_id") =!= QueryVecId)
       .select(col("vec_id"), col("embedding"),
-        graft.functions.pq_adc(col("codes"), lut, M, Codes).as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-      .limit(k * refineFactor)
-    candidates.crossJoin(broadcast(qvDf))
-      .select(col("vec_id"), round(vec_l2(col("embedding"), col("qv")), 6).as("dist"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-      .limit(k)
+        graft.functions.pq_adc(col("codes"), lut, M, Codes).as("adc_dist")),
+      qv, k, refineFactor)
   }
 
   // ---- IVF_SQ8 (scalar quantization) --------------------------------------
@@ -308,26 +321,22 @@ object VectorIndex extends QueryModule {
     (encoded, mins, scales)
   }
 
-  /** SQ ADC candidates + exact re-rank over k×refine rows (the refine is
-    * driver-bounded, never a data scan). At refine = 4 the 8-bit codes'
-    * per-coordinate error (≤ scale/2) keeps the true top-k inside the
-    * candidate set, so the key reproduces exact KNN and carries the FULL
-    * oracle — the same posture as knn_join_pq's generous-refine gate. */
+  /** SQ ADC candidates + exact re-rank via [[refineExact]]. At refine = 4
+    * the 8-bit codes' per-coordinate error (≤ scale/2) keeps the true
+    * top-k inside the candidate set, so the key reproduces exact KNN and
+    * carries the FULL oracle. Like knn_join_pq's generous-refine gate this
+    * is an EMPIRICAL posture, verified by the refine==exact spec and the
+    * oracle on the gate corpus, not a proof — embeddings whose rank-k
+    * distance boundary is tighter than the accumulated half-step error
+    * would need a larger refine (the exactness knob, not a code change). */
   def sqTopKRefined(s: SparkSession, encoded: DataFrame, mins: Array[Double],
                     scales: Array[Double], qv: Array[Double], k: Int,
                     refineFactor: Int, excludeVecId: Long): DataFrame = {
-    import s.implicits._
     val qm = Array.tabulate(qv.length)(d => qv(d) - mins(d))
-    val qvDf = Seq(Tuple1(qv.map(_.toFloat))).toDF("qv")
-    val candidates = encoded.filter(col("vec_id") =!= excludeVecId)
+    refineExact(s, encoded.filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("embedding"),
-        graft.functions.sq_adc(col("scodes"), qm, scales).as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-      .limit(k * refineFactor)
-    candidates.crossJoin(broadcast(qvDf))
-      .select(col("vec_id"), round(vec_l2(col("embedding"), col("qv")), 6).as("dist"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-      .limit(k)
+        graft.functions.sq_adc(col("scodes"), qm, scales).as("adc_dist")),
+      qv, k, refineFactor)
   }
 
   private def ivfSqSearch(s: SparkSession, dir: String): DataFrame = {

@@ -497,12 +497,6 @@ object LanceProcedures {
         Seq(Array[Any](drift, threshold, rebuilt)))
     }
 
-  /** Per-column table statistics from metadata alone — the observability
-    * face of the same numbers the scan hands the CBO: one row per column
-    * with folded min/max/null_count (manifest, zero data IO) and NDV
-    * (exact string dictionaries, else the per-fragment HLL sidecar merge).
-    * Columns carrying rename/hide indirection on any fragment report
-    * nulls rather than guesses. O(fragments) sidecar reads, no data IO. */
   /** SQL entry point for the n-gram DECONTAMINATION family — materializes
     * the cleaned corpus (every column of the corpus table, survivors only)
     * to a lance table and returns one summary row:
@@ -543,8 +537,12 @@ object LanceProcedures {
         "(the survivor set is corpus-sized — it must write distributed)")
       val corpus = spark.read.format("lance").load(cRoot)
       val bench = spark.read.format("lance").load(bRoot)
+      // localCheckpoint: the flag set (ids only) is consumed twice (count +
+      // anti-join) — without it the corpus-wide shingle join would execute
+      // twice, doubling the procedure's dominant cost
       val flags = graft.operators.TextAnalysis.decontaminationFlags(
         corpus, bench, idCol, textCol, minOverlap, minContainment)
+        .localCheckpoint()
       val nFlagged = flags.count()
       val survivors = corpus.join(flags, Seq(idCol), "left_anti")
       val outRoot = catalog.tableRootForCreate(outTable)
@@ -558,6 +556,12 @@ object LanceProcedures {
         Seq(Array[Any](UTF8String.fromString(outTable), nFlagged, nOut)))
     }
 
+  /** Per-column table statistics from metadata alone — the observability
+    * face of the same numbers the scan hands the CBO: one row per column
+    * with folded min/max/null_count (manifest, zero data IO) and NDV
+    * (exact string dictionaries, else the per-fragment HLL sidecar merge).
+    * Columns carrying rename/hide indirection on any fragment report
+    * nulls rather than guesses. O(fragments) sidecar reads, no data IO. */
   private def stats(catalog: LanceCatalog): UnboundProcedure =
     bound("stats", catalog, Array(param("table", StringType))) { (root, _) =>
       val spark = SparkSession.active

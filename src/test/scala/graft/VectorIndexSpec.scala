@@ -995,6 +995,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(sq === exact)
   }
 
+  test("SQ8 refine: malformed rows (null ADC) are filtered, never sorted first into the answer") {
+    // Spark ASC is NULLS FIRST: an unfiltered null adc_dist would evict
+    // true neighbors from the candidate set and ride the null dist into
+    // the top-k. A ragged row must simply vanish from the result.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqnull-").toString
+    import spark.implicits._
+    val rows = (0L to 20L).map(i =>
+      (i, Array(i.toFloat, (i % 5).toFloat, 1f, 0f), 0)) :+
+      ((99L, Array(0.5f, 0.5f), 0)) // ragged: 2 dims vs 4 → null codes
+    rows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val (encoded, mins, scales) = operators.VectorIndex.buildSq(spark, tmp)
+    val qv = Array(1.0, 1.0, 1.0, 0.0)
+    val got = operators.VectorIndex.sqTopKRefined(spark, encoded, mins, scales,
+      qv, k = 5, refineFactor = 2, excludeVecId = -1L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!got.contains(99L), s"malformed row surfaced in the top-k: $got")
+    assert(got.size === 5)
+  }
+
   test("contamination_semantic: scale-invariant cosine flags, per-vector match counts") {
     // bench = vec_id % 20 == 0: b1=(1,0,0,0), b2=(0,1,0,0)
     // corpus: exact copy (cos 1), SCALED copy (cos 1 — cosine is gain-
