@@ -27,6 +27,10 @@ object IndexBuild {
 
   case class PqMeta(flat: Array[Double], m: Int, codes: Int, subDim: Int)
 
+  /** IVF_SQ per-dimension affine quantizer: code_d maps [mins(d),
+    * mins(d) + 255·scales(d)] → [0, 255] ([[graft.functions.SqEncode]]). */
+  case class SqMeta(mins: Array[Double], scales: Array[Double])
+
   /** `epoch` is the sidecar file this handle's centroids/codebooks came
     * from (`meta-<uuid>.json`); reads through the handle verify the
     * table still points at it, so a handle that outlives a rebuild fails
@@ -35,7 +39,8 @@ object IndexBuild {
                         centroids: Array[Vector], pq: Option[PqMeta],
                         graph: Option[CentroidGraph],
                         residual: Option[Double] = None,
-                        epoch: Option[String] = None)
+                        epoch: Option[String] = None,
+                        sq: Option[SqMeta] = None)
 
   /** The manifest property naming the live index sidecar file — stamped in
     * the SAME commit as the indexed data (see `commit.prop.` in
@@ -66,7 +71,7 @@ object IndexBuild {
     * old fragments stay on disk until vacuum for time travel). */
   def rebuild(s: SparkSession, idx: BuiltIndex): BuiltIndex = {
     val data = s.read.format("lance").options(pinnedOptions(s, idx)).load(idx.root)
-      .drop("cell", "codes")
+      .drop("cell", "codes", "scodes")
     buildWith(s, data, idx.root, idx.opts, overwrite = true)
   }
 
@@ -123,10 +128,16 @@ object IndexBuild {
         VectorIndex.trainingSample(source), vecCol, m, codes, subDim)
       Some(PqMeta(flat, m, codes, subDim))
     }
-    val indexed = pq match {
-      case Some(p) => assigned.withColumn("codes",
+    val sq = if (io.indexType != "IVF_SQ") None else {
+      val (mins, scales) = VectorIndex.sqStats(source, vecCol)
+      Some(SqMeta(mins, scales))
+    }
+    val indexed = (pq, sq) match {
+      case (Some(p), _) => assigned.withColumn("codes",
         graft.functions.pq_encode(col(vecCol), p.flat, p.m, p.codes, p.subDim))
-      case None => assigned
+      case (_, Some(q)) => assigned.withColumn("scodes",
+        graft.functions.sq_encode(col(vecCol), q.mins, q.scales))
+      case _ => assigned
     }
     val graph = if (!io.indexType.startsWith("IVF_HNSW")) None
                 else Some(CentroidGraph.build(s, centroids, io.hnswM,
@@ -141,7 +152,7 @@ object IndexBuild {
     // so a crash at any point leaves readers on a consistent (old or new)
     // data+sidecar pair, never new cell/codes under old centroids/codebooks
     val epochFile = s"meta-${java.util.UUID.randomUUID().toString.take(12)}.json"
-    writeMeta(s, root, io, dim, centroids, pq, graph, Some(residual), epochFile)
+    writeMeta(s, root, io, dim, centroids, pq, graph, Some(residual), epochFile, sq)
     indexed
       .repartitionByRange(cells, col("cell"))
       .sortWithinPartitions("cell")
@@ -149,7 +160,7 @@ object IndexBuild {
       .option(s"commit.prop.$MetaProp", epochFile)
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .save(root)
-    BuiltIndex(root, io, centroids, pq, graph, Some(residual), Some(epochFile))
+    BuiltIndex(root, io, centroids, pq, graph, Some(residual), Some(epochFile), sq)
   }
 
   /** Mean L2 distance of each row to its assigned cell's centroid — the
@@ -200,10 +211,12 @@ object IndexBuild {
     val dim = flat.length / cells
     val assigned = newRows.withColumn("cell",
       graft.functions.nearest_cell(col(vecCol), flat, cells, dim))
-    idx.pq match {
-      case Some(p) => assigned.withColumn("codes",
+    (idx.pq, idx.sq) match {
+      case (Some(p), _) => assigned.withColumn("codes",
         graft.functions.pq_encode(col(vecCol), p.flat, p.m, p.codes, p.subDim))
-      case None => assigned
+      case (_, Some(q)) => assigned.withColumn("scodes",
+        graft.functions.sq_encode(col(vecCol), q.mins, q.scales))
+      case _ => assigned
     }
   }
 
@@ -243,11 +256,38 @@ object IndexBuild {
       case Some(g) => g.probe(queryVec, so.nprobes, so.ef)
       case None => VectorIndex.selectProbesExact(idx.centroids, queryVec, so.nprobes)
     }
-    idx.pq match {
-      case None =>
+    // the quantized arms share one ADC-then-optional-refine tail; only the
+    // scorer differs (PQ LUT lookups vs SQ dequantized subtraction)
+    def adcSearch(adc: org.apache.spark.sql.Column): DataFrame = {
+      val base0 = s.read.format("lance").options(options).load(idx.root)
+        .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
+      // null ADC (malformed row) must be FILTERED: Spark ASC sorts nulls
+      // first, so an unfiltered null would evict true candidates
+      val base = pred.map(base0.filter).getOrElse(base0)
+        .select(col(idCol), col(idx.opts.column), adc.as("adc_dist"))
+        .filter(col("adc_dist").isNotNull)
+      so.refineFactor match {
+        case None =>
+          base.select(col(idCol), round(col("adc_dist"), 6).as("dist"))
+            .orderBy(col("dist").asc, col(idCol).asc)
+            .limit(so.k)
+        case Some(r) =>
+          import s.implicits._
+          val qvDf = Seq(Tuple1(queryVec.map(_.toFloat))).toDF("qv")
+          base.orderBy(col("adc_dist").asc, col(idCol).asc)
+            .limit(so.k * r)
+            .crossJoin(broadcast(qvDf))
+            .select(col(idCol),
+              round(graft.functions.vec_l2(col(idx.opts.column), col("qv")), 6).as("dist"))
+            .orderBy(col("dist").asc, col(idCol).asc)
+            .limit(so.k)
+      }
+    }
+    (idx.pq, idx.sq) match {
+      case (None, None) =>
         VectorIndex.probedScan(s, idx.root, options, probed, queryVec,
           so.metric, so.k, excludeVecId, idCol, idx.opts.column, pred)
-      case Some(p) =>
+      case (Some(p), _) =>
         val lut = new Array[Double](p.m * p.codes)
         for (mm <- 0 until p.m; c <- 0 until p.codes) {
           var acc = 0.0
@@ -257,27 +297,10 @@ object IndexBuild {
           }
           lut(mm * p.codes + c) = acc
         }
-        val base0 = s.read.format("lance").options(options).load(idx.root)
-          .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
-        val base = pred.map(base0.filter).getOrElse(base0)
-          .select(col(idCol), col(idx.opts.column),
-            graft.functions.pq_adc(col("codes"), lut, p.m, p.codes).as("adc_dist"))
-        so.refineFactor match {
-          case None =>
-            base.select(col(idCol), round(col("adc_dist"), 6).as("dist"))
-              .orderBy(col("dist").asc, col(idCol).asc)
-              .limit(so.k)
-          case Some(r) =>
-            import s.implicits._
-            val qvDf = Seq(Tuple1(queryVec.map(_.toFloat))).toDF("qv")
-            base.orderBy(col("adc_dist").asc, col(idCol).asc)
-              .limit(so.k * r)
-              .crossJoin(broadcast(qvDf))
-              .select(col(idCol),
-                round(graft.functions.vec_l2(col(idx.opts.column), col("qv")), 6).as("dist"))
-              .orderBy(col("dist").asc, col(idCol).asc)
-              .limit(so.k)
-        }
+        adcSearch(graft.functions.pq_adc(col("codes"), lut, p.m, p.codes))
+      case (_, Some(q)) =>
+        val qm = Array.tabulate(queryVec.length)(d => queryVec(d) - q.mins(d))
+        adcSearch(graft.functions.sq_adc(col("scodes"), qm, q.scales))
     }
   }
 
@@ -290,7 +313,8 @@ object IndexBuild {
                         dim: Int, centroids: Array[Vector], pq: Option[PqMeta],
                         graph: Option[CentroidGraph],
                         residual: Option[Double] = None,
-                        file: String = "meta.json"): Unit = {
+                        file: String = "meta.json",
+                        sq: Option[SqMeta] = None): Unit = {
     val j = JObject(
       "indexType" -> JString(io.indexType),
       "column" -> JString(io.column),
@@ -301,6 +325,9 @@ object IndexBuild {
       "pq" -> pq.map(p => JObject(
         "m" -> JInt(p.m), "codes" -> JInt(p.codes), "subDim" -> JInt(p.subDim),
         "flat" -> JArray(p.flat.toList.map(JDouble(_))))).getOrElse(JNothing),
+      "sq" -> sq.map(q => JObject(
+        "mins" -> JArray(q.mins.toList.map(JDouble(_))),
+        "scales" -> JArray(q.scales.toList.map(JDouble(_))))).getOrElse(JNothing),
       "hnsw" -> graph.map(g => JObject(
         "m" -> JInt(io.hnswM), "efConstruction" -> JInt(io.efConstruction),
         "maxLevel" -> JInt(io.maxLevel),
@@ -346,6 +373,12 @@ object IndexBuild {
         (pj \ "flat").asInstanceOf[JArray].arr.map(num).toArray,
         int(pj \ "m"), int(pj \ "codes"), int(pj \ "subDim")))
     }
+    val sq = (j \ "sq") match {
+      case JNothing | JNull => None
+      case qj => Some(SqMeta(
+        (qj \ "mins").asInstanceOf[JArray].arr.map(num).toArray,
+        (qj \ "scales").asInstanceOf[JArray].arr.map(num).toArray))
+    }
     val indexType = (j \ "indexType").asInstanceOf[JString].s
     val (graph, hnswM, efc, maxLevel) = (j \ "hnsw") match {
       case JNothing | JNull => (None, 16, 100, 7)
@@ -376,6 +409,6 @@ object IndexBuild {
       case JNothing | JNull => None
       case v => Some(num(v))
     }
-    BuiltIndex(root, io, centroids, pq, graph, residual, epoch = pointer)
+    BuiltIndex(root, io, centroids, pq, graph, residual, epoch = pointer, sq = sq)
   }
 }

@@ -139,6 +139,8 @@ object VectorIndex extends QueryModule {
     val scored = pred.map(base0.filter).getOrElse(base0)
       .crossJoin(broadcast(qvDf))
       .select(col(idCol), round(score(col(vecCol), col("qv")), 6).as("dist"))
+      // a malformed row scores null; ASC sorts nulls FIRST — filter, never rank
+      .filter(col("dist").isNotNull)
     val ordered = if (asc) scored.orderBy(col("dist").asc, col(idCol).asc)
                   else scored.orderBy(col("dist").desc, col(idCol).asc)
     ordered.limit(k)
@@ -303,19 +305,26 @@ object VectorIndex extends QueryModule {
     * aggregates) + the codegen'd [[graft.functions.SqEncode]] map; the
     * mins/scales ride the plan as literals. At 100 TB both stages are
     * single agg/map passes over the corpus. */
-  def buildSq(s: SparkSession, dir: String): (DataFrame, Array[Double], Array[Double]) = {
-    val e = t(s, dir, "embeddings")
-    // narrow posexplode + groupBy(dim) instead of a 2·dim-column agg: the
-    // wide-agg plan's generated code grows with dim (seconds of janino
-    // compile at 64 dims, worse at 1024); this shape compiles small and
-    // shuffles only dim rows after partial agg, at any dim
-    val stats = e.select(posexplode(col("embedding")).as(Seq("d", "v")))
+  /** Per-dimension [min, max] → (mins, scales) for SQ8, in ONE narrow
+    * posexplode + groupBy(dim) pass instead of a 2·dim-column agg: the
+    * wide-agg plan's generated code grows with dim (seconds of janino
+    * compile at 64 dims, worse at 1024); this shape compiles small and
+    * shuffles only dim rows after partial agg, at any dim. Shared by the
+    * flat key and the persisted IVF_SQ build. */
+  private[operators] def sqStats(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy("d").agg(min(col("v").cast("double")).as("mn"),
         max(col("v").cast("double")).as("mx"))
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     val dim = stats.size
     val mins = Array.tabulate(dim)(d => stats(d)._1)
     val scales = Array.tabulate(dim)(d => (stats(d)._2 - mins(d)) / 255.0)
+    (mins, scales)
+  }
+
+  def buildSq(s: SparkSession, dir: String): (DataFrame, Array[Double], Array[Double]) = {
+    val e = t(s, dir, "embeddings")
+    val (mins, scales) = sqStats(e, "embedding")
     val encoded = e.select(col("vec_id"), col("embedding"),
       graft.functions.sq_encode(col("embedding"), mins, scales).as("scodes"))
     (encoded, mins, scales)
@@ -345,6 +354,23 @@ object VectorIndex extends QueryModule {
       k = K, refineFactor = 4, excludeVecId = QueryVecId)
   }
 
+  /** IVF_SQ through the PERSISTED index path: the SQ quantizer lives in
+    * the atomic sidecar next to the centroids, the scan is cell-pruned
+    * (fragment ranges on `cell`), appends re-encode against the FROZEN
+    * mins/scales (out-of-envelope values clamp — bounded error, never a
+    * wrong-range read), and search is the shared ADC+refine tail. Full
+    * probes + refine ⇒ exact — the same gate configuration as ivf_flat. */
+  private def ivfSqIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.t(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfsq-").toString
+    val idx = IndexBuild.build(s, e, root,
+      Map("index.type" -> "IVF_SQ", "index.num-partitions" -> Cells.toString))
+    IndexBuild.search(s, idx, embeddingOf(s, dir, QueryVecId),
+      Map("vector.nprobes" -> Cells.toString, "vector.k" -> K.toString,
+        "vector.refine-factor" -> "4"),
+      excludeVecId = QueryVecId)
+  }
+
   /** Incremental maintenance: index 80% of the corpus, IndexBuild.append
     * the rest against the FROZEN centroids/codebooks (no retrain, no
     * rewrite of indexed fragments), then full-probe search — which must
@@ -368,7 +394,8 @@ object VectorIndex extends QueryModule {
     "ivf_hnsw_search" -> ivfHnswSearch,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_refine" -> ((s, dir) => ivfPqRefine(s, dir, k = 10, refineFactor = 4)),
-    "ivf_sq_search" -> ivfSqSearch)
+    "ivf_sq_search" -> ivfSqSearch,
+    "ivf_sq_index_search" -> ivfSqIndexSearch)
 
   private[operators] val exactKnnSql =
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId)
@@ -387,5 +414,6 @@ object VectorIndex extends QueryModule {
     "ivf_hnsw_search" -> exactKnnSql,
     // SQ ADC + exact refine reproduces exact KNN (8-bit precision keeps
     // the true top-k inside the 4× candidate set) → the same oracle
-    "ivf_sq_search" -> exactKnnSql)
+    "ivf_sq_search" -> exactKnnSql,
+    "ivf_sq_index_search" -> exactKnnSql)
 }

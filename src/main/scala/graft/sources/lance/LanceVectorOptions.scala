@@ -17,7 +17,7 @@ case class VectorIndexOptions(indexType: String, column: String,
                               numPartitions: Int, numSubVectors: Option[Int],
                               numBits: Int, hnswM: Int, efConstruction: Int,
                               maxLevel: Int = 7) {
-  require(Seq("IVF_FLAT", "IVF_PQ", "IVF_HNSW", "IVF_HNSW_PQ").contains(indexType),
+  require(Seq("IVF_FLAT", "IVF_PQ", "IVF_HNSW", "IVF_HNSW_PQ", "IVF_SQ").contains(indexType),
     s"unknown index.type: $indexType")
   require(maxLevel >= 1, s"index.max-level must be >= 1, got $maxLevel")
 }

@@ -181,6 +181,7 @@ class EntrySpec extends SparkSpec {
     "contamination_semantic" -> 3,
     "q_stream_contamination" -> 10,
     "ivf_sq_search" -> 15,
+    "ivf_sq_index_search" -> 15,
     "lance_decontaminate" -> 465)
 
   test("entry returns rows") {

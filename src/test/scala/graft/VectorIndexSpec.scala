@@ -995,6 +995,47 @@ class VectorIndexSpec extends SparkSpec {
     assert(sq === exact)
   }
 
+  test("IVF_SQ persisted index: sidecar roundtrip, append re-encodes frozen quantizer, ADC-only path") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfsq-spec-").toString
+    val built = operators.IndexBuild.build(spark, e.filter(c("vec_id") % 5 =!= 0), root,
+      Map("index.type" -> "IVF_SQ", "index.num-partitions" -> "8"))
+    // sidecar roundtrip: a fresh load carries the identical quantizer
+    val loaded = operators.IndexBuild.load(spark, root)
+    assert(loaded.sq.isDefined)
+    assert(loaded.sq.get.mins.toSeq === built.sq.get.mins.toSeq)
+    assert(loaded.sq.get.scales.toSeq === built.sq.get.scales.toSeq)
+    // append re-encodes against the FROZEN quantizer: scodes present and
+    // non-null on every appended row
+    operators.IndexBuild.append(spark, e.filter(c("vec_id") % 5 === 0), loaded)
+    val stored = spark.read.format("lance").load(root)
+    assert(stored.count() === e.count())
+    assert(stored.filter(c("scodes").isNull).count() === 0)
+    // full probes + refine == exact KNN over the whole corpus (appended
+    // rows are first-class)
+    val qv = operators.VectorIndex.embeddingOf(spark, sf, 1L)
+    val got = operators.IndexBuild.search(spark, loaded, qv,
+      Map("vector.nprobes" -> "8", "vector.k" -> "10", "vector.refine-factor" -> "4"),
+      excludeVecId = 1L).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(c("vec_id") =!= 1L)
+      .crossJoin(broadcast(spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(c("vec_id") === 1L).select(c("embedding").as("qv"))))
+      .select(c("vec_id"),
+        round(graft.functions.vec_l2(c("embedding"), c("qv")), 6).as("dist"))
+      .orderBy(c("dist").asc, c("vec_id").asc).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+    // ADC-only (no refine) still returns k rows and ranks approximately:
+    // the true nearest must land in the ADC top-k at 8-bit precision
+    val adcOnly = operators.IndexBuild.search(spark, loaded, qv,
+      Map("vector.nprobes" -> "8", "vector.k" -> "10"), excludeVecId = 1L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(adcOnly.size === 10)
+    assert(adcOnly.contains(exact.head._1))
+  }
+
   test("SQ8 refine: malformed rows (null ADC) are filtered, never sorted first into the answer") {
     // Spark ASC is NULLS FIRST: an unfiltered null adc_dist would evict
     // true neighbors from the candidate set and ride the null dist into
