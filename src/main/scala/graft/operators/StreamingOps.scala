@@ -1212,6 +1212,46 @@ object StreamingOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Streaming SEMANTIC decontamination — the embedding-space member of
+    * the streaming family: same shape as [[streamContaminationAt]] (standing
+    * broadcast benchmark, map-side per-batch screen, guarded quarantine
+    * appends) with cosine-vs-bench-vectors as the rule. The bench side is
+    * one materialized (bid, vb) set; each micro-batch pays |batch|·|bench|
+    * codegen'd dot products and appends only its flagged rows — per-batch
+    * cost ∝ batch at any corpus size. == batch contamination_semantic
+    * row-for-row (its oracle verbatim). */
+  private def streamContaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = tmp("ssem-src"); val outTable = tmp("ssem-out") + "/t"
+    val ckpt = tmp("ssem-ckpt")
+    val e = t(s, dir, "embeddings")
+    val raw = e.select("vec_id", "embedding", "label")
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
+      raw.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // standing benchmark, materialized once
+    val bench = VectorSearch.semanticBench(e).localCheckpoint()
+    if (!tableExists(s, outTable))
+      Seq.empty[(Long, Int, Double, Long, Long)]
+        .toDF("vec_id", "label", "max_cos", "n_matched", "bid")
+        .write.format("lance").save(outTable)
+    val q = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (bid > lastBidOf(s, outTable)) {
+          VectorSearch.semanticScreen(batch, bench)
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("append").save(outTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    s.read.format("lance").load(outTable)
+      .select("vec_id", "label", "max_cos", "n_matched")
+      .orderBy("vec_id")
+  }
+
   /** Streaming inverted-index maintenance — the text twin of
     * q_stream_index: each document micro-batch appends its posting lists
     * into the term-bucketed postings table and its ADDITIVE df / corpus
@@ -1299,6 +1339,7 @@ object StreamingOps extends QueryModule {
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
+    "q_stream_contamination_semantic" -> streamContaminationSemantic,
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
     "q_stream_dedup" -> streamDedup,
@@ -1313,6 +1354,8 @@ object StreamingOps extends QueryModule {
     // the streamed quarantine table must equal batch text_contamination —
     // its oracle verbatim
     "q_stream_contamination" -> TextAnalysis.oracleSql("text_contamination"),
+    "q_stream_contamination_semantic" ->
+      VectorSearch.oracleSql("contamination_semantic"),
     // full-probe search over the streamed-in index == exact KNN (the same
     // statement that gates ivf_flat/ivf_append)
     "q_stream_index" -> VectorIndex.exactKnnSql,

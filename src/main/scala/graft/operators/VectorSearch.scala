@@ -564,24 +564,33 @@ object VectorSearch extends QueryModule {
   // already exact and linear in the corpus. The tau comparison uses
   // UNROUNDED cosines (bit-identical doubles in both engines — the knn keys
   // prove pairwise parity); only the reported max is rounded.
-  private val SemTau = 0.4
+  private[operators] val SemTau = 0.4
 
-  private def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val bench = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("bid"), col("embedding").as("vb"))
-    e.filter(col("vec_id") % 20 =!= 0)
+  /** The semantic screen body over any corpus slice — shared by the batch
+    * key and the streaming twin (per-vector output is complete whenever the
+    * slice holds whole rows, so micro-batches screen independently).
+    * `bench` is the (bid, vb) benchmark side, broadcast by the caller's
+    * crossJoin here. A zero-norm vector has no direction: its cosine is
+    * NaN, which both engines order ABOVE every real value (NaN >= tau
+    * admits it) — dropped explicitly on both sides so the gate can't hinge
+    * on NaN hashing. */
+  private[operators] def semanticScreen(corpus: DataFrame, bench: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 20 =!= 0)
       .crossJoin(broadcast(bench))
       .select(col("vec_id"), col("label"),
         vec_cosine(col("embedding"), col("vb")).as("cos"))
-      // a zero-norm vector has no direction: its cosine is NaN, which both
-      // engines order ABOVE every real value (NaN >= tau admits it) — drop
-      // it explicitly on both sides so the gate can't hinge on NaN hashing
       .filter(col("cos") >= SemTau && !isnan(col("cos")))
       .groupBy("vec_id", "label")
       .agg(round(max(col("cos")), 6).as("max_cos"),
         count(lit(1)).as("n_matched"))
-      .orderBy("vec_id")
+
+  private[operators] def semanticBench(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("vb"))
+
+  private def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    semanticScreen(e, semanticBench(e)).orderBy("vec_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

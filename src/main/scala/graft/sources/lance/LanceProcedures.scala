@@ -509,12 +509,17 @@ object LanceProcedures {
     * }}}
     *
     * A corpus doc is dropped when it shares >= min_overlap 3-word shingles
-    * with any bench doc OR contains >= min_containment of a bench doc's own
-    * shingle set (0.0 disables the containment rule). output_table is
-    * REQUIRED — the survivor set is corpus-sized, so it always writes
-    * distributed (one anti-join + one lance write; the driver only carries
-    * the summary). The screen itself is the gated keys' shape:
-    * [[graft.operators.TextAnalysis.decontaminationFlags]]. */
+    * with any bench doc, OR contains >= min_containment of a bench doc's
+    * own shingle set (0.0 disables the containment rule), OR — when the
+    * SEMANTIC arm is armed (embedding_column + bench_embeddings +
+    * min_cosine > 0) — its embedding has cosine >= min_cosine to any row
+    * of the bench_embeddings table (the paraphrase rule; one broadcast
+    * nested-loop map pass, the bench side small by construction).
+    * output_table is REQUIRED — the survivor set is corpus-sized, so it
+    * always writes distributed (one anti-join + one lance write; the
+    * driver only carries the summary). The screens are the gated keys'
+    * shapes: [[graft.operators.TextAnalysis.decontaminationFlags]] and the
+    * contamination_semantic cosine rule. */
   private def decontaminate(catalog: LanceCatalog): UnboundProcedure =
     bound("decontaminate", catalog, Array(
       param("corpus", StringType),
@@ -523,6 +528,9 @@ object LanceProcedures {
       param("text_column", StringType, Some("'text'")),
       param("min_overlap", IntegerType, Some("3")),
       param("min_containment", DoubleType, Some("0.0")),
+      param("embedding_column", StringType, Some("''")),
+      param("bench_embeddings", StringType, Some("''")),
+      param("min_cosine", DoubleType, Some("0.0")),
       // required in effect (the runtime require below) — declared with a
       // default only because optional params may not precede required ones
       param("output_table", StringType, Some("''")))) { (cRoot, in) =>
@@ -532,17 +540,35 @@ object LanceProcedures {
       val textCol = in.getUTF8String(3).toString
       val minOverlap = in.getInt(4)
       val minContainment = in.getDouble(5)
-      val outTable = in.getUTF8String(6).toString.trim
+      val embCol = in.getUTF8String(6).toString.trim
+      val benchEmb = in.getUTF8String(7).toString.trim
+      val minCosine = in.getDouble(8)
+      val outTable = in.getUTF8String(9).toString.trim
       require(outTable.nonEmpty, "lance decontaminate: output_table is required " +
         "(the survivor set is corpus-sized — it must write distributed)")
+      require(embCol.isEmpty == benchEmb.isEmpty && (minCosine > 0) == embCol.nonEmpty,
+        "lance decontaminate: the semantic arm needs all three of " +
+          "embedding_column, bench_embeddings and min_cosine > 0 (or none)")
       val corpus = spark.read.format("lance").load(cRoot)
       val bench = spark.read.format("lance").load(bRoot)
-      // localCheckpoint: the flag set (ids only) is consumed twice (count +
-      // anti-join) — without it the corpus-wide shingle join would execute
-      // twice, doubling the procedure's dominant cost
-      val flags = graft.operators.TextAnalysis.decontaminationFlags(
+      import org.apache.spark.sql.functions.{broadcast, col, isnan}
+      val ngramFlags = graft.operators.TextAnalysis.decontaminationFlags(
         corpus, bench, idCol, textCol, minOverlap, minContainment)
-        .localCheckpoint()
+      val allFlags = if (embCol.isEmpty) ngramFlags else {
+        val bv = spark.read.format("lance")
+          .load(catalog.tableRootFor(benchEmb))
+          .select(col(embCol).as("__vb"))
+        val sem = corpus.crossJoin(broadcast(bv))
+          .select(col(idCol),
+            graft.functions.vec_cosine(col(embCol), col("__vb")).as("__cos"))
+          .filter(col("__cos") >= minCosine && !isnan(col("__cos")))
+          .select(idCol)
+        ngramFlags.unionByName(sem).distinct()
+      }
+      // localCheckpoint: the flag set (ids only) is consumed twice (count +
+      // anti-join) — without it the corpus-wide screens would execute
+      // twice, doubling the procedure's dominant cost
+      val flags = allFlags.localCheckpoint()
       val nFlagged = flags.count()
       val survivors = corpus.join(flags, Seq(idCol), "left_anti")
       val outRoot = catalog.tableRootForCreate(outTable)

@@ -180,6 +180,7 @@ class EntrySpec extends SparkSpec {
     "text_contamination_ratio" -> 7,
     "contamination_semantic" -> 3,
     "q_stream_contamination" -> 10,
+    "q_stream_contamination_semantic" -> 3,
     "ivf_sq_search" -> 15,
     "ivf_sq_index_search" -> 15,
     "lance_decontaminate" -> 465)

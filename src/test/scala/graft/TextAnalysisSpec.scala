@@ -571,6 +571,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("output_table"))
   }
 
+  test("CALL system.decontaminate: the semantic arm drops a paraphrase that shares no shingles") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dec2",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dec2.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-dec2-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dec2.db")
+    // corpus rows carry text AND an embedding; doc 1 is a PARAPHRASE of the
+    // bench item — zero shared shingles, near-identical embedding
+    Seq(
+      (1L, "totally different words entirely", Array(0.99f, 0.1f, 0f, 0f)),
+      (2L, "unrelated text and direction", Array(0f, 0f, 1f, 0f)))
+      .toDF("doc_id", "text", "emb").createOrReplaceTempView("dec2_corpus_src")
+    Seq((100L, "the original benchmark item here", "x"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("dec2_bench_src")
+    Seq(Tuple1(Array(1f, 0f, 0f, 0f)))
+      .toDF("emb").createOrReplaceTempView("dec2_bemb_src")
+    spark.sql("CREATE TABLE graft_dec2.db.c AS SELECT * FROM dec2_corpus_src")
+    spark.sql("CREATE TABLE graft_dec2.db.b AS SELECT * FROM dec2_bench_src")
+    spark.sql("CREATE TABLE graft_dec2.db.be AS SELECT * FROM dec2_bemb_src")
+    val summary = spark.sql(
+      "CALL graft_dec2.system.decontaminate(corpus => 'db.c', bench => 'db.b', " +
+        "embedding_column => 'emb', bench_embeddings => 'db.be', " +
+        "min_cosine => 0.9, output_table => 'db.clean')").collect()
+    assert(summary.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 1L)))
+    assert(spark.table("graft_dec2.db.clean").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    // a half-armed semantic rule fails fast
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dec2.system.decontaminate(corpus => 'db.c', bench => 'db.b', " +
+        "embedding_column => 'emb', output_table => 'db.clean2')").collect())
+    assert(e.getMessage.contains("semantic arm"))
+  }
+
   test("q_stream_contamination: crash between quarantine append and checkpoint commit — replay no-ops") {
     // at-least-once hole: the quarantine append is durable, the checkpoint
     // commit marker is not; the replayed bid must not re-append its rows

@@ -1088,4 +1088,10 @@ class VectorIndexSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_stream_contamination_semantic: streamed quarantine == batch key row-for-row") {
+    def rows(key: String) = SparkEntry.queries(key)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows("q_stream_contamination_semantic") === rows("contamination_semantic"))
+  }
 }
