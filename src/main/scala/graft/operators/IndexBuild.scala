@@ -259,6 +259,12 @@ object IndexBuild {
     // the quantized arms share one ADC-then-optional-refine tail; only the
     // scorer differs (PQ LUT lookups vs SQ dequantized subtraction)
     def adcSearch(adc: org.apache.spark.sql.Column): DataFrame = {
+      // ADC reconstructs L2 — answering a cosine/dot query with L2-ascending
+      // ranking would be silently wrong (knn_join's PQ path has the same
+      // guard); use the flat index type for other metrics
+      require(so.metric == "l2",
+        s"lance index search: the quantized (ADC) path reconstructs L2; " +
+          s"metric '${so.metric}' needs an IVF_FLAT/IVF_HNSW index")
       val base0 = s.read.format("lance").options(options).load(idx.root)
         .filter(col("cell").isin(probed.toIndexedSeq: _*) && col(idCol) =!= excludeVecId)
       // null ADC (malformed row) must be FILTERED: Spark ASC sorts nulls

@@ -566,20 +566,27 @@ object VectorSearch extends QueryModule {
   // prove pairwise parity); only the reported max is rounded.
   private[operators] val SemTau = 0.4
 
-  /** The semantic screen body over any corpus slice — shared by the batch
-    * key and the streaming twin (per-vector output is complete whenever the
-    * slice holds whole rows, so micro-batches screen independently).
-    * `bench` is the (bid, vb) benchmark side, broadcast by the caller's
-    * crossJoin here. A zero-norm vector has no direction: its cosine is
-    * NaN, which both engines order ABOVE every real value (NaN >= tau
-    * admits it) — dropped explicitly on both sides so the gate can't hinge
-    * on NaN hashing. */
+  /** The ONE τ/NaN definition of the semantic match — shared by the batch
+    * key, the streaming twin, and CALL system.decontaminate: corpus rows
+    * cross the broadcast benchmark vectors (a `vb` column), keep pairs
+    * with cosine >= tau, drop NaN. A zero-norm vector has no direction:
+    * its cosine is NaN, which both engines order ABOVE every real value
+    * (NaN >= tau admits it) — dropped explicitly on both sides so no gate
+    * or caller can hinge on NaN ordering/hashing. */
+  private[graft] def semanticMatches(corpus: DataFrame, benchVecs: DataFrame,
+                                     vecCol: String, tau: Double): DataFrame =
+    corpus.crossJoin(broadcast(benchVecs))
+      .withColumn("cos", vec_cosine(col(vecCol), col("vb")))
+      .filter(col("cos") >= tau && !isnan(col("cos")))
+
+  /** The gate-shaped screen over any corpus slice — the batch key's and
+    * the streaming twin's shared body (per-vector output is complete
+    * whenever the slice holds whole rows, so micro-batches screen
+    * independently). */
   private[operators] def semanticScreen(corpus: DataFrame, bench: DataFrame): DataFrame =
-    corpus.filter(col("vec_id") % 20 =!= 0)
-      .crossJoin(broadcast(bench))
-      .select(col("vec_id"), col("label"),
-        vec_cosine(col("embedding"), col("vb")).as("cos"))
-      .filter(col("cos") >= SemTau && !isnan(col("cos")))
+    semanticMatches(corpus.filter(col("vec_id") % 20 =!= 0)
+        .select("vec_id", "label", "embedding"),
+        bench.select("vb"), "embedding", SemTau)
       .groupBy("vec_id", "label")
       .agg(round(max(col("cos")), 6).as("max_cos"),
         count(lit(1)).as("n_matched"))

@@ -514,7 +514,9 @@ object LanceProcedures {
     * SEMANTIC arm is armed (embedding_column + bench_embeddings +
     * min_cosine > 0) — its embedding has cosine >= min_cosine to any row
     * of the bench_embeddings table (the paraphrase rule; one broadcast
-    * nested-loop map pass, the bench side small by construction).
+    * nested-loop map pass, the bench side small by construction; the
+    * bench table's vector column defaults to embedding_column's name and
+    * is overridden with bench_embedding_column).
     * output_table is REQUIRED — the survivor set is corpus-sized, so it
     * always writes distributed (one anti-join + one lance write; the
     * driver only carries the summary). The screens are the gated keys'
@@ -530,6 +532,8 @@ object LanceProcedures {
       param("min_containment", DoubleType, Some("0.0")),
       param("embedding_column", StringType, Some("''")),
       param("bench_embeddings", StringType, Some("''")),
+      // bench table's vector column; '' = same name as embedding_column
+      param("bench_embedding_column", StringType, Some("''")),
       param("min_cosine", DoubleType, Some("0.0")),
       // required in effect (the runtime require below) — declared with a
       // default only because optional params may not precede required ones
@@ -542,8 +546,9 @@ object LanceProcedures {
       val minContainment = in.getDouble(5)
       val embCol = in.getUTF8String(6).toString.trim
       val benchEmb = in.getUTF8String(7).toString.trim
-      val minCosine = in.getDouble(8)
-      val outTable = in.getUTF8String(9).toString.trim
+      val benchEmbCol0 = in.getUTF8String(8).toString.trim
+      val minCosine = in.getDouble(9)
+      val outTable = in.getUTF8String(10).toString.trim
       require(outTable.nonEmpty, "lance decontaminate: output_table is required " +
         "(the survivor set is corpus-sized — it must write distributed)")
       require(embCol.isEmpty == benchEmb.isEmpty && (minCosine > 0) == embCol.nonEmpty,
@@ -551,17 +556,17 @@ object LanceProcedures {
           "embedding_column, bench_embeddings and min_cosine > 0 (or none)")
       val corpus = spark.read.format("lance").load(cRoot)
       val bench = spark.read.format("lance").load(bRoot)
-      import org.apache.spark.sql.functions.{broadcast, col, isnan}
+      import org.apache.spark.sql.functions.col
       val ngramFlags = graft.operators.TextAnalysis.decontaminationFlags(
         corpus, bench, idCol, textCol, minOverlap, minContainment)
       val allFlags = if (embCol.isEmpty) ngramFlags else {
+        val benchEmbCol = if (benchEmbCol0.nonEmpty) benchEmbCol0 else embCol
         val bv = spark.read.format("lance")
           .load(catalog.tableRootFor(benchEmb))
-          .select(col(embCol).as("__vb"))
-        val sem = corpus.crossJoin(broadcast(bv))
-          .select(col(idCol),
-            graft.functions.vec_cosine(col(embCol), col("__vb")).as("__cos"))
-          .filter(col("__cos") >= minCosine && !isnan(col("__cos")))
+          .select(col(benchEmbCol).as("vb"))
+        // the ONE τ/NaN screen definition — shared with the gated keys
+        val sem = graft.operators.VectorSearch.semanticMatches(
+          corpus.select(col(idCol), col(embCol)), bv, embCol, minCosine)
           .select(idCol)
         ngramFlags.unionByName(sem).distinct()
       }

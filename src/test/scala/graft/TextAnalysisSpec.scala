@@ -586,14 +586,17 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text", "emb").createOrReplaceTempView("dec2_corpus_src")
     Seq((100L, "the original benchmark item here", "x"))
       .toDF("doc_id", "text", "lang").createOrReplaceTempView("dec2_bench_src")
+    // the bench vectors live under a DIFFERENT column name — exercised via
+    // bench_embedding_column below
     Seq(Tuple1(Array(1f, 0f, 0f, 0f)))
-      .toDF("emb").createOrReplaceTempView("dec2_bemb_src")
+      .toDF("bench_vec").createOrReplaceTempView("dec2_bemb_src")
     spark.sql("CREATE TABLE graft_dec2.db.c AS SELECT * FROM dec2_corpus_src")
     spark.sql("CREATE TABLE graft_dec2.db.b AS SELECT * FROM dec2_bench_src")
     spark.sql("CREATE TABLE graft_dec2.db.be AS SELECT * FROM dec2_bemb_src")
     val summary = spark.sql(
       "CALL graft_dec2.system.decontaminate(corpus => 'db.c', bench => 'db.b', " +
         "embedding_column => 'emb', bench_embeddings => 'db.be', " +
+        "bench_embedding_column => 'bench_vec', " +
         "min_cosine => 0.9, output_table => 'db.clean')").collect()
     assert(summary.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 1L)))
     assert(spark.table("graft_dec2.db.clean").collect().map(_.getLong(0)).toSeq

@@ -1034,6 +1034,13 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(adcOnly.size === 10)
     assert(adcOnly.contains(exact.head._1))
+    // ADC reconstructs L2: a cosine query against a quantized index must
+    // fail fast, not answer with silently-L2 ranking
+    val err = intercept[IllegalArgumentException](operators.IndexBuild.search(
+      spark, loaded, qv,
+      Map("vector.nprobes" -> "8", "vector.k" -> "10", "vector.metric" -> "cosine"),
+      excludeVecId = 1L))
+    assert(err.getMessage.contains("IVF_FLAT"))
   }
 
   test("SQ8 refine: malformed rows (null ADC) are filtered, never sorted first into the answer") {
