@@ -53,7 +53,15 @@ object MaxMinstdDraws {
     * domain; products stay < 2^48, no overflow). */
   @inline private def minstd2(c: Long): Long = (((c * A) % M) * A) % M
 
+  /** Weights above this are corrupt input, not sampling policy: the epoch
+    * planner caps repeats far below it, and an O(w) draw loop on a
+    * Long-sized w would hang the executor where the former
+    * `sequence(1, w)` SQL form failed fast on oversized arrays. */
+  final val MaxDraws = 1L << 24
+
   def compute(id: Long, w: Long): Long = {
+    require(w <= MaxDraws,
+      s"max_minstd_draws: weight $w exceeds the $MaxDraws draw cap — corrupt weight?")
     val s = minstd2(id)
     val n = if (w < 1L) 1L else w
     var best = Long.MinValue

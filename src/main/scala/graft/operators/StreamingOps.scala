@@ -41,12 +41,23 @@ object StreamingOps extends QueryModule {
     * read the sink while the query is still writing turns a slow machine
     * into a confusing partial-snapshot failure instead of this error. */
   private[operators] def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
-                               ms: Long = 120000L): Unit =
+                               ms: Long = 120000L): Unit = {
     if (!q.awaitTermination(ms)) {
       q.stop()
       throw new IllegalStateException(
         s"streaming query ${q.id} did not drain within ${ms}ms")
     }
+    // data-side denominators for the bench instrument: without these a
+    // cross-round wall-time delta on a streaming key is unadjudicable
+    // (sf0.1 drains are scheduler-latency-bound). recentProgress retains
+    // the last 100 updates — far above any AvailableNow drain here.
+    q.recentProgress.foreach { p =>
+      graft.BenchProbe.streamBatches.incrementAndGet()
+      graft.BenchProbe.streamInputRows.addAndGet(p.numInputRows)
+      val out = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
+      if (out > 0) graft.BenchProbe.streamSinkRows.addAndGet(out)
+    }
+  }
 
   /** The max batch id recorded in a lance state table under `col` —
     * -1 when the table is absent or empty. Answered on the DRIVER from

@@ -429,6 +429,9 @@ object LanceDelete {
     planning.map(_.props).foreach(p =>
       require(!p.keys.exists(_.startsWith("write.bucket")),
         s"lance replaceWhere: $root is bucketed; use the catalog INSERT ... REPLACE WHERE path"))
+    // fragments commit under the TABLE schema: a type clash on a shared
+    // column would commit physical data the manifest schema misdescribes
+    planning.map(_.schema).foreach(ts => requireTypeCompat(df.schema, ts, root))
     val newFrags = LanceBatchSave.stageFragments(spark, df, root,
       LanceOptions.any(options, "maxRowsPerFile"))
     val plan = planning.map(m =>
@@ -436,9 +439,16 @@ object LanceDelete {
     val committed = ManifestIO.commit(root, conf) { prev =>
       (prev, plan) match {
         case (Some(cur), Some(p)) =>
-          if (p.conflictsWith(cur)) None // concurrent touch: abort + clean
-          else Some(LanceCommit(cur.schema, p(cur.fragments) ++ newFrags,
-            cur.txns, "replace"))
+          // a concurrent type-changing evolution is a conflict too: the
+          // retry replans and hits requireTypeCompat with the clear error
+          if (p.conflictsWith(cur) || !typeCompat(df.schema, cur.schema)) None
+          else {
+            // writer-only columns raced a drop: hide them on the staged
+            // fragments exactly as the V2 writer does (stampRacedDrops)
+            val stamped = LanceWriteUtil.stampRacedDrops(newFrags, df.schema, cur.schema)
+            Some(LanceCommit(cur.schema, p(cur.fragments) ++ stamped,
+              cur.txns, "replace"))
+          }
         case (Some(cur), None) => None // table appeared after planning: a
           // plain append could keep the winner's rows matching P beside
           // the replacement data — abort; the retry replans against it
@@ -453,5 +463,24 @@ object LanceDelete {
       throw new IllegalStateException(
         s"lance REPLACE WHERE lost a conflict with a concurrent rewrite at $root; retry")
     }
+  }
+
+  /** Shared-name columns must agree on type between the writer and the
+    * table: fragments commit under the table schema, so a clash commits
+    * physical layouts the manifest misdescribes. Writer-only / table-only
+    * columns are fine (schema evolution: hidden-stamp / null-fill). */
+  private def typeCompat(writer: org.apache.spark.sql.types.StructType,
+                         table: org.apache.spark.sql.types.StructType): Boolean =
+    writer.fields.forall(wf =>
+      table.fields.find(_.name == wf.name).forall(_.dataType == wf.dataType))
+
+  private def requireTypeCompat(writer: org.apache.spark.sql.types.StructType,
+                                table: org.apache.spark.sql.types.StructType,
+                                root: String): Unit = {
+    val clashes = writer.fields.flatMap(wf =>
+      table.fields.find(_.name == wf.name).filter(_.dataType != wf.dataType).map(tf =>
+        s"${wf.name} (writer ${wf.dataType.simpleString} vs table ${tf.dataType.simpleString})"))
+    require(clashes.isEmpty,
+      s"lance replaceWhere at $root: incompatible column types: ${clashes.mkString(", ")}")
   }
 }

@@ -206,8 +206,10 @@ object ManifestIO {
           val v = latest.map(_.version).getOrElse(0L) + 1
           val m = LanceManifest(v, c.schema, c.fragments, c.txns, c.op,
             c.props.orElse(latest.map(_.props)).getOrElse(Map.empty))
-          if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8)))
+          if (writeExclusive(f, manifestPath(root, v), toJson(m).getBytes(StandardCharsets.UTF_8))) {
+            graft.BenchProbe.lanceCommits.incrementAndGet()
             return Some(m)
+          }
       }
       attempt += 1 // version raced; re-read the winner and re-apply the delta
     }
@@ -260,7 +262,10 @@ object ManifestIO {
     } else {
       if (!f.exists(path)) None
       else {
-        val len = f.getFileStatus(path).getLen.toInt
+        val rawLen = f.getFileStatus(path).getLen
+        require(rawLen <= Int.MaxValue,
+          s"readSmallFile is for small sidecars; $path is $rawLen bytes")
+        val len = rawLen.toInt
         val in = f.open(path)
         try {
           val buf = new Array[Byte](len)

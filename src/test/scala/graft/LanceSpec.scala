@@ -2340,6 +2340,36 @@ class LanceSpec extends SparkSpec {
     assert(ManifestIO.load(root, v1, conf).op === "replace")
   }
 
+  test("replaceWhere schema guard: a shared-name type clash fails loudly; a racing column drop gets stamped like the V2 writer") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+      .write.format("lance").save(root)
+    // type clash on a shared column name: without the guard this COMMITS
+    // fragments whose physical layout (v: string) diverges from the
+    // manifest schema (v: bigint) — a silent corruption, not a conflict
+    val clash = intercept[IllegalArgumentException] {
+      graft.sources.lance.LanceDelete.replaceWhere(spark, root,
+        Seq((1L, "a", "ten")).toDF("id", "k", "v"),
+        Array(org.apache.spark.sql.sources.EqualTo("k", "a")))
+    }
+    assert(clash.getMessage.contains("incompatible column types") &&
+      clash.getMessage.contains("v"), clash.getMessage)
+    assert(ManifestIO.latestVersion(root, conf).get === 1L, "clash must not commit")
+    // writer-only column (the drop-race shape stampRacedDrops exists for):
+    // commits fine, the extra column is hidden, table schema unchanged
+    graft.sources.lance.LanceDelete.replaceWhere(spark, root,
+      Seq((1L, "a", 11L, "x")).toDF("id", "k", "v", "extra"),
+      Array(org.apache.spark.sql.sources.EqualTo("k", "a")))
+    val m = ManifestIO.loadLatest(root, conf).get
+    assert(m.schema.fieldNames.toSeq === Seq("id", "k", "v"))
+    assert(m.fragments.exists(_.hidden.contains("extra")),
+      "raced-drop column must be hidden-stamped on the staged fragment")
+    val got = spark.read.format("lance").load(root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a", 11L), (2L, "b", 20L)))
+  }
+
   test("delete conflict scope: concurrent appends never abort plain DELETE; REPLACE WHERE aborts only when not provably disjoint") {
     import spark.implicits._
     val root = tmp() + "/t"

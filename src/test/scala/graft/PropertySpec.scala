@@ -42,6 +42,12 @@ class PropertySpec extends AnyFunSuite {
       val brute = (1L to w).map(j => m2((base + j) % M)).max
       functions.MaxMinstdDraws.compute(id, w) == brute
     })
+    // a corrupt/adversarial weight fails fast with a diagnostic instead of
+    // an O(w) executor hang (the former sequence(1, w) SQL form's posture)
+    val big = intercept[IllegalArgumentException] {
+      functions.MaxMinstdDraws.compute(1L, functions.MaxMinstdDraws.MaxDraws + 1)
+    }
+    assert(big.getMessage.contains("draw cap"), big.getMessage)
   }
 
   test("decode paths never throw on arbitrary bytes (crawled-corpus fuzz)") {
