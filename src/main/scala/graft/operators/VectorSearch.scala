@@ -566,18 +566,69 @@ object VectorSearch extends QueryModule {
   // prove pairwise parity); only the reported max is rounded.
   private[operators] val SemTau = 0.4
 
+  /** Prescreen slack in binomial σ units (σ ≤ √d/2 for any bit-flip
+    * probability). 4σ: a true match slipping past costs recall, so the
+    * bound errs far on the admit side — at the fixture's 64 dims that
+    * admits most pairs (the prescreen is a no-op-ish pass-through there),
+    * while at production dims (≥512) the same formula concentrates hard:
+    * sign-flip mass for a cos ≥ τ pair sits ≈ acos(τ)/π per dim, random
+    * pairs at 1/2 per dim, and 4σ slack separates them by construction. */
+  private[operators] val PrescreenSigmas = 4.0
+
+  /** Hamming admit bound for a cos ≥ tau pair over d sign bits:
+    * d·acos(tau)/π expected flips + PrescreenSigmas·√d/2 slack, capped at
+    * d. Package-visible so the recall spec asserts against the SAME
+    * number the screen uses. */
+  private[graft] def prescreenBound(d: Int, tau: Double): Long =
+    math.min(d.toLong,
+      math.ceil(d * math.acos(tau) / math.Pi +
+        PrescreenSigmas * math.sqrt(d.toDouble) / 2.0).toLong)
+
   /** The ONE τ/NaN definition of the semantic match — shared by the batch
     * key, the streaming twin, and CALL system.decontaminate: corpus rows
     * cross the broadcast benchmark vectors (a `vb` column), keep pairs
     * with cosine >= tau, drop NaN. A zero-norm vector has no direction:
     * its cosine is NaN, which both engines order ABOVE every real value
     * (NaN >= tau admits it) — dropped explicitly on both sides so no gate
-    * or caller can hinge on NaN ordering/hashing. */
+    * or caller can hinge on NaN ordering/hashing.
+    *
+    * TWO-PHASE since r17: an eval suite is 10⁴-10⁵ items, so the exact
+    * broadcast-BNL pays |corpus|·|bench| d-dim float dot products. Phase 1
+    * reuses the knn_hamming sign-sketch machinery — per-pair cost drops to
+    * one XOR+popcount pass over d/64 packed words (~32× cheaper than the
+    * float dot) and admits every pair within [[prescreenBound]] flips;
+    * phase 2 runs the EXACT cosine + τ/NaN rule on survivors only. The
+    * bound is probabilistic-conservative (4σ), not a theorem — sign bits
+    * carry no magnitudes, so NO hamming threshold is losslessly tight in
+    * the adversarial case; the recall spec proves losslessness on the
+    * fixture at τ=0.4 and the planted-pair separation at production dims,
+    * and `prescreen = false` keeps the exact single-phase body one flag
+    * away (it is also the spec's comparison arm). */
   private[graft] def semanticMatches(corpus: DataFrame, benchVecs: DataFrame,
-                                     vecCol: String, tau: Double): DataFrame =
-    corpus.crossJoin(broadcast(benchVecs))
+                                     vecCol: String, tau: Double,
+                                     prescreen: Boolean = true): DataFrame = {
+    val exact = (df: DataFrame) => df
       .withColumn("cos", vec_cosine(col(vecCol), col("vb")))
       .filter(col("cos") >= tau && !isnan(col("cos")))
+    if (!prescreen)
+      exact(corpus.crossJoin(broadcast(benchVecs)))
+    else {
+      // sketches computed ONCE per row/bench vector inside the scan /
+      // broadcast build, never per pair; internal names __sem_-prefixed so
+      // arbitrary procedure id columns can't collide
+      val flipFrac = math.acos(tau) / math.Pi
+      val paired = corpus
+        .withColumn("__sem_sig", graft.functions.bit_pack_sign(col(vecCol)))
+        .crossJoin(broadcast(benchVecs
+          .withColumn("__sem_bsig", graft.functions.bit_pack_sign(col("vb")))))
+      val d = size(col(vecCol)).cast("double")
+      val bound = least(size(col(vecCol)).cast("long"),
+        ceil(lit(flipFrac) * d + lit(PrescreenSigmas) * sqrt(d) / 2).cast("long"))
+      exact(paired.filter(
+          graft.functions.hamming_dist(col("__sem_sig"), col("__sem_bsig")) <= bound))
+        .drop("__sem_sig", "__sem_bsig")
+    }
+  }
 
   /** The gate-shaped screen over any corpus slice — the batch key's and
     * the streaming twin's shared body (per-vector output is complete

@@ -1101,4 +1101,69 @@ class VectorIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(rows("q_stream_contamination_semantic") === rows("contamination_semantic"))
   }
+
+  test("two-phase semantic screen: prescreen recall-lossless on the fixture at tau=0.4; separates at production dims") {
+    import spark.implicits._
+    import graft.operators.VectorSearch
+    // arm 1: FIXTURE LOSSLESSNESS — the sign-sketch prescreen + exact
+    // refine produces the identical pair set as the exact single-phase
+    // body over the real 64-dim corpus at the gate's tau (this is the
+    // two-phase screen's "done" contract; the DuckDB oracle re-proves it
+    // per round through contamination_semantic)
+    val e = Tables.t(spark, sf, "embeddings")
+    val bench = e.filter(col("vec_id") % 20 === 0).select(col("embedding").as("vb"))
+    val corpus = e.filter(col("vec_id") % 20 =!= 0)
+      .select("vec_id", "label", "embedding")
+    def pairs(pre: Boolean) =
+      VectorSearch.semanticMatches(corpus, bench, "embedding", 0.4, prescreen = pre)
+        .select(col("vec_id"), round(col("cos"), 6).as("c"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val twoPhase = pairs(pre = true)
+    assert(twoPhase.nonEmpty, "fixture screen found no matches — vacuous test")
+    assert(twoPhase === pairs(pre = false),
+      "prescreen dropped a true match on the fixture")
+
+    // arm 2: PRODUCTION-DIM BEHAVIOR at d=512 — the bound that is merely
+    // permissive at 64 dims must (a) admit every planted pair whose exact
+    // cosine clears tau and (b) reject the bulk of unrelated pairs, which
+    // is the entire point of paying the XOR/popcount pass
+    val d = 512
+    val rnd = new scala.util.Random(20260815L)
+    def gauss() = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val benchVecs = Seq.fill(8)(gauss())
+    // planted: b + s*g sweeps exact cosine through ~[0.45, 0.96]
+    val planted = for {
+      (b, bi) <- benchVecs.zipWithIndex; s <- Seq(0.3, 0.8, 1.3, 1.9)
+    } yield {
+      val g = gauss()
+      (bi.toLong, b.indices.map(i => b(i) + s.toFloat * g(i)).toArray)
+    }
+    val unrelated = (0 until 400).map(i => (100L + i, gauss()))
+    val corpusBig = (planted ++ unrelated).toDF("vec_id", "embedding")
+    val benchBig = benchVecs.map(Tuple1(_)).toDF("vb")
+    val tau = 0.4
+    val exactBig = VectorSearch
+      .semanticMatches(corpusBig, benchBig, "embedding", tau, prescreen = false)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val twoBig = VectorSearch
+      .semanticMatches(corpusBig, benchBig, "embedding", tau, prescreen = true)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(exactBig.nonEmpty, "no planted pair cleared tau — fixture broken")
+    assert(twoBig === exactBig,
+      s"prescreen lost ${(exactBig -- twoBig).size} of ${exactBig.size} true matches at d=$d")
+    // (b) the prescreen alone rejects >90% of unrelated pairs at d=512
+    // (bound 4.2 sigma below the random-pair hamming mean; the fixture's
+    // 64-dim bound admits nearly everything BY DESIGN — conservatism)
+    val hb = VectorSearch.prescreenBound(d, tau)
+    val unrelDf = unrelated.toDF("vec_id", "embedding")
+    val admitted = unrelDf
+      .withColumn("sig", graft.functions.bit_pack_sign(col("embedding")))
+      .crossJoin(broadcast(benchBig
+        .withColumn("bsig", graft.functions.bit_pack_sign(col("vb")))))
+      .filter(graft.functions.hamming_dist(col("sig"), col("bsig")) <= hb)
+      .count()
+    val total = unrelated.size.toLong * benchVecs.size
+    assert(admitted.toDouble / total < 0.10,
+      s"prescreen admitted $admitted/$total unrelated pairs at d=$d (bound $hb)")
+  }
 }
