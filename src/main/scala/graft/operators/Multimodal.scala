@@ -1038,15 +1038,46 @@ object Multimodal extends QueryModule {
     * with its source (frame-wise agreement on band b) shares that
     * shingle at ANY offset. Candidates form inside the same capped
     * (band_idx, shingle) buckets; verification aligns each pair at its
-    * BEST OFFSET: exact hamming over the frame cross product (bounded —
-    * both factors ≤ sampled frames per video), matched counts grouped by
-    * (pair, fa−fb), the best offset's count ratioed against the shorter
-    * side. Offset 0 reproduces the positional verify exactly.
+    * BEST OFFSET: matched counts grouped by (pair, fa−fb), the best
+    * offset's count ratioed against the shorter side. Offset 0
+    * reproduces the positional verify exactly.
+    * The verify fan-in is BAND-BOUNDED, not nf² (r17): a matched frame
+    * pair is within [[ImgHammingMax]] = 6 < 8 band flips, so by the same
+    * pigeonhole as [[hashPairs]] it shares ≥ 1 of the 8 disjoint 16-bit
+    * bands EXACTLY — [[shingleVerifyPairs]] reaches the other video's
+    * frames through a (band_idx, band_key) equi-join and loses nothing,
+    * while an hour-long video at stride 2 stops paying ~nf² ≈ 3M hamming
+    * rows per candidate pair (per-pair cost = the band-collision count:
+    * truly-matched frames + birthday noise at 16 bits/band — o(nf²),
+    * spec'd on a 512-frame synthetic).
     * Candidacy is deliberately stricter than positional (a k-frame
     * agreeing RUN on one band vs any single agreeing frame) — the trade
     * that buys offset freedom without inflating bucket fan-out; at
     * 100 TB the shapes are identical to videoPairs plus one window pass
     * over each video's ≤ frames-per-video band keys. */
+  /** Candidate frame pairs for the offset-free verify, reached through a
+    * shared (band_idx, band_key) instead of the frame cross product: for
+    * each candidate video pair, frame (fa, fb) surfaces iff the two
+    * frames agree EXACTLY on ≥ 1 of the 8 disjoint 16-bit bands — a
+    * superset of every pair within [[ImgHammingMax]] (pigeonhole,
+    * 6 < 8), deduped across multi-band agreement. Row count per video
+    * pair = band collisions, not nf² (frames with 0 matches contribute
+    * only ~birthday-level noise at 16 bits/band). Split out so the
+    * o(nf²) fan-in and the losslessness are spec-testable directly. */
+  private[graft] def shingleVerifyPairs(cand: DataFrame, frames: DataFrame): DataFrame = {
+    val fbk = imgBandKeys(frames,
+      carry = Seq("doc_id", "frame_idx", "sig_h", "sig_v"))
+    cand
+      .join(fbk.select(col("doc_id").as("a_id"), col("frame_idx").as("fa"),
+        col("sig_h").as("ha"), col("sig_v").as("va"),
+        col("band_idx"), col("band_key")), "a_id")
+      .join(fbk.select(col("doc_id").as("b_id"), col("frame_idx").as("fb"),
+        col("sig_h").as("hb"), col("sig_v").as("vb"),
+        col("band_idx"), col("band_key")), Seq("b_id", "band_idx", "band_key"))
+      .select("a_id", "b_id", "fa", "fb", "ha", "va", "hb", "vb")
+      .distinct()
+  }
+
   private[graft] def videoPairsShingled(frames: DataFrame,
                                         k: Int = VideoShingleK): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1063,11 +1094,7 @@ object Multimodal extends QueryModule {
       .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
     val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    cand
-      .join(frames.select(col("doc_id").as("a_id"), col("frame_idx").as("fa"),
-        col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
-      .join(frames.select(col("doc_id").as("b_id"), col("frame_idx").as("fb"),
-        col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+    shingleVerifyPairs(cand, frames)
       .withColumn("fham",
         bit_count(col("ha").bitwiseXOR(col("hb"))) +
           bit_count(col("va").bitwiseXOR(col("vb"))))
