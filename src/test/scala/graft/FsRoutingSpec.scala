@@ -13,6 +13,58 @@ class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
 
+/** [[MockFs]] that COUNTS every FileSystem round trip by kind — the
+  * object-store cost model, where request latency × op count (not local
+  * bytes) is what a micro-batch pays. Only TOP-LEVEL calls count:
+  * RawLocalFileSystem internally re-enters getFileStatus from open /
+  * listStatus / create (a real object store pays one GET or LIST there),
+  * so nested calls are suppressed via a per-thread depth guard. Counters
+  * are static: Hadoop caches one FS instance per scheme and local-mode
+  * executors share the JVM. */
+class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import CountingMockFs.counted
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    counted("getFileStatus")(super.getFileStatus(f))
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    counted("listStatus")(super.listStatus(f))
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+    counted("open")(super.open(f, bufferSize))
+  // ALL RawLocalFileSystem create/append variants funnel through this
+  // protected hook — counting any single public `create` overload misses
+  // the writer paths that call a sibling variant directly
+  override protected def createOutputStreamWithMode(f: org.apache.hadoop.fs.Path,
+      append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission): java.io.OutputStream =
+    counted("create")(super.createOutputStreamWithMode(f, append, permission))
+  override def delete(f: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
+    counted("delete")(super.delete(f, recursive))
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    counted("rename")(super.rename(src, dst))
+  override def mkdirs(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission): Boolean =
+    counted("mkdirs")(super.mkdirs(f, permission))
+}
+
+object CountingMockFs {
+  import java.util.concurrent.atomic.AtomicLong
+  private val ops = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  private val depth = ThreadLocal.withInitial[Integer](() => 0)
+  private[graft] def counted[A](k: String)(body: => A): A = {
+    val d = depth.get()
+    if (d == 0) ops.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
+    depth.set(d + 1)
+    try body finally depth.set(d)
+  }
+  def reset(): Unit = ops.clear()
+  def snapshot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    ops.asScala.map { case (k, v) => k -> v.get }.toMap
+  }
+  def total: Long = snapshot.values.sum
+}
+
 /** The streaming replay guards and the text index's standing-index
   * metadata must route ALL existence/high-water/version-pin IO through
   * the path's Hadoop FileSystem — a raw `java.io.File` check is always
@@ -133,6 +185,77 @@ class FsRoutingSpec extends SparkSpec {
     assert(out.count() === 40, "checkpoint resume double- or under-ingested")
     assert(out.select("id").collect().map(_.getLong(0)).toSet ===
       (1L to 50L).filter(_ % 5 != 0).toSet)
+  }
+
+  test("object-store op audit: 3-table streaming state pays a bounded, history-flat FS op count per micro-batch") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingMockFs].getName)
+    def countRoot(p: String): String =
+      "countfs://" + java.nio.file.Files.createTempDirectory(p).toString
+    val keysT = countRoot("graft-cfs-k-") + "/t"
+    val setsT = countRoot("graft-cfs-s-") + "/t"
+    val dst = countRoot("graft-cfs-d-") + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cfs-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cfs-ck-").toString
+    // stage 1: 4 micro-batches against empty state
+    CountingMockFs.reset()
+    val df = graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT, srcParts = 4,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+    val ops1 = CountingMockFs.total
+    val snap1 = CountingMockFs.snapshot
+    println(s"[fs-audit] stage1 ops/batch=${ops1 / 4.0} breakdown=$snap1")
+    val streamed = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // twin: identical pairs as the same pipeline on a plain local scheme
+    val keysL = java.nio.file.Files.createTempDirectory("graft-cfs-kl-").toString + "/t"
+    val setsL = java.nio.file.Files.createTempDirectory("graft-cfs-sl-").toString + "/t"
+    val local = graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysL, setsL, srcParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === local, "op-counted scheme changed the answer")
+    // stage 2: 4 MORE real micro-batches (new source files + the SAME
+    // checkpoint, so bids advance past the guards) with the state tables
+    // now populated — object-store op count must stay flat as history
+    // accumulates (probe IO is bucket-cover-bounded; guards are one
+    // manifest read per table)
+    Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("append").parquet(srcDir)
+    CountingMockFs.reset()
+    graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT, srcParts = 4,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+    val ops2 = CountingMockFs.total
+    val snap2 = CountingMockFs.snapshot
+    println(s"[fs-audit] stage2 ops/batch=${ops2 / 4.0} breakdown=$snap2")
+    // the COMMIT side (creates: fragment files + manifest versions +
+    // sidecars) is history-flat — folding the 3 per-table appends into
+    // one tagged commit would shave ~2 creates/batch out of hundreds of
+    // ops, so commit count does NOT dominate and the 3-table layout
+    // stands (the r16(10) wall-time experiment said the same locally;
+    // this pins it in the object-store cost model)
+    assert(snap2.getOrElse("create", 0L) <= snap1.getOrElse("create", 0L) * 3 / 2,
+      s"commit-side op count grew with history: $snap1 -> $snap2")
+    // the READ side DOES grow with accumulated state fragments (each
+    // history fragment in the probe's bucket cover costs getFileStatus +
+    // open round trips) — which is exactly what the maintenance
+    // compaction is for. stage 3: compact both state tables, then 4 more
+    // batches must pay ~stage-1 ops again, not stage-2's
+    graft.sources.lance.LanceMaintenance.compact(spark, keysT, 1000000000L, 10000000L)
+    graft.sources.lance.LanceMaintenance.compact(spark, setsT, 1000000000L, 10000000L)
+    Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("append").parquet(srcDir)
+    CountingMockFs.reset()
+    graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT, srcParts = 4,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+    val ops3 = CountingMockFs.total
+    println(s"[fs-audit] stage3 ops/batch=${ops3 / 4.0} breakdown=${CountingMockFs.snapshot}")
+    assert(ops3 < ops2,
+      s"compaction did not reduce per-batch FS ops: stage2=$ops2 stage3=$ops3")
+    // and recovery is to near-baseline, not a token improvement (measured
+    // ~1.4x of stage 1 — the residual is the uncompacted dst history)
+    assert(ops3 <= ops1 * 2,
+      s"post-compaction FS ops not near baseline: stage1=$ops1 stage3=$ops3")
   }
 
   test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {
