@@ -51,12 +51,17 @@ case class BitPackSign(child: Expression) extends UnaryExpression {
     val getter = if (elemIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val words = ctx.freshName("words")
+      val words = ctx.freshName("words"); val w = ctx.freshName("w")
+      // NOT `(words[i/64] << 1) | (...)`: Janino misparses the
+      // parenthesized shift as a cast type ("Expression ... is not a
+      // type") and the whole stage silently fell back to interpreted
+      // eval — split the shift and the bit-or so codegen actually runs.
       s"""int $n = $a.numElements();
          |long[] $words = new long[($n + 63) / 64];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $words[$i / 64] = ($words[$i / 64] << 1)
-         |      | (((double) $a.$getter($i)) > 0.0 ? 1L : 0L);
+         |  long $w = $words[$i / 64] << 1;
+         |  if (((double) $a.$getter($i)) > 0.0) $w |= 1L;
+         |  $words[$i / 64] = $w;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
          |""".stripMargin

@@ -424,6 +424,13 @@ object StreamingOps extends QueryModule {
   private[graft] def defaultStateBuckets(s: SparkSession): Int =
     math.max(8, s.sparkContext.defaultParallelism)
 
+  /** Auto-compaction fragment thresholds: micro-batch appends land one
+    * small fragment per bucket per batch, so anything under a million
+    * rows is a fold candidate; well above every per-batch fragment and
+    * well below executor memory at the target row width. */
+  private val CompactSmallerThan = 1L << 20
+  private val CompactTarget = 4L << 20
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
     // picks overwrite-vs-append), but createTempDirectory creates its dir
@@ -466,7 +473,9 @@ object StreamingOps extends QueryModule {
       dst: String, keysT: String, stateT: String,
       stateBuckets: Int, bucketCap: Int,
       bandAndState: DataFrame => (DataFrame, DataFrame),
-      verify: (DataFrame, DataFrame) => DataFrame)(batch: DataFrame, bid: Long): Unit = {
+      verify: (DataFrame, DataFrame) => DataFrame,
+      compactEvery: Int = 0,
+      vacuumOnCompact: Boolean = false)(batch: DataFrame, bid: Long): Unit = {
     val dstBid = lastBidOf(s, dst)
     val keysBid = lastBidOf(s, keysT)
     val stateBid = lastBidOf(s, stateT)
@@ -516,6 +525,35 @@ object StreamingOps extends QueryModule {
       guardedAppend(s, verified, dst, bid, dstBid)
       guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
       guardedAppend(s, st, stateT, bid, stateBid, "doc_id", stateBuckets)
+      // MAINTENANCE CADENCE (r17, from the object-store op audit): probe
+      // read ops grow with accumulated state FRAGMENTS (1 HEAD + 1 GET
+      // each), not bytes — folding small fragments every `compactEvery`
+      // batches keeps per-batch FS round trips flat. Within the guarded
+      // block: a fully-applied replay skips it (no churn on no-op
+      // batches); a crash between append and checkpoint just defers the
+      // fold to the next cadence hit — compaction is a cadence, not a
+      // correctness contract (the mid-stream compaction spec proves
+      // probes/guards/answers survive it at ANY point). Within-bucket
+      // folds only, so the read.buckets layout is preserved.
+      // `vacuumOnCompact` additionally drops superseded fragments and
+      // old manifest versions right after each fold (retain 1, zero
+      // grace). Safe HERE because the streaming query is the state
+      // tables' only writer and batches are sequential — nothing stages
+      // fragments concurrently and every kept-version fragment survives
+      // by construction. It trades state-table time travel for a
+      // storage/LIST footprint that stays ∝ live state instead of
+      // ∝ stream history. Do NOT reach for it on shared tables; there
+      // the graceful `CALL system.vacuum` posture applies.
+      if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0)
+        Seq(dst, keysT, stateT).foreach { t =>
+          if (tableExists(s, t)) {
+            graft.sources.lance.LanceMaintenance.compact(
+              s, t, CompactSmallerThan, CompactTarget)
+            if (vacuumOnCompact)
+              graft.sources.lance.LanceMaintenance.vacuum(
+                s, t, retainVersions = 1, graceMs = 0L)
+          }
+        }
     }
     ()
   }
@@ -530,7 +568,9 @@ object StreamingOps extends QueryModule {
                                        srcParts: Int = 4,
                                        buckets: Int = 0,
                                        srcDir0: String = null, ckpt0: String = null,
-                                       dst0: String = null): DataFrame = {
+                                       dst0: String = null,
+                                       compactEvery: Int = 0,
+                                       vacuumOnCompact: Boolean = false): DataFrame = {
     val srcDir = Option(srcDir0).getOrElse(tmp("sndd-src"))
     val ckpt = Option(ckpt0).getOrElse(tmp("sndd-ckpt"))
     val dst = Option(dst0).getOrElse(tmp("sndd-out") + "/t")
@@ -549,7 +589,8 @@ object StreamingOps extends QueryModule {
         Dedup.BucketCap,
         bandAndState = b => (Dedup.bandKeys(b).localCheckpoint(),
           Dedup.shingleSets(b).localCheckpoint()),
-        verify = (cand, allSets) => Dedup.verifyJaccard(cand, allSets)) _)
+        verify = (cand, allSets) => Dedup.verifyJaccard(cand, allSets),
+        compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
@@ -616,7 +657,9 @@ object StreamingOps extends QueryModule {
       decode: (SparkSession, DataFrame) => DataFrame,
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
-      dst0: String = null, prefix: String = "ssig"): DataFrame = {
+      dst0: String = null, prefix: String = "ssig",
+      compactEvery: Int = 0,
+      vacuumOnCompact: Boolean = false): DataFrame = {
     val srcDir = Option(srcDir0).getOrElse(tmp(s"$prefix-src"))
     val ckpt = Option(ckpt0).getOrElse(tmp(s"$prefix-ckpt"))
     val dst = Option(dst0).getOrElse(tmp(s"$prefix-out") + "/t")
@@ -633,7 +676,8 @@ object StreamingOps extends QueryModule {
           val sigs = decode(s, b).localCheckpoint()
           (Multimodal.imgBandKeys(sigs).localCheckpoint(), sigs)
         },
-        verify = sigHammingVerify) _)
+        verify = sigHammingVerify,
+        compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)

@@ -436,6 +436,50 @@ class DedupSpec extends SparkSpec {
     assert(all.nonEmpty)
   }
 
+  test("q_stream_neardedup: compactEvery auto-folds state in-stream — same answer, fewer fragments, layout intact") {
+    // the cadence knob the r17 object-store op audit motivates: per-batch
+    // probe FS round trips grow with accumulated state FRAGMENTS, so the
+    // shared micro-batch body can fold them itself every N batches
+    // instead of relying on an out-of-band maintenance job
+    import graft.sources.lance.ManifestIO
+    val conf = spark.sessionState.newHadoopConf()
+    def dataFiles(t: String): Int = {
+      val fs = ManifestIO.fs(t, conf)
+      val p = new org.apache.hadoop.fs.Path(t, ManifestIO.DataDir)
+      if (fs.exists(p)) fs.listStatus(p).length else 0
+    }
+    def freshRun(compactEvery: Int, vacuum: Boolean = false)
+        : (Seq[(Long, Long, Double)], Int, Int, Int, Int) = {
+      val keysT = java.nio.file.Files.createTempDirectory("graft-sndd-ae-k-").toString + "/t"
+      val setsT = java.nio.file.Files.createTempDirectory("graft-sndd-ae-s-").toString + "/t"
+      val rows = graft.operators.StreamingOps
+        .streamNearDedupAt(spark, sf, keysT, setsT, srcParts = 6,
+          compactEvery = compactEvery, vacuumOnCompact = vacuum)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val mk = ManifestIO.loadLatest(keysT, conf).get
+      val ms = ManifestIO.loadLatest(setsT, conf).get
+      // the folded layout keeps its bucket tags — the read.buckets probe
+      // restriction every later batch depends on
+      assert(mk.fragments.forall(_.bucket.isDefined), mk.fragments.map(_.bucket))
+      assert(ms.fragments.forall(_.bucket.isDefined), ms.fragments.map(_.bucket))
+      (rows, mk.fragments.size, ms.fragments.size,
+        dataFiles(keysT), dataFiles(setsT))
+    }
+    val (plain, pk, ps, pfk, pfs) = freshRun(compactEvery = 0)
+    val (folded, fk, fs, _, _) = freshRun(compactEvery = 2)
+    assert(folded === plain, "auto-compaction changed the answer")
+    assert(fk < pk && fs < ps,
+      s"auto-compaction folded nothing: keys $pk->$fk, sets $ps->$fs")
+    // the vacuum arm: superseded fragments + old manifests dropped
+    // in-stream, so the PHYSICAL footprint stays ∝ live state — and the
+    // answer still byte-identical
+    val (vac, vk, vs, vfk, vfs) = freshRun(compactEvery = 2, vacuum = true)
+    assert(vac === plain, "vacuumOnCompact changed the answer")
+    assert(vk < pk && vs < ps)
+    assert(vfk < pfk && vfs < pfs,
+      s"vacuum left superseded data files: keys $pfk->$vfk, sets $pfs->$vfs")
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)

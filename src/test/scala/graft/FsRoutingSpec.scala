@@ -256,6 +256,37 @@ class FsRoutingSpec extends SparkSpec {
     // ~1.4x of stage 1 — the residual is the uncompacted dst history)
     assert(ops3 <= ops1 * 2,
       s"post-compaction FS ops not near baseline: stage1=$ops1 stage3=$ops3")
+    // stage 4 (r17, the in-stream cadence arm): 4 more batches with
+    // compactEvery=2 + vacuumOnCompact — the pipeline folds dst AND both
+    // state tables itself and drops superseded fragments/manifests as it
+    // goes (maintenance cost paid inside this stage, uncounted)
+    Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("append").parquet(srcDir)
+    graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT, srcParts = 4,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst,
+        compactEvery = 2, vacuumOnCompact = true)
+    // vacuum kept the manifest history ∝ commits-since-last-cadence, not
+    // ∝ stream history (16 batches × 1 append version per table so far)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(graft.sources.lance.ManifestIO.listVersions(keysT, conf).size <= 4,
+      "in-stream vacuum left old manifest versions behind")
+    // stage 5: 4 MORE batches, plain (counted) — per-batch FS ops after
+    // the cadence stage must sit at ~stage-1 baseline even though the
+    // stream is now 16 batches deep, pinning the full recovery the
+    // stage-3 manual pass could not reach (dst history was the residual)
+    Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("append").parquet(srcDir)
+    CountingMockFs.reset()
+    graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT, srcParts = 4,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+    val ops5 = CountingMockFs.total
+    println(s"[fs-audit] stage5 ops/batch=${ops5 / 4.0} breakdown=${CountingMockFs.snapshot}")
+    assert(ops5 < ops2,
+      s"cadence did not keep per-batch FS ops below the uncompacted level: stage2=$ops2 stage5=$ops5")
+    assert(ops5 <= ops1 * 2,
+      s"post-cadence FS ops not near baseline 16 batches in: stage1=$ops1 stage5=$ops5")
   }
 
   test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {

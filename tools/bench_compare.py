@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Noise- and data-aware comparison of two BENCH.json artifacts.
+
+Finishes what the r17 instrument started (SURVEY §7 r17(2)): the artifact
+now carries per-key noise bands, end-of-run __spaced re-medians and
+data-side denominators (streaming batches / input rows / sink rows, lance
+manifest commits). This tool encodes the adjudication rules the r16 judge
+had to apply by hand, so a cross-round wall-time swing is classified
+mechanically:
+
+  1. A key's settled time is min(primary, __spaced) when a spaced
+     re-median exists — a first-slot/spaced disagreement is bench-order
+     noise by construction, and the faster of the two is the code's cost.
+  2. A delta only counts when it clears BOTH rounds' noise bands
+     (|new - old| > max(noise_old, noise_new)) AND the ratio clears
+     RATIO_MIN — sub-band swings are host scheduling, not plans.
+  3. A streaming key with data denominators on both sides is compared
+     per input row (wall / input_rows); if the per-row ratio is within
+     RATIO_MIN the swing is workload growth (more batches/rows), not a
+     regression. Unequal batch counts are reported — trigger machinery
+     dominates at small SF, so more batches legitimately cost more wall.
+
+Usage: tools/bench_compare.py OLD.json NEW.json [--ratio 1.5]
+Exit 1 iff at least one key is classified REGRESSION.
+"""
+import json
+import sys
+
+
+def settled(bench, key):
+    """Rule 1: the spaced re-median settles bench-order noise."""
+    t = bench["queries"].get(key)
+    sp = bench["queries"].get(key + "__spaced")
+    if t is None or t < 0:
+        return None
+    return min(t, sp) if sp is not None and sp >= 0 else t
+
+
+def classify(key, old, new, ratio_min):
+    t0, t1 = settled(old, key), settled(new, key)
+    if t0 is None or t1 is None:
+        return None
+    band = max(old.get("noise", {}).get(key, 0.0),
+               new.get("noise", {}).get(key, 0.0))
+    note = ""
+    if t1 <= t0 * ratio_min:
+        verdict = "ok" if t1 >= t0 / ratio_min else "faster"
+    elif abs(t1 - t0) <= band:
+        verdict, note = "noise", f"within band {band:.2f}"
+    else:
+        verdict = "regression"
+        d0 = old.get("data", {}).get(key, {})
+        d1 = new.get("data", {}).get(key, {})
+        r0, r1 = d0.get("inputRows"), d1.get("inputRows")
+        if r0 and r1:  # rule 3: normalize by data actually processed
+            per0, per1 = t0 / r0, t1 / r1
+            if per1 <= per0 * ratio_min:
+                verdict = "workload"
+                note = (f"per-row {per0 * 1e6:.1f}->{per1 * 1e6:.1f} us, "
+                        f"rows {r0}->{r1}")
+            else:
+                note = f"per-row up {per1 / per0:.2f}x (rows {r0}->{r1})"
+            b0, b1 = d0.get("batches"), d1.get("batches")
+            if b0 and b1 and b0 != b1:
+                note += f", batches {b0}->{b1}"
+        elif d1:
+            note = "denominators (new only): " + json.dumps(d1)
+    return (key, t0, t1, verdict, note)
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    ratio_min = 1.5
+    for a in argv:
+        if a.startswith("--ratio"):
+            ratio_min = float(a.split("=", 1)[1] if "=" in a
+                              else argv[argv.index(a) + 1])
+    def obj_at(s, i):
+        """json.loads the brace-balanced object starting at s[i]."""
+        depth = 0
+        for j in range(i, len(s)):
+            depth += s[j] == "{"
+            depth -= s[j] == "}"
+            if depth == 0:
+                return json.loads(s[i:j + 1])
+        raise ValueError("unbalanced object")
+
+    def salvage(tail):
+        """Best-effort parse of the driver's 2000-char, front-truncated
+        stdout tail: recover whatever of the queries/noise/data maps
+        survived. queries is the first map, so when its opening brace is
+        cut off the leading complete pairs are still a usable SUBSET."""
+        out = {"queries": {}, "noise": {}, "data": {}}
+        for name in out:
+            i = tail.find(f'"{name}":{{')
+            if i >= 0:
+                out[name] = obj_at(tail, i + len(name) + 4)
+        if not out["queries"]:
+            # the leading cut-off fragment belongs to whichever section
+            # PRECEDES the first intact marker (artifact field order is
+            # fixed) — only a queries fragment is usable; anything else
+            # (a noise/errors fragment) must not masquerade as times
+            order = ["queries", "errors", "noise", "builds", "data",
+                     "notes", "sf"]
+            nxt = min((tail.find(f'"{n}":') for n in order
+                       if tail.find(f'"{n}":') >= 0), default=-1)
+            first = next((n for n in order if tail.find(f'"{n}":') == nxt),
+                         None)
+            if first and order.index(first) == 1:  # fragment is queries'
+                head = tail[:nxt].rsplit("}", 2)[0]
+                head = head.split(",", 1)[-1]  # drop the cut-off pair
+                out["queries"] = json.loads("{" + head + "}")
+                print(f"[warn] front-truncated driver tail: comparing the "
+                      f"{len(out['queries'])} surviving query entries only")
+            else:
+                raise SystemExit(
+                    f"{'(unknown)' if not first else first}: the truncated "
+                    "tail holds no query times — compare full BENCH.json "
+                    "snapshots (git history) instead")
+        return out
+
+    def load(path):
+        b = json.load(open(path))
+        if "queries" in b:
+            return b  # the repo's BENCH.json IS the bench line
+        # the driver's per-round BENCH_r{N}.json: parsed line, or a
+        # truncated stdout tail to salvage
+        return b["parsed"] if b.get("parsed") else salvage(b["tail"])
+    old = load(args[0])
+    new = load(args[1])
+    keys = [k for k in new["queries"] if not k.endswith("__spaced")
+            and not k.endswith("_build")  # legacy pre-r17 builds-in-queries
+            and k in old["queries"]]
+    rows = [r for r in (classify(k, old, new, ratio_min) for k in keys) if r]
+    rows.sort(key=lambda r: r[2] - r[1], reverse=True)
+    regressions = 0
+    print(f"{'key':34} {'old':>8} {'new':>8} {'x':>6}  verdict")
+    for key, t0, t1, verdict, note in rows:
+        if verdict == "ok" and abs(t1 - t0) < 0.2:
+            continue  # keep the report readable: parity keys are silent
+        regressions += verdict == "regression"
+        print(f"{key:34} {t0:8.2f} {t1:8.2f} {t1 / t0:6.2f}  "
+              f"{verdict.upper()}" + (f" ({note})" if note else ""))
+    common0 = sum(settled(old, k) for k in keys)
+    common1 = sum(settled(new, k) for k in keys)
+    print(f"\ncommon-key settled sum: {common0:.1f} -> {common1:.1f} s "
+          f"({common1 / common0:.2f}x over {len(keys)} keys); "
+          f"{regressions} regression(s)")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
