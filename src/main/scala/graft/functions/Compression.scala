@@ -72,7 +72,10 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
-      val util = DeflateUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // the $-suffixed module CLASS owns MODULE$ — stripping the suffix
+      // produced `DeflateUtil.MODULE$`, which Janino rightly rejected and
+      // the operator silently ran interpreted (caught by CodegenSpec)
+      val util = DeflateUtil.getClass.getName + ".MODULE$"
       val bytes = if (isString) s"$s.getBytes()" else s
       s"${ev.value} = $util.deflatedLen($bytes);"
     })

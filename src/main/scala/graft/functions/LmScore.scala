@@ -44,8 +44,13 @@ case class LmDocScore(child: Expression, grams: IndexedSeq[String], pNanos: Inde
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lmTable", table,
       "java.util.HashMap<String, Long>")
+    // via MODULE$, not a static forwarder: the companion CLASS is the
+    // Expression, whose inherited eval/score-shaped members can shadow
+    // or suppress forwarders (Janino then resolves to eval(InternalRow)
+    // and the whole stage falls back to interpreted — caught by
+    // CodegenSpec on CharBigrams)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.LmDocScore.score($ref, $c)")
+      s"graft.functions.LmDocScore$$.MODULE$$.score($ref, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -69,7 +74,8 @@ case class CharBigrams(child: Expression) extends UnaryExpression {
     CharBigrams.eval(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharBigrams.eval($c)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharBigrams$$.MODULE$$.eval($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
