@@ -455,6 +455,41 @@ object Dedup extends QueryModule {
       .select("a_id", "b_id", "label", "cos")
       .orderBy("a_id", "b_id")
 
+  // ---- dedup_semantic ------------------------------------------------------
+  // The END-TO-END SemDeDup pipeline (Abbas et al. 2023, "SemDeDup: Data-
+  // efficient learning at web-scale through semantic deduplication"):
+  // cluster-blocked cosine pairs (dedup_embedding's exact in-cell verify) →
+  // connected components (A~B, B~C collapse even when A~C was never
+  // scored) → ONE survivor per semantic group (min vec_id, the same
+  // deterministic representative rule as dedup_clusters) → the curated
+  // corpus = survivors. dedup_embedding reports the PAIRS; this key
+  // answers the question a pipeline actually asks: which rows do I keep.
+  // Blocks come from the embeddings table's cluster id (`label`) exactly
+  // as in dedup_embedding — at 100 TB that id is the IVF/KMeans cell
+  // (sample_cluster_balanced shows the trained path), assignment is one
+  // codegen'd map stage, and everything downstream of pair generation
+  // touches only near-dup pairs (tiny) plus one broadcast-able drop list:
+  // survivors materialize as a left-anti join of the corpus against the
+  // dropped ids, never a shuffle of the corpus itself.
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingPairs(t(s, dir, "embeddings"), EmbChunkCap)
+      .filter(col("cos") >= CosTau)
+      .select("a_id", "b_id")
+    val (labels, _) = clusterLabels(s, pairs)
+    // non-representative members (node != component min) are the drop
+    // list; everything else — including every vector outside any pair —
+    // survives untouched. No broadcast HINT on purpose: the drop list is
+    // usually tiny (near-dup members only) and AQE broadcasts it from its
+    // materialized size, but on a heavily-duplicated corpus it is
+    // O(corpus) and a forced broadcast would OOM the driver — the
+    // shuffled anti-join is the correct fallback there.
+    val dropped = labels.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("vec_id"))
+    t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   // ---- dedup_substring ---------------------------------------------------
   // EXACT-SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training Data
   // Makes Language Models Better" signal): for each document, the tokens
@@ -534,6 +569,7 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_hashed" -> dedupSubstringHashed)
 
@@ -639,6 +675,27 @@ object Dedup extends QueryModule {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos >= $CosTau ORDER BY a_id, b_id""".stripMargin,
+    // the SemDeDup end-to-end: same cosine pairs, transitive closure by
+    // recursive CTE (the dedup_clusters pattern), survivors = everything
+    // except non-min members of a component
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE cos >= $CosTau),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT a_id, a_id FROM pairs
+         |  UNION SELECT b_id, b_id FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
+         |ORDER BY vec_id""".stripMargin,
     // same stride-1 windows as strings; parallel unnest zips (gram, pos).
     // The hashed variant shares this statement: its OUTPUT carries no hash
     // values (coverage counts only), and a 64-bit window-key collision —

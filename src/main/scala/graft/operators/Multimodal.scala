@@ -1055,18 +1055,27 @@ object Multimodal extends QueryModule {
     * that buys offset freedom without inflating bucket fan-out; at
     * 100 TB the shapes are identical to videoPairs plus one window pass
     * over each video's ≤ frames-per-video band keys. */
-  /** Candidate frame pairs for the offset-free verify, reached through a
+  /** MATCHED frame pairs for the offset-free verify, reached through a
     * shared (band_idx, band_key) instead of the frame cross product: for
-    * each candidate video pair, frame (fa, fb) surfaces iff the two
+    * each candidate video pair, frame (fa, fb) is considered iff the two
     * frames agree EXACTLY on ≥ 1 of the 8 disjoint 16-bit bands — a
     * superset of every pair within [[ImgHammingMax]] (pigeonhole,
-    * 6 < 8), deduped across multi-band agreement. Row count per video
-    * pair = band collisions, not nf² (frames with 0 matches contribute
-    * only ~birthday-level noise at 16 bits/band). Split out so the
-    * o(nf²) fan-in and the losslessness are spec-testable directly. */
-  private[graft] def shingleVerifyPairs(cand: DataFrame, frames: DataFrame): DataFrame = {
-    val fbk = imgBandKeys(frames,
-      carry = Seq("doc_id", "frame_idx", "sig_h", "sig_v"))
+    * 6 < 8) — and kept iff the full 128-bit hamming passes. Scanned row
+    * count per video pair = band collisions, not nf² (frames with 0
+    * matches contribute only ~birthday-level noise at 16 bits/band).
+    * Split out so the o(nf²) fan-in and the losslessness are
+    * spec-testable directly. */
+  private[graft] def shingleVerifyPairs(cand: DataFrame, frames: DataFrame): DataFrame =
+    shingleVerifyPairsOn(cand,
+      imgBandKeys(frames, carry = Seq("doc_id", "frame_idx", "sig_h", "sig_v")))
+
+  /** As [[shingleVerifyPairs]], over an already-banded frame projection
+    * (one banding map shared with candidacy). Returns MATCHED frame
+    * pairs — hamming runs BEFORE the dedup so the one shuffle this stage
+    * pays carries 4 small longs per surviving row, not every multi-band
+    * collision with its 4 signature words (that wide distinct doubled
+    * the key's wall time when the band-bounded verify first landed). */
+  private def shingleVerifyPairsOn(cand: DataFrame, fbk: DataFrame): DataFrame =
     cand
       .join(fbk.select(col("doc_id").as("a_id"), col("frame_idx").as("fa"),
         col("sig_h").as("ha"), col("sig_v").as("va"),
@@ -1074,15 +1083,31 @@ object Multimodal extends QueryModule {
       .join(fbk.select(col("doc_id").as("b_id"), col("frame_idx").as("fb"),
         col("sig_h").as("hb"), col("sig_v").as("vb"),
         col("band_idx"), col("band_key")), Seq("b_id", "band_idx", "band_key"))
-      .select("a_id", "b_id", "fa", "fb", "ha", "va", "hb", "vb")
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("va").bitwiseXOR(col("vb"))) <= ImgHammingMax)
+      .select("a_id", "b_id", "fa", "fb")
       .distinct()
-  }
+
+  /** Frame-count product under which a candidate pair verifies by plain
+    * per-pair cross product instead of the band-keyed join. Near-dup
+    * CLIPS are the band join's worst case — matched frames agree on ~all
+    * 8 bands, so the join materializes ~8 rows per matched pair where
+    * the cross product pays nf_a·nf_b ≤ this cap total (measured at
+    * sf0.1: 17.3M collision rows vs 2.2M cross rows over 242k 3-frame
+    * pairs — the band-only verify DOUBLED the key). Long diverse videos
+    * flip the inequality (cross is nf² ≈ 262k rows at nf=512, band is
+    * collision-bounded), so the verify routes per pair: both paths are
+    * lossless, the cap only picks the cheaper one. */
+  private[graft] val CrossVerifyCap = 4096L
 
   private[graft] def videoPairsShingled(frames: DataFrame,
-                                        k: Int = VideoShingleK): DataFrame = {
+                                        k: Int = VideoShingleK,
+                                        crossCap: Long = CrossVerifyCap): DataFrame = {
+    val fbk = imgBandKeys(frames,
+      carry = Seq("doc_id", "frame_idx", "sig_h", "sig_v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "band_idx").orderBy("frame_idx")
-    val sh = imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
+    val sh = fbk
       .withColumn("keys", collect_list(col("band_key")).over(w.rowsBetween(0, k - 1)))
       .filter(size(col("keys")) === k)
       .select(col("doc_id"), col("band_idx"), xxhash64(col("keys")).as("shingle"))
@@ -1094,11 +1119,23 @@ object Multimodal extends QueryModule {
       .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
     val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    shingleVerifyPairs(cand, frames)
-      .withColumn("fham",
-        bit_count(col("ha").bitwiseXOR(col("hb"))) +
-          bit_count(col("va").bitwiseXOR(col("vb"))))
-      .filter(col("fham") <= ImgHammingMax)
+    val candN = cand
+      .join(nf.select(col("doc_id").as("a_id"), col("nf").as("nf_a")), "a_id")
+      .join(nf.select(col("doc_id").as("b_id"), col("nf").as("nf_b")), "b_id")
+    val smallMatched = candN
+      .filter(col("nf_a") * col("nf_b") <= crossCap)
+      .select("a_id", "b_id")
+      .join(frames.select(col("doc_id").as("a_id"), col("frame_idx").as("fa"),
+        col("sig_h").as("ha"), col("sig_v").as("va")), "a_id")
+      .join(frames.select(col("doc_id").as("b_id"), col("frame_idx").as("fb"),
+        col("sig_h").as("hb"), col("sig_v").as("vb")), "b_id")
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("va").bitwiseXOR(col("vb"))) <= ImgHammingMax)
+      .select("a_id", "b_id", "fa", "fb")
+    val largeMatched = shingleVerifyPairsOn(
+      candN.filter(col("nf_a") * col("nf_b") > crossCap).select("a_id", "b_id"),
+      fbk)
+    smallMatched.unionByName(largeMatched)
       .groupBy(col("a_id"), col("b_id"), (col("fa") - col("fb")).as("off"))
       .agg(count(lit(1)).as("n_at_off"))
       .groupBy("a_id", "b_id")

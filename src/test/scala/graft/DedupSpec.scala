@@ -480,6 +480,34 @@ class DedupSpec extends SparkSpec {
       s"vacuum left superseded data files: keys $pfk->$vfk, sets $pfs->$vfs")
   }
 
+  test("dedup_semantic: survivors == corpus minus non-min members of the cosine components") {
+    // independent local union-find over the SAME pair set the operator
+    // consumes (dedup_embedding's gated answer) — the distributed
+    // min-label propagation + anti-join must reproduce it exactly
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // larger root under smaller: every component's final root is its
+      // min id — the operator's representative rule
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val dropped = nodes.filter(n => find(n) != n).toSet
+    assert(dropped.nonEmpty, "fixture never exercises the drop path")
+    val all = Tables.t(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = (all -- dropped).toSeq.sorted
+    val got = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)

@@ -504,6 +504,15 @@ class MultimodalSpec extends SparkSpec {
     // offset 0 reproduces the positional answers for aligned pairs
     assert(sh.get((1L, 2L)).contains((3L, 1.0)), s"aligned pair lost by shingling: $sh")
     assert(sh.get((1L, 4L)).contains((2L, 1.0)), s"shorter-side pair lost by shingling: $sh")
+
+    // the verify ROUTE is a cost decision, not a semantic one (r17): the
+    // fixture's tiny pairs take the per-pair cross product by default —
+    // forcing every pair through the band-keyed join (crossCap = 0) must
+    // produce the identical answer
+    val shBand = operators.Multimodal.videoPairsShingled(frames, crossCap = 0L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(shBand === sh, "band-only verify diverged from the adaptive route")
   }
 
   test("shingled verify fan-in is band-bounded: a 512-frame shifted clip verifies in o(nf^2) rows") {

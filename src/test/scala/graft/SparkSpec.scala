@@ -122,6 +122,7 @@ class EntrySpec extends SparkSpec {
     "dedup_simhash" -> 27,
     "dedup_ngram_jaccard" -> 8,
     "dedup_embedding" -> 5,
+    "dedup_semantic" -> 495,
     "mm_features" -> 500,
     "mm_resize" -> 500,
     "mm_frame_sample" -> 1436,
