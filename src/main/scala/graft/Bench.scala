@@ -65,7 +65,10 @@ object Bench {
     "q_stream_contamination",
     // appended late r16: the quantization ladder's middle rung + the
     // decontamination family's SQL entry point
-    "ivf_sq_search", "lance_decontaminate")
+    "ivf_sq_search", "lance_decontaminate",
+    // appended r17: the dedup family's SemDeDup closer + the embedding
+    // member of the streaming near-dup family
+    "dedup_semantic", "q_stream_embedding_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -422,7 +422,7 @@ object Dedup extends QueryModule {
   //    meets at exactly one key; same-chunk pairs dedupe on a_id < b_id);
   //  - the approximate sub-quadratic path for embeddings is the IVF/ANN
   //    machinery (knn_join); this operator is the exact in-cell verify.
-  private val CosTau = 0.4
+  private[graft] val CosTau = 0.4
   private[graft] val EmbChunkCap = 64
 
   /** All within-label cosine pairs via the chunked triangle self-join —

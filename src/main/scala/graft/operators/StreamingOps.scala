@@ -646,6 +646,72 @@ object StreamingOps extends QueryModule {
       keysT = tmp("saud-keys") + "/t", sigsT = tmp("saud-sigs") + "/t",
       decode = Multimodal.decodeAudioSigs, prefix = "saud")
 
+  /** Streaming EMBEDDING near-dup — the fourth member of the family:
+    * arriving vectors dedup against everything seen so far under
+    * dedup_embedding's EXACT contract (cosine ≥ τ within the coarse
+    * cluster id). The cluster id IS the band key (band_idx = 0): RHP-LSH
+    * cannot sub-bucket at τ = 0.4 without changing the answer (see
+    * Dedup.embeddingPairs), so the history probe is the label bucket
+    * cover and verification is the exact cosine against the accumulated
+    * vector store — the identical guard/probe/cap/append skeleton, only
+    * (bandAndState, verify) differ. While no label cell crosses
+    * [[EmbStreamCap]] the streamed pairs == dedup_embedding row-for-row
+    * (gated on the SAME full SQL oracle); an over-cap cell drops the
+    * overflowing batch's contribution — the recall-safe capped posture
+    * the text/image/audio twins share (the batch operator CHUNKS such a
+    * cell instead, so the cap sits comfortably above the densest fixture
+    * cell: 218 at sf0.1). */
+  private[graft] val EmbStreamCap = 1024
+
+  private def streamEmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    streamEmbeddingDedupAt(s, dir,
+      keysT = tmp("semb-keys") + "/t", vecsT = tmp("semb-vecs") + "/t")
+
+  private[graft] def streamEmbeddingDedupAt(s: SparkSession, dir: String,
+      keysT: String, vecsT: String,
+      srcParts: Int = 4,
+      srcDir0: String = null, ckpt0: String = null,
+      dst0: String = null,
+      compactEvery: Int = 0,
+      vacuumOnCompact: Boolean = false): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp("semb-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("semb-ckpt"))
+    val dst = Option(dst0).getOrElse(tmp("semb-out") + "/t")
+    val stateBuckets = defaultStateBuckets(s)
+    val src = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
+      src.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(nearDedupBatch(s, dst, keysT, vecsT, stateBuckets,
+        EmbStreamCap,
+        bandAndState = b => {
+          val bb = b.localCheckpoint() // one source read feeds both views
+          (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
+            col("label").as("band_key")).localCheckpoint(),
+            bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
+        },
+        verify = cosineVerify,
+        compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.format("lance").load(dst)
+      .select("a_id", "b_id", "label", "cos").distinct().orderBy("a_id", "b_id")
+  }
+
+  /** Exact cosine verify matching Dedup.embeddingPairs bit-for-bit: the
+    * same vec_cosine expression, the same 6-dp rounding, the same τ. */
+  private def cosineVerify(cand: DataFrame, allVecs: DataFrame): DataFrame = cand
+    .join(allVecs.select(col("doc_id").as("a_id"), col("label"),
+      col("embedding").as("va")), "a_id")
+    .join(allVecs.select(col("doc_id").as("b_id"),
+      col("embedding").as("vb")), "b_id")
+    .withColumn("cos", round(graft.functions.vec_cosine(col("va"), col("vb")), 6))
+    .filter(col("cos") >= Dedup.CosTau)
+    .select("a_id", "b_id", "label", "cos")
+
   /** The shared streaming perceptual-signature near-dedup: a parquet
     * payload source drained in micro-batches, each batch decoded to
     * 128-bit (doc_id, sig_h, sig_v) signatures by `decode` (real image
@@ -1401,6 +1467,7 @@ object StreamingOps extends QueryModule {
     "q_stream_neardedup" -> streamNearDedup,
     "q_stream_image_dedup" -> streamImageDedup,
     "q_stream_audio_dedup" -> streamAudioDedup,
+    "q_stream_embedding_dedup" -> streamEmbeddingDedup,
     "q_stream_index" -> streamIndex,
     "q_stream_index_once" -> streamIndexOnce,
     "q_stream_index_pq" -> streamIndexOncePq)
@@ -1411,6 +1478,9 @@ object StreamingOps extends QueryModule {
     "q_stream_contamination" -> TextAnalysis.oracleSql("text_contamination"),
     "q_stream_contamination_semantic" ->
       VectorSearch.oracleSql("contamination_semantic"),
+    // streamed incremental embedding dedup == the batch within-label
+    // exact-cosine oracle (the same statement dedup_embedding is gated on)
+    "q_stream_embedding_dedup" -> Dedup.oracleSql("dedup_embedding"),
     // full-probe search over the streamed-in index == exact KNN (the same
     // statement that gates ivf_flat/ivf_append)
     "q_stream_index" -> VectorIndex.exactKnnSql,

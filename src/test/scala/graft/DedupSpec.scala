@@ -480,6 +480,19 @@ class DedupSpec extends SparkSpec {
       s"vacuum left superseded data files: keys $pfk->$vfk, sets $pfs->$vfs")
   }
 
+  test("q_stream_embedding_dedup: streamed incremental cosine pairs == batch dedup_embedding row-for-row") {
+    // the embedding member of the streaming near-dup family: same
+    // nearDedupBatch skeleton, label-bucket probes, exact cosine verify —
+    // streamed == batch is the whole correctness statement (and both are
+    // gated on the same SQL oracle)
+    val streamed = SparkEntry.queries("q_stream_embedding_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getDouble(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("dedup_semantic: survivors == corpus minus non-min members of the cosine components") {
     // independent local union-find over the SAME pair set the operator
     // consumes (dedup_embedding's gated answer) — the distributed
