@@ -1075,7 +1075,13 @@ object Multimodal extends QueryModule {
     * pays carries 4 small longs per surviving row, not every multi-band
     * collision with its 4 signature words (that wide distinct doubled
     * the key's wall time when the band-bounded verify first landed). */
-  private def shingleVerifyPairsOn(cand: DataFrame, fbk: DataFrame): DataFrame =
+  /** The verify's SCANNED set — every band collision the equi-join
+    * materializes, BEFORE the hamming filter. Split out so the o(nf²)
+    * fan-in spec can count what the plan actually reads (the filtered
+    * output is plan-independent — a cross-product revert would produce
+    * the identical matched pairs and a row-count assert on them would
+    * be vacuous). */
+  private[graft] def bandCollisionRows(cand: DataFrame, fbk: DataFrame): DataFrame =
     cand
       .join(fbk.select(col("doc_id").as("a_id"), col("frame_idx").as("fa"),
         col("sig_h").as("ha"), col("sig_v").as("va"),
@@ -1083,6 +1089,9 @@ object Multimodal extends QueryModule {
       .join(fbk.select(col("doc_id").as("b_id"), col("frame_idx").as("fb"),
         col("sig_h").as("hb"), col("sig_v").as("vb"),
         col("band_idx"), col("band_key")), Seq("b_id", "band_idx", "band_key"))
+
+  private def shingleVerifyPairsOn(cand: DataFrame, fbk: DataFrame): DataFrame =
+    bandCollisionRows(cand, fbk)
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
         bit_count(col("va").bitwiseXOR(col("vb"))) <= ImgHammingMax)
       .select("a_id", "b_id", "fa", "fb")

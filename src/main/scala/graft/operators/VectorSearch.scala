@@ -576,13 +576,29 @@ object VectorSearch extends QueryModule {
   private[operators] val PrescreenSigmas = 4.0
 
   /** Hamming admit bound for a cos ≥ tau pair over d sign bits:
-    * d·acos(tau)/π expected flips + PrescreenSigmas·√d/2 slack, capped at
+    * acos(tau)/π·d expected flips + PrescreenSigmas·√d/2 slack, capped at
     * d. Package-visible so the recall spec asserts against the SAME
-    * number the screen uses. */
-  private[graft] def prescreenBound(d: Int, tau: Double): Long =
+    * number the screen uses — and the arithmetic below is TERM-FOR-TERM
+    * the Column expression inside [[semanticMatches]] (same operand
+    * order, so identical IEEE rounding; a per-d parity spec pins the two
+    * encodings together). */
+  private[graft] def prescreenBound(d: Int, tau: Double): Long = {
+    val flipFrac = math.acos(tau) / math.Pi
     math.min(d.toLong,
-      math.ceil(d * math.acos(tau) / math.Pi +
-        PrescreenSigmas * math.sqrt(d.toDouble) / 2.0).toLong)
+      math.ceil(flipFrac * d + PrescreenSigmas * math.sqrt(d.toDouble) / 2.0).toLong)
+  }
+
+  /** The Column form of [[prescreenBound]] over a per-row dimension — the
+    * ONE encoding the screen filters with (mixed-dim corpora get each
+    * row's own bound). Mirrors the scalar term-for-term; the parity spec
+    * evaluates both over a d sweep. */
+  private[graft] def prescreenBoundCol(dInt: org.apache.spark.sql.Column,
+                                       tau: Double): org.apache.spark.sql.Column = {
+    val d = dInt.cast("double")
+    least(dInt.cast("long"),
+      ceil(lit(math.acos(tau) / math.Pi) * d +
+        lit(PrescreenSigmas) * sqrt(d) / 2).cast("long"))
+  }
 
   /** The ONE τ/NaN definition of the semantic match — shared by the batch
     * key, the streaming twin, and CALL system.decontaminate: corpus rows
@@ -616,14 +632,11 @@ object VectorSearch extends QueryModule {
       // sketches computed ONCE per row/bench vector inside the scan /
       // broadcast build, never per pair; internal names __sem_-prefixed so
       // arbitrary procedure id columns can't collide
-      val flipFrac = math.acos(tau) / math.Pi
       val paired = corpus
         .withColumn("__sem_sig", graft.functions.bit_pack_sign(col(vecCol)))
         .crossJoin(broadcast(benchVecs
           .withColumn("__sem_bsig", graft.functions.bit_pack_sign(col("vb")))))
-      val d = size(col(vecCol)).cast("double")
-      val bound = least(size(col(vecCol)).cast("long"),
-        ceil(lit(flipFrac) * d + lit(PrescreenSigmas) * sqrt(d) / 2).cast("long"))
+      val bound = prescreenBoundCol(size(col(vecCol)), tau)
       exact(paired.filter(
           graft.functions.hamming_dist(col("__sem_sig"), col("__sem_bsig")) <= bound))
         .drop("__sem_sig", "__sem_bsig")

@@ -469,17 +469,24 @@ object LanceDelete {
     * table: fragments commit under the table schema, so a clash commits
     * physical layouts the manifest misdescribes. Writer-only / table-only
     * columns are fine (schema evolution: hidden-stamp / null-fill). */
+  /** ONE clash scan feeds both the boolean commit-closure check and the
+    * pre-staging require — two hand-maintained encodings of the same
+    * predicate could drift (a relaxation applied to one would make the
+    * closure abort-retry loop against a passing pre-check, forever). */
+  private def typeClashes(writer: org.apache.spark.sql.types.StructType,
+                          table: org.apache.spark.sql.types.StructType): Seq[String] =
+    writer.fields.toSeq.flatMap(wf =>
+      table.fields.find(_.name == wf.name).filter(_.dataType != wf.dataType).map(tf =>
+        s"${wf.name} (writer ${wf.dataType.simpleString} vs table ${tf.dataType.simpleString})"))
+
   private def typeCompat(writer: org.apache.spark.sql.types.StructType,
                          table: org.apache.spark.sql.types.StructType): Boolean =
-    writer.fields.forall(wf =>
-      table.fields.find(_.name == wf.name).forall(_.dataType == wf.dataType))
+    typeClashes(writer, table).isEmpty
 
   private def requireTypeCompat(writer: org.apache.spark.sql.types.StructType,
                                 table: org.apache.spark.sql.types.StructType,
                                 root: String): Unit = {
-    val clashes = writer.fields.flatMap(wf =>
-      table.fields.find(_.name == wf.name).filter(_.dataType != wf.dataType).map(tf =>
-        s"${wf.name} (writer ${wf.dataType.simpleString} vs table ${tf.dataType.simpleString})"))
+    val clashes = typeClashes(writer, table)
     require(clashes.isEmpty,
       s"lance replaceWhere at $root: incompatible column types: ${clashes.mkString(", ")}")
   }

@@ -535,8 +535,16 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, (nf - off).toLong, 1.0)),
       s"trimmed 512-frame clip must pair at full shorter-side ratio: $got")
     val cand = Seq((1L, 2L)).toDF("a_id", "b_id")
-    val rows = operators.Multimodal.shingleVerifyPairs(cand, frames).count()
-    assert(rows < 16L * nf,
-      s"verify fan-in $rows rows — not o(nf^2) (nf^2 = ${nf.toLong * nf})")
+    // count the SCANNED set (band collisions before the hamming filter):
+    // the filtered output is plan-independent, so only the collision
+    // count distinguishes the band join from an nf² cross-product revert
+    val scanned = operators.Multimodal.bandCollisionRows(cand,
+      operators.Multimodal.imgBandKeys(frames,
+        carry = Seq("doc_id", "frame_idx", "sig_h", "sig_v"))).count()
+    assert(scanned < 16L * nf,
+      s"verify fan-in $scanned scanned rows — not o(nf^2) (nf^2 = ${nf.toLong * nf})")
+    val matched = operators.Multimodal.shingleVerifyPairs(cand, frames).count()
+    assert(matched === (nf - off).toLong,
+      s"matched pairs: expected ${nf - off}, got $matched")
   }
 }

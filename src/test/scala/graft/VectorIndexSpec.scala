@@ -1166,4 +1166,22 @@ class VectorIndexSpec extends SparkSpec {
     assert(admitted.toDouble / total < 0.10,
       s"prescreen admitted $admitted/$total unrelated pairs at d=$d (bound $hb)")
   }
+
+  test("prescreen bound: the scalar spec form and the screen's Column form agree over a d sweep") {
+    import graft.operators.VectorSearch
+    import spark.implicits._
+    // the screen filters with prescreenBoundCol; the recall spec and
+    // PrescreenCurve assert with prescreenBound — one drifting encoding
+    // would silently desynchronize the spec from production (review r17)
+    for (tau <- Seq(0.2, 0.4, 0.7)) {
+      val ds = (1 to 4096).filter(d => d < 80 || d % 37 == 0)
+      val colBounds = ds.toDF("d")
+        .select(col("d"), VectorSearch.prescreenBoundCol(col("d"), tau).as("b"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      ds.foreach { d =>
+        assert(colBounds(d) === VectorSearch.prescreenBound(d, tau),
+          s"bound encodings disagree at d=$d tau=$tau")
+      }
+    }
+  }
 }

@@ -40,13 +40,15 @@ def classify(key, old, new, ratio_min):
     t0, t1 = settled(old, key), settled(new, key)
     if t0 is None or t1 is None:
         return None
-    band = max(old.get("noise", {}).get(key, 0.0),
-               new.get("noise", {}).get(key, 0.0))
+    # Bench records noise as a RELATIVE spread ((max-min)/median), so the
+    # absolute tolerance is each round's spread scaled by its own median
+    band = max(old.get("noise", {}).get(key, 0.0) * t0,
+               new.get("noise", {}).get(key, 0.0) * t1)
     note = ""
     if t1 <= t0 * ratio_min:
         verdict = "ok" if t1 >= t0 / ratio_min else "faster"
     elif abs(t1 - t0) <= band:
-        verdict, note = "noise", f"within band {band:.2f}"
+        verdict, note = "noise", f"within band {band:.2f}s"
     else:
         verdict = "regression"
         d0 = old.get("data", {}).get(key, {})
@@ -94,7 +96,9 @@ def main(argv):
         for name in out:
             i = tail.find(f'"{name}":{{')
             if i >= 0:
-                out[name] = obj_at(tail, i + len(name) + 4)
+                # the opening '{' sits right after '"name":' (quote + name
+                # + quote + colon = len + 3)
+                out[name] = obj_at(tail, i + len(name) + 3)
         if not out["queries"]:
             # the leading cut-off fragment belongs to whichever section
             # PRECEDES the first intact marker (artifact field order is
@@ -141,10 +145,15 @@ def main(argv):
         regressions += verdict == "regression"
         print(f"{key:34} {t0:8.2f} {t1:8.2f} {t1 / t0:6.2f}  "
               f"{verdict.upper()}" + (f" ({note})" if note else ""))
-    common0 = sum(settled(old, k) for k in keys)
-    common1 = sum(settled(new, k) for k in keys)
+    # keys whose settled time is None on either side (Bench's -1.0 error
+    # sentinel) are already absent from the per-key table; keep them out
+    # of the sums too
+    both = [(settled(old, k), settled(new, k)) for k in keys]
+    both = [(a, b) for a, b in both if a is not None and b is not None]
+    common0 = sum(a for a, _ in both)
+    common1 = sum(b for _, b in both)
     print(f"\ncommon-key settled sum: {common0:.1f} -> {common1:.1f} s "
-          f"({common1 / common0:.2f}x over {len(keys)} keys); "
+          f"({common1 / common0:.2f}x over {len(both)} keys); "
           f"{regressions} regression(s)")
     return 1 if regressions else 0
 
