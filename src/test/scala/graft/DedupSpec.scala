@@ -551,6 +551,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic plan: AQE turns the drop-list anti-join into a broadcast at runtime") {
+    // no broadcast HINT by design (a heavily-duplicated corpus must be
+    // allowed to degrade to the shuffled anti-join) — so the broadcast
+    // must come from AQE's runtime size of the materialized drop list:
+    // assert on the FINAL adaptive plan, after execution
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.toLowerCase.contains("leftanti"),
+      s"drop list not applied as a broadcast anti-join:\n$plan")
+  }
+
   test("dedup_canonical plan: unclustered docs take the broadcast anti-join fast path") {
     val plan = SparkEntry.queries("dedup_canonical")(spark, sf)
       .queryExecution.executedPlan.toString
