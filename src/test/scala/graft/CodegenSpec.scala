@@ -41,7 +41,13 @@ class CodegenSpec extends SparkSpec {
     "text_compress_ratio", "bpe_train", "text_tokens_bpe",
     // weighted sampling (MaxMinstdDraws) and sketches (HllSketchAgg +
     // HllEstimate, HeavyHitters)
-    "sample_weighted", "q_events_dau_hll", "q_events_topk_sketch")
+    "sample_weighted", "q_events_dau_hll", "q_events_topk_sketch",
+    // streaming bodies (r17 follow-through): foreachBatch plans build
+    // outside the batch keys' lineage, so run one member of each
+    // streaming family under the same strict confs — the micro-batch
+    // pipelines inherit the session conf at execution time
+    "q_stream_neardedup", "q_stream_embedding_dedup",
+    "q_stream_contamination_semantic", "q_stream_dau_hll")
 
   private def render(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
