@@ -97,6 +97,27 @@ object Bench {
     // per-key data-side denominators (streaming batches/rows, lance
     // commits) from the LAST measured run — see BenchProbe
     val data = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
+    // per-key PLAN FINGERPRINT (r17): a short hash of the key's physical
+    // plan with ids/paths normalized away, captured from the warmup run's
+    // DataFrame. Equal fingerprints across rounds mean a wall-time swing
+    // is host/data, not plans; a changed fingerprint points the
+    // adjudication straight at a plan change. Static (pre-AQE) shape —
+    // runtime join flips don't show, which is fine: those are the data's
+    // decision, not the code's.
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
+    def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val raw = df.queryExecution.executedPlan.toString
+      val norm = raw
+        .replaceAll("#\\d+", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("(file|hdfs|s3a?|countfs|mock):[^\\s\\],)]+", "<path>")
+        .replaceAll("/tmp/[^\\s\\],)]+", "<tmp>")
+        .replaceAll("Location: [A-Za-z]+\\([^)]*\\)\\[[^\\]]*\\]", "Location: <loc>")
+        .replaceAll("(partitioning\\([^()]*), \\d+\\)", "$1, N)")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(norm.getBytes("UTF-8"))
+      digest.take(6).map(b => f"$b%02x").mkString + ":" + norm.linesIterator.size
+    }
 
     // Host-noise guard: medians start from `runs` samples and keep
     // sampling (up to MaxRuns) while the relative spread (max−min)/median
@@ -172,7 +193,14 @@ object Bench {
               qv, k = operators.VectorIndex.K, refineFactor = 4,
               excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
           case _ =>
-            () => { fn(spark, sfDir).count(); () }
+            () => {
+              val df = fn(spark, sfDir)
+              df.count()
+              // once, from the warmup run (streaming fns execute their
+              // pipeline while building the df — don't re-run for this)
+              if (!plans.contains(name)) plans(name) = planFingerprint(df)
+              ()
+            }
         }
         bodies(name) = body
         body() // warmup: JIT + codegen cache + FS cache
@@ -218,6 +246,7 @@ object Bench {
     val dJson = data.map { case (k, m) =>
       s""""$k":${m.map { case (f, v) => s""""$f":$v""" }.mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
+    val pJson = plans.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     // __spaced rechecks are diagnostics, not workload — keep the total
     // series comparable across rounds by excluding them
     val total = times.collect { case (k, v) if v >= 0 && !k.endsWith("__spaced") => v }.sum
@@ -229,9 +258,10 @@ object Bench {
       """"contamination_semantic":"PLAN CHANGED r17: two-phase screen (sign-sketch hamming prescreen + exact cosine refine); output identical (exact refine decides, re-gated), at the 64-dim bench fixture the prescreen is pass-through so expect parity, the win is at production dims",""" +
       """"__spaced":"keys suffixed __spaced are the same query re-measured at the end of the run (since r17: every key whose noise band exceeds 0.5, plus the two map-only canaries); a first-slot/spaced disagreement marks bench-order noise, not a plan change",""" +
       """"builds":"since r17 one-time build entries (ivf_flat_build, lsh_pairs_build, ivf_pq_build, ivf_sq_build) live in the builds map, excluded from queries and total; r16-and-earlier totals include them",""" +
-      """"data":"per-key data-side record of the LAST measured run: streaming batches/inputRows/sinkRows (StreamingQueryProgress) and lance manifest commits; the denominators for adjudicating streaming wall-time swings"}"""
+      """"data":"per-key data-side record of the LAST measured run: streaming batches/inputRows/sinkRows (StreamingQueryProgress) and lance manifest commits; the denominators for adjudicating streaming wall-time swings",""" +
+      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"noise":$nJson,"builds":$bJson,"data":$dJson,"notes":$notes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"noise":$nJson,"builds":$bJson,"data":$dJson,"plans":$pJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)
     // also persist into the repo itself (sbt runs from the project root):
     // the driver's BENCH_r{N} capture is a truncated stdout tail — r15's

@@ -67,6 +67,12 @@ def classify(key, old, new, ratio_min):
                 note += f", batches {b0}->{b1}"
         elif d1:
             note = "denominators (new only): " + json.dumps(d1)
+    # rule 4 (r17): plan fingerprints decide "plan change" vs "host/data"
+    p0 = old.get("plans", {}).get(key)
+    p1 = new.get("plans", {}).get(key)
+    if p0 and p1 and verdict not in ("ok", "faster"):
+        note = (note + "; " if note else "") + (
+            f"PLAN CHANGED {p0}->{p1}" if p0 != p1 else "same plan")
     return (key, t0, t1, verdict, note)
 
 
