@@ -66,9 +66,10 @@ object Bench {
     // appended late r16: the quantization ladder's middle rung + the
     // decontamination family's SQL entry point
     "ivf_sq_search", "lance_decontaminate",
-    // appended r17: the dedup family's SemDeDup closer + the embedding
-    // member of the streaming near-dup family
-    "dedup_semantic", "q_stream_embedding_dedup")
+    // appended r17: the dedup family's SemDeDup closer, the embedding
+    // member of the streaming near-dup family, and the incremental
+    // SemDeDup materialized view
+    "dedup_semantic", "q_stream_embedding_dedup", "q_stream_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

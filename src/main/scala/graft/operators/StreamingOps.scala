@@ -475,7 +475,10 @@ object StreamingOps extends QueryModule {
       bandAndState: DataFrame => (DataFrame, DataFrame),
       verify: (DataFrame, DataFrame) => DataFrame,
       compactEvery: Int = 0,
-      vacuumOnCompact: Boolean = false)(batch: DataFrame, bid: Long): Unit = {
+      vacuumOnCompact: Boolean = false,
+      writeDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit =
+        (s, verified, _, dst, bid, dstBid) =>
+          guardedAppend(s, verified, dst, bid, dstBid))(batch: DataFrame, bid: Long): Unit = {
     val dstBid = lastBidOf(s, dst)
     val keysBid = lastBidOf(s, keysT)
     val stateBid = lastBidOf(s, stateT)
@@ -522,7 +525,10 @@ object StreamingOps extends QueryModule {
         else st.limit(0)
       val verified = verify(cand,
         st.unionByName(histState.select(st.columns.map(col).toSeq: _*)))
-      guardedAppend(s, verified, dst, bid, dstBid)
+      // `writeDst` defaults to the plain guarded append; the semantic-MV
+      // twin swaps in an atomic labels upsert — SAME position in the
+      // ordering invariant (dst before keys/state), same bid guard
+      writeDst(s, verified, st, dst, bid, dstBid)
       guardedAppend(s, bk, keysT, bid, keysBid, "band_key", stateBuckets)
       guardedAppend(s, st, stateT, bid, stateBid, "doc_id", stateBuckets)
       // MAINTENANCE CADENCE (r17, from the object-store op audit): probe
@@ -699,6 +705,118 @@ object StreamingOps extends QueryModule {
     drain(q)
     s.read.format("lance").load(dst)
       .select("a_id", "b_id", "label", "cos").distinct().orderBy("a_id", "b_id")
+  }
+
+  /** Streaming SemDeDup — dedup_semantic maintained as an INCREMENTAL
+    * materialized view, with EXACT batch equality at every stream end:
+    * connected components only ever MERGE as pairs arrive (an edge can
+    * join two components, never split one), so the transitive closure of
+    * the pairs seen so far is order-independent — after the last batch
+    * the labels equal the batch operator's closure and the survivor view
+    * (vec_id == component min) equals dedup_semantic row-for-row, gated
+    * on the SAME full SQL oracle. No contract compromise: a later bridge
+    * vector that merges two standing groups RETRACTS the losing
+    * representative, which an append-only sink cannot express — the view
+    * therefore updates by the q_stream_mv_window upsert shape: per batch,
+    * ONE atomic REPLACE WHERE (`lbl IN touched-components`) rewrites
+    * exactly the components the batch's pairs touch and inserts the
+    * batch's vectors; everything else is untouched. Per-batch cost ∝
+    * touched components (reads prune by `vec_id IN`/`lbl IN` against
+    * fragment stats), never ∝ the accumulated view. Pair discovery rides
+    * the embedding twin's body verbatim — this key only swaps the dst
+    * append for the labels upsert (same ordering-invariant slot, same
+    * bid guard, atomic so a crash replay skips or redoes it whole). */
+  private def streamSemantic(s: SparkSession, dir: String): DataFrame =
+    streamSemanticAt(s, dir,
+      keysT = tmp("ssem-keys") + "/t", vecsT = tmp("ssem-vecs") + "/t")
+
+  private[graft] def streamSemanticAt(s: SparkSession, dir: String,
+      keysT: String, vecsT: String,
+      srcParts: Int = 4,
+      srcDir0: String = null, ckpt0: String = null,
+      dst0: String = null): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp("ssem-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("ssem-ckpt"))
+    val survT = Option(dst0).getOrElse(tmp("ssem-mv") + "/t")
+    val stateBuckets = defaultStateBuckets(s)
+    val src = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+    // REPLACE WHERE needs a standing table: seed the view empty (the
+    // q_stream_mv_window pattern), schema = survivors + component label
+    if (!tableExists(s, survT))
+      src.select(col("vec_id"), col("label"))
+        .withColumn("lbl", col("vec_id")).withColumn("bid", lit(-1L))
+        .limit(0).write.format("lance").save(survT)
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
+      src.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(nearDedupBatch(s, survT, keysT, vecsT, stateBuckets,
+        EmbStreamCap,
+        bandAndState = b => {
+          val bb = b.localCheckpoint()
+          (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
+            col("label").as("band_key")).localCheckpoint(),
+            bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
+        },
+        verify = cosineVerify,
+        writeDst = semanticMvUpsert) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.format("lance").load(survT)
+      .filter(col("vec_id") === col("lbl"))
+      .select("vec_id", "label").orderBy("vec_id")
+  }
+
+  /** The labels upsert behind [[streamSemanticAt]] — runs in
+    * nearDedupBatch's dst slot (before the keys/state appends, bid
+    * guarded). Rebuilds labels ONLY for the components the batch's pairs
+    * touch: current labels of the pair endpoints → members of those
+    * components → local closure over (new pairs ∪ member→representative
+    * edges) via the shared min-label propagation → one atomic
+    * REPLACE WHERE on `lbl IN touched` (plus the batch's new rows).
+    * Touched-component ids and pair endpoints collect to the driver —
+    * both are bounded ∝ the batch's verified pairs (cap²/2 per band
+    * bucket), the same boundedness argument as the MV's touched keys. */
+  private def semanticMvUpsert(s: SparkSession, pairs: DataFrame, st: DataFrame,
+                               survT: String, bid: Long, survBid: Long): Unit = {
+    if (bid <= survBid) return // the atomic upsert already committed
+    val batchVecs = st.select(col("doc_id").as("vec_id"), col("label"))
+    val p = pairs.select("a_id", "b_id").localCheckpoint()
+    val nodeIds = p.select(col("a_id").as("v"))
+      .union(p.select(col("b_id").as("v"))).distinct()
+      .collect().map(_.getLong(0))
+    val surv = s.read.format("lance").load(survT)
+    val touched =
+      if (nodeIds.isEmpty) Array.empty[Long]
+      else surv.filter(col("vec_id").isin(nodeIds.toSeq: _*))
+        .select("lbl").distinct().collect().map(_.getLong(0))
+    val members =
+      if (touched.isEmpty) surv.limit(0).select("vec_id", "label", "lbl")
+      else surv.filter(col("lbl").isin(touched.toSeq: _*))
+        .select("vec_id", "label", "lbl").localCheckpoint()
+    val nodesAll = members.select("vec_id", "label")
+      .unionByName(batchVecs).dropDuplicates("vec_id")
+    val relabeled =
+      if (nodeIds.isEmpty && touched.isEmpty)
+        nodesAll.withColumn("lbl", col("vec_id")) // singleton-only batch
+      else {
+        // member→representative edges keep standing components connected
+        // through the closure even where no new pair touches them
+        val edges = p.unionByName(members.filter(col("vec_id") =!= col("lbl"))
+          .select(col("vec_id").as("a_id"), col("lbl").as("b_id")))
+        val (labels, _) = Dedup.clusterLabels(s, edges)
+        nodesAll
+          .join(labels.select(col("node").as("vec_id"), col("lbl")), Seq("vec_id"), "left")
+          .withColumn("lbl", coalesce(col("lbl"), col("vec_id")))
+      }
+    val rows = relabeled.select("vec_id", "label", "lbl")
+      .withColumn("bid", lit(bid)).coalesce(1)
+    if (touched.isEmpty) guardedAppend(s, rows.drop("bid"), survT, bid, survBid)
+    else graft.sources.lance.LanceDelete.replaceWhere(s, survT, rows,
+      Array(org.apache.spark.sql.sources.In("lbl",
+        touched.map(_.asInstanceOf[Any]))))
   }
 
   /** Exact cosine verify matching Dedup.embeddingPairs bit-for-bit: the
@@ -1468,6 +1586,7 @@ object StreamingOps extends QueryModule {
     "q_stream_image_dedup" -> streamImageDedup,
     "q_stream_audio_dedup" -> streamAudioDedup,
     "q_stream_embedding_dedup" -> streamEmbeddingDedup,
+    "q_stream_semantic" -> streamSemantic,
     "q_stream_index" -> streamIndex,
     "q_stream_index_once" -> streamIndexOnce,
     "q_stream_index_pq" -> streamIndexOncePq)
@@ -1481,6 +1600,10 @@ object StreamingOps extends QueryModule {
     // streamed incremental embedding dedup == the batch within-label
     // exact-cosine oracle (the same statement dedup_embedding is gated on)
     "q_stream_embedding_dedup" -> Dedup.oracleSql("dedup_embedding"),
+    // the incrementally-maintained survivor view == the batch SemDeDup
+    // closure (components only merge, so end-of-stream labels equal the
+    // order-independent transitive closure — dedup_semantic's oracle)
+    "q_stream_semantic" -> Dedup.oracleSql("dedup_semantic"),
     // full-probe search over the streamed-in index == exact KNN (the same
     // statement that gates ivf_flat/ivf_append)
     "q_stream_index" -> VectorIndex.exactKnnSql,

@@ -493,6 +493,47 @@ class DedupSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_semantic: the incrementally-maintained survivor view == batch dedup_semantic row-for-row") {
+    // components only merge as pairs stream in, so the end-of-stream
+    // closure is order-independent — the per-batch REPLACE WHERE upserts
+    // (touched components only, retractions included) must land on
+    // exactly the batch answer
+    val streamed = SparkEntry.queries("q_stream_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    val batch = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(streamed === batch)
+  }
+
+  test("q_stream_semantic: a later bridge vector RETRACTS the losing representative") {
+    // the behavior an append-only sink cannot express, and the reason the
+    // view updates by atomic REPLACE WHERE: ids 1 and 5 are orthogonal
+    // (both survive), id 7 joins 1's component, then id 9 arrives close
+    // to BOTH 1 and 5 (cos ≈ 0.707 each) — the two standing components
+    // merge and 5, a survivor until that batch, must disappear
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("ssem-ret-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ssem-ret-ck-").toString
+    val keysT = java.nio.file.Files.createTempDirectory("ssem-ret-k-").toString + "/t"
+    val vecsT = java.nio.file.Files.createTempDirectory("ssem-ret-v-").toString + "/t"
+    val survT = java.nio.file.Files.createTempDirectory("ssem-ret-s-").toString + "/t"
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    def write(rows: Seq[(Long, Int, Array[Float])]): Unit =
+      rows.toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    write(Seq((1L, 0, vec(0 -> 1f)), (5L, 0, vec(1 -> 1f))))
+    write(Seq((7L, 0, vec(0 -> 1f, 2 -> 1.2f)))) // cos(7,1)=0.64, cos(7,5)=0
+    def run(): Seq[Long] = graft.operators.StreamingOps
+      .streamSemanticAt(spark, sf, keysT, vecsT,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = survT)
+      .collect().map(_.getLong(0)).toSeq
+    assert(run() === Seq(1L, 5L), "pre-bridge survivors wrong")
+    write(Seq((9L, 0, vec(0 -> 1f, 1 -> 1f)))) // bridges 1 and 5
+    assert(run() === Seq(1L), "bridge did not retract the losing representative")
+  }
+
   test("dedup_semantic: survivors == corpus minus non-min members of the cosine components") {
     // independent local union-find over the SAME pair set the operator
     // consumes (dedup_embedding's gated answer) — the distributed

@@ -124,6 +124,7 @@ class EntrySpec extends SparkSpec {
     "dedup_embedding" -> 5,
     "dedup_semantic" -> 495,
     "q_stream_embedding_dedup" -> 5,
+    "q_stream_semantic" -> 495,
     "mm_features" -> 500,
     "mm_resize" -> 500,
     "mm_frame_sample" -> 1436,
