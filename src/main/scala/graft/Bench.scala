@@ -159,9 +159,14 @@ object Bench {
             val (root, centroids) = operators.VectorIndex.buildIvfFlat(spark, sfDir)
             builds("ivf_flat_build") = (System.nanoTime() - tb) / 1e9
             val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
-            () => { operators.VectorIndex.ivfSearch(spark, root, centroids, qv,
-              nprobes = operators.VectorIndex.Cells, k = operators.VectorIndex.K,
-              excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
+            () => {
+              val df = operators.VectorIndex.ivfSearch(spark, root, centroids, qv,
+                nprobes = operators.VectorIndex.Cells, k = operators.VectorIndex.K,
+                excludeVecId = operators.VectorIndex.QueryVecId)
+              df.count()
+              if (!plans.contains(name)) plans(name) = planFingerprint(df)
+              ()
+            }
           case "dedup_minhash_lsh" =>
             // the verified pair set is computed ONCE per session and shared
             // by clusters/canonical/split/pipeline (Dedup.lshPairs memo) —
@@ -170,7 +175,12 @@ object Bench {
             val tb = System.nanoTime()
             operators.Dedup.lshPairs(spark, sfDir).count()
             builds("lsh_pairs_build") = (System.nanoTime() - tb) / 1e9
-            () => { fn(spark, sfDir).count(); () }
+            () => {
+              val df = fn(spark, sfDir)
+              df.count()
+              if (!plans.contains(name)) plans(name) = planFingerprint(df)
+              ()
+            }
           case "ivf_pq_search" =>
             // codebook training + encode is the build; time the ADC query
             val tb = System.nanoTime()
@@ -180,8 +190,13 @@ object Bench {
             builds("ivf_pq_build") = (System.nanoTime() - tb) / 1e9
             val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
             val lut = operators.VectorIndex.pqLut(qv, flat, subDim)
-            () => { operators.VectorIndex.pqAdcTopK(cached, lut, k = 10,
-              excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
+            () => {
+              val df = operators.VectorIndex.pqAdcTopK(cached, lut, k = 10,
+                excludeVecId = operators.VectorIndex.QueryVecId)
+              df.count()
+              if (!plans.contains(name)) plans(name) = planFingerprint(df)
+              ()
+            }
           case "ivf_sq_search" =>
             // stats pass + encode is the build; time the ADC+refine query
             val tb = System.nanoTime()
@@ -190,9 +205,14 @@ object Bench {
             cached.count() // materialize codes — the persisted index artifact
             builds("ivf_sq_build") = (System.nanoTime() - tb) / 1e9
             val qv = operators.VectorIndex.embeddingOf(spark, sfDir, operators.VectorIndex.QueryVecId)
-            () => { operators.VectorIndex.sqTopKRefined(spark, cached, mins, scales,
-              qv, k = operators.VectorIndex.K, refineFactor = 4,
-              excludeVecId = operators.VectorIndex.QueryVecId).count(); () }
+            () => {
+              val df = operators.VectorIndex.sqTopKRefined(spark, cached, mins, scales,
+                qv, k = operators.VectorIndex.K, refineFactor = 4,
+                excludeVecId = operators.VectorIndex.QueryVecId)
+              df.count()
+              if (!plans.contains(name)) plans(name) = planFingerprint(df)
+              ()
+            }
           case _ =>
             () => {
               val df = fn(spark, sfDir)

@@ -431,6 +431,12 @@ object StreamingOps extends QueryModule {
   private val CompactSmallerThan = 1L << 20
   private val CompactTarget = 4L << 20
 
+  /** nearDedupBatch's default dst slot: the plain bid-guarded append.
+    * Named so callers that parameterize the slot (the semantic MV) and
+    * the default share one definition. */
+  private val appendDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit =
+    (s, verified, _, dst, bid, dstBid) => guardedAppend(s, verified, dst, bid, dstBid)
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
     // picks overwrite-vs-append), but createTempDirectory creates its dir
@@ -477,8 +483,7 @@ object StreamingOps extends QueryModule {
       compactEvery: Int = 0,
       vacuumOnCompact: Boolean = false,
       writeDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit =
-        (s, verified, _, dst, bid, dstBid) =>
-          guardedAppend(s, verified, dst, bid, dstBid))(batch: DataFrame, bid: Long): Unit = {
+        appendDst)(batch: DataFrame, bid: Long): Unit = {
     val dstBid = lastBidOf(s, dst)
     val keysBid = lastBidOf(s, keysT)
     val stateBid = lastBidOf(s, stateT)
@@ -679,19 +684,40 @@ object StreamingOps extends QueryModule {
       srcDir0: String = null, ckpt0: String = null,
       dst0: String = null,
       compactEvery: Int = 0,
-      vacuumOnCompact: Boolean = false): DataFrame = {
-    val srcDir = Option(srcDir0).getOrElse(tmp("semb-src"))
-    val ckpt = Option(ckpt0).getOrElse(tmp("semb-ckpt"))
-    val dst = Option(dst0).getOrElse(tmp("semb-out") + "/t")
+      vacuumOnCompact: Boolean = false): DataFrame =
+    streamEmbFamilyAt(s, dir, keysT, vecsT, prefix = "semb",
+      bucketCap = EmbStreamCap, srcParts, srcDir0, ckpt0, dst0,
+      compactEvery, vacuumOnCompact,
+      seed = (_, _) => (), writeDst = appendDst,
+      finalRead = dst => s.read.format("lance").load(dst)
+        .select("a_id", "b_id", "label", "cos").distinct().orderBy("a_id", "b_id"))
+
+  /** The ONE wrapper behind the embedding-family streaming keys — the
+    * pairs twin and the semantic MV differ ONLY in (cap, dst seeding,
+    * the writeDst slot, the final read), so the source/scaffold cannot
+    * drift between them (the same no-copy rule nearDedupBatch enforces
+    * one level down for the batch body). */
+  private def streamEmbFamilyAt(s: SparkSession, dir: String,
+      keysT: String, vecsT: String, prefix: String,
+      bucketCap: Int,
+      srcParts: Int, srcDir0: String, ckpt0: String, dst0: String,
+      compactEvery: Int, vacuumOnCompact: Boolean,
+      seed: (DataFrame, String) => Unit,
+      writeDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit,
+      finalRead: String => DataFrame): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp(s"$prefix-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp(s"$prefix-ckpt"))
+    val dst = Option(dst0).getOrElse(tmp(s"$prefix-out") + "/t")
     val stateBuckets = defaultStateBuckets(s)
     val src = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+    seed(src, dst)
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       src.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, vecsT, stateBuckets,
-        EmbStreamCap,
+        bucketCap,
         bandAndState = b => {
           val bb = b.localCheckpoint() // one source read feeds both views
           (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
@@ -699,12 +725,12 @@ object StreamingOps extends QueryModule {
             bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
         },
         verify = cosineVerify,
-        compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
+        compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact,
+        writeDst = writeDst) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
-    s.read.format("lance").load(dst)
-      .select("a_id", "b_id", "label", "cos").distinct().orderBy("a_id", "b_id")
+    finalRead(dst)
   }
 
   /** Streaming SemDeDup — dedup_semantic maintained as an INCREMENTAL
@@ -734,40 +760,29 @@ object StreamingOps extends QueryModule {
       keysT: String, vecsT: String,
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
-      dst0: String = null): DataFrame = {
-    val srcDir = Option(srcDir0).getOrElse(tmp("ssem-src"))
-    val ckpt = Option(ckpt0).getOrElse(tmp("ssem-ckpt"))
-    val survT = Option(dst0).getOrElse(tmp("ssem-mv") + "/t")
-    val stateBuckets = defaultStateBuckets(s)
-    val src = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
-    // REPLACE WHERE needs a standing table: seed the view empty (the
-    // q_stream_mv_window pattern), schema = survivors + component label
-    if (!tableExists(s, survT))
-      src.select(col("vec_id"), col("label"))
-        .withColumn("lbl", col("vec_id")).withColumn("bid", lit(-1L))
-        .limit(0).write.format("lance").save(survT)
-    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
-      src.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch(nearDedupBatch(s, survT, keysT, vecsT, stateBuckets,
-        EmbStreamCap,
-        bandAndState = b => {
-          val bb = b.localCheckpoint()
-          (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
-            col("label").as("band_key")).localCheckpoint(),
-            bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
-        },
-        verify = cosineVerify,
-        writeDst = semanticMvUpsert) _)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    drain(q)
-    s.read.format("lance").load(survT)
-      .filter(col("vec_id") === col("lbl"))
-      .select("vec_id", "label").orderBy("vec_id")
-  }
+      dst0: String = null): DataFrame =
+    // NO bucket cap (Int.MaxValue), deliberately unlike the pairs twin:
+    // a capped cell drops pairs, and for a CLOSURE a dropped pair is not
+    // recall-safe — components that should merge never do and the view
+    // silently diverges from the batch answer. Exactness costs what the
+    // batch operator pays: per-batch candidate fan-out ∝ batch-cell ×
+    // accumulated-cell, bounded by the SAME deployment knob as
+    // dedup_embedding/dedup_semantic (cells sized ∝ corpus — fixed
+    // target vectors per cell keeps per-cell work constant).
+    streamEmbFamilyAt(s, dir, keysT, vecsT, prefix = "ssem",
+      bucketCap = Int.MaxValue, srcParts, srcDir0, ckpt0, dst0,
+      compactEvery = 0, vacuumOnCompact = false,
+      // REPLACE WHERE needs a standing table: seed the view empty (the
+      // q_stream_mv_window pattern), schema = survivors + component label
+      seed = (src, survT) =>
+        if (!tableExists(s, survT))
+          src.select(col("vec_id"), col("label"))
+            .withColumn("lbl", col("vec_id")).withColumn("bid", lit(-1L))
+            .limit(0).write.format("lance").save(survT),
+      writeDst = semanticMvUpsert,
+      finalRead = survT => s.read.format("lance").load(survT)
+        .filter(col("vec_id") === col("lbl"))
+        .select("vec_id", "label").orderBy("vec_id"))
 
   /** The labels upsert behind [[streamSemanticAt]] — runs in
     * nearDedupBatch's dst slot (before the keys/state appends, bid
