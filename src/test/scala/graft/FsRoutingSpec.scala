@@ -289,6 +289,63 @@ class FsRoutingSpec extends SparkSpec {
       s"post-cadence FS ops not near baseline 16 batches in: stage1=$ops1 stage5=$ops5")
   }
 
+  test("semantic MV op audit: a pair batch's survivor-view ops track the touched components, not the view size") {
+    // q_stream_semantic's scale claim measured: the upsert probes the
+    // view by `vec_id IN` / `lbl IN` (fragment range/bloom pruning), so
+    // a pair batch touching ONE two-member component must pay ~the same
+    // view FS ops whether the view holds 8 vectors or 50. Only the view
+    // sits on the counting scheme — keys/state/src/ckpt stay local, so
+    // the counter isolates exactly the claim.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingMockFs].getName)
+    val survT = "countfs://" +
+      java.nio.file.Files.createTempDirectory("ssem-audit-s-").toString + "/t"
+    val keysT = java.nio.file.Files.createTempDirectory("ssem-audit-k-").toString + "/t"
+    val vecsT = java.nio.file.Files.createTempDirectory("ssem-audit-v-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("ssem-audit-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ssem-audit-ck-").toString
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    def write(rows: Seq[(Long, Int, Array[Float])]): Unit =
+      rows.toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = { // drain only; the returned view df stays lazy
+      graft.operators.StreamingOps.streamSemanticAt(spark, sf, keysT, vecsT,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = survT)
+      ()
+    }
+    // 8 orthogonal singletons, then a pair batch against a SMALL view
+    write((1L to 8L).map(i => (i, 0, vec((i - 1).toInt -> 1f))))
+    run()
+    // filler dims 60/50 stay clear of the singleton axes (8..47)
+    write(Seq((20L, 0, vec(0 -> 1f, 60 -> 1.2f)))) // pairs with id 1
+    CountingMockFs.reset(); run()
+    val opsSmall = CountingMockFs.total
+    // grow the view with 4 more singleton-only batches (no view reads)
+    (0 until 4).foreach { b =>
+      write((0 until 10).map(j =>
+        (30L + b * 10 + j, 0, vec((8 + b * 10 + j) -> 1f))))
+    }
+    run()
+    // a pair batch against the LARGE view: same touched shape (one
+    // two-member component), must pay ~the same view ops
+    write(Seq((90L, 0, vec(1 -> 1f, 50 -> 1.2f)))) // pairs with id 2
+    CountingMockFs.reset(); run()
+    val opsLarge = CountingMockFs.total
+    println(s"[ssem-audit] pair-batch view ops: small-view=$opsSmall large-view=$opsLarge")
+    assert(opsLarge <= opsSmall * 2,
+      s"view ops grew with view size, not touched set: $opsSmall -> $opsLarge")
+    // and the answer over the whole run is the expected survivor set
+    val survivors = spark.read.format("lance").load(survT)
+      .filter(col("vec_id") === col("lbl")).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = ((1L to 8L) ++ (30L until 70L).map(identity)).sorted
+    assert(survivors === expected,
+      s"survivors wrong: ${survivors.take(20)}... (${survivors.size})")
+  }
+
   test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {
     registerMockFs()
     val conf = spark.sparkContext.hadoopConfiguration
