@@ -821,7 +821,7 @@ object StreamingOps extends QueryModule {
         // through the closure even where no new pair touches them
         val edges = p.unionByName(members.filter(col("vec_id") =!= col("lbl"))
           .select(col("vec_id").as("a_id"), col("lbl").as("b_id")))
-        val (labels, _) = Dedup.clusterLabels(s, edges)
+        val labels = closeLabels(s, edges, EdgeLocalCap)
         nodesAll
           .join(labels.select(col("node").as("vec_id"), col("lbl")), Seq("vec_id"), "left")
           .withColumn("lbl", coalesce(col("lbl"), col("vec_id")))
@@ -832,6 +832,47 @@ object StreamingOps extends QueryModule {
     else graft.sources.lance.LanceDelete.replaceWhere(s, survT, rows,
       Array(org.apache.spark.sql.sources.In("lbl",
         touched.map(_.asInstanceOf[Any]))))
+  }
+
+  /** Local-closure cap for the per-batch touched subgraph: at or under
+    * this many edges the closure runs on the driver (ONE collect +
+    * union-find) instead of paying the distributed min-label loop's ~2-3
+    * Spark jobs per round — per-batch touched graphs are almost always a
+    * handful of edges, and the fixed job-scheduling overhead dominated
+    * the MV's serving cost. Above the cap (an adversarial mega
+    * component) the shared distributed propagation takes over, so the
+    * driver never holds more than this many edges — the same bounded-
+    * collect posture as the MV's touched-key lists. */
+  private[graft] val EdgeLocalCap = 100000L
+
+  /** Connected-component labels (node → component-min) over an edge set:
+    * driver union-find under `localCap` edges, [[Dedup.clusterLabels]]
+    * above it. Union always attaches the LARGER root under the smaller,
+    * so every set's root is its minimum id — identical semantics to the
+    * distributed propagation (path compression only rewires to current
+    * roots, never changes them); a spec runs both paths on one graph. */
+  private[graft] def closeLabels(s: SparkSession, edges: DataFrame,
+                                 localCap: Long): DataFrame = {
+    val cached = edges.localCheckpoint()
+    if (cached.count() > localCap) Dedup.clusterLabels(s, cached)._1
+    else {
+      val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      import s.implicits._
+      nodes.map(n => (n, find(n))).toSeq.toDF("node", "lbl")
+    }
   }
 
   /** Exact cosine verify matching Dedup.embeddingPairs bit-for-bit: the

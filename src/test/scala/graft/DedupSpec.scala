@@ -505,6 +505,25 @@ class DedupSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("closeLabels: the driver union-find and the distributed propagation produce identical labels") {
+    // the MV's per-batch closure picks its path by edge count; both must
+    // be the same function (node → component MIN) — run one chain-heavy
+    // graph through both (cap above and below the edge count)
+    import spark.implicits._
+    val edges = Seq(
+      (9L, 4L), (4L, 12L), (12L, 2L), // chain collapsing to 2
+      (20L, 21L),                     // separate pair
+      (30L, 31L), (31L, 7L), (7L, 30L) // cycle with min 7
+    ).toDF("a_id", "b_id")
+    def labelsWith(cap: Long): Map[Long, Long] =
+      graft.operators.StreamingOps.closeLabels(spark, edges, cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelsWith(cap = 1000L)
+    val dist = labelsWith(cap = 0L)
+    assert(local === dist, "closure paths diverged")
+    assert(local(9L) === 2L && local(21L) === 20L && local(31L) === 7L)
+  }
+
   test("q_stream_semantic: a later bridge vector RETRACTS the losing representative") {
     // the behavior an append-only sink cannot express, and the reason the
     // view updates by atomic REPLACE WHERE: ids 1 and 5 are orthogonal
