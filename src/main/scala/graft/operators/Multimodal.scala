@@ -313,8 +313,41 @@ object Multimodal extends QueryModule {
                             width: Int, height: Int, data: Array[Byte])
 
   private[graft] object ImageCodec {
-    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    /** Decompression-bomb bounds. An image header's declared dimensions are
+      * attacker-controlled and `ImageIO.read` allocates the full w*h raster
+      * BEFORE validating any pixel data — a 100-byte PNG declaring
+      * 50000x50000 would try a 10 GB allocation. Peek the header-declared
+      * dimensions with an ImageReader (header-only read) and reject before
+      * the raster exists: cap ∝ payload (zlib's max ratio is ~1032:1, so
+      * 4096 pixels/byte is generous for any legit image) plus an absolute
+      * ceiling so one record can never claim more than ~256 MB of raster. */
+    private val MaxPixelsAbs = 64L * 1024 * 1024
+    private def pixelCap(payloadBytes: Int): Long =
+      math.min(MaxPixelsAbs, 4096L * payloadBytes + 4096L)
+
+    /** Decode with header-declared dimensions validated against the
+      * payload-proportional cap before any raster allocation. None for
+      * unrecognized formats or over-cap declarations; may still throw on
+      * corrupt pixel data mid-read (tryDecode adds the catch). */
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w < 1 || h < 1 || w * h > pixelCap(bytes.length)) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    }
 
     /** Decode with the undecodable-drop posture: truncated/corrupt
       * payloads (ImageIO throws, e.g. a cut-off PNG header) become None
@@ -412,28 +445,59 @@ object Multimodal extends QueryModule {
   private[graft] object AudioCodec {
     import javax.sound.sampled._
 
+    /** Sanity bounds on header-declared format fields. A crawled-corpus
+      * header is attacker-controlled: javax.sound's PCM conversion stream
+      * trusts the declared channel count and will SYNTHESIZE output without
+      * bound for absurd values (e.g. a flipped fmt-chunk byte declaring
+      * 23041 channels wedges `readAllBytes` at 100% CPU forever — no
+      * exception, no EOF). Bound every header field before conversion AND
+      * cap the decoded byte count ∝ payload size: a 16-bit PCM decode of an
+      * N-byte payload can never legitimately exceed ~4N bytes (worst case
+      * 8-bit/u-law/a-law source doubling to 16-bit, plus header slack). */
+    private val MaxChannels   = 16
+    private val MaxSampleRate = 768000f // 16x studio 48k; DSD-rate headroom
+
+    private def decodeCap(payloadBytes: Int): Int = {
+      val cap = 4L * payloadBytes + 4096L
+      math.min(cap, Int.MaxValue - 16L).toInt
+    }
+
     /** Decode a WAV/AIFF/AU payload to 16-bit PCM: (sampleRate, channels,
       * interleaved samples). None for undecodable/non-PCM-convertible
-      * payloads (the crawled-corpus drop posture). */
+      * payloads (the crawled-corpus drop posture) — including payloads
+      * whose headers declare out-of-bounds formats or whose decoded size
+      * exceeds the payload-proportional cap. Bounded: never reads more
+      * than decodeCap(bytes.length)+2 bytes from the conversion stream. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
       try {
         val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
         try {
           val src = in.getFormat
-          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-            src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
-            src.getSampleRate, false)
-          val pcm = AudioSystem.getAudioInputStream(target, in)
-          try {
-            val raw = pcm.readAllBytes()
-            val samples = new Array[Short]((raw.length / 2))
-            var i = 0
-            while (i < samples.length) {
-              samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
-              i += 1
-            }
-            Some((src.getSampleRate.toInt, src.getChannels, samples))
-          } finally pcm.close()
+          val ch = src.getChannels
+          val rate = src.getSampleRate
+          if (ch < 1 || ch > MaxChannels || !(rate >= 1f) || rate > MaxSampleRate ||
+              src.getSampleSizeInBits < 1 || src.getSampleSizeInBits > 64) None
+          else {
+            val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              rate, 16, ch, ch * 2, rate, false)
+            val pcm = AudioSystem.getAudioInputStream(target, in)
+            try {
+              val cap = decodeCap(bytes.length)
+              // readNBytes is hard-bounded: returns once cap+2 bytes arrive
+              // even if the stream would synthesize forever.
+              val raw = pcm.readNBytes(cap + 2)
+              if (raw.length > cap) None // over-cap → poisoned header, drop
+              else {
+                val samples = new Array[Short]((raw.length / 2))
+                var i = 0
+                while (i < samples.length) {
+                  samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+                  i += 1
+                }
+                Some((rate.toInt, ch, samples))
+              }
+            } finally pcm.close()
+          }
         } finally in.close()
       } catch { case _: Exception => None }
 

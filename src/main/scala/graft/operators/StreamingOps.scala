@@ -560,9 +560,15 @@ object StreamingOps extends QueryModule {
           if (tableExists(s, t)) {
             graft.sources.lance.LanceMaintenance.compact(
               s, t, CompactSmallerThan, CompactTarget)
-            if (vacuumOnCompact)
+            if (vacuumOnCompact) {
+              // the single-writer contract, enforceable form: loud in the
+              // driver log ONCE per table at first arm, not buried in a
+              // comment — zero-grace vacuum deletes superseded fragments
+              // a concurrent reader snapshot may still reference
+              warnZeroGraceVacuum(t)
               graft.sources.lance.LanceMaintenance.vacuum(
                 s, t, retainVersions = 1, graceMs = 0L)
+            }
           }
         }
     }
@@ -760,7 +766,9 @@ object StreamingOps extends QueryModule {
       keysT: String, vecsT: String,
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
-      dst0: String = null): DataFrame =
+      dst0: String = null,
+      compactEvery: Int = 0,
+      vacuumOnCompact: Boolean = false): DataFrame =
     // NO bucket cap (Int.MaxValue), deliberately unlike the pairs twin:
     // a capped cell drops pairs, and for a CLOSURE a dropped pair is not
     // recall-safe — components that should merge never do and the view
@@ -769,9 +777,18 @@ object StreamingOps extends QueryModule {
     // accumulated-cell, bounded by the SAME deployment knob as
     // dedup_embedding/dedup_semantic (cells sized ∝ corpus — fixed
     // target vectors per cell keeps per-cell work constant).
+    //
+    // The maintenance cadence (compactEvery/vacuumOnCompact) applies to
+    // the SURVIVOR VIEW too: the upsert writes one coalesce(1) fragment
+    // + one manifest version per batch, so without the cadence the view's
+    // fragment/manifest history — and hence the `vec_id IN`/`lbl IN`
+    // probe's per-fragment HEAD+GET cost — accrues ∝ stream length.
+    // Folding is answer-identical (REPLACE WHERE is predicate-based, not
+    // fragment-addressed) and replay-safe for the same reason as the
+    // state tables: the upsert's bid guard skips replays whole.
     streamEmbFamilyAt(s, dir, keysT, vecsT, prefix = "ssem",
       bucketCap = Int.MaxValue, srcParts, srcDir0, ckpt0, dst0,
-      compactEvery = 0, vacuumOnCompact = false,
+      compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact,
       // REPLACE WHERE needs a standing table: seed the view empty (the
       // q_stream_mv_window pattern), schema = survivors + component label
       seed = (src, survT) =>
@@ -791,9 +808,16 @@ object StreamingOps extends QueryModule {
     * components → local closure over (new pairs ∪ member→representative
     * edges) via the shared min-label propagation → one atomic
     * REPLACE WHERE on `lbl IN touched` (plus the batch's new rows).
-    * Touched-component ids and pair endpoints collect to the driver —
-    * both are bounded ∝ the batch's verified pairs (cap²/2 per band
-    * bucket), the same boundedness argument as the MV's touched keys. */
+    * Touched-component ids and pair endpoints collect to the driver.
+    * The REAL bound on those lists is the deployment cell-sizing knob,
+    * NOT the pairs twin's bucket cap: streamSemanticAt deliberately runs
+    * uncapped (a dropped pair breaks closure exactness), so on a
+    * duplicate-heavy cell the batch's verified pairs — and hence these
+    * collects and the `isin`/`In` literal lists — grow with batch-cell ×
+    * accumulated-cell. Cells sized ∝ corpus (fixed target vectors per
+    * cell) keep that product small; [[MvCollectCap]] is the loud
+    * fail-fast if a deployment gets the sizing wrong — a diagnosed abort
+    * beats a silent driver OOM or a megabyte In-list in every probe. */
   private def semanticMvUpsert(s: SparkSession, pairs: DataFrame, st: DataFrame,
                                survT: String, bid: Long, survBid: Long): Unit = {
     if (bid <= survBid) return // the atomic upsert already committed
@@ -802,11 +826,19 @@ object StreamingOps extends QueryModule {
     val nodeIds = p.select(col("a_id").as("v"))
       .union(p.select(col("b_id").as("v"))).distinct()
       .collect().map(_.getLong(0))
+    require(nodeIds.length <= MvCollectCap,
+      s"semantic MV batch touches ${nodeIds.length} distinct pair endpoints " +
+        s"(> $MvCollectCap): a cell is oversized for the incremental view — " +
+        "resize cells (fixed target vectors per cell, cells ∝ corpus) or " +
+        "run the batch operator; failing fast instead of OOMing the driver")
     val surv = s.read.format("lance").load(survT)
     val touched =
       if (nodeIds.isEmpty) Array.empty[Long]
       else surv.filter(col("vec_id").isin(nodeIds.toSeq: _*))
         .select("lbl").distinct().collect().map(_.getLong(0))
+    require(touched.length <= MvCollectCap,
+      s"semantic MV batch touches ${touched.length} standing components " +
+        s"(> $MvCollectCap): resize cells or run the batch operator")
     val members =
       if (touched.isEmpty) surv.limit(0).select("vec_id", "label", "lbl")
       else surv.filter(col("lbl").isin(touched.toSeq: _*))
@@ -833,6 +865,30 @@ object StreamingOps extends QueryModule {
       Array(org.apache.spark.sql.sources.In("lbl",
         touched.map(_.asInstanceOf[Any]))))
   }
+
+  /** One-time-per-table warning for the in-cadence zero-grace vacuum:
+    * `vacuumOnCompact` assumes this streaming query is the state tables'
+    * ONLY writer and reader — any concurrently held snapshot (a lazy
+    * DataFrame from an earlier load, time travel) would fail mid-scan
+    * once superseded files are deleted with zero grace. Shared tables
+    * belong on the graceful `CALL system.vacuum` path instead. */
+  private val vacuumWarnedTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnZeroGraceVacuum(t: String): Unit =
+    if (vacuumWarnedTables.add(t))
+      Console.err.println(
+        s"[graft] WARN vacuumOnCompact on $t: zero-grace vacuum inside the " +
+          "micro-batch loop — safe ONLY while this stream is the table's " +
+          "single writer/reader; concurrent snapshots or time travel over " +
+          "this table WILL fail mid-scan. Shared tables: use CALL " +
+          "system.vacuum with a grace window.")
+
+  /** Fail-fast ceiling on the semantic MV's per-batch driver collects
+    * (pair endpoints / touched component ids). Sized to what a driver
+    * comfortably holds (~8 MB of longs) and what an In-list predicate
+    * tolerably carries; a batch over this is a cell-sizing bug, not a
+    * workload to soldier through. */
+  private[graft] val MvCollectCap = 1 << 20
 
   /** Local-closure cap for the per-batch touched subgraph: at or under
     * this many edges the closure runs on the driver (ONE collect +

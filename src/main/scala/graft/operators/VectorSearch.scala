@@ -575,6 +575,18 @@ object VectorSearch extends QueryModule {
     * pairs at 1/2 per dim, and 4σ slack separates them by construction. */
   private[operators] val PrescreenSigmas = 4.0
 
+  /** Auto-mode crossover for the semantic prescreen (dimension at and
+    * above which [[semanticMatches]]'s default arms the sign-sketch
+    * screen). Two forces set it, both measured by PrescreenCurve's dim
+    * sweep (SURVEY §4): below 256 dims the 4σ admit bound is loose
+    * enough that the screen rejects little (measured admit 0.98 at d=64,
+    * 0.87 at 128; wall 1.01-1.05× — parity) while still carrying its
+    * not-a-theorem drop risk; from 256 the bound concentrates and the
+    * XOR/popcount pass pays (admit 0.48/speedup 1.78× at 256 → 0.035/
+    * 6.7× at 512 → 0.00005/14.4× at 1024, 50M pairs). Production
+    * embedding dims (512-4096) sit far above; gate fixtures (64) below. */
+  private[graft] val PrescreenMinDim = 256
+
   /** Hamming admit bound for a cos ≥ tau pair over d sign bits:
     * acos(tau)/π·d expected flips + PrescreenSigmas·√d/2 slack, capped at
     * d. Package-visible so the recall spec asserts against the SAME
@@ -616,17 +628,29 @@ object VectorSearch extends QueryModule {
     * phase 2 runs the EXACT cosine + τ/NaN rule on survivors only. The
     * bound is probabilistic-conservative (4σ), not a theorem — sign bits
     * carry no magnitudes, so NO hamming threshold is losslessly tight in
-    * the adversarial case; the recall spec proves losslessness on the
-    * fixture at τ=0.4 and the planted-pair separation at production dims,
-    * and `prescreen = false` keeps the exact single-phase body one flag
-    * away (it is also the spec's comparison arm). */
+    * the adversarial case (a cos ≥ τ pair whose similarity rides a few
+    * large-magnitude coordinates can exceed it); the recall spec proves
+    * losslessness on the fixture at τ=0.4 and the planted-pair separation
+    * at production dims, and `prescreen = Some(false)` keeps the exact
+    * single-phase body one flag away (it is also the spec's comparison
+    * arm).
+    *
+    * DIMENSION-GATED since r18 (the default, `prescreen = None`): the
+    * probabilistic drop risk is only worth buying where the bound
+    * concentrates AND the float math is expensive — both scale with d.
+    * Below [[PrescreenMinDim]] (measured crossover, PrescreenCurve dim
+    * sweep in SURVEY §4) a row passes the screen UNCONDITIONALLY via a
+    * per-row `size(vec) < minDim` short-circuit, so low-dim corpora get
+    * the exact semantics with no admit-bound exposure and mixed-dim
+    * corpora gate row-by-row. `Some(true)` forces the screen at every
+    * dimension (the measurement arm); `Some(false)` forces exact. */
   private[graft] def semanticMatches(corpus: DataFrame, benchVecs: DataFrame,
                                      vecCol: String, tau: Double,
-                                     prescreen: Boolean = true): DataFrame = {
+                                     prescreen: Option[Boolean] = None): DataFrame = {
     val exact = (df: DataFrame) => df
       .withColumn("cos", vec_cosine(col(vecCol), col("vb")))
       .filter(col("cos") >= tau && !isnan(col("cos")))
-    if (!prescreen)
+    if (prescreen.contains(false))
       exact(corpus.crossJoin(broadcast(benchVecs)))
     else {
       // sketches computed ONCE per row/bench vector inside the scan /
@@ -637,9 +661,15 @@ object VectorSearch extends QueryModule {
         .crossJoin(broadcast(benchVecs
           .withColumn("__sem_bsig", graft.functions.bit_pack_sign(col("vb")))))
       val bound = prescreenBoundCol(size(col(vecCol)), tau)
-      exact(paired.filter(
-          graft.functions.hamming_dist(col("__sem_sig"), col("__sem_bsig")) <= bound))
-        .drop("__sem_sig", "__sem_bsig")
+      val admit =
+        graft.functions.hamming_dist(col("__sem_sig"), col("__sem_bsig")) <= bound
+      // auto mode: sub-crossover rows short-circuit past the hamming eval
+      // and keep the exact contract; the screen arms only at dims where
+      // the 4σ bound is meaningful and the dot product is worth skipping
+      val keep =
+        if (prescreen.contains(true)) admit
+        else (size(col(vecCol)) < lit(PrescreenMinDim)) || admit
+      exact(paired.filter(keep)).drop("__sem_sig", "__sem_bsig")
     }
   }
 

@@ -517,6 +517,17 @@ object LanceProcedures {
     * nested-loop map pass, the bench side small by construction; the
     * bench table's vector column defaults to embedding_column's name and
     * is overridden with bench_embedding_column).
+    *
+    * `prescreen` ('auto' | 'on' | 'off', default 'auto') controls the
+    * semantic arm's sign-sketch hamming prescreen. The screen's admit
+    * bound is PROBABILISTIC (4σ-conservative, not a theorem): a cos >=
+    * min_cosine pair whose similarity rides a few large-magnitude
+    * coordinates can exceed it and be silently dropped. 'auto' therefore
+    * arms the screen per row only at >= PrescreenMinDim dims (the
+    * measured crossover, where the bound concentrates and the screen
+    * pays for itself); 'off' forces the exact single-phase screen at any
+    * dimension — the knob for a contamination pass that must be provably
+    * exhaustive; 'on' forces the screen everywhere (measurement arm).
     * output_table is REQUIRED — the survivor set is corpus-sized, so it
     * always writes distributed (one anti-join + one lance write; the
     * driver only carries the summary). The screens are the gated keys'
@@ -537,7 +548,8 @@ object LanceProcedures {
       param("min_cosine", DoubleType, Some("0.0")),
       // required in effect (the runtime require below) — declared with a
       // default only because optional params may not precede required ones
-      param("output_table", StringType, Some("''")))) { (cRoot, in) =>
+      param("output_table", StringType, Some("''")),
+      param("prescreen", StringType, Some("'auto'")))) { (cRoot, in) =>
       val spark = SparkSession.active
       val bRoot = catalog.tableRootFor(in.getUTF8String(1).toString)
       val idCol = in.getUTF8String(2).toString
@@ -549,6 +561,13 @@ object LanceProcedures {
       val benchEmbCol0 = in.getUTF8String(8).toString.trim
       val minCosine = in.getDouble(9)
       val outTable = in.getUTF8String(10).toString.trim
+      val prescreen = in.getUTF8String(11).toString.trim.toLowerCase match {
+        case "auto" => None
+        case "on"   => Some(true)
+        case "off"  => Some(false)
+        case other => throw new IllegalArgumentException(
+          s"lance decontaminate: prescreen must be 'auto', 'on' or 'off', got '$other'")
+      }
       require(outTable.nonEmpty, "lance decontaminate: output_table is required " +
         "(the survivor set is corpus-sized — it must write distributed)")
       require(embCol.isEmpty == benchEmb.isEmpty && (minCosine > 0) == embCol.nonEmpty,
@@ -566,7 +585,8 @@ object LanceProcedures {
           .select(col(benchEmbCol).as("vb"))
         // the ONE τ/NaN screen definition — shared with the gated keys
         val sem = graft.operators.VectorSearch.semanticMatches(
-          corpus.select(col(idCol), col(embCol)), bv, embCol, minCosine)
+          corpus.select(col(idCol), col(embCol)), bv, embCol, minCosine,
+          prescreen)
           .select(idCol)
         ngramFlags.unionByName(sem).distinct()
       }

@@ -346,6 +346,76 @@ class FsRoutingSpec extends SparkSpec {
       s"survivors wrong: ${survivors.take(20)}... (${survivors.size})")
   }
 
+  test("semantic MV cadence: in-stream compaction+vacuum keep view history and per-batch view ops flat; answer identical") {
+    // r17 verdict item 3: the MV upsert writes one coalesce(1) fragment +
+    // one manifest version per batch, so WITHOUT the cadence the view's
+    // probe cost (HEAD+GET per fragment) and manifest history accrue ∝
+    // stream length. With compactEvery=2 + vacuumOnCompact the view must
+    // pay a LATE pair batch ~what it paid an EARLY one (8 batches of
+    // history in between), hold a bounded manifest history at stream end,
+    // and answer identically to the uncadenced twin over the same source.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingMockFs].getName)
+    val survT = "countfs://" +
+      java.nio.file.Files.createTempDirectory("ssem-cad-s-").toString + "/t"
+    val keysT = java.nio.file.Files.createTempDirectory("ssem-cad-k-").toString + "/t"
+    val vecsT = java.nio.file.Files.createTempDirectory("ssem-cad-v-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("ssem-cad-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ssem-cad-ck-").toString
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    def write(rows: Seq[(Long, Int, Array[Float])]): Unit =
+      rows.toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      graft.operators.StreamingOps.streamSemanticAt(spark, sf, keysT, vecsT,
+        srcDir0 = srcDir, ckpt0 = ckpt, dst0 = survT,
+        compactEvery = 2, vacuumOnCompact = true)
+      ()
+    }
+    // b0: 8 orthogonal singletons; b1: a pair batch (EARLY measure — odd
+    // bid, so the measured batch never includes the cadence's own ops)
+    write((1L to 8L).map(i => (i, 0, vec((i - 1).toInt -> 1f))))
+    run()
+    write(Seq((20L, 0, vec(0 -> 1f, 60 -> 1.2f)))) // pairs with id 1
+    CountingMockFs.reset(); run()
+    val opsEarly = CountingMockFs.total
+    // b2..b6: five singleton-only growth batches (40 vectors, axes 8..47;
+    // 5 upsert commits + cadence hits at bids 2/4/6 fold them back down)
+    (0 until 5).foreach { b =>
+      write((0 until 8).map(j => (100L + b * 8 + j, 0, vec((8 + b * 8 + j) -> 1f))))
+    }
+    run()
+    // b7: a pair batch against the grown view (LATE measure, odd bid)
+    write(Seq((200L, 0, vec(1 -> 1f, 50 -> 1.2f)))) // pairs with id 2
+    CountingMockFs.reset(); run()
+    val opsLate = CountingMockFs.total
+    println(s"[ssem-cadence] pair-batch view ops: early=$opsEarly late=$opsLate")
+    assert(opsLate <= opsEarly * 2,
+      s"view ops grew with stream history despite the cadence: $opsEarly -> $opsLate")
+    // vacuum kept the view's manifest history bounded (∝ commits since
+    // the last cadence hit, not ∝ the 8-batch stream)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(graft.sources.lance.ManifestIO.listVersions(survT, conf).size <= 4,
+      "in-stream vacuum left the view's old manifest versions behind")
+    // answer identical: replay the same source through fresh state with
+    // the cadence OFF — the survivor view must match row-for-row
+    val survivors = spark.read.format("lance").load(survT)
+      .filter(col("vec_id") === col("lbl"))
+      .select("vec_id", "label").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val keysT2 = java.nio.file.Files.createTempDirectory("ssem-cad-k2-").toString + "/t"
+    val vecsT2 = java.nio.file.Files.createTempDirectory("ssem-cad-v2-").toString + "/t"
+    val plain = graft.operators.StreamingOps.streamSemanticAt(spark, sf,
+      keysT2, vecsT2, srcDir0 = srcDir,
+      ckpt0 = java.nio.file.Files.createTempDirectory("ssem-cad-ck2-").toString,
+      dst0 = java.nio.file.Files.createTempDirectory("ssem-cad-s2-").toString + "/t")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(survivors === plain, "cadence changed the survivor view")
+  }
+
   test("text index on a non-file scheme: standing index seen, version pin round-trips, appendDelta replay no-ops") {
     registerMockFs()
     val conf = spark.sparkContext.hadoopConfiguration

@@ -149,6 +149,50 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L) === expectedAudio(2, 16000, stereo))
   }
 
+  test("AudioCodec.decode is bounded on poisoned headers (r17 byte-23 hang regression)") {
+    // deterministic repro of the r17 wedge: XOR byte 23 of any encodeWav
+    // payload with 0x5a — the HIGH byte of the fmt-chunk channel count —
+    // and the header declares 0x5a01 = 23041 channels; javax.sound's PCM
+    // conversion stream then synthesizes output forever and the old
+    // readAllBytes never returned (observed 39 CPU-minutes at 100% CPU).
+    // Post-fix contract: None, promptly, at every truncation length.
+    val wav = Multimodal.AudioCodec.encodeWav(8000, 1, Multimodal.synthAudioDedup(1L))
+    val t0 = System.nanoTime()
+    for (cut <- Seq(24, 44, 100, wav.length)) {
+      val p = java.util.Arrays.copyOf(wav, cut)
+      p(23) = (p(23) ^ 0x5a).toByte
+      assert(Multimodal.AudioCodec.decode(p).isEmpty, s"poisoned header at cut=$cut must drop")
+    }
+    // an in-bounds-but-wrong LOW channel byte (3 channels over 1-channel
+    // data) must also come back bounded — either a short decode or None,
+    // never a wedge; and the pristine payload still decodes exactly
+    Multimodal.AudioCodec.decode { val p = wav.clone(); p(22) = 3; p }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 5000.0, s"bounded decode took ${elapsedMs}ms — hang regression")
+    val (rate, ch, samples) = Multimodal.AudioCodec.decode(wav).get
+    assert(rate === 8000 && ch === 1 && samples.sameElements(Multimodal.synthAudioDedup(1L)))
+  }
+
+  test("ImageCodec.decode rejects decompression-bomb headers before raster allocation") {
+    // PNG IHDR declares width at bytes 16..19, height at 20..23
+    // (big-endian). Patch a valid PNG to declare 50000x50000: the old path
+    // handed it to ImageIO.read which allocates the full 10 GB raster
+    // before seeing any pixel data. Post-fix: the header peek rejects it
+    // (over payload-proportional pixel cap) without the allocation.
+    val png = Multimodal.synthImage(1L)
+    val bomb = png.clone()
+    def putBE(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >> 24) & 0xff).toByte; bomb(off + 1) = ((v >> 16) & 0xff).toByte
+      bomb(off + 2) = ((v >> 8) & 0xff).toByte; bomb(off + 3) = (v & 0xff).toByte
+    }
+    putBE(16, 50000); putBE(20, 50000)
+    val t0 = System.nanoTime()
+    assert(Multimodal.ImageCodec.tryDecode(bomb).isEmpty)
+    assert((System.nanoTime() - t0) / 1e6 < 5000.0)
+    // pristine payload still decodes
+    assert(Multimodal.ImageCodec.tryDecode(png).isDefined)
+  }
+
   test("audioResample: 2x time decimation — decoded output frames == every other input frame") {
     import spark.implicits._
     val ch = 2

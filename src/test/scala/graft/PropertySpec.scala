@@ -14,6 +14,23 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"$name: ${res.status}")
   }
 
+  /** Run a fuzz case on a daemon thread with a hard deadline: a decode
+    * that wedges (the r17 audio-header hang class — a mutated WAV header
+    * spun readAllBytes at 100% CPU forever) FAILS the case after
+    * timeoutMs instead of hanging the suite. Robustness fuzz without a
+    * watchdog degrades to seed luck. */
+  private def boundedCase[A](timeoutMs: Long)(body: => A): A = {
+    val task = new java.util.concurrent.FutureTask[A](() => body)
+    val t = new Thread(task, "fuzz-watchdog-case")
+    t.setDaemon(true)
+    t.start()
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sys.error(s"fuzz case exceeded ${timeoutMs}ms watchdog: decode wedge")
+    }
+  }
+
   test("audioFingerprint: exact gain invariance for every sample array and gain") {
     // the claimed invariant, over random envelopes — not just the fixture:
     // scaling every sample by any gain (no Short overflow) preserves all
@@ -73,12 +90,23 @@ class PropertySpec extends AnyFunSuite {
       if (b.nonEmpty) b(flip) = (b(flip) ^ 0x5a).toByte
       b
     }
-    val payload = Gen.oneOf(garbage, mutated)
+    // header-field bombs: valid containers with absurd DECLARED sizes —
+    // the class randomized flips rarely hit (PNG IHDR dims at 16..23
+    // big-endian; WAV fmt channel count at 22..23 little-endian) that
+    // wedged/bombed the decoders before the r18 bounds
+    val bombed: Gen[Array[Byte]] = for {
+      base <- Gen.oneOf(Gen.const(someImg), Gen.const(someWav))
+      off <- Gen.choose(16, 23)
+      big <- Gen.choose(64.toByte, Byte.MaxValue)
+    } yield { val b = base.clone(); b(off) = big; b }
+    val payload = Gen.oneOf(garbage, mutated, bombed)
     check("decode fuzz", Prop.forAll(payload) { bytes =>
-      operators.Multimodal.ImageCodec.tryDecode(bytes) // Option or bust
-      operators.Multimodal.AudioCodec.decode(bytes)
-      operators.Multimodal.parseGvid(bytes)
-      operators.Multimodal.GvidDecoder.decodeSampled(bytes, 2).length >= 0
+      boundedCase(30000L) {
+        operators.Multimodal.ImageCodec.tryDecode(bytes) // Option or bust
+        operators.Multimodal.AudioCodec.decode(bytes)
+        operators.Multimodal.parseGvid(bytes)
+        operators.Multimodal.GvidDecoder.decodeSampled(bytes, 2).length >= 0
+      }
     }, cases = 300)
   }
 

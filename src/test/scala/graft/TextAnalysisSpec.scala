@@ -606,6 +606,26 @@ class TextAnalysisSpec extends SparkSpec {
       "CALL graft_dec2.system.decontaminate(corpus => 'db.c', bench => 'db.b', " +
         "embedding_column => 'emb', output_table => 'db.clean2')").collect())
     assert(e.getMessage.contains("semantic arm"))
+    // prescreen option plumbing (r18): every mode answers identically here
+    // — the exact refine decides, and at d=4 'auto' gates the screen off
+    // row-wise (4 < PrescreenMinDim) so the probabilistic bound is never
+    // exposed to a low-dim corpus; an unknown value fails fast
+    for ((mode, out) <- Seq("off" -> "db.clean3", "on" -> "db.clean4",
+                            "auto" -> "db.clean5")) {
+      spark.sql(
+        "CALL graft_dec2.system.decontaminate(corpus => 'db.c', bench => 'db.b', " +
+          "embedding_column => 'emb', bench_embeddings => 'db.be', " +
+          "bench_embedding_column => 'bench_vec', min_cosine => 0.9, " +
+          s"output_table => '$out', prescreen => '$mode')").collect()
+      assert(spark.table(s"graft_dec2.$out").collect().map(_.getLong(0)).toSeq
+        === Seq(2L), s"prescreen mode=$mode changed the survivor set")
+    }
+    val bad = intercept[Exception](spark.sql(
+      "CALL graft_dec2.system.decontaminate(corpus => 'db.c', bench => 'db.b', " +
+        "embedding_column => 'emb', bench_embeddings => 'db.be', " +
+        "bench_embedding_column => 'bench_vec', min_cosine => 0.9, " +
+        "output_table => 'db.cleanx', prescreen => 'fast')").collect())
+    assert(bad.getMessage.contains("prescreen"))
   }
 
   test("q_stream_contamination: crash between quarantine append and checkpoint commit — replay no-ops") {

@@ -1114,14 +1114,18 @@ class VectorIndexSpec extends SparkSpec {
     val bench = e.filter(col("vec_id") % 20 === 0).select(col("embedding").as("vb"))
     val corpus = e.filter(col("vec_id") % 20 =!= 0)
       .select("vec_id", "label", "embedding")
-    def pairs(pre: Boolean) =
+    def pairs(pre: Option[Boolean]) =
       VectorSearch.semanticMatches(corpus, bench, "embedding", 0.4, prescreen = pre)
         .select(col("vec_id"), round(col("cos"), 6).as("c"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
-    val twoPhase = pairs(pre = true)
+    val twoPhase = pairs(Some(true))
     assert(twoPhase.nonEmpty, "fixture screen found no matches — vacuous test")
-    assert(twoPhase === pairs(pre = false),
+    assert(twoPhase === pairs(Some(false)),
       "prescreen dropped a true match on the fixture")
+    // the AUTO default at the 64-dim fixture: the per-row dimension gate
+    // (64 < PrescreenMinDim) passes every row unconditionally — exact
+    // semantics with zero admit-bound exposure (ADVICE r17 medium)
+    assert(pairs(None) === twoPhase, "auto mode diverged on the fixture")
 
     // arm 2: PRODUCTION-DIM BEHAVIOR at d=512 — the bound that is merely
     // permissive at 64 dims must (a) admit every planted pair whose exact
@@ -1143,14 +1147,21 @@ class VectorIndexSpec extends SparkSpec {
     val benchBig = benchVecs.map(Tuple1(_)).toDF("vb")
     val tau = 0.4
     val exactBig = VectorSearch
-      .semanticMatches(corpusBig, benchBig, "embedding", tau, prescreen = false)
+      .semanticMatches(corpusBig, benchBig, "embedding", tau, prescreen = Some(false))
       .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     val twoBig = VectorSearch
-      .semanticMatches(corpusBig, benchBig, "embedding", tau, prescreen = true)
+      .semanticMatches(corpusBig, benchBig, "embedding", tau, prescreen = Some(true))
       .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(exactBig.nonEmpty, "no planted pair cleared tau — fixture broken")
     assert(twoBig === exactBig,
       s"prescreen lost ${(exactBig -- twoBig).size} of ${exactBig.size} true matches at d=$d")
+    // the AUTO default at d=512 >= PrescreenMinDim must ARM the screen
+    // (same answer by the refine) — the dimension gate is row-level, so
+    // production dims get the two-phase plan without a flag
+    val autoBig = VectorSearch
+      .semanticMatches(corpusBig, benchBig, "embedding", tau)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(autoBig === exactBig, "auto mode diverged at production dims")
     // (b) the prescreen alone rejects >90% of unrelated pairs at d=512
     // (bound 4.2 sigma below the random-pair hamming mean; the fixture's
     // 64-dim bound admits nearly everything BY DESIGN — conservatism)

@@ -98,7 +98,7 @@ def main(argv):
         stdout tail: recover whatever of the queries/noise/data maps
         survived. queries is the first map, so when its opening brace is
         cut off the leading complete pairs are still a usable SUBSET."""
-        out = {"queries": {}, "noise": {}, "data": {}}
+        out = {"queries": {}, "noise": {}, "data": {}, "plans": {}}
         for name in out:
             i = tail.find(f'"{name}":{{')
             if i >= 0:
@@ -110,8 +110,12 @@ def main(argv):
             # PRECEDES the first intact marker (artifact field order is
             # fixed) — only a queries fragment is usable; anything else
             # (a noise/errors fragment) must not masquerade as times
+            # mirrors the artifact's fixed field order (Bench.scala's emit
+            # line) EXACTLY — including "plans" between data and notes —
+            # or the preceding-section attribution is off by one for cuts
+            # landing in/around the omitted section
             order = ["queries", "errors", "noise", "builds", "data",
-                     "notes", "sf"]
+                     "plans", "notes", "sf"]
             nxt = min((tail.find(f'"{n}":') for n in order
                        if tail.find(f'"{n}":') >= 0), default=-1)
             first = next((n for n in order if tail.find(f'"{n}":') == nxt),
