@@ -69,7 +69,10 @@ object Bench {
     // appended r17: the dedup family's SemDeDup closer, the embedding
     // member of the streaming near-dup family, and the incremental
     // SemDeDup materialized view
-    "dedup_semantic", "q_stream_embedding_dedup", "q_stream_semantic")
+    "dedup_semantic", "q_stream_embedding_dedup", "q_stream_semantic",
+    // appended r18: the video member of the streaming near-dup family +
+    // the trained-cell SemDeDup composition
+    "q_stream_video_dedup", "dedup_semantic_trained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,6 +166,19 @@ object Bench {
               val df = operators.VectorIndex.ivfSearch(spark, root, centroids, qv,
                 nprobes = operators.VectorIndex.Cells, k = operators.VectorIndex.K,
                 excludeVecId = operators.VectorIndex.QueryVecId)
+              df.count()
+              if (!plans.contains(name)) plans(name) = planFingerprint(df)
+              ()
+            }
+          case "dedup_semantic_trained" =>
+            // the persisted IVF build is one-time and session-memoized
+            // (Dedup.trainedSemIndex); charge it to builds so the query
+            // time reflects assignment + pairs + closure + anti-join
+            val tb = System.nanoTime()
+            operators.Dedup.trainedSemIndex(spark, sfDir)
+            builds("semdedup_idx_build") = (System.nanoTime() - tb) / 1e9
+            () => {
+              val df = fn(spark, sfDir)
               df.count()
               if (!plans.contains(name)) plans(name) = planFingerprint(df)
               ()

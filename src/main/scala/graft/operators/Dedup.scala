@@ -490,6 +490,129 @@ object Dedup extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // ---- dedup_semantic_trained ----------------------------------------------
+  // The TRAINED-CELL SemDeDup composition (r18, closing the r17 verdict's
+  // fixture-label caveat): dedup_semantic blocks pairs by the embeddings
+  // table's `label` column — a fixture stand-in for the IVF/KMeans cell id.
+  // This key runs the pipeline END TO END the way a production job does:
+  // build a persisted IVF_FLAT index over the corpus (IndexBuild — KMeans
+  // on a capped sample, sidecar-stored centroids, cell-clustered layout),
+  // RELOAD the centroids through the sidecar (the composed path — not the
+  // in-memory build handle), assign every vector to its nearest stored
+  // centroid with the codegen'd NearestCell map, then the identical
+  // pair→components→survivors tail with the trained cell as the block.
+  // FULL DuckDB ORACLE: training itself is iterative (not SQL), but
+  // everything downstream is — the run records the trained centroids and
+  // the oracle re-derives assignment (argmin over the centroid literals,
+  // same float→double widening, same squared-L2), pairs, the recursive
+  // closure and the survivor anti-join independently. The oracle entry is
+  // emitted only after the key has run in this session (Verify dumps
+  // oracle_sql.json AFTER the query pass, so the driver always sees it);
+  // an unrun session degrades to the rows-only record.
+  private[graft] val TrainedSemCells = 16
+
+  /** Session-memoized trained index per (session, dir) — one KMeans +
+    * persisted-sidecar build per corpus, reused across Verify/Bench
+    * consumers (the lshPairsCache posture). */
+  private val semIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), IndexBuild.BuiltIndex]()
+
+  private[graft] def trainedSemIndex(s: SparkSession, dir: String): IndexBuild.BuiltIndex = {
+    semIdxCache.entrySet().removeIf(e => !new java.io.File(e.getValue.root).exists())
+    semIdxCache.computeIfAbsent(
+      (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-semidx-").toString + "/t"
+        IndexBuild.build(s, t(s, dir, "embeddings"), root, Map(
+          "index.type" -> "IVF_FLAT",
+          "index.num-partitions" -> TrainedSemCells.toString))
+      })
+  }
+
+  /** Nearest-stored-centroid assignment: (vec_id, label = trained cell,
+    * embedding) — `label` so [[embeddingPairs]] blocks on it unchanged. */
+  private[graft] def trainedAssign(e: DataFrame,
+                                   cents: Array[Array[Double]]): DataFrame = {
+    val dim = cents.head.length
+    val flat = cents.flatten
+    e.select(col("vec_id"),
+      graft.functions.nearest_cell(col("embedding"), flat, cents.length, dim)
+        .cast("long").as("label"),
+      col("embedding"))
+  }
+
+  /** The SemDeDup tail over an assigned corpus — shared verbatim with
+    * [[dedupSemantic]]'s shape: in-cell pairs → components → survivors. */
+  private[graft] def semanticSurvivors(s: SparkSession, assigned: DataFrame): DataFrame = {
+    val pairs = embeddingPairs(assigned, EmbChunkCap)
+      .filter(col("cos") >= CosTau)
+      .select("a_id", "b_id")
+    val (labels, _) = clusterLabels(s, pairs)
+    val dropped = labels.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("vec_id"))
+    assigned.select(col("vec_id"), col("label").as("cell"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  private def dedupSemanticTrained(s: SparkSession, dir: String): DataFrame = {
+    val idx = trainedSemIndex(s, dir)
+    // centroids from the SIDECAR (IndexBuild.load), not the build handle —
+    // the stored-centroid path every post-build consumer takes
+    val cents = IndexBuild.load(s, idx.root).centroids.map(_.toArray)
+    TrainedSemOracle.record(cents)
+    semanticSurvivors(s, trainedAssign(t(s, dir, "embeddings"), cents))
+  }
+
+  /** Lazily-armed DuckDB oracle for dedup_semantic_trained: the trained
+    * centroids become SQL literals once the key has run. Argmin is an
+    * explicit ORDER BY dist, cell LIMIT 1 (NearestCell's strict `<` keeps
+    * the LOWEST index on ties); the distance is the same float→double
+    * widened squared-L2, term order preserved. */
+  private[graft] object TrainedSemOracle {
+    @volatile private var cents: Option[Array[Array[Double]]] = None
+    def record(c: Array[Array[Double]]): Unit = cents = Some(c)
+    def entry: Map[String, String] = cents match {
+      case None => Map.empty // key not run this session → rows-only record
+      case Some(cs) =>
+        val dim = cs.head.length
+        // Double.toString is the shortest round-trip form — DuckDB parses
+        // it back to the identical bits
+        val rows = cs.zipWithIndex.map { case (c, i) =>
+          s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        Map("dedup_semantic_trained" ->
+          s"""WITH RECURSIVE cents(cell, cv) AS (VALUES $rows),
+             |assign AS (
+             |  SELECT vec_id, embedding, cell FROM (
+             |    SELECT e.vec_id, e.embedding, CAST(c.cell AS BIGINT) AS cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, ${dim + 1}),
+             |          i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+             |             * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) ASC,
+             |        c.cell ASC) AS rk
+             |    FROM embeddings e CROSS JOIN cents c)
+             |  WHERE rk = 1),
+             |pairs AS (SELECT a_id, b_id FROM (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+             |  FROM assign a JOIN assign b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+             |  WHERE cos >= $CosTau),
+             |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs
+             |  UNION SELECT a_id, a_id FROM pairs
+             |  UNION SELECT b_id, b_id FROM pairs),
+             |reach(a, b) AS (SELECT a, b FROM edges
+             |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a)
+             |SELECT vec_id, cell FROM assign
+             |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
+             |ORDER BY vec_id""".stripMargin)
+    }
+  }
+
   // ---- dedup_substring ---------------------------------------------------
   // EXACT-SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training Data
   // Makes Language Models Better" signal): for each document, the tokens
@@ -570,12 +693,16 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_trained" -> dedupSemanticTrained,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_hashed" -> dedupSubstringHashed)
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
-  val oracleSql: Map[String, String] = Map(
+  // a `def`: the dedup_semantic_trained entry materializes only after the
+  // key has run (its centroids become the oracle's literals) — Verify
+  // dumps oracle_sql.json AFTER the query pass, so the driver sees it
+  def oracleSql: Map[String, String] = TrainedSemOracle.entry ++ Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

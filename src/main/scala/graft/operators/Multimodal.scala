@@ -1032,22 +1032,13 @@ object Multimodal extends QueryModule {
   // all-pairs), and a |candidate × frames-per-video| verify join — the
   // identical scale posture as mm_image_dedup with an extra bounded
   // (≤ frames-per-video) fan-in per pair.
-  private val VideoMatchRatio = 0.5
+  private[graft] val VideoMatchRatio = 0.5
 
   /** (doc_id, frame_idx, sig_h, sig_v) for every decodable sampled frame
     * (decoded through the [[VideoDecoder]] seam). */
-  private[graft] def videoFrameSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val decoder = videoDecoder
-    s.read.parquet(videoFixture(s, dir))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(it => it.flatMap { case (id, video) =>
-        decoder.decodeSampled(video, VideoStride).map { case (f, img) =>
-          (id, f.toLong, dHash(img), dHashVertical(img))
-        }
-      })
-      .toDF("doc_id", "frame_idx", "sig_h", "sig_v")
-  }
+  private[graft] def videoFrameSigs(s: SparkSession, dir: String): DataFrame =
+    decodeVideoFrameSigs(s,
+      s.read.parquet(videoFixture(s, dir)).toDF("doc_id", "video"))
 
   /** Video near-dup pairs of a (doc_id, frame_idx, sig_h, sig_v) frame
     * table: per-aligned-frame 8×16-bit banding → capped buckets → exact
@@ -1060,6 +1051,16 @@ object Multimodal extends QueryModule {
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(graft.functions.sorted_list_pairs(col("ids")))
       .distinct()
+    videoVerifyPairs(cand, frames)
+  }
+
+  /** The positional-alignment verify tail over (a_id, b_id) candidates +
+    * a (doc_id, frame_idx, sig_h, sig_v) frame table: per-aligned-frame
+    * exact hamming, matched count ratioed against the SHORTER side's
+    * decodable frames. ONE definition shared by the batch operator and
+    * the streaming twin (q_stream_video_dedup) so the arithmetic — and
+    * hence the streamed == batch equality — cannot drift. */
+  private[graft] def videoVerifyPairs(cand: DataFrame, frames: DataFrame): DataFrame = {
     val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     cand
       .join(frames.select(col("doc_id").as("a_id"), col("frame_idx"),
@@ -1077,6 +1078,22 @@ object Multimodal extends QueryModule {
         round(col("n_matched").cast("double") / least(col("nf_a"), col("nf_b")), 6))
       .filter(col("match_ratio") >= VideoMatchRatio)
       .select("a_id", "b_id", "n_matched", "match_ratio")
+  }
+
+  /** Decode a payload micro-batch to per-frame signatures — the video
+    * form of [[decodeSigs]]/[[decodeAudioSigs]] (one signature row PER
+    * SAMPLED FRAME, not per doc): (doc_id, frame_idx, sig_h, sig_v).
+    * Unreadable containers and undecodable frames drop. */
+  private[graft] def decodeVideoFrameSigs(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    val decoder = videoDecoder
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, video) =>
+        decoder.decodeSampled(video, VideoStride).map { case (f, img) =>
+          (id, f.toLong, dHash(img), dHashVertical(img))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "sig_h", "sig_v")
   }
 
   private def mmVideoDedup(s: SparkSession, dir: String): DataFrame =

@@ -663,6 +663,72 @@ object StreamingOps extends QueryModule {
       keysT = tmp("saud-keys") + "/t", sigsT = tmp("saud-sigs") + "/t",
       decode = Multimodal.decodeAudioSigs, prefix = "saud")
 
+  /** Streaming VIDEO near-dedup — the fifth member of the family:
+    * arriving clips dedup against everything seen so far under
+    * mm_video_dedup's positional-alignment contract. Video does NOT ride
+    * [[streamSigDedupAt]] verbatim (that body assumes ONE signature row
+    * per doc); the per-frame state rides [[nearDedupBatch]] directly with
+    * two video-shaped pieces:
+    *  - band keys fold the frame position INTO the key: band_key' =
+    *    frame_idx·2¹⁶ + band_key (band values are 16-bit, so the fold is
+    *    collision-free) — a (band_idx, band_key') bucket IS the batch
+    *    operator's (frame_idx, band_idx, band_key) positional bucket, so
+    *    the bucket-cover probe, the skew cap and the capped-posture
+    *    semantics all apply per aligned frame position unchanged;
+    *  - the exact-verify state keeps one row PER SAMPLED FRAME
+    *    (doc_id, frame_idx, sig_h, sig_v); the state probe's doc_id
+    *    bucket restriction is row-count-agnostic (every frame of a doc
+    *    hashes to the doc's bucket), so a candidate pair reaches BOTH
+    *    sides' full frame sets and the verify is the batch operator's
+    *    [[Multimodal.videoVerifyPairs]] tail verbatim — matched aligned
+    *    frames ratioed against the shorter side's decodable frames.
+    * While no positional band bucket crosses ImgBucketCap the streamed
+    * pairs == mm_video_dedup row-for-row (spec'd); an over-cap bucket
+    * drops the tipping batch's contribution, keeping earlier pairs — the
+    * family's recall-safe capped posture. Per-batch cost: one decode map
+    * over the batch's clips + bucket-cover probes ∝ batch frames. */
+  private def streamVideoDedup(s: SparkSession, dir: String): DataFrame =
+    streamVideoDedupAt(s, dir,
+      keysT = tmp("svid-keys") + "/t", framesT = tmp("svid-frames") + "/t")
+
+  private[graft] def streamVideoDedupAt(s: SparkSession, dir: String,
+                                        keysT: String, framesT: String,
+                                        srcParts: Int = 4,
+                                        srcDir0: String = null, ckpt0: String = null,
+                                        dst0: String = null): DataFrame = {
+    val srcDir = Option(srcDir0).getOrElse(tmp("svid-src"))
+    val ckpt = Option(ckpt0).getOrElse(tmp("svid-ckpt"))
+    val dst = Option(dst0).getOrElse(tmp("svid-out") + "/t")
+    val stateBuckets = defaultStateBuckets(s)
+    val payloads = s.read.parquet(Multimodal.videoFixture(s, dir))
+      .toDF("doc_id", "video")
+    if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
+      payloads.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(payloads.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(nearDedupBatch(s, dst, keysT, framesT, stateBuckets,
+        Multimodal.ImgBucketCap,
+        bandAndState = b => {
+          // ONE decode pass feeds both views (frames are consumed by the
+          // banding here and 3× by the verify tail)
+          val frames = Multimodal.decodeVideoFrameSigs(s, b).localCheckpoint()
+          val bk = Multimodal.imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
+            .select(col("doc_id"), col("band_idx"),
+              (col("frame_idx") * lit(65536L) + col("band_key")).as("band_key"))
+            .localCheckpoint()
+          (bk, frames)
+        },
+        verify = (cand, allFrames) =>
+          Multimodal.videoVerifyPairs(cand, allFrames.localCheckpoint())) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.format("lance").load(dst)
+      .select("a_id", "b_id", "n_matched", "match_ratio")
+      .distinct().orderBy("a_id", "b_id")
+  }
+
   /** Streaming EMBEDDING near-dup — the fourth member of the family:
     * arriving vectors dedup against everything seen so far under
     * dedup_embedding's EXACT contract (cosine ≥ τ within the coarse
@@ -1697,6 +1763,7 @@ object StreamingOps extends QueryModule {
     "q_stream_neardedup" -> streamNearDedup,
     "q_stream_image_dedup" -> streamImageDedup,
     "q_stream_audio_dedup" -> streamAudioDedup,
+    "q_stream_video_dedup" -> streamVideoDedup,
     "q_stream_embedding_dedup" -> streamEmbeddingDedup,
     "q_stream_semantic" -> streamSemantic,
     "q_stream_index" -> streamIndex,

@@ -581,6 +581,60 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dedup_semantic_trained == fixture-label SemDeDup on a planted corpus no cell partition can split") {
+    import spark.implicits._
+    // 6 semantic groups of IDENTICAL unit vectors on mutually orthogonal
+    // axes + 8 orthogonal singletons. Identical vectors have identical
+    // argmin inputs, so ANY centroid set assigns a group to one cell —
+    // no trained partition can split a pair; and orthogonal groups have
+    // cos 0 < tau, so no cell can INVENT a cross-group pair. Hence
+    // trained survivors == fixture-label survivors == group minima +
+    // singletons, for whatever KMeans converges to — the equality tests
+    // the COMPOSITION (stored-centroid reload, NearestCell assignment,
+    // pair/closure/anti-join tail), not the training's luck.
+    def axis(i: Int, scale: Float): Array[Float] = {
+      val a = new Array[Float](64); a(i) = scale; a
+    }
+    val grouped = (0 until 6).flatMap { g =>
+      (0 until 5).map(j => (g * 100L + j, g, axis(g, 1f + g * 0.25f)))
+    }
+    val singles = (0 until 8).map(i => (1000L + i, 10 + i, axis(20 + i, 2f)))
+    val e = (grouped ++ singles).toDF("vec_id", "label", "embedding")
+      .localCheckpoint()
+    // fixture-label path: the dedup_semantic tail over the given labels
+    val fixture = operators.Dedup.semanticSurvivors(spark,
+      e.select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding")))
+      .collect().map(_.getLong(0)).toSeq
+    // trained path: persisted IVF build → sidecar reload → NearestCell
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-semtr-").toString + "/t"
+    val idx = operators.IndexBuild.build(spark, e, root,
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "8"))
+    val cents = operators.IndexBuild.load(spark, idx.root).centroids.map(_.toArray)
+    val trained = operators.Dedup.semanticSurvivors(spark,
+      operators.Dedup.trainedAssign(e, cents))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = ((0 until 6).map(_ * 100L) ++ (0 until 8).map(1000L + _)).sorted
+    assert(trained === expected, s"trained survivors wrong: $trained")
+    assert(fixture === expected, s"fixture survivors wrong: $fixture")
+  }
+
+  test("dedup_semantic_trained: the key runs on the sf corpus and arms its centroid-literal oracle") {
+    val got = SparkEntry.queries("dedup_semantic_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    val all = Tables.t(spark, sf, "embeddings").count()
+    assert(got.length <= all, "more survivors than vectors")
+    assert(got.map(_._1).distinct.length === got.length, "duplicate survivor ids")
+    // the run must have armed the lazily-built DuckDB oracle with 16
+    // centroid literals (the driver's full rows+schema+hash gate path)
+    val sql = operators.Dedup.oracleSql.get("dedup_semantic_trained")
+    assert(sql.isDefined, "trained oracle not armed after the key ran")
+    assert(sql.get.contains("VALUES (0, [") && sql.get.contains("(15, ["),
+      "oracle does not carry the 16 trained centroid literals")
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)

@@ -518,6 +518,52 @@ class MultimodalSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("q_stream_video_dedup: streamed pairs == batch mm_video_dedup row-for-row") {
+    // the video twin rides nearDedupBatch directly (per-frame state can't
+    // go through streamSigDedupAt's one-row-per-doc shape): the frame
+    // position folds into the band key (frame_idx*2^16 + band — the
+    // positional bucket), the state keeps one row per sampled frame, and
+    // the verify tail is the batch operator's videoVerifyPairs verbatim —
+    // so streamed==batch is the whole correctness statement, same as the
+    // other four twins
+    val streamed = SparkEntry.queries("q_stream_video_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("mm_video_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no video pairs at this sf — vacuous equality")
+  }
+
+  test("q_stream_video_dedup: a clip arriving AFTER its source pairs cross-batch through the positional key probe") {
+    import spark.implicits._
+    // engineered 2-batch stream: batch 0 carries the source clips, batch 1
+    // carries a re-encode (same sigs, same positions) + an unrelated clip;
+    // the pair must be discovered in the LATER member's batch via the
+    // history probe — the cross-batch path the sf corpus may or may not
+    // exercise depending on file split order
+    val keysT = java.nio.file.Files.createTempDirectory("svid-x-k-").toString + "/t"
+    val framesT = java.nio.file.Files.createTempDirectory("svid-x-f-").toString + "/t"
+    val srcDir = java.nio.file.Files.createTempDirectory("svid-x-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("svid-x-ck-").toString
+    val dst = java.nio.file.Files.createTempDirectory("svid-x-d-").toString + "/t"
+    // real GVID payloads through the real decoder: synthVideo(id) is
+    // deterministic per id, so two docs built from the SAME id have
+    // identical frames (the re-encode posture at hamming 0)
+    def payload(docId: Long, contentId: Long) =
+      (docId, operators.Multimodal.synthVideo(contentId))
+    Seq(payload(10L, 1L)).toDF("doc_id", "video")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    operators.StreamingOps.streamVideoDedupAt(spark, sf, keysT, framesT,
+      srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+    Seq(payload(20L, 1L), payload(30L, 2L)).toDF("doc_id", "video")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val got = operators.StreamingOps.streamVideoDedupAt(spark, sf, keysT, framesT,
+      srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got === Seq((10L, 20L, 1.0)),
+      s"cross-batch video pair wrong: $got")
+  }
+
   test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
     import spark.implicits._
     // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same
