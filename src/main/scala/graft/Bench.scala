@@ -70,9 +70,9 @@ object Bench {
     // member of the streaming near-dup family, and the incremental
     // SemDeDup materialized view
     "dedup_semantic", "q_stream_embedding_dedup", "q_stream_semantic",
-    // appended r18: the video member of the streaming near-dup family +
-    // the trained-cell SemDeDup composition
-    "q_stream_video_dedup", "dedup_semantic_trained")
+    // appended r18: the video member of the streaming near-dup family,
+    // the trained-cell SemDeDup composition, and hybrid RRF retrieval
+    "q_stream_video_dedup", "dedup_semantic_trained", "text_search_hybrid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

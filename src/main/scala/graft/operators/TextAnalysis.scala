@@ -651,6 +651,84 @@ object TextAnalysis extends QueryModule {
     bm25Rank(dt, dfreq, stats, Bm25Queries.toDF("query_id", "term"), Bm25TopK)
   }
 
+  // ---- text_search_hybrid --------------------------------------------------
+  // HYBRID retrieval (r18): BM25 keyword ranks + embedding-cosine ranks
+  // fused by Reciprocal Rank Fusion (Cormack et al. 2009; the fusion
+  // lance/LanceDB ships for its hybrid search) — rrf(d) = Σ_arms
+  // 1/(K + rank_arm(d)), K = 60, over each arm's top-k list. RRF is
+  // rank-only by design: the two arms' scores live on incomparable scales
+  // (BM25 vs cosine), ranks don't. Cross-engine determinism: each arm
+  // ranks exactly as its gated parent key does (BM25's integer micro-unit
+  // sums; cosine rounded to 6dp, vec_id tiebreak), the fused score is at
+  // most TWO double terms 1/(60+r) (addition of two IEEE doubles is
+  // order-free), rounded to 6dp with doc_id tiebreak. Scale shape: the
+  // lexical arm is the text_search_bm25 plan (vocabulary-pruned TF
+  // shuffle, broadcast df/query/stats, pre-shuffle k-heap); the vector
+  // arm is one broadcast of 3 query vectors over a linear codegen'd
+  // cosine scan with the same k-heap; the fuse touches 2·k·|queries|
+  // rows — nothing.
+  private[graft] val RrfK = 60
+
+  /** query_id → the corpus vector serving as that query's embedding (the
+    * paired-modality workload: each Bm25 query also carries a vector). */
+  private[graft] val HybridQueryVecs: Seq[(Long, Long)] =
+    Seq(1L -> 100L, 2L -> 200L, 3L -> 300L)
+
+  private def textSearchHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lex = textSearchBm25(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("r"))
+    val e = t(s, dir, "embeddings")
+    val qv = e.join(broadcast(HybridQueryVecs.toDF("query_id", "vec_id")), "vec_id")
+      .select(col("query_id"), col("embedding").as("qv"))
+    val byQcos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = e.crossJoin(broadcast(qv))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(graft.functions.vec_cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("r", row_number().over(byQcos).cast("long"))
+      .filter(col("r") <= Bm25TopK)
+      .select("query_id", "doc_id", "r")
+    val byRrf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.unionByName(vec)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_arms"),
+        round(sum(lit(1.0d) / (lit(RrfK) + col("r"))), 6).as("rrf"))
+      .withColumn("rk", row_number().over(byRrf).cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+      .select("query_id", "doc_id", "n_arms", "rrf", "rk")
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  private[operators] lazy val hybridOracleSql: String = {
+    val qvValues = HybridQueryVecs
+      .map { case (q, v) => s"(CAST($q AS BIGINT), CAST($v AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH lex AS (${bm25OracleBody(Bm25Queries)}),
+       |qmap(query_id, qvec_id) AS (VALUES $qvValues),
+       |qv AS (SELECT query_id, e.embedding AS qv FROM qmap
+       |  JOIN embeddings e ON e.vec_id = qvec_id),
+       |vecarm AS (SELECT query_id, doc_id, rv FROM (
+       |  SELECT query_id, e.vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+       |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |        CAST(qv AS DOUBLE[])), 6) DESC, e.vec_id ASC) AS BIGINT) AS rv
+       |  FROM embeddings e CROSS JOIN qv)
+       |  WHERE rv <= $Bm25TopK),
+       |fused AS (SELECT query_id, doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_arms,
+       |    round(sum(1.0 / ($RrfK + r)), 6) AS rrf
+       |  FROM (SELECT query_id, doc_id, rk AS r FROM lex
+       |        UNION ALL SELECT query_id, doc_id, rv FROM vecarm)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_arms, rrf, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk FROM fused)
+       |WHERE rk <= $Bm25TopK ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
+
   // ---- text_search_indexed -----------------------------------------------
   // The same query workload served from a PERSISTED inverted index
   // ([[TextIndex]]): postings bucketed by term in a lance table, df and
@@ -816,6 +894,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_classifier" -> ((s, dir) => QualityClassifier.run(s, dir)),
     "text_keywords" -> textKeywords,
     "text_search_bm25" -> textSearchBm25,
+    "text_search_hybrid" -> textSearchHybrid,
     "text_search_indexed" -> textSearchIndexed,
     "text_search_indexed_multi" -> textSearchIndexedMulti,
     "text_lm_score" -> textLmScore,
@@ -931,6 +1010,7 @@ object TextAnalysis extends QueryModule {
     // per-(query,doc) aggregate order-independent; every double op is
     // mirrored with identical parenthesization
     "text_search_bm25" -> bm25OracleSql,
+    "text_search_hybrid" -> hybridOracleSql,
     // the index path must reproduce the scan path exactly — same oracle
     "text_search_indexed" -> bm25OracleSql,
     // three disjoint workloads from one build — union of three scan oracles

@@ -271,6 +271,56 @@ class TextAnalysisSpec extends SparkSpec {
       s"per-query top-k not rewritten to a partial heap:\n$plan")
   }
 
+  test("text_search_hybrid: RRF fuses the two arms' ranks — both-arm docs beat single-arm peers; plan stays broadcast + k-heap") {
+    import operators.TextAnalysis.{Bm25TopK, RrfK}
+    val lex = SparkEntry.queries("text_search_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap // (q, doc) -> rank
+    val got = SparkEntry.queries("text_search_hybrid")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length === 3 * Bm25TopK)
+    // independent RRF recomputation: fused == sum of 1/(60+r) over the doc's
+    // arm memberships, with the vector arm recomputed from raw cosines
+    val e = Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb)) // VectorDistance's exact form
+    }
+    val vecRanks = operators.TextAnalysis.HybridQueryVecs.flatMap { case (q, qvId) =>
+      val qv = e(qvId)
+      e.toSeq.map { case (id, v) =>
+        (id, BigDecimal(cos(v, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+        .sortBy { case (id, c) => (-c, id) }.take(Bm25TopK)
+        .zipWithIndex.map { case ((id, _), i) => (q, id) -> (i + 1).toLong }
+    }.toMap
+    got.foreach { case (q, doc, nArms, rrf, _) =>
+      val arms = Seq(lex.get((q, doc)), vecRanks.get((q, doc))).flatten
+      assert(arms.nonEmpty && arms.size === nArms,
+        s"($q,$doc) n_arms=$nArms but independent arms=$arms")
+      val expect = BigDecimal(arms.map(r => 1.0 / (RrfK + r)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - expect) < 1e-9, s"($q,$doc) rrf=$rrf expected=$expect")
+    }
+    // a doc ranked in BOTH arms must outrank any doc whose single arm gave
+    // it an equal-or-worse rank (the fusion property the key exists for)
+    val byQ = got.groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val both = rows.filter(_._3 == 2L).map(_._5)
+      val single = rows.filter(_._3 == 1L).map(_._5)
+      if (both.nonEmpty && single.nonEmpty)
+        assert(both.min < single.max, s"two-arm doc did not outrank: $rows")
+    }
+    // plan: query vectors broadcast; both per-query top-k windows k-heap
+    val plan = SparkEntry.queries("text_search_hybrid")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"hybrid top-k not rewritten to a partial heap:\n$plan")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"query-vector/df joins not broadcast:\n$plan")
+  }
+
   test("text_lm_score: engineered corpus hand-computed exactly; map-only scoring") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-").toString
     import spark.implicits._

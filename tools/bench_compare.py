@@ -165,6 +165,29 @@ def main(argv):
     print(f"\ncommon-key settled sum: {common0:.1f} -> {common1:.1f} s "
           f"({common1 / common0:.2f}x over {len(both)} keys); "
           f"{regressions} regression(s)")
+    # streaming SERVING-COST report (r18, the r17 instrument's last mile):
+    # for every key carrying BenchProbe batch counters on both sides,
+    # normalize the settled wall by micro-batches and by input rows —
+    # scheduler latency scales with batches and data with rows, so these
+    # two columns ARE the cross-round comparison for streaming keys; the
+    # headline wall is only their product with workload shape.
+    stream = [k for k in keys
+              if old.get("data", {}).get(k, {}).get("batches")
+              and new.get("data", {}).get(k, {}).get("batches")]
+    if stream:
+        print("\nstreaming serving cost (settled wall normalized by "
+              "BenchProbe counters):")
+        print(f"{'key':34} {'s/batch':>15} {'x':>6} {'us/row':>17} {'x':>6}")
+        for k in stream:
+            t0, t1 = settled(old, k), settled(new, k)
+            d0, d1 = old["data"][k], new["data"][k]
+            pb0, pb1 = t0 / d0["batches"], t1 / d1["batches"]
+            line = f"{k:34} {pb0:6.2f} ->{pb1:6.2f} {pb1 / pb0:6.2f}"
+            r0, r1 = d0.get("inputRows"), d1.get("inputRows")
+            if r0 and r1:
+                pr0, pr1 = t0 / r0 * 1e6, t1 / r1 * 1e6
+                line += f" {pr0:7.1f} ->{pr1:7.1f} {pr1 / pr0:6.2f}"
+            print(line)
     return 1 if regressions else 0
 
 
