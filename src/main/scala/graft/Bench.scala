@@ -71,8 +71,10 @@ object Bench {
     // SemDeDup materialized view
     "dedup_semantic", "q_stream_embedding_dedup", "q_stream_semantic",
     // appended r18: the video member of the streaming near-dup family,
-    // the trained-cell SemDeDup composition, and hybrid RRF retrieval
-    "q_stream_video_dedup", "dedup_semantic_trained", "text_search_hybrid")
+    // the trained-cell SemDeDup composition (batch + streaming MV), and
+    // hybrid RRF retrieval
+    "q_stream_video_dedup", "dedup_semantic_trained", "text_search_hybrid",
+    "q_stream_semantic_trained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

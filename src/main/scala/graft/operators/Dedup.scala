@@ -471,24 +471,9 @@ object Dedup extends QueryModule {
   // touches only near-dup pairs (tiny) plus one broadcast-able drop list:
   // survivors materialize as a left-anti join of the corpus against the
   // dropped ids, never a shuffle of the corpus itself.
-  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val pairs = embeddingPairs(t(s, dir, "embeddings"), EmbChunkCap)
-      .filter(col("cos") >= CosTau)
-      .select("a_id", "b_id")
-    val (labels, _) = clusterLabels(s, pairs)
-    // non-representative members (node != component min) are the drop
-    // list; everything else — including every vector outside any pair —
-    // survives untouched. No broadcast HINT on purpose: the drop list is
-    // usually tiny (near-dup members only) and AQE broadcasts it from its
-    // materialized size, but on a heavily-duplicated corpus it is
-    // O(corpus) and a forced broadcast would OOM the driver — the
-    // shuffled anti-join is the correct fallback there.
-    val dropped = labels.filter(col("node") =!= col("lbl"))
-      .select(col("node").as("vec_id"))
-    t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-      .join(dropped, Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
-  }
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    semanticSurvivors(s, t(s, dir, "embeddings")
+      .select("vec_id", "label", "embedding"), outCol = "label")
 
   // ---- dedup_semantic_trained ----------------------------------------------
   // The TRAINED-CELL SemDeDup composition (r18, closing the r17 verdict's
@@ -541,16 +526,26 @@ object Dedup extends QueryModule {
       col("embedding"))
   }
 
-  /** The SemDeDup tail over an assigned corpus — shared verbatim with
-    * [[dedupSemantic]]'s shape: in-cell pairs → components → survivors. */
-  private[graft] def semanticSurvivors(s: SparkSession, assigned: DataFrame): DataFrame = {
+  /** The SemDeDup tail over an assigned corpus — the ONE definition both
+    * dedup_semantic (fixture labels, outCol = "label") and
+    * dedup_semantic_trained (IVF cells, outCol = "cell") run: in-cell
+    * pairs → components → survivors. Non-representative members (node !=
+    * component min) are the drop list; everything else — including every
+    * vector outside any pair — survives untouched. No broadcast HINT on
+    * purpose: the drop list is usually tiny (near-dup members only) and
+    * AQE broadcasts it from its materialized size, but on a
+    * heavily-duplicated corpus it is O(corpus) and a forced broadcast
+    * would OOM the driver — the shuffled anti-join is the correct
+    * fallback there. */
+  private[graft] def semanticSurvivors(s: SparkSession, assigned: DataFrame,
+                                       outCol: String = "cell"): DataFrame = {
     val pairs = embeddingPairs(assigned, EmbChunkCap)
       .filter(col("cos") >= CosTau)
       .select("a_id", "b_id")
     val (labels, _) = clusterLabels(s, pairs)
     val dropped = labels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("vec_id"))
-    assigned.select(col("vec_id"), col("label").as("cell"))
+    assigned.select(col("vec_id"), col("label").as(outCol))
       .join(dropped, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
   }

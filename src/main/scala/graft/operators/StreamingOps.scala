@@ -776,7 +776,12 @@ object StreamingOps extends QueryModule {
       compactEvery: Int, vacuumOnCompact: Boolean,
       seed: (DataFrame, String) => Unit,
       writeDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit,
-      finalRead: String => DataFrame): DataFrame = {
+      finalRead: String => DataFrame,
+      // maps a source micro-batch to (vec_id, label, embedding) — identity
+      // keeps the fixture label as the cell; the TRAINED twin replaces it
+      // with the frozen-centroid NearestCell assignment (same pattern as
+      // q_stream_index's ingest projection)
+      assign: DataFrame => DataFrame = identity): DataFrame = {
     val srcDir = Option(srcDir0).getOrElse(tmp(s"$prefix-src"))
     val ckpt = Option(ckpt0).getOrElse(tmp(s"$prefix-ckpt"))
     val dst = Option(dst0).getOrElse(tmp(s"$prefix-out") + "/t")
@@ -791,7 +796,7 @@ object StreamingOps extends QueryModule {
       .foreachBatch(nearDedupBatch(s, dst, keysT, vecsT, stateBuckets,
         bucketCap,
         bandAndState = b => {
-          val bb = b.localCheckpoint() // one source read feeds both views
+          val bb = assign(b).localCheckpoint() // one read feeds both views
           (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
             col("label").as("band_key")).localCheckpoint(),
             bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
@@ -866,6 +871,53 @@ object StreamingOps extends QueryModule {
       finalRead = survT => s.read.format("lance").load(survT)
         .filter(col("vec_id") === col("lbl"))
         .select("vec_id", "label").orderBy("vec_id"))
+
+  /** Streaming TRAINED-CELL SemDeDup — q_stream_semantic with the cell
+    * assignment coming from a BUILT IVF index instead of the fixture
+    * label (the streaming face of dedup_semantic_trained, r18): the
+    * session's persisted index is built (or reused) BEFORE the stream
+    * starts — the q_stream_index_once posture — and every micro-batch
+    * assigns its vectors to the nearest FROZEN stored centroid with the
+    * codegen'd NearestCell projection; everything downstream (uncapped
+    * cell probe, exact cosine verify, touched-component atomic upsert) is
+    * streamSemanticAt verbatim. End-of-stream view == dedup_semantic_
+    * trained row-for-row (components only merge — the same closure
+    * argument as the fixture twin), gated on the SAME centroid-literal
+    * oracle. Drift is CALL system.reindex's job, off the ingest path. */
+  private def streamSemanticTrained(s: SparkSession, dir: String): DataFrame =
+    streamSemanticTrainedAt(s, dir,
+      keysT = tmp("sstr-keys") + "/t", vecsT = tmp("sstr-vecs") + "/t")
+
+  private[graft] def streamSemanticTrainedAt(s: SparkSession, dir: String,
+      keysT: String, vecsT: String,
+      srcParts: Int = 4,
+      srcDir0: String = null, ckpt0: String = null,
+      dst0: String = null,
+      compactEvery: Int = 0,
+      vacuumOnCompact: Boolean = false): DataFrame = {
+    val idx = Dedup.trainedSemIndex(s, dir)
+    val cents = IndexBuild.load(s, idx.root).centroids.map(_.toArray)
+    Dedup.TrainedSemOracle.record(cents) // arms the shared oracle
+    val dim = cents.head.length
+    val flat = cents.flatten
+    streamEmbFamilyAt(s, dir, keysT, vecsT, prefix = "sstr",
+      bucketCap = Int.MaxValue, srcParts, srcDir0, ckpt0, dst0,
+      compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact,
+      seed = (src, survT) =>
+        if (!tableExists(s, survT))
+          src.select(col("vec_id"), col("label"))
+            .withColumn("lbl", col("vec_id")).withColumn("bid", lit(-1L))
+            .limit(0).write.format("lance").save(survT),
+      writeDst = semanticMvUpsert,
+      finalRead = survT => s.read.format("lance").load(survT)
+        .filter(col("vec_id") === col("lbl"))
+        .select(col("vec_id"), col("label").cast("long").as("cell"))
+        .orderBy("vec_id"),
+      assign = b => b.select(col("vec_id"),
+        graft.functions.nearest_cell(col("embedding"), flat, cents.length, dim)
+          .as("label"),
+        col("embedding")))
+  }
 
   /** The labels upsert behind [[streamSemanticAt]] — runs in
     * nearDedupBatch's dst slot (before the keys/state appends, bid
@@ -1766,11 +1818,17 @@ object StreamingOps extends QueryModule {
     "q_stream_video_dedup" -> streamVideoDedup,
     "q_stream_embedding_dedup" -> streamEmbeddingDedup,
     "q_stream_semantic" -> streamSemantic,
+    "q_stream_semantic_trained" -> streamSemanticTrained,
     "q_stream_index" -> streamIndex,
     "q_stream_index_once" -> streamIndexOnce,
     "q_stream_index_pq" -> streamIndexOncePq)
 
-  val oracleSql: Map[String, String] = Map(
+  // a `def`: q_stream_semantic_trained shares dedup_semantic_trained's
+  // LAZILY-ARMED centroid-literal oracle (present only once either key has
+  // run this session — see Dedup.TrainedSemOracle)
+  def oracleSql: Map[String, String] =
+    Dedup.TrainedSemOracle.entry.get("dedup_semantic_trained")
+      .map("q_stream_semantic_trained" -> _).toMap ++ Map(
     // the streamed quarantine table must equal batch text_contamination —
     // its oracle verbatim
     "q_stream_contamination" -> TextAnalysis.oracleSql("text_contamination"),

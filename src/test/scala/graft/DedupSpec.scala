@@ -635,6 +635,18 @@ class DedupSpec extends SparkSpec {
       "oracle does not carry the 16 trained centroid literals")
   }
 
+  test("q_stream_semantic_trained: the incrementally-maintained trained-cell view == batch dedup_semantic_trained row-for-row") {
+    // same closure argument as the fixture twin (components only merge),
+    // same frozen centroids on both sides (trainedSemIndex memoizes per
+    // session+dir), so end-of-stream == batch is the whole statement
+    val streamed = SparkEntry.queries("q_stream_semantic_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("dedup_semantic_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("dedup_canonical: best-quality member survives each cluster; singletons keep themselves") {
     val canonical = SparkEntry.queries("dedup_canonical")(spark, sf).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
