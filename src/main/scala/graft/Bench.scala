@@ -294,7 +294,7 @@ object Bench {
     val notes =
       """{"dedup_minhash_lsh":"since r13 the one-time minhash+verify build is charged to lsh_pairs_build; per-query time here is the memoized-pair consumer cost and is not comparable to r12 and earlier",""" +
       """"dedup_ngram_jaccard":"PLAN CHANGED r15: candidate signature moved from 126-hash MinHash to one-permutation hashing (1 hash/gram + densification); output identical (exact verify decides), expect large speedup vs r14's 6.7 s",""" +
-      """"contamination_semantic":"PLAN CHANGED r17: two-phase screen (sign-sketch hamming prescreen + exact cosine refine); output identical (exact refine decides, re-gated), at the 64-dim bench fixture the prescreen is pass-through so expect parity, the win is at production dims",""" +
+      """"contamination_semantic":"PLAN CHANGED r17 (two-phase screen) and AGAIN r18 (dimension-gated auto mode: rows under 256 dims short-circuit past the hamming eval, so the 64-dim fixture now runs the exact semantics with the sketch columns still present); output identical at every step, the screen's win is at production dims",""" +
       """"__spaced":"keys suffixed __spaced are the same query re-measured at the end of the run (since r17: every key whose noise band exceeds 0.5, plus the two map-only canaries); a first-slot/spaced disagreement marks bench-order noise, not a plan change",""" +
       """"builds":"since r17 one-time build entries (ivf_flat_build, lsh_pairs_build, ivf_pq_build, ivf_sq_build) live in the builds map, excluded from queries and total; r16-and-earlier totals include them",""" +
       """"data":"per-key data-side record of the LAST measured run: streaming batches/inputRows/sinkRows (StreamingQueryProgress) and lance manifest commits; the denominators for adjudicating streaming wall-time swings",""" +

@@ -538,16 +538,38 @@ object Dedup extends QueryModule {
     * would OOM the driver — the shuffled anti-join is the correct
     * fallback there. */
   private[graft] def semanticSurvivors(s: SparkSession, assigned: DataFrame,
-                                       outCol: String = "cell"): DataFrame = {
+                                       outCol: String = "cell"): DataFrame =
+    assigned.select(col("vec_id"), col("label").as(outCol))
+      .join(semanticDropList(s, assigned), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+
+  /** The drop list alone — (vec_id) of every non-representative member of
+    * a cosine component. Shared by the gated keys (via
+    * [[semanticSurvivors]]) and CALL system.semdedup, whose survivors are
+    * whole corpus rows rather than (vec_id, cell) pairs. */
+  private[graft] def semanticDropList(s: SparkSession, assigned: DataFrame,
+                                      tau: Double = CosTau): DataFrame = {
     val pairs = embeddingPairs(assigned, EmbChunkCap)
-      .filter(col("cos") >= CosTau)
+      .filter(col("cos") >= tau)
       .select("a_id", "b_id")
     val (labels, _) = clusterLabels(s, pairs)
-    val dropped = labels.filter(col("node") =!= col("lbl"))
+    labels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("vec_id"))
-    assigned.select(col("vec_id"), col("label").as(outCol))
-      .join(dropped, Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
+  }
+
+  /** Train the coarse quantizer's centroids for a SemDeDup pass — the
+    * same recipe as the IVF builds (KMeans, capped deterministic sample,
+    * seed 42) without persisting an index; CALL system.semdedup's
+    * product is the curated table, not a standing index. */
+  private[graft] def trainCentroids(s: SparkSession, corpus: DataFrame,
+                                    vecCol: String, cells: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    val withFv = corpus.select(col(vecCol))
+      .withColumn("fv", VectorIndex.asVec(col(vecCol)))
+    new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(VectorIndex.trainingSample(withFv))
+      .clusterCenters.map(_.toArray)
   }
 
   private def dedupSemanticTrained(s: SparkSession, dir: String): DataFrame = {
@@ -555,28 +577,40 @@ object Dedup extends QueryModule {
     // centroids from the SIDECAR (IndexBuild.load), not the build handle —
     // the stored-centroid path every post-build consumer takes
     val cents = IndexBuild.load(s, idx.root).centroids.map(_.toArray)
-    TrainedSemOracle.record(cents)
+    TrainedSemOracle.record("dedup_semantic_trained", cents)
     semanticSurvivors(s, trainedAssign(t(s, dir, "embeddings"), cents))
   }
 
-  /** Lazily-armed DuckDB oracle for dedup_semantic_trained: the trained
-    * centroids become SQL literals once the key has run. Argmin is an
-    * explicit ORDER BY dist, cell LIMIT 1 (NearestCell's strict `<` keeps
-    * the LOWEST index on ties); the distance is the same float→double
-    * widened squared-L2, term order preserved. */
+  /** Lazily-armed DuckDB oracles for the trained-cell SemDeDup family:
+    * each key's run records its trained centroids (+ its τ and final
+    * survivor SELECT), which become the oracle's SQL literals. Argmin is
+    * an explicit window-rank ORDER BY dist, cell (NearestCell's strict
+    * `<` keeps the LOWEST index on ties); the distance is the same
+    * float→double widened squared-L2, term order preserved;
+    * Double.toString is the shortest round-trip form, so DuckDB parses
+    * the literals back to the identical bits. */
   private[graft] object TrainedSemOracle {
-    @volatile private var cents: Option[Array[Array[Double]]] = None
-    def record(c: Array[Array[Double]]): Unit = cents = Some(c)
-    def entry: Map[String, String] = cents match {
-      case None => Map.empty // key not run this session → rows-only record
-      case Some(cs) =>
+    private val recorded = new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Array[Double]], Double, String)]()
+
+    /** `finalSelect` consumes the `assign` (vec_id, embedding, cell) and
+      * `comp` (node, lbl) CTEs; the default emits (vec_id, cell). */
+    def record(key: String, cents: Array[Array[Double]],
+               tau: Double = CosTau,
+               finalSelect: String =
+                 """SELECT vec_id, cell FROM assign
+                   |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
+                   |ORDER BY vec_id""".stripMargin): Unit =
+      recorded.put(key, (cents, tau, finalSelect))
+
+    def entry: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      recorded.asScala.toMap.map { case (key, (cs, tau, finalSelect)) =>
         val dim = cs.head.length
-        // Double.toString is the shortest round-trip form — DuckDB parses
-        // it back to the identical bits
         val rows = cs.zipWithIndex.map { case (c, i) =>
           s"($i, [${c.mkString(", ")}]::DOUBLE[])"
         }.mkString(", ")
-        Map("dedup_semantic_trained" ->
+        key ->
           s"""WITH RECURSIVE cents(cell, cv) AS (VALUES $rows),
              |assign AS (
              |  SELECT vec_id, embedding, cell FROM (
@@ -594,7 +628,7 @@ object Dedup extends QueryModule {
              |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
              |  FROM assign a JOIN assign b
              |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
-             |  WHERE cos >= $CosTau),
+             |  WHERE cos >= $tau),
              |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
              |  UNION SELECT b_id, a_id FROM pairs
              |  UNION SELECT a_id, a_id FROM pairs
@@ -602,9 +636,8 @@ object Dedup extends QueryModule {
              |reach(a, b) AS (SELECT a, b FROM edges
              |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
              |comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a)
-             |SELECT vec_id, cell FROM assign
-             |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
-             |ORDER BY vec_id""".stripMargin)
+             |$finalSelect""".stripMargin
+      }
     }
   }
 
@@ -697,7 +730,9 @@ object Dedup extends QueryModule {
   // a `def`: the dedup_semantic_trained entry materializes only after the
   // key has run (its centroids become the oracle's literals) — Verify
   // dumps oracle_sql.json AFTER the query pass, so the driver sees it
-  def oracleSql: Map[String, String] = TrainedSemOracle.entry ++ Map(
+  def oracleSql: Map[String, String] =
+    TrainedSemOracle.entry.get("dedup_semantic_trained")
+      .map("dedup_semantic_trained" -> _).toMap ++ Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

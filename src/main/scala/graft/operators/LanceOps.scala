@@ -428,6 +428,28 @@ object LanceOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The semdedup procedure's gated key: embeddings → a catalog table →
+    * CALL system.semdedup at the trained family's defaults (τ=0.4,
+    * 16 cells) → the survivor table's (vec_id, label). The DuckDB oracle
+    * re-derives the whole pipeline from the procedure's recorded
+    * centroid literals (assignment argmin → in-cell pairs → recursive
+    * closure → anti-join) — the same gate shape as
+    * dedup_semantic_trained, entered through SQL. */
+  private def semdedupSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"semc_$sfx", s"semo_$sfx")
+    t(s, dir, "embeddings").createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.semdedup(table => 'db.$tc', " +
+      s"output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** Z-order with a STRING dimension (dictionary keys like country/tenant
     * are what real users cluster on): the rewrite ranks strings by their
     * zero-padded 8-byte UTF-8 prefix — monotonic in the byte order the
@@ -688,9 +710,15 @@ object LanceOps extends QueryModule {
     "q_cdc_materialized" -> cdcMaterialized,
     "lance_streaming_sink" -> streamingSink,
     "lance_decontaminate" -> decontaminateSqlCall,
+    "lance_semdedup" -> semdedupSqlCall,
     "lance_events_roundtrip" -> eventsRoundtrip)
 
-  val oracleSql: Map[String, String] = Map(
+  // a `def`: lance_semdedup's oracle is lazily armed by the procedure run
+  // (its trained centroids become the statement's literals — see
+  // Dedup.TrainedSemOracle; Verify dumps oracle_sql.json after queries)
+  def oracleSql: Map[String, String] =
+    graft.operators.Dedup.TrainedSemOracle.entry.get("lance_semdedup")
+      .map("lance_semdedup" -> _).toMap ++ Map(
     // survivors = corpus minus docs flagged by overlap >= 3 OR containment
     // >= 0.5 (string shingles mirror the hashed sets, collisions ~1e-9)
     "lance_decontaminate" ->

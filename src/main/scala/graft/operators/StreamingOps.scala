@@ -897,7 +897,7 @@ object StreamingOps extends QueryModule {
       vacuumOnCompact: Boolean = false): DataFrame = {
     val idx = Dedup.trainedSemIndex(s, dir)
     val cents = IndexBuild.load(s, idx.root).centroids.map(_.toArray)
-    Dedup.TrainedSemOracle.record(cents) // arms the shared oracle
+    Dedup.TrainedSemOracle.record("q_stream_semantic_trained", cents)
     val dim = cents.head.length
     val flat = cents.flatten
     streamEmbFamilyAt(s, dir, keysT, vecsT, prefix = "sstr",
@@ -1823,11 +1823,11 @@ object StreamingOps extends QueryModule {
     "q_stream_index_once" -> streamIndexOnce,
     "q_stream_index_pq" -> streamIndexOncePq)
 
-  // a `def`: q_stream_semantic_trained shares dedup_semantic_trained's
-  // LAZILY-ARMED centroid-literal oracle (present only once either key has
-  // run this session — see Dedup.TrainedSemOracle)
+  // a `def`: q_stream_semantic_trained carries dedup_semantic_trained's
+  // LAZILY-ARMED centroid-literal oracle shape, recorded under its own
+  // key by its own run (see Dedup.TrainedSemOracle)
   def oracleSql: Map[String, String] =
-    Dedup.TrainedSemOracle.entry.get("dedup_semantic_trained")
+    Dedup.TrainedSemOracle.entry.get("q_stream_semantic_trained")
       .map("q_stream_semantic_trained" -> _).toMap ++ Map(
     // the streamed quarantine table must equal batch text_contamination —
     // its oracle verbatim

@@ -43,15 +43,17 @@ object LanceProcedures {
       case "reindex" => reindex(catalog)
       case "stats" => stats(catalog)
       case "decontaminate" => decontaminate(catalog)
+      case "semdedup" => semdedup(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
-          "zorder / knn / knn_join / search / reindex / stats / decontaminate)")
+          "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
+          "semdedup)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
-        "reindex", "stats", "decontaminate")
+        "reindex", "stats", "decontaminate", "semdedup")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -605,6 +607,76 @@ object LanceProcedures {
         StructField("n_flagged", LongType, nullable = false),
         StructField("n_out", LongType, nullable = false))),
         Seq(Array[Any](UTF8String.fromString(outTable), nFlagged, nOut)))
+    }
+
+  /** SQL entry point for SEMANTIC DEDUPLICATION (SemDeDup) — materializes
+    * the curated corpus (every column, one survivor per semantic group)
+    * and returns one summary row:
+    *
+    * {{{
+    *   CALL cat.system.semdedup(table => 'db.embs',
+    *     id_column => 'vec_id', vector_column => 'embedding',
+    *     min_cosine => 0.4, cells => 16,
+    *     output_table => 'db.embs_dedup')
+    * }}}
+    *
+    * The pipeline is dedup_semantic_trained's end to end: train the
+    * coarse quantizer (KMeans on a capped deterministic sample — the IVF
+    * recipe, but no index persists; the curated table is the product),
+    * assign every row to its nearest centroid with the codegen'd
+    * NearestCell map, form EXACT in-cell cosine pairs (chunked triangle
+    * self-join), collapse them to connected components, and keep each
+    * component's min-id representative. Survivors write distributed
+    * (anti-join against the drop list; the driver carries only the
+    * summary). Cell sizing is the scale knob: cells ∝ corpus keeps
+    * per-cell work constant. */
+  private def semdedup(catalog: LanceCatalog): UnboundProcedure =
+    bound("semdedup", catalog, Array(
+      param("table", StringType),
+      param("id_column", StringType, Some("'vec_id'")),
+      param("vector_column", StringType, Some("'embedding'")),
+      param("min_cosine", DoubleType, Some("0.4")),
+      param("cells", IntegerType, Some("16")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      val idCol = in.getUTF8String(1).toString
+      val vecCol = in.getUTF8String(2).toString
+      val tau = in.getDouble(3)
+      val cells = in.getInt(4)
+      val outTable = in.getUTF8String(5).toString.trim
+      require(outTable.nonEmpty, "lance semdedup: output_table is required " +
+        "(survivors are corpus-sized — they must write distributed)")
+      require(tau > 0.0 && tau <= 1.0, s"lance semdedup: min_cosine must be in (0, 1], got $tau")
+      require(cells >= 1, s"lance semdedup: cells must be >= 1, got $cells")
+      import org.apache.spark.sql.functions.col
+      val corpus = spark.read.format("lance").load(root)
+      val cents = graft.operators.Dedup.trainCentroids(spark, corpus, vecCol, cells)
+      val dim = cents.head.length
+      val assigned = corpus.select(col(idCol).as("vec_id"),
+        graft.functions.nearest_cell(col(vecCol), cents.flatten, cents.length, dim)
+          .cast("long").as("label"),
+        col(vecCol).as("embedding"))
+      // arm the centroid-literal DuckDB oracle for the gated key (inert
+      // for any other table — Verify's dump reflects the gated call)
+      graft.operators.Dedup.TrainedSemOracle.record("lance_semdedup", cents, tau,
+        """SELECT e.vec_id, e.label FROM embeddings e
+          |WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
+          |ORDER BY vec_id""".stripMargin)
+      // the drop list (ids only) is consumed twice (count + anti-join)
+      val dropped = graft.operators.Dedup.semanticDropList(spark, assigned, tau)
+        .localCheckpoint()
+      val nDropped = dropped.count()
+      val survivors = corpus.join(
+        dropped.select(col("vec_id").as(idCol)), Seq(idCol), "left_anti")
+      val outRoot = catalog.tableRootForCreate(outTable)
+      survivors.write.format("lance").mode("overwrite").save(outRoot)
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val nOut = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+      (StructType(Seq(
+        StructField("output_table", StringType, nullable = false),
+        StructField("n_dropped", LongType, nullable = false),
+        StructField("n_out", LongType, nullable = false))),
+        Seq(Array[Any](UTF8String.fromString(outTable), nDropped, nOut)))
     }
 
   /** Per-column table statistics from metadata alone — the observability

@@ -635,6 +635,38 @@ class DedupSpec extends SparkSpec {
       "oracle does not carry the 16 trained centroid literals")
   }
 
+  test("CALL system.semdedup: planted groups collapse to min-id survivors, whole rows materialize, summary counts") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_sd",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sd.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-sd-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sd.db")
+    // 3 groups of identical unit vectors (no cell partition can split
+    // them) + 4 orthogonal singletons; an extra payload column proves the
+    // survivors carry EVERY corpus column, not just (id, vector)
+    def axis(i: Int): Array[Float] = { val a = new Array[Float](16); a(i) = 1f; a }
+    val rows = (0 until 3).flatMap(g =>
+      (0 until 4).map(j => (g * 10L + j, axis(g), s"doc-$g-$j"))) ++
+      (0 until 4).map(i => (100L + i, axis(8 + i), s"single-$i"))
+    rows.toDF("vec_id", "embedding", "payload")
+      .createOrReplaceTempView("sd_src")
+    spark.sql("CREATE TABLE graft_sd.db.c AS SELECT * FROM sd_src")
+    val summary = spark.sql(
+      "CALL graft_sd.system.semdedup(table => 'db.c', cells => 4, " +
+        "output_table => 'db.curated')").collect()
+    assert(summary.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((9L, 7L)),
+      s"summary wrong: ${summary.toSeq}") // 3 groups drop 3 each; 3+4 survive
+    val out = spark.table("graft_sd.db.curated")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 10L, 20L, 100L, 101L, 102L, 103L))
+    assert(out.forall { case (id, p) => p.nonEmpty }, "payload column lost")
+    // a missing output_table fails fast
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_sd.system.semdedup(table => 'db.c')").collect())
+    assert(e.getMessage.contains("output_table"))
+  }
+
   test("q_stream_semantic_trained: the incrementally-maintained trained-cell view == batch dedup_semantic_trained row-for-row") {
     // same closure argument as the fixture twin (components only merge),
     // same frozen centroids on both sides (trainedSemIndex memoizes per

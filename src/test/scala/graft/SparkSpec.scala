@@ -186,7 +186,12 @@ class EntrySpec extends SparkSpec {
     "q_stream_contamination_semantic" -> 3,
     "ivf_sq_search" -> 15,
     "ivf_sq_index_search" -> 15,
-    "lance_decontaminate" -> 465)
+    "lance_decontaminate" -> 465,
+    "q_stream_video_dedup" -> 2205,
+    "dedup_semantic_trained" -> 474,
+    "q_stream_semantic_trained" -> 474,
+    "lance_semdedup" -> 474,
+    "text_search_hybrid" -> 15)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
