@@ -76,6 +76,26 @@ object Bench {
     "q_stream_video_dedup", "dedup_semantic_trained", "text_search_hybrid",
     "q_stream_semantic_trained")
 
+  /** The ONE plan-string normalizer behind the per-key fingerprints:
+    * strips every identity that legitimately varies across runs/JVMs on
+    * identical code — expr ids, plan ids, paths, file-index locations,
+    * partition counts, and (r18) JVM LAMBDA IDENTITIES: typed-API nodes
+    * (MapPartitions, flatMapGroupsWithState, ...) print their function
+    * object as `...$$Lambda$N/0xADDR@HASH`, all three components of which
+    * are fresh per JVM — they flipped mm_frame_sample's and
+    * q_stream_sessions' fingerprints on unchanged code until normalized
+    * (PlanProbe.scala reproduces; the §8 item-7 rule is extend-the-
+    * normalizer, never trust such a flip as a plan change). */
+  private[graft] def normalizePlan(raw: String): String = raw
+    .replaceAll("#\\d+", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=")
+    .replaceAll("(file|hdfs|s3a?|countfs|mock):[^\\s\\],)]+", "<path>")
+    .replaceAll("/tmp/[^\\s\\],)]+", "<tmp>")
+    .replaceAll("Location: [A-Za-z]+\\([^)]*\\)\\[[^\\]]*\\]", "Location: <loc>")
+    .replaceAll("(partitioning\\([^()]*), \\d+\\)", "$1, N)")
+    .replaceAll("\\$\\$+Lambda[$/][^\\s,)]+", "<lambda>")
+    .replaceAll("@[0-9a-f]{6,10}\\b", "@<id>")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -112,14 +132,7 @@ object Bench {
     // decision, not the code's.
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
     def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-      val raw = df.queryExecution.executedPlan.toString
-      val norm = raw
-        .replaceAll("#\\d+", "#")
-        .replaceAll("plan_id=\\d+", "plan_id=")
-        .replaceAll("(file|hdfs|s3a?|countfs|mock):[^\\s\\],)]+", "<path>")
-        .replaceAll("/tmp/[^\\s\\],)]+", "<tmp>")
-        .replaceAll("Location: [A-Za-z]+\\([^)]*\\)\\[[^\\]]*\\]", "Location: <loc>")
-        .replaceAll("(partitioning\\([^()]*), \\d+\\)", "$1, N)")
+      val norm = Bench.normalizePlan(df.queryExecution.executedPlan.toString)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(norm.getBytes("UTF-8"))
       digest.take(6).map(b => f"$b%02x").mkString + ":" + norm.linesIterator.size
@@ -298,7 +311,7 @@ object Bench {
       """"__spaced":"keys suffixed __spaced are the same query re-measured at the end of the run (since r17: every key whose noise band exceeds 0.5, plus the two map-only canaries); a first-slot/spaced disagreement marks bench-order noise, not a plan change",""" +
       """"builds":"since r17 one-time build entries (ivf_flat_build, lsh_pairs_build, ivf_pq_build, ivf_sq_build) live in the builds map, excluded from queries and total; r16-and-earlier totals include them",""" +
       """"data":"per-key data-side record of the LAST measured run: streaming batches/inputRows/sinkRows (StreamingQueryProgress) and lance manifest commits; the denominators for adjudicating streaming wall-time swings",""" +
-      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only"}"""
+      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only. NORMALIZER v2 since r18 (JVM lambda identities in typed-API nodes stripped — they flipped fingerprints on unchanged code), so r18+ fingerprints are NOT comparable to r16/r17 snapshots"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"noise":$nJson,"builds":$bJson,"data":$dJson,"plans":$pJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)

@@ -110,6 +110,22 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 300)
   }
 
+  test("plan-fingerprint normalizer strips every per-JVM identity (r18: lambda ids flipped fingerprints on unchanged code)") {
+    // the real mm_frame_sample line that flipped across JVMs: the typed
+    // MapPartitions node prints its function object — lambda class id,
+    // hidden-class address AND identity hash are all fresh per JVM
+    val rep1 = "+- MapPartitions org.apache.spark.sql.internal.UDFAdaptors" +
+      "$$$Lambda$5593/0x00007f9d9555fad0@3ef97efc, obj#123: graft.operators.MMFrame"
+    val rep2 = "+- MapPartitions org.apache.spark.sql.internal.UDFAdaptors" +
+      "$$$Lambda$4411/0x00007f1122334455@5304ac92, obj#456: graft.operators.MMFrame"
+    assert(Bench.normalizePlan(rep1) === Bench.normalizePlan(rep2),
+      s"lambda identities survive normalization:\n${Bench.normalizePlan(rep1)}")
+    // the established strips stay: expr ids, paths, partition counts
+    val a = "Exchange hashpartitioning(user_id#42, 32) file:/tmp/x-123/t plan_id=7"
+    val b = "Exchange hashpartitioning(user_id#7, 8) file:/tmp/y-456/t plan_id=9"
+    assert(Bench.normalizePlan(a) === Bench.normalizePlan(b))
+  }
+
   test("text kernels never throw on arbitrary UTF-16 (including lone surrogates)") {
     // a crawled corpus contains malformed encodings; the gram kernels
     // slice by CODE POINT (the r15 langid fix) and must survive any
