@@ -475,6 +475,39 @@ object Dedup extends QueryModule {
     semanticSurvivors(s, t(s, dir, "embeddings")
       .select("vec_id", "label", "embedding"), outCol = "label")
 
+  // ---- dedup_semantic_sweep ------------------------------------------------
+  // The SemDeDup ε-CURVE (Abbas et al. 2023 §4 tunes dedup aggressiveness
+  // by sweeping the similarity threshold): one row per τ with the pair
+  // count, dropped count and survivor count — the numbers a deployment
+  // reads to pick its operating point before running the full dedup. The
+  // expensive work happens ONCE: the in-cell cosine pairs are computed at
+  // the sweep's minimum τ and checkpointed; each sweep point then filters
+  // that (tiny) pair set and closes components over near-dup pairs only —
+  // per-τ cost ∝ pairs, never ∝ corpus, so a K-point sweep costs one
+  // dedup_embedding pass + K closures over the pair set. τ compares the
+  // same 6-dp rounded cosine the gated pairs carry; fixture labels block
+  // the pairs (swap in trainedAssign for the trained-cell form, exactly
+  // as dedup_semantic_trained does).
+  private[graft] val SweepTaus = Seq(0.3, 0.4, 0.5, 0.6)
+
+  private def dedupSemanticSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val total = e.count()
+    val pairs = embeddingPairs(e, EmbChunkCap)
+      .filter(col("cos") >= SweepTaus.min)
+      .select("a_id", "b_id", "cos").localCheckpoint()
+    SweepTaus.map { tau =>
+      val p = pairs.filter(col("cos") >= tau).select("a_id", "b_id")
+      val nPairs = p.count()
+      val nDropped =
+        if (nPairs == 0L) 0L
+        else clusterLabels(s, p)._1.filter(col("node") =!= col("lbl")).count()
+      Seq((tau, nPairs, nDropped, total - nDropped))
+        .toDF("tau", "n_pairs", "n_dropped", "n_survivors")
+    }.reduce(_.unionAll(_)).orderBy("tau")
+  }
+
   // ---- dedup_semantic_trained ----------------------------------------------
   // The TRAINED-CELL SemDeDup composition (r18, closing the r17 verdict's
   // fixture-label caveat): dedup_semantic blocks pairs by the embeddings
@@ -722,6 +755,7 @@ object Dedup extends QueryModule {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_trained" -> dedupSemanticTrained,
+    "dedup_semantic_sweep" -> dedupSemanticSweep,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_hashed" -> dedupSubstringHashed)
 
@@ -858,7 +892,30 @@ object Dedup extends QueryModule {
     // values (coverage counts only), and a 64-bit window-key collision —
     // the only way the two variants could diverge — has P ≈ |windows|²/2⁶⁵
     "dedup_substring" -> substrOracle,
-    "dedup_substring_hashed" -> substrOracle)
+    "dedup_substring_hashed" -> substrOracle,
+    // one closure per sweep point, each over the SAME pair definition the
+    // dedup_semantic oracle uses at that τ
+    "dedup_semantic_sweep" -> SweepTaus.map { tau =>
+      s"""SELECT CAST($tau AS DOUBLE) AS tau, n_pairs, n_dropped,
+         |  (SELECT count(*) FROM embeddings) - n_dropped AS n_survivors
+         |FROM (
+         |  WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id < b.vec_id)
+         |    WHERE cos >= $tau),
+         |  edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |    UNION SELECT b_id, a_id FROM pairs
+         |    UNION SELECT a_id, a_id FROM pairs
+         |    UNION SELECT b_id, b_id FROM pairs),
+         |  reach(a, b) AS (SELECT a, b FROM edges
+         |    UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |  comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a)
+         |  SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+         |    (SELECT count(*) FROM comp WHERE node != lbl) AS n_dropped)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tau"))
 
   private lazy val substrOracle =
       s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),

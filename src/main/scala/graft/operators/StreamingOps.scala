@@ -1748,6 +1748,68 @@ object StreamingOps extends QueryModule {
       TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
   }
 
+  /** Streaming HYBRID retrieval — the serving-side composition of TWO
+    * maintained indexes (r18): an arriving corpus keeps BOTH retrieval
+    * structures fresh — the inverted text index through per-batch
+    * bid-guarded appendDelta (q_stream_text_index's loop) and the
+    * cell-clustered vector table through the exactly-once lance
+    * StreamingWrite with the frozen-centroid NearestCell projection
+    * (q_stream_index_once's loop) — then the hybrid workload serves from
+    * the two standing structures and fuses by RRF. The lexical arm is
+    * index-served BM25 (proven scan-identical by its own gate); the
+    * vector arm reads the streamed cell-clustered table whole (all cells
+    * = the exact, oracle-checkable configuration — production prunes by
+    * probed cells); the fuse is the batch key's hybridRrfFuse verbatim.
+    * Both structures hold the full corpus at stream end, so the key
+    * gates on text_search_hybrid's ORACLE unchanged — the streamed
+    * serving path must reproduce the batch answer bit-for-bit. */
+  private def streamHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // text side: per-batch guarded delta appends to the standing index
+    val tSrc = tmp("shyb-tsrc"); val tCkpt = tmp("shyb-tck")
+    val idxRoot = tmp("shyb-tidx")
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(tSrc)
+    val tq = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tSrc)
+      .writeStream.option("checkpointLocation", tCkpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        TextIndex.appendDelta(s, batch, idxRoot, bid)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(tq)
+    // vector side: seed-train, then exactly-once cell-clustered appends
+    val vSrc = tmp("shyb-vsrc"); val vCkpt = tmp("shyb-vck")
+    val vecT = tmp("shyb-vec") + "/t"
+    val e = t(s, dir, "embeddings")
+    val idx = IndexBuild.build(s, e.filter(col("vec_id") % 4 === 0), vecT, Map(
+      "index.type" -> "IVF_FLAT",
+      "index.num-partitions" -> VectorIndex.Cells.toString))
+    val rest = e.filter(col("vec_id") % 4 =!= 0)
+    rest.repartition(3).write.mode("overwrite").parquet(vSrc)
+    val flat = idx.centroids.flatMap(_.toArray)
+    val dim = flat.length / idx.centroids.length
+    val vq = s.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(vSrc)
+      .withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), flat, idx.centroids.length, dim))
+      .writeStream.format("lance")
+      .option("checkpointLocation", vCkpt)
+      .option("write.cluster-by", "cell")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(vecT)
+    drain(vq)
+    // serve: index-served lexical arm + streamed-table vector arm → fuse
+    val lex = TextIndex.search(s, idxRoot,
+      TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rk").as("r"))
+    val vecArm = TextAnalysis.hybridVectorArm(s,
+      s.read.format("lance").load(vecT).select("vec_id", "embedding"))
+    TextAnalysis.hybridRrfFuse(lex, vecArm)
+  }
+
   /** Streaming sketch maintenance — the mergeable-summaries form of
     * streaming uniques: each micro-batch appends ONE (day, 2 KB HLL
     * register array) row per touched day (bounded by days-per-batch,
@@ -1805,6 +1867,7 @@ object StreamingOps extends QueryModule {
     "q_stream_mv" -> streamMv,
     "q_stream_mv_window" -> streamMvWindow,
     "q_stream_text_index" -> streamTextIndex,
+    "q_stream_hybrid" -> streamHybrid,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
@@ -1870,6 +1933,9 @@ object StreamingOps extends QueryModule {
     // the continuously maintained MV == a from-scratch aggregate over the
     // final logical table (same statement as the batch q_cdc_materialized)
     "q_stream_text_index" -> TextAnalysis.bm25OracleSql,
+    // both maintained structures hold the full corpus at stream end, so
+    // the streamed hybrid serving == the batch key's fused answer
+    "q_stream_hybrid" -> TextAnalysis.hybridOracleSql,
     "q_stream_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)

@@ -675,21 +675,34 @@ object TextAnalysis extends QueryModule {
     Seq(1L -> 100L, 2L -> 200L, 3L -> 300L)
 
   private def textSearchHybrid(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val lex = textSearchBm25(s, dir)
       .select(col("query_id"), col("doc_id"), col("rk").as("r"))
-    val e = t(s, dir, "embeddings")
+    hybridRrfFuse(lex, hybridVectorArm(s, t(s, dir, "embeddings")))
+  }
+
+  /** The hybrid key's VECTOR arm over any (vec_id, embedding) corpus
+    * projection: per query, top-k by 6-dp rounded cosine, vec_id
+    * tiebreak. Shared by the batch key (scan side) and the streaming
+    * twin (the maintained cell-clustered table, all cells = exact). */
+  private[operators] def hybridVectorArm(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val qv = e.join(broadcast(HybridQueryVecs.toDF("query_id", "vec_id")), "vec_id")
       .select(col("query_id"), col("embedding").as("qv"))
     val byQcos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("doc_id").asc)
-    val vec = e.crossJoin(broadcast(qv))
+    e.crossJoin(broadcast(qv))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         round(graft.functions.vec_cosine(col("embedding"), col("qv")), 6).as("cos"))
       .withColumn("r", row_number().over(byQcos).cast("long"))
       .filter(col("r") <= Bm25TopK)
       .select("query_id", "doc_id", "r")
+  }
+
+  /** The RRF fuse over two (query_id, doc_id, r) rank arms — ONE
+    * definition for the batch key and the streaming twin. */
+  private[operators] def hybridRrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byRrf = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)
     lex.unionByName(vec)

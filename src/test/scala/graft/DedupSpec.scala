@@ -635,6 +635,21 @@ class DedupSpec extends SparkSpec {
       "oracle does not carry the 16 trained centroid literals")
   }
 
+  test("dedup_semantic_sweep: pairs shrink and survivors grow monotonically in tau; the tau=0.4 point IS dedup_semantic") {
+    val rows = SparkEntry.queries("dedup_semantic_sweep")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === operators.Dedup.SweepTaus)
+    rows.sliding(2).foreach { case Array((t0, p0, d0, s0), (t1, p1, d1, s1)) =>
+      assert(p1 <= p0, s"pairs grew from tau=$t0 to $t1")
+      assert(d1 <= d0, s"dropped grew from tau=$t0 to $t1")
+      assert(s1 >= s0, s"survivors shrank from tau=$t0 to $t1")
+    }
+    assert(rows.head._2 > rows.last._2, "sweep is flat — fixture exercises nothing")
+    // the curve's tau=0.4 point must agree with the full operator
+    val semantic = SparkEntry.queries("dedup_semantic")(spark, sf).count()
+    assert(rows.find(_._1 == 0.4).get._4 === semantic)
+  }
+
   test("CALL system.semdedup: planted groups collapse to min-id survivors, whole rows materialize, summary counts") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.graft_sd",

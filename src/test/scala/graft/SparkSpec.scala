@@ -191,7 +191,9 @@ class EntrySpec extends SparkSpec {
     "dedup_semantic_trained" -> 474,
     "q_stream_semantic_trained" -> 474,
     "lance_semdedup" -> 474,
-    "text_search_hybrid" -> 15)
+    "text_search_hybrid" -> 15,
+    "q_stream_hybrid" -> 15,
+    "dedup_semantic_sweep" -> 4)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

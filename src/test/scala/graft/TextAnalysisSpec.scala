@@ -321,6 +321,19 @@ class TextAnalysisSpec extends SparkSpec {
       s"query-vector/df joins not broadcast:\n$plan")
   }
 
+  test("q_stream_hybrid: hybrid served from the two maintained indexes == batch text_search_hybrid row-for-row") {
+    // the streamed key keeps both retrieval structures fresh (bid-guarded
+    // text-index deltas + exactly-once cell-clustered vector appends) and
+    // serves the SAME workload from them — streamed == batch is the whole
+    // statement (both structures hold the full corpus at stream end)
+    val streamed = SparkEntry.queries("q_stream_hybrid")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("text_search_hybrid")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("text_lm_score: engineered corpus hand-computed exactly; map-only scoring") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-").toString
     import spark.implicits._
