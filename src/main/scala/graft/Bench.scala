@@ -75,9 +75,9 @@ object Bench {
     // hybrid RRF retrieval
     "q_stream_video_dedup", "dedup_semantic_trained", "text_search_hybrid",
     "q_stream_semantic_trained",
-    // appended late r18: the SemDeDup operating-point curve + hybrid
-    // serving from the two maintained indexes
-    "dedup_semantic_sweep", "q_stream_hybrid")
+    // appended late r18: the SemDeDup operating-point curve, hybrid
+    // serving from the two maintained indexes, and multi-vector MaxSim
+    "dedup_semantic_sweep", "q_stream_hybrid", "knn_maxsim")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

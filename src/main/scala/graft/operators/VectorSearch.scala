@@ -694,7 +694,67 @@ object VectorSearch extends QueryModule {
     semanticScreen(e, semanticBench(e)).orderBy("vec_id")
   }
 
+  // ---- knn_maxsim ----------------------------------------------------------
+  // MULTI-VECTOR (late-interaction) retrieval — the MaxSim scoring of
+  // ColBERT (Khattab & Zaharia 2020): a document is a SET of token
+  // vectors, a query is a set of token vectors, and
+  // score(q, d) = Σ_{u ∈ q} max_{v ∈ d} cos(u, v) — each query token
+  // matches its best document token, so multi-aspect queries beat any
+  // single-vector pooling. Expressed RELATIONALLY (no custom operator
+  // needed): explode doc token sets, one broadcast of the query token
+  // sets over a codegen'd cosine scan, max per (query, doc, query-token),
+  // micro-unit sum per (query, doc), pre-shuffle k-heap rank. Scale
+  // shape: the scan is |corpus tokens| × |query tokens| codegen'd dots —
+  // the same linear broadcast pass as knn_cosine with a tokens-per-doc
+  // factor; the two aggregates are map-side-combinable; at production
+  // scale the IVF cell machinery prunes the token store exactly as it
+  // prunes single vectors (cells over token vectors). Determinism: max
+  // over 6-dp ROUNDED cosines (order-free), Σ as integer micro-units
+  // (order-free), doc_id tiebreaks.
+  //
+  // Token sets derive from the embeddings table by pure id arithmetic —
+  // SQL-reproducible, so the key carries a full oracle: doc d's tokens =
+  // vectors {d, (d+131) mod N, (d+263) mod N}; query q's tokens =
+  // vectors {100q, 100q+1, 100q+2} (the HybridQueryVecs posture).
+  private[graft] val MaxSimDocOffsets = Seq(0L, 131L, 263L)
+  private[graft] val MaxSimQueries = Seq(1L, 2L, 3L)
+  private[graft] val MaxSimK = 5
+
+  private def knnMaxSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    // doc token store: (doc_id, token vector) via offset joins
+    val docTokens = MaxSimDocOffsets.map { off =>
+      e.select(col("vec_id").as("tok_id"), col("embedding"))
+        .withColumn("doc_id", pmod(col("tok_id") - off + n, lit(n)))
+        .select("doc_id", "embedding")
+    }.reduce(_.unionAll(_))
+    // query token sets: 3 tokens per query, broadcast
+    val qTokens = MaxSimQueries.flatMap(q => (0 until 3).map(j => (q, 100 * q + j)))
+      .toDF("query_id", "tok_id")
+    val qv = e.join(broadcast(qTokens), col("vec_id") === col("tok_id"))
+      .select(col("query_id"), col("tok_id").as("q_tok"), col("embedding").as("qv"))
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docTokens.crossJoin(broadcast(qv))
+      .select(col("query_id"), col("q_tok"), col("doc_id"),
+        round(vec_cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .groupBy("query_id", "q_tok", "doc_id")
+      .agg(max(col("cos")).as("best"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("best") * 1e6).cast("long").as("micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("micro")).cast("double") / 1e6, 6).as("score"))
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .filter(col("rk") <= MaxSimK)
+      .select("query_id", "doc_id", "score", "rk")
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_maxsim" -> knnMaxSim,
     "contamination_semantic" -> contaminationSemantic,
     "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,
@@ -747,6 +807,34 @@ object VectorSearch extends QueryModule {
        |ORDER BY q_id ASC, rk ASC""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the MaxSim pipeline re-derived relationally: same offset-arithmetic
+    // token sets, max over 6-dp rounded cosines, integer micro-unit sums
+    "knn_maxsim" -> {
+      val qtValues = MaxSimQueries.flatMap(q => (0 until 3).map(j =>
+        s"(CAST($q AS BIGINT), ${100 * q + j})")).mkString(", ")
+      val offValues = MaxSimDocOffsets.map(o => s"($o)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT count(*) AS n FROM e),
+         |dt AS (SELECT ((vec_id - o.off) % n.n + n.n) % n.n AS doc_id,
+         |    embedding
+         |  FROM e, n, (VALUES $offValues) o(off)),
+         |qt AS (SELECT q.query_id, q.tok_id AS q_tok, e.embedding AS qv
+         |  FROM (VALUES $qtValues) q(query_id, tok_id)
+         |  JOIN e ON e.vec_id = q.tok_id),
+         |best AS (SELECT query_id, q_tok, dt.doc_id,
+         |    max(round(list_cosine_similarity(CAST(dt.embedding AS DOUBLE[]),
+         |      CAST(qv AS DOUBLE[])), 6)) AS best
+         |  FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(round(best * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0, 6) AS score
+         |  FROM best GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM sc)
+         |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= $MaxSimK
+         |ORDER BY query_id ASC, rk ASC""".stripMargin
+    },
     // contamination_semantic: identical pairwise cosine math (lists cast to
     // DOUBLE[]); the tau filter runs on the unrounded value in both engines
     "contamination_semantic" ->

@@ -1178,6 +1178,27 @@ class VectorIndexSpec extends SparkSpec {
       s"prescreen admitted $admitted/$total unrelated pairs at d=$d (bound $hb)")
   }
 
+  test("knn_maxsim: every top-k doc contains a query token exactly — the late-interaction property pooling can't give") {
+    // by construction doc d's token set is {d, (d+131)%n, (d+263)%n}, so
+    // exactly 9 docs contain one of query q's 3 tokens verbatim: those
+    // docs get a max-cos of 1.0 on that token (plus ~|cos|≈0.12 noise on
+    // the other two), every other doc pools pure noise — MaxSim must rank
+    // only exact-containing docs into the top-5, each scoring ≈1+noise
+    val n = Tables.t(spark, sf, "embeddings").count()
+    val rows = SparkEntry.queries("knn_maxsim")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length === 3 * operators.VectorSearch.MaxSimK)
+    for ((q, doc, score, _) <- rows) {
+      val qtoks = (0 until 3).map(j => 100 * q + j)
+      val containing = qtoks.flatMap(t =>
+        operators.VectorSearch.MaxSimDocOffsets.map(off => (t - off + n) % n)).toSet
+      assert(containing.contains(doc),
+        s"q=$q doc=$doc holds no query token yet ranked top-k (score=$score)")
+      assert(score > 0.9,
+        s"q=$q doc=$doc score=$score — the exact token match didn't dominate")
+    }
+  }
+
   test("prescreen bound: the scalar spec form and the screen's Column form agree over a d sweep") {
     import graft.operators.VectorSearch
     import spark.implicits._
