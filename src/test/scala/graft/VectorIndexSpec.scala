@@ -1197,6 +1197,13 @@ class VectorIndexSpec extends SparkSpec {
       assert(score > 0.9,
         s"q=$q doc=$doc score=$score — the exact token match didn't dominate")
     }
+    // plan: query tokens broadcast; BOTH aggregates partial (map-side
+    // combine before their exchanges); per-query top-k is a k-heap
+    val plan = SparkEntry.queries("knn_maxsim")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("partial_max")
+      && plan.contains("partial_sum") && plan.contains("WindowGroupLimit"),
+      s"maxsim plan lost its scale shape:\n$plan")
   }
 
   test("prescreen bound: the scalar spec form and the screen's Column form agree over a d sweep") {
