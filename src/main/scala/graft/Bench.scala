@@ -97,7 +97,9 @@ object Bench {
     .replaceAll("Location: [A-Za-z]+\\([^)]*\\)\\[[^\\]]*\\]", "Location: <loc>")
     .replaceAll("(partitioning\\([^()]*), \\d+\\)", "$1, N)")
     .replaceAll("\\$\\$+Lambda[$/][^\\s,)]+", "<lambda>")
-    .replaceAll("@[0-9a-f]{6,10}\\b", "@<id>")
+    // Integer.toHexString is UNPADDED: an identity hash below 0x100000
+    // prints 1-5 digits, so the strip must accept any plausible width
+    .replaceAll("@[0-9a-f]{1,16}\\b", "@<id>")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

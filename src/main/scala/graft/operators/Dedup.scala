@@ -497,15 +497,16 @@ object Dedup extends QueryModule {
     val pairs = embeddingPairs(e, EmbChunkCap)
       .filter(col("cos") >= SweepTaus.min)
       .select("a_id", "b_id", "cos").localCheckpoint()
+    // each point reduces to three driver scalars — ONE local relation,
+    // already tau-ascending, is the whole result
     SweepTaus.map { tau =>
       val p = pairs.filter(col("cos") >= tau).select("a_id", "b_id")
       val nPairs = p.count()
       val nDropped =
         if (nPairs == 0L) 0L
         else clusterLabels(s, p)._1.filter(col("node") =!= col("lbl")).count()
-      Seq((tau, nPairs, nDropped, total - nDropped))
-        .toDF("tau", "n_pairs", "n_dropped", "n_survivors")
-    }.reduce(_.unionAll(_)).orderBy("tau")
+      (tau, nPairs, nDropped, total - nDropped)
+    }.toDF("tau", "n_pairs", "n_dropped", "n_survivors")
   }
 
   // ---- dedup_semantic_trained ----------------------------------------------
@@ -534,6 +535,21 @@ object Dedup extends QueryModule {
     * consumers (the lshPairsCache posture). */
   private val semIdxCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), IndexBuild.BuiltIndex]()
+  // a long-lived JVM (test forks, a notebook reusing the classloader) runs
+  // many sessions — without cleanup each would leak one on-disk index per
+  // session forever; one shutdown hook reaps every root this JVM built
+  private val semIdxReaper: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(root).getParentFile)
+      }, "graft-semidx-reaper"))
+    q
+  }
 
   private[graft] def trainedSemIndex(s: SparkSession, dir: String): IndexBuild.BuiltIndex = {
     semIdxCache.entrySet().removeIf(e => !new java.io.File(e.getValue.root).exists())
@@ -541,6 +557,7 @@ object Dedup extends QueryModule {
       (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
         val root = java.nio.file.Files
           .createTempDirectory("graft-semidx-").toString + "/t"
+        semIdxReaper.add(root)
         IndexBuild.build(s, t(s, dir, "embeddings"), root, Map(
           "index.type" -> "IVF_FLAT",
           "index.num-partitions" -> TrainedSemCells.toString))

@@ -941,22 +941,28 @@ object StreamingOps extends QueryModule {
     if (bid <= survBid) return // the atomic upsert already committed
     val batchVecs = st.select(col("doc_id").as("vec_id"), col("label"))
     val p = pairs.select("a_id", "b_id").localCheckpoint()
+    // the cap is enforced BY the collect (limit cap+1), never after it —
+    // an oversized cell must abort with the diagnostic below, not OOM the
+    // driver materializing the very list the cap exists to bound
     val nodeIds = p.select(col("a_id").as("v"))
       .union(p.select(col("b_id").as("v"))).distinct()
+      .limit(MvCollectCap + 1)
       .collect().map(_.getLong(0))
     require(nodeIds.length <= MvCollectCap,
-      s"semantic MV batch touches ${nodeIds.length} distinct pair endpoints " +
-        s"(> $MvCollectCap): a cell is oversized for the incremental view — " +
-        "resize cells (fixed target vectors per cell, cells ∝ corpus) or " +
-        "run the batch operator; failing fast instead of OOMing the driver")
+      s"semantic MV batch touches > $MvCollectCap distinct pair endpoints: " +
+        "a cell is oversized for the incremental view — resize cells " +
+        "(fixed target vectors per cell, cells ∝ corpus) or run the batch " +
+        "operator; failing fast instead of OOMing the driver")
     val surv = s.read.format("lance").load(survT)
     val touched =
       if (nodeIds.isEmpty) Array.empty[Long]
       else surv.filter(col("vec_id").isin(nodeIds.toSeq: _*))
-        .select("lbl").distinct().collect().map(_.getLong(0))
+        .select("lbl").distinct()
+        .limit(MvCollectCap + 1)
+        .collect().map(_.getLong(0))
     require(touched.length <= MvCollectCap,
-      s"semantic MV batch touches ${touched.length} standing components " +
-        s"(> $MvCollectCap): resize cells or run the batch operator")
+      s"semantic MV batch touches > $MvCollectCap standing components: " +
+        "resize cells or run the batch operator")
     val members =
       if (touched.isEmpty) surv.limit(0).select("vec_id", "label", "lbl")
       else surv.filter(col("lbl").isin(touched.toSeq: _*))

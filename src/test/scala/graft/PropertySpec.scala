@@ -27,7 +27,14 @@ class PropertySpec extends AnyFunSuite {
     try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        sys.error(s"fuzz case exceeded ${timeoutMs}ms watchdog: decode wedge")
+        // best-effort: an interrupt stops IO-blocked decodes; a pure CPU
+        // spin (the r17 class) ignores it and keeps burning a core until
+        // JVM exit — say so, since later wall-clock asserts in this JVM
+        // then run on a loaded machine
+        t.interrupt()
+        sys.error(s"fuzz case exceeded ${timeoutMs}ms watchdog: decode " +
+          "wedge (worker interrupted; a CPU-spinning decode may still " +
+          "load one core for the rest of this JVM)")
     }
   }
 
