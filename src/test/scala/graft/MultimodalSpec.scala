@@ -564,6 +564,59 @@ class MultimodalSpec extends SparkSpec {
       s"cross-batch video pair wrong: $got")
   }
 
+  test("videoPairs == brute-force positional verify on randomized frame tables (seeded, 12 corpora)") {
+    import spark.implicits._
+    // the fixture specs pin engineered cases; this pins the GENERAL
+    // contract on randomized signature tables: for every doc pair,
+    // n_matched = aligned frames within ImgHammingMax (exact 128-bit
+    // hamming) and match_ratio = n_matched / min(nf) at 6 dp, kept at
+    // >= 0.5 — banding must surface EVERY such pair (pigeonhole: a
+    // matched frame has <= 6 flips over 8 disjoint 16-bit bands, so one
+    // band agrees exactly). Deterministic seeds — no flaky CI.
+    val rnd = new scala.util.Random(20260815L)
+    val bases = Array(0L, -1L, 0x5555555555555555L, 0x123456789abcdefL)
+    for (iter <- 1 to 12) {
+      val nDocs = 2 + rnd.nextInt(4)
+      val frames = (1 to nDocs).flatMap { d =>
+        val nf = 1 + rnd.nextInt(5)
+        (0 until nf).map { f =>
+          // near-dup structure: perturb a base by 0..8 random bit flips
+          // split across both halves
+          var h = bases(rnd.nextInt(bases.length))
+          var v = bases(rnd.nextInt(bases.length))
+          (0 until rnd.nextInt(9)).foreach { _ =>
+            if (rnd.nextBoolean()) h ^= 1L << rnd.nextInt(64)
+            else v ^= 1L << rnd.nextInt(64)
+          }
+          (d.toLong, f.toLong, h, v)
+        }
+      }
+      val got = operators.Multimodal.videoPairs(
+        frames.toDF("doc_id", "frame_idx", "sig_h", "sig_v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      // brute force in plain Scala
+      val byDoc = frames.groupBy(_._1)
+      val expected = (for {
+        a <- byDoc.keys.toSeq; b <- byDoc.keys.toSeq if a < b
+      } yield {
+        val fa = byDoc(a).map(r => r._2 -> ((r._3, r._4))).toMap
+        val fb = byDoc(b).map(r => r._2 -> ((r._3, r._4))).toMap
+        val matched = fa.keySet.intersect(fb.keySet).count { f =>
+          val ((ha, va), (hb, vb)) = (fa(f), fb(f))
+          java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(va ^ vb) <=
+            operators.Multimodal.ImgHammingMax
+        }
+        val ratio = BigDecimal(matched.toDouble / math.min(fa.size, fb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ((a, b), (matched.toLong, ratio))
+      }).filter { case (_, (_, ratio)) => ratio >= operators.Multimodal.VideoMatchRatio }
+        .toMap
+      assert(got === expected, s"iter $iter: got=$got expected=$expected frames=$frames")
+    }
+  }
+
   test("mm_video_dedup alignment: matches count per aligned frame position, ratio over the shorter side") {
     import spark.implicits._
     // doc 1: frames 0,2,4 with distinct sigs; doc 2: same sigs at the same
