@@ -77,7 +77,8 @@ object Bench {
     "q_stream_semantic_trained",
     // appended late r18: the SemDeDup operating-point curve, hybrid
     // serving from the two maintained indexes, and multi-vector MaxSim
-    "dedup_semantic_sweep", "q_stream_hybrid", "knn_maxsim")
+    "dedup_semantic_sweep", "q_stream_hybrid", "knn_maxsim",
+    "q_stream_maxsim")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

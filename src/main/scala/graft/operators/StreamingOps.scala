@@ -444,6 +444,23 @@ object StreamingOps extends QueryModule {
       keysT = tmp("sndd-keys") + "/t", setsT = tmp("sndd-sets") + "/t")
   }
 
+  /** Production default for the maintenance cadence on every streaming
+    * entry point (r19 candidate 4, landed r18): an always-on ingest
+    * stream accrues one small fragment per state table per batch, and the
+    * bucket-cover probe pays 1 HEAD + 1 GET per accumulated FRAGMENT — so
+    * leaving compaction opt-in means the production default is unbounded
+    * FS-op growth. Every `*At` entry point now defaults
+    * `compactEvery = DefaultCompactEvery` (vacuum stays opt-in: zero-grace
+    * deletion is a single-writer contract the caller must accept
+    * explicitly). 16 is sized so the SHORT streams the gates/specs/soaks
+    * drive (4–8 micro-batches) never reach a cadence hit — their answers,
+    * plans and bench walls are bit-identical to the former opt-out — while
+    * any long-lived stream folds its state tables every 16 batches, which
+    * the FsRoutingSpec op audit measured as ~1.4×-of-baseline probe cost
+    * at the cadence floor. Explicit `compactEvery = 0` still means OFF
+    * (the uncadenced twins in equivalence specs pass it deliberately). */
+  private[graft] val DefaultCompactEvery = 16
+
   /** The shared streaming near-dedup micro-batch body — ONE implementation
     * of the guard → bucket-cover probe → capped candidates → verify →
     * ordered guarded appends skeleton the text and image twins both run
@@ -586,7 +603,7 @@ object StreamingOps extends QueryModule {
                                        buckets: Int = 0,
                                        srcDir0: String = null, ckpt0: String = null,
                                        dst0: String = null,
-                                       compactEvery: Int = 0,
+                                       compactEvery: Int = DefaultCompactEvery,
                                        vacuumOnCompact: Boolean = false): DataFrame = {
     val srcDir = Option(srcDir0).getOrElse(tmp("sndd-src"))
     val ckpt = Option(ckpt0).getOrElse(tmp("sndd-ckpt"))
@@ -645,11 +662,14 @@ object StreamingOps extends QueryModule {
                                         keysT: String, sigsT: String,
                                         srcParts: Int = 4,
                                         srcDir0: String = null, ckpt0: String = null,
-                                        dst0: String = null): DataFrame =
+                                        dst0: String = null,
+                                        compactEvery: Int = DefaultCompactEvery,
+                                        vacuumOnCompact: Boolean = false): DataFrame =
     streamSigDedupAt(s,
       s.read.parquet(Multimodal.imageFixture(s, dir)).toDF("doc_id", "image"),
       keysT, sigsT, Multimodal.decodeSigs,
-      srcParts, srcDir0, ckpt0, dst0, prefix = "simg")
+      srcParts, srcDir0, ckpt0, dst0, prefix = "simg",
+      compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact)
 
   /** Streaming AUDIO near-dedup — the audio member of the family:
     * arriving WAV payloads fingerprint (gain-invariant energy deltas,
@@ -695,7 +715,9 @@ object StreamingOps extends QueryModule {
                                         keysT: String, framesT: String,
                                         srcParts: Int = 4,
                                         srcDir0: String = null, ckpt0: String = null,
-                                        dst0: String = null): DataFrame = {
+                                        dst0: String = null,
+                                        compactEvery: Int = DefaultCompactEvery,
+                                        vacuumOnCompact: Boolean = false): DataFrame = {
     val srcDir = Option(srcDir0).getOrElse(tmp("svid-src"))
     val ckpt = Option(ckpt0).getOrElse(tmp("svid-ckpt"))
     val dst = Option(dst0).getOrElse(tmp("svid-out") + "/t")
@@ -720,7 +742,8 @@ object StreamingOps extends QueryModule {
           (bk, frames)
         },
         verify = (cand, allFrames) =>
-          Multimodal.videoVerifyPairs(cand, allFrames.localCheckpoint())) _)
+          Multimodal.videoVerifyPairs(cand, allFrames.localCheckpoint()),
+        compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
     drain(q)
@@ -755,7 +778,7 @@ object StreamingOps extends QueryModule {
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
       dst0: String = null,
-      compactEvery: Int = 0,
+      compactEvery: Int = DefaultCompactEvery,
       vacuumOnCompact: Boolean = false): DataFrame =
     streamEmbFamilyAt(s, dir, keysT, vecsT, prefix = "semb",
       bucketCap = EmbStreamCap, srcParts, srcDir0, ckpt0, dst0,
@@ -838,7 +861,7 @@ object StreamingOps extends QueryModule {
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
       dst0: String = null,
-      compactEvery: Int = 0,
+      compactEvery: Int = DefaultCompactEvery,
       vacuumOnCompact: Boolean = false): DataFrame =
     // NO bucket cap (Int.MaxValue), deliberately unlike the pairs twin:
     // a capped cell drops pairs, and for a CLOSURE a dropped pair is not
@@ -893,7 +916,7 @@ object StreamingOps extends QueryModule {
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
       dst0: String = null,
-      compactEvery: Int = 0,
+      compactEvery: Int = DefaultCompactEvery,
       vacuumOnCompact: Boolean = false): DataFrame = {
     val idx = Dedup.trainedSemIndex(s, dir)
     val cents = IndexBuild.load(s, idx.root).centroids.map(_.toArray)
@@ -1078,7 +1101,7 @@ object StreamingOps extends QueryModule {
       srcParts: Int = 4,
       srcDir0: String = null, ckpt0: String = null,
       dst0: String = null, prefix: String = "ssig",
-      compactEvery: Int = 0,
+      compactEvery: Int = DefaultCompactEvery,
       vacuumOnCompact: Boolean = false): DataFrame = {
     val srcDir = Option(srcDir0).getOrElse(tmp(s"$prefix-src"))
     val ckpt = Option(ckpt0).getOrElse(tmp(s"$prefix-ckpt"))
@@ -1816,6 +1839,42 @@ object StreamingOps extends QueryModule {
     TextAnalysis.hybridRrfFuse(lex, vecArm)
   }
 
+  /** Streaming MULTI-VECTOR retrieval — the serving-side twin of
+    * knn_maxsim: an arriving corpus maintains a standing TOKEN STORE
+    * (one (doc_id, token-vector) row per doc token — the structure
+    * late-interaction serving reads) via the exactly-once lance
+    * StreamingWrite, and the MaxSim workload then serves from the
+    * standing store through [[VectorSearch.maxSimRank]] VERBATIM. The
+    * doc-token derivation is a stateless per-row projection
+    * ([[VectorSearch.maxSimDocTokens]] — explode over the 3 fixture
+    * offsets), so ingest cost is ∝ batch; the store is append-only
+    * (token rows never update), so at stream end the maintained store
+    * equals the batch derivation exactly and the key gates on
+    * knn_maxsim's full oracle UNCHANGED. Production shape: the real
+    * tokenizer replaces the offset arithmetic, and the store clusters by
+    * IVF cell over TOKEN vectors (q_stream_index_once's posture) so
+    * serving prunes probes; the gate serves from the whole store — the
+    * exact, oracle-checkable configuration. */
+  private def streamMaxSim(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("smax-src"); val ckpt = tmp("smax-ck")
+    val tokT = tmp("smax-tok") + "/t"
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    e.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .transform(b => VectorSearch.maxSimDocTokens(b, n))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(tokT)
+    drain(q)
+    VectorSearch.maxSimRank(
+      s.read.format("lance").load(tokT).select("doc_id", "embedding"),
+      VectorSearch.maxSimQueryVecs(s, e))
+  }
+
   /** Streaming sketch maintenance — the mergeable-summaries form of
     * streaming uniques: each micro-batch appends ONE (day, 2 KB HLL
     * register array) row per touched day (bounded by days-per-batch,
@@ -1874,6 +1933,7 @@ object StreamingOps extends QueryModule {
     "q_stream_mv_window" -> streamMvWindow,
     "q_stream_text_index" -> streamTextIndex,
     "q_stream_hybrid" -> streamHybrid,
+    "q_stream_maxsim" -> streamMaxSim,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
@@ -1942,6 +2002,9 @@ object StreamingOps extends QueryModule {
     // both maintained structures hold the full corpus at stream end, so
     // the streamed hybrid serving == the batch key's fused answer
     "q_stream_hybrid" -> TextAnalysis.hybridOracleSql,
+    // the append-only token store holds the full derivation at stream
+    // end, so the streamed MaxSim serving == the batch key's ranking
+    "q_stream_maxsim" -> VectorSearch.oracleSql("knn_maxsim"),
     "q_stream_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)

@@ -720,22 +720,36 @@ object VectorSearch extends QueryModule {
   private[graft] val MaxSimQueries = Seq(1L, 2L, 3L)
   private[graft] val MaxSimK = 5
 
-  private def knnMaxSim(s: SparkSession, dir: String): DataFrame = {
+  /** The gate fixture's doc-token derivation over any (vec_id, embedding)
+    * slice: doc d's token set = vectors {d, (d+131) mod n, (d+263) mod n},
+    * i.e. each vector serves as a token of 3 docs. Pure per-row arithmetic
+    * (explode over the 3 offsets), so it runs unchanged over a batch scan
+    * AND inside a streaming projection — the ONE definition the batch key
+    * and [[StreamingOps]]'s maintained-token-store twin both use. */
+  private[graft] def maxSimDocTokens(e: DataFrame, n: Long): DataFrame =
+    e.select(col("vec_id").as("tok_id"), col("embedding"))
+      .withColumn("doc_id", explode(array(
+        MaxSimDocOffsets.map(off =>
+          pmod(col("tok_id") - off + n, lit(n))): _*)))
+      .select("doc_id", "embedding")
+
+  /** The broadcast query-token sets: 3 tokens per query, resolved from the
+    * embeddings slice (the HybridQueryVecs posture). */
+  private[graft] def maxSimQueryVecs(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-    val n = e.count()
-    // doc token store: (doc_id, token vector) via offset joins
-    val docTokens = MaxSimDocOffsets.map { off =>
-      e.select(col("vec_id").as("tok_id"), col("embedding"))
-        .withColumn("doc_id", pmod(col("tok_id") - off + n, lit(n)))
-        .select("doc_id", "embedding")
-    }.reduce(_.unionAll(_))
-    // query token sets: 3 tokens per query, broadcast
     val qTokens = MaxSimQueries.flatMap(q => (0 until 3).map(j => (q, 100 * q + j)))
       .toDF("query_id", "tok_id")
-    val qv = e.join(broadcast(qTokens), col("vec_id") === col("tok_id"))
+    e.join(broadcast(qTokens), col("vec_id") === col("tok_id"))
       .select(col("query_id"), col("tok_id").as("q_tok"), col("embedding").as("qv"))
+  }
+
+  /** The relational MaxSim tail — ONE definition for the batch key and the
+    * streaming twin: broadcast the query tokens over a codegen'd cosine
+    * scan of the token store, max per (query, doc, q-token) on 6-dp
+    * rounded cosines, integer micro-unit Σ per (query, doc), pre-shuffle
+    * k-heap rank with doc_id tiebreaks. */
+  private[graft] def maxSimRank(docTokens: DataFrame, qv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     docTokens.crossJoin(broadcast(qv))
@@ -751,6 +765,12 @@ object VectorSearch extends QueryModule {
       .filter(col("rk") <= MaxSimK)
       .select("query_id", "doc_id", "score", "rk")
       .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  private def knnMaxSim(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    maxSimRank(maxSimDocTokens(e, n), maxSimQueryVecs(s, e))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

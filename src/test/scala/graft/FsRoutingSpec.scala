@@ -455,4 +455,70 @@ class FsRoutingSpec extends SparkSpec {
       "replayed appendDelta re-appended postings — guard disarmed off local FS")
     assert(spark.read.format("lance").load(root2 + "/terms").count() === terms)
   }
+
+  test("default maintenance cadence arms on a long stream: state fragments fold at the hit, answer identical to explicit-off") {
+    // r19 candidate 4 (landed r18): the *At streaming entry points now
+    // default compactEvery = DefaultCompactEvery (16). Gate/spec streams
+    // (4-8 batches) never reach a hit — their behavior is pinned unchanged
+    // by every existing spec — so THIS spec drives the default past the
+    // threshold: an 18-micro-batch stream with NO cadence argument must
+    // (a) fold its state tables' small fragments at bid 16, and (b) find a
+    // cross-batch pair whose history side was folded two batches earlier —
+    // proving the default arms AND compaction preserves probe-visible
+    // state. The explicit compactEvery = 0 twin over the same source is
+    // the uncadenced baseline for both the answer and the fragment count.
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("cad-def-src-").toString
+    // batch i carries ids {2i, 2i+1}, each with fully per-id vocabulary
+    // (Jaccard 0 across distinct docs) — except: id 17 (batch 8) copies
+    // id 2's text (pre-hit cross-batch pair) and id 35 (batch 17) copies
+    // id 0's text (a pair whose history side sits in fragments the
+    // bid-16 fold just rewrote)
+    def textOf(id: Long): String = {
+      val base = if (id == 17L) 2L else if (id == 35L) 0L else id
+      (0 until 6).map(j => s"w${base}x$j").mkString(" ")
+    }
+    for (i <- 0 until 18) {
+      Seq(2L * i, 2L * i + 1).map(id => (id, textOf(id)))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def run(compactEvery: Option[Int]): (Seq[(Long, Long)], Int, Int) = {
+      val keysT = java.nio.file.Files.createTempDirectory("cad-def-k-").toString + "/t"
+      val setsT = java.nio.file.Files.createTempDirectory("cad-def-v-").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("cad-def-ck-").toString
+      val dst = java.nio.file.Files.createTempDirectory("cad-def-d-").toString + "/t"
+      val got = compactEvery match {
+        case Some(n) => graft.operators.StreamingOps.streamNearDedupAt(
+          spark, sf, keysT, setsT, buckets = 2,
+          srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst, compactEvery = n)
+        case None => graft.operators.StreamingOps.streamNearDedupAt(
+          spark, sf, keysT, setsT, buckets = 2,
+          srcDir0 = srcDir, ckpt0 = ckpt, dst0 = dst)
+      }
+      val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val conf = spark.sparkContext.hadoopConfiguration
+      def frags(t: String): Int =
+        graft.sources.lance.ManifestIO.loadLatest(t, conf).get.fragments.size
+      (pairs, frags(keysT), frags(setsT))
+    }
+    val (defPairs, defKeyFrags, defVecFrags) = run(None)
+    val (offPairs, offKeyFrags, offVecFrags) = run(Some(0))
+    // the post-fold batch still finds its cross-batch pair, and the two
+    // configurations answer identically
+    assert(defPairs === Seq((0L, 35L), (2L, 17L)), s"pairs wrong: $defPairs")
+    assert(defPairs === offPairs, "default cadence changed the answer")
+    // the uncadenced twin holds one state fragment per data batch; the
+    // default must have folded each table's history at bid 16, leaving
+    // only the fold output plus the post-hit appends (bid 17)
+    println(s"[cad-default] keys frags: default=$defKeyFrags off=$offKeyFrags; " +
+      s"state frags: default=$defVecFrags off=$offVecFrags")
+    assert(offKeyFrags >= 18 && offVecFrags >= 18,
+      s"baseline not fragment-per-batch ($offKeyFrags/$offVecFrags) — fold assert vacuous")
+    assert(defKeyFrags < offKeyFrags && defVecFrags < offVecFrags,
+      s"default cadence never folded: keys $defKeyFrags vs $offKeyFrags, " +
+        s"state $defVecFrags vs $offVecFrags")
+    assert(defKeyFrags <= 4 && defVecFrags <= 4,
+      s"fold left more than (merged + post-hit) fragments: $defKeyFrags/$defVecFrags")
+  }
 }

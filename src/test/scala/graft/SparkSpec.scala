@@ -194,7 +194,8 @@ class EntrySpec extends SparkSpec {
     "text_search_hybrid" -> 15,
     "q_stream_hybrid" -> 15,
     "dedup_semantic_sweep" -> 4,
-    "knn_maxsim" -> 15)
+    "knn_maxsim" -> 15,
+    "q_stream_maxsim" -> 15)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1206,6 +1206,20 @@ class VectorIndexSpec extends SparkSpec {
       s"maxsim plan lost its scale shape:\n$plan")
   }
 
+  test("q_stream_maxsim: MaxSim served from the maintained token store == batch knn_maxsim row-for-row") {
+    // the streamed key keeps the multi-vector token store fresh (stateless
+    // per-row token derivation + exactly-once lance appends) and serves
+    // the SAME workload from the standing table — the store is append-only
+    // (token rows never update), so at stream end it equals the batch
+    // derivation exactly and streamed == batch is the whole statement
+    val streamed = SparkEntry.queries("q_stream_maxsim")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("knn_maxsim")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("prescreen bound: the scalar spec form and the screen's Column form agree over a d sweep") {
     import graft.operators.VectorSearch
     import spark.implicits._
