@@ -171,6 +171,16 @@ package object functions {
   /** All adjacent code-point bigrams in one O(n) pass. */
   def char_bigrams(text: Column): Column = Column(CharBigrams(expression(text)))
 
+  /** DSIR hashed-gram featurization: one bucket per word uni/bigram
+    * occurrence, one pass. */
+  def dsir_gram_buckets(text: Column): Column =
+    Column(DsirGramBuckets(expression(text)))
+
+  /** DSIR importance scoring against frozen per-bucket log-ratio weights
+    * (integer micro-nats): one map pass, [n_grams, micro_sum]. */
+  def dsir_doc_score(text: Column, lambdaMicro: Array[Long]): Column =
+    Column(DsirDocScore(expression(text), lambdaMicro.toIndexedSeq))
+
   /** BPE token stats against a LEARNED merge table (flattened rank-order
     * (left, right) pairs — BpeTrainer output). */
   def bpe_stats_with(text: Column, pairs: Array[Int]): Column =

@@ -397,7 +397,110 @@ object Sampling extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  // ---- sample_dsir ---------------------------------------------------------
+  // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): featurize every document
+  // as hashed word uni+bigram counts over B = DsirHash.Buckets buckets,
+  // fit two bag-of-buckets distributions — p̂_target on the TARGET slice
+  // (here lang = 'en': the reference distribution a pretraining recipe
+  // wants more of) and p̂_raw on the selection POOL (everything else) —
+  // and score each pool document by its importance log-ratio
+  // Σ_gram (ln p̂_target[h(gram)] − ln p̂_raw[h(gram)]) with add-1
+  // smoothing; the top-K pool documents by that ratio are the selection
+  // (the paper's no-noise Top-K operating mode — the Gumbel-perturbed
+  // resample adds ln() of per-doc uniforms, which is not bit-specified
+  // across engines; see sample_weighted for the repo's exact
+  // integer-clock weighted draw).
+  //
+  // Scale shape (the reason DSIR is THE cheap neural-free selector at
+  // 100 TB): training is ONE explode → groupBy(bucket) aggregation whose
+  // result is B-bounded BY CONSTRUCTION (the collect is ≤ 1024 rows
+  // regardless of corpus size; map-side partials make the shuffle
+  // ≤ B × partitions rows); scoring is a pure codegen'd map expression
+  // (the λ table rides the plan as a 8 KB reference array — zero joins,
+  // zero shuffles) followed by a TakeOrderedAndProject k-heap. In
+  // production the target counts come from the small reference corpus and
+  // the raw counts from a pool sample; both are broadcast-sized always.
+  //
+  // Determinism: bucket counts are exact integers in any engine (the
+  // rolling-hash featurization is the proven text_fingerprint
+  // polynomial); the ONE non-SQL step is ln(), so the trained λ vector
+  // (integer micro-nats, computed on the driver with StrictMath.log —
+  // fdlibm, bit-specified across JVMs) is RECORDED by the run and the
+  // oracle re-derives featurization → per-doc Σ → ranking → selection
+  // from the λ literals independently (the dedup_semantic_trained
+  // lazily-armed mechanism; Verify dumps oracle_sql.json after the query
+  // pass). The same posture as text_lm_score's: log() is not
+  // bit-specified across engines, so it never crosses the engine
+  // boundary.
+  private[graft] val DsirK = 100
+  private[graft] val DsirTargetLang = "en"
+
+  private[graft] object DsirOracle {
+    @volatile private var lam: Option[Array[Long]] = None
+    def record(l: Array[Long]): Unit = lam = Some(l)
+    def entry: Option[String] = lam.map { l =>
+      val lamList = l.mkString("[", ", ", "]")
+      s"""WITH l AS (SELECT $lamList AS lam),
+         |d AS (SELECT doc_id, source, lang, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id, source, lang,
+         |  list_concat(w, list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS grams
+         |  FROM d WHERE len(w) >= 1),
+         |b AS (SELECT doc_id, source, lang,
+         |  list_transform(grams, gg -> CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(gg) + 1),
+         |        i -> CAST(ascii(gg[i:i]) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % 1000000007) % 1024 AS INT)) AS hs
+         |  FROM g),
+         |sc AS (SELECT doc_id, source,
+         |    CAST(len(hs) AS BIGINT) AS n_grams,
+         |    CAST(list_sum(list_transform(hs, h -> lam[h + 1])) AS BIGINT)
+         |      AS dsir_micro
+         |  FROM b, l WHERE lang != '$DsirTargetLang')
+         |SELECT doc_id, source, n_grams, dsir_micro FROM (
+         |  SELECT * FROM sc ORDER BY dsir_micro DESC, doc_id ASC LIMIT $DsirK)
+         |ORDER BY doc_id""".stripMargin
+    }
+  }
+
+  private def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DsirHash
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    // training: one explode → groupBy(bucket); B-bounded collect
+    val counts = d
+      .select((col("lang") === DsirTargetLang).as("tgt"),
+        explode(graft.functions.dsir_gram_buckets(col("text"))).as("h"))
+      .groupBy("h")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      .collect()
+    val B = DsirHash.Buckets
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    counts.foreach { r =>
+      ct(r.getInt(0)) = r.getLong(1); cr(r.getInt(0)) = r.getLong(2)
+    }
+    val totT = ct.sum; val totR = cr.sum
+    val lam = Array.tabulate(B) { h =>
+      math.round(1e6 * (StrictMath.log((ct(h) + 1.0) / (totT + B))
+        - StrictMath.log((cr(h) + 1.0) / (totR + B))))
+    }
+    DsirOracle.record(lam)
+    // scoring: codegen'd map over the pool + k-heap selection
+    val st = graft.functions.dsir_doc_score(col("text"), lam)
+    d.filter(col("lang") =!= DsirTargetLang)
+      .select(col("doc_id"), col("source"),
+        st.getItem(0).as("n_grams"), st.getItem(1).as("dsir_micro"))
+      .filter(col("n_grams") > 0)
+      .orderBy(col("dsir_micro").desc, col("doc_id").asc)
+      .limit(DsirK)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> sampleDsir,
     "sample_stratified" -> sampleStratified,
     "sample_topk_uniform" -> sampleTopkUniform,
     "sample_weighted" -> sampleWeighted,
@@ -413,7 +516,11 @@ object Sampling extends QueryModule {
 
   private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
 
-  val oracleSql: Map[String, String] = Map(
+  // a `def`: sample_dsir's entry materializes only after the key has run
+  // (its trained λ vector becomes the oracle's literals — Verify dumps
+  // oracle_sql.json AFTER the query pass, so the driver always sees it)
+  def oracleSql: Map[String, String] =
+    DsirOracle.entry.map("sample_dsir" -> _).toMap ++ Map(
     "sample_stratified" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    ((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h

@@ -42,6 +42,8 @@ class CodegenSpec extends SparkSpec {
     // weighted sampling (MaxMinstdDraws) and sketches (HllSketchAgg +
     // HllEstimate, HeavyHitters)
     "sample_weighted", "q_events_dau_hll", "q_events_topk_sketch",
+    // DSIR featurize + score (DsirGramBuckets, DsirDocScore)
+    "sample_dsir",
     // streaming bodies (r17 follow-through): foreachBatch plans build
     // outside the batch keys' lineage, so run one member of each
     // streaming family under the same strict confs — the micro-batch

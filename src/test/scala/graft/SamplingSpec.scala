@@ -184,6 +184,83 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sample_dsir: independent recompute of featurize→train→score→select; scoring is map-only with a k-heap") {
+    // full pipeline recomputed on the REAL corpus with NONE of the
+    // operator's code: own tokenizer, own per-gram rolling hash (each gram
+    // string hashed FROM SCRATCH — cross-checking DsirHash.walk's O(1)
+    // incremental bigram extension algebra), own counts, own
+    // StrictMath.log weights, own ranking
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val B = 1024
+    def grams(text: String): Seq[String] = {
+      val w = text.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => a + " " + b }
+    }
+    def bucket(g: String): Int = {
+      var h = 0L; var i = 0
+      while (i < g.length) {
+        val cp = g.codePointAt(i)
+        h = (h * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      (h % B).toInt
+    }
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    docs.foreach { case (_, _, lang, text) =>
+      val c = if (lang == "en") ct else cr
+      grams(text).foreach(g => c(bucket(g)) += 1)
+    }
+    val totT = ct.sum; val totR = cr.sum
+    val lam = Array.tabulate(B) { h =>
+      math.round(1e6 * (StrictMath.log((ct(h) + 1.0) / (totT + B))
+        - StrictMath.log((cr(h) + 1.0) / (totR + B))))
+    }
+    val expected = docs.filter(_._3 != "en")
+      .map { case (id, src, _, text) =>
+        val gs = grams(text)
+        (id, src, gs.length.toLong, gs.map(g => lam(bucket(g))).sum)
+      }
+      .filter(_._3 > 0)
+      .sortBy { case (id, _, _, micro) => (-micro, id) }
+      .take(100)
+      .sortBy(_._1).toSeq
+    val got = SparkEntry.queries("sample_dsir")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.size === 100)
+
+    // the returned plan is the SCORING side only (training collects its
+    // B-bounded counts eagerly): a codegen'd map + the top-k — no
+    // hash shuffle anywhere, selection as a TakeOrderedAndProject k-heap
+    val plan = SparkEntry.queries("sample_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"dsir scoring plans a hash shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"dsir selection is not a k-heap:\n$plan")
+  }
+
+  test("sample_dsir: importance direction — pool docs matching the target distribution outrank the rest") {
+    // engineered corpus: the en target speaks 'alpha'; pool doc 1 speaks
+    // 'alpha', pool doc 2 speaks 'beta' — DSIR must score 1 above 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir-").toString
+    import spark.implicits._
+    val alpha = Seq.fill(20)("alpha").mkString(" ")
+    val beta = Seq.fill(20)("beta").mkString(" ")
+    (Seq((1L, "s0", "xx", alpha), (2L, "s0", "xx", beta)) ++
+      (10L to 19L).map(i => (i, "s0", "en", alpha)))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("sample_dsir")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSet === Set(1L, 2L))
+    val score = got.toMap
+    assert(score(1L) > score(2L),
+      s"target-like pool doc did not outrank: $score")
+  }
+
   test("plan shape: sample_temperature never collects — denominator broadcasts") {
     val plan = SparkEntry.queries("sample_temperature")(spark, sf)
       .queryExecution.executedPlan.toString

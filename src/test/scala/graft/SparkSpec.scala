@@ -195,7 +195,8 @@ class EntrySpec extends SparkSpec {
     "q_stream_hybrid" -> 15,
     "dedup_semantic_sweep" -> 4,
     "knn_maxsim" -> 15,
-    "q_stream_maxsim" -> 15)
+    "q_stream_maxsim" -> 15,
+    "sample_dsir" -> 100)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
