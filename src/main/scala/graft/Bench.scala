@@ -78,7 +78,7 @@ object Bench {
     // appended late r18: the SemDeDup operating-point curve, hybrid
     // serving from the two maintained indexes, and multi-vector MaxSim
     "dedup_semantic_sweep", "q_stream_hybrid", "knn_maxsim",
-    "q_stream_maxsim", "sample_dsir")
+    "q_stream_maxsim", "sample_dsir", "knn_mmr")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

@@ -171,6 +171,11 @@ package object functions {
   /** All adjacent code-point bigrams in one O(n) pass. */
   def char_bigrams(text: Column): Column = Column(CharBigrams(expression(text)))
 
+  /** Greedy MMR selection over one query's rank-sorted candidate structs +
+    * rank-keyed pair-sim structs; pure integer micro-unit arithmetic. */
+  def mmr_select(cands: Column, pairs: Column, k: Int): Column =
+    Column(MmrSelect(expression(cands), expression(pairs), k))
+
   /** DSIR hashed-gram featurization: one bucket per word uni/bigram
     * occurrence, one pass. */
   def dsir_gram_buckets(text: Column): Column =

@@ -773,8 +773,85 @@ object VectorSearch extends QueryModule {
     maxSimRank(maxSimDocTokens(e, n), maxSimQueryVecs(s, e))
   }
 
+  // ---- knn_mmr ---------------------------------------------------------
+  // DIVERSIFIED retrieval — Maximal Marginal Relevance (Carbonell &
+  // Goldstein 1998), the standard post-retrieval diversifier vector
+  // stores ship: plain top-k returns near-duplicate neighbors; MMR
+  // greedily re-ranks a candidate pool so each pick maximizes relevance
+  // MINUS redundancy against what is already picked (λ = 0.5; scores
+  // reported in the order-equivalent integer form qsim − max-selected-sim,
+  // micro-units). Spark shape: candidates per query via the knn k-heap
+  // (broadcast query vecs over one codegen'd cosine scan, WindowGroupLimit
+  // top-N), the N×N candidate-pair cosines RELATIONALLY (a rank-keyed
+  // self-join — never |corpus|²), then ONE expression per query runs the
+  // O(k·N) greedy ([[graft.functions.MmrSelect]]) on pre-rounded integer
+  // micro-sims. Queries are the unit of parallelism; per-query state is
+  // N² longs (8 MB at N = 1000 — the candidate budget is the deployment
+  // knob). Every similarity crosses engines pre-rounded (the knn gate's
+  // proven 6-dp contract), so the greedy is deterministic and the DuckDB
+  // twin (recursive CTE + LATERAL argmax over the same integers) matches
+  // hash-for-hash.
+  private[graft] val MmrN = 40
+  private[graft] val MmrK = 10
+  private[graft] val MmrQueries = Seq((1L, 100L), (2L, 200L), (3L, 300L))
+
+  /** The candidate stage alone (pre-materialization), so its plan shape —
+    * broadcast query vecs over one codegen'd cosine scan, top-N as a
+    * pre-shuffle k-heap — is assertable by the spec. The operator
+    * materializes the (N × |queries|)-bounded result before fanning it
+    * into the pair self-join. */
+  private[graft] def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val qv = e.join(broadcast(MmrQueries.toDF("query_id", "qvid")),
+        col("vec_id") === col("qvid"))
+      .select(col("query_id"), col("embedding").as("qv"))
+    val excl = MmrQueries.map(_._2)
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("doc_id").asc)
+    e.filter(!col("vec_id").isin(excl: _*))
+      .crossJoin(broadcast(qv))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(round(vec_cosine(col("embedding"), col("qv")), 6) * 1e6)
+          .cast("long").as("qsim"),
+        col("embedding"))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= MmrN)
+  }
+
+  private def knnMmr(s: SparkSession, dir: String): DataFrame = {
+    // consumed 3× below (pair self-join + collect): materialize the
+    // N × |queries| candidate rows instead of re-scanning the corpus
+    val cand = mmrCandidates(s, dir).localCheckpoint()
+    val a = cand.select(col("query_id"), col("rnk").as("ai"),
+      col("embedding").as("av"))
+    val b = cand.select(col("query_id"), col("rnk").as("bi"),
+      col("embedding").as("bv"))
+    val pairs = a.join(b, Seq("query_id")).filter(col("ai") =!= col("bi"))
+      .select(col("query_id"), col("ai"), col("bi"),
+        round(round(vec_cosine(col("av"), col("bv")), 6) * 1e6)
+          .cast("long").as("psim"))
+    val g = cand.groupBy("query_id").agg(
+      sort_array(collect_list(struct(col("rnk"), col("doc_id"), col("qsim"))))
+        .as("cands"))
+    val pg = pairs.groupBy("query_id").agg(
+      sort_array(collect_list(struct(col("ai"), col("bi"), col("psim"))))
+        .as("pairs"))
+    g.join(pg, "query_id")
+      .select(col("query_id"),
+        explode(graft.functions.mmr_select(col("cands"), col("pairs"), MmrK))
+          .as("s"))
+      .select(col("query_id"), col("s.doc_id").as("doc_id"),
+        col("s.rk").as("rk"),
+        round(col("s.qsim").cast("double") / 1e6, 6).as("cos"),
+        col("s.mmr").as("mmr_micro"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_maxsim" -> knnMaxSim,
+    "knn_mmr" -> knnMmr,
     "contamination_semantic" -> contaminationSemantic,
     "knn_negatives" -> knnNegatives,
     "knn_join" -> knnJoinQuery,
@@ -949,6 +1026,55 @@ object VectorSearch extends QueryModule {
          |  FROM embeddings e CROSS JOIN q
          |  WHERE e.vec_id <> $QueryVecId)
          |ORDER BY score ASC, vec_id ASC LIMIT $K""".stripMargin,
+    // the greedy MMR re-derived independently: same integer micro-sims,
+    // recursive CTE carrying the selected set, LATERAL argmax per step
+    // with the same (mmr DESC, doc_id ASC) tiebreak
+    "knn_mmr" -> {
+      val qVals = MmrQueries.map { case (q, v) =>
+        s"(CAST($q AS BIGINT), CAST($v AS BIGINT))" }.mkString(", ")
+      s"""WITH RECURSIVE q(query_id, qvid) AS (VALUES $qVals),
+         |qv AS (SELECT query_id, CAST(e.embedding AS DOUBLE[]) AS v
+         |  FROM q JOIN embeddings e ON e.vec_id = qvid),
+         |scored AS (SELECT query_id, e.vec_id AS doc_id,
+         |    CAST(round(round(list_cosine_similarity(
+         |      CAST(e.embedding AS DOUBLE[]), qv.v), 6) * 1000000.0) AS BIGINT)
+         |      AS qsim
+         |  FROM embeddings e CROSS JOIN qv
+         |  WHERE e.vec_id NOT IN (SELECT qvid FROM q)),
+         |cand AS (SELECT query_id, doc_id, qsim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qsim DESC, doc_id ASC) AS rnk
+         |    FROM scored) WHERE rnk <= $MmrN),
+         |cv AS (SELECT c.query_id, c.doc_id, c.qsim,
+         |    CAST(e.embedding AS DOUBLE[]) AS v
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+         |p AS (SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(round(round(list_cosine_similarity(a.v, b.v), 6)
+         |      * 1000000.0) AS BIGINT) AS psim
+         |  FROM cv a JOIN cv b
+         |    ON a.query_id = b.query_id AND a.doc_id != b.doc_id),
+         |sel(query_id, step, sel_ids, doc_id, qsim, mmr) AS (
+         |  (SELECT query_id, CAST(1 AS BIGINT), [doc_id], doc_id, qsim, qsim
+         |   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY qsim DESC, doc_id ASC) AS rn FROM cand)
+         |   WHERE rn = 1)
+         |  UNION ALL
+         |  (SELECT s.query_id, s.step + 1, list_append(s.sel_ids, pick.doc_id),
+         |          pick.doc_id, pick.qsim, pick.mmr
+         |   FROM sel s, LATERAL (
+         |     SELECT c.doc_id, c.qsim,
+         |        c.qsim - (SELECT max(p.psim) FROM p
+         |                  WHERE p.query_id = s.query_id AND p.a_id = c.doc_id
+         |                    AND list_contains(s.sel_ids, p.b_id)) AS mmr
+         |     FROM cand c
+         |     WHERE c.query_id = s.query_id
+         |       AND NOT list_contains(s.sel_ids, c.doc_id)
+         |     ORDER BY mmr DESC, c.doc_id ASC LIMIT 1) pick
+         |   WHERE s.step < $MmrK))
+         |SELECT query_id, doc_id, step AS rk,
+         |  round(qsim / 1000000.0, 6) AS cos, mmr AS mmr_micro
+         |FROM sel ORDER BY query_id, rk""".stripMargin
+    },
     "knn_cosine" -> oracle(s"list_cosine_similarity($ev, q.qv)", "DESC"),
     "knn_l2" -> oracle(s"list_distance($ev, q.qv)", "ASC"),
     "knn_dot" -> oracle(s"list_inner_product($ev, q.qv)", "DESC"),

@@ -44,6 +44,8 @@ class CodegenSpec extends SparkSpec {
     "sample_weighted", "q_events_dau_hll", "q_events_topk_sketch",
     // DSIR featurize + score (DsirGramBuckets, DsirDocScore)
     "sample_dsir",
+    // greedy MMR selection (MmrSelect)
+    "knn_mmr",
     // streaming bodies (r17 follow-through): foreachBatch plans build
     // outside the batch keys' lineage, so run one member of each
     // streaming family under the same strict confs — the micro-batch

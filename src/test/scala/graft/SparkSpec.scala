@@ -196,7 +196,8 @@ class EntrySpec extends SparkSpec {
     "dedup_semantic_sweep" -> 4,
     "knn_maxsim" -> 15,
     "q_stream_maxsim" -> 15,
-    "sample_dsir" -> 100)
+    "sample_dsir" -> 100,
+    "knn_mmr" -> 30)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

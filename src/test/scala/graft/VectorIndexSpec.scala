@@ -1206,6 +1206,101 @@ class VectorIndexSpec extends SparkSpec {
       s"maxsim plan lost its scale shape:\n$plan")
   }
 
+  test("knn_mmr: greedy selection == an independent plain-Scala greedy; diversity beats plain top-k on a cloned cluster") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorSearch
+    // 1) selection logic pinned independently on the REAL corpus: take the
+    // micro-sims from a FRESH DataFrame derivation (vec_cosine is already
+    // gated cross-engine) and run the greedy in plain Scala — none of
+    // MmrSelect's code on this side
+    val e = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val excl = VectorSearch.MmrQueries.map(_._2)
+    val sims = scala.collection.mutable.Map[(Long, Long, Long), Long]() // (q, a, b)
+    val qsims = scala.collection.mutable.Map[(Long, Long), Long]()
+    import spark.implicits._
+    val qv = e.join(broadcast(VectorSearch.MmrQueries.toDF("query_id", "qvid")),
+      col("vec_id") === col("qvid")).select(col("query_id"), col("embedding").as("qv"))
+    e.filter(!col("vec_id").isin(excl: _*)).crossJoin(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(round(graft.functions.vec_cosine(col("embedding"), col("qv")), 6) * 1e6)
+          .cast("long").as("m"))
+      .collect().foreach(r => qsims((r.getLong(0), r.getLong(1))) = r.getLong(2))
+    val expected = VectorSearch.MmrQueries.flatMap { case (q, _) =>
+      val cand = qsims.collect { case ((`q`, d), m) => (d, m) }.toSeq
+        .sortBy { case (d, m) => (-m, d) }.take(VectorSearch.MmrN)
+      val candIds = cand.map(_._1)
+      // pair sims for this query's candidates only, derived fresh
+      val cvs = e.filter(col("vec_id").isin(candIds: _*)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      def cosMicro(a: Long, b: Long): Long = {
+        val (x, y) = (cvs(a), cvs(b))
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) {
+          dot += x(i).toDouble * y(i).toDouble
+          nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+          i += 1
+        }
+        math.round(BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      }
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for (step <- 1 to VectorSearch.MmrK) {
+        val pick = cand.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (d, m) =>
+            val mx = sel.map(s => cosMicro(d, s._1)).reduceOption(_ max _)
+            (d, m, mx.fold(m)(m - _))
+          }
+          .minBy { case (d, _, mmr) => (-mmr, d) }
+        sel += pick
+      }
+      sel.zipWithIndex.map { case ((d, m, mmr), i) => (q, d, (i + 1).toLong, m, mmr) }
+    }
+    val got = SparkEntry.queries("knn_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), r.getLong(4))).toSeq
+    assert(got === expected)
+
+    // 2) the diversity property on an engineered corpus. NOTE the cluster
+    // must not be parallel to the QUERY (then every candidate's redundancy
+    // to a picked clone equals its own qsim and all margins tie at 0):
+    // 5 IDENTICAL cluster docs (pairwise sim 1.0) and 3 diverse docs, all
+    // at the same qsim 0.894 — plain top-k would take the whole cluster by
+    // id order; after pick 1 a cluster doc's margin is 0.894 − 1.0 < 0
+    // while a diverse doc's is 0.894 − 0.8 > 0, so MMR's picks 2-4 must be
+    // exactly the diverse docs
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mmr-").toString
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](8); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val clones = (1L to 5L).map(i => (i, vec(0 -> 2f, 7 -> 1f)))
+    val diverse = Seq(
+      (6L, vec(0 -> 2f, 1 -> 1f)), (7L, vec(0 -> 2f, 2 -> 1f)),
+      (8L, vec(0 -> 2f, 3 -> 1f)))
+    // query 1's fixture vec_id 100 is the axis; 200/300 are dummies on
+    // other axes
+    val fix = clones ++ diverse ++ Seq(
+      (100L, vec(0 -> 1f)), (200L, vec(5 -> 1f)), (300L, vec(6 -> 1f)))
+    fix.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val picks = SparkEntry.queries("knn_mmr")(spark, tmp).collect()
+      .filter(_.getLong(0) == 1L).sortBy(_.getLong(2))
+      .map(_.getLong(1)).take(4).toSeq
+    assert(picks.head === 1L, s"first pick must be plain argmax (id tiebreak): $picks")
+    assert(picks.tail.toSet === Set(6L, 7L, 8L),
+      s"MMR picks 2-4 must be the diverse docs, got $picks")
+
+    // 3) plan of the candidate stage (the corpus-sized part — the operator
+    // materializes its N×|queries| output before the pair fan-out, which
+    // truncates the final plan's lineage): query vecs broadcast, top-N as
+    // a pre-shuffle k-heap
+    val plan = VectorSearch.mmrCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"mmr candidate top-N not a k-heap:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query vectors not broadcast:\n$plan")
+  }
+
   test("q_stream_maxsim: MaxSim served from the maintained token store == batch knn_maxsim row-for-row") {
     // the streamed key keeps the multi-vector token store fresh (stateless
     // per-row token derivation + exactly-once lance appends) and serves
