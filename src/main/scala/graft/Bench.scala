@@ -78,7 +78,8 @@ object Bench {
     // appended late r18: the SemDeDup operating-point curve, hybrid
     // serving from the two maintained indexes, and multi-vector MaxSim
     "dedup_semantic_sweep", "q_stream_hybrid", "knn_maxsim",
-    "q_stream_maxsim", "sample_dsir", "knn_mmr")
+    "q_stream_maxsim", "sample_dsir", "knn_mmr",
+    "sample_dsir_gumbel", "q_stream_dsir")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

@@ -140,3 +140,44 @@ object DsirDocScore {
     new GenericArrayData(Array(n, sum))
   }
 }
+
+/** `gumbel_micro(id)` — a DETERMINISTIC standard-Gumbel draw keyed by the
+  * id, in integer micro-units: u = (minstd2(id)+1)/(2³¹) ∈ (0,1) (the same
+  * double-MINSTD step the split/weighted keys use), g = −ln(−ln u) via
+  * StrictMath (fdlibm — bit-identical across JVMs and platforms, unlike
+  * Math.log's allowed-1-ulp intrinsics). The Gumbel-max trick's noise term
+  * for sample_dsir_gumbel; rows-only territory by design (the Gumbel
+  * quantile has no rational form, so no SQL engine reproduces it
+  * bit-exactly). */
+case class GumbelMicro(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"gumbel_micro needs bigint, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GumbelMicro.compute(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GumbelMicro$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GumbelMicro {
+  private final val A = 48271L
+  private final val M = 2147483647L // 2^31 - 1
+
+  def compute(id: Long): Long = {
+    val h1 = (id * A) % M
+    val h2 = (h1 * A) % M
+    // h2 ∈ [0, M-1] → u ∈ [1/(M+1), M/(M+1)] ⊂ (0, 1): both ln calls are
+    // finite for every id
+    val u = (h2 + 1.0) / (M + 1.0)
+    math.round(1e6 * -StrictMath.log(-StrictMath.log(u)))
+  }
+}

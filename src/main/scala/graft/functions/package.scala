@@ -186,6 +186,10 @@ package object functions {
   def dsir_doc_score(text: Column, lambdaMicro: Array[Long]): Column =
     Column(DsirDocScore(expression(text), lambdaMicro.toIndexedSeq))
 
+  /** Deterministic standard-Gumbel draw keyed by a bigint id, in integer
+    * micro-units (double-MINSTD uniform + StrictMath quantile). */
+  def gumbel_micro(id: Column): Column = Column(GumbelMicro(expression(id)))
+
   /** BPE token stats against a LEARNED merge table (flattened rank-order
     * (left, right) pairs — BpeTrainer output). */
   def bpe_stats_with(text: Column, pairs: Array[Int]): Column =

@@ -465,11 +465,14 @@ object Sampling extends QueryModule {
     }
   }
 
-  private def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+  /** The DSIR training pass — one explode → groupBy(bucket) over the
+    * corpus, B-bounded collect, λ in integer micro-nats (driver-side
+    * StrictMath.log). ONE definition for the batch key, the streaming
+    * selection MV (which freezes λ BEFORE the stream — the
+    * q_stream_index_once posture) and the Gumbel resample mode. */
+  private[operators] def dsirTrain(s: SparkSession, dir: String): Array[Long] = {
     import graft.functions.DsirHash
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    // training: one explode → groupBy(bucket); B-bounded collect
     val counts = d
       .select((col("lang") === DsirTargetLang).as("tgt"),
         explode(graft.functions.dsir_gram_buckets(col("text"))).as("h"))
@@ -488,19 +491,54 @@ object Sampling extends QueryModule {
         - StrictMath.log((cr(h) + 1.0) / (totR + B))))
     }
     DsirOracle.record(lam)
-    // scoring: codegen'd map over the pool + k-heap selection
+    lam
+  }
+
+  /** Score a pool slice against frozen λ: the codegen'd map alone —
+    * (doc_id, source, n_grams, dsir_micro) for every non-target doc with
+    * at least one gram. Complete per-document, so the streaming MV can
+    * score micro-batches independently. */
+  private[operators] def dsirScore(docs: DataFrame, lam: Array[Long]): DataFrame = {
     val st = graft.functions.dsir_doc_score(col("text"), lam)
-    d.filter(col("lang") =!= DsirTargetLang)
+    docs.filter(col("lang") =!= DsirTargetLang)
       .select(col("doc_id"), col("source"),
         st.getItem(0).as("n_grams"), st.getItem(1).as("dsir_micro"))
       .filter(col("n_grams") > 0)
+  }
+
+  private def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val lam = dsirTrain(s, dir)
+    dsirScore(t(s, dir, "documents"), lam)
       .orderBy(col("dsir_micro").desc, col("doc_id").asc)
+      .limit(DsirK)
+      .orderBy("doc_id")
+  }
+
+  // ---- sample_dsir_gumbel --------------------------------------------------
+  // The paper's actual RESAMPLE mode: Gumbel-top-K over the importance
+  // scores — add an independent Gumbel(0,1) to each doc's log-weight and
+  // take the top K, which draws K docs WITHOUT replacement with
+  // probability ∝ exp(score) (Gumbel-max trick; sample_dsir's plain Top-K
+  // is the paper's no-noise variant). The "noise" is deterministic: u =
+  // (minstd2(doc_id)+1)/(M+1) ∈ (0,1) (the repo's integer split hash), g
+  // = −ln(−ln u) via StrictMath (fdlibm — bit-identical across JVMs), in
+  // micro-units. ln() never crosses the engine boundary but IS
+  // irreducible here (the Gumbel quantile has no rational form), so the
+  // key is rows-only by design, pinned by a full driver-side recompute
+  // spec. Same map-only + k-heap plan as sample_dsir.
+  private def sampleDsirGumbel(s: SparkSession, dir: String): DataFrame = {
+    val lam = dsirTrain(s, dir)
+    dsirScore(t(s, dir, "documents"), lam)
+      .withColumn("gumbel_micro", graft.functions.gumbel_micro(col("doc_id")))
+      .withColumn("key_micro", col("dsir_micro") + col("gumbel_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id").asc)
       .limit(DsirK)
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_dsir" -> sampleDsir,
+    "sample_dsir_gumbel" -> sampleDsirGumbel,
     "sample_stratified" -> sampleStratified,
     "sample_topk_uniform" -> sampleTopkUniform,
     "sample_weighted" -> sampleWeighted,

@@ -1875,6 +1875,57 @@ object StreamingOps extends QueryModule {
       VectorSearch.maxSimQueryVecs(s, e))
   }
 
+  /** Streaming DSIR selection — sample_dsir maintained as an incremental
+    * MV over an arriving pool: λ is trained and FROZEN before the stream
+    * (the q_stream_index_once posture — in production on the reference
+    * corpus + a pool sample; drift retraining is an offline job, off the
+    * ingest path), each micro-batch scores its documents with the
+    * codegen'd map and takes a BATCH top-K, and the standing selection
+    * updates by merge: standing top-K ∪ batch top-K → top-K → one
+    * bid-guarded transactional overwrite (the q_stream_mv shape). Exact
+    * by the k-heap merge argument — the global top-K is contained in the
+    * union of per-slice top-Ks over any partition of the pool — so at
+    * stream end the view equals the batch selection row-for-row and the
+    * key gates on sample_dsir's armed λ-literal oracle UNCHANGED.
+    * Per-batch cost: one batch scan + a 2K-row merge; state is K rows,
+    * ever. */
+  private def streamDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = tmp("sdsr-src"); val ckpt = tmp("sdsr-ck")
+    val mv = tmp("sdsr-mv") + "/t"
+    val d = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+    val lam = Sampling.dsirTrain(s, dir) // frozen before the stream
+    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    if (!tableExists(s, mv))
+      Seq.empty[(Long, String, Long, Long, Long)]
+        .toDF("doc_id", "source", "n_grams", "dsir_micro", "bid")
+        .write.format("lance").save(mv)
+    val q = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val lastBid = lastBidOf(s, mv)
+        if (bid > lastBid) { // replayed micro-batch = no-op
+          val batchTop = Sampling.dsirScore(batch, lam)
+            .orderBy(col("dsir_micro").desc, col("doc_id").asc)
+            .limit(Sampling.DsirK)
+          s.read.format("lance").load(mv).drop("bid")
+            .unionByName(batchTop)
+            .orderBy(col("dsir_micro").desc, col("doc_id").asc)
+            .limit(Sampling.DsirK)
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("overwrite").save(mv)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.format("lance").load(mv)
+      .select("doc_id", "source", "n_grams", "dsir_micro")
+      .orderBy("doc_id")
+  }
+
   /** Streaming sketch maintenance — the mergeable-summaries form of
     * streaming uniques: each micro-batch appends ONE (day, 2 KB HLL
     * register array) row per touched day (bounded by days-per-batch,
@@ -1934,6 +1985,7 @@ object StreamingOps extends QueryModule {
     "q_stream_text_index" -> streamTextIndex,
     "q_stream_hybrid" -> streamHybrid,
     "q_stream_maxsim" -> streamMaxSim,
+    "q_stream_dsir" -> streamDsir,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
@@ -1957,7 +2009,13 @@ object StreamingOps extends QueryModule {
   // key by its own run (see Dedup.TrainedSemOracle)
   def oracleSql: Map[String, String] =
     Dedup.TrainedSemOracle.entry.get("q_stream_semantic_trained")
-      .map("q_stream_semantic_trained" -> _).toMap ++ Map(
+      .map("q_stream_semantic_trained" -> _).toMap ++
+    // the k-heap merge makes the maintained DSIR selection == the batch
+    // top-K at stream end, so the key gates on sample_dsir's armed
+    // λ-literal statement (either key's run arms it — λ is a pure
+    // function of the corpus)
+    Sampling.oracleSql.get("sample_dsir")
+      .map("q_stream_dsir" -> _).toMap ++ Map(
     // the streamed quarantine table must equal batch text_contamination —
     // its oracle verbatim
     "q_stream_contamination" -> TextAnalysis.oracleSql("text_contamination"),

@@ -42,8 +42,9 @@ class CodegenSpec extends SparkSpec {
     // weighted sampling (MaxMinstdDraws) and sketches (HllSketchAgg +
     // HllEstimate, HeavyHitters)
     "sample_weighted", "q_events_dau_hll", "q_events_topk_sketch",
-    // DSIR featurize + score (DsirGramBuckets, DsirDocScore)
-    "sample_dsir",
+    // DSIR featurize + score + resample (DsirGramBuckets, DsirDocScore,
+    // GumbelMicro)
+    "sample_dsir", "sample_dsir_gumbel",
     // greedy MMR selection (MmrSelect)
     "knn_mmr",
     // streaming bodies (r17 follow-through): foreachBatch plans build

@@ -242,6 +242,82 @@ class SamplingSpec extends SparkSpec {
       s"dsir selection is not a k-heap:\n$plan")
   }
 
+  test("sample_dsir_gumbel: Gumbel-top-K == driver recompute from sample_dsir's scores; noise actually perturbs the ranking") {
+    // the resample mode differs from the plain Top-K only by the
+    // deterministic per-doc Gumbel term — recompute it on the driver with
+    // the same published formula (double-MINSTD uniform, StrictMath
+    // quantile) over ALL pool scores and re-select
+    val scored = {
+      // all pool scores, not just the top-K: rebuild from the gate key's
+      // own scoring path is not available, so derive from the operator's
+      // inputs — the uncapped score set via a huge-K temporary is not a
+      // public surface; instead recompute scores fully in plain Scala as
+      // the sample_dsir spec does, reusing its verified building blocks
+      val docs = Tables.t(spark, sf, "documents")
+        .select("doc_id", "source", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      val B = 1024
+      def grams(text: String): Seq[String] = {
+        val w = text.split("\\s+").filter(_.nonEmpty).toSeq
+        w ++ w.zip(w.drop(1)).map { case (a, b) => a + " " + b }
+      }
+      def bucket(g: String): Int = {
+        var h = 0L; var i = 0
+        while (i < g.length) {
+          val cp = g.codePointAt(i)
+          h = (h * 31 + cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        (h % B).toInt
+      }
+      val ct = new Array[Long](B); val cr = new Array[Long](B)
+      docs.foreach { case (_, _, lang, text) =>
+        val c = if (lang == "en") ct else cr
+        grams(text).foreach(g => c(bucket(g)) += 1)
+      }
+      val totT = ct.sum; val totR = cr.sum
+      val lam = Array.tabulate(B) { h =>
+        math.round(1e6 * (StrictMath.log((ct(h) + 1.0) / (totT + B))
+          - StrictMath.log((cr(h) + 1.0) / (totR + B))))
+      }
+      docs.filter(_._3 != "en").map { case (id, src, _, text) =>
+        val gs = grams(text)
+        (id, src, gs.length.toLong, gs.map(g => lam(bucket(g))).sum)
+      }.filter(_._3 > 0)
+    }
+    def gumbel(id: Long): Long = {
+      val m = 2147483647L
+      val h2 = ((id * 48271L) % m * 48271L) % m
+      math.round(1e6 * -StrictMath.log(-StrictMath.log((h2 + 1.0) / (m + 1.0))))
+    }
+    val expected = scored
+      .map { case (id, src, n, micro) => (id, src, n, micro, gumbel(id), micro + gumbel(id)) }
+      .sortBy { case (id, _, _, _, _, key) => (-key, id) }
+      .take(100).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("sample_dsir_gumbel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // the noise is doing something: the resample differs from the plain
+    // Top-K (same corpus, same λ) — if they coincided the mode would be
+    // vacuous
+    val plain = SparkEntry.queries("sample_dsir")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet !== plain,
+      "gumbel resample selected exactly the plain top-K — noise inert")
+  }
+
+  test("q_stream_dsir: maintained selection MV == batch sample_dsir row-for-row") {
+    // λ frozen before the stream, per-batch top-K merged into a K-row
+    // standing view — the k-heap merge argument makes stream end == batch
+    val streamed = SparkEntry.queries("q_stream_dsir")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("sample_dsir")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sample_dsir: importance direction — pool docs matching the target distribution outrank the rest") {
     // engineered corpus: the en target speaks 'alpha'; pool doc 1 speaks
     // 'alpha', pool doc 2 speaks 'beta' — DSIR must score 1 above 2

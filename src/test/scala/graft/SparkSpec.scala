@@ -197,6 +197,8 @@ class EntrySpec extends SparkSpec {
     "knn_maxsim" -> 15,
     "q_stream_maxsim" -> 15,
     "sample_dsir" -> 100,
+    "sample_dsir_gumbel" -> 100,
+    "q_stream_dsir" -> 100,
     "knn_mmr" -> 30)
 
   test("entry returns rows") {
