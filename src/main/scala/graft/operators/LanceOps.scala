@@ -450,6 +450,25 @@ object LanceOps extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** `CALL system.dsir` driven through SQL end to end: register the
+    * documents table in the catalog, run the data-selection procedure
+    * (target = the en slice, k = sample_dsir's K), read back the
+    * materialized selection. Gated on the armed λ-literal oracle's
+    * WHOLE-ROW form — the DuckDB twin re-derives featurization → scores →
+    * top-k → row materialization from the procedure's recorded λ. */
+  private def dsirSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"dsrc_$sfx", s"dsro_$sfx")
+    t(s, dir, "documents").createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.dsir(table => 'db.$tc', " +
+      s"target_predicate => 'lang = ''en''', output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to").orderBy("doc_id")
+  }
+
   /** Z-order with a STRING dimension (dictionary keys like country/tenant
     * are what real users cluster on): the rewrite ranks strings by their
     * zero-padded 8-byte UTF-8 prefix — monotonic in the byte order the
@@ -711,6 +730,7 @@ object LanceOps extends QueryModule {
     "lance_streaming_sink" -> streamingSink,
     "lance_decontaminate" -> decontaminateSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
+    "lance_dsir" -> dsirSqlCall,
     "lance_events_roundtrip" -> eventsRoundtrip)
 
   // a `def`: lance_semdedup's oracle is lazily armed by the procedure run
@@ -718,7 +738,11 @@ object LanceOps extends QueryModule {
   // Dedup.TrainedSemOracle; Verify dumps oracle_sql.json after queries)
   def oracleSql: Map[String, String] =
     graft.operators.Dedup.TrainedSemOracle.entry.get("lance_semdedup")
-      .map("lance_semdedup" -> _).toMap ++ Map(
+      .map("lance_semdedup" -> _).toMap ++
+    // lance_dsir gates on the armed λ-literal statement's WHOLE-ROW form
+    // (the procedure materializes every corpus column of the selection)
+    graft.operators.Sampling.DsirOracle.entryFullRows("lance_dsir")
+      .map("lance_dsir" -> _).toMap ++ Map(
     // survivors = corpus minus docs flagged by overlap >= 3 OR containment
     // >= 0.5 (string shingles mirror the hashed sets, collisions ~1e-9)
     "lance_decontaminate" ->

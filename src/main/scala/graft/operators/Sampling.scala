@@ -437,9 +437,18 @@ object Sampling extends QueryModule {
   private[graft] val DsirTargetLang = "en"
 
   private[graft] object DsirOracle {
-    @volatile private var lam: Option[Array[Long]] = None
-    def record(l: Array[Long]): Unit = lam = Some(l)
-    def entry: Option[String] = lam.map { l =>
+    // keyed like Dedup.TrainedSemOracle: each gated key's RUN records its
+    // own trained λ, so a filtered Verify invocation arms exactly the
+    // entries whose queries executed (λ is a pure function of the corpus,
+    // so the gate keys — all over the same documents table — record
+    // identical vectors)
+    private val recorded =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    def record(key: String, l: Array[Long]): Unit = recorded.put(key, l)
+
+    /** The shared featurize→score CTE chain over the λ literals: ends in
+      * `sel(doc_id, source, n_grams, dsir_micro)` = the selected top-K. */
+    private def bodyCtes(l: Array[Long]): String = {
       val lamList = l.mkString("[", ", ", "]")
       s"""WITH l AS (SELECT $lamList AS lam),
          |d AS (SELECT doc_id, source, lang, $wSql AS w FROM documents),
@@ -458,10 +467,22 @@ object Sampling extends QueryModule {
          |    CAST(len(hs) AS BIGINT) AS n_grams,
          |    CAST(list_sum(list_transform(hs, h -> lam[h + 1])) AS BIGINT)
          |      AS dsir_micro
-         |  FROM b, l WHERE lang != '$DsirTargetLang')
-         |SELECT doc_id, source, n_grams, dsir_micro FROM (
-         |  SELECT * FROM sc ORDER BY dsir_micro DESC, doc_id ASC LIMIT $DsirK)
-         |ORDER BY doc_id""".stripMargin
+         |  FROM b, l WHERE lang != '$DsirTargetLang'),
+         |sel AS (SELECT doc_id, source, n_grams, dsir_micro FROM sc
+         |  ORDER BY dsir_micro DESC, doc_id ASC LIMIT $DsirK)""".stripMargin
+    }
+
+    /** The (doc_id, source, n_grams, dsir_micro) selection — the batch
+      * key's and the streaming MV's gate statement. */
+    def entry(key: String): Option[String] = Option(recorded.get(key)).map {
+      l => bodyCtes(l) + "\nSELECT * FROM sel ORDER BY doc_id"
+    }
+
+    /** The whole-row materialization — CALL system.dsir's gate statement
+      * (the procedure writes every corpus column of the selected docs). */
+    def entryFullRows(key: String): Option[String] = Option(recorded.get(key)).map {
+      l => bodyCtes(l) +
+        "\nSELECT dd.* FROM documents dd JOIN sel USING (doc_id) ORDER BY doc_id"
     }
   }
 
@@ -470,12 +491,14 @@ object Sampling extends QueryModule {
     * StrictMath.log). ONE definition for the batch key, the streaming
     * selection MV (which freezes λ BEFORE the stream — the
     * q_stream_index_once posture) and the Gumbel resample mode. */
-  private[operators] def dsirTrain(s: SparkSession, dir: String): Array[Long] = {
+  /** Train λ over ANY corpus slice + target predicate — the procedure
+    * surface's form (CALL system.dsir takes the predicate as SQL). */
+  private[graft] def dsirTrainOn(docs: DataFrame, isTarget: Column,
+                                 textCol: Column): Array[Long] = {
     import graft.functions.DsirHash
-    val d = t(s, dir, "documents")
-    val counts = d
-      .select((col("lang") === DsirTargetLang).as("tgt"),
-        explode(graft.functions.dsir_gram_buckets(col("text"))).as("h"))
+    val counts = docs
+      .select(isTarget.as("tgt"),
+        explode(graft.functions.dsir_gram_buckets(textCol)).as("h"))
       .groupBy("h")
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
@@ -486,11 +509,17 @@ object Sampling extends QueryModule {
       ct(r.getInt(0)) = r.getLong(1); cr(r.getInt(0)) = r.getLong(2)
     }
     val totT = ct.sum; val totR = cr.sum
-    val lam = Array.tabulate(B) { h =>
+    Array.tabulate(B) { h =>
       math.round(1e6 * (StrictMath.log((ct(h) + 1.0) / (totT + B))
         - StrictMath.log((cr(h) + 1.0) / (totR + B))))
     }
-    DsirOracle.record(lam)
+  }
+
+  private[operators] def dsirTrain(s: SparkSession, dir: String,
+                                   oracleKey: String): Array[Long] = {
+    val lam = dsirTrainOn(t(s, dir, "documents"),
+      col("lang") === DsirTargetLang, col("text"))
+    DsirOracle.record(oracleKey, lam)
     lam
   }
 
@@ -507,7 +536,7 @@ object Sampling extends QueryModule {
   }
 
   private def sampleDsir(s: SparkSession, dir: String): DataFrame = {
-    val lam = dsirTrain(s, dir)
+    val lam = dsirTrain(s, dir, oracleKey = "sample_dsir")
     dsirScore(t(s, dir, "documents"), lam)
       .orderBy(col("dsir_micro").desc, col("doc_id").asc)
       .limit(DsirK)
@@ -527,7 +556,9 @@ object Sampling extends QueryModule {
   // key is rows-only by design, pinned by a full driver-side recompute
   // spec. Same map-only + k-heap plan as sample_dsir.
   private def sampleDsirGumbel(s: SparkSession, dir: String): DataFrame = {
-    val lam = dsirTrain(s, dir)
+    // rows-only key — trains its own λ (no armed entry to record)
+    val lam = dsirTrainOn(t(s, dir, "documents"),
+      col("lang") === DsirTargetLang, col("text"))
     dsirScore(t(s, dir, "documents"), lam)
       .withColumn("gumbel_micro", graft.functions.gumbel_micro(col("doc_id")))
       .withColumn("key_micro", col("dsir_micro") + col("gumbel_micro"))
@@ -558,7 +589,7 @@ object Sampling extends QueryModule {
   // (its trained λ vector becomes the oracle's literals — Verify dumps
   // oracle_sql.json AFTER the query pass, so the driver always sees it)
   def oracleSql: Map[String, String] =
-    DsirOracle.entry.map("sample_dsir" -> _).toMap ++ Map(
+    DsirOracle.entry("sample_dsir").map("sample_dsir" -> _).toMap ++ Map(
     "sample_stratified" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    ((doc_id * $MinstdA) % $MinstdM * $MinstdA) % $MinstdM AS h

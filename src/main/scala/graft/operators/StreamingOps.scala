@@ -1894,7 +1894,7 @@ object StreamingOps extends QueryModule {
     val srcDir = tmp("sdsr-src"); val ckpt = tmp("sdsr-ck")
     val mv = tmp("sdsr-mv") + "/t"
     val d = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
-    val lam = Sampling.dsirTrain(s, dir) // frozen before the stream
+    val lam = Sampling.dsirTrain(s, dir, oracleKey = "q_stream_dsir")
     d.repartition(4).write.mode("overwrite").parquet(srcDir)
     if (!tableExists(s, mv))
       Seq.empty[(Long, String, Long, Long, Long)]
@@ -2011,10 +2011,10 @@ object StreamingOps extends QueryModule {
     Dedup.TrainedSemOracle.entry.get("q_stream_semantic_trained")
       .map("q_stream_semantic_trained" -> _).toMap ++
     // the k-heap merge makes the maintained DSIR selection == the batch
-    // top-K at stream end, so the key gates on sample_dsir's armed
-    // λ-literal statement (either key's run arms it — λ is a pure
-    // function of the corpus)
-    Sampling.oracleSql.get("sample_dsir")
+    // top-K at stream end, so the key gates on the SAME λ-literal
+    // statement shape as sample_dsir, armed by its own run's λ (identical
+    // vectors — λ is a pure function of the corpus)
+    Sampling.DsirOracle.entry("q_stream_dsir")
       .map("q_stream_dsir" -> _).toMap ++ Map(
     // the streamed quarantine table must equal batch text_contamination —
     // its oracle verbatim

@@ -44,16 +44,17 @@ object LanceProcedures {
       case "stats" => stats(catalog)
       case "decontaminate" => decontaminate(catalog)
       case "semdedup" => semdedup(catalog)
+      case "dsir" => dsir(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "semdedup)")
+          "semdedup / dsir)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
-        "reindex", "stats", "decontaminate", "semdedup")
+        "reindex", "stats", "decontaminate", "semdedup", "dsir")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -677,6 +678,73 @@ object LanceProcedures {
         StructField("n_dropped", LongType, nullable = false),
         StructField("n_out", LongType, nullable = false))),
         Seq(Array[Any](UTF8String.fromString(outTable), nDropped, nOut)))
+    }
+
+  /** SQL entry point for DSIR data selection (Xie et al. 2023) —
+    * materializes the selected sub-corpus (every column of the top-k
+    * importance-ranked pool docs) and returns one summary row:
+    *
+    * {{{
+    *   CALL cat.system.dsir(table => 'db.docs',
+    *     id_column => 'doc_id', text_column => 'text',
+    *     target_predicate => 'lang = ''en''',
+    *     k => 100, output_table => 'db.docs_selected')
+    * }}}
+    *
+    * The pipeline is sample_dsir's end to end over an ARBITRARY table and
+    * target predicate: hashed uni+bigram features (1024 buckets), two
+    * bag-of-buckets distributions (predicate rows = target, the rest =
+    * pool), per-bucket importance log-ratios in integer micro-nats
+    * (driver StrictMath.log over the B-bounded counts), one codegen'd
+    * scoring map over the pool, top-k by (score, id). Selection writes
+    * distributed (semi-join against the k selected ids; the driver
+    * carries only the summary). */
+  private def dsir(catalog: LanceCatalog): UnboundProcedure =
+    bound("dsir", catalog, Array(
+      param("table", StringType),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("target_predicate", StringType, Some("''")),
+      param("k", IntegerType, Some("100")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      val idCol = in.getUTF8String(1).toString
+      val textCol = in.getUTF8String(2).toString
+      val pred = in.getUTF8String(3).toString.trim
+      val k = in.getInt(4)
+      val outTable = in.getUTF8String(5).toString.trim
+      require(pred.nonEmpty, "lance dsir: target_predicate is required " +
+        "(the target slice defines the distribution to select toward)")
+      require(k >= 1, s"lance dsir: k must be >= 1, got $k")
+      require(outTable.nonEmpty, "lance dsir: output_table is required " +
+        "(the selection materializes distributed)")
+      import org.apache.spark.sql.functions.{col, expr}
+      val corpus = spark.read.format("lance").load(root)
+      val isTarget = expr(pred)
+      val lam = graft.operators.Sampling.dsirTrainOn(corpus, isTarget, col(textCol))
+      // arm the λ-literal DuckDB oracle for the gated key (inert for any
+      // other table — Verify's dump reflects the gated call)
+      graft.operators.Sampling.DsirOracle.record("lance_dsir", lam)
+      val st = graft.functions.dsir_doc_score(col(textCol), lam)
+      val sel = corpus.filter(!isTarget)
+        .select(col(idCol), st.getItem(0).as("n_grams"),
+          st.getItem(1).as("dsir_micro"))
+        .filter(col("n_grams") > 0)
+        .orderBy(col("dsir_micro").desc, col(idCol).asc)
+        .limit(k)
+        .select(idCol)
+        .localCheckpoint() // consumed twice (count + semi-join)
+      val nSel = sel.count()
+      val selected = corpus.join(sel, Seq(idCol), "left_semi")
+      val outRoot = catalog.tableRootForCreate(outTable)
+      selected.write.format("lance").mode("overwrite").save(outRoot)
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val nOut = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+      (StructType(Seq(
+        StructField("output_table", StringType, nullable = false),
+        StructField("n_selected", LongType, nullable = false),
+        StructField("n_out", LongType, nullable = false))),
+        Seq(Array[Any](UTF8String.fromString(outTable), nSel, nOut)))
     }
 
   /** Per-column table statistics from metadata alone — the observability

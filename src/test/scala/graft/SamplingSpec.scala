@@ -307,6 +307,45 @@ class SamplingSpec extends SparkSpec {
       "gumbel resample selected exactly the plain top-K — noise inert")
   }
 
+  test("CALL system.dsir: target-like docs selected, whole rows materialize, summary counts, fail-fast params") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_ds",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ds.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-ds-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ds.db")
+    // target (cat = 't') speaks 'alpha'; the pool holds 2 alpha-speakers
+    // and 6 beta-speakers — k=2 must select exactly the alpha pair, and
+    // the extra payload column proves whole-row materialization
+    val alpha = Seq.fill(12)("alpha").mkString(" ")
+    val beta = Seq.fill(12)("beta").mkString(" ")
+    val rows = (10L to 19L).map(i => (i, "t", alpha, s"tgt-$i")) ++
+      Seq((1L, "p", alpha, "pool-a1"), (2L, "p", alpha, "pool-a2")) ++
+      (3L to 8L).map(i => (i, "p", beta, s"pool-b$i"))
+    rows.toDF("doc_id", "cat", "body", "payload")
+      .createOrReplaceTempView("ds_src")
+    spark.sql("CREATE TABLE graft_ds.db.c AS SELECT * FROM ds_src")
+    val summary = spark.sql(
+      "CALL graft_ds.system.dsir(table => 'db.c', text_column => 'body', " +
+        "target_predicate => 'cat = ''t''', k => 2, " +
+        "output_table => 'db.sel')").collect()
+    assert(summary.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((2L, 2L)),
+      s"summary wrong: ${summary.toSeq}")
+    val out = spark.table("graft_ds.db.sel")
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L),
+      s"selection must be the target-like pool docs: ${out.toSeq}")
+    assert(out.forall(_._2.nonEmpty), "payload column lost")
+    // missing predicate / output_table fail fast
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft_ds.system.dsir(table => 'db.c', output_table => 'db.x')").collect())
+    assert(e1.getMessage.contains("target_predicate"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_ds.system.dsir(table => 'db.c', " +
+        "target_predicate => 'cat = ''t''')").collect())
+    assert(e2.getMessage.contains("output_table"))
+  }
+
   test("q_stream_dsir: maintained selection MV == batch sample_dsir row-for-row") {
     // λ frozen before the stream, per-batch top-K merged into a K-row
     // standing view — the k-heap merge argument makes stream end == batch

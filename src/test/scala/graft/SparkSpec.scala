@@ -199,6 +199,7 @@ class EntrySpec extends SparkSpec {
     "sample_dsir" -> 100,
     "sample_dsir_gumbel" -> 100,
     "q_stream_dsir" -> 100,
+    "lance_dsir" -> 100,
     "knn_mmr" -> 30)
 
   test("entry returns rows") {
