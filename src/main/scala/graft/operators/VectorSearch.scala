@@ -838,7 +838,11 @@ object VectorSearch extends QueryModule {
     val pg = pairs.groupBy("query_id").agg(
       sort_array(collect_list(struct(col("ai"), col("bi"), col("psim"))))
         .as("pairs"))
-    g.join(pg, "query_id")
+    // LEFT join: a single-candidate query has no pairs — it must still
+    // select its one doc, not silently vanish from the answer
+    g.join(pg, Seq("query_id"), "left")
+      .withColumn("pairs", coalesce(col("pairs"),
+        array().cast("array<struct<ai:int,bi:int,psim:bigint>>")))
       .select(col("query_id"),
         explode(graft.functions.mmr_select(col("cands"), col("pairs"), MmrK))
           .as("s"))

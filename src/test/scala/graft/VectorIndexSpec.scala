@@ -1289,6 +1289,19 @@ class VectorIndexSpec extends SparkSpec {
     assert(picks.tail.toSet === Set(6L, 7L, 8L),
       s"MMR picks 2-4 must be the diverse docs, got $picks")
 
+    // single-candidate regression: a query whose pool holds ONE doc has
+    // no candidate pairs — it must still return that doc (the pair-agg
+    // join is LEFT, not inner)
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft-mmr1-").toString
+    Seq((1L, vec(0 -> 1f)),
+      (100L, vec(0 -> 1f)), (200L, vec(5 -> 1f)), (300L, vec(6 -> 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp1/embeddings.parquet")
+    val solo = SparkEntry.queries("knn_mmr")(spark, tmp1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(solo.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)),
+      s"single-candidate queries dropped or misranked: ${solo.toSeq}")
+
     // 3) plan of the candidate stage (the corpus-sized part — the operator
     // materializes its N×|queries| output before the pair fan-out, which
     // truncates the final plan's lineage): query vecs broadcast, top-N as
