@@ -1926,6 +1926,49 @@ object StreamingOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Streaming DRIFT monitoring — corpus_drift maintained over an
+    * arriving corpus: gram-bucket counts are ADDITIVE (the
+    * mergeable-summaries property, exactly q_stream_mv's additive-MV
+    * shape), so the standing (source, bucket) count table updates per
+    * batch by a full-outer merge + bid-guarded transactional overwrite —
+    * state is ≤ |sources|·B rows regardless of corpus size, per-batch
+    * cost is one batch featurize pass + that bounded merge. At stream end
+    * the standing counts equal the batch aggregation EXACTLY (integer
+    * sums in any order), so the report tail (driftReport, shared
+    * verbatim) gates on corpus_drift's full χ² oracle UNCHANGED. */
+  private def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = tmp("sdft-src"); val ckpt = tmp("sdft-ck")
+    val cntT = tmp("sdft-cnt") + "/t"
+    val d = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    if (!tableExists(s, cntT))
+      Seq.empty[(String, Int, Long, Long)].toDF("source", "h", "c", "bid")
+        .write.format("lance").save(cntT)
+    val q = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val lastBid = lastBidOf(s, cntT)
+        if (bid > lastBid) { // replayed micro-batch = no-op
+          val delta = TextAnalysis.driftCounts(batch)
+            .select(col("source"), col("h"), col("c").as("dc"))
+          s.read.format("lance").load(cntT).drop("bid")
+            .join(delta, Seq("source", "h"), "full_outer")
+            .select(col("source"), col("h"),
+              (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+            .withColumn("bid", lit(bid))
+            .write.format("lance").mode("overwrite").save(cntT)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    drain(q)
+    TextAnalysis.driftReport(
+      s.read.format("lance").load(cntT).select("source", "h", "c"))
+  }
+
   /** Streaming sketch maintenance — the mergeable-summaries form of
     * streaming uniques: each micro-batch appends ONE (day, 2 KB HLL
     * register array) row per touched day (bounded by days-per-batch,
@@ -1986,6 +2029,7 @@ object StreamingOps extends QueryModule {
     "q_stream_hybrid" -> streamHybrid,
     "q_stream_maxsim" -> streamMaxSim,
     "q_stream_dsir" -> streamDsir,
+    "q_stream_drift" -> streamDrift,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
@@ -2063,6 +2107,10 @@ object StreamingOps extends QueryModule {
     // the append-only token store holds the full derivation at stream
     // end, so the streamed MaxSim serving == the batch key's ranking
     "q_stream_maxsim" -> VectorSearch.oracleSql("knn_maxsim"),
+    // gram-bucket counts are additive, so the standing count table at
+    // stream end == the batch aggregation exactly; the report tail is
+    // shared verbatim — the batch χ² oracle applies unchanged
+    "q_stream_drift" -> TextAnalysis.oracleSql("corpus_drift"),
     "q_stream_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)

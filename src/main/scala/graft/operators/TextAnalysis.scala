@@ -867,6 +867,60 @@ object TextAnalysis extends QueryModule {
   }
 
   // ---- text_compress_ratio ----------------------------------------------
+  // ---- corpus_drift ------------------------------------------------------
+  // Distribution-DRIFT report over the DSIR hashed-gram feature space —
+  // the monitoring number a mixture pipeline reads to catch a source
+  // whose content shifted (a crawl gone templated, a scrape swapping
+  // language): per source, the χ² divergence between the source's
+  // bag-of-buckets distribution and the corpus-wide one, smoothed add-1
+  // over the same 1024 hashed uni+bigram buckets sample_dsir featurizes
+  // with. χ² instead of KL DELIBERATELY: it is pure-rational (no ln), so
+  // the whole report — counts, smoothing, the per-bucket terms — carries
+  // a full independent DuckDB oracle (the repo's posture: log() never
+  // crosses the engine boundary; sample_dsir pays the armed-literal
+  // mechanism for its ln, the drift monitor doesn't have to). Per-bucket
+  // terms round to integer nano-units BEFORE the per-source sum (float
+  // sums are order-dependent across engines; integer sums aren't).
+  // Scale shape: ONE (source, bucket) shuffle with map-side partials
+  // (result ≤ |sources|·B rows), the scaffold/corpus joins are
+  // B-bounded, the global total is a 1-row broadcast — never a collect.
+  private[operators] val DriftB = graft.functions.DsirHash.Buckets
+
+  /** The report tail over (source, h, c) gram-bucket counts — ONE
+    * definition for the batch key and the streaming twin (whose standing
+    * count table is additive, so its stream-end counts equal the batch
+    * aggregation exactly). */
+  private[operators] def driftReport(bySrc: DataFrame): DataFrame = {
+    val s = bySrc.sparkSession
+    val B = DriftB
+    val tots = bySrc.groupBy("source").agg(sum("c").as("tot_s"))
+    val corpus = bySrc.groupBy("h").agg(sum("c").as("c_all"))
+    val totAll = corpus.agg(sum("c_all").as("tot_all"))
+    val scaffold = tots.crossJoin(
+      s.range(B).select(col("id").cast("int").as("h")))
+    val ps = (coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("tot_s") + B)
+    val pa = (coalesce(col("c_all"), lit(0L)) + 1).cast("double") / (col("tot_all") + B)
+    scaffold
+      .join(bySrc, Seq("source", "h"), "left")
+      .join(corpus, Seq("h"), "left")
+      .crossJoin(broadcast(totAll))
+      .select(col("source"), col("tot_s"),
+        round((ps - pa) * (ps - pa) / pa * 1e9).cast("long").as("t_nano"))
+      .groupBy("source")
+      .agg(max(col("tot_s")).as("n_grams"),
+        round(sum(col("t_nano")).cast("double") / 1e9, 6).as("chi2"))
+      .select(col("source"), col("n_grams"), col("chi2"))
+      .orderBy("source")
+  }
+
+  private[operators] def driftCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(graft.functions.dsir_gram_buckets(col("text"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+
+  private def corpusDrift(s: SparkSession, dir: String): DataFrame =
+    driftReport(driftCounts(t(s, dir, "documents")))
+
   // Compression-ratio quality signal (Gopher/Dolma posture): templated or
   // repetitive spam deflates far below natural prose, (near-)random bytes
   // barely deflate, so deflate_len/octet_length separates both junk tails
@@ -891,6 +945,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_stats" -> corpusStats,
+    "corpus_drift" -> corpusDrift,
     "text_compress_ratio" -> textCompressRatio,
     "text_commonness" -> textCommonness,
     "text_pack" -> textPack,
@@ -972,6 +1027,45 @@ object TextAnalysis extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     // integer rank selection + integer micro-unit quality sum keep every
     // aggregate order-independent — the only doubles are single divisions
+    // the same featurize → count → smooth → χ² chain, independently: the
+    // per-bucket term's double arithmetic is written in the IDENTICAL
+    // operation order as the Spark column expression (every IEEE op is
+    // correctly rounded, so same order ⇒ same bits), and the per-source
+    // sum is over integer nano-units
+    "corpus_drift" ->
+      s"""WITH d AS (SELECT source, $wSql AS w FROM documents),
+         |g AS (SELECT source,
+         |  list_concat(w, list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS grams
+         |  FROM d WHERE len(w) >= 1),
+         |e AS (SELECT source, unnest(list_transform(grams, gg ->
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(gg) + 1),
+         |      i -> CAST(ascii(gg[i:i]) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % 1000000007) % 1024 AS INT))) AS h
+         |  FROM g),
+         |bysrc AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot_s
+         |  FROM bysrc GROUP BY 1),
+         |corpus AS (SELECT h, CAST(sum(c) AS BIGINT) AS c_all
+         |  FROM bysrc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all FROM corpus),
+         |scaffold AS (SELECT source, tot_s, CAST(r.range AS INT) AS h
+         |  FROM tots, range(0, 1024) AS r),
+         |pr AS (SELECT sc.source, sc.tot_s,
+         |    CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / (sc.tot_s + 1024) AS ps,
+         |    CAST(coalesce(co.c_all, 0) + 1 AS DOUBLE) / (t.tot_all + 1024) AS pa
+         |  FROM scaffold sc
+         |  LEFT JOIN bysrc b ON b.source = sc.source AND b.h = sc.h
+         |  LEFT JOIN corpus co ON co.h = sc.h, tot t),
+         |term AS (SELECT source, tot_s,
+         |    CAST(round((ps - pa) * (ps - pa) / pa * 1000000000.0) AS BIGINT)
+         |      AS t_nano
+         |  FROM pr)
+         |SELECT source, max(tot_s) AS n_grams,
+         |  round(CAST(sum(t_nano) AS DOUBLE) / 1000000000.0, 6) AS chi2
+         |FROM term GROUP BY source ORDER BY source""".stripMargin,
     "corpus_stats" ->
       s"""WITH d AS (SELECT doc_id, source, text, $wSql AS w FROM documents),
          |s AS (SELECT doc_id, source, text,

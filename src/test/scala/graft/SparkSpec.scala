@@ -200,6 +200,8 @@ class EntrySpec extends SparkSpec {
     "sample_dsir_gumbel" -> 100,
     "q_stream_dsir" -> 100,
     "lance_dsir" -> 100,
+    "corpus_drift" -> 20,
+    "q_stream_drift" -> 20,
     "knn_mmr" -> 30)
 
   test("entry returns rows") {

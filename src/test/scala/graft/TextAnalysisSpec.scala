@@ -72,6 +72,87 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"deflate fell out of codegen:\n$plan")
   }
 
+  test("corpus_drift: χ² == plain-Scala recompute; skewed source outranks a representative one; one counts shuffle") {
+    // 1) full independent recompute on the real corpus: own tokenizer,
+    // own per-gram rolling hash, own counts, own χ² in the SAME IEEE
+    // operation order the column expression declares
+    val docs = Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val B = 1024
+    def grams(text: String): Seq[String] = {
+      val w = text.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => a + " " + b }
+    }
+    def bucket(g: String): Int = {
+      var h = 0L; var i = 0
+      while (i < g.length) {
+        val cp = g.codePointAt(i)
+        h = (h * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      (h % B).toInt
+    }
+    val counts = scala.collection.mutable.Map[(String, Int), Long]().withDefaultValue(0L)
+    docs.foreach { case (src, text) =>
+      grams(text).foreach(g => counts((src, bucket(g))) += 1) }
+    val totS = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val cAll = counts.groupBy(_._1._2).map { case (h, m) => h -> m.values.sum }
+    val totAll = cAll.values.sum
+    val expected = totS.keys.toSeq.sorted.map { src =>
+      val tnanos = (0 until B).map { h =>
+        val ps = (counts((src, h)) + 1).toDouble / (totS(src) + B)
+        val pa = (cAll.getOrElse(h, 0L) + 1).toDouble / (totAll + B)
+        math.round((ps - pa) * (ps - pa) / pa * 1e9)
+      }
+      (src, totS(src),
+        BigDecimal(tnanos.sum.toDouble / 1e9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("corpus_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+
+    // 2) direction on an engineered corpus. The representative source
+    // must match the CORPUS mix (which all sources jointly define), so:
+    // srcA = 4α+4β docs, srcB = 2β, srcC = 2α → corpus = 6α+6β = exactly
+    // srcA's 50/50 mix. srcA's χ² is smoothing noise only; the two
+    // skewed sources must each carry a decisively larger divergence.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    import spark.implicits._
+    val alpha = Seq.fill(10)("alpha").mkString(" ")
+    val beta = Seq.fill(10)("beta").mkString(" ")
+    ((1L to 8L).map(i => (i, "srcA", "xx", if (i % 2 == 0) alpha else beta)) ++
+      Seq((11L, "srcB", "xx", beta), (12L, "srcB", "xx", beta),
+        (21L, "srcC", "xx", alpha), (22L, "srcC", "xx", alpha)))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val drift = SparkEntry.queries("corpus_drift")(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(drift("srcB") > drift("srcA") * 2 && drift("srcC") > drift("srcA") * 2,
+      s"skewed sources not flagged: $drift")
+
+    // 3) plan: ONE (source, h) counts shuffle with map-side partials; the
+    // scaffold/corpus joins are B-bounded and the 1-row total broadcasts
+    val plan = SparkEntry.queries("corpus_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"counts aggregation lost its map-side partial:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row corpus total not broadcast:\n$plan")
+  }
+
+  test("q_stream_drift: maintained count table report == batch corpus_drift row-for-row") {
+    // counts are additive, so stream-end state == the batch aggregation
+    // exactly and the shared report tail must reproduce the batch answer
+    val streamed = SparkEntry.queries("q_stream_drift")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("corpus_drift")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("corpus_stats: exact rank percentiles + corpus-wide dup flags (engineered corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cstats-").toString
     import spark.implicits._
