@@ -450,6 +450,28 @@ object LanceOps extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
+    * v1, an append makes v2, and the report compares each source's
+    * hashed-gram distribution ACROSS VERSIONS — old side read through
+    * `versionAsOf`, new side the latest manifest, χ² tail shared with
+    * corpus_drift ([[TextAnalysis.driftPair]]). This is the monitoring
+    * loop versioned storage exists for: no second copy of the old corpus,
+    * no pre-computed baselines — the connector's version pin IS the
+    * baseline. The oracle re-derives both snapshots from the original
+    * parquet with the same version-defining predicate. */
+  private def lanceDrift(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("drift")
+    val d = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+    d.filter(col("doc_id") % 3 =!= 0)
+      .write.format("lance").save(root) // version 1
+    d.filter(col("doc_id") % 3 === 0)
+      .write.format("lance").mode("append").save(root) // version 2
+    val old = s.read.format("lance").option("versionAsOf", "1").load(root)
+    TextAnalysis.driftPair(
+      TextAnalysis.driftCounts(old),
+      TextAnalysis.driftCounts(read(s, root)))
+  }
+
   /** `CALL system.dsir` driven through SQL end to end: register the
     * documents table in the catalog, run the data-selection procedure
     * (target = the en slice, k = sample_dsir's K), read back the
@@ -731,6 +753,7 @@ object LanceOps extends QueryModule {
     "lance_decontaminate" -> decontaminateSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
+    "lance_drift" -> lanceDrift,
     "lance_events_roundtrip" -> eventsRoundtrip)
 
   // a `def`: lance_semdedup's oracle is lazily armed by the procedure run
@@ -743,6 +766,9 @@ object LanceOps extends QueryModule {
     // (the procedure materializes every corpus column of the selection)
     graft.operators.Sampling.DsirOracle.entryFullRows("lance_dsir")
       .map("lance_dsir" -> _).toMap ++ Map(
+    // both snapshots re-derived from the parquet with the key's own
+    // version-defining predicate (v1 = doc_id % 3 != 0; v2 = all)
+    "lance_drift" -> TextAnalysis.driftPairOracleSql("doc_id % 3 != 0"),
     // survivors = corpus minus docs flagged by overlap >= 3 OR containment
     // >= 0.5 (string shingles mirror the hashed sets, collisions ~1e-9)
     "lance_decontaminate" ->

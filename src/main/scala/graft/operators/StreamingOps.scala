@@ -1875,6 +1875,37 @@ object StreamingOps extends QueryModule {
       VectorSearch.maxSimQueryVecs(s, e))
   }
 
+  /** Streaming DIVERSIFIED retrieval — the serving-side twin of knn_mmr,
+    * completing the retrieval-serving family (text index, hybrid, MaxSim,
+    * MMR): an arriving corpus maintains the standing vector table via the
+    * exactly-once lance StreamingWrite, and the MMR workload serves from
+    * it — the candidate scan ([[VectorSearch.mmrCandidatesFrom]]) and the
+    * pair-sims + greedy tail ([[VectorSearch.mmrServe]]) are the batch
+    * key's VERBATIM, reading the streamed table instead of the fixture.
+    * The store is append-only, so at stream end it holds exactly the
+    * corpus and the key gates on knn_mmr's recursive-CTE oracle
+    * UNCHANGED. Production shape: the store clusters by IVF cell and the
+    * candidate scan prunes probes (q_stream_index_once's posture); the
+    * gate serves from the whole store — the exact, oracle-checkable
+    * configuration. */
+  private def streamMmr(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("smmr-src"); val ckpt = tmp("smmr-ck")
+    val vecT = tmp("smmr-vec") + "/t"
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    e.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(vecT)
+    drain(q)
+    VectorSearch.mmrServe(
+      VectorSearch.mmrCandidatesFrom(s, s.read.format("lance").load(vecT))
+        .localCheckpoint())
+  }
+
   /** Streaming DSIR selection — sample_dsir maintained as an incremental
     * MV over an arriving pool: λ is trained and FROZEN before the stream
     * (the q_stream_index_once posture — in production on the reference
@@ -2030,6 +2061,7 @@ object StreamingOps extends QueryModule {
     "q_stream_maxsim" -> streamMaxSim,
     "q_stream_dsir" -> streamDsir,
     "q_stream_drift" -> streamDrift,
+    "q_stream_mmr" -> streamMmr,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
@@ -2111,6 +2143,9 @@ object StreamingOps extends QueryModule {
     // stream end == the batch aggregation exactly; the report tail is
     // shared verbatim — the batch χ² oracle applies unchanged
     "q_stream_drift" -> TextAnalysis.oracleSql("corpus_drift"),
+    // the append-only vector store holds exactly the corpus at stream
+    // end, so the streamed MMR serving == the batch key's answer
+    "q_stream_mmr" -> VectorSearch.oracleSql("knn_mmr"),
     "q_stream_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)

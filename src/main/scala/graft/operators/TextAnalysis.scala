@@ -921,6 +921,74 @@ object TextAnalysis extends QueryModule {
   private def corpusDrift(s: SparkSession, dir: String): DataFrame =
     driftReport(driftCounts(t(s, dir, "documents")))
 
+  /** The TWO-SNAPSHOT drift tail: per source, χ² between the source's
+    * distribution in the NEW snapshot vs the OLD one (same smoothing and
+    * integer-nano-term discipline as [[driftReport]]) — what a pipeline
+    * reads after each ingest cycle to see which sources actually moved.
+    * A source absent from the old snapshot compares against the uniform
+    * add-1 prior (tot_o = 0), flagging it loudly rather than erroring. */
+  private[graft] def driftPair(oldC: DataFrame, newC: DataFrame): DataFrame = {
+    val s = newC.sparkSession
+    val B = DriftB
+    val totsN = newC.groupBy("source").agg(sum("c").as("tot_n"))
+    val totsO = oldC.groupBy("source").agg(sum("c").as("tot_o"))
+    val scaffold = totsN.join(totsO, Seq("source"), "left")
+      .na.fill(0L, Seq("tot_o"))
+      .crossJoin(s.range(B).select(col("id").cast("int").as("h")))
+    val pn = (coalesce(col("cn"), lit(0L)) + 1).cast("double") / (col("tot_n") + B)
+    val po = (coalesce(col("co"), lit(0L)) + 1).cast("double") / (col("tot_o") + B)
+    scaffold
+      .join(newC.select(col("source"), col("h"), col("c").as("cn")),
+        Seq("source", "h"), "left")
+      .join(oldC.select(col("source"), col("h"), col("c").as("co")),
+        Seq("source", "h"), "left")
+      .select(col("source"), col("tot_o"), col("tot_n"),
+        round((pn - po) * (pn - po) / po * 1e9).cast("long").as("t_nano"))
+      .groupBy("source")
+      .agg(max("tot_o").as("n_grams_old"), max("tot_n").as("n_grams_new"),
+        round(sum(col("t_nano")).cast("double") / 1e9, 6).as("chi2"))
+      .orderBy("source")
+  }
+
+  /** The lance_drift oracle body: both snapshots re-derived from the
+    * parquet with the gated key's own version-defining predicate. */
+  private[operators] def driftPairOracleSql(oldWhere: String): String =
+    s"""WITH d AS (SELECT doc_id, source, $wSql AS w FROM documents),
+       |g AS (SELECT doc_id, source,
+       |  list_concat(w, list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i + 1])) AS grams
+       |  FROM d WHERE len(w) >= 1),
+       |e AS (SELECT doc_id, source, unnest(list_transform(grams, gg ->
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(gg) + 1),
+       |      i -> CAST(ascii(gg[i:i]) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 1000000007) % 1024 AS INT))) AS h
+       |  FROM g),
+       |cn AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+       |  FROM e GROUP BY 1, 2),
+       |co AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+       |  FROM e WHERE $oldWhere GROUP BY 1, 2),
+       |totn AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot_n
+       |  FROM cn GROUP BY 1),
+       |toto AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot_o
+       |  FROM co GROUP BY 1),
+       |scaffold AS (SELECT n.source, n.tot_n,
+       |    coalesce(o.tot_o, 0) AS tot_o, CAST(r.range AS INT) AS h
+       |  FROM totn n LEFT JOIN toto o USING (source), range(0, 1024) AS r),
+       |pr AS (SELECT sc.source, sc.tot_o, sc.tot_n,
+       |    CAST(coalesce(nn.c, 0) + 1 AS DOUBLE) / (sc.tot_n + 1024) AS pn,
+       |    CAST(coalesce(oo.c, 0) + 1 AS DOUBLE) / (sc.tot_o + 1024) AS po
+       |  FROM scaffold sc
+       |  LEFT JOIN cn nn ON nn.source = sc.source AND nn.h = sc.h
+       |  LEFT JOIN co oo ON oo.source = sc.source AND oo.h = sc.h),
+       |term AS (SELECT source, tot_o, tot_n,
+       |    CAST(round((pn - po) * (pn - po) / po * 1000000000.0) AS BIGINT)
+       |      AS t_nano
+       |  FROM pr)
+       |SELECT source, max(tot_o) AS n_grams_old, max(tot_n) AS n_grams_new,
+       |  round(CAST(sum(t_nano) AS DOUBLE) / 1000000000.0, 6) AS chi2
+       |FROM term GROUP BY source ORDER BY source""".stripMargin
+
   // Compression-ratio quality signal (Gopher/Dolma posture): templated or
   // repetitive spam deflates far below natural prose, (near-)random bytes
   // barely deflate, so deflate_len/octet_length separates both junk tails

@@ -800,10 +800,14 @@ object VectorSearch extends QueryModule {
     * pre-shuffle k-heap — is assertable by the spec. The operator
     * materializes the (N × |queries|)-bounded result before fanning it
     * into the pair self-join. */
-  private[graft] def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** The candidate stage over ANY (vec_id, embedding) store — one scan
+    * whether the store is the fixture table (batch key) or the streamed
+    * standing table (q_stream_mmr). Query vectors resolve from the same
+    * store and broadcast. */
+  private[graft] def mmrCandidatesFrom(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val e = e0.select("vec_id", "embedding")
     val qv = e.join(broadcast(MmrQueries.toDF("query_id", "qvid")),
         col("vec_id") === col("qvid"))
       .select(col("query_id"), col("embedding").as("qv"))
@@ -820,10 +824,17 @@ object VectorSearch extends QueryModule {
       .filter(col("rnk") <= MmrN)
   }
 
-  private def knnMmr(s: SparkSession, dir: String): DataFrame = {
-    // consumed 3× below (pair self-join + collect): materialize the
-    // N × |queries| candidate rows instead of re-scanning the corpus
-    val cand = mmrCandidates(s, dir).localCheckpoint()
+  /** The candidate stage alone (pre-materialization), so its plan shape —
+    * broadcast query vecs over one codegen'd cosine scan, top-N as a
+    * pre-shuffle k-heap — is assertable by the spec. The operator
+    * materializes the (N × |queries|)-bounded result before fanning it
+    * into the pair self-join. */
+  private[graft] def mmrCandidates(s: SparkSession, dir: String): DataFrame =
+    mmrCandidatesFrom(s, t(s, dir, "embeddings"))
+
+  /** The pair-sims + greedy tail over MATERIALIZED candidates — shared
+    * verbatim by the batch key and the streaming serving twin. */
+  private[graft] def mmrServe(cand: DataFrame): DataFrame = {
     val a = cand.select(col("query_id"), col("rnk").as("ai"),
       col("embedding").as("av"))
     val b = cand.select(col("query_id"), col("rnk").as("bi"),
@@ -852,6 +863,11 @@ object VectorSearch extends QueryModule {
         col("s.mmr").as("mmr_micro"))
       .orderBy("query_id", "rk")
   }
+
+  private def knnMmr(s: SparkSession, dir: String): DataFrame =
+    // consumed 3× in the tail (pair self-join + collect): materialize the
+    // N × |queries| candidate rows instead of re-scanning the corpus
+    mmrServe(mmrCandidates(s, dir).localCheckpoint())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_maxsim" -> knnMaxSim,

@@ -202,7 +202,9 @@ class EntrySpec extends SparkSpec {
     "lance_dsir" -> 100,
     "corpus_drift" -> 20,
     "q_stream_drift" -> 20,
-    "knn_mmr" -> 30)
+    "knn_mmr" -> 30,
+    "q_stream_mmr" -> 30,
+    "lance_drift" -> 20)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

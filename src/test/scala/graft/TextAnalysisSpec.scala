@@ -142,6 +142,35 @@ class TextAnalysisSpec extends SparkSpec {
       s"1-row corpus total not broadcast:\n$plan")
   }
 
+  test("driftPair: identical snapshots give exactly zero; same-distribution growth stays near zero; a shifted source flags") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // counts at realistic gram-mass scale: with toy totals (~15 grams)
+    // the add-1 smoothing over 1024 buckets dominates both signals and
+    // growth-vs-shift compresses to ~5× — at corpus scale the prior is
+    // negligible and the separation is orders of magnitude
+    val old = Seq(("a", 1, 10000L), ("a", 2, 5000L), ("b", 3, 7000L))
+      .toDF("source", "h", "c")
+    // identity: pn == po bucket-for-bucket → every nano term rounds from
+    // exactly 0.0 — the report must read 0.0, not epsilon
+    val same = TextAnalysis.driftPair(old, old).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.toSeq === Seq(("a", 15000L, 15000L, 0.0), ("b", 7000L, 7000L, 0.0)))
+    // 3× growth with the SAME shape: only the add-1 smoothing moves — the
+    // χ² must stay tiny
+    val grown = TextAnalysis.driftPair(old,
+      old.withColumn("c", col("c") * 3)).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // source a's mass moves wholly from buckets {1,2} to bucket 9 — a
+    // real content shift; b unchanged
+    val shifted = TextAnalysis.driftPair(old,
+      Seq(("a", 9, 15000L), ("b", 3, 7000L)).toDF("source", "h", "c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(shifted("a") > grown("a") * 100,
+      s"content shift not separated from growth: shift=${shifted("a")} grown=${grown("a")}")
+    assert(shifted("b") === 0.0)
+  }
+
   test("q_stream_drift: maintained count table report == batch corpus_drift row-for-row") {
     // counts are additive, so stream-end state == the batch aggregation
     // exactly and the shared report tail must reproduce the batch answer

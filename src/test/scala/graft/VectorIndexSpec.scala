@@ -1314,6 +1314,19 @@ class VectorIndexSpec extends SparkSpec {
       s"query vectors not broadcast:\n$plan")
   }
 
+  test("q_stream_mmr: MMR served from the maintained vector store == batch knn_mmr row-for-row") {
+    // the streamed key keeps the vector store fresh (exactly-once lance
+    // appends) and serves the SAME workload through the batch key's
+    // candidate scan and greedy tail verbatim — the store is append-only,
+    // so streamed == batch is the whole statement
+    val streamed = SparkEntry.queries("q_stream_mmr")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("knn_mmr")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q_stream_maxsim: MaxSim served from the maintained token store == batch knn_maxsim row-for-row") {
     // the streamed key keeps the multi-vector token store fresh (stateless
     // per-row token derivation + exactly-once lance appends) and serves
