@@ -80,7 +80,8 @@ object Bench {
     "dedup_semantic_sweep", "q_stream_hybrid", "knn_maxsim",
     "q_stream_maxsim", "sample_dsir", "knn_mmr",
     "sample_dsir_gumbel", "q_stream_dsir", "lance_dsir",
-    "corpus_drift", "q_stream_drift", "q_stream_mmr", "lance_drift")
+    "corpus_drift", "q_stream_drift", "q_stream_mmr", "lance_drift",
+    "ivf_filtered_search")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

@@ -184,6 +184,24 @@ object VectorIndex extends QueryModule {
     ivfSearch(s, root, centroids, qv, nprobes = Cells, k = K, excludeVecId = QueryVecId)
   }
 
+  /** FILTERED ANN over the index — the vector-store feature plain KNN
+    * keys don't exercise: the filterable payload column (`label`) is
+    * STORED IN the index table (exactly how production filtered-ANN
+    * works — pre-filtering needs the predicate column beside the
+    * vectors), the predicate applies INSIDE the probed-cell scan (before
+    * any distance math, pushed to the lance scan's fragment/row pruning),
+    * and the k-heap ranks only surviving rows. Probing all cells makes
+    * the gate configuration exact, so the key carries the full
+    * brute-force-filtered oracle; production trades probes for recall
+    * exactly as the unfiltered keys do. */
+  private def ivfFilteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val (root, centroids) = buildIvfFlat(s, dir)
+    val qv = embeddingOf(s, dir, QueryVecId)
+    probedScan(s, root, Map.empty, selectProbesExact(centroids, qv, Cells),
+      qv, "l2", K, excludeVecId = QueryVecId,
+      pred = Some(col("label") === 3))
+  }
+
   /** IVF_HNSW-equivalent: probe selection via the centroid graph's greedy
     * ef-search instead of the exact O(cells) scan. With ef = nprobes =
     * all cells the graph provably visits every node (ring edge), so the
@@ -390,6 +408,7 @@ object VectorIndex extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_flat_search" -> ivfFlatSearch,
+    "ivf_filtered_search" -> ivfFilteredSearch,
     "ivf_append_search" -> ivfAppendSearch,
     "ivf_hnsw_search" -> ivfHnswSearch,
     "ivf_pq_search" -> ivfPqSearch,
@@ -410,6 +429,10 @@ object VectorIndex extends QueryModule {
     * ivf_pq is approximate by construction → rows-only (no SQL oracle). */
   val oracleSql: Map[String, String] = Map(
     "ivf_flat_search" -> exactKnnSql,
+    // the filtered gate probes all cells, so the oracle is the exact
+    // brute-force KNN under the same predicate
+    "ivf_filtered_search" ->
+      exactKnnSql.replace("WHERE e.vec_id <>", "WHERE e.label = 3 AND e.vec_id <>"),
     "ivf_append_search" -> exactKnnSql,
     "ivf_hnsw_search" -> exactKnnSql,
     // SQ ADC + exact refine reproduces exact KNN (8-bit precision keeps

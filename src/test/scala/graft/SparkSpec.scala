@@ -204,7 +204,8 @@ class EntrySpec extends SparkSpec {
     "q_stream_drift" -> 20,
     "knn_mmr" -> 30,
     "q_stream_mmr" -> 30,
-    "lance_drift" -> 20)
+    "lance_drift" -> 20,
+    "ivf_filtered_search" -> 15)
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

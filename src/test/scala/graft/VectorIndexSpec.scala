@@ -1314,6 +1314,20 @@ class VectorIndexSpec extends SparkSpec {
       s"query vectors not broadcast:\n$plan")
   }
 
+  test("ivf_filtered_search: the label predicate reaches the index scan as a pushed filter") {
+    // correctness is the full oracle's job (all-probe filtered == exact
+    // brute-force under the predicate); what the spec pins is the SCALE
+    // property — the payload predicate applies at the lance scan (fragment
+    // stats + row filtering), not as a post-scan Spark filter over every
+    // probed vector
+    val plan = SparkEntry.queries("ivf_filtered_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the index scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"filtered top-k not a k-heap:\n$plan")
+  }
+
   test("q_stream_mmr: MMR served from the maintained vector store == batch knn_mmr row-for-row") {
     // the streamed key keeps the vector store fresh (exactly-once lance
     // appends) and serves the SAME workload through the batch key's
