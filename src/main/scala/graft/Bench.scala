@@ -81,7 +81,7 @@ object Bench {
     "q_stream_maxsim", "sample_dsir", "knn_mmr",
     "sample_dsir_gumbel", "q_stream_dsir", "lance_dsir",
     "corpus_drift", "q_stream_drift", "q_stream_mmr", "lance_drift",
-    "ivf_filtered_search")
+    "lance_drift_call", "ivf_filtered_search")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

@@ -472,6 +472,27 @@ object LanceOps extends QueryModule {
       TextAnalysis.driftCounts(read(s, root)))
   }
 
+  /** `CALL system.drift` driven through SQL end to end: register the two
+    * corpus snapshots as catalog tables (reference = the v1 slice, table =
+    * the full corpus — the same version-defining predicate as
+    * lance_drift), run the cross-table monitoring procedure, and gate its
+    * row output on the SAME two-snapshot χ² oracle. */
+  private def driftSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tOld, tNew) = (s"drfo_$sfx", s"drfn_$sfx")
+    val d = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+    d.createOrReplaceTempView(s"src_$tNew")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tNew AS SELECT * FROM src_$tNew")
+    s.sql(s"CREATE TABLE graft_lance.db.$tOld AS " +
+      s"SELECT * FROM src_$tNew WHERE doc_id % 3 != 0")
+    s.sql(s"CALL graft_lance.system.drift(table => 'db.$tNew', " +
+      s"reference_table => 'db.$tOld')")
+      .orderBy("source")
+  }
+
   /** `CALL system.dsir` driven through SQL end to end: register the
     * documents table in the catalog, run the data-selection procedure
     * (target = the en slice, k = sample_dsir's K), read back the
@@ -754,6 +775,7 @@ object LanceOps extends QueryModule {
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
     "lance_drift" -> lanceDrift,
+    "lance_drift_call" -> driftSqlCall,
     "lance_events_roundtrip" -> eventsRoundtrip)
 
   // a `def`: lance_semdedup's oracle is lazily armed by the procedure run
@@ -769,6 +791,9 @@ object LanceOps extends QueryModule {
     // both snapshots re-derived from the parquet with the key's own
     // version-defining predicate (v1 = doc_id % 3 != 0; v2 = all)
     "lance_drift" -> TextAnalysis.driftPairOracleSql("doc_id % 3 != 0"),
+    // the procedure's row output over the same snapshot pair → the same
+    // two-snapshot oracle
+    "lance_drift_call" -> TextAnalysis.driftPairOracleSql("doc_id % 3 != 0"),
     // survivors = corpus minus docs flagged by overlap >= 3 OR containment
     // >= 0.5 (string shingles mirror the hashed sets, collisions ~1e-9)
     "lance_decontaminate" ->

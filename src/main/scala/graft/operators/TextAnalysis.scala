@@ -913,7 +913,7 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
-  private[operators] def driftCounts(docs: DataFrame): DataFrame =
+  private[graft] def driftCounts(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         explode(graft.functions.dsir_gram_buckets(col("text"))).as("h"))
       .groupBy("source", "h").agg(count(lit(1)).as("c"))

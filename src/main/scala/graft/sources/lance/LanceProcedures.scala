@@ -45,16 +45,17 @@ object LanceProcedures {
       case "decontaminate" => decontaminate(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
+      case "drift" => drift(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "semdedup / dsir)")
+          "semdedup / dsir / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
-        "reindex", "stats", "decontaminate", "semdedup", "dsir")
+        "reindex", "stats", "decontaminate", "semdedup", "dsir", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -745,6 +746,51 @@ object LanceProcedures {
         StructField("n_selected", LongType, nullable = false),
         StructField("n_out", LongType, nullable = false))),
         Seq(Array[Any](UTF8String.fromString(outTable), nSel, nOut)))
+    }
+
+  /** SQL entry point for cross-table DRIFT monitoring — the procedure face
+    * of the corpus_drift/lance_drift family:
+    *
+    * {{{
+    *   CALL cat.system.drift(table => 'db.docs_new',
+    *     reference_table => 'db.docs_old',
+    *     source_column => 'source', text_column => 'text')
+    * }}}
+    *
+    * Per source, the χ² divergence between the source's hashed-gram
+    * distribution in `table` vs `reference_table` (the graft.operators
+    * .TextAnalysis.driftPair tail verbatim — add-1 smoothing, integer
+    * nano-unit terms). The result is |sources|-bounded, so it returns as
+    * procedure rows; the heavy work (two featurize passes + the bounded
+    * scaffold joins) runs distributed. Typical pairings: this snapshot vs
+    * the last blessed one, the incoming crawl vs the standing corpus. */
+  private def drift(catalog: LanceCatalog): UnboundProcedure =
+    bound("drift", catalog, Array(
+      param("table", StringType),
+      param("reference_table", StringType),
+      param("source_column", StringType, Some("'source'")),
+      param("text_column", StringType, Some("'text'")))) { (root, in) =>
+      val spark = SparkSession.active
+      val refTable = in.getUTF8String(1).toString.trim
+      val srcCol = in.getUTF8String(2).toString
+      val textCol = in.getUTF8String(3).toString
+      require(refTable.nonEmpty, "lance drift: reference_table is required")
+      val refRoot = catalog.tableRootFor(refTable)
+      import org.apache.spark.sql.functions.col
+      def counts(r: String) = graft.operators.TextAnalysis.driftCounts(
+        spark.read.format("lance").load(r)
+          .select(col(srcCol).as("source"), col(textCol).as("text")))
+      val report = graft.operators.TextAnalysis
+        .driftPair(counts(refRoot), counts(root))
+        .collect() // |sources|-bounded by construction
+      (StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("n_grams_old", LongType, nullable = false),
+        StructField("n_grams_new", LongType, nullable = false),
+        StructField("chi2", DoubleType, nullable = false))),
+        report.toSeq.map(r => Array[Any](
+          UTF8String.fromString(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getDouble(3))))
     }
 
   /** Per-column table statistics from metadata alone — the observability

@@ -205,6 +205,7 @@ class EntrySpec extends SparkSpec {
     "knn_mmr" -> 30,
     "q_stream_mmr" -> 30,
     "lance_drift" -> 20,
+    "lance_drift_call" -> 20,
     "ivf_filtered_search" -> 15)
 
   test("entry returns rows") {

@@ -171,6 +171,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shifted("b") === 0.0)
   }
 
+  test("CALL system.drift: cross-table report matches driftPair; missing reference fails fast") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dr",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dr.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-dr-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dr.db")
+    val alpha = Seq.fill(12)("alpha").mkString(" ")
+    val beta = Seq.fill(12)("beta").mkString(" ")
+    Seq((1L, "a", alpha), (2L, "a", alpha), (3L, "b", beta))
+      .toDF("doc_id", "cat", "body").createOrReplaceTempView("dr_old")
+    Seq((1L, "a", alpha), (2L, "a", alpha), (3L, "b", alpha), (4L, "b", alpha))
+      .toDF("doc_id", "cat", "body").createOrReplaceTempView("dr_new")
+    spark.sql("CREATE TABLE graft_dr.db.o AS SELECT * FROM dr_old")
+    spark.sql("CREATE TABLE graft_dr.db.n AS SELECT * FROM dr_new")
+    val got = spark.sql(
+      "CALL graft_dr.system.drift(table => 'db.n', reference_table => 'db.o', " +
+        "source_column => 'cat', text_column => 'body')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // independent: the driftPair tail over the same renamed inputs
+    val expected = graft.operators.TextAnalysis.driftPair(
+      graft.operators.TextAnalysis.driftCounts(
+        spark.table("dr_old").select(col("cat").as("source"), col("body").as("text"))),
+      graft.operators.TextAnalysis.driftCounts(
+        spark.table("dr_new").select(col("cat").as("source"), col("body").as("text"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    // source 'a' unchanged → exactly 0; source 'b' flipped beta→alpha → flagged
+    val byCat = got.map(r => r._1 -> r._4).toMap
+    assert(byCat("a") === 0.0 && byCat("b") > 0.1, s"direction wrong: $byCat")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dr.system.drift(table => 'db.n', reference_table => '')").collect())
+    assert(e.getMessage.contains("reference_table"))
+  }
+
   test("q_stream_drift: maintained count table report == batch corpus_drift row-for-row") {
     // counts are additive, so stream-end state == the batch aggregation
     // exactly and the shared report tail must reproduce the batch answer
