@@ -322,4 +322,92 @@ class PropertySpec extends AnyFunSuite {
       ManifestIO.statsFromJson(ManifestIO.statsToJson(m)) == m
     }, cases = 300)
   }
+
+  test("DsirHash.walk == naive split+per-gram-hash for arbitrary unicode text") {
+    // the walk computes each bigram hash INCREMENTALLY (prev token's hash
+    // + 31^len power extension) — this property pins that algebra against
+    // a from-scratch per-gram recompute over adversarial inputs: astral
+    // code points (surrogate pairs), every ASCII whitespace flavor,
+    // leading/trailing separators, empty and separator-only strings
+    val tokenChar = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ß', '中', 'λ'),
+      1 -> Gen.const(new String(Character.toChars(0x1F600)).charAt(0)), // high surrogate alone is invalid — use full pairs below
+      1 -> Gen.oneOf('!', '~', ' ')) // NBSP is NOT \s — a token char
+    val token = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> tokenChar.map(_.toString),
+        1 -> Gen.const(new String(Character.toChars(0x1F600))), // 😀 (astral)
+        1 -> Gen.const(new String(Character.toChars(0x10348))))) // 𐍈
+    } yield cs.mkString
+    val ws = Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t ")
+    val text = for {
+      k <- Gen.choose(0, 6)
+      ts <- Gen.listOfN(k, token)
+      seps <- Gen.listOfN(k + 1, Gen.frequency(3 -> ws, 1 -> Gen.const("")))
+    } yield seps.head + ts.zip(seps.tail).map { case (t, w) => t + w }.mkString
+    def naive(s: String): (Long, List[Int]) = {
+      val w = s.split("\\s+").filter(_.nonEmpty).toList
+      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => a + " " + b }
+      def bucket(g: String): Int = {
+        var h = 0L; var i = 0
+        while (i < g.length) {
+          val cp = g.codePointAt(i)
+          h = (h * 31 + cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        (h % graft.functions.DsirHash.Buckets).toInt
+      }
+      (grams.length.toLong, grams.map(bucket))
+    }
+    check("dsir walk", Prop.forAll(text) { s =>
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      val n = graft.functions.DsirHash.walk(s, b => { out += b; () })
+      val (en, ebs) = naive(s)
+      // the walk interleaves (uni, bi) per position; compare as multisets
+      n == en && out.sorted.toList == ebs.sorted
+    }, cases = 300)
+  }
+
+  test("MmrSelect.select == naive greedy for random integer candidate sets") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      k <- Gen.choose(1, 15)
+      qsims <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+      psims <- Gen.listOfN(n * n, Gen.choose(-1000000L, 1000000L))
+      ids <- Gen.pick(n, 0L until 50L) // distinct doc ids
+    } yield (n, k, ids.toList, qsims, psims)
+    check("mmr greedy", Prop.forAll(gen) { case (n, k, ids, qsims, psims) =>
+      val cands = new GenericArrayData((0 until n).map(i =>
+        new GenericInternalRow(Array[Any](i + 1, ids(i), qsims(i)))).toArray[Any])
+      val pairs = new GenericArrayData((for {
+        a <- 0 until n; b <- 0 until n if a != b
+      } yield new GenericInternalRow(
+        Array[Any](a + 1, b + 1, psims(a * n + b)))).toArray[Any])
+      val got = {
+        val arr = graft.functions.MmrSelect.select(cands, pairs, k)
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 4)
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toList
+      }
+      // naive greedy, fresh implementation
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      for (step <- 1 to math.min(k, n)) {
+        val pick = (0 until n).filterNot(selected.contains)
+          .map { i =>
+            val red = selected.map(s => psims(i * n + s)).maxOption
+            (i, red.fold(qsims(i))(qsims(i) - _))
+          }
+          .minBy { case (i, score) => (-score, ids(i)) }
+        selected += pick._1
+        expected += ((ids(pick._1), step.toLong, qsims(pick._1), pick._2))
+      }
+      got == expected.toList
+    }, cases = 300)
+  }
 }
