@@ -542,17 +542,19 @@ object Dedup extends QueryModule {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       q.forEach { root =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(root).getParentFile)
+        // FS-routed recursive delete (the shutdown hook has no session;
+        // a fresh Configuration resolves the scheme like any launcher)
+        val p = new org.apache.hadoop.fs.Path(root).getParent
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.delete(p, true); ()
       }, "graft-semidx-reaper"))
     q
   }
 
   private[graft] def trainedSemIndex(s: SparkSession, dir: String): IndexBuild.BuiltIndex = {
-    semIdxCache.entrySet().removeIf(e => !new java.io.File(e.getValue.root).exists())
+    { val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+      semIdxCache.entrySet().removeIf(e =>
+        !graft.sources.lance.ManifestIO.pathExists(e.getValue.root, conf)) }
     semIdxCache.computeIfAbsent(
       (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
         val root = java.nio.file.Files

@@ -213,7 +213,8 @@ object LanceOps extends QueryModule {
     * table names are unique per invocation. */
   private val warehouse = {
     val w = "/tmp/graft-lance-warehouse"
-    new java.io.File(w).mkdirs()
+    val p = new org.apache.hadoop.fs.Path(w)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).mkdirs(p)
     w
   }
 

@@ -257,7 +257,9 @@ object Multimodal extends QueryModule {
 
   private[graft] def videoFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    videoFixtureCache.entrySet().removeIf(e => !new java.io.File(e.getValue).exists())
+    { val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+      videoFixtureCache.entrySet().removeIf(e =>
+        !graft.sources.lance.ManifestIO.pathExists(e.getValue, conf)) }
     videoFixtureCache.computeIfAbsent(
       (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
         val path = java.nio.file.Files.createTempDirectory("graft-gvid-").toString + "/videos.parquet"
@@ -769,7 +771,9 @@ object Multimodal extends QueryModule {
 
   private[graft] def audioFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    audioFixtureCache.entrySet().removeIf(e => !new java.io.File(e.getValue).exists())
+    { val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+      audioFixtureCache.entrySet().removeIf(e =>
+        !graft.sources.lance.ManifestIO.pathExists(e.getValue, conf)) }
     audioFixtureCache.computeIfAbsent(
       (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
         val path = java.nio.file.Files.createTempDirectory("graft-aud-").toString + "/audio.parquet"
@@ -984,7 +988,9 @@ object Multimodal extends QueryModule {
 
   private[graft] def imageFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    imageFixtureCache.entrySet().removeIf(e => !new java.io.File(e.getValue).exists())
+    { val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+      imageFixtureCache.entrySet().removeIf(e =>
+        !graft.sources.lance.ManifestIO.pathExists(e.getValue, conf)) }
     imageFixtureCache.computeIfAbsent(
       (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
         val path = java.nio.file.Files.createTempDirectory("graft-img-").toString + "/images.parquet"
