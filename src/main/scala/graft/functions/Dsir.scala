@@ -173,7 +173,11 @@ object GumbelMicro {
   private final val M = 2147483647L // 2^31 - 1
 
   def compute(id: Long): Long = {
-    val h1 = (id * A) % M
+    // normalize into [0, M) first: a negative id would otherwise make the
+    // Java % yield a negative h2 (u <= 0 → ln NaN), and id·A overflows
+    // Long beyond ~1.9e14, breaking the MINSTD bijection
+    val x = java.lang.Math.floorMod(id, M)
+    val h1 = (x * A) % M
     val h2 = (h1 * A) % M
     // h2 ∈ [0, M-1] → u ∈ [1/(M+1), M/(M+1)] ⊂ (0, 1): both ln calls are
     // finite for every id

@@ -542,9 +542,11 @@ object Dedup extends QueryModule {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       q.forEach { root =>
-        // FS-routed recursive delete (the shutdown hook has no session;
-        // a fresh Configuration resolves the scheme like any launcher)
-        val p = new org.apache.hadoop.fs.Path(root).getParent
+        // the roots were created by java.nio on the LOCAL filesystem, so
+        // qualify with an explicit file: scheme — a fresh Configuration
+        // with a non-local fs.defaultFS would otherwise resolve the
+        // scheme-less path remotely and delete the wrong tree
+        val p = new org.apache.hadoop.fs.Path("file:" + root).getParent
         val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         fs.delete(p, true); ()
       }, "graft-semidx-reaper"))
@@ -778,7 +780,7 @@ object Dedup extends QueryModule {
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_hashed" -> dedupSubstringHashed)
 
-  private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+  private val wSql = """list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r ]+'), x -> x != '')"""
 
   // a `def`: the dedup_semantic_trained entry materializes only after the
   // key has run (its centroids become the oracle's literals) — Verify

@@ -210,9 +210,12 @@ object LanceOps extends QueryModule {
   // ---- SQL catalog -------------------------------------------------------
 
   /** Stable warehouse so the session-cached catalog instance stays valid;
-    * table names are unique per invocation. */
+    * table names are unique per invocation. Explicitly file:-qualified so
+    * creation here and every later catalog resolution hit the SAME
+    * (local) filesystem even when the session sets a non-local
+    * fs.defaultFS. */
   private val warehouse = {
-    val w = "/tmp/graft-lance-warehouse"
+    val w = "file:/tmp/graft-lance-warehouse"
     val p = new org.apache.hadoop.fs.Path(w)
     p.getFileSystem(new org.apache.hadoop.conf.Configuration()).mkdirs(p)
     w
@@ -444,8 +447,10 @@ object LanceOps extends QueryModule {
     t(s, dir, "embeddings").createOrReplaceTempView(s"src_$tc")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
     s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
-    s.sql(s"CALL graft_lance.system.semdedup(table => 'db.$tc', " +
-      s"output_table => 'db.$to')")
+    graft.operators.OracleArming.arming("lance_semdedup") {
+      s.sql(s"CALL graft_lance.system.semdedup(table => 'db.$tc', " +
+        s"output_table => 'db.$to')")
+    }
     s.table(s"graft_lance.db.$to")
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
@@ -508,8 +513,10 @@ object LanceOps extends QueryModule {
     t(s, dir, "documents").createOrReplaceTempView(s"src_$tc")
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
     s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
-    s.sql(s"CALL graft_lance.system.dsir(table => 'db.$tc', " +
-      s"target_predicate => 'lang = ''en''', output_table => 'db.$to')")
+    graft.operators.OracleArming.arming("lance_dsir") {
+      s.sql(s"CALL graft_lance.system.dsir(table => 'db.$tc', " +
+        s"target_predicate => 'lang = ''en''', output_table => 'db.$to')")
+    }
     s.table(s"graft_lance.db.$to").orderBy("doc_id")
   }
 
@@ -799,7 +806,7 @@ object LanceOps extends QueryModule {
     // >= 0.5 (string shingles mirror the hashed sets, collisions ~1e-9)
     "lance_decontaminate" ->
       """WITH d AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS w
+        |    list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r ]+'), x -> x != '') AS w
         |  FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s

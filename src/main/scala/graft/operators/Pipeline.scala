@@ -134,7 +134,7 @@ object Pipeline extends QueryModule {
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pretrain" -> pipelinePretrain)
 
-  private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+  private val wSql = """list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r ]+'), x -> x != '')"""
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" ->

@@ -583,7 +583,7 @@ object Sampling extends QueryModule {
     "sample_split_leakfree" -> sampleSplitLeakfree,
     "sample_cluster_balanced" -> sampleClusterBalanced)
 
-  private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+  private val wSql = """list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r ]+'), x -> x != '')"""
 
   // a `def`: sample_dsir's entry materializes only after the key has run
   // (its trained λ vector becomes the oracle's literals — Verify dumps

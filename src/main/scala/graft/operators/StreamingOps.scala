@@ -2184,7 +2184,7 @@ object StreamingOps extends QueryModule {
     // (same statement dedup_minhash_lsh is gated on)
     "q_stream_neardedup" ->
       s"""WITH d AS (SELECT doc_id,
-         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS w
+         |    list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\f\\r ]+'), x -> x != '') AS w
          |  FROM documents),
          |g AS (SELECT doc_id,
          |  list_distinct(list_transform(range(1, len(w) - 1),

@@ -1042,7 +1042,7 @@ object TextAnalysis extends QueryModule {
     "text_contamination" -> textContamination,
     "text_contamination_ratio" -> textContaminationRatio)
 
-  private val wSql = """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+  private val wSql = """list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r ]+'), x -> x != '')"""
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")

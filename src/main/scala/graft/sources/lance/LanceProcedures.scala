@@ -658,12 +658,16 @@ object LanceProcedures {
         graft.functions.nearest_cell(col(vecCol), cents.flatten, cents.length, dim)
           .cast("long").as("label"),
         col(vecCol).as("embedding"))
-      // arm the centroid-literal DuckDB oracle for the gated key (inert
-      // for any other table — Verify's dump reflects the gated call)
-      graft.operators.Dedup.TrainedSemOracle.record("lance_semdedup", cents, tau,
-        """SELECT e.vec_id, e.label FROM embeddings e
-          |WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
-          |ORDER BY vec_id""".stripMargin)
+      // arm the centroid-literal DuckDB oracle ONLY when the gated key's
+      // own invocation is in scope — an unrelated user CALL on a
+      // different table must not overwrite the gated key's trained
+      // centroids (OracleArming)
+      graft.operators.OracleArming.key.foreach { k =>
+        graft.operators.Dedup.TrainedSemOracle.record(k, cents, tau,
+          """SELECT e.vec_id, e.label FROM embeddings e
+            |WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != lbl)
+            |ORDER BY vec_id""".stripMargin)
+      }
       // the drop list (ids only) is consumed twice (count + anti-join)
       val dropped = graft.operators.Dedup.semanticDropList(spark, assigned, tau)
         .localCheckpoint()
@@ -723,9 +727,11 @@ object LanceProcedures {
       val corpus = spark.read.format("lance").load(root)
       val isTarget = expr(pred)
       val lam = graft.operators.Sampling.dsirTrainOn(corpus, isTarget, col(textCol))
-      // arm the λ-literal DuckDB oracle for the gated key (inert for any
-      // other table — Verify's dump reflects the gated call)
-      graft.operators.Sampling.DsirOracle.record("lance_dsir", lam)
+      // arm the λ-literal DuckDB oracle ONLY under the gated key's own
+      // invocation (OracleArming) — a user CALL on another table must not
+      // clobber the λ the gate trained
+      graft.operators.OracleArming.key.foreach(k =>
+        graft.operators.Sampling.DsirOracle.record(k, lam))
       val st = graft.functions.dsir_doc_score(col(textCol), lam)
       val sel = corpus.filter(!isTarget)
         .select(col(idCol), st.getItem(0).as("n_grams"),
