@@ -1792,7 +1792,22 @@ object StreamingOps extends QueryModule {
     * Both structures hold the full corpus at stream end, so the key
     * gates on text_search_hybrid's ORACLE unchanged — the streamed
     * serving path must reproduce the batch answer bit-for-bit. */
-  private def streamHybrid(s: SparkSession, dir: String): DataFrame = {
+  private def streamHybrid(s: SparkSession, dir: String): DataFrame =
+    streamHybridAt(s, dir, prunedVec = false)
+
+  /** q_stream_hybrid with the vector arm served PROBE-PRUNED (r18 verdict
+    * item 1 — the production config): the maintained store is already
+    * cell-clustered, so serving reads only the queries' probed cells via
+    * the static cell-IN pushdown ([[TextAnalysis.hybridVectorArmPruned]]).
+    * The gate probes every cell — provably equal to the brute arm, so the
+    * key keeps text_search_hybrid's FULL oracle while the plan is the one
+    * you'd run at 100× (fragment-pruned at partial probes, recall-spec'd
+    * in RetrievalPrunedSpec). */
+  private def streamHybridPruned(s: SparkSession, dir: String): DataFrame =
+    streamHybridAt(s, dir, prunedVec = true)
+
+  private def streamHybridAt(s: SparkSession, dir: String,
+                             prunedVec: Boolean): DataFrame = {
     import s.implicits._
     // text side: per-batch guarded delta appends to the standing index
     val tSrc = tmp("shyb-tsrc"); val tCkpt = tmp("shyb-tck")
@@ -1834,8 +1849,12 @@ object StreamingOps extends QueryModule {
     val lex = TextIndex.search(s, idxRoot,
       TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
       .select(col("query_id"), col("doc_id"), col("rk").as("r"))
-    val vecArm = TextAnalysis.hybridVectorArm(s,
-      s.read.format("lance").load(vecT).select("vec_id", "embedding"))
+    val vecArm =
+      if (prunedVec) TextAnalysis.hybridVectorArmPruned(s,
+        s.read.format("lance").load(vecT).select("vec_id", "embedding", "cell"),
+        idx.centroids.map(_.toArray), nprobes = idx.centroids.length)
+      else TextAnalysis.hybridVectorArm(s,
+        s.read.format("lance").load(vecT).select("vec_id", "embedding"))
     TextAnalysis.hybridRrfFuse(lex, vecArm)
   }
 
@@ -1875,6 +1894,48 @@ object StreamingOps extends QueryModule {
       VectorSearch.maxSimQueryVecs(s, e))
   }
 
+  /** q_stream_maxsim with the token store CELL-CLUSTERED and served
+    * PROBE-PRUNED (r18 verdict item 1): centroids train on the seed
+    * slice's token derivation and FREEZE (the q_stream_index_once
+    * posture), every arriving token row lands with the codegen'd
+    * NearestCell projection under write.cluster-by=cell (exactly-once
+    * lance StreamingWrite), and serving reads only each query token's
+    * probed cells ([[VectorSearch.maxSimRankPruned]] — static cell-IN
+    * pushdown, fragment-pruned). The gate probes every cell, so the
+    * scored pairs provably equal the broadcast cross-join's and the key
+    * keeps knn_maxsim's FULL oracle; partial probes are recall-spec'd. */
+  private def streamMaxSimPruned(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("smaxp-src"); val ckpt = tmp("smaxp-ck")
+    val tokT = tmp("smaxp-tok") + "/t"
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    val cents = Dedup.trainCentroids(s,
+      VectorSearch.maxSimDocTokens(e.filter(col("vec_id") % 4 === 0), n),
+      "embedding", VectorIndex.Cells)
+    val flat = cents.flatten
+    val dim = cents.head.length
+    e.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .transform(b => VectorSearch.maxSimDocTokens(b, n))
+      .withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), flat, cents.length, dim))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .option("write.cluster-by", "cell")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(tokT)
+    drain(q)
+    val qtokVecs = VectorSearch.resolveVecs(e, VectorSearch.MaxSimQueries
+      .flatMap(qq => (0 until 3).map(j => 100 * qq + j)))
+    val qtoks = VectorSearch.MaxSimQueries.flatMap(qq =>
+      (0 until 3).map(j => (qq, 100 * qq + j, qtokVecs(100 * qq + j))))
+    VectorSearch.maxSimRankPruned(s,
+      s.read.format("lance").load(tokT).select("doc_id", "embedding", "cell"),
+      qtoks, cents, nprobes = cents.length)
+  }
+
   /** Streaming DIVERSIFIED retrieval — the serving-side twin of knn_mmr,
     * completing the retrieval-serving family (text index, hybrid, MaxSim,
     * MMR): an arriving corpus maintains the standing vector table via the
@@ -1903,6 +1964,39 @@ object StreamingOps extends QueryModule {
     drain(q)
     VectorSearch.mmrServe(
       VectorSearch.mmrCandidatesFrom(s, s.read.format("lance").load(vecT))
+        .localCheckpoint())
+  }
+
+  /** q_stream_mmr with the store CELL-CLUSTERED and the candidate scan
+    * PROBE-PRUNED (r18 verdict item 1): seed-trained frozen centroids,
+    * exactly-once cell-clustered appends (q_stream_index_once's loop),
+    * candidates via [[VectorSearch.mmrCandidatesPruned]] (static cell-IN
+    * pushdown), greedy tail verbatim. Full probes at the gate ⇒
+    * knn_mmr's FULL oracle unchanged; partial probes recall-spec'd. */
+  private def streamMmrPruned(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = tmp("smmrp-src"); val ckpt = tmp("smmrp-ck")
+    val vecT = tmp("smmrp-vec") + "/t"
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = Dedup.trainCentroids(s,
+      e.filter(col("vec_id") % 4 === 0), "embedding", VectorIndex.Cells)
+    val flat = cents.flatten
+    val dim = cents.head.length
+    e.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), flat, cents.length, dim))
+      .writeStream.format("lance")
+      .option("checkpointLocation", ckpt)
+      .option("write.cluster-by", "cell")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(vecT)
+    drain(q)
+    VectorSearch.mmrServe(
+      VectorSearch.mmrCandidatesPruned(s,
+        s.read.format("lance").load(vecT).select("vec_id", "embedding", "cell"),
+        cents, nprobes = cents.length)
         .localCheckpoint())
   }
 
@@ -2058,10 +2152,13 @@ object StreamingOps extends QueryModule {
     "q_stream_mv_window" -> streamMvWindow,
     "q_stream_text_index" -> streamTextIndex,
     "q_stream_hybrid" -> streamHybrid,
+    "q_stream_hybrid_pruned" -> streamHybridPruned,
     "q_stream_maxsim" -> streamMaxSim,
+    "q_stream_maxsim_pruned" -> streamMaxSimPruned,
     "q_stream_dsir" -> streamDsir,
     "q_stream_drift" -> streamDrift,
     "q_stream_mmr" -> streamMmr,
+    "q_stream_mmr_pruned" -> streamMmrPruned,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,
@@ -2136,9 +2233,13 @@ object StreamingOps extends QueryModule {
     // both maintained structures hold the full corpus at stream end, so
     // the streamed hybrid serving == the batch key's fused answer
     "q_stream_hybrid" -> TextAnalysis.hybridOracleSql,
+    // the pruned twins probe every cell at the gate — provably the same
+    // answers, so they share the exact arms' oracles unchanged
+    "q_stream_hybrid_pruned" -> TextAnalysis.hybridOracleSql,
     // the append-only token store holds the full derivation at stream
     // end, so the streamed MaxSim serving == the batch key's ranking
     "q_stream_maxsim" -> VectorSearch.oracleSql("knn_maxsim"),
+    "q_stream_maxsim_pruned" -> VectorSearch.oracleSql("knn_maxsim"),
     // gram-bucket counts are additive, so the standing count table at
     // stream end == the batch aggregation exactly; the report tail is
     // shared verbatim — the batch χ² oracle applies unchanged
@@ -2146,6 +2247,7 @@ object StreamingOps extends QueryModule {
     // the append-only vector store holds exactly the corpus at stream
     // end, so the streamed MMR serving == the batch key's answer
     "q_stream_mmr" -> VectorSearch.oracleSql("knn_mmr"),
+    "q_stream_mmr_pruned" -> VectorSearch.oracleSql("knn_mmr"),
     "q_stream_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)

@@ -684,7 +684,7 @@ object TextAnalysis extends QueryModule {
     * projection: per query, top-k by 6-dp rounded cosine, vec_id
     * tiebreak. Shared by the batch key (scan side) and the streaming
     * twin (the maintained cell-clustered table, all cells = exact). */
-  private[operators] def hybridVectorArm(s: SparkSession, e: DataFrame): DataFrame = {
+  private[graft] def hybridVectorArm(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val qv = e.join(broadcast(HybridQueryVecs.toDF("query_id", "vec_id")), "vec_id")
@@ -694,6 +694,30 @@ object TextAnalysis extends QueryModule {
     e.crossJoin(broadcast(qv))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         round(graft.functions.vec_cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("r", row_number().over(byQcos).cast("long"))
+      .filter(col("r") <= Bm25TopK)
+      .select("query_id", "doc_id", "r")
+  }
+
+  /** [[hybridVectorArm]]'s probe-pruned twin over a CELL-CLUSTERED store
+    * (the production serving config): each query reads only its probed
+    * cells through [[VectorSearch.probedSlice]] — a static cell-IN
+    * pushdown the fragment stats prune on — with the identical 6-dp
+    * cosine rank tail. nprobes == |cells| ⇒ row-for-row equal to the
+    * brute-force arm (the full-oracle gate config); partial probes trade
+    * recall for fragments read (recall-spec'd). */
+  private[graft] def hybridVectorArmPruned(s: SparkSession, store: DataFrame,
+                                               cents: Array[Array[Double]],
+                                               nprobes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = VectorSearch.resolveVecs(store, HybridQueryVecs.map(_._2))
+    val queries = HybridQueryVecs.map { case (q, vid) => (q, qv(vid)) }
+    val byQcos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    VectorSearch.probedSlice(s, store.select("vec_id", "embedding", "cell"),
+        queries, cents, nprobes)
+      .select(col("__pq").as("query_id"), col("vec_id").as("doc_id"),
+        round(graft.functions.vec_cosine(col("embedding"), col("__qv")), 6).as("cos"))
       .withColumn("r", row_number().over(byQcos).cast("long"))
       .filter(col("r") <= Bm25TopK)
       .select("query_id", "doc_id", "r")

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Dedup, IndexBuild, VectorIndex, VectorSearch, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Probe-pruned production serving for the r18 retrieval family (MMR,
+  * MaxSim, hybrid vector arm): the gated keys run the pruned machinery at
+  * FULL probes (provably exact — they carry the full oracles); this suite
+  * pins the approximate scale path — partial probes keep recall above a
+  * floor, and the probed-cell IN pushdown actually prunes index fragments
+  * in the plan. */
+class RetrievalPrunedSpec extends SparkSpec {
+
+  private def fragPruned(df: DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "fragments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no lance scan in plan:\n$plan")
+    (m.get.group(1).toInt, m.get.group(2).toInt)
+  }
+
+  private lazy val idx: IndexBuild.BuiltIndex = {
+    val base = java.nio.file.Files.createTempDirectory("graft-rps-idx-").toString
+    IndexBuild.build(spark, Tables.t(spark, sf, "embeddings"), base, Map(
+      "index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+  }
+  private def idxStore: DataFrame = spark.read.format("lance")
+    .options(IndexBuild.pinnedOptions(spark, idx)).load(idx.root)
+    .select("vec_id", "embedding", "cell")
+  private def idxCents: Array[Array[Double]] = idx.centroids.map(_.toArray)
+
+  test("mmr over the index: full probes equal the brute key; partial probes prune fragments and keep recall") {
+    val exact = VectorSearch.mmrServe(
+        VectorSearch.mmrCandidatesFrom(spark, Tables.t(spark, sf, "embeddings"))
+          .localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = VectorSearch.mmrServe(
+        VectorSearch.mmrCandidatesPruned(spark, idxStore, idxCents, nprobes = 16)
+          .localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq === exact.toSeq, "full-probe pruned serving must be exact")
+    // the approximate scale path: selected sets per query keep recall
+    val approx = VectorSearch.mmrServe(
+        VectorSearch.mmrCandidatesPruned(spark, idxStore, idxCents, nprobes = 8)
+          .localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = approx.intersect(exactSet).size.toDouble / exactSet.size
+    info(s"mmr recall at 8/16 probes: $recall")
+    assert(recall >= 0.4, s"mmr recall at 8/16 probes: $recall")
+    // and the probe union actually prunes fragments at low nprobes
+    val (kept, total) = fragPruned(
+      VectorSearch.mmrCandidatesPruned(spark, idxStore, idxCents, nprobes = 2))
+    assert(total > 1, s"store has $total fragment(s) — pruning unobservable")
+    assert(kept < total, s"no fragment pruning: $kept/$total")
+  }
+
+  private lazy val tokenFixture: (String, Array[Array[Double]]) = {
+    val e = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    val toks = VectorSearch.maxSimDocTokens(e, n)
+    val cents = Dedup.trainCentroids(spark, toks, "embedding", 16)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rps-tok-").toString + "/t"
+    toks.withColumn("cell", graft.functions.nearest_cell(
+        col("embedding"), cents.flatten, cents.length, cents.head.length))
+      .write.format("lance")
+      .option("write.cluster-by", "cell")
+      .option("maxRowsPerFile", "128")
+      .save(root)
+    (root, cents)
+  }
+  private def qtoks: Seq[(Long, Long, Array[Float])] = {
+    val e = Tables.t(spark, sf, "embeddings")
+    val ids = VectorSearch.MaxSimQueries.flatMap(q => (0 until 3).map(j => 100 * q + j))
+    val vecs = VectorSearch.resolveVecs(e, ids)
+    VectorSearch.MaxSimQueries.flatMap(q =>
+      (0 until 3).map(j => (q, 100 * q + j, vecs(100 * q + j))))
+  }
+
+  test("maxsim over the clustered token store: full probes exact; partial probes prune and keep recall") {
+    val (root, cents) = tokenFixture
+    val store = spark.read.format("lance").load(root)
+      .select("doc_id", "embedding", "cell")
+    val e = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    val exact = VectorSearch.maxSimRank(
+        VectorSearch.maxSimDocTokens(e, n), VectorSearch.maxSimQueryVecs(spark, e))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val full = VectorSearch.maxSimRankPruned(spark, store, qtoks, cents, nprobes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(full.toSeq === exact.toSeq, "full-probe pruned serving must be exact")
+    val approx = VectorSearch.maxSimRankPruned(spark, store, qtoks, cents, nprobes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = approx.intersect(exactSet).size.toDouble / exactSet.size
+    info(s"maxsim recall at 8/16 probes: $recall")
+    assert(recall >= 0.4, s"maxsim recall at 8/16 probes: $recall")
+    val (kept, total) = fragPruned(
+      VectorSearch.maxSimRankPruned(spark, store, qtoks, cents, nprobes = 1))
+    assert(total > 1, s"token store has $total fragment(s)")
+    assert(kept < total, s"no fragment pruning: $kept/$total")
+  }
+
+  test("hybrid vector arm over the index: full probes exact; partial probes prune and keep recall") {
+    val exact = TextAnalysis.hybridVectorArm(spark,
+        Tables.t(spark, sf, "embeddings").select("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = TextAnalysis.hybridVectorArmPruned(spark, idxStore, idxCents, nprobes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq === exact.toSeq, "full-probe pruned serving must be exact")
+    val approx = TextAnalysis.hybridVectorArmPruned(spark, idxStore, idxCents, nprobes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = approx.intersect(exactSet).size.toDouble / exactSet.size
+    info(s"hybrid vector-arm recall at 8/16 probes: $recall")
+    assert(recall >= 0.4, s"hybrid vector-arm recall at 8/16 probes: $recall")
+    val (kept, total) = fragPruned(
+      TextAnalysis.hybridVectorArmPruned(spark, idxStore, idxCents, nprobes = 2))
+    assert(total > 1, s"store has $total fragment(s)")
+    assert(kept < total, s"no fragment pruning: $kept/$total")
+  }
+}
