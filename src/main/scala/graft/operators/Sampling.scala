@@ -495,6 +495,15 @@ object Sampling extends QueryModule {
     * surface's form (CALL system.dsir takes the predicate as SQL). */
   private[graft] def dsirTrainOn(docs: DataFrame, isTarget: Column,
                                  textCol: Column): Array[Long] = {
+    val (ct, cr) = dsirTrainCounts(docs, isTarget, textCol)
+    dsirLambdaOf(ct, cr)
+  }
+
+  /** The training pass's raw per-bucket (target, pool) gram counts — the
+    * sufficient statistic λ derives from, and the baseline the
+    * drift-gated refresh (CALL system.dsir_refresh) compares against. */
+  private[graft] def dsirTrainCounts(docs: DataFrame, isTarget: Column,
+                                     textCol: Column): (Array[Long], Array[Long]) = {
     import graft.functions.DsirHash
     val counts = docs
       .select(isTarget.as("tgt"),
@@ -508,11 +517,36 @@ object Sampling extends QueryModule {
     counts.foreach { r =>
       ct(r.getInt(0)) = r.getLong(1); cr(r.getInt(0)) = r.getLong(2)
     }
+    (ct, cr)
+  }
+
+  /** λ in integer micro-nats from the two count vectors (driver-side
+    * StrictMath.log over B-bounded arrays — log never crosses engines). */
+  private[graft] def dsirLambdaOf(ct: Array[Long], cr: Array[Long]): Array[Long] = {
+    val B = graft.functions.DsirHash.Buckets
     val totT = ct.sum; val totR = cr.sum
     Array.tabulate(B) { h =>
       math.round(1e6 * (StrictMath.log((ct(h) + 1.0) / (totT + B))
         - StrictMath.log((cr(h) + 1.0) / (totR + B))))
     }
+  }
+
+  /** χ² between two bucket-count vectors with EXACTLY the drift family's
+    * arithmetic (add-1/(tot+B) smoothing, per-bucket terms rounded to
+    * integer nano-units before the sum — [[TextAnalysis.driftPair]]'s
+    * tail on the driver): the number the dsir refresh gate thresholds. */
+  private[graft] def dsirChi2(oldC: Array[Long], newC: Array[Long]): Double = {
+    val B = graft.functions.DsirHash.Buckets
+    val totO = oldC.sum.toDouble + B; val totN = newC.sum.toDouble + B
+    var nano = 0L
+    var h = 0
+    while (h < B) {
+      val po = (oldC(h) + 1.0) / totO
+      val pn = (newC(h) + 1.0) / totN
+      nano += math.round((pn - po) * (pn - po) / po * 1e9)
+      h += 1
+    }
+    nano / 1e9
   }
 
   private[operators] def dsirTrain(s: SparkSession, dir: String,

@@ -45,17 +45,19 @@ object LanceProcedures {
       case "decontaminate" => decontaminate(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
+      case "dsir_refresh" => dsirRefresh(catalog)
       case "drift" => drift(catalog)
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "semdedup / dsir / drift)")
+          "semdedup / dsir / dsir_refresh / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
-        "reindex", "stats", "decontaminate", "semdedup", "dsir", "drift")
+        "reindex", "stats", "decontaminate", "semdedup", "dsir",
+        "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -725,33 +727,163 @@ object LanceProcedures {
         "(the selection materializes distributed)")
       import org.apache.spark.sql.functions.{col, expr}
       val corpus = spark.read.format("lance").load(root)
-      val isTarget = expr(pred)
-      val lam = graft.operators.Sampling.dsirTrainOn(corpus, isTarget, col(textCol))
-      // arm the λ-literal DuckDB oracle ONLY under the gated key's own
-      // invocation (OracleArming) — a user CALL on another table must not
-      // clobber the λ the gate trained
-      graft.operators.OracleArming.key.foreach(k =>
-        graft.operators.Sampling.DsirOracle.record(k, lam))
-      val st = graft.functions.dsir_doc_score(col(textCol), lam)
-      val sel = corpus.filter(!isTarget)
-        .select(col(idCol), st.getItem(0).as("n_grams"),
-          st.getItem(1).as("dsir_micro"))
-        .filter(col("n_grams") > 0)
-        .orderBy(col("dsir_micro").desc, col(idCol).asc)
-        .limit(k)
-        .select(idCol)
-        .localCheckpoint() // consumed twice (count + semi-join)
-      val nSel = sel.count()
-      val selected = corpus.join(sel, Seq(idCol), "left_semi")
-      val outRoot = catalog.tableRootForCreate(outTable)
-      selected.write.format("lance").mode("overwrite").save(outRoot)
-      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
-      val nOut = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+      val (ct, cr) = graft.operators.Sampling
+        .dsirTrainCounts(corpus, expr(pred), col(textCol))
+      val (nSel, nOut) = dsirSelectWrite(spark, catalog, corpus, idCol,
+        textCol, pred, k, outTable, ct, cr)
       (StructType(Seq(
         StructField("output_table", StringType, nullable = false),
         StructField("n_selected", LongType, nullable = false),
         StructField("n_out", LongType, nullable = false))),
         Seq(Array[Any](UTF8String.fromString(outTable), nSel, nOut)))
+    }
+
+  /** λ from the counts → arm oracle (gated runs only) → score → top-k →
+    * distributed semi-join write → persist the counts as the selection's
+    * sidecar baseline. Shared by CALL system.dsir and the retrain arm of
+    * CALL system.dsir_refresh (which already holds the fresh counts from
+    * its drift measurement — training never runs twice). */
+  private def dsirSelectWrite(spark: SparkSession, catalog: LanceCatalog,
+                              corpus: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String, pred: String,
+                              k: Int, outTable: String,
+                              ct: Array[Long], cr: Array[Long]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val lam = graft.operators.Sampling.dsirLambdaOf(ct, cr)
+    // arm the λ-literal DuckDB oracle ONLY under the gated key's own
+    // invocation (OracleArming) — a user CALL on another table must not
+    // clobber the λ the gate trained
+    graft.operators.OracleArming.key.foreach(kk =>
+      graft.operators.Sampling.DsirOracle.record(kk, lam))
+    val isTarget = expr(pred)
+    val st = graft.functions.dsir_doc_score(col(textCol), lam)
+    val sel = corpus.filter(!isTarget)
+      .select(col(idCol), st.getItem(0).as("n_grams"),
+        st.getItem(1).as("dsir_micro"))
+      .filter(col("n_grams") > 0)
+      .orderBy(col("dsir_micro").desc, col(idCol).asc)
+      .limit(k)
+      .select(idCol)
+      .localCheckpoint() // consumed twice (count + semi-join)
+    val nSel = sel.count()
+    val selected = corpus.join(sel, Seq(idCol), "left_semi")
+    val outRoot = catalog.tableRootForCreate(outTable)
+    selected.write.format("lance").mode("overwrite").save(outRoot)
+    // baseline AFTER the data commit: a crash between them leaves the new
+    // selection with the previous baseline — the next refresh measures
+    // against older counts and at worst retrains once too eagerly
+    // (monitoring metadata, never correctness)
+    writeDsirState(spark, outRoot, ct, cr)
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    val nOut = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+    (nSel, nOut)
+  }
+
+  private def dsirStatePath(outRoot: String) =
+    new org.apache.hadoop.fs.Path(outRoot, "_dsir/state.json")
+
+  private def writeDsirState(s: SparkSession, outRoot: String,
+                             ct: Array[Long], cr: Array[Long]): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JObject(
+      "ct" -> JArray(ct.toList.map(JLong(_))),
+      "cr" -> JArray(cr.toList.map(JLong(_))))
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+    val p = dsirStatePath(outRoot)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(j))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readDsirState(s: SparkSession,
+                            outRoot: String): Option[(Array[Long], Array[Long])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+    val p = dsirStatePath(outRoot)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    def longs(v: JValue): Array[Long] = v match {
+      case JArray(xs) => xs.map {
+        case JInt(x) => x.toLong
+        case JLong(x) => x
+        case other => throw new IllegalStateException(s"bad dsir state entry: $other")
+      }.toArray
+      case other => throw new IllegalStateException(s"bad dsir state: $other")
+    }
+    val j = JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    Some((longs(j \ "ct"), longs(j \ "cr")))
+  }
+
+  /** Drift-GATED selection refresh — the `reindex` posture for the DSIR
+    * family: retraining λ is an offline decision, and this procedure makes
+    * it a measured one.
+    *
+    * {{{
+    *   CALL cat.system.dsir_refresh(table => 'db.docs',
+    *     target_predicate => 'lang = ''en''', k => 100,
+    *     output_table => 'db.docs_selected', threshold => 0.05)
+    * }}}
+    *
+    * One featurize pass recomputes the corpus's per-bucket (target, pool)
+    * gram counts — the SAME pass training runs, so the measurement is
+    * never wasted — and χ²-compares each against the counts persisted
+    * when the selection at `output_table` was last trained
+    * ([[graft.operators.Sampling.dsirChi2]] — the drift family's exact
+    * add-1/nano-term arithmetic). At or below the threshold the selection
+    * stands (no-op: the common case, one aggregation pass total); above
+    * it, λ retrains FROM THE COUNTS IN HAND, the pool rescores, and the
+    * selection MV swaps atomically (lance overwrite commit), establishing
+    * the new baseline. Composes corpus_drift with CALL system.dsir the
+    * way CALL system.reindex composes driftRatio with the index rebuild. */
+  private def dsirRefresh(catalog: LanceCatalog): UnboundProcedure =
+    bound("dsir_refresh", catalog, Array(
+      param("table", StringType),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("target_predicate", StringType, Some("''")),
+      param("k", IntegerType, Some("100")),
+      param("output_table", StringType, Some("''")),
+      param("threshold", DoubleType, Some("0.05")))) { (root, in) =>
+      val spark = SparkSession.active
+      val idCol = in.getUTF8String(1).toString
+      val textCol = in.getUTF8String(2).toString
+      val pred = in.getUTF8String(3).toString.trim
+      val k = in.getInt(4)
+      val outTable = in.getUTF8String(5).toString.trim
+      val threshold = in.getDouble(6)
+      require(pred.nonEmpty, "lance dsir_refresh: target_predicate is required")
+      require(k >= 1, s"lance dsir_refresh: k must be >= 1, got $k")
+      require(outTable.nonEmpty, "lance dsir_refresh: output_table is required")
+      require(threshold >= 0.0,
+        s"lance dsir_refresh: threshold must be >= 0, got $threshold")
+      val outRoot = catalog.tableRootFor(outTable)
+      val (ctOld, crOld) = readDsirState(spark, outRoot).getOrElse(
+        throw new IllegalStateException(s"lance dsir_refresh: no dsir " +
+          s"baseline at $outTable — run CALL system.dsir first"))
+      import org.apache.spark.sql.functions.{col, expr}
+      val corpus = spark.read.format("lance").load(root)
+      val (ctNew, crNew) = graft.operators.Sampling
+        .dsirTrainCounts(corpus, expr(pred), col(textCol))
+      val drift = math.max(graft.operators.Sampling.dsirChi2(ctOld, ctNew),
+        graft.operators.Sampling.dsirChi2(crOld, crNew))
+      val refreshed = drift > threshold
+      val nSel = if (!refreshed) 0L else
+        dsirSelectWrite(spark, catalog, corpus, idCol, textCol, pred, k,
+          outTable, ctNew, crNew)._1
+      (StructType(Seq(
+        StructField("drift", DoubleType, nullable = false),
+        StructField("threshold", DoubleType, nullable = false),
+        StructField("refreshed", BooleanType, nullable = false),
+        StructField("n_selected", LongType, nullable = false))),
+        Seq(Array[Any](drift, threshold, refreshed, nSel)))
     }
 
   /** SQL entry point for cross-table DRIFT monitoring — the procedure face
