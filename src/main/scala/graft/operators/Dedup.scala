@@ -174,12 +174,19 @@ object Dedup extends QueryModule {
     * rounds taken to converge. Exposed for the scale soak, which runs it
     * over synthesized 10M-node edge sets. */
   def clusterLabels(s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
+    // SERIALIZED, evictable checkpoint storage: the default deserialized
+    // MEMORY_AND_DISK keeps each partition as a row-object array (~70 B/
+    // edge — the family soak's 213M-edge set came to ~15 GB of unevictable
+    // arrays and starved 32 concurrent sort tasks to a measured
+    // UNABLE_TO_ACQUIRE_MEMORY); serialized blocks are ~3x smaller and
+    // spill to disk under pressure instead of wedging execution
+    val ckptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint(true)
+      .localCheckpoint(true, ckptLevel)
     var labels = edges.select(col("a_id").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, ckptLevel)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -199,14 +206,22 @@ object Dedup extends QueryModule {
         .select(col("node"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"),
           (least(col("lbl"), coalesce(col("lbl2"), col("lbl"))) < col("old")).as("moved"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, ckptLevel)
       changed = next.filter(col("moved")).count()
+      // free the SUPERSEDED generation: a checkpoint persists its backing
+      // RDD outside the CacheManager, so without this every round's label
+      // set stays in the MemoryStore for the whole loop — harmless at gate
+      // scale, a measured heap OOM at the family soak's 213M-edge closure
+      org.apache.spark.sql.graft.Shim.unpersistCheckpoint(labels)
       labels = next.drop("moved")
       iter += 1
     }
     // a silent split would diverge from the transitive closure — refuse
     require(changed == 0,
       s"dedup_clusters: min-label propagation did not converge in $iter rounds")
+    // the edge cache served only this loop; the returned labels are
+    // checkpointed independently
+    org.apache.spark.sql.graft.Shim.unpersistCheckpoint(edges)
     (labels, iter)
   }
 
