@@ -561,7 +561,7 @@ object Sampling extends QueryModule {
     * (doc_id, source, n_grams, dsir_micro) for every non-target doc with
     * at least one gram. Complete per-document, so the streaming MV can
     * score micro-batches independently. */
-  private[operators] def dsirScore(docs: DataFrame, lam: Array[Long]): DataFrame = {
+  private[graft] def dsirScore(docs: DataFrame, lam: Array[Long]): DataFrame = {
     val st = graft.functions.dsir_doc_score(col("text"), lam)
     docs.filter(col("lang") =!= DsirTargetLang)
       .select(col("doc_id"), col("source"),

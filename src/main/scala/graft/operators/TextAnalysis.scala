@@ -914,7 +914,7 @@ object TextAnalysis extends QueryModule {
     * definition for the batch key and the streaming twin (whose standing
     * count table is additive, so its stream-end counts equal the batch
     * aggregation exactly). */
-  private[operators] def driftReport(bySrc: DataFrame): DataFrame = {
+  private[graft] def driftReport(bySrc: DataFrame): DataFrame = {
     val s = bySrc.sparkSession
     val B = DriftB
     val tots = bySrc.groupBy("source").agg(sum("c").as("tot_s"))
