@@ -81,7 +81,12 @@ object Bench {
     "q_stream_maxsim", "sample_dsir", "knn_mmr",
     "sample_dsir_gumbel", "q_stream_dsir", "lance_dsir",
     "corpus_drift", "q_stream_drift", "q_stream_mmr", "lance_drift",
-    "lance_drift_call", "ivf_filtered_search")
+    "lance_drift_call", "ivf_filtered_search",
+    // appended r19: the retrieval family's probe-pruned production
+    // serving configs + index-served MMR candidates (all gated at full
+    // probes == their exact twins; the pruned scale path is spec'd)
+    "knn_mmr_indexed", "knn_maxsim_indexed", "q_stream_mmr_pruned",
+    "q_stream_maxsim_pruned", "q_stream_hybrid_pruned")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on

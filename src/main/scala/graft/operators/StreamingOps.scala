@@ -1927,13 +1927,9 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start(tokT)
     drain(q)
-    val qtokVecs = VectorSearch.resolveVecs(e, VectorSearch.MaxSimQueries
-      .flatMap(qq => (0 until 3).map(j => 100 * qq + j)))
-    val qtoks = VectorSearch.MaxSimQueries.flatMap(qq =>
-      (0 until 3).map(j => (qq, 100 * qq + j, qtokVecs(100 * qq + j))))
     VectorSearch.maxSimRankPruned(s,
       s.read.format("lance").load(tokT).select("doc_id", "embedding", "cell"),
-      qtoks, cents, nprobes = cents.length)
+      VectorSearch.maxSimQueryToks(e), cents, nprobes = cents.length)
   }
 
   /** Streaming DIVERSIFIED retrieval — the serving-side twin of knn_mmr,

@@ -780,6 +780,105 @@ object VectorSearch extends QueryModule {
     maxSimRank(maxSimDocTokens(e, n), maxSimQueryVecs(s, e))
   }
 
+  /** The knn_maxsim DuckDB twin — shared verbatim by `knn_maxsim_indexed`
+    * (full-probe serving over the persisted store is provably the same
+    * scored-pair set, so one oracle gates both). */
+  private lazy val maxSimOracleSql: String = {
+    val qtValues = MaxSimQueries.flatMap(q => (0 until 3).map(j =>
+      s"(CAST($q AS BIGINT), ${100 * q + j})")).mkString(", ")
+    val offValues = MaxSimDocOffsets.map(o => s"($o)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM e),
+       |dt AS (SELECT ((vec_id - o.off) % n.n + n.n) % n.n AS doc_id,
+       |    embedding
+       |  FROM e, n, (VALUES $offValues) o(off)),
+       |qt AS (SELECT q.query_id, q.tok_id AS q_tok, e.embedding AS qv
+       |  FROM (VALUES $qtValues) q(query_id, tok_id)
+       |  JOIN e ON e.vec_id = q.tok_id),
+       |best AS (SELECT query_id, q_tok, dt.doc_id,
+       |    max(round(list_cosine_similarity(CAST(dt.embedding AS DOUBLE[]),
+       |      CAST(qv AS DOUBLE[])), 6)) AS best
+       |  FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
+       |sc AS (SELECT query_id, doc_id,
+       |    round(CAST(sum(CAST(round(best * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / 1000000.0, 6) AS score
+       |  FROM best GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM sc)
+       |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= $MaxSimK
+       |ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
+
+  /** Session-memoized PERSISTED token store per (session, dir): the
+    * cell-clustered lance table + frozen centroids the batch index-served
+    * MaxSim key reads — built once, reused across Verify/Bench consumers
+    * (the trainedSemIndex posture, shutdown reaper included). */
+  private val tokStoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, Array[Array[Double]])]()
+  private val tokStoreReaper: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q.forEach { root =>
+        // java.nio-created LOCAL roots — qualify with an explicit file:
+        // scheme so a non-local fs.defaultFS cannot redirect the delete
+        val p = new org.apache.hadoop.fs.Path("file:" + root).getParent
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.delete(p, true); ()
+      }, "graft-tokstore-reaper"))
+    q
+  }
+
+  private[graft] def persistedTokenStore(
+      s: SparkSession, dir: String): (String, Array[Array[Double]]) = {
+    { val conf = org.apache.spark.sql.graft.Shim.hadoopConf(s, Map.empty)
+      tokStoreCache.entrySet().removeIf(e =>
+        !graft.sources.lance.ManifestIO.pathExists(e.getValue._1, conf)) }
+    tokStoreCache.computeIfAbsent(
+      (org.apache.spark.sql.graft.Shim.sessionUUID(s), dir), _ => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val n = e.count()
+        val toks = maxSimDocTokens(e, n)
+        val cents = Dedup.trainCentroids(s, toks, "embedding", VectorIndex.Cells)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tokstore-").toString + "/t"
+        tokStoreReaper.add(root)
+        toks.withColumn("cell", graft.functions.nearest_cell(
+            col("embedding"), cents.flatten, cents.length, cents.head.length))
+          .write.format("lance")
+          .option("write.cluster-by", "cell")
+          .save(root)
+        (root, cents)
+      })
+  }
+
+  /** knn_maxsim served from the PERSISTED cell-clustered token store —
+    * the batch twin of q_stream_maxsim_pruned, completing the MaxSim side
+    * of VERDICT r18 item 2 (index-served candidates): the standing token
+    * table lands cell-clustered at write, each query TOKEN reads only its
+    * probed cells ([[maxSimRankPruned]]), and the shared tail reproduces
+    * the exact ranking. Gate config probes every cell ⇒ row-for-row equal
+    * to knn_maxsim (full oracle unchanged); partial probes are the scale
+    * path, recall-spec'd with a fragment-prune plan assert
+    * (RetrievalPrunedSpec). */
+  private def knnMaxSimIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (root, cents) = persistedTokenStore(s, dir)
+    maxSimRankPruned(s,
+      s.read.format("lance").load(root).select("doc_id", "embedding", "cell"),
+      maxSimQueryToks(t(s, dir, "embeddings")), cents, nprobes = cents.length)
+  }
+
+  /** The (query_id, q_tok, vector) triples of the fixture's query-token
+    * sets, resolved with the k-bounded id lookup — the driver-side form
+    * the probed-slice servers take (one definition for the batch indexed
+    * key and the streaming pruned twin). */
+  private[graft] def maxSimQueryToks(e: DataFrame): Seq[(Long, Long, Array[Float])] = {
+    val ids = MaxSimQueries.flatMap(q => (0 until 3).map(j => 100 * q + j))
+    val vecs = resolveVecs(e, ids)
+    MaxSimQueries.flatMap(q =>
+      (0 until 3).map(j => (q, 100 * q + j, vecs(100 * q + j))))
+  }
+
   // ---- knn_mmr ---------------------------------------------------------
   // DIVERSIFIED retrieval — Maximal Marginal Relevance (Carbonell &
   // Goldstein 1998), the standard post-retrieval diversifier vector
@@ -985,6 +1084,7 @@ object VectorSearch extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_maxsim" -> knnMaxSim,
+    "knn_maxsim_indexed" -> knnMaxSimIndexed,
     "knn_mmr" -> knnMmr,
     "knn_mmr_indexed" -> knnMmrIndexed,
     "contamination_semantic" -> contaminationSemantic,
@@ -1090,33 +1190,11 @@ object VectorSearch extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     // the MaxSim pipeline re-derived relationally: same offset-arithmetic
-    // token sets, max over 6-dp rounded cosines, integer micro-unit sums
-    "knn_maxsim" -> {
-      val qtValues = MaxSimQueries.flatMap(q => (0 until 3).map(j =>
-        s"(CAST($q AS BIGINT), ${100 * q + j})")).mkString(", ")
-      val offValues = MaxSimDocOffsets.map(o => s"($o)").mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |n AS (SELECT count(*) AS n FROM e),
-         |dt AS (SELECT ((vec_id - o.off) % n.n + n.n) % n.n AS doc_id,
-         |    embedding
-         |  FROM e, n, (VALUES $offValues) o(off)),
-         |qt AS (SELECT q.query_id, q.tok_id AS q_tok, e.embedding AS qv
-         |  FROM (VALUES $qtValues) q(query_id, tok_id)
-         |  JOIN e ON e.vec_id = q.tok_id),
-         |best AS (SELECT query_id, q_tok, dt.doc_id,
-         |    max(round(list_cosine_similarity(CAST(dt.embedding AS DOUBLE[]),
-         |      CAST(qv AS DOUBLE[])), 6)) AS best
-         |  FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
-         |sc AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(round(best * 1000000.0) AS BIGINT)) AS DOUBLE)
-         |      / 1000000.0, 6) AS score
-         |  FROM best GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk FROM sc)
-         |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= $MaxSimK
-         |ORDER BY query_id ASC, rk ASC""".stripMargin
-    },
+    // token sets, max over 6-dp rounded cosines, integer micro-unit sums.
+    // The indexed key serves through the probed slice at FULL probes —
+    // provably the same scored pairs — so one oracle gates both.
+    "knn_maxsim" -> maxSimOracleSql,
+    "knn_maxsim_indexed" -> maxSimOracleSql,
     // contamination_semantic: identical pairwise cosine math (lists cast to
     // DOUBLE[]); the tau filter runs on the unrounded value in both engines
     "contamination_semantic" ->

@@ -102,6 +102,16 @@ class RetrievalPrunedSpec extends SparkSpec {
     assert(kept < total, s"no fragment pruning: $kept/$total")
   }
 
+  test("knn_maxsim_indexed gated key equals knn_maxsim row-for-row") {
+    val exact = SparkEntry.queries("knn_maxsim")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val indexed = SparkEntry.queries("knn_maxsim_indexed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(indexed.toSeq === exact.toSeq)
+    assert(SparkEntry.oracleSql("knn_maxsim_indexed") ===
+      SparkEntry.oracleSql("knn_maxsim"))
+  }
+
   test("hybrid vector arm over the index: full probes exact; partial probes prune and keep recall") {
     val exact = TextAnalysis.hybridVectorArm(spark,
         Tables.t(spark, sf, "embeddings").select("vec_id", "embedding"))

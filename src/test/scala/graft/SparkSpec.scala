@@ -204,6 +204,13 @@ class EntrySpec extends SparkSpec {
     "q_stream_drift" -> 20,
     "knn_mmr" -> 30,
     "q_stream_mmr" -> 30,
+    // r19 probe-pruned/index-served serving twins: full-probe gate
+    // configs are provably row-for-row equal to their exact twins
+    "knn_mmr_indexed" -> 30,
+    "q_stream_mmr_pruned" -> 30,
+    "knn_maxsim_indexed" -> 15,
+    "q_stream_maxsim_pruned" -> 15,
+    "q_stream_hybrid_pruned" -> 15,
     "lance_drift" -> 20,
     "lance_drift_call" -> 20,
     "ivf_filtered_search" -> 15)
