@@ -22,6 +22,21 @@ mechanically:
 
 Usage: tools/bench_compare.py OLD.json NEW.json [--ratio 1.5]
 Exit 1 iff at least one key is classified REGRESSION.
+
+Harness-config normalization (r19, VERDICT r18 item 5): the driver's
+per-round snapshots run cpus=32 while the repo's BENCH.json series is
+cpus=8, and 32 threads over sf0.1's tiny partitions pay per-key scheduler
+overhead (a broad 1.1-1.3x tide on UNCHANGED plans, adjudicated by hand in
+r17/r18). Two flags make that adjudication mechanical:
+
+  --emit-normalize OUT.json   compare a cpus=8 and a cpus=32 run of
+                              IDENTICAL code and record the per-key
+                              settled-time ratio table (+ __median);
+  --normalize TABLE.json      divide NEW's per-key times by the table's
+                              ratio (keys absent from the table use the
+                              table's __median) before classification —
+                              i.e. compare a cpus=32 snapshot against the
+                              cpus=8 series in cpus=8 units.
 """
 import json
 import sys
@@ -77,12 +92,28 @@ def classify(key, old, new, ratio_min):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
+    # option VALUES must not be mistaken for positional file args
+    args, skip = [], set()
+    for i, a in enumerate(argv):
+        if i in skip:
+            continue
+        if a.startswith("--"):
+            if "=" not in a and a not in ("--",):
+                skip.add(i + 1)
+        else:
+            args.append(a)
     ratio_min = 1.5
+    emit_normalize = normalize = None
+    def opt_val(flag):
+        for i, a in enumerate(argv):
+            if a.startswith(flag):
+                return a.split("=", 1)[1] if "=" in a else argv[i + 1]
+        return None
     for a in argv:
         if a.startswith("--ratio"):
-            ratio_min = float(a.split("=", 1)[1] if "=" in a
-                              else argv[argv.index(a) + 1])
+            ratio_min = float(opt_val("--ratio"))
+    emit_normalize = opt_val("--emit-normalize")
+    normalize = opt_val("--normalize")
     def obj_at(s, i):
         """json.loads the brace-balanced object starting at s[i]."""
         depth = 0
@@ -142,6 +173,34 @@ def main(argv):
         return b["parsed"] if b.get("parsed") else salvage(b["tail"])
     old = load(args[0])
     new = load(args[1])
+    if emit_normalize:
+        # identical-code pair: OLD = the series config (cpus=8), NEW = the
+        # driver config (cpus=32); the per-key settled ratio IS the
+        # harness-config factor. Sub-0.2s keys are scheduler noise at both
+        # configs — they fall back to the table's __median at apply time.
+        table = {}
+        for k in new["queries"]:
+            if k.endswith("__spaced"):
+                continue
+            t0, t1 = settled(old, k), settled(new, k)
+            if t0 is not None and t1 is not None and t0 >= 0.2:
+                table[k] = round(t1 / t0, 4)
+        med = sorted(table.values())[len(table) // 2] if table else 1.0
+        table["__median"] = med
+        json.dump(table, open(emit_normalize, "w"), indent=1, sort_keys=True)
+        print(f"wrote {len(table) - 1} per-key cpus factors to "
+              f"{emit_normalize} (median {med:.2f}x)")
+        return 0
+    if normalize:
+        table = json.load(open(normalize))
+        med = table.get("__median", 1.0)
+        for k in list(new["queries"]):
+            base = k[:-8] if k.endswith("__spaced") else k
+            f = table.get(base, med)
+            if new["queries"][k] is not None and new["queries"][k] >= 0 and f > 0:
+                new["queries"][k] = new["queries"][k] / f
+        print(f"normalized NEW by {normalize} "
+              f"(per-key factors, median fallback {med:.2f}x)\n")
     keys = [k for k in new["queries"] if not k.endswith("__spaced")
             and not k.endswith("_build")  # legacy pre-r17 builds-in-queries
             and k in old["queries"]]
