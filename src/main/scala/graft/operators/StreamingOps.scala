@@ -353,6 +353,7 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, bid: Long) =>
+       freeingBatchCheckpoints(s) {
         val stateExists = tableExists(s, state)
         val lastGen = lastBidOf(s, state, colName = "gen")
         if (bid > lastGen) {
@@ -373,6 +374,7 @@ object StreamingOps extends QueryModule {
           changed.count()
         }
         ()
+       }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -492,6 +494,29 @@ object StreamingOps extends QueryModule {
     * already localCheckpoint'd (each is consumed several times below).
     * `verify(cand, allState)` turns capped candidate pairs + the
     * batch∪history state into verified pair rows. */
+  /** Run a per-micro-batch body and free every RDD it persisted: snapshot
+    * the context's persistent-RDD ids before, unpersist the NEW ids
+    * after. The batch bodies localCheckpoint their multiply-consumed
+    * frames (band keys, states, deltas, upsert keys), and a checkpoint's
+    * RDD lives OUTSIDE the CacheManager — its blocks are otherwise freed
+    * only when the GC collects the RDD object and the async
+    * ContextCleaner gets scheduled, i.e. allocation-pressure-dependent
+    * timing. That lag is precisely what the clusterLabels OOM of §4
+    * demonstrated in loop form: under heavy allocation the cleanup loses
+    * the race and dead checkpoints pile up in the MemoryStore. The sweep
+    * makes release DETERMINISTIC at the batch boundary. Scope: an id
+    * persisted by a CONCURRENT job inside the batch window would be
+    * swept too — that costs that job a re-cache, never correctness, and
+    * these ingest bodies own their tables by the documented
+    * single-writer contract. */
+  private def freeingBatchCheckpoints[T](s: SparkSession)(body: => T): T = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
   private def nearDedupBatch(s: SparkSession,
       dst: String, keysT: String, stateT: String,
       stateBuckets: Int, bucketCap: Int,
@@ -500,7 +525,8 @@ object StreamingOps extends QueryModule {
       compactEvery: Int = 0,
       vacuumOnCompact: Boolean = false,
       writeDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit =
-        appendDst)(batch: DataFrame, bid: Long): Unit = {
+        appendDst)(batch: DataFrame, bid: Long): Unit =
+      freeingBatchCheckpoints(s) {
     val dstBid = lastBidOf(s, dst)
     val keysBid = lastBidOf(s, keysT)
     val stateBid = lastBidOf(s, stateT)
@@ -1548,6 +1574,7 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (touched: DataFrame, bid: Long) =>
+       freeingBatchCheckpoints(s) {
         val lastBid = lastBidOf(s, mvTable)
         if (bid > lastBid) {
           // the upsert key rides the MV as a single column so the touched
@@ -1575,6 +1602,7 @@ object StreamingOps extends QueryModule {
           touched.count()
         }
         ()
+       }
       }
       .trigger(Trigger.AvailableNow())
       .start()

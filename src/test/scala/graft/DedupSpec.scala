@@ -117,6 +117,27 @@ class DedupSpec extends SparkSpec {
     assert(streamed.forall(_.getDouble(2) === 1.0)) // identical docs
   }
 
+  test("q_stream_neardedup: per-batch checkpoints die with their batch — MemoryStore does not grow with stream length") {
+    // each micro-batch localCheckpoints its band keys / shingle state /
+    // candidate pairs; a checkpoint's RDD lives outside the CacheManager
+    // and is otherwise freed only when GC + the async ContextCleaner get
+    // around to it — allocation-pressure-dependent timing, the lag class
+    // the clusterLabels OOM (§4) demonstrated. The per-batch sweep makes
+    // release deterministic; this pins it. Suites run sequentially in
+    // this JVM, so a persistent-RDD id that survives the stream was
+    // leaked by the stream itself (pre-fix this fails with the last
+    // batch's un-swept checkpoint still registered).
+    val keysT = java.nio.file.Files.createTempDirectory("graft-sndl-k-").toString + "/t"
+    val setsT = java.nio.file.Files.createTempDirectory("graft-sndl-s-").toString + "/t"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val streamed = graft.operators.StreamingOps
+      .streamNearDedupAt(spark, sf, keysT, setsT).collect()
+    assert(streamed.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"per-batch checkpoints must be freed at batch end; leaked RDD ids: $leaked")
+  }
+
   test("q_stream_neardedup: state tables are bucketed and probes scan only the batch's bucket cover") {
     import graft.sources.lance.ManifestIO
     val keysT = java.nio.file.Files.createTempDirectory("graft-sndd-k-").toString + "/t"
