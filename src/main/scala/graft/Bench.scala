@@ -109,6 +109,13 @@ object Bench {
     // Integer.toHexString is UNPADDED: an identity hash below 0x100000
     // prints 1-5 digits, so the strip must accept any plausible width
     .replaceAll("@[0-9a-f]{1,16}\\b", "@<id>")
+    // NORMALIZER v3 (r19): LanceScan lines print the table's manifest
+    // version and fragment counts — run-shape data (how many commits a
+    // stream happened to make, compaction cadence hits), not plan
+    // structure; they flipped q_stream_image_dedup's fingerprint on
+    // identical code
+    .replaceAll("version=\\d+", "version=")
+    .replaceAll("fragments=\\d+/\\d+", "fragments=")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -326,7 +333,7 @@ object Bench {
       """"builds":"since r17 one-time build entries (ivf_flat_build, lsh_pairs_build, ivf_pq_build, ivf_sq_build) live in the builds map, excluded from queries and total; r16-and-earlier totals include them",""" +
       """"host_tide":"wall times are single-host measurements: compare rounds through tools/bench_compare.py (noise bands, spaced re-medians, per-batch streaming denominators) and treat a broad same-direction shift on unchanged plan fingerprints as host speed, not code — the late-r18 close measured untouched map-only canaries at 1.5-2x their same-day morning walls on identical code/plans (shared-host slowdown, load 1.7 with zero local processes)",""" +
       """"data":"per-key data-side record of the LAST measured run: streaming batches/inputRows/sinkRows (StreamingQueryProgress) and lance manifest commits; the denominators for adjudicating streaming wall-time swings",""" +
-      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only. NORMALIZER v2 since r18 (JVM lambda identities in typed-API nodes stripped — they flipped fingerprints on unchanged code), so r18+ fingerprints are NOT comparable to r16/r17 snapshots"}"""
+      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only. NORMALIZER v2 since r18 (JVM lambda identities in typed-API nodes stripped — they flipped fingerprints on unchanged code); v3 since r19 (LanceScan manifest version / fragment counts stripped — run-shape data, flipped q_stream_image_dedup on identical code), so fingerprints compare only within the same normalizer version"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"noise":$nJson,"builds":$bJson,"data":$dJson,"plans":$pJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)

@@ -131,6 +131,11 @@ class PropertySpec extends AnyFunSuite {
     val a = "Exchange hashpartitioning(user_id#42, 32) file:/tmp/x-123/t plan_id=7"
     val b = "Exchange hashpartitioning(user_id#7, 8) file:/tmp/y-456/t plan_id=9"
     assert(Bench.normalizePlan(a) === Bench.normalizePlan(b))
+    // v3: manifest version / fragment counts are run-shape, not plan —
+    // a stream that commits one batch more must not flip its fingerprint
+    val s1 = "LanceScan root=<tmp> version=4 fragments=4/4 PushedFilters: []"
+    val s2 = "LanceScan root=<tmp> version=6 fragments=5/5 PushedFilters: []"
+    assert(Bench.normalizePlan(s1) === Bench.normalizePlan(s2))
   }
 
   test("text kernels never throw on arbitrary UTF-16 (including lone surrogates)") {
