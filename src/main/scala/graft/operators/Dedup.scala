@@ -181,12 +181,13 @@ object Dedup extends QueryModule {
     // UNABLE_TO_ACQUIRE_MEMORY); serialized blocks are ~3x smaller and
     // spill to disk under pressure instead of wedging execution
     val ckptLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint(true, ckptLevel)
-    var labels = edges.select(col("a_id").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true, ckptLevel)
+    val edges = CheckpointTracker.ckpt(pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))),
+      eager = true, level = ckptLevel)
+    var labels = CheckpointTracker.ckpt(
+      edges.select(col("a_id").as("node")).distinct()
+        .withColumn("lbl", col("node")),
+      eager = true, level = ckptLevel)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -202,11 +203,11 @@ object Dedup extends QueryModule {
       // adversarially long duplicate chain (diameter ≫ 20) can't outrun
       // the round cap the way plain propagation could
       val jump = prop.select(col("node").as("lbl"), col("lbl").as("lbl2"))
-      val next = prop.join(jump, Seq("lbl"), "left")
+      val next = CheckpointTracker.ckpt(prop.join(jump, Seq("lbl"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"),
-          (least(col("lbl"), coalesce(col("lbl2"), col("lbl"))) < col("old")).as("moved"))
-        .localCheckpoint(true, ckptLevel)
+          (least(col("lbl"), coalesce(col("lbl2"), col("lbl"))) < col("old")).as("moved")),
+        eager = true, level = ckptLevel)
       changed = next.filter(col("moved")).count()
       // free the SUPERSEDED generation: a checkpoint persists its backing
       // RDD outside the CacheManager, so without this every round's label

@@ -353,13 +353,13 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, bid: Long) =>
-       freeingBatchCheckpoints(s) {
+       freeingBatchCheckpoints {
         val stateExists = tableExists(s, state)
         val lastGen = lastBidOf(s, state, colName = "gen")
         if (bid > lastGen) {
           // localCheckpoint: `changed` is consumed twice (observer + write);
           // without it each consumer would recompute the micro-batch plan
-          val delta = changed.withColumn("gen", lit(bid)).localCheckpoint()
+          val delta = CheckpointTracker.ckpt(changed.withColumn("gen", lit(bid)))
           onBatch(bid, delta.count())
           delta.write.format("lance")
             .option("write.bucket-by", "h")
@@ -494,28 +494,24 @@ object StreamingOps extends QueryModule {
     * already localCheckpoint'd (each is consumed several times below).
     * `verify(cand, allState)` turns capped candidate pairs + the
     * batch∪history state into verified pair rows. */
-  /** Run a per-micro-batch body and free every RDD it persisted: snapshot
-    * the context's persistent-RDD ids before, unpersist the NEW ids
-    * after. The batch bodies localCheckpoint their multiply-consumed
-    * frames (band keys, states, deltas, upsert keys), and a checkpoint's
-    * RDD lives OUTSIDE the CacheManager — its blocks are otherwise freed
-    * only when the GC collects the RDD object and the async
-    * ContextCleaner gets scheduled, i.e. allocation-pressure-dependent
-    * timing. That lag is precisely what the clusterLabels OOM of §4
-    * demonstrated in loop form: under heavy allocation the cleanup loses
-    * the race and dead checkpoints pile up in the MemoryStore. The sweep
-    * makes release DETERMINISTIC at the batch boundary. Scope: an id
-    * persisted by a CONCURRENT job inside the batch window would be
-    * swept too — that costs that job a re-cache, never correctness, and
-    * these ingest bodies own their tables by the documented
-    * single-writer contract. */
-  private def freeingBatchCheckpoints[T](s: SparkSession)(body: => T): T = {
-    val before = s.sparkContext.getPersistentRDDs.keySet
-    try body
-    finally s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id)) rdd.unpersist(blocking = false)
-    }
-  }
+  /** Run a per-micro-batch body and free every RDD the body itself
+    * checkpointed. The batch bodies localCheckpoint their multiply-
+    * consumed frames (band keys, states, deltas, upsert keys) through
+    * [[CheckpointTracker.ckpt]], and a checkpoint's RDD lives OUTSIDE the
+    * CacheManager — its blocks are otherwise freed only when the GC
+    * collects the RDD object and the async ContextCleaner gets scheduled,
+    * i.e. allocation-pressure-dependent timing. That lag is precisely
+    * what the clusterLabels OOM of §4 demonstrated in loop form: under
+    * heavy allocation the cleanup loses the race and dead checkpoints
+    * pile up in the MemoryStore. The tracked sweep makes release
+    * DETERMINISTIC at the batch boundary. Scope (r20, tightened): ONLY
+    * frames registered by this batch's own `ckpt` calls are swept — the
+    * r19 before/after diff of `getPersistentRDDs` would also free a
+    * CONCURRENT query's checkpoint, and because a localCheckpoint
+    * truncates lineage that is an unrecoverable block-not-found failure
+    * for the other query, not a re-cache. */
+  private def freeingBatchCheckpoints[T](body: => T): T =
+    CheckpointTracker.freeing(body)
 
   private def nearDedupBatch(s: SparkSession,
       dst: String, keysT: String, stateT: String,
@@ -526,7 +522,7 @@ object StreamingOps extends QueryModule {
       vacuumOnCompact: Boolean = false,
       writeDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit =
         appendDst)(batch: DataFrame, bid: Long): Unit =
-      freeingBatchCheckpoints(s) {
+      freeingBatchCheckpoints {
     val dstBid = lastBidOf(s, dst)
     val keysBid = lastBidOf(s, keysT)
     val stateBid = lastBidOf(s, stateT)
@@ -552,15 +548,15 @@ object StreamingOps extends QueryModule {
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= bucketCap)
         .select("band_idx", "band_key")
-      val cand = bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-        .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
-        .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
-          Seq("band_idx", "band_key"))
-        .filter(col("x") =!= col("y"))
-        .select(least(col("x"), col("y")).as("a_id"),
-          greatest(col("x"), col("y")).as("b_id"))
-        .distinct()
-        .localCheckpoint()
+      val cand = CheckpointTracker.ckpt(
+        bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+          .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
+          .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
+            Seq("band_idx", "band_key"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a_id"),
+            greatest(col("x"), col("y")).as("b_id"))
+          .distinct())
       // exact-verify state probe, same bucket discipline on doc_id
       val stBuckets = cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))
         .union(cand.select(pmod(hash(col("b_id")), lit(stateBuckets)).as("b")))
@@ -647,8 +643,8 @@ object StreamingOps extends QueryModule {
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, setsT, stateBuckets,
         Dedup.BucketCap,
-        bandAndState = b => (Dedup.bandKeys(b).localCheckpoint(),
-          Dedup.shingleSets(b).localCheckpoint()),
+        bandAndState = b => (CheckpointTracker.ckpt(Dedup.bandKeys(b)),
+          CheckpointTracker.ckpt(Dedup.shingleSets(b))),
         verify = (cand, allSets) => Dedup.verifyJaccard(cand, allSets),
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
@@ -760,15 +756,15 @@ object StreamingOps extends QueryModule {
         bandAndState = b => {
           // ONE decode pass feeds both views (frames are consumed by the
           // banding here and 3× by the verify tail)
-          val frames = Multimodal.decodeVideoFrameSigs(s, b).localCheckpoint()
-          val bk = Multimodal.imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
-            .select(col("doc_id"), col("band_idx"),
-              (col("frame_idx") * lit(65536L) + col("band_key")).as("band_key"))
-            .localCheckpoint()
+          val frames = CheckpointTracker.ckpt(Multimodal.decodeVideoFrameSigs(s, b))
+          val bk = CheckpointTracker.ckpt(
+            Multimodal.imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
+              .select(col("doc_id"), col("band_idx"),
+                (col("frame_idx") * lit(65536L) + col("band_key")).as("band_key")))
           (bk, frames)
         },
         verify = (cand, allFrames) =>
-          Multimodal.videoVerifyPairs(cand, allFrames.localCheckpoint()),
+          Multimodal.videoVerifyPairs(cand, CheckpointTracker.ckpt(allFrames)),
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -845,9 +841,10 @@ object StreamingOps extends QueryModule {
       .foreachBatch(nearDedupBatch(s, dst, keysT, vecsT, stateBuckets,
         bucketCap,
         bandAndState = b => {
-          val bb = assign(b).localCheckpoint() // one read feeds both views
-          (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
-            col("label").as("band_key")).localCheckpoint(),
+          val bb = CheckpointTracker.ckpt(assign(b)) // one read feeds both views
+          (CheckpointTracker.ckpt(
+            bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
+              col("label").as("band_key"))),
             bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
         },
         verify = cosineVerify,
@@ -989,7 +986,7 @@ object StreamingOps extends QueryModule {
                                survT: String, bid: Long, survBid: Long): Unit = {
     if (bid <= survBid) return // the atomic upsert already committed
     val batchVecs = st.select(col("doc_id").as("vec_id"), col("label"))
-    val p = pairs.select("a_id", "b_id").localCheckpoint()
+    val p = CheckpointTracker.ckpt(pairs.select("a_id", "b_id"))
     // the cap is enforced BY the collect (limit cap+1), never after it —
     // an oversized cell must abort with the diagnostic below, not OOM the
     // driver materializing the very list the cap exists to bound
@@ -1014,8 +1011,8 @@ object StreamingOps extends QueryModule {
         "resize cells or run the batch operator")
     val members =
       if (touched.isEmpty) surv.limit(0).select("vec_id", "label", "lbl")
-      else surv.filter(col("lbl").isin(touched.toSeq: _*))
-        .select("vec_id", "label", "lbl").localCheckpoint()
+      else CheckpointTracker.ckpt(surv.filter(col("lbl").isin(touched.toSeq: _*))
+        .select("vec_id", "label", "lbl"))
     val nodesAll = members.select("vec_id", "label")
       .unionByName(batchVecs).dropDuplicates("vec_id")
     val relabeled =
@@ -1082,7 +1079,7 @@ object StreamingOps extends QueryModule {
     * roots, never changes them); a spec runs both paths on one graph. */
   private[graft] def closeLabels(s: SparkSession, edges: DataFrame,
                                  localCap: Long): DataFrame = {
-    val cached = edges.localCheckpoint()
+    val cached = CheckpointTracker.ckpt(edges)
     if (cached.count() > localCap) Dedup.clusterLabels(s, cached)._1
     else {
       val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -1142,8 +1139,8 @@ object StreamingOps extends QueryModule {
         Multimodal.ImgBucketCap,
         bandAndState = b => {
           // ONE decode pass: band keys derive from the checkpointed sigs
-          val sigs = decode(s, b).localCheckpoint()
-          (Multimodal.imgBandKeys(sigs).localCheckpoint(), sigs)
+          val sigs = CheckpointTracker.ckpt(decode(s, b))
+          (CheckpointTracker.ckpt(Multimodal.imgBandKeys(sigs)), sigs)
         },
         verify = sigHammingVerify,
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
@@ -1574,14 +1571,14 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .outputMode("update")
       .foreachBatch { (touched: DataFrame, bid: Long) =>
-       freeingBatchCheckpoints(s) {
+       freeingBatchCheckpoints {
         val lastBid = lastBidOf(s, mvTable)
         if (bid > lastBid) {
           // the upsert key rides the MV as a single column so the touched
           // keys are one In() delete predicate (bounded: ∝ the batch)
-          val up = touched.withColumn("k",
-            concat_ws("\u0001", col("w_start").cast("string"), col("event_type")))
-            .localCheckpoint() // materializes every partition (state commit)
+          // ckpt materializes every partition (state commit)
+          val up = CheckpointTracker.ckpt(touched.withColumn("k",
+            concat_ws("\u0001", col("w_start").cast("string"), col("event_type"))))
           val keys = up.select("k").collect().map(_.getString(0))
           if (keys.nonEmpty) {
             // ONE atomic commit (REPLACE WHERE): the keyed delete and the

@@ -138,6 +138,40 @@ class DedupSpec extends SparkSpec {
       s"per-batch checkpoints must be freed at batch end; leaked RDD ids: $leaked")
   }
 
+  test("batch checkpoint sweep frees ONLY the batch's own checkpoints — a concurrent query's survives") {
+    // r19's sweep diffed getPersistentRDDs around the batch window, so a
+    // checkpoint persisted by a CONCURRENT query inside the window was
+    // swept too. A localCheckpoint truncates lineage — its blocks are the
+    // only copy — so that sweep makes the other query's later reads fail
+    // unrecoverably (checkpoint block not found), not re-cache. The r20
+    // tracker registers exactly the frames the batch body itself
+    // checkpointed; this pins both sides of that contract.
+    import spark.implicits._
+    def rddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.toSeq
+    var foreign: org.apache.spark.sql.DataFrame = null
+    var mineIds: Seq[Int] = Seq.empty
+    graft.operators.CheckpointTracker.freeing {
+      // simulates an ad-hoc query on the shared session checkpointing
+      // DURING the batch window, outside the tracker
+      foreign = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
+      val mine = graft.operators.CheckpointTracker.ckpt(Seq(4L, 5L).toDF("y"))
+      assert(mine.count() === 2L)
+      mineIds = rddIds(mine)
+    }
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(mineIds.nonEmpty && mineIds.forall(!persisted.contains(_)),
+      "the batch's own checkpoint must be released at the boundary")
+    val foreignIds = rddIds(foreign)
+    assert(foreignIds.nonEmpty && foreignIds.forall(persisted.contains),
+      "a concurrent query's checkpoint must survive the batch sweep")
+    assert(foreign.count() === 3L) // and still be readable
+    foreignIds.foreach(id => spark.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   test("q_stream_neardedup: state tables are bucketed and probes scan only the batch's bucket cover") {
     import graft.sources.lance.ManifestIO
     val keysT = java.nio.file.Files.createTempDirectory("graft-sndd-k-").toString + "/t"
