@@ -113,9 +113,21 @@ object Bench {
     // version and fragment counts — run-shape data (how many commits a
     // stream happened to make, compaction cadence hits), not plan
     // structure; they flipped q_stream_image_dedup's fingerprint on
-    // identical code
-    .replaceAll("version=\\d+", "version=")
-    .replaceAll("fragments=\\d+/\\d+", "fragments=")
+    // identical code. v4 (r20): ANCHORED to LanceScan description lines —
+    // v3's unanchored strips would eat `version=`/`fragments=` anywhere in
+    // the plan (e.g. a pinned time-travel version is plan structure, not
+    // run shape) — and the kept/total fragment counts are BUCKETED to
+    // pruned-vs-full instead of deleted, so a pushdown regression that
+    // stops fragment pruning flips the fingerprint tripwire again.
+    .linesIterator.map { line =>
+      if (line.contains("LanceScan"))
+        FragmentsRe.replaceAllIn(
+          line.replaceAll("\\bversion=\\d+", "version="),
+          m => if (m.group(1) == m.group(2)) "fragments=full" else "fragments=pruned")
+      else line
+    }.mkString("\n")
+
+  private val FragmentsRe = "fragments=(\\d+)/(\\d+)".r
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -333,7 +345,7 @@ object Bench {
       """"builds":"since r17 one-time build entries (ivf_flat_build, lsh_pairs_build, ivf_pq_build, ivf_sq_build) live in the builds map, excluded from queries and total; r16-and-earlier totals include them",""" +
       """"host_tide":"wall times are single-host measurements: compare rounds through tools/bench_compare.py (noise bands, spaced re-medians, per-batch streaming denominators) and treat a broad same-direction shift on unchanged plan fingerprints as host speed, not code — the late-r18 close measured untouched map-only canaries at 1.5-2x their same-day morning walls on identical code/plans (shared-host slowdown, load 1.7 with zero local processes)",""" +
       """"data":"per-key data-side record of the LAST measured run: streaming batches/inputRows/sinkRows (StreamingQueryProgress) and lance manifest commits; the denominators for adjudicating streaming wall-time swings",""" +
-      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only. NORMALIZER v2 since r18 (JVM lambda identities in typed-API nodes stripped — they flipped fingerprints on unchanged code); v3 since r19 (LanceScan manifest version / fragment counts stripped — run-shape data, flipped q_stream_image_dedup on identical code), so fingerprints compare only within the same normalizer version"}"""
+      """"plans":"since r17: per-key sha-prefix:line-count fingerprint of the normalized static physical plan (ids/paths stripped, pre-AQE); equal across rounds = wall swing is host/data, changed = a real plan change — streaming keys fingerprint their sink-read side only. NORMALIZER v2 since r18 (JVM lambda identities in typed-API nodes stripped — they flipped fingerprints on unchanged code); v3 since r19 (LanceScan manifest version / fragment counts stripped — run-shape data, flipped q_stream_image_dedup on identical code); v4 since r20 (the v3 strips anchored to LanceScan description lines, and fragment counts bucketed to pruned-vs-full instead of deleted so a lost-pruning regression flips the tripwire again), so fingerprints compare only within the same normalizer version"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"noise":$nJson,"builds":$bJson,"data":$dJson,"plans":$pJson,"notes":$notes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/graft_bench.json"), line)

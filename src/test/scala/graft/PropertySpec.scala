@@ -136,6 +136,22 @@ class PropertySpec extends AnyFunSuite {
     val s1 = "LanceScan root=<tmp> version=4 fragments=4/4 PushedFilters: []"
     val s2 = "LanceScan root=<tmp> version=6 fragments=5/5 PushedFilters: []"
     assert(Bench.normalizePlan(s1) === Bench.normalizePlan(s2))
+    // v4: the kept/total ratio is bucketed, not deleted — a regression
+    // that stops fragment pruning (kept == total where it used to be <)
+    // MUST flip the fingerprint tripwire...
+    val pruned = "LanceScan root=<tmp> version=4 fragments=2/8 PushedFilters: [In(cell)]"
+    val full = "LanceScan root=<tmp> version=4 fragments=8/8 PushedFilters: [In(cell)]"
+    assert(Bench.normalizePlan(pruned) !== Bench.normalizePlan(full),
+      "lost fragment pruning must flip the fingerprint")
+    // ...while two pruned runs with different run-shape counts stay equal
+    val pruned2 = "LanceScan root=<tmp> version=9 fragments=3/12 PushedFilters: [In(cell)]"
+    assert(Bench.normalizePlan(pruned) === Bench.normalizePlan(pruned2))
+    // v4: the strips are ANCHORED to LanceScan lines — a version= outside
+    // one (e.g. a pinned time-travel version in an options map) is plan
+    // structure and survives
+    val tt = "Relation [x#1] options(version=3)"
+    assert(Bench.normalizePlan(tt).contains("version=3"),
+      "non-LanceScan version= must survive normalization")
   }
 
   test("text kernels never throw on arbitrary UTF-16 (including lone surrogates)") {
