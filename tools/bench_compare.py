@@ -107,7 +107,12 @@ def main(argv):
     def opt_val(flag):
         for i, a in enumerate(argv):
             if a.startswith(flag):
-                return a.split("=", 1)[1] if "=" in a else argv[i + 1]
+                if "=" in a:
+                    return a.split("=", 1)[1]
+                if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                    print(f"usage: {flag} requires a value", file=sys.stderr)
+                    sys.exit(2)
+                return argv[i + 1]
         return None
     for a in argv:
         if a.startswith("--ratio"):
@@ -183,7 +188,10 @@ def main(argv):
             if k.endswith("__spaced"):
                 continue
             t0, t1 = settled(old, k), settled(new, k)
-            if t0 is not None and t1 is not None and t0 >= 0.2:
+            # BOTH sides must clear the noise floor: a tiny noisy NEW time
+            # over a real OLD time (or vice versa) is an outlier ratio,
+            # not a harness-config factor
+            if t0 is not None and t1 is not None and t0 >= 0.2 and t1 >= 0.2:
                 table[k] = round(t1 / t0, 4)
         med = sorted(table.values())[len(table) // 2] if table else 1.0
         table["__median"] = med
