@@ -748,16 +748,17 @@ object VectorSearch extends QueryModule {
     * scan of the token store, max per (query, doc, q-token) on 6-dp
     * rounded cosines, integer micro-unit Σ per (query, doc), pre-shuffle
     * k-heap rank with doc_id tiebreaks. */
-  private[graft] def maxSimRank(docTokens: DataFrame, qv: DataFrame): DataFrame =
+  private[graft] def maxSimRank(docTokens: DataFrame, qv: DataFrame,
+                                k: Int = MaxSimK): DataFrame =
     maxSimTail(docTokens.crossJoin(broadcast(qv))
       .select(col("query_id"), col("q_tok"), col("doc_id"),
-        round(vec_cosine(col("embedding"), col("qv")), 6).as("cos")))
+        round(vec_cosine(col("embedding"), col("qv")), 6).as("cos")), k)
 
   /** The max-per-q-token → micro-Σ → k-heap tail over scored
     * (query_id, q_tok, doc_id, cos) pairs — ONE definition whether the
     * pairs came from the broadcast cross-join (exact arms) or the probed
     * slice ([[maxSimRankPruned]]). */
-  private[graft] def maxSimTail(scored: DataFrame): DataFrame = {
+  private[graft] def maxSimTail(scored: DataFrame, k: Int = MaxSimK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -769,7 +770,7 @@ object VectorSearch extends QueryModule {
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("micro")).cast("double") / 1e6, 6).as("score"))
       .withColumn("rk", row_number().over(byScore).cast("long"))
-      .filter(col("rk") <= MaxSimK)
+      .filter(col("rk") <= k)
       .select("query_id", "doc_id", "score", "rk")
       .orderBy(col("query_id").asc, col("rk").asc)
   }
@@ -940,7 +941,7 @@ object VectorSearch extends QueryModule {
 
   /** The pair-sims + greedy tail over MATERIALIZED candidates — shared
     * verbatim by the batch key and the streaming serving twin. */
-  private[graft] def mmrServe(cand: DataFrame): DataFrame = {
+  private[graft] def mmrServe(cand: DataFrame, k: Int = MmrK): DataFrame = {
     val a = cand.select(col("query_id"), col("rnk").as("ai"),
       col("embedding").as("av"))
     val b = cand.select(col("query_id"), col("rnk").as("bi"),
@@ -961,7 +962,7 @@ object VectorSearch extends QueryModule {
       .withColumn("pairs", coalesce(col("pairs"),
         array().cast("array<struct<ai:int,bi:int,psim:bigint>>")))
       .select(col("query_id"),
-        explode(graft.functions.mmr_select(col("cands"), col("pairs"), MmrK))
+        explode(graft.functions.mmr_select(col("cands"), col("pairs"), k))
           .as("s"))
       .select(col("query_id"), col("s.doc_id").as("doc_id"),
         col("s.rk").as("rk"),
@@ -1046,6 +1047,41 @@ object VectorSearch extends QueryModule {
       .filter(col("rnk") <= MmrN)
   }
 
+  /** The MMR candidate stage for an ARBITRARY k-bounded query-vector
+    * workload — the `CALL system.knn(mode => 'mmr')` router. Same
+    * qsim/rank math as the gated keys' stages: probe-pruned over a
+    * cell-clustered store when `probed` carries (centroids, nprobes)
+    * ([[probedSlice]] — one fragment-pruned scan + broadcast joins), the
+    * broadcast-queries codegen'd cosine scan + pre-shuffle k-heap
+    * otherwise. `store` arrives pre-filtered (the procedure applies its
+    * `filter` predicate against the user's column names before the
+    * rename) with columns (vec_id, embedding[, cell]). */
+  private[graft] def mmrCandidatesForVecs(
+      s: SparkSession, store: DataFrame,
+      queries: Seq[(Long, Array[Float])],
+      probed: Option[(Array[Array[Double]], Int)],
+      n: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("doc_id").asc)
+    val base = probed match {
+      case Some((cents, np)) =>
+        probedSlice(s, store.select("vec_id", "embedding", "cell"),
+          queries, cents, np)
+      case None =>
+        store.select("vec_id", "embedding")
+          .crossJoin(broadcast(queries.toDF("__pq", "__qv")))
+    }
+    base
+      .select(col("__pq").as("query_id"), col("vec_id").as("doc_id"),
+        round(round(vec_cosine(col("embedding"), col("__qv")), 6) * 1e6)
+          .cast("long").as("qsim"),
+        col("embedding"))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= n)
+  }
+
   /** knn_mmr served from the PERSISTED index (VERDICT r18 item 2): the
     * candidate shortlist comes from the cell-clustered index table — the
     * knn_join_pq routing — instead of a brute-force corpus scan, then the
@@ -1069,7 +1105,8 @@ object VectorSearch extends QueryModule {
   private[graft] def maxSimRankPruned(s: SparkSession, tokenStore: DataFrame,
                                       qtoks: Seq[(Long, Long, Array[Float])],
                                       cents: Array[Array[Double]],
-                                      nprobes: Int): DataFrame = {
+                                      nprobes: Int,
+                                      k: Int = MaxSimK): DataFrame = {
     import s.implicits._
     val queries = qtoks.map { case (_, tok, v) => (tok, v) }
     val qmap = qtoks.map { case (q, tok, _) => (q, tok) }.toDF("query_id", "q_tok")
@@ -1079,7 +1116,7 @@ object VectorSearch extends QueryModule {
         .select(col("__pq").as("q_tok"), col("doc_id"),
           round(vec_cosine(col("embedding"), col("__qv")), 6).as("cos"))
         .join(broadcast(qmap), "q_tok")
-        .select("query_id", "q_tok", "doc_id", "cos"))
+        .select("query_id", "q_tok", "doc_id", "cos"), k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -160,7 +160,9 @@ object LanceProcedures {
   private def knn(catalog: LanceCatalog): UnboundProcedure =
     bound("knn", catalog, Array(
       param("table", StringType),
-      param("query", ArrayType(DoubleType)),
+      // optional since r20: mode => 'maxsim' takes its vectors via
+      // query_toks; topk/mmr still require a non-empty query
+      param("query", ArrayType(DoubleType), Some("CAST(array() AS ARRAY<DOUBLE>)")),
       param("column", StringType, Some("'embedding'")),
       param("k", IntegerType, Some("10")),
       param("metric", StringType, Some("'l2'")),
@@ -169,7 +171,11 @@ object LanceProcedures {
       param("refine_factor", IntegerType, Some("0")),
       param("id_column", StringType, Some("'vec_id'")),
       param("filter", StringType, Some("''")),
-      param("columns", StringType, Some("''")))) { (root, in) =>
+      param("columns", StringType, Some("''")),
+      param("mode", StringType, Some("'topk'")),
+      param("candidates", IntegerType, Some("40")),
+      param("query_toks", ArrayType(ArrayType(DoubleType)),
+        Some("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")))) { (root, in) =>
       val spark = SparkSession.active
       val qv = in.getArray(1).toDoubleArray()
       val column = in.getUTF8String(2).toString
@@ -187,13 +193,71 @@ object LanceProcedures {
       val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
       val hasIndex = graft.operators.IndexBuild.exists(spark, root)
       import org.apache.spark.sql.functions._
+      val mode = in.getUTF8String(11).toString.toLowerCase(java.util.Locale.ROOT)
       // pin EVERY read of this call to one manifest version: the ranked
       // search and the matched-row lookup below are two separate reads,
       // and a concurrent commit between them would return columns from a
       // different snapshot than the distances
       val pinned: Map[String, String] = ManifestIO.loadLatest(root, conf)
         .map(m => Map("versionAsOf" -> m.version.toString)).getOrElse(Map.empty)
-      val df =
+      // mode => 'mmr' | 'maxsim' (r19 verdict item 1): the r19 serving
+      // machinery, SQL-reachable — same entry points as the gated keys
+      // (mmrCandidatesForVecs -> probedSlice -> mmrServe;
+      // maxSimRankPruned / maxSimRank), so full probes over an indexed
+      // store reproduce the gated answers row-for-row and partial probes
+      // run the fragment-pruned production plan. Both rank by the proven
+      // 6-dp cosine contract; the optional `filter` narrows candidates
+      // BEFORE ranking, exactly as in topk mode.
+      def modalStore(dId: String): org.apache.spark.sql.DataFrame = {
+        // pre-filter with the USER's column names, then rename to the
+        // machinery's (vec_id/doc_id, embedding[, cell])
+        val base = spark.read.format("lance").options(pinned).load(root)
+        val f = pred.map(base.filter).getOrElse(base)
+        if (hasIndex)
+          f.select(col(idCol).cast("long").as(dId),
+            col(column).as("embedding"), col("cell"))
+        else
+          f.select(col(idCol).cast("long").as(dId), col(column).as("embedding"))
+      }
+      def probedCfg(): Option[(Array[Array[Double]], Int)] =
+        if (!hasIndex) None
+        else {
+          val idx = graft.operators.IndexBuild.load(spark, root)
+          require(idx.opts.column == column,
+            s"lance knn: index at $root covers column ${idx.opts.column}, not $column")
+          Some((idx.centroids.map(_.toArray), nprobes))
+        }
+      val df = mode match {
+        case "mmr" =>
+          require(metric == "cosine",
+            "lance knn: mode => 'mmr' ranks by cosine — pass metric => 'cosine'")
+          require(qv.nonEmpty, "lance knn: mode => 'mmr' needs query => array(...)")
+          val cand = graft.operators.VectorSearch.mmrCandidatesForVecs(
+            spark, modalStore("vec_id"), Seq((0L, qv.map(_.toFloat))),
+            probedCfg(), in.getInt(12))
+          // the greedy tail consumes candidates 3x (pair self-join +
+          // collect) — materialize the (candidates)-bounded rows once
+          graft.operators.VectorSearch.mmrServe(cand.localCheckpoint(), k)
+            .select(col("doc_id"), col("rk"), col("cos"), col("mmr_micro"))
+        case "maxsim" =>
+          require(metric == "cosine",
+            "lance knn: mode => 'maxsim' ranks by cosine — pass metric => 'cosine'")
+          val qt = in.getArray(13)
+          val toks = (0 until qt.numElements()).map(i =>
+            (0L, i.toLong, qt.getArray(i).toDoubleArray().map(_.toFloat))).toSeq
+          require(toks.nonEmpty,
+            "lance knn: mode => 'maxsim' needs query_toks => array(array(...), ...)")
+          (probedCfg() match {
+            case Some((cents, _)) =>
+              graft.operators.VectorSearch.maxSimRankPruned(
+                spark, modalStore("doc_id"), toks, cents, nprobes, k)
+            case None =>
+              import spark.implicits._
+              graft.operators.VectorSearch.maxSimRank(modalStore("doc_id"),
+                broadcast(toks.toDF("query_id", "q_tok", "qv")), k)
+          }).select(col("doc_id"), col("score"), col("rk"))
+        case "topk" =>
+        require(qv.nonEmpty, "lance knn: query => array(...) is required")
         if (hasIndex) {
           val idx = graft.operators.IndexBuild.load(spark, root)
           require(idx.opts.column == column,
@@ -219,12 +283,27 @@ object LanceProcedures {
           (if (asc) scored.orderBy(col("dist").asc, col("id").asc)
            else scored.orderBy(col("dist").desc, col("id").asc)).limit(k)
         }
+        case other => throw new IllegalArgumentException(
+          s"lance knn: unknown mode $other (expected topk / mmr / maxsim)")
+      }
+      // every mode returns (id, metric columns...): id first (long), then
+      // primitive long/double rank columns — internal values as-is
+      val rankFields: Seq[StructField] = mode match {
+        case "mmr" => Seq(
+          StructField("rk", LongType, nullable = false),
+          StructField("cos", DoubleType, nullable = false),
+          StructField("mmr_micro", LongType, nullable = false))
+        case "maxsim" => Seq(
+          StructField("score", DoubleType, nullable = false),
+          StructField("rk", LongType, nullable = false))
+        case _ => Seq(StructField("dist", DoubleType, nullable = false))
+      }
       val rows = df.collect().map(r =>
         Array[Any](r.get(0) match {
           case l: java.lang.Long => l.longValue()
           case i: java.lang.Integer => i.longValue()
           case other => other.toString.toLong
-        }, r.getDouble(1)))
+        }) ++ (1 until r.length).map(r.get))
       // the reference's table function returns the matched ROW, not just
       // (id, distance) (LanceVectorSearchFunction.java:68-70 ROW<id,
       // content, embedding, _distance>) — `columns` lists table columns
@@ -233,9 +312,7 @@ object LanceProcedures {
       val extra = in.getUTF8String(10).toString.split(',')
         .map(_.trim).filter(_.nonEmpty).toSeq
       if (extra.isEmpty) {
-        (StructType(Seq(
-          StructField("id", LongType, nullable = false),
-          StructField("dist", DoubleType, nullable = false))),
+        (StructType(StructField("id", LongType, nullable = false) +: rankFields),
           rows.toSeq)
       } else {
         val ids = rows.map(_(0).asInstanceOf[Long]).toSeq
@@ -252,8 +329,7 @@ object LanceProcedures {
           r ++ byId.getOrElse(id, Array.fill[Any](extraSchema.length)(null))
         }
         (StructType(
-          StructField("id", LongType, nullable = false) +:
-          StructField("dist", DoubleType, nullable = false) +:
+          (StructField("id", LongType, nullable = false) +: rankFields) ++
           extraSchema.map(f => f.copy(nullable = true)).toSeq),
           merged.toSeq)
       }

@@ -1372,4 +1372,88 @@ class VectorIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("CALL system.knn mode => 'mmr': equals the gated key at full probes, serves pruned at partial") {
+    // VERDICT r19 item 1: the pruned serving machinery, SQL-reachable.
+    // The CALL routes through the SAME entry points as the gated keys
+    // (mmrCandidatesForVecs -> probedSlice -> mmrServe), so at full
+    // probes over an indexed store it must equal knn_mmr (== the
+    // knn_mmr_indexed full-probe answer) ROW-FOR-ROW per query; the
+    // fragment-prune plan assert for partial probes lives in
+    // RetrievalPrunedSpec on the shared probedSlice path.
+    import graft.operators.{IndexBuild, VectorSearch}
+    spark.conf.set("spark.sql.catalog.lance_mmrp",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-mmrproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_mmrp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_mmrp.db")
+    val e = Tables.t(spark, sf, "embeddings")
+    val idx = IndexBuild.build(spark, e, s"$wh/db/mmridx",
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val cells = idx.centroids.length
+    val gated = SparkEntry.queries("knn_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val excl = "filter => 'vec_id NOT IN (100, 200, 300)'"
+    def call(qvid: Long, nprobes: Int): Seq[(Long, Long, Double, Long)] = {
+      val lits = VectorIndex.embeddingOf(spark, sf, qvid)
+        .map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+      spark.sql("CALL lance_mmrp.system.knn(table => 'db.mmridx', " +
+          s"query => array($lits), mode => 'mmr', metric => 'cosine', " +
+          s"k => 10, candidates => 40, nprobes => $nprobes, $excl)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    }
+    for ((q, qvid) <- VectorSearch.MmrQueries) {
+      val got = call(qvid, nprobes = cells).map { case (id, rk, cos, mm) => (q, id, rk, cos, mm) }
+      assert(got === gated.filter(_._1 == q).toSeq,
+        s"mode => 'mmr' at full probes must equal the gated knn_mmr rows for query $q")
+    }
+    // the production config: partial probes trade recall for fragments
+    // read — k picks still come back and hold the recall floor the
+    // family's pruned spec established (>= 0.4 at half probes)
+    val full1 = gated.filter(_._1 == 1L).map(_._2).toSet
+    val pruned = call(100L, nprobes = cells / 2)
+    assert(pruned.length === 10)
+    val recall = pruned.map(_._1).count(full1.contains) / 10.0
+    assert(recall >= 0.4, s"partial-probe MMR recall $recall below floor")
+  }
+
+  test("CALL system.knn mode => 'maxsim': equals the gated key at full probes, serves pruned at partial") {
+    // Same posture for late-interaction retrieval: query_toks carries the
+    // token SET, the table is the (doc_id, embedding) token store
+    // cell-clustered by its index, and the CALL routes through
+    // maxSimRankPruned — full probes == the gated knn_maxsim answer.
+    import graft.operators.{IndexBuild, VectorSearch}
+    spark.conf.set("spark.sql.catalog.lance_msp",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-msproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_msp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_msp.db")
+    val e = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val toks = VectorSearch.maxSimDocTokens(e, e.count())
+    val idx = IndexBuild.build(spark, toks, s"$wh/db/tokidx",
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val cells = idx.centroids.length
+    val gated = SparkEntry.queries("knn_maxsim")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def call(q: Long, nprobes: Int): Seq[(Long, Double, Long)] = {
+      val tokLits = (0 until 3).map { j =>
+        "array(" + VectorIndex.embeddingOf(spark, sf, 100 * q + j)
+          .map(d => s"${java.lang.Double.toString(d)}D").mkString(", ") + ")"
+      }.mkString(", ")
+      spark.sql("CALL lance_msp.system.knn(table => 'db.tokidx', " +
+          s"mode => 'maxsim', metric => 'cosine', id_column => 'doc_id', " +
+          s"k => 5, nprobes => $nprobes, query_toks => array($tokLits))")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    for (q <- VectorSearch.MaxSimQueries) {
+      val got = call(q, nprobes = cells).map { case (id, sc, rk) => (q, id, sc, rk) }
+      assert(got === gated.filter(_._1 == q).toSeq,
+        s"mode => 'maxsim' at full probes must equal the gated knn_maxsim rows for query $q")
+    }
+    val full1 = gated.filter(_._1 == 1L).map(_._2).toSet
+    val pruned = call(1L, nprobes = cells / 2)
+    assert(pruned.length === 5)
+    val recall = pruned.map(_._1).count(full1.contains) / 5.0
+    assert(recall >= 0.4, s"partial-probe MaxSim recall $recall below floor")
+  }
 }
