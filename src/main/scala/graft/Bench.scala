@@ -86,7 +86,14 @@ object Bench {
     // serving configs + index-served MMR candidates (all gated at full
     // probes == their exact twins; the pruned scale path is spec'd)
     "knn_mmr_indexed", "knn_maxsim_indexed", "q_stream_mmr_pruned",
-    "q_stream_maxsim_pruned", "q_stream_hybrid_pruned")
+    "q_stream_maxsim_pruned", "q_stream_hybrid_pruned",
+    // appended r20: the PARTIAL-probe serving arms (8 of 16 cells — the
+    // actual production config; the _pruned keys above gate at full
+    // probes for oracle exactness and pay clustering overhead with zero
+    // pruning benefit). These measure where the pruning win lives:
+    // compare each _p8 against its full-probe twin.
+    "q_stream_mmr_pruned_p8", "q_stream_maxsim_pruned_p8",
+    "q_stream_hybrid_pruned_p8")
 
   /** The ONE plan-string normalizer behind the per-key fingerprints:
     * strips every identity that legitimately varies across runs/JVMs on
@@ -318,7 +325,12 @@ object Bench {
     // runs; a spaced second median inside the same artifact settles
     // "bench-order/host noise" vs "plan change" without a judge re-run.
     val NoisyBand = 0.5
-    val spacedKeys = (Seq("text_quality", "text_langid") ++
+    // r20: pipeline_clean / corpus_stats / knn_negatives joined the set —
+    // three consecutive rounds of sub-second same-plan wall swings
+    // (host-tide territory per the r19 adjudication); their spaced
+    // re-medians make the noise-band verdict mechanical
+    val spacedKeys = (Seq("text_quality", "text_langid",
+      "pipeline_clean", "corpus_stats", "knn_negatives") ++
       keys.filter(k => noise.getOrElse(k, 0.0) > NoisyBand)).distinct
     spacedKeys.foreach { name =>
       if (times.contains(name) && times(name) >= 0 && bodies.contains(name))

@@ -290,6 +290,171 @@ object FamilySoak {
     ratio("sweep pairs tau>=0.3")
     for (tau <- Seq(0.3, 0.4, 0.5, 0.6)) ratio(f"sweep closure tau=$tau%.1f")
 
+    // ---- 5. knn_mmr greedy at PRODUCTION candidate budgets (r19 item 3) --
+    // The serving knob is N (candidate pool per query): per-query greedy
+    // state is the N² pair-sim table (~24 MB of collected structs at
+    // N=1000). N is fixed by the deployment, so the CANDIDATE scan wall
+    // is ∝ data while the greedy tail is ∝ queries·N² — FLAT in the
+    // corpus. Both claims print: candidates full/half ≈ 2×, greedy ≈ 1×.
+    if (wanted("mmr")) for (((tag, path), m) <- embScales.zip(Seq(embMult / 2, embMult))) {
+      sized(tag)
+      val e = spark.read.parquet(path).select("vec_id", "embedding")
+      // rep=0 replicas carry the ORIGINAL vectors (identity transform), so
+      // the fixture queries exist at vec_id*m in every scale
+      val qids = Seq(100L, 200L, 300L).map(_ * m)
+      val qv = operators.VectorSearch.resolveVecs(e, qids)
+      val queries = qids.zipWithIndex.map { case (id, i) => (i.toLong, qv(id)) }
+      for (n <- Seq(500, 1000)) {
+        val cand = timed(s"mmr candidates N=$n $tag") {
+          operators.VectorSearch.mmrCandidatesForVecs(spark, e, queries, None, n)
+            .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        }
+        val picked = timed(s"mmr greedy N=$n $tag") {
+          operators.VectorSearch.mmrServe(cand, k = 10).collect()
+        }
+        require(picked.length == queries.size * 10,
+          s"mmr $tag N=$n: expected ${queries.size * 10} picks, got ${picked.length}")
+        org.apache.spark.sql.graft.Shim.unpersistCheckpoint(cand)
+      }
+    }
+    for (n <- Seq(500, 1000)) {
+      ratio(s"mmr candidates N=$n")
+      ratio(s"mmr greedy N=$n") // expected ~1x: greedy is ∝ queries·N², not data
+    }
+
+    // ---- 6. hybrid RRF end-to-end (r19 item 3): build both structures
+    // over the replicated corpus, serve both arms, fuse ------------------
+    // Index build and both serving arms are ∝ data; the fuse is topK-
+    // bounded rows per query, flat at any scale.
+    if (wanted("hybrid")) {
+      import spark.implicits._
+      for (((tag, dPath), (_, ePath)) <- docScales.zip(embScales)) {
+        sized(tag)
+        val docs = spark.read.parquet(dPath).select("doc_id", "text")
+        val idxRoot = s"$out/textidx_$tag"
+        timed(s"hybrid text index build $tag") {
+          operators.TextIndex.build(spark, docs, idxRoot)
+        }
+        val lex = timed(s"hybrid lexical search $tag") {
+          operators.TextIndex.search(spark, idxRoot,
+              operators.TextAnalysis.Bm25Queries.toDF("query_id", "term"),
+              operators.TextAnalysis.Bm25TopK)
+            .select(col("query_id"), col("doc_id"), col("rk").as("r"))
+            .localCheckpoint()
+        }
+        val e = spark.read.parquet(ePath).select("vec_id", "embedding")
+        val vec = timed(s"hybrid vector arm $tag") {
+          operators.TextAnalysis.hybridVectorArm(spark, e).localCheckpoint()
+        }
+        val fused = timed(s"hybrid rrf fuse $tag") {
+          operators.TextAnalysis.hybridRrfFuse(lex, vec).collect()
+        }
+        require(fused.nonEmpty && fused.length <=
+          3 * operators.TextAnalysis.Bm25TopK * 2,
+          s"hybrid $tag: unexpected fuse size ${fused.length}")
+        org.apache.spark.sql.graft.Shim.unpersistCheckpoint(lex)
+        org.apache.spark.sql.graft.Shim.unpersistCheckpoint(vec)
+      }
+      Seq("hybrid text index build", "hybrid lexical search",
+        "hybrid vector arm", "hybrid rrf fuse").foreach(ratio)
+    }
+
+    // ---- 7. dsir_refresh: featurize pass + χ² gate (r19 item 3) ----------
+    // The refresh's cost is ONE featurize pass over the corpus (∝ data);
+    // the χ² gate itself runs on the driver over B-bounded counts and the
+    // retrain arm, when armed, is exactly family 1's measured stages
+    // (λ from counts + codegen score + k-heap top-K) — never timed twice.
+    if (wanted("refresh")) {
+      var baseline: Option[(Array[Long], Array[Long])] = None
+      for ((tag, path) <- docScales) {
+        sized(tag)
+        val docs = spark.read.parquet(path)
+        val (ct, cr) = timed(s"dsir_refresh counts $tag") {
+          operators.Sampling.dsirTrainCounts(docs, col("lang") === "en", col("text"))
+        }
+        println(s"[famsoak]   driver state: ${ct.length}+${cr.length} " +
+          "bucket counts (B-bounded at any scale)")
+        baseline match {
+          case None => baseline = Some((ct, cr))
+          case Some((ct0, cr0)) =>
+            // half vs full replicate the SAME distribution — the gate
+            // must read in-distribution (no spurious retrains at scale)
+            val same = math.max(operators.Sampling.dsirChi2(ct0, ct),
+              operators.Sampling.dsirChi2(cr0, cr))
+            println(f"[famsoak]   chi2(half, full) = $same%.6f (same distribution)")
+            require(same < 0.05, f"dsir_refresh: same-distribution chi2 $same%.4f >= 0.05")
+            // a real shift (target slice removed) must trip the gate
+            val (ctS, crS) = operators.Sampling.dsirTrainCounts(
+              docs.filter(col("lang") =!= "en")
+                .withColumn("lang", when(pmod(col("doc_id"), lit(2)) === 0,
+                  lit("en")).otherwise(col("lang"))),
+              col("lang") === "en", col("text"))
+            val shifted = math.max(operators.Sampling.dsirChi2(ct, ctS),
+              operators.Sampling.dsirChi2(cr, crS))
+            println(f"[famsoak]   chi2(full, shifted) = $shifted%.6f (drift-armed)")
+            require(shifted > same,
+              "dsir_refresh: a distribution shift must read above the in-distribution gap")
+        }
+      }
+      ratio("dsir_refresh counts")
+    }
+
+    // ---- 8. pruned SERVING at scale: where the probe win lives -----------
+    // At sf0.1 the gated streaming keys' walls are ingest-dominated and a
+    // fragment is a few MB — pruning saves nothing measurable (BENCH shows
+    // _p8 within noise of full-probe). THIS is the measurement that
+    // decides the production config: one >1 GB cell-clustered store,
+    // identical serving plans at full vs partial probes. The partial-probe
+    // wall must actually WIN here, or the config is pointless.
+    if (wanted("pruned")) {
+      val SoakCells = 64
+      val path = embScales(1)._2 // full scale
+      sized("full")
+      val e = spark.read.parquet(path).select("vec_id", "embedding")
+      val cents = timed(s"pruned-serve train $SoakCells cells") {
+        operators.Dedup.trainCentroids(spark,
+          e.filter(pmod(col("vec_id"), lit(97)) === 0), "embedding", SoakCells)
+      }
+      val storeRoot = s"$out/served_store/t"
+      if (!new java.io.File(storeRoot).exists()) timed("pruned-serve clustered write") {
+        e.withColumn("cell", graft.functions.nearest_cell(
+            col("embedding"), cents.flatten, cents.length, cents.head.length))
+          .write.format("lance")
+          .option("write.cluster-by", "cell")
+          .mode("overwrite").save(storeRoot)
+      }
+      val store = spark.read.format("lance").load(storeRoot)
+        .select("vec_id", "embedding", "cell")
+      def serveWall(np: Int, label: String): Double = {
+        timed(s"pruned-serve vector arm $label") {
+          operators.TextAnalysis.hybridVectorArmPruned(spark, store, cents, np).collect()
+        }
+        walls(s"pruned-serve vector arm $label")
+      }
+      val wFull = serveWall(SoakCells, s"$SoakCells/$SoakCells probes")
+      val w8 = serveWall(8, s"8/$SoakCells probes")
+      println(f"[famsoak] pruned-serve speedup at 8/$SoakCells probes = ${wFull / w8}%.2f x")
+      require(w8 < wFull,
+        f"partial-probe serving must beat the full scan at soak scale: $w8%.2f vs $wFull%.2f")
+      // the MMR candidate stage over the same store, same comparison
+      val qids = Seq(100L, 200L, 300L)
+      val qv = operators.VectorSearch.resolveVecs(store, qids)
+      val queries = qids.zipWithIndex.map { case (id, i) => (i.toLong, qv(id)) }
+      def mmrWall(np: Int, label: String): Double = {
+        timed(s"pruned-serve mmr candidates $label") {
+          operators.VectorSearch.mmrCandidatesForVecs(spark, store, queries,
+            Some((cents, np)), 500).collect()
+        }
+        walls(s"pruned-serve mmr candidates $label")
+      }
+      val mFull = mmrWall(SoakCells, s"$SoakCells/$SoakCells probes")
+      val m8 = mmrWall(8, s"8/$SoakCells probes")
+      println(f"[famsoak] pruned-serve mmr-candidate speedup at 8/$SoakCells = ${mFull / m8}%.2f x")
+      require(m8 < mFull,
+        f"partial-probe MMR candidates must beat full probes at soak scale: $m8%.2f vs $mFull%.2f")
+    }
+
     println("[famsoak] DONE")
     spark.stop()
   }

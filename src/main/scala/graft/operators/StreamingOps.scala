@@ -1831,8 +1831,18 @@ object StreamingOps extends QueryModule {
   private def streamHybridPruned(s: SparkSession, dir: String): DataFrame =
     streamHybridAt(s, dir, prunedVec = true)
 
+  /** The PRODUCTION serving config of q_stream_hybrid_pruned — partial
+    * probes (8 of 16 cells), so the vector arm's scan is actually
+    * fragment-pruned instead of reading the whole clustered store. Gated
+    * rows-only (partial probes are approximate by design; the recall
+    * floor and prune plan are spec'd in RetrievalPrunedSpec) and BENCHED,
+    * closing the r19 verdict's "the partial-probe arm is spec'd, not
+    * benched" gap: this key is where pruning's wall win lives. */
+  private def streamHybridPrunedP8(s: SparkSession, dir: String): DataFrame =
+    streamHybridAt(s, dir, prunedVec = true, nprobes0 = VectorIndex.Cells / 2)
+
   private def streamHybridAt(s: SparkSession, dir: String,
-                             prunedVec: Boolean): DataFrame = {
+                             prunedVec: Boolean, nprobes0: Int = 0): DataFrame = {
     import s.implicits._
     // text side: per-batch guarded delta appends to the standing index
     val tSrc = tmp("shyb-tsrc"); val tCkpt = tmp("shyb-tck")
@@ -1877,7 +1887,8 @@ object StreamingOps extends QueryModule {
     val vecArm =
       if (prunedVec) TextAnalysis.hybridVectorArmPruned(s,
         s.read.format("lance").load(vecT).select("vec_id", "embedding", "cell"),
-        idx.centroids.map(_.toArray), nprobes = idx.centroids.length)
+        idx.centroids.map(_.toArray),
+        nprobes = if (nprobes0 > 0) nprobes0 else idx.centroids.length)
       else TextAnalysis.hybridVectorArm(s,
         s.read.format("lance").load(vecT).select("vec_id", "embedding"))
     TextAnalysis.hybridRrfFuse(lex, vecArm)
@@ -1929,7 +1940,15 @@ object StreamingOps extends QueryModule {
     * pushdown, fragment-pruned). The gate probes every cell, so the
     * scored pairs provably equal the broadcast cross-join's and the key
     * keeps knn_maxsim's FULL oracle; partial probes are recall-spec'd. */
-  private def streamMaxSimPruned(s: SparkSession, dir: String): DataFrame = {
+  private def streamMaxSimPruned(s: SparkSession, dir: String): DataFrame =
+    streamMaxSimPrunedAt(s, dir, nprobes0 = 0)
+
+  /** Production config: partial probes (see [[streamHybridPrunedP8]]). */
+  private def streamMaxSimPrunedP8(s: SparkSession, dir: String): DataFrame =
+    streamMaxSimPrunedAt(s, dir, nprobes0 = VectorIndex.Cells / 2)
+
+  private def streamMaxSimPrunedAt(s: SparkSession, dir: String,
+                                   nprobes0: Int): DataFrame = {
     val srcDir = tmp("smaxp-src"); val ckpt = tmp("smaxp-ck")
     val tokT = tmp("smaxp-tok") + "/t"
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -1954,7 +1973,8 @@ object StreamingOps extends QueryModule {
     drain(q)
     VectorSearch.maxSimRankPruned(s,
       s.read.format("lance").load(tokT).select("doc_id", "embedding", "cell"),
-      VectorSearch.maxSimQueryToks(e), cents, nprobes = cents.length)
+      VectorSearch.maxSimQueryToks(e), cents,
+      nprobes = if (nprobes0 > 0) nprobes0 else cents.length)
   }
 
   /** Streaming DIVERSIFIED retrieval — the serving-side twin of knn_mmr,
@@ -1994,7 +2014,15 @@ object StreamingOps extends QueryModule {
     * candidates via [[VectorSearch.mmrCandidatesPruned]] (static cell-IN
     * pushdown), greedy tail verbatim. Full probes at the gate ⇒
     * knn_mmr's FULL oracle unchanged; partial probes recall-spec'd. */
-  private def streamMmrPruned(s: SparkSession, dir: String): DataFrame = {
+  private def streamMmrPruned(s: SparkSession, dir: String): DataFrame =
+    streamMmrPrunedAt(s, dir, nprobes0 = 0)
+
+  /** Production config: partial probes (see [[streamHybridPrunedP8]]). */
+  private def streamMmrPrunedP8(s: SparkSession, dir: String): DataFrame =
+    streamMmrPrunedAt(s, dir, nprobes0 = VectorIndex.Cells / 2)
+
+  private def streamMmrPrunedAt(s: SparkSession, dir: String,
+                                nprobes0: Int): DataFrame = {
     val srcDir = tmp("smmrp-src"); val ckpt = tmp("smmrp-ck")
     val vecT = tmp("smmrp-vec") + "/t"
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -2017,7 +2045,7 @@ object StreamingOps extends QueryModule {
     VectorSearch.mmrServe(
       VectorSearch.mmrCandidatesPruned(s,
         s.read.format("lance").load(vecT).select("vec_id", "embedding", "cell"),
-        cents, nprobes = cents.length)
+        cents, nprobes = if (nprobes0 > 0) nprobes0 else cents.length)
         .localCheckpoint())
   }
 
@@ -2174,12 +2202,15 @@ object StreamingOps extends QueryModule {
     "q_stream_text_index" -> streamTextIndex,
     "q_stream_hybrid" -> streamHybrid,
     "q_stream_hybrid_pruned" -> streamHybridPruned,
+    "q_stream_hybrid_pruned_p8" -> streamHybridPrunedP8,
     "q_stream_maxsim" -> streamMaxSim,
     "q_stream_maxsim_pruned" -> streamMaxSimPruned,
+    "q_stream_maxsim_pruned_p8" -> streamMaxSimPrunedP8,
     "q_stream_dsir" -> streamDsir,
     "q_stream_drift" -> streamDrift,
     "q_stream_mmr" -> streamMmr,
     "q_stream_mmr_pruned" -> streamMmrPruned,
+    "q_stream_mmr_pruned_p8" -> streamMmrPrunedP8,
     "q_stream_dau_hll" -> streamDauHll,
     "q_stream_classifier" -> streamClassifier,
     "q_stream_contamination" -> streamContamination,

@@ -725,7 +725,7 @@ object TextAnalysis extends QueryModule {
 
   /** The RRF fuse over two (query_id, doc_id, r) rank arms — ONE
     * definition for the batch key and the streaming twin. */
-  private[operators] def hybridRrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+  private[graft] def hybridRrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byRrf = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)

@@ -130,4 +130,32 @@ class RetrievalPrunedSpec extends SparkSpec {
     assert(total > 1, s"store has $total fragment(s)")
     assert(kept < total, s"no fragment pruning: $kept/$total")
   }
+
+  test("partial-probe gated keys (_p8): the benched production configs hold the recall floor") {
+    // q_stream_{mmr,maxsim,hybrid}_pruned_p8 run the SAME machinery the
+    // tests above pin, at nprobes = Cells/2, end-to-end through the
+    // streaming ingest — the r20 bench arms. Rows-only gated (partial
+    // probes are approximate by design): each must return the full
+    // per-query row budget and keep recall vs its exact gated twin.
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mmrExact = pairs(SparkEntry.queries("knn_mmr")(spark, sf))
+    val mmrP8 = pairs(SparkEntry.queries("q_stream_mmr_pruned_p8")(spark, sf))
+    assert(mmrP8.size === mmrExact.size, "every query must still fill its k picks")
+    val rMmr = mmrP8.intersect(mmrExact).size.toDouble / mmrExact.size
+    info(s"q_stream_mmr_pruned_p8 recall: $rMmr")
+    assert(rMmr >= 0.4, s"mmr _p8 recall $rMmr below floor")
+    val msExact = pairs(SparkEntry.queries("knn_maxsim")(spark, sf))
+    val msP8 = pairs(SparkEntry.queries("q_stream_maxsim_pruned_p8")(spark, sf))
+    assert(msP8.size === msExact.size, "every query must still fill its k ranks")
+    val rMs = msP8.intersect(msExact).size.toDouble / msExact.size
+    info(s"q_stream_maxsim_pruned_p8 recall: $rMs")
+    assert(rMs >= 0.4, s"maxsim _p8 recall $rMs below floor")
+    val hyExact = pairs(SparkEntry.queries("text_search_hybrid")(spark, sf))
+    val hyP8 = pairs(SparkEntry.queries("q_stream_hybrid_pruned_p8")(spark, sf))
+    assert(hyP8.nonEmpty)
+    val rHy = hyP8.intersect(hyExact).size.toDouble / hyExact.size
+    info(s"q_stream_hybrid_pruned_p8 recall: $rHy")
+    assert(rHy >= 0.4, s"hybrid _p8 recall $rHy below floor")
+  }
 }
