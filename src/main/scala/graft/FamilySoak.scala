@@ -6,7 +6,13 @@ import org.apache.spark.sql.functions._
 /** >1 GB ON-DISK soak for the r18 selection / monitoring / retrieval
   * families (VERDICT r18 item 4): `sample_dsir`, `corpus_drift`,
   * `knn_maxsim` and `dedup_semantic_sweep` had only run at sf0.1 gate
-  * scale. This drives each operator SHAPE over replicated on-disk parquet
+  * scale; r20 (VERDICT r19 item 3) adds the last gate-scale-only
+  * families — knn_mmr's greedy at production candidate budgets
+  * (family 5), hybrid RRF end-to-end (family 6), dsir_refresh's
+  * featurize+χ² pass (family 7) — and family 8, the pruned-vs-full
+  * SERVING comparison over a >1 GB clustered store (the measurement
+  * that decides the partial-probe production config; sf0.1 walls are
+  * ingest-dominated and cannot). This drives each operator SHAPE over replicated on-disk parquet
   * (>1 GB at full scale) at TWO scales — half and full — so the scale
   * claims are measured, not asserted:
   *
@@ -94,7 +100,7 @@ object FamilySoak {
       }
       r
     }
-    // SPARK_GRAFT_FAMSOAK_ONLY=dsir|drift|maxsim|sweep runs one family
+    // SPARK_GRAFT_FAMSOAK_ONLY=dsir|drift|maxsim|sweep|mmr|hybrid|refresh|pruned
     val only = sys.env.get("SPARK_GRAFT_FAMSOAK_ONLY")
     def wanted(fam: String): Boolean = only.forall(_ == fam)
     def ratio(stage: String): Unit =
@@ -392,7 +398,9 @@ object FamilySoak {
               col("lang") === "en", col("text"))
             val shifted = math.max(operators.Sampling.dsirChi2(ct, ctS),
               operators.Sampling.dsirChi2(cr, crS))
-            println(f"[famsoak]   chi2(full, shifted) = $shifted%.6f (drift-armed)")
+            println(f"[famsoak]   chi2(full, shifted) = $shifted%.6f " +
+              "(reads above the in-distribution gap; threshold calibration " +
+              "is DsirRefreshSpec's measured-flood territory, not scale's)")
             require(shifted > same,
               "dsir_refresh: a distribution shift must read above the in-distribution gap")
         }
