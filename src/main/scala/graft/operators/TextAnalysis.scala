@@ -709,23 +709,45 @@ object TextAnalysis extends QueryModule {
   private[graft] def hybridVectorArmPruned(s: SparkSession, store: DataFrame,
                                                cents: Array[Array[Double]],
                                                nprobes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qv = VectorSearch.resolveVecs(store, HybridQueryVecs.map(_._2))
-    val queries = HybridQueryVecs.map { case (q, vid) => (q, qv(vid)) }
+    hybridVectorArmForVecs(s, store,
+      HybridQueryVecs.map { case (q, vid) => (q, qv(vid)) },
+      Some((cents, nprobes)), Bm25TopK)
+  }
+
+  /** The vector rank arm for an ARBITRARY query-vector workload — the
+    * `CALL system.hybrid` router and [[hybridVectorArmPruned]]'s core:
+    * probed slice of a cell-clustered store when `probed` is set, the
+    * broadcast-queries codegen'd cosine scan otherwise; identical 6-dp
+    * rank tail either way. */
+  private[graft] def hybridVectorArmForVecs(s: SparkSession, store: DataFrame,
+                                            queries: Seq[(Long, Array[Float])],
+                                            probed: Option[(Array[Array[Double]], Int)],
+                                            topK: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val byQcos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("doc_id").asc)
-    VectorSearch.probedSlice(s, store.select("vec_id", "embedding", "cell"),
-        queries, cents, nprobes)
+    val base = probed match {
+      case Some((cents, np)) =>
+        VectorSearch.probedSlice(s, store.select("vec_id", "embedding", "cell"),
+          queries, cents, np)
+      case None =>
+        store.select("vec_id", "embedding")
+          .crossJoin(broadcast(queries.toDF("__pq", "__qv")))
+    }
+    base
       .select(col("__pq").as("query_id"), col("vec_id").as("doc_id"),
         round(graft.functions.vec_cosine(col("embedding"), col("__qv")), 6).as("cos"))
       .withColumn("r", row_number().over(byQcos).cast("long"))
-      .filter(col("r") <= Bm25TopK)
+      .filter(col("r") <= topK)
       .select("query_id", "doc_id", "r")
   }
 
   /** The RRF fuse over two (query_id, doc_id, r) rank arms — ONE
     * definition for the batch key and the streaming twin. */
-  private[graft] def hybridRrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+  private[graft] def hybridRrfFuse(lex: DataFrame, vec: DataFrame,
+                                   k: Int = Bm25TopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byRrf = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)
@@ -734,7 +756,7 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_arms"),
         round(sum(lit(1.0d) / (lit(RrfK) + col("r"))), 6).as("rrf"))
       .withColumn("rk", row_number().over(byRrf).cast("long"))
-      .filter(col("rk") <= Bm25TopK)
+      .filter(col("rk") <= k)
       .select("query_id", "doc_id", "n_arms", "rrf", "rk")
       .orderBy(col("query_id").asc, col("rk").asc)
   }

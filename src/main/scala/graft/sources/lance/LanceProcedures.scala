@@ -40,6 +40,7 @@ object LanceProcedures {
       case "knn" => knn(catalog)
       case "knn_join" => knnJoin(catalog)
       case "search" => search(catalog)
+      case "hybrid" => hybrid(catalog)
       case "reindex" => reindex(catalog)
       case "stats" => stats(catalog)
       case "decontaminate" => decontaminate(catalog)
@@ -55,7 +56,7 @@ object LanceProcedures {
   }
 
   def list(): Array[Identifier] =
-    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search",
+    Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search", "hybrid",
         "reindex", "stats", "decontaminate", "semdedup", "dsir",
         "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
@@ -484,6 +485,115 @@ object LanceProcedures {
     * identical expression tree as text_search_bm25. With `output_table`
     * the k·|queries| result materializes to a lance table; without it the
     * rows return directly. */
+  /** Build-or-reuse the standing text index for a corpus — but never a
+    * STALE one: the sidecar records the corpus manifest version it was
+    * built from, and a corpus that moved (appends, deletes, overwrites)
+    * triggers a rebuild before serving. Shared by CALL system.search and
+    * CALL system.hybrid. */
+  private def ensureTextIndex(spark: SparkSession, cRoot: String,
+                              idCol: String, textCol: String): String = {
+    import org.apache.spark.sql.functions.col
+    val idxRoot = graft.operators.TextIndex.indexRootFor(cRoot)
+    val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+    val corpusVersion = ManifestIO.loadLatest(cRoot, conf).map(_.version).getOrElse(
+      throw new IllegalArgumentException(s"lance search: corpus not found at $cRoot"))
+    if (!graft.operators.TextIndex.exists(idxRoot, conf) ||
+        !graft.operators.TextIndex.recordedCorpusVersion(idxRoot, conf)
+          .contains(corpusVersion)) {
+      graft.operators.TextIndex.build(spark,
+        spark.read.format("lance").load(cRoot)
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+        idxRoot)
+      graft.operators.TextIndex.recordCorpusVersion(idxRoot, corpusVersion, conf)
+    }
+    idxRoot
+  }
+
+  /** SQL-callable HYBRID retrieval (r20) — the fused lexical+vector
+    * serving the gated text_search_hybrid / q_stream_hybrid keys run,
+    * reachable from SQL:
+    *
+    * {{{
+    *   CALL cat.system.hybrid(table => 'db.docs',
+    *     vector_table => 'db.vecs',
+    *     terms => 'transformer attention',
+    *     query_vec => array(0.1D, ...), k => 5, nprobes => 8)
+    * }}}
+    *
+    * The lexical arm serves index-BM25 from the corpus's standing text
+    * index (build-or-reuse keyed to the corpus manifest version — CALL
+    * system.search's posture); the vector arm serves from `vector_table`
+    * probe-pruned when it carries a persisted index (fragment-pruned
+    * `cell IN` at partial nprobes — the gated keys' probedSlice), exact
+    * brute-force otherwise; the RRF fuse is the gated keys' verbatim.
+    * Returns the fused top-k (id, n_arms, rrf, rk). */
+  private def hybrid(catalog: LanceCatalog): UnboundProcedure =
+    bound("hybrid", catalog, Array(
+      param("table", StringType),
+      param("vector_table", StringType),
+      param("terms", StringType),
+      param("query_vec", ArrayType(DoubleType)),
+      param("k", IntegerType, Some("5")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("vector_id_column", StringType, Some("'vec_id'")),
+      param("vector_column", StringType, Some("'embedding'")),
+      param("nprobes", IntegerType, Some("0")))) { (cRoot, in) =>
+      val spark = SparkSession.active
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val vRoot = catalog.tableRootFor(in.getUTF8String(1).toString)
+      val terms = in.getUTF8String(2).toString
+        .split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSeq
+      val qvec = in.getArray(3).toDoubleArray().map(_.toFloat)
+      val k = in.getInt(4)
+      val idCol = in.getUTF8String(5).toString
+      val textCol = in.getUTF8String(6).toString
+      val vIdCol = in.getUTF8String(7).toString
+      val vCol = in.getUTF8String(8).toString
+      val nprobes0 = in.getInt(9)
+      require(terms.nonEmpty, "lance hybrid: terms => 'word1 word2 ...' is required")
+      require(qvec.nonEmpty, "lance hybrid: query_vec => array(...) is required")
+      val idxRoot = ensureTextIndex(spark, cRoot, idCol, textCol)
+      val lex = graft.operators.TextIndex.search(spark, idxRoot,
+          terms.map(t => (0L, t)).toDF("query_id", "term"), k)
+        .select(col("query_id"), col("doc_id"), col("rk").as("r"))
+      val pinned: Map[String, String] = {
+        val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+        ManifestIO.loadLatest(vRoot, conf)
+          .map(m => Map("versionAsOf" -> m.version.toString)).getOrElse(Map.empty)
+      }
+      val queries = Seq((0L, qvec))
+      val vec =
+        if (graft.operators.IndexBuild.exists(spark, vRoot)) {
+          val idx = graft.operators.IndexBuild.load(spark, vRoot)
+          require(idx.opts.column == vCol,
+            s"lance hybrid: index at $vRoot covers column ${idx.opts.column}, not $vCol")
+          val cents = idx.centroids.map(_.toArray)
+          val np = if (nprobes0 > 0) nprobes0 else cents.length
+          val store = spark.read.format("lance").options(pinned).load(vRoot)
+            .select(col(vIdCol).cast("long").as("vec_id"),
+              col(vCol).as("embedding"), col("cell"))
+          graft.operators.TextAnalysis.hybridVectorArmForVecs(
+            spark, store, queries, Some((cents, np)), k)
+        } else {
+          val store = spark.read.format("lance").options(pinned).load(vRoot)
+            .select(col(vIdCol).cast("long").as("vec_id"), col(vCol).as("embedding"))
+          graft.operators.TextAnalysis.hybridVectorArmForVecs(
+            spark, store, queries, None, k)
+        }
+      val fused = graft.operators.TextAnalysis.hybridRrfFuse(lex, vec, k)
+        .select("doc_id", "n_arms", "rrf", "rk")
+        .collect() // k-bounded: one query, rk <= k
+      (StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("n_arms", LongType, nullable = false),
+        StructField("rrf", DoubleType, nullable = false),
+        StructField("rk", LongType, nullable = false))),
+        fused.toSeq.map(r => Array[Any](
+          r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+    }
+
   private def search(catalog: LanceCatalog): UnboundProcedure =
     bound("search", catalog, Array(
       param("queries", StringType),
@@ -499,22 +609,7 @@ object LanceProcedures {
       val textCol = in.getUTF8String(4).toString
       val outTable = in.getUTF8String(5).toString.trim
       import org.apache.spark.sql.functions._
-      val idxRoot = graft.operators.TextIndex.indexRootFor(cRoot)
-      // build once, then serve every later CALL from the standing index —
-      // but never a STALE one: the sidecar records the corpus manifest
-      // version it was built from, and a corpus that moved (appends,
-      // deletes, overwrites) triggers a rebuild before serving
-      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
-      val corpusVersion = ManifestIO.loadLatest(cRoot, conf).map(_.version).getOrElse(
-        throw new IllegalArgumentException(s"lance search: corpus not found at $cRoot"))
-      if (!graft.operators.TextIndex.exists(idxRoot, conf) ||
-          !graft.operators.TextIndex.recordedCorpusVersion(idxRoot, conf).contains(corpusVersion)) {
-        graft.operators.TextIndex.build(spark,
-          spark.read.format("lance").load(cRoot)
-            .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
-          idxRoot)
-        graft.operators.TextIndex.recordCorpusVersion(idxRoot, corpusVersion, conf)
-      }
+      val idxRoot = ensureTextIndex(spark, cRoot, idCol, textCol)
       val queries = spark.read.format("lance").load(qRoot)
         .select(col("query_id").cast("long").as("query_id"), col("term"))
       val result = graft.operators.TextIndex.search(spark, idxRoot, queries, k)
@@ -527,6 +622,7 @@ object LanceProcedures {
       if (outTable.nonEmpty) {
         val outRoot = catalog.tableRootForCreate(outTable)
         result.write.format("lance").mode("overwrite").save(outRoot)
+        val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
         val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
         (StructType(Seq(
           StructField("output_table", StringType, nullable = false),

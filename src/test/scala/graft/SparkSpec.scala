@@ -211,6 +211,11 @@ class EntrySpec extends SparkSpec {
     "knn_maxsim_indexed" -> 15,
     "q_stream_maxsim_pruned" -> 15,
     "q_stream_hybrid_pruned" -> 15,
+    // r20 partial-probe production arms: approximate SETS, but the
+    // per-query row budget always fills (k picks / k ranks per query)
+    "q_stream_mmr_pruned_p8" -> 30,
+    "q_stream_maxsim_pruned_p8" -> 15,
+    "q_stream_hybrid_pruned_p8" -> 15,
     "lance_drift" -> 20,
     "lance_drift_call" -> 20,
     "ivf_filtered_search" -> 15)

@@ -1456,4 +1456,53 @@ class VectorIndexSpec extends SparkSpec {
     val recall = pruned.map(_._1).count(full1.contains) / 5.0
     assert(recall >= 0.4, s"partial-probe MaxSim recall $recall below floor")
   }
+
+  test("CALL system.hybrid: fused lexical+vector equals the gated key at full probes, serves pruned at partial") {
+    // r20: the last serving mode of the retrieval family SQL-surfaced —
+    // index-BM25 lexical arm (build-or-reuse, corpus-version-keyed) +
+    // probe-pruned vector arm + the gated keys' RRF fuse verbatim. At
+    // full probes over an indexed vector table the fused answer must
+    // equal text_search_hybrid's rows per query (the lexical index path
+    // is scan-identical by text_search_indexed's own gate).
+    import graft.operators.{IndexBuild, TextAnalysis}
+    spark.conf.set("spark.sql.catalog.lance_hyb",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-hybproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_hyb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_hyb.db")
+    Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .write.format("lance").save(s"$wh/db/docs")
+    val e = Tables.t(spark, sf, "embeddings")
+    val idx = IndexBuild.build(spark, e, s"$wh/db/vecs",
+      Map("index.type" -> "IVF_FLAT", "index.num-partitions" -> "16"))
+    val cells = idx.centroids.length
+    val gated = SparkEntry.queries("text_search_hybrid")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    def call(q: Long, nprobes: Int): Seq[(Long, Long, Double, Long)] = {
+      val terms = TextAnalysis.Bm25Queries.filter(_._1 == q).map(_._2).mkString(" ")
+      val vid = TextAnalysis.HybridQueryVecs.find(_._1 == q).get._2
+      val lits = graft.operators.VectorIndex.embeddingOf(spark, sf, vid)
+        .map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+      spark.sql("CALL lance_hyb.system.hybrid(table => 'db.docs', " +
+          "vector_table => 'db.vecs', " +
+          s"terms => '$terms', query_vec => array($lits), " +
+          s"k => ${TextAnalysis.Bm25TopK}, nprobes => $nprobes)")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    }
+    for (q <- Seq(1L, 2L, 3L)) {
+      val got = call(q, nprobes = cells)
+        .map { case (id, na, rrf, rk) => (q, id, na, rrf, rk) }
+      assert(got === gated.filter(_._1 == q).toSeq,
+        s"CALL system.hybrid at full probes must equal the gated rows for query $q")
+    }
+    // partial probes: the pruned production plan still fuses a full top-k
+    // and keeps recall vs the exact answer
+    val full1 = gated.filter(_._1 == 1L).map(_._2).toSet
+    val pruned = call(1L, nprobes = cells / 2)
+    assert(pruned.nonEmpty)
+    val recall = pruned.map(_._1).count(full1.contains).toDouble / full1.size
+    info(s"CALL hybrid recall at $cells/2 probes: $recall")
+    assert(recall >= 0.4, s"partial-probe hybrid recall $recall below floor")
+  }
 }
