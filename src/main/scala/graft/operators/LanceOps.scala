@@ -456,6 +456,98 @@ object LanceOps extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** SQL-served DIVERSIFIED retrieval — CALL system.knn(mode => 'mmr')
+    * (r20; closes VERDICT r19 item 1): one CALL per fixture query over an
+    * un-indexed catalog copy of the embeddings, so the procedure's exact
+    * brute-force candidate stage answers (the knn_sql_call posture — the
+    * probe-pruned indexed path is spec-covered against the gated key) and
+    * knn_mmr's recursive-CTE DuckDB oracle gates the whole SQL route:
+    * literal marshalling, procedure binding, candidate ranking, greedy
+    * tail. Query vectors ship as Double.toString literals (exact
+    * roundtrip); the gated key's self-exclusion rides the CALL's `filter`
+    * parameter. */
+  private def knnMmrSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"mmr_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "embeddings").createOrReplaceTempView(s"src_$tbl")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM src_$tbl")
+    val e = t(s, dir, "embeddings")
+    val excl = VectorSearch.MmrQueries.map(_._2)
+    VectorSearch.MmrQueries.map { case (q, vid) =>
+      val qv = e.filter(col("vec_id") === vid)
+        .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble)
+      val lits = qv.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+      s.sql(s"CALL graft_lance.system.knn(table => 'db.$tbl', " +
+          s"query => array($lits), mode => 'mmr', metric => 'cosine', " +
+          s"k => ${VectorSearch.MmrK}, candidates => ${VectorSearch.MmrN}, " +
+          s"filter => 'vec_id NOT IN (${excl.mkString(", ")})')")
+        .select(lit(q).as("query_id"), col("id").as("doc_id"),
+          col("rk"), col("cos"), col("mmr_micro"))
+    }.reduce(_.unionByName(_)).orderBy("query_id", "rk")
+  }
+
+  /** SQL-served LATE-INTERACTION retrieval — CALL system.knn(mode =>
+    * 'maxsim') (r20): the catalog table is the gated key's doc-token
+    * derivation (one (doc_id, token-vector) row per doc token), the CALL
+    * carries each query's token SET as query_toks => array(array(...)),
+    * and knn_maxsim's DuckDB oracle gates the SQL route end to end. */
+  private def knnMaxSimSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tbl = s"mxs_${UUID.randomUUID().toString.replace("-", "")}"
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    VectorSearch.maxSimDocTokens(e, e.count()).createOrReplaceTempView(s"src_$tbl")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tbl AS SELECT * FROM src_$tbl")
+    VectorSearch.MaxSimQueries.map { q =>
+      val tokLits = (0 until 3).map { j =>
+        val v = e.filter(col("vec_id") === 100 * q + j)
+          .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble)
+        "array(" + v.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ") + ")"
+      }.mkString(", ")
+      s.sql(s"CALL graft_lance.system.knn(table => 'db.$tbl', " +
+          s"mode => 'maxsim', metric => 'cosine', id_column => 'doc_id', " +
+          s"k => ${VectorSearch.MaxSimK}, query_toks => array($tokLits))")
+        .select(lit(q).as("query_id"), col("id").as("doc_id"),
+          col("score"), col("rk"))
+    }.reduce(_.unionByName(_)).orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  /** SQL-served HYBRID retrieval — CALL system.hybrid (r20): catalog
+    * copies of the documents (text corpus) and embeddings (vector store,
+    * un-indexed ⇒ exact brute vector arm), one CALL per fixture query
+    * with its BM25 terms + query vector, gated on text_search_hybrid's
+    * full oracle — the lexical arm is INDEX-served inside the procedure
+    * (built once, corpus-version-keyed) and proven scan-identical by
+    * text_search_indexed's own gate, so the fused rows must reproduce
+    * the batch key's bit-for-bit. */
+  private def hybridSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (td, tv) = (s"hyd_$sfx", s"hyv_$sfx")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$td")
+    t(s, dir, "embeddings").createOrReplaceTempView(s"src_$tv")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$td AS SELECT * FROM src_$td")
+    s.sql(s"CREATE TABLE graft_lance.db.$tv AS SELECT * FROM src_$tv")
+    val e = t(s, dir, "embeddings")
+    TextAnalysis.HybridQueryVecs.map { case (q, vid) =>
+      val terms = TextAnalysis.Bm25Queries.filter(_._1 == q).map(_._2).mkString(" ")
+      val qv = e.filter(col("vec_id") === vid)
+        .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble)
+      val lits = qv.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+      s.sql(s"CALL graft_lance.system.hybrid(table => 'db.$td', " +
+          s"vector_table => 'db.$tv', terms => '$terms', " +
+          s"query_vec => array($lits), k => ${TextAnalysis.Bm25TopK})")
+        .select(lit(q).as("query_id"), col("id").as("doc_id"),
+          col("n_arms"), col("rrf"), col("rk"))
+    }.reduce(_.unionByName(_)).orderBy(col("query_id").asc, col("rk").asc)
+  }
+
   /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
     * v1, an append makes v2, and the report compares each source's
     * hashed-gram distribution ACROSS VERSIONS — old side read through
@@ -765,6 +857,9 @@ object LanceOps extends QueryModule {
     "lance_runtime_prune" -> runtimePrune,
     "lance_bucket_join" -> bucketJoin,
     "knn_sql_call" -> knnSqlCall,
+    "knn_mmr_sql" -> knnMmrSqlCall,
+    "knn_maxsim_sql" -> knnMaxSimSqlCall,
+    "hybrid_sql" -> hybridSqlCall,
     "knn_join_sql" -> knnJoinSqlCall,
     "lance_zorder" -> zorderOp,
     "lance_zorder_string" -> zorderString,
@@ -897,6 +992,12 @@ object LanceOps extends QueryModule {
         |  FROM embeddings e CROSS JOIN q)
         |ORDER BY dist ASC, id ASC LIMIT 10""".stripMargin,
     "knn_join_sql" -> VectorSearch.knnJoinOracle(5),
+    // the SQL serving modes are provably the gated keys' answers (exact
+    // brute path over un-indexed gate tables), so each shares its twin's
+    // oracle verbatim
+    "knn_mmr_sql" -> VectorSearch.oracleSql("knn_mmr"),
+    "knn_maxsim_sql" -> VectorSearch.oracleSql("knn_maxsim"),
+    "hybrid_sql" -> TextAnalysis.hybridOracleSql,
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

@@ -216,6 +216,11 @@ class EntrySpec extends SparkSpec {
     "q_stream_mmr_pruned_p8" -> 30,
     "q_stream_maxsim_pruned_p8" -> 15,
     "q_stream_hybrid_pruned_p8" -> 15,
+    // r20 SQL serving modes: exact brute paths over un-indexed catalog
+    // copies, row-for-row the gated twins' answers
+    "knn_mmr_sql" -> 30,
+    "knn_maxsim_sql" -> 15,
+    "hybrid_sql" -> 15,
     "lance_drift" -> 20,
     "lance_drift_call" -> 20,
     "ivf_filtered_search" -> 15)
