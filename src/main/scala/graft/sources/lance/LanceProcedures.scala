@@ -157,7 +157,16 @@ object LanceProcedures {
     * fragment scan, ADC/refine for PQ); a plain table falls back to
     * brute-force exact KNN (codegen'd distance + TakeOrderedAndProject —
     * a per-partition k-heap with a k-sized driver merge, never a global
-    * sort). Both return k (id, dist) rows — driver-side result size is k. */
+    * sort). Both return k (id, dist) rows — driver-side result size is k.
+    *
+    * r20 serving modes: `mode => 'mmr'` re-ranks a `candidates => N`
+    * pool with Maximal Marginal Relevance (returns (id, rk, cos,
+    * mmr_micro)); `mode => 'maxsim'` scores late-interaction over
+    * `query_toks => array(array(...), ...)` (returns (id, score, rk)).
+    * Both are cosine-ranked, serve probe-pruned over an indexed store
+    * (fragment-level `cell IN` at partial nprobes) and reproduce the
+    * exact brute-force answers at full probes — gated end to end by
+    * knn_mmr_sql / knn_maxsim_sql's full oracles. */
   private def knn(catalog: LanceCatalog): UnboundProcedure =
     bound("knn", catalog, Array(
       param("table", StringType),
