@@ -1505,4 +1505,36 @@ class VectorIndexSpec extends SparkSpec {
     info(s"CALL hybrid recall at $cells/2 probes: $recall")
     assert(recall >= 0.4, s"partial-probe hybrid recall $recall below floor")
   }
+
+  test("CALL system.knn modes carry matched-row columns (columns => ...) like topk") {
+    // the k-sized matched-row lookup (columns =>) is mode-agnostic: the
+    // id rides first in every mode's row, extras merge in rank order
+    import graft.operators.{VectorIndex, VectorSearch}
+    spark.conf.set("spark.sql.catalog.lance_mcol",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft-mcolproc-").toString
+    spark.conf.set("spark.sql.catalog.lance_mcol.warehouse", wh)
+    spark.sql("CREATE NAMESPACE lance_mcol.db")
+    val e = Tables.t(spark, sf, "embeddings")
+    e.write.format("lance").save(s"$wh/db/vecs") // un-indexed: exact brute path
+    val qv = VectorIndex.embeddingOf(spark, sf, 100L)
+    val lits = qv.map(d => s"${java.lang.Double.toString(d)}D").mkString(", ")
+    val got = spark.sql("CALL lance_mcol.system.knn(table => 'db.vecs', " +
+        s"query => array($lits), mode => 'mmr', metric => 'cosine', " +
+        "k => 10, candidates => 40, columns => 'label', " +
+        "filter => 'vec_id NOT IN (100, 200, 300)')").collect()
+    assert(got.length === 10)
+    // schema: id, rk, cos, mmr_micro, label
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(r => r.getInt(4) === labelOf(r.getLong(0))),
+      "merged label must match the table row of each picked id")
+    // and the picks equal the no-columns call's in the same order
+    val bare = spark.sql("CALL lance_mcol.system.knn(table => 'db.vecs', " +
+        s"query => array($lits), mode => 'mmr', metric => 'cosine', " +
+        "k => 10, candidates => 40, " +
+        "filter => 'vec_id NOT IN (100, 200, 300)')").collect()
+    assert(got.map(_.getLong(0)).toSeq === bare.map(_.getLong(0)).toSeq)
+    assert(VectorSearch.MmrQueries.nonEmpty) // fixture sanity anchor
+  }
 }
