@@ -253,8 +253,12 @@ object LanceProcedures {
           require(metric == "cosine",
             "lance knn: mode => 'maxsim' ranks by cosine — pass metric => 'cosine'")
           val qt = in.getArray(13)
-          val toks = (0 until qt.numElements()).map(i =>
-            (0L, i.toLong, qt.getArray(i).toDoubleArray().map(_.toFloat))).toSeq
+          val toks = (0 until qt.numElements()).map { i =>
+            val v = qt.getArray(i)
+            require(v != null && v.numElements() > 0,
+              s"lance knn: query_toks token $i is null/empty")
+            (0L, i.toLong, v.toDoubleArray().map(_.toFloat))
+          }.toSeq
           require(toks.nonEmpty,
             "lance knn: mode => 'maxsim' needs query_toks => array(array(...), ...)")
           (probedCfg() match {
