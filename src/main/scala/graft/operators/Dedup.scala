@@ -120,18 +120,25 @@ object Dedup extends QueryModule {
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir).orderBy("a_id", "b_id")
 
-  private def computeMinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    // ONE map pass — shingles → 128-hash signature → 32 band keys — then
-    // ONE shuffle that both groups the buckets and guards skew:
-    // capped_sorted_list bounds its own aggregation state at cap+1 and
-    // NULLs out overflowing buckets, so a degenerate band key (every
-    // near-identical doc in one bucket) neither grows executor memory nor
-    // becomes a straggler. Dropping a mega-bucket is recall-safe: a true
-    // near-dup pair collides in ~all 32 bands. The map stage is
-    // repartitioned first because the expensive work (minhash over every
-    // shingle) is compute-bound — a coarse source split (one small parquet
-    // file locally; an unsplittable blob at scale) would serialize it.
-    val cand = bandKeys(t(s, dir, "documents")
+  private def computeMinhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFor(t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Verified MinHash-LSH near-dup pairs (a_id, b_id, jaccard) over an
+    * arbitrary (doc_id, text) frame — the gated key's exact machinery,
+    * factored so `CALL system.dedup` serves procedure inputs through the
+    * same plan (r20). ONE map pass — shingles → 128-hash signature → 32
+    * band keys — then ONE shuffle that both groups the buckets and guards
+    * skew: capped_sorted_list bounds its own aggregation state at cap+1
+    * and NULLs out overflowing buckets, so a degenerate band key (every
+    * near-identical doc in one bucket) neither grows executor memory nor
+    * becomes a straggler. Dropping a mega-bucket is recall-safe: a true
+    * near-dup pair collides in ~all 32 bands. The map stage is
+    * repartitioned first because the expensive work (minhash over every
+    * shingle) is compute-bound — a coarse source split (one small parquet
+    * file locally; an unsplittable blob at scale) would serialize it. */
+  private[graft] def minhashPairsFor(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val cand = bandKeys(docs
         .select(col("doc_id"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions))
       .groupBy("band_idx", "band_key")
@@ -143,7 +150,7 @@ object Dedup extends QueryModule {
     // verify with exact Jaccard: shingle sets are recomputed only for
     // candidate docs (the semi-join filters BEFORE the shingle projection);
     // cand is tiny after distinct, so AQE broadcasts it into both joins
-    val sets = shingleSets(t(s, dir, "documents")
+    val sets = shingleSets(docs
       .join(cand.select(col("a_id").as("doc_id"))
         .union(cand.select(col("b_id").as("doc_id"))).distinct(),
         Seq("doc_id"), "left_semi"))

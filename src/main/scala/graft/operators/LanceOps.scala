@@ -548,6 +548,61 @@ object LanceOps extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy(col("query_id").asc, col("rk").asc)
   }
 
+  /** SQL-callable EXACT DEDUP — CALL system.dedup(method => 'exact')
+    * (r20): a catalog copy of the documents deduplicates by content hash
+    * into a materialized survivor table (min doc_id keeps per sha2-256
+    * group, every column), which the key reads back. The oracle re-derives
+    * the survivor set declaratively in DuckDB — so the procedure's hash
+    * groupBy, semi-join and distributed write are all value-gated. */
+  private def dedupSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"ddc_$sfx", s"ddo_$sfx")
+    t(s, dir, "documents").createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.dedup(table => 'db.$tc', " +
+      s"method => 'exact', output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL-callable NEAR-DUP PAIRS — CALL system.dedup(method => 'pairs')
+    * (r20): the banded MinHash-LSH pipeline over a catalog table, rows
+    * returned directly (near-dup pairs are small by construction; the
+    * driver cap + output_table escape guard the degenerate corpus).
+    * Shares dedup_minhash_lsh's all-pairs exact-Jaccard oracle verbatim —
+    * the procedure must reproduce the gated key's pair set and values. */
+  private def dedupPairsSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"ddp_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.dedup(table => 'db.$tc', method => 'pairs')")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SQL-callable NEAR-DUP CLUSTERS — CALL system.dedup(method =>
+    * 'clusters') (r20): connected components over the verified pairs via
+    * the gated key's label propagation, returned as the per-component
+    * report. Shares dedup_clusters' recursive-CTE oracle verbatim. */
+  private def dedupClustersSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"ddk_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.dedup(table => 'db.$tc', method => 'clusters')")
+      .orderBy("keep_id")
+  }
+
   /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
     * v1, an append makes v2, and the report compares each source's
     * hashed-gram distribution ACROSS VERSIONS — old side read through
@@ -875,6 +930,9 @@ object LanceOps extends QueryModule {
     "q_cdc_materialized" -> cdcMaterialized,
     "lance_streaming_sink" -> streamingSink,
     "lance_decontaminate" -> decontaminateSqlCall,
+    "dedup_sql" -> dedupSqlCall,
+    "dedup_pairs_sql" -> dedupPairsSqlCall,
+    "dedup_clusters_sql" -> dedupClustersSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
     "lance_drift" -> lanceDrift,
@@ -998,6 +1056,15 @@ object LanceOps extends QueryModule {
     "knn_mmr_sql" -> VectorSearch.oracleSql("knn_mmr"),
     "knn_maxsim_sql" -> VectorSearch.oracleSql("knn_maxsim"),
     "hybrid_sql" -> TextAnalysis.hybridOracleSql,
+    // CALL system.dedup routes: exact-mode survivors re-derived
+    // declaratively; pairs/clusters share the gated dedup keys' oracles
+    // verbatim (the procedure runs their exact machinery)
+    "dedup_sql" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_pairs_sql" -> Dedup.oracleSql("dedup_minhash_lsh"),
+    "dedup_clusters_sql" -> Dedup.oracleSql("dedup_clusters"),
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

@@ -44,6 +44,7 @@ object LanceProcedures {
       case "reindex" => reindex(catalog)
       case "stats" => stats(catalog)
       case "decontaminate" => decontaminate(catalog)
+      case "dedup" => dedup(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
       case "dsir_refresh" => dsirRefresh(catalog)
@@ -51,13 +52,13 @@ object LanceProcedures {
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "semdedup / dsir / dsir_refresh / drift)")
+          "dedup / semdedup / dsir / dsir_refresh / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search", "hybrid",
-        "reindex", "stats", "decontaminate", "semdedup", "dsir",
+        "reindex", "stats", "decontaminate", "dedup", "semdedup", "dsir",
         "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
@@ -796,6 +797,126 @@ object LanceProcedures {
         StructField("n_flagged", LongType, nullable = false),
         StructField("n_out", LongType, nullable = false))),
         Seq(Array[Any](UTF8String.fromString(outTable), nFlagged, nOut)))
+    }
+
+  /** Collect a small result DataFrame into procedure rows — driver cap
+    * enforced in ONE execution (take(cap+1) — a count() pre-pass would
+    * run the possibly-expensive plan twice), Catalyst converters handle
+    * strings/decimals/arrays generically. */
+  private def collectRows(df: org.apache.spark.sql.DataFrame, cap: Int,
+                          what: String): (StructType, Seq[Array[Any]]) = {
+    val fetched = df.take(cap + 1)
+    require(fetched.length <= cap,
+      s"lance $what: result exceeds the driver-return cap ($cap rows); " +
+        s"pass output_table => 'db.t' to write the result distributed")
+    val schema = df.schema
+    val conv = schema.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(f.dataType))
+    (schema, fetched.toSeq.map(r =>
+      schema.fields.indices.map(i => conv(i)(r.get(i))).toArray[Any]))
+  }
+
+  /** SQL entry point for the DEDUPLICATION family (r20) — the gated
+    * dedup keys' exact machinery behind the reference-idiom CALL surface
+    * (the SQL-first posture of LanceVectorSearchFunction.java:51-64,
+    * applied to the pipeline family users run most):
+    *
+    * {{{
+    *   CALL cat.system.dedup(table => 'db.docs', method => 'exact',
+    *     id_column => 'doc_id', text_column => 'text',
+    *     output_table => 'db.docs_unique')   -- survivors, every column
+    *   CALL cat.system.dedup(table => 'db.docs', method => 'pairs')
+    *     -- verified MinHash-LSH near-dup pairs (a_id, b_id, jaccard)
+    *   CALL cat.system.dedup(table => 'db.docs', method => 'clusters')
+    *     -- connected components over the pairs (keep_id, n_docs, sum_ids)
+    * }}}
+    *
+    * method => 'exact': one content-hash shuffle (sha2-256 groupBy,
+    * uniform keys — the gated dedup_exact shape); survivors = min-id per
+    * hash group, EVERY corpus column, materialized distributed to
+    * output_table (REQUIRED — the survivor set is corpus-sized); one
+    * summary row returns (the input count is stats-answered, not a scan).
+    *
+    * method => 'pairs': the banded MinHash-LSH pipeline
+    * ([[graft.operators.Dedup.minhashPairsFor]] — one signature map pass,
+    * BucketCap-bounded band buckets, exact-Jaccard verify at τ=0.8), so
+    * recall/cost bounds are the gated dedup_minhash_lsh key's. Near-dup
+    * pairs only ⇒ rows return directly under the knn_join driver cap;
+    * output_table materializes instead.
+    *
+    * method => 'clusters': min-label propagation over the verified pairs
+    * ([[graft.operators.Dedup.clusterLabels]] — pointer-doubling, bounded
+    * checkpoint storage) → the per-component report, same return posture. */
+  private def dedup(catalog: LanceCatalog): UnboundProcedure =
+    bound("dedup", catalog, Array(
+      param("table", StringType),
+      param("method", StringType, Some("'exact'")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val method = in.getUTF8String(1).toString.trim.toLowerCase(java.util.Locale.ROOT)
+      val idCol = in.getUTF8String(2).toString
+      val textCol = in.getUTF8String(3).toString
+      val outTable = in.getUTF8String(4).toString.trim
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val corpus = spark.read.format("lance").load(root)
+      // the near-dup machinery's column contract (long ids)
+      lazy val docs = corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      def materialize(df: org.apache.spark.sql.DataFrame): (StructType, Seq[Array[Any]]) = {
+        val outRoot = catalog.tableRootForCreate(outTable)
+        df.write.format("lance").mode("overwrite").save(outRoot)
+        val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+        (StructType(Seq(
+          StructField("output_table", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+          Seq(Array[Any](UTF8String.fromString(outTable), n)))
+      }
+      method match {
+        case "exact" =>
+          require(outTable.nonEmpty, "lance dedup: method => 'exact' " +
+            "materializes the survivor corpus — output_table is required")
+          // min-id per content hash; survivors keep every corpus column.
+          // The semi-join's build side is one row per DISTINCT text — at
+          // a near-dup-free extreme that is corpus-sized, so it stays a
+          // shuffle join unless AQE proves it small; the id key is the
+          // corpus's own type (no cast — bloom/dict pruning applies)
+          val keeps = corpus.groupBy(sha2(col(textCol), 256))
+            .agg(min(col(idCol)).as(idCol)).select(idCol)
+          val survivors = corpus.join(keeps, Seq(idCol), "left_semi")
+          val outRoot = catalog.tableRootForCreate(outTable)
+          survivors.write.format("lance").mode("overwrite").save(outRoot)
+          val nOut = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+          // COUNT answers from fragment stats (delete-vector-aware) —
+          // no second corpus scan for the summary
+          val nIn = corpus.count()
+          (StructType(Seq(
+            StructField("output_table", StringType, nullable = false),
+            StructField("n_in", LongType, nullable = false),
+            StructField("n_dropped", LongType, nullable = false),
+            StructField("n_out", LongType, nullable = false))),
+            Seq(Array[Any](UTF8String.fromString(outTable), nIn, nIn - nOut, nOut)))
+        case "pairs" =>
+          val pairs = graft.operators.Dedup.minhashPairsFor(docs)
+            .orderBy("a_id", "b_id")
+          if (outTable.nonEmpty) materialize(pairs)
+          else collectRows(pairs, 1000000, "dedup")
+        case "clusters" =>
+          val pairs = graft.operators.Dedup.minhashPairsFor(docs)
+            .select("a_id", "b_id")
+          val (labels, _) = graft.operators.Dedup.clusterLabels(spark, pairs)
+          val report = labels
+            .groupBy(col("lbl").as("keep_id"))
+            .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))
+            .orderBy("keep_id")
+          if (outTable.nonEmpty) materialize(report)
+          else collectRows(report, 1000000, "dedup")
+        case other => throw new IllegalArgumentException(
+          s"lance dedup: unknown method $other (expected exact / pairs / clusters)")
+      }
     }
 
   /** SQL entry point for SEMANTIC DEDUPLICATION (SemDeDup) — materializes

@@ -851,4 +851,62 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 80 * 79 / 2)
     assert(pairs.forall(_.getLong(2) === 0L))
   }
+
+  test("CALL system.dedup: exact survivors materialize whole-row, pairs/clusters == the gated machinery, errors fail fast") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dd",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dd.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-dd-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dd.db")
+    // two exact-dup groups (ids 1,2,3 and 10,11), one near-dup pair that
+    // is NOT exact (20 ~ 21: one word differs over a long shared tail),
+    // and a singleton; a payload column proves survivors keep every column
+    val near0 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near1 = near0.replace("tok30", "tok31")
+    val rows = Seq(
+      (1L, "alpha beta gamma", "p1"), (2L, "alpha beta gamma", "p2"),
+      (3L, "alpha beta gamma", "p3"), (10L, "delta epsilon phi", "p10"),
+      (11L, "delta epsilon phi", "p11"), (20L, near0, "p20"),
+      (21L, near1, "p21"), (30L, "zeta eta theta iota", "p30"))
+    rows.toDF("doc_id", "text", "payload").createOrReplaceTempView("dd_src")
+    spark.sql("CREATE TABLE graft_dd.db.c AS SELECT * FROM dd_src")
+    // exact: min-id survivors, every column, summary arithmetic
+    val summary = spark.sql("CALL graft_dd.system.dedup(table => 'db.c', " +
+      "method => 'exact', output_table => 'db.u')").collect()
+    assert(summary.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((8L, 3L, 5L)), s"summary wrong: ${summary.toSeq}")
+    val out = spark.table("graft_dd.db.u").collect()
+      .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 10L, 20L, 21L, 30L))
+    assert(out.forall(_._2.nonEmpty), "payload column lost")
+    // pairs: the CALL's rows == Dedup.minhashPairsFor over the same docs
+    val called = spark.sql(
+      "CALL graft_dd.system.dedup(table => 'db.c', method => 'pairs')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val direct = operators.Dedup.minhashPairsFor(
+        rows.toDF("doc_id", "text", "payload").select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(called.toSeq === direct.toSeq)
+    assert(called.map(p => (p._1, p._2)).toSet
+      === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (20L, 21L)))
+    // clusters: {1,2,3} one component, {10,11}, {20,21}; sum_ids checks
+    val comps = spark.sql(
+      "CALL graft_dd.system.dedup(table => 'db.c', method => 'clusters')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(comps.toSeq === Seq((1L, 3L, 6L), (10L, 2L, 21L), (20L, 2L, 41L)))
+    // pairs with output_table: materialized rows == the direct answer
+    spark.sql("CALL graft_dd.system.dedup(table => 'db.c', " +
+      "method => 'pairs', output_table => 'db.p')")
+    val mat = spark.table("graft_dd.db.p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(mat === direct.map(p => (p._1, p._2)).toSeq)
+    // exact without output_table and an unknown method fail fast
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft_dd.system.dedup(table => 'db.c', method => 'exact')").collect())
+    assert(e1.getMessage.contains("output_table"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_dd.system.dedup(table => 'db.c', method => 'fuzzy')").collect())
+    assert(e2.getMessage.contains("unknown method"))
+  }
 }
