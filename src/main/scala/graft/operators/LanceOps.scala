@@ -603,6 +603,59 @@ object LanceOps extends QueryModule {
       .orderBy("keep_id")
   }
 
+  /** SQL-callable MIXTURE SAMPLING — CALL system.sample(method =>
+    * 'mixture') (r20): a catalog copy of the documents composes to the
+    * gated key's share targets through the procedure's shares-string
+    * parsing and the factored mixtureOver machinery. Shares
+    * sample_mixture's oracle verbatim — shares marshalling, binding
+    * arithmetic and the hash-ordered prefix-sum selection are all
+    * value-gated. */
+  private def sampleMixtureSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"smx_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "source", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    val shares = Sampling.MixturePct.map { case (k, v) => s"$k:$v" }.mkString(",")
+    s.sql(s"CALL graft_lance.system.sample(table => 'db.$tc', " +
+        s"method => 'mixture', shares => '$shares')")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
+  /** SQL-callable TEMPERATURE SAMPLING — CALL system.sample(method =>
+    * 'temperature') (r20) at the gated key's total budget; shares
+    * sample_temperature's oracle verbatim. */
+  private def sampleTemperatureSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"stp_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "source", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.sample(table => 'db.$tc', " +
+        s"method => 'temperature', budget => ${Sampling.TempBudget})")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
+  /** SQL-callable PER-SOURCE TOKEN BUDGET — CALL system.sample(method =>
+    * 'token_budget') (r20) at the gated key's per-source budget; shares
+    * sample_token_budget's oracle verbatim. */
+  private def sampleBudgetSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"stb_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "source", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.sample(table => 'db.$tc', " +
+        s"method => 'token_budget', budget => ${Sampling.TokenBudget})")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
     * v1, an append makes v2, and the report compares each source's
     * hashed-gram distribution ACROSS VERSIONS — old side read through
@@ -933,6 +986,9 @@ object LanceOps extends QueryModule {
     "dedup_sql" -> dedupSqlCall,
     "dedup_pairs_sql" -> dedupPairsSqlCall,
     "dedup_clusters_sql" -> dedupClustersSqlCall,
+    "sample_mixture_sql" -> sampleMixtureSqlCall,
+    "sample_temperature_sql" -> sampleTemperatureSqlCall,
+    "sample_budget_sql" -> sampleBudgetSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
     "lance_drift" -> lanceDrift,
@@ -1065,6 +1121,11 @@ object LanceOps extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     "dedup_pairs_sql" -> Dedup.oracleSql("dedup_minhash_lsh"),
     "dedup_clusters_sql" -> Dedup.oracleSql("dedup_clusters"),
+    // CALL system.sample routes at the gated keys' exact configs share
+    // the sampling twins' oracles verbatim
+    "sample_mixture_sql" -> Sampling.oracleSql("sample_mixture"),
+    "sample_temperature_sql" -> Sampling.oracleSql("sample_temperature"),
+    "sample_budget_sql" -> Sampling.oracleSql("sample_token_budget"),
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

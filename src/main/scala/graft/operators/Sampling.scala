@@ -60,10 +60,17 @@ object Sampling extends QueryModule {
   }
 
   // ---- sample_token_budget -----------------------------------------------
-  private val TokenBudget = 800L
+  private[graft] val TokenBudget = 800L
 
-  private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").withColumn("w", TextAnalysis.tokens)
+  private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOver(t(s, dir, "documents"), TokenBudget)
+
+  /** Per-source quality-ordered token budget over an arbitrary (doc_id,
+    * source, text) frame — the gated key's machinery, factored so
+    * `CALL system.sample` serves procedure inputs through the same plan
+    * (r20). One (source) shuffle + prefix-sum window. */
+  private[graft] def tokenBudgetOver(docs: DataFrame, budget: Long): DataFrame = {
+    val d = docs.withColumn("w", TextAnalysis.tokens)
     val scored = d.select(
       col("doc_id"), col("source"),
       size(col("w")).cast("long").as("n_tokens"),
@@ -75,7 +82,7 @@ object Sampling extends QueryModule {
     scored
       .withColumn("cum_tokens",
         sum("n_tokens").over(byQuality.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("cum_tokens") <= TokenBudget)
+      .filter(col("cum_tokens") <= budget)
       .select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
       .orderBy("source", "cum_tokens", "doc_id")
   }
@@ -91,7 +98,7 @@ object Sampling extends QueryModule {
   // runs BPE → rows-only gated key,
   // pinned by an equivalence spec vs the driver-side Bpe.encode
   // reference. Same scale shape: one (source) shuffle, prefix-sum window.
-  private val TokenBudgetBpe = 800L
+  private[graft] val TokenBudgetBpe = 800L
 
   private def sampleTokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").withColumn("w", TextAnalysis.tokens)
@@ -123,14 +130,22 @@ object Sampling extends QueryModule {
   // as sample_token_budget — sources are the unit of parallelism. All
   // arithmetic is integer-weight percent + IEEE double division, so DuckDB
   // computes bit-identical budgets.
-  private val MixturePct: Seq[(String, Int)] =
+  private[graft] val MixturePct: Seq[(String, Int)] =
     Seq("src0" -> 35, "src1" -> 25, "src2" -> 20, "src3" -> 15, "src4" -> 5)
 
-  private def sampleMixture(s: SparkSession, dir: String): DataFrame = {
-    val pctCol = MixturePct.foldLeft(lit(null).cast("int")) { case (acc, (src, p)) =>
+  private def sampleMixture(s: SparkSession, dir: String): DataFrame =
+    mixtureOver(t(s, dir, "documents"), MixturePct)
+
+  /** Share-targeted mixture selection (no upsampling, scarcest source
+    * binds the total) over an arbitrary (doc_id, source, text) frame —
+    * the gated key's machinery, factored for `CALL system.sample` (r20).
+    * All-integer budgets; |sources|-row broadcast; one prefix-sum window. */
+  private[graft] def mixtureOver(docs: DataFrame,
+                                 shares: Seq[(String, Int)]): DataFrame = {
+    val pctCol = shares.foldLeft(lit(null).cast("int")) { case (acc, (src, p)) =>
       when(col("source") === src, lit(p)).otherwise(acc)
     }
-    val d = t(s, dir, "documents")
+    val d = docs
       .withColumn("pct", pctCol)
       .filter(col("pct").isNotNull) // sources outside the mixture contribute nothing
       .select(col("doc_id"), col("source"), col("pct"),
@@ -164,10 +179,17 @@ object Sampling extends QueryModule {
   // Scale shape = sample_mixture's: per-source totals partial-agg to
   // |sources| rows, the 1-row denominator broadcasts (never a driver
   // collect), selection is one prefix-sum window per source partition.
-  private val TempBudget = 6000L
+  private[graft] val TempBudget = 6000L
 
-  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    temperatureOver(t(s, dir, "documents"), TempBudget)
+
+  /** T^(1/2) temperature-flattened selection over an arbitrary (doc_id,
+    * source, text) frame — the gated key's machinery, factored for
+    * `CALL system.sample` (r20); same IEEE-sqrt + integer-denominator
+    * determinism argument as the gated key's header. */
+  private[graft] def temperatureOver(docs: DataFrame, budget: Long): DataFrame = {
+    val d = docs
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens).cast("long").as("n_tokens"))
     val roots = d.groupBy("source")
@@ -176,7 +198,7 @@ object Sampling extends QueryModule {
     val bySel = Window.partitionBy("source")
       .orderBy(col("h").asc, col("doc_id").asc)
     d.join(roots, "source").crossJoin(broadcast(denom))
-      .withColumn("budget", expr(s"r_s * $TempBudget div r_sum"))
+      .withColumn("budget", expr(s"r_s * $budget div r_sum"))
       .withColumn("h", minstd2(col("doc_id")))
       .withColumn("cum_tokens",
         sum("n_tokens").over(bySel.rowsBetween(Window.unboundedPreceding, 0)))

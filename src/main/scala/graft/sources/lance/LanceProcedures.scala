@@ -45,6 +45,7 @@ object LanceProcedures {
       case "stats" => stats(catalog)
       case "decontaminate" => decontaminate(catalog)
       case "dedup" => dedup(catalog)
+      case "sample" => sample(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
       case "dsir_refresh" => dsirRefresh(catalog)
@@ -52,13 +53,13 @@ object LanceProcedures {
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "dedup / semdedup / dsir / dsir_refresh / drift)")
+          "dedup / sample / semdedup / dsir / dsir_refresh / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search", "hybrid",
-        "reindex", "stats", "decontaminate", "dedup", "semdedup", "dsir",
+        "reindex", "stats", "decontaminate", "dedup", "sample", "semdedup", "dsir",
         "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
@@ -917,6 +918,95 @@ object LanceProcedures {
         case other => throw new IllegalArgumentException(
           s"lance dedup: unknown method $other (expected exact / pairs / clusters)")
       }
+    }
+
+  /** SQL entry point for the DATA-SELECTION family (r20) — the corpus
+    * composition recipes behind the gated sampling keys, callable from
+    * SQL:
+    *
+    * {{{
+    *   CALL cat.system.sample(table => 'db.docs', method => 'mixture',
+    *     shares => 'web:35,books:25,code:20,wiki:15,forums:5')
+    *   CALL cat.system.sample(table => 'db.docs', method => 'temperature',
+    *     budget => 6000)
+    *   CALL cat.system.sample(table => 'db.docs', method => 'token_budget',
+    *     budget => 800, output_table => 'db.docs_selected')
+    * }}}
+    *
+    * method => 'mixture': share-targeted composition without upsampling —
+    * the scarcest source relative to its percent binds the total; docs
+    * selected in deterministic minstd2-hash order
+    * ([[graft.operators.Sampling.mixtureOver]]).
+    * method => 'temperature': T^(1/2)-flattened per-source budgets over a
+    * total token budget ([[graft.operators.Sampling.temperatureOver]] —
+    * IEEE-sqrt + integer-denominator determinism).
+    * method => 'token_budget': per-source quality-ordered selection up to
+    * `budget` tokens per source ([[graft.operators.Sampling.tokenBudgetOver]]).
+    *
+    * All three are the gated keys' exact plans (one |sources|-bounded
+    * partial agg + one source-keyed prefix-sum window — sources are the
+    * unit of parallelism at any corpus size). The selection is
+    * budget-bounded, so rows return directly under the driver cap;
+    * output_table materializes instead. */
+  private def sample(catalog: LanceCatalog): UnboundProcedure =
+    bound("sample", catalog, Array(
+      param("table", StringType),
+      param("method", StringType, Some("'temperature'")),
+      param("budget", LongType, Some("6000")),
+      param("shares", StringType, Some("''")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("source_column", StringType, Some("'source'")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val method = in.getUTF8String(1).toString.trim.toLowerCase(java.util.Locale.ROOT)
+      val budget = in.getLong(2)
+      val sharesStr = in.getUTF8String(3).toString.trim
+      val idCol = in.getUTF8String(4).toString
+      val textCol = in.getUTF8String(5).toString
+      val srcCol = in.getUTF8String(6).toString
+      val outTable = in.getUTF8String(7).toString.trim
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val docs = spark.read.format("lance").load(root)
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(srcCol).as("source"), col(textCol).as("text"))
+      val selected = method match {
+        case "mixture" =>
+          val shares = sharesStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            kv.split(':') match {
+              case Array(k, v) if k.trim.nonEmpty && v.trim.matches("\\d+") =>
+                (k.trim, v.trim.toInt)
+              case _ => throw new IllegalArgumentException(
+                s"lance sample: malformed share '$kv' (expected source:percent)")
+            }
+          }
+          require(shares.nonEmpty && shares.forall(_._2 > 0)
+              && shares.map(_._2).sum == 100,
+            "lance sample: method => 'mixture' needs shares => 'src:pct,...' " +
+              "with positive integer percents summing to 100")
+          require(shares.map(_._1).distinct.size == shares.size,
+            "lance sample: duplicate source in shares")
+          graft.operators.Sampling.mixtureOver(docs, shares)
+        case "temperature" =>
+          require(budget > 0, "lance sample: budget must be positive")
+          graft.operators.Sampling.temperatureOver(docs, budget)
+        case "token_budget" =>
+          require(budget > 0, "lance sample: budget must be positive")
+          graft.operators.Sampling.tokenBudgetOver(docs, budget)
+        case other => throw new IllegalArgumentException(
+          s"lance sample: unknown method $other (expected mixture / " +
+            "temperature / token_budget)")
+      }
+      if (outTable.nonEmpty) {
+        val outRoot = catalog.tableRootForCreate(outTable)
+        selected.write.format("lance").mode("overwrite").save(outRoot)
+        val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+        (StructType(Seq(
+          StructField("output_table", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+          Seq(Array[Any](UTF8String.fromString(outTable), n)))
+      } else collectRows(selected, 1000000, "sample")
     }
 
   /** SQL entry point for SEMANTIC DEDUPLICATION (SemDeDup) — materializes

@@ -580,4 +580,49 @@ class SamplingSpec extends SparkSpec {
     assert((weighted -- greedy).nonEmpty, "weighted draw degenerated to the quality ranking")
   }
 
+  test("CALL system.sample: every mode == its gated key row-for-row; materialize and fail-fast postures") {
+    spark.conf.set("spark.sql.catalog.graft_sp",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sp.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-sp-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sp.db")
+    graft.Tables.t(spark, sf, "documents").select("doc_id", "source", "text")
+      .createOrReplaceTempView("sp_src")
+    spark.sql("CREATE TABLE graft_sp.db.c AS SELECT * FROM sp_src")
+    val shares = operators.Sampling.MixturePct
+      .map { case (k, v) => s"$k:$v" }.mkString(",")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    // CALL at the gated configs == the gated keys, row for row
+    val cases = Seq(
+      (s"method => 'mixture', shares => '$shares'", "sample_mixture"),
+      ("method => 'temperature', budget => 6000", "sample_temperature"),
+      ("method => 'token_budget', budget => 800", "sample_token_budget"))
+    for ((args, key) <- cases) {
+      val called = rowsOf(spark.sql(
+        s"CALL graft_sp.system.sample(table => 'db.c', $args)")
+        .orderBy("source", "cum_tokens", "doc_id"))
+      val gated = rowsOf(SparkEntry.queries(key)(spark, sf))
+      assert(called === gated, s"CALL ($args) diverged from gated $key")
+    }
+    // output_table materializes the same selection
+    spark.sql("CALL graft_sp.system.sample(table => 'db.c', " +
+      "method => 'temperature', budget => 6000, output_table => 'db.sel')")
+    val mat = rowsOf(spark.table("graft_sp.db.sel")
+      .orderBy("source", "cum_tokens", "doc_id"))
+    assert(mat === rowsOf(SparkEntry.queries("sample_temperature")(spark, sf)))
+    // fail-fast: malformed shares, shares not summing to 100, bad budget,
+    // unknown method
+    def fails(args: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(
+        s"CALL graft_sp.system.sample(table => 'db.c', $args)").collect())
+      assert(e.getMessage.contains(needle), s"$args: ${e.getMessage}")
+    }
+    fails("method => 'mixture', shares => 'src0-35'", "malformed share")
+    fails("method => 'mixture', shares => 'src0:35,src1:35'", "summing to 100")
+    fails("method => 'mixture', shares => 'src0:50,src0:50'", "duplicate source")
+    fails("method => 'temperature', budget => 0", "budget must be positive")
+    fails("method => 'bootstrap'", "unknown method")
+  }
+
 }

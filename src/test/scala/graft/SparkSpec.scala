@@ -81,6 +81,15 @@ class EntrySpec extends SparkSpec {
     "dedup_minhash_lsh" -> 28,
     "dedup_clusters" -> 21,
     "dedup_canonical" -> 476,
+    // the CALL system.dedup / system.sample SQL routes reproduce their
+    // gated twins' answers (dedup_sql survivors: all 500 sf0.001 texts
+    // are distinct, so every doc survives)
+    "dedup_sql" -> 500,
+    "dedup_pairs_sql" -> 28,
+    "dedup_clusters_sql" -> 21,
+    "sample_mixture_sql" -> 74,
+    "sample_temperature_sql" -> 98,
+    "sample_budget_sql" -> 210,
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
     "sample_token_budget_bpe" -> 210,
