@@ -656,6 +656,49 @@ object LanceOps extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  /** SQL-callable HASH SPLIT — CALL system.split(method => 'hash') (r20)
+    * at the gated key's 90/5/5 boundaries over a catalog copy; the key
+    * reads the materialized labeled corpus back and shares sample_hash's
+    * oracle verbatim — parameter marshalling, the MINSTD arithmetic and
+    * the labeled write are value-gated. */
+  private def splitSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"spc_$sfx", s"spo_$sfx")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.split(table => 'db.$tc', " +
+      s"method => 'hash', train_pct => 90, val_pct => 5, " +
+      s"output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(col("doc_id"), col("pct"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL-callable LEAK-FREE SPLIT — CALL system.split(method =>
+    * 'leakfree') (r20): cluster-consistent splits through the procedure's
+    * own pair generation + label propagation + rep-hash labeling; shares
+    * sample_split_leakfree's recursive-CTE oracle verbatim. */
+  private def splitLeakfreeSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"slc_$sfx", s"slo_$sfx")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.split(table => 'db.$tc', " +
+      s"method => 'leakfree', train_pct => 90, val_pct => 5, " +
+      s"output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(col("doc_id"), col("rep_id"), col("pct"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
     * v1, an append makes v2, and the report compares each source's
     * hashed-gram distribution ACROSS VERSIONS — old side read through
@@ -989,6 +1032,8 @@ object LanceOps extends QueryModule {
     "sample_mixture_sql" -> sampleMixtureSqlCall,
     "sample_temperature_sql" -> sampleTemperatureSqlCall,
     "sample_budget_sql" -> sampleBudgetSqlCall,
+    "split_sql" -> splitSqlCall,
+    "split_leakfree_sql" -> splitLeakfreeSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
     "lance_drift" -> lanceDrift,
@@ -1126,6 +1171,8 @@ object LanceOps extends QueryModule {
     "sample_mixture_sql" -> Sampling.oracleSql("sample_mixture"),
     "sample_temperature_sql" -> Sampling.oracleSql("sample_temperature"),
     "sample_budget_sql" -> Sampling.oracleSql("sample_token_budget"),
+    "split_sql" -> Sampling.oracleSql("sample_hash"),
+    "split_leakfree_sql" -> Sampling.oracleSql("sample_split_leakfree"),
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

@@ -40,22 +40,31 @@ object Sampling extends QueryModule {
   // portable to engines that refuse to wrap on overflow.
   private[graft] val MinstdA = 48271L
   private[graft] val MinstdM = 2147483647L // 2^31 - 1
-  private val TrainPct = 90
-  private val ValPct = 95 // [90, 95) validation, [95, 100) test
+  private[graft] val TrainPct = 90
+  private[graft] val ValPct = 95 // [90, 95) validation, [95, 100) test
 
   private[graft] def minstd2(c: Column): Column = {
     val h1 = (c * MinstdA) % MinstdM
     (h1 * MinstdA) % MinstdM
   }
 
+  /** (pct, split) columns for the MINSTD hash split given an id column and
+    * the CUMULATIVE percent boundaries ([0,trainBound) train,
+    * [trainBound,valBound) validation, rest test) — factored so
+    * `CALL system.split` parameterizes the same arithmetic (r20). */
+  private[graft] def splitColumns(id: Column, trainBound: Int,
+                                  valBound: Int): (Column, Column) = {
+    val pct = minstd2(id) % 100
+    (pct,
+      when(pct < trainBound, "train")
+        .when(pct < valBound, "validation")
+        .otherwise("test"))
+  }
+
   private def sampleHash(s: SparkSession, dir: String): DataFrame = {
-    val pct = minstd2(col("doc_id")) % 100
+    val (pct, split) = splitColumns(col("doc_id"), TrainPct, ValPct)
     t(s, dir, "documents").select(
-      col("doc_id"),
-      pct.as("pct"),
-      when(pct < TrainPct, "train")
-        .when(pct < ValPct, "validation")
-        .otherwise("test").as("split"))
+      col("doc_id"), pct.as("pct"), split.as("split"))
       .orderBy("doc_id")
   }
 
@@ -258,19 +267,27 @@ object Sampling extends QueryModule {
   // slice of the corpus — so the rep lookup is a broadcast left join over
   // an otherwise map-only projection; the split stays reproducible,
   // growth-stable, and engine-portable like sample_hash.
-  private def sampleSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshPairs(s, dir).select("a_id", "b_id")
-    val (labels, _) = Dedup.clusterLabels(s, pairs)
-    val pct = minstd2(col("rep_id")) % 100
-    t(s, dir, "documents").select(col("doc_id"))
+  private def sampleSplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    leakfreeRepOver(t(s, dir, "documents").select(col("doc_id")),
+        Dedup.lshPairs(s, dir).select("a_id", "b_id"))
+      .transform { reps =>
+        val (pct, split) = splitColumns(col("rep_id"), TrainPct, ValPct)
+        reps.select(col("doc_id"), col("rep_id"), pct.as("pct"),
+          split.as("split"))
+      }
+      .orderBy("doc_id")
+
+  /** (doc_id, rep_id) cluster representatives over a near-dup pair set —
+    * every doc maps to its component's min-id rep (unclustered docs are
+    * their own rep); the broadcast-left-join shape of the gated key,
+    * factored so `CALL system.split` rides any (doc_id) frame + pair
+    * source (r20). */
+  private[graft] def leakfreeRepOver(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val (labels, _) = Dedup.clusterLabels(ids.sparkSession, pairs)
+    ids.select(col("doc_id"))
       .join(broadcast(labels.select(col("node").as("doc_id"), col("lbl"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
-      .select(col("doc_id"), col("rep_id"), pct.as("pct"),
-        when(pct < TrainPct, "train")
-          .when(pct < ValPct, "validation")
-          .otherwise("test").as("split"))
-      .orderBy("doc_id")
   }
 
   // ---- sample_stratified -------------------------------------------------

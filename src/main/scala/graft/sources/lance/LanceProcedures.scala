@@ -46,6 +46,7 @@ object LanceProcedures {
       case "decontaminate" => decontaminate(catalog)
       case "dedup" => dedup(catalog)
       case "sample" => sample(catalog)
+      case "split" => split(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
       case "dsir_refresh" => dsirRefresh(catalog)
@@ -53,13 +54,13 @@ object LanceProcedures {
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "dedup / sample / semdedup / dsir / dsir_refresh / drift)")
+          "dedup / sample / split / semdedup / dsir / dsir_refresh / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search", "hybrid",
-        "reindex", "stats", "decontaminate", "dedup", "sample", "semdedup", "dsir",
+        "reindex", "stats", "decontaminate", "dedup", "sample", "split", "semdedup", "dsir",
         "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
@@ -1007,6 +1008,96 @@ object LanceProcedures {
           StructField("n_rows", LongType, nullable = false))),
           Seq(Array[Any](UTF8String.fromString(outTable), n)))
       } else collectRows(selected, 1000000, "sample")
+    }
+
+  /** SQL entry point for TRAIN/VALIDATION/TEST SPLITS (r20) — the split
+    * recipes behind the gated sample_hash / sample_split_leakfree keys,
+    * callable from SQL and materialized as a labeled corpus:
+    *
+    * {{{
+    *   CALL cat.system.split(table => 'db.docs',
+    *     train_pct => 90, val_pct => 5,
+    *     output_table => 'db.docs_split')          -- method => 'hash'
+    *   CALL cat.system.split(table => 'db.docs', method => 'leakfree',
+    *     output_table => 'db.docs_split')
+    * }}}
+    *
+    * method => 'hash': the double-MINSTD id hash decides each doc's side —
+    * reproducible across engines/runs, growth-stable, map-only
+    * ([[graft.operators.Sampling.splitColumns]]).
+    * method => 'leakfree': CLUSTER-CONSISTENT — near-duplicate documents
+    * never straddle the train/test fence: the banded MinHash-LSH pairs
+    * cluster to min-id representatives and the REP's hash decides the
+    * whole cluster's side. The component labels cover only pair-docs (a
+    * tiny slice of any real corpus), so the rep lookup is a broadcast
+    * left join over an otherwise map-only projection.
+    *
+    * The labeled set is corpus-sized, so output_table is REQUIRED (every
+    * corpus column + rep_id (leakfree) + pct + split, one distributed
+    * write); the summary row returns per-split counts read back from the
+    * output's column-pruned scan. train_pct/val_pct are SIZES in percent
+    * (test takes the remainder). */
+  private def split(catalog: LanceCatalog): UnboundProcedure =
+    bound("split", catalog, Array(
+      param("table", StringType),
+      param("method", StringType, Some("'hash'")),
+      param("train_pct", IntegerType, Some("90")),
+      param("val_pct", IntegerType, Some("5")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val method = in.getUTF8String(1).toString.trim.toLowerCase(java.util.Locale.ROOT)
+      val trainPct = in.getInt(2)
+      val valPct = in.getInt(3)
+      val idCol = in.getUTF8String(4).toString
+      val textCol = in.getUTF8String(5).toString
+      val outTable = in.getUTF8String(6).toString.trim
+      require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+        s"lance split: need train_pct > 0, val_pct >= 0, sum <= 100 " +
+          s"(got $trainPct/$valPct)")
+      require(outTable.nonEmpty, "lance split: the labeled set is " +
+        "corpus-sized — output_table is required")
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val corpus = spark.read.format("lance").load(root)
+      val labeled = method match {
+        case "hash" =>
+          val (pct, split) = graft.operators.Sampling.splitColumns(
+            col(idCol).cast("long"), trainPct, trainPct + valPct)
+          corpus.withColumn("pct", pct).withColumn("split", split)
+        case "leakfree" =>
+          val docs = corpus.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).as("text"))
+          val pairs = graft.operators.Dedup.minhashPairsFor(docs)
+            .select("a_id", "b_id")
+          val (labels, _) = graft.operators.Dedup.clusterLabels(spark, pairs)
+          val (pct, split) = graft.operators.Sampling.splitColumns(
+            col("rep_id"), trainPct, trainPct + valPct)
+          corpus
+            .join(broadcast(labels.select(col("node").as("__node"), col("lbl"))),
+              col(idCol).cast("long") === col("__node"), "left")
+            .withColumn("rep_id", coalesce(col("lbl"), col(idCol).cast("long")))
+            .drop("__node", "lbl")
+            .withColumn("pct", pct).withColumn("split", split)
+        case other => throw new IllegalArgumentException(
+          s"lance split: unknown method $other (expected hash / leakfree)")
+      }
+      val outRoot = catalog.tableRootForCreate(outTable)
+      labeled.write.format("lance").mode("overwrite").save(outRoot)
+      // per-split counts from the output's pruned (split) scan — cheap,
+      // and they count what was actually committed
+      val counts = spark.read.format("lance").load(outRoot)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (StructType(Seq(
+        StructField("output_table", StringType, nullable = false),
+        StructField("n_train", LongType, nullable = false),
+        StructField("n_validation", LongType, nullable = false),
+        StructField("n_test", LongType, nullable = false))),
+        Seq(Array[Any](UTF8String.fromString(outTable),
+          counts.getOrElse("train", 0L), counts.getOrElse("validation", 0L),
+          counts.getOrElse("test", 0L))))
     }
 
   /** SQL entry point for SEMANTIC DEDUPLICATION (SemDeDup) — materializes

@@ -625,4 +625,61 @@ class SamplingSpec extends SparkSpec {
     fails("method => 'bootstrap'", "unknown method")
   }
 
+  test("CALL system.split: hash/leakfree == the gated keys, boundaries parameterize, pairs never straddle") {
+    spark.conf.set("spark.sql.catalog.graft_sl",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sl.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-sl-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sl.db")
+    graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("sl_src")
+    spark.sql("CREATE TABLE graft_sl.db.c AS SELECT * FROM sl_src")
+    // hash at the gated boundaries == sample_hash; summary counts add up
+    val sum1 = spark.sql("CALL graft_sl.system.split(table => 'db.c', " +
+      "method => 'hash', train_pct => 90, val_pct => 5, " +
+      "output_table => 'db.h')").collect()
+    val hashed = spark.table("graft_sl.db.h")
+      .select("doc_id", "pct", "split").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val gatedHash = SparkEntry.queries("sample_hash")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(hashed === gatedHash)
+    assert(sum1.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).head === 500L)
+    // leakfree at the gated boundaries == sample_split_leakfree, and no
+    // near-dup pair straddles the fence
+    spark.sql("CALL graft_sl.system.split(table => 'db.c', " +
+      "method => 'leakfree', train_pct => 90, val_pct => 5, " +
+      "output_table => 'db.l')")
+    val lf = spark.table("graft_sl.db.l")
+      .select("doc_id", "rep_id", "pct", "split").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val gatedLf = SparkEntry.queries("sample_split_leakfree")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(lf === gatedLf)
+    val side = lf.map(r => r.head.asInstanceOf[Long] -> r(3)).toMap
+    operators.Dedup.minhashPairsFor(
+        graft.Tables.t(spark, sf, "documents").select("doc_id", "text"))
+      .select("a_id", "b_id").collect().foreach { r =>
+      assert(side(r.getLong(0)) === side(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles the split fence")
+    }
+    // custom boundaries actually move the fence
+    val sum2 = spark.sql("CALL graft_sl.system.split(table => 'db.c', " +
+      "method => 'hash', train_pct => 50, val_pct => 25, " +
+      "output_table => 'db.h2')").collect()
+    assert(sum2.head.getLong(1) < sum1.head.getLong(1),
+      "train shrank boundary had no effect")
+    assert(sum2.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).head === 500L)
+    // fail-fast: bad percents, missing output_table, unknown method
+    def fails2(args: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(
+        s"CALL graft_sl.system.split(table => 'db.c', $args)").collect())
+      assert(e.getMessage.contains(needle), s"$args: ${e.getMessage}")
+    }
+    fails2("train_pct => 0, output_table => 'db.x'", "train_pct")
+    fails2("train_pct => 90, val_pct => 20, output_table => 'db.x'", "sum <= 100")
+    fails2("method => 'hash'", "output_table")
+    fails2("method => 'random', output_table => 'db.x'", "unknown method")
+  }
+
 }

@@ -90,6 +90,8 @@ class EntrySpec extends SparkSpec {
     "sample_mixture_sql" -> 74,
     "sample_temperature_sql" -> 98,
     "sample_budget_sql" -> 210,
+    "split_sql" -> 500,
+    "split_leakfree_sql" -> 500,
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
     "sample_token_budget_bpe" -> 210,
