@@ -699,6 +699,48 @@ object LanceOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Shared body of the CALL system.score gated keys (r20): catalog copy
+    * of the documents, one CALL with the given metrics/label, read the
+    * scored table back under the given projection. Each key shares its
+    * text-analysis twin's oracle verbatim — the procedure computes
+    * n_chars as length(text), which equals the stored count by the
+    * fixture's construction. */
+  private def scoreCallOn(s: SparkSession, dir: String, metrics: String,
+                          label: String, project: Seq[String]): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"scc_$sfx", s"sco_$sfx")
+    t(s, dir, "documents").select("doc_id", "text", "lang")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    val labelArg = if (label.nonEmpty) s", label_column => '$label'" else ""
+    s.sql(s"CALL graft_lance.system.score(table => 'db.$tc', " +
+      s"metrics => '$metrics'$labelArg, output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(project.map(col): _*)
+      .orderBy("doc_id")
+  }
+
+  /** SQL-callable QUALITY SCORING — CALL system.score(metrics =>
+    * 'quality') (r20); shares text_quality's oracle verbatim. */
+  private def scoreSqlCall(s: SparkSession, dir: String): DataFrame =
+    scoreCallOn(s, dir, "quality", "",
+      Seq("doc_id", "n_chars", "n_tokens", "distinct_ratio", "stop_ratio", "quality"))
+
+  /** SQL-callable LANGUAGE ID — CALL system.score(metrics => 'langid',
+    * label_column => 'lang') (r20); shares text_langid's oracle. */
+  private def scoreLangidSqlCall(s: SparkSession, dir: String): DataFrame =
+    scoreCallOn(s, dir, "langid", "lang",
+      Seq("doc_id", "score_en", "score_es", "score_de", "score_fr", "score_zh",
+        "pred_lang", "lang", "is_match"))
+
+  /** SQL-callable FINGERPRINTING — CALL system.score(metrics =>
+    * 'fingerprint') (r20); shares text_fingerprint's oracle. */
+  private def scoreFingerprintSqlCall(s: SparkSession, dir: String): DataFrame =
+    scoreCallOn(s, dir, "fingerprint", "", Seq("doc_id", "fp", "fp_bucket"))
+
   /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
     * v1, an append makes v2, and the report compares each source's
     * hashed-gram distribution ACROSS VERSIONS — old side read through
@@ -1034,6 +1076,9 @@ object LanceOps extends QueryModule {
     "sample_budget_sql" -> sampleBudgetSqlCall,
     "split_sql" -> splitSqlCall,
     "split_leakfree_sql" -> splitLeakfreeSqlCall,
+    "score_sql" -> scoreSqlCall,
+    "score_langid_sql" -> scoreLangidSqlCall,
+    "score_fingerprint_sql" -> scoreFingerprintSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
     "lance_drift" -> lanceDrift,
@@ -1173,6 +1218,9 @@ object LanceOps extends QueryModule {
     "sample_budget_sql" -> Sampling.oracleSql("sample_token_budget"),
     "split_sql" -> Sampling.oracleSql("sample_hash"),
     "split_leakfree_sql" -> Sampling.oracleSql("sample_split_leakfree"),
+    "score_sql" -> TextAnalysis.oracleSql("text_quality"),
+    "score_langid_sql" -> TextAnalysis.oracleSql("text_langid"),
+    "score_fingerprint_sql" -> TextAnalysis.oracleSql("text_fingerprint"),
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

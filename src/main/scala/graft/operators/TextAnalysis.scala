@@ -96,18 +96,27 @@ object TextAnalysis extends QueryModule {
   /** Tokenizer column shared with the pipeline. */
   private[graft] def tokens: Column = toksCol
 
-  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(Seq(col("doc_id")) ++ qualityMetricCols(col("n_chars")): _*)
+      .orderBy("doc_id")
+
+  /** The quality metric columns over a frame carrying (text, w) —
+    * factored so `CALL system.score` annotates arbitrary corpora through
+    * the same expressions (r20); `nChars` is the table's stored count in
+    * the gated key and length(text) in the procedure (same value by the
+    * fixture's construction, same value by definition on any corpus that
+    * stores the true count). */
+  private[graft] def qualityMetricCols(nChars: Column): Seq[Column] = {
     val nTok = size(col("w")).cast("double")
     val stopCnt = size(filter(col("w"), x => x.isin(StopEn: _*))).cast("double")
     val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok
-    docs(s, dir).select(
-      col("doc_id"),
-      col("n_chars"),
+    Seq(
+      nChars.cast("long").as("n_chars"),
       size(col("w")).cast("long").as("n_tokens"),
       round(distinctRatio, 6).as("distinct_ratio"),
       round(stopCnt / nTok, 6).as("stop_ratio"),
       round(qualityScore, 6).as("quality"))
-      .orderBy("doc_id")
   }
 
   // ---- text_langid -------------------------------------------------------
@@ -123,6 +132,19 @@ object TextAnalysis extends QueryModule {
     "zh" -> Seq("的", "是", "在", "了", "和", "有"))
 
   private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val (scoreCols, pred) = langidMetricCols
+    docs(s, dir).select(
+      Seq(col("doc_id")) ++ scoreCols ++ Seq(
+        pred.as("pred_lang"), col("lang"),
+        (pred === col("lang")).as("is_match")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The stopword-langid machinery over a frame carrying (w) — per-language
+    * hit-count columns + the argmax prediction (foldRight gives an en-first
+    * WHEN chain: ties resolve at the first match); factored so
+    * `CALL system.score` rides the same expressions (r20). */
+  private[graft] def langidMetricCols: (Seq[Column], Column) = {
     val scores = StopSets.map { case (l, words) =>
       l -> size(filter(col("w"), x => x.isin(words: _*)))
     }
@@ -131,12 +153,7 @@ object TextAnalysis extends QueryModule {
     val pred = scores.foldRight(lit("??"): Column) { case ((l, c), els) =>
       when(c === best, lit(l)).otherwise(els)
     }
-    // foldRight gives en-first WHEN chain: ties resolve at the first match.
-    docs(s, dir).select(
-      Seq(col("doc_id")) ++ scoreCols ++ Seq(
-        pred.as("pred_lang"), col("lang"),
-        (pred === col("lang")).as("is_match")): _*)
-      .orderBy("doc_id")
+    (scoreCols, pred)
   }
 
   // ---- bpe_train_tokenize ------------------------------------------------

@@ -47,6 +47,7 @@ object LanceProcedures {
       case "dedup" => dedup(catalog)
       case "sample" => sample(catalog)
       case "split" => split(catalog)
+      case "score" => score(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
       case "dsir_refresh" => dsirRefresh(catalog)
@@ -54,14 +55,14 @@ object LanceProcedures {
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "dedup / sample / split / semdedup / dsir / dsir_refresh / drift)")
+          "dedup / sample / split / score / semdedup / dsir / dsir_refresh / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search", "hybrid",
-        "reindex", "stats", "decontaminate", "dedup", "sample", "split", "semdedup", "dsir",
-        "dsir_refresh", "drift")
+        "reindex", "stats", "decontaminate", "dedup", "sample", "split", "score",
+        "semdedup", "dsir", "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -1098,6 +1099,77 @@ object LanceProcedures {
         Seq(Array[Any](UTF8String.fromString(outTable),
           counts.getOrElse("train", 0L), counts.getOrElse("validation", 0L),
           counts.getOrElse("test", 0L))))
+    }
+
+  /** SQL entry point for TEXT SCORING (r20) — the per-document quality /
+    * language-ID / fingerprint annotations behind the gated text-analysis
+    * keys, callable from SQL and materialized as a scored corpus:
+    *
+    * {{{
+    *   CALL cat.system.score(table => 'db.docs',
+    *     metrics => 'quality,langid,fingerprint',
+    *     output_table => 'db.docs_scored')
+    * }}}
+    *
+    * metrics is a CSV of: `quality` (n_chars, n_tokens, distinct_ratio,
+    * stop_ratio, quality — [[graft.operators.TextAnalysis.qualityMetricCols]];
+    * n_chars computes as length(text), self-contained), `langid`
+    * (per-language stopword-hit scores + argmax pred_lang; with
+    * `label_column` set the label and an is_match flag append — the gated
+    * text_langid shape), `fingerprint` (the rolling-hash fp + fp_bucket).
+    * All pure codegen'd map expressions over one corpus pass — the scored
+    * set is corpus-sized, so output_table is REQUIRED; one summary row
+    * returns. */
+  private def score(catalog: LanceCatalog): UnboundProcedure =
+    bound("score", catalog, Array(
+      param("table", StringType),
+      param("metrics", StringType, Some("'quality'")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("label_column", StringType, Some("''")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val metricsStr = in.getUTF8String(1).toString
+      val idCol = in.getUTF8String(2).toString
+      val textCol = in.getUTF8String(3).toString
+      val labelCol = in.getUTF8String(4).toString.trim
+      val outTable = in.getUTF8String(5).toString.trim
+      require(outTable.nonEmpty, "lance score: the scored set is " +
+        "corpus-sized — output_table is required")
+      val metrics = metricsStr.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).distinct.toSeq
+      val known = Set("quality", "langid", "fingerprint")
+      require(metrics.nonEmpty && metrics.forall(known),
+        s"lance score: metrics must be a CSV of ${known.mkString(" / ")} " +
+          s"(got '$metricsStr')")
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val corpus = spark.read.format("lance").load(root)
+      val base = corpus
+        .select(Seq(col(idCol).as("doc_id"), col(textCol).as("text")) ++
+          (if (labelCol.nonEmpty) Seq(col(labelCol)) else Nil): _*)
+        .withColumn("w", graft.operators.TextAnalysis.tokens)
+      val metricCols: Seq[org.apache.spark.sql.Column] = metrics.flatMap {
+        case "quality" =>
+          graft.operators.TextAnalysis.qualityMetricCols(length(col("text")))
+        case "langid" =>
+          val (scoreCols, pred) = graft.operators.TextAnalysis.langidMetricCols
+          scoreCols ++ Seq(pred.as("pred_lang")) ++
+            (if (labelCol.nonEmpty)
+              Seq(col(labelCol), (pred === col(labelCol)).as("is_match"))
+             else Nil)
+        case "fingerprint" =>
+          Seq(graft.functions.fingerprint(col("text")).as("fp"),
+            (graft.functions.fingerprint(col("text")) % 1024).as("fp_bucket"))
+      }
+      val scored = base.select(Seq(col("doc_id")) ++ metricCols: _*)
+      val outRoot = catalog.tableRootForCreate(outTable)
+      scored.write.format("lance").mode("overwrite").save(outRoot)
+      val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+      (StructType(Seq(
+        StructField("output_table", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false))),
+        Seq(Array[Any](UTF8String.fromString(outTable), n)))
     }
 
   /** SQL entry point for SEMANTIC DEDUPLICATION (SemDeDup) — materializes

@@ -92,6 +92,9 @@ class EntrySpec extends SparkSpec {
     "sample_budget_sql" -> 210,
     "split_sql" -> 500,
     "split_leakfree_sql" -> 500,
+    "score_sql" -> 500,
+    "score_langid_sql" -> 500,
+    "score_fingerprint_sql" -> 500,
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
     "sample_token_budget_bpe" -> 210,

@@ -862,4 +862,44 @@ class TextAnalysisSpec extends SparkSpec {
       "replayed batch re-appended quarantine rows — the bid guard is broken")
     assert(replayed === first)
   }
+
+  test("CALL system.score: each metric == its gated twin, metrics combine in one pass, errors fail fast") {
+    spark.conf.set("spark.sql.catalog.graft_sc",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sc.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-sc-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sc.db")
+    graft.Tables.t(spark, sf, "documents").select("doc_id", "text", "lang")
+      .createOrReplaceTempView("sc_src")
+    spark.sql("CREATE TABLE graft_sc.db.c AS SELECT * FROM sc_src")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    // one CALL carrying all three metric groups — each projection must
+    // reproduce its gated twin row-for-row (quality's n_chars computes as
+    // length(text) in the procedure and reads the stored count in the
+    // twin; the fixture stores the true count, so they agree)
+    val summary = spark.sql("CALL graft_sc.system.score(table => 'db.c', " +
+      "metrics => 'quality,langid,fingerprint', label_column => 'lang', " +
+      "output_table => 'db.s')").collect()
+    assert(summary.head.getLong(1) === 500L)
+    val scored = spark.table("graft_sc.db.s")
+    for ((key, cols) <- Seq(
+        "text_quality" -> Seq("doc_id", "n_chars", "n_tokens",
+          "distinct_ratio", "stop_ratio", "quality"),
+        "text_langid" -> Seq("doc_id", "score_en", "score_es", "score_de",
+          "score_fr", "score_zh", "pred_lang", "lang", "is_match"),
+        "text_fingerprint" -> Seq("doc_id", "fp", "fp_bucket"))) {
+      val called = rowsOf(scored.select(cols.map(col): _*).orderBy("doc_id"))
+      val gated = rowsOf(SparkEntry.queries(key)(spark, sf))
+      assert(called === gated, s"scored projection diverged from gated $key")
+    }
+    // fail-fast: unknown metric, missing output_table
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft_sc.system.score(table => 'db.c', " +
+        "metrics => 'quality,perplexity', output_table => 'db.x')").collect())
+    assert(e1.getMessage.contains("metrics must be"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_sc.system.score(table => 'db.c')").collect())
+    assert(e2.getMessage.contains("output_table"))
+  }
 }
