@@ -741,6 +741,43 @@ object LanceOps extends QueryModule {
   private def scoreFingerprintSqlCall(s: SparkSession, dir: String): DataFrame =
     scoreCallOn(s, dir, "fingerprint", "", Seq("doc_id", "fp", "fp_bucket"))
 
+  /** SQL-callable CHUNKING — CALL system.chunk (r20) at the gated key's
+    * 64/48 window over a catalog copy; the key reads the materialized
+    * chunk table back WITHOUT chunk_text (the counts projection) and
+    * shares text_chunk's oracle verbatim. */
+  private def chunkSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val (tc, to) = (s"chc_$sfx", s"cho_$sfx")
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.chunk(table => 'db.$tc', " +
+      s"chunk_tokens => ${TextAnalysis.ChunkTokens}, " +
+      s"stride => ${TextAnalysis.ChunkStride}, output_table => 'db.$to')")
+    s.table(s"graft_lance.db.$to")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_chars"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** SQL-callable SEQUENCE PACKING — CALL system.pack (r20) at the gated
+    * key's budget and pinned shard count; shares text_pack's oracle
+    * verbatim. */
+  private def packSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"pkc_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.pack(table => 'db.$tc', " +
+        s"budget => ${TextAnalysis.PackBudget}, shards => ${TextAnalysis.PackShards})")
+      .orderBy("shard", "pack_id")
+  }
+
   /** TIME-TRAVEL-powered drift monitoring: ingest writes corpus snapshot
     * v1, an append makes v2, and the report compares each source's
     * hashed-gram distribution ACROSS VERSIONS — old side read through
@@ -1079,6 +1116,8 @@ object LanceOps extends QueryModule {
     "score_sql" -> scoreSqlCall,
     "score_langid_sql" -> scoreLangidSqlCall,
     "score_fingerprint_sql" -> scoreFingerprintSqlCall,
+    "chunk_sql" -> chunkSqlCall,
+    "pack_sql" -> packSqlCall,
     "lance_semdedup" -> semdedupSqlCall,
     "lance_dsir" -> dsirSqlCall,
     "lance_drift" -> lanceDrift,
@@ -1221,6 +1260,8 @@ object LanceOps extends QueryModule {
     "score_sql" -> TextAnalysis.oracleSql("text_quality"),
     "score_langid_sql" -> TextAnalysis.oracleSql("text_langid"),
     "score_fingerprint_sql" -> TextAnalysis.oracleSql("text_fingerprint"),
+    "chunk_sql" -> TextAnalysis.oracleSql("text_chunk"),
+    "pack_sql" -> TextAnalysis.oracleSql("text_pack"),
     "lance_merge" ->
       // final state = target keys ∪ source keys; every source row ends
       // with a negative price (matched update or unmatched insert)

@@ -342,11 +342,11 @@ object TextAnalysis extends QueryModule {
   // streaming-pack convention: a pack may overflow by at most one doc,
   // never undershoot). One shuffle total; window + groupBy share the
   // (shard) partitioning.
-  private val PackBudget = 2048L
+  private[graft] val PackBudget = 2048L
   /** The GATE's pinned shard count (the DuckDB oracle is written against
     * it). Production callers use [[pack]] with shards <= 0, which derives
     * the count from the cluster instead of a constant. */
-  private val PackShards = 8
+  private[graft] val PackShards = 8
 
   /** Sequence-pack `docs` (doc_id, n_tokens) into ~`budget`-token training
     * shards. `shards <= 0` sizes the shard count to the cluster
@@ -380,21 +380,34 @@ object TextAnalysis extends QueryModule {
   // overlap), last chunk truncated. sequence() + posexplode keeps it one
   // builtin-only map stage — a doc's chunk list never leaves its task —
   // so chunking scales linearly with input splits at any corpus size.
-  private val ChunkTokens = 64
-  private val ChunkStride = 48 // 16-token overlap
+  private[graft] val ChunkTokens = 64
+  private[graft] val ChunkStride = 48 // 16-token overlap
 
-  private def textChunk(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(size(col("w")) > 0)
+  private def textChunk(s: SparkSession, dir: String): DataFrame =
+    chunkOver(docs(s, dir), ChunkTokens, ChunkStride, withText = false)
+
+  /** The chunking map stage over a frame carrying (doc_id, w) — factored
+    * so `CALL system.chunk` parameterizes window/stride and (unlike the
+    * counts-only gated key) can materialize the chunk TEXT itself for a
+    * downstream embedding pass (r20). `withText` joins the window's
+    * tokens with single spaces — the reconstruction convention of a
+    * whitespace tokenizer, stated rather than hidden. */
+  private[graft] def chunkOver(docs: DataFrame, chunkTokens: Int,
+                               stride: Int, withText: Boolean): DataFrame = {
+    val d = docs.filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
-    val len = least(lit(ChunkTokens), col("n") - col("start"))
-    d.select(col("doc_id"), col("w"), col("n"),
-        posexplode(expr(s"sequence(0, n - 1, $ChunkStride)")))
+    val len = least(lit(chunkTokens), col("n") - col("start"))
+    val base = d.select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr(s"sequence(0, n - 1, $stride)")))
       .toDF("doc_id", "w", "n", "chunk_idx", "start")
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+    val cols = Seq(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         len.cast("long").as("chunk_tokens"),
         aggregate(slice(col("w"), col("start") + 1, len), lit(0L),
-          (a, x) => a + length(x)).as("chunk_chars"))
-      .orderBy("doc_id", "chunk_idx")
+          (a, x) => a + length(x)).as("chunk_chars")) ++
+      (if (withText)
+        Seq(concat_ws(" ", slice(col("w"), col("start") + 1, len)).as("chunk_text"))
+       else Nil)
+    base.select(cols: _*).orderBy("doc_id", "chunk_idx")
   }
 
   // ---- text_pack_bpe / text_chunk_bpe ------------------------------------

@@ -48,6 +48,8 @@ object LanceProcedures {
       case "sample" => sample(catalog)
       case "split" => split(catalog)
       case "score" => score(catalog)
+      case "chunk" => chunk(catalog)
+      case "pack" => pack(catalog)
       case "semdedup" => semdedup(catalog)
       case "dsir" => dsir(catalog)
       case "dsir_refresh" => dsirRefresh(catalog)
@@ -55,14 +57,15 @@ object LanceProcedures {
       case other => throw new IllegalArgumentException(
         s"lance: unknown procedure $other (expected compact / vacuum / history / " +
           "zorder / knn / knn_join / search / reindex / stats / decontaminate / " +
-          "dedup / sample / split / score / semdedup / dsir / dsir_refresh / drift)")
+          "dedup / sample / split / score / chunk / pack / semdedup / dsir / " +
+          "dsir_refresh / drift)")
     }
   }
 
   def list(): Array[Identifier] =
     Array("compact", "vacuum", "history", "zorder", "knn", "knn_join", "search", "hybrid",
         "reindex", "stats", "decontaminate", "dedup", "sample", "split", "score",
-        "semdedup", "dsir", "dsir_refresh", "drift")
+        "chunk", "pack", "semdedup", "dsir", "dsir_refresh", "drift")
       .map(Identifier.of(Array(Namespace), _))
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
@@ -1170,6 +1173,104 @@ object LanceProcedures {
         StructField("output_table", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false))),
         Seq(Array[Any](UTF8String.fromString(outTable), n)))
+    }
+
+  /** SQL entry point for RAG/EMBEDDING CHUNKING (r20) — overlapping
+    * token-window chunks over any catalog corpus, materialized WITH the
+    * chunk text (the gated text_chunk key carries only the counts its
+    * oracle can check; a downstream embedding pass needs the text):
+    *
+    * {{{
+    *   CALL cat.system.chunk(table => 'db.docs',
+    *     chunk_tokens => 64, stride => 48,
+    *     output_table => 'db.docs_chunks')
+    * }}}
+    *
+    * One builtin-only map stage ([[graft.operators.TextAnalysis.chunkOver]]
+    * — sequence + posexplode + slice; a doc's chunk list never leaves its
+    * task), so chunking scales linearly with input splits. The chunk set
+    * is corpus-sized × windows — output_table is REQUIRED. chunk_text
+    * joins the window's tokens with single spaces (the whitespace
+    * tokenizer's reconstruction convention). */
+  private def chunk(catalog: LanceCatalog): UnboundProcedure =
+    bound("chunk", catalog, Array(
+      param("table", StringType),
+      param("chunk_tokens", IntegerType, Some("64")),
+      param("stride", IntegerType, Some("48")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val chunkTokens = in.getInt(1)
+      val stride = in.getInt(2)
+      val idCol = in.getUTF8String(3).toString
+      val textCol = in.getUTF8String(4).toString
+      val outTable = in.getUTF8String(5).toString.trim
+      require(chunkTokens > 0 && stride > 0,
+        s"lance chunk: chunk_tokens and stride must be positive (got $chunkTokens/$stride)")
+      require(outTable.nonEmpty, "lance chunk: the chunk set is " +
+        "corpus-sized — output_table is required")
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val docs = spark.read.format("lance").load(root)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("w", graft.operators.TextAnalysis.tokens)
+      val chunks = graft.operators.TextAnalysis.chunkOver(
+        docs, chunkTokens, stride, withText = true)
+      val outRoot = catalog.tableRootForCreate(outTable)
+      chunks.write.format("lance").mode("overwrite").save(outRoot)
+      val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+      (StructType(Seq(
+        StructField("output_table", StringType, nullable = false),
+        StructField("n_chunks", LongType, nullable = false))),
+        Seq(Array[Any](UTF8String.fromString(outTable), n)))
+    }
+
+  /** SQL entry point for SEQUENCE PACKING (r20) — pack documents into
+    * ~budget-token training shards from SQL:
+    *
+    * {{{
+    *   CALL cat.system.pack(table => 'db.docs', budget => 2048,
+    *                        shards => 0)
+    * }}}
+    *
+    * Routes through [[graft.operators.TextAnalysis.pack]]: docs hash to
+    * `shards` independent streams (shards <= 0 sizes the count to the
+    * cluster — the production default; the gate pins 8 for its oracle),
+    * prefix-sums within each stream assign packs, one shuffle total. The
+    * pack report is |corpus|/budget-bounded — rows return under the
+    * driver cap; output_table materializes instead. */
+  private def pack(catalog: LanceCatalog): UnboundProcedure =
+    bound("pack", catalog, Array(
+      param("table", StringType),
+      param("budget", LongType, Some("2048")),
+      param("shards", IntegerType, Some("0")),
+      param("id_column", StringType, Some("'doc_id'")),
+      param("text_column", StringType, Some("'text'")),
+      param("output_table", StringType, Some("''")))) { (root, in) =>
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val budget = in.getLong(1)
+      val shards = in.getInt(2)
+      val idCol = in.getUTF8String(3).toString
+      val textCol = in.getUTF8String(4).toString
+      val outTable = in.getUTF8String(5).toString.trim
+      require(budget > 0, "lance pack: budget must be positive")
+      val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
+      val docs = spark.read.format("lance").load(root)
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+        .select(col("doc_id"),
+          size(graft.operators.TextAnalysis.tokens).cast("long").as("n_tokens"))
+      val packed = graft.operators.TextAnalysis.pack(spark, docs, budget, shards)
+      if (outTable.nonEmpty) {
+        val outRoot = catalog.tableRootForCreate(outTable)
+        packed.write.format("lance").mode("overwrite").save(outRoot)
+        val n = ManifestIO.loadLatest(outRoot, conf).map(_.totalRows).getOrElse(0L)
+        (StructType(Seq(
+          StructField("output_table", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+          Seq(Array[Any](UTF8String.fromString(outTable), n)))
+      } else collectRows(packed, 1000000, "pack")
     }
 
   /** SQL entry point for SEMANTIC DEDUPLICATION (SemDeDup) — materializes

@@ -95,6 +95,8 @@ class EntrySpec extends SparkSpec {
     "score_sql" -> 500,
     "score_langid_sql" -> 500,
     "score_fingerprint_sql" -> 500,
+    "chunk_sql" -> 806,
+    "pack_sql" -> 16,
     "sample_hash" -> 500,
     "sample_token_budget" -> 210,
     "sample_token_budget_bpe" -> 210,

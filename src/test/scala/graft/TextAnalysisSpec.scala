@@ -902,4 +902,55 @@ class TextAnalysisSpec extends SparkSpec {
       "CALL graft_sc.system.score(table => 'db.c')").collect())
     assert(e2.getMessage.contains("output_table"))
   }
+
+  test("CALL system.chunk/pack: counts == the gated twins, chunk_text is the real window, params parameterize") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    spark.conf.set("spark.sql.catalog.graft_ck",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ck.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-ck-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ck.db")
+    graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("ck_src")
+    spark.sql("CREATE TABLE graft_ck.db.c AS SELECT * FROM ck_src")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    // chunk at the gated 64/48 window: counts projection == text_chunk,
+    // and chunk_text really is the window (its whitespace token count ==
+    // chunk_tokens on every row)
+    val sum1 = spark.sql("CALL graft_ck.system.chunk(table => 'db.c', " +
+      "chunk_tokens => 64, stride => 48, output_table => 'db.ch')").collect()
+    val chunks = spark.table("graft_ck.db.ch")
+    assert(sum1.head.getLong(1) === chunks.count())
+    assert(rowsOf(chunks.select("doc_id", "chunk_idx", "chunk_tokens", "chunk_chars")
+        .orderBy("doc_id", "chunk_idx"))
+      === rowsOf(SparkEntry.queries("text_chunk")(spark, sf)))
+    assert(chunks.filter(
+        size(split(col("chunk_text"), " ")) =!= col("chunk_tokens")).count() === 0L,
+      "chunk_text token count diverges from chunk_tokens")
+    // a wider stride yields fewer chunks
+    spark.sql("CALL graft_ck.system.chunk(table => 'db.c', " +
+      "chunk_tokens => 64, stride => 64, output_table => 'db.ch2')")
+    assert(spark.table("graft_ck.db.ch2").count() < sum1.head.getLong(1))
+    // pack at the gated budget/shards == text_pack; shards => 0 (cluster-
+    // sized) still covers every doc's tokens exactly once
+    val packed = rowsOf(spark.sql("CALL graft_ck.system.pack(table => 'db.c', " +
+      "budget => 2048, shards => 8)").orderBy("shard", "pack_id"))
+    assert(packed === rowsOf(SparkEntry.queries("text_pack")(spark, sf)))
+    val auto = spark.sql("CALL graft_ck.system.pack(table => 'db.c', " +
+      "budget => 2048)").collect()
+    assert(auto.map(_.getLong(3)).sum === packed.map(_(3).asInstanceOf[Long]).sum,
+      "auto-sharded pack lost or duplicated tokens")
+    // fail-fast
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft_ck.system.chunk(table => 'db.c', chunk_tokens => 0, " +
+        "output_table => 'db.x')").collect())
+    assert(e1.getMessage.contains("must be positive"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_ck.system.chunk(table => 'db.c')").collect())
+    assert(e2.getMessage.contains("output_table"))
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft_ck.system.pack(table => 'db.c', budget => -1)").collect())
+    assert(e3.getMessage.contains("budget must be positive"))
+  }
 }
