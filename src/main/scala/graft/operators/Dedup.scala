@@ -403,10 +403,20 @@ object Dedup extends QueryModule {
   // their own singleton, no window), and the rank window runs only over
   // the clustered minority — one broadcast + one small window shuffle, no
   // corpus-wide sort.
-  private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = clusterLabels(s, lshPairs(s, dir).select("a_id", "b_id"))
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    canonicalOver(t(s, dir, "documents"),
+      lshPairs(s, dir).select("a_id", "b_id"))
+
+  /** Best-quality canonical per near-dup cluster over an arbitrary
+    * (doc_id, text) frame + pair set — the gated key's machinery,
+    * factored for `CALL system.dedup(method => 'canonical')` (r20).
+    * Labels cover only pair-docs, so both joins broadcast them;
+    * singletons take the anti-join fast path. */
+  private[graft] def canonicalOver(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val (labels, _) = clusterLabels(s, pairs)
     val lbl = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-    val scored = t(s, dir, "documents")
+    val scored = docs
       .withColumn("w", TextAnalysis.tokens)
       .select(col("doc_id"), round(TextAnalysis.qualityScore, 6).as("quality"))
     val singletons = scored.join(broadcast(lbl), Seq("doc_id"), "left_anti")

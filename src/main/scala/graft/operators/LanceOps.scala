@@ -603,6 +603,22 @@ object LanceOps extends QueryModule {
       .orderBy("keep_id")
   }
 
+  /** SQL-callable CANONICAL SELECTION — CALL system.dedup(method =>
+    * 'canonical') (r20): best-quality survivor per near-dup cluster
+    * (singletons are their own canonical) through the factored
+    * canonicalOver; shares dedup_canonical's oracle verbatim. */
+  private def dedupCanonicalSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"ddn_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    s.sql(s"CALL graft_lance.system.dedup(table => 'db.$tc', method => 'canonical')")
+      .orderBy("cluster_id")
+  }
+
   /** SQL-callable MIXTURE SAMPLING — CALL system.sample(method =>
     * 'mixture') (r20): a catalog copy of the documents composes to the
     * gated key's share targets through the procedure's shares-string
@@ -1108,6 +1124,7 @@ object LanceOps extends QueryModule {
     "dedup_sql" -> dedupSqlCall,
     "dedup_pairs_sql" -> dedupPairsSqlCall,
     "dedup_clusters_sql" -> dedupClustersSqlCall,
+    "dedup_canonical_sql" -> dedupCanonicalSqlCall,
     "sample_mixture_sql" -> sampleMixtureSqlCall,
     "sample_temperature_sql" -> sampleTemperatureSqlCall,
     "sample_budget_sql" -> sampleBudgetSqlCall,
@@ -1250,6 +1267,7 @@ object LanceOps extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     "dedup_pairs_sql" -> Dedup.oracleSql("dedup_minhash_lsh"),
     "dedup_clusters_sql" -> Dedup.oracleSql("dedup_clusters"),
+    "dedup_canonical_sql" -> Dedup.oracleSql("dedup_canonical"),
     // CALL system.sample routes at the gated keys' exact configs share
     // the sampling twins' oracles verbatim
     "sample_mixture_sql" -> Sampling.oracleSql("sample_mixture"),

@@ -920,8 +920,17 @@ object LanceProcedures {
             .orderBy("keep_id")
           if (outTable.nonEmpty) materialize(report)
           else collectRows(report, 1000000, "dedup")
+        case "canonical" =>
+          // best-QUALITY survivor per cluster (singletons are their own
+          // canonical) — one row per kept doc, so the report is
+          // corpus-sized minus dropped dups: same cap/escape posture
+          val pairs = graft.operators.Dedup.minhashPairsFor(docs)
+            .select("a_id", "b_id")
+          val report = graft.operators.Dedup.canonicalOver(docs, pairs)
+          if (outTable.nonEmpty) materialize(report)
+          else collectRows(report, 1000000, "dedup")
         case other => throw new IllegalArgumentException(
-          s"lance dedup: unknown method $other (expected exact / pairs / clusters)")
+          s"lance dedup: unknown method $other (expected exact / pairs / clusters / canonical)")
       }
     }
 

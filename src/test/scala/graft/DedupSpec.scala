@@ -908,5 +908,85 @@ class DedupSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "CALL graft_dd.system.dedup(table => 'db.c', method => 'fuzzy')").collect())
     assert(e2.getMessage.contains("unknown method"))
+    // canonical: best-quality survivor per cluster through the CALL ==
+    // the factored machinery's contract on the same fixture (clusters
+    // {1,2,3}/{10,11}/{20,21} each yield ONE canonical; singletons are
+    // their own) — 4 rows total, n_docs summing to the corpus
+    val canon = spark.sql(
+      "CALL graft_dd.system.dedup(table => 'db.c', method => 'canonical')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(canon.length === 4)
+    assert(canon.map(_._3).sum === 8L)
+    assert(canon.map(_._1).toSet === Set(1L, 10L, 20L, 30L))
+  }
+
+  test("r20 procedures survive degenerate corpora: empty table, single doc, all-identical mega-bucket") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dg",
+      classOf[graft.sources.lance.LanceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dg.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-dg-wh-").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dg.db")
+    Seq((1L, "alpha beta gamma", "src0")).toDF("doc_id", "text", "source")
+      .filter(col("doc_id") < 0).createOrReplaceTempView("dg_empty")
+    Seq((1L, "alpha beta gamma", "src0")).toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("dg_one")
+    (1L to 150L).map(i => (i, "alpha beta gamma delta epsilon", "src0"))
+      .toDF("doc_id", "text", "source").createOrReplaceTempView("dg_same")
+    for (t <- Seq("empty", "one", "same"))
+      spark.sql(s"CREATE TABLE graft_dg.db.$t AS SELECT * FROM dg_$t")
+    def call(sql: String) = spark.sql(sql).collect()
+    // dedup: every mode completes; empty in = empty/zero out; the
+    // 150-identical corpus overflows every band bucket (BucketCap=100) so
+    // 'pairs' drops the mega-bucket whole (recall-safe posture) while
+    // 'exact' still collapses it to one survivor
+    for (t <- Seq("empty", "one")) {
+      val s0 = call(s"CALL graft_dg.system.dedup(table => 'db.$t', " +
+        s"method => 'exact', output_table => 'db.${t}_u')")
+      val n = if (t == "empty") 0L else 1L
+      assert(s0.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        === Seq((n, 0L, n)), s"$t exact summary")
+      assert(call(s"CALL graft_dg.system.dedup(table => 'db.$t', method => 'pairs')").isEmpty)
+      assert(call(s"CALL graft_dg.system.dedup(table => 'db.$t', method => 'clusters')").isEmpty)
+      assert(call(s"CALL graft_dg.system.dedup(table => 'db.$t', method => 'canonical')").length
+        === n.toInt)
+    }
+    assert(call("CALL graft_dg.system.dedup(table => 'db.same', method => 'pairs')").isEmpty,
+      "mega-bucket was not dropped whole")
+    val sSame = call("CALL graft_dg.system.dedup(table => 'db.same', " +
+      "method => 'exact', output_table => 'db.same_u')")
+    assert(sSame.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((150L, 149L, 1L)))
+    // sample: every mode returns empty on the empty corpus and completes
+    // on the single-doc one
+    for (t <- Seq("empty", "one")) {
+      val mix = call(s"CALL graft_dg.system.sample(table => 'db.$t', " +
+        "method => 'mixture', shares => 'src0:100')")
+      val tmp = call(s"CALL graft_dg.system.sample(table => 'db.$t', " +
+        "method => 'temperature', budget => 100)")
+      val bud = call(s"CALL graft_dg.system.sample(table => 'db.$t', " +
+        "method => 'token_budget', budget => 100)")
+      val n = if (t == "empty") 0 else 1
+      assert(mix.length === n && tmp.length === n && bud.length === n,
+        s"$t sample: ${mix.length}/${tmp.length}/${bud.length}")
+    }
+    // split: both methods label zero/one docs without error
+    for ((t, n) <- Seq(("empty", 0L), ("one", 1L)); m <- Seq("hash", "leakfree")) {
+      val s1 = call(s"CALL graft_dg.system.split(table => 'db.$t', " +
+        s"method => '$m', output_table => 'db.${t}_$m')")
+      assert(s1.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).head === n,
+        s"$t/$m split counts")
+    }
+    // score / chunk / pack: empty in = empty out; single doc scores/chunks
+    for ((t, n) <- Seq(("empty", 0L), ("one", 1L))) {
+      val sc = call(s"CALL graft_dg.system.score(table => 'db.$t', " +
+        s"metrics => 'quality,langid,fingerprint', output_table => 'db.${t}_s')")
+      assert(sc.head.getLong(1) === n, s"$t score rows")
+      val ch = call(s"CALL graft_dg.system.chunk(table => 'db.$t', " +
+        s"output_table => 'db.${t}_c')")
+      assert(ch.head.getLong(1) === n, s"$t chunk rows") // 3 tokens = 1 window
+      assert(call(s"CALL graft_dg.system.pack(table => 'db.$t', budget => 2048)").length
+        === n.toInt, s"$t pack rows")
+    }
   }
 }

@@ -87,6 +87,7 @@ class EntrySpec extends SparkSpec {
     "dedup_sql" -> 500,
     "dedup_pairs_sql" -> 28,
     "dedup_clusters_sql" -> 21,
+    "dedup_canonical_sql" -> 476,
     "sample_mixture_sql" -> 74,
     "sample_temperature_sql" -> 98,
     "sample_budget_sql" -> 210,
