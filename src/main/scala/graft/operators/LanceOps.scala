@@ -656,6 +656,24 @@ object LanceOps extends QueryModule {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  /** SQL-callable EPOCH-BOUNDED UPSAMPLING — CALL system.sample(method =>
+    * 'epochs') (r20) at the gated key's shares/total/cap; shares
+    * sample_epochs' oracle verbatim. */
+  private def sampleEpochsSqlCall(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_lance", classOf[LanceCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lance.warehouse", warehouse)
+    val tc = s"sep_${UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").select("doc_id", "source", "text")
+      .createOrReplaceTempView(s"src_$tc")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lance.db")
+    s.sql(s"CREATE TABLE graft_lance.db.$tc AS SELECT * FROM src_$tc")
+    val shares = Sampling.MixturePct.map { case (k, v) => s"$k:$v" }.mkString(",")
+    s.sql(s"CALL graft_lance.system.sample(table => 'db.$tc', " +
+        s"method => 'epochs', shares => '$shares', " +
+        s"budget => ${Sampling.EpochTotal}, max_epochs => ${Sampling.MaxEpochs})")
+      .orderBy("source", "epoch", "cum_tokens", "doc_id")
+  }
+
   /** SQL-callable PER-SOURCE TOKEN BUDGET — CALL system.sample(method =>
     * 'token_budget') (r20) at the gated key's per-source budget; shares
     * sample_token_budget's oracle verbatim. */
@@ -1128,6 +1146,7 @@ object LanceOps extends QueryModule {
     "sample_mixture_sql" -> sampleMixtureSqlCall,
     "sample_temperature_sql" -> sampleTemperatureSqlCall,
     "sample_budget_sql" -> sampleBudgetSqlCall,
+    "sample_epochs_sql" -> sampleEpochsSqlCall,
     "split_sql" -> splitSqlCall,
     "split_leakfree_sql" -> splitLeakfreeSqlCall,
     "score_sql" -> scoreSqlCall,
@@ -1273,6 +1292,7 @@ object LanceOps extends QueryModule {
     "sample_mixture_sql" -> Sampling.oracleSql("sample_mixture"),
     "sample_temperature_sql" -> Sampling.oracleSql("sample_temperature"),
     "sample_budget_sql" -> Sampling.oracleSql("sample_token_budget"),
+    "sample_epochs_sql" -> Sampling.oracleSql("sample_epochs"),
     "split_sql" -> Sampling.oracleSql("sample_hash"),
     "split_leakfree_sql" -> Sampling.oracleSql("sample_split_leakfree"),
     "score_sql" -> TextAnalysis.oracleSql("text_quality"),

@@ -227,22 +227,31 @@ object Sampling extends QueryModule {
   // Scale shape: the epoch fan-out is a map-side explode bounded by
   // MaxEpochs; per-source budgets/epoch counts are a |sources|-row
   // broadcast; selection is the one source-keyed prefix-sum window.
-  private val EpochTotal = 12000L
-  private val MaxEpochs = 4L
+  private[graft] val EpochTotal = 12000L
+  private[graft] val MaxEpochs = 4L
 
-  private def sampleEpochs(s: SparkSession, dir: String): DataFrame = {
-    val pctCol = MixturePct.foldLeft(lit(null).cast("int")) { case (acc, (src, p)) =>
+  private def sampleEpochs(s: SparkSession, dir: String): DataFrame =
+    epochsOver(t(s, dir, "documents"), MixturePct, EpochTotal, MaxEpochs)
+
+  /** Mixture composition WITH bounded upsampling over an arbitrary
+    * (doc_id, source, text) frame — the gated key's machinery, factored
+    * for `CALL system.sample(method => 'epochs')` (r20). All-integer
+    * budget/epoch arithmetic; epoch-major cycling; the fan-out is a
+    * map-side explode bounded by `maxEpochs`. */
+  private[graft] def epochsOver(docs: DataFrame, shares: Seq[(String, Int)],
+                                total: Long, maxEpochs: Long): DataFrame = {
+    val pctCol = shares.foldLeft(lit(null).cast("int")) { case (acc, (src, p)) =>
       when(col("source") === src, lit(p)).otherwise(acc)
     }
-    val d = t(s, dir, "documents")
+    val d = docs
       .withColumn("pct", pctCol)
       .filter(col("pct").isNotNull)
       .select(col("doc_id"), col("source"), col("pct"),
         size(TextAnalysis.tokens).cast("long").as("n_tokens"))
     val tot = d.groupBy("source", "pct").agg(sum("n_tokens").as("t_s"))
-      .withColumn("budget", expr(s"pct * ${EpochTotal}L div 100L"))
+      .withColumn("budget", expr(s"pct * ${total}L div 100L"))
       .withColumn("n_epochs",
-        least(lit(MaxEpochs), expr("(budget + t_s - 1L) div t_s")))
+        least(lit(maxEpochs), expr("(budget + t_s - 1L) div t_s")))
       .select("source", "budget", "n_epochs")
     val byS = Window.partitionBy("source")
       .orderBy(col("epoch").asc, col("h").asc, col("doc_id").asc)

@@ -956,6 +956,11 @@ object LanceProcedures {
     * IEEE-sqrt + integer-denominator determinism).
     * method => 'token_budget': per-source quality-ordered selection up to
     * `budget` tokens per source ([[graft.operators.Sampling.tokenBudgetOver]]).
+    * method => 'epochs': mixture composition WITH bounded upsampling — a
+    * scarce source repeats for up to `max_epochs` passes toward its
+    * share of `budget` total tokens, epoch-major (every doc once before
+    * any twice; [[graft.operators.Sampling.epochsOver]]); takes `shares`
+    * AND `budget`.
     *
     * All three are the gated keys' exact plans (one |sources|-bounded
     * partial agg + one source-keyed prefix-sum window — sources are the
@@ -971,6 +976,7 @@ object LanceProcedures {
       param("id_column", StringType, Some("'doc_id'")),
       param("text_column", StringType, Some("'text'")),
       param("source_column", StringType, Some("'source'")),
+      param("max_epochs", IntegerType, Some("4")),
       param("output_table", StringType, Some("''")))) { (root, in) =>
       val spark = SparkSession.active
       import org.apache.spark.sql.functions._
@@ -980,37 +986,46 @@ object LanceProcedures {
       val idCol = in.getUTF8String(4).toString
       val textCol = in.getUTF8String(5).toString
       val srcCol = in.getUTF8String(6).toString
-      val outTable = in.getUTF8String(7).toString.trim
+      val maxEpochs = in.getInt(7)
+      val outTable = in.getUTF8String(8).toString.trim
       val conf = org.apache.spark.sql.graft.Shim.hadoopConf(spark, Map.empty)
       val docs = spark.read.format("lance").load(root)
         .select(col(idCol).cast("long").as("doc_id"),
           col(srcCol).as("source"), col(textCol).as("text"))
+      def parsedShares(forWhat: String): Seq[(String, Int)] = {
+        val shares = sharesStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+          kv.split(':') match {
+            case Array(k, v) if k.trim.nonEmpty && v.trim.matches("\\d+") =>
+              (k.trim, v.trim.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"lance sample: malformed share '$kv' (expected source:percent)")
+          }
+        }
+        require(shares.nonEmpty && shares.forall(_._2 > 0)
+            && shares.map(_._2).sum == 100,
+          s"lance sample: method => '$forWhat' needs shares => 'src:pct,...' " +
+            "with positive integer percents summing to 100")
+        require(shares.map(_._1).distinct.size == shares.size,
+          "lance sample: duplicate source in shares")
+        shares
+      }
       val selected = method match {
         case "mixture" =>
-          val shares = sharesStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
-            kv.split(':') match {
-              case Array(k, v) if k.trim.nonEmpty && v.trim.matches("\\d+") =>
-                (k.trim, v.trim.toInt)
-              case _ => throw new IllegalArgumentException(
-                s"lance sample: malformed share '$kv' (expected source:percent)")
-            }
-          }
-          require(shares.nonEmpty && shares.forall(_._2 > 0)
-              && shares.map(_._2).sum == 100,
-            "lance sample: method => 'mixture' needs shares => 'src:pct,...' " +
-              "with positive integer percents summing to 100")
-          require(shares.map(_._1).distinct.size == shares.size,
-            "lance sample: duplicate source in shares")
-          graft.operators.Sampling.mixtureOver(docs, shares)
+          graft.operators.Sampling.mixtureOver(docs, parsedShares("mixture"))
         case "temperature" =>
           require(budget > 0, "lance sample: budget must be positive")
           graft.operators.Sampling.temperatureOver(docs, budget)
         case "token_budget" =>
           require(budget > 0, "lance sample: budget must be positive")
           graft.operators.Sampling.tokenBudgetOver(docs, budget)
+        case "epochs" =>
+          require(budget > 0, "lance sample: budget must be positive")
+          require(maxEpochs > 0, "lance sample: max_epochs must be positive")
+          graft.operators.Sampling.epochsOver(docs, parsedShares("epochs"),
+            budget, maxEpochs.toLong)
         case other => throw new IllegalArgumentException(
           s"lance sample: unknown method $other (expected mixture / " +
-            "temperature / token_budget)")
+            "temperature / token_budget / epochs)")
       }
       if (outTable.nonEmpty) {
         val outRoot = catalog.tableRootForCreate(outTable)

@@ -595,13 +595,18 @@ class SamplingSpec extends SparkSpec {
       df.collect().map(_.toSeq).toSeq
     // CALL at the gated configs == the gated keys, row for row
     val cases = Seq(
-      (s"method => 'mixture', shares => '$shares'", "sample_mixture"),
-      ("method => 'temperature', budget => 6000", "sample_temperature"),
-      ("method => 'token_budget', budget => 800", "sample_token_budget"))
-    for ((args, key) <- cases) {
+      (s"method => 'mixture', shares => '$shares'", "sample_mixture",
+        Seq("source", "cum_tokens", "doc_id")),
+      ("method => 'temperature', budget => 6000", "sample_temperature",
+        Seq("source", "cum_tokens", "doc_id")),
+      ("method => 'token_budget', budget => 800", "sample_token_budget",
+        Seq("source", "cum_tokens", "doc_id")),
+      (s"method => 'epochs', shares => '$shares', budget => 12000, max_epochs => 4",
+        "sample_epochs", Seq("source", "epoch", "cum_tokens", "doc_id")))
+    for ((args, key, order) <- cases) {
       val called = rowsOf(spark.sql(
         s"CALL graft_sp.system.sample(table => 'db.c', $args)")
-        .orderBy("source", "cum_tokens", "doc_id"))
+        .orderBy(order.map(col): _*))
       val gated = rowsOf(SparkEntry.queries(key)(spark, sf))
       assert(called === gated, s"CALL ($args) diverged from gated $key")
     }

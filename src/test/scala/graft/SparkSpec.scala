@@ -91,6 +91,7 @@ class EntrySpec extends SparkSpec {
     "sample_mixture_sql" -> 74,
     "sample_temperature_sql" -> 98,
     "sample_budget_sql" -> 210,
+    "sample_epochs_sql" -> 205,
     "split_sql" -> 500,
     "split_leakfree_sql" -> 500,
     "score_sql" -> 500,
