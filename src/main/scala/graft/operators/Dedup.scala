@@ -169,7 +169,7 @@ object Dedup extends QueryModule {
   // localCheckpoint'ed so the loop's lineage stays flat. Canonical doc =
   // min doc_id per component, the industry-standard tie-break.
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = clusterLabels(s, lshPairs(s, dir).select("a_id", "b_id"))
+    val labels = closeLabelsAdaptive(s, lshPairs(s, dir).select("a_id", "b_id"))
     labels
       .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))
@@ -231,6 +231,59 @@ object Dedup extends QueryModule {
     // checkpointed independently
     org.apache.spark.sql.graft.Shim.unpersistCheckpoint(edges)
     (labels, iter)
+  }
+
+  /** Edge count at or under which a closure runs on the driver instead of
+    * the distributed loop — the same bound (and rationale) as
+    * StreamingOps.EdgeLocalCap: ~100k (a, b) longs is ~2 MB of driver
+    * heap, while every [[clusterLabels]] round costs 3-4 Spark jobs of
+    * fixed scheduling latency that dominates when the edge set is small
+    * (r20 measurement: dedup_semantic_sweep ran 274 jobs at sf0.1, 65%
+    * of its wall outside any job). */
+  private[graft] val LabelsLocalCap = 100000L
+
+  /** Driver union-find over an undirected edge list: node → component
+    * minimum. Union attaches the LARGER root under the smaller, so every
+    * set's root is its minimum id — identical labels to the converged
+    * min-label propagation of [[clusterLabels]] (path compression only
+    * rewires to current roots, never changes them). */
+  private[graft] def localLabels(es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    es.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n)))
+  }
+
+  /** [[clusterLabels]] with a job-count-adaptive small-graph path (r20,
+    * guide §1.2 step 1): ONE bounded collect (`limit(cap+1)`) decides —
+    * at or under `localCap` edges the closure is a driver union-find
+    * (one collect job, zero shuffles, and the result is a LocalRelation
+    * downstream joins can broadcast without another job), above it the
+    * distributed pointer-doubling loop runs unchanged. Labels are
+    * IDENTICAL on both paths (see [[localLabels]]; spec'd on one graph in
+    * DedupSpec). Near-dup pair sets are tiny relative to the corpus
+    * whenever dedup is sane, so the local path is the common case at any
+    * scale; the cap keeps the driver bounded when it is not. */
+  def closeLabelsAdaptive(s: SparkSession, pairs: DataFrame,
+                          localCap: Long = LabelsLocalCap): DataFrame = {
+    val p2 = pairs.select(col(pairs.columns(0)).cast("long"),
+      col(pairs.columns(1)).cast("long"))
+    val head = p2.limit(localCap.toInt + 1).collect()
+    if (head.length > localCap) clusterLabels(s, pairs)._1
+    else {
+      import s.implicits._
+      localLabels(head.map(r => (r.getLong(0), r.getLong(1))))
+        .toSeq.toDF("node", "lbl")
+    }
   }
 
   // ---- dedup_simhash -----------------------------------------------------
@@ -414,7 +467,7 @@ object Dedup extends QueryModule {
     * singletons take the anti-join fast path. */
   private[graft] def canonicalOver(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    val (labels, _) = clusterLabels(s, pairs)
+    val labels = closeLabelsAdaptive(s, pairs)
     val lbl = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     val scored = docs
       .withColumn("w", TextAnalysis.tokens)
@@ -529,17 +582,42 @@ object Dedup extends QueryModule {
     val total = e.count()
     val pairs = embeddingPairs(e, EmbChunkCap)
       .filter(col("cos") >= SweepTaus.min)
-      .select("a_id", "b_id", "cos").localCheckpoint()
+      .select("a_id", "b_id", "cos")
+    // r20 optimization (guide §1.2 step 1 — measured 274 jobs / 65% of
+    // the wall outside any job at sf0.1): the sweep's K filter-counts and
+    // K iterative closures all run over the SAME minimum-τ pair set, so
+    // when that set is driver-sized (the common case — near-dup pairs are
+    // tiny vs the corpus whenever dedup is sane) pull it ONCE and compute
+    // every sweep point locally: per-τ pair count + union-find dropped
+    // count ([[localLabels]] — labels provably identical to the
+    // distributed loop). Over the cap the former per-τ distributed loop
+    // runs unchanged on a checkpointed pair set.
+    val head = pairs.limit(LabelsLocalCap.toInt + 1).collect()
+    val points =
+      if (head.length <= LabelsLocalCap) {
+        val es = head.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        SweepTaus.map { tau =>
+          val p = es.filter(_._3 >= tau)
+          val nPairs = p.length.toLong
+          val nDropped =
+            if (nPairs == 0L) 0L
+            else localLabels(p.map(t => (t._1, t._2))).count { case (n, l) => n != l }.toLong
+          (tau, nPairs, nDropped, total - nDropped)
+        }
+      } else {
+        val pc = pairs.localCheckpoint()
+        SweepTaus.map { tau =>
+          val p = pc.filter(col("cos") >= tau).select("a_id", "b_id")
+          val nPairs = p.count()
+          val nDropped =
+            if (nPairs == 0L) 0L
+            else clusterLabels(s, p)._1.filter(col("node") =!= col("lbl")).count()
+          (tau, nPairs, nDropped, total - nDropped)
+        }
+      }
     // each point reduces to three driver scalars — ONE local relation,
     // already tau-ascending, is the whole result
-    SweepTaus.map { tau =>
-      val p = pairs.filter(col("cos") >= tau).select("a_id", "b_id")
-      val nPairs = p.count()
-      val nDropped =
-        if (nPairs == 0L) 0L
-        else clusterLabels(s, p)._1.filter(col("node") =!= col("lbl")).count()
-      (tau, nPairs, nDropped, total - nDropped)
-    }.toDF("tau", "n_pairs", "n_dropped", "n_survivors")
+    points.toDF("tau", "n_pairs", "n_dropped", "n_survivors")
   }
 
   // ---- dedup_semantic_trained ----------------------------------------------
@@ -639,7 +717,7 @@ object Dedup extends QueryModule {
     val pairs = embeddingPairs(assigned, EmbChunkCap)
       .filter(col("cos") >= tau)
       .select("a_id", "b_id")
-    val (labels, _) = clusterLabels(s, pairs)
+    val labels = closeLabelsAdaptive(s, pairs)
     labels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("vec_id"))
   }

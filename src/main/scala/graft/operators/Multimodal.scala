@@ -38,6 +38,21 @@ case class MMVideoFrame(doc_id: Long, frame_idx: Long, width: Long, height: Long
 object Multimodal extends QueryModule {
   import Tables._
 
+  /** Spread a frame to at least the cluster's parallelism before an
+    * expensive per-row decode/encode map (r20, guide §2.5 input skew):
+    * the payload fixtures (and the sf-scale `documents` table) read back
+    * as ONE parquet split — small files pack into a single 128 MB split —
+    * which serializes the decode stage on one core (measured: 2.7 s of
+    * mm_video_dedup's 5.7 s wall was a single-task decode at cpus=8).
+    * No-op when the scan already yields enough splits: a production
+    * payload table spans many splits, and §8's rule — never move heavy
+    * bytes without need — makes the shuffle pure waste there.
+    * Row-preserving, so every downstream answer is unchanged. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val records = t(s, dir, "documents")
@@ -274,7 +289,7 @@ object Multimodal extends QueryModule {
   private def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val decoder = videoDecoder
-    s.read.parquet(videoFixture(s, dir))
+    spread(s.read.parquet(videoFixture(s, dir)))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, video) =>
         decoder.decodeSampled(video, VideoStride).map { case (f, img) =>
@@ -592,7 +607,7 @@ object Multimodal extends QueryModule {
 
   private def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val recs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val recs = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           MMRecord(id, AudioCodec.encodeWav(8000, 1, synthSamples(id)), "audio/wav")
@@ -722,7 +737,7 @@ object Multimodal extends QueryModule {
   private def mmAudioDedupTrim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val Slots = 48; val Bands = 16; val Rows = 3
-    val sh = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val sh = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(it => it.flatMap { id =>
         val wav = AudioCodec.encodeWav(8000, 1, synthAudioTrim(id))
         AudioCodec.decode(wav).map { case (_, _, samples) =>
@@ -792,7 +807,7 @@ object Multimodal extends QueryModule {
     * analog of [[decodeSigs]]. */
   private[graft] def decodeAudioSigs(s: SparkSession, payloads: DataFrame): DataFrame = {
     import s.implicits._
-    payloads.as[(Long, Array[Byte])]
+    spread(payloads).as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, wav) =>
         AudioCodec.decode(wav).map { case (_, _, samples) =>
           val (h, v) = audioFingerprint(samples)
@@ -1007,7 +1022,7 @@ object Multimodal extends QueryModule {
     * the batch key and the streaming maintenance's per-batch map. */
   private[graft] def decodeSigs(s: SparkSession, payloads: DataFrame): DataFrame = {
     import s.implicits._
-    payloads.as[(Long, Array[Byte])]
+    spread(payloads).as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, png) =>
         ImageCodec.decode(png).map(img => (id, dHash(img), dHashVertical(img)))
       })
@@ -1093,7 +1108,7 @@ object Multimodal extends QueryModule {
   private[graft] def decodeVideoFrameSigs(s: SparkSession, payloads: DataFrame): DataFrame = {
     import s.implicits._
     val decoder = videoDecoder
-    payloads.as[(Long, Array[Byte])]
+    spread(payloads).as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, video) =>
         decoder.decodeSampled(video, VideoStride).map { case (f, img) =>
           (id, f.toLong, dHash(img), dHashVertical(img))

@@ -292,7 +292,7 @@ object Sampling extends QueryModule {
     * factored so `CALL system.split` rides any (doc_id) frame + pair
     * source (r20). */
   private[graft] def leakfreeRepOver(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val (labels, _) = Dedup.clusterLabels(ids.sparkSession, pairs)
+    val labels = Dedup.closeLabelsAdaptive(ids.sparkSession, pairs)
     ids.select(col("doc_id"))
       .join(broadcast(labels.select(col("node").as("doc_id"), col("lbl"))),
         Seq("doc_id"), "left")

@@ -1078,28 +1078,11 @@ object StreamingOps extends QueryModule {
     * distributed propagation (path compression only rewires to current
     * roots, never changes them); a spec runs both paths on one graph. */
   private[graft] def closeLabels(s: SparkSession, edges: DataFrame,
-                                 localCap: Long): DataFrame = {
-    val cached = CheckpointTracker.ckpt(edges)
-    if (cached.count() > localCap) Dedup.clusterLabels(s, cached)._1
-    else {
-      val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
-      import s.implicits._
-      nodes.map(n => (n, find(n))).toSeq.toDF("node", "lbl")
-    }
-  }
+                                 localCap: Long): DataFrame =
+    // one definition of the adaptive local/distributed closure (r20): the
+    // bounded limit-collect replaces the former ckpt+count+collect triple
+    // (2 fewer jobs per micro-batch on the common small-graph path)
+    Dedup.closeLabelsAdaptive(s, edges, localCap)
 
   /** Exact cosine verify matching Dedup.embeddingPairs bit-for-bit: the
     * same vec_cosine expression, the same 6-dp rounding, the same τ. */

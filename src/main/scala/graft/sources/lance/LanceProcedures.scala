@@ -913,7 +913,7 @@ object LanceProcedures {
         case "clusters" =>
           val pairs = graft.operators.Dedup.minhashPairsFor(docs)
             .select("a_id", "b_id")
-          val (labels, _) = graft.operators.Dedup.clusterLabels(spark, pairs)
+          val labels = graft.operators.Dedup.closeLabelsAdaptive(spark, pairs)
           val report = labels
             .groupBy(col("lbl").as("keep_id"))
             .agg(count(lit(1)).as("n_docs"), sum("node").cast("long").as("sum_ids"))
@@ -1099,7 +1099,7 @@ object LanceProcedures {
             col(textCol).as("text"))
           val pairs = graft.operators.Dedup.minhashPairsFor(docs)
             .select("a_id", "b_id")
-          val (labels, _) = graft.operators.Dedup.clusterLabels(spark, pairs)
+          val labels = graft.operators.Dedup.closeLabelsAdaptive(spark, pairs)
           val (pct, split) = graft.operators.Sampling.splitColumns(
             col("rep_id"), trainPct, trainPct + valPct)
           corpus
