@@ -177,3 +177,60 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-document term frequencies in ONE row-local pass: array<string> →
+  * array<struct<term string, tf bigint>>, first-occurrence term order.
+  * TF is a function of the row alone, so computing it here removes the
+  * corpus-wide (doc_id, term) exchange the `groupBy(doc_id, dl, term)`
+  * formulation paid before every postings write / BM25 scan (r20, guide
+  * §2.4: remove shuffles outright — at 100 TB that exchange carried every
+  * token of the corpus into a hash aggregate whose answer each row
+  * already knew). Null elements are absent, as in [[SimHash64]].
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"term_counts needs array<string>, got $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TermCountsUtil.count(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TermCountsUtil.count($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermCountsUtil {
+  /** Shared by interpreted eval and generated code: one LinkedHashMap
+    * pass; UTF8String keys are cloned (they may view reused buffers). */
+  def count(arr: ArrayData): ArrayData = {
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i).clone()
+        counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

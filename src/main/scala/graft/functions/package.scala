@@ -75,6 +75,11 @@ package object functions {
   /** Rabin-Karp rolling-hash fingerprint of a string column. */
   def fingerprint(s: Column): Column = Column(RollingFingerprint(expression(s)))
 
+  /** Row-local per-document term frequencies: array<string> →
+    * array<struct<term, tf>> (first-occurrence order) — replaces the
+    * (doc_id, term) TF exchange. */
+  def term_counts(w: Column): Column = Column(TermCounts(expression(w)))
+
   /** 64-bit SimHash of an array<string> token column. */
   def simhash(tokens: Column, seed: Long = 42L): Column =
     Column(SimHash64(expression(tokens), seed))

@@ -727,15 +727,11 @@ object Dedup extends QueryModule {
     * seed 42) without persisting an index; CALL system.semdedup's
     * product is the curated table, not a standing index. */
   private[graft] def trainCentroids(s: SparkSession, corpus: DataFrame,
-                                    vecCol: String, cells: Int): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    val withFv = corpus.select(col(vecCol))
-      .withColumn("fv", VectorIndex.asVec(col(vecCol)))
-    new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(VectorIndex.trainingSample(withFv))
-      .clusterCenters.map(_.toArray)
-  }
+                                    vecCol: String, cells: Int): Array[Array[Double]] =
+    // r20: the adaptive trainer (driver-local under the sample bounds,
+    // MLlib above) — same seed-42 determinism contract
+    VectorIndex.fitCentroids(
+      VectorIndex.trainingSample(corpus.select(col(vecCol))), vecCol, cells, 42L)
 
   private def dedupSemanticTrained(s: SparkSession, dir: String): DataFrame = {
     val idx = trainedSemIndex(s, dir)

@@ -110,12 +110,18 @@ object IndexBuild {
     val dim = source.select(size(col(vecCol))).first().getInt(0)
     val cells = io.numPartitions
 
-    val withFv = source.withColumn("fv", toVec(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(VectorIndex.trainingSample(withFv))
-    val assigned = model.transform(withFv).drop("fv")
-    val centroids = model.clusterCenters
+    // r20: adaptive trainer (driver-local LocalKMeans under the sample
+    // bounds, MLlib above) + the codegen'd NearestCell assignment the
+    // append path already uses (assignToCells) — build and append share
+    // one tie-break, the MLlib fv conversion leaves the build path, and
+    // the per-iteration distributed-job overhead that dominated training
+    // wall at gate scale is gone. Full-probe searches are exact under any
+    // centroids, so gated answers are unchanged.
+    val centArr = VectorIndex.fitCentroids(
+      VectorIndex.trainingSample(source.select(col(vecCol))), vecCol, cells, 42L)
+    val assigned = source.withColumn("cell", graft.functions.nearest_cell(
+      col(vecCol), centArr.flatten, centArr.length, centArr.head.length))
+    val centroids = centArr.map(Vectors.dense)
 
     val isPq = io.indexType.endsWith("_PQ")
     val pq = if (!isPq) None else {

@@ -584,10 +584,10 @@ object TextAnalysis extends QueryModule {
   private def textKeywords(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
-    val terms = d.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-        .as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // TF row-local (term_counts): no (doc_id, term) exchange (r20 §2.4)
+    val tf = d.select(col("doc_id"), explode(graft.functions.term_counts(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy("doc_id")
@@ -674,9 +674,13 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
     val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val vocab = Bm25Queries.map(_._2).distinct
-    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .filter(col("term").isin(vocab: _*)) // prune BEFORE the TF shuffle
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // TF row-local (term_counts): the former vocabulary-pruned TF shuffle
+    // is now no shuffle at all (r20 §2.4)
+    val dt = d.select(col("doc_id"), col("dl"),
+        explode(graft.functions.term_counts(col("w"))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .filter(col("term").isin(vocab: _*))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
     bm25Rank(dt, dfreq, stats, Bm25Queries.toDF("query_id", "term"), Bm25TopK)
   }

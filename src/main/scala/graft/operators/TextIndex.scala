@@ -48,8 +48,13 @@ object TextIndex {
       .withColumn("w", TextAnalysis.toksCol)
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
-    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // TF is row-local (term_counts) — no (doc_id, term) exchange before
+    // the bucketed write; the only shuffle left is the write's own
+    // term-bucket clustering (r20, guide §2.4)
+    val dt = d.select(col("doc_id"), col("dl"),
+        explode(graft.functions.term_counts(col("w"))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
     dt.select(col("term"), col("doc_id"), col("tf"), col("dl"), lit(0L).as("bid"))
       .write.format("lance")
       .option("write.bucket-by", "term")
@@ -78,8 +83,10 @@ object TextIndex {
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
       .localCheckpoint() // dt AND the stats agg consume d: one tokenize pass
-    val dt = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dt = d.select(col("doc_id"), col("dl"),
+        explode(graft.functions.term_counts(col("w"))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
       .localCheckpoint() // postings + terms consume dt: one TF compute
     def lastBid(path: String): Long = StreamingOps.lastBidOf(s, path)
     if (bid > lastBid(root + "/postings"))

@@ -58,6 +58,41 @@ object VectorIndex extends QueryModule {
     else df.sample(withReplacement = false, TrainCap.toDouble / n, 42L)
   }
 
+  /** Bounds for the driver-local trainer (r20): run [[LocalKMeans]] when
+    * the sample is small in bytes (collect cost) AND the Lloyd's
+    * arithmetic n·k·dim·iters is driver-core-sized; above either bound
+    * the former MLlib fit runs unchanged. The TrainCap cap already made
+    * training a corpus-size-independent constant — these bounds decide
+    * only WHERE that constant is paid (driver arithmetic vs per-iteration
+    * distributed jobs, which dominate below them; measured ~1.5-2 s of
+    * fixed scheduling inside nine timed serving keys at sf0.1). */
+  private[operators] val LocalTrainBytes = 64L << 20
+  private[operators] val LocalTrainFlops = 2000000000L
+
+  /** Train `k` centroids over an (already TrainCap-capped) sample of
+    * `vecCol` vectors — [[LocalKMeans]] under the bounds (collected ONCE,
+    * sorted for layout-independent determinism), MLlib above them.
+    * Returns dense double centroids; min(k, n) rows like MLlib. */
+  private[operators] def fitCentroids(sample: DataFrame, vecCol: String,
+                                      k: Int, seed: Long): Array[Array[Double]] = {
+    val head = sample.agg(count(lit(1)), max(size(col(vecCol)))).first()
+    val n = head.getLong(0)
+    val dim = if (head.isNullAt(1)) 0 else head.getInt(1)
+    require(n > 0, s"fitCentroids: empty training sample for $vecCol")
+    if (n * dim * 4 <= LocalTrainBytes &&
+        n * dim * math.min(k, n) * 10L <= LocalTrainFlops) {
+      val pts = sample.select(col(vecCol).cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      java.util.Arrays.sort(pts, LocalKMeans.floatArrayOrdering)
+      LocalKMeans.fit(pts, k, seed)
+    } else {
+      new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(sample.select(asVec(col(vecCol)).as("fv")))
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
   /** Train the M per-subspace PQ codebooks CONCURRENTLY from one cached
     * sample pass: the sample is sliced into every subspace column in a
     * single job, then the M independent KMeans fits run as parallel Spark
@@ -69,6 +104,33 @@ object VectorIndex extends QueryModule {
                                           subDim: Int): Array[Double] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // r20: driver-local subspace fits under the same bounds as
+    // fitCentroids — ONE collect of the capped sample, M seeded
+    // LocalKMeans fits (seed 42+mm, as the MLlib loop used) over slices
+    // of the lexicographically-sorted sample. Above the bounds the
+    // cached-sample concurrent MLlib fits below run unchanged.
+    val head = sampled.agg(count(lit(1))).first()
+    val n = head.getLong(0)
+    require(n > 0, s"trainPqCodebooks: empty training sample for $vecCol")
+    if (n * m * subDim * 4 <= LocalTrainBytes &&
+        n * subDim * math.min(codes, n) * 10L <= LocalTrainFlops) {
+      val pts = sampled.select(col(vecCol).cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      java.util.Arrays.sort(pts, LocalKMeans.floatArrayOrdering)
+      val flat = new Array[Double](m * codes * subDim)
+      var mm = 0
+      while (mm < m) {
+        val sub = pts.map(p => java.util.Arrays.copyOfRange(p, mm * subDim, (mm + 1) * subDim))
+        val cb = LocalKMeans.fit(sub, codes, 42L + mm)
+        var c = 0
+        while (c < cb.length) {
+          System.arraycopy(cb(c), 0, flat, (mm * codes + c) * subDim, subDim)
+          c += 1
+        }
+        mm += 1
+      }
+      return flat
+    }
     val subCols = (0 until m).map(mm =>
       asVec(expr(s"slice($vecCol, ${mm * subDim + 1}, $subDim)")).as(s"sub$mm"))
     val subs = sampled.select(subCols: _*).cache()
@@ -97,15 +159,21 @@ object VectorIndex extends QueryModule {
   /** Build the IVF_FLAT index: returns (index dataset root, centroids). */
   def buildIvfFlat(s: SparkSession, dir: String, cells: Int = Cells): (String, Array[Vector]) = {
     val root = Files.createTempDirectory("graft-ivf-").toString
-    val e = t(s, dir, "embeddings").withColumn("fv", asVec(col("embedding")))
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(trainingSample(e))
-    model.transform(e)
+    val e = t(s, dir, "embeddings")
+    val cents = fitCentroids(trainingSample(e.select(col("embedding"))),
+      "embedding", cells, 42L)
+    // assignment via the codegen'd NearestCell (the append path's rule,
+    // IndexBuild.assignToCells) instead of an MLlib transform — build and
+    // append now share one tie-break (strict <, lowest index); full-probe
+    // searches are exact under ANY assignment, so gated answers are
+    // unchanged
+    e.withColumn("cell", graft.functions.nearest_cell(col("embedding"),
+        cents.flatten, cents.length, cents.head.length))
       .select(col("vec_id"), col("embedding"), col("label"), col("cell"))
       .repartitionByRange(cells, col("cell"))
       .sortWithinPartitions("cell")
       .write.format("lance").save(root)
-    (root, model.clusterCenters)
+    (root, cents.map(Vectors.dense))
   }
 
   /** Exact probe selection: the `nprobes` nearest centroids, driver-side

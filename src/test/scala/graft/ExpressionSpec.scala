@@ -417,4 +417,39 @@ class ExpressionSpec extends SparkSpec {
       lsh_bands(sequence(lit(1L), lit(8L)), 0, 2)
     }
   }
+
+  test("term_counts == the groupBy TF it replaced, interpreted == codegen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic synthetic docs incl. repeats, empties and a null token
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c", "a")),
+      (2L, Seq("b")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("z", "z", "z", "z"))
+    ).toDF("doc_id", "w")
+    val viaExpr = docs
+      .select(col("doc_id"), explode(term_counts(col("w"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaGroup = docs
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaExpr === viaGroup)
+    // first-occurrence order + interpreted == codegen on one value
+    val arr = Literal.create(Seq("x", "y", "x"), ArrayType(StringType))
+    val interp = TermCounts(arr).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.numElements() === 2)
+    val r0 = interp.getStruct(0, 2); val r1 = interp.getStruct(1, 2)
+    assert(r0.getUTF8String(0).toString === "x" && r0.getLong(1) === 2L)
+    assert(r1.getUTF8String(0).toString === "y" && r1.getLong(1) === 1L)
+    val viaCg = spark.range(1)
+      .select(explode(term_counts(typedLit(Seq("x", "y", "x")))).as("tc"))
+      .select(col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaCg === Seq(("x", 2L), ("y", 1L)))
+  }
+
 }
