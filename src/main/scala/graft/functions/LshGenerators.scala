@@ -198,3 +198,64 @@ case class SortedListPairs(ids: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(ids = newChildren(0))
 }
+
+/** [[SortedListPairs]] restricted to pairs touching a BATCH member — the
+  * streaming near-dedup candidate generator (r20): over a bucket's sorted
+  * id list `all` and the subset `batch` that arrived this micro-batch,
+  * emits (all(i), all(j)) for i < j where either side is in `batch`.
+  * Replaces the batch-side semi-join + history join + pair normalization
+  * (2 exchanges + 2 joins per micro-batch) with one grouped aggregation —
+  * the same pair set: x∈batch × y∈all, x≠y, least/greatest-normalized,
+  * history×history pairs excluded (they were discovered in the earlier
+  * member's batch). Lazy like its parent; membership via binary search on
+  * the sorted batch array. */
+case class BatchListPairs(all: Expression, batch: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(all, batch)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = (all.dataType, batch.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"batch_list_pairs needs (array<long>, array<long>), got ($a, $b)")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val av = all.eval(input)
+    val bv = batch.eval(input)
+    if (av == null || bv == null) return Nil
+    val arr = av.asInstanceOf[ArrayData].toLongArray()
+    val bat = bv.asInstanceOf[ArrayData].toLongArray()
+    val n = arr.length
+    if (n < 2 || bat.length == 0) return Nil
+    @inline def inBatch(x: Long): Boolean = java.util.Arrays.binarySearch(bat, x) >= 0
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var ready = false
+      private def advance(): Unit = {
+        while (!ready && i < n - 1) {
+          if (inBatch(arr(i)) || inBatch(arr(j))) ready = true
+          else { j += 1; if (j == n) { i += 1; j = i + 1 } }
+        }
+      }
+      override def hasNext: Boolean = { advance(); ready && i < n - 1 }
+      override def next(): InternalRow = {
+        advance()
+        val out = InternalRow(arr(i), arr(j))
+        ready = false
+        j += 1
+        if (j == n) { i += 1; j = i + 1 }
+        out
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(all = newChildren(0), batch = newChildren(1))
+}

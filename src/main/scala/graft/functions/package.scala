@@ -135,6 +135,11 @@ package object functions {
     * generator (see [[SortedListPairs]]). */
   def sorted_list_pairs(ids: Column): Column = Column(SortedListPairs(expression(ids)))
 
+  /** Pairs over a bucket's sorted `all` list where at least one side is
+    * in the sorted `batch` list — the streaming candidate generator. */
+  def batch_list_pairs(all: Column, batch: Column): Column =
+    Column(BatchListPairs(expression(all), expression(batch)))
+
   /** Jaccard of two sorted-distinct array<long> columns (merge walk). */
   def sorted_jaccard(a: Column, b: Column): Column =
     Column(SortedJaccard(expression(a), expression(b)))

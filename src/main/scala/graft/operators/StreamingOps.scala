@@ -556,19 +556,45 @@ object StreamingOps extends QueryModule {
             .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "left_semi")
         else bk.limit(0)
       val allKeys = bk.unionByName(histKeys.select("doc_id", "band_idx", "band_key"))
-      val okBuckets = allKeys.groupBy("band_idx", "band_key")
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= bucketCap)
-        .select("band_idx", "band_key")
+      // candidate generation (r20): for CAPPED families, ONE grouped
+      // aggregation replaces the former count-agg + semi-join + history
+      // join + normalization (2 exchanges + 2 joins per micro-batch,
+      // measured as the largest per-batch section at 6-7 jobs): two
+      // bounded capped_sorted_list aggs per bucket (whole bucket +
+      // batch-side subset; state ≤ 2(cap+1) ids) and the batch_list_pairs
+      // generator emit exactly the former pair set — x∈batch × y∈all,
+      // x≠y, least/greatest-normalized, buckets over the cap dropped
+      // (capped list NULLs, the same posture as the count filter; spec'd
+      // equal on both paths). The UNCAPPED semantic family keeps the join
+      // shape: collecting an unbounded cell into one aggregation row is
+      // the memory hazard the chunked join exists to avoid.
       val cand = labeled(s, "graft:ndd:candidates")(CheckpointTracker.ckpt(
-        bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-          .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
-          .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
-            Seq("band_idx", "band_key"))
-          .filter(col("x") =!= col("y"))
-          .select(least(col("x"), col("y")).as("a_id"),
-            greatest(col("x"), col("y")).as("b_id"))
-          .distinct()))
+        if (bucketCap < Int.MaxValue)
+          bk.withColumn("f", lit(true))
+            .unionByName(histKeys.select("doc_id", "band_idx", "band_key")
+              .withColumn("f", lit(false)))
+            .groupBy("band_idx", "band_key")
+            .agg(graft.functions.capped_sorted_list(col("doc_id"), bucketCap).as("all_ids"),
+              graft.functions.capped_sorted_list(
+                when(col("f"), col("doc_id")), bucketCap).as("batch_ids"))
+            .filter(col("all_ids").isNotNull && size(col("all_ids")) >= 2 &&
+              size(col("batch_ids")) >= 1)
+            .select(graft.functions.batch_list_pairs(col("all_ids"), col("batch_ids")))
+            .distinct()
+        else {
+          val okBuckets = allKeys.groupBy("band_idx", "band_key")
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= bucketCap)
+            .select("band_idx", "band_key")
+          bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+            .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
+            .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
+              Seq("band_idx", "band_key"))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("a_id"),
+              greatest(col("x"), col("y")).as("b_id"))
+            .distinct()
+        }))
       // exact-verify state probe, same bucket discipline on doc_id
       val stBuckets = labeled(s, "graft:ndd:state-cover")(
         cand.select(pmod(hash(col("a_id")), lit(stateBuckets)).as("b"))

@@ -452,4 +452,41 @@ class ExpressionSpec extends SparkSpec {
     assert(viaCg === Seq(("x", 2L), ("y", 1L)))
   }
 
+
+  test("batch_list_pairs == the join-shaped candidate set it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic buckets: (bucket, id, isBatch); compare the generator
+    // against the former semi-join + history-join formulation
+    val rows = Seq(
+      (0, 1L, true), (0, 2L, false), (0, 3L, false), (0, 9L, true),
+      (1, 4L, false), (1, 5L, false),                       // history-only: no pairs
+      (2, 6L, true), (2, 7L, true),                         // batch-batch pair
+      (3, 8L, true)                                         // singleton
+    ).toDF("bkt", "doc_id", "f")
+    val viaGen = rows.groupBy("bkt")
+      .agg(capped_sorted_list(col("doc_id"), 100).as("all_ids"),
+        capped_sorted_list(when(col("f"), col("doc_id")), 100).as("batch_ids"))
+      .filter(col("all_ids").isNotNull && size(col("all_ids")) >= 2 &&
+        size(col("batch_ids")) >= 1)
+      .select(batch_list_pairs(col("all_ids"), col("batch_ids")))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bk = rows.filter(col("f"))
+    val viaJoin = bk.select(col("bkt"), col("doc_id").as("x"))
+      .join(rows.select(col("bkt"), col("doc_id").as("y")), Seq("bkt"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGen === viaJoin)
+    assert(viaGen.contains((6L, 7L)) && !viaGen.contains((4L, 5L)))
+    // cap drop: bucket over cap NULLs out entirely (the count-filter posture)
+    val over = rows.groupBy("bkt")
+      .agg(capped_sorted_list(col("doc_id"), 1).as("all_ids"),
+        capped_sorted_list(when(col("f"), col("doc_id")), 1).as("batch_ids"))
+      .filter(col("all_ids").isNotNull)
+      .collect().map(_.getInt(0)).toSet
+    assert(over === Set(3)) // only the singleton bucket survives cap=1
+  }
 }
