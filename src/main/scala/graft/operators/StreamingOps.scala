@@ -796,12 +796,13 @@ object StreamingOps extends QueryModule {
         Multimodal.ImgBucketCap,
         bandAndState = b => {
           // ONE decode pass feeds both views (frames are consumed by the
-          // banding here and 3× by the verify tail)
+          // banding here and 3× by the verify tail); the banding is a
+          // narrow projection of the checkpointed frames — no second
+          // eager materialization job per micro-batch (r20)
           val frames = CheckpointTracker.ckpt(Multimodal.decodeVideoFrameSigs(s, b))
-          val bk = CheckpointTracker.ckpt(
-            Multimodal.imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
-              .select(col("doc_id"), col("band_idx"),
-                (col("frame_idx") * lit(65536L) + col("band_key")).as("band_key")))
+          val bk = Multimodal.imgBandKeys(frames, carry = Seq("doc_id", "frame_idx"))
+            .select(col("doc_id"), col("band_idx"),
+              (col("frame_idx") * lit(65536L) + col("band_key")).as("band_key"))
           (bk, frames)
         },
         verify = (cand, allFrames) =>
@@ -883,9 +884,10 @@ object StreamingOps extends QueryModule {
         bucketCap,
         bandAndState = b => {
           val bb = CheckpointTracker.ckpt(assign(b)) // one read feeds both views
-          (CheckpointTracker.ckpt(
-            bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
-              col("label").as("band_key"))),
+          // both views are narrow projections of the checkpointed bb — no
+          // second eager materialization job per micro-batch (r20)
+          (bb.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
+              col("label").as("band_key")),
             bb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")))
         },
         verify = cosineVerify,
@@ -1219,9 +1221,12 @@ object StreamingOps extends QueryModule {
       .foreachBatch(nearDedupBatch(s, dst, keysT, sigsT, stateBuckets,
         Multimodal.ImgBucketCap,
         bandAndState = b => {
-          // ONE decode pass: band keys derive from the checkpointed sigs
+          // ONE decode pass: band keys derive NARROWLY (8 projection rows
+          // per sig, no shuffle) from the checkpointed sigs — recomputing
+          // that projection per consumer is cheaper than a second eager
+          // materialization job per micro-batch (r20)
           val sigs = CheckpointTracker.ckpt(decode(s, b))
-          (CheckpointTracker.ckpt(Multimodal.imgBandKeys(sigs)), sigs)
+          (Multimodal.imgBandKeys(sigs), sigs)
         },
         verify = sigHammingVerify,
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)

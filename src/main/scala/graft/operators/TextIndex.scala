@@ -83,11 +83,14 @@ object TextIndex {
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
       .localCheckpoint() // dt AND the stats agg consume d: one tokenize pass
+    // dt is a NARROW projection of the checkpointed d since term_counts
+    // (r20) — no shuffle to save, so no second checkpoint: its two
+    // consumers re-run one explode over the cached batch instead of
+    // paying an eager materialization job per micro-batch
     val dt = d.select(col("doc_id"), col("dl"),
         explode(graft.functions.term_counts(col("w"))).as("tc"))
       .select(col("doc_id"), col("dl"),
         col("tc.term").as("term"), col("tc.tf").as("tf"))
-      .localCheckpoint() // postings + terms consume dt: one TF compute
     def lastBid(path: String): Long = StreamingOps.lastBidOf(s, path)
     if (bid > lastBid(root + "/postings"))
       dt.select(col("term"), col("doc_id"), col("tf"), col("dl"), lit(bid).as("bid"))
