@@ -582,12 +582,22 @@ object StreamingOps extends QueryModule {
             .select(graft.functions.batch_list_pairs(col("all_ids"), col("batch_ids")))
             .distinct()
         else {
-          val okBuckets = allKeys.groupBy("band_idx", "band_key")
-            .agg(count(lit(1)).as("bsz"))
-            .filter(col("bsz") <= bucketCap)
-            .select("band_idx", "band_key")
-          bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-            .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
+          // Int.MaxValue cap (the uncapped semantic family): the bucket
+          // count-agg + semi-join would filter nothing — elide them (one
+          // exchange + one join less per micro-batch, r20). Any FINITE
+          // cap keeps the filter.
+          val capped =
+            if (bucketCap == Int.MaxValue)
+              bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+            else {
+              val okBuckets = allKeys.groupBy("band_idx", "band_key")
+                .agg(count(lit(1)).as("bsz"))
+                .filter(col("bsz") <= bucketCap)
+                .select("band_idx", "band_key")
+              bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+                .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
+            }
+          capped
             .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
               Seq("band_idx", "band_key"))
             .filter(col("x") =!= col("y"))
