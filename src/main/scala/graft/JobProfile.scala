@@ -62,10 +62,22 @@ object JobProfile {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // GRAFT_PROFILE_REPEAT=n: before the profiled run, execute the key n
+    // extra times printing each wall — makes a first-measure-vs-spaced
+    // spike (JIT/codegen convergence vs plan cost) a measurement
+    val repeat = sys.env.get("GRAFT_PROFILE_REPEAT").map(_.toInt).getOrElse(0)
     keys.foreach { k =>
       val fn = SparkEntry.queries(k)
       // warmup run (uncounted): JIT + codegen + FS caches, same as Bench
+      val tw = System.nanoTime()
       fn(spark, sfDir).count()
+      if (repeat > 0)
+        println(f"[repeat] $k warmup ${(System.nanoTime() - tw) / 1e9}%.3fs")
+      (1 to repeat).foreach { i =>
+        val tr = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"[repeat] $k run$i ${(System.nanoTime() - tr) / 1e9}%.3fs")
+      }
       jobs.clear(); stageTask.clear(); stageToJob.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()

@@ -239,7 +239,12 @@ case class BatchListPairs(all: Expression, batch: Expression)
       private var ready = false
       private def advance(): Unit = {
         while (!ready && i < n - 1) {
-          if (inBatch(arr(i)) || inBatch(arr(j))) ready = true
+          // arr(i) != arr(j): the join formulation this replaces filtered
+          // x =!= y BY VALUE — a doc_id listed twice in one bucket
+          // (duplicate ids in a batch, or a replayed doc whose band key
+          // already sits in history) must not emit a (d, d) self-pair,
+          // which would trivially pass every exact verify
+          if (arr(i) != arr(j) && (inBatch(arr(i)) || inBatch(arr(j)))) ready = true
           else { j += 1; if (j == n) { i += 1; j = i + 1 } }
         }
       }

@@ -278,7 +278,15 @@ object Dedup extends QueryModule {
     val p2 = pairs.select(col(pairs.columns(0)).cast("long"),
       col(pairs.columns(1)).cast("long"))
     val head = p2.limit(localCap.toInt + 1).collect()
-    if (head.length > localCap) clusterLabels(s, pairs)._1
+    // over-cap fallback checkpoints the edge set FIRST (r21, advice):
+    // clusterLabels immediately unions `pairs` with its own swap, so an
+    // unmaterialized pair pipeline (e.g. embeddingPairs) would recompute
+    // twice inside its edges checkpoint on top of the limit-collect's
+    // partial pass; the common small-graph path stays a single bounded
+    // collect with no extra materialization job
+    if (head.length > localCap)
+      clusterLabels(s, CheckpointTracker.ckpt(pairs,
+        eager = true, level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))._1
     else {
       import s.implicits._
       localLabels(head.map(r => (r.getLong(0), r.getLong(1))))

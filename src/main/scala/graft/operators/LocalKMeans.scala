@@ -65,17 +65,29 @@ private[operators] object LocalKMeans {
 
   private val Restarts = 5
 
-  private def sseOf(points: Array[Array[Float]], centers: Array[Array[Double]]): Double =
-    java.util.stream.IntStream.range(0, points.length).parallel().mapToDouble { i =>
+  /** Per-point min-distances compute in parallel into a FIXED slot array,
+    * then sum sequentially in index order (r21, advice): a parallel
+    * DoubleStream sum's combine tree depends on ForkJoin common-pool
+    * parallelism, so restart SSEs (and the lowest-SSE pick on near-ties)
+    * would vary across core counts — breaking the any-core-count
+    * same-centroids determinism the twin-build equality spec relies on. */
+  private def sseOf(points: Array[Array[Float]], centers: Array[Array[Double]]): Double = {
+    val d = new Array[Double](points.length)
+    java.util.stream.IntStream.range(0, points.length).parallel().forEach { i =>
       var bestD = Double.MaxValue
       var cc = 0
       while (cc < centers.length) {
-        val d = sqdist(points(i), centers(cc))
-        if (d < bestD) bestD = d
+        val dd = sqdist(points(i), centers(cc))
+        if (dd < bestD) bestD = dd
         cc += 1
       }
-      bestD
-    }.sum()
+      d(i) = bestD
+    }
+    var s = 0.0
+    var i = 0
+    while (i < d.length) { s += d(i); i += 1 }
+    s
+  }
 
   private def fitOnce(points: Array[Array[Float]], k0: Int, seed: Long,
                       maxIter: Int): Array[Array[Double]] = {

@@ -59,6 +59,45 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** Scale-adaptive shuffle/state partition count for one streaming drain
+    * (r21, guide §2: derive partitioning from input size instead of a
+    * constant): stateful micro-batch plans CANNOT be AQE-coalesced (AQE
+    * is disabled for streaming), so every batch otherwise plans the
+    * session's static `spark.sql.shuffle.partitions` — and the per-batch
+    * fixed cost (task scheduling + one state-store/exchange commit PER
+    * partition per stateful operator) grows with that constant while the
+    * data per batch does not. Derived as staged-source bytes / 32 MB,
+    * clamped to [1, session value]: a production-sized staging dir
+    * clamps to the session value (behavior unchanged at scale), a
+    * kilobyte gate stream stops paying cores × stores of fixed cost per
+    * batch. The value is frozen into the query at start() (Spark clones
+    * the session) and recorded in the checkpoint, so resumes stay
+    * consistent. */
+  private[graft] def adaptiveStreamPartitions(s: SparkSession, srcDirs: Seq[String]): Int = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val bytes = srcDirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val cur = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = 32L << 20
+    math.max(1, math.min(cur.toLong, (bytes + target - 1) / target).toInt)
+  }
+
+  /** Run `start` (build + start + drain a streaming query) with the
+    * session's shuffle partitions pinned to `parts`, restored after the
+    * drain. The conf must cover BOTH start() (the cloned session freezes
+    * it for the stateful plan) and the drain (foreachBatch bodies plan
+    * their own jobs against the live session). */
+  private def drainWith(s: SparkSession, parts: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try drain(start) finally s.conf.set(key, prev)
+  }
+
   /** The max batch id recorded in a lance state table under `col` —
     * -1 when the table is absent or empty. Answered on the DRIVER from
     * the manifest's per-fragment stats (one metadata read, ZERO Spark
@@ -118,7 +157,8 @@ object StreamingOps extends QueryModule {
   private def streamPipeline(s: SparkSession, dir: String): DataFrame = {
     val src = tmp("spipe-src"); val dst = tmp("spipe-dst"); val ckpt = tmp("spipe-ckpt")
     t(s, dir, "orders").write.format("lance").option("maxRowsPerFile", "5000").save(src)
-    val q = s.readStream.format("lance").load(src)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(src))) {
+      s.readStream.format("lance").load(src)
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select("o_orderkey", "o_custkey", "o_orderpriority")
       .writeStream.format("lance")
@@ -126,7 +166,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    drain(q)
+    }
     s.read.format("lance").load(dst)
       .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("sum_key"))
   }
@@ -153,7 +193,8 @@ object StreamingOps extends QueryModule {
     Seq(Tuple2(new java.sql.Timestamp(maxTs.getTime + 86400L * 1000), 0.0))
       .toDF("ts", "value")
       .coalesce(1).write.mode("append").parquet(srcDir)
-    val q = s.readStream.schema(ev.schema).parquet(srcDir)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(ev.schema).parquet(srcDir)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
@@ -163,7 +204,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    drain(q)
+    }
     s.read.format("lance").load(dst)
       .filter(col("w_start") <= lit(maxTs)) // drop the sentinel's window if emitted
       .orderBy("w_start")
@@ -274,7 +315,8 @@ object StreamingOps extends QueryModule {
     Seq((-1L, new Timestamp(maxTs.getTime + 86400L * 1000)))
       .toDF("user_id", "ts")
       .coalesce(1).write.mode("append").parquet(srcDir)
-    val q = s.readStream.schema(ev.schema).parquet(srcDir)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(ev.schema).parquet(srcDir)
       .withWatermark("ts", "0 seconds")
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
@@ -285,7 +327,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    drain(q)
+    }
     s.read.format("lance").load(dst)
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "session_start")
@@ -345,7 +387,8 @@ object StreamingOps extends QueryModule {
     // data, turning the replay into a second ingest.
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       docs.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(docs.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
@@ -378,7 +421,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     // merge-on-read: the latest generation of each touched hash group is
     // current. The window shuffles on h — the same uniform key the state
     // layout buckets by, so at scale this is bucket-local work
@@ -435,9 +478,22 @@ object StreamingOps extends QueryModule {
 
   /** nearDedupBatch's default dst slot: the plain bid-guarded append.
     * Named so callers that parameterize the slot (the semantic MV) and
-    * the default share one definition. */
+    * the default share one definition.
+    *
+    * coalesce(defaultParallelism) before the append (r21): the verified
+    * frame inherits the verify join's probe-side partitioning — ONE
+    * partition per history fragment in the state probe's bucket cover —
+    * so without the bound each micro-batch committed one near-empty dst
+    * fragment per accumulated state fragment: commit-side object-store
+    * ops grew ∝ history (FsRoutingSpec's stage-2 create pin caught it
+    * after the r20 candidate rewrite changed the join's planning).
+    * coalesce never raises a partition count and folds into the verify
+    * stage without a shuffle, so the write stays cores-wide parallel and
+    * per-batch commit ops are history-flat (guide §6: output file
+    * sizing; the object-store cost model pays per CREATE round trip). */
   private val appendDst: (SparkSession, DataFrame, DataFrame, String, Long, Long) => Unit =
-    (s, verified, _, dst, bid, dstBid) => guardedAppend(s, verified, dst, bid, dstBid)
+    (s, verified, _, dst, bid, dstBid) => guardedAppend(s,
+      verified.coalesce(s.sparkContext.defaultParallelism), dst, bid, dstBid)
 
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     // "/t" subpaths: the datasets must NOT pre-exist (the exists() check
@@ -582,22 +638,12 @@ object StreamingOps extends QueryModule {
             .select(graft.functions.batch_list_pairs(col("all_ids"), col("batch_ids")))
             .distinct()
         else {
-          // Int.MaxValue cap (the uncapped semantic family): the bucket
-          // count-agg + semi-join would filter nothing — elide them (one
-          // exchange + one join less per micro-batch, r20). Any FINITE
-          // cap keeps the filter.
-          val capped =
-            if (bucketCap == Int.MaxValue)
-              bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-            else {
-              val okBuckets = allKeys.groupBy("band_idx", "band_key")
-                .agg(count(lit(1)).as("bsz"))
-                .filter(col("bsz") <= bucketCap)
-                .select("band_idx", "band_key")
-              bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
-                .join(okBuckets, Seq("band_idx", "band_key"), "left_semi")
-            }
-          capped
+          // Int.MaxValue cap (the uncapped semantic family): the former
+          // bucket count-agg + semi-join would filter nothing — elided
+          // (one exchange + one join less per micro-batch, r20; the dead
+          // finite-cap arm that sat here was removed r21 — finite caps
+          // take the grouped-aggregation branch above).
+          bk.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
             .join(allKeys.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
               Seq("band_idx", "band_key"))
             .filter(col("x") =!= col("y"))
@@ -689,7 +735,8 @@ object StreamingOps extends QueryModule {
     // it would read as new data (see streamDedupAt)
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       d.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(d.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, setsT, stateBuckets,
@@ -700,7 +747,7 @@ object StreamingOps extends QueryModule {
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     // batch-vs-batch finds each same-batch pair from both sides' band
     // keys; cross-batch pairs are found once (later member's batch)
     s.read.format("lance").load(dst)
@@ -799,7 +846,8 @@ object StreamingOps extends QueryModule {
       .toDF("doc_id", "video")
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       payloads.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(payloads.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(payloads.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, framesT, stateBuckets,
@@ -820,7 +868,7 @@ object StreamingOps extends QueryModule {
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     s.read.format("lance").load(dst)
       .select("a_id", "b_id", "n_matched", "match_ratio")
       .distinct().orderBy("a_id", "b_id")
@@ -887,7 +935,8 @@ object StreamingOps extends QueryModule {
     seed(src, dst)
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       src.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(src.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, vecsT, stateBuckets,
@@ -905,7 +954,7 @@ object StreamingOps extends QueryModule {
         writeDst = writeDst) _)
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     finalRead(dst)
   }
 
@@ -1225,7 +1274,8 @@ object StreamingOps extends QueryModule {
     val stateBuckets = defaultStateBuckets(s)
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       payloads.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(payloads.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(payloads.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, sigsT, stateBuckets,
@@ -1242,7 +1292,7 @@ object StreamingOps extends QueryModule {
         compactEvery = compactEvery, vacuumOnCompact = vacuumOnCompact) _)
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     s.read.format("lance").load(dst)
       .select("a_id", "b_id", "hamming").distinct().orderBy("a_id", "b_id")
   }
@@ -1284,7 +1334,8 @@ object StreamingOps extends QueryModule {
     // several source files + maxFilesPerTrigger=1 => build-then-append is
     // really exercised across MULTIPLE micro-batches
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(e.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1297,7 +1348,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
     IndexBuild.search(s, IndexBuild.load(s, root), qv,
       Map("vector.nprobes" -> VectorIndex.Cells.toString,
@@ -1328,7 +1379,8 @@ object StreamingOps extends QueryModule {
     rest.repartition(3).write.mode("overwrite").parquet(srcDir)
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / idx.centroids.length
-    val q = s.readStream.schema(rest.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(rest.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, idx.centroids.length, dim))
@@ -1338,7 +1390,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(root)
-    drain(q)
+    }
     val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
     IndexBuild.search(s, IndexBuild.load(s, root), qv,
       Map("vector.nprobes" -> VectorIndex.Cells.toString,
@@ -1373,7 +1425,8 @@ object StreamingOps extends QueryModule {
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / idx.centroids.length
     val p = idx.pq.get
-    val q = s.readStream.schema(rest.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(rest.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, idx.centroids.length, dim))
@@ -1385,7 +1438,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(root)
-    drain(q)
+    }
     val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
     IndexBuild.search(s, IndexBuild.load(s, root), qv,
       Map("vector.nprobes" -> VectorIndex.Cells.toString,
@@ -1416,14 +1469,18 @@ object StreamingOps extends QueryModule {
     * the dropping. Integer micro-second lags keep the oracle compare
     * arithmetic-exact. */
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val vDir = tmp("sjoin-v"); val pDir = tmp("sjoin-p")
+    val base = tmp("sjoin-src")
     val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
       col("event_type"), col("ts").cast("timestamp").as("ts"))
-    ev.filter(col("event_type") === "view")
-      .repartition(3).write.mode("overwrite").parquet(vDir)
-    ev.filter(col("event_type") === "purchase")
-      .repartition(3).write.mode("overwrite").parquet(pDir)
-    streamJoinFrom(s, vDir, pDir, ev.schema, "3650 days")
+    // ONE events scan stages both sides (r21, guide §1.2: don't read the
+    // input twice to split it) — partitionBy routes each side into its
+    // own leaf dir; the data files drop the constant event_type column,
+    // which the sides never read (side() selects id/user/ts only)
+    ev.filter(col("event_type").isin("view", "purchase"))
+      .repartition(3).write.mode("overwrite")
+      .partitionBy("event_type").parquet(base)
+    streamJoinFrom(s, base + "/event_type=view", base + "/event_type=purchase",
+      ev.schema, "3650 days")
   }
 
   /** LEFT OUTER stream-stream join — the semantically distinct variant:
@@ -1477,7 +1534,8 @@ object StreamingOps extends QueryModule {
           col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", delay)
     }
-    val q = side("v", vDir).join(side("p", pDir),
+    drainWith(s, adaptiveStreamPartitions(s, Seq(vDir, pDir))) {
+      side("v", vDir).join(side("p", pDir),
         expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
         joinType)
       .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
@@ -1488,7 +1546,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    drain(q)
+    }
     s.read.format("lance").load(dst).orderBy("user_id", "view_id", "purchase_id")
   }
 
@@ -1526,7 +1584,8 @@ object StreamingOps extends QueryModule {
     val rd = s.readStream.schema(schema)
     val rd2 = if (filesPerTrigger > 0)
       rd.option("maxFilesPerTrigger", filesPerTrigger.toString) else rd
-    val q = rd2.parquet(srcDir)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      rd2.parquet(srcDir)
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("lance")
@@ -1534,7 +1593,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    drain(q)
+    }
     s.read.format("lance").load(dst)
   }
 
@@ -1576,7 +1635,8 @@ object StreamingOps extends QueryModule {
       Seq.empty[(String, Long, Long, Long)]
         .toDF("o_orderpriority", "n", "sum_cents", "bid")
         .write.format("lance").save(mvTable)
-    val q = s.readStream.format("lance").option("read.change-feed", "true")
+    drainWith(s, adaptiveStreamPartitions(s, Seq(root))) {
+      s.readStream.format("lance").option("read.change-feed", "true")
       .load(root)
       .select(col("o_orderpriority"),
         when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
@@ -1603,7 +1663,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     mvTable
   }
 
@@ -1657,7 +1717,8 @@ object StreamingOps extends QueryModule {
       Seq.empty[(Timestamp, String, Long, Long, String, Long)]
         .toDF("w_start", "event_type", "n", "sum_id", "k", "bid")
         .write.format("lance").save(mvTable)
-    val q = s.readStream.schema(schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -1699,7 +1760,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     mvTable
   }
 
@@ -1757,7 +1818,8 @@ object StreamingOps extends QueryModule {
     if (!tableExists(s, modelTable))
       Seq.empty[(Int, Int, Long, Long)].toDF("label", "b", "n", "bid")
         .write.format("lance").save(modelTable)
-    val q = s.readStream.schema(schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1776,7 +1838,7 @@ object StreamingOps extends QueryModule {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(q)
+    }
   }
 
   /** Streaming DECONTAMINATION gate — the ingest-time form of
@@ -1813,7 +1875,8 @@ object StreamingOps extends QueryModule {
       Seq.empty[(Long, Long, Long, Long)]
         .toDF("doc_id", "max_overlap", "n_matched", "bid")
         .write.format("lance").save(outTable)
-    val q = s.readStream.schema(docs.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1825,7 +1888,7 @@ object StreamingOps extends QueryModule {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(q)
+    }
     s.read.format("lance").load(outTable)
       .select("doc_id", "max_overlap", "n_matched")
       .orderBy("doc_id")
@@ -1853,7 +1916,8 @@ object StreamingOps extends QueryModule {
       Seq.empty[(Long, Int, Double, Long, Long)]
         .toDF("vec_id", "label", "max_cos", "n_matched", "bid")
         .write.format("lance").save(outTable)
-    val q = s.readStream.schema(raw.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1865,7 +1929,7 @@ object StreamingOps extends QueryModule {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(q)
+    }
     s.read.format("lance").load(outTable)
       .select("vec_id", "label", "max_cos", "n_matched")
       .orderBy("vec_id")
@@ -1885,7 +1949,8 @@ object StreamingOps extends QueryModule {
     val srcDir = tmp("stidx-src"); val root = tmp("stidx-idx"); val ckpt = tmp("stidx-ckpt")
     val raw = t(s, dir, "documents").select("doc_id", "text")
     raw.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(raw.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1893,7 +1958,7 @@ object StreamingOps extends QueryModule {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(q)
+    }
     TextIndex.search(s, root,
       TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
   }
@@ -1945,7 +2010,8 @@ object StreamingOps extends QueryModule {
     val idxRoot = tmp("shyb-tidx")
     val docs = t(s, dir, "documents").select("doc_id", "text")
     docs.repartition(4).write.mode("overwrite").parquet(tSrc)
-    val tq = s.readStream.schema(docs.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(tSrc))) {
+      s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(tSrc)
       .writeStream.option("checkpointLocation", tCkpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1953,7 +2019,7 @@ object StreamingOps extends QueryModule {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(tq)
+    }
     // vector side: seed-train, then exactly-once cell-clustered appends
     val vSrc = tmp("shyb-vsrc"); val vCkpt = tmp("shyb-vck")
     val vecT = tmp("shyb-vec") + "/t"
@@ -1965,7 +2031,8 @@ object StreamingOps extends QueryModule {
     rest.repartition(3).write.mode("overwrite").parquet(vSrc)
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / idx.centroids.length
-    val vq = s.readStream.schema(rest.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(vSrc))) {
+      s.readStream.schema(rest.schema)
       .option("maxFilesPerTrigger", "1").parquet(vSrc)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, idx.centroids.length, dim))
@@ -1975,7 +2042,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(vecT)
-    drain(vq)
+    }
     // serve: index-served lexical arm + streamed-table vector arm → fuse
     val lex = TextIndex.search(s, idxRoot,
       TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
@@ -2012,7 +2079,8 @@ object StreamingOps extends QueryModule {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val n = e.count()
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(e.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .transform(b => VectorSearch.maxSimDocTokens(b, n))
       .writeStream.format("lance")
@@ -2020,7 +2088,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(tokT)
-    drain(q)
+    }
     VectorSearch.maxSimRank(
       s.read.format("lance").load(tokT).select("doc_id", "embedding"),
       VectorSearch.maxSimQueryVecs(s, e))
@@ -2055,7 +2123,8 @@ object StreamingOps extends QueryModule {
     val flat = cents.flatten
     val dim = cents.head.length
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(e.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .transform(b => VectorSearch.maxSimDocTokens(b, n))
       .withColumn("cell", graft.functions.nearest_cell(
@@ -2066,7 +2135,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(tokT)
-    drain(q)
+    }
     VectorSearch.maxSimRankPruned(s,
       s.read.format("lance").load(tokT).select("doc_id", "embedding", "cell"),
       VectorSearch.maxSimQueryToks(e), cents,
@@ -2091,14 +2160,15 @@ object StreamingOps extends QueryModule {
     val vecT = tmp("smmr-vec") + "/t"
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(e.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.format("lance")
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(vecT)
-    drain(q)
+    }
     VectorSearch.mmrServe(
       VectorSearch.mmrCandidatesFrom(s, s.read.format("lance").load(vecT))
         .localCheckpoint())
@@ -2127,7 +2197,8 @@ object StreamingOps extends QueryModule {
     val flat = cents.flatten
     val dim = cents.head.length
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val q = s.readStream.schema(e.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, cents.length, dim))
@@ -2137,7 +2208,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(vecT)
-    drain(q)
+    }
     VectorSearch.mmrServe(
       VectorSearch.mmrCandidatesPruned(s,
         s.read.format("lance").load(vecT).select("vec_id", "embedding", "cell"),
@@ -2170,7 +2241,8 @@ object StreamingOps extends QueryModule {
       Seq.empty[(Long, String, Long, Long, Long)]
         .toDF("doc_id", "source", "n_grams", "dsir_micro", "bid")
         .write.format("lance").save(mv)
-    val q = s.readStream.schema(d.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -2190,7 +2262,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     s.read.format("lance").load(mv)
       .select("doc_id", "source", "n_grams", "dsir_micro")
       .orderBy("doc_id")
@@ -2215,7 +2287,8 @@ object StreamingOps extends QueryModule {
     if (!tableExists(s, cntT))
       Seq.empty[(String, Int, Long, Long)].toDF("source", "h", "c", "bid")
         .write.format("lance").save(cntT)
-    val q = s.readStream.schema(d.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -2234,7 +2307,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    drain(q)
+    }
     TextAnalysis.driftReport(
       s.read.format("lance").load(cntT).select("source", "h", "c"))
   }
@@ -2256,7 +2329,8 @@ object StreamingOps extends QueryModule {
     raw.repartition(4).write.mode("overwrite").parquet(srcDir)
     Seq.empty[(java.sql.Date, Array[Byte], Long)].toDF("d", "sk", "bid")
       .write.format("lance").save(sketchTable)
-    val q = s.readStream.schema(raw.schema)
+    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
+      s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -2272,7 +2346,7 @@ object StreamingOps extends QueryModule {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(q)
+    }
     // serve DAU/WAU from the streamed sketch store: merge generations per
     // day, then the trailing-7-day window by a second register-wise merge
     val daily = s.read.format("lance").load(sketchTable)

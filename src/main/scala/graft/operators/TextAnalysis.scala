@@ -675,12 +675,19 @@ object TextAnalysis extends QueryModule {
     val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val vocab = Bm25Queries.map(_._2).distinct
     // TF row-local (term_counts): the former vocabulary-pruned TF shuffle
-    // is now no shuffle at all (r20 §2.4)
+    // is now no shuffle at all (r20 §2.4). r21: the vocabulary prune moves
+    // INSIDE the row — term_counts over the full token array built a
+    // per-row count map of the document's whole vocabulary only for the
+    // isin() to discard all but the ~7 query terms (the r20 wall
+    // regression on this key); filtering the array first keeps the
+    // zero-exchange shape and the count map at |query vocab|. Identical
+    // output: tf of a kept term is its count in w, and a doc with no
+    // query term yields an empty map = no rows, exactly the old filter.
     val dt = d.select(col("doc_id"), col("dl"),
-        explode(graft.functions.term_counts(col("w"))).as("tc"))
+        explode(graft.functions.term_counts(
+          filter(col("w"), tok => tok.isInCollection(vocab)))).as("tc"))
       .select(col("doc_id"), col("dl"),
         col("tc.term").as("term"), col("tc.tf").as("tf"))
-      .filter(col("term").isin(vocab: _*))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
     bm25Rank(dt, dfreq, stats, Bm25Queries.toDF("query_id", "term"), Bm25TopK)
   }

@@ -186,18 +186,33 @@ object VectorSearch extends QueryModule {
       if (cells <= 1) {
         (queries.withColumn("__cell", lit(0)), corpus.withColumn("__cell", lit(0)))
       } else {
-        import org.apache.spark.ml.clustering.KMeans
-        val withFv = corpus.withColumn("fv", VectorIndex.asVec(col(vecCol)))
-        val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-          .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(VectorIndex.trainingSample(withFv))
-        val flat = model.clusterCenters.flatMap(_.toArray)
-        val dim = flat.length / cells
-        val p = if (nprobes <= 0) cells else math.min(nprobes, cells)
+        // r21: the ad-hoc cell training rides the SAME adaptive trainer as
+        // every index build (VectorIndex.fitCentroids — driver-local
+        // LocalKMeans under the 64 MB / 2 GFlop bounds, the former MLlib
+        // fit above them): the inline MLlib fit paid ~10 iterations of
+        // distributed-job scheduling inside the timed join for a
+        // TrainCap-bounded sample whose arithmetic is microseconds.
+        // Centroid values legitimately differ; the gated configs probe
+        // every cell (nprobes == cells ⇒ exact top-k under ANY centroids)
+        // and partial-probe recall is spec-measured, not assumed.
+        val centroids = VectorIndex.fitCentroids(
+          VectorIndex.trainingSample(corpus.select(col(vecCol))), vecCol, cells, 42L)
+        val nc = centroids.length
+        val flat = centroids.flatten
+        val dim = flat.length / nc
+        val p = if (nprobes <= 0) nc else math.min(nprobes, nc)
+        // coalesce(cell, -1): NearestCell is nullable (null on a malformed
+        // vector), so a nullable join key makes the planner infer
+        // IsNotNull(nearestcell(...)) and push it below the projection —
+        // evaluating the O(cells·dim) kernel TWICE per corpus row (guide
+        // §4.4's duplicate-evaluation trap, visible in the r20 plan as
+        // `Filter isnotnull(nearestcell(...))`). The -1 sentinel never
+        // matches a probe (cell ids are 0..cells-1), so malformed rows
+        // drop in the join exactly as null keys did — one eval per row.
         (queries.withColumn("__cell",
-            explode(graft.functions.nearest_cells(col(vecCol), flat, cells, dim, p))),
+            explode(graft.functions.nearest_cells(col(vecCol), flat, nc, dim, p))),
           corpus.withColumn("__cell",
-            graft.functions.nearest_cell(col(vecCol), flat, cells, dim)))
+            coalesce(graft.functions.nearest_cell(col(vecCol), flat, nc, dim), lit(-1))))
       }
     val (score, asc) = metric match {
       case "l2" => ((a: Column, b: Column) => vec_l2(a, b), true)

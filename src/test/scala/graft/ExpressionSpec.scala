@@ -489,4 +489,28 @@ class ExpressionSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(over === Set(3)) // only the singleton bucket survives cap=1
   }
+
+  test("batch_list_pairs: duplicate doc_ids in a bucket never emit self-pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // id 1 appears in the batch AND in history (a re-delivered doc whose
+    // band key already sits in the keys table), id 2 twice in one batch —
+    // the join formulation filtered x =!= y BY VALUE, so the generator
+    // must skip equal-value positions, not just equal positions (a (d,d)
+    // self-pair trivially passes every exact verify)
+    val rows = Seq(
+      (0, 1L, true), (0, 1L, false), (0, 3L, false),
+      (1, 2L, true), (1, 2L, true),
+      (2, 5L, true), (2, 5L, false), (2, 5L, false) // only-duplicates bucket
+    ).toDF("bkt", "doc_id", "f")
+    val viaGen = rows.groupBy("bkt")
+      .agg(capped_sorted_list(col("doc_id"), 100).as("all_ids"),
+        capped_sorted_list(when(col("f"), col("doc_id")), 100).as("batch_ids"))
+      .filter(col("all_ids").isNotNull && size(col("all_ids")) >= 2 &&
+        size(col("batch_ids")) >= 1)
+      .select(batch_list_pairs(col("all_ids"), col("batch_ids")))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGen === Set((1L, 3L)), s"self-pairs leaked: $viaGen")
+  }
 }

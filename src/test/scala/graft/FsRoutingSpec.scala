@@ -26,41 +26,57 @@ class CountingMockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "countfs"
   override def getUri: java.net.URI = java.net.URI.create("countfs:///")
   override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
-    counted("getFileStatus")(super.getFileStatus(f))
+    counted("getFileStatus", f)(super.getFileStatus(f))
   override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
-    counted("listStatus")(super.listStatus(f))
+    counted("listStatus", f)(super.listStatus(f))
   override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
-    counted("open")(super.open(f, bufferSize))
+    counted("open", f)(super.open(f, bufferSize))
   // ALL RawLocalFileSystem create/append variants funnel through this
   // protected hook — counting any single public `create` overload misses
   // the writer paths that call a sibling variant directly
   override protected def createOutputStreamWithMode(f: org.apache.hadoop.fs.Path,
       append: Boolean,
       permission: org.apache.hadoop.fs.permission.FsPermission): java.io.OutputStream =
-    counted("create")(super.createOutputStreamWithMode(f, append, permission))
+    counted("create", f)(super.createOutputStreamWithMode(f, append, permission))
   override def delete(f: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
-    counted("delete")(super.delete(f, recursive))
+    counted("delete", f)(super.delete(f, recursive))
   override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
-    counted("rename")(super.rename(src, dst))
+    counted("rename", src)(super.rename(src, dst))
   override def mkdirs(f: org.apache.hadoop.fs.Path,
       permission: org.apache.hadoop.fs.permission.FsPermission): Boolean =
-    counted("mkdirs")(super.mkdirs(f, permission))
+    counted("mkdirs", f)(super.mkdirs(f, permission))
 }
 
 object CountingMockFs {
   import java.util.concurrent.atomic.AtomicLong
   private val ops = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  // per-(op, table-root) counts — the adjudication view: WHICH table's ops
+  // grew decides "probe growth with history" vs "commit-side growth"
+  private val byRoot = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
   private val depth = ThreadLocal.withInitial[Integer](() => 0)
-  private[graft] def counted[A](k: String)(body: => A): A = {
+  private def rootOf(p: org.apache.hadoop.fs.Path): String = {
+    val segs = Option(p).map(_.toUri.getPath).getOrElse("?").split("/").filter(_.nonEmpty)
+    // temp roots look like /tmp/graft-cfs-k-12345/t — key on the named segment
+    segs.find(_.matches(".*[a-z]-\\d+$")).orElse(segs.headOption)
+      .getOrElse("?").replaceAll("-\\d+$", "")
+  }
+  private[graft] def counted[A](k: String, p: org.apache.hadoop.fs.Path)(body: => A): A = {
     val d = depth.get()
-    if (d == 0) ops.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
+    if (d == 0) {
+      ops.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
+      byRoot.computeIfAbsent(s"$k@${rootOf(p)}", _ => new AtomicLong).incrementAndGet()
+    }
     depth.set(d + 1)
     try body finally depth.set(d)
   }
-  def reset(): Unit = ops.clear()
+  def reset(): Unit = { ops.clear(); byRoot.clear() }
   def snapshot: Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     ops.asScala.map { case (k, v) => k -> v.get }.toMap
+  }
+  def snapshotByRoot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    byRoot.asScala.map { case (k, v) => k -> v.get }.toMap
   }
   def total: Long = snapshot.values.sum
 }
@@ -205,6 +221,7 @@ class FsRoutingSpec extends SparkSpec {
     val ops1 = CountingMockFs.total
     val snap1 = CountingMockFs.snapshot
     println(s"[fs-audit] stage1 ops/batch=${ops1 / 4.0} breakdown=$snap1")
+    println(s"[fs-audit] stage1 byRoot=${CountingMockFs.snapshotByRoot.toSeq.sorted}")
     val streamed = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // twin: identical pairs as the same pipeline on a plain local scheme
     val keysL = java.nio.file.Files.createTempDirectory("graft-cfs-kl-").toString + "/t"
@@ -227,6 +244,7 @@ class FsRoutingSpec extends SparkSpec {
     val ops2 = CountingMockFs.total
     val snap2 = CountingMockFs.snapshot
     println(s"[fs-audit] stage2 ops/batch=${ops2 / 4.0} breakdown=$snap2")
+    println(s"[fs-audit] stage2 byRoot=${CountingMockFs.snapshotByRoot.toSeq.sorted}")
     // the COMMIT side (creates: fragment files + manifest versions +
     // sidecars) is history-flat — folding the 3 per-table appends into
     // one tagged commit would shave ~2 creates/batch out of hundreds of
