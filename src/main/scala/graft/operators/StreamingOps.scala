@@ -315,8 +315,10 @@ object StreamingOps extends QueryModule {
     Seq((-1L, new Timestamp(maxTs.getTime + 86400L * 1000)))
       .toDF("user_id", "ts")
       .coalesce(1).write.mode("append").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(ev.schema).parquet(srcDir)
+    // NOT drainWith (r21 measured): the per-user session fold is the
+    // batch's real compute — collapsing its state partitions serialized
+    // it (2.2 → 2.5 s) where the state-commit saving is pennies here
+    val q = s.readStream.schema(ev.schema).parquet(srcDir)
       .withWatermark("ts", "0 seconds")
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
@@ -327,7 +329,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(dst)
-    }
+    drain(q)
     s.read.format("lance").load(dst)
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "session_start")
@@ -935,8 +937,10 @@ object StreamingOps extends QueryModule {
     seed(src, dst)
     if (!fileNames(s, srcDir).exists(_.startsWith("part-")))
       src.repartition(srcParts).write.mode("overwrite").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(src.schema)
+    // NOT drainWith (r21 measured): the embedding family's per-batch
+    // compute (cosine verify + MV closure/upsert) needs the session's
+    // parallelism — the derived 1-partition drain read 1.27× slower
+    val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch(nearDedupBatch(s, dst, keysT, vecsT, stateBuckets,
@@ -954,7 +958,7 @@ object StreamingOps extends QueryModule {
         writeDst = writeDst) _)
       .trigger(Trigger.AvailableNow())
       .start()
-    }
+    drain(q)
     finalRead(dst)
   }
 
@@ -1334,8 +1338,11 @@ object StreamingOps extends QueryModule {
     // several source files + maxFilesPerTrigger=1 => build-then-append is
     // really exercised across MULTIPLE micro-batches
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(e.schema)
+    // NOT drainWith (r21): this drain BUILDS a cell-clustered serving
+    // store — its shuffle-partition count is load-bearing for the store's
+    // fragment layout (probe pruning + serve parallelism, guide §6), so
+    // the session value stands
+    val q = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1348,7 +1355,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    }
+    drain(q)
     val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
     IndexBuild.search(s, IndexBuild.load(s, root), qv,
       Map("vector.nprobes" -> VectorIndex.Cells.toString,
@@ -1379,8 +1386,8 @@ object StreamingOps extends QueryModule {
     rest.repartition(3).write.mode("overwrite").parquet(srcDir)
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / idx.centroids.length
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(rest.schema)
+    // NOT drainWith (r21): cell-clustered store — layout is load-bearing
+    val q = s.readStream.schema(rest.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, idx.centroids.length, dim))
@@ -1390,7 +1397,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(root)
-    }
+    drain(q)
     val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
     IndexBuild.search(s, IndexBuild.load(s, root), qv,
       Map("vector.nprobes" -> VectorIndex.Cells.toString,
@@ -1425,8 +1432,8 @@ object StreamingOps extends QueryModule {
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / idx.centroids.length
     val p = idx.pq.get
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(rest.schema)
+    // NOT drainWith (r21): cell-clustered store — layout is load-bearing
+    val q = s.readStream.schema(rest.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, idx.centroids.length, dim))
@@ -1438,7 +1445,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(root)
-    }
+    drain(q)
     val qv = VectorIndex.embeddingOf(s, dir, VectorIndex.QueryVecId)
     IndexBuild.search(s, IndexBuild.load(s, root), qv,
       Map("vector.nprobes" -> VectorIndex.Cells.toString,
@@ -2031,8 +2038,9 @@ object StreamingOps extends QueryModule {
     rest.repartition(3).write.mode("overwrite").parquet(vSrc)
     val flat = idx.centroids.flatMap(_.toArray)
     val dim = flat.length / idx.centroids.length
-    drainWith(s, adaptiveStreamPartitions(s, Seq(vSrc))) {
-      s.readStream.schema(rest.schema)
+    // NOT drainWith (r21): cell-clustered store — layout is load-bearing
+    // (collapsing it read the _pruned serving arms 1.9-2× slower per row)
+    val vq = s.readStream.schema(rest.schema)
       .option("maxFilesPerTrigger", "1").parquet(vSrc)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, idx.centroids.length, dim))
@@ -2042,7 +2050,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(vecT)
-    }
+    drain(vq)
     // serve: index-served lexical arm + streamed-table vector arm → fuse
     val lex = TextIndex.search(s, idxRoot,
       TextAnalysis.Bm25Queries.toDF("query_id", "term"), TextAnalysis.Bm25TopK)
@@ -2079,8 +2087,9 @@ object StreamingOps extends QueryModule {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val n = e.count()
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(e.schema)
+    // NOT drainWith (r21): the token store's fragment count is the serve
+    // side's scan parallelism — collapsing it read maxsim 1.2× slower
+    val q = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .transform(b => VectorSearch.maxSimDocTokens(b, n))
       .writeStream.format("lance")
@@ -2088,7 +2097,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(tokT)
-    }
+    drain(q)
     VectorSearch.maxSimRank(
       s.read.format("lance").load(tokT).select("doc_id", "embedding"),
       VectorSearch.maxSimQueryVecs(s, e))
@@ -2123,8 +2132,8 @@ object StreamingOps extends QueryModule {
     val flat = cents.flatten
     val dim = cents.head.length
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(e.schema)
+    // NOT drainWith (r21): cell-clustered store — layout is load-bearing
+    val q = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .transform(b => VectorSearch.maxSimDocTokens(b, n))
       .withColumn("cell", graft.functions.nearest_cell(
@@ -2135,7 +2144,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(tokT)
-    }
+    drain(q)
     VectorSearch.maxSimRankPruned(s,
       s.read.format("lance").load(tokT).select("doc_id", "embedding", "cell"),
       VectorSearch.maxSimQueryToks(e), cents,
@@ -2160,15 +2169,16 @@ object StreamingOps extends QueryModule {
     val vecT = tmp("smmr-vec") + "/t"
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(e.schema)
+    // NOT drainWith (r21): the store's fragment count is the serve side's
+    // scan/pair-sims parallelism — collapsing it read mmr 1.2× slower
+    val q = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.format("lance")
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(vecT)
-    }
+    drain(q)
     VectorSearch.mmrServe(
       VectorSearch.mmrCandidatesFrom(s, s.read.format("lance").load(vecT))
         .localCheckpoint())
@@ -2197,8 +2207,8 @@ object StreamingOps extends QueryModule {
     val flat = cents.flatten
     val dim = cents.head.length
     e.repartition(4).write.mode("overwrite").parquet(srcDir)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(e.schema)
+    // NOT drainWith (r21): cell-clustered store — layout is load-bearing
+    val q = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withColumn("cell", graft.functions.nearest_cell(
         col("embedding"), flat, cents.length, dim))
@@ -2208,7 +2218,7 @@ object StreamingOps extends QueryModule {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(vecT)
-    }
+    drain(q)
     VectorSearch.mmrServe(
       VectorSearch.mmrCandidatesPruned(s,
         s.read.format("lance").load(vecT).select("vec_id", "embedding", "cell"),
@@ -2241,8 +2251,9 @@ object StreamingOps extends QueryModule {
       Seq.empty[(Long, String, Long, Long, Long)]
         .toDF("doc_id", "source", "n_grams", "dsir_micro", "bid")
         .write.format("lance").save(mv)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(d.schema)
+    // NOT drainWith (r21 measured): the per-batch score+top-K is the real
+    // compute; 1-partition plans read 1.1-1.2× slower here
+    val q = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -2262,7 +2273,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    }
+    drain(q)
     s.read.format("lance").load(mv)
       .select("doc_id", "source", "n_grams", "dsir_micro")
       .orderBy("doc_id")
@@ -2287,8 +2298,9 @@ object StreamingOps extends QueryModule {
     if (!tableExists(s, cntT))
       Seq.empty[(String, Int, Long, Long)].toDF("source", "h", "c", "bid")
         .write.format("lance").save(cntT)
-    drainWith(s, adaptiveStreamPartitions(s, Seq(srcDir))) {
-      s.readStream.schema(d.schema)
+    // NOT drainWith (r21 measured): the per-batch featurize + bounded
+    // merge is the real compute; 1-partition plans read 1.3× slower
+    val q = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -2307,7 +2319,7 @@ object StreamingOps extends QueryModule {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    }
+    drain(q)
     TextAnalysis.driftReport(
       s.read.format("lance").load(cntT).select("source", "h", "c"))
   }
