@@ -89,13 +89,30 @@ object StreamingOps extends QueryModule {
     * session's shuffle partitions pinned to `parts`, restored after the
     * drain. The conf must cover BOTH start() (the cloned session freezes
     * it for the stateful plan) and the drain (foreachBatch bodies plan
-    * their own jobs against the live session). */
+    * their own jobs against the live session).
+    *
+    * When the derived count actually SHRANK the session value, AQE is
+    * also turned off for the window: adaptive execution exists to
+    * right-size exchanges at runtime, which the byte-derived static count
+    * has already done — what remains is AQE's per-query-stage job
+    * orchestration, measured at ~2× the job count per micro-batch body
+    * (every collect/ckpt/write inside the batch became 2-6 stage-jobs;
+    * each job is a driver round trip that dominates a small batch).
+    * Production-sized inputs never shrink (parts == session value), so
+    * the session's AQE posture is untouched exactly when it matters. */
   private def drainWith(s: SparkSession, parts: Int)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, parts.toString)
-    try drain(start) finally s.conf.set(key, prev)
+    val pKey = "spark.sql.shuffle.partitions"
+    val aKey = "spark.sql.adaptive.enabled"
+    val prevP = s.conf.get(pKey)
+    val prevA = s.conf.get(aKey)
+    val shrank = parts < prevP.toInt
+    s.conf.set(pKey, parts.toString)
+    if (shrank) s.conf.set(aKey, "false")
+    try drain(start) finally {
+      s.conf.set(pKey, prevP)
+      if (shrank) s.conf.set(aKey, prevA)
+    }
   }
 
   /** The max batch id recorded in a lance state table under `col` —
